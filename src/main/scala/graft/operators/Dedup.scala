@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes (the 100 TB story, per the build brief):
+  *   - exact dedup = one hash-partitioned groupBy on a 128-bit content
+  *     hash — the only shuffle moves (hash, id) pairs, never document text;
+  *   - MinHash signatures are computed PER ROW with higher-order array
+  *     functions (no explode/groupBy shuffle for signature building —
+  *     signature cost is map-side and pipelined into the scan);
+  *   - LSH banding shuffles only (band_id, band_hash, doc_id) triples; the
+  *     candidate join key is the band hash, so equal-band buckets co-locate
+  *     and the O(n²) verify never materializes across buckets;
+  *   - the verify stage re-joins shingle-hash SETS (arrays of longs), not
+  *     document text.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by all dedup flavors:
+    * lowercase, collapse whitespace runs, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact duplicate groups: md5 of normalized content (md5 so the DuckDB
+    * oracle can reproduce it; a 100 TB deployment would use xxhash128).
+    * Output: one row per distinct content with the representative (min id)
+    * and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(md5(normalize(col(textCol))).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Rows surviving exact dedup (keep the minimum id per content group). */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keep = exactGroups(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    docs.join(keep, idCol) // broadcast-able when the survivor set is small; shuffle join otherwise
+  }
+
+  /** Word n-gram shingles of the normalized text, as an array column.
+    * Documents shorter than `n` tokens collapse to one whole-text shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(normalize(text), " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct 64-bit shingle hashes (the document's feature set). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** MinHash signature as array<long> from a (materialized) shingle-hash
+    * array column — pass `col("feat")`, not the raw text expression, or
+    * the plan recomputes the shingle hashes once per permutation.
+    *
+    * The permutation family is π_j(h) = xxhash64(h, j): overflow-free (the
+    * classic a·h+b mod 2⁶⁴ throws under Spark 4's default ANSI mode),
+    * seed-independent, and identical on any cluster.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(hashes, h => xxhash64(h, lit(j))))
+    }: _*)
+
+  /** MinHash signature as array<long>, computed entirely per-row (map-side;
+    * zero shuffle). k = numHashes.
+    */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(text, shingleSize), numHashes)
+
+  /** LSH candidate pairs (a < b) from banding the signature: bands of
+    * `rowsPerBand` signature slots, bucket key = xxhash64 of the slice.
+    * One shuffle on (band, bucket); no text moves.
+    */
+  def lshCandidates(
+      docs: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    // two projections: materialize the shingle-hash set once, then build
+    // the k-slot signature from it (keeps the expression tree linear)
+    val sig = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("feat"))
+      .select(col("id"), minhashSignatureFromHashes(col("feat"), numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline with exact-Jaccard verification of
+    * the candidates: returns (a, b, jaccard) for verified pairs ≥ threshold.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(docs, textCol, idCol, shingleSize, numHashes, rowsPerBand)
+    val feats = docs.select(col(idCol).as("fid"),
+      shingleHashes(col(textCol), shingleSize).as("feat"))
+    val af = feats.select(col("fid").as("a"), col("feat").as("fa"))
+    val bf = feats.select(col("fid").as("b"), col("feat").as("fb"))
+    cands.join(af, "a").join(bf, "b")
+      .withColumn("inter", size(array_intersect(col("fa"), col("fb"))))
+      .withColumn("uni", size(array_union(col("fa"), col("fb"))))
+      .where(col("uni") > 0)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs inside a blocking key
+    * (e.g. `source`): the non-probabilistic sibling of minhashNearDups for
+    * when a natural blocking column bounds the quadratic.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, blockCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val feats = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleSize).as("feat"))
+    val a = feats.select(col("blk"), col("id").as("a"), col("feat").as("fa"))
+    val b = feats.select(col("blk"), col("id").as("b"), col("feat").as("fb"))
+    a.join(b, "blk").where(col("a") < col("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("fa"), col("fb"))).cast("double") /
+          size(array_union(col("fa"), col("fb"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document, computed per-row with nested
+    * higher-order functions (no shuffle): bit i is set iff the sum over
+    * token hashes of ±1 (by bit i of the token hash) is positive.
+    */
+  def simhash64(text: Column): Column = {
+    val tokenHashes = transform(split(normalize(text), " "), t => xxhash64(t))
+    // nested aggregate: outer over bit positions, inner over token hashes
+    // (call_function because the Scala DSL's shiftleft/shiftright only
+    // accept a literal Int bit count)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc + when(
+        aggregate(tokenHashes, lit(0L),
+          (a, h) => a + when(call_function("shiftright", h, i)
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))) > 0L,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  }
+
+  /** SimHash fingerprints as a table: explode token hashes, then 64
+    * codegen'd conditional-sum aggregates per document. Same semantics as
+    * [[simhash64]] but whole-stage-codegen'd end to end (higher-order
+    * lambdas are interpreted in Spark; the nested form is 10-100× slower).
+    * Partial aggregation compresses map-side, so the shuffle carries one
+    * 64-int vector per (partition, doc) — scale-safe.
+    */
+  def simhashTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(transform(split(normalize(col(textCol)), " "), t => xxhash64(t))).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    tok.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the high 16 bits (cheap prefix
+    * blocking), verify with full Hamming distance ≤ maxDist. At scale the
+    * standard rotate-and-block refinement drops the candidate count
+    * further; prefix blocking keeps the example compact.
+    */
+  def simhashNearDups(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxDist: Int = 12): DataFrame = {
+    val fp = simhashTable(docs, textCol, idCol)
+      .withColumn("blk", shiftright(col("fp"), 48))
+    val a = fp.select(col("blk"), col("id").as("a"), col("fp").as("fpa"))
+    val b = fp.select(col("blk"), col("id").as("b"), col("fp").as("fpb"))
+    a.join(b, "blk").where(col("a") < col("b"))
+      .withColumn("dist", hamming64(col("fpa"), col("fpb")))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
+    * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
+    * `Similarity.lshCosinePairs`.
+    */
+  def embeddingNearDups(
+      emb: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.45): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val a = e.select(col("id").as("ia"), col("v").as("va"), col("n2").as("na"))
+    val b = e.select(col("id").as("ib"), col("v").as("vb"), col("n2").as("nb"))
+    a.crossJoin(b).where(col("ia") < col("ib"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .where(col("cos") >= threshold)
+      .select("ia", "ib")
+  }
+}

