@@ -28,6 +28,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // match Verify: reference semantics drop malformed values, never raise
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,9 +37,13 @@ object Bench {
     // JVM/codegen warmup on the smallest SF so measured times are steady-state
     val warmDir = "/root/testdata/sf0.001"
     Bench.headline.foreach { n =>
+      val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $n FAILED: $e") }
+      System.err.println(f"[bench] warmup $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc() // settle warmup garbage so the first measured query isn't taxed
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()
@@ -47,6 +53,8 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           true
         } catch { case _: Throwable => false }
+      // release any cache the operator pinned (e.g. minhash shingle sets)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 

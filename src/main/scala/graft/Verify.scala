@@ -32,8 +32,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(4))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -61,5 +61,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the pool's threads are non-daemon: without shutdown the JVM (and the
+    // driver's verify step) hangs forever after the work is done
+    pool.shutdown()
+    sys.exit(0)
   }
 }

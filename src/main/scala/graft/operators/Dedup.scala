@@ -71,9 +71,38 @@ object Dedup {
 
   /** MinHash signature as array<long>, computed entirely per-row (map-side;
     * zero shuffle). k = numHashes.
+    *
+    * NOTE: higher-order functions are CodegenFallback in Spark — every
+    * lambda element-step is interpreted. Fine for a handful of rows or as a
+    * column-level building block; the table-scale path is
+    * [[minhashSignatures]] (explode + codegen'd min aggregates), which
+    * benchmarked ~40× faster at sf0.1.
     */
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
     minhashSignatureFromHashes(shingleHashes(text, shingleSize), numHashes)
+
+  /** MinHash signatures as a table: (id, sig array<long>).
+    *
+    * Shape: explode the per-doc shingle-hash set to (id, h) rows, then one
+    * hash aggregate with `numHashes` min(xxhash64(h, j)) buffers — fully
+    * whole-stage-codegen'd (HOF lambdas are interpreted in Spark; this form
+    * is the difference between 746 s and <20 s at sf0.1). Partial
+    * aggregation runs map-side, so the shuffle moves one k-long vector per
+    * (partition, doc) — scale-safe at 100 TB.
+    *
+    * `feats` must be (id, feat array<long>) — from [[shingleHashes]].
+    */
+  def minhashSignatures(feats: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = feats.select(col("id"), explode(col("feat")).as("h"))
+    val minCols = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** (id, feat) projection shared by signature building and verification. */
+  private def featTable(docs: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("feat"))
 
   /** LSH candidate pairs (a < b) from banding the signature: bands of
     * `rowsPerBand` signature slots, bucket key = xxhash64 of the slice.
@@ -82,13 +111,14 @@ object Dedup {
   def lshCandidates(
       docs: DataFrame,
       textCol: String, idCol: String,
-      shingleSize: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    lshCandidatesFromFeats(featTable(docs, textCol, idCol, shingleSize),
+      numHashes, rowsPerBand)
+
+  private def lshCandidatesFromFeats(
+      feats: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    // two projections: materialize the shingle-hash set once, then build
-    // the k-slot signature from it (keeps the expression tree linear)
-    val sig = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("feat"))
-      .select(col("id"), minhashSignatureFromHashes(col("feat"), numHashes).as("sig"))
+    val sig = minhashSignatures(feats, numHashes)
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -101,17 +131,21 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline with exact-Jaccard verification of
     * the candidates: returns (a, b, jaccard) for verified pairs ≥ threshold.
+    *
+    * The shingle-hash sets are persisted: they feed both the signature
+    * explode and the two verify joins, and recomputing the (interpreted
+    * HOF) shingle pass three times would dominate the runtime.
     */
   def minhashNearDups(
       docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(docs, textCol, idCol, shingleSize, numHashes, rowsPerBand)
-    val feats = docs.select(col(idCol).as("fid"),
-      shingleHashes(col(textCol), shingleSize).as("feat"))
-    val af = feats.select(col("fid").as("a"), col("feat").as("fa"))
-    val bf = feats.select(col("fid").as("b"), col("feat").as("fb"))
+    val feats = featTable(docs, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesFromFeats(feats, numHashes, rowsPerBand)
+    val af = feats.select(col("id").as("a"), col("feat").as("fa"))
+    val bf = feats.select(col("id").as("b"), col("feat").as("fb"))
     cands.join(af, "a").join(bf, "b")
       .withColumn("inter", size(array_intersect(col("fa"), col("fb"))))
       .withColumn("uni", size(array_union(col("fa"), col("fb"))))

@@ -57,8 +57,13 @@ object Relational {
           .agg(
             round(sum("l_quantity"), 2).as("sum_qty"),
             round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            sum(decPrice * (lit(1) - decDisc)).cast("decimal(20,4)").as("sum_disc_price"),
-            sum(decPrice * (lit(1) - decDisc) * (lit(1) + decTax)).cast("decimal(22,6)").as("sum_charge"),
+            // final cast to double: decimal sums are exact/deterministic, but
+            // a decimal whose last digit is 0 ('…8410') renders differently
+            // across readers and breaks the driver's hash compare; the
+            // double of an exact decimal is identical everywhere (unscaled
+            // values here are far below 2^53)
+            sum(decPrice * (lit(1) - decDisc)).cast("decimal(20,4)").cast("double").as("sum_disc_price"),
+            sum(decPrice * (lit(1) - decDisc) * (lit(1) + decTax)).cast("decimal(22,6)").cast("double").as("sum_charge"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_extendedprice"), 4).as("avg_price"),
             round(avg("l_discount"), 6).as("avg_disc"),
@@ -67,8 +72,8 @@ object Relational {
       Some("""SELECT l_returnflag, l_linestatus,
              | round(sum(l_quantity),2) AS sum_qty,
              | round(sum(l_extendedprice),2) AS sum_base_price,
-             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
-             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(22,6)) AS sum_charge,
+             | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS DOUBLE) AS sum_disc_price,
+             | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(22,6)) AS DOUBLE) AS sum_charge,
              | round(avg(l_quantity),4) AS avg_qty,
              | round(avg(l_extendedprice),4) AS avg_price,
              | round(avg(l_discount),6) AS avg_disc,
@@ -84,9 +89,10 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
             col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            col("l_discount").cast("decimal(4,2)")).cast("decimal(20,4)").as("revenue"))
+            col("l_discount").cast("decimal(4,2)")).cast("decimal(20,4)")
+            .cast("double").as("revenue"))
       },
-      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS revenue
+      Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
              |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
@@ -102,11 +108,12 @@ object Relational {
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(20,4)").as("revenue"),
+              (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(20,4)")
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""SELECT c_mktsegment,
-             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS revenue,
+             | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue,
              | count(*) AS n_lines
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -149,10 +156,11 @@ object Relational {
             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
           .groupBy(col("n_name"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(20,4)").as("revenue"))
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(20,4)")
+            .cast("double").as("revenue"))
       },
       Some("""SELECT n_name,
-             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS revenue
+             | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN orders ON l_orderkey = o_orderkey
