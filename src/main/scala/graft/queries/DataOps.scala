@@ -32,9 +32,14 @@ object DataOps {
   /** Deterministically synthesize access-log lines from `events` (testdata
     * has no raw log file; the driver contract requires queries to read the
     * provided parquet only).
+    *
+    * Repartitioned to the session's parallelism: events.parquet is a
+    * single file split, and ingest parity means NumCPU parallel workers
+    * (`--parallelism` default, `cmd/filelog/main.go:49-54`) — raw lines are
+    * tiny to shuffle, and every downstream stage then uses all cores.
     */
   private def logLines(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(concat(
+    t(s, dir, "events").repartition(s.sparkContext.defaultParallelism).select(concat(
       col("user_id").cast("string"), lit(" - - ["),
       date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET /p/"),
       col("event_id").cast("string"), lit(" HTTP/1.1\" "),
