@@ -175,17 +175,27 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint per document, computed per-row with nested
+  /** SimHash bit width: 60 bits = 15 hex digits of md5, so the token hash
+    * is reproducible in any engine with md5 (the DuckDB oracle included)
+    * and fits a signed 64-bit integer without sign games.
+    */
+  val SimhashBits = 60
+
+  /** Cross-engine 60-bit token hash: first 15 hex digits of md5. */
+  private def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash fingerprint per document, computed per-row with nested
     * higher-order functions (no shuffle): bit i is set iff the sum over
     * token hashes of ±1 (by bit i of the token hash) is positive.
     */
   def simhash64(text: Column): Column = {
-    val tokenHashes = transform(split(normalize(text), " "), t => xxhash64(t))
+    val tokenHashes = transform(split(normalize(text), " "), t => tokenHash60(t))
     // nested aggregate: outer over bit positions, inner over token hashes
     // (call_function because the Scala DSL's shiftleft/shiftright only
     // accept a literal Int bit count)
     aggregate(
-      sequence(lit(0), lit(63)),
+      sequence(lit(0), lit(SimhashBits - 1)),
       lit(0L),
       (acc, i) => acc + when(
         aggregate(tokenHashes, lit(0L),
@@ -203,14 +213,14 @@ object Dedup {
     */
   def simhashTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
-      explode(transform(split(normalize(col(textCol)), " "), t => xxhash64(t))).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      explode(transform(split(normalize(col(textCol)), " "), t => tokenHash60(t))).as("h"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     tok.groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        (0 until SimhashBits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
   }
 
@@ -228,7 +238,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       maxDist: Int = 12): DataFrame = {
     val fp = simhashTable(docs, textCol, idCol)
-      .withColumn("blk", shiftright(col("fp"), 48))
+      .withColumn("blk", shiftright(col("fp"), SimhashBits - 16))
     val a = fp.select(col("blk"), col("id").as("a"), col("fp").as("fpa"))
     val b = fp.select(col("blk"), col("id").as("b"), col("fp").as("fpb"))
     a.join(b, "blk").where(col("a") < col("b"))

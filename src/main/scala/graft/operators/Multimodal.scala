@@ -45,8 +45,11 @@ object Multimodal {
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
   /** STUB decoder: bytes → fixed-dim deterministic "feature" vector
-    * (chunk-wise byte means). A real implementation decodes pixels /
-    * samples here; signature and batch shape stay identical.
+    * (chunk-wise byte sums mod a prime — integer-valued floats, so the
+    * DuckDB oracle reproduces them bit-exactly; a byte-mean variant would
+    * compare float rounding paths across engines instead of the plumbing).
+    * A real implementation decodes pixels/samples here; signature and
+    * batch shape stay identical.
     */
   private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(dim)(0f)
@@ -58,7 +61,7 @@ object Multimodal {
       else {
         var s = 0L; var j = from
         while (j < until) { s += payload(j) & 0xff; j += 1 }
-        (s.toFloat / (until - from)) / 255f
+        (s % 1009).toFloat
       }
     }
   }

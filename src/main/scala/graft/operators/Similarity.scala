@@ -54,6 +54,61 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the classic two-stage ANN.
+    *
+    * Build: pick a small deterministic centroid set (`vec_id % centroidMod
+    * == 0` — a training-free stand-in for k-means; swap in real centroids
+    * without touching the query path), then assign every corpus vector to
+    * its nearest centroid (one broadcast join — centroids ≪ corpus, so
+    * assignment is map-side and the corpus shuffles once on cell id at
+    * most).
+    *
+    * Query: probe the `nProbe` nearest cells per query, rank candidates in
+    * those cells by exact cosine, keep top k. Scan cost drops from
+    * O(corpus) to O(corpus × nProbe / nCells) per query.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int = 2, centroidMod: Int = 37,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("nn", l2norm(col("nv")))
+    val cent = corpus.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+
+    val wAssign = Window.partitionBy(col("nid"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("nv"), col("cv"), col("nn"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("cent_id"), col("nid"), col("nv"), col("nn"))
+
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("cent_id"), col("query_id"), col("qv"), col("qn"))
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nid"))
+    probes.join(assigned, "cent_id")
+      .where(col("query_id") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("nid").as("neighbor_id"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a ±1 weight derived from xxhash64 — reproducible on any cluster, no
     * driver-side randomness shipped to executors.

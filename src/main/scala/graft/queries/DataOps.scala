@@ -60,6 +60,23 @@ object DataOps {
     docs.unionByName(perturbed)
   }
 
+  /** DuckDB SQL fragments shared by the dedup oracles — each mirrors one
+    * Spark-side building block exactly (see [[graft.operators.Dedup]]).
+    */
+  private val DupCorpusSql = // mirrors docsWithNearDups
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+      |  FROM documents""".stripMargin
+  private val NormToksSql = // mirrors Dedup.normalize + split
+    """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
+  private val ShingleSql = // mirrors Dedup.shingles(_, 3) as distinct string sets
+    """CASE WHEN len(toks) >= 3
+      |      THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                          FOR i IN generate_series(1, len(toks) - 2)])
+      |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- ingest parity (the reference's whole pipeline, oracle-checked) --
@@ -112,18 +129,47 @@ object DataOps {
              |  SELECT min(doc_id) FROM documents
              |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin)),
 
+    // Oracle note (d03): at threshold 0.8 with 24 bands × 4 rows the LSH
+    // candidate-miss probability for a qualifying pair is (1-0.8⁴)²⁴ ≈ 3e-6
+    // — zero misses on the fixed testdata (checked) — so the verified
+    // output equals the exact all-pairs Jaccard result, which DuckDB
+    // computes directly (hash-set Jaccard == shingle-string-set Jaccard
+    // modulo 64-bit collisions). The length-ratio prejoin (5·|A| ≥ 4·|B|,
+    // integer-exact) only prunes pairs that can never reach 0.8.
     "d03_minhash_neardups" -> Q(
       (s, dir) => Dedup.minhashNearDups(docsWithNearDups(s, dir),
-        shingleSize = 3, numHashes = 96, rowsPerBand = 8, threshold = 0.5)
+        shingleSize = 3, numHashes = 96, rowsPerBand = 4, threshold = 0.8)
         .select("a", "b"),
-      None,
+      Some(s"""WITH d2 AS ($DupCorpusSql),
+             |f AS (
+             |  SELECT doc_id, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM d2))
+             |SELECT a.doc_id AS a, b.doc_id AS b
+             |FROM f a JOIN f b
+             |  ON a.doc_id < b.doc_id
+             | AND 5 * len(a.sh) >= 4 * len(b.sh)
+             | AND 5 * len(b.sh) >= 4 * len(a.sh)
+             |WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |       / len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.8""".stripMargin),
       "MinHash+LSH: per-row signatures, band-bucket join, exact-Jaccard verify"),
 
     "d04_simhash" -> Q(
       (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 16)
         .select("a", "b", "dist"),
-      None,
-      "SimHash 64-bit fingerprint + prefix-blocked Hamming pairs"),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum([CASE WHEN 2 * list_sum([CAST((h >> i) & 1 AS BIGINT) FOR h IN hs]) > len(hs)
+             |                   THEN (1::BIGINT << i) ELSE 0::BIGINT END
+             |                   FOR i IN generate_series(0, 59)]) AS BIGINT) AS fp
+             |  FROM (SELECT doc_id,
+             |          [CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT)
+             |           FOR t IN string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')] AS hs
+             |        FROM documents))
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
+             |FROM f a JOIN f b ON (a.fp >> 44) = (b.fp >> 44) AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 16""".stripMargin),
+      "SimHash 60-bit fingerprint (md5 token hash) + prefix-blocked Hamming pairs"),
 
     "d05_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(
@@ -131,7 +177,14 @@ object DataOps {
           .withColumn("blk", pmod(col("doc_id") % 100000, lit(20)).cast("int")),
         blockCol = "blk", shingleSize = 3, threshold = 0.5)
         .select("a", "b"),
-      None,
+      Some(s"""WITH d2 AS ($DupCorpusSql),
+             |f AS (
+             |  SELECT doc_id, (doc_id % 100000) % 20 AS blk, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM d2))
+             |SELECT a.doc_id AS a, b.doc_id AS b
+             |FROM f a JOIN f b ON a.blk = b.blk AND a.doc_id < b.doc_id
+             |WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |       / len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.5""".stripMargin),
       "exact n-gram Jaccard within a blocking key"),
 
     "d06_embedding_neardups" -> Q(
@@ -167,6 +220,34 @@ object DataOps {
         threshold = 0.4, nPlanes = 6, nTables = 12),
       None,
       "random-hyperplane LSH ANN: map-only signatures, bucket-join candidates"),
+
+    "s03_ann_ivf" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      },
+      Some("""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |        FROM embeddings),
+             |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 37 = 0),
+             |asg AS (SELECT cent_id, nid, nv, nn FROM (
+             |  SELECT c.cent_id, n.vec_id AS nid, n.v AS nv, n.nrm AS nn,
+             |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |      list_inner_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+             |  FROM n CROSS JOIN cent c) WHERE rn = 1),
+             |probe AS (SELECT cent_id, qid, qv, qn FROM (
+             |  SELECT c.cent_id, n.vec_id AS qid, n.v AS qv, n.nrm AS qn,
+             |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |      list_inner_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+             |  FROM n CROSS JOIN cent c WHERE n.vec_id < 10) WHERE rn <= 2)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT p.qid AS query_id, a.nid AS neighbor_id,
+             |    CAST(row_number() OVER (PARTITION BY p.qid ORDER BY
+             |      list_inner_product(p.qv, a.nv) / (p.qn * a.nn) DESC, a.nid) AS INT) AS rank
+             |  FROM probe p JOIN asg a USING (cent_id)
+             |  WHERE p.qid <> a.nid)
+             |WHERE rank <= 5""".stripMargin),
+      "IVF ANN: deterministic coarse cells, nProbe=2, exact re-rank in probed cells"),
 
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
@@ -232,7 +313,7 @@ object DataOps {
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
 
-    // ---- multimodal plumbing (stub decode; rows-only check) --------------
+    // ---- multimodal plumbing (stub decode; deterministic → oracle) -------
     "m01_media_features" -> Q(
       (s, dir) => {
         val media = Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -240,7 +321,19 @@ object DataOps {
           .select(col("media_id"), size(col("features")).as("dim"),
             element_at(col("features"), 1).as("f0"))
       },
-      None,
+      // f0 = (sum of payload bytes in chunk 0) mod 1009 — byte j of the
+      // blob is read via hex() in DuckDB; integer-valued floats compare
+      // bit-exactly across engines
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents)
+             |SELECT media_id, CAST(8 AS INT) AS dim,
+             |  CAST(CASE WHEN n = 0 THEN 0
+             |       ELSE list_sum([CAST(CONCAT('0x', SUBSTR(hx, 2*j+1, 2)) AS INT)
+             |                      FOR j IN generate_series(0, greatest(n // 8, 1) - 1)]) % 1009
+             |       END AS REAL) AS f0
+             |FROM m""".stripMargin),
       "binary-column plumbing + mapPartitions feature extraction (decode stubbed)"),
 
     "m02_frame_sample" -> Q(
@@ -249,6 +342,8 @@ object DataOps {
         Multimodal.frameSample(media, frameBytes = 32, stride = 4)
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
       },
-      None,
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(greatest(octet_length(encode(text)) // 128, 1) AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin),
       "frame-sampling plumbing over binary payloads"))
 }

@@ -27,8 +27,10 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(f1 == f2) // deterministic stub
-    // features are byte means / 255 → in [0, 1]
-    assert(f1(0L).forall(v => v >= 0f && v <= 1f))
+    // features are chunk byte-sums mod 1009 → integer-valued in [0, 1009)
+    assert(f1(0L).forall(v => v >= 0f && v < 1009f && v == math.floor(v)))
+    // "abcdefgh"*16: chunk 0 = bytes of "abcdefgh"*2 → sum 1588 → mod 1009
+    assert(f1(0L).head == (("abcdefgh" * 2).map(_.toInt).sum % 1009).toFloat)
   }
 
   test("frame sampling emits one row per frame window") {
