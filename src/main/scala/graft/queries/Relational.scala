@@ -522,5 +522,60 @@ object Relational {
              |  UNION ALL
              |  SELECT epoch_ms(CAST((floor(epoch(ts)/1800)-1)*1800*1000 AS BIGINT)) AS ws FROM events
              |) GROUP BY ws""".stripMargin),
-      "sliding window: each event lands in size/slide = 2 windows"))
+      "sliding window: each event lands in size/slide = 2 windows"),
+
+    "q27_session_window" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("ws"), col("w.end").as("we"),
+            col("user_id"), col("n"))
+      },
+      // gaps-and-islands replication: a session breaks when the gap from
+      // the previous event reaches 30 min (Spark sessions are end-exclusive:
+      // an event exactly at prev_ts + gap starts a new session)
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+             |  FROM events),
+             |b AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM b)
+             |SELECT CAST(min(ts) AS TIMESTAMP) AS ws,
+             |       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS we,
+             |       user_id, count(*) AS n
+             |FROM sess GROUP BY user_id, sid""".stripMargin),
+      "session window (30-min gap); same session_window op runs under readStream"),
+
+    "q28_asof_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+        // dedupe right side to one row per (key, ts): as-of ties on the
+        // right timestamp are otherwise resolved arbitrarily in any engine
+        val ord = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("last_orderkey"),
+            max_by(col("o_totalprice"), col("o_orderkey")).as("last_order_price"))
+        graft.operators.AsOfJoin.backward(ev, ord,
+          leftKey = "user_id", leftTs = "ts",
+          rightKey = "o_custkey", rightTs = "o_orderdate")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, ts FROM events),
+             |ord AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         max(o_orderkey) AS last_orderkey,
+             |         arg_max(o_totalprice, o_orderkey) AS last_order_price
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |       last_orderkey, last_order_price
+             |FROM ev ASOF JOIN ord
+             |  ON ev.user_id = ord.o_custkey AND ev.ts >= ord.o_orderdate""".stripMargin),
+      "as-of join (custom operator AsOfJoin: union + running window, one shuffle)"))
 }
