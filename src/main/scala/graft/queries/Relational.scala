@@ -577,5 +577,27 @@ object Relational {
              |       last_orderkey, last_order_price
              |FROM ev ASOF JOIN ord
              |  ON ev.user_id = ord.o_custkey AND ev.ts >= ord.o_orderdate""".stripMargin),
-      "as-of join (custom operator AsOfJoin: union + running window, one shuffle)"))
+      "as-of join (custom operator AsOfJoin: union + running window, one shuffle)"),
+
+    "q29_range_lookup" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(pmod(col("event_id"), lit(100000L)).as("addr"))
+        val ranges = t(s, dir, "nation").select(
+          (col("n_nationkey").cast("long") * 4000).as("lo"),
+          (col("n_nationkey").cast("long") * 4000 + 3999).as("hi"),
+          col("n_name"))
+        graft.operators.RangeLookup
+          .bucketedLookup(ev, "addr", ranges, "lo", "hi", bucketBits = 10)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), sum(col("addr")).as("sum_addr"))
+      },
+      Some("""SELECT n_name, count(*) AS n, CAST(sum(addr) AS BIGINT) AS sum_addr
+             |FROM (SELECT event_id % 100000 AS addr FROM events) e
+             |JOIN (SELECT n_nationkey * 4000 AS lo, n_nationkey * 4000 + 3999 AS hi, n_name
+             |      FROM nation) r
+             |  ON e.addr BETWEEN r.lo AND r.hi
+             |GROUP BY n_name""".stripMargin),
+      "GeoIP-shape range lookup (reference README.md:34 TODO, delivered): " +
+        "bucketed broadcast range join, hash-join probes instead of NLJ"))
 }

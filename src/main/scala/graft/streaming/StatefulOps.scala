@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (SURVEY §2.4 "stateful streaming ops"):
+  * custom per-key state via `flatMapGroupsWithState`, plus the
+  * watermark-scoped streaming dedup.
+  *
+  * Scale notes: state lives in the state store partitioned by key (one
+  * shuffle on the key); event-time timeout + watermark bound state size —
+  * without a timeout, per-key state grows forever at 100 TB/day rates.
+  */
+object StatefulOps {
+
+  case class Click(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, end: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  /** Event-time sessionization with a gap timeout, as custom keyed state:
+    * the `flatMapGroupsWithState` analog of `session_window` (which covers
+    * the aggregate-only case — this shape is for when per-session custom
+    * logic/payload is needed).
+    *
+    * Emits a session when the event-time timeout fires (watermark passed
+    * session end + gap).
+    */
+  def sessionize(
+      clicks: Dataset[Click],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import clicks.sparkSession.implicits._
+    clicks
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n))
+          } else {
+            val ts = events.map(_.ts.getTime).toSeq.sorted
+            // merge the batch into (possibly) the open session; close any
+            // session a later event's gap proves finished
+            val init = state.getOption.toSeq
+            val (closed, open) = ts.foldLeft((Vector.empty[SessionState], init.headOption)) {
+              case ((done, Some(s)), t) if t < s.end + gapMs =>
+                (done, Some(s.copy(end = math.max(s.end, t), n = s.n + 1)))
+              case ((done, Some(s)), t) => (done :+ s, Some(SessionState(t, t, 1)))
+              case ((done, None), t)    => (done, Some(SessionState(t, t, 1)))
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator.map(s =>
+              SessionOut(user, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n))
+          }
+      }
+  }
+
+  /** Streaming dedup: first occurrence per key within the watermark
+    * horizon (`dropDuplicates` + watermark keeps the seen-keys state
+    * bounded — the streaming face of `Dedup.exactDedup`).
+    */
+  def dedupStream(lines: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    lines.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming exact-dedup on content hash: drop every line whose
+    * normalized content was already seen inside the watermark window.
+    */
+  def dedupContentStream(lines: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    lines.withColumn("__content_hash",
+      md5(graft.operators.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq("__content_hash"))
+      .drop("__content_hash")
+}

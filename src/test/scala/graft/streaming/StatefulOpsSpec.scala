@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StatefulOps.{Click, SessionOut}
+
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Click]
+    val sessions = StatefulOps.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h later a
+      // third (second session); a far-future event advances the watermark
+      stream.addData(
+        Click(1L, ts("2024-01-01 00:00:00")),
+        Click(1L, ts("2024-01-01 00:10:00")),
+        Click(1L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      stream.addData(Click(99L, ts("2024-01-02 00:00:00"))) // watermark push
+      q.processAllAvailable()
+      stream.addData(Click(98L, ts("2024-01-03 00:00:00"))) // flush timeouts
+      q.processAllAvailable()
+      val out = spark.table("sess_test").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(out.length == 2)
+      assert(out(0).n_events == 2)
+      assert(out(0).session_start == ts("2024-01-01 00:00:00"))
+      assert(out(0).session_end == ts("2024-01-01 00:40:00")) // last + gap
+      assert(out(1).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("streaming content dedup drops repeats within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val deduped = StatefulOps.dedupContentStream(
+      stream.toDF().toDF("ts", "text"), "text", "ts")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 00:00:00"), "hello world"),
+        (ts("2024-01-01 00:01:00"), "HELLO   world"), // same after normalize
+        (ts("2024-01-01 00:02:00"), "different"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+}
