@@ -16,8 +16,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_segment_revenue", "q05_region_revenue",
     "q06_revenue_forecast", "q09_window_rank", "q15_distinct_agg",
-    "q25_tumbling_window", "i01_ingest_e2e", "d01_exact_dedup_groups",
-    "d03_minhash_neardups", "s01_ann_bruteforce", "t02_quality")
+    "q25_tumbling_window", "q27_session_window", "q28_asof_join",
+    "q29_range_lookup", "i01_ingest_e2e", "d01_exact_dedup_groups",
+    "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
+    "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -158,19 +158,38 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs inside a blocking key
     * (e.g. `source`): the non-probabilistic sibling of minhashNearDups for
     * when a natural blocking column bounds the quadratic.
+    *
+    * Shape: inverted-index join, not pairwise array intersection — explode
+    * each doc's shingle-hash set to (blk, h, id) postings, self-join on
+    * (blk, h), and count shared shingles per pair; |A∪B| = |A|+|B|−|A∩B|.
+    * Work is Σ_h C(df_h, 2) (df = per-block shingle frequency) instead of
+    * C(n,2) array intersections per block — the difference between 23 s
+    * and ~4 s at sf0.1, and the only shape that survives 100 TB (nothing
+    * but (hash, id) pairs ever shuffles; requires threshold > 0 since
+    * zero-overlap pairs never meet, which is exactly what we want).
     */
   def ngramJaccardPairs(
       docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0, "inverted-index Jaccard requires threshold > 0")
     val feats = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       shingleHashes(col(textCol), shingleSize).as("feat"))
-    val a = feats.select(col("blk"), col("id").as("a"), col("feat").as("fa"))
-    val b = feats.select(col("blk"), col("id").as("b"), col("feat").as("fb"))
-    a.join(b, "blk").where(col("a") < col("b"))
+    // postings persisted: the (interpreted-HOF) shingle pass is the
+    // dominant cost and feeds both join sides; set sizes come from the
+    // postings too (feat is already distinct), not a second array pass
+    val inv = feats.select(col("blk"), col("id"), explode(col("feat")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = inv.select(col("blk"), col("h"), col("id").as("a"))
+      .join(inv.select(col("blk"), col("h"), col("id").as("b")), Seq("blk", "h"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard",
-        size(array_intersect(col("fa"), col("fb"))).cast("double") /
-          size(array_union(col("fa"), col("fb"))))
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -212,8 +231,12 @@ object Dedup {
     * 64-int vector per (partition, doc) — scale-safe.
     */
   def simhashTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // explode FIRST, hash AFTER: md5/conv on a plain column stay inside
+    // whole-stage codegen, whereas inside a transform() lambda every
+    // element-step is interpreted (measured ~2× on the d04 pipeline)
     val tok = docs.select(col(idCol).as("id"),
-      explode(transform(split(normalize(col(textCol)), " "), t => tokenHash60(t))).as("h"))
+      explode(split(normalize(col(textCol)), " ")).as("t"))
+      .select(col("id"), tokenHash60(col("t")).as("h"))
     val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
@@ -256,7 +279,8 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.45): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+      // fenced: evaluated once per vector, never inlined into the pair loop
+      .withColumn("n2", graft.functions.OptimizerFence(Similarity.dot(col("v"), col("v"))))
     val a = e.select(col("id").as("ia"), col("v").as("va"), col("n2").as("na"))
     val b = e.select(col("id").as("ib"), col("v").as("vb"), col("n2").as("nb"))
     a.crossJoin(b).where(col("ia") < col("ib"))

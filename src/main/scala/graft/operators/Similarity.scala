@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OptimizerFence
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two tiers, per the build brief:
@@ -26,7 +28,12 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def l2norm(v: Column): Column = sqrt(dot(v, v))
+  /** L2 norm, fenced: norms are derived once per vector but referenced per
+    * candidate pair — without the fence, CollapseProject/pushdown inline
+    * the O(dim) interpreted fold into every pair comparison (measured 5×
+    * on the cross-join paths).
+    */
+  def l2norm(v: Column): Column = OptimizerFence(sqrt(dot(v, v)))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)

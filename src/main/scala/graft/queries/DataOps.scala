@@ -19,6 +19,16 @@ object DataOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** documents/embeddings load spread over the session's cores: the
+    * testdata ships each table as a single parquet split, which would pin
+    * every downstream per-row pass (shingles, md5, dot products) to 1-3
+    * threads. A real 100 TB table arrives as thousands of splits and needs
+    * no such shuffle — this is a local-file artifact, the data moved is
+    * the table itself once.
+    */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** Ingest-parity config: 7-field nginx access-log format (native casts
     * only — remote_addr:String, time_local:DateTime, status:UInt16,
     * bytes_sent:UInt32, request_time:Float32).
@@ -54,7 +64,7 @@ object DataOps {
     * every SF.
     */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val docs = tp(s, dir, "documents").select("doc_id", "text")
     val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 3, Int.MaxValue)).as("text"))
     docs.unionByName(perturbed)
@@ -115,14 +125,14 @@ object DataOps {
 
     // ---- deduplication ---------------------------------------------------
     "d01_exact_dedup_groups" -> Q(
-      (s, dir) => Dedup.exactGroups(t(s, dir, "documents")),
+      (s, dir) => Dedup.exactGroups(tp(s, dir, "documents")),
       Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
              |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_docs
              |FROM documents GROUP BY 1""".stripMargin),
       "exact dedup: hash-groupBy on content hash; only (hash,id) shuffles"),
 
     "d02_exact_dedup_survivors" -> Q(
-      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"))
+      (s, dir) => Dedup.exactDedup(tp(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
       Some("""SELECT doc_id, lang, source, n_chars FROM documents
              |WHERE doc_id IN (
@@ -154,7 +164,7 @@ object DataOps {
       "MinHash+LSH: per-row signatures, band-bucket join, exact-Jaccard verify"),
 
     "d04_simhash" -> Q(
-      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 16)
+      (s, dir) => Dedup.simhashNearDups(tp(s, dir, "documents"), maxDist = 16)
         .select("a", "b", "dist"),
       Some("""WITH f AS (
              |  SELECT doc_id,
@@ -188,7 +198,7 @@ object DataOps {
       "exact n-gram Jaccard within a blocking key"),
 
     "d06_embedding_neardups" -> Q(
-      (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.45),
+      (s, dir) => Dedup.embeddingNearDups(tp(s, dir, "embeddings"), threshold = 0.45),
       Some("""SELECT a.vec_id AS ia, b.vec_id AS ib
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -200,7 +210,7 @@ object DataOps {
     // ---- similarity search ----------------------------------------------
     "s01_ann_bruteforce" -> Q(
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = tp(s, dir, "embeddings")
         Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
       },
       Some("""SELECT query_id, rank, neighbor_id FROM (
@@ -216,14 +226,14 @@ object DataOps {
       "exact cosine top-k, broadcast query set"),
 
     "s02_ann_lsh" -> Q(
-      (s, dir) => Similarity.lshCosinePairs(t(s, dir, "embeddings"),
+      (s, dir) => Similarity.lshCosinePairs(tp(s, dir, "embeddings"),
         threshold = 0.4, nPlanes = 6, nTables = 12),
       None,
       "random-hyperplane LSH ANN: map-only signatures, bucket-join candidates"),
 
     "s03_ann_ivf" -> Q(
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = tp(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
       },
       Some("""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -251,7 +261,7 @@ object DataOps {
 
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
-      (s, dir) => TextAnalysis.tokenStats(t(s, dir, "documents")),
+      (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),
       Some("""SELECT doc_id,
              |  CAST(length(text) AS INT) AS n_chars,
              |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
@@ -260,7 +270,7 @@ object DataOps {
              |FROM documents""".stripMargin)),
 
     "t02_quality" -> Q(
-      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents")),
+      (s, dir) => TextAnalysis.qualityScore(tp(s, dir, "documents")),
       Some("""WITH m AS (
              |  SELECT doc_id,
              |    CAST(length(text) AS INT) AS n_chars,
@@ -283,7 +293,7 @@ object DataOps {
       "C4-style quality heuristics; ratios as integer basis points"),
 
     "t03_langid" -> Q(
-      (s, dir) => TextAnalysis.langId(t(s, dir, "documents")),
+      (s, dir) => TextAnalysis.langId(tp(s, dir, "documents")),
       Some("""WITH m AS (
              |  SELECT doc_id, text,
              |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -308,7 +318,7 @@ object DataOps {
       "stopword-vote language ID with deterministic tie-break"),
 
     "t04_fingerprint" -> Q(
-      (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents")),
+      (s, dir) => TextAnalysis.fingerprint(tp(s, dir, "documents")),
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
@@ -316,7 +326,7 @@ object DataOps {
     // ---- multimodal plumbing (stub decode; deterministic → oracle) -------
     "m01_media_features" -> Q(
       (s, dir) => {
-        val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+        val media = Multimodal.asMediaTable(tp(s, dir, "documents"))
         Multimodal.extractFeatures(media, dim = 8)
           .select(col("media_id"), size(col("features")).as("dim"),
             element_at(col("features"), 1).as("f0"))
@@ -338,7 +348,7 @@ object DataOps {
 
     "m02_frame_sample" -> Q(
       (s, dir) => {
-        val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+        val media = Multimodal.asMediaTable(tp(s, dir, "documents"))
         Multimodal.frameSample(media, frameBytes = 32, stride = 4)
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
       },
