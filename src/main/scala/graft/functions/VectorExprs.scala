@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Codegen'd vector/sketch kernels.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate`/`zip_with`)
+  * interpret their lambda per element — fine for composition, wrong for the
+  * per-row inner loops of MinHash signatures and embedding dot products.
+  * These expressions generate tight Java loops instead and stay inside
+  * whole-stage codegen.
+  */
+object VectorExprs {
+
+  /** MinHash signature of a 64-bit feature set, computed per row — the
+    * zero-shuffle signature path: sig[j] = min over features h of
+    * xxhash64(h, j) (bit-identical to the
+    * `array_min(transform(hashes, h => xxhash64(h, lit(j))))` composition,
+    * via the same XXH64 chain: hashLong(j, hashLong(h, 42))).
+    *
+    * Replaces both the interpreted HOF form (≈40× slower) and the
+    * explode + k-min-aggregates form (a 500k×k-row aggregate with k buffer
+    * fields — measured unstable under JIT/GC at k=96). Per-row cost is
+    * |features|·k inlined hash calls; nothing shuffles.
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    require(numHashes > 0)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val base = XXH64.hashLong(arr.getLong(i), 42L)
+        var j = 0
+        while (j < numHashes) {
+          val v = XXH64.hashLong(j.toLong, base)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val xxh = classOf[XXH64].getName
+      val arrayData = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, arr => {
+        val sig = ctx.freshName("sig")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val n = ctx.freshName("n")
+        val base = ctx.freshName("base")
+        val v = ctx.freshName("v")
+        s"""
+           |long[] $sig = new long[$numHashes];
+           |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $base = $xxh.hashLong($arr.getLong($i), 42L);
+           |  for (int $j = 0; $j < $numHashes; $j++) {
+           |    long $v = $xxh.hashLong((long) $j, $base);
+           |    if ($v < $sig[$j]) $sig[$j] = $v;
+           |  }
+           |}
+           |${ev.value} = new $arrayData($sig);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** Sequential-order dot product of two `array<double>` columns: the same
+    * left-to-right summation as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * (and DuckDB's `list_inner_product`), so results are bit-identical to
+    * the HOF composition — just inside codegen instead of an interpreted
+    * per-element lambda.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "dot_product"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |double $acc = 0.0;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def minhashSignature(features: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(features), numHashes))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

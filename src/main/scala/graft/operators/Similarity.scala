@@ -21,12 +21,14 @@ import graft.functions.OptimizerFence
   */
 object Similarity {
 
-  /** Sequential-fold dot product (deterministic order: index 0..n-1, same
-    * fold the DuckDB oracle's list_inner_product uses — bit-stable across
-    * engines).
+  /** Sequential-order dot product (index 0..n-1, the same summation order
+    * as DuckDB's list_inner_product — bit-stable across engines).
+    * Codegen'd kernel; the equivalent
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` composition interprets its
+    * lambdas per element.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dot(a, b)
 
   /** L2 norm, fenced: norms are derived once per vector but referenced per
     * candidate pair — without the fence, CollapseProject/pushdown inline
