@@ -22,7 +22,8 @@ object VectorExprs {
     * zero-shuffle signature path: sig[j] = min over features h of
     * xxhash64(h, j) (bit-identical to the
     * `array_min(transform(hashes, h => xxhash64(h, lit(j))))` composition,
-    * via the same XXH64 chain: hashLong(j, hashLong(h, 42))).
+    * via the same XXH64 chain: hashInt(j, hashLong(h, 42)) — `lit(j)` is
+    * an Int, so the composition hashes it with hashInt).
     *
     * Replaces both the interpreted HOF form (≈40× slower) and the
     * explode + k-min-aggregates form (a 500k×k-row aggregate with k buffer
@@ -46,7 +47,7 @@ object VectorExprs {
         val base = XXH64.hashLong(arr.getLong(i), 42L)
         var j = 0
         while (j < numHashes) {
-          val v = XXH64.hashLong(j.toLong, base)
+          val v = XXH64.hashInt(j, base)
           if (v < sig(j)) sig(j) = v
           j += 1
         }
@@ -72,7 +73,7 @@ object VectorExprs {
            |for (int $i = 0; $i < $n; $i++) {
            |  long $base = $xxh.hashLong($arr.getLong($i), 42L);
            |  for (int $j = 0; $j < $numHashes; $j++) {
-           |    long $v = $xxh.hashLong((long) $j, $base);
+           |    long $v = $xxh.hashInt($j, $base);
            |    if ($v < $sig[$j]) $sig[$j] = $v;
            |  }
            |}
@@ -128,9 +129,33 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Distinct shingle hashes of an already-normalized string — see
+    * [[Kernels.shingleHashes]]; both eval paths delegate to that static.
+    */
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.shingleHashes($s, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
   def minhashSignature(features: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(features), numHashes))
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def shingleHashes(normalizedText: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normalizedText), n))
 }

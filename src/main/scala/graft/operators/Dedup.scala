@@ -52,9 +52,14 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Distinct 64-bit shingle hashes (the document's feature set). */
+  /** Distinct 64-bit shingle hashes (the document's feature set).
+    * Codegen'd kernel hashing token-window byte spans in place —
+    * bit-identical to `array_distinct(transform(shingles(text, n),
+    * xxhash64))` but without materializing shingle strings or
+    * interpreting a lambda per shingle.
+    */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+    graft.functions.VectorExprs.shingleHashes(normalize(text), n)
 
   /** MinHash signature as array<long> from a (materialized) shingle-hash
     * array column — pass `col("feat")`, not the raw text expression, or
