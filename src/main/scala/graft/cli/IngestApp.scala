@@ -1,0 +1,112 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.config.GraftConfig
+import graft.pipeline.Ingest
+import graft.streaming.StreamingIngest
+
+/** Config-driven ingest entrypoint — the engine's analog of the
+  * reference's four binaries (`cmd/{filelog,syslog,kafkalog,filegrpc}`),
+  * collapsed into one: the transport is a flag, the parse/cast pipeline is
+  * the YAML config, the sink is a flag.
+  *
+  * Usage:
+  * {{{
+  * IngestApp --config cfg.yaml --mode stream --source file --input /logs \
+  *   [--archive-dir /archive] [--dead-letter /rejects] \
+  *   --sink parquet --output /warehouse/access_log \
+  *   [--checkpoint /chk] [--trigger-ms 2000] [--batch-size 5000] \
+  *   [--master local[*]]
+  * }}}
+  *
+  * Sources: `file` (S1/S2 rotating-scan parity via cleanSource/archive),
+  * `socket` (S4 dev syslog; RFC3164 envelope stripped), `kafka` (S5;
+  * `--brokers`, `--topic`). Sinks: `parquet` (K4 parity: insert_date +
+  * month partitioning), `jdbc` (K1 parity: batched, retried — `--url`,
+  * `--table`), `console` (dev). `--mode batch` reads `--input` as a static
+  * text directory and writes once — same pipeline, bounded input.
+  * `--dead-letter` persists rejected raw lines (delivers the reference's
+  * README.md:30 TODO).
+  */
+object IngestApp {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+    def need(k: String): String =
+      opts.getOrElse(k, sys.error(s"missing required flag --$k"))
+
+    val cfg = GraftConfig.fromYamlFile(need("config")).fold(sys.error, identity)
+    // reuse an embedding application's session (tests, notebooks) and leave
+    // its lifecycle alone; stop only a session this main created
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .appName("graft-ingest")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+
+    val triggerMs = opts.getOrElse("trigger-ms", "2000").toLong
+    val batchSize = opts.getOrElse("batch-size", "5000").toInt
+    val checkpoint = opts.getOrElse("checkpoint",
+      s"/tmp/graft-checkpoint-${cfg.logsTable}")
+
+    opts.getOrElse("mode", "stream") match {
+      case "batch" =>
+        val lines = spark.read.text(need("input")).toDF("value")
+        val (good, bad) = Ingest.parseWithDeadLetter(lines, cfg)
+        opts.get("dead-letter").foreach(p => bad.write.mode("append").text(p))
+        opts.getOrElse("sink", "parquet") match {
+          case "parquet" =>
+            Ingest.withInsertDate(good).write.mode("append").parquet(need("output"))
+          case "jdbc" =>
+            good.write.format("jdbc").option("url", need("url"))
+              .option("dbtable", need("table")).option("batchsize", batchSize)
+              .mode("append").save()
+          case "console" => good.show(100, truncate = false)
+          case other     => sys.error(s"unknown sink: $other")
+        }
+
+      case "stream" =>
+        val lines = opts.getOrElse("source", "file") match {
+          case "file" => StreamingIngest.fileSource(spark, need("input"),
+            archiveDir = opts.get("archive-dir"))
+          case "socket" => StreamingIngest.stripSyslogEnvelope(
+            StreamingIngest.socketSource(spark,
+              opts.getOrElse("host", "localhost"), need("port").toInt))
+          case "kafka" => StreamingIngest.kafkaSource(spark, need("brokers"), need("topic"))
+          case other   => sys.error(s"unknown source: $other")
+        }
+        val (good, bad) = Ingest.parseWithDeadLetter(lines, cfg)
+        // dead-letter stream: raw rejected lines to text files
+        opts.get("dead-letter").foreach { p =>
+          bad.writeStream.format("text").option("path", p)
+            .option("checkpointLocation", s"$checkpoint-dead")
+            .trigger(Trigger.ProcessingTime(triggerMs)).start()
+        }
+        val writer = opts.getOrElse("sink", "parquet") match {
+          case "parquet" =>
+            StreamingIngest.parquetSink(good, need("output"), checkpoint,
+              flushIntervalMs = triggerMs)
+          case "jdbc" =>
+            StreamingIngest.jdbcSink(good, need("url"), need("table"), checkpoint,
+              batchSize = batchSize, flushIntervalMs = triggerMs)
+          case "console" =>
+            good.writeStream.format("console")
+              .option("checkpointLocation", checkpoint)
+              .trigger(Trigger.ProcessingTime(triggerMs))
+          case other => sys.error(s"unknown sink: $other")
+        }
+        val query = StreamingIngest.withGracefulStop(writer.start())
+        query.awaitTermination()
+
+      case other => sys.error(s"unknown mode: $other")
+    }
+    if (!preExisting) spark.stop()
+  }
+}
