@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch plan audit (dev only): prints key physical-plan facts per query. */
+object DebugQ {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq("q01_pricing_summary", "q02_topk", "q05_region_revenue",
+      "q06_revenue_forecast", "q20_having", "q28_asof_join", "i01_ingest_e2e")
+    interesting.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      def has(s: String) = plan.contains(s)
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
+        .filterNot(_.contains("[]")).toList
+      println(s"=== $name")
+      println(s"  broadcastHash=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
+        s"bnlj=${has("BroadcastNestedLoopJoin")} cartesian=${has("CartesianProduct")}")
+      println(s"  takeOrdered=${has("TakeOrderedAndProject")} " +
+        s"wholeStage=${has("WholeStageCodegen")}")
+      pushed.take(3).foreach(p => println(s"  $p"))
+      val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+      readSchemas.take(3).foreach(r => println(s"  ${r.take(140)}"))
+    }
+    spark.stop()
+  }
+}

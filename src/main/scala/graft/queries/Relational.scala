@@ -599,5 +599,27 @@ object Relational {
              |  ON e.addr BETWEEN r.lo AND r.hi
              |GROUP BY n_name""".stripMargin),
       "GeoIP-shape range lookup (reference README.md:34 TODO, delivered): " +
-        "bucketed broadcast range join, hash-join probes instead of NLJ"))
+        "bucketed broadcast range join, hash-join probes instead of NLJ"),
+
+    "q30_typed_topk" -> Q(
+      (s, dir) => graft.operators.TypedOps.top3PricesPerCustomer(t(s, dir, "orders")),
+      Some("""SELECT o_custkey, l[1] AS p1, l[2] AS p2, l[3] AS p3 FROM (
+             |  SELECT o_custkey,
+             |    (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS l
+             |  FROM orders GROUP BY o_custkey)""".stripMargin),
+      "typed Dataset + custom Aggregator[IN,BUF,OUT]: bounded top-k buffer " +
+        "with map-side combine (vs window/row_number which shuffles all rows)"),
+
+    "q31_salted_agg" -> Q(
+      (s, dir) => graft.operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem"), key = "l_returnflag", saltFactor = 16,
+        aggs = Seq(
+          ("n", count(lit(1)), sum(col("n"))),
+          ("sum_qty", sum(col("l_quantity")), round(sum(col("sum_qty")), 2)),
+          ("max_price", max(col("l_extendedprice")), max(col("max_price"))))),
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+             | max(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "skew mitigation: two-phase salted aggregation (hot key scattered " +
+        "over 16 reducers, partials combined) — identical to direct groupBy"))
 }
