@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch plan audit (dev only): prints key physical-plan facts per query. */
-object DebugQ {
+/** Dev utility: prints key physical-plan facts (join strategy, pushed
+  * filters, read schemas, top-k) for representative catalog queries —
+  * the "explain and iterate" loop in one command.
+  */
+object PlanAudit {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
