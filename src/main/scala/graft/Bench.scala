@@ -47,17 +47,25 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc() // settle warmup garbage so the first measured query isn't taxed
 
+    // min of 2 reps = steady state: the first execution of a plan at a new
+    // data size pays JIT/codegen once (irrelevant at production scale and
+    // 2-10× the true cost on small SFs)
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      // release any cache the operator pinned (e.g. minhash shingle sets)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+        // release any cache the operator pinned (e.g. minhash shingle sets)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ > 0)) times.filter(_ > 0).min else -1.0)
     }
 
     // ingest throughput: parsed lines/s through the full i01 pipeline

@@ -100,4 +100,35 @@ object TextAnalysis {
     docs.select(col(idCol),
       md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+", " ")))
         .as("fingerprint"))
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every word k-gram in
+    * document order, slide a window of `w` consecutive hashes, keep each
+    * window's minimum, emit the distinct selected hashes as (id, fp) rows.
+    * Guarantees: any shared run of ≥ w+k-1 tokens between two documents
+    * shares a fingerprint — the local-match detector exact dedup and
+    * whole-doc MinHash both miss.
+    *
+    * Shapes: shingle extraction is posexplode (ordered positions), the
+    * hash is md5-derived (cross-engine reproducible, codegen'd on the
+    * exploded column), the window minimum is a running frame per doc —
+    * one shuffle on the doc id. Docs with fewer than w shingles yield the
+    * minimum of what exists (one partial window).
+    */
+  def winnowing(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val shingled = docs
+      .select(col(idCol).as("id"), posexplode(Dedup.shingles(col(textCol), k)))
+      .toDF("id", "pos", "shingle")
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    shingled
+      .withColumn("wmin", min(col("h")).over(win.rowsBetween(0, w - 1)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .where(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("id").as(idCol), col("wmin").as("fp"))
+      .distinct()
+  }
 }

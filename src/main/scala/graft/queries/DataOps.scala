@@ -323,6 +323,31 @@ object DataOps {
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
 
+    "t05_winnowing" -> Q(
+      (s, dir) => TextAnalysis.winnowing(tp(s, dir, "documents"), k = 3, w = 4),
+      // replicate: ordered k-gram md5-hashes, sliding-window minima over
+      // full windows (one partial window when the doc has < w shingles),
+      // distinct per doc
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN [array_to_string(toks[i:i+2], ' ')
+             |            FOR i IN generate_series(1, len(toks) - 2)]
+             |      ELSE [array_to_string(toks, ' ')] END AS gs
+             |  FROM (SELECT doc_id,
+             |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+             |        FROM documents)),
+             |h AS (
+             |  SELECT doc_id,
+             |    [CAST(CONCAT('0x', SUBSTR(md5(g), 1, 15)) AS BIGINT) FOR g IN gs] AS hs
+             |  FROM sh)
+             |SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id,
+             |    unnest([list_min(hs[p : least(p + 3, len(hs))])
+             |            FOR p IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fp
+             |  FROM h)""".stripMargin),
+      "winnowing (MOSS) fingerprints: shared runs of w+k-1 tokens always share a print"),
+
     // ---- multimodal plumbing (stub decode; deterministic → oracle) -------
     "m01_media_features" -> Q(
       (s, dir) => {

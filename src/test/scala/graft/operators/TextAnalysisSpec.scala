@@ -55,4 +55,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("winnowing: shared token run of >= w+k-1 tokens shares a fingerprint") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "PREFIX words here alpha beta gamma delta epsilon zeta other tail"),
+      (2L, "completely unrelated content with nothing in common at all"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowing(d, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // docs 0 and 1 share the 6-token run "alpha beta gamma delta epsilon
+    // zeta" (>= w+k-1 = 6) -> guaranteed shared fingerprint
+    assert((fp(0L) & fp(1L)).nonEmpty)
+    assert((fp(0L) & fp(2L)).isEmpty)
+    // deterministic across invocations
+    val fp2 = TextAnalysis.winnowing(d, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(fp2 == TextAnalysis.winnowing(d, k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet)
+  }
 }
