@@ -76,4 +76,43 @@ class LogTemplateSpec extends AnyFunSuite {
     assert(GoTimeLayout.toJava("2006-01-02") == "yyyy-MM-dd")
     assert(GoTimeLayout.toJava("2006-01-02T15:04:05Z07:00") == "yyyy-MM-dd'T'HH:mm:ssXXX")
   }
+
+  test("property: random well-formed lines round-trip render -> parse -> fields") {
+    import org.scalacheck.Gen
+    val fieldVal = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val quotedVal = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '/', '.', ':'))).map(_.mkString.trim)
+      .suchThat(s => s.nonEmpty && !s.contains("\""))
+    val fmt = "$a - $b [$t] \"$q\" $s $bytes"
+    val tpl = LogTemplate.compile(fmt)
+    val gen = for {
+      a <- fieldVal; b <- fieldVal; t <- quotedVal.suchThat(!_.contains("]"))
+      q <- quotedVal; s <- fieldVal; by <- fieldVal
+    } yield (a, b, t, q, s, by)
+    val seed = org.scalacheck.rng.Seed(42L)
+    val cases = Iterator.iterate(seed)(_.next).take(300)
+      .flatMap(sd => gen.apply(Gen.Parameters.default, sd)).toList
+    assert(cases.size >= 250) // generator health
+    cases.foreach { case (a, b, t, q, s, by) =>
+      val line = s"$a - $b [$t] \"$q\" $s $by"
+      val parsed = tpl.parse(line)
+        .getOrElse(fail(s"did not match: $line"))
+      assert(parsed("a") == a, line)
+      assert(parsed("b") == b, line)
+      assert(parsed("t") == t, line)
+      assert(parsed("q") == q, line)
+      assert(parsed("s") == s, line)
+      assert(parsed("bytes") == by, line)
+    }
+  }
+
+  test("property: random garbage never matches the anchored format") {
+    import org.scalacheck.Gen
+    val tpl = LogTemplate.compile("$a - $b [$t] \"$q\" $s $bytes")
+    val garbage = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val seed = org.scalacheck.rng.Seed(7L)
+    Iterator.iterate(seed)(_.next).take(200)
+      .flatMap(sd => garbage.apply(Gen.Parameters.default, sd))
+      .foreach(s => assert(tpl.parse(s).isEmpty, s))
+  }
 }

@@ -93,4 +93,23 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(written.columns.contains("insert_month"))
     assert(written.select("insert_month").distinct().as[String].collect().head == "202207")
   }
+
+  test("jdbc sink end-to-end against embedded Derby (K1 parity: batch insert + retry loop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftk1;create=true"
+    val stream = MemoryStream[String]
+    val parsed = StreamingIngest.parse(stream.toDF().toDF("value"), cfg)
+    val cp = java.nio.file.Files.createTempDirectory("graft_jdbc_cp").toString
+    val q = StreamingIngest.jdbcSink(parsed, url, "access_log", cp,
+      batchSize = 2, flushIntervalMs = 100).start()
+    try {
+      stream.addData(goodLine, badLine, goodLine, badCast)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "access_log").load()
+    assert(back.count() == 2) // two good lines; garbage + bad cast dropped
+    assert(back.where(col("status") === 200).count() == 2)
+    assert(back.where(col("bytes_sent") === 512L).count() == 2)
+  }
 }
