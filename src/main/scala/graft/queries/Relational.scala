@@ -621,5 +621,40 @@ object Relational {
              | max(l_extendedprice) AS max_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "skew mitigation: two-phase salted aggregation (hot key scattered " +
-        "over 16 reducers, partials combined) — identical to direct groupBy"))
+        "over 16 reducers, partials combined) — identical to direct groupBy"),
+
+    "q32_percentiles" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.9)").as("q90"))
+      },
+      // exact (sort-based) percentiles: Spark `percentile` and DuckDB
+      // `quantile_cont` share the standard linear-interpolation formula and
+      // agree bit-for-bit (checked incl. a non-representable …914999… case).
+      // Scalar columns only: array-valued outputs break the driver's
+      // pandas-based row sort (unhashable ndarray).
+      Some("""SELECT l_returnflag,
+             | quantile_cont(l_extendedprice, 0.5) AS p50,
+             | quantile_cont(l_extendedprice, 0.95) AS p95,
+             | quantile_cont(l_quantity, 0.25) AS q25,
+             | quantile_cont(l_quantity, 0.9) AS q90
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "exact percentiles (sort-based), the oracle-checked face of the quantile surface"),
+
+    "q33_approx_sketches" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          approx_count_distinct(col("l_partkey")).as("acd_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("acd_supps"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          count(lit(1)).as("n"))
+      },
+      // rows-only: HLL++ and t-digest/GK sketch internals are
+      // engine-specific; exact counterparts are oracle-checked in
+      // q15 (count distinct) and q32 (percentiles)
+      None,
+      "sketch aggregates: HyperLogLog++ distinct counts, approximate percentile"))
 }
