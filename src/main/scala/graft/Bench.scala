@@ -73,11 +73,36 @@ object Bench {
     val tIngest = results.toMap.getOrElse("i01_ingest_e2e", -1.0)
     val linesPerSec = if (tIngest > 0) nLines / tIngest else -1.0
 
+    // STREAMING ingest throughput (the reference's own regime, BASELINE.md
+    // ≥10k lines/s): materialize the synthetic log lines to text files,
+    // then drive readStream → parse → noop-ish sink and time the burst.
+    val streamLps: Double = try {
+      import org.apache.spark.sql.functions.col
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      val inDir = s"$tmp/in"; val cp = s"$tmp/cp"; val outDir = s"$tmp/out"
+      val cfg = graft.queries.DataOps.ingestConfig
+      graft.queries.DataOps.logLinesFor(spark, sfDir)
+        .write.mode("overwrite").text(inDir)
+      val lines = graft.streaming.StreamingIngest
+        .fileSource(spark, inDir, maxFilesPerTrigger = 64)
+      val parsed = graft.pipeline.Ingest.parse(lines, cfg)
+      val t0 = System.nanoTime()
+      val q = parsed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp).start()
+      q.processAllAvailable()
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val outRows = spark.read.parquet(outDir).count()
+      if (secs > 0) outRows / secs else -1.0
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream ingest FAILED: $e"); -1.0
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

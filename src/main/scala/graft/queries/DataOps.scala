@@ -33,7 +33,7 @@ object DataOps {
     * only — remote_addr:String, time_local:DateTime, status:UInt16,
     * bytes_sent:UInt32, request_time:Float32).
     */
-  private val ingestCfg = GraftConfig(
+  val ingestConfig: GraftConfig = GraftConfig(
     logFormat = "$remote_addr - $remote_user [$time_local] \"$request\" $status $bytes_sent $request_time",
     columns = Seq("remote_addr", "remote_user", "time_local", "request",
       "status", "bytes_sent", "request_time").map(c => c -> c).toMap,
@@ -48,7 +48,7 @@ object DataOps {
     * (`--parallelism` default, `cmd/filelog/main.go:49-54`) — raw lines are
     * tiny to shuffle, and every downstream stage then uses all cores.
     */
-  private def logLines(s: SparkSession, dir: String): DataFrame =
+  def logLinesFor(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").repartition(s.sparkContext.defaultParallelism).select(concat(
       col("user_id").cast("string"), lit(" - - ["),
       date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET /p/"),
@@ -92,7 +92,7 @@ object DataOps {
     // ---- ingest parity (the reference's whole pipeline, oracle-checked) --
     "i01_ingest_e2e" -> Q(
       (s, dir) => {
-        val parsed = Ingest.parse(logLines(s, dir), ingestCfg)
+        val parsed = Ingest.parse(logLinesFor(s, dir), ingestConfig)
         parsed.groupBy(col("status"))
           .agg(count(lit(1)).as("n"),
             sum(col("bytes_sent")).as("sum_bytes"),
