@@ -98,11 +98,30 @@ object Bench {
       System.err.println(s"[bench] stream ingest FAILED: $e"); -1.0
     }
 
+    // per-core parse rate (BASELINE.md "≥10k parsed lines/s/core"): the
+    // full parse+cast pipeline over one partition — wall time == one
+    // core's time; min of 2 for steady state
+    val coreLps: Double = try {
+      val lines = graft.queries.DataOps.logLinesFor(spark, sfDir)
+        .coalesce(1).cache()
+      val n = lines.count()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.pipeline.Ingest.parse(lines, graft.queries.DataOps.ingestConfig)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      lines.unpersist()
+      n / times.min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-core parse FAILED: $e"); -1.0
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
