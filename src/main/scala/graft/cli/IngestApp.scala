@@ -50,6 +50,8 @@ object IngestApp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
+    // expose parse_log_line/dot_product/... to spark.sql on this session
+    graft.plans.GraftExtensions.install(spark)
 
     val triggerMs = opts.getOrElse("trigger-ms", "2000").toLong
     val batchSize = opts.getOrElse("batch-size", "5000").toInt

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
+
+/** SparkSessionExtensions hook exposing the engine's custom expressions to
+  * the SQL frontend, so `spark.sql` users get the same kernels as the
+  * Column API:
+  *
+  * {{{
+  * spark.builder.withExtensions(new GraftExtensions)   // or
+  * --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * SELECT parse_log_line(value, '^(\\S+) (\\S+)$')[0]            -- groups
+  * SELECT dot_product(a.embedding, b.embedding)                  -- cosine parts
+  * SELECT minhash_signature(shingle_hashes(lower(text), 3), 64)  -- sketches
+  * SELECT fence(expensive_expr)                                  -- pin a projection
+  * }}}
+  *
+  * No custom analyzer/optimizer rules are registered — the engine needs
+  * none (SURVEY §4.1): the expressions carry their own codegen, and plan
+  * shaping is done with the fence expression at the query layer.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v, org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
+  private def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("parse_log_line"),
+      info("parse_log_line", "parse_log_line(line, regex) - all capture groups as array<string>, NULL on mismatch"),
+      (args: Seq[Expression]) => ParseLogLine(args(0), strLit(args(1), "parse_log_line"))),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - sequential-order double dot product"),
+      (args: Seq[Expression]) => VectorExprs.DotProduct(args(0), args(1))),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(hashes, k) - k-slot MinHash signature"),
+      (args: Seq[Expression]) =>
+        VectorExprs.MinHashSignature(args(0), intLit(args(1), "minhash_signature"))),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(normalized_text, n) - distinct word n-gram hashes"),
+      (args: Seq[Expression]) =>
+        VectorExprs.ShingleHashes(args(0), intLit(args(1), "shingle_hashes"))),
+    (FunctionIdentifier("fence"),
+      info("fence", "fence(expr) - identity marked non-deterministic: pins the enclosing projection"),
+      (args: Seq[Expression]) => OptimizerFence(args(0))))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** Runtime installation into an already-built session (extensions via
+    * the builder only apply at session construction).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    new GraftExtensions().functions.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, id, inf, builder)
+    }
+}

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-frontend access to the custom expressions, installed at runtime
+  * into the shared test session (builder-time extensions only bind when
+  * the session is first built, which the suite order doesn't guarantee).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = graft.TestSpark.spark
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("parse_log_line from SQL") {
+    val r = spark.sql(
+      """SELECT parse_log_line('10.0.0.1 GET 200', '^(\\S+) (\\S+) (\\S+)$') AS g""")
+      .selectExpr("g[0]", "g[1]", "g[2]").collect().head
+    assert(r.getString(0) == "10.0.0.1" && r.getString(1) == "GET" && r.getString(2) == "200")
+    val miss = spark.sql(
+      """SELECT parse_log_line('no match here at all', '^(\\d+)$') AS g""").collect().head
+    assert(miss.isNullAt(0))
+  }
+
+  test("dot_product, shingle_hashes, minhash_signature, fence from SQL") {
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
+    assert(d.getDouble(0) == 11.0)
+    val sig = spark.sql(
+      "SELECT minhash_signature(shingle_hashes('a b c d', 3), 8) AS s")
+      .selectExpr("size(s)").collect().head
+    assert(sig.getInt(0) == 8)
+    val f = spark.sql("SELECT fence(1 + 1) AS v").collect().head
+    assert(f.getInt(0) == 2)
+  }
+}
