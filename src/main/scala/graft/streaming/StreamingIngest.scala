@@ -52,10 +52,19 @@ object StreamingIngest {
       .selectExpr("CAST(value AS STRING) AS value")
 
   /** S4 (dev): socket source standing in for the syslog listener; prod is
-    * an rsyslog→Kafka sidecar (SURVEY §2.1 S4 recommendation).
+    * an rsyslog→Kafka sidecar (SURVEY §2.1 S4 recommendation) or the
+    * native [[syslogTcpSource]].
     */
   def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** S4 (native): the engine's own syslog-over-TCP DataSource V2
+    * ([[graft.sources.SyslogTcpSourceProvider]]) — direct transport parity
+    * with the reference's TCP listener, same at-most-once contract.
+    */
+  def syslogTcpSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("syslog-tcp")
       .option("host", host).option("port", port).load()
 
   /** RFC3164 envelope strip → content, the syslog handler's extraction

@@ -112,4 +112,47 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(back.where(col("status") === 200).count() == 2)
     assert(back.where(col("bytes_sent") === 512L).count() == 2)
   }
+
+  test("native syslog-tcp DSv2 source end-to-end (S4 transport parity)") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val sent = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("<34>Oct 11 22:14:15 myhost nginx: " + goodLine)
+      out.println("<34>Oct 11 22:14:16 myhost nginx: " + badLine)
+      out.println("<34>Oct 11 22:14:17 myhost nginx: " + goodLine)
+      out.flush()
+      sent.countDown()
+      Thread.sleep(30000)
+      sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+
+    val lines = StreamingIngest.syslogTcpSource(spark, "localhost", port)
+    val parsed = StreamingIngest.parse(StreamingIngest.stripSyslogEnvelope(lines), cfg)
+    val q = parsed.writeStream.format("memory")
+      .queryName("syslog_tcp_test").outputMode("append").start()
+    try {
+      sent.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      // lines flow through the driver-side listener buffer; poll until the
+      // two good rows land (bounded)
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("syslog_tcp_test").count()
+        if (n < 2) Thread.sleep(200)
+      }
+      assert(n == 2)
+      val r = spark.table("syslog_tcp_test").collect().head
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[Long]("bytes_sent") == 512L)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
 }
