@@ -656,5 +656,20 @@ object Relational {
       // engine-specific; exact counterparts are oracle-checked in
       // q15 (count distinct) and q32 (percentiles)
       None,
-      "sketch aggregates: HyperLogLog++ distinct counts, approximate percentile"))
+      "sketch aggregates: HyperLogLog++ distinct counts, approximate percentile"),
+
+    "q34_zorder" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_partkey"),
+            graft.operators.Layout.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))
+      },
+      Some("""SELECT l_orderkey, l_partkey,
+             |  CAST(list_sum([ ((l_partkey >> i) & 1) * (1::BIGINT << (2*i))
+             |                + ((l_suppkey >> i) & 1) * (2::BIGINT << (2*i))
+             |                  FOR i IN generate_series(0, 30)]) AS BIGINT) AS zval
+             |FROM lineitem WHERE l_orderkey < 1000""".stripMargin),
+      "Z-order (Morton) clustering key for multi-dimensional row-group " +
+        "pruning — Layout.zorderBy clusters writes by it"))
 }

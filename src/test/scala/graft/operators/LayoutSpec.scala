@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zvalue interleaves bits (Morton order)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L),
+      (3L, 3L), (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL))
+      .toDF("a", "b")
+    val z = df.select(Layout.zvalue(col("a"), col("b")).as("z")).as[Long].collect()
+    // a bits at even positions, b bits at odd
+    assert(z(0) == 0L && z(1) == 1L && z(2) == 2L && z(3) == 3L)
+    assert(z(4) == 4L && z(5) == 8L)
+    assert(z(6) == 15L)
+    assert(z(7) == 0x1555555555555555L) // low 31 bits of a → even positions
+    assert(z(8) == 0x2AAAAAAAAAAAAAAAL) // low 31 bits of b → odd positions
+  }
+
+  test("zorderBy clusters both dimensions into tight per-partition envelopes") {
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val clustered = Layout.zorderBy(grid, "x", "y", partitions = 16)
+    // per output partition, measure the bounding box of (x, y); z-order
+    // keeps both side lengths ~sqrt(cells) instead of one dimension
+    // spanning the full domain (what a 1-D sort on x would do to y)
+    val spans = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .as[(Int, Long, Long)].collect()
+    assert(spans.length == 16)
+    // 4096 cells / 16 partitions = 256 cells each; a z-curve tile has
+    // bounding sides ≤ 32 (vs 63 for a full-width slab)
+    assert(spans.forall { case (_, dx, dy) => dx <= 32 && dy <= 32 },
+      spans.mkString(", "))
+  }
+}
