@@ -271,6 +271,48 @@ object Dedup {
       .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
   }
 
+  /** Transitive duplicate clusters: connected components over a near-dup
+    * pair list (a, b) — the step that turns pairwise similarity into
+    * dedup groups (A≈B, B≈C ⇒ {A,B,C} keep one representative).
+    *
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * minimum label among itself and its neighbors until a fixpoint. Each
+    * iteration is one join + one aggregate (labels and edges hash-partition
+    * on the node key); iterations needed = component diameter, which for
+    * near-dup clusters is tiny. The per-iteration driver action is a
+    * single scalar convergence count — the standard Pregel-style loop.
+    *
+    * Output: (node, cluster) with cluster = min node id in the component.
+    * Nodes outside every pair are singletons by definition and are not
+    * emitted (callers union them back if needed).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
     * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
     * `Similarity.lshCosinePairs`.

@@ -197,6 +197,36 @@ object DataOps {
              |       / len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.5""".stripMargin),
       "exact n-gram Jaccard within a blocking key"),
 
+    "d07_dup_clusters" -> Q(
+      (s, dir) => Dedup.duplicateClusters(
+        Dedup.minhashNearDups(docsWithNearDups(s, dir),
+          shingleSize = 3, numHashes = 96, rowsPerBand = 4, threshold = 0.8)
+          .select("a", "b")),
+      // connected components in SQL: transitive closure over the
+      // bidirected d03 pair list (recursive CTE), label = min reachable id
+      Some(s"""WITH RECURSIVE d2 AS ($DupCorpusSql),
+             |f AS (
+             |  SELECT doc_id, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM d2)),
+             |pairs AS (
+             |  SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM f a JOIN f b
+             |    ON a.doc_id < b.doc_id
+             |   AND 5 * len(a.sh) >= 4 * len(b.sh)
+             |   AND 5 * len(b.sh) >= 4 * len(a.sh)
+             |  WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |         / len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.8),
+             |edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS node, least(src, min(dst)) AS cluster
+             |FROM reach GROUP BY src""".stripMargin),
+      "transitive dup clusters: connected components (min-label propagation) over near-dup pairs"),
+
     "d06_embedding_neardups" -> Q(
       (s, dir) => Dedup.embeddingNearDups(tp(s, dir, "embeddings"), threshold = 0.45),
       Some("""SELECT a.vec_id AS ia, b.vec_id AS ib

@@ -80,4 +80,17 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("duplicate clusters: transitive components with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val cc = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // chain of length 6: exercises multiple propagation iterations
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 12L)).toDF("a", "b")
+    val cc2 = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert(cc2.values.toSet == Set(5L) && cc2.size == 6)
+  }
 }
