@@ -155,4 +155,46 @@ object StreamingIngest {
     }
     query
   }
+
+  /** S2 parity — backup retention (`pkg/fileio/io.go:16-73`): keep at most
+    * `maxFiles` newest files in the archive dir and none older than
+    * `maxAgeMs`. Run after each batch or on a timer; the file source's
+    * `cleanSource=archive` moves consumed inputs here, this prunes them.
+    * Returns the number of files deleted.
+    */
+  def pruneArchive(archiveDir: String, maxFiles: Int, maxAgeMs: Long): Int = {
+    val root = new java.io.File(archiveDir)
+    if (!root.exists()) return 0
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val files = walk(root).sortBy(-_.lastModified()) // newest first
+    val now = System.currentTimeMillis()
+    val doomed = files.zipWithIndex.collect {
+      case (f, i) if i >= maxFiles || now - f.lastModified() > maxAgeMs => f
+    }
+    doomed.count(_.delete())
+  }
+
+  /** Liveness endpoint parity (`cmd/filelog/main.go:221-241`, the fiber
+    * `/live` route): a JDK-builtin HTTP server answering 200 while the
+    * query is active, 503 after it stops/fails. Returns the server for
+    * shutdown.
+    */
+  def serveLiveness(query: StreamingQuery, port: Int): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/live", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val (code, body) =
+        if (query.isActive) (200, """{"status":"live"}""")
+        else (503, """{"status":"stopped"}""")
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(code, bytes.length)
+      val os = exchange.getResponseBody
+      os.write(bytes); os.close()
+    })
+    server.start()
+    server
+  }
 }

@@ -155,4 +155,37 @@ class StreamingIngestSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("archive retention prunes by count and age (S2 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_archive").toString
+    (1 to 6).foreach { i =>
+      val f = java.nio.file.Paths.get(s"$dir/log-$i.txt")
+      java.nio.file.Files.writeString(f, s"line $i")
+      f.toFile.setLastModified(System.currentTimeMillis() - i * 60000L)
+    }
+    // keep 3 newest AND nothing older than 4.5 minutes
+    val deleted = StreamingIngest.pruneArchive(dir, maxFiles = 3, maxAgeMs = 270000L)
+    val left = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(deleted == 3)
+    assert(left == Seq("log-1.txt", "log-2.txt", "log-3.txt"))
+  }
+
+  test("liveness endpoint: 200 while active, 503 after stop") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("live_test").outputMode("append").start()
+    val server = StreamingIngest.serveLiveness(q, 0)
+    val port = server.getAddress.getPort
+    def probe(): Int = {
+      val conn = new java.net.URL(s"http://localhost:$port/live")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try conn.getResponseCode finally conn.disconnect()
+    }
+    try {
+      assert(probe() == 200)
+      q.stop()
+      assert(probe() == 503)
+    } finally server.stop(0)
+  }
 }
