@@ -5,6 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
+  * Literature: MinHash resemblance — Broder, "On the resemblance and
+  * containment of documents" (SEQUENCES 1997); banded LSH — Leskovec,
+  * Rajaraman, Ullman, "Mining of Massive Datasets" ch. 3; SimHash —
+  * Charikar, "Similarity estimation techniques from rounding algorithms"
+  * (STOC 2002) as applied by Manku, Jain, Sarma, "Detecting
+  * near-duplicates for web crawling" (WWW 2007).
+  *
   * Scale design notes (the 100 TB story, per the build brief):
   *   - exact dedup = one hash-partitioned groupBy on a 128-bit content
   *     hash — the only shuffle moves (hash, id) pairs, never document text;

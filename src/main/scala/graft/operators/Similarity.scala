@@ -7,6 +7,11 @@ import graft.functions.OptimizerFence
 
 /** Similarity search over an embedding column (`array<float>`).
   *
+  * Literature: random-hyperplane signatures — Charikar (STOC 2002);
+  * inverted-file (IVF) coarse quantization — Sivic & Zisserman "Video
+  * Google" (ICCV 2003) / Jégou et al., "Product quantization for nearest
+  * neighbor search" (TPAMI 2011, the IVF stage without PQ refinement).
+  *
   * Two tiers, per the build brief:
   *   - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
   *     The query set is broadcast; the corpus streams through one scan, and

@@ -101,7 +101,9 @@ object TextAnalysis {
       md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+", " ")))
         .as("fingerprint"))
 
-  /** Winnowing fingerprints (the MOSS scheme): hash every word k-gram in
+  /** Winnowing fingerprints — Schleimer, Wilkerson, Aiken, "Winnowing:
+    * local algorithms for document fingerprinting" (SIGMOD 2003), the MOSS
+    * scheme: hash every word k-gram in
     * document order, slide a window of `w` consecutive hashes, keep each
     * window's minimum, emit the distinct selected hashes as (id, fp) rows.
     * Guarantees: any shared run of ≥ w+k-1 tokens between two documents

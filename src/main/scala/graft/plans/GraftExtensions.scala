@@ -27,7 +27,8 @@ import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def strLit(e: Expression, fn: String): String = e match {
     case Literal(s, org.apache.spark.sql.types.StringType) => s.toString
