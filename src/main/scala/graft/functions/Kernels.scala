@@ -1,7 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,7 +21,7 @@ object Kernels {
     * Fewer than n tokens → one whole-text shingle (matching
     * `Dedup.shingles`' fallback).
     */
-  def shingleHashes(s: UTF8String, n: Int): GenericArrayData = {
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes
@@ -34,7 +34,8 @@ object Kernels {
       i += 1
     }
     if (tokCount < n) {
-      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
     }
     val starts = new Array[Int](tokCount)
     var t = 1
@@ -55,6 +56,73 @@ object Kernels {
       if (seen.add(h)) { out(m) = h; m += 1 }
       i += 1
     }
-    new GenericArrayData(if (m == nShingles) out else java.util.Arrays.copyOf(out, m))
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == nShingles) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** [[shingleHashes]] sorted ascending — the set-similarity-join form
+    * (prefix filtering needs one global total order over all hashes; value
+    * order is as good as any). Distinctness falls out of sort + adjacent
+    * dedupe, so this path allocates no hash set and no boxed longs.
+    */
+  def sortedShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var tokCount = 1
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == ' ') tokCount += 1
+      i += 1
+    }
+    if (tokCount < n) {
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
+    }
+    val starts = new Array[Int](tokCount)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val nShingles = tokCount - n + 1
+    val out = new Array[Long](nShingles)
+    i = 0
+    while (i < nShingles) {
+      val start = starts(i)
+      val end = if (i + n < tokCount) starts(i + n) - 1 else len
+      out(i) = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < nShingles) { // dedupe sorted run in place
+      if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == nShingles) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** |A ∩ B| for two ascending-sorted distinct long arrays: one linear
+    * two-pointer merge, zero allocation. The verify step of every
+    * set-similarity join (candidate Jaccard = inter / (|A|+|B|-inter)).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 }

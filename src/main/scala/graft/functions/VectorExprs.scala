@@ -4,9 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Codegen'd vector/sketch kernels.
   *
@@ -53,12 +53,13 @@ object VectorExprs {
         }
         i += 1
       }
-      new GenericArrayData(sig)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val xxh = classOf[XXH64].getName
-      val arrayData = classOf[GenericArrayData].getName
+      val unsafeArray =
+        classOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData].getName
       nullSafeCodeGen(ctx, ev, arr => {
         val sig = ctx.freshName("sig")
         val i = ctx.freshName("i")
@@ -77,7 +78,7 @@ object VectorExprs {
            |    if ($v < $sig[$j]) $sig[$j] = $v;
            |  }
            |}
-           |${ev.value} = new $arrayData($sig);
+           |${ev.value} = $unsafeArray.fromPrimitiveArray($sig);
          """.stripMargin
       })
     }
@@ -150,6 +151,53 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** [[ShingleHashes]] sorted ascending (one global total order over the
+    * hash universe) — the input side of prefix-filtered set-similarity
+    * joins and of [[SortedIntersectCount]]. See [[Kernels.sortedShingleHashes]].
+    */
+  case class SortedShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "sorted_shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.sortedShingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.sortedShingleHashes($s, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): SortedShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** |A ∩ B| of two ascending-sorted distinct `array<long>` columns via a
+    * zero-allocation two-pointer merge — replaces the
+    * `size(array_intersect(a, b))` verify step (which builds a hash set per
+    * row pair) in the set-similarity joins. Results are equal for sorted
+    * distinct inputs; a spec pins that. See [[Kernels.sortedIntersectCount]].
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Kernels.sortedIntersectCount($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   def minhashSignature(features: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(features), numHashes))
 
@@ -158,4 +206,10 @@ object VectorExprs {
 
   def shingleHashes(normalizedText: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normalizedText), n))
+
+  def sortedShingleHashes(normalizedText: Column, n: Int): Column =
+    ColumnBridge.column(SortedShingleHashes(ColumnBridge.expression(normalizedText), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

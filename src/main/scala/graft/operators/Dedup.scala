@@ -68,6 +68,12 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     graft.functions.VectorExprs.shingleHashes(normalize(text), n)
 
+  /** [[shingleHashes]] sorted ascending — same set, one global order, so
+    * prefix filtering and merge-count intersection apply downstream.
+    */
+  def sortedShingleHashes(text: Column, n: Int): Column =
+    graft.functions.VectorExprs.sortedShingleHashes(normalize(text), n)
+
   /** MinHash signature as array<long> from a (materialized) shingle-hash
     * array column — pass `col("feat")`, not the raw text expression, or
     * the plan recomputes the shingle hashes once per permutation.
@@ -108,9 +114,13 @@ object Dedup {
     feats.select(col("id"),
       graft.functions.VectorExprs.minhashSignature(col("feat"), numHashes).as("sig"))
 
-  /** (id, feat) projection shared by signature building and verification. */
+  /** (id, feat) projection shared by signature building and verification.
+    * feat is SORTED ascending: MinHash is order-invariant (min over the
+    * set), and the exact-Jaccard verify can then run as a zero-allocation
+    * merge count instead of a per-pair hash-set intersection.
+    */
   private def featTable(docs: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("feat"))
+    docs.select(col(idCol).as("id"), sortedShingleHashes(col(textCol), shingleSize).as("feat"))
 
   /** LSH candidate pairs (a < b) from banding the signature: bands of
     * `rowsPerBand` signature slots, bucket key = xxhash64 of the slice.
@@ -123,14 +133,23 @@ object Dedup {
     lshCandidatesFromFeats(featTable(docs, textCol, idCol, shingleSize),
       numHashes, rowsPerBand)
 
-  private def lshCandidatesFromFeats(
-      feats: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** LSH band table (id, band, bucket) from a (id, feat) table: signature
+    * → `numHashes/rowsPerBand` band hashes per row. The shared banding of
+    * the self-join ([[minhashNearDups]]) and cross-corpus
+    * ([[crossCorpusSurvivors]]) paths — both sides of any candidate join
+    * must come from THIS function for buckets to be comparable.
+    */
+  def bandTable(feats: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(feats, numHashes)
-    val banded = sig.select(col("id"), posexplode(
+    minhashSignatures(feats, numHashes).select(col("id"), posexplode(
       transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bucket")
+  }
+
+  private def lshCandidatesFromFeats(
+      feats: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandTable(feats, numHashes, rowsPerBand)
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
     l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
@@ -154,9 +173,12 @@ object Dedup {
     val cands = lshCandidatesFromFeats(feats, numHashes, rowsPerBand)
     val af = feats.select(col("id").as("a"), col("feat").as("fa"))
     val bf = feats.select(col("id").as("b"), col("feat").as("fb"))
+    // feat arrays are sorted distinct: |A∪B| = |A|+|B|−|A∩B| and the
+    // intersection is a merge count (no per-pair hash set)
     cands.join(af, "a").join(bf, "b")
-      .withColumn("inter", size(array_intersect(col("fa"), col("fb"))))
-      .withColumn("uni", size(array_union(col("fa"), col("fb"))))
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectCount(col("fa"), col("fb")))
+      .withColumn("uni", size(col("fa")) + size(col("fb")) - col("inter"))
       .where(col("uni") > 0)
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .where(col("jaccard") >= threshold)
@@ -167,35 +189,49 @@ object Dedup {
     * (e.g. `source`): the non-probabilistic sibling of minhashNearDups for
     * when a natural blocking column bounds the quadratic.
     *
-    * Shape: inverted-index join, not pairwise array intersection — explode
-    * each doc's shingle-hash set to (blk, h, id) postings, self-join on
-    * (blk, h), and count shared shingles per pair; |A∪B| = |A|+|B|−|A∩B|.
-    * Work is Σ_h C(df_h, 2) (df = per-block shingle frequency) instead of
-    * C(n,2) array intersections per block — the difference between 23 s
-    * and ~4 s at sf0.1, and the only shape that survives 100 TB (nothing
-    * but (hash, id) pairs ever shuffles; requires threshold > 0 since
-    * zero-overlap pairs never meet, which is exactly what we want).
+    * Shape: prefix-filtered set-similarity join (AllPairs — Bayardo,
+    * Ma, Srikant, "Scaling up all pairs similarity search", WWW 2007;
+    * PPJoin — Xiao, Wang, Lin, Yu, "Efficient similarity joins for
+    * near-duplicate detection", WWW 2008). With shingle-hash sets sorted
+    * by one global order, any pair with J ≥ t shares at least one element
+    * among the first |x| − ⌈t·|x|⌉ + 1 of each set, so only those PREFIX
+    * hashes are exploded into the candidate join — ~(1−t) of the postings
+    * a full inverted index would shuffle, and popular shingles outside
+    * prefixes generate no candidate pairs at all. A length filter
+    * (t·|B| ≤ |A|, necessary since |A∩B| ≤ min ∧ |A∪B| ≥ max) prunes the
+    * rest, and survivors are verified with an exact zero-allocation merge
+    * count over the full sorted sets. Only (hash, id, size) triples and
+    * candidate id pairs ever shuffle — the 100 TB shape.
+    *
+    * Boundary arithmetic uses an ε-slack (`- 1e-9`) on the ceil/length
+    * comparisons so FP rounding can only lengthen a prefix or admit an
+    * extra candidate — never drop a qualifying pair; the exact verify
+    * decides every boundary case.
     */
   def ngramJaccardPairs(
       docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
-    require(threshold > 0, "inverted-index Jaccard requires threshold > 0")
+    require(threshold > 0, "prefix-filtered Jaccard requires threshold > 0")
     val feats = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("feat"))
-    // postings persisted: the (interpreted-HOF) shingle pass is the
-    // dominant cost and feeds both join sides; set sizes come from the
-    // postings too (feat is already distinct), not a second array pass
-    val inv = feats.select(col("blk"), col("id"), explode(col("feat")).as("h"))
+      sortedShingleHashes(col(textCol), shingleSize).as("feat"))
+      .withColumn("sz", size(col("feat")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val shared = inv.select(col("blk"), col("h"), col("id").as("a"))
-      .join(inv.select(col("blk"), col("h"), col("id").as("b")), Seq("blk", "h"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    shared
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+    val prefLen = (col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val pref = feats.select(col("blk"), col("id"), col("sz"),
+      explode(slice(col("feat"), lit(1), prefLen)).as("h"))
+    val cand = pref.select(col("blk"), col("h"), col("id").as("a"), col("sz").as("sza"))
+      .join(pref.select(col("blk"), col("h"), col("id").as("b"), col("sz").as("szb")),
+        Seq("blk", "h"))
+      .where(col("a") < col("b") &&
+        col("sza") >= lit(threshold) * col("szb") - lit(1e-9) &&
+        col("szb") >= lit(threshold) * col("sza") - lit(1e-9))
+      .select("a", "b").distinct()
+    val fa = feats.select(col("id").as("a"), col("feat").as("fa"), col("sz").as("sza"))
+    val fb = feats.select(col("id").as("b"), col("feat").as("fb"), col("sz").as("szb"))
+    cand.join(fa, "a").join(fb, "b")
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectCount(col("fa"), col("fb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -276,6 +312,46 @@ object Dedup {
       .withColumn("dist", hamming64(col("fpa"), col("fpb")))
       .where(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Incremental (cross-corpus) near-dedup: keep the rows of `newDocs`
+    * that have NO near-duplicate (Jaccard ≥ threshold) in `corpus` — the
+    * shape of every continuously-growing training corpus, where each new
+    * crawl batch is deduped against everything already kept, not against
+    * itself.
+    *
+    * Same MinHash banding as [[minhashNearDups]], but the candidate join is
+    * newDocs-bands ⋈ corpus-bands (never corpus ⋈ corpus): at 100 TB the
+    * corpus band table is computed once, stored bucketed on
+    * (band, bucket), and each incoming batch — orders of magnitude smaller
+    * — joins against it; candidates verify with the exact merge-count
+    * Jaccard, and survivors come from a left-anti join on the new ids.
+    */
+  def crossCorpusSurvivors(
+      newDocs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numHashes: Int = 96, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val newFeats = featTable(newDocs, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpFeats = featTable(corpus, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandTable(newFeats, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id").as("nid"))
+      .join(bandTable(corpFeats, numHashes, rowsPerBand)
+        .select(col("band"), col("bucket"), col("id").as("cid")),
+        Seq("band", "bucket"))
+      .select("nid", "cid").distinct()
+    val dupNew = cand
+      .join(newFeats.select(col("id").as("nid"), col("feat").as("fn")), "nid")
+      .join(corpFeats.select(col("id").as("cid"), col("feat").as("fc")), "cid")
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectCount(col("fn"), col("fc")))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("fn")) + size(col("fc")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("nid").as(idCol)).distinct()
+    newDocs.join(dupNew, Seq(idCol), "left_anti")
   }
 
   /** Transitive duplicate clusters: connected components over a near-dup

@@ -101,6 +101,67 @@ object TextAnalysis {
       md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+", " ")))
         .as("fingerprint"))
 
+  /** Repetition signals per document — the Gopher-style repetitiousness
+    * filters (Rae et al., "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", 2021, App. A1.1): how much of the
+    * document is its own most frequent unigram / 2-gram / 3-gram, and how
+    * diverse the vocabulary is. High top-n-gram fractions flag boilerplate
+    * and degenerate repetition; fractions are occurrence-based and emitted
+    * as integer basis points.
+    *
+    * Shape: one explode + two-level aggregate per n (partial counts
+    * map-side combine, so each shuffle carries at most one (doc, gram)
+    * row per map partition), joined back on the doc id — scale-safe.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def topCount(n: Int, alias: String): DataFrame =
+      docs.select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id")).agg(max(col("c")).as(alias))
+    val toks = split(Dedup.normalize(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("id"),
+      size(toks).as("n_toks"),
+      size(array_distinct(toks)).as("n_distinct"))
+    base
+      .join(topCount(1, "top1"), "id")
+      .join(topCount(2, "top2"), "id")
+      .join(topCount(3, "top3"), "id")
+      .select(col("id").as(idCol),
+        col("n_toks"),
+        bp(col("top1"), col("n_toks")).as("top1_bp"),
+        bp(col("top2"), greatest(col("n_toks") - 1, lit(1))).as("top2_bp"),
+        bp(col("top3"), greatest(col("n_toks") - 2, lit(1))).as("top3_bp"),
+        bp(col("n_distinct"), col("n_toks")).as("distinct_bp"))
+  }
+
+  /** PII patterns for [[piiRedact]]: plain-ASCII regexes valid (and
+    * identical in semantics) under both java.util.regex and RE2-family
+    * engines — no lookarounds, no backrefs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{2,3}-\\d{3,4}-\\d{4}\\b"
+
+  /** PII scrubbing: count then redact emails, phone numbers, and IPv4
+    * addresses to typed placeholders. Map-only column expressions (three
+    * regex passes per row, codegen'd) — redaction order is
+    * email → phone → ip so a placeholder never partially re-matches a
+    * later pattern. Counts are measured on the ORIGINAL text.
+    */
+  def piiRedact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("int").as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).cast("int").as("n_phones"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("int").as("n_ips"),
+      redacted.as("redacted"))
+  }
+
   /** Winnowing fingerprints — Schleimer, Wilkerson, Aiken, "Winnowing:
     * local algorithms for document fingerprinting" (SIGMOD 2003), the MOSS
     * scheme: hash every word k-gram in

@@ -39,6 +39,28 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(hof.toSeq == kernel.toSeq)
   }
 
+  test("SortedShingleHashes kernel == array_sort(ShingleHashes)") {
+    val viaSort = docs.select(
+      array_sort(Dedup.shingleHashes(col("text"), 3)).as("h"))
+      .as[Seq[Long]].collect()
+    val kernel = docs.select(Dedup.sortedShingleHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect()
+    assert(viaSort.toSeq == kernel.toSeq)
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val pairs = docs.as("l").crossJoin(docs.as("r"))
+      .select(Dedup.sortedShingleHashes(col("l.text"), 3).as("fa"),
+        Dedup.sortedShingleHashes(col("r.text"), 3).as("fb"))
+    val viaIntersect = pairs.select(
+      size(array_intersect(col("fa"), col("fb"))).as("c")).as[Int].collect()
+    val kernel = pairs.select(
+      VectorExprs.sortedIntersectCount(col("fa"), col("fb")).as("c")).as[Int].collect()
+    assert(viaIntersect.toSeq == kernel.toSeq)
+    // and at least one pair intersects non-trivially (the self pairs)
+    assert(kernel.exists(_ > 1))
+  }
+
   test("DotProduct kernel == aggregate(zip_with(...)) fold, same order") {
     val vecs = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
