@@ -106,6 +106,98 @@ object Kernels {
       if (m == nShingles) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** One-pass text-quality counters — the eval of
+    * [[TextExprs.TextQualityStats]]; see its scaladoc for the exact
+    * semantics mirrored (`length`/`[A-Za-z]`/`[0-9]`/`\s`/`split(trim(…))`
+    * and ASCII stopword hits). Single walk over the UTF-8 bytes, zero
+    * intermediate allocation.
+    */
+  def textQualityStats(
+      s: UTF8String,
+      stopwords: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var nChars = 0
+    var nAlpha = 0
+    var nDigit = 0
+    var nSpace = 0
+    var i = 0
+    while (i < len) {
+      val b = Platform.getByte(base, off + i)
+      if ((b & 0xC0) != 0x80) nChars += 1 // not a UTF-8 continuation byte
+      if (isJavaRegexWs(b)) nSpace += 1
+      else if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) nAlpha += 1
+      else if (b >= '0' && b <= '9') nDigit += 1
+      i += 1
+    }
+    // tokens of split(trim(text), "\s+"): trim strips ONLY ' ' (Spark
+    // trim); Spark's split is Pattern.split(s, -1), which keeps BOTH
+    // leading and trailing empty fields, so the field count is simply
+    // (maximal \s+ runs in the trimmed text) + 1 — empty input included
+    // ("" has 0 runs → one empty token). Empty fields never match a
+    // stopword, so only real (non-ws) token spans are compared.
+    var start = 0
+    while (start < len && Platform.getByte(base, off + start) == ' ') start += 1
+    var end = len - 1
+    while (end >= start && Platform.getByte(base, off + end) == ' ') end -= 1
+    var nToks = 1
+    var stopHits = 0
+    var inWs = false
+    var tokStart = -1
+    i = start
+    while (i <= end) {
+      val ws = isJavaRegexWs(Platform.getByte(base, off + i))
+      if (ws) {
+        if (!inWs) nToks += 1
+        if (tokStart >= 0) {
+          if (isStopToken(base, off, tokStart, i - tokStart, stopwords)) stopHits += 1
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
+      inWs = ws
+      i += 1
+    }
+    if (tokStart >= 0 &&
+        isStopToken(base, off, tokStart, end + 1 - tokStart, stopwords)) stopHits += 1
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(6)
+    row.setInt(0, nChars)
+    row.setInt(1, nAlpha)
+    row.setInt(2, nDigit)
+    row.setInt(3, nSpace)
+    row.setInt(4, nToks)
+    row.setInt(5, stopHits)
+    row
+  }
+
+  /** java.util.regex `\s` = `[ \t\n\x0B\f\r]` (ASCII-only by default). */
+  @inline private def isJavaRegexWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** ASCII-lowercased byte-equality of a token span against the stopword
+    * list (list is lowercase ASCII by construction).
+    */
+  private def isStopToken(base: AnyRef, off: Long, tokStart: Int, tokLen: Int,
+      stopwords: Array[Array[Byte]]): Boolean = {
+    var w = 0
+    while (w < stopwords.length) {
+      val sw = stopwords(w)
+      if (sw.length == tokLen) {
+        var j = 0
+        var ok = true
+        while (ok && j < tokLen) {
+          var b = Platform.getByte(base, off + tokStart + j)
+          if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+          if (b != sw(j)) ok = false
+          j += 1
+        }
+        if (ok) return true
+      }
+      w += 1
+    }
+    false
+  }
+
   /** |A ∩ B| for two ascending-sorted distinct long arrays: one linear
     * two-pointer merge, zero allocation. The verify step of every
     * set-similarity join (candidate Jaccard = inter / (|A|+|B|-inter)).

@@ -36,8 +36,43 @@ object TextAnalysis {
   /** Quality signals per document: length, alpha/digit/punct/space ratios,
     * stopword ratio, mean token length — the standard cheap filters for
     * web-scale corpora (C4-style heuristics).
+    *
+    * All six counters come from ONE pass over the UTF-8 bytes
+    * ([[graft.functions.TextExprs.TextQualityStats]], codegen'd,
+    * zero-allocation) — the composed regex form costs 4 allocating regex
+    * passes + an interpreted stopword lambda and is kept in the spec as
+    * the bit-identity reference ([[qualityScoreComposed]]). The stats
+    * struct is fenced so CollapseProject can't re-evaluate the pass once
+    * per derived column.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val stats = graft.functions.OptimizerFence(
+      graft.functions.TextExprs.textQualityStats(col(textCol), EnStopwords))
+    val s = col("__stats")
+    val nChars = s.getField("n_chars")
+    val nAlpha = s.getField("n_alpha")
+    val nSpace = s.getField("n_space")
+    val nDigit = s.getField("n_digit")
+    val nToks = s.getField("n_toks")
+    val stopHits = s.getField("stop_hits")
+    val nPunct = nChars - nAlpha - nDigit - nSpace
+    docs.withColumn("__stats", stats).select(
+      col(idCol),
+      nChars.as("n_chars"),
+      bp(nAlpha, nChars).as("alpha_bp"),
+      bp(nDigit, nChars).as("digit_bp"),
+      bp(nPunct, nChars).as("punct_bp"),
+      bp(stopHits, nToks).as("stopword_bp"),
+      bp(nChars - nSpace, nToks).as("mean_token_len_bp"),
+      // composite keep-score: alpha-heavy, some stopwords, sane token len
+      (bp(nAlpha, nChars) + bp(stopHits, nToks) * 2).as("quality_score"))
+  }
+
+  /** The pre-kernel composition of [[qualityScore]] — retained as the
+    * executable specification the kernel is pinned against (and as the
+    * portable form for engines without the custom expression).
+    */
+  def qualityScoreComposed(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
     val nAlpha = nChars - length(regexp_replace(t, "[A-Za-z]", ""))
@@ -55,7 +90,6 @@ object TextAnalysis {
       bp(nPunct, nChars).as("punct_bp"),
       bp(stopHits, nToks).as("stopword_bp"),
       bp(nChars - nSpace, nToks).as("mean_token_len_bp"),
-      // composite keep-score: alpha-heavy, some stopwords, sane token len
       (bp(nAlpha, nChars) + bp(stopHits, nToks) * 2).as("quality_score"))
   }
 

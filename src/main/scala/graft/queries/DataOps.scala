@@ -63,11 +63,13 @@ object DataOps {
     * the probabilistic dedup operators have guaranteed-present positives at
     * every SF.
     */
+  private def perturbed(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 3, Int.MaxValue)).as("text"))
+
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = tp(s, dir, "documents").select("doc_id", "text")
-    val perturbed = docs.select((col("doc_id") + 100000).as("doc_id"),
-      concat_ws(" ", slice(split(col("text"), " "), 3, Int.MaxValue)).as("text"))
-    docs.unionByName(perturbed)
+    docs.unionByName(perturbed(docs))
   }
 
   /** DuckDB SQL fragments shared by the dedup oracles — each mirrors one
@@ -227,6 +229,36 @@ object DataOps {
              |FROM reach GROUP BY src""".stripMargin),
       "transitive dup clusters: connected components (min-label propagation) over near-dup pairs"),
 
+    // Oracle note (d08): same zero-miss LSH argument as d03 — at J ≥ 0.8
+    // with 24 bands × 4 rows the per-pair candidate-miss probability is
+    // ≈3e-6, so the LSH-filtered survivors equal the exact NOT-EXISTS
+    // result. The oracle's length prejoin (5·min ≥ 4·max, integer-exact at
+    // t = 4/5) only prunes pairs that can never reach 0.8.
+    "d08_cross_corpus" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        Dedup.crossCorpusSurvivors(perturbed(docs), docs,
+          shingleSize = 3, numHashes = 96, rowsPerBand = 4, threshold = 0.8)
+          .select("doc_id")
+      },
+      Some(s"""WITH newd AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+             |  FROM documents),
+             |fc AS (
+             |  SELECT doc_id, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM documents)),
+             |fn AS (
+             |  SELECT doc_id, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM newd))
+             |SELECT n.doc_id FROM fn n WHERE NOT EXISTS (
+             |  SELECT 1 FROM fc c
+             |  WHERE 5 * len(c.sh) >= 4 * len(n.sh)
+             |    AND 5 * len(n.sh) >= 4 * len(c.sh)
+             |    AND (CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+             |         / len(list_distinct(list_concat(n.sh, c.sh)))) >= 0.8)""".stripMargin),
+      "incremental dedup: new batch LSH-joined against corpus bands, exact verify, anti-join"),
+
     "d06_embedding_neardups" -> Q(
       (s, dir) => Dedup.embeddingNearDups(tp(s, dir, "embeddings"), threshold = 0.45),
       Some("""SELECT a.vec_id AS ia, b.vec_id AS ib
@@ -352,6 +384,127 @@ object DataOps {
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
+
+    "t06_repetition" -> Q(
+      (s, dir) => TextAnalysis.repetitionSignals(tp(s, dir, "documents")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |base AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct FROM t),
+             |g1 AS (SELECT doc_id, max(c) AS top1 FROM (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2) GROUP BY 1),
+             |g2 AS (SELECT doc_id, max(c) AS top2 FROM (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(
+             |    CASE WHEN len(toks) >= 2
+             |         THEN [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, len(toks) - 1)]
+             |         ELSE [array_to_string(toks, ' ')] END) AS g FROM t) GROUP BY 1, 2) GROUP BY 1),
+             |g3 AS (SELECT doc_id, max(c) AS top3 FROM (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(
+             |    CASE WHEN len(toks) >= 3
+             |         THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+             |         ELSE [array_to_string(toks, ' ')] END) AS g FROM t) GROUP BY 1, 2) GROUP BY 1)
+             |SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+             |  CAST(floor(10000.0 * top1 / n_toks) AS INT) AS top1_bp,
+             |  CAST(floor(10000.0 * top2 / greatest(n_toks - 1, 1)) AS INT) AS top2_bp,
+             |  CAST(floor(10000.0 * top3 / greatest(n_toks - 2, 1)) AS INT) AS top3_bp,
+             |  CAST(floor(10000.0 * n_distinct / n_toks) AS INT) AS distinct_bp
+             |FROM base JOIN g1 USING (doc_id) JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)""".stripMargin),
+      "Gopher-style repetition signals: top unigram/2-gram/3-gram occurrence fractions"),
+
+    // PII corpus is synthesized deterministically from `customer` (the
+    // testdata has no natural PII): one email + one phone + one IPv4 per
+    // row, a second email for every third customer.
+    "t07_pii_redact" -> Q(
+      (s, dir) => {
+        val k = col("c_custkey")
+        val contact = concat(
+          lit("contact "), col("c_name"),
+          lit(" user"), k.cast("string"), lit("@mail"), pmod(k, lit(7)).cast("string"),
+          lit(".example.com"),
+          when(pmod(k, lit(3)) === 0,
+            concat(lit(" alt user"), k.cast("string"), lit("b@alt.org"))).otherwise(lit("")),
+          lit(" tel "), (lit(10) + pmod(k, lit(89))).cast("string"),
+          lit("-"), (lit(100) + pmod(k, lit(899))).cast("string"),
+          lit("-"), (lit(1000) + pmod(k, lit(8999))).cast("string"),
+          lit(" ip 10."), col("c_nationkey").cast("string"),
+          lit("."), pmod(k, lit(256)).cast("string"),
+          lit("."), pmod(k, lit(97)).cast("string"), lit(" end"))
+        TextAnalysis.piiRedact(
+          t(s, dir, "customer").select(k.as("doc_id"), contact.as("text")))
+      },
+      Some("""WITH m AS (
+             |  SELECT c_custkey AS doc_id,
+             |    concat('contact ', c_name,
+             |      ' user', CAST(c_custkey AS VARCHAR), '@mail', CAST(c_custkey % 7 AS VARCHAR),
+             |      '.example.com',
+             |      CASE WHEN c_custkey % 3 = 0
+             |           THEN concat(' alt user', CAST(c_custkey AS VARCHAR), 'b@alt.org')
+             |           ELSE '' END,
+             |      ' tel ', CAST(10 + c_custkey % 89 AS VARCHAR),
+             |      '-', CAST(100 + c_custkey % 899 AS VARCHAR),
+             |      '-', CAST(1000 + c_custkey % 8999 AS VARCHAR),
+             |      ' ip 10.', CAST(c_nationkey AS VARCHAR),
+             |      '.', CAST(c_custkey % 256 AS VARCHAR),
+             |      '.', CAST(c_custkey % 97 AS VARCHAR), ' end') AS text
+             |  FROM customer)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\b\d{2,3}-\d{3,4}-\d{4}\b')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{2,3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM m""".stripMargin),
+      "PII scrubbing: count + redact emails/phones/IPv4 to typed placeholders"),
+
+    // ---- dataset assembly -------------------------------------------------
+    "q35_hash_split" -> Q(
+      (s, dir) => graft.operators.Sampling.hashSplit(t(s, dir, "documents"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, lang,
+             |          CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+             |        FROM documents))
+             |SELECT lang, split, count(*) AS n,
+             |       min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM s GROUP BY 1, 2""".stripMargin),
+      "deterministic train/val/test hash split (stable under corpus growth)"),
+
+    "q36_seq_pack" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.sequentialPack(docs, groupCol = "lang",
+          orderCol = "doc_id",
+          tokenCountCol = size(split(Dedup.normalize(col("text")), " ")).cast("long"),
+          budget = 512)
+          .select(col("doc_id"), col("lang"), col("n_tok").cast("int").as("n_tok"),
+            col("offset"), col("bin"), col("bin_offset"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tok
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, lang, n_tok,
+             |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+             |  FROM t)
+             |SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok,
+             |  CAST("offset" AS BIGINT) AS "offset",
+             |  CAST("offset" // 512 AS BIGINT) AS bin,
+             |  CAST("offset" % 512 AS BIGINT) AS bin_offset
+             |FROM o""".stripMargin),
+      "sequential context-window packing: concat-then-chunk running offsets"),
 
     "t05_winnowing" -> Q(
       (s, dir) => TextAnalysis.winnowing(tp(s, dir, "documents"), k = 3, w = 4),

@@ -9,6 +9,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // engine sessions (Verify/Bench/IngestApp) run non-ANSI — reference
+    // semantics drop malformed values instead of raising; tests match
+    .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -69,6 +69,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cross-corpus survivors: near-dups of the corpus are dropped, fresh docs kept") {
+    val corpus = docs
+    val batch = Seq(
+      (100L, "THE QUICK brown fox jumps over the lazy dog"), // ≡ corpus 0 → dropped
+      (101L, "an entirely novel sentence with unseen vocabulary throughout"),
+      (102L, "the quick brown fox jumps over the lazy dog today")) // ≡ corpus 4 → dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusSurvivors(batch, corpus,
+      shingleSize = 2, numHashes = 64, rowsPerBand = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(101L)))
+  }
+
   test("embedding near-dups by cosine threshold") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

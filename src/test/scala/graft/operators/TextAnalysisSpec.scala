@@ -56,6 +56,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("repetition signals: degenerate repetition maxes the top-n-gram fractions") {
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),   // 8× one token
+      (1L, "one two three four five six seven eight"))   // all distinct
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Int]("n_toks") == 8)
+    assert(r(0L).getAs[Int]("top1_bp") == 10000)    // every token is the top token
+    assert(r(0L).getAs[Int]("top2_bp") == 10000)    // every 2-gram is "spam spam"
+    assert(r(0L).getAs[Int]("distinct_bp") == 1250) // 1/8
+    assert(r(1L).getAs[Int]("top1_bp") == 1250)     // 1/8
+    assert(r(1L).getAs[Int]("top2_bp") == 1428)     // 1/7
+    assert(r(1L).getAs[Int]("distinct_bp") == 10000)
+  }
+
+  test("pii redact: counts on original text, typed placeholders in output") {
+    val d = Seq(
+      (0L, "mail a.user+tag@sub.example.com or b@x.org tel 21-340-2467 from 10.0.12.7 done"),
+      (1L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Int]("n_emails") == 2)
+    assert(r(0L).getAs[Int]("n_phones") == 1)
+    assert(r(0L).getAs[Int]("n_ips") == 1)
+    assert(r(0L).getAs[String]("redacted") ==
+      "mail <EMAIL> or <EMAIL> tel <PHONE> from <IP> done")
+    assert(r(1L).getAs[Int]("n_emails") == 0)
+    assert(r(1L).getAs[String]("redacted") == "no pii here at all")
+  }
+
   test("winnowing: shared token run of >= w+k-1 tokens shares a fingerprint") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
