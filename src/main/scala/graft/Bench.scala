@@ -19,7 +19,9 @@ object Bench {
     "q25_tumbling_window", "q27_session_window", "q28_asof_join",
     "q29_range_lookup", "i01_ingest_e2e", "d01_exact_dedup_groups",
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
-    "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality")
+    "d08_cross_corpus", "d09_decontaminate",
+    "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
+    "t06_repetition", "t08_vocab", "q36_seq_pack", "q38_epoch_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -354,6 +354,34 @@ object Dedup {
     newDocs.join(dupNew, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: drop every training document that shares
+    * at least one word n-gram with a held-out evaluation set — the
+    * standard guard against test-set leakage in web-scale training
+    * corpora (the n-gram-overlap scheme popularized by GPT-3's 13-gram
+    * dedup appendix; Brown et al., "Language Models are Few-Shot
+    * Learners", NeurIPS 2020, App. C).
+    *
+    * Scale shape: the eval side is benchmarks — thousands of documents,
+    * millions of n-grams — while train is the 100 TB side. The distinct
+    * eval-gram set therefore BROADCASTS, the train-side gram explode is
+    * map-only against the broadcast (left-semi, no shuffle of train
+    * grams), and only the contaminated-id set (small) is ever exchanged
+    * for the final anti-join. Gram identity is the 64-bit shingle hash —
+    * no gram strings move.
+    */
+  def decontaminate(
+      train: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .select(idCol).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Transitive duplicate clusters: connected components over a near-dup
     * pair list (a, b) — the step that turns pairwise similarity into
     * dedup groups (A≈B, B≈C ⇒ {A,B,C} keep one representative).

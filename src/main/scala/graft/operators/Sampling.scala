@@ -13,14 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 0..99 bucket from a cross-engine content-independent hash of the id:
-    * first 15 hex digits of md5 (fits a signed long; same trick as
+  /** Cross-engine content-independent 60-bit hash of the id: first 15 hex
+    * digits of md5 (fits a signed long; same trick as
     * [[Dedup.SimhashBits]]). Salt lets one id land differently per use
     * (e.g. independent splits for two experiments).
     */
+  def idHash(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** 0..99 bucket of [[idHash]]. */
   def hashBucket(id: Column, salt: String = ""): Column =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
-      .cast("long"), lit(100))
+    pmod(idHash(id, salt), lit(100))
+
+  /** 0..9999 bucket of [[idHash]] — basis-point resolution for fractional
+    * sampling rates.
+    */
+  def hashBucketBp(id: Column, salt: String = ""): Column =
+    pmod(idHash(id, salt), lit(10000))
 
   /** Deterministic train/val/test assignment by id hash: reproducible,
     * join-free, and stable under corpus growth (adding documents never
@@ -33,6 +43,49 @@ object Sampling {
     val b = hashBucket(col(idCol), salt)
     df.withColumn("split",
       when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test"))
+  }
+
+  /** Domain-mixture sampling with fractional epochs: each source (domain)
+    * gets a target weight in basis points of one epoch — 25000 = "repeat
+    * this domain 2.5×", 5000 = "sample half of it" — the LLaMA/DoReMi-style
+    * mixture reweighting step of corpus assembly. Every document appears
+    * `floor(w/10000)` times, plus once more for the deterministic
+    * hash-selected `w%10000`-bp fraction of ids, so realized proportions
+    * converge to the targets while staying reproducible document-by-document
+    * (no RNG; adding documents never changes existing assignments).
+    *
+    * Map-only: weight lookup is a literal `when`-chain (domains are few),
+    * the copy fan-out is a per-row `explode(sequence(...))`. Zero shuffle.
+    */
+  def mixtureSample(df: DataFrame, weightsBp: Map[String, Int],
+      srcCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    require(weightsBp.values.forall(_ >= 0), "weights must be >= 0 bp")
+    val w = weightsBp.foldLeft(lit(0)) { case (acc, (src, bp)) =>
+      when(col(srcCol) === src, lit(bp)).otherwise(acc)
+    }
+    val copies = (w / 10000).cast("int") +
+      when(hashBucketBp(col(idCol), salt) < pmod(w, lit(10000)), 1).otherwise(0)
+    df.withColumn("n_copies", copies)
+      .where(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("n_copies"))))
+      .drop("n_copies")
+  }
+
+  /** Deterministic epoch shuffle: assign every document a shard and a
+    * position inside that shard by hashing its id — the global "random"
+    * training order, reproducible run-to-run and auditable per document
+    * (`salt` = epoch number gives a fresh order each epoch). Shard count
+    * bounds the per-shard sort: at 100 TB pick shards of a few GB and each
+    * sorts independently after one hash-partition exchange — there is no
+    * global sort and no driver-side state.
+    */
+  def epochShuffle(df: DataFrame, idCol: String = "doc_id",
+      numShards: Int = 32, salt: String = ""): DataFrame = {
+    val h = idHash(col(idCol), salt)
+    df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(h, col(idCol))))
   }
 
   /** Sequential pack: concatenate documents in a deterministic order per

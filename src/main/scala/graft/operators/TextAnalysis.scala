@@ -196,6 +196,27 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** Corpus vocabulary: top-k terms by total occurrences (tf) with
+    * document frequency (df) — the corpus-statistics pass behind tokenizer
+    * training, stopword induction, and IDF tables.
+    *
+    * One explode + ONE exchange: the mixed distinct/non-distinct aggregate
+    * plans as Expand + partial hash aggregate on (term, id) map-side, a
+    * single shuffle on term, and a final merge that dedups ids per term —
+    * strictly better than a (term, id) pre-aggregate followed by a term
+    * rollup, which exchanges twice (hash-partitioning on (term, id) does
+    * NOT satisfy a distribution on term alone). Top-k plans as
+    * `TakeOrderedAndProject`; no global sort materializes.
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      topK: Int = 100): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(topK)
+
   /** Winnowing fingerprints — Schleimer, Wilkerson, Aiken, "Winnowing:
     * local algorithms for document fingerprinting" (SIGMOD 2003), the MOSS
     * scheme: hash every word k-gram in

@@ -83,11 +83,14 @@ object DataOps {
       |  FROM documents""".stripMargin
   private val NormToksSql = // mirrors Dedup.normalize + split
     """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
-  private val ShingleSql = // mirrors Dedup.shingles(_, 3) as distinct string sets
-    """CASE WHEN len(toks) >= 3
-      |      THEN list_distinct([array_to_string(toks[i:i+2], ' ')
-      |                          FOR i IN generate_series(1, len(toks) - 2)])
-      |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private def shingleSqlN(n: Int) = // mirrors Dedup.shingles(_, n) as distinct string sets
+    s"""CASE WHEN len(toks) >= $n
+       |      THEN list_distinct([array_to_string(toks[i:i+${n - 1}], ' ')
+       |                          FOR i IN generate_series(1, len(toks) - ${n - 1})])
+       |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private val ShingleSql = shingleSqlN(3)
+  private val Md5LongSql = // mirrors Sampling.idHash (salt appended pre-md5)
+    "CAST(CONCAT('0x', SUBSTR(md5(%s), 1, 15)) AS BIGINT)"
 
   val all: Map[String, Q] = Map(
 
@@ -258,6 +261,35 @@ object DataOps {
              |    AND (CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
              |         / len(list_distinct(list_concat(n.sh, c.sh)))) >= 0.8)""".stripMargin),
       "incremental dedup: new batch LSH-joined against corpus bands, exact verify, anti-join"),
+
+    // Decontamination demo corpus: eval = perturbed copies of every 25th
+    // document (an eval set that genuinely overlaps 1/25th of train), so
+    // the 8-gram overlap flags exactly those originals. The synthetic
+    // vocabulary is ~30 words, so 8-grams are long enough that accidental
+    // (non-copy) overlap is absent at every SF — checked, and any
+    // accidental hit would be deterministic and mirrored by the oracle.
+    "d09_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        Dedup.decontaminate(docs, perturbed(docs.where(col("doc_id") % 25 === 0)), n = 8)
+          .select("doc_id")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |eg AS (
+             |  SELECT DISTINCT unnest(sh) AS g FROM (
+             |    SELECT ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT $NormToksSql AS toks FROM ev))),
+             |tg AS (
+             |  SELECT doc_id, unnest(sh) AS g FROM (
+             |    SELECT doc_id, ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM documents)))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (
+             |  SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.g = e.g)""".stripMargin),
+      "benchmark decontamination: drop train docs sharing any 8-gram with the eval set"),
 
     "d06_embedding_neardups" -> Q(
       (s, dir) => Dedup.embeddingNearDups(tp(s, dir, "embeddings"), threshold = 0.45),
@@ -505,6 +537,49 @@ object DataOps {
              |  CAST("offset" % 512 AS BIGINT) AS bin_offset
              |FROM o""".stripMargin),
       "sequential context-window packing: concat-then-chunk running offsets"),
+
+    "q37_mixture_sample" -> Q(
+      (s, dir) => graft.operators.Sampling.mixtureSample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        weightsBp = Map("src0" -> 25000, "src1" -> 10000, "src2" -> 4000)),
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, source,
+             |    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
+             |                WHEN 'src2' THEN 4000 ELSE 0 END AS wbp
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source,
+             |    (wbp // 10000) + CASE WHEN ${Md5LongSql.format("CAST(doc_id AS VARCHAR)")} % 10000
+             |                               < wbp % 10000 THEN 1 ELSE 0 END AS n
+             |  FROM w)
+             |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+             |FROM c WHERE n > 0""".stripMargin),
+      "domain-mixture resampling: fractional epochs per source, hash-deterministic"),
+
+    "q38_epoch_shuffle" -> Q(
+      (s, dir) => graft.operators.Sampling.epochShuffle(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        numShards = 8, salt = "e1")
+        .select("doc_id", "lang", "shard", "pos"),
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    ${Md5LongSql.format("CONCAT(CAST(doc_id AS VARCHAR), 'e1')")} AS hv
+             |  FROM documents)
+             |SELECT doc_id, lang, CAST(hv % 8 AS INT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos
+             |FROM h""".stripMargin),
+      "deterministic epoch shuffle: hash-sharded training order, per-shard sort only"),
+
+    "t08_vocab" -> Q(
+      (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+             |  FROM documents),
+             |pd AS (SELECT term, doc_id, count(*) AS n FROM tok GROUP BY 1, 2)
+             |SELECT term, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
+             |FROM pd GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin),
+      "corpus vocabulary: top-k terms by tf with doc frequency (tokenizer/IDF stats)"),
 
     "t05_winnowing" -> Q(
       (s, dir) => TextAnalysis.winnowing(tp(s, dir, "documents"), k = 3, w = 4),

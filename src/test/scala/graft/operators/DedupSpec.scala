@@ -82,6 +82,19 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(101L)))
   }
 
+  test("decontaminate: train docs sharing an n-gram with eval are dropped") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),   // shares 4-gram with eval
+      (1L, "one two three four five six seven eight nine"),    // clean
+      (2L, "ALPHA beta GAMMA delta unrelated tail here now"))  // shares after normalize
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words alpha beta gamma delta suffix")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval, n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L)))
+  }
+
   test("embedding near-dups by cosine threshold") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),

@@ -34,6 +34,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(salted != s1)
   }
 
+  test("mixtureSample: fractional epochs realize floor/ceil copies at target rates") {
+    val src = docs.withColumn("source",
+      when($"doc_id" < 100, "a").otherwise("b"))
+    val out = Sampling.mixtureSample(src, Map("a" -> 25000, "b" -> 5000))
+      .select("doc_id", "copy").as[(Long, Int)].collect()
+    val copiesPerDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // source a (2.5 epochs): every doc 2 or 3 copies; ~half get the extra
+    val aCounts = copiesPerDoc.filter(_._1 < 100).values
+    assert(aCounts.forall(c => c == 2 || c == 3))
+    assert(aCounts.count(_ == 3) > 25 && aCounts.count(_ == 3) < 75)
+    // source b (0.5 epoch): docs appear once or not at all
+    val bIds = (100L until 200L).toSet
+    val bCounts = bIds.map(id => copiesPerDoc.getOrElse(id, 0))
+    assert(bCounts.forall(c => c == 0 || c == 1))
+    val bKept = bIds.count(id => copiesPerDoc.contains(id))
+    assert(bKept > 25 && bKept < 75)
+    // copy numbers are 1..n, deterministic across runs
+    assert(out.filter(_._1 < 100).groupBy(_._1).values
+      .forall(g => g.map(_._2).sorted.sameElements(1 to g.length)))
+    val again = Sampling.mixtureSample(src, Map("a" -> 25000, "b" -> 5000))
+      .select("doc_id", "copy").as[(Long, Int)].collect()
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
+  test("epochShuffle: exhaustive shard+pos permutation; salt changes the order") {
+    val e1 = Sampling.epochShuffle(docs, numShards = 4, salt = "e1")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(e1.length == 200)
+    // within each shard, pos is a contiguous 1..n ranking
+    e1.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.sameElements(1 to g.length))
+    }
+    // a different epoch salt yields a different permutation
+    val e2 = Sampling.epochShuffle(docs, numShards = 4, salt = "e2")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(e1.sortBy(_._1).map(x => (x._2, x._3)).toSeq !=
+      e2.sortBy(_._1).map(x => (x._2, x._3)).toSeq)
+  }
+
   test("sequentialPack: running offsets chunk the concatenated stream") {
     val d = Seq(
       (1L, "g", 100L), (2L, "g", 300L), (3L, "g", 200L), (4L, "g", 50L),

@@ -88,6 +88,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L).getAs[String]("redacted") == "no pii here at all")
   }
 
+  test("vocabulary: tf sums occurrences, df counts documents, top-k ordered") {
+    val d = Seq(
+      (0L, "apple apple banana"),
+      (1L, "apple cherry cherry cherry"),
+      (2L, "banana"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(d, topK = 2)
+      .as[(String, Long, Long)].collect()
+    // apple tf=3 df=2; cherry tf=3 df=1; banana tf=2 df=2 — tie on tf
+    // breaks by term asc, so top-2 is apple then cherry
+    assert(v.toSeq == Seq(("apple", 3L, 2L), ("cherry", 3L, 1L)))
+  }
+
   test("winnowing: shared token run of >= w+k-1 tokens shares a fingerprint") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
