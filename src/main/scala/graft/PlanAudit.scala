@@ -18,18 +18,22 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val interesting = Seq("q01_pricing_summary", "q02_topk", "q05_region_revenue",
+    val default = Seq("q01_pricing_summary", "q02_topk", "q05_region_revenue",
       "q06_revenue_forecast", "q20_having", "q28_asof_join", "i01_ingest_e2e")
+    val interesting = if (args.nonEmpty) args.toSeq else default
     interesting.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       def has(s: String) = plan.contains(s)
+      def n(s: String) = s.r.findAllIn(plan).length
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
         .filterNot(_.contains("[]")).toList
       println(s"=== $name")
       println(s"  broadcastHash=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
         s"bnlj=${has("BroadcastNestedLoopJoin")} cartesian=${has("CartesianProduct")}")
       println(s"  takeOrdered=${has("TakeOrderedAndProject")} " +
-        s"wholeStage=${has("WholeStageCodegen")}")
+        s"wholeStage=${has("WholeStageCodegen")} " +
+        s"exchanges=${n("Exchange hashpartitioning") + n("Exchange rangepartitioning") + n("Exchange RoundRobin")} " +
+        s"broadcastExch=${n("BroadcastExchange")}")
       pushed.take(3).foreach(p => println(s"  $p"))
       val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
       readSchemas.take(3).foreach(r => println(s"  ${r.take(140)}"))

@@ -200,13 +200,14 @@ object TextAnalysis {
     * document frequency (df) — the corpus-statistics pass behind tokenizer
     * training, stopword induction, and IDF tables.
     *
-    * One explode + ONE exchange: the mixed distinct/non-distinct aggregate
-    * plans as Expand + partial hash aggregate on (term, id) map-side, a
-    * single shuffle on term, and a final merge that dedups ids per term —
-    * strictly better than a (term, id) pre-aggregate followed by a term
-    * rollup, which exchanges twice (hash-partitioning on (term, id) does
-    * NOT satisfy a distribution on term alone). Top-k plans as
-    * `TakeOrderedAndProject`; no global sort materializes.
+    * One explode + a two-round aggregate (verified with PlanAudit): the
+    * mixed distinct/non-distinct aggregate plans Expand + partial hash
+    * aggregate on (term, id) MAP-SIDE — the exploded token stream
+    * compresses to per-partition (term, id) partials before anything
+    * shuffles — then an exchange for the distinct dedup and one on term
+    * for the rollup; both exchanges carry aggregated rows, never raw
+    * tokens. Top-k plans as `TakeOrderedAndProject`; no global sort
+    * materializes.
     */
   def vocabulary(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       topK: Int = 100): DataFrame =
