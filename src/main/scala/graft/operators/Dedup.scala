@@ -48,16 +48,34 @@ object Dedup {
     docs.join(keep, idCol) // broadcast-able when the survivor set is small; shuffle join otherwise
   }
 
-  /** Word n-gram shingles of the normalized text, as an array column.
+  /** Word n-gram shingles from a token-array column.
     * Documents shorter than `n` tokens collapse to one whole-text shingle.
+    *
+    * Shape matters: higher-order lambdas are INTERPRETED in Spark and the
+    * lambda body re-evaluates per element, so the naive
+    * `transform(sequence(...), i => concat_ws(slice(toks, i+1, n)))` form
+    * re-evaluates `toks` — including any normalize/split feeding it — once
+    * PER SHINGLE, i.e. O(|doc|²) regex work per document (measured 42 s at
+    * sf0.1 on the repetition signals). Here the n shifted slices are HOF
+    * ARGUMENTS (evaluated once per row), zipped, and the lambda body only
+    * concatenates one struct's fields.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(normalize(text), " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+  def shinglesFromToks(toks: Column, n: Int): Column = {
+    val grams =
+      if (n == 1) toks
+      else transform(
+        arrays_zip((0 until n).map(k =>
+          slice(toks, lit(k + 1), size(toks) - (n - 1))): _*),
+        s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))
+    when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** Word n-gram shingles of the normalized text, as an array column.
+    * Callers doing more than one pass over the tokens should materialize
+    * the token array once (fenced) and use [[shinglesFromToks]].
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromToks(split(normalize(text), " "), n)
 
   /** Distinct 64-bit shingle hashes (the document's feature set).
     * Codegen'd kernel hashing token-window byte spans in place —

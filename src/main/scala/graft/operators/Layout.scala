@@ -40,4 +40,45 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Compact a parquet directory's small files into `targetFileBytes`-sized
+    * files — the maintenance pass every append-heavy table needs (each
+    * micro-batch append writes one file per task; a week of 2-second
+    * triggers is ~300k tiny files, and at 100 TB scan time becomes
+    * footer-open-bound instead of IO-bound).
+    *
+    * Sizing derives from the actual on-disk byte count, not a row guess.
+    * The rewrite is `coalesce` (no shuffle — merges read splits) unless
+    * the file count is below the target parallelism, where it degrades to
+    * nothing. Write lands in a sibling temp dir first, then swaps in —
+    * readers never observe a half-written directory; crash before the
+    * swap leaves the original untouched.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isDirectory).flatMap(parquetFiles) ++
+        kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val root = new java.io.File(dir)
+    val before = parquetFiles(root)
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (before.size <= nOut) return (before.size, before.size)
+    val tmp = dir.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    val bak = dir.stripSuffix("/") + ".compact_old"
+    val tmpF = new java.io.File(tmp); val bakF = new java.io.File(bak)
+    require(root.renameTo(bakF), s"swap failed: $dir -> $bak")
+    require(tmpF.renameTo(root), s"swap failed: $tmp -> $dir")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(bakF)
+    (before.size, parquetFiles(root).size)
+  }
 }

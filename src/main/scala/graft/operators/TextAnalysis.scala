@@ -148,12 +148,17 @@ object TextAnalysis {
     * row per map partition), joined back on the doc id — scale-safe.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // normalize+split ONCE per row (fenced so the three gram passes and the
+    // base stats all read the materialized array, not the regex pipeline)
+    val withToks = docs.select(col(idCol).as("id"),
+      graft.functions.OptimizerFence(
+        split(Dedup.normalize(col(textCol)), " ")).as("toks"))
     def topCount(n: Int, alias: String): DataFrame =
-      docs.select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      withToks.select(col("id"), explode(Dedup.shinglesFromToks(col("toks"), n)).as("g"))
         .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("id")).agg(max(col("c")).as(alias))
-    val toks = split(Dedup.normalize(col(textCol)), " ")
-    val base = docs.select(col(idCol).as("id"),
+    val toks = col("toks")
+    val base = withToks.select(col("id"),
       size(toks).as("n_toks"),
       size(array_distinct(toks)).as("n_distinct"))
     base
@@ -238,7 +243,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
     val shingled = docs
-      .select(col(idCol).as("id"), posexplode(Dedup.shingles(col(textCol), k)))
+      .select(col(idCol).as("id"),
+        graft.functions.OptimizerFence(
+          split(Dedup.normalize(col(textCol)), " ")).as("toks"))
+      .select(col("id"), posexplode(Dedup.shinglesFromToks(col("toks"), k)))
       .toDF("id", "pos", "shingle")
       .select(col("id"), col("pos"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))

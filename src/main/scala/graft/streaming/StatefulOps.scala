@@ -83,4 +83,43 @@ object StatefulOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(Seq("__content_hash"))
       .drop("__content_hash")
+
+  /** Incremental corpus maintenance as a stream: every micro-batch of
+    * documents is (a) exact-deduped within itself, (b) near-deduped
+    * against everything already KEPT ([[graft.operators.Dedup
+    * .crossCorpusSurvivors]] — MinHash bands, exact-Jaccard verify), and
+    * the survivors are appended to the corpus — the continuously-growing
+    * training-corpus loop (each crawl batch dedupes against the corpus,
+    * never the corpus against itself).
+    *
+    * Delivery: `foreachBatch` + checkpoint replays a failed batch with the
+    * same batchId; the append itself is not transactional, so a crash
+    * between append and commit can duplicate a batch's survivors — same
+    * at-least-once envelope as the reference's retried inserts
+    * (`internal/services/filelog/impl.go:64`). At 100 TB the corpus band
+    * table is maintained as a bucketed table keyed on (band, bucket)
+    * rather than recomputed per batch (see crossCorpusSurvivors scaladoc);
+    * this entrypoint recomputes it, which is exact at any scale, just not
+    * the cheapest incremental form.
+    */
+  def incrementalCorpusSink(
+      docs: DataFrame, corpusDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numHashes: Int = 96, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val selfDeduped = graft.operators.Dedup.exactDedup(batch.toDF(), textCol, idCol)
+        val corpusExists = new java.io.File(corpusDir).exists()
+        val survivors =
+          if (!corpusExists) selfDeduped
+          else graft.operators.Dedup.crossCorpusSurvivors(
+            selfDeduped, spark.read.parquet(corpusDir),
+            textCol, idCol, shingleSize, numHashes, rowsPerBand, threshold)
+        survivors.write.mode("append").parquet(corpusDir)
+      }
+      .start()
 }

@@ -41,4 +41,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.forall { case (_, dx, dy) => dx <= 32 && dy <= 32 },
       spans.mkString(", "))
   }
+
+  test("compact merges small files without losing rows; no-op when already compact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val dir = s"$tmp/table"
+    // 40 tiny files
+    (1 to 4).foreach { b =>
+      (0L until 1000L).map(i => (b * 10000L + i, s"row $i of batch $b"))
+        .toDF("id", "payload").repartition(10)
+        .write.mode("append").parquet(dir)
+    }
+    val rowsBefore = spark.read.parquet(dir).count()
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(nBefore == 40 && nAfter == 1)
+    assert(spark.read.parquet(dir).count() == rowsBefore)
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().sorted
+    assert(ids.length == 4000 && ids.distinct.length == 4000)
+    // second pass: already at target → untouched
+    assert(Layout.compact(spark, dir, targetFileBytes = 1L << 30) == ((1, 1)))
+  }
 }

@@ -58,4 +58,31 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(spark.table("dedup_test").count() == 2)
     } finally q.stop()
   }
+
+  test("incrementalCorpusSink: each batch near-dedupes against the growing corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_corpus")
+    val corpusDir = s"$tmp/corpus"
+    val stream = MemoryStream[(Long, String)]
+    val q = StatefulOps.incrementalCorpusSink(
+      stream.toDS().toDF("doc_id", "text"), corpusDir, s"$tmp/cp",
+      shingleSize = 2, numHashes = 64, rowsPerBand = 4, threshold = 0.8)
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup in batch
+        (3L, "completely different content about spark engines here"))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterB1.sameElements(Array(1L, 3L)))
+      stream.addData(
+        (10L, "THE QUICK brown fox jumps over the lazy dog"), // near-dup of kept 1
+        (11L, "novel text with entirely fresh vocabulary tokens"))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterB2.sameElements(Array(1L, 3L, 11L)))
+    } finally q.stop()
+  }
 }
