@@ -63,10 +63,15 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); false
           }
-        // release any cache the operator pinned (e.g. minhash shingle sets)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = (System.nanoTime() - t0) / 1e9
+        // release any cache the operator pinned (e.g. minhash shingle
+        // sets) BLOCKING, so a previous query's resident blocks can't
+        // poison the next measurement with memory pressure
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        if (ok) t else -1.0
       }
+      System.gc() // settle per-query garbage outside the next measurement
       name -> (if (times.exists(_ > 0)) times.filter(_ > 0).min else -1.0)
     }
 

@@ -57,6 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(normalized_text, n) - distinct word n-gram hashes"),
       (args: Seq[Expression]) =>
         VectorExprs.ShingleHashes(args(0), intLit(args(1), "shingle_hashes"))),
+    (FunctionIdentifier("sorted_shingle_hashes"),
+      info("sorted_shingle_hashes", "sorted_shingle_hashes(normalized_text, n) - distinct word n-gram hashes, ascending"),
+      (args: Seq[Expression]) =>
+        VectorExprs.SortedShingleHashes(args(0), intLit(args(1), "sorted_shingle_hashes"))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of two ascending distinct long arrays"),
+      (args: Seq[Expression]) => VectorExprs.SortedIntersectCount(args(0), args(1))),
+    (FunctionIdentifier("text_quality_stats"),
+      info("text_quality_stats", "text_quality_stats(text) - one-pass struct(n_chars, n_alpha, n_digit, n_space, n_toks, stop_hits) with the English stopword list"),
+      (args: Seq[Expression]) =>
+        graft.functions.TextExprs.TextQualityStats(args(0),
+          graft.operators.TextAnalysis.EnStopwords)),
     (FunctionIdentifier("fence"),
       info("fence", "fence(expr) - identity marked non-deterministic: pins the enclosing projection"),
       (args: Seq[Expression]) => OptimizerFence(args(0))))

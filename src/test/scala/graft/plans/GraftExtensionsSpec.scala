@@ -36,4 +36,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val f = spark.sql("SELECT fence(1 + 1) AS v").collect().head
     assert(f.getInt(0) == 2)
   }
+
+  test("sorted shingles, intersect count, text_quality_stats from SQL") {
+    val j = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  sorted_shingle_hashes('a b c d e', 3),
+        |  sorted_shingle_hashes('a b c d x', 3)) AS inter""".stripMargin).collect().head
+    assert(j.getInt(0) == 2) // 'a b c', 'b c d' shared; 'c d e' vs 'c d x' differ
+    val q = spark.sql(
+      "SELECT text_quality_stats('The quick 42 fox') AS s")
+      .selectExpr("s.n_chars", "s.n_alpha", "s.n_digit", "s.n_toks", "s.stop_hits")
+      .collect().head
+    assert(q.getInt(0) == 16 && q.getInt(1) == 11 && q.getInt(2) == 2)
+    assert(q.getInt(3) == 4 && q.getInt(4) == 1) // 'the'
+  }
 }
