@@ -20,9 +20,12 @@ import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
   * SELECT fence(expensive_expr)                                  -- pin a projection
   * }}}
   *
-  * No custom analyzer/optimizer rules are registered — the engine needs
-  * none (SURVEY §4.1): the expressions carry their own codegen, and plan
-  * shaping is done with the fence expression at the query layer.
+  * The only whole-plan extension is the top-k-per-key rewrite
+  * ([[TopKPerKey]]), which installs its optimizer rule + strategy through
+  * the `experimental` hooks (`TopKPerKey.install(spark)`) so it can bind
+  * to an already-running session; everything else is expressions — they
+  * carry their own codegen, and plan shaping is done with the fence
+  * expression at the query layer.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -671,5 +671,35 @@ object Relational {
              |                  FOR i IN generate_series(0, 30)]) AS BIGINT) AS zval
              |FROM lineitem WHERE l_orderkey < 1000""".stripMargin),
       "Z-order (Morton) clustering key for multi-dimensional row-group " +
-        "pruning — Layout.zorderBy clusters writes by it"))
+        "pruning — Layout.zorderBy clusters writes by it"),
+
+    // q39 exercises the custom top-k-per-key operator: the query is the
+    // plain row_number idiom; TopKPerKeyRewrite + TopKPerKeyStrategy
+    // (installed into the session here) displace the sort-based window
+    // plan with the two-phase heap operator, and the hash-match against
+    // DuckDB's window result proves the custom physical operator exact.
+    "q39_topk_per_key" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("double").as("price"), col("rn"))
+      },
+      Some("""WITH r AS (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem)
+             |SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  CAST(l_extendedprice AS DOUBLE) AS price, CAST(rn AS INT) AS rn
+             |FROM r WHERE rn <= 3""".stripMargin),
+      "top-k per key via custom Catalyst operator: heap-based two-phase " +
+        "plan replaces sort-based window (rule + strategy + exec)"))
 }
