@@ -21,7 +21,8 @@ object Bench {
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
     "d08_cross_corpus", "d09_decontaminate",
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
-    "t06_repetition", "t08_vocab", "q36_seq_pack", "q38_epoch_shuffle")
+    "t06_repetition", "t08_vocab", "q36_seq_pack", "q38_epoch_shuffle",
+    "q39_topk_per_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

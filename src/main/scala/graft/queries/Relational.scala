@@ -701,5 +701,18 @@ object Relational {
              |  CAST(l_extendedprice AS DOUBLE) AS price, CAST(rn AS INT) AS rn
              |FROM r WHERE rn <= 3""".stripMargin),
       "top-k per key via custom Catalyst operator: heap-based two-phase " +
-        "plan replaces sort-based window (rule + strategy + exec)"))
+        "plan replaces sort-based window (rule + strategy + exec)"),
+
+    "q40_unpivot" -> Q(
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), "attr", "val"),
+      Some("""SELECT p_partkey, attr, val FROM (
+             |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+             |                  CAST(p_retailprice AS DOUBLE) AS p_retailprice
+             |           FROM part)
+             |  ON p_size, p_retailprice INTO NAME attr VALUE val)""".stripMargin),
+      "unpivot/melt: wide attribute columns to long (attr, val) rows"))
 }
