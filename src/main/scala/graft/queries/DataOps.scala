@@ -262,6 +262,31 @@ object DataOps {
              |         / len(list_distinct(list_concat(n.sh, c.sh)))) >= 0.8)""".stripMargin),
       "incremental dedup: new batch LSH-joined against corpus bands, exact verify, anti-join"),
 
+    // Character-level near-dup detection: the length prejoin is implied by
+    // the distance bound (|len(a)-len(b)| ≤ d), so the oracle can omit it;
+    // Spark additionally passes the bound to levenshtein's threshold form,
+    // which runs the banded O(len·d) DP instead of the full O(len²) table.
+    "d10_editdist" -> Q(
+      (s, dir) => {
+        val d = docsWithNearDups(s, dir)
+          .withColumn("blk", pmod(col("doc_id") % 100000, lit(20)).cast("int"))
+        val a = d.select(col("blk"), col("doc_id").as("a"), col("text").as("ta"))
+        val b = d.select(col("blk"), col("doc_id").as("b"), col("text").as("tb"))
+        a.join(b, "blk").where(col("a") < col("b") &&
+            abs(length(col("ta")) - length(col("tb"))) <= 20)
+          .withColumn("dist", levenshtein(col("ta"), col("tb"), 20))
+          .where(col("dist") >= 0)
+          .select(col("a"), col("b"), col("dist"))
+      },
+      Some(s"""WITH d2 AS ($DupCorpusSql)
+             |SELECT a.doc_id AS a, b.doc_id AS b,
+             |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+             |FROM d2 a JOIN d2 b
+             |  ON (a.doc_id % 100000) % 20 = (b.doc_id % 100000) % 20
+             | AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin),
+      "edit-distance near-dups: blocked pairs, banded-threshold levenshtein"),
+
     // Decontamination demo corpus: eval = perturbed copies of every 25th
     // document (an eval set that genuinely overlaps 1/25th of train), so
     // the 8-gram overlap flags exactly those originals. The synthetic

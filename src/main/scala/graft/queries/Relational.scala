@@ -714,5 +714,27 @@ object Relational {
              |                  CAST(p_retailprice AS DOUBLE) AS p_retailprice
              |           FROM part)
              |  ON p_size, p_retailprice INTO NAME attr VALUE val)""".stripMargin),
-      "unpivot/melt: wide attribute columns to long (attr, val) rows"))
+      "unpivot/melt: wide attribute columns to long (attr, val) rows"),
+
+    "q41_window_breadth" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            first_value(col("o_orderkey")).over(w).as("top_order"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  first_value(o_orderkey) OVER w AS top_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
+      "window breadth: ntile, percent_rank, cume_dist, first_value"))
 }
