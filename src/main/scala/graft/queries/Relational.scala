@@ -736,5 +736,28 @@ object Relational {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
-      "window breadth: ntile, percent_rank, cume_dist, first_value"))
+      "window breadth: ntile, percent_rank, cume_dist, first_value"),
+
+    "q42_resample" -> Q(
+      (s, dir) => graft.operators.TimeSeries.resampleFill(
+        t(s, dir, "events").select("user_id", "ts", "value", "event_id"),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        tieBreakCol = "event_id", unit = "hour")
+        .select(col("user_id"), col("h").as("hour"), col("value")),
+      Some("""WITH obs AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h, value,
+             |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events),
+             |o1 AS (SELECT user_id, h, value FROM obs WHERE rn = 1),
+             |span AS (
+             |  SELECT user_id, unnest(generate_series(
+             |    date_trunc('hour', min(ts)), date_trunc('hour', max(ts)),
+             |    INTERVAL 1 HOUR)) AS h
+             |  FROM events GROUP BY user_id)
+             |SELECT s.user_id, s.h AS hour,
+             |  last_value(o.value IGNORE NULLS) OVER (
+             |    PARTITION BY s.user_id ORDER BY s.h) AS value
+             |FROM span s LEFT JOIN o1 o ON s.user_id = o.user_id AND s.h = o.h""".stripMargin),
+      "time-series resample: dense hourly grid per key with forward fill"))
 }
