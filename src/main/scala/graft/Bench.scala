@@ -20,9 +20,10 @@ object Bench {
     "q29_range_lookup", "i01_ingest_e2e", "d01_exact_dedup_groups",
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
     "d08_cross_corpus", "d09_decontaminate",
+    "d10_editdist",
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
     "t06_repetition", "t08_vocab", "q36_seq_pack", "q38_epoch_shuffle",
-    "q39_topk_per_key")
+    "q39_topk_per_key", "q42_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
