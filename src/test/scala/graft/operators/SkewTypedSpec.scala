@@ -24,6 +24,41 @@ class SkewTypedSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("AQE splits the skewed partition at runtime (skew join engages)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // thresholds scaled to test data: the hot key's partition is >2x the
+      // median and above the absolute floor, so AQE must mark + split it
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = Seq.tabulate(60000)(i =>
+        (if (i % 3 > 0) 0L else (i % 50).toLong + 1, s"payload_left_$i")).toDF("k", "lv")
+      val right = Seq.tabulate(5100)(i => ((i % 51).toLong, s"payload_right_$i")).toDF("rk", "rv")
+      val joined = left.join(right, left("k") === right("rk"))
+      // execute THIS queryExecution's plan (count()/write would build a new
+      // one and the inspected adaptive plan would never finalize)
+      val qe = joined.queryExecution
+      val n = qe.executedPlan.execute().count()
+      assert(n == 40000L * 100 + 20000L / 50 * 100 * 50) // hot key + uniform keys
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(400))
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"skew join did not engage:\n${finalPlan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("salted join == plain join") {
     val l = Seq.tabulate(200)(i => (i % 5, i)).toDF("k", "lv")
     val r = Seq.tabulate(5)(i => (i, s"r$i")).toDF("rk", "rv")
