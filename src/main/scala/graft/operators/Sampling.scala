@@ -72,6 +72,26 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Deterministic stratified sample: EXACTLY `n` rows per stratum (when
+    * the stratum has that many), chosen by hash order — reproducible,
+    * auditable, and independent of physical row order, unlike
+    * `sampleBy`'s Bernoulli draw which only hits `n` in expectation.
+    *
+    * Plans as the row_number-filter idiom, which
+    * [[graft.plans.TopKPerKey]] (installed by the caller's session)
+    * turns into the two-phase bounded-heap operator: map partitions thin
+    * to ≤n rows per stratum before the exchange, no sorts.
+    */
+  def stratifiedTake(df: DataFrame, strataCol: String, idCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    val h = idHash(col(idCol), salt)
+    df.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))))
+      .where(col("rn") <= n)
+      .drop("__h")
+  }
+
   /** Deterministic epoch shuffle: assign every document a shard and a
     * position inside that shard by hashing its id — the global "random"
     * training order, reproducible run-to-run and auditable per document

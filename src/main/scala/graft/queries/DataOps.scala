@@ -595,6 +595,25 @@ object DataOps {
              |FROM h""".stripMargin),
       "deterministic epoch shuffle: hash-sharded training order, per-shard sort only"),
 
+    "q43_stratified_sample" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        graft.operators.Sampling.stratifiedTake(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          strataCol = "lang", idCol = "doc_id", n = 5, salt = "s1")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    ${Md5LongSql.format("CONCAT(CAST(doc_id AS VARCHAR), 's1')")} AS hv
+             |  FROM documents)
+             |SELECT doc_id, lang, rn FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS INT) AS rn
+             |  FROM h)
+             |WHERE rn <= 5""".stripMargin),
+      "deterministic stratified sample: exactly n per stratum by hash order " +
+        "(runs on the custom heap top-k operator)"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

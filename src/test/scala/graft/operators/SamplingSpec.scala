@@ -58,6 +58,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.sorted.sameElements(again.sorted))
   }
 
+  test("stratifiedTake: exactly n per stratum, deterministic, salt-sensitive") {
+    val s1 = Sampling.stratifiedTake(docs, "lang", "doc_id", n = 7)
+      .select("doc_id", "lang", "rn").as[(Long, String, Int)].collect()
+    assert(s1.length == 14) // 7 per language
+    assert(s1.groupBy(_._2).values.forall(g => g.map(_._3).sorted.sameElements(1 to 7)))
+    val s2 = Sampling.stratifiedTake(docs, "lang", "doc_id", n = 7)
+      .select("doc_id", "lang", "rn").as[(Long, String, Int)].collect()
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1)))
+    val salted = Sampling.stratifiedTake(docs, "lang", "doc_id", n = 7, salt = "x")
+      .select("doc_id").as[Long].collect()
+    assert(salted.sorted.toSeq != s1.map(_._1).sorted.toSeq)
+    // a stratum smaller than n yields all its rows
+    val tiny = Sampling.stratifiedTake(
+      docs.where($"doc_id" < 3), "lang", "doc_id", n = 7)
+    assert(tiny.count() == 3)
+  }
+
   test("epochShuffle: exhaustive shard+pos permutation; salt changes the order") {
     val e1 = Sampling.epochShuffle(docs, numShards = 4, salt = "e1")
       .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
