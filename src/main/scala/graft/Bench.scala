@@ -33,6 +33,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // JVM (not ICU) case mapping: the ASCII corpus makes them identical,
+      // and ICU's CollationAwareUTF8String class-init stalls 20-110 s when
+      // the JIT queue is busy (measured; first lower()/upper() pays it)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // match Verify: reference semantics drop malformed values, never raise
       .config("spark.sql.ansi.enabled", "false")

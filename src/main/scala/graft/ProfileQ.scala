@@ -15,6 +15,10 @@ object ProfileQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // JVM (not ICU) case mapping: the ASCII corpus makes them identical,
+      // and ICU's CollationAwareUTF8String class-init stalls 20-110 s when
+      // the JIT queue is busy (measured; first lower()/upper() pays it)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

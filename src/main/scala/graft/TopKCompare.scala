@@ -19,6 +19,10 @@ object TopKCompare {
       .appName("topk-compare")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // JVM (not ICU) case mapping: the ASCII corpus makes them identical,
+      // and ICU's CollationAwareUTF8String class-init stalls 20-110 s when
+      // the JIT queue is busy (measured; first lower()/upper() pays it)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

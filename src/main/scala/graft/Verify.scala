@@ -24,6 +24,10 @@ object Verify {
       .appName("graft-verify")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // JVM (not ICU) case mapping: the ASCII corpus makes them identical,
+      // and ICU's CollationAwareUTF8String class-init stalls 20-110 s when
+      // the JIT queue is busy (measured; first lower()/upper() pays it)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       // reference semantics: malformed values drop rows, never raise
       // (SURVEY §1.2); also required by wrap-around hash arithmetic
       .config("spark.sql.ansi.enabled", "false")

@@ -48,6 +48,10 @@ object IngestApp {
       .master(opts.getOrElse("master", "local[*]"))
       .appName("graft-ingest")
       .config("spark.sql.session.timeZone", "UTC")
+      // JVM (not ICU) case mapping: the ASCII corpus makes them identical,
+      // and ICU's CollationAwareUTF8String class-init stalls 20-110 s when
+      // the JIT queue is busy (measured; first lower()/upper() pays it)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     // expose parse_log_line/dot_product/... to spark.sql on this session

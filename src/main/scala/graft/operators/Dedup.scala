@@ -442,6 +442,40 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster"))
   }
 
+  /** Duplicated-span inventory: every k-token span (in document order,
+    * overlapping) that occurs in at least `minDocs` distinct documents —
+    * the exact-substring-duplication signal behind suffix-array dedup of
+    * training corpora (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022, §4.1 ExactSubstr): whole-doc
+    * hashing misses a copied paragraph inside an otherwise-unique page,
+    * span inventory finds it.
+    *
+    * Output: (span_md5, n_docs, n_occ, first_doc) per duplicated span.
+    *
+    * Scale shape: spans explode map-side off the token array (one
+    * normalize+split per row, fenced); the aggregate is the same
+    * partial-combine count / count_distinct pair as the vocabulary pass —
+    * (md5, id) partials compress per map partition before the only
+    * shuffle, and span STRINGS never move (md5 only). A 100 TB run feeds
+    * `having n_docs ≥ 2` straight into a semi-join to locate the offending
+    * documents.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol).as("id"),
+        graft.functions.OptimizerFence(split(normalize(col(textCol)), " ")).as("toks"))
+      .select(col("id"), explode(shinglesFromToks(col("toks"), k)).as("span"))
+      .select(col("id"), md5(col("span")).as("span_md5"))
+    spans.groupBy(col("span_md5"))
+      .agg(count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
     * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
     * `Similarity.lshCosinePairs`.

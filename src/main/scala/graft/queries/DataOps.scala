@@ -89,6 +89,11 @@ object DataOps {
        |                          FOR i IN generate_series(1, len(toks) - ${n - 1})])
        |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
   private val ShingleSql = shingleSqlN(3)
+  private def spanSqlN(n: Int) = // mirrors Dedup.shinglesFromToks (occurrences KEPT, no distinct)
+    s"""CASE WHEN len(toks) >= $n
+       |      THEN [array_to_string(toks[i:i+${n - 1}], ' ')
+       |            FOR i IN generate_series(1, len(toks) - ${n - 1})]
+       |      ELSE [array_to_string(toks, ' ')] END""".stripMargin
   private val Md5LongSql = // mirrors Sampling.idHash (salt appended pre-md5)
     "CAST(CONCAT('0x', SUBSTR(md5(%s), 1, 15)) AS BIGINT)"
 
@@ -286,6 +291,24 @@ object DataOps {
              | AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin),
       "edit-distance near-dups: blocked pairs, banded-threshold levenshtein"),
+
+    // Guaranteed positives: every perturbed doc shares all its 8-token
+    // spans with its original, so ≥1 duplicated span per (orig, copy)
+    // pair exists at every SF; the ~30-word synthetic vocabulary makes
+    // accidental cross-doc 8-gram collisions absent (and deterministic +
+    // oracle-mirrored if one ever appeared).
+    "d11_dup_spans" -> Q(
+      (s, dir) => Dedup.duplicatedSpans(docsWithNearDups(s, dir), k = 8),
+      Some(s"""WITH d2 AS ($DupCorpusSql),
+             |sp AS (
+             |  SELECT doc_id, md5(unnest(spans)) AS span_md5 FROM (
+             |    SELECT doc_id, ${spanSqlN(8)} AS spans
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM d2)))
+             |SELECT span_md5, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_occ, min(doc_id) AS first_doc
+             |FROM sp GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
+      "duplicated-span inventory: overlapping 8-token spans present in ≥2 docs " +
+        "(the exact-substring dedup signal; span strings never shuffle, only md5)"),
 
     // Decontamination demo corpus: eval = perturbed copies of every 25th
     // document (an eval set that genuinely overlaps 1/25th of train), so

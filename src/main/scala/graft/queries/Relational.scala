@@ -759,5 +759,95 @@ object Relational {
              |  last_value(o.value IGNORE NULLS) OVER (
              |    PARTITION BY s.user_id ORDER BY s.h) AS value
              |FROM span s LEFT JOIN o1 o ON s.user_id = o.user_id AND s.h = o.h""".stripMargin),
-      "time-series resample: dense hourly grid per key with forward fill"))
+      "time-series resample: dense hourly grid per key with forward fill"),
+
+    // ---- scalar fns: URL parsing (access-log analytics) ------------------
+    // The reference's domain is web access logs; URL decomposition is the
+    // canonical downstream transform. Spark's parse_url is codegen'd;
+    // DuckDB reproduces each component with anchored regexes.
+    "q44_url_fns" -> Q(
+      (s, dir) => {
+        val url = concat(lit("https://logs.example.com/p/"),
+          col("event_id").cast("string"), lit("?u="),
+          col("user_id").cast("string"), lit("&t="), col("event_type"))
+        t(s, dir, "events")
+          .select(col("event_id"), url.as("url"))
+          .select(
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("QUERY"), lit("t")).as("evt"),
+            parse_url(col("url"), lit("QUERY"), lit("u")).cast("bigint").as("uid"),
+            regexp_extract(parse_url(col("url"), lit("PATH")), "/p/([0-9]+)", 1)
+              .cast("bigint").as("page"))
+          .groupBy(col("host"), col("evt"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("uid")).as("n_users"),
+            max(col("page")).as("max_page"))
+      },
+      Some("""WITH u AS (
+             |  SELECT 'https://logs.example.com/p/' || event_id
+             |         || '?u=' || user_id || '&t=' || event_type AS url
+             |  FROM events),
+             |p AS (
+             |  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             |         regexp_extract(url, '[?&]t=([^&]*)', 1) AS evt,
+             |         CAST(regexp_extract(url, '[?&]u=([^&]*)', 1) AS BIGINT) AS uid,
+             |         CAST(regexp_extract(url, '/p/([0-9]+)', 1) AS BIGINT) AS page
+             |  FROM u)
+             |SELECT host, evt, count(*) AS n,
+             |  count(DISTINCT uid) AS n_users, max(page) AS max_page
+             |FROM p GROUP BY host, evt""".stripMargin),
+      "URL decomposition (parse_url HOST/PATH/QUERY) over synthesized access URLs"),
+
+    // ---- array aggregation + higher-order functions ----------------------
+    "q45_array_agg" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          element_at(col("qs"), 1).as("min_q"),
+          element_at(col("qs"), -1).as("max_q"),
+          aggregate(col("qs"), lit(0L), (a, x) => a + x).as("sum_q"),
+          concat_ws(",", transform(col("qs"), x => x.cast("string"))).as("qs_csv")),
+      Some("""WITH g AS (
+             |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qs
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey, CAST(len(qs) AS INT) AS n_items,
+             |  qs[1] AS min_q, qs[-1] AS max_q,
+             |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS sum_q,
+             |  array_to_string(qs, ',') AS qs_csv
+             |FROM g""".stripMargin),
+      "array agg breadth: collect_list + sort_array + element_at + HOF aggregate/transform " +
+        "(collect_list order fixed by sort_array so the result is deterministic)"),
+
+    // ---- interval (band) join --------------------------------------------
+    // Clicks within 30 minutes AFTER an error by the same user. Bucketed
+    // band join (operators.IntervalJoin): right rows take one W-wide
+    // bucket, left rows explode into two, equi-join on (user, bucket) —
+    // never a nested-loop theta join.
+    "q46_interval_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("err_ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        graft.operators.IntervalJoin.intervalJoin(
+          errors, clicks, Seq("user_id"),
+          leftTs = "err_ts", rightTs = "click_ts",
+          lowerMs = 0L, upperMs = 1800000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("click_ts")).as("n_clicks"))
+      },
+      Some("""SELECT e.user_id, count(*) AS n_pairs,
+             |  count(DISTINCT c.ts) AS n_clicks
+             |FROM events e JOIN events c
+             |  ON e.user_id = c.user_id
+             | AND e.event_type = 'error' AND c.event_type = 'click'
+             | AND epoch_ms(CAST(c.ts AS TIMESTAMP)) > epoch_ms(CAST(e.ts AS TIMESTAMP))
+             | AND epoch_ms(CAST(c.ts AS TIMESTAMP)) <= epoch_ms(CAST(e.ts AS TIMESTAMP)) + 1800000
+             |GROUP BY e.user_id""".stripMargin),
+      "bounded interval join: clicks within (0, 30min] after an error, " +
+        "bucketed equi-join shape (linear, not quadratic)"))
 }

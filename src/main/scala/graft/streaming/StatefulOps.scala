@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Stateful streaming operators (SURVEY §2.4 "stateful streaming ops"):
   * custom per-key state via `flatMapGroupsWithState`, plus the
@@ -47,13 +49,7 @@ object StatefulOps {
             val ts = events.map(_.ts.getTime).toSeq.sorted
             // merge the batch into (possibly) the open session; close any
             // session a later event's gap proves finished
-            val init = state.getOption.toSeq
-            val (closed, open) = ts.foldLeft((Vector.empty[SessionState], init.headOption)) {
-              case ((done, Some(s)), t) if t < s.end + gapMs =>
-                (done, Some(s.copy(end = math.max(s.end, t), n = s.n + 1)))
-              case ((done, Some(s)), t) => (done :+ s, Some(SessionState(t, t, 1)))
-              case ((done, None), t)    => (done, Some(SessionState(t, t, 1)))
-            }
+            val (closed, open) = foldSessions(state.getOption, ts, gapMs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMs)
@@ -62,6 +58,80 @@ object StatefulOps {
               SessionOut(user, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n))
           }
       }
+  }
+
+  /** Session fold shared by [[sessionize]] (flatMapGroupsWithState) and
+    * [[SessionProcessor]] (transformWithState): merge a sorted batch of
+    * event times into the open session, closing any session an event's
+    * gap proves finished.
+    */
+  private[streaming] def foldSessions(
+      open0: Option[SessionState], sortedTs: Seq[Long], gapMs: Long):
+      (Vector[SessionState], Option[SessionState]) =
+    sortedTs.foldLeft((Vector.empty[SessionState], open0)) {
+      case ((done, Some(s)), t) if t < s.end + gapMs =>
+        (done, Some(s.copy(end = math.max(s.end, t), n = s.n + 1)))
+      case ((done, Some(s)), t) => (done :+ s, Some(SessionState(t, t, 1)))
+      case ((done, None), t)    => (done, Some(SessionState(t, t, 1)))
+    }
+
+  /** Event-time sessionization on the `transformWithState` API (the
+    * arbitrary-state successor to flatMapGroupsWithState, Spark 4.x):
+    * typed `ValueState` + an explicit per-key event-time TIMER closes the
+    * session once the watermark passes `end + gap`. Requires the RocksDB
+    * state store provider ([[rocksdbConf]]); state is still keyed and
+    * store-partitioned, so the scale envelope matches [[sessionize]] —
+    * one shuffle on the key, state bounded by the timer.
+    *
+    * Timers accumulate per key (registering does not replace), so every
+    * batch re-arms a timer for the current session end and the expiry
+    * handler only closes when the FIRED timer is the session's real
+    * deadline — stale timers from an extended session no-op.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Click, SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Click],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val ts = rows.map(_.ts.getTime).toSeq.sorted
+      val (closed, open) =
+        foldSessions(if (session.exists()) Some(session.get()) else None, ts, gapMs)
+      open.foreach { s =>
+        session.update(s)
+        getHandle.registerTimer(s.end + gapMs)
+      }
+      closed.iterator.map(s =>
+        SessionOut(user, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n))
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val s = if (session.exists()) session.get() else null
+      if (s != null && s.end + gapMs <= info.getExpiryTimeInMs) {
+        session.clear()
+        Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.end + gapMs), s.n))
+      } else Iterator.empty // stale timer: the session was extended past it
+    }
+  }
+
+  /** Session conf required for transformWithState (RocksDB-only API). */
+  val rocksdbConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** [[sessionize]] re-expressed on transformWithState. */
+  def sessionizeTws(clicks: Dataset[Click], gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import clicks.sparkSession.implicits._
+    clicks
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming dedup: first occurrence per key within the watermark

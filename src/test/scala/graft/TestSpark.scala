@@ -9,6 +9,7 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.icu.caseMappings.enabled", "false") // ASCII corpus: JVM == ICU, skips ICU class-init stall
     // engine sessions (Verify/Bench/IngestApp) run non-ANSI — reference
     // semantics drop malformed values instead of raising; tests match
     .config("spark.sql.ansi.enabled", "false")

@@ -107,6 +107,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("duplicatedSpans: overlapping k-token spans shared across docs") {
+    val docs = Seq(
+      (1L, "a b c d e unique tail one"),        // shares "a b c d e"… no: k=3 spans
+      (2L, "x y a b c d z"),                    // shares spans "a b c", "b c d" with 1
+      (3L, "totally different words here"),     // no shared span
+      (4L, "p q r p q r p q"))                  // intra-doc repeats only (n_docs=1)
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 3)
+      .select("n_docs", "n_occ", "first_doc")
+      .as[(Long, Long, Long)].collect().sorted
+    // exactly the two 3-grams shared by docs 1 and 2
+    assert(out.sameElements(Array((2L, 2L, 1L), (2L, 2L, 1L))))
+    // intra-doc repetition alone does not qualify, but counts occurrences
+    val all = Dedup.duplicatedSpans(docs, k = 3, minDocs = 1)
+      .where(col("first_doc") === 4L)
+      .select("n_docs", "n_occ").as[(Long, Long)].collect()
+    assert(all.contains((1L, 2L))) // "p q r" occurs twice inside doc 4
+  }
+
   test("duplicate clusters: transitive components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("a", "b")

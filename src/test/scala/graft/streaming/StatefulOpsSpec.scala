@@ -42,6 +42,40 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState shape") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(StatefulOps.rocksdbConf._1)
+    spark.conf.set(StatefulOps.rocksdbConf._1, StatefulOps.rocksdbConf._2)
+    val stream = MemoryStream[Click]
+    val sessions = StatefulOps.sessionizeTws(stream.toDS(), gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_tws_test").outputMode("append").start()
+    try {
+      stream.addData(
+        Click(1L, ts("2024-01-01 00:00:00")),
+        Click(1L, ts("2024-01-01 00:10:00")),
+        Click(1L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      stream.addData(Click(99L, ts("2024-01-02 00:00:00"))) // watermark push
+      q.processAllAvailable()
+      stream.addData(Click(98L, ts("2024-01-03 00:00:00"))) // fire timers
+      q.processAllAvailable()
+      val out = spark.table("sess_tws_test").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(out.length == 2)
+      assert(out(0).n_events == 2)
+      assert(out(0).session_start == ts("2024-01-01 00:00:00"))
+      assert(out(0).session_end == ts("2024-01-01 00:40:00")) // last + gap
+      assert(out(1).n_events == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(StatefulOps.rocksdbConf._1, v)
+        case None => spark.conf.unset(StatefulOps.rocksdbConf._1)
+      }
+    }
+  }
+
   test("streaming content dedup drops repeats within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
