@@ -400,6 +400,40 @@ object Dedup {
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered benchmark decontamination — same exact semantics as
+    * [[decontaminate]] (drop every train doc sharing an n-gram with the
+    * eval set), restructured for eval suites too large to broadcast as an
+    * exact hash set.
+    *
+    * Shape: the distinct eval-gram set is folded into a Bloom filter on
+    * the driver (`stat.bloomFilter` aggregates per-partition filters and
+    * ORs them — order-independent, deterministic). Train grams are probed
+    * map-side inside codegen ([[graft.functions.BloomExprs]]): at fpp 1%,
+    * ≥99% of clean train grams die before ANY join, and only the
+    * bloom-positive survivors flow into an exact semi-join against the
+    * eval grams (shuffled, not broadcast — at 100 TB the exact set is the
+    * thing that did NOT fit in memory). Bloom filters have no false
+    * negatives, so prefilter + exact verify returns exactly the
+    * [[decontaminate]] result; the fpp only sizes the verify join's input.
+    */
+  def bloomDecontaminate(
+      train: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = evalGrams.stat.bloomFilter("h", math.max(evalGrams.count(), 1L), fpp)
+    val contaminated = train
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
+      .where(graft.functions.BloomExprs.mightContainLong(col("h"), bloom))
+      .join(evalGrams, Seq("h"), "left_semi") // exact verify kills the false positives
+      .select(idCol).distinct()
+    val out = train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    evalGrams.unpersist(false)
+    out
+  }
+
   /** Transitive duplicate clusters: connected components over a near-dup
     * pair list (a, b) — the step that turns pairwise similarity into
     * dedup groups (A≈B, B≈C ⇒ {A,B,C} keep one representative).
@@ -493,5 +527,32 @@ object Dedup {
       .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
       .where(col("cos") >= threshold)
       .select("ia", "ib")
+  }
+
+  /** Semantic deduplication (SemDeDup — Abbas, Tirumala, Simig, Ganguli,
+    * Morcos, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): embedding-space
+    * near-duplicate pairs → transitive clusters → keep one representative
+    * (min id) per cluster. Returns the surviving ids.
+    *
+    * Pair generation here is the exact cosine path ([[embeddingNearDups]])
+    * so the result is deterministic and oracle-checkable; at 100 TB the
+    * pair stage swaps to `Similarity.lshCosinePairs` or IVF-cell blocking
+    * (SemDeDup's k-means cells) with identical downstream clustering —
+    * only the candidate generator changes. The dropped-id set is tiny
+    * relative to the corpus (it is the duplicates), so the final anti-join
+    * broadcasts; cluster labels come from the same Pregel-style
+    * min-label propagation as [[duplicateClusters]].
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.45): DataFrame = {
+    val pairs = embeddingNearDups(emb, vecCol, idCol, threshold)
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val clusters = duplicateClusters(pairs)
+    val dropped = clusters.where(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    emb.join(broadcast(dropped), Seq(idCol), "left_anti").select(idCol)
   }
 }

@@ -129,4 +129,33 @@ object Sampling {
       .withColumn("bin", floor(col("offset") / budget))
       .withColumn("bin_offset", pmod(col("offset"), lit(budget.toLong)))
   }
+
+  /** Stride-overlap context chunking: each document becomes overlapping
+    * `win`-token windows starting every `stride` tokens (stride < win ⇒
+    * adjacent chunks share `win - stride` tokens — the sliding-window
+    * alternative to [[sequentialPack]] when examples must not straddle
+    * document boundaries and boundary context should repeat).
+    *
+    * Map-only: tokenization runs once per row (fenced), the starts
+    * sequence explodes off the token count, and each chunk slices the
+    * in-row token array — no shuffle at any size; output count is
+    * ~n_tokens/stride rows per document.
+    */
+  def chunkStride(docs: DataFrame, win: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(win > 0 && stride > 0, "win and stride must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.functions.OptimizerFence(
+        split(Dedup.normalize(col(textCol)), " ")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    toks
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1), greatest(col("n") - (win - 1), lit(1)),
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        col("start"),
+        least(lit(win), col("n") - col("start") + 1).cast("int").as("n_toks"),
+        array_join(slice(col("toks"), col("start"), lit(win)), " ").as("chunk"))
+  }
 }

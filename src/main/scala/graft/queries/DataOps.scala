@@ -349,6 +349,58 @@ object DataOps {
              |      >= 0.45""".stripMargin),
       "embedding cosine near-dup pairs (ids only: integer output hash-matches)"),
 
+    // Oracle note (d12): pair generation is the exact cosine path (d06),
+    // so clustering + survivor selection is fully deterministic; the
+    // recursive CTE mirrors the min-label-propagation fixpoint.
+    "d12_semantic_dedup" -> Q(
+      (s, dir) => Dedup.semanticDedup(tp(s, dir, "embeddings"), threshold = 0.45),
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |        / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |           * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             |        >= 0.45),
+             |edges AS (
+             |  SELECT ia AS src, ib AS dst FROM pairs
+             |  UNION SELECT ib, ia FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |lab AS (
+             |  SELECT src AS node, least(src, min(dst)) AS cluster
+             |  FROM reach GROUP BY src)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT node FROM lab WHERE cluster < node)""".stripMargin),
+      "SemDeDup: embedding near-dup pairs, transitive clusters, keep min-id representative"),
+
+    // Oracle note (d13): Bloom prefilter + exact verify ≡ the exact
+    // anti-join (no false negatives), so the oracle is d09's shape on a
+    // different eval slice.
+    "d13_bloom_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        Dedup.bloomDecontaminate(docs, perturbed(docs.where(col("doc_id") % 20 === 5)), n = 8)
+          .select("doc_id")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+             |  FROM documents WHERE doc_id % 20 = 5),
+             |eg AS (
+             |  SELECT DISTINCT unnest(sh) AS g FROM (
+             |    SELECT ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT $NormToksSql AS toks FROM ev))),
+             |tg AS (
+             |  SELECT doc_id, unnest(sh) AS g FROM (
+             |    SELECT doc_id, ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM documents)))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (
+             |  SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.g = e.g)""".stripMargin),
+      "Bloom-prefiltered decontamination: codegen'd bloom probe map-side, exact verify join"),
+
     // ---- similarity search ----------------------------------------------
     "s01_ann_bruteforce" -> Q(
       (s, dir) => {
@@ -636,6 +688,24 @@ object DataOps {
              |WHERE rn <= 5""".stripMargin),
       "deterministic stratified sample: exactly n per stratum by hash order " +
         "(runs on the custom heap top-k operator)"),
+
+    "q47_chunk_overlap" -> Q(
+      (s, dir) => graft.operators.Sampling.chunkStride(
+        tp(s, dir, "documents"), win = 32, stride = 24),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |    unnest(generate_series(1, greatest(len(toks) - 31, 1), 24)) AS start
+             |  FROM t)
+             |SELECT doc_id, CAST((start - 1) // 24 AS INT) AS chunk_idx,
+             |  CAST(start AS INT) AS start,
+             |  CAST(least(32, n - start + 1) AS INT) AS n_toks,
+             |  array_to_string(toks[start:start+31], ' ') AS chunk
+             |FROM s""".stripMargin),
+      "stride-overlap context chunking: map-only sliding windows over tokens"),
 
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),

@@ -126,6 +126,36 @@ class DedupSpec extends AnyFunSuite {
     assert(all.contains((1L, 2L))) // "p q r" occurs twice inside doc 4
   }
 
+  test("bloomDecontaminate ≡ decontaminate (prefilter + exact verify is exact)") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "ALPHA beta GAMMA delta unrelated tail here now"),
+      (3L, "ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words alpha beta gamma delta suffix")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, eval, n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    val bloomed = Dedup.bloomDecontaminate(train, eval, n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloomed.sameElements(exact))
+    assert(exact.sameElements(Array(1L, 3L)))
+  }
+
+  test("semanticDedup keeps one representative per embedding cluster") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)),   // ≈ 0 → cluster {0,1}, keep 0
+      (5L, Array(0.995f, 0.05f, 0f, 0f)), // ≈ 0 and 1 → same cluster, dropped
+      (2L, Array(0f, 1f, 0f, 0f)),        // singleton, kept
+      (3L, Array(-1f, 0f, 0f, 0f)))       // singleton, kept
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, threshold = 0.9)
+      .as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 2L, 3L)))
+  }
+
   test("duplicate clusters: transitive components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("a", "b")

@@ -103,4 +103,22 @@ class SamplingSpec extends AnyFunSuite {
       (1L, 0L, 0L, 0L), (2L, 100L, 0L, 100L), (3L, 400L, 0L, 400L),
       (4L, 600L, 1L, 88L), (5L, 0L, 0L, 0L)))
   }
+
+  test("chunkStride: overlapping windows, tail clamping, short-doc fallback") {
+    // 10 tokens, win=4, stride=3 → starts 1,4,7 (last start ≤ n-win+1=7)
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val chunks = Sampling.chunkStride(d, win = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start", "n_toks", "chunk")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(c => (c._1, c._2))
+    assert(chunks.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 1, 4, "a b c d"), (1L, 1, 4, 4, "d e f g"), (1L, 2, 7, 4, "g h i j")))
+    // overlap: chunk i shares win-stride=1 token with chunk i+1 ("d", "g")
+    // short doc: one clamped chunk
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 2, "x y")))
+    // stride > remaining: 5 tokens win=4 stride=3 → starts 1 only? n-win+1=2 → starts 1 (next=4>2)
+    val e = Seq((3L, "p q r s t")).toDF("doc_id", "text")
+    val ch2 = Sampling.chunkStride(e, win = 4, stride = 3)
+      .select("start", "n_toks").as[(Int, Int)].collect().toSeq.sorted
+    assert(ch2 == Seq((1, 4)))
+  }
 }
