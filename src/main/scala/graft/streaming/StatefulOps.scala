@@ -192,4 +192,35 @@ object StatefulOps {
         survivors.write.mode("append").parquet(corpusDir)
       }
       .start()
+
+  /** Stream-static enrichment: join each micro-batch against a small
+    * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
+    * static side is planned per micro-batch (a broadcast hash join inside
+    * every batch; no stream state), so dim updates are picked up on
+    * re-read and nothing accumulates in the state store.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
+  /** Stream-stream interval join: match records of two streams on a key
+    * when the right event lands within `[left.ts, left.ts + window]` —
+    * click-to-conversion attribution. Both sides carry watermarks and the
+    * join condition time-bounds the buffered state on BOTH sides (Spark
+    * derives the state-eviction horizon from watermark + range), so state
+    * is O(key-rate × window), never unbounded.
+    */
+  def correlate(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String, windowSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "inner")
+      .drop(r(key)) // single unambiguous key column out
+  }
 }

@@ -67,6 +67,15 @@ object StreamingIngest {
     spark.readStream.format("syslog-tcp")
       .option("host", host).option("port", port).load()
 
+  /** S4 (native, UDP leg): binds a local datagram listener
+    * ([[graft.sources.SyslogUdpSourceProvider]]); one datagram = one
+    * record, fire-and-forget — the reference documents the same
+    * no-delivery-guarantee for UDP syslog (`README.md:545`).
+    */
+  def syslogUdpSource(spark: SparkSession, port: Int, bind: String = "0.0.0.0"): DataFrame =
+    spark.readStream.format("syslog-udp")
+      .option("bind", bind).option("port", port).load()
+
   /** RFC3164 envelope strip → content, the syslog handler's extraction
     * (`internal/services/syslog/impl.go:89-98`): `<PRI>Mmm dd hh:mm:ss
     * host tag: content`.

@@ -119,4 +119,46 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(afterB2.sameElements(Array(1L, 3L, 11L)))
     } finally q.stop()
   }
+
+  test("enrich: stream-static broadcast join per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("us", "United States"), ("de", "Germany")).toDF("cc", "country")
+    val stream = MemoryStream[(Long, String)]
+    val enriched = StatefulOps.enrich(
+      stream.toDS().toDF("user_id", "cc"), dim, Seq("cc"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_test").outputMode("append").start()
+    try {
+      stream.addData((1L, "us"), (2L, "de"), (3L, "xx"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select("user_id", "country").as[(Long, String)].collect()
+        .map { case (u, c) => u -> Option(c) }.toMap
+      assert(rows == Map(1L -> Some("United States"), 2L -> Some("Germany"),
+        3L -> None)) // left_outer keeps unmatched stream rows
+    } finally q.stop()
+  }
+
+  test("correlate: stream-stream interval join attributes within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StatefulOps.correlate(
+      clicks.toDS().toDF("user_id", "click_ts"),
+      buys.toDS().toDF("user_id", "buy_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      watermark = "10 minutes", windowSeconds = 300)
+    val q = joined.writeStream.format("memory")
+      .queryName("correlate_test").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      buys.addData(
+        (1L, ts("2024-01-01 00:03:00")),  // within 5 min of user 1's click → match
+        (2L, ts("2024-01-01 00:09:00")))  // 9 min after → outside window
+      q.processAllAvailable()
+      val matched = spark.table("correlate_test")
+        .select("user_id").as[Long].collect().toSeq
+      assert(matched == Seq(1L))
+    } finally q.stop()
+  }
 }

@@ -156,6 +156,45 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("native syslog-udp DSv2 source end-to-end (S4 UDP transport parity)") {
+    val probe = new java.net.DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close() // freed for the source to bind (loopback test; tiny race is fine)
+
+    val lines = StreamingIngest.syslogUdpSource(spark, port, bind = "127.0.0.1")
+    val parsed = StreamingIngest.parse(StreamingIngest.stripSyslogEnvelope(lines), cfg)
+    val q = parsed.writeStream.format("memory")
+      .queryName("syslog_udp_test").outputMode("append").start()
+    val sender = new java.net.DatagramSocket()
+    try {
+      val addr = new java.net.InetSocketAddress("127.0.0.1", port)
+      def send(msg: String): Unit = {
+        val b = msg.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        sender.send(new java.net.DatagramPacket(b, b.length, addr))
+      }
+      // the listener binds lazily on the first micro-batch; resend each
+      // poll round (UDP is fire-and-forget — datagrams before bind vanish,
+      // which is exactly the documented at-most-once contract)
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        send("<34>Oct 11 22:14:15 myhost nginx: " + goodLine)
+        send("<34>Oct 11 22:14:16 myhost nginx: " + badLine)
+        send("<34>Oct 11 22:14:17 myhost nginx: " + goodLine)
+        q.processAllAvailable()
+        n = spark.table("syslog_udp_test").count()
+        if (n < 2) Thread.sleep(200)
+      }
+      assert(n >= 2) // both good lines landed; garbage dropped
+      val r = spark.table("syslog_udp_test").collect().head
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[Long]("bytes_sent") == 512L)
+    } finally {
+      q.stop()
+      sender.close()
+    }
+  }
+
   test("archive retention prunes by count and age (S2 parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_archive").toString
     (1 to 6).foreach { i =>
