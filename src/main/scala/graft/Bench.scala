@@ -20,10 +20,11 @@ object Bench {
     "q29_range_lookup", "i01_ingest_e2e", "d01_exact_dedup_groups",
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
     "d08_cross_corpus", "d09_decontaminate",
-    "d10_editdist",
+    "d10_editdist", "d12_semantic_dedup", "d13_bloom_decontaminate",
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
-    "t06_repetition", "t08_vocab", "q36_seq_pack", "q38_epoch_shuffle",
-    "q39_topk_per_key", "q42_resample")
+    "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
+    "q36_seq_pack", "q38_epoch_shuffle",
+    "q39_topk_per_key", "q42_resample", "q47_chunk_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -223,6 +223,75 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), count_distinct(col("id")).as("df"))
       .orderBy(col("tf").desc, col("term")).limit(topK)
 
+  /** Per-document top-k distinctive terms — the TF-IDF selection shape
+    * with integer-exact ranking: terms appearing in more than
+    * `dfNum/dfDen` of the corpus are dropped (the IDF cutoff; ubiquitous
+    * terms carry no signal), survivors rank by in-document term frequency
+    * with the term string as the deterministic tiebreak. Keeping the
+    * ordering integral (tf, term) instead of a floating tf·ln(N/df) score
+    * makes the result engine-portable bit-for-bit; a ranking by true
+    * TF-IDF orders identically whenever df ties break by tf (and the
+    * float score is one `log` call away for consumers who want it).
+    *
+    * Scale shape: one token explode feeds BOTH aggregates — (doc, term)
+    * tf and per-term df — each partial-combining map-side before its
+    * exchange; the df side joins back on term (aggregated rows, never raw
+    * tokens), and the final per-doc top-k is the `filter(row_number ≤ k)`
+    * window shape the custom heap top-k operator
+    * ([[graft.plans.TopKPerKey]]) rewrites to map-side thinning when
+    * installed.
+    */
+  def topTerms(docs: DataFrame, k: Int = 5, dfNum: Int = 1, dfDen: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val n = docs.count() // one cheap driver-side scalar: the corpus size
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") * dfDen <= lit(n) * dfNum)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
+  }
+
+  /** C4-style heuristic document filter — rule composition per Raffel et
+    * al., "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer" (JMLR 2020, §2.2) and the Gopher rules
+    * (Rae et al. 2021, App. A): drop too-short docs, implausible mean
+    * word lengths, docs without English stopword evidence, boilerplate
+    * markers (`lorem ipsum`, code braces). Emits each rule verdict plus
+    * the composite `keep` — map-only (one codegen'd stats kernel pass +
+    * two substring probes per row), so the filter runs at scan speed at
+    * any corpus size.
+    */
+  def c4Filters(docs: DataFrame, minToks: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val stats = graft.functions.OptimizerFence(
+      graft.functions.TextExprs.textQualityStats(col(textCol), EnStopwords))
+    val s = col("__stats")
+    val nChars = s.getField("n_chars")
+    val nSpace = s.getField("n_space")
+    val nToks = s.getField("n_toks")
+    val stopHits = s.getField("stop_hits")
+    // mean token length in basis points: chars-per-token × 10000
+    val meanLenBp = bp(nChars - nSpace, nToks)
+    val lowText = lower(col(textCol))
+    docs.withColumn("__stats", stats).select(
+      col(idCol),
+      nToks.as("n_toks"),
+      (nToks < minToks).as("r_short"),
+      (meanLenBp < 30000 || meanLenBp > 100000).as("r_word_len"),
+      (stopHits < 2).as("r_no_stopwords"),
+      lowText.contains("lorem ipsum").as("r_lorem"),
+      lowText.contains("{").as("r_brace"))
+      .withColumn("keep",
+        !col("r_short") && !col("r_word_len") && !col("r_no_stopwords") &&
+          !col("r_lorem") && !col("r_brace"))
+  }
+
   /** Winnowing fingerprints — Schleimer, Wilkerson, Aiken, "Winnowing:
     * local algorithms for document fingerprinting" (SIGMOD 2003), the MOSS
     * scheme: hash every word k-gram in

@@ -718,6 +718,51 @@ object DataOps {
              |FROM pd GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin),
       "corpus vocabulary: top-k terms by tf with doc frequency (tokenizer/IDF stats)"),
 
+    "t09_top_terms" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        TextAnalysis.topTerms(tp(s, dir, "documents"), k = 5, dfNum = 1, dfDen = 2)
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(toks) AS term FROM
+             |    (SELECT doc_id, $NormToksSql AS toks FROM documents)),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, term, tf, df, rn FROM (
+             |  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+             |    CAST(d.df AS BIGINT) AS df,
+             |    CAST(row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY t.tf DESC, t.term) AS INT) AS rn
+             |  FROM tf t JOIN df d ON t.term = d.term, n
+             |  WHERE d.df * 2 <= n.n)
+             |WHERE rn <= 5""".stripMargin),
+      "per-doc top-k distinctive terms (TF-IDF selection, integer-exact ranking)"),
+
+    "t10_c4_filters" -> Q(
+      (s, dir) => TextAnalysis.c4Filters(tp(s, dir, "documents"), minToks = 15),
+      Some("""WITH m AS (
+             |  SELECT doc_id, lower(text) AS lt,
+             |    CAST(length(text) AS INT) AS n_chars,
+             |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_space,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_toks,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS INT) AS stop_hits
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, n_toks,
+             |    n_toks < 15 AS r_short,
+             |    CAST(floor(10000.0 * (n_chars - n_space) / n_toks) AS INT) < 30000
+             |      OR CAST(floor(10000.0 * (n_chars - n_space) / n_toks) AS INT) > 100000 AS r_word_len,
+             |    stop_hits < 2 AS r_no_stopwords,
+             |    contains(lt, 'lorem ipsum') AS r_lorem,
+             |    contains(lt, '{') AS r_brace
+             |  FROM m)
+             |SELECT doc_id, n_toks, r_short, r_word_len, r_no_stopwords, r_lorem, r_brace,
+             |  NOT (r_short OR r_word_len OR r_no_stopwords OR r_lorem OR r_brace) AS keep
+             |FROM r""".stripMargin),
+      "C4/Gopher heuristic filter: rule verdicts + composite keep, map-only"),
+
     "t05_winnowing" -> Q(
       (s, dir) => TextAnalysis.winnowing(tp(s, dir, "documents"), k = 3, w = 4),
       // replicate: ordered k-gram md5-hashes, sliding-window minima over

@@ -120,4 +120,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp2 == TextAnalysis.winnowing(d, k = 3, w = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet)
   }
+
+  test("topTerms: ubiquitous terms drop at the df cutoff; rank by tf then term") {
+    val d = Seq(
+      (0L, "the spark spark spark engine engine the the"),
+      (1L, "the flink engine runs the stream the pipeline"),
+      (2L, "the batch system the batch planner"),
+      (3L, "the unrelated words appear once each here"),
+      (4L, "the last document mentions planner once"))
+      .toDF("doc_id", "text")
+    // df cutoff 1/5 of 5 docs = df ≤ 1: only terms unique to one doc rank
+    val top = TextAnalysis.topTerms(d, k = 2, dfNum = 1, dfDen = 5)
+      .select("doc_id", "term", "tf", "rn")
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toList).toMap
+    assert(top(0L) == List(("spark", 3L))) // "the"(df5), "engine"(df2) cut; spark tf3
+    assert(top(2L).head == ("batch", 2L))  // tf wins over alphabetical
+    assert(!top.values.flatten.exists(_._1 == "the")) // df cutoff enforced
+  }
+
+  test("c4Filters: each rule fires on its designed offender") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog and that is it for the story of it all"),
+      (1L, "too short"),                                              // r_short
+      (2L, "the " + "pneumonoultramicroscopic " * 20 + "and that is for it"), // r_word_len (long words)
+      (3L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg hhh"), // r_no_stopwords
+      (4L, "the standard filler lorem ipsum dolor sit amet and that is for it padding words here"), // r_lorem
+      (5L, "function f() { return the a and of to it } plus words to reach the minimum token count")) // r_brace
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(d, minToks = 15)
+      .select("doc_id", "r_short", "r_word_len", "r_no_stopwords", "r_lorem", "r_brace", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._7)            // clean doc kept
+    assert(out(1L)._2 && !out(1L)._7)
+    assert(out(2L)._3 && !out(2L)._7)
+    assert(out(3L)._4 && !out(3L)._7)
+    assert(out(4L)._5 && !out(4L)._7)
+    assert(out(5L)._6 && !out(5L)._7)
+  }
 }
