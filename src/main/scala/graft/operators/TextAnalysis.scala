@@ -233,13 +233,16 @@ object TextAnalysis {
     * TF-IDF orders identically whenever df ties break by tf (and the
     * float score is one `log` call away for consumers who want it).
     *
-    * Scale shape: one token explode feeds BOTH aggregates — (doc, term)
-    * tf and per-term df — each partial-combining map-side before its
-    * exchange; the df side joins back on term (aggregated rows, never raw
-    * tokens), and the final per-doc top-k is the `filter(row_number ≤ k)`
-    * window shape the custom heap top-k operator
-    * ([[graft.plans.TopKPerKey]]) rewrites to map-side thinning when
-    * installed.
+    * Scale shape: the tf and df aggregates each run their own
+    * scan+explode pass (verified with PlanAudit) — deliberately NOT a
+    * shared cached explode, because materializing the exploded token
+    * stream costs ~|tokens| rows of storage while a second columnar scan
+    * is pipelined and nearly free; both aggregates partial-combine
+    * map-side before their exchange, the df side joins back on term
+    * (aggregated rows, never raw tokens), and the final per-doc top-k is
+    * the `filter(row_number ≤ k)` window shape the custom heap top-k
+    * operator ([[graft.plans.TopKPerKey]]) rewrites to map-side thinning
+    * when installed.
     */
   def topTerms(docs: DataFrame, k: Int = 5, dfNum: Int = 1, dfDen: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
