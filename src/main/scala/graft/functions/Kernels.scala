@@ -170,6 +170,71 @@ object Kernels {
     row
   }
 
+  /** One-pass repetition counters over NORMALIZED text (single spaces,
+    * trimmed) — the eval of [[TextExprs.RepetitionStats]]: token count,
+    * distinct-token count, and the max occurrence count of any word
+    * 1-/2-/3-gram, all from ONE walk plus three sort-and-count-runs passes
+    * over gram span hashes. Gram identity is the xxhash64 of its byte span
+    * (grams are contiguous in normalized text), so "equal" means
+    * equal-64-bit-hash — a per-document collision probability of
+    * ~|toks|²/2⁶⁵, far below any oracle's row count. Fewer than n tokens →
+    * one whole-text gram (matching `Dedup.shinglesFromToks`' fallback).
+    */
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var nToks = 1
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == ' ') nToks += 1
+      i += 1
+    }
+    val starts = new Array[Int](nToks)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val buf = new Array[Long](nToks)
+    // gram hashes for window n → sorted → (maxRun, distinctRuns)
+    def gramStats(n: Int): (Int, Int) = {
+      val m = if (nToks < n) 1 else nToks - n + 1
+      if (nToks < n) buf(0) = XXH64.hashUnsafeBytes(base, off, len, 42L)
+      else {
+        var j = 0
+        while (j < m) {
+          val s0 = starts(j)
+          val e0 = if (j + n < nToks) starts(j + n) - 1 else len
+          buf(j) = XXH64.hashUnsafeBytes(base, off + s0, e0 - s0, 42L)
+          j += 1
+        }
+      }
+      java.util.Arrays.sort(buf, 0, m)
+      var maxRun = 1
+      var run = 1
+      var distinct = 1
+      var j = 1
+      while (j < m) {
+        if (buf(j) == buf(j - 1)) { run += 1; if (run > maxRun) maxRun = run }
+        else { run = 1; distinct += 1 }
+        j += 1
+      }
+      (maxRun, distinct)
+    }
+    val (top1, nDistinct) = gramStats(1)
+    val (top2, _) = gramStats(2)
+    val (top3, _) = gramStats(3)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
+    row.setInt(0, nToks)
+    row.setInt(1, nDistinct)
+    row.setInt(2, top1)
+    row.setInt(3, top2)
+    row.setInt(4, top3)
+    row
+  }
+
   /** java.util.regex `\s` = `[ \t\n\x0B\f\r]` (ASCII-only by default). */
   @inline private def isJavaRegexWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'

@@ -71,4 +71,37 @@ object TextExprs {
 
   def textQualityStats(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TextQualityStats(ColumnBridge.expression(text), stopwords))
+
+  val RepetitionSchema: StructType = StructType(Seq(
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top1", IntegerType, nullable = false),
+    StructField("top2", IntegerType, nullable = false),
+    StructField("top3", IntegerType, nullable = false)))
+
+  /** Per-row repetition counters over NORMALIZED text — replaces three
+    * explode + double-aggregate + join rounds (six shuffles of raw gram
+    * rows) with one map-side kernel call: the Gopher repetition signals
+    * become a pure scan-speed projection at any corpus size. Equivalence
+    * to the exploded composition is pinned by `TextExprsSpec`.
+    */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = RepetitionSchema
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "repetition_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.repetitionStats($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+  }
+
+  def repetitionStats(normalizedText: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(normalizedText)))
 }

@@ -148,8 +148,27 @@ object TextAnalysis {
     * row per map partition), joined back on the doc id — scale-safe.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // normalize+split ONCE per row (fenced so the three gram passes and the
-    // base stats all read the materialized array, not the regex pipeline)
+    // one per-row kernel call (fenced): token/distinct/top-gram counts are
+    // per-document statistics, so NOTHING shuffles — the exploded
+    // composition this replaces ([[repetitionSignalsComposed]], kept for
+    // the equivalence spec) paid six shuffles of raw gram rows
+    val stats = graft.functions.OptimizerFence(
+      graft.functions.TextExprs.repetitionStats(Dedup.normalize(col(textCol))))
+    val s = col("__rep")
+    docs.withColumn("__rep", stats).select(
+      col(idCol),
+      s.getField("n_toks").as("n_toks"),
+      bp(s.getField("top1"), s.getField("n_toks")).as("top1_bp"),
+      bp(s.getField("top2"), greatest(s.getField("n_toks") - 1, lit(1))).as("top2_bp"),
+      bp(s.getField("top3"), greatest(s.getField("n_toks") - 2, lit(1))).as("top3_bp"),
+      bp(s.getField("n_distinct"), s.getField("n_toks")).as("distinct_bp"))
+  }
+
+  /** The pre-kernel composition of [[repetitionSignals]] — retained as the
+    * readable reference implementation; `TextAnalysisSpec` pins the kernel
+    * path bit-identical to it.
+    */
+  def repetitionSignalsComposed(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val withToks = docs.select(col(idCol).as("id"),
       graft.functions.OptimizerFence(
         split(Dedup.normalize(col(textCol)), " ")).as("toks"))

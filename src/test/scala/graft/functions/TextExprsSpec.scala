@@ -46,4 +46,24 @@ class TextExprsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_digit") == 2)
     assert(r.getAs[Int]("n_space") == 9)
   }
+
+  test("RepetitionStats kernel == exploded gram-count composition") {
+    val reps = Seq(
+      (10L, "spam spam spam spam egg"),              // top1=4; "spam spam"×3
+      (11L, "a b a b a b a"),                        // alternating bigram repeats
+      (12L, "one two three four five six"),          // no repetition
+      (13L, "x"),                                    // single token: n<2, n<3 fallback
+      (14L, ""),                                     // empty → one empty token
+      (15L, "p q r p q r p q r"))                    // trigram "p q r"×3
+      .toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionByName(reps)
+    val kernel = TextAnalysis.repetitionSignals(all).orderBy("doc_id").collect().toSeq
+    val composed = TextAnalysis.repetitionSignalsComposed(all).orderBy("doc_id").collect().toSeq
+    kernel.zip(composed).foreach { case (k, c) =>
+      assert(k == c, s"\nkernel:   $k\ncomposed: $c")
+    }
+    val m = TextAnalysis.repetitionSignals(reps).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap // doc_id -> top1_bp
+    assert(m(10L) == 8000) // 4 of 5 tokens are "spam"
+  }
 }
