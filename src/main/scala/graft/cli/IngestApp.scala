@@ -85,6 +85,12 @@ object IngestApp {
           case "socket" => StreamingIngest.stripSyslogEnvelope(
             StreamingIngest.socketSource(spark,
               opts.getOrElse("host", "localhost"), need("port").toInt))
+          case "syslog-tcp" => StreamingIngest.stripSyslogEnvelope(
+            StreamingIngest.syslogTcpSource(spark,
+              opts.getOrElse("host", "localhost"), need("port").toInt))
+          case "syslog-udp" => StreamingIngest.stripSyslogEnvelope(
+            StreamingIngest.syslogUdpSource(spark, need("port").toInt,
+              bind = opts.getOrElse("bind", "0.0.0.0")))
           case "kafka" => StreamingIngest.kafkaSource(spark, need("brokers"), need("topic"))
           case other   => sys.error(s"unknown source: $other")
         }

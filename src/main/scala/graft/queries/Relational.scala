@@ -658,6 +658,30 @@ object Relational {
       None,
       "sketch aggregates: HyperLogLog++ distinct counts, approximate percentile"),
 
+    // The mergeable-sketch rollup: per-group DataSketches HLL sketches,
+    // then a global distinct UNIONED FROM THE GROUP SKETCHES — no second
+    // scan of the fact table. At 100 TB this is the incremental pattern:
+    // persist per-partition (per-day/per-shard) sketch blobs once, answer
+    // any cross-partition distinct by merging kilobyte sketches.
+    // Rows-only like q33 (sketch estimates are engine-specific; the exact
+    // counterpart is q15); SketchSpec pins estimate-vs-exact accuracy.
+    "q48_hll_merge" -> Q(
+      (s, dir) => {
+        val part = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("p"))
+          .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"),
+            count(lit(1)).as("n"))
+        val per = part.select(col("p"),
+          expr("hll_sketch_estimate(sk)").as("est_custs"), col("n"))
+        val all = part
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_custs"),
+            sum(col("n")).as("n"))
+          .select(lit("ALL").as("p"), col("est_custs"), col("n"))
+        per.unionByName(all)
+      },
+      None,
+      "mergeable HLL sketches: per-group partials, global distinct by sketch union"),
+
     "q34_zorder" -> Q(
       (s, dir) => {
         t(s, dir, "lineitem")
