@@ -212,38 +212,60 @@ object Dedup {
     * PPJoin — Xiao, Wang, Lin, Yu, "Efficient similarity joins for
     * near-duplicate detection", WWW 2008). With shingle-hash sets sorted
     * by one global order, any pair with J ≥ t shares at least one element
-    * among the first |x| − ⌈t·|x|⌉ + 1 of each set, so only those PREFIX
-    * hashes are exploded into the candidate join — ~(1−t) of the postings
-    * a full inverted index would shuffle, and popular shingles outside
-    * prefixes generate no candidate pairs at all. A length filter
-    * (t·|B| ≤ |A|, necessary since |A∩B| ≤ min ∧ |A∪B| ≥ max) prunes the
-    * rest, and survivors are verified with an exact zero-allocation merge
-    * count over the full sorted sets. Only (hash, id, size) triples and
+    * among the first |x| − ⌈t·|x|⌉ + 1 of each set (the PROBE prefix), so
+    * only those hashes are exploded into the candidate join — ~(1−t) of
+    * the postings a full inverted index would shuffle, and popular
+    * shingles outside prefixes generate no candidate pairs at all. Three
+    * PPJoin prunes then run on the raw equi-join output BEFORE the
+    * distinct, each a cheap scalar predicate:
+    *   - length filter: t·|B| ≤ |A| ≤ |B|/t (|A∩B| ≤ min ∧ |A∪B| ≥ max);
+    *   - index-prefix filter: for the smaller set the shared element must
+    *     lie in the first |x| − ⌈2t/(1+t)·|x|⌉ + 1 positions — for a
+    *     qualifying pair the required overlap α = ⌈t/(1+t)(|x|+|y|)⌉ is
+    *     ≥ 2t/(1+t)·|x| when |y| ≥ |x|, so a common element sits that
+    *     early in x (pigeonhole on the suffix). At t=0.5 this shrinks the
+    *     effective index to |x|/3 instead of |x|/2;
+    *   - positional filter: matching at 0-based positions (i, j) caps the
+    *     overlap at 1 + min(|A|−i−1, |B|−j−1), which must reach α.
+    * Survivors are verified with an exact zero-allocation merge count
+    * over the full sorted sets. Only (hash, id, size, pos) postings and
     * candidate id pairs ever shuffle — the 100 TB shape.
     *
-    * Boundary arithmetic uses an ε-slack (`- 1e-9`) on the ceil/length
-    * comparisons so FP rounding can only lengthen a prefix or admit an
-    * extra candidate — never drop a qualifying pair; the exact verify
-    * decides every boundary case.
+    * Boundary arithmetic uses an ε-slack (`- 1e-9`) on every ceil/length
+    * comparison so FP rounding can only lengthen a prefix, admit an extra
+    * candidate, or lower a required bound — never drop a qualifying pair;
+    * the exact verify decides every boundary case.
     */
   def ngramJaccardPairs(
       docs: DataFrame, blockCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
     require(threshold > 0, "prefix-filtered Jaccard requires threshold > 0")
+    val t = threshold
     val feats = docs.select(col(blockCol).as("blk"), col(idCol).as("id"),
       sortedShingleHashes(col(textCol), shingleSize).as("feat"))
       .withColumn("sz", size(col("feat")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefLen = (col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val probeLen = (col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)) + 1).cast("int")
+    // (blk, h, id, sz, pos): pos is the element's 0-based rank in the set
     val pref = feats.select(col("blk"), col("id"), col("sz"),
-      explode(slice(col("feat"), lit(1), prefLen)).as("h"))
-    val cand = pref.select(col("blk"), col("h"), col("id").as("a"), col("sz").as("sza"))
-      .join(pref.select(col("blk"), col("h"), col("id").as("b"), col("sz").as("szb")),
-        Seq("blk", "h"))
+      posexplode(slice(col("feat"), lit(1), probeLen)))
+      .toDF("blk", "id", "sz", "pos", "h")
+    def idxLen(sz: Column) = sz - ceil(sz * lit(2 * t / (1 + t)) - lit(1e-9)) + 1
+    val alpha = ceil((col("sza") + col("szb")) * lit(t / (1 + t)) - lit(1e-9))
+    val cand = pref.select(col("blk"), col("h"), col("id").as("a"),
+        col("sz").as("sza"), col("pos").as("posa"))
+      .join(pref.select(col("blk"), col("h"), col("id").as("b"),
+        col("sz").as("szb"), col("pos").as("posb")), Seq("blk", "h"))
       .where(col("a") < col("b") &&
-        col("sza") >= lit(threshold) * col("szb") - lit(1e-9) &&
-        col("szb") >= lit(threshold) * col("sza") - lit(1e-9))
+        col("sza") >= lit(t) * col("szb") - lit(1e-9) &&
+        col("szb") >= lit(t) * col("sza") - lit(1e-9))
+      // index-prefix: the smaller set's match must lie in its index prefix
+      .where((col("sza") <= col("szb") && col("posa") < idxLen(col("sza"))) ||
+        (col("szb") < col("sza") && col("posb") < idxLen(col("szb"))))
+      // positional: best-case overlap from here on must reach alpha
+      .where(lit(1) + least(col("sza") - col("posa") - 1,
+        col("szb") - col("posb") - 1) >= alpha)
       .select("a", "b").distinct()
     val fa = feats.select(col("id").as("a"), col("feat").as("fa"), col("sz").as("sza"))
     val fb = feats.select(col("id").as("b"), col("feat").as("fb"), col("sz").as("szb"))
