@@ -24,7 +24,8 @@ object Bench {
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q36_seq_pack", "q38_epoch_shuffle",
-    "q39_topk_per_key", "q42_resample", "q47_chunk_overlap")
+    "q39_topk_per_key", "q42_resample", "q47_chunk_overlap",
+    "p01_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -789,6 +789,78 @@ object DataOps {
       "winnowing (MOSS) fingerprints: shared runs of w+k-1 tokens always share a print"),
 
     // ---- multimodal plumbing (stub decode; deterministic → oracle) -------
+    // ---- pipeline composition -------------------------------------------
+    // The full curation chain as ONE dataflow — quality filter, exact
+    // dedup, benchmark decontamination, split assignment — proving the
+    // operators compose (each stage is separately oracle-checked by
+    // t10/d01/d02/d09/q35; this checks their composition end-to-end).
+    // Catalyst plans the whole chain as one job: the filter is map-only,
+    // dedup shuffles (hash, id), decontamination broadcasts eval grams,
+    // the split is map-only — nothing materializes between stages.
+    "p01_curation_pipeline" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        val keepIds = TextAnalysis.c4Filters(docs, minToks = 15)
+          .where(col("keep")).select("doc_id")
+        val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        val deduped = Dedup.exactDedup(kept)
+        val clean = Dedup.decontaminate(deduped,
+          perturbed(docs.where(col("doc_id") % 25 === 0).select("doc_id", "text")), n = 8)
+        graft.operators.Sampling.hashSplit(clean)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      },
+      Some(s"""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS INT) AS n_chars_c,
+             |    CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_space,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_toks,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |      w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS INT) AS stop_hits,
+             |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+             |    contains(lower(text), '{') AS has_brace
+             |  FROM documents),
+             |keepids AS (
+             |  SELECT doc_id FROM q
+             |  WHERE NOT (n_toks < 15
+             |    OR CAST(floor(10000.0 * (n_chars_c - n_space) / n_toks) AS INT) < 30000
+             |    OR CAST(floor(10000.0 * (n_chars_c - n_space) / n_toks) AS INT) > 100000
+             |    OR stop_hits < 2 OR has_lorem OR has_brace)),
+             |k AS (
+             |  SELECT d.doc_id, d.text, d.lang, d.n_chars
+             |  FROM documents d JOIN keepids USING (doc_id)),
+             |dd AS (
+             |  SELECT * FROM k WHERE doc_id IN (
+             |    SELECT min(doc_id) FROM k
+             |    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
+             |ev AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |eg AS (
+             |  SELECT DISTINCT unnest(sh) AS g FROM (
+             |    SELECT ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT $NormToksSql AS toks FROM ev))),
+             |tg AS (
+             |  SELECT doc_id, unnest(sh) AS g FROM (
+             |    SELECT doc_id, ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM dd))),
+             |clean AS (
+             |  SELECT * FROM dd WHERE doc_id NOT IN (
+             |    SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.g = e.g)),
+             |s AS (
+             |  SELECT clean.*,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT clean.*,
+             |          CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+             |        FROM clean) clean)
+             |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM s GROUP BY split""".stripMargin),
+      "end-to-end curation: C4 filter → exact dedup → decontaminate → hash split"),
+
     "m01_media_features" -> Q(
       (s, dir) => {
         val media = Multimodal.asMediaTable(tp(s, dir, "documents"))
