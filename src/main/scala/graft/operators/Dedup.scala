@@ -460,19 +460,27 @@ object Dedup {
     * pair list (a, b) — the step that turns pairwise similarity into
     * dedup groups (A≈B, B≈C ⇒ {A,B,C} keep one representative).
     *
-    * Iterative min-label propagation: every node repeatedly adopts the
-    * minimum label among itself and its neighbors until a fixpoint. Each
-    * iteration is one join + one aggregate (labels and edges hash-partition
-    * on the node key); iterations needed = component diameter, which for
-    * near-dup clusters is tiny. The per-iteration driver action is a
-    * single scalar convergence count — the standard Pregel-style loop.
+    * ADAPTIVE, like production CC implementations: the edge list is the
+    * near-duplicate PAIRS — usually minuscule next to the corpus — so when
+    * it fits comfortably on the driver (≤ `driverEdgeCutoff`, default 5M
+    * edges ≈ 80 MB) the components are solved with one collect + union-find
+    * and zero iterative jobs. Past the cutoff it falls back to iterative
+    * min-label propagation: every node repeatedly adopts the minimum label
+    * among itself and its neighbors until a fixpoint, one join + one
+    * aggregate per iteration (labels and edges hash-partition on the node
+    * key), iterations = component diameter. The measured motivation: the
+    * Pregel-style loop costs ~5 s of fixed per-iteration job overhead to
+    * cluster 144 pairs — pure scheduling, no data.
     *
-    * Output: (node, cluster) with cluster = min node id in the component.
-    * Nodes outside every pair are singletons by definition and are not
-    * emitted (callers union them back if needed).
+    * Output: (node, cluster) with cluster = min node id in the component,
+    * identical on both paths. Nodes outside every pair are singletons by
+    * definition and are not emitted (callers union them back if needed).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("a").as("src"), col("b").as("dst"))
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeCutoff: Long = 5000000L): DataFrame = {
+    val fwd = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    if (fwd.limit((driverEdgeCutoff + 1).toInt).count() <= driverEdgeCutoff)
+      return driverUnionFind(fwd)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -496,6 +504,35 @@ object Dedup {
     }
     edges.unpersist(false)
     labels.select(col("node"), col("label").as("cluster"))
+  }
+
+  /** Small-graph path of [[duplicateClusters]]: collect the (src, dst)
+    * edges, path-compressed union-find, label = min id per component.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val labels = new scala.collection.mutable.HashMap[Long, Long]()
+    parent.keySet().forEach { n =>
+      val root = find(n)
+      labels.updateWith(root)(m => Some(math.min(m.getOrElse(Long.MaxValue), n)))
+    }
+    val out = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(n => (n.toLong, labels(find(n.toLong))))
+    spark.createDataFrame(out.toSeq).toDF("node", "cluster")
   }
 
   /** Duplicated-span inventory: every k-token span (in document order,

@@ -167,5 +167,11 @@ class DedupSpec extends AnyFunSuite {
     val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 12L)).toDF("a", "b")
     val cc2 = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
     assert(cc2.values.toSet == Set(5L) && cc2.size == 6)
+    // distributed path (cutoff 0 forces the Pregel loop) agrees with the
+    // driver union-find on both graphs
+    assert(Dedup.duplicateClusters(pairs, driverEdgeCutoff = 0L)
+      .as[(Long, Long)].collect().toMap == cc)
+    assert(Dedup.duplicateClusters(chain, driverEdgeCutoff = 0L)
+      .as[(Long, Long)].collect().toMap == cc2)
   }
 }
