@@ -42,6 +42,30 @@ class LayoutSpec extends AnyFunSuite {
       spans.mkString(", "))
   }
 
+  test("month-partitioned table prunes partitions at scan (K4 parity)") {
+    // the reference's MergeTree PARTITION BY toYYYYMM(insert_date)
+    // (migrations/sample_test.sql:13,18) maps to partitionBy(insert_month);
+    // a month predicate must reach the scan as a PartitionFilter so
+    // non-matching months are never read
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partprune").toString + "/t"
+    val rows = Seq(
+      (1L, "202401", 10), (2L, "202401", 20),
+      (3L, "202402", 30), (4L, "202403", 40))
+      .toDF("id", "insert_month", "v")
+    rows.write.partitionBy("insert_month").parquet(tmp)
+    val q = spark.read.parquet(tmp).where(col("insert_month") === "202402")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert("PartitionFilters: \\[[^\\]]*202402[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"month predicate did not become a partition filter:\n$plan")
+    assert(q.select("id").as[Long].collect().sorted.sameElements(Array(3L)))
+    // and the pruned scan selects exactly ONE of the three month partitions
+    val partsRead = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount }.sum
+    assert(partsRead == 1, s"expected 1 partition scanned, got $partsRead")
+  }
+
   test("compact merges small files without losing rows; no-op when already compact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
     val dir = s"$tmp/table"
