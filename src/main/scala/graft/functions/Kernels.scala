@@ -170,6 +170,53 @@ object Kernels {
     row
   }
 
+  /** 60-bit SimHash fingerprint of NORMALIZED text (single spaces,
+    * trimmed), one row-local pass — the eval of
+    * [[VectorExprs.Simhash60]]. Token hash = the first 15 hex digits of
+    * the token's MD5 (byte-identical to
+    * `conv(substring(md5(t), 1, 15), 16, 10)` and to any engine's md5,
+    * DuckDB included); bit i of the fingerprint is set iff more than half
+    * the token occurrences have bit i set (sum of ±1 strictly positive,
+    * ties → 0). Replaces the explode + 60-conditional-sum-aggregate
+    * table form: same fingerprints, zero shuffle.
+    */
+  def simhash60(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](60)
+    var nToks = 0
+    var start = 0
+    val len = bytes.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        // first 15 hex digits = bytes 0..6 + high nibble of byte 7 → 60 bits
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        nToks += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * counts(b) > nToks) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** One-pass repetition counters over NORMALIZED text (single spaces,
     * trimmed) — the eval of [[TextExprs.RepetitionStats]]: token count,
     * distinct-token count, and the max occurrence count of any word

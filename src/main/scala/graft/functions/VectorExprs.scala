@@ -198,6 +198,31 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[Kernels.simhash60]] as a codegen'd expression over normalized
+    * text: the whole SimHash fingerprint in one map-side call — the
+    * explode + 60-aggregate form this displaces shuffled a 60-int vector
+    * per (partition, doc).
+    */
+  case class Simhash60(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "simhash60"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.simhash60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.simhash60($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+      copy(child = newChild)
+  }
+
+  def simhash60(normalizedText: Column): Column =
+    ColumnBridge.column(Simhash60(ColumnBridge.expression(normalizedText)))
+
   def minhashSignature(features: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(features), numHashes))
 

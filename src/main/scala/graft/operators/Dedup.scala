@@ -307,14 +307,24 @@ object Dedup {
         call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
   }
 
-  /** SimHash fingerprints as a table: explode token hashes, then 64
-    * codegen'd conditional-sum aggregates per document. Same semantics as
-    * [[simhash64]] but whole-stage-codegen'd end to end (higher-order
-    * lambdas are interpreted in Spark; the nested form is 10-100× slower).
-    * Partial aggregation compresses map-side, so the shuffle carries one
-    * 64-int vector per (partition, doc) — scale-safe.
+  /** SimHash fingerprints as a table: one per-row kernel call
+    * ([[graft.functions.VectorExprs.simhash60]] — MD5 token hashes and
+    * the 60-bit majority vote in a single row-local pass), so fingerprint
+    * building is map-only at any corpus size. Same fingerprints as
+    * [[simhash64]] and as [[simhashTableComposed]] (spec-pinned); the
+    * composed form shuffled a 60-int partial vector per (partition, doc).
     */
-  def simhashTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def simhashTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.simhash60(normalize(col(textCol))).as("fp"))
+
+  /** The pre-kernel table form of [[simhashTable]] — explode token
+    * hashes, then 60 codegen'd conditional-sum aggregates per document
+    * (map-side partial aggregation, one shuffle). Retained as the
+    * readable reference implementation; `VectorExprsSpec` pins the kernel
+    * path bit-identical to it.
+    */
+  def simhashTableComposed(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // explode FIRST, hash AFTER: md5/conv on a plain column stay inside
     // whole-stage codegen, whereas inside a transform() lambda every
     // element-step is interpreted (measured ~2× on the d04 pipeline)

@@ -74,4 +74,21 @@ class VectorExprsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(hof.toSeq == kernel.toSeq)
   }
+
+  test("Simhash60 kernel == exploded 60-aggregate composition (incl. md5 hashing)") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "THE  QUICK   brown fox jumps over the lazy dog"), // normalize-equal to 0
+      (2L, "one token repeated repeated repeated repeated"),
+      (3L, "x"),
+      (4L, ""),                                              // empty → one empty token
+      (5L, "unicode héllo wörld 中文 tokens here"))
+      .toDF("doc_id", "text")
+    val kernel = graft.operators.Dedup.simhashTable(docs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val composed = graft.operators.Dedup.simhashTableComposed(docs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(kernel == composed)
+    assert(kernel(0)._2 == kernel(1)._2) // normalization collapses 0 and 1
+  }
 }
