@@ -26,16 +26,34 @@ object PlanAudit {
       "q06_revenue_forecast", "q20_having", "q28_asof_join", "i01_ingest_e2e")
     val interesting = if (args.nonEmpty) args.toSeq else default
     interesting.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(name)(spark, d)
+      // execute BEFORE reading the plan: under AQE the pre-execution
+      // string is the unfinalized adaptive plan with no codegen markers
+      // (wholeStage would always read false) and provisional join picks.
+      // collect(), not foreach() — foreach executes through a separate
+      // rdd-path QueryExecution and never finalizes THIS plan object
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      // an executed AQE plan prints "== Final Plan ==" then "== Initial
+      // Plan ==" — audit only the final section or every count doubles
+      val plan = {
+        val i = full.indexOf("== Initial Plan ==")
+        if (i >= 0) full.substring(0, i) else full
+      }
       def has(s: String) = plan.contains(s)
       def n(s: String) = s.r.findAllIn(plan).length
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
         .filterNot(_.contains("[]")).toList
       println(s"=== $name")
+      // codegen'd operators carry a `*(stageId)` prefix in the final
+      // adaptive plan (the word "WholeStageCodegen" appears only in
+      // formatted mode); count the distinct codegen stage ids
+      val codegenStages =
+        "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"  broadcastHash=${has("BroadcastHashJoin")} smj=${has("SortMergeJoin")} " +
         s"bnlj=${has("BroadcastNestedLoopJoin")} cartesian=${has("CartesianProduct")}")
       println(s"  takeOrdered=${has("TakeOrderedAndProject")} " +
-        s"wholeStage=${has("WholeStageCodegen")} " +
+        s"codegenStages=$codegenStages " +
         s"exchanges=${n("Exchange hashpartitioning") + n("Exchange rangepartitioning") + n("Exchange RoundRobin")} " +
         s"broadcastExch=${n("BroadcastExchange")}")
       pushed.take(3).foreach(p => println(s"  $p"))
