@@ -252,13 +252,13 @@ object TextAnalysis {
     * TF-IDF orders identically whenever df ties break by tf (and the
     * float score is one `log` call away for consumers who want it).
     *
-    * Scale shape: the tf and df aggregates each run their own
-    * scan+explode pass (verified with PlanAudit) — deliberately NOT a
-    * shared cached explode, because materializing the exploded token
-    * stream costs ~|tokens| rows of storage while a second columnar scan
-    * is pipelined and nearly free; both aggregates partial-combine
-    * map-side before their exchange, the df side joins back on term
-    * (aggregated rows, never raw tokens), and the final per-doc top-k is
+    * Scale shape: ONE scan+explode feeds the (doc, term) tf aggregate
+    * (map-side partial combine before its single exchange); df then falls
+    * out of tf for free — a term's document frequency is its ROW COUNT in
+    * tf, one row per (doc, term) — attached as a count window over term,
+    * so the corpus is never re-read or re-exploded and no join or persist
+    * is needed. Three key exchanges total ((doc,term) → term → doc), all
+    * over aggregated rows, never raw tokens. The final per-doc top-k is
     * the `filter(row_number ≤ k)` window shape the custom heap top-k
     * operator ([[graft.plans.TopKPerKey]]) rewrites to map-side thinning
     * when installed.
@@ -269,12 +269,12 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
-      .where(col("df") * dfDen <= lit(n) * dfNum)
-    val w = org.apache.spark.sql.expressions.Window
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
-    tf.join(df, "term")
-      .withColumn("rn", row_number().over(w))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .where(col("df") * dfDen <= lit(n) * dfNum)
+      .withColumn("rn", row_number().over(wDoc))
       .where(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn"))
   }
