@@ -89,6 +89,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: treat the payload as a row-major `srcH`×`srcW` byte
+    * grid and nearest-neighbor sample it down to `dstW`×`dstH` (flat index
+    * clamped into the actual payload, which may be shorter than the
+    * declared grid). A real implementation decodes pixels and interpolates
+    * here; the grid arithmetic, clamping, and output-size contract are
+    * what carry over.
+    */
+  private[operators] def resizeStub(payload: Array[Byte],
+      srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) return Array.emptyByteArray
+    Array.tabulate(dstW * dstH) { i =>
+      val y = i / dstW
+      val x = i % dstW
+      val idx = math.min(payload.length - 1, (y * srcH / dstH) * srcW + (x * srcW / dstW))
+      payload(idx)
+    }
+  }
+
+  /** Media resize over the binary column — same `mapPartitions` batch
+    * shape as [[extractFeatures]] (map-only, decoder state per partition),
+    * emitting the resized payload with updated metadata.
+    */
+  def resize(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType, nullable = true),
+        StructField("width", IntegerType, nullable = true),
+        StructField("height", IntegerType, nullable = true),
+        StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        val meta = r.getStruct(metaIdx)
+        val srcW = if (meta.isNullAt(1)) dstW else meta.getInt(1)
+        val srcH = if (meta.isNullAt(2)) dstH else meta.getInt(2)
+        val out = resizeStub(payload, srcW, srcH, dstW, dstH)
+        Row(id, out, Row(meta.getString(0), dstW, dstH, out.length.toLong))
+      }
+    }(enc)
+  }
+
   /** "Frame sampling" over a binary payload: every `stride`-th byte window
     * as its own row (the video-frame analog; byte windows stand in for
     * decoded frames).

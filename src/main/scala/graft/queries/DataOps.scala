@@ -883,6 +883,35 @@ object DataOps {
              |FROM m""".stripMargin),
       "binary-column plumbing + mapPartitions feature extraction (decode stubbed)"),
 
+    // Oracle note (m03): resize is nearest-neighbor over the 64×64 byte
+    // grid → flat source index 512·(i÷8) + 8·(i mod 8) clamped to the
+    // payload, reproducible byte-by-byte in DuckDB via hex(); the checksum
+    // is extractFeatures at dim=1 (sum of resized bytes mod 1009).
+    "m03_media_resize" -> Q(
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(tp(s, dir, "documents"))
+        val resized = Multimodal.resize(media, dstW = 8, dstH = 8)
+        Multimodal.extractFeatures(resized, dim = 1)
+          .join(resized.select(col("media_id"), col("meta.n_bytes").as("n_bytes_out")), "media_id")
+          .select(col("media_id"), col("n_bytes_out"),
+            element_at(col("features"), 1).as("checksum"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents),
+             |r AS (
+             |  SELECT media_id, n,
+             |    CASE WHEN n = 0 THEN [] ELSE
+             |      [CAST(CONCAT('0x', SUBSTR(hx, 2 * least(n - 1, 512 * (i // 8) + 8 * (i % 8)) + 1, 2)) AS INT)
+             |       FOR i IN generate_series(0, 63)] END AS bs
+             |  FROM m)
+             |SELECT media_id,
+             |  CAST(len(bs) AS BIGINT) AS n_bytes_out,
+             |  CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_sum(bs) % 1009 END AS FLOAT) AS checksum
+             |FROM r""".stripMargin),
+      "media resize plumbing: nearest-neighbor byte-grid downsample, map-only"),
+
     "m02_frame_sample" -> Q(
       (s, dir) => {
         val media = Multimodal.asMediaTable(tp(s, dir, "documents"))

@@ -41,4 +41,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts(0L) == 4L) // 128 bytes / (16*2)
     assert(counts(1L) == 1L) // short payload → 1 frame min
   }
+
+  test("resize: nearest-neighbor byte-grid downsample with clamping") {
+    // 4×4 grid of known bytes resized to 2×2: picks (0,0),(0,2),(2,0),(2,2)
+    val grid = Array.tabulate(16)(i => i.toByte)
+    val out = Multimodal.resizeStub(grid, srcW = 4, srcH = 4, dstW = 2, dstH = 2)
+    assert(out.toSeq == Seq(0.toByte, 2.toByte, 8.toByte, 10.toByte))
+    // payload shorter than the declared grid: indices clamp to last byte
+    val short = Array[Byte](1, 2, 3)
+    val out2 = Multimodal.resizeStub(short, srcW = 4, srcH = 4, dstW = 2, dstH = 2)
+    assert(out2.toSeq == Seq(1.toByte, 3.toByte, 3.toByte, 3.toByte))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 4, 4, 2, 2).isEmpty)
+    // DataFrame path: meta updated, payload length = dstW*dstH
+    val media = Multimodal.asMediaTable(docs)
+    val metas = Multimodal.resize(media, dstW = 8, dstH = 8)
+      .select("media_id", "meta.width", "meta.height", "meta.n_bytes")
+      .as[(Long, Int, Int, Long)].collect()
+    metas.foreach { case (id, w, h, nb) =>
+      assert(w == 8 && h == 8)
+      assert(nb == (if (id == 2L) 0 else 64)) // empty payload stays empty
+    }
+    val byId = Multimodal.resize(media, 8, 8).collect()
+      .map(row => row.getLong(0) -> row.getAs[Array[Byte]](1)).toMap
+    assert(byId(0L).length == 64)
+  }
 }
