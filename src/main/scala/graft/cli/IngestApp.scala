@@ -91,6 +91,8 @@ object IngestApp {
           case "syslog-udp" => StreamingIngest.stripSyslogEnvelope(
             StreamingIngest.syslogUdpSource(spark, need("port").toInt,
               bind = opts.getOrElse("bind", "0.0.0.0")))
+          case "syslog-unix" => StreamingIngest.stripSyslogEnvelope(
+            StreamingIngest.syslogUnixSource(spark, need("socket-path")))
           case "kafka" => StreamingIngest.kafkaSource(spark, need("brokers"), need("topic"))
           case other   => sys.error(s"unknown source: $other")
         }

@@ -76,6 +76,14 @@ object StreamingIngest {
     spark.readStream.format("syslog-udp")
       .option("bind", bind).option("port", port).load()
 
+  /** S4 (native, UNIX leg): binds an AF_UNIX stream listener at `path`
+    * ([[graft.sources.SyslogUnixSourceProvider]]); newline-delimited
+    * messages from local emitters, the JDK-expressible counterpart of the
+    * reference's unixgram listener.
+    */
+  def syslogUnixSource(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("syslog-unix").option("path", path).load()
+
   /** RFC3164 envelope strip → content, the syslog handler's extraction
     * (`internal/services/syslog/impl.go:89-98`): `<PRI>Mmm dd hh:mm:ss
     * host tag: content`.

@@ -195,6 +195,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("native syslog-unix DSv2 source end-to-end (S4 UNIX transport parity)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_unixsock").toString + "/syslog.sock"
+    val lines = StreamingIngest.syslogUnixSource(spark, path)
+    val parsed = StreamingIngest.parse(StreamingIngest.stripSyslogEnvelope(lines), cfg)
+    val q = parsed.writeStream.format("memory")
+      .queryName("syslog_unix_test").outputMode("append").start()
+    try {
+      // listener binds lazily on the first micro-batch — wait for the socket file
+      val deadline = System.currentTimeMillis() + 30000
+      q.processAllAvailable()
+      while (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(path))
+      val msg = ("<34>Oct 11 22:14:15 myhost nginx: " + goodLine + "\n" +
+        "<34>Oct 11 22:14:16 myhost nginx: " + badLine + "\n" +
+        "<34>Oct 11 22:14:17 myhost nginx: " + goodLine + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ch.write(java.nio.ByteBuffer.wrap(msg))
+      ch.close()
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("syslog_unix_test").count()
+        if (n < 2) Thread.sleep(200)
+      }
+      assert(n == 2) // two good lines; garbage dropped
+      val r = spark.table("syslog_unix_test").collect().head
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[Long]("bytes_sent") == 512L)
+    } finally q.stop()
+  }
+
   test("archive retention prunes by count and age (S2 parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_archive").toString
     (1 to 6).foreach { i =>
