@@ -598,6 +598,36 @@ object Dedup {
       .select("ia", "ib")
   }
 
+  /** Semantic decontamination: drop every train row whose embedding is
+    * within cosine `threshold` of ANY eval-set embedding — the
+    * embedding-space complement of n-gram [[decontaminate]], catching
+    * paraphrased or reformatted benchmark leakage that exact n-gram
+    * overlap misses.
+    *
+    * Scale shape: the eval side is benchmarks (small) — its vectors
+    * BROADCAST, and the contamination test is a map-only pass over train
+    * (per-row max cosine against the broadcast matrix, norms fenced and
+    * computed once per side); only the contaminated-id set (tiny) is ever
+    * exchanged for the final anti-join. Nothing about the 100 TB train
+    * side shuffles.
+    */
+  def semanticDecontaminate(
+      train: DataFrame, evalSet: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.99): DataFrame = {
+    val t = train.select(col(idCol), col(vecCol).cast("array<double>").as("tv"))
+      .withColumn("tn", graft.functions.OptimizerFence(Similarity.dot(col("tv"), col("tv"))))
+    val e = evalSet.select(col(vecCol).cast("array<double>").as("ev"))
+      .withColumn("en", graft.functions.OptimizerFence(Similarity.dot(col("ev"), col("ev"))))
+    // division form, not dot ≥ t·‖a‖·‖b‖ — the DuckDB oracle computes the
+    // quotient, and the two only agree bit-for-bit on the same expression
+    val contaminated = t.crossJoin(broadcast(e))
+      .where(Similarity.dot(col("tv"), col("ev")) /
+        (sqrt(col("tn")) * sqrt(col("en"))) >= threshold)
+      .select(idCol).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Semantic deduplication (SemDeDup — Abbas, Tirumala, Simig, Ganguli,
     * Morcos, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540): embedding-space

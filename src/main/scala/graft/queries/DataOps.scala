@@ -401,6 +401,25 @@ object DataOps {
              |  SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.g = e.g)""".stripMargin),
       "Bloom-prefiltered decontamination: codegen'd bloom probe map-side, exact verify join"),
 
+    // Oracle note (d14): eval = every 25th embedding (verbatim leakage —
+    // the canonical contamination case); train rows within cosine 0.99 of
+    // any eval vector drop. Division-form cosine matches d06.
+    "d14_semantic_decontaminate" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        Dedup.semanticDecontaminate(emb, emb.where(col("vec_id") % 25 === 0),
+          threshold = 0.99).select("vec_id")
+      },
+      Some("""WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 25 = 0)
+             |SELECT vec_id FROM embeddings t
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM ev e
+             |  WHERE list_inner_product(CAST(t.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             |        / (sqrt(list_inner_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))
+             |           * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+             |        >= 0.99)""".stripMargin),
+      "semantic decontamination: map-only cosine screen against broadcast eval embeddings"),
+
     // ---- similarity search ----------------------------------------------
     "s01_ann_bruteforce" -> Q(
       (s, dir) => {

@@ -143,6 +143,19 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.sameElements(Array(1L, 3L)))
   }
 
+  test("semanticDecontaminate drops train vectors near any eval vector") {
+    val train = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.01f, 0f, 0f)), // ≈ eval 100 → dropped
+      (3L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDecontaminate(train, eval, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L))) // 0 exact match, 2 near match
+  }
+
   test("semanticDedup keeps one representative per embedding cluster") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
