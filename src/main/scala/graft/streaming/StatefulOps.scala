@@ -193,6 +193,43 @@ object StatefulOps {
       }
       .start()
 
+  /** Continuously-curated corpus sink — the streaming form of the p01
+    * batch pipeline: every micro-batch of raw documents is (a) filtered
+    * by the C4/Gopher heuristics, (b) exact-deduped within itself,
+    * (c) near-deduped against everything already KEPT (MinHash bands +
+    * exact verify), (d) n-gram-decontaminated against a fixed eval set,
+    * and the survivors append to the corpus. Same at-least-once envelope
+    * as [[incrementalCorpusSink]] (checkpointed foreachBatch; the append
+    * itself is not transactional).
+    */
+  def curationSink(
+      docs: DataFrame, evalSet: DataFrame, corpusDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      minToks: Int = 15, decontamN: Int = 8,
+      shingleSize: Int = 3, numHashes: Int = 96, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val keepIds = graft.operators.TextAnalysis
+          .c4Filters(batch.toDF(), minToks, textCol, idCol)
+          .where(col("keep")).select(idCol)
+        val kept = batch.toDF().join(keepIds, Seq(idCol), "left_semi")
+        val selfDeduped = graft.operators.Dedup.exactDedup(kept, textCol, idCol)
+        val corpusExists = new java.io.File(corpusDir).exists()
+        val nearDeduped =
+          if (!corpusExists) selfDeduped
+          else graft.operators.Dedup.crossCorpusSurvivors(
+            selfDeduped, spark.read.parquet(corpusDir),
+            textCol, idCol, shingleSize, numHashes, rowsPerBand, threshold)
+        val clean = graft.operators.Dedup.decontaminate(
+          nearDeduped, evalSet, textCol, idCol, decontamN)
+        clean.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
   /** Stream-static enrichment: join each micro-batch against a small
     * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
     * static side is planned per micro-batch (a broadcast hash join inside

@@ -120,6 +120,38 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curationSink: filter → self-dedup → corpus near-dedup → decontaminate per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation")
+    val corpusDir = s"$tmp/corpus"
+    val eval = Seq((900L, "the benchmark question about spark shuffles and the answer is that"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val q = StatefulOps.curationSink(
+      stream.toDS().toDF("doc_id", "text"), eval, corpusDir, s"$tmp/cp",
+      minToks = 8, decontamN = 6,
+      shingleSize = 2, numHashes = 64, rowsPerBand = 4, threshold = 0.8)
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and it is fine"),
+        (2L, "the quick brown fox jumps over the lazy dog and it is fine"), // exact dup
+        (3L, "too short"),                                                  // C4 short rule
+        (4L, "the benchmark question about spark shuffles and the answer is that leaked here"), // contaminated
+        (5L, "a completely different and is that it for the original document text here"))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterB1.sameElements(Array(1L, 5L)))
+      stream.addData(
+        (10L, "THE QUICK brown fox jumps over the lazy dog and it is fine"), // near-dup of kept 1
+        (11L, "novel tokens carrying the fresh vocabulary and it is that good for this"))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted
+      assert(afterB2.sameElements(Array(1L, 5L, 11L)))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("us", "United States"), ("de", "Germany")).toDF("cc", "country")
