@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.TextExprs.TextQualityStats(args(0),
           graft.operators.TextAnalysis.EnStopwords)),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(normalized_text) - one-pass struct(n_toks, n_distinct, top1, top2, top3) gram-repetition counters"),
+      (args: Seq[Expression]) => graft.functions.TextExprs.RepetitionStats(args(0))),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(normalized_text) - 60-bit SimHash fingerprint (MD5 token hashes, majority vote)"),
+      (args: Seq[Expression]) => VectorExprs.Simhash60(args(0))),
     (FunctionIdentifier("fence"),
       info("fence", "fence(expr) - identity marked non-deterministic: pins the enclosing projection"),
       (args: Seq[Expression]) => OptimizerFence(args(0))))

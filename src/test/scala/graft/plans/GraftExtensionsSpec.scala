@@ -50,4 +50,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(q.getInt(0) == 16 && q.getInt(1) == 11 && q.getInt(2) == 2)
     assert(q.getInt(3) == 4 && q.getInt(4) == 1) // 'the'
   }
+
+  test("repetition_stats and simhash60 from SQL") {
+    val r = spark.sql("SELECT repetition_stats('spam spam spam egg') AS s")
+      .selectExpr("s.n_toks", "s.n_distinct", "s.top1", "s.top2", "s.top3")
+      .collect().head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 2 && r.getInt(2) == 3)
+    assert(r.getInt(3) == 2 && r.getInt(4) == 1) // "spam spam" twice; trigrams unique
+    // SQL fingerprint == Column-API fingerprint
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT simhash60('the quick brown fox') AS fp")
+      .as[Long].collect().head
+    val viaCol = Seq("the quick brown fox").toDF("text")
+      .select(graft.operators.Dedup.simhash64(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+      .as[Long].collect().head
+    assert(viaSql == viaCol)
+  }
 }
