@@ -21,6 +21,7 @@ object Bench {
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
     "d08_cross_corpus", "d09_decontaminate",
     "d10_editdist", "d12_semantic_dedup", "d13_bloom_decontaminate",
+    "d14_semantic_decontaminate", "m03_media_resize",
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q36_seq_pack", "q38_epoch_shuffle",
