@@ -638,10 +638,12 @@ object Dedup {
     * so the result is deterministic and oracle-checkable; at 100 TB the
     * pair stage swaps to `Similarity.lshCosinePairs` or IVF-cell blocking
     * (SemDeDup's k-means cells) with identical downstream clustering —
-    * only the candidate generator changes. The dropped-id set is tiny
-    * relative to the corpus (it is the duplicates), so the final anti-join
-    * broadcasts; cluster labels come from the same Pregel-style
-    * min-label propagation as [[duplicateClusters]].
+    * only the candidate generator changes. The final anti-join carries no
+    * broadcast hint: at aggressive thresholds SemDeDup prunes a large
+    * FRACTION of the corpus, so the dropped-id set scales with the data —
+    * AQE broadcasts it when it happens to be small and shuffle-joins on
+    * the id otherwise. Cluster labels come from the same adaptive
+    * connected components as [[duplicateClusters]].
     */
   def semanticDedup(
       emb: DataFrame,
@@ -652,6 +654,6 @@ object Dedup {
     val clusters = duplicateClusters(pairs)
     val dropped = clusters.where(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))
-    emb.join(broadcast(dropped), Seq(idCol), "left_anti").select(idCol)
+    emb.join(dropped, Seq(idCol), "left_anti").select(idCol)
   }
 }
