@@ -136,6 +136,13 @@ object Sampling {
     * alternative to [[sequentialPack]] when examples must not straddle
     * document boundaries and boundary context should repeat).
     *
+    * Every token is covered: when `n - win` is not a stride multiple the
+    * aligned windows stop short of the document tail, so a final
+    * END-ALIGNED window at `n - win + 1` is appended (randomized coverage
+    * property in `KernelPropertySpec`; without it the last
+    * `(n - win) mod stride` tokens would silently vanish from the
+    * training set).
+    *
     * Map-only: tokenization runs once per row (fenced), the starts
     * sequence explodes off the token count, and each chunk slices the
     * in-row token array — no shuffle at any size; output count is
@@ -148,12 +155,17 @@ object Sampling {
       graft.functions.OptimizerFence(
         split(Dedup.normalize(col(textCol)), " ")).as("toks"))
       .withColumn("n", size(col("toks")))
+    val maxStart = greatest(col("n") - (win - 1), lit(1))
+    val aligned = sequence(lit(1), maxStart, lit(stride))
+    val starts = when(element_at(aligned, -1) === maxStart, aligned)
+      .otherwise(concat(aligned, array(maxStart)))
     toks
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(1), greatest(col("n") - (win - 1), lit(1)),
-          lit(stride))).as("start"))
+      .select(col("doc_id"), col("toks"), col("n"), explode(starts).as("start"))
       .select(col("doc_id"),
-        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        // ceil((start-1)/stride): exact for aligned starts, and the
+        // unaligned tail start lands strictly between two aligned ones so
+        // it gets the next ordinal — no index collision
+        ceil((col("start") - 1) / lit(stride.toDouble)).cast("int").as("chunk_idx"),
         col("start"),
         least(lit(win), col("n") - col("start") + 1).cast("int").as("n_toks"),
         array_join(slice(col("toks"), col("start"), lit(win)), " ").as("chunk"))

@@ -717,14 +717,17 @@ object DataOps {
              |  FROM documents),
              |s AS (
              |  SELECT doc_id, toks, len(toks) AS n,
-             |    unnest(generate_series(1, greatest(len(toks) - 31, 1), 24)) AS start
+             |    unnest(CASE WHEN (greatest(len(toks) - 31, 1) - 1) % 24 = 0
+             |      THEN generate_series(1, greatest(len(toks) - 31, 1), 24)
+             |      ELSE list_append(generate_series(1, greatest(len(toks) - 31, 1), 24),
+             |                       greatest(len(toks) - 31, 1)) END) AS start
              |  FROM t)
-             |SELECT doc_id, CAST((start - 1) // 24 AS INT) AS chunk_idx,
+             |SELECT doc_id, CAST(ceil((start - 1) / 24.0) AS INT) AS chunk_idx,
              |  CAST(start AS INT) AS start,
              |  CAST(least(32, n - start + 1) AS INT) AS n_toks,
              |  array_to_string(toks[start:start+31], ' ') AS chunk
              |FROM s""".stripMargin),
-      "stride-overlap context chunking: map-only sliding windows over tokens"),
+      "stride-overlap context chunking: map-only sliding windows, tail window end-aligned"),
 
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),

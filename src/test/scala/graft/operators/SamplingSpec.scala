@@ -115,10 +115,12 @@ class SamplingSpec extends AnyFunSuite {
     // overlap: chunk i shares win-stride=1 token with chunk i+1 ("d", "g")
     // short doc: one clamped chunk
     assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 2, "x y")))
-    // stride > remaining: 5 tokens win=4 stride=3 → starts 1 only? n-win+1=2 → starts 1 (next=4>2)
+    // unaligned tail: 5 tokens win=4 stride=3 → aligned start 1, then the
+    // end-aligned tail window at n-win+1=2 so token 5 is covered
     val e = Seq((3L, "p q r s t")).toDF("doc_id", "text")
     val ch2 = Sampling.chunkStride(e, win = 4, stride = 3)
-      .select("start", "n_toks").as[(Int, Int)].collect().toSeq.sorted
-    assert(ch2 == Seq((1, 4)))
+      .select("chunk_idx", "start", "n_toks", "chunk")
+      .as[(Int, Int, Int, String)].collect().toSeq.sorted
+    assert(ch2 == Seq((0, 1, 4, "p q r s"), (1, 2, 4, "q r s t")))
   }
 }
