@@ -488,8 +488,15 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       driverEdgeCutoff: Long = 5000000L): DataFrame = {
-    val fwd = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-    if (fwd.limit((driverEdgeCutoff + 1).toInt).count() <= driverEdgeCutoff)
+    // id-type-agnostic: nodes keep their natural column type (long, string,
+    // ...) on both paths; null endpoints are meaningless edges and dropped.
+    val fwd = pairs
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .select(col("a").as("src"), col("b").as("dst"))
+    // A cutoff ≥ Int.MaxValue could never be collect()ed anyway; routing it
+    // to the iterative path also avoids the (cutoff+1).toInt overflow.
+    if (driverEdgeCutoff < Int.MaxValue.toLong &&
+        fwd.limit((driverEdgeCutoff + 1).toInt).count() <= driverEdgeCutoff)
       return driverUnionFind(fwd)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -518,12 +525,21 @@ object Dedup {
 
   /** Small-graph path of [[duplicateClusters]]: collect the (src, dst)
     * edges, path-compressed union-find, label = min id per component.
+    * Generic over the id type: unions always re-root onto the smaller
+    * endpoint (by the type's natural order), so a component's root IS its
+    * min id — matching the iterative path's `min(label)` on any type the
+    * column can hold (numerics, strings, ...).
     */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
     val spark = edges.sparkSession
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = new java.util.HashMap[Long, java.lang.Long]()
-    def find(x: Long): Long = {
+    val idType = edges.schema.head.dataType
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val es = edges.collect().map(r => (r.get(0), r.get(1)))
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.get(r)
       var c = x // path compression
@@ -533,16 +549,13 @@ object Dedup {
     es.foreach { case (a, b) =>
       parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
       val ra = find(a); val rb = find(b)
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
     }
-    val labels = new scala.collection.mutable.HashMap[Long, Long]()
-    parent.keySet().forEach { n =>
-      val root = find(n)
-      labels.updateWith(root)(m => Some(math.min(m.getOrElse(Long.MaxValue), n)))
-    }
-    val out = parent.keySet().toArray(Array.empty[java.lang.Long])
-      .map(n => (n.toLong, labels(find(n.toLong))))
-    spark.createDataFrame(out.toSeq).toDF("node", "cluster")
+    val rows = parent.keySet().toArray.map(n => Row(n, find(n))).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("node", idType), StructField("cluster", idType))))
   }
 
   /** Duplicated-span inventory: every k-token span (in document order,

@@ -128,11 +128,14 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        val meta = r.getStruct(metaIdx)
-        val srcW = if (meta.isNullAt(1)) dstW else meta.getInt(1)
-        val srcH = if (meta.isNullAt(2)) dstH else meta.getInt(2)
+        // meta is declared nullable: a null meta row falls back to the
+        // destination dimensions and a null format instead of NPE-ing
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val srcW = if (meta == null || meta.isNullAt(1)) dstW else meta.getInt(1)
+        val srcH = if (meta == null || meta.isNullAt(2)) dstH else meta.getInt(2)
+        val fmt = if (meta == null) null else meta.getString(0)
         val out = resizeStub(payload, srcW, srcH, dstW, dstH)
-        Row(id, out, Row(meta.getString(0), dstW, dstH, out.length.toLong))
+        Row(id, out, Row(fmt, dstW, dstH, out.length.toLong))
       }
     }(enc)
   }

@@ -151,6 +151,10 @@ object Sampling {
   def chunkStride(docs: DataFrame, win: Int, stride: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(win > 0 && stride > 0, "win and stride must be positive")
+    require(stride <= win,
+      s"stride ($stride) must be <= win ($win): a larger stride leaves " +
+        "stride - win tokens uncovered between windows, breaking the " +
+        "every-token-covered contract")
     val toks = docs.select(col(idCol).as("doc_id"),
       graft.functions.OptimizerFence(
         split(Dedup.normalize(col(textCol)), " ")).as("toks"))

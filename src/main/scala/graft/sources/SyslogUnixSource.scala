@@ -76,15 +76,39 @@ private[sources] class SyslogUnixMicroBatchStream(path: String)
     acceptor.start()
   }
 
-  /** Read a connection to EOF, emitting complete newline-delimited lines. */
+  /** Read a connection to EOF, emitting complete newline-delimited lines.
+    * A persistent per-connection CharsetDecoder with `endOfInput=false`
+    * carries a multi-byte UTF-8 sequence split across a read boundary over
+    * to the next chunk (a fresh `UTF_8.decode` per chunk would replace the
+    * partial sequence with U+FFFD, corrupting the message).
+    */
   private def pump(conn: SocketChannel, append: String => Unit): Unit = {
     val buf = ByteBuffer.allocate(64 * 1024)
+    val chars = java.nio.CharBuffer.allocate(64 * 1024)
+    val decoder = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val pending = new StringBuilder
+    def drain(endOfInput: Boolean): Unit = {
+      buf.flip()
+      var res = decoder.decode(buf, chars, endOfInput)
+      while (res.isOverflow) {
+        chars.flip(); pending.append(chars); chars.clear()
+        res = decoder.decode(buf, chars, endOfInput)
+      }
+      if (endOfInput) {
+        var fl = decoder.flush(chars)
+        while (fl.isOverflow) {
+          chars.flip(); pending.append(chars); chars.clear()
+          fl = decoder.flush(chars)
+        }
+      }
+      chars.flip(); pending.append(chars); chars.clear()
+      buf.compact() // keep any trailing partial byte sequence for next read
+    }
     try {
       while (conn.read(buf) >= 0) {
-        buf.flip()
-        pending.append(StandardCharsets.UTF_8.decode(buf))
-        buf.clear()
+        drain(endOfInput = false)
         var nl = pending.indexOf("\n")
         while (nl >= 0) {
           val line = pending.substring(0, nl).stripSuffix("\r")
@@ -93,6 +117,7 @@ private[sources] class SyslogUnixMicroBatchStream(path: String)
           nl = pending.indexOf("\n")
         }
       }
+      drain(endOfInput = true)
       // trailing unterminated line on close counts as a message
       val tail = pending.toString.stripSuffix("\r")
       if (tail.nonEmpty) append(tail)

@@ -183,9 +183,8 @@ object StatefulOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val selfDeduped = graft.operators.Dedup.exactDedup(batch.toDF(), textCol, idCol)
-        val corpusExists = new java.io.File(corpusDir).exists()
         val survivors =
-          if (!corpusExists) selfDeduped
+          if (!corpusExists(spark, corpusDir)) selfDeduped
           else graft.operators.Dedup.crossCorpusSurvivors(
             selfDeduped, spark.read.parquet(corpusDir),
             textCol, idCol, shingleSize, numHashes, rowsPerBand, threshold)
@@ -218,9 +217,8 @@ object StatefulOps {
           .where(col("keep")).select(idCol)
         val kept = batch.toDF().join(keepIds, Seq(idCol), "left_semi")
         val selfDeduped = graft.operators.Dedup.exactDedup(kept, textCol, idCol)
-        val corpusExists = new java.io.File(corpusDir).exists()
         val nearDeduped =
-          if (!corpusExists) selfDeduped
+          if (!corpusExists(spark, corpusDir)) selfDeduped
           else graft.operators.Dedup.crossCorpusSurvivors(
             selfDeduped, spark.read.parquet(corpusDir),
             textCol, idCol, shingleSize, numHashes, rowsPerBand, threshold)
@@ -229,6 +227,18 @@ object StatefulOps {
         clean.write.mode("append").parquet(corpusDir)
       }
       .start()
+
+  /** Storage-agnostic existence probe for the corpus directory: resolved
+    * through Hadoop's FileSystem so the check holds on HDFS/S3/ABFS, not
+    * just the local filesystem (a `java.io.File` probe is always false on
+    * remote storage, which would silently skip the cross-corpus dedup
+    * stage forever).
+    */
+  private def corpusExists(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Stream-static enrichment: join each micro-batch against a small
     * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
