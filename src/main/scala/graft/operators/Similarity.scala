@@ -73,13 +73,17 @@ object Similarity {
     * Build: pick a small deterministic centroid set (`vec_id % centroidMod
     * == 0` — a training-free stand-in for k-means; swap in real centroids
     * without touching the query path), then assign every corpus vector to
-    * its nearest centroid (one broadcast join — centroids ≪ corpus, so
-    * assignment is map-side and the corpus shuffles once on cell id at
-    * most).
+    * its nearest centroid as an ARGMAX AGGREGATE over the broadcast
+    * centroid cross product: `groupBy(nid).agg(max_by(...))` partial-combines
+    * map-side, so the only exchange carries ONE row per corpus vector —
+    * never |corpus|×|centroids| rows (the previous `row_number` window
+    * clustered the whole cross product on nid: a corpus-multiplied
+    * shuffle-and-sort at 100 TB).
     *
-    * Query: probe the `nProbe` nearest cells per query, rank candidates in
-    * those cells by exact cosine, keep top k. Scan cost drops from
-    * O(corpus) to O(corpus × nProbe / nCells) per query.
+    * Query: probe the `nProbe` nearest cells per query (window over
+    * |queries|×|centroids| — the QUERY side is the small one), rank
+    * candidates in those cells by exact cosine, keep top k. Scan cost drops
+    * from O(corpus) to O(corpus × nProbe / nCells) per query.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -93,12 +97,15 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
 
-    val wAssign = Window.partitionBy(col("nid"))
-      .orderBy(col("ccos").desc, col("cent_id"))
+    // max_by over struct(ccos, -cent_id) ≡ ORDER BY ccos DESC, cent_id ASC
+    // LIMIT 1 per nid: highest cosine wins, ties go to the smallest cell id.
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("ccos", cosine(col("nv"), col("cv"), col("nn"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+      .groupBy(col("nid"))
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("tb")))
+          .as("cent_id"),
+        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
       .select(col("cent_id"), col("nid"), col("nv"), col("nn"))
 
     val q = queries.select(col(idCol).as("query_id"),

@@ -60,6 +60,18 @@ object TopKPerKey {
 
   val MaxK = 4096
 
+  /** Partial-phase memory bound: a map partition stops opening NEW per-key
+    * heaps once the worst-case retained rows (tracked keys × k) would pass
+    * this, and rows for untracked keys flow straight through to the
+    * exchange instead (correct — the final phase recomputes exact top-k;
+    * the partial phase is only a shuffle thinner). Without the cap, a
+    * high-cardinality key column retains k·distinct-keys rows per
+    * partition with no spill, where stock sort-based WindowGroupLimit
+    * would have spilled. Var (not val) so the fallback spec can exercise
+    * the degraded path at a tiny bound.
+    */
+  @volatile var MaxPartialRows: Long = 4L << 20
+
   /** Idempotently install the rewrite + strategy into a live session
     * (`experimental` hooks bind at query planning, not session build).
     */
@@ -104,6 +116,12 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
                 if attr.exprId == a.exprId => Some(k)
             case LessThan(attr: AttributeReference, Literal(k: Int, IntegerType))
                 if attr.exprId == a.exprId => Some(k - 1)
+            // rn = 1 ⟺ rn <= 1 (row_number is dense from 1); only the
+            // 1-case of equality is a top-k — `rn = 3` alone is not
+            case EqualTo(attr: AttributeReference, Literal(1, IntegerType))
+                if attr.exprId == a.exprId => Some(1)
+            case EqualTo(Literal(1, IntegerType), attr: AttributeReference)
+                if attr.exprId == a.exprId => Some(1)
             case _ => None
           }
           kOpt match {
@@ -163,28 +181,64 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val emitRn = rnAttr.isDefined
     val numOutput = longMetric("numOutputRows")
+    val maxPartialRows = TopKPerKey.MaxPartialRows
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderSpec, childOutput)
       val heaps = new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](k, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < k) heap.offer(row.copy())
-        else if (ord.lt(row, heap.peek())) { heap.poll(); heap.offer(row.copy()) }
-      }
       if (!emitRn) {
-        // partial: survivors only, order irrelevant (final re-heaps)
-        heaps.values().iterator().asScala.flatMap { heap =>
-          numOutput += heap.size
-          heap.iterator().asScala
+        // Partial phase, fully streaming: thin rows of TRACKED keys through
+        // bounded heaps; once worst-case retained rows (tracked-keys × k)
+        // would pass the cap, rows of further keys PASS THROUGH to the
+        // exchange unthinned — memory stays bounded at any key cardinality
+        // and the final phase is exact either way. (A row a heap evicts is
+        // provably outside its key's top-k: k better rows coexist in this
+        // partition.) Survivor order is irrelevant — the final phase
+        // re-heaps.
+        val maxKeys = math.max(1L, maxPartialRows / math.max(1, k))
+        new Iterator[InternalRow] {
+          private var pending: InternalRow = _
+          private var drained: Iterator[InternalRow] = _
+          private def pull(): Unit = {
+            while (pending == null && drained == null) {
+              if (iter.hasNext) {
+                val row = iter.next()
+                val key = keyProj(row)
+                var heap = heaps.get(key)
+                if (heap == null && heaps.size() < maxKeys) {
+                  heap = new java.util.PriorityQueue[InternalRow](k, ord.reverse)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap == null) pending = row // beyond the key cap
+                else if (heap.size < k) heap.offer(row.copy())
+                else if (ord.lt(row, heap.peek())) { heap.poll(); heap.offer(row.copy()) }
+              } else {
+                drained = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+              }
+            }
+          }
+          override def hasNext: Boolean = {
+            pull(); pending != null || drained.hasNext
+          }
+          override def next(): InternalRow = {
+            pull()
+            numOutput += 1
+            if (pending != null) { val r = pending; pending = null; r }
+            else drained.next()
+          }
         }
       } else {
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](k, ord.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < k) heap.offer(row.copy())
+          else if (ord.lt(row, heap.peek())) { heap.poll(); heap.offer(row.copy()) }
+        }
         val outProj = UnsafeProjection.create(output, childOutput ++ rnAttr)
         val rnRow = new GenericInternalRow(1)
         val joined = new JoinedRow

@@ -48,6 +48,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (found ${found.size})")
   }
 
+  test("IVF: equals the naive window-assignment definition; corpus never shuffles ×centroids") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.where(col("vec_id") < 10)
+    val res = Similarity.ivfTopK(emb, queries, k = 5)
+    // naive definition: nearest centroid per corpus vector via row_number
+    // over the cross product (the shape the operator must NOT plan, but
+    // whose RESULT it must reproduce exactly)
+    val e = emb.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("nv"))
+      .withColumn("nn", Similarity.l2norm(col("nv")))
+    val cent = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+    val wA = Window.partitionBy(col("nid")).orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", Similarity.cosine(col("nv"), col("cv"), col("nn"), col("cn")))
+      .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+      .select(col("cent_id"), col("nid"), col("nv"), col("nn"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", Similarity.cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(wP)).where(col("rn") <= 2)
+      .select(col("cent_id"), col("query_id"), col("qv"), col("qn"))
+    val wR = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nid"))
+    val naive = probes.join(assigned, "cent_id")
+      .where(col("query_id") =!= col("nid"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(wR)).where(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("nid").as("neighbor_id"))
+    assert(res.as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq ==
+      naive.as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    // plan shape: centroid assignment is an AGGREGATE on nid (map-side
+    // partial combine), never a window clustering the cross product on nid
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = res.queryExecution.optimizedPlan
+    val nidWindow = lp.exists {
+      case w: LWindow => w.partitionSpec.exists(_.references.exists(_.name == "nid"))
+      case _ => false
+    }
+    assert(!nidWindow, lp.toString)
+  }
+
   test("dot/cosine math: known vectors") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].collect().head
