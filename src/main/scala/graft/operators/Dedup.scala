@@ -641,29 +641,63 @@ object Dedup {
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Candidate-pair generator for [[semanticDedup]]. Every generator
+    * returns (ia, ib) pairs with EXACT cosine ≥ threshold (each verifies
+    * candidates with the true cosine, so there are never false positives);
+    * blocked generators may miss pairs (recall < 1) in exchange for never
+    * materializing the O(n²) cross product.
+    */
+  sealed trait SemPairGen
+  object SemPairGen {
+    /** Exact all-pairs cosine ([[embeddingNearDups]]) — deterministic and
+      * oracle-checkable, O(n²) candidate pairs: the CORRECTNESS HARNESS,
+      * not a 100 TB plan.
+      */
+    case object Exact extends SemPairGen
+    /** Random-hyperplane LSH bucketing + exact-cosine verify
+      * (`Similarity.lshCosinePairs`) — the scale default: signatures are
+      * map-only, only (table, bucket, id) tuples shuffle, candidates are
+      * per-bucket. Defaults (4 planes × 16 tables) are tuned for recall at
+      * LOW thresholds (collision p per plane is 1 − θ/π ≈ 0.65 at
+      * cos 0.45, so per-pair recall 1−(1−p⁴)¹⁶ ≈ 0.96; measured ≥0.95 of
+      * the dropped set vs the exact path on the sf0.01 corpus — catalog
+      * entry d15 self-checks this). At SemDeDup's production regime
+      * (near-identical content, cosine ≥0.9) the same recall holds with
+      * far more planes per table (e.g. 12×4), which is what a 100 TB run
+      * should use — more planes = smaller buckets = fewer candidates.
+      */
+    final case class Lsh(nPlanes: Int = 4, nTables: Int = 16) extends SemPairGen
+  }
+
   /** Semantic deduplication (SemDeDup — Abbas, Tirumala, Simig, Ganguli,
     * Morcos, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540): embedding-space
     * near-duplicate pairs → transitive clusters → keep one representative
     * (min id) per cluster. Returns the surviving ids.
     *
-    * Pair generation here is the exact cosine path ([[embeddingNearDups]])
-    * so the result is deterministic and oracle-checkable; at 100 TB the
-    * pair stage swaps to `Similarity.lshCosinePairs` or IVF-cell blocking
-    * (SemDeDup's k-means cells) with identical downstream clustering —
-    * only the candidate generator changes. The final anti-join carries no
-    * broadcast hint: at aggressive thresholds SemDeDup prunes a large
-    * FRACTION of the corpus, so the dropped-id set scales with the data —
-    * AQE broadcasts it when it happens to be small and shuffle-joins on
-    * the id otherwise. Cluster labels come from the same adaptive
-    * connected components as [[duplicateClusters]].
+    * The candidate generator is a PARAMETER, defaulting to the blocked
+    * LSH path ([[SemPairGen.Lsh]]) that survives 100 TB; the exact
+    * all-pairs path ([[SemPairGen.Exact]]) is kept as the deterministic
+    * oracle harness (catalog d12). Downstream clustering and survivor
+    * selection are identical for every generator. The final anti-join
+    * carries no broadcast hint: at aggressive thresholds SemDeDup prunes
+    * a large FRACTION of the corpus, so the dropped-id set scales with
+    * the data — AQE broadcasts it when it happens to be small and
+    * shuffle-joins on the id otherwise. Cluster labels come from the same
+    * adaptive connected components as [[duplicateClusters]].
     */
   def semanticDedup(
       emb: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      threshold: Double = 0.45): DataFrame = {
-    val pairs = embeddingNearDups(emb, vecCol, idCol, threshold)
-      .select(col("ia").as("a"), col("ib").as("b"))
+      threshold: Double = 0.45,
+      pairGen: SemPairGen = SemPairGen.Lsh()): DataFrame = {
+    val rawPairs = pairGen match {
+      case SemPairGen.Exact =>
+        embeddingNearDups(emb, vecCol, idCol, threshold)
+      case SemPairGen.Lsh(nPlanes, nTables) =>
+        Similarity.lshCosinePairs(emb, threshold, nPlanes, nTables, vecCol, idCol)
+    }
+    val pairs = rawPairs.select(col("ia").as("a"), col("ib").as("b"))
     val clusters = duplicateClusters(pairs)
     val dropped = clusters.where(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))

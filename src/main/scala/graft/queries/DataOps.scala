@@ -353,7 +353,8 @@ object DataOps {
     // so clustering + survivor selection is fully deterministic; the
     // recursive CTE mirrors the min-label-propagation fixpoint.
     "d12_semantic_dedup" -> Q(
-      (s, dir) => Dedup.semanticDedup(tp(s, dir, "embeddings"), threshold = 0.45),
+      (s, dir) => Dedup.semanticDedup(tp(s, dir, "embeddings"), threshold = 0.45,
+        pairGen = Dedup.SemPairGen.Exact),
       Some("""WITH RECURSIVE pairs AS (
              |  SELECT a.vec_id AS ia, b.vec_id AS ib
              |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -374,6 +375,36 @@ object DataOps {
              |SELECT vec_id FROM embeddings
              |WHERE vec_id NOT IN (SELECT node FROM lab WHERE cluster < node)""".stripMargin),
       "SemDeDup: embedding near-dup pairs, transitive clusters, keep min-id representative"),
+
+    // d15: the BLOCKED SemDeDup path (LSH candidate generation — the shape
+    // that survives 100 TB) self-measured against the exact path's truth:
+    // one summary row with the dropped-set recall and a pass flag
+    // (recall ≥ 0.95). No SQL oracle (LSH buckets hash engine-side), but
+    // the invariant is embedded in the output — `pass` must read true.
+    "d15_semantic_dedup_blocked" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val exact = Dedup.semanticDedup(emb, threshold = 0.45,
+          pairGen = Dedup.SemPairGen.Exact)
+          .withColumn("kept_exact", lit(1))
+        val blocked = Dedup.semanticDedup(emb, threshold = 0.45) // default: LSH
+          .withColumn("kept_blocked", lit(1))
+        emb.select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left")
+          .join(blocked, Seq("vec_id"), "left")
+          .agg(
+            sum(when(col("kept_exact").isNull, 1L).otherwise(0L)).as("n_dropped_exact"),
+            sum(when(col("kept_blocked").isNull, 1L).otherwise(0L)).as("n_dropped_blocked"),
+            sum(when(col("kept_exact").isNull && col("kept_blocked").isNull, 1L)
+              .otherwise(0L)).as("n_dropped_both"))
+          .select(
+            col("n_dropped_exact"), col("n_dropped_blocked"), col("n_dropped_both"),
+            (col("n_dropped_both").cast("double") / col("n_dropped_exact")).as("recall"),
+            (col("n_dropped_both").cast("double") / col("n_dropped_exact") >= 0.95
+              && col("n_dropped_blocked") <= col("n_dropped_exact")).as("pass"))
+      },
+      None,
+      "SemDeDup blocked path (LSH candidates): self-measured recall vs exact truth"),
 
     // Oracle note (d13): Bloom prefilter + exact verify ≡ the exact
     // anti-join (no false negatives), so the oracle is d09's shape on a

@@ -169,6 +169,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(0L, 2L, 3L)))
   }
 
+  test("semanticDedup: blocked (LSH) path recall >= 0.95 vs exact truth at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val keptExact = Dedup.semanticDedup(emb, threshold = 0.45,
+      pairGen = Dedup.SemPairGen.Exact).as[Long].collect().toSet
+    val keptBlocked = Dedup.semanticDedup(emb, threshold = 0.45).as[Long].collect().toSet
+    val droppedExact = all -- keptExact
+    val droppedBlocked = all -- keptBlocked
+    // blocked candidates ⊆ exact candidates ⇒ the dropped set can only shrink
+    assert(droppedBlocked.subsetOf(droppedExact))
+    assert(droppedExact.nonEmpty, "sf0.01 corpus should contain semantic dups")
+    val recall = droppedBlocked.size.toDouble / droppedExact.size
+    assert(recall >= 0.95, s"blocked-path recall $recall " +
+      s"(${droppedBlocked.size}/${droppedExact.size})")
+  }
+
   test("duplicate clusters: transitive components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("a", "b")
