@@ -22,10 +22,13 @@ import graft.streaming.StreamingIngest
   * }}}
   *
   * Sources: `file` (S1/S2 rotating-scan parity via cleanSource/archive),
-  * `socket` (S4 dev syslog; RFC3164 envelope stripped), `kafka` (S5;
-  * `--brokers`, `--topic`). Sinks: `parquet` (K4 parity: insert_date +
-  * month partitioning), `jdbc` (K1 parity: batched, retried — `--url`,
-  * `--table`), `console` (dev). `--mode batch` reads `--input` as a static
+  * `socket` (S4 dev syslog; RFC3164 envelope stripped), `syslog-tcp` /
+  * `syslog-udp` / `syslog-unix` (S4 native), `kafka` (S5; `--brokers`,
+  * `--topic`), `filebuf` (S6 native gRPC stream server; `--port`). Sinks:
+  * `parquet` (K4 parity: insert_date + month partitioning), `jdbc` (K1
+  * parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
+  * relay to a remote FileBuf server; `--sink-port`),
+  * `console` (dev). `--mode batch` reads `--input` as a static
   * text directory and writes once — same pipeline, bounded input.
   * `--dead-letter` persists rejected raw lines (delivers the reference's
   * README.md:30 TODO).
@@ -94,6 +97,8 @@ object IngestApp {
           case "syslog-unix" => StreamingIngest.stripSyslogEnvelope(
             StreamingIngest.syslogUnixSource(spark, need("socket-path")))
           case "kafka" => StreamingIngest.kafkaSource(spark, need("brokers"), need("topic"))
+          case "filebuf" => StreamingIngest.filebufSource(spark, need("port").toInt,
+            bind = opts.getOrElse("bind", "0.0.0.0"))
           case other   => sys.error(s"unknown source: $other")
         }
         val (good, bad) = Ingest.parseWithDeadLetter(lines, cfg)
@@ -114,6 +119,14 @@ object IngestApp {
             good.writeStream.format("console")
               .option("checkpointLocation", checkpoint)
               .trigger(Trigger.ProcessingTime(triggerMs))
+          // raw-line relay to a remote FileBuf gRPC server (K3; pairs with
+          // `--source filebuf` on the receiving engine) — relays the raw
+          // `value` column like the reference's client, so it reads from
+          // the source directly rather than the parsed stream
+          case "filebuf" =>
+            StreamingIngest.filebufSink(lines,
+              opts.getOrElse("host", "localhost"), need("sink-port").toInt,
+              checkpoint).trigger(Trigger.ProcessingTime(triggerMs))
           case other => sys.error(s"unknown sink: $other")
         }
         val query = StreamingIngest.withGracefulStop(writer.start())

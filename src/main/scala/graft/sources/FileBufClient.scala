@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.atomic.AtomicLong
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, EventLoopGroup}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, DefaultHttp2WindowUpdateFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannel, Http2StreamChannelBootstrap}
+
+/** FileBuf gRPC client — the sink half of the reference's gRPC transport
+  * (K3, `/root/reference/internal/services/filegrpc/client.go:102-136`):
+  * opens `parallelism` concurrent `CreateDataStreamer` streams over one
+  * HTTP/2 connection, round-robins lines across them, and on close
+  * half-closes each stream and awaits the server's `Response` +
+  * `grpc-status: 0` trailers (the reference's `CloseAndRecv`).
+  *
+  * Same hand-rolled public wire format as [[FileBufServer]] — works
+  * against any stock gRPC server exposing the FileBuf service.
+  *
+  * Thread-safety: `send` may be called from one caller thread (the
+  * executor partition iterator); netty handles the async I/O.
+  */
+private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1) {
+
+  require(parallelism >= 1, "parallelism must be >= 1")
+
+  private val group: EventLoopGroup = new NioEventLoopGroup(1)
+  private val counter = new AtomicLong(0L)
+
+  private val channel: Channel = new Bootstrap()
+    .group(group)
+    .channel(classOf[NioSocketChannel])
+    .handler(new ChannelInitializer[SocketChannel] {
+      override def initChannel(ch: SocketChannel): Unit =
+        ch.pipeline().addLast(
+          Http2FrameCodecBuilder.forClient().build(),
+          // server-initiated streams are not part of gRPC; drop them
+          new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(stream: Channel): Unit = ()
+          }))
+    })
+    .connect(host, port).sync().channel()
+
+  /** Completion latch per stream: set to the grpc-status when trailers
+    * arrive.
+    */
+  private class ResponseHandler extends ChannelInboundHandlerAdapter {
+    @volatile var status: Option[String] = None
+    private val done = new java.util.concurrent.CountDownLatch(1)
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+      case h: Http2HeadersFrame =>
+        val s = h.headers().get("grpc-status")
+        if (s != null) status = Some(s.toString)
+        if (h.isEndStream) done.countDown()
+      case d: Http2DataFrame =>
+        // the empty Response message — consume and replenish the window
+        val consumed = d.initialFlowControlledBytes()
+        d.release()
+        if (consumed > 0) { ctx.write(new DefaultHttp2WindowUpdateFrame(consumed)); ctx.flush() }
+      case other => io.netty.util.ReferenceCountUtil.release(other)
+    }
+
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      done.countDown()
+      super.channelInactive(ctx)
+    }
+
+    def await(timeoutSec: Long): Boolean = done.await(timeoutSec, TimeUnit.SECONDS)
+  }
+
+  private val streams: Array[(Http2StreamChannel, ResponseHandler)] =
+    Array.fill(parallelism) {
+      val handler = new ResponseHandler
+      val stream = new Http2StreamChannelBootstrap(channel)
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(ch: Channel): Unit =
+            ch.pipeline().addLast(handler)
+        })
+        .open().sync().getNow
+      val headers = new DefaultHttp2Headers()
+        .method("POST").scheme("http").path(FileBufWire.Path)
+        .authority(s"$host:$port")
+      headers.add("content-type", FileBufWire.ContentType)
+      headers.add("te", "trailers")
+      stream.writeAndFlush(new DefaultHttp2HeadersFrame(headers, false)).sync()
+      (stream, handler)
+    }
+
+  /** Send one line as one `Request` message on the next stream
+    * (round-robin, like the reference's worker pool).
+    */
+  def send(line: String): Unit = {
+    val (stream, _) = streams(((counter.getAndIncrement() % parallelism) + parallelism).toInt % parallelism)
+    stream.writeAndFlush(new DefaultHttp2DataFrame(
+      FileBufWire.frame(FileBufWire.encodeRequest(line)), false)).sync()
+  }
+
+  /** Half-close every stream, await each server response, tear down.
+    * Throws if any stream did not complete with `grpc-status: 0` —
+    * callers (foreachBatch sinks) surface that as a batch failure so
+    * Spark retries the batch.
+    */
+  def close(awaitSec: Long = 30): Unit = {
+    try {
+      streams.foreach { case (stream, _) =>
+        stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.EMPTY_BUFFER, true))
+      }
+      streams.foreach { case (_, handler) =>
+        if (!handler.await(awaitSec))
+          throw new java.io.IOException("filebuf sink: no response before timeout")
+        if (!handler.status.contains("0"))
+          throw new java.io.IOException(
+            s"filebuf sink: stream closed with grpc-status ${handler.status.getOrElse("<none>")}")
+      }
+    } finally {
+      try channel.close().sync() catch { case _: Throwable => () }
+      group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+    }
+  }
+}

@@ -84,6 +84,39 @@ object StreamingIngest {
   def syslogUnixSource(spark: SparkSession, path: String): DataFrame =
     spark.readStream.format("syslog-unix").option("path", path).load()
 
+  /** S6 (native): the engine's own FileBuf gRPC DataSource V2
+    * ([[graft.sources.FileBufSourceProvider]]) — direct transport parity
+    * with the reference's `CreateDataStreamer` stream-ingest server
+    * (`internal/services/filegrpc/server.go:80-91`); real gRPC wire
+    * format, so the reference's Go client can point at it unchanged.
+    */
+  def filebufSource(spark: SparkSession, port: Int, bind: String = "0.0.0.0"): DataFrame =
+    spark.readStream.format("filebuf")
+      .option("host", bind).option("port", port).load()
+
+  /** K3: gRPC client sink (`internal/services/filegrpc/client.go:102-136`)
+    * via foreachBatch — each partition opens its own
+    * `CreateDataStreamer` stream(s) to the remote FileBuf server and
+    * half-closes after the partition drains (the reference's
+    * `CloseAndRecv`). A non-zero grpc-status fails the batch, so
+    * checkpoint + retry give the same at-least-once envelope as the
+    * reference's retried inserts.
+    */
+  def filebufSink(lines: DataFrame, host: String, port: Int, checkpoint: String,
+      streamsPerPartition: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.selectExpr("CAST(value AS STRING) AS value")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val client = new graft.sources.FileBufClient(host, port, streamsPerPartition)
+            try rows.foreach(r => client.send(r.getString(0)))
+            finally client.close()
+          }
+        }
+      }
+
   /** RFC3164 envelope strip → content, the syslog handler's extraction
     * (`internal/services/syslog/impl.go:89-98`): `<PRI>Mmm dd hh:mm:ss
     * host tag: content`.

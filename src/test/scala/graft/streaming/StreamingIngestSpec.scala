@@ -113,6 +113,49 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(back.where(col("bytes_sent") === 512L).count() == 2)
   }
 
+  test("jdbc sink: retry survives induced failure; checkpoint replays the failed batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // the database does NOT exist yet: every write against plainUrl fails
+    // until the test creates it (Derby only materializes an in-memory db
+    // under ;create=true)
+    val plainUrl = "jdbc:derby:memory:graftk1retry"
+    val createUrl = "jdbc:derby:memory:graftk1retry;create=true"
+    val stream = MemoryStream[String]
+    val parsed = StreamingIngest.parse(stream.toDF().toDF("value"), cfg)
+    val cp = java.nio.file.Files.createTempDirectory("graft_jdbc_retry_cp").toString
+
+    // phase 1: no retries → the micro-batch fails and kills the query,
+    // leaving the batch UNCOMMITTED in the checkpoint
+    val q1 = StreamingIngest.jdbcSink(parsed, plainUrl, "access_log", cp,
+      maxRetries = 0, flushIntervalMs = 50).start()
+    stream.addData(goodLine, badLine, goodLine)
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(q1.exception.isDefined)
+
+    // phase 2: same checkpoint, retries on → attempt 1 still fails (db
+    // absent), the db appears mid-backoff, a later attempt succeeds: the
+    // replayed batch lands exactly once
+    val creator = new Thread(() => {
+      Thread.sleep(700)
+      java.sql.DriverManager.getConnection(createUrl).close()
+    })
+    creator.start()
+    val q2 = StreamingIngest.jdbcSink(parsed, plainUrl, "access_log", cp,
+      maxRetries = 10, flushIntervalMs = 50).start()
+    try {
+      q2.processAllAvailable()
+      creator.join()
+      val back = spark.read.format("jdbc")
+        .option("url", plainUrl).option("dbtable", "access_log").load()
+      assert(back.count() == 2) // replayed batch, two good lines, no dupes
+      // phase 3: stream continues on the recovered query
+      stream.addData(goodLine)
+      q2.processAllAvailable()
+      assert(spark.read.format("jdbc")
+        .option("url", plainUrl).option("dbtable", "access_log").load().count() == 3)
+    } finally q2.stop()
+  }
+
   test("native syslog-tcp DSv2 source end-to-end (S4 transport parity)") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort
