@@ -20,8 +20,20 @@ import java.util.regex.Pattern
   * groups and keep `fields` in template order — Java named groups reject
   * `_`, which nginx variable names contain.
   */
-final case class LogTemplate(format: String, fields: Vector[String], regex: String) {
+final case class LogTemplate(format: String, fields: Vector[String], regex: String,
+    steps: Vector[LogTemplate.Step]) {
   @transient lazy val pattern: Pattern = Pattern.compile(regex)
+
+  /** True when every variable delimiter is ASCII — the condition under
+    * which the byte-scanner fast path ([[graft.functions.ParseLogTemplate]])
+    * is exactly equivalent to the compiled regex: scanning for an ASCII
+    * delimiter byte can never land inside a UTF-8 multi-byte sequence, so
+    * byte search ≡ the regex's `[^d]*` character semantics.
+    */
+  lazy val scannable: Boolean = steps.forall {
+    case LogTemplate.VarStep(d, _) => d < 128
+    case _                         => true
+  }
 
   /** Index of a field's capture group (1-based), -1 if absent. */
   def groupIndex(field: String): Int = fields.indexOf(field) + 1
@@ -40,6 +52,24 @@ final case class LogTemplate(format: String, fields: Vector[String], regex: Stri
 }
 
 object LogTemplate {
+
+  /** One instruction of the flattened scan program equivalent to the
+    * compiled regex (see [[LogTemplate.scannable]] for the equivalence
+    * argument):
+    *   - [[LitStep]]: the line must contain exactly these bytes here;
+    *   - [[VarStep]] with `hasLitAfter`: the group runs to the FIRST
+    *     occurrence of `delim` (greedy `[^d]*` never backtracks past its
+    *     exclusion — the following literal starts with `delim`, so any
+    *     shorter match fails its first byte);
+    *   - [[VarStep]] without `hasLitAfter` (template tail): the group takes
+    *     the REST of the line, failing if `delim` occurs in it (the
+    *     anchored match must consume every remaining char through
+    *     `[^d]*` groups only).
+    */
+  sealed trait Step
+  final case class LitStep(s: String) extends Step
+  final case class VarStep(delim: Char, hasLitAfter: Boolean) extends Step
+
   private val VarChar = "[A-Za-z0-9_]"
 
   private sealed trait Tok
@@ -87,13 +117,18 @@ object LogTemplate {
     }
     val sb = new StringBuilder("^")
     val fields = Vector.newBuilder[String]
+    val steps = Vector.newBuilder[Step]
     toks.zipWithIndex.foreach {
-      case (Lit(s), _) => sb.append(Pattern.quote(s))
+      case (Lit(s), _) =>
+        sb.append(Pattern.quote(s))
+        steps += LitStep(s)
       case (Var(name), i) =>
         fields += name
         sb.append("([^").append(classEscape(delims(i))).append("]*)")
+        steps += VarStep(delims(i),
+          hasLitAfter = toks.drop(i + 1).exists(_.isInstanceOf[Lit]))
     }
-    LogTemplate(format, fields.result(), sb.toString)
+    LogTemplate(format, fields.result(), sb.toString, steps.result())
   }
 }
 

@@ -33,16 +33,21 @@ object Casts {
   /** A typed column plus its row-validity predicate. */
   final case class TypedCol(col: Column, valid: Column, dataType: DataType)
 
-  private val UIntRe = "^[0-9]+$" // strconv.ParseUint: no sign permitted
-  private val SIntRe = "^[+-]?[0-9]+$" // strconv.ParseInt
-
   private def normalized(raw: Column, cfg: GraftConfig): Column =
     if (cfg.removeHyphen) when(raw === "-", "").otherwise(raw) else raw
 
+  // digit strictness as a codegen'd byte loop (graft.functions.DigitCheck),
+  // ≡ RLIKE '^[0-9]+$' / '^[+-]?[0-9]+$' without a Matcher per value
   private def uint(v: Column, max: String, t: DataType): TypedCol = {
-    val asDec = v.try_cast(DecimalType(20, 0))
-    val ok = v === "" || (v.rlike(UIntRe) && asDec.isNotNull && asDec <= expr(max))
-    val out = when(v === "", lit(0)).otherwise(asDec).cast(t)
+    // sub-64-bit ranges ride the LONG cast (cheap JDK parse); only UInt64
+    // needs Decimal(20,0). Equivalent verdicts: an all-digit string that
+    // overflows long can never be <= a sub-long max, and decimal reaches
+    // the same `false` through its range comparison.
+    val needsDecimal = BigInt(max) > Long.MaxValue
+    val asNum = if (needsDecimal) v.try_cast(DecimalType(20, 0)) else v.try_cast(LongType)
+    val ok = v === "" ||
+      (graft.functions.DigitCheck.unsigned(v) && asNum.isNotNull && asNum <= expr(max))
+    val out = when(v === "", lit(0)).otherwise(asNum).cast(t)
     TypedCol(out, ok, t)
   }
 
@@ -50,7 +55,7 @@ object Casts {
     // try_cast to the exact width: Spark's string→integral cast is
     // strconv-strict (sign + digits only) and nulls on overflow.
     val cast = v.try_cast(t)
-    val ok = v === "" || (v.rlike(SIntRe) && cast.isNotNull)
+    val ok = v === "" || (graft.functions.DigitCheck.signed(v) && cast.isNotNull)
     TypedCol(when(v === "", lit(0)).otherwise(cast).cast(t), ok, t)
   }
 
@@ -60,7 +65,11 @@ object Casts {
   }
 
   private def timestamp(v: Column, javaPattern: String, cfg: GraftConfig): TypedCol = {
-    val parsed = try_to_timestamp(v, lit(javaPattern))
+    // the nginx time_local layout gets the byte-positional fast parser
+    // (FastLocalTime, ≡ try_to_timestamp for this pattern — spec-pinned)
+    val parsed =
+      if (javaPattern == FastLocalTime.Pattern) FastLocalTime(v)
+      else try_to_timestamp(v, lit(javaPattern))
     val emptyVal: Column = cfg.emptyTimePolicy match {
       case EmptyTimePolicy.Now  => current_timestamp()
       case EmptyTimePolicy.Null => lit(null).cast(TimestampType)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.config.GraftConfig
 import graft.format.LogTemplate
-import graft.functions.{Casts, OptimizerFence, ParseLogLine}
+import graft.functions.{Casts, OptimizerFence, ParseLogLine, ParseLogTemplate}
 
 /** Batch/streaming-agnostic ingest transform: one `value: String` column in
   * (as produced by `spark.read.text`, the Kafka source, or the socket
@@ -35,12 +35,21 @@ import graft.functions.{Casts, OptimizerFence, ParseLogLine}
   */
 object Ingest {
 
-  /** Extract each log field as a string column: one `parse_log_line` pass,
+  /** The one-pass parse column: the byte-scanner fast path when every
+    * delimiter is ASCII (always true for real nginx formats), else the
+    * compiled-regex expression — bit-identical results either way
+    * (`ParseScannerSpec` pins it).
+    */
+  private def parseCol(tpl: LogTemplate): Column =
+    if (tpl.scannable) ParseLogTemplate(col("value"), tpl.format)
+    else ParseLogLine(col("value"), tpl.regex)
+
+  /** Extract each log field as a string column: one parse pass,
     * mismatching lines dropped.
     */
   def extracted(df: DataFrame, tpl: LogTemplate): DataFrame = {
     val withGroups = df
-      .withColumn("__groups", OptimizerFence(ParseLogLine(col("value"), tpl.regex)))
+      .withColumn("__groups", OptimizerFence(parseCol(tpl)))
       .filter(col("__groups").isNotNull)
     val fieldCols = tpl.fields.zipWithIndex.map { case (f, i) =>
       col("__groups").getItem(i).as(f)
@@ -70,11 +79,10 @@ object Ingest {
         s"field '$field' (column '$colName') does not exist in log format")
     }
 
-    // one regex execution per line; both fences keep the Project
+    // one parse execution per line; both fences keep the Project
     // boundaries intact so neither the parse nor the validity conjuncts
     // get substituted into downstream filters (see class doc)
-    val withGroups = df.withColumn("__groups",
-      OptimizerFence(ParseLogLine(col("value"), tpl.regex)))
+    val withGroups = df.withColumn("__groups", OptimizerFence(parseCol(tpl)))
     val fieldsOf: Map[String, Column] = tpl.fields.zipWithIndex.map {
       case (f, i) => f -> col("__groups").getItem(i)
     }.toMap
