@@ -12,21 +12,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline subset: one representative per operator family. */
+  /** Headline subset: one representative per operator family, including
+    * every heavy operator (zorder write, winnowing, duplicate clustering,
+    * span inventory, stratified sampling — added r4 so no expensive path
+    * goes unbenched).
+    */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_segment_revenue", "q05_region_revenue",
     "q06_revenue_forecast", "q09_window_rank", "q15_distinct_agg",
     "q25_tumbling_window", "q27_session_window", "q28_asof_join",
     "q29_range_lookup", "i01_ingest_e2e", "d01_exact_dedup_groups",
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
-    "d08_cross_corpus", "d09_decontaminate",
-    "d10_editdist", "d12_semantic_dedup", "d13_bloom_decontaminate",
+    "d07_dup_clusters", "d08_cross_corpus", "d09_decontaminate",
+    "d10_editdist", "d11_dup_spans", "d12_semantic_dedup",
+    "d13_bloom_decontaminate",
     "d14_semantic_decontaminate", "m03_media_resize",
-    "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality",
+    "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality", "t05_winnowing",
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
-    "q36_seq_pack", "q38_epoch_shuffle",
-    "q39_topk_per_key", "q42_resample", "q47_chunk_overlap",
-    "p01_curation_pipeline")
+    "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
+    "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
+    "q47_chunk_overlap", "p01_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -469,11 +469,29 @@ object DataOps {
              |WHERE rank <= 5""".stripMargin),
       "exact cosine top-k, broadcast query set"),
 
+    // s02: SELF-CHECKING (no SQL oracle — bucket hashes are engine-side):
+    // the found pair set is measured against the exact-cosine ground truth
+    // (d06's definition at this threshold) inside the query. LSH verifies
+    // candidates with exact cosine, so found ⊆ truth by construction; the
+    // output row carries the recall and a pass flag (≥ 0.95). 4 planes ×
+    // 16 tables is the low-threshold design point (see SemPairGen.Lsh).
     "s02_ann_lsh" -> Q(
-      (s, dir) => Similarity.lshCosinePairs(tp(s, dir, "embeddings"),
-        threshold = 0.4, nPlanes = 6, nTables = 12),
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val truth = Dedup.embeddingNearDups(emb, threshold = 0.4)
+          .withColumn("t", lit(1))
+        val found = Similarity.lshCosinePairs(emb,
+          threshold = 0.4, nPlanes = 4, nTables = 24)
+          .withColumn("f", lit(1))
+        truth.join(found, Seq("ia", "ib"), "left")
+          .agg(count(lit(1)).as("n_truth"), sum(col("f")).as("n_found"))
+          .select(col("n_truth"), col("n_found"),
+            (col("n_found").cast("double") / col("n_truth")).as("recall"),
+            (col("n_found").cast("double") / col("n_truth") >= 0.95).as("pass"))
+      },
       None,
-      "random-hyperplane LSH ANN: map-only signatures, bucket-join candidates"),
+      "random-hyperplane LSH ANN: map-only signatures, bucket-join " +
+        "candidates, self-measured recall vs exact truth"),
 
     "s03_ann_ivf" -> Q(
       (s, dir) => {

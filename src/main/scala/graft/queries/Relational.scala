@@ -646,17 +646,33 @@ object Relational {
 
     "q33_approx_sketches" -> Q(
       (s, dir) => {
+        // SELF-CHECKING (still no SQL oracle — sketch internals are
+        // engine-specific): the same scan computes the exact answers and
+        // embeds the error-bound invariants as boolean columns. Bounds:
+        // 3× the configured rsd for HLL++ (0.05 default → 0.15; 0.01 →
+        // 0.03), and the approx median must land inside the exact
+        // [p45, p55] envelope (accuracy 1000 ⇒ rank error ≪ 5%).
         t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
           approx_count_distinct(col("l_partkey")).as("acd_parts"),
           approx_count_distinct(col("l_suppkey"), 0.01).as("acd_supps"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          count_distinct(col("l_partkey")).as("x_parts"),
+          count_distinct(col("l_suppkey")).as("x_supps"),
+          expr("percentile(l_extendedprice, 0.45)").as("x_p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("x_p55"))
+          .select(col("l_returnflag"), col("acd_parts"), col("acd_supps"),
+            col("ap50"), col("n"),
+            (abs(col("acd_parts") - col("x_parts")) <= col("x_parts") * 0.15)
+              .as("parts_in_bound"),
+            (abs(col("acd_supps") - col("x_supps")) <= col("x_supps") * 0.03)
+              .as("supps_in_bound"),
+            (col("ap50") >= col("x_p45") && col("ap50") <= col("x_p55"))
+              .as("ap50_in_bound"))
       },
-      // rows-only: HLL++ and t-digest/GK sketch internals are
-      // engine-specific; exact counterparts are oracle-checked in
-      // q15 (count distinct) and q32 (percentiles)
       None,
-      "sketch aggregates: HyperLogLog++ distinct counts, approximate percentile"),
+      "sketch aggregates: HLL++ distinct counts + approx percentile, " +
+        "self-checked against same-scan exact answers"),
 
     // The mergeable-sketch rollup: per-group DataSketches HLL sketches,
     // then a global distinct UNIONED FROM THE GROUP SKETCHES — no second
@@ -667,20 +683,29 @@ object Relational {
     // counterpart is q15); SketchSpec pins estimate-vs-exact accuracy.
     "q48_hll_merge" -> Q(
       (s, dir) => {
-        val part = t(s, dir, "orders")
+        // SELF-CHECKING: per-group and union estimates carry an
+        // `in_bound` column comparing against exact distincts computed in
+        // the same query (lgK=14 ⇒ rsd ≈ 0.8%; 5% bound is ~6σ)
+        val orders = t(s, dir, "orders")
+        val part = orders
           .groupBy(col("o_orderpriority").as("p"))
           .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            count_distinct(col("o_custkey")).as("x"))
         val per = part.select(col("p"),
-          expr("hll_sketch_estimate(sk)").as("est_custs"), col("n"))
+          expr("hll_sketch_estimate(sk)").as("est_custs"), col("n"), col("x"))
         val all = part
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_custs"),
             sum(col("n")).as("n"))
-          .select(lit("ALL").as("p"), col("est_custs"), col("n"))
+          .crossJoin(orders.agg(count_distinct(col("o_custkey")).as("x")))
+          .select(lit("ALL").as("p"), col("est_custs"), col("n"), col("x"))
         per.unionByName(all)
+          .select(col("p"), col("est_custs"), col("n"),
+            (abs(col("est_custs") - col("x")) <= col("x") * 0.05).as("in_bound"))
       },
       None,
-      "mergeable HLL sketches: per-group partials, global distinct by sketch union"),
+      "mergeable HLL sketches: per-group partials, union-merged global " +
+        "distinct, self-checked vs exact"),
 
     "q34_zorder" -> Q(
       (s, dir) => {
