@@ -667,6 +667,13 @@ object Dedup {
       * should use — more planes = smaller buckets = fewer candidates.
       */
     final case class Lsh(nPlanes: Int = 4, nTables: Int = 16) extends SemPairGen
+    /** IVF-cell blocking (`Similarity.ivfCellPairs`) — SemDeDup's own
+      * k-means-cell shape: multi-probe nearest-cell assignment is map-only
+      * against a broadcast centroid matrix, candidates pair within cells,
+      * exact-cosine verify. Best when the corpus clusters well; LSH is the
+      * safer default on unclustered data.
+      */
+    final case class IvfCell(centroidMod: Int = 37, nProbe: Int = 2) extends SemPairGen
   }
 
   /** Semantic deduplication (SemDeDup — Abbas, Tirumala, Simig, Ganguli,
@@ -696,6 +703,8 @@ object Dedup {
         embeddingNearDups(emb, vecCol, idCol, threshold)
       case SemPairGen.Lsh(nPlanes, nTables) =>
         Similarity.lshCosinePairs(emb, threshold, nPlanes, nTables, vecCol, idCol)
+      case SemPairGen.IvfCell(centroidMod, nProbe) =>
+        Similarity.ivfCellPairs(emb, threshold, centroidMod, nProbe, vecCol, idCol)
     }
     val pairs = rawPairs.select(col("ia").as("a"), col("ib").as("b"))
     val clusters = duplicateClusters(pairs)

@@ -130,6 +130,43 @@ object Similarity {
         col("nid").as("neighbor_id"))
   }
 
+  /** IVF-cell near-pair candidates (SemDeDup §2's k-means-cell blocking,
+    * with deterministic mod-sampled centroids standing in for trained
+    * ones): every vector multi-probes its `nProbe` nearest cells
+    * ([[graft.functions.NearestCells]] — broadcast centroid matrix,
+    * map-only, zero shuffle), candidates are pairs sharing ANY probed
+    * cell, and every candidate verifies with EXACT cosine ≥ threshold —
+    * so the result is a subset of the exact pair set, like the LSH
+    * generator. Pair volume is Σ_cell |cell|² instead of n².
+    *
+    * The centroid pull (`collect`) is the bounded-driver-state pattern of
+    * the Bloom build: centroids ≪ corpus by construction (n/centroidMod).
+    */
+  def ivfCellPairs(
+      emb: DataFrame, threshold: Double,
+      centroidMod: Int = 37, nProbe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val centRows = e.filter(col("id") % centroidMod === 0)
+      .select(col("id"), col("v")).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val cells = e.select(col("id"), col("v"), col("n"),
+      explode(graft.functions.NearestCells(col("v"), centIds, cents, nProbe))
+        .as("cell"))
+    val a = cells.select(col("cell"), col("id").as("ia"),
+      col("v").as("va"), col("n").as("na"))
+    val b = cells.select(col("cell"), col("id").as("ib"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("cell")).where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy("ia", "ib").agg(first("cos").as("cos")) // dedup multi-cell hits
+      .where(col("cos") >= threshold)
+      .select("ia", "ib")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a ±1 weight derived from xxhash64 — reproducible on any cluster, no
     * driver-side randomness shipped to executors.

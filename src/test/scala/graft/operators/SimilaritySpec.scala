@@ -94,6 +94,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!nidWindow, lp.toString)
   }
 
+  test("IVF-cell pairs: subset of exact; engineered near-dups recovered") {
+    // no false positives on real data (exact-cosine verify)
+    val truth = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .as[(Long, Long)].collect().toSet
+    val cellPairs = Similarity.ivfCellPairs(emb, threshold = 0.3,
+      centroidMod = 7, nProbe = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cellPairs.subsetOf(truth))
+
+    // engineered near-identical pairs (cos ≈ 0.995): both members see
+    // nearly identical centroid cosines, so nProbe=2 probing recovers them
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(60)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val dups = base.zipWithIndex.map { case (v, i) =>
+      (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val all = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ dups
+    val df = all.toSeq.toDF("vec_id", "embedding")
+    val found = Similarity.ivfCellPairs(df, threshold = 0.9,
+      centroidMod = 9, nProbe = 2)
+      .as[(Long, Long)].collect().toSet
+    val expected = (0 until 60).map(i => (i.toLong, i + 1000L)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"ivf-cell recall $recall (found ${found.size})")
+  }
+
   test("dot/cosine math: known vectors") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].collect().head
