@@ -51,6 +51,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(q.getInt(3) == 4 && q.getInt(4) == 1) // 'the'
   }
 
+  test("parse_log_template, digit_check, fast_local_time from SQL") {
+    val r = spark.sql(
+      """SELECT parse_log_template('10.0.0.1 GET 200', '$ip $method $status') AS g""")
+      .selectExpr("g[0]", "g[1]", "g[2]").collect().head
+    assert(r.getString(0) == "10.0.0.1" && r.getString(1) == "GET" && r.getString(2) == "200")
+    val miss = spark.sql(
+      """SELECT parse_log_template('a|b', '$x $y') AS g""").collect().head
+    assert(miss.isNullAt(0))
+    val d = spark.sql(
+      "SELECT digit_check('123', false) AS u, digit_check('-5', false) AS n, " +
+        "digit_check('-5', true) AS s").collect().head
+    assert(d.getBoolean(0) && !d.getBoolean(1) && d.getBoolean(2))
+    val t = spark.sql(
+      "SELECT CAST(fast_local_time('21/Jul/2022:00:30:43 +0000') AS STRING) AS ts, " +
+        "fast_local_time('garbage') AS bad").collect().head
+    assert(t.getString(0) == "2022-07-21 00:30:43")
+    assert(t.isNullAt(1))
+  }
+
   test("repetition_stats and simhash60 from SQL") {
     val r = spark.sql("SELECT repetition_stats('spam spam spam egg') AS s")
       .selectExpr("s.n_toks", "s.n_distinct", "s.top1", "s.top2", "s.top3")
