@@ -495,9 +495,13 @@ object Dedup {
       .select(col("a").as("src"), col("b").as("dst"))
     // A cutoff ≥ Int.MaxValue could never be collect()ed anyway; routing it
     // to the iterative path also avoids the (cutoff+1).toInt overflow.
-    if (driverEdgeCutoff < Int.MaxValue.toLong &&
-        fwd.limit((driverEdgeCutoff + 1).toInt).count() <= driverEdgeCutoff)
-      return driverUnionFind(fwd)
+    // One take() serves as BOTH the size probe and the edge collect, so an
+    // expensive upstream pair computation (MinHash verify, cosine join)
+    // runs once, not once-to-count and once-to-collect.
+    if (driverEdgeCutoff < Int.MaxValue.toLong) {
+      val probe = fwd.take((driverEdgeCutoff + 1).toInt)
+      if (probe.length <= driverEdgeCutoff) return driverUnionFind(fwd, probe)
+    }
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -530,14 +534,15 @@ object Dedup {
     * min id — matching the iterative path's `min(label)` on any type the
     * column can hold (numerics, strings, ...).
     */
-  private def driverUnionFind(edges: DataFrame): DataFrame = {
+  private def driverUnionFind(
+      edges: DataFrame, collected: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val spark = edges.sparkSession
     val idType = edges.schema.head.dataType
     def lt(x: Any, y: Any): Boolean =
       x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
-    val es = edges.collect().map(r => (r.get(0), r.get(1)))
+    val es = collected.map(r => (r.get(0), r.get(1)))
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x
