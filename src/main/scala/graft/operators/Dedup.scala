@@ -432,6 +432,38 @@ object Dedup {
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Contamination audit report — the investigative face of
+    * [[decontaminate]]: instead of silently dropping, emit WHICH eval
+    * document leaked into WHICH train document and how strongly
+    * (count of distinct shared n-grams). The artifact every release
+    * review wants next to the drop list ("is this true leakage or one
+    * boilerplate sentence?" — the n_shared column answers it).
+    *
+    * Output: (train_id, eval_id, n_shared) for every overlapping pair,
+    * n ≥ 1 shared distinct n-grams.
+    *
+    * Scale shape: eval grams broadcast WITH their eval ids (still the
+    * benchmarks side — small); train grams explode map-side against the
+    * broadcast, so the only exchange is the (train_id, eval_id) pair
+    * aggregation — pairs actually sharing grams, a vanishingly small
+    * set next to the corpus. Gram identity is the 64-bit shingle hash;
+    * no gram strings move.
+    */
+  def contaminationReport(
+      train: DataFrame, evalSet: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(col(idCol).as("eval_id"),
+        explode(shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+    train
+      .select(col(idCol).as("train_id"), explode(shingleHashes(col(textCol), n)).as("h"))
+      .join(broadcast(evalGrams), Seq("h")) // map-side: only LEAKED grams survive
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+  }
+
   /** Bloom-prefiltered benchmark decontamination — same exact semantics as
     * [[decontaminate]] (drop every train doc sharing an n-gram with the
     * eval set), restructured for eval suites too large to broadcast as an

@@ -339,6 +339,31 @@ object DataOps {
              |  SELECT DISTINCT t.doc_id FROM tg t JOIN eg e ON t.g = e.g)""".stripMargin),
       "benchmark decontamination: drop train docs sharing any 8-gram with the eval set"),
 
+    // d16: the audit companion of d09 — WHICH eval doc leaked into WHICH
+    // train doc, with the distinct-shared-8-gram count (integer outputs:
+    // fully hash-checkable).
+    "d16_contamination_report" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        Dedup.contaminationReport(docs, perturbed(docs.where(col("doc_id") % 25 === 0)), n = 8)
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text, ' ')[3:], ' ') AS text
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |eg AS (
+             |  SELECT DISTINCT doc_id AS eval_id, unnest(sh) AS g FROM (
+             |    SELECT doc_id, ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM ev))),
+             |tg AS (
+             |  SELECT DISTINCT doc_id AS train_id, unnest(sh) AS g FROM (
+             |    SELECT doc_id, ${shingleSqlN(8)} AS sh
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM documents)))
+             |SELECT t.train_id, e.eval_id, count(DISTINCT t.g) AS n_shared
+             |FROM tg t JOIN eg e ON t.g = e.g
+             |GROUP BY t.train_id, e.eval_id""".stripMargin),
+      "contamination audit report: (train, eval, n shared 8-grams) per leaked pair"),
+
     "d06_embedding_neardups" -> Q(
       (s, dir) => Dedup.embeddingNearDups(tp(s, dir, "embeddings"), threshold = 0.45),
       Some("""SELECT a.vec_id AS ia, b.vec_id AS ib

@@ -24,6 +24,11 @@ import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
   * Thread-safety: `send` may be called from one caller thread (the
   * executor partition iterator); netty handles the async I/O.
   */
+private[graft] object FileBufClient {
+  /** Messages between explicit flushes on the send path. */
+  val FlushEvery = 64
+}
+
 private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1) {
 
   require(parallelism >= 1, "parallelism must be >= 1")
@@ -92,12 +97,18 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
     }
 
   /** Send one line as one `Request` message on the next stream
-    * (round-robin, like the reference's worker pool).
+    * (round-robin, like the reference's worker pool). Writes are pipelined:
+    * frames enqueue to the event loop and flush every [[FlushEvery]]
+    * messages (plus a final flush in [[close]]), so a partition's send loop
+    * never blocks on per-line network round trips; write failures surface
+    * at close() via the missing/failed grpc-status, which fails the batch.
     */
   def send(line: String): Unit = {
-    val (stream, _) = streams(((counter.getAndIncrement() % parallelism) + parallelism).toInt % parallelism)
-    stream.writeAndFlush(new DefaultHttp2DataFrame(
-      FileBufWire.frame(FileBufWire.encodeRequest(line)), false)).sync()
+    val i = counter.getAndIncrement()
+    val (stream, _) = streams(((i % parallelism) + parallelism).toInt % parallelism)
+    stream.write(new DefaultHttp2DataFrame(
+      FileBufWire.frame(FileBufWire.encodeRequest(line)), false))
+    if (i % FileBufClient.FlushEvery == 0) streams.foreach(_._1.flush())
   }
 
   /** Half-close every stream, await each server response, tear down.
@@ -108,7 +119,8 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
   def close(awaitSec: Long = 30): Unit = {
     try {
       streams.foreach { case (stream, _) =>
-        stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.EMPTY_BUFFER, true))
+        stream.write(new DefaultHttp2DataFrame(Unpooled.EMPTY_BUFFER, true))
+        stream.flush()
       }
       streams.foreach { case (_, handler) =>
         if (!handler.await(awaitSec))
