@@ -25,7 +25,7 @@ object Bench {
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
     "d07_dup_clusters", "d08_cross_corpus", "d09_decontaminate",
     "d10_editdist", "d11_dup_spans", "d12_semantic_dedup",
-    "d13_bloom_decontaminate",
+    "d13_bloom_decontaminate", "d17_span_scrub",
     "d14_semantic_decontaminate", "m03_media_resize",
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality", "t05_winnowing",
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",

@@ -629,6 +629,59 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Duplicated-span SCRUBBING — the removal step behind the
+    * [[duplicatedSpans]] inventory (Lee et al., ACL 2022 §4.1 ExactSubstr:
+    * "we remove one of the two occurrences"): every k-token span (of the
+    * normalized text) occurring in ≥ `minDocs` distinct documents is cut
+    * from every document EXCEPT the span's first (min-id) one; tokens kept
+    * elsewhere survive, so a page that merely quotes a boilerplate
+    * paragraph keeps its unique prose and loses only the copy.
+    *
+    * Output: (doc_id, clean_text, n_removed) for every input document
+    * (clean_text = "" when everything was duplicated).
+    *
+    * Scale shape: span md5s aggregate with one hash exchange (strings
+    * never shuffle — same as the inventory); occurrences of duplicated
+    * spans explode into covered token POSITIONS only (k ints per bad
+    * occurrence, tiny unless duplication is rampant); the rebuild is one
+    * corpus join against the per-doc cut-position sets (AQE broadcasts
+    * them when small) followed by a map-side indexed filter over the
+    * in-row token array — the corpus text shuffles at most once.
+    */
+  def scrubDuplicatedSpans(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.functions.OptimizerFence(
+        split(normalize(col(textCol)), " ")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    // spans with their 1-based start positions; docs shorter than k are a
+    // single whole-doc span (the duplicatedSpans convention)
+    val spanStructs = when(col("n") >= k,
+      transform(sequence(lit(1), col("n") - (k - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("toks"), i, lit(k)), " ").as("s"))))
+      .otherwise(array(struct(lit(1).as("pos"), array_join(col("toks"), " ").as("s"))))
+    val occ = toks.select(col("doc_id"), col("n"), explode(spanStructs).as("sp"))
+      .select(col("doc_id"), col("n"), col("sp.pos").as("pos"), md5(col("sp.s")).as("m"))
+    val dup = occ.groupBy(col("m"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+    val cuts = occ.join(dup.select("m", "first_doc"), Seq("m"))
+      .where(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), least(col("pos") + (k - 1), col("n")))).as("j"))
+      .groupBy(col("doc_id")).agg(collect_set(col("j")).as("cut"))
+    val keep: (Column, Column) => Column = (t, i) =>
+      !coalesce(array_contains(col("cut"), i + 1), lit(false))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("toks"), keep), " ").as("clean_text"),
+        when(col("cut").isNull, 0L)
+          .otherwise(size(col("cut")).cast("long")).as("n_removed"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
     * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
     * `Similarity.lshCosinePairs`.

@@ -310,6 +310,38 @@ object DataOps {
       "duplicated-span inventory: overlapping 8-token spans present in ≥2 docs " +
         "(the exact-substring dedup signal; span strings never shuffle, only md5)"),
 
+    // d17: the REMOVAL step behind d11's span inventory (ExactSubstr
+    // scrubbing): duplicated 8-token spans are cut from every doc except
+    // the span's min-id first document; unique prose survives.
+    "d17_span_scrub" -> Q(
+      (s, dir) => Dedup.scrubDuplicatedSpans(docsWithNearDups(s, dir), k = 8),
+      Some(s"""WITH d2 AS ($DupCorpusSql),
+             |tk AS (SELECT doc_id, $NormToksSql AS toks FROM d2),
+             |sp AS (
+             |  SELECT doc_id, n, unnest(sps, recursive := true) FROM (
+             |    SELECT doc_id, len(toks) AS n,
+             |      CASE WHEN len(toks) >= 8
+             |        THEN [{'pos': i, 'm': md5(array_to_string(toks[i:i+7], ' '))}
+             |              FOR i IN generate_series(1, len(toks) - 7)]
+             |        ELSE [{'pos': 1, 'm': md5(array_to_string(toks, ' '))}]
+             |      END AS sps
+             |    FROM tk)),
+             |dup AS (
+             |  SELECT m, min(doc_id) AS first_doc FROM sp
+             |  GROUP BY m HAVING count(DISTINCT doc_id) >= 2),
+             |cuts AS (
+             |  SELECT s.doc_id, unnest(generate_series(s.pos, least(s.pos + 7, s.n))) AS j
+             |  FROM sp s JOIN dup d USING (m)
+             |  WHERE s.doc_id <> d.first_doc),
+             |cutset AS (SELECT doc_id, list(DISTINCT j) AS cut FROM cuts GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  coalesce(array_to_string([t.toks[j] FOR j IN generate_series(1, len(t.toks))
+             |                   IF NOT list_contains(coalesce(c.cut, []), j)], ' '), '') AS clean_text,
+             |  CAST(coalesce(len(c.cut), 0) AS BIGINT) AS n_removed
+             |FROM tk t LEFT JOIN cutset c USING (doc_id)""".stripMargin),
+      "ExactSubstr span scrubbing: duplicated 8-token spans removed from all " +
+        "but the first document; per-doc clean text + removed-token count"),
+
     // Decontamination demo corpus: eval = perturbed copies of every 25th
     // document (an eval set that genuinely overlaps 1/25th of train), so
     // the 8-gram overlap flags exactly those originals. The synthetic

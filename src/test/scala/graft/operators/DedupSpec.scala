@@ -185,6 +185,24 @@ class DedupSpec extends AnyFunSuite {
       s"(${droppedBlocked.size}/${droppedExact.size})")
   }
 
+  test("scrubDuplicatedSpans: copies lose the shared span, first doc keeps it") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val corpus = Seq(
+      (1L, s"$eight unique tail one"),     // first doc: keeps the span
+      (2L, s"$eight other ending here"),   // copy: span scrubbed
+      (3L, "completely different words entirely distinct tokens all throughout"),
+      (4L, "tiny doc"),                    // short doc (whole-doc span, unique)
+      (5L, "tiny doc"))                    // short dup: doc 4 keeps, doc 5 scrubbed
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(corpus, k = 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (s"$eight unique tail one", 0L))
+    assert(out(2L) == ("other ending here", 8L))
+    assert(out(3L)._2 == 0L)
+    assert(out(4L) == ("tiny doc", 0L))
+    assert(out(5L) == ("", 2L))
+  }
+
   test("duplicate clusters: transitive components with min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("a", "b")
