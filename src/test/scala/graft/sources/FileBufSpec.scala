@@ -60,6 +60,25 @@ class FileBufSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("client ↔ server: multi-megabyte transfer (flow-control windows replenish)") {
+    // >>64 KB on one connection: stalls here mean stream- or
+    // connection-level WINDOW_UPDATEs aren't flowing
+    val received = new java.util.concurrent.atomic.AtomicLong(0L)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val server = new FileBufServer("127.0.0.1", 0,
+      l => { received.incrementAndGet(); bytes.addAndGet(l.length.toLong) })
+    val port = server.start()
+    try {
+      val client = new FileBufClient("127.0.0.1", port, parallelism = 2)
+      val payload = "x" * 300
+      val n = 20000 // ~6 MB total
+      (1 to n).foreach(i => client.send(s"$i $payload"))
+      client.close(awaitSec = 60)
+      assert(received.get() == n)
+      assert(bytes.get() >= n.toLong * 300)
+    } finally server.stop()
+  }
+
   test("native filebuf DSv2 source end-to-end (S6 transport parity)") {
     val port = freePort()
     val goodLine =
