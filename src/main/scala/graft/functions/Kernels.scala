@@ -60,6 +60,47 @@ object Kernels {
       if (m == nShingles) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** IN-ORDER span hashes: one xxhash64 per overlapping k-token span of
+    * the already-normalized string, occurrences KEPT and positions implied
+    * by array index (index i ⇒ 1-based token start i+1) — the positional
+    * face of [[shingleHashes]] for the ExactSubstr scrub/inventory paths.
+    * Spans are contiguous byte ranges of the normalized text, so no span
+    * strings are ever materialized. Fewer than k tokens → one whole-text
+    * span at position 1.
+    */
+  def spanHashes(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var tokCount = 1
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == ' ') tokCount += 1
+      i += 1
+    }
+    if (tokCount < k) {
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
+    }
+    val starts = new Array[Int](tokCount)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val nSpans = tokCount - k + 1
+    val out = new Array[Long](nSpans)
+    i = 0
+    while (i < nSpans) {
+      val start = starts(i)
+      val end = if (i + k < tokCount) starts(i + k) - 1 else len
+      out(i) = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** [[shingleHashes]] sorted ascending — the set-similarity-join form
     * (prefix filtering needs one global total order over all hashes; value
     * order is as good as any). Distinctness falls out of sort + adjacent

@@ -151,6 +151,28 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Positional span hashes over normalized text — see
+    * [[Kernels.spanHashes]]; `posexplode` of the result gives
+    * (0-based start, span hash) with occurrences kept.
+    */
+  case class SpanHashes(child: Expression, k: Int) extends UnaryExpression {
+    require(k > 0)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "span_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.spanHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.spanHashes($s, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+      copy(child = newChild)
+  }
+
   /** [[ShingleHashes]] sorted ascending (one global total order over the
     * hash universe) — the input side of prefix-filtered set-similarity
     * joins and of [[SortedIntersectCount]]. See [[Kernels.sortedShingleHashes]].
@@ -231,6 +253,9 @@ object VectorExprs {
 
   def shingleHashes(normalizedText: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(normalizedText), n))
+
+  def spanHashes(normalizedText: Column, k: Int): Column =
+    ColumnBridge.column(SpanHashes(ColumnBridge.expression(normalizedText), k))
 
   def sortedShingleHashes(normalizedText: Column, n: Int): Column =
     ColumnBridge.column(SortedShingleHashes(ColumnBridge.expression(normalizedText), n))

@@ -653,18 +653,18 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      graft.functions.OptimizerFence(
-        split(normalize(col(textCol)), " ")).as("toks"))
+      graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
+      .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
       .withColumn("n", size(col("toks")))
-    // spans with their 1-based start positions; docs shorter than k are a
-    // single whole-doc span (the duplicatedSpans convention)
-    val spanStructs = when(col("n") >= k,
-      transform(sequence(lit(1), col("n") - (k - 1)),
-        i => struct(i.as("pos"),
-          array_join(slice(col("toks"), i, lit(k)), " ").as("s"))))
-      .otherwise(array(struct(lit(1).as("pos"), array_join(col("toks"), " ").as("s"))))
-    val occ = toks.select(col("doc_id"), col("n"), explode(spanStructs).as("sp"))
-      .select(col("doc_id"), col("n"), col("sp.pos").as("pos"), md5(col("sp.s")).as("m"))
+    // span hashes with 1-based start positions, occurrences kept — the
+    // codegen'd positional kernel hashes each span's byte range in place
+    // (no span strings, no md5); docs shorter than k are a single
+    // whole-doc span (the duplicatedSpans convention). Span equality via
+    // 64-bit hash matches the oracle's string grouping modulo collisions,
+    // the same contract as the MinHash/Jaccard paths.
+    val occ = toks.select(col("doc_id"), col("n"),
+      posexplode(graft.functions.VectorExprs.spanHashes(col("norm"), k)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"), col("col").as("m"))
     val dup = occ.groupBy(col("m"))
       .agg(count_distinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= minDocs)

@@ -47,6 +47,25 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(kernel == composed)
   }
 
+  test("spanHashes kernel == composed xxhash64-over-span-strings on random docs") {
+    val k = 5
+    val docs = sample(60, docGen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.normalize(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n", size(col("toks")))
+    val composed = docs.select(col("doc_id"),
+      when(col("n") >= k,
+        transform(sequence(lit(1), col("n") - (k - 1)),
+          i => xxhash64(array_join(slice(col("toks"), i, lit(k)), " "))))
+        .otherwise(array(xxhash64(col("norm")))).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.spanHashes(col("norm"), k).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel == composed)
+  }
+
   test("chunkStride: full coverage, bounded overlap, reconstruction") {
     val docs = sample(40, docGen).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
