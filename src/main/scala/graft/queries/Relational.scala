@@ -310,6 +310,35 @@ object Relational {
              | SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin),
       "union/intersect/except (set semantics): symmetric difference of buyer sets"),
 
+    // ---- outer joins ---------------------------------------------------
+    // asymmetric bucket domains (acctbal/1000 spans ~-1..10; totalprice/10000
+    // spans ~0..50), so the FULL OUTER genuinely produces one-sided rows
+    "q49_outer_join" -> Q(
+      (s, dir) => {
+        val cb = t(s, dir, "customer")
+          .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_cust"))
+        val ob = t(s, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / 10000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_ord"))
+        cb.join(ob, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+      },
+      Some("""WITH cb AS (
+             |  SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+             |         count(*) AS n_cust
+             |  FROM customer GROUP BY 1),
+             |ob AS (
+             |  SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+             |         count(*) AS n_ord
+             |  FROM orders GROUP BY 1)
+             |SELECT bucket, coalesce(n_cust, 0) AS n_cust,
+             |       coalesce(n_ord, 0) AS n_ord
+             |FROM cb FULL OUTER JOIN ob USING (bucket)""".stripMargin),
+      "full outer join over asymmetric aggregate domains, null-filled sides"),
+
     // ---- distinct aggregation ------------------------------------------
     "q15_distinct_agg" -> Q(
       (s, dir) => {

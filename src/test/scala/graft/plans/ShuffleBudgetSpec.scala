@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Shuffle-budget regression gate: operators documented as map-only must
+  * plan ZERO exchanges, and the single-exchange operators exactly one —
+  * the 100 TB scale contract, pinned so a future refactor can't silently
+  * add a shuffle. Counts come from the compiled physical plan (pre-AQE
+  * shape — AQE only ever removes exchanges at runtime, never adds).
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Exchange count of the compiled plan. AQE is disabled around the
+    * compile so the counted plan is the post-EnsureRequirements shape
+    * (AQE's inputPlan is pre-exchange-insertion and would undercount; AQE
+    * itself only ever removes exchanges at runtime, never adds).
+    */
+  private def shuffles(mkDf: => DataFrame): Int = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = mkDf.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      plan.collect { case s: ShuffleExchangeLike => s }.size
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // multi-partition source (spark.range, not a 1-partition local Seq) so a
+  // SinglePartition input can't trivially satisfy a clustered distribution
+  // and hide a required exchange
+  private lazy val docs = spark.range(0, 200, 1, 8)
+    .select(col("id").as("doc_id"),
+      concat(lit("some words repeat here token"), col("id"),
+        lit(" and more words follow")).as("text"))
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("map-only operators plan zero exchanges") {
+    assert(shuffles(TextAnalysis.tokenStats(docs)) == 0)
+    assert(shuffles(TextAnalysis.qualityScore(docs)) == 0)
+    assert(shuffles(TextAnalysis.c4Filters(docs)) == 0)
+    assert(shuffles(TextAnalysis.repetitionSignals(docs)) == 0)
+    assert(shuffles(TextAnalysis.langId(docs)) == 0)
+    assert(shuffles(TextAnalysis.piiRedact(docs)) == 0)
+    assert(shuffles(Sampling.chunkStride(docs, win = 6, stride = 4)) == 0)
+    assert(shuffles(Sampling.mixtureSample(
+      docs.withColumn("source", (col("doc_id") % 3).cast("string")),
+      Map("0" -> 5000, "1" -> 10000, "2" -> 20000))) == 0)
+    assert(shuffles(Sampling.hashSplit(docs)) == 0)
+    // decontamination: eval grams broadcast, train side map-only, and the
+    // only exchanges belong to the tiny eval/contaminated-id sides
+    val evalSet = docs.where(col("doc_id") % 20 === 3)
+    val dec = Dedup.decontaminate(docs, evalSet)
+    val total = shuffles(dec)
+    assert(total <= 2, s"decontaminate planned $total exchanges")
+  }
+
+  test("single-exchange aggregation operators plan exactly one") {
+    assert(shuffles(Dedup.exactGroups(docs)) == 1)
+    assert(shuffles(TextAnalysis.vocabulary(docs)) <= 2) // partial+final distinct pair
+  }
+
+  test("minhash signature build is exchange-free before banding") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
+    assert(shuffles(sigs) == 0)
+  }
+}
