@@ -44,11 +44,23 @@ case class DigitCheck(child: Expression, allowSign: Boolean)
 
 object DigitCheck {
   /** digits-only (with optional leading sign when `allowSign`), at least
-    * one digit required — exactly `^[+-]?[0-9]+$` / `^[0-9]+$`.
+    * one digit required — exactly RLIKE `^[+-]?[0-9]+$` / `^[0-9]+$`,
+    * INCLUDING Java regex's rule that `$` also matches before ONE final
+    * line terminator: a single trailing `\n`, `\r\n`, or `\r` is ignored
+    * (so "123\n" passes, as it did under RLIKE — and the numeric cast
+    * trims it too). The non-ASCII terminators (NEL/LS/PS) that `$` also
+    * honors are NOT special-cased: they fail the digit loop here, and the
+    * paired numeric cast fails on them anyway, so the combined validity
+    * verdict is identical.
     */
   def check(s: UTF8String, allowSign: Boolean): Boolean = {
     val b = s.getBytes
-    val n = b.length
+    var n = b.length
+    // Java-regex '$': ignore one final \n, \r\n, or \r
+    if (n > 0 && b(n - 1) == '\n') {
+      n -= 1
+      if (n > 0 && b(n - 1) == '\r') n -= 1
+    } else if (n > 0 && b(n - 1) == '\r') n -= 1
     var i = 0
     if (allowSign && n > 0 && (b(0) == '+' || b(0) == '-')) i = 1
     if (i >= n) return false // empty or bare sign

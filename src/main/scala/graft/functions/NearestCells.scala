@@ -75,6 +75,7 @@ final class CellAssigner(
     val bestIds = new Array[Long](k)
     val bestCos = new Array[Double](k)
     java.util.Arrays.fill(bestCos, Double.NegativeInfinity)
+    var filled = 0
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
@@ -83,19 +84,26 @@ final class CellAssigner(
       var i = 0
       while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
       val cos = dot / (vn * norms(c))
-      // insertion into the tiny top-k (ordered best-first); ties prefer
-      // the smaller centroid id, matching the window/argmax convention
-      var pos = k
-      while (pos > 0 && (bestCos(pos - 1) < cos ||
-        (bestCos(pos - 1) == cos && bestIds(pos - 1) > centIds(c)))) pos -= 1
-      if (pos < k) {
-        var j = k - 1
-        while (j > pos) { bestCos(j) = bestCos(j - 1); bestIds(j) = bestIds(j - 1); j -= 1 }
-        bestCos(pos) = cos
-        bestIds(pos) = centIds(c)
+      // a NaN cosine (zero-norm or NaN centroid) can never be "nearest";
+      // skipping it explicitly also keeps unfilled slots from surfacing as
+      // a phantom centroid id 0
+      if (cos == cos) {
+        // insertion into the tiny top-k (ordered best-first); ties prefer
+        // the smaller centroid id, matching the window/argmax convention
+        var pos = k
+        while (pos > 0 && (bestCos(pos - 1) < cos ||
+          (bestCos(pos - 1) == cos && bestIds(pos - 1) > centIds(c)))) pos -= 1
+        if (pos < k) {
+          var j = k - 1
+          while (j > pos) { bestCos(j) = bestCos(j - 1); bestIds(j) = bestIds(j - 1); j -= 1 }
+          bestCos(pos) = cos
+          bestIds(pos) = centIds(c)
+          if (filled < k) filled += 1
+        }
       }
       c += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(bestIds)
+    UnsafeArrayData.fromPrimitiveArray(
+      if (filled == k) bestIds else java.util.Arrays.copyOf(bestIds, filled))
   }
 }

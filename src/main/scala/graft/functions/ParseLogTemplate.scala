@@ -21,6 +21,13 @@ import graft.format.LogTemplate
   * Guarded by [[LogTemplate.scannable]] (ASCII delimiters); the ingest
   * pipeline falls back to the regex expression otherwise.
   *
+  * One deliberate delta on INVALID UTF-8 input: the regex path decodes to
+  * a Java String first, replacing bad byte sequences with U+FFFD, while
+  * the scanner slices the raw bytes through unchanged. The scanner's
+  * behavior is the reference-faithful one (Go parses raw bytes,
+  * `pkg/nginx/template.go:22-37`); the equivalence property therefore
+  * quantifies over valid UTF-8 lines.
+  *
   * Per line: one `getBytes`, one linear scan, zero-copy-ish group slices
   * (`UTF8String.fromBytes(b, off, len)`), no Matcher allocation, no
   * backtracking machinery. Measured ~4-6× faster than the regex pass on

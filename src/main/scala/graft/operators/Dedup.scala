@@ -522,19 +522,29 @@ object Dedup {
       driverEdgeCutoff: Long = 5000000L): DataFrame = {
     // id-type-agnostic: nodes keep their natural column type (long, string,
     // ...) on both paths; null endpoints are meaningless edges and dropped.
+    require(pairs.schema(pairs.schema.fieldIndex("a")).dataType ==
+      pairs.schema(pairs.schema.fieldIndex("b")).dataType,
+      s"duplicateClusters: a and b must share one id type, got " +
+        s"${pairs.schema(pairs.schema.fieldIndex("a")).dataType} vs " +
+        s"${pairs.schema(pairs.schema.fieldIndex("b")).dataType}")
     val fwd = pairs
       .where(col("a").isNotNull && col("b").isNotNull)
       .select(col("a").as("src"), col("b").as("dst"))
     // A cutoff ≥ Int.MaxValue could never be collect()ed anyway; routing it
     // to the iterative path also avoids the (cutoff+1).toInt overflow.
-    // One take() serves as BOTH the size probe and the edge collect, so an
+    // fwd is PERSISTED across the probe and whichever path follows, so the
     // expensive upstream pair computation (MinHash verify, cosine join)
-    // runs once, not once-to-count and once-to-collect.
-    if (driverEdgeCutoff < Int.MaxValue.toLong) {
-      val probe = fwd.take((driverEdgeCutoff + 1).toInt)
-      if (probe.length <= driverEdgeCutoff) return driverUnionFind(fwd, probe)
+    // runs once — and the probe itself is a count-only job (never shipping
+    // up-to-cutoff rows to the driver just to discard them when the graph
+    // turns out to be over the cutoff).
+    val fwdCached = fwd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (driverEdgeCutoff < Int.MaxValue.toLong &&
+        fwdCached.limit((driverEdgeCutoff + 1).toInt).count() <= driverEdgeCutoff) {
+      val out = driverUnionFind(fwdCached) // collects from the cache, then computes eagerly
+      fwdCached.unpersist(false)
+      return out
     }
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = fwdCached.union(fwdCached.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -556,6 +566,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    fwdCached.unpersist(false)
     labels.select(col("node"), col("label").as("cluster"))
   }
 
@@ -566,15 +577,21 @@ object Dedup {
     * min id — matching the iterative path's `min(label)` on any type the
     * column can hold (numerics, strings, ...).
     */
-  private def driverUnionFind(
-      edges: DataFrame, collected: Array[org.apache.spark.sql.Row]): DataFrame = {
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val spark = edges.sparkSession
     val idType = edges.schema.head.dataType
-    def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
-    val es = collected.map(r => (r.get(0), r.get(1)))
+    // min-label must agree with the iterative path's Spark-side ordering:
+    // strings compare as UTF-8 BINARY there, which diverges from Java's
+    // UTF-16 compareTo for supplementary characters
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val es = edges.collect().map(r => (r.get(0), r.get(1)))
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x
@@ -640,13 +657,18 @@ object Dedup {
     * Output: (doc_id, clean_text, n_removed) for every input document
     * (clean_text = "" when everything was duplicated).
     *
-    * Scale shape: span md5s aggregate with one hash exchange (strings
-    * never shuffle — same as the inventory); occurrences of duplicated
-    * spans explode into covered token POSITIONS only (k ints per bad
+    * Scale shape: span hashes aggregate with one exchange (strings never
+    * shuffle — same as the inventory); occurrences of duplicated spans
+    * explode into covered token POSITIONS only (k ints per bad
     * occurrence, tiny unless duplication is rampant); the rebuild is one
     * corpus join against the per-doc cut-position sets (AQE broadcasts
     * them when small) followed by a map-side indexed filter over the
-    * in-row token array — the corpus text shuffles at most once.
+    * in-row token array — the corpus text shuffles at most once. NOTE:
+    * the span scan feeds two consumers (the dup aggregate and the cut
+    * join) and the token arrays a third (the rebuild), so the normalize+
+    * hash map work runs up to three times per run; a 100 TB job should
+    * persist (or checkpoint) the tokenized projection across them —
+    * Spark does not share subtrees between branches of one plan.
     */
   def scrubDuplicatedSpans(
       docs: DataFrame,

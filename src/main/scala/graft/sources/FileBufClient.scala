@@ -36,19 +36,29 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
   private val group: EventLoopGroup = new NioEventLoopGroup(1)
   private val counter = new AtomicLong(0L)
 
-  private val channel: Channel = new Bootstrap()
-    .group(group)
-    .channel(classOf[NioSocketChannel])
-    .handler(new ChannelInitializer[SocketChannel] {
-      override def initChannel(ch: SocketChannel): Unit =
-        ch.pipeline().addLast(
-          Http2FrameCodecBuilder.forClient().build(),
-          // server-initiated streams are not part of gRPC; drop them
-          new Http2MultiplexHandler(new ChannelInitializer[Channel] {
-            override def initChannel(stream: Channel): Unit = ()
-          }))
-    })
-    .connect(host, port).sync().channel()
+  // any failure after the event loop exists must release it — a retry loop
+  // constructing a client per attempt would otherwise leak one loop thread
+  // + selector per failed connect
+  private val channel: Channel =
+    try {
+      new Bootstrap()
+        .group(group)
+        .channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[SocketChannel] {
+          override def initChannel(ch: SocketChannel): Unit =
+            ch.pipeline().addLast(
+              Http2FrameCodecBuilder.forClient().build(),
+              // server-initiated streams are not part of gRPC; drop them
+              new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+                override def initChannel(stream: Channel): Unit = ()
+              }))
+        })
+        .connect(host, port).sync().channel()
+    } catch {
+      case e: Throwable =>
+        group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+        throw e
+    }
 
   /** Completion latch per stream: set to the grpc-status when trailers
     * arrive.
@@ -79,33 +89,58 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
   }
 
   private val streams: Array[(Http2StreamChannel, ResponseHandler)] =
-    Array.fill(parallelism) {
-      val handler = new ResponseHandler
-      val stream = new Http2StreamChannelBootstrap(channel)
-        .handler(new ChannelInitializer[Channel] {
-          override def initChannel(ch: Channel): Unit =
-            ch.pipeline().addLast(handler)
-        })
-        .open().sync().getNow
-      val headers = new DefaultHttp2Headers()
-        .method("POST").scheme("http").path(FileBufWire.Path)
-        .authority(s"$host:$port")
-      headers.add("content-type", FileBufWire.ContentType)
-      headers.add("te", "trailers")
-      stream.writeAndFlush(new DefaultHttp2HeadersFrame(headers, false)).sync()
-      (stream, handler)
+    try {
+      Array.fill(parallelism) {
+        val handler = new ResponseHandler
+        val stream = new Http2StreamChannelBootstrap(channel)
+          .handler(new ChannelInitializer[Channel] {
+            override def initChannel(ch: Channel): Unit =
+              ch.pipeline().addLast(handler)
+          })
+          .open().sync().getNow
+        val headers = new DefaultHttp2Headers()
+          .method("POST").scheme("http").path(FileBufWire.Path)
+          .authority(s"$host:$port")
+        headers.add("content-type", FileBufWire.ContentType)
+        headers.add("te", "trailers")
+        stream.writeAndFlush(new DefaultHttp2HeadersFrame(headers, false)).sync()
+        (stream, handler)
+      }
+    } catch {
+      case e: Throwable =>
+        try channel.close() catch { case _: Throwable => () }
+        group.shutdownGracefully(0, 1, TimeUnit.SECONDS)
+        throw e
     }
 
   /** Send one line as one `Request` message on the next stream
     * (round-robin, like the reference's worker pool). Writes are pipelined:
-    * frames enqueue to the event loop and flush every [[FlushEvery]]
+    * frames enqueue to the event loop and flush every [[FileBufClient.FlushEvery]]
     * messages (plus a final flush in [[close]]), so a partition's send loop
     * never blocks on per-line network round trips; write failures surface
     * at close() via the missing/failed grpc-status, which fails the batch.
+    *
+    * BACKPRESSURE: when a stream's outbound buffer passes netty's
+    * high-water mark (the HTTP/2 flow-control window is exhausted and the
+    * pending queue has grown), `isWritable` turns false and send() blocks
+    * until the server drains — without this, relaying a large partition to
+    * a slow server queues the entire un-acked backlog on the executor heap.
     */
   def send(line: String): Unit = {
     val i = counter.getAndIncrement()
     val (stream, _) = streams(((i % parallelism) + parallelism).toInt % parallelism)
+    if (!stream.isWritable) {
+      stream.flush()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!stream.isWritable && stream.isActive) {
+        if (System.nanoTime() > deadline)
+          throw new java.io.IOException(
+            "filebuf sink: stream not writable for 60s (server not draining)")
+        Thread.sleep(1)
+      }
+      if (!stream.isActive)
+        throw new java.io.IOException("filebuf sink: stream closed while sending")
+    }
     stream.write(new DefaultHttp2DataFrame(
       FileBufWire.frame(FileBufWire.encodeRequest(line)), false))
     if (i % FileBufClient.FlushEvery == 0) streams.foreach(_._1.flush())

@@ -105,6 +105,10 @@ object StreamingIngest {
   def filebufSink(lines: DataFrame, host: String, port: Int, checkpoint: String,
       streamsPerPartition: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
     lines.selectExpr("CAST(value AS STRING) AS value")
+      // a null value (e.g. a Kafka tombstone) has no line representation;
+      // dropping it here beats a poison-pill NPE that fails the batch on
+      // every checkpoint replay
+      .where(col("value").isNotNull)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -43,8 +43,6 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     .select(col("id").as("doc_id"),
       concat(lit("some words repeat here token"), col("id"),
         lit(" and more words follow")).as("text"))
-  private lazy val emb = spark.read
-    .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
   test("map-only operators plan zero exchanges") {
     assert(shuffles(TextAnalysis.tokenStats(docs)) == 0)
