@@ -310,6 +310,34 @@ object Relational {
              | SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin),
       "union/intersect/except (set semantics): symmetric difference of buyer sets"),
 
+    // ---- window RANGE frame --------------------------------------------
+    // value-based frame (trailing 90 days by event time), vs the ROWS
+    // frames of q10/q41: peers enter by ORDER-BY VALUE distance, so tied
+    // dates aggregate together regardless of row order — both engines
+    // window over epoch seconds to share the frame arithmetic exactly
+    "q50_range_frame" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-90L * 86400, 0)
+        t(s, dir, "orders")
+          .withColumn("epoch_s", unix_timestamp(col("o_orderdate").cast("timestamp")))
+          .withColumn("spend_90d",
+            sum(col("o_totalprice")).over(w).cast("double"))
+          .withColumn("n_orders_90d", count(lit(1)).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("spend_90d"),
+            col("n_orders_90d"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(sum(o_totalprice) OVER w AS DOUBLE) AS spend_90d,
+             |  count(*) OVER w AS n_orders_90d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+             |             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)""".stripMargin),
+      "value-based RANGE window frame: trailing-90-day spend per customer"),
+
     // ---- outer joins ---------------------------------------------------
     // asymmetric bucket domains (acctbal/1000 spans ~-1..10; totalprice/10000
     // spans ~0..50), so the FULL OUTER genuinely produces one-sided rows
