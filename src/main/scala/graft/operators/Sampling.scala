@@ -92,6 +92,37 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic WEIGHTED priority sample: the top `n` rows per stratum
+    * by priority `u / w`, where `u` is the id's hash-uniform in [0, 1)
+    * and `w > 0` the row's weight (quality score, importance) — higher
+    * weight ⇒ stochastically smaller priority ⇒ more likely selected, the
+    * quality-weighted selection step of corpus curation.
+    *
+    * Engine-agnostic by construction, like every sampler here: `u` is the
+    * exact 60-bit [[idHash]] over 2⁶⁰ and the priority is ONE
+    * correctly-rounded IEEE division — no transcendental functions, no
+    * RNG state — so the selection reproduces bit-identically on any
+    * engine (the DuckDB oracle runs the same formula). This is priority
+    * sampling in the u/w form; the classic Efraimidis–Spirakis
+    * u^(1/w) keys would need `pow`, whose last-ulp behavior is libm-
+    * dependent — deliberately avoided.
+    *
+    * Plans as the row_number-filter idiom → [[graft.plans.TopKPerKey]]'s
+    * bounded-heap operator when installed; rows with w ≤ 0 or null never
+    * qualify.
+    */
+  def weightedTake(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: Column, n: Int, salt: String = ""): DataFrame = {
+    val u = idHash(col(idCol), salt).cast("double") / lit(1152921504606846976.0) // 2^60
+    df.withColumn("__w", weightCol.cast("double"))
+      .where(col("__w") > 0)
+      .withColumn("__prio", u / col("__w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__prio"), col(idCol))))
+      .where(col("rn") <= n)
+      .drop("__w", "__prio")
+  }
+
   /** Deterministic epoch shuffle: assign every document a shard and a
     * position inside that shard by hashing its id — the global "random"
     * training order, reproducible run-to-run and auditable per document

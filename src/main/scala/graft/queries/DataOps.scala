@@ -814,6 +814,33 @@ object DataOps {
       "deterministic stratified sample: exactly n per stratum by hash order " +
         "(runs on the custom heap top-k operator)"),
 
+    // q51: weight = whitespace token count (quality proxy; integer-exact
+    // as a double), priority = hash-uniform / weight — ONE correctly-
+    // rounded IEEE division, so both engines order identically
+    "q51_weighted_sample" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).as("w"))
+        graft.operators.Sampling.weightedTake(docs,
+          strataCol = "lang", idCol = "doc_id", weightCol = col("w"),
+          n = 5, salt = "w1")
+          .select("doc_id", "lang", "w", "rn")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    len(string_split_regex(trim(text), '\\s+')) AS w,
+             |    CAST(${Md5LongSql.format("CONCAT(CAST(doc_id AS VARCHAR), 'w1')")} AS DOUBLE)
+             |      / 1152921504606846976.0 AS u
+             |  FROM documents)
+             |SELECT doc_id, lang, CAST(w AS INT) AS w, rn FROM (
+             |  SELECT doc_id, lang, w,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY u / w, doc_id) AS INT) AS rn
+             |  FROM h WHERE w > 0)
+             |WHERE rn <= 5""".stripMargin),
+      "weighted priority sample: top-n per stratum by hash-uniform/weight " +
+        "(quality-weighted curation pick, engine-agnostic arithmetic)"),
+
     "q47_chunk_overlap" -> Q(
       (s, dir) => graft.operators.Sampling.chunkStride(
         tp(s, dir, "documents"), win = 32, stride = 24),

@@ -104,6 +104,25 @@ class SamplingSpec extends AnyFunSuite {
       (4L, 600L, 1L, 88L), (5L, 0L, 0L, 0L)))
   }
 
+  test("weightedTake: deterministic, weight-biased, excludes non-positive weights") {
+    val rows = (0L until 100L).map(i =>
+      (i, "s", if (i < 50) 100.0 else 1.0)).toDF("doc_id", "stratum", "w")
+      .unionByName(Seq((200L, "s", 0.0), (201L, "s", -1.0)).toDF("doc_id", "stratum", "w"))
+    val take1 = Sampling.weightedTake(rows, "stratum", "doc_id", col("w"), n = 10)
+      .select("doc_id").as[Long].collect().sorted
+    val take2 = Sampling.weightedTake(rows, "stratum", "doc_id", col("w"), n = 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(take1.sameElements(take2)) // no RNG state: bit-reproducible
+    assert(take1.length == 10)
+    assert(!take1.contains(200L) && !take1.contains(201L))
+    // 100:1 weight ratio → the heavy half should dominate the pick
+    assert(take1.count(_ < 50) >= 8, take1.mkString(","))
+    // a different salt draws a different (still deterministic) sample
+    val salted = Sampling.weightedTake(rows, "stratum", "doc_id", col("w"),
+      n = 10, salt = "other").select("doc_id").as[Long].collect().sorted
+    assert(!salted.sameElements(take1))
+  }
+
   test("chunkStride: overlapping windows, tail clamping, short-doc fallback") {
     // 10 tokens, win=4, stride=3 → starts 1,4,7 (last start ≤ n-win+1=7)
     val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
