@@ -31,7 +31,7 @@ object Bench {
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
-    "q47_chunk_overlap", "p01_curation_pipeline")
+    "q47_chunk_overlap", "p01_curation_pipeline", "p02_scrub_sample_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1016,6 +1016,73 @@ object DataOps {
              |FROM s GROUP BY split""".stripMargin),
       "end-to-end curation: C4 filter → exact dedup → decontaminate → hash split"),
 
+    // p02: the round-4 operators composed end-to-end — exact dedup →
+    // ExactSubstr span scrub → survivor gate → quality-weighted sample —
+    // one fused Catalyst plan, every stage individually oracle-checked
+    // (d01/d17/q51) and the composition itself checked by composed CTEs.
+    "p02_scrub_sample_pipeline" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        val corpus = docsWithNearDups(s, dir)
+        val deduped = Dedup.exactDedup(corpus)
+        val scrubbed = Dedup.scrubDuplicatedSpans(deduped, k = 8)
+        val survivors = scrubbed
+          .withColumn("w", size(split(col("clean_text"), " ")))
+          .where(col("clean_text") =!= "" && col("w") >= 10)
+          .withColumn("stratum", (col("doc_id") % 4).cast("int"))
+        graft.operators.Sampling.weightedTake(survivors,
+          strataCol = "stratum", idCol = "doc_id", weightCol = col("w"),
+          n = 10, salt = "p2")
+          .select(col("stratum"), col("doc_id"), col("w"), col("n_removed"),
+            col("rn"), md5(col("clean_text")).as("fp"))
+      },
+      Some(s"""WITH d2 AS ($DupCorpusSql),
+             |dd AS (
+             |  SELECT * FROM d2 WHERE doc_id IN (
+             |    SELECT min(doc_id) FROM d2
+             |    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
+             |tk AS (SELECT doc_id, $NormToksSql AS toks FROM dd),
+             |sp AS (
+             |  SELECT doc_id, n, unnest(sps, recursive := true) FROM (
+             |    SELECT doc_id, len(toks) AS n,
+             |      CASE WHEN len(toks) >= 8
+             |        THEN [{'pos': i, 'm': md5(array_to_string(toks[i:i+7], ' '))}
+             |              FOR i IN generate_series(1, len(toks) - 7)]
+             |        ELSE [{'pos': 1, 'm': md5(array_to_string(toks, ' '))}]
+             |      END AS sps
+             |    FROM tk)),
+             |dup AS (
+             |  SELECT m, min(doc_id) AS first_doc FROM sp
+             |  GROUP BY m HAVING count(DISTINCT doc_id) >= 2),
+             |cuts AS (
+             |  SELECT s.doc_id, unnest(generate_series(s.pos, least(s.pos + 7, s.n))) AS j
+             |  FROM sp s JOIN dup d USING (m)
+             |  WHERE s.doc_id <> d.first_doc),
+             |cutset AS (SELECT doc_id, list(DISTINCT j) AS cut FROM cuts GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT t.doc_id,
+             |    coalesce(array_to_string([t.toks[j] FOR j IN generate_series(1, len(t.toks))
+             |                     IF NOT list_contains(coalesce(c.cut, []), j)], ' '), '') AS clean_text,
+             |    CAST(coalesce(len(c.cut), 0) AS BIGINT) AS n_removed
+             |  FROM tk t LEFT JOIN cutset c USING (doc_id)),
+             |surv AS (
+             |  SELECT doc_id, clean_text, n_removed,
+             |    CAST(len(string_split(clean_text, ' ')) AS INT) AS w,
+             |    CAST(doc_id % 4 AS INT) AS stratum
+             |  FROM cleaned
+             |  WHERE clean_text <> '' AND len(string_split(clean_text, ' ')) >= 10),
+             |pri AS (
+             |  SELECT *,
+             |    CAST(${Md5LongSql.format("CONCAT(CAST(doc_id AS VARCHAR), 'p2')")} AS DOUBLE)
+             |      / 1152921504606846976.0 / w AS prio
+             |  FROM surv)
+             |SELECT stratum, doc_id, w, n_removed,
+             |  CAST(row_number() OVER (PARTITION BY stratum ORDER BY prio, doc_id) AS INT) AS rn,
+             |  md5(clean_text) AS fp
+             |FROM pri QUALIFY rn <= 10""".stripMargin),
+      "curation capstone: exact dedup → span scrub → survivor gate → " +
+        "weighted sample, one fused plan"),
+
     "m01_media_features" -> Q(
       (s, dir) => {
         val media = Multimodal.asMediaTable(tp(s, dir, "documents"))
