@@ -83,14 +83,21 @@ object Sampling {
     * to ≤n rows per stratum before the exchange, no sorts.
     */
   def stratifiedTake(df: DataFrame, strataCol: String, idCol: String,
-      n: Int, salt: String = ""): DataFrame = {
-    val h = idHash(col(idCol), salt)
-    df.withColumn("__h", h)
+      n: Int, salt: String = ""): DataFrame =
+    takeByPriority(df, strataCol, idCol, idHash(col(idCol), salt), n)
+
+  /** Shared top-n-per-stratum skeleton: rank by (priority asc, id) and
+    * keep `rn ≤ n` — the row_number-filter idiom [[graft.plans.TopKPerKey]]
+    * rewrites into its two-phase bounded-heap operator. Both samplers are
+    * thin priority choices over this.
+    */
+  private def takeByPriority(df: DataFrame, strataCol: String, idCol: String,
+      priority: Column, n: Int): DataFrame =
+    df.withColumn("__prio", priority)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))))
+        Window.partitionBy(col(strataCol)).orderBy(col("__prio"), col(idCol))))
       .where(col("rn") <= n)
-      .drop("__h")
-  }
+      .drop("__prio")
 
   /** Deterministic WEIGHTED priority sample: the top `n` rows per stratum
     * by priority `u / w`, where `u` is the id's hash-uniform in [0, 1)
@@ -114,13 +121,10 @@ object Sampling {
   def weightedTake(df: DataFrame, strataCol: String, idCol: String,
       weightCol: Column, n: Int, salt: String = ""): DataFrame = {
     val u = idHash(col(idCol), salt).cast("double") / lit(1152921504606846976.0) // 2^60
-    df.withColumn("__w", weightCol.cast("double"))
-      .where(col("__w") > 0)
-      .withColumn("__prio", u / col("__w"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(strataCol)).orderBy(col("__prio"), col(idCol))))
-      .where(col("rn") <= n)
-      .drop("__w", "__prio")
+    takeByPriority(
+      df.withColumn("__w", weightCol.cast("double")).where(col("__w") > 0),
+      strataCol, idCol, u / col("__w"), n)
+      .drop("__w")
   }
 
   /** Deterministic epoch shuffle: assign every document a shard and a

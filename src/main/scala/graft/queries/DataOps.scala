@@ -820,8 +820,11 @@ object DataOps {
     "q51_weighted_sample" -> Q(
       (s, dir) => {
         graft.plans.TopKPerKey.install(s)
+        // empty/all-whitespace text must weigh 0, not 1 (Java split of ""
+        // returns one empty token) — zero-content docs never sample
         val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).as("w"))
+          when(trim(col("text")) === "", 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))).as("w"))
         graft.operators.Sampling.weightedTake(docs,
           strataCol = "lang", idCol = "doc_id", weightCol = col("w"),
           n = 5, salt = "w1")
@@ -829,7 +832,8 @@ object DataOps {
       },
       Some(s"""WITH h AS (
              |  SELECT doc_id, lang,
-             |    len(string_split_regex(trim(text), '\\s+')) AS w,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
              |    CAST(${Md5LongSql.format("CONCAT(CAST(doc_id AS VARCHAR), 'w1')")} AS DOUBLE)
              |      / 1152921504606846976.0 AS u
              |  FROM documents)

@@ -323,14 +323,17 @@ object Relational {
           .rangeBetween(-90L * 86400, 0)
         t(s, dir, "orders")
           .withColumn("epoch_s", unix_timestamp(col("o_orderdate").cast("timestamp")))
+          // rounded per the file's floating-aggregate rule: a RANGE frame
+          // admits tied order dates, so the double sum's addend order is
+          // engine/partitioning-dependent in the last ulp
           .withColumn("spend_90d",
-            sum(col("o_totalprice")).over(w).cast("double"))
+            round(sum(col("o_totalprice")).over(w), 2))
           .withColumn("n_orders_90d", count(lit(1)).over(w))
           .select(col("o_orderkey"), col("o_custkey"), col("spend_90d"),
             col("n_orders_90d"))
       },
       Some("""SELECT o_orderkey, o_custkey,
-             |  CAST(sum(o_totalprice) OVER w AS DOUBLE) AS spend_90d,
+             |  round(CAST(sum(o_totalprice) OVER w AS DOUBLE), 2) AS spend_90d,
              |  count(*) OVER w AS n_orders_90d
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey
