@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(normalized_text, n) - distinct word n-gram hashes"),
       (args: Seq[Expression]) =>
         VectorExprs.ShingleHashes(args(0), intLit(args(1), "shingle_hashes"))),
+    (FunctionIdentifier("span_hashes"),
+      info("span_hashes", "span_hashes(normalized_text, k) - in-order k-token span hashes, occurrences kept, position = index + 1"),
+      (args: Seq[Expression]) =>
+        VectorExprs.SpanHashes(args(0), intLit(args(1), "span_hashes"))),
     (FunctionIdentifier("sorted_shingle_hashes"),
       info("sorted_shingle_hashes", "sorted_shingle_hashes(normalized_text, n) - distinct word n-gram hashes, ascending"),
       (args: Seq[Expression]) =>

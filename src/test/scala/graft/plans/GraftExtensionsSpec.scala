@@ -51,6 +51,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(q.getInt(3) == 4 && q.getInt(4) == 1) // 'the'
   }
 
+  test("span_hashes from SQL: positional, occurrences kept") {
+    val r = spark.sql(
+      "SELECT span_hashes('a b a b a', 2) AS h").selectExpr("size(h)", "h[0] = h[2]")
+      .collect().head
+    assert(r.getInt(0) == 4) // 4 overlapping 2-token spans
+    assert(r.getBoolean(1)) // 'a b' at positions 1 and 3 hash identically
+  }
+
   test("parse_log_template, digit_check, fast_local_time from SQL") {
     val r = spark.sql(
       """SELECT parse_log_template('10.0.0.1 GET 200', '$ip $method $status') AS g""")
