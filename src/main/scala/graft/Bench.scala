@@ -31,7 +31,8 @@ object Bench {
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
-    "q47_chunk_overlap", "p01_curation_pipeline", "p02_scrub_sample_pipeline")
+    "q47_chunk_overlap", "d15_semantic_dedup_blocked",
+    "p01_curation_pipeline", "p02_scrub_sample_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,11 +64,15 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc() // settle warmup garbage so the first measured query isn't taxed
 
-    // min of 2 reps = steady state: the first execution of a plan at a new
-    // data size pays JIT/codegen once (irrelevant at production scale and
-    // 2-10× the true cost on small SFs)
-    val results = headline.map { name =>
-      val times = (1 to 2).map { _ =>
+    // 3 timed reps per query; the headline number is the MEDIAN, with
+    // min/max carried alongside so a round-over-round delta is
+    // attributable (sub-second single-shot timings are indistinguishable
+    // from JIT/GC jitter — r4 verdict item 3). The first rep at a new
+    // data size pays JIT/codegen once; the median discounts it without
+    // hiding a genuinely bimodal query the way min-of-N would.
+    case class Stat(median: Double, min: Double, max: Double)
+    val results: Seq[(String, Stat)] = headline.map { name =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -83,21 +88,40 @@ object Bench {
         // poison the next measurement with memory pressure
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
-        if (ok) t else -1.0
+        if (ok) Some(t) else None
       }
       System.gc() // settle per-query garbage outside the next measurement
-      name -> (if (times.exists(_ > 0)) times.filter(_ > 0).min else -1.0)
+      val stat =
+        if (times.isEmpty) Stat(-1.0, -1.0, -1.0)
+        else {
+          val s = times.sorted
+          Stat(s(s.length / 2), s.head, s.last)
+        }
+      name -> stat
     }
 
     // ingest throughput: parsed lines/s through the full i01 pipeline
+    // (median rep, consistent with the query table)
     val nLines = graft.sources.Tables.load(spark, sfDir, "events").count()
-    val tIngest = results.toMap.getOrElse("i01_ingest_e2e", -1.0)
+    val tIngest = results.toMap.get("i01_ingest_e2e").map(_.median).getOrElse(-1.0)
     val linesPerSec = if (tIngest > 0) nLines / tIngest else -1.0
 
     // STREAMING ingest throughput (the reference's own regime, BASELINE.md
     // ≥10k lines/s): materialize the synthetic log lines to text files,
-    // then drive readStream → parse → noop-ish sink and time the burst.
-    val streamLps: Double = try {
+    // then drive readStream → parse → parquet sink over the burst.
+    //
+    // METHODOLOGY (r4 verdict item 7): two figures are reported.
+    // `stream_ingest_lines_per_sec` = rows / Σ triggerExecution — the
+    // end-to-end rate a long-running stream sustains INCLUDING the
+    // per-trigger fixed costs (offset WAL, file-sink manifest commit,
+    // planning). Those fixed costs are bounded by trigger COUNT, not row
+    // count, so at sf0.1 burst sizes this figure is commit-bound and does
+    // not track parse speed. `stream_ingest_lines_per_sec_proc` =
+    // rows / Σ addBatch — the data-plane rate (parse + cast + parquet
+    // encode/write only), which is the number that moves when parse speed
+    // does; production deployments tune trigger intervals so the fixed
+    // cost amortizes toward this bound.
+    val (streamLps, streamLpsProc): (Double, Double) = try {
       import org.apache.spark.sql.functions.col
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
       val inDir = s"$tmp/in"; val cp = s"$tmp/cp"; val outDir = s"$tmp/out"
@@ -120,14 +144,19 @@ object Bench {
       q.stop()
       val rows = progress.map(_.numInputRows).sum
       val procMs = progress.map(_.durationMs.get("triggerExecution").longValue()).sum
-      if (procMs > 0) rows * 1000.0 / procMs
-      else { // no progress events → fall back to wall clock
-        val secs = (System.nanoTime() - t0) / 1e9
-        val outRows = spark.read.parquet(outDir).count()
-        if (secs > 0) outRows / secs else -1.0
-      }
+      val addBatchMs = progress
+        .map(p => Option(p.durationMs.get("addBatch")).map(_.longValue()).getOrElse(0L)).sum
+      val e2e =
+        if (procMs > 0) rows * 1000.0 / procMs
+        else { // no progress events → fall back to wall clock
+          val secs = (System.nanoTime() - t0) / 1e9
+          val outRows = spark.read.parquet(outDir).count()
+          if (secs > 0) outRows / secs else -1.0
+        }
+      val proc = if (addBatchMs > 0) rows * 1000.0 / addBatchMs else -1.0
+      (e2e, proc)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream ingest FAILED: $e"); -1.0
+      System.err.println(s"[bench] stream ingest FAILED: $e"); (-1.0, -1.0)
     }
 
     // per-core parse rate (BASELINE.md "≥10k parsed lines/s/core"): the
@@ -149,11 +178,17 @@ object Bench {
       System.err.println(s"[bench] per-core parse FAILED: $e"); -1.0
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // `queries` stays scalar (the driver contract): value = per-query
+    // MEDIAN of 3. `queries_stats` carries {median,min,max} so regressions
+    // are attributable to signal vs jitter (r4 verdict item 3).
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.median}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
+    val qStats = results.map { case (k, v) =>
+      "\"" + k + f"""\":{"median":${v.median}%.3f,"min":${v.min}%.3f,"max":${v.max}%.3f}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.median).filter(_ > 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_stats":$qStats,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,6 +64,41 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // SELF-CHECK evaluation for the no-oracle entries (q33/q48/s02/d15):
+    // their outputs embed boolean pass / *_in_bound invariant columns; a
+    // rows-only record hides whether the invariant held, so evaluate it
+    // here and emit self_check.json (name -> true iff EVERY flag column is
+    // true on EVERY row; NULL counts as failure). Printed too, so the
+    // verdict trail has it even if the driver only keeps stdout.
+    val selfChecks = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.oracleSql.contains)
+      .flatMap { name =>
+        try {
+          val df = spark.read.parquet(s"$outDir/$name")
+          val flags = df.schema.fields.collect {
+            case f if f.dataType == org.apache.spark.sql.types.BooleanType &&
+              (f.name == "pass" || f.name.endsWith("in_bound")) => f.name
+          }
+          if (flags.isEmpty) None
+          else {
+            import org.apache.spark.sql.functions.{col, coalesce, lit, min}
+            val row = df.agg(
+              min(flags.map(f => coalesce(col(f), lit(false)))
+                .reduce(_ && _)).as("ok")).head
+            // empty result → min is NULL → the invariant was never observed
+            val allTrue = !row.isNullAt(0) && row.getBoolean(0)
+            System.err.println(s"[verify] self_check $name=$allTrue (${flags.mkString(",")})")
+            Some(name -> allTrue)
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] self_check $name failed: ${e.getMessage}")
+          Some(name -> false)
+        }
+      }
+    val scJson = selfChecks
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/self_check.json"), scJson)
     spark.stop()
     // the pool's threads are non-daemon: without shutdown the JVM (and the
     // driver's verify step) hangs forever after the work is done

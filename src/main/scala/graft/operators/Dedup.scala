@@ -663,21 +663,28 @@ object Dedup {
     * occurrence, tiny unless duplication is rampant); the rebuild is one
     * corpus join against the per-doc cut-position sets (AQE broadcasts
     * them when small) followed by a map-side indexed filter over the
-    * in-row token array — the corpus text shuffles at most once. NOTE:
-    * the span scan feeds two consumers (the dup aggregate and the cut
-    * join) and the token arrays a third (the rebuild), so the normalize+
-    * hash map work runs up to three times per run; a 100 TB job should
-    * persist (or checkpoint) the tokenized projection across them —
-    * Spark does not share subtrees between branches of one plan.
+    * in-row token array — the corpus text shuffles at most once. The
+    * span scan feeds two consumers (the dup aggregate and the cut join)
+    * and the token arrays a third (the rebuild); Spark does not share
+    * subtrees between branches of one plan, so the tokenized projection
+    * is PERSISTED (`persistToks`, default on — MEMORY_AND_DISK, the same
+    * treatment [[minhashNearDups]] gives its shingle table) and the
+    * corpus is normalized+tokenized exactly once instead of three times.
+    * Set `persistToks = false` only for plan-shape tests that need the
+    * raw unshared tree.
     */
   def scrubDuplicatedSpans(
       docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+      k: Int = 8, minDocs: Int = 2,
+      persistToks: Boolean = true): DataFrame = {
+    val toksRaw = docs.select(col(idCol).as("doc_id"),
       graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
       .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
       .withColumn("n", size(col("toks")))
+    val toks =
+      if (persistToks) toksRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else toksRaw
     // span hashes with 1-based start positions, occurrences kept — the
     // codegen'd positional kernel hashes each span's byte range in place
     // (no span strings, no md5); docs shorter than k are a single
@@ -713,12 +720,14 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.45): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      // fenced: evaluated once per vector, never inlined into the pair loop
-      .withColumn("n2", graft.functions.OptimizerFence(Similarity.dot(col("v"), col("v"))))
-    val a = e.select(col("id").as("ia"), col("v").as("va"), col("n2").as("na"))
-    val b = e.select(col("id").as("ib"), col("v").as("vb"), col("n2").as("nb"))
+      // fenced l2norm: sqrt evaluated once per VECTOR, never per pair —
+      // sqrt is correctly rounded, so hoisting it out of the quotient
+      // keeps the bits identical to the oracle's sqrt(dot(a,a)) form
+      .withColumn("na", Similarity.l2norm(col("v")))
+    val a = e.select(col("id").as("ia"), col("v").as("va"), col("na"))
+    val b = e.select(col("id").as("ib"), col("v").as("vb"), col("na").as("nb"))
     a.crossJoin(b).where(col("ia") < col("ib"))
-      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select("ia", "ib")
   }
@@ -741,14 +750,18 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.99): DataFrame = {
     val t = train.select(col(idCol), col(vecCol).cast("array<double>").as("tv"))
-      .withColumn("tn", graft.functions.OptimizerFence(Similarity.dot(col("tv"), col("tv"))))
+      .withColumn("tn", Similarity.l2norm(col("tv")))
     val e = evalSet.select(col(vecCol).cast("array<double>").as("ev"))
-      .withColumn("en", graft.functions.OptimizerFence(Similarity.dot(col("ev"), col("ev"))))
+      .withColumn("en", Similarity.l2norm(col("ev")))
     // division form, not dot ≥ t·‖a‖·‖b‖ — the DuckDB oracle computes the
-    // quotient, and the two only agree bit-for-bit on the same expression
+    // quotient, and the two only agree bit-for-bit on the same expression.
+    // The norms are fenced AS sqrt(dot(v,v)) per side (l2norm), so the
+    // sqrt runs once per row, not once per (train×eval) candidate; the
+    // quotient's operands are the same doubles either way (sqrt is
+    // correctly rounded), so the oracle bits are unchanged.
     val contaminated = t.crossJoin(broadcast(e))
       .where(Similarity.dot(col("tv"), col("ev")) /
-        (sqrt(col("tn")) * sqrt(col("en"))) >= threshold)
+        (col("tn") * col("en")) >= threshold)
       .select(idCol).distinct()
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }

@@ -87,7 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.ParseLogTemplate(args(0), strLit(args(1), "parse_log_template"))),
     (FunctionIdentifier("digit_check"),
-      info("digit_check", "digit_check(s, allow_sign) - strconv digit strictness (≡ RLIKE '^[+-]?[0-9]+$' / '^[0-9]+$') as a byte loop"),
+      info("digit_check", "digit_check(s, allow_sign) - strconv digit strictness as a byte loop: RLIKE '^[+-]?[0-9]+$' / '^[0-9]+$' semantics incl. one trailing \\n/\\r\\n/\\r, EXCEPT the Unicode terminators (NEL/LS/PS) Java-regex $ also honors, which fail here (the paired numeric cast rejects them anyway)"),
       (args: Seq[Expression]) => graft.functions.DigitCheck(args(0), args(1) match {
         case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
         case other => throw new IllegalArgumentException(

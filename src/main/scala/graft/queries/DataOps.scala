@@ -456,9 +456,15 @@ object DataOps {
               .otherwise(0L)).as("n_dropped_both"))
           .select(
             col("n_dropped_exact"), col("n_dropped_blocked"), col("n_dropped_both"),
-            (col("n_dropped_both").cast("double") / col("n_dropped_exact")).as("recall"),
-            (col("n_dropped_both").cast("double") / col("n_dropped_exact") >= 0.95
-              && col("n_dropped_blocked") <= col("n_dropped_exact")).as("pass"))
+            // recall is defined as 1.0 when nothing is droppable — without
+            // the guard a dup-free corpus yields NULL recall/pass and the
+            // "pass must read true" invariant becomes unverifiable
+            when(col("n_dropped_exact") === 0, lit(1.0))
+              .otherwise(col("n_dropped_both").cast("double") / col("n_dropped_exact"))
+              .as("recall"),
+            when(col("n_dropped_exact") === 0, col("n_dropped_blocked") === 0)
+              .otherwise(col("n_dropped_both").cast("double") / col("n_dropped_exact") >= 0.95
+                && col("n_dropped_blocked") <= col("n_dropped_exact")).as("pass"))
       },
       None,
       "SemDeDup blocked path (LSH candidates): self-measured recall vs exact truth"),

@@ -66,6 +66,27 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
   private class ResponseHandler extends ChannelInboundHandlerAdapter {
     @volatile var status: Option[String] = None
     private val done = new java.util.concurrent.CountDownLatch(1)
+    private val writable = new Object
+
+    override def channelWritabilityChanged(ctx: ChannelHandlerContext): Unit = {
+      writable.synchronized { writable.notifyAll() }
+      super.channelWritabilityChanged(ctx)
+    }
+
+    /** Park until `ready()` holds, the deadline passes (false), or the
+      * monitor is signalled by a writability flip / stream close. The
+      * bounded wait slice is a belt-and-braces guard against a
+      * notification racing ahead of the first wait.
+      */
+    def awaitReady(ready: () => Boolean, deadlineNanos: Long): Boolean =
+      writable.synchronized {
+        while (!ready()) {
+          val remainMs = (deadlineNanos - System.nanoTime()) / 1000000L
+          if (remainMs <= 0) return false
+          writable.wait(math.min(remainMs, 100L))
+        }
+        true
+      }
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
@@ -82,6 +103,7 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
 
     override def channelInactive(ctx: ChannelHandlerContext): Unit = {
       done.countDown()
+      writable.synchronized { writable.notifyAll() } // wake a blocked send()
       super.channelInactive(ctx)
     }
 
@@ -122,22 +144,21 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
     *
     * BACKPRESSURE: when a stream's outbound buffer passes netty's
     * high-water mark (the HTTP/2 flow-control window is exhausted and the
-    * pending queue has grown), `isWritable` turns false and send() blocks
-    * until the server drains — without this, relaying a large partition to
-    * a slow server queues the entire un-acked backlog on the executor heap.
+    * pending queue has grown), `isWritable` turns false and send() parks
+    * on a monitor signalled by `channelWritabilityChanged` until the
+    * server drains — without this, relaying a large partition to a slow
+    * server queues the entire un-acked backlog on the executor heap.
     */
   def send(line: String): Unit = {
     val i = counter.getAndIncrement()
-    val (stream, _) = streams(((i % parallelism) + parallelism).toInt % parallelism)
+    val (stream, handler) = streams(((i % parallelism) + parallelism).toInt % parallelism)
     if (!stream.isWritable) {
       stream.flush()
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (!stream.isWritable && stream.isActive) {
-        if (System.nanoTime() > deadline)
-          throw new java.io.IOException(
-            "filebuf sink: stream not writable for 60s (server not draining)")
-        Thread.sleep(1)
-      }
+      val ok = handler.awaitReady(() => stream.isWritable || !stream.isActive, deadline)
+      if (!ok)
+        throw new java.io.IOException(
+          "filebuf sink: stream not writable for 60s (server not draining)")
       if (!stream.isActive)
         throw new java.io.IOException("filebuf sink: stream closed while sending")
     }

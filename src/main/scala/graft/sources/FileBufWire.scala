@@ -118,11 +118,21 @@ private[graft] object FileBufWire {
     * arriving in arbitrary DATA-frame chunks. Not thread-safe; one per
     * HTTP/2 stream (netty guarantees per-channel serial execution).
     */
+  /** Maximum accepted inbound message length — stock gRPC servers default
+    * to 4 MiB; without a cap, one peer declaring a 2^31-1 length would
+    * make the receiver accumulate the whole stream in memory before ever
+    * decoding (driver-side OOM from a single bad client).
+    */
+  val MaxInboundMessageBytes: Int = 4 * 1024 * 1024
+
   final class MessageDecoder {
     private val acc = Unpooled.compositeBuffer()
 
     /** Feed a chunk (ownership transferred) and decode every complete
       * message, invoking `onMessage` with a view over the payload bytes.
+      * Throws on an over-limit declared length (the caller's
+      * exceptionCaught tears down just that stream, mirroring gRPC's
+      * RESOURCE_EXHAUSTED behavior).
       */
     def feed(chunk: ByteBuf, onMessage: ByteBuf => Unit): Unit = {
       acc.addComponent(true, chunk)
@@ -133,6 +143,9 @@ private[graft] object FileBufWire {
           throw new IllegalStateException(
             "compressed gRPC message received but no compression negotiated")
         val len = acc.getInt(acc.readerIndex() + 1)
+        if (len < 0 || len > MaxInboundMessageBytes)
+          throw new IllegalStateException(
+            s"gRPC message of $len bytes exceeds the $MaxInboundMessageBytes-byte limit")
         if (acc.readableBytes() >= 5L + len) {
           acc.skipBytes(5)
           val msg = acc.readSlice(len)
