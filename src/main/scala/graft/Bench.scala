@@ -24,7 +24,7 @@ object Bench {
     "q29_range_lookup", "i01_ingest_e2e", "d01_exact_dedup_groups",
     "d03_minhash_neardups", "d04_simhash", "d05_ngram_jaccard",
     "d07_dup_clusters", "d08_cross_corpus", "d09_decontaminate",
-    "d10_editdist", "d11_dup_spans", "d12_semantic_dedup",
+    "d10_editdist", "d11_dup_spans", "d11b_dup_spans_fast", "d12_semantic_dedup",
     "d13_bloom_decontaminate", "d17_span_scrub",
     "d14_semantic_decontaminate", "m03_media_resize",
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality", "t05_winnowing",

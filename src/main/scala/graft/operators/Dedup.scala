@@ -646,6 +646,34 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** [[duplicatedSpans]] keyed by the positional 64-bit span-hash kernel
+    * ([[graft.functions.VectorExprs.spanHashes]]) instead of md5 over
+    * materialized span strings — the 100 TB default. The kernel hashes
+    * each span's byte range IN PLACE (no per-span string allocation, no
+    * md5, 8-byte keys instead of 32-char hex), the same identity contract
+    * [[scrubDuplicatedSpans]] already runs on: span equality via XXH64 ≡
+    * string equality modulo 2⁻⁶⁴ collisions. Output: (span_hash, n_docs,
+    * n_occ, first_doc). [[duplicatedSpans]] stays as the md5-keyed oracle
+    * harness (its output identity IS span_md5); this variant's
+    * (n_docs, n_occ, first_doc) projection is oracle-checked as an exact
+    * multiset against the string-grouped inventory (catalog d11b).
+    */
+  def duplicatedSpansFast(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol).as("id"),
+        graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
+      .select(col("id"),
+        explode(graft.functions.VectorExprs.spanHashes(col("norm"), k)).as("span_hash"))
+    spans.groupBy(col("span_hash"))
+      .agg(count_distinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Duplicated-span SCRUBBING — the removal step behind the
     * [[duplicatedSpans]] inventory (Lee et al., ACL 2022 §4.1 ExactSubstr:
     * "we remove one of the two occurrences"): every k-token span (of the

@@ -310,6 +310,27 @@ object DataOps {
       "duplicated-span inventory: overlapping 8-token spans present in ≥2 docs " +
         "(the exact-substring dedup signal; span strings never shuffle, only md5)"),
 
+    // d11b: the same inventory keyed by the positional 64-bit span-hash
+    // kernel (no span strings, no md5 — the 100 TB default; d11 keeps the
+    // md5 identity as the harness). The hash itself is engine-side, so the
+    // catalog output drops it: the (n_docs, n_occ, first_doc) multiset is
+    // hash-identical to the string-grouped inventory iff the kernel's
+    // span identity is exact — which makes this a REAL oracle over the
+    // kernel path, not a rows-only entry.
+    "d11b_dup_spans_fast" -> Q(
+      (s, dir) => Dedup.duplicatedSpansFast(docsWithNearDups(s, dir), k = 8)
+        .select("n_docs", "n_occ", "first_doc"),
+      Some(s"""WITH d2 AS ($DupCorpusSql),
+             |sp AS (
+             |  SELECT doc_id, unnest(spans) AS span FROM (
+             |    SELECT doc_id, ${spanSqlN(8)} AS spans
+             |    FROM (SELECT doc_id, $NormToksSql AS toks FROM d2)))
+             |SELECT count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_occ, min(doc_id) AS first_doc
+             |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin),
+      "duplicated-span inventory on the positional span-hash kernel: spans " +
+        "hashed in place (8-byte keys), counts oracle-checked vs string grouping"),
+
     // d17: the REMOVAL step behind d11's span inventory (ExactSubstr
     // scrubbing): duplicated 8-token spans are cut from every doc except
     // the span's min-id first document; unique prose survives.
