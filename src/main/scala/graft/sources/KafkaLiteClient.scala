@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Minimal blocking Kafka client over [[KafkaWire]]: one socket, one
+  * in-flight request (request/response lockstep — correlation ids are
+  * still checked, catching any framing drift immediately). Used by the
+  * `kafka-lite` source's driver (metadata + offsets) and executors
+  * (fetch), and by [[StreamingIngest.kafkaLiteSink]] (produce).
+  *
+  * The lockstep design is deliberate: the streaming source fetches
+  * sequential offset ranges per partition, so pipelining buys nothing,
+  * and a single-threaded protocol keeps the failure model trivial (any
+  * IOException tears down the socket; Spark task retry reconnects).
+  * Connections are cheap to re-establish against a v0-era broker — there
+  * is no SASL/TLS handshake in scope.
+  */
+private[graft] class KafkaLiteClient(host: String, port: Int,
+    clientId: String = "graft-kafka-lite", connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 30000) extends AutoCloseable {
+
+  private val socket = new Socket()
+  socket.setTcpNoDelay(true)
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  socket.setSoTimeout(readTimeoutMs)
+  private val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
+  private val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream, 64 * 1024))
+  private val corr = new AtomicInteger(0)
+
+  /** Max response size accepted — same OOM fence as
+    * [[FileBufWire.MaxInboundMessageBytes]], sized for fetch batches.
+    */
+  private val MaxResponseBytes = 64 * 1024 * 1024
+
+  private def roundTrip(apiKey: Short, body: Array[Byte]): Array[Byte] = synchronized {
+    val id = corr.incrementAndGet()
+    out.write(KafkaWire.request(apiKey, id, clientId, body))
+    out.flush()
+    val size = in.readInt()
+    if (size < 4 || size > MaxResponseBytes)
+      throw new java.io.IOException(s"kafka response size $size out of bounds")
+    val payload = new Array[Byte](size)
+    in.readFully(payload)
+    val gotId = java.nio.ByteBuffer.wrap(payload, 0, 4).getInt
+    if (gotId != id)
+      throw new java.io.IOException(s"correlation id mismatch: sent $id, got $gotId")
+    java.util.Arrays.copyOfRange(payload, 4, size)
+  }
+
+  def partitionsOf(topic: String): Seq[KafkaWire.PartitionMeta] =
+    KafkaWire.decodeMetadataResponse(
+      roundTrip(KafkaWire.ApiMetadata, KafkaWire.encodeMetadataRequest(Seq(topic))), topic)
+
+  def earliestOffset(topic: String, partition: Int): Long =
+    KafkaWire.decodeListOffsetsResponse(roundTrip(KafkaWire.ApiListOffsets,
+      KafkaWire.encodeListOffsetsRequest(topic, partition, KafkaWire.EarliestTimestamp)))
+
+  /** Log-end offset (the next offset to be assigned). */
+  def latestOffset(topic: String, partition: Int): Long =
+    KafkaWire.decodeListOffsetsResponse(roundTrip(KafkaWire.ApiListOffsets,
+      KafkaWire.encodeListOffsetsRequest(topic, partition, KafkaWire.LatestTimestamp)))
+
+  /** One fetch round trip from `offset`; may return fewer records than
+    * available (bounded by `maxBytes`), never more than the broker has.
+    * Returns (records, highWatermark).
+    */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxWaitMs: Int = 500, minBytes: Int = 1,
+      maxBytes: Int = 4 * 1024 * 1024): (Seq[KafkaWire.Record], Long) =
+    KafkaWire.decodeFetchResponse(roundTrip(KafkaWire.ApiFetch,
+      KafkaWire.encodeFetchRequest(topic, partition, offset, maxWaitMs, minBytes, maxBytes)))
+
+  /** Produce with acks=1 (leader ack — the reference producer's setting);
+    * returns the base offset the broker assigned.
+    */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000): Long =
+    KafkaWire.decodeProduceResponse(roundTrip(KafkaWire.ApiProduce,
+      KafkaWire.encodeProduceRequest(topic, partition, records, acks = 1, timeoutMs)))
+
+  override def close(): Unit = {
+    try out.flush() catch { case _: Throwable => () }
+    try socket.close() catch { case _: Throwable => () }
+  }
+}

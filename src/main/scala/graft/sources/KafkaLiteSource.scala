@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Kafka streaming source (DataSource V2) over the hand-rolled
+  * [[KafkaWire]] protocol — S5 parity with the reference's KafkaLog
+  * consumer (`/root/reference/internal/services/kafkalog/server.go:117-152`:
+  * one message value = one log line into the parse pipeline).
+  *
+  * `spark.readStream.format("kafka-lite").option("brokers", "h:p")
+  * .option("topic", t).load()` → the stock connector's column shape
+  * (key/value binary, topic, partition, offset), so downstream
+  * `CAST(value AS STRING)` pipelines are connector-agnostic.
+  *
+  * ARCHITECTURE — unlike the syslog/filebuf sources (driver line buffer,
+  * at-most-once by transport nature), offsets here live in the BROKER:
+  *  - the driver speaks only metadata + ListOffsets (kilobytes per
+  *    trigger); record bytes NEVER pass through the driver;
+  *  - each micro-batch is a replayable per-partition offset range,
+  *    checkpointed by Spark — failure recovery re-fetches the same range,
+  *    giving end-to-end exactly-once into transactional/idempotent sinks
+  *    (the strongest delivery contract in SURVEY §4.2);
+  *  - one [[InputPartition]] per Kafka partition, fetched executor-side
+  *    from that partition's leader: parallelism scales with the topic's
+  *    partition count exactly as on a 1000-executor cluster;
+  *  - `maxoffsetspertrigger` implements [[SupportsAdmissionControl]] with
+  *    lag-proportional allocation across partitions — the same admission
+  *    shape the stock connector uses.
+  *
+  * Options: `brokers` (host:port bootstrap), `topic`, `startingoffsets`
+  * (`earliest`, default, or `latest`), `maxoffsetspertrigger` (long).
+  */
+class KafkaLiteSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kafka-lite"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaLiteSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new KafkaLiteTable
+}
+
+private[graft] object KafkaLiteSource {
+  /** The stock Kafka connector's column shape (minus the v2-format
+    * timestamp columns — message format v0 carries no timestamps).
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false)))
+
+  def parseBroker(brokers: String): (String, Int) = {
+    val first = brokers.split(',').head.trim
+    val i = first.lastIndexOf(':')
+    require(i > 0, s"broker must be host:port, got '$first'")
+    (first.substring(0, i), first.substring(i + 1).toInt)
+  }
+}
+
+private[sources] class KafkaLiteTable extends Table with SupportsRead {
+  override def name(): String = "kafka-lite"
+  override def schema(): StructType = KafkaLiteSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      private val brokers = Option(options.get("brokers")).getOrElse(
+        throw new IllegalArgumentException("kafka-lite requires option 'brokers'"))
+      private val topic = Option(options.get("topic")).getOrElse(
+        throw new IllegalArgumentException("kafka-lite requires option 'topic'"))
+      private val startingOffsets = Option(options.get("startingoffsets")).getOrElse("earliest")
+      private val maxOffsets = Option(options.get("maxoffsetspertrigger")).map(_.toLong)
+      override def build(): Scan = this
+      override def readSchema(): StructType = KafkaLiteSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new KafkaLiteMicroBatchStream(brokers, topic, startingOffsets, maxOffsets)
+    }
+}
+
+/** Per-partition offset map, serialized canonically (sorted partitions) so
+  * offset equality is textual — Spark compares offsets by their JSON.
+  */
+private[sources] case class KafkaLiteOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+}
+
+private[sources] object KafkaLiteOffset {
+  def parse(s: String): KafkaLiteOffset =
+    KafkaLiteOffset(s.trim match {
+      case "" => Map.empty
+      case t => t.split(',').map { kv =>
+        val Array(p, o) = kv.split(':'); p.toInt -> o.toLong
+      }.toMap
+    })
+}
+
+private[sources] class KafkaLiteMicroBatchStream(
+    brokers: String, topic: String, startingOffsets: String, maxOffsets: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val (bootHost, bootPort) = KafkaLiteSource.parseBroker(brokers)
+
+  @transient private var clientVar: KafkaLiteClient = _
+  private def client: KafkaLiteClient = synchronized {
+    if (clientVar == null) clientVar = new KafkaLiteClient(bootHost, bootPort)
+    clientVar
+  }
+
+  /** Partition → leader endpoint; fetched once (single-broker dev scope —
+    * a production cluster uses the stock connector, see [[KafkaWire]]).
+    */
+  private lazy val metas: Seq[KafkaWire.PartitionMeta] = client.partitionsOf(topic)
+
+  override def initialOffset(): Offset = {
+    val earliest = startingOffsets.toLowerCase != "latest"
+    KafkaLiteOffset(metas.map { m =>
+      m.partition -> (if (earliest) client.earliestOffset(topic, m.partition)
+                      else client.latestOffset(topic, m.partition))
+    }.toMap)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsets.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[KafkaLiteOffset].offsets
+    val logEnd = metas.map(m => m.partition -> client.latestOffset(topic, m.partition)).toMap
+    val capped = limit match {
+      case mr: ReadMaxRows =>
+        val lags = logEnd.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, e)) }
+        val total = lags.values.sum
+        if (total <= mr.maxRows) logEnd
+        else {
+          // lag-proportional allocation; guarantee progress on at least one
+          // partition when flooring rounds everything to zero
+          var allocated = logEnd.map { case (p, _) =>
+            val share = mr.maxRows * lags(p) / math.max(1L, total)
+            p -> (from.getOrElse(p, 0L) + share)
+          }
+          if (allocated == from)
+            lags.find(_._2 > 0).foreach { case (p, _) =>
+              allocated = allocated.updated(p, from.getOrElse(p, 0L) + 1L) }
+          allocated
+        }
+      case _ => logEnd
+    }
+    KafkaLiteOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset =
+    KafkaLiteOffset(metas.map(m => m.partition -> client.latestOffset(topic, m.partition)).toMap)
+
+  override def deserializeOffset(json: String): Offset = KafkaLiteOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaLiteOffset].offsets
+    val e = end.asInstanceOf[KafkaLiteOffset].offsets
+    metas.flatMap { m =>
+      val from = s.getOrElse(m.partition, 0L)
+      val until = e.getOrElse(m.partition, from)
+      if (until > from)
+        Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort, from, until))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new KafkaLiteReaderFactory
+
+  override def commit(end: Offset): Unit = () // broker retains; checkpoint owns progress
+
+  override def stop(): Unit = synchronized {
+    if (clientVar != null) { clientVar.close(); clientVar = null }
+  }
+}
+
+private[sources] case class KafkaLitePartition(
+    topic: String, partition: Int, host: String, port: Int,
+    startOffset: Long, endOffset: Long) extends InputPartition
+
+private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KafkaLitePartitionReader(partition.asInstanceOf[KafkaLitePartition])
+}
+
+/** Executor-side reader: fetch loop over [startOffset, endOffset). The
+  * range was planned against an observed high watermark, so the data
+  * exists; an empty fetch inside the range (broker mid-restart) retries
+  * until `fetchDeadlineMs` then fails the task — Spark's task retry
+  * replays the same range, preserving exactly-once.
+  */
+private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
+    fetchDeadlineMs: Long = 60000L) extends PartitionReader[InternalRow] {
+
+  private val client = new KafkaLiteClient(p.host, p.port)
+  private var cur = p.startOffset
+  private var queue: Iterator[KafkaWire.Record] = Iterator.empty
+  private var record: KafkaWire.Record = _
+
+  override def next(): Boolean = {
+    while (!queue.hasNext && cur < p.endOffset) {
+      val deadline = System.currentTimeMillis() + fetchDeadlineMs
+      var got: Seq[KafkaWire.Record] = Seq.empty
+      var drained = false
+      while (got.isEmpty && !drained) {
+        val raw = client.fetch(p.topic, p.partition, cur)._1
+        got = raw.filter(r => r.offset >= cur && r.offset < p.endOffset)
+        // a compacted log can skip every offset left in the range: the
+        // broker then answers with records past endOffset only — done
+        if (got.isEmpty && raw.nonEmpty && raw.forall(_.offset >= p.endOffset)) {
+          cur = p.endOffset
+          drained = true
+        }
+        if (got.isEmpty && !drained && System.currentTimeMillis() > deadline)
+          throw new java.io.IOException(
+            s"kafka-lite: no data for ${p.topic}/${p.partition} at $cur within ${fetchDeadlineMs}ms")
+      }
+      queue = got.iterator
+    }
+    if (queue.hasNext) {
+      record = queue.next()
+      cur = record.offset + 1
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    record.key, record.value, UTF8String.fromString(p.topic), p.partition, record.offset))
+
+  override def close(): Unit = client.close()
+}

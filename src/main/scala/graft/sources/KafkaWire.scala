@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** Byte-level codec for the four Kafka APIs the engine's native transport
+  * needs — Metadata, ListOffsets, Fetch, Produce — hand-rolled from the
+  * PUBLIC Kafka protocol guide (kafka.apache.org/protocol: request/response
+  * framing, primitive encodings, per-API v0 schemas) the same way
+  * [[FileBufWire]] hand-rolls gRPC from PROTOCOL-HTTP2. No Kafka jars exist
+  * in this container; ~200 lines of codec keep the transport dependency-free
+  * while staying wire-compatible with v0-generation brokers.
+  *
+  * Scope (documented, deliberate): API version 0 and message format v0
+  * (magic 0) — the simplest self-consistent protocol generation, accepted
+  * by brokers through the 3.x line. Kafka 4.x removed the v0 wire formats
+  * (KIP-724), so a production deployment against a modern cluster should
+  * use the stock `spark-sql-kafka-0-10` connector (see README "deploy-time
+  * requirements"); [[StreamingIngest.kafkaSource]] carries that wiring.
+  * What this native path buys is the part no stock jar can give us here:
+  * a live end-to-end exercise of the engine's Kafka SEMANTICS — broker
+  * offsets, startingOffsets, per-trigger admission control, replayable
+  * partition ranges, produce acks — against a wire-faithful broker.
+  *
+  * Reference behavior being reproduced: one message value = one log line,
+  * consumed from a topic and fed to the parse pipeline
+  * (`/root/reference/internal/services/kafkalog/server.go:117-152`), and
+  * the producer half batching lines to a topic (`client.go:62-98`).
+  *
+  * Wire recap (all big-endian):
+  *  - request  = int32 size ++ [api_key int16, api_version int16,
+  *    correlation_id int32, client_id string] ++ body
+  *  - response = int32 size ++ correlation_id int32 ++ body
+  *  - string = int16 len ++ UTF-8 (len -1 = null); bytes = int32 len ++ raw
+  *    (len -1 = null); array = int32 count ++ elements
+  *  - message set v0 = repeat [offset int64, msg_size int32, crc uint32,
+  *    magic int8 = 0, attributes int8 = 0, key bytes, value bytes], crc
+  *    over magic..value. Fetch responses may truncate the final message —
+  *    decoders must stop at the first incomplete entry.
+  */
+private[graft] object KafkaWire {
+
+  val ApiProduce: Short = 0
+  val ApiFetch: Short = 1
+  val ApiListOffsets: Short = 2
+  val ApiMetadata: Short = 3
+
+  val EarliestTimestamp: Long = -2L
+  val LatestTimestamp: Long = -1L
+
+  final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
+  final case class Record(offset: Long, key: Array[Byte], value: Array[Byte])
+
+  // ---- primitive writers -------------------------------------------------
+
+  /** Growable big-endian writer (ByteBuffer wants its size up front). */
+  final class Writer(initial: Int = 256) {
+    private var buf = ByteBuffer.allocate(initial)
+    private def ensure(n: Int): Unit =
+      if (buf.remaining() < n) {
+        val bigger = ByteBuffer.allocate(math.max(buf.capacity() * 2, buf.position() + n))
+        buf.flip(); bigger.put(buf); buf = bigger
+      }
+    def int8(v: Byte): Writer = { ensure(1); buf.put(v); this }
+    def int16(v: Short): Writer = { ensure(2); buf.putShort(v); this }
+    def int32(v: Int): Writer = { ensure(4); buf.putInt(v); this }
+    def int64(v: Long): Writer = { ensure(8); buf.putLong(v); this }
+    def raw(v: Array[Byte]): Writer = { ensure(v.length); buf.put(v); this }
+    def string(s: String): Writer = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      int16(b.length.toShort); raw(b)
+    }
+    /** Kafka `bytes`: int32 length, -1 for null. */
+    def bytes(v: Array[Byte]): Writer =
+      if (v == null) int32(-1) else { int32(v.length); raw(v) }
+    def array[T](xs: Seq[T])(each: T => Unit): Writer = {
+      int32(xs.size); xs.foreach(each); this
+    }
+    def toBytes: Array[Byte] = {
+      val out = new Array[Byte](buf.position())
+      val dup = buf.duplicate(); dup.flip(); dup.get(out); out
+    }
+  }
+
+  final class Reader(data: Array[Byte]) {
+    private val buf = ByteBuffer.wrap(data)
+    def int8(): Byte = buf.get()
+    def int16(): Short = buf.getShort()
+    def int32(): Int = buf.getInt()
+    def int64(): Long = buf.getLong()
+    def string(): String = {
+      val n = int16()
+      if (n < 0) null
+      else { val b = new Array[Byte](n); buf.get(b); new String(b, StandardCharsets.UTF_8) }
+    }
+    def bytes(): Array[Byte] = {
+      val n = int32()
+      if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
+    }
+    def raw(n: Int): Array[Byte] = { val b = new Array[Byte](n); buf.get(b); b }
+    def remaining: Int = buf.remaining()
+    def array[T](each: => T): Seq[T] = Seq.fill(int32())(each)
+  }
+
+  // ---- request framing ---------------------------------------------------
+
+  /** Size-prefixed request: header v0 + body. */
+  def request(apiKey: Short, correlationId: Int, clientId: String,
+      body: Array[Byte]): Array[Byte] = {
+    val w = new Writer(16 + body.length)
+    w.int16(apiKey).int16(0: Short).int32(correlationId).string(clientId).raw(body)
+    val payload = w.toBytes
+    val framed = new Writer(4 + payload.length)
+    framed.int32(payload.length).raw(payload)
+    framed.toBytes
+  }
+
+  // ---- message set v0 ----------------------------------------------------
+
+  /** One v0 message set from (key, value) pairs; offsets are written as the
+    * entry index (producers' offsets are placeholders — the broker assigns).
+    */
+  def encodeMessageSet(records: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
+    val w = new Writer(records.size * 64)
+    records.zipWithIndex.foreach { case ((key, value), i) =>
+      val body = new Writer(16)
+      body.int8(0: Byte)  // magic 0
+      body.int8(0: Byte)  // attributes: no compression
+      body.bytes(key)
+      body.bytes(value)
+      val bodyBytes = body.toBytes
+      val crc = new CRC32
+      crc.update(bodyBytes)
+      w.int64(i.toLong)                      // placeholder offset
+      w.int32(4 + bodyBytes.length)          // message size (crc + body)
+      w.int32(crc.getValue.toInt)            // crc as uint32 bits
+      w.raw(bodyBytes)
+    }
+    w.toBytes
+  }
+
+  /** Decode a v0 message set, stopping cleanly at a truncated final entry
+    * (fetch responses cut at max_bytes mid-message by design). Verifies
+    * each CRC — a mismatch means wire corruption and throws.
+    */
+  def decodeMessageSet(data: Array[Byte]): Seq[Record] = {
+    val out = Vector.newBuilder[Record]
+    var pos = 0
+    while (data.length - pos >= 12) {
+      val buf = ByteBuffer.wrap(data, pos, data.length - pos)
+      val offset = buf.getLong
+      val size = buf.getInt // message bytes that follow: crc(4) + body(size-4)
+      if (size < 4 || data.length - pos - 12 < size) {
+        pos = data.length // truncated tail — done
+      } else {
+        val crcStored = buf.getInt.toLong & 0xffffffffL
+        val body = new Array[Byte](size - 4)
+        buf.get(body)
+        val crc = new CRC32
+        crc.update(body)
+        if (crc.getValue != crcStored)
+          throw new java.io.IOException(
+            s"kafka message at offset $offset failed CRC (${crc.getValue} != $crcStored)")
+        val r = new Reader(body)
+        val magic = r.int8()
+        if (magic != 0)
+          throw new java.io.IOException(s"unsupported message magic $magic (kafka-lite speaks v0)")
+        r.int8() // attributes — no compression support, 0 expected
+        val key = r.bytes()
+        val value = r.bytes()
+        out += Record(offset, key, value)
+        pos += 12 + size // offset(8) + size-field(4) + message(size)
+      }
+    }
+    out.result()
+  }
+
+  // ---- Metadata v0 -------------------------------------------------------
+
+  def encodeMetadataRequest(topics: Seq[String]): Array[Byte] = {
+    val w = new Writer()
+    w.array(topics)(t => w.string(t))
+    w.toBytes
+  }
+
+  /** (error, partitions) for `topic` with leader endpoints resolved through
+    * the broker list.
+    */
+  def decodeMetadataResponse(body: Array[Byte], topic: String): Seq[PartitionMeta] = {
+    val r = new Reader(body)
+    val brokers = r.array {
+      val id = r.int32(); val host = r.string(); val port = r.int32()
+      id -> (host, port)
+    }.toMap
+    val metas = r.array {
+      val err = r.int16()
+      val name = r.string()
+      val parts = r.array {
+        val perr = r.int16()
+        val pid = r.int32()
+        val leader = r.int32()
+        r.array(r.int32()) // replicas
+        r.array(r.int32()) // isr
+        (perr, pid, leader)
+      }
+      (err, name, parts)
+    }
+    metas.find(_._2 == topic) match {
+      case None => throw new java.io.IOException(s"topic $topic missing from metadata")
+      case Some((err, _, parts)) =>
+        if (err != 0) throw new java.io.IOException(s"metadata error $err for topic $topic")
+        parts.map { case (perr, pid, leader) =>
+          if (perr != 0) throw new java.io.IOException(s"metadata error $perr for $topic/$pid")
+          val (host, port) = brokers.getOrElse(leader,
+            throw new java.io.IOException(s"leader $leader of $topic/$pid not in broker list"))
+          PartitionMeta(pid, host, port)
+        }.sortBy(_.partition)
+    }
+  }
+
+  // ---- ListOffsets v0 ----------------------------------------------------
+
+  def encodeListOffsetsRequest(topic: String, partition: Int, timestamp: Long): Array[Byte] = {
+    val w = new Writer()
+    w.int32(-1) // replica_id: ordinary client
+    w.array(Seq(topic)) { t =>
+      w.string(t)
+      w.array(Seq(partition)) { p => w.int32(p).int64(timestamp).int32(1) }
+    }
+    w.toBytes
+  }
+
+  def decodeListOffsetsResponse(body: Array[Byte]): Long = {
+    val r = new Reader(body)
+    val offsets = r.array {
+      r.string()
+      r.array {
+        r.int32()
+        val err = r.int16()
+        val offs = r.array(r.int64())
+        if (err != 0) throw new java.io.IOException(s"list-offsets error $err")
+        offs
+      }
+    }
+    offsets.flatten.flatten.headOption.getOrElse(
+      throw new java.io.IOException("empty list-offsets response"))
+  }
+
+  // ---- Fetch v0 ----------------------------------------------------------
+
+  def encodeFetchRequest(topic: String, partition: Int, offset: Long,
+      maxWaitMs: Int, minBytes: Int, maxBytes: Int): Array[Byte] = {
+    val w = new Writer()
+    w.int32(-1).int32(maxWaitMs).int32(minBytes)
+    w.array(Seq(topic)) { t =>
+      w.string(t)
+      w.array(Seq(partition)) { p => w.int32(p).int64(offset).int32(maxBytes) }
+    }
+    w.toBytes
+  }
+
+  /** (records, highWatermark). */
+  def decodeFetchResponse(body: Array[Byte]): (Seq[Record], Long) = {
+    val r = new Reader(body)
+    val parts = r.array {
+      r.string()
+      r.array {
+        r.int32()
+        val err = r.int16()
+        val hw = r.int64()
+        val setSize = r.int32()
+        val set = r.raw(setSize)
+        if (err != 0) throw new java.io.IOException(s"fetch error $err")
+        (decodeMessageSet(set), hw)
+      }
+    }
+    parts.flatten.headOption.getOrElse(
+      throw new java.io.IOException("empty fetch response"))
+  }
+
+  // ---- Produce v0 --------------------------------------------------------
+
+  def encodeProduceRequest(topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte])], acks: Short, timeoutMs: Int): Array[Byte] = {
+    val set = encodeMessageSet(records)
+    val w = new Writer(64 + set.length)
+    w.int16(acks).int32(timeoutMs)
+    w.array(Seq(topic)) { t =>
+      w.string(t)
+      w.array(Seq(partition)) { p => w.int32(p).int32(set.length).raw(set) }
+    }
+    w.toBytes
+  }
+
+  /** Base offset assigned to the produced set; throws on a broker error. */
+  def decodeProduceResponse(body: Array[Byte]): Long = {
+    val r = new Reader(body)
+    val offs = r.array {
+      r.string()
+      r.array {
+        r.int32()
+        val err = r.int16()
+        val base = r.int64()
+        if (err != 0) throw new java.io.IOException(s"produce error $err")
+        base
+      }
+    }
+    offs.flatten.headOption.getOrElse(
+      throw new java.io.IOException("empty produce response"))
+  }
+}

@@ -51,6 +51,63 @@ object StreamingIngest {
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
 
+  /** S5 (native): the engine's own Kafka DataSource V2
+    * ([[graft.sources.KafkaLiteSourceProvider]]) — broker-held offsets,
+    * replayable per-partition ranges, executor-side fetch, admission
+    * control via maxOffsetsPerTrigger. Speaks the hand-rolled v0 wire
+    * protocol ([[graft.sources.KafkaWire]]), so the Kafka SEMANTICS are
+    * e2e-tested in this container with no Kafka jars; a production
+    * cluster on Kafka 4.x uses [[kafkaSource]] + the stock connector.
+    */
+  def kafkaLiteSource(spark: SparkSession, brokers: String, topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka-lite")
+      .option("brokers", brokers)
+      .option("topic", topic)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger.fold(base)(n => base.option("maxOffsetsPerTrigger", n))
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** K2 (native): Kafka producer sink over the same wire client — the
+    * producer half of the reference's KafkaLog
+    * (`internal/services/kafkalog/client.go:62-98`: lines batched to a
+    * topic, leader-acked). Each Spark partition produces to one Kafka
+    * partition (spark partition id mod partition count) in
+    * `produceBatch`-sized leader-acked requests; a broker error fails the
+    * batch, so checkpoint + replay give at-least-once, the reference's
+    * own envelope.
+    */
+  def kafkaLiteSink(lines: DataFrame, brokers: String, topic: String,
+      checkpoint: String, produceBatch: Int = 500): DataStreamWriter[org.apache.spark.sql.Row] =
+    lines.selectExpr("CAST(value AS STRING) AS value")
+      .where(col("value").isNotNull)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (host, port) = graft.sources.KafkaLiteSource.parseBroker(brokers)
+        batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val boot = new graft.sources.KafkaLiteClient(host, port)
+            try {
+              val metas = boot.partitionsOf(topic)
+              val m = metas(pid % metas.size)
+              val leader =
+                if (m.leaderHost == host && m.leaderPort == port) boot
+                else new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort)
+              try rows.grouped(produceBatch).foreach { group =>
+                leader.produce(topic, m.partition,
+                  group.map(r => (null: Array[Byte],
+                    r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+              } finally if (leader ne boot) leader.close()
+            } finally boot.close()
+          }
+        }
+      }
+
   /** S4 (dev): socket source standing in for the syslog listener; prod is
     * an rsyslog→Kafka sidecar (SURVEY §2.1 S4 recommendation) or the
     * native [[syslogTcpSource]].

@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.StreamingIngest
+
+/** Kafka transport (S5 source / K2 sink) over the hand-rolled v0 wire:
+  * codec units, client ↔ stub-broker round trips, and the full DSv2
+  * streaming path (offsets, admission control, checkpoint replay) — the
+  * `FileBufSpec` treatment for the Kafka leg.
+  */
+class KafkaLiteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def str(b: Array[Byte]) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
+  test("message set v0 roundtrip: null key, empty value, unicode, crc") {
+    val recs = Seq[(Array[Byte], Array[Byte])](
+      (null, utf8("plain")),
+      (utf8("k1"), utf8("")),
+      (null, utf8("uni é中😀")),
+      (utf8("key-2"), utf8("x" * 9000)))
+    val decoded = KafkaWire.decodeMessageSet(KafkaWire.encodeMessageSet(recs))
+    assert(decoded.size == 4)
+    assert(decoded(0).key == null && str(decoded(0).value) == "plain")
+    assert(str(decoded(1).key) == "k1" && decoded(1).value.length == 0)
+    assert(str(decoded(2).value) == "uni é中😀")
+    assert(decoded(3).value.length == 9000)
+    assert(decoded.map(_.offset) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("message set decoder stops cleanly at a truncated tail (fetch max_bytes cut)") {
+    val whole = KafkaWire.encodeMessageSet(
+      Seq((null, utf8("aaaa")), (null, utf8("bbbb")), (null, utf8("cccc"))))
+    // any prefix must decode only the complete entries, never throw
+    for (cut <- 1 until whole.length) {
+      val part = java.util.Arrays.copyOfRange(whole, 0, cut)
+      val got = KafkaWire.decodeMessageSet(part)
+      assert(got.size <= 2)
+      got.foreach(r => assert(Seq("aaaa", "bbbb").contains(str(r.value))))
+    }
+    // corrupting a payload byte must fail the CRC
+    val bad = whole.clone()
+    bad(whole.length - 1) = (bad(whole.length - 1) ^ 0x1).toByte
+    intercept[java.io.IOException](KafkaWire.decodeMessageSet(bad))
+  }
+
+  test("client ↔ stub broker: metadata, produce, list offsets, fetch") {
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    try {
+      val c = new KafkaLiteClient("127.0.0.1", port)
+      try {
+        val metas = c.partitionsOf("logs")
+        assert(metas.map(_.partition) == Seq(0, 1))
+        assert(c.earliestOffset("logs", 0) == 0L && c.latestOffset("logs", 0) == 0L)
+
+        val base0 = c.produce("logs", 0, (1 to 5).map(i => (null, utf8(s"p0-$i"))))
+        val base1 = c.produce("logs", 0, (1 to 3).map(i => (null, utf8(s"p0-more-$i"))))
+        assert(base0 == 0L && base1 == 5L)
+        assert(c.latestOffset("logs", 0) == 8L)
+
+        val (recs, hw) = c.fetch("logs", 0, 5L)
+        assert(hw == 8L)
+        assert(recs.map(r => str(r.value)) == Seq("p0-more-1", "p0-more-2", "p0-more-3"))
+        assert(recs.map(_.offset) == Seq(5L, 6L, 7L))
+
+        // fetch past the log end long-polls then reports OFFSET_OUT_OF_RANGE
+        intercept[java.io.IOException](c.fetch("logs", 0, 9L, maxWaitMs = 10))
+      } finally c.close()
+    } finally broker.stop()
+  }
+
+  test("kafka-lite DSv2 source end-to-end through the parse pipeline (S5)") {
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    val goodLine =
+      "10.0.0.1 - - [21/Jul/2022:00:30:43 +0000] \"GET /x HTTP/1.1\" 200 512 0.05"
+    val cfg = graft.config.GraftConfig(
+      logFormat = "$remote_addr - $remote_user [$time_local] \"$request\" $status $bytes_sent $request_time",
+      columns = Seq("remote_addr", "remote_user", "time_local", "request",
+        "status", "bytes_sent", "request_time").map(c => c -> c).toMap,
+      logsTable = "access_log")
+    broker.append("logs", 0, Seq(goodLine, "complete garbage"))
+    broker.append("logs", 1, Seq(goodLine))
+    val lines = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "logs")
+    val parsed = StreamingIngest.parse(lines, cfg)
+    val q = parsed.writeStream.format("memory")
+      .queryName("kafka_lite_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kafka_lite_test").count() == 2) // garbage dropped by parse
+
+      // stream keeps following the log: append mid-stream, rows arrive
+      broker.append("logs", 1, Seq(goodLine, goodLine))
+      q.processAllAvailable()
+      assert(spark.table("kafka_lite_test").count() == 4)
+      val r = spark.table("kafka_lite_test").collect().head
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[Long]("bytes_sent") == 512L)
+      // the source drove real broker APIs over the wire
+      assert(broker.apiCounts.getOrElse(KafkaWire.ApiMetadata, 0) >= 1)
+      assert(broker.apiCounts.getOrElse(KafkaWire.ApiListOffsets, 0) >= 2)
+      assert(broker.apiCounts.getOrElse(KafkaWire.ApiFetch, 0) >= 2)
+    } finally q.stop()
+  }
+
+  test("startingOffsets=latest skips the backlog") {
+    val broker = new KafkaStubBroker(numPartitions = 1)
+    val port = broker.start()
+    broker.append("t", 0, Seq("old-1", "old-2"))
+    val df = StreamingIngest.kafkaLiteSource(
+      spark, s"127.0.0.1:$port", "t", startingOffsets = "latest")
+    val q = df.writeStream.format("memory")
+      .queryName("kafka_lite_latest").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kafka_lite_latest").count() == 0)
+      broker.append("t", 0, Seq("new-1"))
+      q.processAllAvailable()
+      val vals = spark.table("kafka_lite_latest").collect().map(_.getString(0))
+      assert(vals.toSeq == Seq("new-1"))
+    } finally q.stop()
+  }
+
+  test("maxOffsetsPerTrigger paces micro-batches (admission control)") {
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    broker.append("paced", 0, (1 to 60).map(i => s"a-$i"))
+    broker.append("paced", 1, (1 to 40).map(i => s"b-$i"))
+    val df = StreamingIngest.kafkaLiteSource(
+      spark, s"127.0.0.1:$port", "paced", maxOffsetsPerTrigger = Some(25L))
+    val q = df.writeStream.format("memory")
+      .queryName("kafka_lite_paced").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kafka_lite_paced").count() == 100)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 4, s"expected ≥4 paced batches, got ${batches.length}")
+      // lag-proportional allocation: no batch exceeds the cap (+1 progress guarantee)
+      assert(batches.forall(_.numInputRows <= 26),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("checkpointed offsets replay exactly-once across a query restart") {
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_lite").toString
+    val cp = s"$dir/cp"; val out = s"$dir/out"
+    def run(): Unit = {
+      val q = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "replay")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    broker.append("replay", 0, (1 to 10).map(i => s"first-$i"))
+    run()
+    broker.append("replay", 0, (1 to 5).map(i => s"second-$i"))
+    broker.append("replay", 1, (1 to 5).map(i => s"third-$i"))
+    run() // restart from checkpoint: only the new 10 rows, no re-reads
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 20, s"expected 20 rows exactly-once, got ${rows.length}")
+    assert(rows.map(_.getString(0)).distinct.length == 20)
+  }
+
+  test("kafka-lite streaming sink produces leader-acked batches (K2)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_sink_cp").toString
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.kafkaLiteSink(
+      stream.toDF().toDF("value"), s"127.0.0.1:$port", "sunk", cp).start()
+    try {
+      val lines = (1 to 100).map(i => s"sunk line $i")
+      stream.addData(lines: _*)
+      q.processAllAvailable()
+      val landed = broker.stringValues("sunk", 0) ++ broker.stringValues("sunk", 1)
+      assert(landed.sorted == lines.sorted)
+      assert(broker.apiCounts.getOrElse(KafkaWire.ApiProduce, 0) >= 1)
+    } finally {
+      q.stop()
+      broker.stop()
+    }
+  }
+}
