@@ -31,8 +31,14 @@ object Bench {
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
-    "q47_chunk_overlap", "d15_semantic_dedup_blocked",
-    "p01_curation_pipeline", "p02_scrub_sample_pipeline")
+    "q47_chunk_overlap", "d19_quality_survivors",
+    "t11_keyword_search", "t12_unk_rewrite",
+    "p01_curation_pipeline", "p02_scrub_sample_pipeline",
+    // last on purpose: its embedded exact-truth harness (all-pairs cosine
+    // + double connected components) leaves enough heap/GC wake to tax
+    // whatever runs next — measured +120% on p01/p02 when it ran before
+    // them (r5)
+    "d15_semantic_dedup_blocked")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,10 @@ object ProfileQ {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[profile] $name run$i ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+      // drop operator-internal persists (scrub's norm cache, minhash's
+      // shingle table) so reps don't stack caches — Bench does the same
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

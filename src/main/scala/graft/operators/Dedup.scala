@@ -612,6 +612,42 @@ object Dedup {
       StructType(Seq(StructField("node", idType), StructField("cluster", idType))))
   }
 
+  /** Near-dup survivor selection keeping the BEST-scoring member of each
+    * duplicate cluster — production near-dedup keeps the highest-quality
+    * (or longest) member, not an arbitrary/minimum id (e.g. the dedup
+    * stage of open web-corpus pipelines ranks cluster members by a
+    * quality signal before dropping the rest). Ties on the score break to
+    * the smallest id, so selection is total and deterministic.
+    *
+    * Inputs: the corpus, a near-dup pair list (a, b) (any generator:
+    * [[minhashNearDups]], [[simhashNearDups]], ...), and a per-doc score
+    * table (idCol, scoreCol) — integer scores recommended
+    * ([[TextAnalysis.qualityScore]]'s basis points) so ranking is
+    * engine-exact. Output: the surviving rows of `docs` (every doc not in
+    * any cluster, plus each cluster's representative).
+    *
+    * Scale shape: clusters derive from PAIRS (tiny next to the corpus —
+    * [[duplicateClusters]]'s adaptive CC); the score join, per-cluster
+    * max, and representative pick all run over cluster MEMBERS only. The
+    * corpus itself is touched once by the final anti-join against the
+    * non-representative id set (AQE broadcasts it when small); corpus
+    * text never shuffles.
+    */
+  def bestQualitySurvivors(
+      docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "quality_score"): DataFrame = {
+    val members = duplicateClusters(pairs)
+      .join(scores.select(col(idCol).as("node"), col(scoreCol).as("score")), Seq("node"))
+    val best = members.groupBy(col("cluster")).agg(max(col("score")).as("mx"))
+    val reps = members.join(best, Seq("cluster"))
+      .where(col("score") === col("mx"))
+      .groupBy(col("cluster")).agg(min(col("node")).as("rep"))
+    val losers = members.join(reps, Seq("cluster"))
+      .where(col("node") =!= col("rep"))
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Duplicated-span inventory: every k-token span (in document order,
     * overlapping) that occurs in at least `minDocs` distinct documents —
     * the exact-substring-duplication signal behind suffix-array dedup of
@@ -693,26 +729,28 @@ object Dedup {
     * them when small) followed by a map-side indexed filter over the
     * in-row token array — the corpus text shuffles at most once. The
     * span scan feeds two consumers (the dup aggregate and the cut join)
-    * and the token arrays a third (the rebuild); Spark does not share
-    * subtrees between branches of one plan, so the tokenized projection
-    * is PERSISTED (`persistToks`, default on — MEMORY_AND_DISK, the same
-    * treatment [[minhashNearDups]] gives its shingle table) and the
-    * corpus is normalized+tokenized exactly once instead of three times.
-    * Set `persistToks = false` only for plan-shape tests that need the
-    * raw unshared tree.
+    * and the text a third (the rebuild); Spark does not share subtrees
+    * between branches of one plan, so the NORMALIZED projection
+    * (doc_id, norm, n) is PERSISTED (`persistToks`, default on —
+    * MEMORY_AND_DISK) and the normalize regex pass runs exactly once
+    * instead of three times. Deliberately the flat strings, NOT the token
+    * arrays: caching an array<string> column pays a columnar-encode cost
+    * that measured ~2× worse than the rescan it saves (r5), while `norm`
+    * caches as plain strings and the one `split` the rebuild needs is
+    * cheap to do in place. Set `persistToks = false` only for plan-shape
+    * tests that need the raw unshared tree.
     */
   def scrubDuplicatedSpans(
       docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 8, minDocs: Int = 2,
       persistToks: Boolean = true): DataFrame = {
-    val toksRaw = docs.select(col(idCol).as("doc_id"),
+    val normRaw = docs.select(col(idCol).as("doc_id"),
       graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
-      .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
-      .withColumn("n", size(col("toks")))
+      .withColumn("n", size(split(col("norm"), " ")))
     val toks =
-      if (persistToks) toksRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else toksRaw
+      if (persistToks) normRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else normRaw
     // span hashes with 1-based start positions, occurrences kept — the
     // codegen'd positional kernel hashes each span's byte range in place
     // (no span strings, no md5); docs shorter than k are a single
@@ -733,6 +771,7 @@ object Dedup {
     val keep: (Column, Column) => Column = (t, i) =>
       !coalesce(array_contains(col("cut"), i + 1), lit(false))
     toks.join(cuts, Seq("doc_id"), "left")
+      .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
       .select(col("doc_id"),
         array_join(filter(col("toks"), keep), " ").as("clean_text"),
         when(col("cut").isNull, 0L)

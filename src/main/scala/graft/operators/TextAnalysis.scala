@@ -349,4 +349,98 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("wmin").as("fp"))
       .distinct()
   }
+
+  /** Keyword retrieval: top-k documents for a fixed term set under a
+    * BM25-SHAPED score (Robertson et al., TREC-3 Okapi) — the lookup
+    * primitive behind curation workflows (pull every doc matching a
+    * benchmark's keywords, audit what a dedup pass kept, seed a
+    * decontamination review).
+    *
+    * DELIBERATE DEVIATION (the q51 rationale): classic BM25 weighs each
+    * term by idf = ln((N - df + 0.5)/(df + 0.5)). `ln` is a libm
+    * transcendental whose last bit is unspecified by IEEE 754 and varies
+    * across engines, so this score uses the RAW RATIO (monotone under ln,
+    * so per-term document ordering is preserved; the cross-term mixture
+    * differs from log-BM25 and favors rare terms more strongly).
+    * Per-term contributions are floored to integer ten-thousandths and
+    * summed as integers — addition order can't perturb the result, and
+    * the whole score is engine-exact: +, *, / on doubles are correctly
+    * rounded, int→double conversion is exact, floor is exact.
+    *
+    * score(d) = Σ_t floor(10000 · (N-df_t+0.5)/(df_t+0.5)
+    *                      · tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)))
+    * with k1 = 1.2, b = 0.75 (the standard Okapi constants).
+    *
+    * Scale shape: two map-only passes over the corpus, nothing else. Pass
+    * 1 computes each doc's (dl, tf per term) from the in-row token array
+    * (no explode — the term list is a handful of literals) and reduces to
+    * ONE stats row (N, Σdl, df per term) via map-side partial combine;
+    * pass 2 re-derives the same tiny projection and scores each row
+    * against the driver-computed constant weights, feeding a global
+    * TakeOrderedAndProject (heap top-k, no sort). The (doc, dl, tf…)
+    * projection is cheap enough to compute twice that persisting it would
+    * cost more than it saves; corpus text never shuffles either pass.
+    */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], topK: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "keywordSearch: 1..32 terms")
+    val toks = graft.functions.OptimizerFence(
+      split(Dedup.normalize(col(textCol)), " "))
+    def proj = docs.withColumn("__toks", toks).select(
+      col(idCol).as("doc_id") +: size(col("__toks")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    val aggCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = proj.agg(aggCols.head, aggCols.tail: _*).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val score = terms.indices.map { i =>
+      val df = stats.getLong(2 + i)
+      val w = (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+      floor((lit(10000.0) * lit(w)) * ((col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / lit(avgdl)))))).cast("long")
+    }.reduce(_ + _)
+    proj.select(col("doc_id"), score.as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Rare-token `<unk>` rewrite — classic LM-vocabulary pruning: corpus
+    * tokens whose total occurrence count falls below a threshold are
+    * replaced by a sentinel, bounding the vocabulary before tokenizer
+    * training / frequency-based filtering. Output per doc: the rewritten
+    * text plus the replaced-token count.
+    *
+    * Scale shape: the count pass explodes tokens but aggregates map-side,
+    * so only (token, partial-count) rows reach the single exchange; the
+    * KEPT vocabulary (frequent tokens — small by Zipf's law at any corpus
+    * size, unlike the unbounded rare tail) is collected into one array
+    * row and broadcast; the rewrite is a map-only membership pass over
+    * the in-row token arrays. Corpus text never shuffles. The membership
+    * probe is `array_contains` (linear per token) — fine to ~1e4 kept
+    * terms; a larger vocabulary would swap in a broadcast hash set via a
+    * static-invoke kernel, same plan shape.
+    */
+  def unkRewrite(docs: DataFrame, minCount: Long, unk: String = "<unk>",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.functions.OptimizerFence(
+      split(Dedup.normalize(col(textCol)), " "))
+    val withToks = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val keep = withToks.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .agg(sort_array(collect_list(col("term"))).as("keep"))
+    withToks.crossJoin(broadcast(keep))
+      .select(col("doc_id"),
+        array_join(transform(col("toks"),
+          t => when(array_contains(col("keep"), t), t).otherwise(lit(unk))), " ")
+          .as("rewritten"),
+        size(filter(col("toks"),
+          t => !array_contains(col("keep"), t))).cast("long").as("n_unk"))
+  }
 }

@@ -363,6 +363,65 @@ object DataOps {
       "ExactSubstr span scrubbing: duplicated 8-token spans removed from all " +
         "but the first document; per-doc clean text + removed-token count"),
 
+    // d19: near-dedup the way production pipelines actually pick
+    // survivors — keep the BEST-quality member of each duplicate cluster
+    // (not the min id). Clusters from the d03/d07 MinHash pair list;
+    // ranking by t02's integer quality score, ties to the smaller id.
+    "d19_quality_survivors" -> Q(
+      (s, dir) => {
+        val corpus = docsWithNearDups(s, dir)
+        Dedup.bestQualitySurvivors(
+          corpus,
+          Dedup.minhashNearDups(corpus,
+            shingleSize = 3, numHashes = 96, rowsPerBand = 4, threshold = 0.8)
+            .select("a", "b"),
+          TextAnalysis.qualityScore(corpus).select("doc_id", "quality_score"))
+          .select("doc_id")
+      },
+      Some(s"""WITH RECURSIVE d2 AS ($DupCorpusSql),
+             |f AS (
+             |  SELECT doc_id, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM d2)),
+             |pairs AS (
+             |  SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM f a JOIN f b
+             |    ON a.doc_id < b.doc_id
+             |   AND 5 * len(a.sh) >= 4 * len(b.sh)
+             |   AND 5 * len(b.sh) >= 4 * len(a.sh)
+             |  WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |         / len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.8),
+             |edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |clusters AS (
+             |  SELECT src AS node, least(src, min(dst)) AS cluster
+             |  FROM reach GROUP BY src),
+             |qual AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / length(text)) AS INT)
+             |       + CAST(floor(10000.0 * len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |           w -> w IN ('the','and','of','to','a','in','is','that','for','it')))
+             |           / len(string_split_regex(trim(lower(text)), '\\s+'))) AS INT) * 2 AS INT) AS score
+             |  FROM d2),
+             |members AS (
+             |  SELECT c.node, c.cluster, q.score
+             |  FROM clusters c JOIN qual q ON c.node = q.doc_id),
+             |best AS (SELECT cluster, max(score) AS mx FROM members GROUP BY cluster),
+             |reps AS (
+             |  SELECT m.cluster, min(m.node) AS rep
+             |  FROM members m JOIN best b ON m.cluster = b.cluster AND m.score = b.mx
+             |  GROUP BY m.cluster),
+             |losers AS (
+             |  SELECT m.node FROM members m JOIN reps r ON m.cluster = r.cluster
+             |  WHERE m.node <> r.rep)
+             |SELECT doc_id FROM d2
+             |WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin),
+      "near-dup survivors keeping the best-quality cluster member (quality-ranked dedup)"),
+
     // Decontamination demo corpus: eval = perturbed copies of every 25th
     // document (an eval set that genuinely overlaps 1/25th of train), so
     // the 8-gram overlap flags exactly those originals. The synthetic
@@ -973,6 +1032,66 @@ object DataOps {
              |            FOR p IN generate_series(1, greatest(len(hs) - 3, 1))]) AS fp
              |  FROM h)""".stripMargin),
       "winnowing (MOSS) fingerprints: shared runs of w+k-1 tokens always share a print"),
+
+    // t11: keyword retrieval top-k under the division-form BM25 score
+    // (see TextAnalysis.keywordSearch scaladoc for the ln-free rationale).
+    // 'dup' is the corpus's one rare term (high idf weight); the others
+    // are common (idf ≈ small) — the ranking mixes both regimes.
+    "t11_keyword_search" -> Q(
+      (s, dir) => TextAnalysis.keywordSearch(
+        tp(s, dir, "documents"), Seq("dup", "spark", "merge", "window"), topK = 10),
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS dl,
+             |    len(list_filter(toks, t -> t = 'dup')) AS tf0,
+             |    len(list_filter(toks, t -> t = 'spark')) AS tf1,
+             |    len(list_filter(toks, t -> t = 'merge')) AS tf2,
+             |    len(list_filter(toks, t -> t = 'window')) AS tf3
+             |  FROM tk),
+             |g AS (
+             |  SELECT count(*) AS n, sum(dl) AS sdl,
+             |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+             |  FROM m)
+             |SELECT doc_id, score FROM (
+             |  SELECT doc_id,
+             |    CAST(floor((10000.0 * ((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)))
+             |           * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT)
+             |  + CAST(floor((10000.0 * ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)))
+             |           * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT)
+             |  + CAST(floor((10000.0 * ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)))
+             |           * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT)
+             |  + CAST(floor((10000.0 * ((CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5)))
+             |           * ((tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT)
+             |    AS score
+             |  FROM m, g)
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+      "keyword retrieval top-k: BM25-shaped integer score (division-form idf, " +
+        "Okapi k1/b saturation), engine-exact"),
+
+    // t12: rare-token <unk> rewrite; threshold = docCount/10 total
+    // occurrences (scale-relative, integer-exact in both engines), which
+    // splits the synthetic vocabulary at its one rare term.
+    "t12_unk_rewrite" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        TextAnalysis.unkRewrite(docs, minCount = docs.count() / 10)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents)
+             |SELECT doc_id, rewritten, n_unk FROM tk, (
+             |  SELECT list(term ORDER BY term) AS ks FROM (
+             |    SELECT term FROM (SELECT unnest(toks) AS term FROM tk)
+             |    GROUP BY term
+             |    HAVING count(*) >= (SELECT count(*) // 10 FROM documents))) k,
+             |  LATERAL (SELECT
+             |    coalesce(array_to_string([CASE WHEN list_contains(coalesce(k.ks, []), t)
+             |                              THEN t ELSE '<unk>' END FOR t IN tk.toks], ' '), '') AS rewritten,
+             |    CAST(len(list_filter(tk.toks,
+             |      t -> NOT list_contains(coalesce(k.ks, []), t))) AS BIGINT) AS n_unk)""".stripMargin),
+      "rare-token <unk> rewrite: corpus-frequency vocabulary pruning, " +
+        "broadcast kept-set, map-only rebuild"),
 
     // ---- multimodal plumbing (stub decode; deterministic → oracle) -------
     // ---- pipeline composition -------------------------------------------

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge-case pins for the r5 curation operators: quality-ranked dedup
+  * survivors (d19), division-form BM25 keyword retrieval (t11), and the
+  * rare-token `<unk>` rewrite (t12). The catalog's DuckDB oracles check
+  * full-corpus behavior; these pin the tie-break / boundary semantics a
+  * hash compare can't isolate.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- bestQualitySurvivors --------------------------------------------
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private def pairsDf(rows: (Long, Long)*) = rows.toDF("a", "b")
+  private def scoresDf(rows: (Long, Int)*) = rows.toDF("doc_id", "quality_score")
+
+  test("bestQualitySurvivors keeps the max-score member, min id on ties") {
+    val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 9L -> "solo")
+    // cluster {1,2,3} (transitive via 1-2, 2-3), cluster {4} none
+    val pairs = pairsDf(1L -> 2L, 2L -> 3L)
+    // 3 has the best score -> only 3 survives the cluster
+    val out = Dedup.bestQualitySurvivors(docs, pairs,
+      scoresDf(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 5, 9L -> 1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(3L, 4L, 9L)) // 4 and 9 untouched singletons
+
+    // tie on the max score -> the smaller id of the tied pair wins
+    val tied = Dedup.bestQualitySurvivors(docs, pairs,
+      scoresDf(1L -> 10, 2L -> 30, 3L -> 30, 4L -> 5, 9L -> 1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(tied.toSeq == Seq(2L, 4L, 9L))
+  }
+
+  test("bestQualitySurvivors keeps full rows and every out-of-cluster doc") {
+    val docs = docsDf(1L -> "keep me", 2L -> "drop me", 7L -> "bystander")
+    val out = Dedup.bestQualitySurvivors(docs, pairsDf(1L -> 2L),
+      scoresDf(1L -> 2, 2L -> 1, 7L -> 0)).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 7L))
+    // survivor rows are the original docs rows (text intact)
+    assert(out.find(_.getLong(0) == 1L).get.getString(1) == "keep me")
+  }
+
+  // ---- keywordSearch ----------------------------------------------------
+
+  test("keywordSearch ranks the rare term above common ones (idf dominance)") {
+    // 'rare' in 1 of 4 docs; 'common' in all. BM25-shaped idf must rank
+    // the rare-term doc first even when its tf is lower.
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common common common"),
+      (3L, "common common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordSearch(docs, Seq("rare", "common"), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.head._1 == 1L, s"rare-term doc should rank first, got ${out.toSeq}")
+    // every doc matches 'common' so all 4 score > 0
+    assert(out.length == 4)
+    // scores strictly ordered desc with doc_id tiebreak
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("keywordSearch drops no-match docs and honors topK") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "needle x"), (3L, "needle needle x"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.keywordSearch(docs, Seq("needle"), topK = 1)
+      .collect().map(_.getLong(0))
+    // only docs 2 and 3 match; higher tf ranks doc 3 first; topK=1 keeps it
+    assert(out.toSeq == Seq(3L))
+  }
+
+  // ---- unkRewrite -------------------------------------------------------
+
+  test("unkRewrite replaces below-threshold tokens only (boundary: >= keeps)") {
+    // counts: a=3, b=2, c=1 -> minCount=2 keeps a,b and rewrites c
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.unkRewrite(docs, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b <unk>", 1L))
+    assert(out(2L) == ("a b", 0L))
+    assert(out(3L) == ("a", 0L))
+  }
+
+  test("unkRewrite with an impossible threshold rewrites everything") {
+    val docs = Seq((1L, "p q"), (2L, "q r")).toDF("doc_id", "text")
+    val out = TextAnalysis.unkRewrite(docs, minCount = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("<unk> <unk>", 2L))
+    assert(out(2L) == ("<unk> <unk>", 2L))
+  }
+}
