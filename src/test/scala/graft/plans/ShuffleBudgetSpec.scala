@@ -69,6 +69,21 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(shuffles(TextAnalysis.vocabulary(docs)) <= 2) // partial+final distinct pair
   }
 
+  test("keywordSearch scoring pass is exchange-free (corpus never shuffles)") {
+    // the stats pass runs eagerly inside keywordSearch (driver scalar);
+    // the RETURNED plan is the scoring pass — one map-only projection
+    // into a global TakeOrdered, zero exchanges
+    assert(shuffles(TextAnalysis.keywordSearch(docs, Seq("words", "token"))) == 0)
+  }
+
+  test("unkRewrite plans only the count-side exchange; rebuild is map-only") {
+    // one exchange for the token-count aggregate (partial+final pair at
+    // most) + the broadcast of the kept set; the corpus rebuild side must
+    // not shuffle
+    val n = shuffles(TextAnalysis.unkRewrite(docs, minCount = 2))
+    assert(n <= 2, s"unkRewrite planned $n exchanges")
+  }
+
   test("minhash signature build is exchange-free before banding") {
     val sigs = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
