@@ -34,6 +34,7 @@ object Bench {
     "q47_chunk_overlap", "d19_quality_survivors",
     "t11_keyword_search", "t12_unk_rewrite",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
+    "p03_quality_curation_pipeline",
     // last on purpose: its embedded exact-truth harness (all-pairs cosine
     // + double connected components) leaves enough heap/GC wake to tax
     // whatever runs next — measured +120% on p01/p02 when it ran before

@@ -1233,6 +1233,119 @@ object DataOps {
       "curation capstone: exact dedup → span scrub → survivor gate → " +
         "weighted sample, one fused plan"),
 
+    // p03: the round-5 operators composed end-to-end — C4 gate →
+    // QUALITY-RANKED near-dedup (d19: clusters keep their best-quality
+    // member) → rare-token <unk> rewrite (t12) → hash split — every stage
+    // individually oracle-checked (t10/d19/t12/q35), the composition
+    // checked by composed CTEs. The <unk> threshold is docCount/10 of the
+    // BASE table, integer-exact in both engines.
+    "p03_quality_curation_pipeline" -> Q(
+      (s, dir) => {
+        val corpus = docsWithNearDups(s, dir)
+        val minCount = tp(s, dir, "documents").count() / 10
+        val keepIds = TextAnalysis.c4Filters(corpus, minToks = 15)
+          .where(col("keep")).select("doc_id")
+        val gated = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+        val survivors = Dedup.bestQualitySurvivors(
+          gated,
+          Dedup.minhashNearDups(gated,
+            shingleSize = 3, numHashes = 96, rowsPerBand = 4, threshold = 0.8)
+            .select("a", "b"),
+          TextAnalysis.qualityScore(gated).select("doc_id", "quality_score"))
+        val rewritten = TextAnalysis.unkRewrite(survivors, minCount = minCount)
+        graft.operators.Sampling.hashSplit(rewritten)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_unk")).as("sum_unk"),
+            sum(size(split(col("rewritten"), " ")).cast("long")).as("sum_toks"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      },
+      Some(s"""WITH RECURSIVE d2 AS ($DupCorpusSql),
+             |cq AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS INT) AS n_chars_c,
+             |    CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_space,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INT) AS n_toks,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |      w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS INT) AS stop_hits,
+             |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+             |    contains(lower(text), '{') AS has_brace
+             |  FROM d2),
+             |gated AS (
+             |  SELECT d.doc_id, d.text FROM d2 d JOIN (
+             |    SELECT doc_id FROM cq
+             |    WHERE NOT (n_toks < 15
+             |      OR CAST(floor(10000.0 * (n_chars_c - n_space) / n_toks) AS INT) < 30000
+             |      OR CAST(floor(10000.0 * (n_chars_c - n_space) / n_toks) AS INT) > 100000
+             |      OR stop_hits < 2 OR has_lorem OR has_brace)) k USING (doc_id)),
+             |f AS (
+             |  SELECT doc_id, $ShingleSql AS sh
+             |  FROM (SELECT doc_id, $NormToksSql AS toks FROM gated)),
+             |pairs AS (
+             |  SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM f a JOIN f b
+             |    ON a.doc_id < b.doc_id
+             |   AND 5 * len(a.sh) >= 4 * len(b.sh)
+             |   AND 5 * len(b.sh) >= 4 * len(a.sh)
+             |  WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |         / len(list_distinct(list_concat(a.sh, b.sh)))) >= 0.8),
+             |edges AS (
+             |  SELECT a AS src, b AS dst FROM pairs
+             |  UNION SELECT b, a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |clusters AS (
+             |  SELECT src AS node, least(src, min(dst)) AS cluster
+             |  FROM reach GROUP BY src),
+             |qual AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / length(text)) AS INT)
+             |       + CAST(floor(10000.0 * len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             |           w -> w IN ('the','and','of','to','a','in','is','that','for','it')))
+             |           / len(string_split_regex(trim(lower(text)), '\\s+'))) AS INT) * 2 AS INT) AS score
+             |  FROM gated),
+             |members AS (
+             |  SELECT c.node, c.cluster, q.score
+             |  FROM clusters c JOIN qual q ON c.node = q.doc_id),
+             |best AS (SELECT cluster, max(score) AS mx FROM members GROUP BY cluster),
+             |reps AS (
+             |  SELECT m.cluster, min(m.node) AS rep
+             |  FROM members m JOIN best b ON m.cluster = b.cluster AND m.score = b.mx
+             |  GROUP BY m.cluster),
+             |losers AS (
+             |  SELECT m.node FROM members m JOIN reps r ON m.cluster = r.cluster
+             |  WHERE m.node <> r.rep),
+             |surv AS (
+             |  SELECT doc_id, $NormToksSql AS toks FROM gated
+             |  WHERE doc_id NOT IN (SELECT node FROM losers)),
+             |ks AS (
+             |  SELECT list(term ORDER BY term) AS ks FROM (
+             |    SELECT term FROM (SELECT unnest(toks) AS term FROM surv)
+             |    GROUP BY term
+             |    HAVING count(*) >= (SELECT count(*) // 10 FROM documents))),
+             |rw AS (
+             |  SELECT doc_id,
+             |    coalesce(array_to_string([CASE WHEN list_contains(coalesce(k.ks, []), t)
+             |                              THEN t ELSE '<unk>' END FOR t IN surv.toks], ' '), '') AS rewritten,
+             |    CAST(len(list_filter(surv.toks,
+             |      t -> NOT list_contains(coalesce(k.ks, []), t))) AS BIGINT) AS n_unk
+             |  FROM surv, ks k),
+             |s AS (
+             |  SELECT doc_id, rewritten, n_unk,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT rw.*,
+             |          CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+             |        FROM rw))
+             |SELECT split, count(*) AS n_docs,
+             |  CAST(sum(n_unk) AS BIGINT) AS sum_unk,
+             |  CAST(sum(len(string_split(rewritten, ' '))) AS BIGINT) AS sum_toks,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM s GROUP BY split""".stripMargin),
+      "curation capstone 2: C4 gate → quality-ranked near-dedup → <unk> " +
+        "rewrite → hash split, one fused plan"),
+
     "m01_media_features" -> Q(
       (s, dir) => {
         val media = Multimodal.asMediaTable(tp(s, dir, "documents"))
