@@ -221,4 +221,32 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select("ia", "ib")
   }
+
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * compression step of a vector pipeline (4× smaller than float32; a
+    * 100 TB embedding store becomes 25 TB and dot products move to SIMD
+    * int8 at serving time). Per vector: scale = 127 / max|v_i|, q_i =
+    * floor(v_i·scale + 0.5) (round-half-up — floor is EXACT on the
+    * computed double, so unlike engine `round()` builtins, whose
+    * half-way convention differs between engines, the quantizer is
+    * reproducible bit-for-bit anywhere IEEE division/multiply/floor
+    * exist). All-zero vectors quantize to all zeros (scale guard).
+    *
+    * Output: (id, q array<int>, scale double) — map-only, zero shuffle.
+    * Dequantize as q_i / scale.
+    */
+  def quantizeInt8(
+      emb: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__m", graft.functions.OptimizerFence(
+        array_max(transform(col("__v"), x => abs(x)))))
+      .withColumn("__s",
+        when(col("__m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("__m")))
+      .select(
+        col(idCol),
+        transform(col("__v"), x =>
+          when(col("__s") === 0.0, lit(0))
+            .otherwise(floor(x * col("__s") + lit(0.5)).cast("int"))).as("q"),
+        col("__s").as("scale"))
 }

@@ -612,6 +612,43 @@ object DataOps {
              |WHERE rank <= 5""".stripMargin),
       "exact cosine top-k, broadcast query set"),
 
+    // s04: storage-side compression of the vector pipeline. The oracle
+    // projects integer per-vector summaries (sum/min/max/saturation
+    // count) plus the scale: the q array itself can't be output (the
+    // driver's pandas row-sort throws on ndarray cells), and the
+    // summaries pin every element anyway modulo permutation.
+    "s04_quantize_int8" -> Q(
+      (s, dir) => Similarity.quantizeInt8(tp(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          size(filter(col("q"), x => abs(x) === 127)).as("n_sat"),
+          col("scale")),
+      Some("""WITH qt AS (
+             |  SELECT vec_id,
+             |    [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+             |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS m
+             |  FROM embeddings),
+             |sc AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS s
+             |  FROM qt),
+             |z AS (
+             |  SELECT vec_id, s,
+             |    [CASE WHEN s = 0 THEN 0 ELSE CAST(floor(x * s + 0.5) AS INT) END
+             |     FOR x IN v] AS q
+             |  FROM sc)
+             |SELECT vec_id,
+             |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |  CAST(list_min(q) AS INT) AS q_min,
+             |  CAST(list_max(q) AS INT) AS q_max,
+             |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat,
+             |  s AS scale
+             |FROM z""".stripMargin),
+      "symmetric int8 embedding quantization (floor-half-up — engine-exact, " +
+        "unlike round() builtins); integer summaries + scale oracle-checked"),
+
     // s02: SELF-CHECKING (no SQL oracle — bucket hashes are engine-side):
     // the found pair set is measured against the exact-cosine ground truth
     // (d06's definition at this threshold) inside the query. LSH verifies
@@ -1245,7 +1282,14 @@ object DataOps {
         val minCount = tp(s, dir, "documents").count() / 10
         val keepIds = TextAnalysis.c4Filters(corpus, minToks = 15)
           .where(col("keep")).select("doc_id")
+        // the gated corpus feeds five consumers (pair gen, quality, the
+        // survivor anti-join, the <unk> count pass, the rebuild); persist
+        // the flat (doc_id, text) strings so the scan + C4 kernel + semi-
+        // join run once — the scrubDuplicatedSpans treatment (and like
+        // there, NEVER persist tokenized arrays: columnar-encoding them
+        // costs more than the rescan)
         val gated = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val survivors = Dedup.bestQualitySurvivors(
           gated,
           Dedup.minhashNearDups(gated,

@@ -127,4 +127,22 @@ class SimilaritySpec extends AnyFunSuite {
     val n = df.select(Similarity.l2norm(col("a"))).as[Double].collect().head
     assert(math.abs(n - math.sqrt(14.0)) < 1e-12)
   }
+
+  test("int8 quantization: saturation, zero vector, negative half-up") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f)),     // max|v|=1 -> scale 127: ±127, 64 (63.5 rounds up)
+      (2L, Array(0.0f, 0.0f, 0.0f)),      // zero vector -> all 0, scale 0
+      (3L, Array(2.0f, -0.5f)))           // scale 63.5: 127, floor(-31.75+0.5)=-32
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toList, r.getDouble(2)))).toMap
+    assert(out(1L)._1 == List(127, -127, 64))
+    assert(out(1L)._2 == 127.0)
+    assert(out(2L) == ((List(0, 0, 0), 0.0)))
+    assert(out(3L)._1 == List(127, -32))
+    // round-trip error bound: |v - q/scale| <= 0.5/scale per element
+    val v = Array(1.0, -1.0, 0.5); val q = out(1L)._1; val s = out(1L)._2
+    v.indices.foreach(i => assert(math.abs(v(i) - q(i) / s) <= 0.5 / s + 1e-12))
+  }
 }
