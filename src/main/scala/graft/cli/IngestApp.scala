@@ -23,11 +23,14 @@ import graft.streaming.StreamingIngest
   *
   * Sources: `file` (S1/S2 rotating-scan parity via cleanSource/archive),
   * `socket` (S4 dev syslog; RFC3164 envelope stripped), `syslog-tcp` /
-  * `syslog-udp` / `syslog-unix` (S4 native), `kafka` (S5; `--brokers`,
-  * `--topic`), `filebuf` (S6 native gRPC stream server; `--port`). Sinks:
-  * `parquet` (K4 parity: insert_date + month partitioning), `jdbc` (K1
-  * parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
-  * relay to a remote FileBuf server; `--sink-port`),
+  * `syslog-udp` / `syslog-unix` (S4 native), `kafka` (S5 stock connector;
+  * `--brokers`, `--topic`), `kafka-lite` (S5 native v0 wire — no Kafka
+  * jars needed; `--brokers`, `--topic`, `--starting-offsets`,
+  * `--max-offsets`), `filebuf` (S6 native gRPC stream server; `--port`).
+  * Sinks: `parquet` (K4 parity: insert_date + month partitioning), `jdbc`
+  * (K1 parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
+  * relay to a remote FileBuf server; `--sink-port`), `kafka-lite` (K2
+  * native producer relay; `--sink-topic`),
   * `console` (dev). `--mode batch` reads `--input` as a static
   * text directory and writes once — same pipeline, bounded input.
   * `--dead-letter` persists rejected raw lines (delivers the reference's
@@ -97,6 +100,10 @@ object IngestApp {
           case "syslog-unix" => StreamingIngest.stripSyslogEnvelope(
             StreamingIngest.syslogUnixSource(spark, need("socket-path")))
           case "kafka" => StreamingIngest.kafkaSource(spark, need("brokers"), need("topic"))
+          case "kafka-lite" => StreamingIngest.kafkaLiteSource(spark,
+            need("brokers"), need("topic"),
+            startingOffsets = opts.getOrElse("starting-offsets", "earliest"),
+            maxOffsetsPerTrigger = opts.get("max-offsets").map(_.toLong))
           case "filebuf" => StreamingIngest.filebufSource(spark, need("port").toInt,
             bind = opts.getOrElse("bind", "0.0.0.0"))
           case other   => sys.error(s"unknown source: $other")
@@ -127,6 +134,13 @@ object IngestApp {
             StreamingIngest.filebufSink(lines,
               opts.getOrElse("host", "localhost"), need("sink-port").toInt,
               checkpoint).trigger(Trigger.ProcessingTime(triggerMs))
+          // raw-line relay to a Kafka topic over the native v0 wire (K2;
+          // the reference kafkalog client's role) — like filebuf, relays
+          // the raw source stream, not the parsed one
+          case "kafka-lite" =>
+            StreamingIngest.kafkaLiteSink(lines, need("brokers"),
+              need("sink-topic"), checkpoint, produceBatch = batchSize)
+              .trigger(Trigger.ProcessingTime(triggerMs))
           case other => sys.error(s"unknown sink: $other")
         }
         val query = StreamingIngest.withGracefulStop(writer.start())

@@ -42,4 +42,50 @@ class IngestAppSpec extends AnyFunSuite {
     val dead = spark.read.text(s"$tmp/dead").collect().map(_.getString(0))
     assert(dead.toSeq == Seq("garbage line"))
   }
+
+  test("stream mode: kafka-lite source → parquet, end-to-end through the CLI") {
+    val tmp = Files.createTempDirectory("graft_cli_kl").toString
+    Files.writeString(Paths.get(s"$tmp/cfg.yaml"),
+      """nginx:
+        |  log_format: '$remote_addr - $remote_user [$time_local] "$request" $status $bytes_sent'
+        |  log_time_format: 02/Jan/2006:15:04:05 -0700
+        |scheme:
+        |  logs_table: access_log
+        |  columns:
+        |    remote_addr: remote_addr
+        |    time_local: time_local
+        |    status: status
+        |    bytes_sent: bytes_sent
+        |""".stripMargin)
+    val broker = new graft.sources.KafkaStubBroker(numPartitions = 1)
+    val port = broker.start()
+    broker.append("clilogs", 0, Seq(
+      "10.0.0.1 - - [21/Jul/2022:00:30:43 +0000] \"GET /x HTTP/1.1\" 200 512",
+      "not a log line",
+      "10.0.0.2 - - [21/Jul/2022:01:00:00 +0000] \"GET /y HTTP/1.1\" 404 99"))
+    // IngestApp blocks on awaitTermination — drive it on a thread against
+    // the shared session, then stop the query once rows land
+    val t = new Thread(() => IngestApp.main(Array(
+      "--config", s"$tmp/cfg.yaml", "--mode", "stream",
+      "--source", "kafka-lite", "--brokers", s"127.0.0.1:$port",
+      "--topic", "clilogs", "--sink", "parquet",
+      "--output", s"$tmp/out", "--checkpoint", s"$tmp/cp",
+      "--trigger-ms", "200")), "cli-kafka-lite")
+    t.setDaemon(true)
+    t.start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def landed(): Long =
+        try spark.read.parquet(s"$tmp/out").count() catch { case _: Throwable => 0L }
+      while (landed() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.count() == 2) // garbage dropped by the parse stage
+      assert(out.columns.contains("insert_date"))
+      assert(out.where(out("status") === 404).count() == 1)
+    } finally {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      t.join(10000)
+      broker.stop()
+    }
+  }
 }
