@@ -102,7 +102,13 @@ object Bench {
         if (times.isEmpty) Stat(-1.0, -1.0, -1.0)
         else {
           val s = times.sorted
-          Stat(s(s.length / 2), s.head, s.last)
+          // true median: with an even count (a rep failed) average the
+          // middle two — s(n/2) alone would report the MAX of 2 survivors
+          // and turn one flaky rep into a phantom regression
+          val med =
+            if (s.length % 2 == 1) s(s.length / 2)
+            else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+          Stat(med, s.head, s.last)
         }
       name -> stat
     }

@@ -636,11 +636,17 @@ object Dedup {
   def bestQualitySurvivors(
       docs: DataFrame, pairs: DataFrame, scores: DataFrame,
       idCol: String = "doc_id", scoreCol: String = "quality_score"): DataFrame = {
+    // LEFT join: a cluster member missing from the score table must still
+    // count as a member (else it silently survives beside the real
+    // representative). NULL scores lose to any scored member (max ignores
+    // NULL; the null-safe <=> picks a rep by min id when a whole cluster
+    // is unscored).
     val members = duplicateClusters(pairs)
-      .join(scores.select(col(idCol).as("node"), col(scoreCol).as("score")), Seq("node"))
+      .join(scores.select(col(idCol).as("node"), col(scoreCol).as("score")),
+        Seq("node"), "left")
     val best = members.groupBy(col("cluster")).agg(max(col("score")).as("mx"))
     val reps = members.join(best, Seq("cluster"))
-      .where(col("score") === col("mx"))
+      .where(col("score") <=> col("mx"))
       .groupBy(col("cluster")).agg(min(col("node")).as("rep"))
     val losers = members.join(reps, Seq("cluster"))
       .where(col("node") =!= col("rep"))
@@ -739,6 +745,12 @@ object Dedup {
     * caches as plain strings and the one `split` the rebuild needs is
     * cheap to do in place. Set `persistToks = false` only for plan-shape
     * tests that need the raw unshared tree.
+    *
+    * CACHE LIFETIME: the returned frame reads the cache lazily, so this
+    * method cannot unpersist it. A long-lived session calling this per
+    * batch should drop it after the consuming action
+    * (`getPersistentRDDs.values.foreach(_.unpersist(true))`, as Bench and
+    * ProfileQ do between reps) or pass `persistToks = false`.
     */
   def scrubDuplicatedSpans(
       docs: DataFrame,

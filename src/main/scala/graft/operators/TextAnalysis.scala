@@ -396,6 +396,9 @@ object TextAnalysis {
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = proj.agg(aggCols.head, aggCols.tail: _*).head()
     val n = stats.getLong(0)
+    // empty corpus: sum(dl) is NULL and avgdl would be 0/0 — the natural
+    // result is an empty top-k, typed like the real one
+    if (n == 0) return proj.select(col("doc_id"), lit(0L).as("score")).limit(0)
     val avgdl = stats.getLong(1).toDouble / n.toDouble
     val score = terms.indices.map { i =>
       val df = stats.getLong(2 + i)

@@ -150,6 +150,18 @@ private[graft] class FileBufClient(host: String, port: Int, parallelism: Int = 1
     * server queues the entire un-acked backlog on the executor heap.
     */
   def send(line: String): Unit = {
+    // mirror the receiver's inbound cap and fail FAST with an actionable
+    // error: past the server's MessageDecoder limit the stream would be
+    // torn down mid-batch and Spark would retry the same oversized line
+    // forever (a poison pill); 4 bytes/char bounds UTF-8 worst case so
+    // the common path pays no encode
+    if (line.length.toLong * 4 + 8 > FileBufWire.MaxInboundMessageBytes &&
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 8 >
+          FileBufWire.MaxInboundMessageBytes)
+      throw new java.io.IOException(
+        s"filebuf sink: line of ${line.length} chars exceeds the " +
+          s"${FileBufWire.MaxInboundMessageBytes}-byte gRPC message limit — " +
+          "split or drop it before the sink (dead-letter)")
     val i = counter.getAndIncrement()
     val (stream, handler) = streams(((i % parallelism) + parallelism).toInt % parallelism)
     if (!stream.isWritable) {

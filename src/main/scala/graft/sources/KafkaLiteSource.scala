@@ -78,7 +78,15 @@ private[sources] class KafkaLiteTable extends Table with SupportsRead {
         throw new IllegalArgumentException("kafka-lite requires option 'brokers'"))
       private val topic = Option(options.get("topic")).getOrElse(
         throw new IllegalArgumentException("kafka-lite requires option 'topic'"))
-      private val startingOffsets = Option(options.get("startingoffsets")).getOrElse("earliest")
+      private val startingOffsets = {
+        val v = Option(options.get("startingoffsets")).getOrElse("earliest").toLowerCase
+        // fail fast like the stock connector: silently mapping a typo (or
+        // its JSON per-partition form) to 'earliest' would re-ingest a
+        // whole topic
+        require(v == "earliest" || v == "latest",
+          s"kafka-lite startingOffsets must be 'earliest' or 'latest', got '$v'")
+        v
+      }
       private val maxOffsets = Option(options.get("maxoffsetspertrigger")).map(_.toLong)
       override def build(): Scan = this
       override def readSchema(): StructType = KafkaLiteSource.Schema
@@ -137,24 +145,37 @@ private[sources] class KafkaLiteMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
+  /** Start offset of `p` under the checkpointed map: a partition the map
+    * has never seen (topic expanded between runs) starts at EARLIEST —
+    * its whole history is new data relative to the checkpoint, the stock
+    * connector's convention — used consistently by the lag computation,
+    * the allocation base, and the batch planner.
+    */
+  private def startOf(from: Map[Int, Long], p: Int): Long =
+    from.getOrElse(p, client.earliestOffset(topic, p))
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KafkaLiteOffset].offsets
     val logEnd = metas.map(m => m.partition -> client.latestOffset(topic, m.partition)).toMap
     val capped = limit match {
       case mr: ReadMaxRows =>
-        val lags = logEnd.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, e)) }
+        val base = logEnd.map { case (p, _) => p -> startOf(from, p) }
+        val lags = logEnd.map { case (p, e) => p -> math.max(0L, e - base(p)) }
         val total = lags.values.sum
         if (total <= mr.maxRows) logEnd
         else {
-          // lag-proportional allocation; guarantee progress on at least one
-          // partition when flooring rounds everything to zero
+          // lag-proportional allocation; BigInt for the product (maxRows ×
+          // lag overflows Long at plausible magnitudes, and a wrapped
+          // negative share would regress the checkpointed end offset);
+          // guarantee progress on at least one partition when flooring
+          // rounds everything to zero
           var allocated = logEnd.map { case (p, _) =>
-            val share = mr.maxRows * lags(p) / math.max(1L, total)
-            p -> (from.getOrElse(p, 0L) + share)
+            val share = (BigInt(mr.maxRows) * lags(p) / BigInt(math.max(1L, total))).toLong
+            p -> (base(p) + share)
           }
-          if (allocated == from)
+          if (allocated == base)
             lags.find(_._2 > 0).foreach { case (p, _) =>
-              allocated = allocated.updated(p, from.getOrElse(p, 0L) + 1L) }
+              allocated = allocated.updated(p, base(p) + 1L) }
           allocated
         }
       case _ => logEnd
@@ -171,7 +192,7 @@ private[sources] class KafkaLiteMicroBatchStream(
     val s = start.asInstanceOf[KafkaLiteOffset].offsets
     val e = end.asInstanceOf[KafkaLiteOffset].offsets
     metas.flatMap { m =>
-      val from = s.getOrElse(m.partition, 0L)
+      val from = startOf(s, m.partition) // new partition → earliest, same as latestOffset
       val until = e.getOrElse(m.partition, from)
       if (until > from)
         Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort, from, until))
@@ -201,13 +222,26 @@ private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
   * range was planned against an observed high watermark, so the data
   * exists; an empty fetch inside the range (broker mid-restart) retries
   * until `fetchDeadlineMs` then fails the task — Spark's task retry
-  * replays the same range, preserving exactly-once.
+  * replays the same range, preserving exactly-once. A fetch whose FIRST
+  * message alone exceeds the current `maxBytes` comes back truncated-empty
+  * (v0 cuts on whole-message boundaries); the reader doubles `maxBytes`
+  * up to `MaxFetchBytes` and refetches, so one oversized record costs a
+  * few extra round trips instead of wedging the stream at that offset
+  * forever (the task-retry loop would otherwise replay the identical
+  * too-small fetch).
   */
 private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
     fetchDeadlineMs: Long = 60000L) extends PartitionReader[InternalRow] {
 
+  /** Hard ceiling for the adaptive fetch size — matches the client's
+    * response-size fence (64 MiB); a record bigger than this is
+    * malformed by contract and fails the task with a sized error.
+    */
+  private val MaxFetchBytes = 64 * 1024 * 1024
+
   private val client = new KafkaLiteClient(p.host, p.port)
   private var cur = p.startOffset
+  private var maxBytes = 4 * 1024 * 1024
   private var queue: Iterator[KafkaWire.Record] = Iterator.empty
   private var record: KafkaWire.Record = _
 
@@ -217,13 +251,22 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
       var got: Seq[KafkaWire.Record] = Seq.empty
       var drained = false
       while (got.isEmpty && !drained) {
-        val raw = client.fetch(p.topic, p.partition, cur)._1
+        val (raw, hw) = client.fetch(p.topic, p.partition, cur, maxBytes = maxBytes)
         got = raw.filter(r => r.offset >= cur && r.offset < p.endOffset)
         // a compacted log can skip every offset left in the range: the
         // broker then answers with records past endOffset only — done
         if (got.isEmpty && raw.nonEmpty && raw.forall(_.offset >= p.endOffset)) {
           cur = p.endOffset
           drained = true
+        }
+        // data exists at cur (hw says so) but nothing decoded: the next
+        // record is bigger than maxBytes — grow and refetch
+        if (got.isEmpty && !drained && raw.isEmpty && hw > cur) {
+          if (maxBytes >= MaxFetchBytes)
+            throw new java.io.IOException(
+              s"kafka-lite: record at ${p.topic}/${p.partition}:$cur exceeds " +
+                s"the $MaxFetchBytes-byte fetch ceiling")
+          maxBytes = math.min(maxBytes * 2, MaxFetchBytes)
         }
         if (got.isEmpty && !drained && System.currentTimeMillis() > deadline)
           throw new java.io.IOException(

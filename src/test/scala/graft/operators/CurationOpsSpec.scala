@@ -47,6 +47,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.find(_.getLong(0) == 1L).get.getString(1) == "keep me")
   }
 
+  test("bestQualitySurvivors: unscored members still count as cluster members") {
+    val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 8L -> "d", 9L -> "e")
+    // doc 2 is clustered with 1 but missing from the score table: it must
+    // lose to the scored rep, not silently survive beside it
+    val out = Dedup.bestQualitySurvivors(docs, pairsDf(1L -> 2L),
+      scoresDf(1L -> 5, 3L -> 1, 8L -> 1, 9L -> 1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 8L, 9L))
+    // a cluster with NO scored member keeps exactly one doc (min id)
+    val none = Dedup.bestQualitySurvivors(docs, pairsDf(8L -> 9L),
+      scoresDf(1L -> 5, 2L -> 5, 3L -> 1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(none.toSeq == Seq(1L, 2L, 3L, 8L))
+  }
+
   // ---- keywordSearch ----------------------------------------------------
 
   test("keywordSearch ranks the rare term above common ones (idf dominance)") {
@@ -74,6 +89,13 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     // only docs 2 and 3 match; higher tf ranks doc 3 first; topK=1 keeps it
     assert(out.toSeq == Seq(3L))
+  }
+
+  test("keywordSearch on an empty corpus returns an empty typed result") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text").where(lit(false))
+    val out = TextAnalysis.keywordSearch(docs, Seq("term"))
+    assert(out.columns.toSeq == Seq("doc_id", "score"))
+    assert(out.count() == 0)
   }
 
   // ---- unkRewrite -------------------------------------------------------

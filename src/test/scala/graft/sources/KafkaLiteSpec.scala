@@ -167,6 +167,43 @@ class KafkaLiteSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 20)
   }
 
+  test("a record larger than the fetch size is read via adaptive maxBytes growth") {
+    val broker = new KafkaStubBroker(numPartitions = 1)
+    val port = broker.start()
+    // 6 MiB value: the first 4 MiB fetch comes back truncated-empty and
+    // the reader must double its way up instead of wedging at the offset
+    val big = "x" * (6 * 1024 * 1024)
+    broker.append("big", 0, Seq("small-1", big, "small-2"))
+    val q = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "big")
+      .writeStream.format("memory").queryName("kafka_lite_big").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val vals = spark.table("kafka_lite_big").collect().map(_.getString(0))
+      assert(vals.length == 3)
+      assert(vals.count(_.length == big.length) == 1)
+      assert(vals.toSet.contains("small-1") && vals.toSet.contains("small-2"))
+    } finally { q.stop(); broker.stop() }
+  }
+
+  test("startingOffsets rejects anything but earliest/latest") {
+    val broker = new KafkaStubBroker(numPartitions = 1)
+    val port = broker.start()
+    try {
+      val df = StreamingIngest.kafkaLiteSource(
+        spark, s"127.0.0.1:$port", "t2", startingOffsets = "lastest")
+      val ex = intercept[Exception] {
+        val q = df.writeStream.format("memory")
+          .queryName("kafka_lite_badopt").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("startingOffsets")),
+        s"expected a startingOffsets validation error, got $ex")
+    } finally broker.stop()
+  }
+
   test("kafka-lite streaming sink produces leader-acked batches (K2)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
