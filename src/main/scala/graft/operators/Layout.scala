@@ -81,4 +81,107 @@ object Layout {
     rmr(bakF)
     (before.size, parquetFiles(root).size)
   }
+
+  // ---- versioned publish (dataset snapshots) -----------------------------
+  //
+  // Training-data pipelines need REPRODUCIBLE corpus versions: "model X
+  // trained on corpus v3" must stay readable after v4 lands, and readers
+  // must never observe a half-written snapshot. This is the poor-man's
+  // table format: immutable version directories (v=N) plus a tiny
+  // atomically-renamed manifest naming the latest committed version —
+  // the same commit discipline Delta/Iceberg build on (write data files,
+  // then one atomic metadata swing), sized to a filesystem. Works on any
+  // store with atomic single-file rename (HDFS, local; on S3 the rename
+  // becomes a PUT, whose last-writer-wins still yields a consistent
+  // manifest because versions are immutable).
+
+  private val Manifest = "_VERSIONS"
+
+  /** Committed versions of `table` in commit order (the manifest, one
+    * version per line; last = latest). Empty before the first publish.
+    * NOT a directory listing — that would see uncommitted (mid-write or
+    * orphaned) version dirs.
+    */
+  def committedVersions(table: String): Seq[Int] = {
+    val m = new java.io.File(table, Manifest)
+    if (!m.isFile) Seq.empty
+    else java.nio.file.Files.readString(m.toPath).split("\n")
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+  }
+
+  /** Latest committed version of `table`, None before the first publish. */
+  def latestVersion(table: String): Option[Int] = committedVersions(table).lastOption
+
+  private def writeManifest(root: java.io.File, versions: Seq[Int]): Unit = {
+    val tmp = new java.io.File(root, s"$Manifest.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, versions.mkString("\n"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, Manifest).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Publish `df` as the next version of `table` (a directory). The data
+    * lands in `table/v=N` first; the manifest flips only after the write
+    * completes, so a crash mid-write leaves an orphan directory but the
+    * previous version stays live. Returns the published version number.
+    */
+  def publishVersion(df: DataFrame, table: String): Int = {
+    val root = new java.io.File(table)
+    root.mkdirs()
+    // number past any EXISTING dir, not just the committed latest: a crash
+    // mid-publish leaves an orphan v=N, and re-using N would collide with
+    // it (errorifexists) on every subsequent publish — orphans are skipped
+    // and stay invisible (the manifest never named them)
+    val maxDir = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toInt)
+      .maxOption.getOrElse(0)
+    val committed = committedVersions(table)
+    val next = math.max(committed.lastOption.getOrElse(0), maxDir) + 1
+    df.write.mode("errorifexists").parquet(s"$table/v=$next")
+    writeManifest(root, committed :+ next)
+    next
+  }
+
+  /** Read a pinned `version` of `table`, or the latest committed one.
+    * Pinned reads stay valid after later publishes (versions are
+    * immutable) — the reproducibility contract. A pinned read of a
+    * version the manifest never committed (or that retention dropped)
+    * fails loudly rather than reading a half-written directory.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val committed = committedVersions(table)
+    val v = version.orElse(committed.lastOption).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    require(committed.contains(v), s"version $v of $table was never committed " +
+      s"(or was pruned); committed: ${committed.mkString(",")}")
+    spark.read.parquet(s"$table/v=$v")
+  }
+
+  /** Retention: drop all but the `keep` newest committed versions, plus
+    * orphaned never-committed dirs numbered below the latest (a dir above
+    * the latest may be a publish in flight and is left alone). The
+    * manifest shrinks FIRST — readers never see a committed version whose
+    * data is gone — then the dirs are deleted. Returns the deleted
+    * version numbers. Don't run concurrently with a publish.
+    */
+  def pruneVersions(table: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val committed = committedVersions(table)
+    if (committed.isEmpty) return Seq.empty
+    val latest = committed.last
+    val retained = committed.takeRight(keep)
+    val root = new java.io.File(table)
+    val dirs = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(f => f.getName.stripPrefix("v=").toInt)
+    val doomed = dirs.filter(v => !retained.contains(v) && v < latest).sorted
+    writeManifest(root, retained)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    doomed.foreach(v => rmr(new java.io.File(root, s"v=$v")))
+    doomed
+  }
 }
