@@ -97,28 +97,54 @@ object Layout {
 
   private val Manifest = "_VERSIONS"
 
+  // All version-store IO goes through the Hadoop FileSystem API — the
+  // table can live on HDFS, local file://, or any connector-backed store;
+  // `rename` is atomic on HDFS and local posix (on S3 it degrades to
+  // copy+delete — front the manifest with a consistent store there).
+  private def fs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Committed versions of `table` in commit order (the manifest, one
     * version per line; last = latest). Empty before the first publish.
     * NOT a directory listing — that would see uncommitted (mid-write or
     * orphaned) version dirs.
     */
-  def committedVersions(table: String): Seq[Int] = {
-    val m = new java.io.File(table, Manifest)
-    if (!m.isFile) Seq.empty
-    else java.nio.file.Files.readString(m.toPath).split("\n")
-      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+  def committedVersions(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Int] = {
+    val (f, root) = fs(spark, table)
+    val m = new org.apache.hadoop.fs.Path(root, Manifest)
+    if (!f.exists(m)) Seq.empty
+    else {
+      val in = f.open(m)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      finally in.close()
+    }
   }
 
   /** Latest committed version of `table`, None before the first publish. */
-  def latestVersion(table: String): Option[Int] = committedVersions(table).lastOption
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[Int] = committedVersions(spark, table).lastOption
 
-  private def writeManifest(root: java.io.File, versions: Seq[Int]): Unit = {
-    val tmp = new java.io.File(root, s"$Manifest.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, versions.mkString("\n"))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(root, Manifest).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def writeManifest(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, versions: Seq[Int]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$Manifest.tmp")
+    val out = f.create(tmp, true)
+    try out.write(versions.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, Manifest)
+    f.delete(dst, false) // posix rename replaces; HDFS rename needs the slot free
+    require(f.rename(tmp, dst), s"manifest swing failed for $root")
   }
+
+  private def versionDirs(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Int] =
+    (if (f.exists(root)) f.listStatus(root).toSeq else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
 
   /** Publish `df` as the next version of `table` (a directory). The data
     * lands in `table/v=N` first; the manifest flips only after the write
@@ -126,20 +152,18 @@ object Layout {
     * previous version stays live. Returns the published version number.
     */
   def publishVersion(df: DataFrame, table: String): Int = {
-    val root = new java.io.File(table)
-    root.mkdirs()
+    val spark = df.sparkSession
+    val (f, root) = fs(spark, table)
+    f.mkdirs(root)
     // number past any EXISTING dir, not just the committed latest: a crash
     // mid-publish leaves an orphan v=N, and re-using N would collide with
     // it (errorifexists) on every subsequent publish — orphans are skipped
     // and stay invisible (the manifest never named them)
-    val maxDir = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toInt)
-      .maxOption.getOrElse(0)
-    val committed = committedVersions(table)
-    val next = math.max(committed.lastOption.getOrElse(0), maxDir) + 1
+    val committed = committedVersions(spark, table)
+    val next = math.max(committed.lastOption.getOrElse(0),
+      versionDirs(f, root).maxOption.getOrElse(0)) + 1
     df.write.mode("errorifexists").parquet(s"$table/v=$next")
-    writeManifest(root, committed :+ next)
+    writeManifest(f, root, committed :+ next)
     next
   }
 
@@ -151,7 +175,7 @@ object Layout {
     */
   def readVersion(spark: org.apache.spark.sql.SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    val committed = committedVersions(table)
+    val committed = committedVersions(spark, table)
     val v = version.orElse(committed.lastOption).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     require(committed.contains(v), s"version $v of $table was never committed " +
@@ -166,22 +190,19 @@ object Layout {
     * data is gone — then the dirs are deleted. Returns the deleted
     * version numbers. Don't run concurrently with a publish.
     */
-  def pruneVersions(table: String, keep: Int = 2): Seq[Int] = {
+  def pruneVersions(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest version")
-    val committed = committedVersions(table)
+    val committed = committedVersions(spark, table)
     if (committed.isEmpty) return Seq.empty
     val latest = committed.last
     val retained = committed.takeRight(keep)
-    val root = new java.io.File(table)
-    val dirs = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(f => f.getName.stripPrefix("v=").toInt)
-    val doomed = dirs.filter(v => !retained.contains(v) && v < latest).sorted
-    writeManifest(root, retained)
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
-    }
-    doomed.foreach(v => rmr(new java.io.File(root, s"v=$v")))
+    val (f, root) = fs(spark, table)
+    val doomed = versionDirs(f, root)
+      .filter(v => !retained.contains(v) && v < latest).sorted
+    writeManifest(f, root, retained)
+    doomed.foreach(v =>
+      f.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
     doomed
   }
 }

@@ -87,12 +87,12 @@ class LayoutSpec extends AnyFunSuite {
 
   test("versioned publish: pinned reads survive later publishes; manifest gates visibility") {
     val table = s"${java.nio.file.Files.createTempDirectory("graft_ver")}/corpus"
-    assert(Layout.latestVersion(table).isEmpty)
+    assert(Layout.latestVersion(spark, table).isEmpty)
     intercept[IllegalArgumentException](Layout.readVersion(spark, table))
 
     val v1 = Layout.publishVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), table)
     val v2 = Layout.publishVersion(Seq((1L, "a"), (3L, "c"), (4L, "d")).toDF("id", "txt"), table)
-    assert(v1 == 1 && v2 == 2 && Layout.latestVersion(table).contains(2))
+    assert(v1 == 1 && v2 == 2 && Layout.latestVersion(spark, table).contains(2))
     // latest follows the manifest; the pinned v1 read is unchanged by v2
     assert(Layout.readVersion(spark, table).count() == 3)
     assert(Layout.readVersion(spark, table, Some(1)).count() == 2)
@@ -102,18 +102,21 @@ class LayoutSpec extends AnyFunSuite {
     // of colliding with it
     val orphan = new java.io.File(s"$table/v=9")
     orphan.mkdirs()
-    assert(Layout.latestVersion(table).contains(2))
+    assert(Layout.latestVersion(spark, table).contains(2))
     assert(Layout.readVersion(spark, table).count() == 3)
+    // a pinned read of a never-committed version fails loudly
+    intercept[IllegalArgumentException](Layout.readVersion(spark, table, Some(9)))
 
     val v3 = Layout.publishVersion(Seq((9L, "z")).toDF("id", "txt"), table)
-    assert(v3 == 10 && Layout.latestVersion(table).contains(10))
+    assert(v3 == 10 && Layout.latestVersion(spark, table).contains(10))
     assert(Layout.readVersion(spark, table).count() == 1)
 
     // retention: keep 2 newest committed versions (the orphan, older than
     // the window, goes too)
-    val pruned = Layout.pruneVersions(table, keep = 2)
+    val pruned = Layout.pruneVersions(spark, table, keep = 2)
     assert(pruned == Seq(1, 9))
     assert(Layout.readVersion(spark, table, Some(2)).count() == 3) // still readable
+    intercept[IllegalArgumentException](Layout.readVersion(spark, table, Some(1)))
     assert(!new java.io.File(s"$table/v=1").exists())
     assert(!orphan.exists())
   }
