@@ -62,6 +62,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(none.toSeq == Seq(1L, 2L, 3L, 8L))
   }
 
+  test("bestQualitySurvivors matches a brute-force reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(18)
+      val ids = (0 until n).map(_.toLong)
+      val pairs = (0 until rnd.nextInt(2 * n)).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong; (a, b)
+      }.filter(p => p._1 != p._2).map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      val scores = ids.map(i => i -> rnd.nextInt(4)) // narrow range forces ties
+
+      // reference: union-find components, keep argmax(score, -id) per comp
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val comps = ids.filter(i => pairs.exists(p => p._1 == i || p._2 == i))
+        .groupBy(find)
+      val expectLosers = comps.values.flatMap { members =>
+        val sc = scores.toMap
+        val rep = members.minBy(m => (-sc(m), m))
+        members.filter(_ != rep)
+      }.toSet
+      val expect = ids.filterNot(expectLosers).sorted
+
+      val got = Dedup.bestQualitySurvivors(
+        docsDf(ids.map(i => i -> s"doc$i"): _*),
+        pairsDf(pairs: _*),
+        scoresDf(scores: _*))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"n=$n pairs=$pairs scores=$scores")
+    }
+  }
+
   // ---- keywordSearch ----------------------------------------------------
 
   test("keywordSearch ranks the rare term above common ones (idf dominance)") {
