@@ -31,7 +31,7 @@ object Bench {
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
-    "q47_chunk_overlap", "d19_quality_survivors",
+    "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
     "t11_keyword_search", "t12_unk_rewrite",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
     "p03_quality_curation_pipeline",

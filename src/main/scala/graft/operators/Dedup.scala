@@ -790,6 +790,47 @@ object Dedup {
           .otherwise(size(col("cut")).cast("long")).as("n_removed"))
   }
 
+  /** INTRA-document span dedup — the Gopher/RefinedWeb rule that pages
+    * repeating their own content (boilerplate blocks, templated nav,
+    * scraper stutter) get the repeats removed: every k-token span whose
+    * identical span already occurred EARLIER IN THE SAME DOCUMENT is cut,
+    * keeping the first occurrence. The cross-document complement is
+    * [[scrubDuplicatedSpans]]; this one needs no corpus-wide state.
+    *
+    * Output: (doc_id, clean_text, n_removed) for every input document.
+    *
+    * Scale shape: strictly MAP-ONLY — the span hashes come from the
+    * positional codegen kernel over the in-row text, duplicate detection
+    * and the cut-position set are array HOFs over that in-row hash array,
+    * and the rebuild filters the in-row token array. Zero shuffles, zero
+    * state, runs at scan speed at any corpus size (pinned by
+    * `ShuffleBudgetSpec`). The per-row HOF cost is O(spans²) from the
+    * earlier-occurrence probe — fine at document lengths; a pathological
+    * single-row megadocument would want the kernel extended with an
+    * in-row hash set, same plan shape.
+    */
+  def scrubIntraDocSpans(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val norm = graft.functions.OptimizerFence(normalize(col(textCol)))
+    val withArrays = docs.select(col(idCol).as("doc_id"), norm.as("norm"))
+      .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("hs", graft.functions.VectorExprs.spanHashes(col("norm"), k))
+    // 1-based start positions whose span already occurred earlier in-doc
+    val dupStarts = filter(
+      sequence(lit(1), size(col("hs"))),
+      i => array_position(col("hs"), element_at(col("hs"), i)) < i)
+    withArrays
+      .withColumn("cut", array_distinct(flatten(transform(dupStarts,
+        j => sequence(j, least(j + (k - 1), col("n")))))))
+      .select(col("doc_id"),
+        array_join(filter(col("toks"),
+          (t, i0) => !array_contains(col("cut"), i0 + 1)), " ").as("clean_text"),
+        size(col("cut")).cast("long").as("n_removed"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
     * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
     * `Similarity.lshCosinePairs`.

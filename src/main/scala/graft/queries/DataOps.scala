@@ -422,6 +422,37 @@ object DataOps {
              |WHERE doc_id NOT IN (SELECT node FROM losers)""".stripMargin),
       "near-dup survivors keeping the best-quality cluster member (quality-ranked dedup)"),
 
+    // d20: intra-document span dedup (k=3 — the synthetic corpus has ~27
+    // docs with internal 3-gram repeats at sf0.01). Span identity is the
+    // positional hash kernel on the Spark side and span strings in the
+    // oracle: cut POSITIONS agree modulo 2^-64 collisions, the d17
+    // contract.
+    "d20_intradoc_scrub" -> Q(
+      (s, dir) => Dedup.scrubIntraDocSpans(tp(s, dir, "documents"), k = 3),
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |    CASE WHEN len(toks) >= 3
+             |      THEN [array_to_string(toks[i:i+2], ' ')
+             |            FOR i IN generate_series(1, len(toks) - 2)]
+             |      ELSE [array_to_string(toks, ' ')] END AS spans
+             |  FROM tk),
+             |c AS (
+             |  SELECT doc_id, toks, n,
+             |    list_distinct(flatten(
+             |      [[j FOR j IN generate_series(i, least(i + 2, n))]
+             |       FOR i IN generate_series(1, len(spans))
+             |       IF list_position(spans, spans[i]) < i])) AS cut
+             |  FROM m)
+             |SELECT doc_id,
+             |  coalesce(array_to_string([toks[i] FOR i IN generate_series(1, n)
+             |                            IF NOT list_contains(coalesce(cut, []), i)], ' '), '')
+             |    AS clean_text,
+             |  CAST(coalesce(len(cut), 0) AS BIGINT) AS n_removed
+             |FROM c""".stripMargin),
+      "intra-doc span dedup (Gopher-style self-repetition removal): later " +
+        "occurrences of a repeated 3-token span cut, first kept; map-only"),
+
     // Decontamination demo corpus: eval = perturbed copies of every 25th
     // document (an eval set that genuinely overlaps 1/25th of train), so
     // the 8-gram overlap flags exactly those originals. The synthetic

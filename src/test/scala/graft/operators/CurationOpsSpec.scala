@@ -130,6 +130,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  // ---- scrubIntraDocSpans ----------------------------------------------
+
+  test("intra-doc scrub cuts later repeats, keeps the first, leaves unique docs") {
+    val docs = Seq(
+      (1L, "a b c x a b c"),      // 3-gram "a b c" repeats at pos 5..7
+      (2L, "a b c d e f"),        // unique — untouched
+      (3L, "q q q q q"),          // overlapping self-repeats collapse to the seed
+      (4L, "x y")                 // shorter than k: single whole-doc span, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubIntraDocSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c x", 3L)))
+    assert(out(2L) == (("a b c d e f", 0L)))
+    // spans at pos 2 and 3 ("q q q") repeat pos 1: cut covers 2..5
+    assert(out(3L) == (("q", 4L)))
+    assert(out(4L) == (("x y", 0L)))
+  }
+
   // ---- unkRewrite -------------------------------------------------------
 
   test("unkRewrite replaces below-threshold tokens only (boundary: >= keeps)") {

@@ -56,6 +56,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       docs.withColumn("source", (col("doc_id") % 3).cast("string")),
       Map("0" -> 5000, "1" -> 10000, "2" -> 20000))) == 0)
     assert(shuffles(Sampling.hashSplit(docs)) == 0)
+    assert(shuffles(Dedup.scrubIntraDocSpans(docs)) == 0)
     // decontamination: eval grams broadcast, train side map-only, and the
     // only exchanges belong to the tiny eval/contaminated-id sides
     val evalSet = docs.where(col("doc_id") % 20 === 3)
