@@ -15,7 +15,8 @@ import graft.streaming.StreamingIngest
   * Usage:
   * {{{
   * IngestApp --config cfg.yaml --mode stream --source file --input /logs \
-  *   [--archive-dir /archive] [--dead-letter /rejects] \
+  *   [--archive-dir /archive] [--backup-files 7] [--backup-max-age-ms 604800000] \
+  *   [--dead-letter /rejects] [--live-port 8080] \
   *   --sink parquet --output /warehouse/access_log \
   *   [--checkpoint /chk] [--trigger-ms 2000] [--batch-size 5000] \
   *   [--master local[*]]
@@ -144,7 +145,27 @@ object IngestApp {
           case other => sys.error(s"unknown sink: $other")
         }
         val query = StreamingIngest.withGracefulStop(writer.start())
+        // --live-port: the reference's run-http-server/bind-address pair —
+        // 200 {"status":"live"} while the query runs, 503 after
+        val live = opts.get("live-port").map(p =>
+          StreamingIngest.serveLiveness(query, p.toInt))
+        // --backup-files/--backup-max-age-ms: S2 retention over the
+        // archive dir (the reference prunes on its scrape timer; here a
+        // daemon sweep per trigger interval)
+        for (dir <- opts.get("archive-dir")
+             if opts.contains("backup-files") || opts.contains("backup-max-age-ms")) {
+          val maxFiles = opts.get("backup-files").map(_.toInt).getOrElse(Int.MaxValue)
+          val maxAge = opts.get("backup-max-age-ms").map(_.toLong).getOrElse(Long.MaxValue)
+          val t = new Thread(() => while (query.isActive) {
+            try StreamingIngest.pruneArchive(dir, maxFiles, maxAge)
+            catch { case _: Throwable => () }
+            Thread.sleep(math.max(1000L, triggerMs))
+          }, "graft-archive-retention")
+          t.setDaemon(true)
+          t.start()
+        }
         query.awaitTermination()
+        live.foreach(_.stop(0))
 
       case other => sys.error(s"unknown mode: $other")
     }

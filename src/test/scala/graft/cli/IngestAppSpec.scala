@@ -63,6 +63,10 @@ class IngestAppSpec extends AnyFunSuite {
       "10.0.0.1 - - [21/Jul/2022:00:30:43 +0000] \"GET /x HTTP/1.1\" 200 512",
       "not a log line",
       "10.0.0.2 - - [21/Jul/2022:01:00:00 +0000] \"GET /y HTTP/1.1\" 404 99"))
+    val livePort = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
     // IngestApp blocks on awaitTermination — drive it on a thread against
     // the shared session, then stop the query once rows land
     val t = new Thread(() => IngestApp.main(Array(
@@ -70,6 +74,7 @@ class IngestAppSpec extends AnyFunSuite {
       "--source", "kafka-lite", "--brokers", s"127.0.0.1:$port",
       "--topic", "clilogs", "--sink", "parquet",
       "--output", s"$tmp/out", "--checkpoint", s"$tmp/cp",
+      "--live-port", livePort.toString,
       "--trigger-ms", "200")), "cli-kafka-lite")
     t.setDaemon(true)
     t.start()
@@ -82,6 +87,12 @@ class IngestAppSpec extends AnyFunSuite {
       assert(out.count() == 2) // garbage dropped by the parse stage
       assert(out.columns.contains("insert_date"))
       assert(out.where(out("status") === 404).count() == 1)
+      // --live-port serves the reference's /live contract while running
+      val conn = new java.net.URL(s"http://127.0.0.1:$livePort/live")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
     } finally {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       t.join(10000)
