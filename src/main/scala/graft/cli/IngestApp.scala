@@ -24,7 +24,10 @@ import graft.streaming.StreamingIngest
   *
   * Sources: `file` (S1/S2 rotating-scan parity via cleanSource/archive),
   * `socket` (S4 dev syslog; RFC3164 envelope stripped), `syslog-tcp` /
-  * `syslog-udp` / `syslog-unix` (S4 native), `kafka` (S5 stock connector;
+  * `syslog-udp` / `syslog-unix` (S4 native), `syslog` (the reference
+  * server's multi-listener mode: `--listeners tcp,udp,unix` unioned into
+  * one pipeline; `--tcp-port`/`--udp-port`/`--socket-path`), `kafka` (S5
+  * stock connector;
   * `--brokers`, `--topic`), `kafka-lite` (S5 native v0 wire — no Kafka
   * jars needed; `--brokers`, `--topic`, `--starting-offsets`,
   * `--max-offsets`), `filebuf` (S6 native gRPC stream server; `--port`).
@@ -100,6 +103,23 @@ object IngestApp {
               bind = opts.getOrElse("bind", "0.0.0.0")))
           case "syslog-unix" => StreamingIngest.stripSyslogEnvelope(
             StreamingIngest.syslogUnixSource(spark, need("socket-path")))
+          // the reference syslog server's --listeners: any subset of
+          // tcp/udp/unix running SIMULTANEOUSLY into one pipeline
+          // (`internal/services/syslog/syslog.go:33-53` starts all
+          // configured listeners against one handler) — here a union of
+          // the native sources, one streaming plan
+          case "syslog" =>
+            val ls = opts.getOrElse("listeners", "tcp").split(',').map(_.trim)
+            require(ls.nonEmpty && ls.forall(Set("tcp", "udp", "unix")),
+              s"--listeners must be a comma list of tcp/udp/unix, got '${ls.mkString(",")}'")
+            val dfs = ls.toSeq.map {
+              case "tcp" => StreamingIngest.syslogTcpSource(spark,
+                opts.getOrElse("host", "localhost"), need("tcp-port").toInt)
+              case "udp" => StreamingIngest.syslogUdpSource(spark,
+                need("udp-port").toInt, bind = opts.getOrElse("bind", "0.0.0.0"))
+              case "unix" => StreamingIngest.syslogUnixSource(spark, need("socket-path"))
+            }
+            StreamingIngest.stripSyslogEnvelope(dfs.reduce(_ unionByName _))
           case "kafka" => StreamingIngest.kafkaSource(spark, need("brokers"), need("topic"))
           case "kafka-lite" => StreamingIngest.kafkaLiteSource(spark,
             need("brokers"), need("topic"),

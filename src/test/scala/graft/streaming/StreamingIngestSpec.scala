@@ -238,6 +238,56 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-listener syslog: tcp + udp unioned into ONE pipeline (server parity)") {
+    // the reference syslog server runs all configured listeners against a
+    // single handler (`syslog.go:33-53`); here the same shape is the union
+    // of two native DSv2 sources inside one streaming query
+    val server = new java.net.ServerSocket(0)
+    val tcpPort = server.getLocalPort
+    val probe = new java.net.DatagramSocket(0)
+    val udpPort = probe.getLocalPort
+    probe.close()
+
+    val tcpWriter = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("<34>Oct 11 22:14:15 tcphost nginx: " + goodLine)
+      out.flush()
+      Thread.sleep(30000)
+      sock.close()
+    })
+    tcpWriter.setDaemon(true)
+    tcpWriter.start()
+
+    val unioned = StreamingIngest.syslogTcpSource(spark, "localhost", tcpPort)
+      .unionByName(StreamingIngest.syslogUdpSource(spark, udpPort, bind = "127.0.0.1"))
+    val parsed = StreamingIngest.parse(StreamingIngest.stripSyslogEnvelope(unioned), cfg)
+    val q = parsed.writeStream.format("memory")
+      .queryName("syslog_multi_test").outputMode("append").start()
+    val sender = new java.net.DatagramSocket()
+    try {
+      val addr = new java.net.InetSocketAddress("127.0.0.1", udpPort)
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        val b = ("<34>Oct 11 22:14:16 udphost nginx: " + goodLine)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        sender.send(new java.net.DatagramPacket(b, b.length, addr))
+        q.processAllAvailable()
+        n = spark.table("syslog_multi_test").count()
+        if (n < 2) Thread.sleep(200)
+      }
+      // one line over each transport, both through the one pipeline
+      assert(n >= 2)
+      assert(spark.table("syslog_multi_test")
+        .where(col("status") === 200).count() == n)
+    } finally {
+      q.stop()
+      sender.close()
+      server.close()
+    }
+  }
+
   test("native syslog-unix DSv2 source end-to-end (S4 UNIX transport parity)") {
     val path = java.nio.file.Files.createTempDirectory("graft_unixsock").toString + "/syslog.sock"
     val lines = StreamingIngest.syslogUnixSource(spark, path)
