@@ -95,9 +95,15 @@ object Bench {
         // poison the next measurement with memory pressure
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
+        // GC after EVERY rep, not just per query: driver garbage (collected
+        // union-find edge arrays, broadcast values) otherwise accumulates
+        // across reps and ContextCleaner — which only reclaims broadcasts /
+        // shuffle files when their handles get GC'd — never runs. Measured
+        // on d15: reps degrade 3.9→7.0→13.0 s without this, flat 3.1–3.6 s
+        // with it (r5 bench recorded the degraded 17.7 s median).
+        System.gc()
         if (ok) Some(t) else None
       }
-      System.gc() // settle per-query garbage outside the next measurement
       val stat =
         if (times.isEmpty) Stat(-1.0, -1.0, -1.0)
         else {
@@ -192,16 +198,29 @@ object Bench {
     }
 
     // `queries` stays scalar (the driver contract): value = per-query
-    // MEDIAN of 3. `queries_stats` carries {median,min,max} so regressions
-    // are attributable to signal vs jitter (r4 verdict item 3).
+    // MEDIAN of 3. The {median,min,max} spread (r4 verdict item 3) is
+    // emitted as a SEPARATE stats line printed BEFORE the headline line
+    // and mirrored to bench_detail.json: the driver keeps only the last
+    // ~2000 chars of output, and folding the stats into the headline line
+    // (r5) pushed its START out of that window — the driver recorded
+    // `parsed: null` and the whole round's bench was unreadable. The
+    // headline line must stay comfortably under the window on its own.
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v.median}%.3f" }
       .mkString("{", ",", "}")
     val qStats = results.map { case (k, v) =>
       "\"" + k + f"""\":{"median":${v.median}%.3f,"min":${v.min}%.3f,"max":${v.max}%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.median).filter(_ > 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_stats":$qStats,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"sf":"$sfDir"}""")
+    val statsLine = s"""{"metric":"queries_stats","stats":$qStats}"""
+    println(statsLine)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (statsLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"sf":"$sfDir"}"""
+    if (line.length > 1800) // headroom for sbt's trailing [success] line
+      System.err.println(s"[bench] WARNING headline line ${line.length} chars — trim precision or query names")
+    println(line)
     spark.stop()
   }
 }

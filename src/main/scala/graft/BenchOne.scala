@@ -53,6 +53,7 @@ object BenchOne {
         val t = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
+        System.gc()
         println(f"[benchone] $name rep$i $t%8.2fs")
         if (ok) t else -1.0
       }

@@ -38,16 +38,29 @@ object Verify {
 
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Waves, not one big gang: operator-internal persists (p03's gated
+    // corpus, minhash's shingle table, scrub's norm projection) have no
+    // release point inside a returned plan, so in a single 94-query
+    // session they'd accumulate for the whole run (memory pressure /
+    // spill; the same stacking degraded repeated d15 runs ~3×). Between
+    // waves every in-flight query is done → sweeping + GC'ing is safe
+    // (no cache is yanked from under a running job) and bounds resident
+    // caches to one wave's worth.
+    SparkEntry.queries.toSeq.grouped(12).foreach { wave =>
+      val runs = wave.map { case (name, fn) =>
+        Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
+      Await.result(Future.sequence(runs), Duration.Inf)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      System.gc() // let ContextCleaner drop broadcasts/shuffles too
     }
-    Await.result(Future.sequence(runs), Duration.Inf)
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

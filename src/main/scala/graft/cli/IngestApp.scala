@@ -109,7 +109,10 @@ object IngestApp {
           // configured listeners against one handler) — here a union of
           // the native sources, one streaming plan
           case "syslog" =>
-            val ls = opts.getOrElse("listeners", "tcp").split(',').map(_.trim)
+            // .distinct: '--listeners tcp,tcp' would build two sources
+            // binding the same port and die at stream start with an opaque
+            // bind error; a repeated listener can only mean "that one, once"
+            val ls = opts.getOrElse("listeners", "tcp").split(',').map(_.trim).distinct
             require(ls.nonEmpty && ls.forall(Set("tcp", "udp", "unix")),
               s"--listeners must be a comma list of tcp/udp/unix, got '${ls.mkString(",")}'")
             val dfs = ls.toSeq.map {

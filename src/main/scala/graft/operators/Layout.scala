@@ -136,8 +136,15 @@ object Layout {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(root, Manifest)
-    f.delete(dst, false) // posix rename replaces; HDFS rename needs the slot free
-    require(f.rename(tmp, dst), s"manifest swing failed for $root")
+    // One ATOMIC overwrite-rename (FileContext honors Rename.OVERWRITE on
+    // HDFS and local posix alike). The earlier delete-then-rename left a
+    // window — crash or concurrent reader between the two saw a table
+    // with NO manifest, i.e. every committed version invisible — which
+    // broke the "one atomic metadata swing" commit discipline this store
+    // is built on.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, f.getConf) // f.getUri, not root.toUri: root may be scheme-less
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def versionDirs(f: org.apache.hadoop.fs.FileSystem,

@@ -233,15 +233,22 @@ private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
 private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
     fetchDeadlineMs: Long = 60000L) extends PartitionReader[InternalRow] {
 
-  /** Hard ceiling for the adaptive fetch size — matches the client's
-    * response-size fence (64 MiB); a record bigger than this is
-    * malformed by contract and fails the task with a sized error.
+  /** Hard ceiling for the adaptive fetch size — a full MiB BELOW the
+    * client's 64 MiB response-size fence, because the fence bounds the
+    * whole RESPONSE (message set + topic/partition headers + correlation
+    * id), not just the set. With the two equal, a grown `maxBytes`
+    * against a deep backlog filled the entire response budget with
+    * messages and the framing overhead tipped the response over the
+    * fence — `response size out of bounds` on every task retry, a
+    * permanent wedge. A record bigger than this ceiling is malformed by
+    * contract and fails the task with a sized error.
     */
-  private val MaxFetchBytes = 64 * 1024 * 1024
+  private val MaxFetchBytes = 63 * 1024 * 1024
 
+  private val DefaultFetchBytes = 4 * 1024 * 1024
   private val client = new KafkaLiteClient(p.host, p.port)
   private var cur = p.startOffset
-  private var maxBytes = 4 * 1024 * 1024
+  private var maxBytes = DefaultFetchBytes
   private var queue: Iterator[KafkaWire.Record] = Iterator.empty
   private var record: KafkaWire.Record = _
 
@@ -271,6 +278,12 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
         if (got.isEmpty && !drained && System.currentTimeMillis() > deadline)
           throw new java.io.IOException(
             s"kafka-lite: no data for ${p.topic}/${p.partition} at $cur within ${fetchDeadlineMs}ms")
+        // the growth exists to get ONE oversized record through — once a
+        // grown fetch delivers, drop back to the default so later fetches
+        // don't keep requesting near-ceiling message sets (sticky growth
+        // wastes broker IO and rides the response fence for the rest of
+        // the partition)
+        if (got.nonEmpty && maxBytes != DefaultFetchBytes) maxBytes = DefaultFetchBytes
       }
       queue = got.iterator
     }
