@@ -413,6 +413,99 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Unigram-LM rarity score — the CCNet/KenLM perplexity-filter SHAPE
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data", LREC 2020: docs are ranked by language-model
+    * perplexity and the tails dropped) with the corpus itself as the
+    * unigram model. Per token, true surprisal is -ln(cnt/N); this score
+    * uses the RAW INVERSE PROBABILITY `(10000·N) div cnt` instead — the
+    * q51/t11 rationale: `ln` is a libm transcendental whose last bit
+    * varies across engines, while integer multiply/divide are exact
+    * everywhere, so the whole computation stays BIGINT and the DuckDB
+    * oracle can pin every row. Monotone under ln, so per-token rarity
+    * ORDERING is identical; the cross-token mixture weighs rare tokens
+    * more strongly than log-surprisal would (fine for a filter whose use
+    * is "drop the tails of the ranking").
+    *
+    * Tokens below `minCount` total occurrences are out-of-vocabulary and
+    * charged the weight of a `minCount`-frequency token — a LOWER bound
+    * on their true rarity, which keeps one pathological token from
+    * dominating a doc's mean. Output per doc: token count `dl`, summed
+    * rarity `rarity_sum_e4`, and the integer mean `rarity_mean_e4`
+    * (ten-thousandths of N/cnt).
+    *
+    * Scale shape: the count pass explodes tokens but aggregates map-side
+    * (only (term, partial) rows reach its exchange); the kept vocabulary
+    * (cnt ≥ minCount — small by Zipf at any corpus size when minCount
+    * scales with the corpus) broadcasts to a map-side join on the second
+    * explode, whose per-doc sums also combine map-side, so the one
+    * remaining exchange carries a row per doc. Corpus text never
+    * shuffles.
+    */
+  def rarityScore(docs: DataFrame, minCount: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minCount >= 1, s"rarityScore: minCount must be ≥ 1, got $minCount")
+    val toks = graft.functions.OptimizerFence(
+      split(Dedup.normalize(col(textCol)), " "))
+    val terms = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // one scalar row (corpus token total), broadcast alongside the vocab
+    val tot = counts.agg(sum(col("cnt")).as("n_tok"))
+    val vocab = counts.where(col("cnt") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), expr("(10000 * n_tok) div cnt").as("r"))
+    terms
+      .join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("r"), expr(s"(10000 * n_tok) div $minCount")).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), sum(col("r")).as("rarity_sum_e4"))
+      .select(col("doc_id"), col("dl"), col("rarity_sum_e4"),
+        expr("rarity_sum_e4 div dl").as("rarity_mean_e4"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke,
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009) of a lexical BM25
+    * ranking ([[keywordSearch]]) and a semantic embedding-cosine ranking
+    * ([[Similarity.bruteForceTopK]]) — the standard two-tower retrieval
+    * shape behind RAG corpus curation and dedup-audit tooling.
+    *
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)), missing from a list → that
+    * term is 0. Engine-exact by construction: ranks are integers, each
+    * term is ONE correctly-rounded IEEE division, and the two-term sum is
+    * mirrored in the oracle in the same order — no transcendentals
+    * anywhere (the BM25 leg is already division-form).
+    *
+    * Scale shape: each leg is its own top-k (both global heap top-k
+    * plans, k rows out); the fusion joins two k-row sets — driver-trivial
+    * at any corpus size. The expensive parts scale as their own operators
+    * do (keywordSearch: two map-only corpus passes; bruteForceTopK:
+    * one broadcast-query scan — swap in [[Similarity.ivfTopK]] for the
+    * blocked semantic leg at 100 TB, same output contract).
+    */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryId: Long, k: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      textCol: String = "text", idCol: String = "doc_id",
+      vecCol: String = "embedding", embIdCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = keywordSearch(docs, terms, topK = k, textCol = textCol, idCol = idCol)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank_lex"))
+    val sem = Similarity
+      .bruteForceTopK(emb, emb.where(col(embIdCol) === queryId), k,
+        vecCol = vecCol, idCol = embIdCol)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Rare-token `<unk>` rewrite — classic LM-vocabulary pruning: corpus
     * tokens whose total occurrence count falls below a threshold are
     * replaced by a sentinel, bounding the vocabulary before tokenizer

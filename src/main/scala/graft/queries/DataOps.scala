@@ -1161,6 +1161,85 @@ object DataOps {
       "rare-token <unk> rewrite: corpus-frequency vocabulary pruning, " +
         "broadcast kept-set, map-only rebuild"),
 
+    // t13: unigram rarity score (the CCNet LM-perplexity-filter shape in
+    // division form — see TextAnalysis.rarityScore for the ln-free
+    // rationale). minCount = docCount/10, the t12 threshold: scale-
+    // relative, integer-exact in both engines, and it splits the
+    // synthetic vocabulary at its one rare term so the OOV charge path
+    // is exercised too.
+    "t13_rarity_score" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        TextAnalysis.rarityScore(docs, minCount = docs.count() / 10)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |mc AS (SELECT count(*) // 10 AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+             |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM c),
+             |v AS (SELECT term, (10000 * n_tok) // cnt AS r
+             |      FROM c, g, mc WHERE cnt >= m)
+             |SELECT doc_id, dl, rarity_sum_e4,
+             |       rarity_sum_e4 // dl AS rarity_mean_e4
+             |FROM (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS dl,
+             |    CAST(sum(coalesce(v.r, (SELECT (10000 * n_tok) // m FROM g, mc))) AS BIGINT)
+             |      AS rarity_sum_e4
+             |  FROM t LEFT JOIN v USING (term) GROUP BY t.doc_id)""".stripMargin),
+      "unigram rarity score (CCNet perplexity-filter shape): integer " +
+        "inverse-probability, OOV charged at the vocabulary floor, engine-exact"),
+
+    // t14: hybrid retrieval — reciprocal-rank fusion of the BM25 leg
+    // (t11's machinery, terms dup/merge) and the embedding-cosine leg
+    // (s01's machinery, query vector 0). Both legs top-20, fused top-10.
+    // Every fusion term is one IEEE division of integers — engine-exact.
+    "t14_hybrid_rrf" -> Q(
+      (s, dir) => TextAnalysis.hybridSearch(
+        tp(s, dir, "documents"), tp(s, dir, "embeddings"),
+        terms = Seq("dup", "merge"), queryId = 0L, k = 20, topK = 10),
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS dl,
+             |    len(list_filter(toks, t -> t = 'dup')) AS tf0,
+             |    len(list_filter(toks, t -> t = 'merge')) AS tf1
+             |  FROM tk),
+             |g AS (
+             |  SELECT count(*) AS n, sum(dl) AS sdl,
+             |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+             |  FROM m),
+             |lex AS (
+             |  SELECT doc_id, score FROM (
+             |    SELECT doc_id,
+             |      CAST(floor((10000.0 * ((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)))
+             |             * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT)
+             |    + CAST(floor((10000.0 * ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)))
+             |             * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT)
+             |      AS score
+             |    FROM m, g)
+             |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+             |lexr AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_lex
+             |  FROM lex),
+             |semr AS (
+             |  SELECT neighbor_id AS doc_id, rank AS rank_sem FROM (
+             |    SELECT c.vec_id AS neighbor_id,
+             |      CAST(row_number() OVER (ORDER BY
+             |        list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+             |        / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             |           * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+             |        DESC, c.vec_id) AS INT) AS rank
+             |    FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |    WHERE c.vec_id <> 0)
+             |  WHERE rank <= 20)
+             |SELECT doc_id, rank_lex, rank_sem,
+             |  coalesce(1.0/(60 + rank_lex), 0.0) + coalesce(1.0/(60 + rank_sem), 0.0) AS rrf
+             |FROM lexr FULL OUTER JOIN semr USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+      "hybrid retrieval: reciprocal-rank fusion of BM25 and embedding-cosine " +
+        "top-k lists, integer-division fusion terms, engine-exact"),
+
     // ---- multimodal plumbing (stub decode; deterministic → oracle) -------
     // ---- pipeline composition -------------------------------------------
     // The full curation chain as ONE dataflow — quality filter, exact

@@ -167,4 +167,73 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(1L) == ("<unk> <unk>", 2L))
     assert(out(2L) == ("<unk> <unk>", 2L))
   }
+
+  // ---- rarityScore (t13) ------------------------------------------------
+
+  test("rarityScore: integer inverse-probability weights, hand-checked") {
+    // counts: a=3, b=2, c=1; N=6. minCount=2 keeps a,b; c is OOV.
+    // r(a) = 60000/3 = 20000, r(b) = 60000/2 = 30000,
+    // r(OOV) = 60000 div 2 = 30000 (charged at the vocabulary floor)
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (3L, 20000L + 30000L + 30000L, 80000L / 3L))
+    assert(out(2L) == (2L, 50000L, 25000L))
+    assert(out(3L) == (1L, 20000L, 20000L))
+  }
+
+  test("rarityScore: rarer tokens score strictly higher; div truncates") {
+    // counts: x=6, y=1; N=7; minCount=1 keeps both.
+    // r(x) = 70000 div 6 = 11666 (truncated), r(y) = 70000 div 1 = 70000
+    val docs = Seq((1L, "x x x x"), (2L, "y x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs, minCount = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (4L * 11666L, 11666L))
+    // sum = 70000 + 11666 + 11666 = 93332; 93332 div 3 = 31110
+    assert(out(2L) == (93332L, 31110L))
+  }
+
+  // ---- hybridSearch (t14) -----------------------------------------------
+
+  test("hybridSearch: RRF fuses both legs; single-leg docs score 1/(k+rank)") {
+    // 4 docs: 10 lexical-only ('dup'), 11+12 both legs, 13 semantic-only.
+    val docs = Seq(
+      (10L, "dup dup dup"), (11L, "dup other"), (12L, "dup word"),
+      (13L, "nothing here")).toDF("doc_id", "text")
+    // embeddings: query 0 plus neighbors; 11 closest, then 12, then 13
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (11L, Array(0.99f, 0.1f)),
+      (12L, Array(0.9f, 0.3f)), (13L, Array(0.5f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = TextAnalysis.hybridSearch(docs, emb, Seq("dup"), queryId = 0L,
+      k = 3, topK = 10, rrfK = 60)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // lexical ranks: 10 (tf=3, but short doc...) — just assert structure:
+    // every returned doc has at least one rank and rrf = sum of its terms
+    out.foreach { case (_, (rl, rs, rrf)) =>
+      val expect = rl.map(r => 1.0 / (60 + r.asInstanceOf[Int])).getOrElse(0.0) +
+        rs.map(r => 1.0 / (60 + r.asInstanceOf[Int])).getOrElse(0.0)
+      assert(rrf == expect)
+      assert(rl.isDefined || rs.isDefined)
+    }
+    // doc 13 is semantic-only (no 'dup'): present with rank_sem, no rank_lex
+    assert(out(13L)._1.isEmpty && out(13L)._2.isDefined)
+    // docs on both legs outrank single-leg docs with comparable positions:
+    // 11 has sem rank 1 and a lex rank -> strictly more than any single leg
+    assert(out(11L)._1.isDefined && out(11L)._2.isDefined)
+    val best = out.toSeq.maxBy(_._2._3)
+    assert(best._1 == 11L)
+  }
+
+  test("hybridSearch: query vector excluded from the semantic leg") {
+    val docs = Seq((0L, "dup"), (1L, "dup")).toDF("doc_id", "text")
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = TextAnalysis.hybridSearch(docs, emb, Seq("dup"), queryId = 0L,
+      k = 5, topK = 10)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(0L).isEmpty)   // doc 0 = the query: lexical leg only
+    assert(out(1L).isDefined) // its neighbor ranks semantically
+  }
 }
