@@ -32,9 +32,10 @@ object Bench {
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
     "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
-    "t11_keyword_search", "t12_unk_rewrite",
+    "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
+    "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
-    "p03_quality_curation_pipeline",
+    "p03_quality_curation_pipeline", "p04_target_matching_pipeline",
     // last on purpose: its embedded exact-truth harness (all-pairs cosine
     // + double connected components) leaves enough heap/GC wake to tax
     // whatever runs next — measured +120% on p01/p02 when it ran before
@@ -205,7 +206,10 @@ object Bench {
     // (r5) pushed its START out of that window — the driver recorded
     // `parsed: null` and the whole round's bench was unreadable. The
     // headline line must stay comfortably under the window on its own.
-    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.median}%.3f" }
+    // 2 decimals (10 ms) in the headline map — at 52 queries the extra
+    // digit costs ~52 chars of the 2000-char window; the stats line and
+    // bench_detail.json keep millisecond resolution
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.median}%.2f" }
       .mkString("{", ",", "}")
     val qStats = results.map { case (k, v) =>
       "\"" + k + f"""\":{"median":${v.median}%.3f,"min":${v.min}%.3f,"max":${v.max}%.3f}"""

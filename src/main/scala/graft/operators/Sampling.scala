@@ -209,4 +209,79 @@ object Sampling {
         least(lit(win), col("n") - col("start") + 1).cast("int").as("n_toks"),
         array_join(slice(col("toks"), col("start"), lit(win)), " ").as("chunk"))
   }
+
+  /** DSIR-shaped importance weights (Xie, Santurkar, Ma, Liang, "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): score each corpus document by how much its hashed-n-gram
+    * profile looks like a TARGET distribution (a benchmark, a trusted
+    * high-quality set) relative to the SOURCE (the raw corpus itself),
+    * then resample by that weight. This is the standard
+    * "target-distribution matching" selection step between quality
+    * filtering and mixture assembly.
+    *
+    * DSIR proper scores log p_target(x) − log p_source(x) =
+    * Σ_features cnt · ln(p_t[f]/p_s[f]). The q51/t11/t13 rationale
+    * applies — `ln` breaks cross-engine bit-equality — so each feature
+    * carries the RAW probability ratio in ten-thousandths instead:
+    * both unigram models are first quantized to integer parts-per-1e9
+    * (add-one smoothed, so an unseen bucket scores finitely), each
+    * feature's ratio is `(10000·p_t_e9) div max(p_s_e9, 1)`, and a doc's
+    * weight is the integer SUM of its features' ratios (order-free) plus
+    * the per-feature mean. Monotone per feature; the cross-feature
+    * mixture is arithmetic- rather than geometric-mean-shaped (favors
+    * docs with a few strongly-target-like features — acceptable for a
+    * reweighting whose consumers threshold or rank).
+    *
+    * Features are hashed n-gram BUCKETS ([[idHash]] of the gram string
+    * mod `buckets`), exactly DSIR's hashed feature space: the model is
+    * `buckets` rows regardless of corpus size.
+    *
+    * Scale shape: both model passes explode grams but aggregate map-side
+    * onto at most `buckets` keys (tiny exchanges); the ratio table is ≤
+    * `buckets` rows and BROADCASTS to the scoring pass, whose per-doc
+    * sums combine map-side — the one full-size exchange carries a row
+    * per doc. Corpus text never shuffles. OVERFLOW FENCE: the e9
+    * quantization multiplies `1e9·(cnt+1)`, exact while the model side's
+    * total gram count stays below ~9.2e9 per... rather, below 2^63/1e9 ≈
+    * 9.2e9 grams; a 100 TB run (1e13 grams) must widen the two
+    * quantization expressions to DECIMAL(38,0) — same math, same
+    * truncation, still engine-exact — before dividing back down to the
+    * e9 integers.
+    */
+  def dsirWeights(source: DataFrame, target: DataFrame,
+      n: Int = 2, buckets: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && buckets >= 1, "dsirWeights: n and buckets must be ≥ 1")
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shinglesFromToks(
+        graft.functions.OptimizerFence(
+          split(Dedup.normalize(col(textCol)), " ")), n)).as("g"))
+      .select(col("doc_id"), pmod(idHash(col("g")), lit(buckets)).as("b"))
+    // unigram models over the hashed feature space, quantized to integer
+    // parts-per-1e9 with add-one smoothing (cast first: 1e9·cnt would
+    // overflow int multiplication semantics otherwise)
+    def model(df: DataFrame, pCol: String) = {
+      val cnts = grams(df).groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      cnts.crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("tot"))))
+        .select(col("b"),
+          expr("(1000000000 * (cnt + 1)) div (tot + 1)").as(pCol))
+    }
+    // Scoring only ever looks up buckets present in SOURCE grams, so ps
+    // exists for every consulted row; a bucket the target never produced
+    // scores 0 (the integer truncation of its smoothed near-zero ratio).
+    // The full-outer + fences keep the expression total anyway.
+    val ratio = model(source, "ps").join(model(target, "pt"), Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("pt"), lit(0L)).as("pt"),
+        coalesce(col("ps"), lit(0L)).as("ps"))
+      .select(col("b"),
+        expr("(10000 * pt) div (CASE WHEN ps > 0 THEN ps ELSE 1 END)").as("r"))
+    grams(source)
+      .join(broadcast(ratio), Seq("b"), "left")
+      .select(col("doc_id"), coalesce(col("r"), lit(0L)).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r")).as("w_sum_e4"))
+      .select(col("doc_id"), col("n_grams"), col("w_sum_e4"),
+        expr("w_sum_e4 div n_grams").as("w_mean_e4"))
+  }
 }

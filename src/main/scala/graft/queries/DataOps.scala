@@ -453,6 +453,40 @@ object DataOps {
       "intra-doc span dedup (Gopher-style self-repetition removal): later " +
         "occurrences of a repeated 3-token span cut, first kept; map-only"),
 
+    // d21: DSIR-shaped importance weights (see Sampling.dsirWeights for
+    // the ln-free integer form). Target = every 7th doc (offset 3) — a
+    // deterministic "trusted set" slice whose bigram profile the rest of
+    // the corpus is scored against. buckets=256 exercises real hash
+    // collisions at the sf0.01 vocabulary (~31 tokens → ~900 bigrams).
+    "d21_dsir_weights" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        graft.operators.Sampling.dsirWeights(docs, docs.where(col("doc_id") % 7 === 3),
+          n = 2, buckets = 256)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |sg AS (
+             |  SELECT doc_id,
+             |    CAST(CONCAT('0x', SUBSTR(md5(g), 1, 15)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT doc_id, unnest(${spanSqlN(2)}) AS g FROM tk)),
+             |sm AS (SELECT b, count(*) AS cnt FROM sg GROUP BY b),
+             |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sm),
+             |ps AS (SELECT b, (1000000000 * (cnt + 1)) // (tot + 1) AS ps FROM sm, st),
+             |tm AS (SELECT b, count(*) AS cnt FROM sg WHERE doc_id % 7 = 3 GROUP BY b),
+             |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM tm),
+             |pt AS (SELECT b, (1000000000 * (cnt + 1)) // (tot + 1) AS pt FROM tm, tt),
+             |r AS (
+             |  SELECT ps.b,
+             |    (10000 * coalesce(pt.pt, 0)) // (CASE WHEN ps.ps > 0 THEN ps.ps ELSE 1 END) AS r
+             |  FROM ps LEFT JOIN pt USING (b))
+             |SELECT doc_id, n_grams, w_sum_e4, w_sum_e4 // n_grams AS w_mean_e4
+             |FROM (
+             |  SELECT sg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(sum(coalesce(r.r, 0)) AS BIGINT) AS w_sum_e4
+             |  FROM sg LEFT JOIN r USING (b) GROUP BY sg.doc_id)""".stripMargin),
+      "DSIR-shaped importance weights: hashed-bigram target/source ratio " +
+        "models in integer parts-per-1e9, engine-exact; model broadcasts"),
+
     // Decontamination demo corpus: eval = perturbed copies of every 25th
     // document (an eval set that genuinely overlaps 1/25th of train), so
     // the 8-gram overlap flags exactly those originals. The synthetic
@@ -1499,6 +1533,88 @@ object DataOps {
              |FROM s GROUP BY split""".stripMargin),
       "curation capstone 2: C4 gate → quality-ranked near-dedup → <unk> " +
         "rewrite → hash split, one fused plan"),
+
+    // p04: the round-6 operators composed — unigram-rarity GATE (t13's
+    // CCNet shape: drop docs beyond 2× the corpus's integer-mean rarity)
+    // → DSIR importance weights vs a target slice (d21) → weighted
+    // priority selection per source stratum (q51's sampler, weight =
+    // mean DSIR ratio + 1 so zero-overlap docs stay sampleable at floor
+    // priority). Every stage is individually oracle-checked
+    // (t13/d21/q51); this pins their composition. All arithmetic integer
+    // or single IEEE divisions — the whole pipeline hash-matches DuckDB.
+    "p04_target_matching_pipeline" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        val docs = tp(s, dir, "documents").select("doc_id", "text", "source")
+        val minCount = docs.count() / 10
+        val rarity = TextAnalysis.rarityScore(docs, minCount = minCount)
+        val cap = rarity.agg(expr("2 * (sum(rarity_mean_e4) div count(1))"))
+          .head.getLong(0)
+        val gated = docs.join(
+          rarity.where(col("rarity_mean_e4") <= cap)
+            .select("doc_id", "rarity_mean_e4"), Seq("doc_id"))
+        val target = gated.where(col("doc_id") % 7 === 3)
+        val wts = graft.operators.Sampling
+          .dsirWeights(gated, target, n = 2, buckets = 256)
+          .select(col("doc_id"), (col("w_mean_e4") + lit(1L)).as("w"))
+        val scored = gated.join(wts, Seq("doc_id"))
+        graft.operators.Sampling.weightedTake(scored, strataCol = "source",
+          idCol = "doc_id", weightCol = col("w"), n = 8, salt = "p4")
+          .select("source", "doc_id", "rarity_mean_e4", "w", "rn")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |mc AS (SELECT count(*) // 10 AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+             |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM c),
+             |v AS (SELECT term, (10000 * n_tok) // cnt AS r
+             |      FROM c, g, mc WHERE cnt >= m),
+             |rar AS (
+             |  SELECT doc_id, rarity_sum_e4 // dl AS rarity_mean_e4 FROM (
+             |    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS dl,
+             |      CAST(sum(coalesce(v.r, (SELECT (10000 * n_tok) // m FROM g, mc))) AS BIGINT)
+             |        AS rarity_sum_e4
+             |    FROM t LEFT JOIN v USING (term) GROUP BY t.doc_id)),
+             |cap AS (
+             |  SELECT 2 * (CAST(sum(rarity_mean_e4) AS BIGINT) // count(*)) AS cap
+             |  FROM rar),
+             |gated AS (
+             |  SELECT d.doc_id, d.source, r.rarity_mean_e4
+             |  FROM documents d JOIN rar r USING (doc_id), cap
+             |  WHERE r.rarity_mean_e4 <= cap.cap),
+             |gtk AS (
+             |  SELECT doc_id, $NormToksSql AS toks FROM documents
+             |  WHERE doc_id IN (SELECT doc_id FROM gated)),
+             |sg AS (
+             |  SELECT doc_id,
+             |    CAST(CONCAT('0x', SUBSTR(md5(g2), 1, 15)) AS BIGINT) % 256 AS b
+             |  FROM (SELECT doc_id, unnest(${spanSqlN(2)}) AS g2 FROM gtk)),
+             |sm AS (SELECT b, count(*) AS cnt FROM sg GROUP BY b),
+             |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sm),
+             |ps AS (SELECT b, (1000000000 * (cnt + 1)) // (tot + 1) AS ps FROM sm, st),
+             |tm AS (SELECT b, count(*) AS cnt FROM sg WHERE doc_id % 7 = 3 GROUP BY b),
+             |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM tm),
+             |pt AS (SELECT b, (1000000000 * (cnt + 1)) // (tot + 1) AS pt FROM tm, tt),
+             |rr AS (
+             |  SELECT ps.b,
+             |    (10000 * coalesce(pt.pt, 0)) // (CASE WHEN ps.ps > 0 THEN ps.ps ELSE 1 END) AS r
+             |  FROM ps LEFT JOIN pt USING (b)),
+             |wts AS (
+             |  SELECT sg.doc_id,
+             |    (CAST(sum(coalesce(rr.r, 0)) AS BIGINT) // CAST(count(*) AS BIGINT)) + 1 AS w
+             |  FROM sg LEFT JOIN rr USING (b) GROUP BY sg.doc_id),
+             |sel AS (
+             |  SELECT ga.source, ga.doc_id, ga.rarity_mean_e4, wts.w,
+             |    CAST(${Md5LongSql.format("CONCAT(CAST(doc_id AS VARCHAR), 'p4')")} AS DOUBLE)
+             |      / 1152921504606846976.0 AS u
+             |  FROM gated ga JOIN wts USING (doc_id))
+             |SELECT source, doc_id, rarity_mean_e4, w, rn FROM (
+             |  SELECT source, doc_id, rarity_mean_e4, w,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY u / w, doc_id) AS INT) AS rn
+             |  FROM sel WHERE w > 0)
+             |WHERE rn <= 8""".stripMargin),
+      "curation capstone 3: rarity gate → DSIR target-matching weights → " +
+        "weighted priority selection per stratum, one fused plan"),
 
     "m01_media_features" -> Q(
       (s, dir) => {

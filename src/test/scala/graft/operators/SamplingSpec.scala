@@ -142,4 +142,34 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Int, Int, Int, String)].collect().toSeq.sorted
     assert(ch2 == Seq((0, 1, 4, "p q r s"), (1, 2, 4, "q r s t")))
   }
+
+  test("dsirWeights: hand-checked integer ratio model") {
+    // source bigrams: doc1 -> "a a","a b"; doc2 -> "c c","c c"
+    // source model: cnt("a a")=1, cnt("a b")=1, cnt("c c")=2, tot=4
+    //   ps = (1e9·(cnt+1)) div 5 → 400000000 / 400000000 / 600000000
+    // target = doc1: cnt("a a")=1, cnt("a b")=1, tot=2
+    //   pt = (1e9·2) div 3 = 666666666
+    // r("a a") = r("a b") = (10000·666666666) div 400000000 = 16666
+    // r("c c") = (10000·0) div 600000000 = 0
+    // (assumes the three bigrams land in distinct md5 buckets of 1024 —
+    // deterministic, so this either always holds or never does)
+    val docs = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(docs, docs.where($"doc_id" === 1L),
+      n = 2, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 33332L, 16666L))
+    assert(out(2L) == (2L, 0L, 0L))
+  }
+
+  test("dsirWeights: target-like docs outscore off-target docs") {
+    val docs = Seq(
+      (1L, "spark join window agg"), (2L, "spark join window agg"),
+      (3L, "llama bison yak emu"), (4L, "spark join llama bison"))
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(docs, docs.where($"doc_id" === 1L), n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // doc2 duplicates the target text: max weight; doc3 shares nothing: 0
+    assert(out(2L) == out(1L) && out(1L) > out(4L) && out(4L) > out(3L))
+    assert(out(3L) == 0L)
+  }
 }

@@ -90,4 +90,28 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
     assert(shuffles(sigs) == 0)
   }
+
+  test("rarityScore: corpus text never shuffles, model side bounded") {
+    // exchanges allowed: vocab-count partial+final pair, the scalar total,
+    // and the per-doc aggregate pair — every one carries aggregated rows
+    // (term/doc keys), never raw tokens; the vocab join must broadcast
+    val n = shuffles(TextAnalysis.rarityScore(docs, minCount = 2))
+    assert(n <= 5, s"rarityScore planned $n exchanges")
+    val plan = TextAnalysis.rarityScore(docs, minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "vocab lookup must be a broadcast join, not a shuffle join")
+  }
+
+  test("dsirWeights: ratio model broadcasts; doc exchange carries aggregates") {
+    val target = docs.where(col("doc_id") % 5 === 2)
+    val n = shuffles(Sampling.dsirWeights(docs, target, n = 2, buckets = 64))
+    // model passes collapse onto ≤buckets keys (partial+final pairs) and
+    // the scoring aggregate adds its own pair — all tiny or per-doc rows
+    assert(n <= 7, s"dsirWeights planned $n exchanges")
+    val plan = Sampling.dsirWeights(docs, target, n = 2, buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "ratio lookup must be a broadcast join, not a shuffle join")
+  }
 }
