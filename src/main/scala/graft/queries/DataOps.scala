@@ -1547,12 +1547,21 @@ object DataOps {
         graft.plans.TopKPerKey.install(s)
         val docs = tp(s, dir, "documents").select("doc_id", "text", "source")
         val minCount = docs.count() / 10
+        // rarity is one numeric row per doc (4 longs) — persist it so the
+        // eager cap scalar and the gate join don't each re-run the two
+        // tokenize passes (measured: p04 5.3 s → the rarity recompute was
+        // the largest share). Numeric-only rows are cheap to cache at any
+        // scale, unlike token arrays (the p03 rule).
         val rarity = TextAnalysis.rarityScore(docs, minCount = minCount)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cap = rarity.agg(expr("2 * (sum(rarity_mean_e4) div count(1))"))
           .head.getLong(0)
+        // gated flat strings feed three dsirWeights consumers (source
+        // model, target model, scoring pass) — persist like p03's gate
         val gated = docs.join(
           rarity.where(col("rarity_mean_e4") <= cap)
             .select("doc_id", "rarity_mean_e4"), Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val target = gated.where(col("doc_id") % 7 === 3)
         val wts = graft.operators.Sampling
           .dsirWeights(gated, target, n = 2, buckets = 256)
