@@ -111,9 +111,22 @@ object Layout {
     * NOT a directory listing — that would see uncommitted (mid-write or
     * orphaned) version dirs.
     */
+  /** Manifest IO bypasses the local ChecksumFileSystem wrapper: the
+    * atomic JDK move in [[writeManifest]] relocates only the data file,
+    * so a checksummed read through `LocalFileSystem` would consult a
+    * stale `.crc` sidecar and throw. Raw local IO has no sidecars; HDFS
+    * and connector stores pass through unchanged (their checksums are
+    * block-level, not sidecar files).
+    */
+  private def manifestFs(f: org.apache.hadoop.fs.FileSystem) = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   def committedVersions(spark: org.apache.spark.sql.SparkSession,
       table: String): Seq[Int] = {
-    val (f, root) = fs(spark, table)
+    val (f0, root) = fs(spark, table)
+    val f = manifestFs(f0)
     val m = new org.apache.hadoop.fs.Path(root, Manifest)
     if (!f.exists(m)) Seq.empty
     else {
@@ -128,23 +141,35 @@ object Layout {
   def latestVersion(spark: org.apache.spark.sql.SparkSession,
       table: String): Option[Int] = committedVersions(spark, table).lastOption
 
-  private def writeManifest(f: org.apache.hadoop.fs.FileSystem,
+  private def writeManifest(f0: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, versions: Seq[Int]): Unit = {
+    val f = manifestFs(f0)
     val tmp = new org.apache.hadoop.fs.Path(root, s"$Manifest.tmp")
     val out = f.create(tmp, true)
     try out.write(versions.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(root, Manifest)
-    // One ATOMIC overwrite-rename (FileContext honors Rename.OVERWRITE on
-    // HDFS and local posix alike). The earlier delete-then-rename left a
+    // One ATOMIC overwrite-rename. The earlier delete-then-rename left a
     // window — crash or concurrent reader between the two saw a table
-    // with NO manifest, i.e. every committed version invisible — which
-    // broke the "one atomic metadata swing" commit discipline this store
-    // is built on.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, f.getConf) // f.getUri, not root.toUri: root may be scheme-less
-    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // with NO manifest (every committed version invisible), breaking the
+    // "one atomic metadata swing" commit discipline this store is built
+    // on. Scheme matters: FileContext's Rename.OVERWRITE is only truly
+    // atomic where the AbstractFileSystem overrides the overwrite variant
+    // (Hdfs does; the LOCAL fs falls back to delete+rename internally —
+    // verified against hadoop-client 3.4.2), so for file:// the swing
+    // uses the JDK's rename(2), which replaces the destination in one
+    // syscall. Raw (non-checksummed) IO throughout — see [[manifestFs]].
+    if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, f.getConf) // f.getUri, not root.toUri: root may be scheme-less
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   private def versionDirs(f: org.apache.hadoop.fs.FileSystem,

@@ -224,13 +224,23 @@ object Sampling {
     * applies — `ln` breaks cross-engine bit-equality — so each feature
     * carries the RAW probability ratio in ten-thousandths instead:
     * both unigram models are first quantized to integer parts-per-1e9
-    * (add-one smoothed, so an unseen bucket scores finitely), each
-    * feature's ratio is `(10000·p_t_e9) div max(p_s_e9, 1)`, and a doc's
-    * weight is the integer SUM of its features' ratios (order-free) plus
-    * the per-feature mean. Monotone per feature; the cross-feature
-    * mixture is arithmetic- rather than geometric-mean-shaped (favors
-    * docs with a few strongly-target-like features — acceptable for a
-    * reweighting whose consumers threshold or rank).
+    * (present-bucket counts add-one smoothed), each feature's ratio is
+    * `(10000·p_t_e9) div max(p_s_e9, 1)`, and a doc's weight is the
+    * integer SUM of its features' ratios (order-free) plus the
+    * per-feature mean. Monotone per feature; the cross-feature mixture
+    * is arithmetic- rather than geometric-mean-shaped (favors docs with
+    * a few strongly-target-like features — acceptable for a reweighting
+    * whose consumers threshold or rank).
+    *
+    * DELIBERATE deviation on smoothing: a bucket with NO target evidence
+    * contributes 0, not an add-one floor. With hashed buckets, a floor
+    * ratio is dominated by 1/p_source — it would hand every
+    * rare-in-source gram a large weight precisely when the target says
+    * nothing about it, and at small target sizes that noise drowns the
+    * matching signal. The sharp prior keeps weights conservative
+    * ("weight follows observed overlap only"); consumers that need every
+    * doc selectable add a floor to the WEIGHT (as p04 does with `+ 1`),
+    * not to the model.
     *
     * Features are hashed n-gram BUCKETS ([[idHash]] of the gram string
     * mod `buckets`), exactly DSIR's hashed feature space: the model is
@@ -268,8 +278,9 @@ object Sampling {
     }
     // Scoring only ever looks up buckets present in SOURCE grams, so ps
     // exists for every consulted row; a bucket the target never produced
-    // scores 0 (the integer truncation of its smoothed near-zero ratio).
-    // The full-outer + fences keep the expression total anyway.
+    // scores 0 — the deliberate sharp no-evidence prior (see scaladoc),
+    // NOT an add-one floor. The full-outer + fences keep the expression
+    // total anyway.
     val ratio = model(source, "ps").join(model(target, "pt"), Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("pt"), lit(0L)).as("pt"),

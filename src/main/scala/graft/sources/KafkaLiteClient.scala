@@ -73,12 +73,23 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
       KafkaWire.encodeFetchRequest(topic, partition, offset, maxWaitMs, minBytes, maxBytes)))
 
   /** Produce with acks=1 (leader ack — the reference producer's setting);
-    * returns the base offset the broker assigned.
+    * returns the base offset the broker assigned. Fails FAST on a record
+    * bigger than the fetch-side contract ([[KafkaWire.MaxRecordBytes]]):
+    * accepting it would wedge every future consumer of that offset, and
+    * the producer is the only place the error is still cheap.
     */
   def produce(topic: String, partition: Int,
-      records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000): Long =
+      records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000): Long = {
+    records.foreach { case (k, v) =>
+      val sz = (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length) +
+        KafkaWire.RecordOverheadBytes
+      require(sz <= KafkaWire.MaxRecordBytes,
+        s"kafka-lite: record of $sz encoded bytes exceeds the " +
+          s"${KafkaWire.MaxRecordBytes}-byte contract (unfetchable once written)")
+    }
     KafkaWire.decodeProduceResponse(roundTrip(KafkaWire.ApiProduce,
       KafkaWire.encodeProduceRequest(topic, partition, records, acks = 1, timeoutMs)))
+  }
 
   override def close(): Unit = {
     try out.flush() catch { case _: Throwable => () }

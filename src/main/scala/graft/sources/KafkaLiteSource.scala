@@ -233,17 +233,19 @@ private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
 private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
     fetchDeadlineMs: Long = 60000L) extends PartitionReader[InternalRow] {
 
-  /** Hard ceiling for the adaptive fetch size — a full MiB BELOW the
-    * client's 64 MiB response-size fence, because the fence bounds the
-    * whole RESPONSE (message set + topic/partition headers + correlation
-    * id), not just the set. With the two equal, a grown `maxBytes`
-    * against a deep backlog filled the entire response budget with
-    * messages and the framing overhead tipped the response over the
-    * fence — `response size out of bounds` on every task retry, a
-    * permanent wedge. A record bigger than this ceiling is malformed by
-    * contract and fails the task with a sized error.
+  /** Hard ceiling for the adaptive fetch size — the shared
+    * [[KafkaWire.MaxRecordBytes]] contract, a full MiB BELOW the client's
+    * 64 MiB response-size fence, because the fence bounds the whole
+    * RESPONSE (message set + topic/partition headers + correlation id),
+    * not just the set. With the two equal, a grown `maxBytes` against a
+    * deep backlog filled the entire response budget with messages and
+    * the framing overhead tipped the response over the fence —
+    * `response size out of bounds` on every task retry, a permanent
+    * wedge. A record bigger than this ceiling is rejected at PRODUCE
+    * time ([[KafkaLiteClient.produce]]); one already in a foreign log is
+    * malformed by contract and fails the task with a sized error.
     */
-  private val MaxFetchBytes = 63 * 1024 * 1024
+  private val MaxFetchBytes = KafkaWire.MaxRecordBytes
 
   private val DefaultFetchBytes = 4 * 1024 * 1024
   private val client = new KafkaLiteClient(p.host, p.port)
@@ -278,12 +280,24 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
         if (got.isEmpty && !drained && System.currentTimeMillis() > deadline)
           throw new java.io.IOException(
             s"kafka-lite: no data for ${p.topic}/${p.partition} at $cur within ${fetchDeadlineMs}ms")
-        // the growth exists to get ONE oversized record through — once a
-        // grown fetch delivers, drop back to the default so later fetches
-        // don't keep requesting near-ceiling message sets (sticky growth
-        // wastes broker IO and rides the response fence for the rest of
-        // the partition)
-        if (got.nonEmpty && maxBytes != DefaultFetchBytes) maxBytes = DefaultFetchBytes
+        // SIZE-ADAPTIVE budget: after any delivery, request ~2× the bytes
+        // the broker just returned (clamped to [default, ceiling]). This
+        // replaces two worse policies: STICKY growth (stay at the grown
+        // size forever — rides the response fence and over-reads on
+        // partitions that needed one big fetch) and HARD reset to the
+        // 4 MiB default (a partition of uniformly-large records then pays
+        // a truncated-empty probe + regrow round trip for EVERY fetch,
+        // doubling RPCs). Tracking delivered size converges to one RPC
+        // per message set in both regimes.
+        if (raw.nonEmpty) {
+          val setBytes = raw.iterator.map { r =>
+            (if (r.key == null) 0 else r.key.length) +
+              (if (r.value == null) 0 else r.value.length) +
+              KafkaWire.RecordOverheadBytes
+          }.sum
+          maxBytes = math.max(DefaultFetchBytes,
+            math.min(MaxFetchBytes, 2 * setBytes))
+        }
       }
       queue = got.iterator
     }

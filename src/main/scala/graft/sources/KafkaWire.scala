@@ -49,6 +49,22 @@ private[graft] object KafkaWire {
   val EarliestTimestamp: Long = -2L
   val LatestTimestamp: Long = -1L
 
+  /** Contract-level maximum ENCODED record size, end to end: one MiB of
+    * headroom under the client's 64 MiB whole-response fence (the fence
+    * bounds message set + topic/partition headers + correlation id, not
+    * just the set). The reader's adaptive fetch growth caps here, and
+    * [[KafkaLiteClient.produce]] enforces it at WRITE time — otherwise a
+    * producer could land a record in (63 MiB, ~64 MiB) that every
+    * subsequent fetch is forbidden to request, permanently wedging the
+    * partition on data the log already holds.
+    */
+  val MaxRecordBytes: Int = 63 * 1024 * 1024
+
+  /** v0 per-record framing overhead: offset(8) + size(4) + crc(4) +
+    * magic(1) + attrs(1) + key-len(4) + value-len(4).
+    */
+  val RecordOverheadBytes: Int = 26
+
   final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
   final case class Record(offset: Long, key: Array[Byte], value: Array[Byte])
 

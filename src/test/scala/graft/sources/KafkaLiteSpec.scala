@@ -70,6 +70,14 @@ class KafkaLiteSpec extends AnyFunSuite {
 
         // fetch past the log end long-polls then reports OFFSET_OUT_OF_RANGE
         intercept[java.io.IOException](c.fetch("logs", 0, 9L, maxWaitMs = 10))
+
+        // produce-side record cap: a record the fetch contract could never
+        // deliver is rejected BEFORE it lands (else the partition wedges
+        // at that offset forever); the log is untouched
+        val before = c.latestOffset("logs", 0)
+        intercept[IllegalArgumentException](
+          c.produce("logs", 0, Seq((null, new Array[Byte](KafkaWire.MaxRecordBytes)))))
+        assert(c.latestOffset("logs", 0) == before)
       } finally c.close()
     } finally broker.stop()
   }
