@@ -1434,6 +1434,10 @@ object DataOps {
         // costs more than the rescan)
         val gated = corpus.join(keepIds, Seq("doc_id"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // survivors feed unkRewrite's two consumers; a persist here was
+        // measured a wash (±0.1 s at sf0.1) — minhashNearDups' internal
+        // shingle persist already amortizes the expensive part of the
+        // rerun, so the extra cache pressure isn't paid for
         val survivors = Dedup.bestQualitySurvivors(
           gated,
           Dedup.minhashNearDups(gated,
