@@ -482,21 +482,34 @@ object TextAnalysis {
     * Scale shape: each leg is its own top-k (both global heap top-k
     * plans, k rows out); the fusion joins two k-row sets — driver-trivial
     * at any corpus size. The expensive parts scale as their own operators
-    * do (keywordSearch: two map-only corpus passes; bruteForceTopK:
-    * one broadcast-query scan — swap in [[Similarity.ivfTopK]] for the
-    * blocked semantic leg at 100 TB, same output contract).
+    * do: keywordSearch is two map-only corpus passes, and the semantic
+    * leg is a PARAMETER — `semLeg = "brute"` ([[Similarity.bruteForceTopK]],
+    * the exact oracle-checkable default) or `semLeg = "ivf"`
+    * ([[Similarity.ivfTopK]], the blocked 100 TB path: probes only
+    * `nProbe` cells instead of scanning the corpus). Both legs share the
+    * (query_id, rank, neighbor_id) contract, so fusion is identical;
+    * the ivf variant trades exactness for scan cost exactly as s03 does
+    * vs s01 (recall measured there).
     */
   def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryId: Long, k: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      semLeg: String = "brute",
       textCol: String = "text", idCol: String = "doc_id",
       vecCol: String = "embedding", embIdCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = keywordSearch(docs, terms, topK = k, textCol = textCol, idCol = idCol)
       .select(col("doc_id"), row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank_lex"))
-    val sem = Similarity
-      .bruteForceTopK(emb, emb.where(col(embIdCol) === queryId), k,
-        vecCol = vecCol, idCol = embIdCol)
+    val queries = emb.where(col(embIdCol) === queryId)
+    val semTopK = semLeg match {
+      case "brute" =>
+        Similarity.bruteForceTopK(emb, queries, k, vecCol = vecCol, idCol = embIdCol)
+      case "ivf" =>
+        Similarity.ivfTopK(emb, queries, k, vecCol = vecCol, idCol = embIdCol)
+      case other => throw new IllegalArgumentException(
+        s"hybridSearch: semLeg must be brute|ivf, got '$other'")
+    }
+    val sem = semTopK
       .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_sem"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("rank_lex"), col("rank_sem"),

@@ -236,4 +236,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(0L).isEmpty)   // doc 0 = the query: lexical leg only
     assert(out(1L).isDefined) // its neighbor ranks semantically
   }
+
+  test("hybridSearch: ivf semantic leg honors the same output contract") {
+    // centroid = vec 0 (id % 37 == 0) — every vector lands in its cell,
+    // so the single-cell probe sees the whole corpus and the fused result
+    // must EQUAL the brute-force leg's (the general recall tradeoff is
+    // s03's measured territory; here the contract equality is the pin)
+    val docs = Seq(
+      (10L, "dup dup"), (11L, "dup other"), (13L, "nothing")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (11L, Array(0.99f, 0.1f)),
+      (13L, Array(0.5f, 0.8f))).toDF("vec_id", "embedding")
+    def run(leg: String) = TextAnalysis.hybridSearch(docs, emb, Seq("dup"),
+      queryId = 0L, k = 3, topK = 10, semLeg = leg)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toSeq
+    assert(run("ivf") == run("brute"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.hybridSearch(docs, emb, Seq("dup"), 0L, semLeg = "nope"))
+  }
 }
