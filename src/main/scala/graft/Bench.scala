@@ -216,7 +216,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2.median).filter(_ > 0).sum
     val statsLine = s"""{"metric":"queries_stats","stats":$qStats}"""
-    println(statsLine)
+    // prefixed so no parser — tail-window or full-stdout — can mistake the
+    // stats line for the contract line; bench_detail.json keeps the raw JSON
+    println("[bench] stats " + statsLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (statsLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
