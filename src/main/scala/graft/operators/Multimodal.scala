@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus per-partition feature extraction.
   *
-  * The DECODE STEP IS A STUB (this container ships no image/audio codecs):
-  * `decodeStub` produces a deterministic fake feature vector from the raw
-  * bytes. Everything around it — the schema contract, the binary column
-  * handling, the mapPartitions batch shape (the Scala analog of
-  * mapInPandas), the partition sizing — is real and is what survives when
-  * a real decoder (JNI/ONNX/ffmpeg) replaces the stub.
+  * IMAGE DECODE IS REAL: payloads whose magic bytes mark a JDK-decodable
+  * format (PNG/JPEG/GIF/BMP) are decoded with `javax.imageio.ImageIO` —
+  * features are true luma-pixel statistics and resize is true
+  * nearest-neighbor pixel sampling re-encoded as PNG. Any other payload
+  * (including audio/video, for which this container ships no codec) takes
+  * the deterministic byte-hash fallback, so the operators stay total and
+  * oracle-checkable over arbitrary binary columns.
   *
   * Scale notes: payloads stay in executor memory one partition at a time;
   * `spark.sql.files.maxPartitionBytes` bounds the working set, and feature
@@ -20,6 +21,53 @@ import org.apache.spark.sql.types._
   * payloads (large) — flow into downstream joins/ANN.
   */
 object Multimodal {
+
+  // in-memory ImageInputStreams only: the default disk-cache tempfile per
+  // decode would be pure overhead (and tmpdir churn) on executors
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Cheap magic-byte gate: true iff the payload starts like a format the
+    * JDK's ImageIO ships a reader for (PNG, JPEG, GIF, BMP). Keeps
+    * arbitrary non-image payloads from paying a reader probe per row.
+    */
+  private[operators] def looksLikeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Decode an image payload, or None when the magic bytes don't match a
+    * JDK format / the bytes are corrupt (ImageIO returns null or throws on
+    * truncated streams — both map to the fallback path, never a task kill).
+    */
+  private[operators] def tryDecode(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(p)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+    // NonFatal, not just IOException: arbitrary bytes can pass the magic
+    // gate (text starting "BM…"), and a reader parsing a garbage header
+    // may throw unchecked — any decode failure means "not an image"
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Row-major integer luma (ITU-R 601 weights, integer-exact:
+    * `(299r+587g+114b)/1000`) — the pixel-domain input to feature chunks.
+    */
+  private[operators] def lumaPixels(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -44,12 +92,10 @@ object Multimodal {
         lit(64).as("height"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder: bytes → fixed-dim deterministic "feature" vector
-    * (chunk-wise byte sums mod a prime — integer-valued floats, so the
-    * DuckDB oracle reproduces them bit-exactly; a byte-mean variant would
-    * compare float rounding paths across engines instead of the plumbing).
-    * A real implementation decodes pixels/samples here; signature and
-    * batch shape stay identical.
+  /** Fallback featurizer for NON-IMAGE payloads: chunk-wise byte sums mod
+    * a prime — integer-valued floats, so the DuckDB oracle reproduces them
+    * bit-exactly over text-byte fixtures (a byte-mean variant would compare
+    * float rounding paths across engines instead of the plumbing).
     */
   private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(dim)(0f)
@@ -65,6 +111,28 @@ object Multimodal {
       }
     }
   }
+
+  /** Featurize one payload: real pixel path for decodable images (same
+    * chunk-sum shape as the byte fallback, but over the decoded luma
+    * plane — integer-valued, deterministic), byte fallback otherwise.
+    */
+  private[operators] def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    tryDecode(payload) match {
+      case Some(img) =>
+        val luma = lumaPixels(img)
+        val chunk = math.max(1, luma.length / dim)
+        Array.tabulate(dim) { i =>
+          val from = i * chunk
+          val until = math.min(luma.length, from + chunk)
+          if (from >= luma.length) 0f
+          else {
+            var s = 0L; var j = from
+            while (j < until) { s += luma(j); j += 1 }
+            (s % 1009).toFloat
+          }
+        }
+      case None => decodeStub(payload, dim)
+    }
 
   /** Per-partition feature extraction over the binary column — the Scala
     * analog of a Pandas-UDF `mapInPandas`: one iterator pass per partition,
@@ -84,17 +152,15 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        Row(id, decodeStub(payload, dim).toSeq)
+        Row(id, decodeFeatures(payload, dim).toSeq)
       }
     }(enc)
   }
 
-  /** STUB resize: treat the payload as a row-major `srcH`×`srcW` byte
-    * grid and nearest-neighbor sample it down to `dstW`×`dstH` (flat index
-    * clamped into the actual payload, which may be shorter than the
-    * declared grid). A real implementation decodes pixels and interpolates
-    * here; the grid arithmetic, clamping, and output-size contract are
-    * what carry over.
+  /** Fallback resize for NON-IMAGE payloads: treat the payload as a
+    * row-major `srcH`×`srcW` byte grid and nearest-neighbor sample it down
+    * to `dstW`×`dstH` (flat index clamped into the actual payload, which
+    * may be shorter than the declared grid).
     */
   private[operators] def resizeStub(payload: Array[Byte],
       srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
@@ -105,6 +171,31 @@ object Multimodal {
       val idx = math.min(payload.length - 1, (y * srcH / dstH) * srcW + (x * srcW / dstW))
       payload(idx)
     }
+  }
+
+  /** Real image resize: nearest-neighbor pixel sampling (the same
+    * `y*srcH/dstH`, `x*srcW/dstW` index arithmetic as the byte fallback,
+    * applied to decoded pixels — a hand-rolled loop, not Graphics2D, so
+    * the mapping is integer-exact and JVM-independent), re-encoded as PNG
+    * (lossless, so a spec can decode the output and assert exact pixels).
+    */
+  private[operators] def resizeImage(img: java.awt.image.BufferedImage,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val srcW = img.getWidth; val srcH = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, y, img.getRGB(x * srcW / dstW, y * srcH / dstH))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 
   /** Media resize over the binary column — same `mapPartitions` batch
@@ -131,11 +222,20 @@ object Multimodal {
         // meta is declared nullable: a null meta row falls back to the
         // destination dimensions and a null format instead of NPE-ing
         val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
-        val srcW = if (meta == null || meta.isNullAt(1)) dstW else meta.getInt(1)
-        val srcH = if (meta == null || meta.isNullAt(2)) dstH else meta.getInt(2)
-        val fmt = if (meta == null) null else meta.getString(0)
-        val out = resizeStub(payload, srcW, srcH, dstW, dstH)
-        Row(id, out, Row(fmt, dstW, dstH, out.length.toLong))
+        // real images resize in the pixel domain (source dims come from
+        // the decoded header, not the meta column) and come back as PNG;
+        // everything else takes the declared-grid byte fallback
+        tryDecode(payload) match {
+          case Some(img) =>
+            val out = resizeImage(img, dstW, dstH)
+            Row(id, out, Row("png", dstW, dstH, out.length.toLong))
+          case None =>
+            val srcW = if (meta == null || meta.isNullAt(1)) dstW else meta.getInt(1)
+            val srcH = if (meta == null || meta.isNullAt(2)) dstH else meta.getInt(2)
+            val fmt = if (meta == null) null else meta.getString(0)
+            val out = resizeStub(payload, srcW, srcH, dstW, dstH)
+            Row(id, out, Row(fmt, dstW, dstH, out.length.toLong))
+        }
       }
     }(enc)
   }

@@ -42,6 +42,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts(1L) == 1L) // short payload → 1 frame min
   }
 
+  /** Encode a BufferedImage as PNG bytes (the fixture generator — real
+    * encoded images with zero external deps).
+    */
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: features are true luma pixel statistics") {
+    // 4×1 RGB strip: white, black, pure red, pure green → known lumas
+    val img = new java.awt.image.BufferedImage(4, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF); img.setRGB(1, 0, 0x000000)
+    img.setRGB(2, 0, 0xFF0000); img.setRGB(3, 0, 0x00FF00)
+    val payload = png(img)
+    assert(Multimodal.looksLikeImage(payload))
+    // dim = pixel count → chunk size 1, each feature = that pixel's luma
+    // (integer 601 weights: 255, 0, 299·255/1000=76, 587·255/1000=149)
+    val media = Seq((7L, payload, ("png", 4, 1, payload.length.toLong)))
+      .toDF("media_id", "payload", "meta")
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(7L) == Seq(255f, 0f, 76f, 149f))
+    // corrupt payload with a PNG magic prefix degrades to the byte
+    // fallback instead of killing the task
+    val corrupt = payload.take(8) ++ Array.fill[Byte](16)(3)
+    val bad = Seq((8L, corrupt, ("png", 4, 1, 24L))).toDF("media_id", "payload", "meta")
+    val fb = Multimodal.extractFeatures(bad, dim = 4).collect()
+      .map(r => r.getSeq[Float](1)).head
+    assert(fb == Multimodal.decodeStub(corrupt, 4).toSeq)
+  }
+
+  test("real image resize: true pixel nearest-neighbor, PNG round-trip") {
+    // 4×4 image, pixel (x,y) colored 0x10101·(y*4+x) — every pixel distinct
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x10101 * (y * 4 + x))
+    val payload = png(img)
+    val media = Seq((9L, payload, ("png", 4, 4, payload.length.toLong)))
+      .toDF("media_id", "payload", "meta")
+    val out = Multimodal.resize(media, dstW = 2, dstH = 2).collect().head
+    val outMeta = out.getStruct(2)
+    assert(outMeta.getString(0) == "png")
+    assert((outMeta.getInt(1), outMeta.getInt(2)) == ((2, 2)))
+    // decode the emitted PNG: dims are 2×2 and pixels are the exact
+    // nearest-neighbor picks (0,0) (2,0) (0,2) (2,2) → indices 0 2 8 10
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](1)))
+    assert((dec.getWidth, dec.getHeight) == ((2, 2)))
+    val picks = Seq((0, 0, 0), (1, 0, 2), (0, 1, 8), (1, 1, 10))
+    picks.foreach { case (x, y, idx) =>
+      assert((dec.getRGB(x, y) & 0xFFFFFF) == 0x10101 * idx)
+    }
+  }
+
   test("resize: nearest-neighbor byte-grid downsample with clamping") {
     // 4×4 grid of known bytes resized to 2×2: picks (0,0),(0,2),(2,0),(2,2)
     val grid = Array.tabulate(16)(i => i.toByte)
