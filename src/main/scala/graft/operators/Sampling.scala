@@ -246,48 +246,67 @@ object Sampling {
     * mod `buckets`), exactly DSIR's hashed feature space: the model is
     * `buckets` rows regardless of corpus size.
     *
-    * Scale shape: both model passes explode grams but aggregate map-side
-    * onto at most `buckets` keys (tiny exchanges); the ratio table is ≤
-    * `buckets` rows and BROADCASTS to the scoring pass, whose per-doc
-    * sums combine map-side — the one full-size exchange carries a row
-    * per doc. Corpus text never shuffles. OVERFLOW FENCE: the e9
-    * quantization multiplies `1e9·(cnt+1)`, exact while the model side's
-    * total gram count stays below ~9.2e9 per... rather, below 2^63/1e9 ≈
-    * 9.2e9 grams; a 100 TB run (1e13 grams) must widen the two
-    * quantization expressions to DECIMAL(38,0) — same math, same
-    * truncation, still engine-exact — before dividing back down to the
-    * e9 integers.
+    * Scale shape: the SOURCE corpus is normalized+shingled+hashed ONCE —
+    * the `(doc_id, bucket)` int-pair projection is persisted
+    * (MEMORY_AND_DISK, columnar — 12 bytes/gram, the d17 norm-projection
+    * rule) and feeds both the source model and the scoring pass; the
+    * target (small by construction) explodes once more. Both models
+    * aggregate map-side onto at most `buckets` keys (tiny exchanges);
+    * the ratio table is ≤ `buckets` rows and BROADCASTS to the scoring
+    * pass, whose per-doc sums combine map-side — the one full-size
+    * exchange carries a row per doc. Corpus text never shuffles.
+    *
+    * OVERFLOW FENCE: the e9 quantization multiplies `1e9·(cnt+1)`, exact
+    * in BIGINT while a model side's total gram count stays below
+    * 2^63/1e9 ≈ 9.2e9 grams. Past that (a 100 TB run is ~1e13 grams) set
+    * `wide = true`: the two quantization expressions compute in
+    * DECIMAL(38,0) — same math, same truncation — and divide back down
+    * to the same e9 BIGINT integers ([[graft.operators]]'
+    * `ScoringPropertySpec` pins wide ≡ narrow on in-range corpora).
     */
   def dsirWeights(source: DataFrame, target: DataFrame,
       n: Int = 2, buckets: Int = 1024,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      wide: Boolean = false, persistGrams: Boolean = true): DataFrame = {
     require(n >= 1 && buckets >= 1, "dsirWeights: n and buckets must be ≥ 1")
     def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       explode(Dedup.shinglesFromToks(
         graft.functions.OptimizerFence(
           split(Dedup.normalize(col(textCol)), " ")), n)).as("g"))
       .select(col("doc_id"), pmod(idHash(col("g")), lit(buckets)).as("b"))
-    // unigram models over the hashed feature space, quantized to integer
-    // parts-per-1e9 with add-one smoothing (cast first: 1e9·cnt would
-    // overflow int multiplication semantics otherwise)
-    def model(df: DataFrame, pCol: String) = {
-      val cnts = grams(df).groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    // unigram model over the hashed feature space, quantized to integer
+    // parts-per-1e9 with add-one smoothing. `wide` routes the multiply
+    // through DECIMAL(38,0) (integral div of decimals is still exact and
+    // returns BIGINT); the narrow path is plain BIGINT arithmetic.
+    val quant =
+      if (wide) "(CAST(1000000000 AS DECIMAL(38,0)) * (cnt + 1)) div (tot + 1)"
+      else "(1000000000 * (cnt + 1)) div (tot + 1)"
+    def modelFrom(g: DataFrame, pCol: String) = {
+      val cnts = g.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       cnts.crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("tot"))))
-        .select(col("b"),
-          expr("(1000000000 * (cnt + 1)) div (tot + 1)").as(pCol))
+        .select(col("b"), expr(quant).as(pCol))
+    }
+    // one tokenize+hash pass over the source: these int pairs feed the
+    // source model AND the scoring join below
+    val srcGrams = {
+      val g = grams(source)
+      if (persistGrams)
+        g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else g
     }
     // Scoring only ever looks up buckets present in SOURCE grams, so ps
     // exists for every consulted row; a bucket the target never produced
     // scores 0 — the deliberate sharp no-evidence prior (see scaladoc),
     // NOT an add-one floor. The full-outer + fences keep the expression
     // total anyway.
-    val ratio = model(source, "ps").join(model(target, "pt"), Seq("b"), "full_outer")
+    val ratio = modelFrom(srcGrams, "ps")
+      .join(modelFrom(grams(target), "pt"), Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("pt"), lit(0L)).as("pt"),
         coalesce(col("ps"), lit(0L)).as("ps"))
       .select(col("b"),
         expr("(10000 * pt) div (CASE WHEN ps > 0 THEN ps ELSE 1 END)").as("r"))
-    grams(source)
+    srcGrams
       .join(broadcast(ratio), Seq("b"), "left")
       .select(col("doc_id"), coalesce(col("r"), lit(0L)).as("r"))
       .groupBy(col("doc_id"))

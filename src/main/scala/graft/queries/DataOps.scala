@@ -1204,10 +1204,12 @@ object DataOps {
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")
-        TextAnalysis.rarityScore(docs, minCount = docs.count() / 10)
+        // max(1, …): a sub-10-doc corpus would otherwise compute 0 and
+        // trip rarityScore's require — degrade to "keep every term" instead
+        TextAnalysis.rarityScore(docs, minCount = math.max(1L, docs.count() / 10))
       },
       Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
-             |mc AS (SELECT count(*) // 10 AS m FROM documents),
+             |mc AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
              |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
              |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
              |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM c),
@@ -1550,7 +1552,7 @@ object DataOps {
       (s, dir) => {
         graft.plans.TopKPerKey.install(s)
         val docs = tp(s, dir, "documents").select("doc_id", "text", "source")
-        val minCount = docs.count() / 10
+        val minCount = math.max(1L, docs.count() / 10) // see t13: tiny-corpus clamp
         // rarity is one numeric row per doc (4 longs) — persist it so the
         // eager cap scalar and the gate join don't each re-run the two
         // tokenize passes (measured: p04 5.3 s → the rarity recompute was
@@ -1576,7 +1578,7 @@ object DataOps {
           .select("source", "doc_id", "rarity_mean_e4", "w", "rn")
       },
       Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
-             |mc AS (SELECT count(*) // 10 AS m FROM documents),
+             |mc AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
              |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
              |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
              |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM c),

@@ -111,4 +111,21 @@ class ScoringPropertySpec extends AnyFunSuite {
       assert(got == dsirRef(docs, target, 2, b), s"seed=$seed buckets=$b")
     }
   }
+
+  test("dsirWeights wide (DECIMAL) ≡ narrow (BIGINT) in the shared range") {
+    // same corpora as above: totals are far below the 9.2e9-gram BIGINT
+    // fence, so the DECIMAL(38,0) quantization must land on the exact
+    // same e9 integers — pins that `wide = true` changes the overflow
+    // headroom, never the math
+    for (seed <- Seq(7, 210); b <- Seq(4, 64)) {
+      val docs = corpus(24, seed)
+      val target = docs.filter(_._1 % 5 == 2)
+      def run(wide: Boolean) = Sampling.dsirWeights(
+        docs.toDF("doc_id", "text"), target.toDF("doc_id", "text"),
+        n = 2, buckets = b, wide = wide)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(run(wide = true) == run(wide = false), s"seed=$seed buckets=$b")
+    }
+  }
 }
