@@ -166,9 +166,28 @@ object Layout {
         java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } else {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, f.getConf) // f.getUri, not root.toUri: root may be scheme-less
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, f.getConf) // f.getUri, not root.toUri: root may be scheme-less
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        // Schemes with a FileSystem but no AbstractFileSystem binding
+        // (most object-store connectors) can't go through FileContext at
+        // all. Degrade to the documented-non-atomic delete+rename rather
+        // than failing the commit — the pre-r6 behavior for such stores.
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          f.delete(dst, false)
+          f.rename(tmp, dst)
+      }
+    }
+    // Raw-fs writes bypass ChecksumFileSystem, so a sidecar written by a
+    // pre-raw-IO version of this code would describe stale bytes — any
+    // reader going through the default LocalFileSystem would then
+    // ChecksumException. Drop it (no-op when absent).
+    f0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        f.delete(c.getChecksumFile(dst), false)
+      case _ => ()
     }
   }
 

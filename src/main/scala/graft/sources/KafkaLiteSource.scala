@@ -289,8 +289,11 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
         // a truncated-empty probe + regrow round trip for EVERY fetch,
         // doubling RPCs). Tracking delivered size converges to one RPC
         // per message set in both regimes.
-        if (raw.nonEmpty) {
-          val setBytes = raw.iterator.map { r =>
+        // budget from the KEPT records only: sizing on the raw set would
+        // count records at/past endOffset the filter discards, inflating
+        // the next request for data this reader will never consume
+        if (got.nonEmpty) {
+          val setBytes = got.iterator.map { r =>
             (if (r.key == null) 0 else r.key.length) +
               (if (r.value == null) 0 else r.value.length) +
               KafkaWire.RecordOverheadBytes
