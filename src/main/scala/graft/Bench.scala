@@ -72,6 +72,44 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc() // settle warmup garbage so the first measured query isn't taxed
 
+    // FIXED-WORK CALIBRATION PROBES (r6 verdict item 2): between r5 and r6
+    // every untouched map-only query drifted +25-50% — ambient sandbox
+    // load — and nothing in the artifact could prove it. Two probes whose
+    // work is CONSTANT across rounds make cross-run drift measurable (and
+    // normalizable: divide a query's delta by the probe's delta):
+    //   calib_cpu_ms   — single-threaded splitmix64 mixing loop (3e8
+    //                    rounds), pure ALU, zero allocation: tracks raw
+    //                    per-core CPU availability under current load.
+    //   calib_query_ms — a constant spark.range(2^22) xxhash64 aggregate:
+    //                    no input data, independent of SF — tracks Spark
+    //                    task dispatch + codegen + scheduling overhead.
+    // Median of 3, consistent with every other measurement here.
+    def medianOf3Ms(work: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(1)
+    }
+    var calibSink = 0L // blackhole: keeps the JIT from eliding the loop
+    val calibCpuMs = medianOf3Ms {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+        x ^= x >>> 27; x *= 0x94d049bb133111ebL
+        x ^= x >>> 31
+        i += 1
+      }
+      calibSink ^= x
+    }
+    val calibQueryMs = medianOf3Ms {
+      spark.range(1L << 22).selectExpr("xxhash64(id) AS h")
+        .agg(org.apache.spark.sql.functions.sum("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    System.err.println(
+      f"[bench] calib cpu=${calibCpuMs}%.0fms query=${calibQueryMs}%.0fms (sink=$calibSink)")
+
     // 3 timed reps per query; the headline number is the MEDIAN, with
     // min/max carried alongside so a round-over-round delta is
     // attributable (sub-second single-shot timings are indistinguishable
@@ -223,7 +261,7 @@ object Bench {
       (statsLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"calib_cpu_ms":$calibCpuMs%.0f,"calib_query_ms":$calibQueryMs%.0f,"sf":"$sfDir"}"""
     if (line.length > 1800) // headroom for sbt's trailing [success] line
       System.err.println(s"[bench] WARNING headline line ${line.length} chars — trim precision or query names")
     println(line)

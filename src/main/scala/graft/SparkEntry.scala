@@ -17,7 +17,48 @@ import graft.queries.{DataOps, Q, Relational}
   */
 object SparkEntry {
 
-  val catalog: Map[String, Q] = Relational.all ++ DataOps.all
+  private val base: Map[String, Q] = Relational.all ++ DataOps.all
+
+  /** The four catalog entries whose correctness is SELF-CHECKED (their
+    * outputs embed boolean `pass` / `*_in_bound` invariant columns) because
+    * sketch/LSH internals have no DuckDB-expressible oracle.
+    */
+  private val selfCheckedNames: Seq[String] = Seq(
+    "d15_semantic_dedup_blocked", "q33_approx_sketches",
+    "q48_hll_merge", "s02_ann_lsh")
+
+  /** z01_self_checks (r6 verdict item 6): the driver's CORRECTNESS artifact
+    * recorded the four self-checking entries as bare `no_oracle`, so a
+    * regression in any of their invariants would not fail the round. This
+    * entry re-runs each of them, folds every boolean flag column to a
+    * single all-true verdict (NULL or empty result counts as failure —
+    * same contract as Verify's self_check.json), and emits `(name, pass)`
+    * rows against a trivial VALUES oracle expecting all-true. Now the
+    * driver artifact itself hash-mismatches if any self-check regresses.
+    */
+  private val z01: Q = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, min}
+      selfCheckedNames.map { name =>
+        val df = base(name).fn(s, dir)
+        val flags = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.BooleanType &&
+            (f.name == "pass" || f.name.endsWith("in_bound")) => f.name
+        }
+        require(flags.nonEmpty, s"$name lost its self-check flag columns")
+        df.agg(min(flags.map(f => coalesce(col(f), lit(false)))
+            .reduce(_ && _)).as("all_true"))
+          .select(lit(name).as("name"),
+            coalesce(col("all_true"), lit(false)).as("pass"))
+      }.reduce(_ unionByName _)
+    },
+    Some(selfCheckedNames
+      .map(n => s"('$n', true)")
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(name, pass)")),
+    "driver-provable self-check rollup: re-evaluates the invariant flags " +
+      "of the four no-oracle entries; oracle expects every row true")
+
+  val catalog: Map[String, Q] = base + ("z01_self_checks" -> z01)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

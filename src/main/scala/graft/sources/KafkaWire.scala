@@ -2,26 +2,33 @@ package graft.sources
 
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
-import java.util.zip.CRC32
+import java.util.zip.{CRC32, CRC32C}
 
 /** Byte-level codec for the four Kafka APIs the engine's native transport
   * needs — Metadata, ListOffsets, Fetch, Produce — hand-rolled from the
   * PUBLIC Kafka protocol guide (kafka.apache.org/protocol: request/response
-  * framing, primitive encodings, per-API v0 schemas) the same way
+  * framing, primitive encodings, per-API schemas) the same way
   * [[FileBufWire]] hand-rolls gRPC from PROTOCOL-HTTP2. No Kafka jars exist
-  * in this container; ~200 lines of codec keep the transport dependency-free
-  * while staying wire-compatible with v0-generation brokers.
+  * in this container; a few hundred lines of codec keep the transport
+  * dependency-free while staying wire-compatible with real brokers.
   *
-  * Scope (documented, deliberate): API version 0 and message format v0
-  * (magic 0) — the simplest self-consistent protocol generation, accepted
-  * by brokers through the 3.x line. Kafka 4.x removed the v0 wire formats
-  * (KIP-724), so a production deployment against a modern cluster should
-  * use the stock `spark-sql-kafka-0-10` connector (see README "deploy-time
-  * requirements"); [[StreamingIngest.kafkaSource]] carries that wiring.
-  * What this native path buys is the part no stock jar can give us here:
-  * a live end-to-end exercise of the engine's Kafka SEMANTICS — broker
-  * offsets, startingOffsets, per-trigger admission control, replayable
-  * partition ranges, produce acks — against a wire-faithful broker.
+  * TWO DIALECTS, one reader/producer contract:
+  *  - `modern` (default): record batches **magic 2** (varint-framed
+  *    records, batch-level CRC32C — the format introduced in Kafka 0.11)
+  *    carried over the oldest API versions Kafka 4.x still accepts after
+  *    KIP-896's floor raise: Metadata v4, ListOffsets v1, Fetch v4,
+  *    Produce v3. These versions are all pre-flexible (fixed schemas, no
+  *    tagged fields), so the framing below still applies verbatim. This
+  *    dialect speaks to every broker from 0.11 through 4.x natively — no
+  *    stock connector required.
+  *  - `legacy`: message set **magic 0** over the v0 APIs, for
+  *    pre-0.11-generation brokers (v0 wire removed broker-side by
+  *    KIP-724 in 4.x).
+  *
+  * What the native path buys beyond deployment reach: a live end-to-end
+  * exercise of the engine's Kafka SEMANTICS — broker offsets,
+  * startingOffsets, per-trigger admission control, replayable partition
+  * ranges, produce acks — against a wire-faithful broker, in BOTH formats.
   *
   * Reference behavior being reproduced: one message value = one log line,
   * consumed from a topic and fed to the parse pipeline
@@ -38,6 +45,16 @@ import java.util.zip.CRC32
   *    magic int8 = 0, attributes int8 = 0, key bytes, value bytes], crc
   *    over magic..value. Fetch responses may truncate the final message —
   *    decoders must stop at the first incomplete entry.
+  *  - record batch v2 = [base_offset int64, batch_length int32,
+  *    partition_leader_epoch int32, magic int8 = 2, crc uint32 (CRC32C
+  *    over attributes..end), attributes int16, last_offset_delta int32,
+  *    base_timestamp int64, max_timestamp int64, producer_id int64,
+  *    producer_epoch int16, base_sequence int32, record_count int32,
+  *    records]; each record = [length varint, attributes int8,
+  *    timestamp_delta varlong, offset_delta varint, key varint-bytes,
+  *    value varint-bytes, header_count varint, headers…] with every
+  *    varint/varlong ZIGZAG-encoded. A fetch response may truncate the
+  *    final batch — decoders stop at the first incomplete one.
   */
 private[graft] object KafkaWire {
 
@@ -45,6 +62,17 @@ private[graft] object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+
+  /** Modern-dialect API versions: the POST-KIP-896 floor — the oldest
+    * versions a Kafka 4.x broker still serves — which are also accepted
+    * by every broker back to 0.11 (1.x for Fetch v4's isolation level).
+    * All four are pre-flexible schemas: fixed-width framing, request
+    * header without tagged fields.
+    */
+  val ProduceV3: Short = 3
+  val FetchV4: Short = 4
+  val ListOffsetsV1: Short = 1
+  val MetadataV4: Short = 4
 
   val EarliestTimestamp: Long = -2L
   val LatestTimestamp: Long = -1L
@@ -64,6 +92,16 @@ private[graft] object KafkaWire {
     * magic(1) + attrs(1) + key-len(4) + value-len(4).
     */
   val RecordOverheadBytes: Int = 26
+
+  /** v2 WORST-CASE per-record overhead for the produce-time fence: the
+    * 61-byte batch header plus max-width zigzag varints for length(5) +
+    * attributes(1) + timestamp_delta(10) + offset_delta(5) + key_len(5) +
+    * value_len(5) + header_count(5). Real encodings are far smaller (the
+    * varints are 1-2 bytes each and the batch header amortizes across the
+    * set), but the fence must never under-count: a record admitted at
+    * produce time that a max-size fetch can't carry wedges its partition.
+    */
+  val RecordOverheadBytesV2: Int = 61 + 36
 
   final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
   final case class Record(offset: Long, key: Array[Byte], value: Array[Byte])
@@ -90,6 +128,24 @@ private[graft] object KafkaWire {
     /** Kafka `bytes`: int32 length, -1 for null. */
     def bytes(v: Array[Byte]): Writer =
       if (v == null) int32(-1) else { int32(v.length); raw(v) }
+    /** Kafka nullable string (int16 length, -1 = null) — modern metadata
+      * carries nullable rack / cluster-id / transactional-id fields.
+      */
+    def nullableString(s: String): Writer =
+      if (s == null) int16(-1) else string(s)
+    /** ZIGZAG varlong — the v2 record framing's integer encoding
+      * (kafka.apache.org/documentation/#record): zigzag-fold the sign,
+      * then 7-bit little-endian groups with a continuation bit.
+      */
+    def varlong(v: Long): Writer = {
+      var u = (v << 1) ^ (v >> 63)
+      while ((u & ~0x7fL) != 0L) { int8(((u & 0x7f) | 0x80).toByte); u >>>= 7 }
+      int8(u.toByte)
+    }
+    def varint(v: Int): Writer = varlong(v.toLong)
+    /** v2 record `bytes`: zigzag-varint length, -1 for null. */
+    def varBytes(v: Array[Byte]): Writer =
+      if (v == null) varint(-1) else { varint(v.length); raw(v) }
     def array[T](xs: Seq[T])(each: T => Unit): Writer = {
       int32(xs.size); xs.foreach(each); this
     }
@@ -117,6 +173,28 @@ private[graft] object KafkaWire {
     def raw(n: Int): Array[Byte] = { val b = new Array[Byte](n); buf.get(b); b }
     def remaining: Int = buf.remaining()
     def array[T](each: => T): Seq[T] = Seq.fill(int32())(each)
+    /** ZIGZAG varlong (inverse of [[Writer.varlong]]); bounds-checked so a
+      * corrupt stream can't spin past 10 groups.
+      */
+    def varlong(): Long = {
+      var u = 0L; var shift = 0; var b = 0
+      while ({ b = int8() & 0xff; u |= (b & 0x7fL) << shift; shift += 7
+               (b & 0x80) != 0 }) {
+        if (shift > 63) throw new java.io.IOException("varlong exceeds 10 bytes")
+      }
+      (u >>> 1) ^ -(u & 1L)
+    }
+    def varint(): Int = {
+      val v = varlong()
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new java.io.IOException(s"varint out of int range: $v")
+      v.toInt
+    }
+    /** v2 record `bytes`: zigzag-varint length, -1 = null. */
+    def varBytes(): Array[Byte] = {
+      val n = varint()
+      if (n < 0) null else raw(n)
+    }
   }
 
   // ---- request framing ---------------------------------------------------
