@@ -15,14 +15,24 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-      // outright; read the raw int64 and truncate ns → µs (identical to
-      // DuckDB's TIMESTAMP_NS → TIMESTAMP cast, so oracle-comparable).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) — which Spark's
+      // reader rejects outright — and as TIMESTAMP(MICROS) without the
+      // isAdjustedToUTC flag, which Spark reads as TIMESTAMP_NTZ (breaking
+      // unix_millis & friends). Normalize both to the session-zone
+      // TIMESTAMP the queries and the DuckDB oracle agree on: nanos read
+      // raw and truncated ns → µs (DuckDB's TIMESTAMP_NS → TIMESTAMP
+      // cast), NTZ cast wall-clock in the session zone (UTC everywhere
+      // in this engine, so byte-identical to DuckDB's naive reading).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
