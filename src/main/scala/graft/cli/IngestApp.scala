@@ -28,9 +28,9 @@ import graft.streaming.StreamingIngest
   * server's multi-listener mode: `--listeners tcp,udp,unix` unioned into
   * one pipeline; `--tcp-port`/`--udp-port`/`--socket-path`), `kafka` (S5
   * stock connector;
-  * `--brokers`, `--topic`), `kafka-lite` (S5 native v0 wire — no Kafka
-  * jars needed; `--brokers`, `--topic`, `--starting-offsets`,
-  * `--max-offsets`), `filebuf` (S6 native gRPC stream server; `--port`).
+  * `--brokers`, `--topic`), `kafka-lite` (S5 native wire, magic-2 to
+  * 4.x brokers or magic-0 legacy — no Kafka jars needed; `--brokers`,
+  * `--topic`, `--starting-offsets`, `--max-offsets`, `--dialect`), `filebuf` (S6 native gRPC stream server; `--port`).
   * Sinks: `parquet` (K4 parity: insert_date + month partitioning), `jdbc`
   * (K1 parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
   * relay to a remote FileBuf server; `--sink-port`), `kafka-lite` (K2
@@ -127,7 +127,8 @@ object IngestApp {
           case "kafka-lite" => StreamingIngest.kafkaLiteSource(spark,
             need("brokers"), need("topic"),
             startingOffsets = opts.getOrElse("starting-offsets", "earliest"),
-            maxOffsetsPerTrigger = opts.get("max-offsets").map(_.toLong))
+            maxOffsetsPerTrigger = opts.get("max-offsets").map(_.toLong),
+            dialect = opts.getOrElse("dialect", "modern"))
           case "filebuf" => StreamingIngest.filebufSource(spark, need("port").toInt,
             bind = opts.getOrElse("bind", "0.0.0.0"))
           case other   => sys.error(s"unknown source: $other")
@@ -163,7 +164,8 @@ object IngestApp {
           // the raw source stream, not the parsed one
           case "kafka-lite" =>
             StreamingIngest.kafkaLiteSink(lines, need("brokers"),
-              need("sink-topic"), checkpoint, produceBatch = batchSize)
+              need("sink-topic"), checkpoint, produceBatch = batchSize,
+              dialect = opts.getOrElse("dialect", "modern"))
               .trigger(Trigger.ProcessingTime(triggerMs))
           case other => sys.error(s"unknown sink: $other")
         }

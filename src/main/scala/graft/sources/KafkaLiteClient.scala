@@ -10,16 +10,25 @@ import java.util.concurrent.atomic.AtomicInteger
   * `kafka-lite` source's driver (metadata + offsets) and executors
   * (fetch), and by [[StreamingIngest.kafkaLiteSink]] (produce).
   *
+  * `dialect` picks the wire generation ([[KafkaWire.Dialect]]): `modern`
+  * (default) = magic-2 batches over the post-KIP-896 version floor,
+  * speaking to every broker 0.11 → 4.x; `legacy` = magic-0 sets over the
+  * v0 APIs for pre-0.11 brokers. The API surface of this class is
+  * dialect-independent.
+  *
   * The lockstep design is deliberate: the streaming source fetches
   * sequential offset ranges per partition, so pipelining buys nothing,
   * and a single-threaded protocol keeps the failure model trivial (any
   * IOException tears down the socket; Spark task retry reconnects).
-  * Connections are cheap to re-establish against a v0-era broker — there
-  * is no SASL/TLS handshake in scope.
+  * Connections are cheap to re-establish — there is no SASL/TLS
+  * handshake in scope.
   */
 private[graft] class KafkaLiteClient(host: String, port: Int,
     clientId: String = "graft-kafka-lite", connectTimeoutMs: Int = 10000,
-    readTimeoutMs: Int = 30000) extends AutoCloseable {
+    readTimeoutMs: Int = 30000,
+    dialect: KafkaWire.Dialect = KafkaWire.Modern) extends AutoCloseable {
+
+  private val modern = dialect eq KafkaWire.Modern
 
   private val socket = new Socket()
   socket.setTcpNoDelay(true)
@@ -34,9 +43,17 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     */
   private val MaxResponseBytes = 64 * 1024 * 1024
 
+  private def versionOf(apiKey: Short): Short = apiKey match {
+    case KafkaWire.ApiProduce => dialect.produceV
+    case KafkaWire.ApiFetch => dialect.fetchV
+    case KafkaWire.ApiListOffsets => dialect.listOffsetsV
+    case KafkaWire.ApiMetadata => dialect.metadataV
+    case other => throw new IllegalArgumentException(s"unsupported api $other")
+  }
+
   private def roundTrip(apiKey: Short, body: Array[Byte]): Array[Byte] = synchronized {
     val id = corr.incrementAndGet()
-    out.write(KafkaWire.request(apiKey, id, clientId, body))
+    out.write(KafkaWire.request(apiKey, versionOf(apiKey), id, clientId, body))
     out.flush()
     val size = in.readInt()
     if (size < 4 || size > MaxResponseBytes)
@@ -49,18 +66,28 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     java.util.Arrays.copyOfRange(payload, 4, size)
   }
 
-  def partitionsOf(topic: String): Seq[KafkaWire.PartitionMeta] =
-    KafkaWire.decodeMetadataResponse(
-      roundTrip(KafkaWire.ApiMetadata, KafkaWire.encodeMetadataRequest(Seq(topic))), topic)
+  def partitionsOf(topic: String): Seq[KafkaWire.PartitionMeta] = {
+    val resp = roundTrip(KafkaWire.ApiMetadata,
+      if (modern) KafkaWire.encodeMetadataRequestV4(Seq(topic))
+      else KafkaWire.encodeMetadataRequest(Seq(topic)))
+    if (modern) KafkaWire.decodeMetadataResponseV4(resp, topic)
+    else KafkaWire.decodeMetadataResponse(resp, topic)
+  }
+
+  private def listOffsets(topic: String, partition: Int, timestamp: Long): Long = {
+    val resp = roundTrip(KafkaWire.ApiListOffsets,
+      if (modern) KafkaWire.encodeListOffsetsRequestV1(topic, partition, timestamp)
+      else KafkaWire.encodeListOffsetsRequest(topic, partition, timestamp))
+    if (modern) KafkaWire.decodeListOffsetsResponseV1(resp)
+    else KafkaWire.decodeListOffsetsResponse(resp)
+  }
 
   def earliestOffset(topic: String, partition: Int): Long =
-    KafkaWire.decodeListOffsetsResponse(roundTrip(KafkaWire.ApiListOffsets,
-      KafkaWire.encodeListOffsetsRequest(topic, partition, KafkaWire.EarliestTimestamp)))
+    listOffsets(topic, partition, KafkaWire.EarliestTimestamp)
 
   /** Log-end offset (the next offset to be assigned). */
   def latestOffset(topic: String, partition: Int): Long =
-    KafkaWire.decodeListOffsetsResponse(roundTrip(KafkaWire.ApiListOffsets,
-      KafkaWire.encodeListOffsetsRequest(topic, partition, KafkaWire.LatestTimestamp)))
+    listOffsets(topic, partition, KafkaWire.LatestTimestamp)
 
   /** One fetch round trip from `offset`; may return fewer records than
     * available (bounded by `maxBytes`), never more than the broker has.
@@ -68,9 +95,13 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     */
   def fetch(topic: String, partition: Int, offset: Long,
       maxWaitMs: Int = 500, minBytes: Int = 1,
-      maxBytes: Int = 4 * 1024 * 1024): (Seq[KafkaWire.Record], Long) =
-    KafkaWire.decodeFetchResponse(roundTrip(KafkaWire.ApiFetch,
-      KafkaWire.encodeFetchRequest(topic, partition, offset, maxWaitMs, minBytes, maxBytes)))
+      maxBytes: Int = 4 * 1024 * 1024): (Seq[KafkaWire.Record], Long) = {
+    val resp = roundTrip(KafkaWire.ApiFetch,
+      if (modern) KafkaWire.encodeFetchRequestV4(topic, partition, offset, maxWaitMs, minBytes, maxBytes)
+      else KafkaWire.encodeFetchRequest(topic, partition, offset, maxWaitMs, minBytes, maxBytes))
+    if (modern) KafkaWire.decodeFetchResponseV4(resp)
+    else KafkaWire.decodeFetchResponse(resp)
+  }
 
   /** Produce with acks=1 (leader ack — the reference producer's setting);
     * returns the base offset the broker assigned. Fails FAST on a record
@@ -82,13 +113,16 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
       records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000): Long = {
     records.foreach { case (k, v) =>
       val sz = (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length) +
-        KafkaWire.RecordOverheadBytes
+        dialect.recordOverheadBytes
       require(sz <= KafkaWire.MaxRecordBytes,
         s"kafka-lite: record of $sz encoded bytes exceeds the " +
           s"${KafkaWire.MaxRecordBytes}-byte contract (unfetchable once written)")
     }
-    KafkaWire.decodeProduceResponse(roundTrip(KafkaWire.ApiProduce,
-      KafkaWire.encodeProduceRequest(topic, partition, records, acks = 1, timeoutMs)))
+    val resp = roundTrip(KafkaWire.ApiProduce,
+      if (modern) KafkaWire.encodeProduceRequestV3(topic, partition, records, acks = 1, timeoutMs)
+      else KafkaWire.encodeProduceRequest(topic, partition, records, acks = 1, timeoutMs))
+    if (modern) KafkaWire.decodeProduceResponseV3(resp)
+    else KafkaWire.decodeProduceResponse(resp)
   }
 
   override def close(): Unit = {

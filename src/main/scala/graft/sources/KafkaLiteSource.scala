@@ -37,7 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    shape the stock connector uses.
   *
   * Options: `brokers` (host:port bootstrap), `topic`, `startingoffsets`
-  * (`earliest`, default, or `latest`), `maxoffsetspertrigger` (long).
+  * (`earliest`, default, or `latest`), `maxoffsetspertrigger` (long),
+  * `dialect` (`modern`, default — magic-2 batches over the post-KIP-896
+  * version floor, brokers 0.11 → 4.x; or `legacy` — magic-0 over the v0
+  * APIs for pre-0.11 brokers).
   */
 class KafkaLiteSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-lite"
@@ -49,8 +52,11 @@ class KafkaLiteSourceProvider extends TableProvider with DataSourceRegister {
 }
 
 private[graft] object KafkaLiteSource {
-  /** The stock Kafka connector's column shape (minus the v2-format
-    * timestamp columns — message format v0 carries no timestamps).
+  /** The stock Kafka connector's column shape, minus the timestamp
+    * columns: the legacy dialect's magic-0 sets carry no timestamps at
+    * all, and the modern producer writes the -1 "no timestamp" sentinel
+    * (the engine's event time lives in the parsed payload, not the
+    * transport), so the column would be uniformly null either way.
     */
   val Schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = true),
@@ -88,10 +94,12 @@ private[sources] class KafkaLiteTable extends Table with SupportsRead {
         v
       }
       private val maxOffsets = Option(options.get("maxoffsetspertrigger")).map(_.toLong)
+      private val dialect = // validate on the driver, fail fast like startingOffsets
+        KafkaWire.Dialect(Option(options.get("dialect")).getOrElse("modern")).name
       override def build(): Scan = this
       override def readSchema(): StructType = KafkaLiteSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new KafkaLiteMicroBatchStream(brokers, topic, startingOffsets, maxOffsets)
+        new KafkaLiteMicroBatchStream(brokers, topic, startingOffsets, maxOffsets, dialect)
     }
 }
 
@@ -114,19 +122,22 @@ private[sources] object KafkaLiteOffset {
 }
 
 private[sources] class KafkaLiteMicroBatchStream(
-    brokers: String, topic: String, startingOffsets: String, maxOffsets: Option[Long])
+    brokers: String, topic: String, startingOffsets: String, maxOffsets: Option[Long],
+    dialect: String = "modern")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val (bootHost, bootPort) = KafkaLiteSource.parseBroker(brokers)
 
   @transient private var clientVar: KafkaLiteClient = _
   private def client: KafkaLiteClient = synchronized {
-    if (clientVar == null) clientVar = new KafkaLiteClient(bootHost, bootPort)
+    if (clientVar == null)
+      clientVar = new KafkaLiteClient(bootHost, bootPort, dialect = KafkaWire.Dialect(dialect))
     clientVar
   }
 
-  /** Partition → leader endpoint; fetched once (single-broker dev scope —
-    * a production cluster uses the stock connector, see [[KafkaWire]]).
+  /** Partition → leader endpoint; fetched once per query (leadership is
+    * stable within a micro-batch plan; a moved leader fails the task and
+    * Spark's retry re-resolves through a fresh stream instance).
     */
   private lazy val metas: Seq[KafkaWire.PartitionMeta] = client.partitionsOf(topic)
 
@@ -195,7 +206,7 @@ private[sources] class KafkaLiteMicroBatchStream(
       val from = startOf(s, m.partition) // new partition → earliest, same as latestOffset
       val until = e.getOrElse(m.partition, from)
       if (until > from)
-        Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort, from, until))
+        Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort, from, until, dialect))
       else None
     }.toArray
   }
@@ -211,7 +222,7 @@ private[sources] class KafkaLiteMicroBatchStream(
 
 private[sources] case class KafkaLitePartition(
     topic: String, partition: Int, host: String, port: Int,
-    startOffset: Long, endOffset: Long) extends InputPartition
+    startOffset: Long, endOffset: Long, dialect: String = "modern") extends InputPartition
 
 private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -248,7 +259,8 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
   private val MaxFetchBytes = KafkaWire.MaxRecordBytes
 
   private val DefaultFetchBytes = 4 * 1024 * 1024
-  private val client = new KafkaLiteClient(p.host, p.port)
+  private val dialect = KafkaWire.Dialect(p.dialect)
+  private val client = new KafkaLiteClient(p.host, p.port, dialect = dialect)
   private var cur = p.startOffset
   private var maxBytes = DefaultFetchBytes
   private var queue: Iterator[KafkaWire.Record] = Iterator.empty
@@ -296,7 +308,7 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
           val setBytes = got.iterator.map { r =>
             (if (r.key == null) 0 else r.key.length) +
               (if (r.value == null) 0 else r.value.length) +
-              KafkaWire.RecordOverheadBytes
+              dialect.recordOverheadBytes
           }.sum
           maxBytes = math.max(DefaultFetchBytes,
             math.min(MaxFetchBytes, 2 * setBytes))

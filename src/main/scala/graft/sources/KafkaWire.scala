@@ -106,6 +106,25 @@ private[graft] object KafkaWire {
   final case class PartitionMeta(partition: Int, leaderHost: String, leaderPort: Int)
   final case class Record(offset: Long, key: Array[Byte], value: Array[Byte])
 
+  /** One reader/producer contract, two wire dialects (see class doc). The
+    * dialect fixes each API's version and the produce-fence overhead; the
+    * client and stub broker branch on nothing else.
+    */
+  sealed abstract class Dialect(val name: String,
+      val produceV: Short, val fetchV: Short, val listOffsetsV: Short,
+      val metadataV: Short, val recordOverheadBytes: Int)
+  case object Modern extends Dialect("modern",
+    ProduceV3, FetchV4, ListOffsetsV1, MetadataV4, RecordOverheadBytesV2)
+  case object Legacy extends Dialect("legacy", 0, 0, 0, 0, RecordOverheadBytes)
+  object Dialect {
+    def apply(s: String): Dialect = s.toLowerCase match {
+      case "modern" => Modern
+      case "legacy" => Legacy
+      case other => throw new IllegalArgumentException(
+        s"kafka-lite dialect must be 'modern' or 'legacy', got '$other'")
+    }
+  }
+
   // ---- primitive writers -------------------------------------------------
 
   /** Growable big-endian writer (ByteBuffer wants its size up front). */
@@ -199,11 +218,15 @@ private[graft] object KafkaWire {
 
   // ---- request framing ---------------------------------------------------
 
-  /** Size-prefixed request: header v0 + body. */
-  def request(apiKey: Short, correlationId: Int, clientId: String,
-      body: Array[Byte]): Array[Byte] = {
+  /** Size-prefixed request. The header layout (api_key, api_version,
+    * correlation_id, client_id) is identical for header v0 and v1 — and
+    * every version the two dialects use is pre-flexible (no tagged
+    * fields), so one framing serves both.
+    */
+  def request(apiKey: Short, apiVersion: Short, correlationId: Int,
+      clientId: String, body: Array[Byte]): Array[Byte] = {
     val w = new Writer(16 + body.length)
-    w.int16(apiKey).int16(0: Short).int32(correlationId).string(clientId).raw(body)
+    w.int16(apiKey).int16(apiVersion).int32(correlationId).string(clientId).raw(body)
     val payload = w.toBytes
     val framed = new Writer(4 + payload.length)
     framed.int32(payload.length).raw(payload)
@@ -265,6 +288,117 @@ private[graft] object KafkaWire {
         val value = r.bytes()
         out += Record(offset, key, value)
         pos += 12 + size // offset(8) + size-field(4) + message(size)
+      }
+    }
+    out.result()
+  }
+
+  // ---- record batch v2 (magic 2) -----------------------------------------
+
+  /** Bytes of v2 batch header before the CRC'd region: base_offset(8) +
+    * batch_length(4) + partition_leader_epoch(4) + magic(1) + crc(4).
+    */
+  private val V2CrcStart = 21
+  /** Full v2 batch header size (through record_count). */
+  val V2HeaderBytes: Int = 61
+
+  /** One v2 record batch. Offsets are written as deltas from `baseOffset`
+    * (producer batches use 0 — the broker re-stamps base_offset on
+    * append, exactly why v2 moved the offset OUT of the per-record
+    * framing: re-stamping is one int64 write, not a re-CRC of every
+    * record). Timestamps are -1 (the schema exposes no timestamp column;
+    * -1 is the wire's "no timestamp" sentinel, what a CreateTime batch
+    * from a timestamp-less producer carries).
+    */
+  def encodeRecordBatch(records: Seq[(Array[Byte], Array[Byte])],
+      baseOffset: Long = 0L): Array[Byte] = {
+    require(records.nonEmpty, "a v2 record batch cannot be empty")
+    val body = new Writer(records.size * 64)
+    // CRC'd region: attributes .. records
+    body.int16(0: Short)                       // attributes: no compression, CreateTime
+    body.int32(records.size - 1)               // last_offset_delta
+    body.int64(-1L)                            // base_timestamp
+    body.int64(-1L)                            // max_timestamp
+    body.int64(-1L)                            // producer_id (non-transactional)
+    body.int16(-1: Short)                      // producer_epoch
+    body.int32(-1)                             // base_sequence
+    body.int32(records.size)                   // record_count
+    records.zipWithIndex.foreach { case ((key, value), i) =>
+      val rec = new Writer(32)
+      rec.int8(0: Byte)                        // record attributes
+      rec.varlong(0L)                          // timestamp_delta
+      rec.varint(i)                            // offset_delta
+      rec.varBytes(key)
+      rec.varBytes(value)
+      rec.varint(0)                            // headers
+      val recBytes = rec.toBytes
+      body.varint(recBytes.length)
+      body.raw(recBytes)
+    }
+    val crcRegion = body.toBytes
+    val crc = new CRC32C
+    crc.update(crcRegion)
+    val w = new Writer(V2HeaderBytes + crcRegion.length)
+    w.int64(baseOffset)
+    w.int32(V2CrcStart - 12 + crcRegion.length) // batch_length: bytes after this field
+    w.int32(0)                                  // partition_leader_epoch
+    w.int8(2: Byte)                             // magic
+    w.int32(crc.getValue.toInt)                 // crc as uint32 bits
+    w.raw(crcRegion)
+    w.toBytes
+  }
+
+  /** Decode a sequence of v2 batches, stopping cleanly at a truncated
+    * final batch (fetch responses cut at max_bytes on the wire, not on a
+    * batch boundary). Verifies each batch CRC32C; a magic other than 2
+    * means dialect drift and throws.
+    */
+  def decodeRecordBatches(data: Array[Byte]): Seq[Record] = {
+    val out = Vector.newBuilder[Record]
+    var pos = 0
+    var truncated = false
+    while (!truncated && data.length - pos >= 12) {
+      val head = ByteBuffer.wrap(data, pos, 12)
+      val baseOffset = head.getLong
+      val batchLength = head.getInt
+      if (batchLength < V2CrcStart - 12 || data.length - pos - 12 < batchLength) {
+        truncated = true // incomplete tail — done
+      } else {
+        val magic = data(pos + 16)
+        if (magic != 2)
+          throw new java.io.IOException(
+            s"unsupported batch magic $magic (modern dialect speaks v2)")
+        val crcStored = ByteBuffer.wrap(data, pos + 17, 4).getInt.toLong & 0xffffffffL
+        val regionLen = 12 + batchLength - V2CrcStart
+        val crc = new CRC32C
+        crc.update(data, pos + V2CrcStart, regionLen)
+        if (crc.getValue != crcStored)
+          throw new java.io.IOException(
+            s"record batch at base offset $baseOffset failed CRC32C " +
+              s"(${crc.getValue} != $crcStored)")
+        val r = new Reader(java.util.Arrays.copyOfRange(
+          data, pos + V2CrcStart, pos + V2CrcStart + regionLen))
+        r.int16() // attributes
+        r.int32() // last_offset_delta
+        r.int64(); r.int64() // base/max timestamp
+        r.int64(); r.int16(); r.int32() // producer id/epoch, base_sequence
+        val count = r.int32()
+        var i = 0
+        while (i < count) {
+          val len = r.varint()
+          val rec = new Reader(r.raw(len))
+          rec.int8()     // record attributes
+          rec.varlong()  // timestamp_delta
+          val offsetDelta = rec.varint()
+          val key = rec.varBytes()
+          val value = rec.varBytes()
+          val headers = rec.varint()
+          var h = 0
+          while (h < headers) { rec.varBytes(); rec.varBytes(); h += 1 }
+          out += Record(baseOffset + offsetDelta, key, value)
+          i += 1
+        }
+        pos += 12 + batchLength
       }
     }
     out.result()
@@ -400,6 +534,157 @@ private[graft] object KafkaWire {
         base
       }
     }
+    offs.flatten.headOption.getOrElse(
+      throw new java.io.IOException("empty produce response"))
+  }
+
+  // ---- modern dialect: Metadata v4 ---------------------------------------
+
+  def encodeMetadataRequestV4(topics: Seq[String]): Array[Byte] = {
+    val w = new Writer()
+    w.array(topics)(t => w.string(t))
+    w.int8(1: Byte) // allow_auto_topic_creation (v4's addition)
+    w.toBytes
+  }
+
+  def decodeMetadataResponseV4(body: Array[Byte], topic: String): Seq[PartitionMeta] = {
+    val r = new Reader(body)
+    r.int32() // throttle_time_ms (v3+)
+    val brokers = r.array {
+      val id = r.int32(); val host = r.string(); val port = r.int32()
+      r.string() // rack, nullable (v1+)
+      id -> (host, port)
+    }.toMap
+    r.string() // cluster_id, nullable (v2+)
+    r.int32()  // controller_id (v1+)
+    val metas = r.array {
+      val err = r.int16()
+      val name = r.string()
+      r.int8() // is_internal (v1+)
+      val parts = r.array {
+        val perr = r.int16()
+        val pid = r.int32()
+        val leader = r.int32()
+        r.array(r.int32()) // replicas
+        r.array(r.int32()) // isr
+        (perr, pid, leader)
+      }
+      (err, name, parts)
+    }
+    metas.find(_._2 == topic) match {
+      case None => throw new java.io.IOException(s"topic $topic missing from metadata")
+      case Some((err, _, parts)) =>
+        if (err != 0) throw new java.io.IOException(s"metadata error $err for topic $topic")
+        parts.map { case (perr, pid, leader) =>
+          if (perr != 0) throw new java.io.IOException(s"metadata error $perr for $topic/$pid")
+          val (host, port) = brokers.getOrElse(leader,
+            throw new java.io.IOException(s"leader $leader of $topic/$pid not in broker list"))
+          PartitionMeta(pid, host, port)
+        }.sortBy(_.partition)
+    }
+  }
+
+  // ---- modern dialect: ListOffsets v1 ------------------------------------
+
+  /** v1 drops v0's max_num_offsets: one (timestamp → offset) per partition. */
+  def encodeListOffsetsRequestV1(topic: String, partition: Int, timestamp: Long): Array[Byte] = {
+    val w = new Writer()
+    w.int32(-1) // replica_id
+    w.array(Seq(topic)) { t =>
+      w.string(t)
+      w.array(Seq(partition)) { p => w.int32(p).int64(timestamp) }
+    }
+    w.toBytes
+  }
+
+  def decodeListOffsetsResponseV1(body: Array[Byte]): Long = {
+    val r = new Reader(body)
+    val offsets = r.array {
+      r.string()
+      r.array {
+        r.int32()
+        val err = r.int16()
+        r.int64() // timestamp
+        val off = r.int64()
+        if (err != 0) throw new java.io.IOException(s"list-offsets error $err")
+        off
+      }
+    }
+    offsets.flatten.headOption.getOrElse(
+      throw new java.io.IOException("empty list-offsets response"))
+  }
+
+  // ---- modern dialect: Fetch v4 ------------------------------------------
+
+  def encodeFetchRequestV4(topic: String, partition: Int, offset: Long,
+      maxWaitMs: Int, minBytes: Int, maxBytes: Int): Array[Byte] = {
+    val w = new Writer()
+    w.int32(-1)          // replica_id
+    w.int32(maxWaitMs)
+    w.int32(minBytes)
+    w.int32(maxBytes)    // response-level max_bytes (v3+)
+    w.int8(0: Byte)      // isolation_level: READ_UNCOMMITTED (v4+)
+    w.array(Seq(topic)) { t =>
+      w.string(t)
+      w.array(Seq(partition)) { p => w.int32(p).int64(offset).int32(maxBytes) }
+    }
+    w.toBytes
+  }
+
+  /** (records, highWatermark) — the record set decodes as v2 batches. */
+  def decodeFetchResponseV4(body: Array[Byte]): (Seq[Record], Long) = {
+    val r = new Reader(body)
+    r.int32() // throttle_time_ms (v1+)
+    val parts = r.array {
+      r.string()
+      r.array {
+        r.int32()
+        val err = r.int16()
+        val hw = r.int64()
+        r.int64() // last_stable_offset (v4+)
+        val aborted = r.int32() // aborted_transactions: nullable array
+        var i = 0
+        while (i < aborted) { r.int64(); r.int64(); i += 1 }
+        val setSize = r.int32()
+        val set = r.raw(setSize)
+        if (err != 0) throw new java.io.IOException(s"fetch error $err")
+        (decodeRecordBatches(set), hw)
+      }
+    }
+    parts.flatten.headOption.getOrElse(
+      throw new java.io.IOException("empty fetch response"))
+  }
+
+  // ---- modern dialect: Produce v3 ----------------------------------------
+
+  def encodeProduceRequestV3(topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte])], acks: Short, timeoutMs: Int): Array[Byte] = {
+    val batch = encodeRecordBatch(records)
+    val w = new Writer(64 + batch.length)
+    w.nullableString(null) // transactional_id (v3's addition)
+    w.int16(acks).int32(timeoutMs)
+    w.array(Seq(topic)) { t =>
+      w.string(t)
+      w.array(Seq(partition)) { p => w.int32(p).int32(batch.length).raw(batch) }
+    }
+    w.toBytes
+  }
+
+  /** Base offset assigned to the produced batch; throws on broker error. */
+  def decodeProduceResponseV3(body: Array[Byte]): Long = {
+    val r = new Reader(body)
+    val offs = r.array {
+      r.string()
+      r.array {
+        r.int32()
+        val err = r.int16()
+        val base = r.int64()
+        r.int64() // log_append_time (v2+)
+        if (err != 0) throw new java.io.IOException(s"produce error $err")
+        base
+      }
+    }
+    // throttle_time_ms trails the responses array from v1 on
     offs.flatten.headOption.getOrElse(
       throw new java.io.IOException("empty produce response"))
   }

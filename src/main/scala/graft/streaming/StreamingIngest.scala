@@ -54,18 +54,23 @@ object StreamingIngest {
   /** S5 (native): the engine's own Kafka DataSource V2
     * ([[graft.sources.KafkaLiteSourceProvider]]) — broker-held offsets,
     * replayable per-partition ranges, executor-side fetch, admission
-    * control via maxOffsetsPerTrigger. Speaks the hand-rolled v0 wire
-    * protocol ([[graft.sources.KafkaWire]]), so the Kafka SEMANTICS are
-    * e2e-tested in this container with no Kafka jars; a production
-    * cluster on Kafka 4.x uses [[kafkaSource]] + the stock connector.
+    * control via maxOffsetsPerTrigger. Speaks the hand-rolled wire
+    * protocol ([[graft.sources.KafkaWire]]) in either dialect — `modern`
+    * (default, magic-2 batches, brokers 0.11 → 4.x) or `legacy` (magic-0,
+    * pre-0.11) — so the Kafka SEMANTICS are e2e-tested in this container
+    * with no Kafka jars, and the same source deploys against a modern
+    * cluster natively. [[kafkaSource]] (stock connector) remains wired for
+    * shops standardized on it (SASL/TLS, compacted-topic tooling).
     */
   def kafkaLiteSource(spark: SparkSession, brokers: String, topic: String,
       startingOffsets: String = "earliest",
-      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+      maxOffsetsPerTrigger: Option[Long] = None,
+      dialect: String = "modern"): DataFrame = {
     val base = spark.readStream.format("kafka-lite")
       .option("brokers", brokers)
       .option("topic", topic)
       .option("startingOffsets", startingOffsets)
+      .option("dialect", dialect)
     maxOffsetsPerTrigger.fold(base)(n => base.option("maxOffsetsPerTrigger", n))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
@@ -81,23 +86,26 @@ object StreamingIngest {
     * own envelope.
     */
   def kafkaLiteSink(lines: DataFrame, brokers: String, topic: String,
-      checkpoint: String, produceBatch: Int = 500): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String, produceBatch: Int = 500,
+      dialect: String = "modern"): DataStreamWriter[org.apache.spark.sql.Row] =
     lines.selectExpr("CAST(value AS STRING) AS value")
       .where(col("value").isNotNull)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (host, port) = graft.sources.KafkaLiteSource.parseBroker(brokers)
+        val wireDialect = graft.sources.KafkaWire.Dialect(dialect)
         batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            val boot = new graft.sources.KafkaLiteClient(host, port)
+            val boot = new graft.sources.KafkaLiteClient(host, port, dialect = wireDialect)
             try {
               val metas = boot.partitionsOf(topic)
               val m = metas(pid % metas.size)
               val leader =
                 if (m.leaderHost == host && m.leaderPort == port) boot
-                else new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort)
+                else new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort,
+                  dialect = wireDialect)
               try rows.grouped(produceBatch).foreach { group =>
                 leader.produce(topic, m.partition,
                   group.map(r => (null: Array[Byte],

@@ -48,11 +48,12 @@ class KafkaLiteSpec extends AnyFunSuite {
     intercept[java.io.IOException](KafkaWire.decodeMessageSet(bad))
   }
 
-  test("client ↔ stub broker: metadata, produce, list offsets, fetch") {
+  for (dialect <- Seq(KafkaWire.Modern, KafkaWire.Legacy))
+  test(s"client ↔ stub broker (${dialect.name}): metadata, produce, list offsets, fetch") {
     val broker = new KafkaStubBroker(numPartitions = 2)
     val port = broker.start()
     try {
-      val c = new KafkaLiteClient("127.0.0.1", port)
+      val c = new KafkaLiteClient("127.0.0.1", port, dialect = dialect)
       try {
         val metas = c.partitionsOf("logs")
         assert(metas.map(_.partition) == Seq(0, 1))
@@ -78,6 +79,16 @@ class KafkaLiteSpec extends AnyFunSuite {
         intercept[IllegalArgumentException](
           c.produce("logs", 0, Seq((null, new Array[Byte](KafkaWire.MaxRecordBytes)))))
         assert(c.latestOffset("logs", 0) == before)
+
+        // the conversation really happened on this dialect's versions
+        assert(broker.versionCounts.getOrElse(
+          (KafkaWire.ApiProduce, dialect.produceV), 0) >= 2)
+        assert(broker.versionCounts.getOrElse(
+          (KafkaWire.ApiFetch, dialect.fetchV), 0) >= 1)
+        assert(broker.versionCounts.getOrElse(
+          (KafkaWire.ApiMetadata, dialect.metadataV), 0) >= 1)
+        assert(broker.versionCounts.getOrElse(
+          (KafkaWire.ApiListOffsets, dialect.listOffsetsV), 0) >= 2)
       } finally c.close()
     } finally broker.stop()
   }
@@ -209,6 +220,62 @@ class KafkaLiteSpec extends AnyFunSuite {
       assert(causes(ex).exists(_.getMessage != null) &&
         causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("startingOffsets")),
         s"expected a startingOffsets validation error, got $ex")
+    } finally broker.stop()
+  }
+
+  test("legacy dialect runs the same source+sink path over the v0 wire end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_legacy_cp").toString
+    try {
+      // sink half: produce over magic-0 v0 APIs
+      val stream = MemoryStream[String]
+      val sinkQ = StreamingIngest.kafkaLiteSink(
+        stream.toDF().toDF("value"), s"127.0.0.1:$port", "lgc", cp,
+        dialect = "legacy").start()
+      val lines = (1 to 40).map(i => s"legacy line $i")
+      try {
+        stream.addData(lines: _*)
+        sinkQ.processAllAvailable()
+      } finally sinkQ.stop()
+      assert((broker.stringValues("lgc", 0) ++ broker.stringValues("lgc", 1)).sorted
+        == lines.sorted)
+
+      // source half: read it back over the same dialect
+      val srcQ = StreamingIngest.kafkaLiteSource(
+        spark, s"127.0.0.1:$port", "lgc", dialect = "legacy")
+        .writeStream.format("memory").queryName("kafka_lite_legacy")
+        .outputMode("append").start()
+      try {
+        srcQ.processAllAvailable()
+        assert(spark.table("kafka_lite_legacy").count() == 40)
+      } finally srcQ.stop()
+
+      // every request this scenario drove used the v0 versions — executors
+      // included (fetch happens in the partition reader, not the driver)
+      assert(broker.versionCounts.keys.forall(_._2 == 0),
+        broker.versionCounts.toString)
+    } finally broker.stop()
+  }
+
+  test("dialect option rejects anything but modern/legacy") {
+    val broker = new KafkaStubBroker(numPartitions = 1)
+    val port = broker.start()
+    try {
+      val ex = intercept[Exception] {
+        val q = spark.readStream.format("kafka-lite")
+          .option("brokers", s"127.0.0.1:$port").option("topic", "t3")
+          .option("dialect", "v2").load()
+          .writeStream.format("memory").queryName("kafka_lite_baddialect")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("dialect")),
+        s"expected a dialect validation error, got $ex")
     } finally broker.stop()
   }
 

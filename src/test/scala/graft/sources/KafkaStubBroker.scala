@@ -8,19 +8,25 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.sources.KafkaWire.{Reader, Writer}
 
-/** In-memory single-node Kafka broker speaking the same public v0 wire
+/** In-memory single-node Kafka broker speaking the same public wire
   * protocol as [[KafkaWire]] — the server half the container's missing
   * Kafka jars would otherwise provide, so the `kafka-lite` source/sink can
   * be exercised end-to-end over real sockets (the [[FileBufServer]]
-  * treatment for the Kafka transport). Test infrastructure only: serves
-  * Metadata/ListOffsets/Fetch/Produce v0 against per-partition in-memory
-  * logs; topics auto-create with `numPartitions` partitions on first use.
+  * treatment for the Kafka transport). Test infrastructure only. Serves
+  * BOTH dialects, keyed per-request off the header's api_version exactly
+  * like a real broker: Metadata v0/v4, ListOffsets v0/v1, Fetch v0/v4,
+  * Produce v0/v3 — magic-0 message sets on the v0 APIs, magic-2 record
+  * batches on the modern ones. Topics auto-create with `numPartitions`
+  * partitions on first use.
   *
   * Fidelity kept (because the client contract depends on it): leader-acked
   * produce with assigned base offsets, OFFSET_OUT_OF_RANGE (error 1) on a
   * fetch past the log end, fetch long-polling up to max_wait_ms, max_bytes
-  * cutting the returned set on a whole-message boundary, acks=0 produce
-  * getting NO response, per-connection request/response lockstep.
+  * cutting the returned data on a whole-message boundary (v0) / with the
+  * first-batch progress guarantee of KIP-74 (modern: at least one record
+  * comes back even if it alone exceeds max_bytes, like a v3+ broker),
+  * acks=0 produce getting NO response, per-connection request/response
+  * lockstep.
   */
 class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
 
@@ -32,6 +38,11 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
     * scenario actually drove.
     */
   val apiCounts: TrieMap[Short, Int] = TrieMap.empty
+
+  /** Requests served, by (api key, api version) — lets specs prove which
+    * DIALECT a scenario spoke on the wire.
+    */
+  val versionCounts: TrieMap[(Short, Short), Int] = TrieMap.empty
 
   private def log(topic: String, p: Int): ArrayBuffer[(Array[Byte], Array[Byte])] =
     logs.getOrElseUpdate((topic, p), ArrayBuffer.empty)
@@ -100,16 +111,19 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
         val apiVersion = r.int16()
         val corr = r.int32()
         r.string() // client_id
-        require(apiVersion == 0, s"stub broker speaks v0 only, got v$apiVersion for api $apiKey")
         apiCounts.updateWith(apiKey) { c => Some(c.getOrElse(0) + 1) }
-        val (body, respond) = apiKey match {
-          case KafkaWire.ApiMetadata => (metadata(r), true)
-          case KafkaWire.ApiListOffsets => (listOffsets(r), true)
-          case KafkaWire.ApiFetch => (fetch(r), true)
-          case KafkaWire.ApiProduce =>
-            val (b, acked) = produce(r)
-            (b, acked)
-          case other => throw new IllegalArgumentException(s"unsupported api $other")
+        versionCounts.updateWith((apiKey, apiVersion)) { c => Some(c.getOrElse(0) + 1) }
+        val (body, respond) = (apiKey, apiVersion) match {
+          case (KafkaWire.ApiMetadata, 0) => (metadataV0(r), true)
+          case (KafkaWire.ApiMetadata, 4) => (metadataV4(r), true)
+          case (KafkaWire.ApiListOffsets, 0) => (listOffsetsV0(r), true)
+          case (KafkaWire.ApiListOffsets, 1) => (listOffsetsV1(r), true)
+          case (KafkaWire.ApiFetch, 0) => (fetchV0(r), true)
+          case (KafkaWire.ApiFetch, 4) => (fetchV4(r), true)
+          case (KafkaWire.ApiProduce, 0) => produceV0(r)
+          case (KafkaWire.ApiProduce, 3) => produceV3(r)
+          case (key, v) => throw new IllegalArgumentException(
+            s"stub broker: unsupported api $key version $v")
         }
         if (respond) {
           out.writeInt(4 + body.length)
@@ -125,13 +139,14 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
     }
   }
 
-  // ---- api bodies (server side of the v0 schemas in KafkaWire) ---------
+  // ---- Metadata ----------------------------------------------------------
 
-  private def metadata(r: Reader): Array[Byte] = {
+  private def askedTopics(r: Reader): Seq[String] = {
     val asked = r.array(r.string())
-    val topics = if (asked.nonEmpty) asked else logs.keys.map(_._1).toSeq.distinct.sorted
-    val w = new Writer()
-    w.array(Seq(0)) { _ => w.int32(0).string(host).int32(port) } // one broker, node 0
+    if (asked.nonEmpty) asked else logs.keys.map(_._1).toSeq.distinct.sorted
+  }
+
+  private def topicPartitions(w: Writer, topics: Seq[String]): Unit =
     w.array(topics) { t =>
       (0 until numPartitions).foreach(p => log(t, p)) // auto-create
       w.int16(0: Short).string(t)
@@ -141,10 +156,46 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
         w.array(Seq(0))(n => w.int32(n))    // isr
       }
     }
+
+  private def metadataV0(r: Reader): Array[Byte] = {
+    val topics = askedTopics(r)
+    val w = new Writer()
+    w.array(Seq(0)) { _ => w.int32(0).string(host).int32(port) } // one broker, node 0
+    topicPartitions(w, topics)
     w.toBytes
   }
 
-  private def listOffsets(r: Reader): Array[Byte] = {
+  private def metadataV4(r: Reader): Array[Byte] = {
+    val topics = askedTopics(r)
+    r.int8() // allow_auto_topic_creation — this broker always auto-creates
+    val w = new Writer()
+    w.int32(0) // throttle_time_ms
+    w.array(Seq(0)) { _ =>
+      w.int32(0).string(host).int32(port).nullableString(null) // node, host, port, rack
+    }
+    w.nullableString("kafka-stub") // cluster_id
+    w.int32(0)                     // controller_id
+    w.array(topics) { t =>
+      (0 until numPartitions).foreach(p => log(t, p)) // auto-create
+      w.int16(0: Short).string(t).int8(0: Byte)       // error, name, is_internal
+      w.array(0 until numPartitions) { p =>
+        w.int16(0: Short).int32(p).int32(0)
+        w.array(Seq(0))(n => w.int32(n))
+        w.array(Seq(0))(n => w.int32(n))
+      }
+    }
+    w.toBytes
+  }
+
+  // ---- ListOffsets -------------------------------------------------------
+
+  private def resolveOffset(t: String, p: Int, ts: Long): Long = {
+    val l = log(t, p)
+    val end = l.synchronized(l.size.toLong)
+    if (ts == KafkaWire.EarliestTimestamp) 0L else end
+  }
+
+  private def listOffsetsV0(r: Reader): Array[Byte] = {
     r.int32() // replica_id
     val asks = r.array {
       val t = r.string()
@@ -155,17 +206,45 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
     w.array(asks) { case (t, parts) =>
       w.string(t)
       w.array(parts) { case (p, ts, _) =>
-        val l = log(t, p)
-        val end = l.synchronized(l.size.toLong)
-        val off = if (ts == KafkaWire.EarliestTimestamp) 0L else end
         w.int32(p).int16(0: Short)
-        w.array(Seq(off))(o => w.int64(o))
+        w.array(Seq(resolveOffset(t, p, ts)))(o => w.int64(o))
       }
     }
     w.toBytes
   }
 
-  private def fetch(r: Reader): Array[Byte] = {
+  private def listOffsetsV1(r: Reader): Array[Byte] = {
+    r.int32() // replica_id
+    val asks = r.array {
+      val t = r.string()
+      val parts = r.array { (r.int32(), r.int64()) } // no max_num_offsets in v1
+      (t, parts)
+    }
+    val w = new Writer()
+    w.array(asks) { case (t, parts) =>
+      w.string(t)
+      w.array(parts) { case (p, ts) =>
+        w.int32(p).int16(0: Short).int64(-1L).int64(resolveOffset(t, p, ts))
+      }
+    }
+    w.toBytes
+  }
+
+  // ---- Fetch -------------------------------------------------------------
+
+  /** Long-poll up to the deadline, then return (kept slice start, end). */
+  private def pollSlice(t: String, p: Int, offset: Long, maxWait: Int): Long = {
+    val l = log(t, p)
+    val deadline = System.currentTimeMillis() + math.max(0, maxWait)
+    var end = l.synchronized(l.size.toLong)
+    while (offset >= end && System.currentTimeMillis() < deadline) {
+      Thread.sleep(5)
+      end = l.synchronized(l.size.toLong)
+    }
+    end
+  }
+
+  private def fetchV0(r: Reader): Array[Byte] = {
     r.int32() // replica_id
     val maxWait = r.int32()
     r.int32() // min_bytes
@@ -179,13 +258,7 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
       w.string(t)
       w.array(parts) { case (p, offset, maxBytes) =>
         val l = log(t, p)
-        // long-poll up to max_wait_ms when the offset is at the log end
-        val deadline = System.currentTimeMillis() + math.max(0, maxWait)
-        var end = l.synchronized(l.size.toLong)
-        while (offset >= end && System.currentTimeMillis() < deadline) {
-          Thread.sleep(5)
-          end = l.synchronized(l.size.toLong)
-        }
+        val end = pollSlice(t, p, offset, maxWait)
         if (offset > end) {
           w.int32(p).int16(1: Short).int64(end).int32(0) // OFFSET_OUT_OF_RANGE
         } else {
@@ -202,11 +275,58 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
               keep += ((offset + i, (k, v))); budget -= msgBytes; i += 1
             } else full = true
           }
-          val kept = keep.result()
-          // v0 fetch sets carry ABSOLUTE offsets: re-stamp the encoded
-          // placeholder indices with the real positions
-          val set = encodeWithOffsets(kept)
+          val set = encodeWithOffsets(keep.result())
           w.int32(p).int16(0: Short).int64(end).int32(set.length).raw(set)
+        }
+      }
+    }
+    w.toBytes
+  }
+
+  private def fetchV4(r: Reader): Array[Byte] = {
+    r.int32() // replica_id
+    val maxWait = r.int32()
+    r.int32() // min_bytes
+    r.int32() // response-level max_bytes (per-partition budget governs below)
+    r.int8()  // isolation_level
+    val asks = r.array {
+      val t = r.string()
+      val parts = r.array { (r.int32(), r.int64(), r.int32()) }
+      (t, parts)
+    }
+    val w = new Writer()
+    w.int32(0) // throttle_time_ms
+    w.array(asks) { case (t, parts) =>
+      w.string(t)
+      w.array(parts) { case (p, offset, maxBytes) =>
+        val l = log(t, p)
+        val end = pollSlice(t, p, offset, maxWait)
+        if (offset > end) {
+          // partition header + empty set, error 1
+          w.int32(p).int16(1: Short).int64(end).int64(end).int32(0).int32(0)
+        } else {
+          val slice = l.synchronized(l.slice(offset.toInt, l.size).toVector)
+          // cut at max_bytes on encoded-record estimate, but ALWAYS ship
+          // at least the first record — KIP-74's progress guarantee, the
+          // reason modern readers can't wedge on an oversized record
+          var budget = maxBytes - KafkaWire.V2HeaderBytes
+          val keep = Vector.newBuilder[(Array[Byte], Array[Byte])]
+          var i = 0
+          var full = false
+          while (i < slice.size && !full) {
+            val (k, v) = slice(i)
+            val recBytes = 16 + (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length)
+            if (i == 0 || recBytes <= budget) {
+              keep += ((k, v)); budget -= recBytes; i += 1
+            } else full = true
+          }
+          val kept = keep.result()
+          val set = if (slice.isEmpty) Array.empty[Byte]
+                    else KafkaWire.encodeRecordBatch(kept, baseOffset = offset)
+          // partition, error, high_watermark, last_stable_offset,
+          // aborted_transactions (empty), record set
+          w.int32(p).int16(0: Short).int64(end).int64(end).int32(0)
+          w.int32(set.length).raw(set)
         }
       }
     }
@@ -225,7 +345,18 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
     w.toBytes
   }
 
-  private def produce(r: Reader): (Array[Byte], Boolean) = {
+  // ---- Produce -----------------------------------------------------------
+
+  private def appendRecords(t: String, p: Int, records: Seq[KafkaWire.Record]): Long = {
+    val l = log(t, p)
+    l.synchronized {
+      val b = l.size.toLong
+      records.foreach(rec => l += ((rec.key, rec.value)))
+      b
+    }
+  }
+
+  private def produceV0(r: Reader): (Array[Byte], Boolean) = {
     val acks = r.int16()
     r.int32() // timeout
     val asks = r.array {
@@ -233,8 +364,7 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
       val parts = r.array {
         val p = r.int32()
         val setSize = r.int32()
-        val set = r.raw(setSize)
-        (p, set)
+        (p, r.raw(setSize))
       }
       (t, parts)
     }
@@ -242,16 +372,35 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
     w.array(asks) { case (t, parts) =>
       w.string(t)
       w.array(parts) { case (p, set) =>
-        val records = KafkaWire.decodeMessageSet(set)
-        val l = log(t, p)
-        val base = l.synchronized {
-          val b = l.size.toLong
-          records.foreach(rec => l += ((rec.key, rec.value)))
-          b
-        }
+        val base = appendRecords(t, p, KafkaWire.decodeMessageSet(set))
         w.int32(p).int16(0: Short).int64(base)
       }
     }
     (w.toBytes, acks != 0) // acks=0: fire-and-forget, no response frame
+  }
+
+  private def produceV3(r: Reader): (Array[Byte], Boolean) = {
+    r.string() // transactional_id, nullable
+    val acks = r.int16()
+    r.int32() // timeout
+    val asks = r.array {
+      val t = r.string()
+      val parts = r.array {
+        val p = r.int32()
+        val setSize = r.int32()
+        (p, r.raw(setSize))
+      }
+      (t, parts)
+    }
+    val w = new Writer()
+    w.array(asks) { case (t, parts) =>
+      w.string(t)
+      w.array(parts) { case (p, set) =>
+        val base = appendRecords(t, p, KafkaWire.decodeRecordBatches(set))
+        w.int32(p).int16(0: Short).int64(base).int64(-1L) // log_append_time
+      }
+    }
+    w.int32(0) // throttle_time_ms trails the array from v1 on
+    (w.toBytes, acks != 0)
   }
 }

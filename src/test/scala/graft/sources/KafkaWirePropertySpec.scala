@@ -55,4 +55,44 @@ class KafkaWirePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("v2 record-batch roundtrip is byte-exact for arbitrary binary keys/values") {
+    sample(60).filter(_.nonEmpty).foreach { recs =>
+      val base = recs.length.toLong * 31 // arbitrary nonzero base offset
+      val decoded = KafkaWire.decodeRecordBatches(
+        KafkaWire.encodeRecordBatch(recs, baseOffset = base))
+      assert(decoded.size == recs.size)
+      decoded.zip(recs).zipWithIndex.foreach { case ((got, (k, v)), i) =>
+        assert(got.offset == base + i)
+        assert(eq(got.key, k), s"key mismatch at $i")
+        assert(eq(got.value, v), s"value mismatch at $i")
+      }
+    }
+  }
+
+  test("v2 multi-batch stream decodes every batch; truncation stops at a batch boundary") {
+    sample(10).filter(_.size >= 2).foreach { recs =>
+      val (a, b) = recs.splitAt(recs.size / 2)
+      val batchA = KafkaWire.encodeRecordBatch(a, baseOffset = 0L)
+      val batchB = KafkaWire.encodeRecordBatch(b, baseOffset = a.size.toLong)
+      val whole = batchA ++ batchB
+      val all = KafkaWire.decodeRecordBatches(whole)
+      assert(all.size == recs.size)
+      assert(all.map(_.offset) == recs.indices.map(_.toLong))
+      // every cut inside batch B must decode exactly batch A (v2 decodes
+      // whole batches only — a partial batch is the truncated tail)
+      for (cut <- batchA.length until whole.length) {
+        val got = KafkaWire.decodeRecordBatches(java.util.Arrays.copyOfRange(whole, 0, cut))
+        assert(got.size == a.size, s"cut=$cut decoded ${got.size}, expected ${a.size}")
+      }
+    }
+  }
+
+  test("v2 batch CRC32C catches a flipped payload byte") {
+    val batch = KafkaWire.encodeRecordBatch(
+      Seq((null, "payload-under-test".getBytes("UTF-8"))))
+    val bad = batch.clone()
+    bad(batch.length - 1) = (bad(batch.length - 1) ^ 0x1).toByte
+    intercept[java.io.IOException](KafkaWire.decodeRecordBatches(bad))
+  }
 }
