@@ -236,6 +236,81 @@ object Bench {
       System.err.println(s"[bench] per-core parse FAILED: $e"); -1.0
     }
 
+    // SCALE PROBE (r6 verdict item 7): the 100 TB claims were argued from
+    // plan shape alone; this measures one decade of actual scaling. The
+    // documents/embeddings tables are amplified `factor`× with SALTED
+    // replicas — every token of replica r>0 gets an `_r$r` suffix (so
+    // replicas are not near-dups of each other and the dup structure
+    // scales linearly, the way a real 10× corpus's would), and embedding
+    // replicas are dimension-rotations (norm-preserving, cosine-distant).
+    // The five heaviest entries run ONCE at factor× and their wall-times
+    // land in bench_detail.json as `scale_probe`, with the 1× median as
+    // the denominator. d15's catalog entry embeds a deliberately O(n²)
+    // exact-truth recall harness (the measurement, not the operator), so
+    // the semantic leg probes the OPERATOR path — semanticDedup's default
+    // LSH pair gen — timed at both scales here.
+    val probeFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val scaleProbeJson: String = if (probeFactor <= 1) "null" else try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scale_probe").toString
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      (0 until probeFactor).map { r =>
+        if (r == 0) docs
+        else docs.selectExpr(
+          s"doc_id + ${r}L * 10000000 AS doc_id",
+          s"array_join(transform(split(text, ' '), t -> concat(t, '_r$r')), ' ') AS text",
+          "lang", "source", "n_chars")
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      (0 until probeFactor).map { r =>
+        if (r == 0) emb
+        else {
+          val k = r % 63 + 1
+          emb.selectExpr(
+            s"vec_id + ${r}L * 10000000 AS vec_id",
+            s"concat(slice(embedding, ${k + 1}, size(embedding)), slice(embedding, 1, $k)) AS embedding",
+            "label")
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+      def once(work: => Unit): Double = {
+        val t0 = System.nanoTime()
+        work
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        System.gc()
+        t
+      }
+      val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
+        "p04_target_matching_pipeline", "d19_quality_survivors")
+      val oneX = results.toMap
+      val entryStats = probeEntries.map { name =>
+        val tN = once(SparkEntry.queries(name)(spark, tmp)
+          .write.format("noop").mode("overwrite").save())
+        val t1 = oneX.get(name).map(_.median).getOrElse(-1.0)
+        System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+        (name, tN, t1)
+      }
+      def semBlocked(dir: String): Unit =
+        graft.operators.Dedup.semanticDedup(
+          graft.sources.Tables.load(spark, dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism),
+          threshold = 0.45)
+          .write.format("noop").mode("overwrite").save()
+      val sem1 = once(semBlocked(sfDir))
+      val semN = once(semBlocked(tmp))
+      System.err.println(f"[bench] scale_probe sem_dedup_lsh ${probeFactor}x=${semN}%.1fs 1x=${sem1}%.1fs")
+      val all = entryStats :+ ("sem_dedup_lsh_operator", semN, sem1)
+      all.map { case (name, tN, t1) =>
+        val ratio = if (t1 > 0) tN / t1 else -1.0
+        "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""
+      }.mkString(s"""{"factor":$probeFactor,""", ",", "}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scale probe FAILED: $e"); "null"
+    }
+
     // `queries` stays scalar (the driver contract): value = per-query
     // MEDIAN of 3. The {median,min,max} spread (r4 verdict item 3) is
     // emitted as a SEPARATE stats line printed BEFORE the headline line
@@ -253,7 +328,8 @@ object Bench {
       "\"" + k + f"""\":{"median":${v.median}%.3f,"min":${v.min}%.3f,"max":${v.max}%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.median).filter(_ > 0).sum
-    val statsLine = s"""{"metric":"queries_stats","stats":$qStats}"""
+    val statsLine =
+      s"""{"metric":"queries_stats","stats":$qStats,"scale_probe":$scaleProbeJson}"""
     // prefixed so no parser — tail-window or full-stdout — can mistake the
     // stats line for the contract line; bench_detail.json keeps the raw JSON
     println("[bench] stats " + statsLine)
