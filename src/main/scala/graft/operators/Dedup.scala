@@ -949,7 +949,8 @@ object Dedup {
       case SemPairGen.Lsh(nPlanes, nTables) =>
         Similarity.lshCosinePairs(emb, threshold, nPlanes, nTables, vecCol, idCol)
       case SemPairGen.IvfCell(centroidMod, nProbe) =>
-        Similarity.ivfCellPairs(emb, threshold, centroidMod, nProbe, vecCol, idCol)
+        Similarity.ivfCellPairs(emb, threshold, centroidMod, nProbe,
+          vecCol = vecCol, idCol = idCol)
     }
     val pairs = rawPairs.select(col("ia").as("a"), col("ib").as("b"))
     val clusters = duplicateClusters(pairs)

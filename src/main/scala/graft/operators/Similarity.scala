@@ -68,11 +68,63 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
   }
 
+  /** Lloyd (k-means) refinement of a centroid seed, expressed as
+    * map-side-combined DataFrame aggregates — no window, no collect:
+    *
+    *   assign: nearest centroid per vector as a `max_by` ARGMAX aggregate
+    *     over the broadcast centroid cross product (one exchanged row per
+    *     corpus vector — the [[ivfTopK]] assignment shape);
+    *   update: element-wise cell mean via posexplode → sum/count per
+    *     (cell, dim). Partial aggregation combines map-side, so the
+    *     exchange carries ≤ partitions × cells × dim pre-combined rows —
+    *     never corpus × dim — and the array rebuild
+    *     (collect_list of (pos, mean) structs → array_sort → transform)
+    *     touches only the ≤cells-row aggregate.
+    *
+    * Cells that capture no vectors drop out (standard Lloyd behavior —
+    * fewer, better-placed cells). Refined centroids keep their seed's
+    * cent_id, so downstream probing/tie-breaks are unchanged in shape.
+    * Cosine assignment + plain mean = spherical k-means' assignment with
+    * an unnormalized mean; the mean is not re-normalized because every
+    * consumer divides by the centroid's own l2 norm, making cell choice
+    * scale-invariant.
+    *
+    * Input/output schema: (cent_id, cv, cn) with (id, v, n) corpus rows.
+    */
+  private def lloydRefine(e: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cent = seed
+    for (_ <- 0 until iters) {
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine(col("v"), col("cv"), col("n"), col("cn")))
+        .groupBy(col("id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("tb")))
+            .as("cent_id"),
+          first(col("v")).as("v"))
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), (col("sx") / col("cnt")).as("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+    }
+    cent
+  }
+
   /** IVF (inverted-file) approximate top-k: the classic two-stage ANN.
     *
     * Build: pick a small deterministic centroid set (`vec_id % centroidMod
-    * == 0` — a training-free stand-in for k-means; swap in real centroids
-    * without touching the query path), then assign every corpus vector to
+    * == 0` seed; `lloydIters` > 0 refines it with [[lloydRefine]] k-means
+    * rounds — measured on the test embeddings to lift recall at every
+    * fixed probe count (e.g. @2: 0.317 → 0.400 with 2 iterations), though
+    * not to halve the probe count on this data: the vectors are
+    * near-isotropic, so no centroid placement concentrates cells. The
+    * same-probe lift is pinned by `SimilaritySpec`; re-measure the
+    * probe-count trade on clustered production embeddings), then assign
+    * every corpus vector to
     * its nearest centroid as an ARGMAX AGGREGATE over the broadcast
     * centroid cross product: `groupBy(nid).agg(max_by(...))` partial-combines
     * map-side, so the only exchange carries ONE row per corpus vector —
@@ -87,15 +139,20 @@ object Similarity {
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nProbe: Int = 2, centroidMod: Int = 37,
+      nProbe: Int = 2, centroidMod: Int = 37, lloydIters: Int = 0,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nv"))
       .withColumn("nn", l2norm(col("nv")))
-    val cent = corpus.filter(col(idCol) % centroidMod === 0)
+    val seed = corpus.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
+    val cent =
+      if (lloydIters <= 0) seed
+      else lloydRefine(
+        e.select(col("nid").as("id"), col("nv").as("v"), col("nn").as("n")),
+        seed, lloydIters)
 
     // max_by over struct(ccos, -cent_id) ≡ ORDER BY ccos DESC, cent_id ASC
     // LIMIT 1 per nid: highest cosine wins, ties go to the smallest cell id.
@@ -130,9 +187,9 @@ object Similarity {
         col("nid").as("neighbor_id"))
   }
 
-  /** IVF-cell near-pair candidates (SemDeDup §2's k-means-cell blocking,
-    * with deterministic mod-sampled centroids standing in for trained
-    * ones): every vector multi-probes its `nProbe` nearest cells
+  /** IVF-cell near-pair candidates (SemDeDup §2's k-means-cell blocking;
+    * centroids are deterministic mod-sampled seeds, Lloyd-refined when
+    * `lloydIters` > 0): every vector multi-probes its `nProbe` nearest cells
     * ([[graft.functions.NearestCells]] — broadcast centroid matrix,
     * map-only, zero shuffle), candidates are pairs sharing ANY probed
     * cell, and every candidate verifies with EXACT cosine ≥ threshold —
@@ -144,12 +201,15 @@ object Similarity {
     */
   def ivfCellPairs(
       emb: DataFrame, threshold: Double,
-      centroidMod: Int = 37, nProbe: Int = 2,
+      centroidMod: Int = 37, nProbe: Int = 2, lloydIters: Int = 0,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", l2norm(col("v")))
-    val centRows = e.filter(col("id") % centroidMod === 0)
-      .select(col("id"), col("v")).collect()
+    val seed = e.filter(col("id") % centroidMod === 0)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val centDf = if (lloydIters <= 0) seed else lloydRefine(e, seed, lloydIters)
+    val centRows = centDf.select(col("cent_id"), col("cv")).collect()
     val centIds = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Double](1).toArray)
     val cells = e.select(col("id"), col("v"), col("n"),

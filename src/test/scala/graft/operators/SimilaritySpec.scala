@@ -120,6 +120,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ivf-cell recall $recall (found ${found.size})")
   }
 
+  test("Lloyd-refined centroids lift recall at fixed nProbe (measured finding)") {
+    // MEASURED FINDING (r6 verdict item 8): on the test embeddings, Lloyd
+    // refinement lifts recall at EVERY fixed probe count (grid measured
+    // here once: @1 0.170→0.222, @2 0.317→0.400, @4 0.491→0.596 for
+    // lloyd 0→2; iteration 3 is flat-to-noisy) but does NOT halve the
+    // probe count (lloyd-2@2 = 0.400 < sampled@4 = 0.491): these vectors
+    // are near-isotropic random points with no cluster structure, so cell
+    // occupancy stays diffuse no matter where centroids sit. On clustered
+    // production embeddings the probe-halving claim should be re-measured;
+    // here we pin the same-probe lift, which is the honest invariant.
+    val queries = emb.where(col("vec_id") % 11 === 3)
+    val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    def recallOf(nProbe: Int, lloydIters: Int): Double = {
+      val got = Similarity.ivfTopK(emb, queries, k = 5,
+        nProbe = nProbe, lloydIters = lloydIters)
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+      val hits = truth.toSeq.map { case (q, t) =>
+        t.count(got.getOrElse(q, Set.empty).contains).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val s2 = recallOf(nProbe = 2, lloydIters = 0)
+    val l2 = recallOf(nProbe = 2, lloydIters = 2)
+    val s4 = recallOf(nProbe = 4, lloydIters = 0)
+    val l4 = recallOf(nProbe = 4, lloydIters = 2)
+    info(f"recall@2: sampled=$s2%.3f lloyd2=$l2%.3f; recall@4: sampled=$s4%.3f lloyd2=$l4%.3f")
+    // margin 0.03 under the measured +0.083/+0.105 lifts absorbs the
+    // sum-order nondeterminism of the distributed mean
+    assert(l2 >= s2 + 0.03, f"lloyd-2@2 $l2%.3f vs sampled@2 $s2%.3f: lift gone")
+    assert(l4 >= s4 + 0.03, f"lloyd-2@4 $l4%.3f vs sampled@4 $s4%.3f: lift gone")
+  }
+
   test("dot/cosine math: known vectors") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].collect().head
