@@ -293,16 +293,31 @@ object Bench {
         System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
         (name, tN, t1)
       }
-      def semBlocked(dir: String): Unit =
+      // two LSH configs, because the probe's first run showed exactly the
+      // tradeoff SemPairGen.Lsh's scaladoc predicts: the low-threshold
+      // recall config (4 planes × 16 tables = 16 buckets/table) has bucket
+      // occupancy ∝ n, so candidate pairs grow ∝ n²/16 — measured 34× at
+      // 10× data. The scale config (12 planes × 4 tables = 4096
+      // buckets/table) bounds occupancy and scales near-linearly; it is
+      // the right setting for SemDeDup's production regime (near-identical
+      // content), while 4×16 buys ≥0.95 recall at LOW thresholds on
+      // bounded corpora. Both are emitted so the nonlinearity stays named
+      // and measured, not hidden by a config change.
+      def semBlocked(dir: String, planes: Int, tables: Int): Unit =
         graft.operators.Dedup.semanticDedup(
           graft.sources.Tables.load(spark, dir, "embeddings")
             .repartition(spark.sparkContext.defaultParallelism),
-          threshold = 0.45)
+          threshold = 0.45,
+          pairGen = graft.operators.Dedup.SemPairGen.Lsh(planes, tables))
           .write.format("noop").mode("overwrite").save()
-      val sem1 = once(semBlocked(sfDir))
-      val semN = once(semBlocked(tmp))
-      System.err.println(f"[bench] scale_probe sem_dedup_lsh ${probeFactor}x=${semN}%.1fs 1x=${sem1}%.1fs")
-      val all = entryStats :+ ("sem_dedup_lsh_operator", semN, sem1)
+      val semStats = Seq(("sem_lsh_recall_cfg_4x16", 4, 16),
+        ("sem_lsh_scale_cfg_12x4", 12, 4)).map { case (name, planes, tables) =>
+        val t1 = once(semBlocked(sfDir, planes, tables))
+        val tN = once(semBlocked(tmp, planes, tables))
+        System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+        (name, tN, t1)
+      }
+      val all = entryStats ++ semStats
       all.map { case (name, tN, t1) =>
         val ratio = if (t1 > 0) tN / t1 else -1.0
         "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""

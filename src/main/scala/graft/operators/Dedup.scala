@@ -906,10 +906,14 @@ object Dedup {
       * LOW thresholds (collision p per plane is 1 − θ/π ≈ 0.65 at
       * cos 0.45, so per-pair recall 1−(1−p⁴)¹⁶ ≈ 0.96; measured ≥0.95 of
       * the dropped set vs the exact path on the sf0.01 corpus — catalog
-      * entry d15 self-checks this). At SemDeDup's production regime
-      * (near-identical content, cosine ≥0.9) the same recall holds with
-      * far more planes per table (e.g. 12×4), which is what a 100 TB run
-      * should use — more planes = smaller buckets = fewer candidates.
+      * entry d15 self-checks this). The recall comes at a SCALING price:
+      * 16 buckets/table means occupancy ∝ n and candidates ∝ n²/16 —
+      * Bench's scale_probe measured 34× wall-time at 10× corpus for this
+      * config. At SemDeDup's production regime (near-identical content,
+      * cosine ≥0.9) the same recall holds with far more planes per table
+      * (12×4: 4096 buckets/table, measured near-linear in the same
+      * probe), which is what a 100 TB run should use — more planes =
+      * smaller buckets = fewer candidates.
       */
     final case class Lsh(nPlanes: Int = 4, nTables: Int = 16) extends SemPairGen
     /** IVF-cell blocking (`Similarity.ivfCellPairs`) — SemDeDup's own
