@@ -114,4 +114,32 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "ratio lookup must be a broadcast join, not a shuffle join")
   }
+
+  test("lloydRefine: aggregates only — no corpus-side window, bounded exchanges per iteration") {
+    import graft.operators.Similarity
+    // deterministic multi-partition embedding fixture
+    val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => ((col("id") * 31 + i) % 13).cast("double") - 6.0).as("embedding"))
+    val queries = emb.where(col("vec_id") < 4)
+    def plan(iters: Int) = Similarity.ivfTopK(emb, queries, k = 3,
+      centroidMod = 37, lloydIters = iters)
+    // corpus-side work must stay aggregate-shaped: the only windows in the
+    // whole plan are the query-side probe/rank (partitioned by query_id);
+    // a window on id/cent_id would mean Lloyd clustered the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = plan(2).queryExecution.optimizedPlan
+    val badWindow = lp.exists {
+      case w: LWindow => w.partitionSpec.exists(_.references.exists(r =>
+        r.name == "id" || r.name == "cent_id" || r.name == "nid"))
+      case _ => false
+    }
+    assert(!badWindow, lp.toString)
+    // each iteration adds: assignment groupBy(id) + mean groupBy(cent_id,
+    // pos) + rebuild groupBy(cent_id) — ≤ 3 exchange pairs' worth; pin the
+    // per-iteration budget so a refactor can't sneak in a join/sort shuffle
+    val base = shuffles(plan(0))
+    val two = shuffles(plan(2))
+    assert(two - base <= 12, s"lloyd added ${two - base} exchanges for 2 iterations")
+  }
 }
