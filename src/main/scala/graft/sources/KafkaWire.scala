@@ -42,9 +42,12 @@ import java.util.zip.{CRC32, CRC32C}
   *  - string = int16 len ++ UTF-8 (len -1 = null); bytes = int32 len ++ raw
   *    (len -1 = null); array = int32 count ++ elements
   *  - message set v0 = repeat [offset int64, msg_size int32, crc uint32,
-  *    magic int8 = 0, attributes int8 = 0, key bytes, value bytes], crc
-  *    over magic..value. Fetch responses may truncate the final message —
-  *    decoders must stop at the first incomplete entry.
+  *    magic int8 = 0, attributes int8, key bytes, value bytes], crc
+  *    over magic..value. Attribute bits 0-2 = compression codec; a gzip
+  *    message is a WRAPPER whose value holds a nested inner set (decoded
+  *    transparently; snappy/lz4/zstd fail with a named error — they need
+  *    native libs this build avoids). Fetch responses may truncate the
+  *    final message — decoders must stop at the first incomplete entry.
   *  - record batch v2 = [base_offset int64, batch_length int32,
   *    partition_leader_epoch int32, magic int8 = 2, crc uint32 (CRC32C
   *    over attributes..end), attributes int16, last_offset_delta int32,
@@ -53,8 +56,11 @@ import java.util.zip.{CRC32, CRC32C}
   *    records]; each record = [length varint, attributes int8,
   *    timestamp_delta varlong, offset_delta varint, key varint-bytes,
   *    value varint-bytes, header_count varint, headers…] with every
-  *    varint/varlong ZIGZAG-encoded. A fetch response may truncate the
-  *    final batch — decoders stop at the first incomplete one.
+  *    varint/varlong ZIGZAG-encoded. Batch attribute bits 0-2 = codec:
+  *    the records section (not the header) is compressed as one blob —
+  *    gzip decoded natively, others named-and-rejected. A fetch response
+  *    may truncate the final batch — decoders stop at the first
+  *    incomplete one.
   */
 private[graft] object KafkaWire {
 
@@ -283,14 +289,52 @@ private[graft] object KafkaWire {
         val magic = r.int8()
         if (magic != 0)
           throw new java.io.IOException(s"unsupported message magic $magic (kafka-lite speaks v0)")
-        r.int8() // attributes — no compression support, 0 expected
+        val attributes = r.int8()
         val key = r.bytes()
         val value = r.bytes()
-        out += Record(offset, key, value)
+        attributes & 0x07 match {
+          case 0 => out += Record(offset, key, value)
+          case 1 =>
+            // gzip WRAPPER message: the value is a whole inner message set.
+            // A magic-0 broker stamps the wrapper with the offset of the
+            // LAST inner message while the inner set keeps its produce-time
+            // indices 0..n-1 — remap so consumers see absolute offsets.
+            val inner = decodeMessageSet(gunzip(value))
+            val n = inner.size
+            inner.zipWithIndex.foreach { case (rec, i) =>
+              val abs = if (offset >= n - 1) offset - (n - 1) + i else rec.offset
+              out += Record(abs, rec.key, rec.value)
+            }
+          case c => throw new java.io.IOException(
+            s"message at offset $offset uses unsupported compression " +
+              s"'${CodecNames.getOrElse(c, c.toString)}' (kafka-lite decodes none/gzip)")
+        }
         pos += 12 + size // offset(8) + size-field(4) + message(size)
       }
     }
     out.result()
+  }
+
+  // ---- compression (both dialects) ---------------------------------------
+
+  /** Codec ids from the attributes field (same 3-bit table in magic 0 and
+    * magic 2). GZIP is decodable with the JDK; the rest need native libs
+    * this build intentionally avoids, so they fail with a NAMED error
+    * instead of mis-parsing compressed bytes as record framing.
+    */
+  private val CodecNames = Map(1 -> "gzip", 2 -> "snappy", 3 -> "lz4", 4 -> "zstd")
+
+  private def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data), 64 * 1024)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val out = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+    out.write(data); out.close()
+    bos.toByteArray
   }
 
   // ---- record batch v2 (magic 2) -----------------------------------------
@@ -308,21 +352,14 @@ private[graft] object KafkaWire {
     * framing: re-stamping is one int64 write, not a re-CRC of every
     * record). Timestamps are -1 (the schema exposes no timestamp column;
     * -1 is the wire's "no timestamp" sentinel, what a CreateTime batch
-    * from a timestamp-less producer carries).
+    * from a timestamp-less producer carries). `gzipCompress` gzips the
+    * records section (codec 1 in the attributes bits — the batch header
+    * through record_count stays uncompressed per the spec).
     */
   def encodeRecordBatch(records: Seq[(Array[Byte], Array[Byte])],
-      baseOffset: Long = 0L): Array[Byte] = {
+      baseOffset: Long = 0L, gzipCompress: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "a v2 record batch cannot be empty")
-    val body = new Writer(records.size * 64)
-    // CRC'd region: attributes .. records
-    body.int16(0: Short)                       // attributes: no compression, CreateTime
-    body.int32(records.size - 1)               // last_offset_delta
-    body.int64(-1L)                            // base_timestamp
-    body.int64(-1L)                            // max_timestamp
-    body.int64(-1L)                            // producer_id (non-transactional)
-    body.int16(-1: Short)                      // producer_epoch
-    body.int32(-1)                             // base_sequence
-    body.int32(records.size)                   // record_count
+    val recs = new Writer(records.size * 64)
     records.zipWithIndex.foreach { case ((key, value), i) =>
       val rec = new Writer(32)
       rec.int8(0: Byte)                        // record attributes
@@ -332,9 +369,21 @@ private[graft] object KafkaWire {
       rec.varBytes(value)
       rec.varint(0)                            // headers
       val recBytes = rec.toBytes
-      body.varint(recBytes.length)
-      body.raw(recBytes)
+      recs.varint(recBytes.length)
+      recs.raw(recBytes)
     }
+    val recordsSection = if (gzipCompress) gzip(recs.toBytes) else recs.toBytes
+    val body = new Writer(64 + recordsSection.length)
+    // CRC'd region: attributes .. records
+    body.int16(if (gzipCompress) 1 else 0)     // attributes: codec bits, CreateTime
+    body.int32(records.size - 1)               // last_offset_delta
+    body.int64(-1L)                            // base_timestamp
+    body.int64(-1L)                            // max_timestamp
+    body.int64(-1L)                            // producer_id (non-transactional)
+    body.int16(-1: Short)                      // producer_epoch
+    body.int32(-1)                             // base_sequence
+    body.int32(records.size)                   // record_count
+    body.raw(recordsSection)
     val crcRegion = body.toBytes
     val crc = new CRC32C
     crc.update(crcRegion)
@@ -378,15 +427,26 @@ private[graft] object KafkaWire {
               s"(${crc.getValue} != $crcStored)")
         val r = new Reader(java.util.Arrays.copyOfRange(
           data, pos + V2CrcStart, pos + V2CrcStart + regionLen))
-        r.int16() // attributes
+        val attributes = r.int16()
         r.int32() // last_offset_delta
         r.int64(); r.int64() // base/max timestamp
         r.int64(); r.int16(); r.int32() // producer id/epoch, base_sequence
         val count = r.int32()
+        // records section: possibly compressed (attribute bits 0-2); the
+        // batch header above is always plain per the spec
+        val codec = attributes & 0x07
+        val recordsReader = codec match {
+          case 0 => r
+          case 1 => new Reader(gunzip(r.raw(r.remaining)))
+          case c => throw new java.io.IOException(
+            s"record batch at base offset $baseOffset uses unsupported " +
+              s"compression '${CodecNames.getOrElse(c, c.toString)}' " +
+              "(kafka-lite decodes none/gzip)")
+        }
         var i = 0
         while (i < count) {
-          val len = r.varint()
-          val rec = new Reader(r.raw(len))
+          val len = recordsReader.varint()
+          val rec = new Reader(recordsReader.raw(len))
           rec.int8()     // record attributes
           rec.varlong()  // timestamp_delta
           val offsetDelta = rec.varint()

@@ -260,6 +260,25 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("gzip'd fetch responses decode transparently through the DSv2 source") {
+    val broker = new KafkaStubBroker(numPartitions = 2, gzipFetch = true)
+    val port = broker.start()
+    try {
+      broker.append("gz", 0, (1 to 30).map(i => s"gz-a-$i"))
+      broker.append("gz", 1, (1 to 20).map(i => s"gz-b-$i"))
+      val q = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "gz")
+        .writeStream.format("memory").queryName("kafka_lite_gz")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val vals = spark.table("kafka_lite_gz").collect().map(_.getString(0))
+        assert(vals.length == 50)
+        assert(vals.toSet == ((1 to 30).map(i => s"gz-a-$i") ++
+          (1 to 20).map(i => s"gz-b-$i")).toSet)
+      } finally q.stop()
+    } finally broker.stop()
+  }
+
   test("dialect option rejects anything but modern/legacy") {
     val broker = new KafkaStubBroker(numPartitions = 1)
     val port = broker.start()

@@ -28,7 +28,12 @@ import graft.sources.KafkaWire.{Reader, Writer}
   * acks=0 produce getting NO response, per-connection request/response
   * lockstep.
   */
-class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
+/** @param gzipFetch serve modern fetch responses with gzip'd record
+  *   batches (codec 1), the way a real broker returns a gzip-produced
+  *   topic — exercises the client's transparent decompression e2e.
+  */
+class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
+    gzipFetch: Boolean = false) {
 
   private val logs = TrieMap.empty[(String, Int), ArrayBuffer[(Array[Byte], Array[Byte])]]
   @volatile private var running = false
@@ -322,7 +327,8 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1") {
           }
           val kept = keep.result()
           val set = if (slice.isEmpty) Array.empty[Byte]
-                    else KafkaWire.encodeRecordBatch(kept, baseOffset = offset)
+                    else KafkaWire.encodeRecordBatch(kept, baseOffset = offset,
+                      gzipCompress = gzipFetch)
           // partition, error, high_watermark, last_stable_offset,
           // aborted_transactions (empty), record set
           w.int32(p).int16(0: Short).int64(end).int64(end).int32(0)

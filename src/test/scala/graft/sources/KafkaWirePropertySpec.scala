@@ -95,4 +95,66 @@ class KafkaWirePropertySpec extends AnyFunSuite {
     bad(batch.length - 1) = (bad(batch.length - 1) ^ 0x1).toByte
     intercept[java.io.IOException](KafkaWire.decodeRecordBatches(bad))
   }
+
+  test("v2 gzip batch roundtrips byte-exact; plain and gzip decode identically") {
+    sample(30).filter(_.nonEmpty).foreach { recs =>
+      val plain = KafkaWire.decodeRecordBatches(
+        KafkaWire.encodeRecordBatch(recs, baseOffset = 5L))
+      val zipped = KafkaWire.decodeRecordBatches(
+        KafkaWire.encodeRecordBatch(recs, baseOffset = 5L, gzipCompress = true))
+      assert(zipped.size == plain.size)
+      zipped.zip(plain).foreach { case (z, p) =>
+        assert(z.offset == p.offset)
+        assert(eq(z.key, p.key) && eq(z.value, p.value))
+      }
+    }
+  }
+
+  test("v0 gzip wrapper decodes the inner set with broker-remapped absolute offsets") {
+    val inner = Seq[(Array[Byte], Array[Byte])](
+      (null, "a".getBytes), ("k".getBytes, "b".getBytes), (null, "c".getBytes))
+    val innerSet = KafkaWire.encodeMessageSet(inner)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      out.write(innerSet); out.close(); bos.toByteArray
+    }
+    // wrapper exactly as a magic-0 broker ships it: offset = LAST inner
+    // message's absolute offset (here 12, so the set spans 10..12),
+    // attributes codec bits = 1 (gzip), value = gzip(inner set)
+    val w = new KafkaWire.Writer()
+    val body = new KafkaWire.Writer()
+    body.int8(0: Byte).int8(1: Byte).bytes(null).bytes(gz)
+    val bodyBytes = body.toBytes
+    val crc = new java.util.zip.CRC32
+    crc.update(bodyBytes)
+    w.int64(12L).int32(4 + bodyBytes.length).int32(crc.getValue.toInt).raw(bodyBytes)
+    val got = KafkaWire.decodeMessageSet(w.toBytes)
+    assert(got.map(_.offset) == Seq(10L, 11L, 12L))
+    assert(got.map(r => new String(r.value, "UTF-8")) == Seq("a", "b", "c"))
+    assert(new String(got(1).key, "UTF-8") == "k")
+  }
+
+  test("unsupported codecs fail with a named error instead of mis-parsing") {
+    // v2: flip the attribute bits to snappy (2) and re-CRC so only the
+    // codec is wrong
+    val batch = KafkaWire.encodeRecordBatch(Seq((null, "x".getBytes)))
+    batch(22) = 2 // attributes low byte (21 = crc end, attributes int16 at 21..22)
+    val crc = new java.util.zip.CRC32C
+    crc.update(batch, 21, batch.length - 21)
+    java.nio.ByteBuffer.wrap(batch, 17, 4).putInt(crc.getValue.toInt)
+    val e2 = intercept[java.io.IOException](KafkaWire.decodeRecordBatches(batch))
+    assert(e2.getMessage.contains("snappy"))
+
+    // v0: message with codec bits = 3 (lz4)
+    val body = new KafkaWire.Writer()
+    body.int8(0: Byte).int8(3: Byte).bytes(null).bytes("y".getBytes)
+    val bodyBytes = body.toBytes
+    val mcrc = new java.util.zip.CRC32
+    mcrc.update(bodyBytes)
+    val w = new KafkaWire.Writer()
+    w.int64(0L).int32(4 + bodyBytes.length).int32(mcrc.getValue.toInt).raw(bodyBytes)
+    val e0 = intercept[java.io.IOException](KafkaWire.decodeMessageSet(w.toBytes))
+    assert(e0.getMessage.contains("lz4"))
+  }
 }
