@@ -109,8 +109,17 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     * accepting it would wedge every future consumer of that offset, and
     * the producer is the only place the error is still cheap.
     */
+  /** `gzipCompress` gzips the produced batch (modern dialect only — the
+    * legacy wrapper-message encode is deliberately out of scope; its
+    * brokers predate every cluster this would deploy to). The size fence
+    * checks the UNCOMPRESSED record: a fetched batch must fit the
+    * contract even if the log hands it back uncompressed or recompressed.
+    */
   def produce(topic: String, partition: Int,
-      records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000): Long = {
+      records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000,
+      gzipCompress: Boolean = false): Long = {
+    require(!gzipCompress || modern,
+      "kafka-lite: gzip produce requires the modern dialect")
     records.foreach { case (k, v) =>
       val sz = (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length) +
         dialect.recordOverheadBytes
@@ -119,7 +128,8 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
           s"${KafkaWire.MaxRecordBytes}-byte contract (unfetchable once written)")
     }
     val resp = roundTrip(KafkaWire.ApiProduce,
-      if (modern) KafkaWire.encodeProduceRequestV3(topic, partition, records, acks = 1, timeoutMs)
+      if (modern) KafkaWire.encodeProduceRequestV3(topic, partition, records,
+        acks = 1, timeoutMs, gzipCompress = gzipCompress)
       else KafkaWire.encodeProduceRequest(topic, partition, records, acks = 1, timeoutMs))
     if (modern) KafkaWire.decodeProduceResponseV3(resp)
     else KafkaWire.decodeProduceResponse(resp)

@@ -718,8 +718,9 @@ private[graft] object KafkaWire {
   // ---- modern dialect: Produce v3 ----------------------------------------
 
   def encodeProduceRequestV3(topic: String, partition: Int,
-      records: Seq[(Array[Byte], Array[Byte])], acks: Short, timeoutMs: Int): Array[Byte] = {
-    val batch = encodeRecordBatch(records)
+      records: Seq[(Array[Byte], Array[Byte])], acks: Short, timeoutMs: Int,
+      gzipCompress: Boolean = false): Array[Byte] = {
+    val batch = encodeRecordBatch(records, gzipCompress = gzipCompress)
     val w = new Writer(64 + batch.length)
     w.nullableString(null) // transactional_id (v3's addition)
     w.int16(acks).int32(timeoutMs)

@@ -87,7 +87,8 @@ object StreamingIngest {
     */
   def kafkaLiteSink(lines: DataFrame, brokers: String, topic: String,
       checkpoint: String, produceBatch: Int = 500,
-      dialect: String = "modern"): DataStreamWriter[org.apache.spark.sql.Row] =
+      dialect: String = "modern",
+      gzipProduce: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     lines.selectExpr("CAST(value AS STRING) AS value")
       .where(col("value").isNotNull)
       .writeStream
@@ -109,7 +110,8 @@ object StreamingIngest {
               try rows.grouped(produceBatch).foreach { group =>
                 leader.produce(topic, m.partition,
                   group.map(r => (null: Array[Byte],
-                    r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+                    r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+                  gzipCompress = gzipProduce)
               } finally if (leader ne boot) leader.close()
             } finally boot.close()
           }

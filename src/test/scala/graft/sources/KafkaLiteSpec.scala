@@ -298,6 +298,31 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("gzip produce: sink compresses batches on the wire; values land intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_gzsink_cp").toString
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.kafkaLiteSink(
+      stream.toDF().toDF("value"), s"127.0.0.1:$port", "gzsunk", cp,
+      gzipProduce = true).start()
+    try {
+      val lines = (1 to 80).map(i => s"compressible line $i " + ("pad " * 20))
+      stream.addData(lines: _*)
+      q.processAllAvailable()
+      val landed = broker.stringValues("gzsunk", 0) ++ broker.stringValues("gzsunk", 1)
+      assert(landed.sorted == lines.sorted)
+      // the broker saw gzip batches (codec 1), not plain ones
+      assert(broker.producedCodecs.getOrElse(1, 0) >= 1, broker.producedCodecs.toString)
+      assert(broker.producedCodecs.getOrElse(0, 0) == 0, broker.producedCodecs.toString)
+    } finally {
+      q.stop()
+      broker.stop()
+    }
+  }
+
   test("kafka-lite streaming sink produces leader-acked batches (K2)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -49,6 +49,11 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     */
   val versionCounts: TrieMap[(Short, Short), Int] = TrieMap.empty
 
+  /** v2 batches accepted by produce, by codec id from the attribute bits
+    * (0 = none, 1 = gzip) — lets specs prove a producer really compressed.
+    */
+  val producedCodecs: TrieMap[Int, Int] = TrieMap.empty
+
   private def log(topic: String, p: Int): ArrayBuffer[(Array[Byte], Array[Byte])] =
     logs.getOrElseUpdate((topic, p), ArrayBuffer.empty)
 
@@ -402,6 +407,8 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     w.array(asks) { case (t, parts) =>
       w.string(t)
       w.array(parts) { case (p, set) =>
+        if (set.length > 22) // batch attributes int16 at bytes 21-22
+          producedCodecs.updateWith(set(22) & 0x07) { c => Some(c.getOrElse(0) + 1) }
         val base = appendRecords(t, p, KafkaWire.decodeRecordBatches(set))
         w.int32(p).int16(0: Short).int64(base).int64(-1L) // log_append_time
       }
