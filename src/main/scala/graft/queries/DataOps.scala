@@ -766,6 +766,37 @@ object DataOps {
              |WHERE rank <= 5""".stripMargin),
       "IVF ANN: deterministic coarse cells, nProbe=2, exact re-rank in probed cells"),
 
+    // Oracle note (s05): Lloyd's distributed cell means sum doubles in
+    // nondeterministic order, so the refined top-k is not hash-stable the
+    // way s03's seed-centroid path is — the entry instead SELF-CHECKS the
+    // invariant the refinement must deliver (recall vs the exact truth not
+    // below the unrefined seed at the same probe count), the same contract
+    // `SimilaritySpec` pins with a lift margin on its fixture.
+    "s05_ann_ivf_lloyd" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") % 11 === 3)
+        val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select("query_id", "neighbor_id")
+        val sampled = Similarity.ivfTopK(emb, queries, k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id")).withColumn("in_s", lit(1))
+        val lloyd = Similarity.ivfTopK(emb, queries, k = 5, nProbe = 2, lloydIters = 2)
+          .select(col("query_id"), col("neighbor_id")).withColumn("in_l", lit(1))
+        truth
+          .join(sampled, Seq("query_id", "neighbor_id"), "left")
+          .join(lloyd, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("in_s"), lit(0))).as("n_sampled"),
+            sum(coalesce(col("in_l"), lit(0))).as("n_lloyd"))
+          .select(col("n_truth"), col("n_sampled"), col("n_lloyd"),
+            (col("n_sampled").cast("double") / col("n_truth")).as("recall_sampled"),
+            (col("n_lloyd").cast("double") / col("n_truth")).as("recall_lloyd"),
+            (col("n_lloyd") >= col("n_sampled")).as("pass"))
+      },
+      None,
+      "IVF with Lloyd-refined centroids: self-measured recall vs exact " +
+        "truth must not fall below the mod-sampled seed at equal nProbe"),
+
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
       (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),

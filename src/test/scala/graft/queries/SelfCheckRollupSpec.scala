@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** z01_self_checks folds the four no-oracle entries' invariant flag
+/** z01_self_checks folds the no-oracle entries' invariant flag
   * columns into (name, pass) rows so the driver's DuckDB compare fails
   * loudly if any self-check regresses. Pin here that (a) every expected
   * entry appears, (b) every verdict is true on real testdata, and (c) the
@@ -16,11 +16,11 @@ class SelfCheckRollupSpec extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 
-  test("z01: all four self-checked entries report pass=true") {
+  test("z01: every self-checked entry reports pass=true") {
     val rows = graft.SparkEntry.queries("z01_self_checks")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     val expected = Set("d15_semantic_dedup_blocked", "q33_approx_sketches",
-      "q48_hll_merge", "s02_ann_lsh")
+      "q48_hll_merge", "s02_ann_lsh", "s05_ann_ivf_lloyd")
     assert(rows.keySet == expected, s"entries: ${rows.keySet}")
     rows.foreach { case (name, pass) => assert(pass, s"$name self-check failed") }
   }
