@@ -33,7 +33,7 @@ object Bench {
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
     "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
-    "t14_hybrid_rrf", "d21_dsir_weights",
+    "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
     "p03_quality_curation_pipeline", "p04_target_matching_pipeline",
     // last on purpose: its embedded exact-truth harness (all-pairs cosine

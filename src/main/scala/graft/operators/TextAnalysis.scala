@@ -413,6 +413,78 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Bigram-LM surprisal score with Stupid Backoff — rarityScore's (t13)
+    * integer-exact construction lifted to a CONDITIONAL model, the next
+    * step toward CCNet's n-gram-LM perplexity filter (Wenzek et al., LREC
+    * 2020; backoff scheme from Brants et al., "Large Language Models in
+    * Machine Translation", EMNLP 2007 — "Stupid Backoff": score a seen
+    * bigram by its conditional frequency, an unseen one by the backoff
+    * weight times the unigram frequency, no discounting). Per bigram
+    * (w1, w2) the score is the INVERSE conditional probability,
+    * quantized e4 and kept in BIGINT throughout (no libm — the t13/q51
+    * cross-engine-exactness rationale):
+    *
+    *   seen  (corpus count c2 ≥ minCount):  (10000·c1(w1)) div c2(w1,w2)
+    *   unseen, w2 in vocab:   10 · ((10000·N) div c1(w2))
+    *   unseen, w2 OOV:        10 · ((10000·N) div minCount)
+    *
+    * The ×10 is Stupid Backoff's α in inverse space (α = 0.1 — harsher
+    * than Brants' 0.4, chosen to keep the factor integral); the OOV
+    * default is t13's minCount floor. Output per doc: bigram count `nb`,
+    * summed inverse probability `surp_sum_e4`, integer mean
+    * `surp_mean_e4` (0 for docs with fewer than two tokens — no bigrams
+    * to score; callers treat them as unscoreable, as CCNet does with
+    * too-short lines).
+    *
+    * Scale shape (t13's, with a second model): both models aggregate
+    * map-side and are minCount-pruned — Zipf-bounded when minCount
+    * scales with the corpus, so both broadcast; the exploded bigram
+    * stream joins map-side and its per-doc sums combine map-side,
+    * leaving one exchange of a row per doc. Corpus text never shuffles.
+    */
+  def bigramSurprisal(docs: DataFrame, minCount: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minCount >= 1, s"bigramSurprisal: minCount must be ≥ 1, got $minCount")
+    val toks = graft.functions.OptimizerFence(
+      split(Dedup.normalize(col(textCol)), " "))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val terms = base.select(col("doc_id"), explode(col("toks")).as("term"))
+    val c1 = terms.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).as("n_tok"))
+    val bigrams = base.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+      .join(c1.withColumnRenamed("term", "w1"), Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(10000 * c1) div c2").as("r"))
+    val uni = c1.where(col("c1") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term").as("w2"), expr("10 * ((10000 * n_tok) div c1)").as("rb"))
+    val scored = bigrams
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("r"), col("rb"),
+          expr(s"10 * ((10000 * n_tok) div $minCount)")).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("r")).as("surp_sum_e4"))
+    // docs with < 2 tokens produce no bigram rows — restore them as
+    // unscoreable (nb = 0) so the output covers every input doc
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("surp_sum_e4"), lit(0L)).as("surp_sum_e4"),
+        when(coalesce(col("nb"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("surp_sum_e4 div nb")).as("surp_mean_e4"))
+  }
+
   /** Unigram-LM rarity score — the CCNet/KenLM perplexity-filter SHAPE
     * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
     * from Web Crawl Data", LREC 2020: docs are ranked by language-model

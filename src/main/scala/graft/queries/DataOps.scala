@@ -1232,6 +1232,41 @@ object DataOps {
     // relative, integer-exact in both engines, and it splits the
     // synthetic vocabulary at its one rare term so the OOV charge path
     // is exercised too.
+    "t15_bigram_surprisal" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        TextAnalysis.bigramSurprisal(docs, minCount = math.max(1L, docs.count() / 10))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |mc AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY term),
+             |g AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM c1),
+             |bg AS (
+             |  SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+             |                         FOR i IN generate_series(1, len(toks)-1)],
+             |                        recursive := true)
+             |  FROM tk WHERE len(toks) >= 2),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+             |model AS (SELECT c2.w1, c2.w2, (10000 * c1.c1) // c2.c2 AS r
+             |          FROM c2 JOIN c1 ON c2.w1 = c1.term, mc WHERE c2.c2 >= mc.m),
+             |uni AS (SELECT term AS w2, 10 * ((10000 * n_tok) // c1) AS rb
+             |        FROM c1, g, mc WHERE c1 >= m),
+             |sc AS (
+             |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+             |    CAST(sum(coalesce(model.r, uni.rb,
+             |      (SELECT 10 * ((10000 * n_tok) // m) FROM g, mc))) AS BIGINT) AS surp_sum_e4
+             |  FROM bg LEFT JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+             |          LEFT JOIN uni ON bg.w2 = uni.w2
+             |  GROUP BY bg.doc_id)
+             |SELECT tk.doc_id, coalesce(sc.nb, 0) AS nb,
+             |  coalesce(sc.surp_sum_e4, 0) AS surp_sum_e4,
+             |  CASE WHEN coalesce(sc.nb, 0) = 0 THEN 0
+             |       ELSE sc.surp_sum_e4 // sc.nb END AS surp_mean_e4
+             |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin),
+      "bigram Stupid-Backoff surprisal (CCNet perplexity-filter step up " +
+        "from t13): integer-exact conditional inverse probabilities"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

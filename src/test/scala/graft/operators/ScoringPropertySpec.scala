@@ -56,6 +56,43 @@ class ScoringPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- bigramSurprisal reference -----------------------------------------
+
+  private def bigramRef(docs: Seq[(Long, String)], minCount: Long)
+      : Map[Long, (Long, Long, Long)] = {
+    val all = docs.flatMap(_._2.split(" ", -1))
+    val c1 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    val allBg = docs.flatMap(_._2.split(" ", -1).sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))).toSeq)
+    val c2 = allBg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val oov = 10L * ((10000L * n) / minCount)
+    docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val bgs = toks.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      if (bgs.isEmpty) id -> (0L, 0L, 0L)
+      else {
+        val rs = bgs.map { case (w1, w2) =>
+          val cb = c2.getOrElse((w1, w2), 0L)
+          if (cb >= minCount) (10000L * c1(w1)) / cb
+          else if (c1(w2) >= minCount) 10L * ((10000L * n) / c1(w2))
+          else oov
+        }
+        id -> (bgs.size.toLong, rs.sum, rs.sum / bgs.size)
+      }
+    }.toMap
+  }
+
+  test("bigramSurprisal ≡ plain-Scala reference on random corpora") {
+    for (seed <- Seq(55, 1200, 7700); mc <- Seq(1L, 2L, 6L)) {
+      val docs = corpus(30, seed)
+      val got = TextAnalysis.bigramSurprisal(docs.toDF("doc_id", "text"), mc)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == bigramRef(docs, mc), s"seed=$seed minCount=$mc")
+    }
+  }
+
   // ---- dsirWeights reference ---------------------------------------------
 
   /** First 15 md5 hex chars as a long — Sampling.idHash exactly. */

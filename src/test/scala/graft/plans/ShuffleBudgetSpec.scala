@@ -103,6 +103,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       "vocab lookup must be a broadcast join, not a shuffle join")
   }
 
+  test("bigramSurprisal: both models broadcast; corpus text never shuffles") {
+    // exchanges allowed: unigram + bigram count aggregates (partial+final
+    // pairs), the scalar total, the per-doc aggregate, and the restore
+    // join's doc-id sides — every one carries counted keys or per-doc
+    // rows, never raw tokens; both model lookups must broadcast
+    val n = shuffles(TextAnalysis.bigramSurprisal(docs, minCount = 2))
+    assert(n <= 10, s"bigramSurprisal planned $n exchanges")
+    val plan = TextAnalysis.bigramSurprisal(docs, minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "model lookups must be broadcast joins, not shuffle joins")
+  }
+
   test("dsirWeights: ratio model broadcasts; doc exchange carries aggregates") {
     val target = docs.where(col("doc_id") % 5 === 2)
     val n = shuffles(Sampling.dsirWeights(docs, target, n = 2, buckets = 64))
