@@ -1267,6 +1267,69 @@ object DataOps {
       "bigram Stupid-Backoff surprisal (CCNet perplexity-filter step up " +
         "from t13): integer-exact conditional inverse probabilities"),
 
+    // Oracle note (p05): the CCNet selection (Wenzek et al. 2020) keeps
+    // the LOW-perplexity head+middle of the corpus and drops the tail;
+    // the 2×-mean cap is p04's cheap quantile proxy, computed eagerly as
+    // a driver scalar (one aggregate row — not a collect of data). The
+    // surprisal table (4 longs/doc) persists for its two consumers (cap
+    // scalar + gate join), the p04 rarity-table rule.
+    "p05_perplexity_curation_pipeline" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        val surp = TextAnalysis.bigramSurprisal(docs,
+          minCount = math.max(1L, docs.count() / 10))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cap = surp.where(col("nb") > 0)
+          .agg(expr("2 * (sum(surp_mean_e4) div count(1))")).head.getLong(0)
+        val kept = docs.join(
+          surp.where(col("nb") > 0 && col("surp_mean_e4") <= cap)
+            .select("doc_id"), Seq("doc_id"))
+        graft.operators.Sampling.chunkStride(kept, win = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_idx"), col("start"), col("n_toks"),
+            md5(col("chunk")).as("fp"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |mc AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY term),
+             |g AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM c1),
+             |bg AS (
+             |  SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+             |                         FOR i IN generate_series(1, len(toks)-1)],
+             |                        recursive := true)
+             |  FROM tk WHERE len(toks) >= 2),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+             |model AS (SELECT c2.w1, c2.w2, (10000 * c1.c1) // c2.c2 AS r
+             |          FROM c2 JOIN c1 ON c2.w1 = c1.term, mc WHERE c2.c2 >= mc.m),
+             |uni AS (SELECT term AS w2, 10 * ((10000 * n_tok) // c1) AS rb
+             |        FROM c1, g, mc WHERE c1 >= m),
+             |sc AS (
+             |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+             |    CAST(sum(coalesce(model.r, uni.rb,
+             |      (SELECT 10 * ((10000 * n_tok) // m) FROM g, mc))) AS BIGINT) AS surp_sum_e4
+             |  FROM bg LEFT JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+             |          LEFT JOIN uni ON bg.w2 = uni.w2
+             |  GROUP BY bg.doc_id),
+             |surp AS (SELECT doc_id, nb, surp_sum_e4 // nb AS surp_mean_e4
+             |         FROM sc WHERE nb > 0),
+             |cap AS (SELECT 2 * (sum(surp_mean_e4) // count(*)) AS c FROM surp),
+             |kept AS (SELECT tk.doc_id, tk.toks FROM tk JOIN surp USING (doc_id), cap
+             |         WHERE surp.surp_mean_e4 <= cap.c),
+             |s AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |    unnest(CASE WHEN (greatest(len(toks) - 31, 1) - 1) % 24 = 0
+             |      THEN generate_series(1, greatest(len(toks) - 31, 1), 24)
+             |      ELSE list_append(generate_series(1, greatest(len(toks) - 31, 1), 24),
+             |                       greatest(len(toks) - 31, 1)) END) AS start
+             |  FROM kept)
+             |SELECT doc_id, CAST(ceil((start - 1) / 24.0) AS INT) AS chunk_idx,
+             |  CAST(start AS INT) AS start,
+             |  CAST(least(32, n - start + 1) AS INT) AS n_toks,
+             |  md5(array_to_string(toks[start:start+31], ' ')) AS fp
+             |FROM s""".stripMargin),
+      "perplexity-curation capstone: bigram-surprisal gate (CCNet tail " +
+        "drop at 2x mean) into stride-chunking for training windows"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")
