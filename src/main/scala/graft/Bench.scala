@@ -285,7 +285,8 @@ object Bench {
         t
       }
       val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
-        "p04_target_matching_pipeline", "d19_quality_survivors")
+        "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
+        "d19_quality_survivors")
       val oneX = results.toMap
       val entryStats = probeEntries.map { name =>
         val tN = once(SparkEntry.queries(name)(spark, tmp)
