@@ -485,6 +485,89 @@ object TextAnalysis {
           .otherwise(expr("surp_sum_e4 div nb")).as("surp_mean_e4"))
   }
 
+  /** Trigram-LM surprisal with two-level Stupid Backoff — one order up
+    * from [[bigramSurprisal]] (Brants et al. 2007 chain: trigram →
+    * bigram → unigram → OOV floor), the closest integer-exact step
+    * toward CCNet's 5-gram KenLM filter. Per trigram (a, b, c):
+    *
+    *   c3(a,b,c) ≥ minCount:          (10000·c2(a,b)) div c3(a,b,c)
+    *   else c2(b,c) ≥ minCount:  10 · ((10000·c1(b)) div c2(b,c))
+    *   else c1(c) ≥ minCount:   100 · ((10000·N) div c1(c))
+    *   else:                    100 · ((10000·N) div minCount)
+    *
+    * Every numerator the seen branch needs is guaranteed present in its
+    * pruned model: a trigram with c3 ≥ minCount has a bigram prefix with
+    * c2 ≥ c3 ≥ minCount, so the model join chain never dangles. All
+    * BIGINT — the t13/t15 cross-engine-exactness rationale. Docs with
+    * fewer than three tokens emit nb = 0 (unscoreable). Same scale shape
+    * as t15 with a third broadcast model; corpus text never shuffles.
+    */
+  def trigramSurprisal(docs: DataFrame, minCount: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minCount >= 1, s"trigramSurprisal: minCount must be ≥ 1, got $minCount")
+    val toks = graft.functions.OptimizerFence(
+      split(Dedup.normalize(col(textCol)), " "))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val terms = base.select(col("doc_id"), explode(col("toks")).as("term"))
+    val c1 = terms.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).as("n_tok"))
+    def grams(n: Int): DataFrame = {
+      // clamp: a doc shorter than n tokens has a negative slice length,
+      // which `slice` rejects (t15's n=2 case never goes below 0 because
+      // normalize yields ≥1 token; n=3 can)
+      val parts = (0 until n).map(i =>
+        slice(col("toks"), lit(i + 1),
+          greatest(lit(0), size(col("toks")) - (n - 1))))
+      val zipped = parts.reduceLeft((acc, p) => zip_with(acc, p,
+        (a, b) => concat(a, lit(" "), b))) // space-joined gram key:
+      // unambiguous, since normalized tokens are split on spaces
+      base.select(col("doc_id"), explode(
+        if (n == 1) col("toks") else zipped).as("g"))
+    }
+    val bi = grams(2)
+    val tri = grams(3)
+    val c2 = bi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+    val c3 = tri.groupBy(col("g")).agg(count(lit(1)).as("c3"))
+      .where(col("c3") >= minCount)
+    // model join keys derived from the trigram key by splitting the
+    // NUL-joined parts — map-side expressions, no extra explode
+    val split3 = split(col("g"), " ")
+    val scored = tri
+      .withColumn("g2_prefix", concat_ws(" ",
+        element_at(split3, 1), element_at(split3, 2)))
+      .withColumn("g2_suffix", concat_ws(" ",
+        element_at(split3, 2), element_at(split3, 3)))
+      .withColumn("w_last", element_at(split3, 3))
+      .join(broadcast(c3.withColumnRenamed("g", "gk")), col("g") === col("gk"), "left")
+      .join(broadcast(c2.select(col("g").as("gp"), col("c2").as("c2p"))),
+        col("g2_prefix") === col("gp"), "left")
+      .join(broadcast(c2.select(col("g").as("gs"), col("c2").as("c2s"))),
+        col("g2_suffix") === col("gs"), "left")
+      .join(broadcast(c1.where(col("c1") >= minCount)
+        .select(col("term").as("wb"), col("c1").as("c1b"))),
+        element_at(split3, 2) === col("wb"), "left")
+      .join(broadcast(c1.where(col("c1") >= minCount)
+        .select(col("term").as("wl"), col("c1").as("c1l"))),
+        col("w_last") === col("wl"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, expr("(10000 * c2p) div c3"))
+          .when(col("c2s").isNotNull && col("c1b").isNotNull,
+            expr("10 * ((10000 * c1b) div c2s)"))
+          .when(col("c1l").isNotNull, expr("100 * ((10000 * n_tok) div c1l)"))
+          .otherwise(expr(s"100 * ((10000 * n_tok) div $minCount)")).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("r")).as("surp_sum_e4"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("surp_sum_e4"), lit(0L)).as("surp_sum_e4"),
+        when(coalesce(col("nb"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("surp_sum_e4 div nb")).as("surp_mean_e4"))
+  }
+
   /** Unigram-LM rarity score — the CCNet/KenLM perplexity-filter SHAPE
     * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
     * from Web Crawl Data", LREC 2020: docs are ranked by language-model

@@ -1330,6 +1330,50 @@ object DataOps {
       "perplexity-curation capstone: bigram-surprisal gate (CCNet tail " +
         "drop at 2x mean) into stride-chunking for training windows"),
 
+    "t16_trigram_surprisal" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        TextAnalysis.trigramSurprisal(docs, minCount = math.max(1L, docs.count() / 10))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |mc AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY term),
+             |g AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM c1),
+             |bg AS (
+             |  SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+             |                         FOR i IN generate_series(1, len(toks)-1)],
+             |                        recursive := true)
+             |  FROM tk WHERE len(toks) >= 2),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+             |tg AS (
+             |  SELECT doc_id, unnest([{'a': toks[i], 'b': toks[i+1], 'c': toks[i+2]}
+             |                         FOR i IN generate_series(1, len(toks)-2)],
+             |                        recursive := true)
+             |  FROM tk WHERE len(toks) >= 3),
+             |c3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY a, b, c),
+             |sc AS (
+             |  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+             |    CAST(sum(CASE
+             |      WHEN c3.c3 >= mc.m THEN (10000 * c2p.c2) // c3.c3
+             |      WHEN c2s.c2 >= mc.m THEN 10 * ((10000 * c1b.c1) // c2s.c2)
+             |      WHEN c1l.c1 >= mc.m THEN 100 * ((10000 * g.n_tok) // c1l.c1)
+             |      ELSE 100 * ((10000 * g.n_tok) // mc.m) END) AS BIGINT) AS surp_sum_e4
+             |  FROM tg, mc, g
+             |  JOIN c3 ON tg.a = c3.a AND tg.b = c3.b AND tg.c = c3.c
+             |  JOIN c2 c2p ON tg.a = c2p.w1 AND tg.b = c2p.w2
+             |  JOIN c2 c2s ON tg.b = c2s.w1 AND tg.c = c2s.w2
+             |  JOIN c1 c1b ON tg.b = c1b.term
+             |  JOIN c1 c1l ON tg.c = c1l.term
+             |  GROUP BY tg.doc_id)
+             |SELECT tk.doc_id, coalesce(sc.nb, 0) AS nb,
+             |  coalesce(sc.surp_sum_e4, 0) AS surp_sum_e4,
+             |  CASE WHEN coalesce(sc.nb, 0) = 0 THEN 0
+             |       ELSE sc.surp_sum_e4 // sc.nb END AS surp_mean_e4
+             |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin),
+      "trigram Stupid-Backoff surprisal (t15 one order up, the CCNet " +
+        "5-gram direction): trigram -> bigram -> unigram -> floor chain"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

@@ -93,6 +93,50 @@ class ScoringPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- trigramSurprisal reference ----------------------------------------
+
+  private def trigramRef(docs: Seq[(Long, String)], minCount: Long)
+      : Map[Long, (Long, Long, Long)] = {
+    val all = docs.flatMap(_._2.split(" ", -1))
+    val c1 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    def gramsOf(text: String, k: Int): Seq[String] =
+      text.split(" ", -1).sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+    val c2 = docs.flatMap(d => gramsOf(d._2, 2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3 = docs.flatMap(d => gramsOf(d._2, 3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    docs.map { case (id, text) =>
+      val tgs = gramsOf(text, 3)
+      if (tgs.isEmpty) id -> (0L, 0L, 0L)
+      else {
+        val rs = tgs.map { t =>
+          val ws = t.split(" ", -1)
+          val prefix = ws(0) + " " + ws(1)
+          val suffix = ws(1) + " " + ws(2)
+          val ct = c3.getOrElse(t, 0L)
+          if (ct >= minCount) (10000L * c2(prefix)) / ct
+          else if (c2.getOrElse(suffix, 0L) >= minCount)
+            10L * ((10000L * c1(ws(1))) / c2(suffix))
+          else if (c1.getOrElse(ws(2), 0L) >= minCount)
+            100L * ((10000L * n) / c1(ws(2)))
+          else 100L * ((10000L * n) / minCount)
+        }
+        id -> (tgs.size.toLong, rs.sum, rs.sum / tgs.size)
+      }
+    }.toMap
+  }
+
+  test("trigramSurprisal ≡ plain-Scala reference on random corpora") {
+    for (seed <- Seq(31, 880, 5100); mc <- Seq(1L, 2L, 5L)) {
+      val docs = corpus(30, seed)
+      val got = TextAnalysis.trigramSurprisal(docs.toDF("doc_id", "text"), mc)
+        .collect().map(r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == trigramRef(docs, mc), s"seed=$seed minCount=$mc")
+    }
+  }
+
   // ---- dsirWeights reference ---------------------------------------------
 
   /** First 15 md5 hex chars as a long — Sampling.idHash exactly. */
