@@ -28,15 +28,43 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     readTimeoutMs: Int = 30000,
     dialect: KafkaWire.Dialect = KafkaWire.Modern) extends AutoCloseable {
 
-  private val modern = dialect eq KafkaWire.Modern
-
-  private val socket = new Socket()
-  socket.setTcpNoDelay(true)
-  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-  socket.setSoTimeout(readTimeoutMs)
-  private val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
-  private val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream, 64 * 1024))
+  private var socket: Socket = _
+  private var out: DataOutputStream = _
+  private var in: DataInputStream = _
   private val corr = new AtomicInteger(0)
+
+  private def connect(): Unit = {
+    socket = new Socket()
+    socket.setTcpNoDelay(true)
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setSoTimeout(readTimeoutMs)
+    out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
+    in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream, 64 * 1024))
+  }
+  connect()
+
+  /** The wire generation this connection actually speaks. `auto` resolves
+    * via ApiVersions (KIP-35) on first use: Modern when the broker serves
+    * the post-KIP-896 floor, else Legacy. A broker predating ApiVersions
+    * (< 0.10) drops the connection on the unknown api key — treated as
+    * Legacy after a reconnect (the socket is desynced either way).
+    */
+  lazy val resolvedDialect: KafkaWire.Dialect = dialect match {
+    case KafkaWire.Auto =>
+      try {
+        val ranges = KafkaWire.decodeApiVersionsResponse(roundTripVersioned(
+          KafkaWire.ApiApiVersions, 0, KafkaWire.encodeApiVersionsRequest()))
+        if (KafkaWire.supportsModern(ranges)) KafkaWire.Modern else KafkaWire.Legacy
+      } catch {
+        case _: java.io.IOException =>
+          try socket.close() catch { case _: Throwable => () }
+          connect()
+          KafkaWire.Legacy
+      }
+    case d => d
+  }
+
+  private def modern = resolvedDialect eq KafkaWire.Modern
 
   /** Max response size accepted — same OOM fence as
     * [[FileBufWire.MaxInboundMessageBytes]], sized for fetch batches.
@@ -44,16 +72,17 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
   private val MaxResponseBytes = 64 * 1024 * 1024
 
   private def versionOf(apiKey: Short): Short = apiKey match {
-    case KafkaWire.ApiProduce => dialect.produceV
-    case KafkaWire.ApiFetch => dialect.fetchV
-    case KafkaWire.ApiListOffsets => dialect.listOffsetsV
-    case KafkaWire.ApiMetadata => dialect.metadataV
+    case KafkaWire.ApiProduce => resolvedDialect.produceV
+    case KafkaWire.ApiFetch => resolvedDialect.fetchV
+    case KafkaWire.ApiListOffsets => resolvedDialect.listOffsetsV
+    case KafkaWire.ApiMetadata => resolvedDialect.metadataV
     case other => throw new IllegalArgumentException(s"unsupported api $other")
   }
 
-  private def roundTrip(apiKey: Short, body: Array[Byte]): Array[Byte] = synchronized {
+  private def roundTripVersioned(apiKey: Short, apiVersion: Short,
+      body: Array[Byte]): Array[Byte] = synchronized {
     val id = corr.incrementAndGet()
-    out.write(KafkaWire.request(apiKey, versionOf(apiKey), id, clientId, body))
+    out.write(KafkaWire.request(apiKey, apiVersion, id, clientId, body))
     out.flush()
     val size = in.readInt()
     if (size < 4 || size > MaxResponseBytes)
@@ -65,6 +94,9 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
       throw new java.io.IOException(s"correlation id mismatch: sent $id, got $gotId")
     java.util.Arrays.copyOfRange(payload, 4, size)
   }
+
+  private def roundTrip(apiKey: Short, body: Array[Byte]): Array[Byte] =
+    roundTripVersioned(apiKey, versionOf(apiKey), body)
 
   def partitionsOf(topic: String): Seq[KafkaWire.PartitionMeta] = {
     val resp = roundTrip(KafkaWire.ApiMetadata,
@@ -122,7 +154,7 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
       "kafka-lite: gzip produce requires the modern dialect")
     records.foreach { case (k, v) =>
       val sz = (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length) +
-        dialect.recordOverheadBytes
+        resolvedDialect.recordOverheadBytes
       require(sz <= KafkaWire.MaxRecordBytes,
         s"kafka-lite: record of $sz encoded bytes exceeds the " +
           s"${KafkaWire.MaxRecordBytes}-byte contract (unfetchable once written)")

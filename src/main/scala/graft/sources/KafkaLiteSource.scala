@@ -39,8 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options: `brokers` (host:port bootstrap), `topic`, `startingoffsets`
   * (`earliest`, default, or `latest`), `maxoffsetspertrigger` (long),
   * `dialect` (`modern`, default — magic-2 batches over the post-KIP-896
-  * version floor, brokers 0.11 → 4.x; or `legacy` — magic-0 over the v0
-  * APIs for pre-0.11 brokers).
+  * version floor, brokers 0.11 → 4.x; `legacy` — magic-0 over the v0
+  * APIs for pre-0.11 brokers; or `auto` — negotiate per broker via the
+  * ApiVersions API, resolved once on the driver and shipped to tasks).
   */
 class KafkaLiteSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-lite"
@@ -206,7 +207,10 @@ private[sources] class KafkaLiteMicroBatchStream(
       val from = startOf(s, m.partition) // new partition → earliest, same as latestOffset
       val until = e.getOrElse(m.partition, from)
       if (until > from)
-        Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort, from, until, dialect))
+        // executors get the RESOLVED dialect: under `auto` the driver
+        // client negotiates once via ApiVersions and tasks skip the probe
+        Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort,
+          from, until, client.resolvedDialect.name))
       else None
     }.toArray
   }

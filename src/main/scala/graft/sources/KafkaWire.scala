@@ -68,6 +68,7 @@ private[graft] object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiApiVersions: Short = 18
 
   /** Modern-dialect API versions: the POST-KIP-896 floor — the oldest
     * versions a Kafka 4.x broker still serves — which are also accepted
@@ -122,12 +123,23 @@ private[graft] object KafkaWire {
   case object Modern extends Dialect("modern",
     ProduceV3, FetchV4, ListOffsetsV1, MetadataV4, RecordOverheadBytesV2)
   case object Legacy extends Dialect("legacy", 0, 0, 0, 0, RecordOverheadBytes)
+  /** Placeholder resolved per connection by [[KafkaLiteClient]] via the
+    * ApiVersions API (KIP-35: supported by every broker since 0.10):
+    * Modern when the broker serves the post-KIP-896 floor, Legacy when it
+    * only advertises the v0 schemas or predates ApiVersions entirely
+    * (such brokers drop the connection on the unknown request — the
+    * client reconnects and speaks v0). The version fields here are
+    * sentinels; using Auto without resolution is a bug, hence -1 (an
+    * unconditionally invalid api_version on the wire).
+    */
+  case object Auto extends Dialect("auto", -1, -1, -1, -1, RecordOverheadBytesV2)
   object Dialect {
     def apply(s: String): Dialect = s.toLowerCase match {
       case "modern" => Modern
       case "legacy" => Legacy
+      case "auto" => Auto
       case other => throw new IllegalArgumentException(
-        s"kafka-lite dialect must be 'modern' or 'legacy', got '$other'")
+        s"kafka-lite dialect must be 'modern', 'legacy', or 'auto', got '$other'")
     }
   }
 
@@ -597,6 +609,27 @@ private[graft] object KafkaWire {
     offs.flatten.headOption.getOrElse(
       throw new java.io.IOException("empty produce response"))
   }
+
+  // ---- ApiVersions v0 (dialect negotiation, KIP-35) ----------------------
+
+  /** v0 request body is empty. */
+  def encodeApiVersionsRequest(): Array[Byte] = Array.emptyByteArray
+
+  /** api_key → (min_version, max_version); throws on a broker error. */
+  def decodeApiVersionsResponse(body: Array[Byte]): Map[Short, (Short, Short)] = {
+    val r = new Reader(body)
+    val err = r.int16()
+    if (err != 0) throw new java.io.IOException(s"api-versions error $err")
+    r.array { (r.int16(), (r.int16(), r.int16())) }.toMap
+  }
+
+  /** True iff `ranges` serves every API version the modern dialect needs. */
+  def supportsModern(ranges: Map[Short, (Short, Short)]): Boolean =
+    Seq(ApiProduce -> ProduceV3, ApiFetch -> FetchV4,
+      ApiListOffsets -> ListOffsetsV1, ApiMetadata -> MetadataV4)
+      .forall { case (key, v) =>
+        ranges.get(key).exists { case (lo, hi) => lo <= v && v <= hi }
+      }
 
   // ---- modern dialect: Metadata v4 ---------------------------------------
 

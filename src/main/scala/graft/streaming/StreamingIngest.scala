@@ -56,8 +56,8 @@ object StreamingIngest {
     * replayable per-partition ranges, executor-side fetch, admission
     * control via maxOffsetsPerTrigger. Speaks the hand-rolled wire
     * protocol ([[graft.sources.KafkaWire]]) in either dialect — `modern`
-    * (default, magic-2 batches, brokers 0.11 → 4.x) or `legacy` (magic-0,
-    * pre-0.11) — so the Kafka SEMANTICS are e2e-tested in this container
+    * (default, magic-2 batches, brokers 0.11 → 4.x), `legacy` (magic-0,
+    * pre-0.11), or `auto` (ApiVersions-negotiated per broker) — so the Kafka SEMANTICS are e2e-tested in this container
     * with no Kafka jars, and the same source deploys against a modern
     * cluster natively. [[kafkaSource]] (stock connector) remains wired for
     * shops standardized on it (SASL/TLS, compacted-topic tooling).

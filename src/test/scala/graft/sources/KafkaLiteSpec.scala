@@ -260,6 +260,71 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("auto dialect negotiates modern on a current broker, legacy on old ones") {
+    // current broker: ApiVersions advertises the post-KIP-896 floor
+    val modernBroker = new KafkaStubBroker(numPartitions = 1)
+    val p1 = modernBroker.start()
+    try {
+      val c = new KafkaLiteClient("127.0.0.1", p1, dialect = KafkaWire.Auto)
+      try {
+        c.produce("neg", 0, Seq((null, utf8("x"))))
+        assert(c.resolvedDialect == KafkaWire.Modern)
+        assert(modernBroker.versionCounts.getOrElse(
+          (KafkaWire.ApiProduce, KafkaWire.ProduceV3), 0) >= 1)
+      } finally c.close()
+    } finally modernBroker.stop()
+
+    // pre-0.11 broker: ApiVersions answers, but only v0 schemas exist
+    val v0Broker = new KafkaStubBroker(numPartitions = 1, modernApis = false)
+    val p2 = v0Broker.start()
+    try {
+      val c = new KafkaLiteClient("127.0.0.1", p2, dialect = KafkaWire.Auto)
+      try {
+        c.produce("neg", 0, Seq((null, utf8("y"))))
+        assert(c.resolvedDialect == KafkaWire.Legacy)
+        assert(v0Broker.versionCounts.getOrElse((KafkaWire.ApiProduce, 0: Short), 0) >= 1)
+      } finally c.close()
+    } finally v0Broker.stop()
+
+    // pre-0.10 broker: the unknown ApiVersions request kills the
+    // connection; the client reconnects and speaks v0
+    val ancient = new KafkaStubBroker(numPartitions = 1,
+      modernApis = false, apiVersionsSupported = false)
+    val p3 = ancient.start()
+    try {
+      val c = new KafkaLiteClient("127.0.0.1", p3, dialect = KafkaWire.Auto)
+      try {
+        c.produce("neg", 0, Seq((null, utf8("z"))))
+        assert(c.resolvedDialect == KafkaWire.Legacy)
+        assert(ancient.stringValues("neg", 0) == Seq("z"))
+      } finally c.close()
+    } finally ancient.stop()
+  }
+
+  test("auto dialect through the DSv2 source: driver negotiates once, tasks inherit") {
+    val broker = new KafkaStubBroker(numPartitions = 2)
+    val port = broker.start()
+    try {
+      broker.append("autot", 0, Seq("auto-1", "auto-2"))
+      broker.append("autot", 1, Seq("auto-3"))
+      val q = StreamingIngest.kafkaLiteSource(
+        spark, s"127.0.0.1:$port", "autot", dialect = "auto")
+        .writeStream.format("memory").queryName("kafka_lite_auto")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("kafka_lite_auto").count() == 3)
+        // every data request rode the negotiated modern versions, and the
+        // probe ran once (driver), not per task
+        assert(broker.versionCounts.getOrElse(
+          (KafkaWire.ApiFetch, KafkaWire.FetchV4), 0) >= 2)
+        assert(broker.versionCounts.getOrElse((KafkaWire.ApiFetch, 0: Short), 0) == 0)
+        assert(broker.versionCounts.getOrElse(
+          (KafkaWire.ApiApiVersions, 0: Short), 0) == 1)
+      } finally q.stop()
+    } finally broker.stop()
+  }
+
   test("gzip'd fetch responses decode transparently through the DSv2 source") {
     val broker = new KafkaStubBroker(numPartitions = 2, gzipFetch = true)
     val port = broker.start()
@@ -279,7 +344,7 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
-  test("dialect option rejects anything but modern/legacy") {
+  test("dialect option rejects anything but modern/legacy/auto") {
     val broker = new KafkaStubBroker(numPartitions = 1)
     val port = broker.start()
     try {

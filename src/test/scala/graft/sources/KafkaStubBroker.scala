@@ -31,9 +31,17 @@ import graft.sources.KafkaWire.{Reader, Writer}
 /** @param gzipFetch serve modern fetch responses with gzip'd record
   *   batches (codec 1), the way a real broker returns a gzip-produced
   *   topic — exercises the client's transparent decompression e2e.
+  * @param modernApis advertise (and serve) the modern API versions; when
+  *   false the broker emulates a pre-0.11 cluster: ApiVersions reports
+  *   only the v0 schemas and modern-version requests are rejected.
+  * @param apiVersionsSupported when false the broker emulates a pre-0.10
+  *   cluster: an ApiVersions request kills the connection (what real old
+  *   brokers did with unknown api keys), forcing the client's
+  *   reconnect-and-speak-v0 fallback.
   */
 class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
-    gzipFetch: Boolean = false) {
+    gzipFetch: Boolean = false, modernApis: Boolean = true,
+    apiVersionsSupported: Boolean = true) {
 
   private val logs = TrieMap.empty[(String, Int), ArrayBuffer[(Array[Byte], Array[Byte])]]
   @volatile private var running = false
@@ -124,14 +132,19 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
         apiCounts.updateWith(apiKey) { c => Some(c.getOrElse(0) + 1) }
         versionCounts.updateWith((apiKey, apiVersion)) { c => Some(c.getOrElse(0) + 1) }
         val (body, respond) = (apiKey, apiVersion) match {
+          case (KafkaWire.ApiApiVersions, 0) =>
+            // a pre-0.10 broker doesn't know api key 18: connection dies
+            if (!apiVersionsSupported)
+              throw new IllegalArgumentException("pre-ApiVersions broker")
+            (apiVersionsV0(), true)
           case (KafkaWire.ApiMetadata, 0) => (metadataV0(r), true)
-          case (KafkaWire.ApiMetadata, 4) => (metadataV4(r), true)
+          case (KafkaWire.ApiMetadata, 4) if modernApis => (metadataV4(r), true)
           case (KafkaWire.ApiListOffsets, 0) => (listOffsetsV0(r), true)
-          case (KafkaWire.ApiListOffsets, 1) => (listOffsetsV1(r), true)
+          case (KafkaWire.ApiListOffsets, 1) if modernApis => (listOffsetsV1(r), true)
           case (KafkaWire.ApiFetch, 0) => (fetchV0(r), true)
-          case (KafkaWire.ApiFetch, 4) => (fetchV4(r), true)
+          case (KafkaWire.ApiFetch, 4) if modernApis => (fetchV4(r), true)
           case (KafkaWire.ApiProduce, 0) => produceV0(r)
-          case (KafkaWire.ApiProduce, 3) => produceV3(r)
+          case (KafkaWire.ApiProduce, 3) if modernApis => produceV3(r)
           case (key, v) => throw new IllegalArgumentException(
             s"stub broker: unsupported api $key version $v")
         }
@@ -147,6 +160,28 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     } finally {
       try socket.close() catch { case _: Throwable => () }
     }
+  }
+
+  // ---- ApiVersions -------------------------------------------------------
+
+  private def apiVersionsV0(): Array[Byte] = {
+    val w = new Writer()
+    w.int16(0: Short) // error_code
+    val ranges: Seq[(Short, Short, Short)] =
+      if (modernApis) Seq(
+        (KafkaWire.ApiProduce, 0: Short, KafkaWire.ProduceV3),
+        (KafkaWire.ApiFetch, 0: Short, KafkaWire.FetchV4),
+        (KafkaWire.ApiListOffsets, 0: Short, KafkaWire.ListOffsetsV1),
+        (KafkaWire.ApiMetadata, 0: Short, KafkaWire.MetadataV4),
+        (KafkaWire.ApiApiVersions, 0: Short, 0: Short))
+      else Seq( // pre-0.11 generation: v0 schemas only
+        (KafkaWire.ApiProduce, 0: Short, 0: Short),
+        (KafkaWire.ApiFetch, 0: Short, 0: Short),
+        (KafkaWire.ApiListOffsets, 0: Short, 0: Short),
+        (KafkaWire.ApiMetadata, 0: Short, 0: Short),
+        (KafkaWire.ApiApiVersions, 0: Short, 0: Short))
+    w.array(ranges) { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
+    w.toBytes
   }
 
   // ---- Metadata ----------------------------------------------------------
