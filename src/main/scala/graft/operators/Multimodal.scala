@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus per-partition feature extraction.
   *
-  * IMAGE DECODE IS REAL: payloads whose magic bytes mark a JDK-decodable
-  * format (PNG/JPEG/GIF/BMP) are decoded with `javax.imageio.ImageIO` —
-  * features are true luma-pixel statistics and resize is true
-  * nearest-neighbor pixel sampling re-encoded as PNG. Any other payload
-  * (including audio/video, for which this container ships no codec) takes
-  * the deterministic byte-hash fallback, so the operators stay total and
-  * oracle-checkable over arbitrary binary columns.
+  * IMAGE AND PCM-AUDIO DECODE ARE REAL: payloads whose magic bytes mark
+  * a JDK-decodable image format (PNG/JPEG/GIF/BMP) are decoded with
+  * `javax.imageio.ImageIO` — features are true luma-pixel statistics and
+  * resize is true nearest-neighbor pixel sampling re-encoded as PNG —
+  * and RIFF/WAVE payloads are decoded by a hand-parsed PCM reader
+  * ([[tryDecodeWav]]): features are true mono-mixed sample statistics.
+  * Any other payload (compressed audio/video, for which this container
+  * ships no codec) takes the deterministic byte-hash fallback, so the
+  * operators stay total and oracle-checkable over arbitrary binary
+  * columns.
   *
   * Scale notes: payloads stay in executor memory one partition at a time;
   * `spark.sql.files.maxPartitionBytes` bounds the working set, and feature
@@ -92,6 +95,66 @@ object Multimodal {
         lit(64).as("height"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
+  /** RIFF/WAVE magic gate (12-byte preamble: "RIFF" <size> "WAVE"). */
+  private[operators] def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Hand-parsed PCM WAV decode — the audio analog of the ImageIO path.
+    * The container ships no audio codecs, but uncompressed WAV needs
+    * none: the format IS the sample data (RIFF chunk walk → fmt/data),
+    * so parsing it directly is a REAL decode, in the same spirit as the
+    * repo's hand-rolled wire codecs. Supports PCM (format 1) at 8/16
+    * bits, any channel count; frames mono-mix by integer-mean into
+    * non-negative ints (16-bit signed + 32768 → [0, 65535]; 8-bit
+    * unsigned << 8 — same scale). Returns None for anything malformed,
+    * truncated, or non-PCM (IEEE-float, ADPCM, compressed) — those fall
+    * back to the byte featurizer rather than failing the task.
+    */
+  private[operators] def tryDecodeWav(p: Array[Byte]): Option[Array[Int]] = {
+    if (!looksLikeWav(p)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // chunk walk: collect fmt + data wherever they sit (word-aligned)
+      var fmtAt = -1; var dataAt = -1; var dataLen = 0
+      var pos = 12
+      var guard = 0
+      while (pos + 8 <= p.length && guard < 64) {
+        val size = bb.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > p.length) return None // truncated/hostile
+        val id = new String(p, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (id == "fmt " && size >= 16) fmtAt = pos + 8
+        if (id == "data") { dataAt = pos + 8; dataLen = size }
+        pos += 8 + size + (size & 1)
+        guard += 1
+      }
+      if (fmtAt < 0 || dataAt < 0) return None
+      val audioFormat = bb.getShort(fmtAt) & 0xffff
+      val channels = bb.getShort(fmtAt + 2) & 0xffff
+      val bits = bb.getShort(fmtAt + 14) & 0xffff
+      if (audioFormat != 1 || channels < 1 || (bits != 8 && bits != 16)) return None
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val frames = dataLen / frameBytes
+      val out = new Array[Int](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0L
+        var c = 0
+        while (c < channels) {
+          val at = dataAt + f * frameBytes + c * bytesPerSample
+          acc += (if (bits == 16) (bb.getShort(at).toInt + 32768)
+                  else (p(at) & 0xff) << 8)
+          c += 1
+        }
+        out(f) = (acc / channels).toInt
+        f += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Fallback featurizer for NON-IMAGE payloads: chunk-wise byte sums mod
     * a prime — integer-valued floats, so the DuckDB oracle reproduces them
     * bit-exactly over text-byte fixtures (a byte-mean variant would compare
@@ -112,26 +175,34 @@ object Multimodal {
     }
   }
 
-  /** Featurize one payload: real pixel path for decodable images (same
-    * chunk-sum shape as the byte fallback, but over the decoded luma
-    * plane — integer-valued, deterministic), byte fallback otherwise.
+  /** Chunk-sum featurization over an integer signal (luma pixels or PCM
+    * samples): the shared shape of every real-decode path.
+    */
+  private def chunkSums(signal: Array[Int], dim: Int): Array[Float] = {
+    val chunk = math.max(1, signal.length / dim)
+    Array.tabulate(dim) { i =>
+      val from = i * chunk
+      val until = math.min(signal.length, from + chunk)
+      if (from >= signal.length) 0f
+      else {
+        var s = 0L; var j = from
+        while (j < until) { s += signal(j); j += 1 }
+        (s % 1009).toFloat
+      }
+    }
+  }
+
+  /** Featurize one payload: real pixel path for decodable images, real
+    * PCM-sample path for decodable WAVs (same integer chunk-sum shape in
+    * both — deterministic, oracle-friendly), byte fallback otherwise.
     */
   private[operators] def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] =
     tryDecode(payload) match {
-      case Some(img) =>
-        val luma = lumaPixels(img)
-        val chunk = math.max(1, luma.length / dim)
-        Array.tabulate(dim) { i =>
-          val from = i * chunk
-          val until = math.min(luma.length, from + chunk)
-          if (from >= luma.length) 0f
-          else {
-            var s = 0L; var j = from
-            while (j < until) { s += luma(j); j += 1 }
-            (s % 1009).toFloat
-          }
-        }
-      case None => decodeStub(payload, dim)
+      case Some(img) => chunkSums(lumaPixels(img), dim)
+      case None => tryDecodeWav(payload) match {
+        case Some(samples) if samples.nonEmpty => chunkSums(samples, dim)
+        case _ => decodeStub(payload, dim)
+      }
     }
 
   /** Per-partition feature extraction over the binary column — the Scala

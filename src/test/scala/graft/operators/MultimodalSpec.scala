@@ -119,4 +119,67 @@ class MultimodalSpec extends AnyFunSuite {
       .map(row => row.getLong(0) -> row.getAs[Array[Byte]](1)).toMap
     assert(byId(0L).length == 64)
   }
+
+  /** Hand-built PCM WAV (the fixture generator — real RIFF bytes, not a
+    * library): 16-bit little-endian or 8-bit unsigned, interleaved.
+    */
+  private def wav(samplesByChannel: Array[Array[Int]], bits: Int): Array[Byte] = {
+    val channels = samplesByChannel.length
+    val frames = samplesByChannel.head.length
+    val bps = bits / 8
+    val dataLen = frames * channels * bps
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(8000).putInt(8000 * channels * bps)
+      .putShort((channels * bps).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes).putInt(dataLen)
+    for (f <- 0 until frames; c <- 0 until channels) {
+      if (bits == 16) bb.putShort(samplesByChannel(c)(f).toShort)
+      else bb.put(samplesByChannel(c)(f).toByte)
+    }
+    bb.array()
+  }
+
+  test("real WAV decode: features are true PCM sample statistics") {
+    // 16-bit mono, 6 samples; dim = 6 → chunk of 1 → each feature is
+    // (sample + 32768) % 1009 exactly
+    val mono = Array(Array(-32768, -1, 0, 1, 1000, 32767))
+    val fMono = Multimodal.decodeFeatures(wav(mono, 16), dim = 6)
+    assert(fMono.toSeq == mono(0).toSeq.map(s => ((s + 32768) % 1009).toFloat))
+
+    // stereo mono-mix: integer mean of the two channels per frame
+    val left = Array(0, 1000, -1000, 32767)
+    val right = Array(100, -1000, 3000, 32767)
+    val expectedMix = left.zip(right).map { case (l, r) =>
+      (((l + 32768).toLong + (r + 32768).toLong) / 2).toInt }
+    val fStereo = Multimodal.decodeFeatures(wav(Array(left, right), 16), dim = 4)
+    assert(fStereo.toSeq == expectedMix.toSeq.map(s => (s % 1009).toFloat))
+
+    // 8-bit unsigned scales to the same [0, 65535] basis (<< 8)
+    val eight = Array(Array(0, 1, 128, 255))
+    val fEight = Multimodal.decodeFeatures(wav(eight, 8), dim = 4)
+    assert(fEight.toSeq == eight(0).toSeq.map(s => ((s << 8) % 1009).toFloat))
+  }
+
+  test("WAV decode falls back cleanly on malformed/truncated/non-PCM payloads") {
+    val good = wav(Array(Array(1, 2, 3, 4)), 16)
+    // truncated mid-data: the chunk walk sees an over-long size → fallback
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 3)
+    assert(Multimodal.tryDecodeWav(truncated).isEmpty)
+    assert(Multimodal.decodeFeatures(truncated, 4).toSeq ==
+      Multimodal.decodeStub(truncated, 4).toSeq)
+    // RIFF-looking text junk: gate passes, parse fails, fallback
+    val junk = ("RIFF1234WAVEthis is not really audio at all" * 2).getBytes
+    assert(Multimodal.tryDecodeWav(junk).isEmpty)
+    // IEEE-float format id (3) is out of scope → fallback, not garbage
+    val floatFmt = good.clone()
+    floatFmt(20) = 3 // fmt chunk's audio_format low byte
+    assert(Multimodal.tryDecodeWav(floatFmt).isEmpty)
+    // and the real thing still decodes after all that
+    assert(Multimodal.tryDecodeWav(good).exists(_.toSeq ==
+      Seq(1 + 32768, 2 + 32768, 3 + 32768, 4 + 32768)))
+  }
 }
