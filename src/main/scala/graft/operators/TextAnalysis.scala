@@ -443,35 +443,66 @@ object TextAnalysis {
     * leaving one exchange of a row per doc. Corpus text never shuffles.
     */
   def bigramSurprisal(docs: DataFrame, minCount: Long,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(minCount >= 1, s"bigramSurprisal: minCount must be ≥ 1, got $minCount")
-    val toks = graft.functions.OptimizerFence(
-      split(Dedup.normalize(col(textCol)), " "))
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
-    val terms = base.select(col("doc_id"), explode(col("toks")).as("term"))
-    val c1 = terms.groupBy(col("term")).agg(count(lit(1)).as("c1"))
-    val tot = c1.agg(sum(col("c1")).as("n_tok"))
-    val bigrams = base.select(col("doc_id"),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    scoreBigramSurprisal(docs, bigramModel(docs, minCount, textCol),
+      textCol, idCol)
+
+  /** The trained half of [[bigramSurprisal]], reusable across corpora and
+    * micro-batches: the pruned conditional table, the pruned vocabulary
+    * backoff table, and the per-gram knobs. Both tables are
+    * minCount-pruned (Zipf-small) and broadcast at scoring time. Train on
+    * a REFERENCE corpus once, then score anything — including a stream,
+    * one micro-batch at a time ([[graft.streaming.StatefulOps]]).
+    */
+  final case class BigramModel(model: DataFrame, uni: DataFrame, minCount: Long)
+
+  private def tokArray(textCol: String) = graft.functions.OptimizerFence(
+    split(Dedup.normalize(col(textCol)), " "))
+
+  private def bigramsOf(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
       explode(zip_with(
         slice(col("toks"), lit(1), size(col("toks")) - 1),
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val model = bigrams.groupBy(col("w1"), col("w2"))
+
+  def bigramModel(docs: DataFrame, minCount: Long,
+      textCol: String = "text"): BigramModel = {
+    require(minCount >= 1, s"bigramModel: minCount must be ≥ 1, got $minCount")
+    val base = docs.select(lit(0L).as("doc_id"), tokArray(textCol).as("toks"))
+    val c1 = base.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).as("n_tok"))
+    val model = bigramsOf(base).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
       .where(col("c2") >= minCount)
       .join(c1.withColumnRenamed("term", "w1"), Seq("w1"))
       .select(col("w1"), col("w2"), expr("(10000 * c1) div c2").as("r"))
     val uni = c1.where(col("c1") >= minCount)
-      .crossJoin(broadcast(tot))
-      .select(col("term").as("w2"), expr("10 * ((10000 * n_tok) div c1)").as("rb"))
-    val scored = bigrams
-      .join(broadcast(model), Seq("w1", "w2"), "left")
-      .join(broadcast(uni), Seq("w2"), "left")
-      .crossJoin(broadcast(tot))
+      .crossJoin(tot)
+      .select(col("term").as("w2"), expr("10 * ((10000 * n_tok) div c1)").as("rb"),
+        expr("10 * ((10000 * n_tok) div " + minCount + ")").as("oov"))
+    BigramModel(model, uni, minCount)
+  }
+
+  /** The scoring half of [[bigramSurprisal]]: every bigram of `docs`
+    * scored against a (possibly foreign-corpus) model. The OOV default
+    * rides the uni table's `oov` column (a constant derived from the
+    * TRAINING corpus total — the model owns its smoothing), pulled via
+    * an eager 1-row first() so the scoring plan stays broadcast-only.
+    */
+  def scoreBigramSurprisal(docs: DataFrame, m: BigramModel,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokArray(textCol).as("toks"))
+    val oovDefault = m.uni.select(col("oov")).limit(1).collect()
+      .headOption.map(_.getLong(0))
+      .getOrElse(0L) // empty training corpus: vocab empty, every gram OOV-scored 0
+    val scored = bigramsOf(base)
+      .join(broadcast(m.model), Seq("w1", "w2"), "left")
+      .join(broadcast(m.uni.select(col("w2"), col("rb"))), Seq("w2"), "left")
       .select(col("doc_id"),
-        coalesce(col("r"), col("rb"),
-          expr(s"10 * ((10000 * n_tok) div $minCount)")).as("r"))
+        coalesce(col("r"), col("rb"), lit(oovDefault)).as("r"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nb"), sum(col("r")).as("surp_sum_e4"))
     // docs with < 2 tokens produce no bigram rows — restore them as

@@ -240,6 +240,44 @@ object StatefulOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Streaming perplexity gate — CCNet's LM filter as a stream stage:
+    * score each arriving micro-batch against a BATCH-TRAINED bigram
+    * model ([[graft.operators.TextAnalysis.bigramModel]] over a
+    * reference corpus; the t15/p05 scoring, unchanged) and keep docs at
+    * or under `capE4` (surp_mean_e4 units; compute it from the reference
+    * corpus like p05's 2×-mean). Runs in foreachBatch because the
+    * scoring pass aggregates per doc — inside a micro-batch that is a
+    * plain bounded aggregation, no stream state, and the model tables
+    * broadcast per batch exactly like [[enrich]]'s dimension. Docs with
+    * no bigrams (nb = 0) are dropped as unscoreable, CCNet's treatment
+    * of too-short lines. At-least-once into the parquet sink
+    * (checkpointed foreachBatch), same envelope as [[curationSink]].
+    */
+  def surprisalGateSink(
+      docs: DataFrame, model: graft.operators.TextAnalysis.BigramModel,
+      capE4: Long, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the model tables for the stream's lifetime: they are lazy
+    // aggregations over the reference corpus, and without the persist
+    // every micro-batch would re-tokenize and re-count the whole
+    // reference — the d17/p03 persist rule applied to streaming
+    model.model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = graft.operators.TextAnalysis
+          .scoreBigramSurprisal(batch.toDF(), model, textCol, idCol)
+          .where(col("nb") > 0 && col("surp_mean_e4") <= capE4)
+          .select(col("doc_id").as(idCol))
+        batch.toDF().join(kept, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Stream-static enrichment: join each micro-batch against a small
     * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
     * static side is planned per micro-batch (a broadcast hash join inside

@@ -152,6 +152,47 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("surprisalGateSink: streamed gate ≡ the batch t15 filter at the same cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_surp_gate")
+    // reference corpus: ordinary sentences; the model is trained ONCE here
+    val reference = Seq.tabulate(40) { i =>
+      (i.toLong, s"the quick brown fox number $i jumps over the lazy dog and runs on")
+    }.toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.bigramModel(reference, minCount = 4)
+    // cap from the reference distribution, p05's 2×-mean rule
+    val cap = 2 * (graft.operators.TextAnalysis
+      .scoreBigramSurprisal(reference, model)
+      .where(org.apache.spark.sql.functions.col("nb") > 0)
+      .agg(org.apache.spark.sql.functions.expr("sum(surp_mean_e4) div count(1)"))
+      .head.getLong(0))
+    val arriving = Seq(
+      (100L, "the quick brown fox number one jumps over the lazy dog and runs on"), // in-dist
+      (101L, "zxq vvw qqj mmzk aleph xyzzy plugh grue wumpus farble garble snark"), // OOV gibberish
+      (102L, "tiny"),                                                               // no bigrams
+      (103L, "the quick brown fox number two jumps over the lazy dog and runs on"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StatefulOps.surprisalGateSink(
+      stream.toDS().toDF("doc_id", "text"), model, cap,
+      s"$tmp/out", s"$tmp/cp")
+    try {
+      stream.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().sorted
+      // batch truth: same model, same cap, same filter over the same docs
+      val batchKept = graft.operators.TextAnalysis
+        .scoreBigramSurprisal(arriving.toDF("doc_id", "text"), model)
+        .where(org.apache.spark.sql.functions.col("nb") > 0 &&
+          org.apache.spark.sql.functions.col("surp_mean_e4") <= cap)
+        .select("doc_id").as[Long].collect().sorted
+      assert(streamed.sameElements(batchKept), s"streamed=${streamed.toSeq} batch=${batchKept.toSeq}")
+      // and the gate did real work: in-dist kept, gibberish + no-bigram dropped
+      assert(streamed.contains(100L) && streamed.contains(103L))
+      assert(!streamed.contains(101L) && !streamed.contains(102L))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("us", "United States"), ("de", "Germany")).toDF("cc", "country")
