@@ -293,9 +293,12 @@ object Bench {
         val t1 = once(work)
         if (t1 >= 60.0) t1 else math.min(t1, once(work))
       }
+      // d11b and d17 join the probe (r8): their linear designs (8-byte
+      // span keys / single corpus shuffle) had only plan-shape arguments;
+      // p02 embeds d17 but measures the composition, not the operator
       val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
         "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
-        "d19_quality_survivors")
+        "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub")
       val oneX = results.toMap
       val entryStats = probeEntries.map { name =>
         val tN = robust(SparkEntry.queries(name)(spark, tmp)
@@ -304,16 +307,18 @@ object Bench {
         System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
         (name, tN, t1)
       }
-      // two LSH configs, because the probe's first run showed exactly the
-      // tradeoff SemPairGen.Lsh's scaladoc predicts: the low-threshold
-      // recall config (4 planes × 16 tables = 16 buckets/table) has bucket
-      // occupancy ∝ n, so candidate pairs grow ∝ n²/16 — measured 34× at
-      // 10× data. The scale config (12 planes × 4 tables = 4096
-      // buckets/table) bounds occupancy and scales near-linearly; it is
-      // the right setting for SemDeDup's production regime (near-identical
-      // content), while 4×16 buys ≥0.95 recall at LOW thresholds on
-      // bounded corpora. Both are emitted so the nonlinearity stays named
-      // and measured, not hidden by a config change.
+      // three LSH configs. The first probe round (r7) measured exactly
+      // the tradeoff SemPairGen.Lsh's scaladoc predicts: a FIXED
+      // low-plane recall config (4 planes × 16 tables = 16 buckets/table)
+      // has bucket occupancy ∝ n, so candidate pairs grow ∝ n²/16 —
+      // measured 39× at 10× data — while occupancy-bounded configs (12×4)
+      // scale near-linearly (2.02×). r8 made occupancy-bounding the
+      // DEFAULT: SemPairGen.Lsh() now auto-sizes planes from a corpus
+      // count probe (Similarity.lshAutoPlanes), so `sem_lsh_default_auto`
+      // probes what a caller of semanticDedup-with-defaults actually gets
+      // and must stay near-linear. The fixed 4×16 entry is kept so the
+      // quadratic stays named and measured — it is the escape hatch for
+      // low-threshold recall on bounded corpora, not the default.
       def semBlocked(dir: String, planes: Int, tables: Int): Unit =
         graft.operators.Dedup.semanticDedup(
           graft.sources.Tables.load(spark, dir, "embeddings")
@@ -321,7 +326,8 @@ object Bench {
           threshold = 0.45,
           pairGen = graft.operators.Dedup.SemPairGen.Lsh(planes, tables))
           .write.format("noop").mode("overwrite").save()
-      val semStats = Seq(("sem_lsh_recall_cfg_4x16", 4, 16),
+      val semStats = Seq(("sem_lsh_default_auto", 0, 16),
+        ("sem_lsh_recall_cfg_4x16", 4, 16),
         ("sem_lsh_scale_cfg_12x4", 12, 4)).map { case (name, planes, tables) =>
         val t1 = robust(semBlocked(sfDir, planes, tables))
         val tN = robust(semBlocked(tmp, planes, tables))

@@ -902,20 +902,30 @@ object Dedup {
     /** Random-hyperplane LSH bucketing + exact-cosine verify
       * (`Similarity.lshCosinePairs`) — the scale default: signatures are
       * map-only, only (table, bucket, id) tuples shuffle, candidates are
-      * per-bucket. Defaults (4 planes × 16 tables) are tuned for recall at
-      * LOW thresholds (collision p per plane is 1 − θ/π ≈ 0.65 at
-      * cos 0.45, so per-pair recall 1−(1−p⁴)¹⁶ ≈ 0.96; measured ≥0.95 of
-      * the dropped set vs the exact path on the sf0.01 corpus — catalog
-      * entry d15 self-checks this). The recall comes at a SCALING price:
-      * 16 buckets/table means occupancy ∝ n and candidates ∝ n²/16 —
-      * Bench's scale_probe measured 34× wall-time at 10× corpus for this
-      * config. At SemDeDup's production regime (near-identical content,
-      * cosine ≥0.9) the same recall holds with far more planes per table
-      * (12×4: 4096 buckets/table, measured near-linear in the same
-      * probe), which is what a 100 TB run should use — more planes =
-      * smaller buckets = fewer candidates.
+      * per-bucket.
+      *
+      * `nPlanes = 0` (the default) AUTO-SIZES the plane count from a
+      * corpus count probe: `nPlanes = max(4, ceil(log2(n / 32)))`
+      * ([[Similarity.lshAutoPlanes]]), so expected bucket occupancy stays
+      * ≤ ~32 regardless of corpus size and candidate pairs grow ∝ n, not
+      * n². A FIXED plane count is the scaling hazard this retires:
+      * Bench's scale_probe measured the old fixed 4×16 default (16
+      * buckets/table, occupancy ∝ n, candidates ∝ n²/16) at 39× wall-time
+      * for 10× data, vs ~2× for occupancy-bounded configs.
+      *
+      * Recall under auto-sizing: collision p per plane is 1 − θ/π, so
+      * per-pair recall is 1 − (1 − p^planes)^tables. At SemDeDup's
+      * production regime (near-identical content, cosine ≥ 0.9,
+      * p ≈ 0.86) recall stays ≥ 0.95 through planes = 11 at the default
+      * 16 tables — auto-sizing is recall-safe where SemDeDup actually
+      * operates. At LOW thresholds (cos 0.45, p ≈ 0.65) recall decays as
+      * planes grow past 4 — that regime is fundamentally n^(1+ρ) for LSH
+      * at fixed recall, so on a BOUNDED corpus that needs low-threshold
+      * recall, pass an explicit `Lsh(4, 16)` (recall 1−(1−p⁴)¹⁶ ≈ 0.96 at
+      * cos 0.45; measured ≥0.95 dropped-set recall — catalog d15
+      * self-checks the default path at sf0.01, where the auto size IS 4).
       */
-    final case class Lsh(nPlanes: Int = 4, nTables: Int = 16) extends SemPairGen
+    final case class Lsh(nPlanes: Int = 0, nTables: Int = 16) extends SemPairGen
     /** IVF-cell blocking (`Similarity.ivfCellPairs`) — SemDeDup's own
       * k-means-cell shape: multi-probe nearest-cell assignment is map-only
       * against a broadcast centroid matrix, candidates pair within cells,
@@ -951,7 +961,14 @@ object Dedup {
       case SemPairGen.Exact =>
         embeddingNearDups(emb, vecCol, idCol, threshold)
       case SemPairGen.Lsh(nPlanes, nTables) =>
-        Similarity.lshCosinePairs(emb, threshold, nPlanes, nTables, vecCol, idCol)
+        // nPlanes = 0 → auto-size from a corpus count probe. The count is
+        // one parquet-metadata-cheap scan of the id column, paid once per
+        // semanticDedup call, and is what keeps bucket occupancy bounded
+        // (candidates ∝ n) at any corpus size — see SemPairGen.Lsh.
+        val planes =
+          if (nPlanes > 0) nPlanes
+          else Similarity.lshAutoPlanes(emb.select(idCol).count())
+        Similarity.lshCosinePairs(emb, threshold, planes, nTables, vecCol, idCol)
       case SemPairGen.IvfCell(centroidMod, nProbe) =>
         Similarity.ivfCellPairs(emb, threshold, centroidMod, nProbe,
           vecCol = vecCol, idCol = idCol)

@@ -247,6 +247,22 @@ object Similarity {
     planeBits.reduce(_ + _)
   }
 
+  /** Plane count that bounds expected LSH bucket occupancy at
+    * `targetOccupancy` for an `n`-vector corpus: 2^planes buckets per
+    * table ≥ n / targetOccupancy, floored at 4 planes (16 buckets) so
+    * tiny corpora keep the high-recall low-threshold design point.
+    * Candidate pairs per table are then ∝ n · targetOccupancy — linear in
+    * the corpus — instead of the ∝ n² / 2^planes a fixed plane count
+    * degrades to. Used by `Dedup.SemPairGen.Lsh`'s auto default; recall
+    * consequences are documented there.
+    */
+  def lshAutoPlanes(n: Long, targetOccupancy: Int = 32): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
+    val needed = math.ceil(math.log(math.max(1L, n).toDouble / targetOccupancy)
+      / math.log(2.0)).toInt
+    math.max(4, needed)
+  }
+
   /** LSH-bucketed candidate near pairs: same nPlanes-bit signature bucket
     * → candidate; verify with exact cosine ≥ threshold. Multi-probe via
     * `nTables` independent plane families reduces misses.

@@ -583,6 +583,10 @@ object DataOps {
     // one summary row with the dropped-set recall and a pass flag
     // (recall ≥ 0.95). No SQL oracle (LSH buckets hash engine-side), but
     // the invariant is embedded in the output — `pass` must read true.
+    // The default pair gen auto-sizes planes from a count probe (r8); at
+    // this corpus size (n=500, sf0.01) the auto size resolves to the
+    // 4-plane low-threshold design point, so the measured recall here is
+    // the same bounded-corpus guarantee as before the auto default.
     "d15_semantic_dedup_blocked" -> Q(
       (s, dir) => {
         val emb = tp(s, dir, "embeddings")
@@ -1210,14 +1214,17 @@ object DataOps {
     "t12_unk_rewrite" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")
-        TextAnalysis.unkRewrite(docs, minCount = docs.count() / 10)
+        // clamped like every other minCount site: a sub-10-doc corpus
+        // yields 0 otherwise (threshold 0 keeps everything — harmless for
+        // unkRewrite, but the ≥1 invariant should be uniform)
+        TextAnalysis.unkRewrite(docs, minCount = math.max(1L, docs.count() / 10))
       },
       Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents)
              |SELECT doc_id, rewritten, n_unk FROM tk, (
              |  SELECT list(term ORDER BY term) AS ks FROM (
              |    SELECT term FROM (SELECT unnest(toks) AS term FROM tk)
              |    GROUP BY term
-             |    HAVING count(*) >= (SELECT count(*) // 10 FROM documents))) k,
+             |    HAVING count(*) >= (SELECT greatest(1, count(*) // 10) FROM documents))) k,
              |  LATERAL (SELECT
              |    coalesce(array_to_string([CASE WHEN list_contains(coalesce(k.ks, []), t)
              |                              THEN t ELSE '<unk>' END FOR t IN tk.toks], ' '), '') AS rewritten,
@@ -1598,7 +1605,7 @@ object DataOps {
     "p03_quality_curation_pipeline" -> Q(
       (s, dir) => {
         val corpus = docsWithNearDups(s, dir)
-        val minCount = tp(s, dir, "documents").count() / 10
+        val minCount = math.max(1L, tp(s, dir, "documents").count() / 10)
         val keepIds = TextAnalysis.c4Filters(corpus, minToks = 15)
           .where(col("keep")).select("doc_id")
         // the gated corpus feeds five consumers (pair gen, quality, the
@@ -1691,7 +1698,7 @@ object DataOps {
              |  SELECT list(term ORDER BY term) AS ks FROM (
              |    SELECT term FROM (SELECT unnest(toks) AS term FROM surv)
              |    GROUP BY term
-             |    HAVING count(*) >= (SELECT count(*) // 10 FROM documents))),
+             |    HAVING count(*) >= (SELECT greatest(1, count(*) // 10) FROM documents))),
              |rw AS (
              |  SELECT doc_id,
              |    coalesce(array_to_string([CASE WHEN list_contains(coalesce(k.ks, []), t)

@@ -162,6 +162,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(n - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("lshAutoPlanes: occupancy-bounded plane count, floored at 4") {
+    // floor: tiny corpora keep the 4-plane low-threshold design point
+    assert(Similarity.lshAutoPlanes(0L) == 4)
+    assert(Similarity.lshAutoPlanes(1L) == 4)
+    assert(Similarity.lshAutoPlanes(500L) == 4)   // sf0.01 — d15's regime
+    assert(Similarity.lshAutoPlanes(512L) == 4)
+    // growth: 2^planes buckets >= n / 32, so occupancy stays <= ~32
+    assert(Similarity.lshAutoPlanes(2000L) == 6)   // sf0.1
+    assert(Similarity.lshAutoPlanes(20000L) == 10) // bench 10x probe
+    assert(Similarity.lshAutoPlanes(1000000L) == 15)
+    (Seq(500L, 2000L, 20000L, 1000000L, 1000000000L)).foreach { n =>
+      val p = Similarity.lshAutoPlanes(n)
+      assert(n.toDouble / math.pow(2, p) <= 32.0 + 1e-9,
+        s"occupancy bound violated at n=$n planes=$p")
+    }
+  }
+
   test("int8 quantization: saturation, zero vector, negative half-up") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f)),     // max|v|=1 -> scale 127: ±127, 64 (63.5 rounds up)

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** The minCount-deriving catalog entries compute thresholds as
+  * `max(1, docCount/10)` — on a sub-10-doc corpus the unclamped form is 0,
+  * which trips the `require(minCount >= 1)` in rarity/bigram/trigram and
+  * silently keeps-everything in unkRewrite. Pin that EVERY such entry runs
+  * a ≤9-doc corpus end-to-end without tripping a require.
+  */
+class TinyCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val tinyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny_sf").toString
+    val docs = spark.range(6).select(
+      col("id").as("doc_id"),
+      concat(lit("the quick brown fox jumps over the lazy dog line "),
+        col("id").cast("string")).as("text"),
+      lit("en").as("lang"),
+      lit("web").as("source"))
+    docs.withColumn("n_chars", length(col("text")).cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  for (name <- Seq("t12_unk_rewrite", "t13_rarity_score",
+    "t15_bigram_surprisal", "t16_trigram_surprisal",
+    "p03_quality_curation_pipeline", "p05_perplexity_curation_pipeline"))
+    test(s"$name runs a 6-doc corpus without tripping a minCount require") {
+      val out = graft.SparkEntry.queries(name)(spark, tinyDir)
+      assert(out.count() >= 0) // materialize — the invariant is "no throw"
+    }
+}
