@@ -120,4 +120,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$table/v=1").exists())
     assert(!orphan.exists())
   }
+
+  test("publish succeeds on a scheme with no AbstractFileSystem binding (delete+rename fallback)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.noafs.impl", classOf[NoAfsFileSystem].getName)
+    conf.setBoolean("fs.noafs.impl.disable.cache", true)
+    // sanity: FileContext must actually reject the scheme, or this test
+    // exercises the atomic path instead of the fallback
+    intercept[org.apache.hadoop.fs.UnsupportedFileSystemException] {
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        java.net.URI.create("noafs:///"), conf)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_noafs")
+    val table = s"noafs://$dir/corpus"
+    val v1 = Layout.publishVersion(Seq((1L, "a")).toDF("id", "txt"), table)
+    val v2 = Layout.publishVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "txt"), table)
+    assert(v1 == 1 && v2 == 2 && Layout.latestVersion(spark, table).contains(2))
+    assert(Layout.readVersion(spark, table).count() == 2)
+    assert(Layout.readVersion(spark, table, Some(1)).count() == 1)
+  }
+
+  test("manifest swing clears a stale checksum sidecar; checksummed local reader stays clean") {
+    val table = s"${java.nio.file.Files.createTempDirectory("graft_crc")}/corpus"
+    Layout.publishVersion(Seq((1L, "a")).toDF("id", "txt"), table)
+    // simulate the pre-raw-IO world: a sidecar left by a checksummed
+    // manifest write, describing bytes the next swing will replace
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(s"$table/_VERSIONS")
+    val crc = lfs.getChecksumFile(m)
+    val out = lfs.getRawFileSystem.create(crc, true)
+    out.write(Array[Byte](1, 2, 3, 4)); out.close()
+    Layout.publishVersion(Seq((2L, "b")).toDF("id", "txt"), table)
+    assert(!lfs.getRawFileSystem.exists(crc), "stale .crc sidecar must be dropped")
+    // a reader going through the DEFAULT checksummed LocalFileSystem —
+    // external tooling, not our raw-IO path — must not ChecksumException
+    val in = lfs.open(m)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    assert(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq == Seq("1", "2"))
+  }
+}
+
+/** A local-disk FileSystem under a scheme with NO AbstractFileSystem
+  * binding — the object-store-connector shape Layout's manifest swing must
+  * degrade gracefully on (FileContext.getFileContext throws
+  * UnsupportedFileSystemException for it).
+  */
+class NoAfsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "noafs"
+  override def getUri: java.net.URI = java.net.URI.create("noafs:///")
 }
