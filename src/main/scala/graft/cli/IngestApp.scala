@@ -34,7 +34,8 @@ import graft.streaming.StreamingIngest
   * Sinks: `parquet` (K4 parity: insert_date + month partitioning), `jdbc`
   * (K1 parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
   * relay to a remote FileBuf server; `--sink-port`), `kafka-lite` (K2
-  * native producer relay; `--sink-topic`, `--compress gzip|none`),
+  * native producer relay; `--sink-topic`, `--compress
+  * none|gzip|snappy|lz4|zstd`),
   * `console` (dev). `--mode batch` reads `--input` as a static
   * text directory and writes once — same pipeline, bounded input.
   * `--dead-letter` persists rejected raw lines (delivers the reference's
@@ -166,11 +167,7 @@ object IngestApp {
             StreamingIngest.kafkaLiteSink(lines, need("brokers"),
               need("sink-topic"), checkpoint, produceBatch = batchSize,
               dialect = opts.getOrElse("dialect", "modern"),
-              gzipProduce = opts.get("compress") match {
-                case None | Some("none") => false
-                case Some("gzip") => true
-                case Some(other) => sys.error(s"unknown --compress codec: $other")
-              })
+              produceCodec = opts.getOrElse("compress", "none"))
               .trigger(Trigger.ProcessingTime(triggerMs))
           case other => sys.error(s"unknown sink: $other")
         }

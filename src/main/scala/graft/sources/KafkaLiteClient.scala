@@ -141,17 +141,19 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     * accepting it would wedge every future consumer of that offset, and
     * the producer is the only place the error is still cheap.
     */
-  /** `gzipCompress` gzips the produced batch (modern dialect only — the
-    * legacy wrapper-message encode is deliberately out of scope; its
-    * brokers predate every cluster this would deploy to). The size fence
-    * checks the UNCOMPRESSED record: a fetched batch must fit the
+  /** `codec` ([[KafkaWire.codecId]]: none/gzip/snappy/lz4/zstd) compresses
+    * the produced batch (modern dialect only — the legacy wrapper-message
+    * encode is deliberately out of scope; its brokers predate every
+    * cluster this would deploy to; note zstd additionally needs a broker
+    * accepting it on the negotiated produce version, KIP-110). The size
+    * fence checks the UNCOMPRESSED record: a fetched batch must fit the
     * contract even if the log hands it back uncompressed or recompressed.
     */
   def produce(topic: String, partition: Int,
       records: Seq[(Array[Byte], Array[Byte])], timeoutMs: Int = 10000,
-      gzipCompress: Boolean = false): Long = {
-    require(!gzipCompress || modern,
-      "kafka-lite: gzip produce requires the modern dialect")
+      codec: Int = KafkaWire.CodecNone): Long = {
+    require(codec == KafkaWire.CodecNone || modern,
+      "kafka-lite: compressed produce requires the modern dialect")
     records.foreach { case (k, v) =>
       val sz = (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length) +
         resolvedDialect.recordOverheadBytes
@@ -161,7 +163,7 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     }
     val resp = roundTrip(KafkaWire.ApiProduce,
       if (modern) KafkaWire.encodeProduceRequestV3(topic, partition, records,
-        acks = 1, timeoutMs, gzipCompress = gzipCompress)
+        acks = 1, timeoutMs, codec = codec)
       else KafkaWire.encodeProduceRequest(topic, partition, records, acks = 1, timeoutMs))
     if (modern) KafkaWire.decodeProduceResponseV3(resp)
     else KafkaWire.decodeProduceResponse(resp)

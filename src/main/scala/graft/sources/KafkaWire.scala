@@ -43,11 +43,12 @@ import java.util.zip.{CRC32, CRC32C}
   *    (len -1 = null); array = int32 count ++ elements
   *  - message set v0 = repeat [offset int64, msg_size int32, crc uint32,
   *    magic int8 = 0, attributes int8, key bytes, value bytes], crc
-  *    over magic..value. Attribute bits 0-2 = compression codec; a gzip
-  *    message is a WRAPPER whose value holds a nested inner set (decoded
-  *    transparently; snappy/lz4/zstd fail with a named error — they need
-  *    native libs this build avoids). Fetch responses may truncate the
-  *    final message — decoders must stop at the first incomplete entry.
+  *    over magic..value. Attribute bits 0-2 = compression codec; a
+  *    compressed message is a WRAPPER whose value holds a nested inner
+  *    set — all four codecs (gzip/snappy/lz4/zstd) decode transparently,
+  *    behind a decompressed-size bomb fence. Fetch responses may truncate
+  *    the final message — decoders must stop at the first incomplete
+  *    entry.
   *  - record batch v2 = [base_offset int64, batch_length int32,
   *    partition_leader_epoch int32, magic int8 = 2, crc uint32 (CRC32C
   *    over attributes..end), attributes int16, last_offset_delta int32,
@@ -58,9 +59,9 @@ import java.util.zip.{CRC32, CRC32C}
   *    value varint-bytes, header_count varint, headers…] with every
   *    varint/varlong ZIGZAG-encoded. Batch attribute bits 0-2 = codec:
   *    the records section (not the header) is compressed as one blob —
-  *    gzip decoded natively, others named-and-rejected. A fetch response
-  *    may truncate the final batch — decoders stop at the first
-  *    incomplete one.
+  *    gzip/snappy/lz4/zstd all decoded natively behind the bomb fence;
+  *    reserved ids named-and-rejected. A fetch response may truncate the
+  *    final batch — decoders stop at the first incomplete one.
   */
 private[graft] object KafkaWire {
 
@@ -306,20 +307,20 @@ private[graft] object KafkaWire {
         val value = r.bytes()
         attributes & 0x07 match {
           case 0 => out += Record(offset, key, value)
-          case 1 =>
-            // gzip WRAPPER message: the value is a whole inner message set.
-            // A magic-0 broker stamps the wrapper with the offset of the
-            // LAST inner message while the inner set keeps its produce-time
-            // indices 0..n-1 — remap so consumers see absolute offsets.
-            val inner = decodeMessageSet(gunzip(value))
+          case codec =>
+            // compressed WRAPPER message: the value is a whole inner
+            // message set (any of the four codecs — Lz4Frame accepts the
+            // legacy broken-HC frames magic-0 producers wrote). A magic-0
+            // broker stamps the wrapper with the offset of the LAST inner
+            // message while the inner set keeps its produce-time indices
+            // 0..n-1 — remap so consumers see absolute offsets.
+            val inner = decodeMessageSet(
+              decompress(codec, value, s"wrapper message at offset $offset"))
             val n = inner.size
             inner.zipWithIndex.foreach { case (rec, i) =>
               val abs = if (offset >= n - 1) offset - (n - 1) + i else rec.offset
               out += Record(abs, rec.key, rec.value)
             }
-          case c => throw new java.io.IOException(
-            s"message at offset $offset uses unsupported compression " +
-              s"'${CodecNames.getOrElse(c, c.toString)}' (kafka-lite decodes none/gzip)")
         }
         pos += 12 + size // offset(8) + size-field(4) + message(size)
       }
@@ -330,24 +331,89 @@ private[graft] object KafkaWire {
   // ---- compression (both dialects) ---------------------------------------
 
   /** Codec ids from the attributes field (same 3-bit table in magic 0 and
-    * magic 2). GZIP is decodable with the JDK; the rest need native libs
-    * this build intentionally avoids, so they fail with a NAMED error
+    * magic 2). All four Kafka codecs decode natively: gzip via the JDK,
+    * snappy (xerial stream framing — what Kafka's CompressionType wraps)
+    * and zstd via the public libraries Spark itself ships at
+    * /opt/spark/jars, lz4 via the hand-rolled Kafka frame walk in
+    * [[Lz4Frame]]. Reserved codec ids (5-7) fail with a NAMED error
     * instead of mis-parsing compressed bytes as record framing.
     */
-  private val CodecNames = Map(1 -> "gzip", 2 -> "snappy", 3 -> "lz4", 4 -> "zstd")
+  val CodecNone = 0; val CodecGzip = 1; val CodecSnappy = 2
+  val CodecLz4 = 3; val CodecZstd = 4
+  private val CodecNames =
+    Map(1 -> "gzip", 2 -> "snappy", 3 -> "lz4", 4 -> "zstd")
 
-  private def gunzip(data: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(data), 64 * 1024)
-    try in.readAllBytes() finally in.close()
+  /** Attribute codec id for a CLI/config codec name. */
+  def codecId(name: String): Int = name match {
+    case "none" => CodecNone
+    case "gzip" => CodecGzip
+    case "snappy" => CodecSnappy
+    case "lz4" => CodecLz4
+    case "zstd" => CodecZstd
+    case other => throw new IllegalArgumentException(
+      s"unknown kafka codec '$other' (none|gzip|snappy|lz4|zstd)")
   }
 
-  private def gzip(data: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    val out = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
-    out.write(data); out.close()
-    bos.toByteArray
+  /** Decompressed-size fence for every codec: a compressed section that
+    * fits the 64 MiB wire MaxResponseBytes can claim arbitrary expansion
+    * (decompression bomb from a hostile or misconfigured broker), so the
+    * decode side streams with a hard output cap instead of trusting the
+    * claimed size.
+    */
+  val MaxDecompressedBytes: Int = 64 * 1024 * 1024
+
+  private def readCapped(in: java.io.InputStream, what: String): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > MaxDecompressedBytes)
+          throw new java.io.IOException(s"$what decompressed past the " +
+            s"$MaxDecompressedBytes-byte fence (decompression bomb?)")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+
+  private[sources] def decompress(codec: Int, data: Array[Byte],
+      where: String): Array[Byte] = codec match {
+    case CodecNone => data
+    case CodecGzip => readCapped(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data), 64 * 1024), s"gzip $where")
+    case CodecSnappy => readCapped(new org.xerial.snappy.SnappyInputStream(
+      new java.io.ByteArrayInputStream(data)), s"snappy $where")
+    case CodecLz4 => Lz4Frame.decompress(data, MaxDecompressedBytes)
+    case CodecZstd => readCapped(new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(data)), s"zstd $where")
+    case c => throw new java.io.IOException(
+      s"$where uses unsupported compression " +
+        s"'${CodecNames.getOrElse(c, c.toString)}' " +
+        "(kafka-lite decodes none/gzip/snappy/lz4/zstd)")
   }
+
+  private[sources] def compress(codec: Int, data: Array[Byte]): Array[Byte] =
+    codec match {
+      case CodecNone => data
+      case CodecGzip =>
+        val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+        val out = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+        out.write(data); out.close()
+        bos.toByteArray
+      case CodecSnappy =>
+        val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+        val out = new org.xerial.snappy.SnappyOutputStream(bos)
+        out.write(data); out.close()
+        bos.toByteArray
+      case CodecLz4 => Lz4Frame.compress(data)
+      case CodecZstd =>
+        val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+        val out = new com.github.luben.zstd.ZstdOutputStream(bos)
+        out.write(data); out.close()
+        bos.toByteArray
+      case c => throw new IllegalArgumentException(s"unknown codec id $c")
+    }
 
   // ---- record batch v2 (magic 2) -----------------------------------------
 
@@ -364,12 +430,12 @@ private[graft] object KafkaWire {
     * framing: re-stamping is one int64 write, not a re-CRC of every
     * record). Timestamps are -1 (the schema exposes no timestamp column;
     * -1 is the wire's "no timestamp" sentinel, what a CreateTime batch
-    * from a timestamp-less producer carries). `gzipCompress` gzips the
-    * records section (codec 1 in the attributes bits — the batch header
+    * from a timestamp-less producer carries). `codec` compresses the
+    * records section (codec id in the attributes bits — the batch header
     * through record_count stays uncompressed per the spec).
     */
   def encodeRecordBatch(records: Seq[(Array[Byte], Array[Byte])],
-      baseOffset: Long = 0L, gzipCompress: Boolean = false): Array[Byte] = {
+      baseOffset: Long = 0L, codec: Int = CodecNone): Array[Byte] = {
     require(records.nonEmpty, "a v2 record batch cannot be empty")
     val recs = new Writer(records.size * 64)
     records.zipWithIndex.foreach { case ((key, value), i) =>
@@ -384,10 +450,10 @@ private[graft] object KafkaWire {
       recs.varint(recBytes.length)
       recs.raw(recBytes)
     }
-    val recordsSection = if (gzipCompress) gzip(recs.toBytes) else recs.toBytes
+    val recordsSection = compress(codec, recs.toBytes)
     val body = new Writer(64 + recordsSection.length)
     // CRC'd region: attributes .. records
-    body.int16(if (gzipCompress) 1 else 0)     // attributes: codec bits, CreateTime
+    body.int16(codec.toShort)                  // attributes: codec bits, CreateTime
     body.int32(records.size - 1)               // last_offset_delta
     body.int64(-1L)                            // base_timestamp
     body.int64(-1L)                            // max_timestamp
@@ -422,7 +488,18 @@ private[graft] object KafkaWire {
       val head = ByteBuffer.wrap(data, pos, 12)
       val baseOffset = head.getLong
       val batchLength = head.getInt
-      if (batchLength < V2CrcStart - 12 || data.length - pos - 12 < batchLength) {
+      // Distinguish corruption from truncation: the batch_length FIELD is
+      // fully present here (≥12 bytes remain), so a value below the v2
+      // minimum (header through record_count) can never be explained by a
+      // max_bytes cut — treating it as a truncated tail would make the
+      // partition reader re-fetch the same offset and busy-loop on the
+      // corrupt batch forever. Fewer REMAINING bytes than a plausible
+      // batch_length, by contrast, is the normal mid-batch wire cut.
+      if (batchLength < V2HeaderBytes - 12)
+        throw new java.io.IOException(
+          s"corrupt record batch at base offset $baseOffset: batch_length " +
+            s"$batchLength below the v2 minimum ${V2HeaderBytes - 12}")
+      if (data.length - pos - 12 < batchLength) {
         truncated = true // incomplete tail — done
       } else {
         val magic = data(pos + 16)
@@ -447,14 +524,10 @@ private[graft] object KafkaWire {
         // records section: possibly compressed (attribute bits 0-2); the
         // batch header above is always plain per the spec
         val codec = attributes & 0x07
-        val recordsReader = codec match {
-          case 0 => r
-          case 1 => new Reader(gunzip(r.raw(r.remaining)))
-          case c => throw new java.io.IOException(
-            s"record batch at base offset $baseOffset uses unsupported " +
-              s"compression '${CodecNames.getOrElse(c, c.toString)}' " +
-              "(kafka-lite decodes none/gzip)")
-        }
+        val recordsReader =
+          if (codec == CodecNone) r
+          else new Reader(decompress(codec, r.raw(r.remaining),
+            s"record batch at base offset $baseOffset"))
         var i = 0
         while (i < count) {
           val len = recordsReader.varint()
@@ -752,8 +825,8 @@ private[graft] object KafkaWire {
 
   def encodeProduceRequestV3(topic: String, partition: Int,
       records: Seq[(Array[Byte], Array[Byte])], acks: Short, timeoutMs: Int,
-      gzipCompress: Boolean = false): Array[Byte] = {
-    val batch = encodeRecordBatch(records, gzipCompress = gzipCompress)
+      codec: Int = CodecNone): Array[Byte] = {
+    val batch = encodeRecordBatch(records, codec = codec)
     val w = new Writer(64 + batch.length)
     w.nullableString(null) // transactional_id (v3's addition)
     w.int16(acks).int32(timeoutMs)

@@ -88,7 +88,8 @@ object StreamingIngest {
   def kafkaLiteSink(lines: DataFrame, brokers: String, topic: String,
       checkpoint: String, produceBatch: Int = 500,
       dialect: String = "modern",
-      gzipProduce: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+      produceCodec: String = "none"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val codecId = graft.sources.KafkaWire.codecId(produceCodec) // validate up front
     lines.selectExpr("CAST(value AS STRING) AS value")
       .where(col("value").isNotNull)
       .writeStream
@@ -111,12 +112,13 @@ object StreamingIngest {
                 leader.produce(topic, m.partition,
                   group.map(r => (null: Array[Byte],
                     r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))),
-                  gzipCompress = gzipProduce)
+                  codec = codecId)
               } finally if (leader ne boot) leader.close()
             } finally boot.close()
           }
         }
       }
+  }
 
   /** S4 (dev): socket source standing in for the syslog listener; prod is
     * an rsyslog→Kafka sidecar (SURVEY §2.1 S4 recommendation) or the

@@ -223,6 +223,25 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("legacy dialect serves lz4 wrapper messages through the DSv2 source") {
+    val broker = new KafkaStubBroker(numPartitions = 1,
+      fetchCodec = KafkaWire.CodecLz4, modernApis = false,
+      apiVersionsSupported = false)
+    val port = broker.start()
+    try {
+      broker.append("lw", 0, (1 to 40).map(i => s"legacy-lz4-$i"))
+      val q = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "lw",
+        dialect = "legacy")
+        .writeStream.format("memory").queryName("kafka_lite_legacy_lz4")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val vals = spark.table("kafka_lite_legacy_lz4").collect().map(_.getString(0))
+        assert(vals.toSet == (1 to 40).map(i => s"legacy-lz4-$i").toSet)
+      } finally q.stop()
+    } finally broker.stop()
+  }
+
   test("legacy dialect runs the same source+sink path over the v0 wire end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -325,24 +344,27 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
-  test("gzip'd fetch responses decode transparently through the DSv2 source") {
-    val broker = new KafkaStubBroker(numPartitions = 2, gzipFetch = true)
-    val port = broker.start()
-    try {
-      broker.append("gz", 0, (1 to 30).map(i => s"gz-a-$i"))
-      broker.append("gz", 1, (1 to 20).map(i => s"gz-b-$i"))
-      val q = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "gz")
-        .writeStream.format("memory").queryName("kafka_lite_gz")
-        .outputMode("append").start()
+  for ((codecName, codecId) <- Seq("gzip" -> KafkaWire.CodecGzip,
+    "snappy" -> KafkaWire.CodecSnappy, "lz4" -> KafkaWire.CodecLz4,
+    "zstd" -> KafkaWire.CodecZstd))
+    test(s"$codecName'd fetch responses decode transparently through the DSv2 source") {
+      val broker = new KafkaStubBroker(numPartitions = 2, fetchCodec = codecId)
+      val port = broker.start()
       try {
-        q.processAllAvailable()
-        val vals = spark.table("kafka_lite_gz").collect().map(_.getString(0))
-        assert(vals.length == 50)
-        assert(vals.toSet == ((1 to 30).map(i => s"gz-a-$i") ++
-          (1 to 20).map(i => s"gz-b-$i")).toSet)
-      } finally q.stop()
-    } finally broker.stop()
-  }
+        broker.append("gz", 0, (1 to 30).map(i => s"gz-a-$i"))
+        broker.append("gz", 1, (1 to 20).map(i => s"gz-b-$i"))
+        val q = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port", "gz")
+          .writeStream.format("memory").queryName(s"kafka_lite_$codecName")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          val vals = spark.table(s"kafka_lite_$codecName").collect().map(_.getString(0))
+          assert(vals.length == 50)
+          assert(vals.toSet == ((1 to 30).map(i => s"gz-a-$i") ++
+            (1 to 20).map(i => s"gz-b-$i")).toSet)
+        } finally q.stop()
+      } finally broker.stop()
+    }
 
   test("dialect option rejects anything but modern/legacy/auto") {
     val broker = new KafkaStubBroker(numPartitions = 1)
@@ -363,30 +385,32 @@ class KafkaLiteSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
-  test("gzip produce: sink compresses batches on the wire; values land intact") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val broker = new KafkaStubBroker(numPartitions = 2)
-    val port = broker.start()
-    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_gzsink_cp").toString
-    val stream = MemoryStream[String]
-    val q = StreamingIngest.kafkaLiteSink(
-      stream.toDF().toDF("value"), s"127.0.0.1:$port", "gzsunk", cp,
-      gzipProduce = true).start()
-    try {
-      val lines = (1 to 80).map(i => s"compressible line $i " + ("pad " * 20))
-      stream.addData(lines: _*)
-      q.processAllAvailable()
-      val landed = broker.stringValues("gzsunk", 0) ++ broker.stringValues("gzsunk", 1)
-      assert(landed.sorted == lines.sorted)
-      // the broker saw gzip batches (codec 1), not plain ones
-      assert(broker.producedCodecs.getOrElse(1, 0) >= 1, broker.producedCodecs.toString)
-      assert(broker.producedCodecs.getOrElse(0, 0) == 0, broker.producedCodecs.toString)
-    } finally {
-      q.stop()
-      broker.stop()
+  for ((codecName, codecId) <- Seq("gzip" -> KafkaWire.CodecGzip,
+    "lz4" -> KafkaWire.CodecLz4))
+    test(s"$codecName produce: sink compresses batches on the wire; values land intact") {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val broker = new KafkaStubBroker(numPartitions = 2)
+      val port = broker.start()
+      val cp = java.nio.file.Files.createTempDirectory(s"graft_kafka_${codecName}sink_cp").toString
+      val stream = MemoryStream[String]
+      val q = StreamingIngest.kafkaLiteSink(
+        stream.toDF().toDF("value"), s"127.0.0.1:$port", "csunk", cp,
+        produceCodec = codecName).start()
+      try {
+        val lines = (1 to 80).map(i => s"compressible line $i " + ("pad " * 20))
+        stream.addData(lines: _*)
+        q.processAllAvailable()
+        val landed = broker.stringValues("csunk", 0) ++ broker.stringValues("csunk", 1)
+        assert(landed.sorted == lines.sorted)
+        // the broker saw compressed batches of the right codec, not plain
+        assert(broker.producedCodecs.getOrElse(codecId, 0) >= 1, broker.producedCodecs.toString)
+        assert(broker.producedCodecs.getOrElse(0, 0) == 0, broker.producedCodecs.toString)
+      } finally {
+        q.stop()
+        broker.stop()
+      }
     }
-  }
 
   test("kafka-lite streaming sink produces leader-acked batches (K2)") {
     implicit val sqlCtx = spark.sqlContext

@@ -28,9 +28,10 @@ import graft.sources.KafkaWire.{Reader, Writer}
   * acks=0 produce getting NO response, per-connection request/response
   * lockstep.
   */
-/** @param gzipFetch serve modern fetch responses with gzip'd record
-  *   batches (codec 1), the way a real broker returns a gzip-produced
-  *   topic — exercises the client's transparent decompression e2e.
+/** @param fetchCodec serve modern fetch responses with compressed record
+  *   batches (KafkaWire codec id: 1 gzip, 2 snappy, 3 lz4, 4 zstd), the
+  *   way a real broker returns a compressed-produced topic — exercises
+  *   the client's transparent decompression e2e.
   * @param modernApis advertise (and serve) the modern API versions; when
   *   false the broker emulates a pre-0.11 cluster: ApiVersions reports
   *   only the v0 schemas and modern-version requests are rejected.
@@ -40,7 +41,7 @@ import graft.sources.KafkaWire.{Reader, Writer}
   *   reconnect-and-speak-v0 fallback.
   */
 class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
-    gzipFetch: Boolean = false, modernApis: Boolean = true,
+    fetchCodec: Int = KafkaWire.CodecNone, modernApis: Boolean = true,
     apiVersionsSupported: Boolean = true) {
 
   private val logs = TrieMap.empty[(String, Int), ArrayBuffer[(Array[Byte], Array[Byte])]]
@@ -320,7 +321,10 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
               keep += ((offset + i, (k, v))); budget -= msgBytes; i += 1
             } else full = true
           }
-          val set = encodeWithOffsets(keep.result())
+          val set =
+            if (fetchCodec == KafkaWire.CodecNone || keep.result().isEmpty)
+              encodeWithOffsets(keep.result())
+            else encodeCompressedWrapper(keep.result())
           w.int32(p).int16(0: Short).int64(end).int32(set.length).raw(set)
         }
       }
@@ -368,7 +372,7 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
           val kept = keep.result()
           val set = if (slice.isEmpty) Array.empty[Byte]
                     else KafkaWire.encodeRecordBatch(kept, baseOffset = offset,
-                      gzipCompress = gzipFetch)
+                      codec = fetchCodec)
           // partition, error, high_watermark, last_stable_offset,
           // aborted_transactions (empty), record set
           w.int32(p).int16(0: Short).int64(end).int64(end).int32(0)
@@ -376,6 +380,25 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
         }
       }
     }
+    w.toBytes
+  }
+
+  /** One compressed WRAPPER message holding the whole slice, the way a
+    * magic-0 broker serves a compressed-produced topic: wrapper offset =
+    * LAST inner absolute offset, inner set keeps produce-time indices.
+    */
+  private def encodeCompressedWrapper(
+      records: Seq[(Long, (Array[Byte], Array[Byte]))]): Array[Byte] = {
+    val innerSet = KafkaWire.encodeMessageSet(records.map(_._2))
+    val compressed = KafkaWire.compress(fetchCodec, innerSet)
+    val body = new Writer()
+    body.int8(0: Byte).int8(fetchCodec.toByte).bytes(null).bytes(compressed)
+    val bodyBytes = body.toBytes
+    val crc = new java.util.zip.CRC32
+    crc.update(bodyBytes)
+    val w = new Writer()
+    w.int64(records.last._1) // wrapper carries the LAST inner offset
+    w.int32(4 + bodyBytes.length).int32(crc.getValue.toInt).raw(bodyBytes)
     w.toBytes
   }
 

@@ -96,16 +96,20 @@ class KafkaWirePropertySpec extends AnyFunSuite {
     intercept[java.io.IOException](KafkaWire.decodeRecordBatches(bad))
   }
 
-  test("v2 gzip batch roundtrips byte-exact; plain and gzip decode identically") {
+  test("v2 compressed batches roundtrip byte-exact for every codec") {
+    val codecs = Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+      KafkaWire.CodecLz4, KafkaWire.CodecZstd)
     sample(30).filter(_.nonEmpty).foreach { recs =>
       val plain = KafkaWire.decodeRecordBatches(
         KafkaWire.encodeRecordBatch(recs, baseOffset = 5L))
-      val zipped = KafkaWire.decodeRecordBatches(
-        KafkaWire.encodeRecordBatch(recs, baseOffset = 5L, gzipCompress = true))
-      assert(zipped.size == plain.size)
-      zipped.zip(plain).foreach { case (z, p) =>
-        assert(z.offset == p.offset)
-        assert(eq(z.key, p.key) && eq(z.value, p.value))
+      codecs.foreach { codec =>
+        val zipped = KafkaWire.decodeRecordBatches(
+          KafkaWire.encodeRecordBatch(recs, baseOffset = 5L, codec = codec))
+        assert(zipped.size == plain.size, s"codec $codec")
+        zipped.zip(plain).foreach { case (z, p) =>
+          assert(z.offset == p.offset)
+          assert(eq(z.key, p.key) && eq(z.value, p.value))
+        }
       }
     }
   }
@@ -135,26 +139,74 @@ class KafkaWirePropertySpec extends AnyFunSuite {
     assert(new String(got(1).key, "UTF-8") == "k")
   }
 
-  test("unsupported codecs fail with a named error instead of mis-parsing") {
-    // v2: flip the attribute bits to snappy (2) and re-CRC so only the
+  test("reserved codec ids fail with a named error instead of mis-parsing") {
+    // v2: flip the attribute bits to reserved id 5 and re-CRC so only the
     // codec is wrong
     val batch = KafkaWire.encodeRecordBatch(Seq((null, "x".getBytes)))
-    batch(22) = 2 // attributes low byte (21 = crc end, attributes int16 at 21..22)
+    batch(22) = 5 // attributes low byte (21 = crc end, attributes int16 at 21..22)
     val crc = new java.util.zip.CRC32C
     crc.update(batch, 21, batch.length - 21)
     java.nio.ByteBuffer.wrap(batch, 17, 4).putInt(crc.getValue.toInt)
     val e2 = intercept[java.io.IOException](KafkaWire.decodeRecordBatches(batch))
-    assert(e2.getMessage.contains("snappy"))
+    assert(e2.getMessage.contains("unsupported compression"))
 
-    // v0: message with codec bits = 3 (lz4)
+    // v0: message with reserved codec bits = 5
     val body = new KafkaWire.Writer()
-    body.int8(0: Byte).int8(3: Byte).bytes(null).bytes("y".getBytes)
+    body.int8(0: Byte).int8(5: Byte).bytes(null).bytes("y".getBytes)
     val bodyBytes = body.toBytes
     val mcrc = new java.util.zip.CRC32
     mcrc.update(bodyBytes)
     val w = new KafkaWire.Writer()
     w.int64(0L).int32(4 + bodyBytes.length).int32(mcrc.getValue.toInt).raw(bodyBytes)
     val e0 = intercept[java.io.IOException](KafkaWire.decodeMessageSet(w.toBytes))
-    assert(e0.getMessage.contains("lz4"))
+    assert(e0.getMessage.contains("unsupported compression"))
+  }
+
+  test("v0 lz4 wrapper (legacy broken-HC frame) decodes the inner set") {
+    val inner = Seq[(Array[Byte], Array[Byte])](
+      (null, "a".getBytes), (null, "b".getBytes))
+    val innerSet = KafkaWire.encodeMessageSet(inner)
+    // frame with the LEGACY header checksum old v0/v1 producers wrote:
+    // hash over magic+FLG+BD instead of FLG+BD
+    val correct = Lz4Frame.compress(innerSet)
+    val legacy = correct.clone()
+    val xx = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+    legacy(6) = ((xx.hash(legacy, 0, 6, 0) >> 8) & 0xff).toByte
+    val body = new KafkaWire.Writer()
+    body.int8(0: Byte).int8(3: Byte).bytes(null).bytes(legacy)
+    val bodyBytes = body.toBytes
+    val mcrc = new java.util.zip.CRC32
+    mcrc.update(bodyBytes)
+    val w = new KafkaWire.Writer()
+    w.int64(1L).int32(4 + bodyBytes.length).int32(mcrc.getValue.toInt).raw(bodyBytes)
+    val got = KafkaWire.decodeMessageSet(w.toBytes)
+    assert(got.map(_.offset) == Seq(0L, 1L))
+    assert(got.map(r => new String(r.value, "UTF-8")) == Seq("a", "b"))
+  }
+
+  test("corrupt positive batch_length below the v2 minimum throws (no busy-loop)") {
+    // 12-byte head claiming batch_length 5, followed by plenty of bytes —
+    // NOT a truncated tail, must throw named instead of returning empty
+    val w = new KafkaWire.Writer()
+    w.int64(7L).int32(5).raw(new Array[Byte](64))
+    val e = intercept[java.io.IOException](KafkaWire.decodeRecordBatches(w.toBytes))
+    assert(e.getMessage.contains("batch_length"))
+    // a genuinely truncated tail (plausible length, missing bytes) still
+    // returns cleanly
+    val t = new KafkaWire.Writer()
+    t.int64(7L).int32(200).raw(new Array[Byte](20))
+    assert(KafkaWire.decodeRecordBatches(t.toBytes).isEmpty)
+  }
+
+  test("decompression bomb: a gzip batch expanding past the fence throws named") {
+    // ~70 MiB of zeros gzips to ~70 KiB — fits any fetch response, but
+    // expands past the 64 MiB MaxDecompressedBytes fence on decode
+    val big = new Array[Byte](70 * 1024 * 1024)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos, 64 * 1024)
+    gz.write(big); gz.close()
+    val e = intercept[java.io.IOException](
+      KafkaWire.decompress(KafkaWire.CodecGzip, bos.toByteArray, "test"))
+    assert(e.getMessage.contains("bomb"))
   }
 }
