@@ -449,12 +449,20 @@ object TextAnalysis {
 
   /** The trained half of [[bigramSurprisal]], reusable across corpora and
     * micro-batches: the pruned conditional table, the pruned vocabulary
-    * backoff table, and the per-gram knobs. Both tables are
-    * minCount-pruned (Zipf-small) and broadcast at scoring time. Train on
-    * a REFERENCE corpus once, then score anything — including a stream,
-    * one micro-batch at a time ([[graft.streaming.StatefulOps]]).
+    * backoff table, the per-gram knobs, and the OOV floor `oovE4`
+    * (`10·((10000·N) div minCount)`, N = training token count). The floor
+    * is its OWN scalar, not a column of the pruned uni table: with a
+    * minCount above every unigram count, uni prunes EMPTY while the
+    * corpus is not — a floor read off uni would silently collapse to 0
+    * there, diverging from the documented formula (and the t15/p05
+    * oracles, which derive it from n_tok by scalar subquery regardless).
+    * Both tables are minCount-pruned (Zipf-small) and broadcast at
+    * scoring time. Train on a REFERENCE corpus once, then score anything
+    * — including a stream, one micro-batch at a time
+    * ([[graft.streaming.StatefulOps]]).
     */
-  final case class BigramModel(model: DataFrame, uni: DataFrame, minCount: Long)
+  final case class BigramModel(model: DataFrame, uni: DataFrame,
+      minCount: Long, oovE4: Long)
 
   private def tokArray(textCol: String) = graft.functions.OptimizerFence(
     split(Dedup.normalize(col(textCol)), " "))
@@ -481,28 +489,30 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), expr("(10000 * c1) div c2").as("r"))
     val uni = c1.where(col("c1") >= minCount)
       .crossJoin(tot)
-      .select(col("term").as("w2"), expr("10 * ((10000 * n_tok) div c1)").as("rb"),
-        expr("10 * ((10000 * n_tok) div " + minCount + ")").as("oov"))
-    BigramModel(model, uni, minCount)
+      .select(col("term").as("w2"), expr("10 * ((10000 * n_tok) div c1)").as("rb"))
+    // 1-row train-time pull (the same cost class as the old score-time
+    // limit(1), paid once per MODEL instead of once per scoring call);
+    // empty training corpus → N = 0 → floor 0, every gram scored 0
+    val nTok = tot.collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    BigramModel(model, uni, minCount, 10L * ((10000L * nTok) / minCount))
   }
 
   /** The scoring half of [[bigramSurprisal]]: every bigram of `docs`
-    * scored against a (possibly foreign-corpus) model. The OOV default
-    * rides the uni table's `oov` column (a constant derived from the
-    * TRAINING corpus total — the model owns its smoothing), pulled via
-    * an eager 1-row first() so the scoring plan stays broadcast-only.
+    * scored against a (possibly foreign-corpus) model. The OOV default is
+    * the model's train-time [[BigramModel.oovE4]] scalar (the model owns
+    * its smoothing), so the scoring plan is pure broadcast joins — no
+    * driver pull per call, and the floor survives a vocabulary that
+    * prunes empty.
     */
   def scoreBigramSurprisal(docs: DataFrame, m: BigramModel,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), tokArray(textCol).as("toks"))
-    val oovDefault = m.uni.select(col("oov")).limit(1).collect()
-      .headOption.map(_.getLong(0))
-      .getOrElse(0L) // empty training corpus: vocab empty, every gram OOV-scored 0
     val scored = bigramsOf(base)
       .join(broadcast(m.model), Seq("w1", "w2"), "left")
       .join(broadcast(m.uni.select(col("w2"), col("rb"))), Seq("w2"), "left")
       .select(col("doc_id"),
-        coalesce(col("r"), col("rb"), lit(oovDefault)).as("r"))
+        coalesce(col("r"), col("rb"), lit(m.oovE4)).as("r"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nb"), sum(col("r")).as("surp_sum_e4"))
     // docs with < 2 tokens produce no bigram rows — restore them as

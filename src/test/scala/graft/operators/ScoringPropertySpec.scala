@@ -93,6 +93,22 @@ class ScoringPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bigram OOV floor survives a vocabulary that prunes empty") {
+    // minCount above EVERY unigram count: both model tables prune empty,
+    // yet the floor must stay the documented 10·((10000·N) div minCount)
+    // — not collapse to 0 (the defect of reading it off the uni table)
+    val docs = corpus(10, seedBase = 99)
+    val mc = 1000000L
+    val m = TextAnalysis.bigramModel(docs.toDF("doc_id", "text"), mc)
+    assert(m.uni.isEmpty && m.model.isEmpty, "expected fully pruned tables")
+    val n = docs.flatMap(_._2.split(" ", -1)).size.toLong
+    assert(m.oovE4 == 10L * ((10000L * n) / mc))
+    val got = TextAnalysis.bigramSurprisal(docs.toDF("doc_id", "text"), mc)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == bigramRef(docs, mc))
+  }
+
   // ---- trigramSurprisal reference ----------------------------------------
 
   private def trigramRef(docs: Seq[(Long, String)], minCount: Long)
