@@ -116,20 +116,25 @@ object Multimodal {
     if (!looksLikeWav(p)) return None
     try {
       val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      // chunk walk: collect fmt + data wherever they sit (word-aligned)
+      // chunk walk: collect fmt + data wherever they sit (word-aligned).
+      // No iteration-count guard: pos strictly advances ≥8 bytes per
+      // chunk, so the walk is bounded by payload size — a count cap would
+      // only let a many-junk-chunk file push a REAL data chunk past the
+      // cap into the silent byte-featurizer fallback. Bound checks run in
+      // Long: a crafted size near Int.MaxValue overflows the Int sum,
+      // sneaks past the fence, and reaches the frame allocation.
       var fmtAt = -1; var dataAt = -1; var dataLen = 0
       var pos = 12
-      var guard = 0
-      while (pos + 8 <= p.length && guard < 64) {
+      while (pos + 8 <= p.length && (fmtAt < 0 || dataAt < 0)) {
         val size = bb.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > p.length) return None // truncated/hostile
+        if (size < 0 || pos.toLong + 8 + size > p.length) return None // truncated/hostile
         val id = new String(p, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
         if (id == "fmt " && size >= 16) fmtAt = pos + 8
         if (id == "data") { dataAt = pos + 8; dataLen = size }
         pos += 8 + size + (size & 1)
-        guard += 1
       }
       if (fmtAt < 0 || dataAt < 0) return None
+      dataLen = math.min(dataLen, p.length - dataAt) // belt-and-braces alloc bound
       val audioFormat = bb.getShort(fmtAt) & 0xffff
       val channels = bb.getShort(fmtAt + 2) & 0xffff
       val bits = bb.getShort(fmtAt + 14) & 0xffff

@@ -182,4 +182,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.tryDecodeWav(good).exists(_.toSeq ==
       Seq(1 + 32768, 2 + 32768, 3 + 32768, 4 + 32768)))
   }
+
+  test("WAV with hundreds of junk chunks before data still decodes via the real PCM path") {
+    // 200 junk chunks ahead of fmt/data: the walk must not cap out and
+    // silently fall back to the byte featurizer (the old 64-chunk guard)
+    val junkChunk = {
+      val b = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("JUNK".getBytes).putInt(4).putInt(0xdeadbeef)
+      b.array()
+    }
+    val tail = {
+      val samples = Array(Array(7, -7, 700, -700))
+      val whole = wav(samples, 16)
+      java.util.Arrays.copyOfRange(whole, 12, whole.length) // fmt+data chunks
+    }
+    val bb = java.nio.ByteBuffer.allocate(12 + 200 * junkChunk.length + tail.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(bb.capacity() - 8).put("WAVE".getBytes)
+    (1 to 200).foreach(_ => bb.put(junkChunk))
+    bb.put(tail)
+    assert(Multimodal.tryDecodeWav(bb.array()).exists(_.toSeq ==
+      Seq(7 + 32768, -7 + 32768, 700 + 32768, -700 + 32768)))
+  }
+
+  test("crafted chunk size near Int.MaxValue cannot overflow the bound check") {
+    val good = wav(Array(Array(1, 2)), 16)
+    val evil = good.clone()
+    // fmt chunk size field at offset 16: claim 0x7ffffff0 — the Int sum
+    // pos + 8 + size wraps negative; the Long check must reject it
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7ffffff0)
+    assert(Multimodal.tryDecodeWav(evil).isEmpty) // fallback, not OOM/garbage
+    // same for a hostile data chunk length
+    val evil2 = good.clone()
+    java.nio.ByteBuffer.wrap(evil2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x7ffffff0)
+    assert(Multimodal.tryDecodeWav(evil2).isEmpty)
+  }
 }
