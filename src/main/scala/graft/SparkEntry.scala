@@ -19,13 +19,13 @@ object SparkEntry {
 
   private val base: Map[String, Q] = Relational.all ++ DataOps.all
 
-  /** The four catalog entries whose correctness is SELF-CHECKED (their
-    * outputs embed boolean `pass` / `*_in_bound` invariant columns) because
-    * sketch/LSH internals have no DuckDB-expressible oracle.
+  /** The catalog entries whose correctness is SELF-CHECKED (their outputs
+    * embed boolean `pass` / `*_in_bound` invariant columns) because
+    * sketch/LSH/k-means internals have no DuckDB-expressible oracle.
     */
   private val selfCheckedNames: Seq[String] = Seq(
     "d15_semantic_dedup_blocked", "q33_approx_sketches",
-    "q48_hll_merge", "s02_ann_lsh", "s05_ann_ivf_lloyd")
+    "q48_hll_merge", "s02_ann_lsh", "s05_ann_ivf_lloyd", "s06_ann_pq")
 
   /** z01_self_checks (r6 verdict item 6): the driver's CORRECTNESS artifact
     * recorded the four self-checking entries as bare `no_oracle`, so a

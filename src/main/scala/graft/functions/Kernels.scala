@@ -370,4 +370,42 @@ object Kernels {
     }
     c
   }
+
+  /** PQ code assignment for one (unit-normalized) vector: per subspace s,
+    * the index of the nearest codebook centroid by squared L2, strict `<`
+    * so ties keep the lowest code. Codebooks arrive FLAT (`flat` holds
+    * every centroid's `subDim` doubles back to back; `starts(s)` /
+    * `counts(s)` index them in centroid units) so the inner loops touch
+    * two primitive arrays — no per-element lambda dispatch. Summation is
+    * sequential per centroid, bit-identical to the
+    * `aggregate(zip_with((x-y)*(x-y)), 0.0, _+_)` HOF composition
+    * (`SimilaritySpec` pins kernel ≡ HOF on random vectors).
+    */
+  def pqCodes(v: ArrayData, flat: Array[Double], starts: Array[Int],
+      counts: Array[Int], subDim: Int): ArrayData = {
+    val m = starts.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      var bestD = Double.MaxValue
+      var best = 0
+      var j = 0
+      while (j < counts(s)) {
+        var off = (starts(s) + j) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = v.getDouble(base + i) - flat(off)
+          d += diff * diff
+          i += 1; off += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

@@ -242,6 +242,43 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** [[Kernels.pqCodes]] as a codegen'd expression: the PQ encode inner
+    * loop (m·k·subDim multiply-adds per vector — the bulk operation when
+    * compressing a 100 TB embedding store) as tight primitive-array
+    * loops instead of interpreted HOF lambdas. The flat codebook arrays
+    * ride the plan as reference objects, the codegen analog of a
+    * broadcast literal.
+    */
+  case class PqCodes(child: Expression, flat: Array[Double],
+      starts: Array[Int], counts: Array[Int], subDim: Int)
+      extends UnaryExpression {
+    require(subDim > 0 && starts.length == counts.length)
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "pq_codes"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.pqCodes(input.asInstanceOf[ArrayData], flat, starts, counts, subDim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      val startsRef = ctx.addReferenceObj("pqStarts", starts, "int[]")
+      val countsRef = ctx.addReferenceObj("pqCounts", counts, "int[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.Kernels.pqCodes(" +
+          s"$v, $flatRef, $startsRef, $countsRef, $subDim);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqCodes =
+      copy(child = newChild)
+  }
+
+  def pqCodes(v: Column, flat: Array[Double], starts: Array[Int],
+      counts: Array[Int], subDim: Int): Column =
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(v),
+      flat, starts, counts, subDim))
+
   def simhash60(normalizedText: Column): Column =
     ColumnBridge.column(Simhash60(ColumnBridge.expression(normalizedText)))
 

@@ -17,12 +17,17 @@ import graft.functions.OptimizerFence
   *     The query set is broadcast; the corpus streams through one scan, and
   *     per-query top-k is a window row_number (partial top-k per partition
   *     via AQE/TakeOrdered would be the next refinement at 100 TB).
-  *   - `lshCosinePairs` / `lshTopK`: random-hyperplane LSH — the scale
-  *     path. Signatures are per-row (map-only); candidate generation
-  *     shuffles only (bucket, id) pairs, never vectors.
+  *   - `lshCosinePairs`: random-hyperplane LSH — the scale path for
+  *     near-pair generation. Signatures are per-row (map-only); candidate
+  *     generation shuffles only (bucket, id) pairs, never vectors.
+  *   - `ivfTopK` / `pqTrain`+`pqEncode`+`pqTopK`: the two classic ANN
+  *     serving shapes — coarse cells with probe re-rank, and m-byte code
+  *     compression with ADC shortlist + exact re-rank.
   *
   * All vector math is `zip_with`/`aggregate` higher-order built-ins over
-  * `array<double>` — codegen-friendly, no UDFs.
+  * `array<double>` (codegen-friendly, no UDFs), except the per-row inner
+  * loops that earn dedicated codegen kernels (`VectorExprs.dot`,
+  * `VectorExprs.PqCodes`).
   */
 object Similarity {
 
@@ -311,6 +316,244 @@ object Similarity {
     * Output: (id, q array<int>, scale double) — map-only, zero shuffle.
     * Dequantize as q_i / scale.
     */
+  // ---- product quantization (PQ) -----------------------------------------
+
+  /** A trained PQ codebook set: `codebooks(s)(j)` is centroid j of
+    * subspace s (each `subDim` doubles). Driver-held by design — the
+    * whole model is m·k·subDim doubles (≤ a few KB), the bounded-driver-
+    * state pattern of the Bloom build / IVF centroid pull — so it embeds
+    * into scoring plans as a LITERAL and encode/score stay map-only.
+    */
+  final case class PqModel(codebooks: Vector[Vector[Array[Double]]], subDim: Int) {
+    def m: Int = codebooks.length
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "PQ model must have at least one centroid per subspace")
+
+    /** Flat layout for the codegen'd encode kernel: every centroid's
+      * subDim doubles back to back, indexed per subspace in centroid
+      * units by (starts, counts).
+      */
+    lazy val (flat, starts, counts): (Array[Double], Array[Int], Array[Int]) = {
+      val counts = codebooks.map(_.length).toArray
+      val starts = counts.scanLeft(0)(_ + _).init
+      (codebooks.flatten.flatten.toArray, starts, counts)
+    }
+  }
+
+  /** Unit-normalize (zero vectors pass through): PQ here quantizes
+    * L2 distance on the unit sphere, where ‖a−b‖² = 2 − 2·cos(a,b) —
+    * ascending approximate distance IS descending approximate cosine, so
+    * PQ results are directly comparable to the cosine-ranked exact paths.
+    */
+  private def pqNormalize(v: Column): Column = {
+    val n = l2norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Nearest-centroid code for one subvector against one subspace's
+    * codebook literal: a fold over the k centroids carrying (best d², j).
+    * Strict `<` keeps the FIRST minimum — ties break to the lowest code,
+    * deterministically, in one pass.
+    */
+  private def argminCode(sv: Column, codebook: Vector[Array[Double]]): Column = {
+    val tbl = typedlit(codebook.map(_.toSeq))
+    aggregate(
+      sequence(lit(0), lit(codebook.length - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(0).as("j")),
+      (acc, j) => {
+        val d = dist2(sv, element_at(tbl, j + 1))
+        when(d < acc.getField("d"), struct(d.as("d"), j.cast("int").as("j")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("j"))
+  }
+
+  /** PQ code array (one int per subspace) for a NORMALIZED vector column
+    * — the codegen'd [[graft.functions.VectorExprs.PqCodes]] kernel
+    * (tight primitive loops; the HOF composition below interprets its
+    * lambdas per element, ~m·k·subDim dispatches per vector).
+    */
+  private def pqCodesExpr(nv: Column, model: PqModel): Column =
+    graft.functions.VectorExprs.pqCodes(nv,
+      model.flat, model.starts, model.counts, model.subDim)
+
+  /** The HOF composition the kernel must match bit-for-bit (same strict-<
+    * first-minimum, same sequential summation) — kept as the spec's
+    * equivalence reference, never on the hot path.
+    */
+  private[operators] def pqCodesHof(nv: Column, model: PqModel): Column =
+    array(model.codebooks.zipWithIndex.map { case (cb, s) =>
+      argminCode(slice(nv, lit(s * model.subDim + 1), lit(model.subDim)), cb)
+    }: _*)
+
+  /** Train PQ codebooks (Jégou, Douze, Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011): split each unit-normalized
+    * vector into `m` contiguous subspaces and k-means each subspace to
+    * `k` centroids — a vector then compresses to m small codes (m bytes
+    * at k ≤ 256: a 100 TB float32 embedding store becomes ~0.8 TB of
+    * codes, the canonical storage+ANN-serving shape at that scale).
+    *
+    * All m codebooks train in ONE job per Lloyd round, not m:
+    *   - seed: per (subspace, hash-bucket j) the min-id subvector —
+    *     deterministic spread over real data points, computed as a
+    *     `min_by` aggregate (map-side combined, never a corpus window);
+    *   - assign: codes via [[argminCode]] against the current codebooks
+    *     as literals — strictly map-only, the corpus never shuffles;
+    *   - update: per (subspace, code, dim) mean via posexplode — the
+    *     exchange carries ≤ partitions × m·k·subDim pre-combined rows;
+    *   - pull: the ≤ m·k-row codebook aggregate collects to the driver
+    *     (bounded by construction, the IVF centroid-pull pattern).
+    * Cells that capture no vectors drop out (standard Lloyd); codes are
+    * renumbered contiguously per subspace after training.
+    *
+    * `dim % m == 0` is required (64-dim test embeddings: m ∈ {2,4,8,16}).
+    * Determinism: seeds are min-by-id over xxhash64 buckets, assignment
+    * ties break to the lowest code, means are fixed-order sums — same
+    * corpus in, same model out, which is what lets [[pqTopK]] sit under a
+    * self-measured recall gate.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): PqModel = {
+    require(m >= 1 && k >= 2 && iters >= 0,
+      s"pqTrain: need m ≥ 1, k ≥ 2, iters ≥ 0 (got m=$m k=$k iters=$iters)")
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("pqTrain: empty corpus"))
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val base = corpus.select(col(idCol).as("id"),
+      OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("nv"))
+    val subRows = base.select(col("id"), posexplode(
+      array((0 until m).map(s =>
+        slice(col("nv"), lit(s * subDim + 1), lit(subDim))): _*))
+      .as(Seq("sub", "sv")))
+
+    def pull(df: DataFrame): Vector[Vector[Array[Double]]] = {
+      val rows = df.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val bySub = rows.groupBy(_._1)
+      Vector.tabulate(m)(s => bySub.getOrElse(s, Array.empty)
+        .sortBy(_._2).map(_._3).toVector)
+    }
+
+    // seed: min-id subvector per (sub, xxhash64 bucket) — k real points
+    // per subspace, deterministic, aggregate-shaped
+    var cbs = pull(subRows
+      .withColumn("cid", pmod(xxhash64(col("id")), lit(k.toLong)).cast("int"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(min_by(col("sv"), col("id")).as("cv"))
+      .select(col("sub"), col("cid"), col("cv")))
+
+    for (_ <- 0 until iters) {
+      val model = PqModel(cbs, subDim)
+      cbs = pull(base
+        .select(posexplode(pqCodesExpr(col("nv"), model)).as(Seq("sub", "cid")),
+          col("nv"))
+        .select(col("sub"), col("cid"),
+          posexplode(slice(col("nv"), col("sub") * subDim + 1, lit(subDim)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), (col("sx") / col("cnt")).as("v")))),
+          s => s.getField("v")).as("cv"))
+        .select(col("sub"), col("cid"), col("cv")))
+    }
+    PqModel(cbs, subDim)
+  }
+
+  /** Compress a corpus to PQ codes: (id, codes array<int>) — map-only
+    * against the literal codebooks, zero shuffle. This is the table a
+    * production pipeline PERSISTS (m ints per vector); [[pqTopK]] accepts
+    * either raw vectors or this output.
+    */
+  def pqEncode(corpus: DataFrame, model: PqModel,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    corpus.select(col(idCol),
+      pqCodesExpr(OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))),
+        model).as("codes"))
+
+  /** PQ approximate top-k by asymmetric distance computation (ADC): per
+    * query, one k·m lookup table (exact subspace distances from the RAW
+    * query to every centroid) computed once and carried broadcast; per
+    * corpus row the approximate distance is m table lookups over the
+    * codes — no vector math on the corpus side at all.
+    *
+    * `refine` > 0 adds the standard serving refinement (Jégou et al.
+    * §IV.B): shortlist the top-`refine` per query by ADC, then re-rank
+    * the shortlist by EXACT cosine against the raw vectors (`rerank`, or
+    * `encoded` itself when it still carries the vector column). Recall
+    * then depends on P(true top-k ∈ ADC top-refine) — far gentler than
+    * raw code precision, which is what makes m-byte codes servable even
+    * on unclustered corpora.
+    *
+    * Scale shape: the corpus side never shuffles and never touches its
+    * float vectors (codes only); queries (small by contract, like
+    * [[bruteForceTopK]]) broadcast with their tables; the exchanges are
+    * the per-query top-k heaps (`TopKPerKey.install`, ≤ refine rows per
+    * query), and the re-rank joins the BROADCAST shortlist back to the
+    * corpus — a broadcast semi-join, so the 100 TB side still never
+    * shuffles. Ranking ascends approximate ‖·‖² on the unit sphere ≡
+    * descends approximate cosine — directly comparable to the exact
+    * paths; catalog s06 gates measured recall against s01's truth.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+      refine: Int = 0, rerank: Option[DataFrame] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = model.m; val subDim = model.subDim
+    val qRaw = queries.select(col(idCol).as("query_id"),
+      OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("qv"))
+    val q = qRaw
+      .select(col("query_id"), OptimizerFence(array((0 until m).map { s =>
+        val qs = slice(col("qv"), lit(s * subDim + 1), lit(subDim))
+        transform(typedlit(model.codebooks(s).map(_.toSeq)), c => dist2(qs, c))
+      }: _*)).as("tbl"))
+    val c =
+      if (encoded.columns.contains("codes")) encoded.select(col(idCol), col("codes"))
+      else pqEncode(encoded, model, vecCol, idCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad"), col("neighbor_id"))
+    val adcK = if (refine > 0) math.max(refine, k) else k
+    val adc = c.toDF(Seq("neighbor_id", "codes"): _*)
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad", aggregate(
+        zip_with(col("codes"), col("tbl"), (code, t) => element_at(t, code + 1)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= adcK)
+    if (refine <= 0)
+      adc.select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+    else {
+      val rerankSrc = rerank.getOrElse {
+        require(encoded.columns.contains(vecCol),
+          s"pqTopK(refine>0): pass rerank= raw vectors, or an `encoded` " +
+            s"input that still carries '$vecCol'")
+        encoded
+      }
+      val vecs = rerankSrc.select(col(idCol).as("neighbor_id"),
+        OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("cv"))
+      val shortlist = adc.select(col("query_id"), col("neighbor_id"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      // broadcast the Q×refine shortlist INTO the corpus: the big side
+      // stays shuffle-free; vectors on unit sphere ⇒ plain dot IS cosine
+      vecs.join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(qRaw), Seq("query_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(wx))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"))
+    }
+  }
+
   def quantizeInt8(
       emb: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =

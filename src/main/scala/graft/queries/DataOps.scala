@@ -801,6 +801,35 @@ object DataOps {
       "IVF with Lloyd-refined centroids: self-measured recall vs exact " +
         "truth must not fall below the mod-sampled seed at equal nProbe"),
 
+    // s06: product quantization — SELF-CHECKING like s02/s05 (subspace
+    // k-means has no DuckDB-expressible oracle): ADC shortlist over
+    // 8-byte codes + exact re-rank (the standard PQ serving shape),
+    // recall@5 measured against s01's exact-cosine truth inside the
+    // query; the floor is pinned from measurement with margin
+    // (refined@32 ≈ 0.60 on this near-isotropic synthetic corpus — the
+    // worst case for PQ; SimilaritySpec re-measures, and training is
+    // deterministic so the recall is a constant of the corpus, not a
+    // distribution).
+    "s06_ann_pq" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") % 11 === 3)
+        val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+        val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select("query_id", "neighbor_id")
+        val pq = Similarity.pqTopK(emb, queries, model, k = 5, refine = 32)
+          .select(col("query_id"), col("neighbor_id")).withColumn("in_p", lit(1))
+        truth.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("in_p"), lit(0))).as("n_pq"))
+          .select(col("n_truth"), col("n_pq"),
+            (col("n_pq").cast("double") / col("n_truth")).as("recall"),
+            (col("n_pq").cast("double") / col("n_truth") >= 0.5).as("pass"))
+      },
+      None,
+      "PQ: m-byte codes, map-only ADC shortlist, broadcast exact re-rank; " +
+        "self-measured recall vs exact truth"),
+
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
       (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),

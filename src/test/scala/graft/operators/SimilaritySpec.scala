@@ -179,6 +179,79 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: training is deterministic; codes are in-range, near-identical vectors share codes") {
+    val m1 = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+    val m2 = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
+    assert(m1.subDim == 16)
+    assert(m1.codebooks.map(_.map(_.toSeq)) == m2.codebooks.map(_.map(_.toSeq)),
+      "same corpus must train the same model")
+    val codes = Similarity.pqEncode(emb, m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.length == 4))
+    codes.values.foreach(c => c.zipWithIndex.foreach { case (j, s) =>
+      assert(j >= 0 && j < m1.codebooks(s).length, s"code $j out of range in sub $s") })
+    // a vector and a tiny perturbation of it must encode identically
+    // (PQ cells are coarse; scaling by a constant is the SAME unit vector)
+    val pair = emb.limit(1).select(col("vec_id"), col("embedding"))
+      .union(emb.limit(1).select(col("vec_id") + 100000,
+        transform(col("embedding"), x => x * 2.0f)))
+    val pc = Similarity.pqEncode(pair, m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(pc.values.toSet.size == 1, s"scaled copy diverged: $pc")
+  }
+
+  test("PQ encode kernel ≡ interpreted HOF composition on random vectors") {
+    val rnd = spark.range(0, 300, 1, 4).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        i => sin(col("id") * 37 + i * 13).cast("double")).as("embedding"))
+    val model = Similarity.pqTrain(rnd, m = 4, k = 8, iters = 2)
+    val kernel = Similarity.pqEncode(rnd, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val nv = transform(col("embedding"),
+      x => x / sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+        (a, b) => a * b), lit(0.0), _ + _)))
+    val hof = rnd.select(col("vec_id"), Similarity.pqCodesHof(nv, model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(kernel == hof)
+  }
+
+  test("PQ ADC top-k: planted near-duplicate ranks first") {
+    // corpus of well-separated one-hot-ish vectors + a planted near-copy
+    // of the query: ADC must rank the copy at 1
+    val dim = 16
+    def vec(hot: Int, eps: Double): Array[Float] =
+      Array.tabulate(dim)(i => (if (i == hot) 1.0 else if (i == (hot + 7) % dim) eps else 0.0).toFloat)
+    val rows = (0 until 12).map(h => (h.toLong, vec(h % 6, 0.02 * h))) :+
+      (100L, vec(2, 0.041)) // near-copy of id 2's cell
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(df, m = 4, k = 4, iters = 2)
+    val res = Similarity.pqTopK(Similarity.pqEncode(df, model),
+      df.where(col("vec_id") === 100L), model, k = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(res.length == 3)
+    assert(res.head._3 == 2L, s"expected planted neighbor 2 first, got ${res.toList}")
+  }
+
+  test("PQ recall vs exact truth on real embeddings (the s06 gate, re-measured)") {
+    val queries = emb.where(col("vec_id") % 11 === 3)
+    val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+    val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val adcOnly = recallOf(Similarity.pqTopK(
+      Similarity.pqEncode(emb, model), queries, model, k = 5))
+    val refined = recallOf(Similarity.pqTopK(emb, queries, model, k = 5,
+      refine = 32))
+    info(f"recall@5: adc-only=$adcOnly%.3f refined@32=$refined%.3f")
+    // refinement can only widen the candidate pool the exact ranking sees
+    assert(refined >= adcOnly,
+      f"refined $refined%.3f below adc-only $adcOnly%.3f")
+    assert(refined >= 0.55, f"PQ refined recall@5 $refined%.3f below the s06 floor")
+  }
+
   test("int8 quantization: saturation, zero vector, negative half-up") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f)),     // max|v|=1 -> scale 127: ±127, 64 (63.5 rounds up)

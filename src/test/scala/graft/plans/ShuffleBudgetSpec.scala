@@ -155,4 +155,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     val two = shuffles(plan(2))
     assert(two - base <= 12, s"lloyd added ${two - base} exchanges for 2 iterations")
   }
+
+  test("PQ: encode is exchange-free; ADC scoring shuffles only the per-query top-k") {
+    import graft.operators.Similarity
+    val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") * 31 + i) % 13).cast("double") - 6.0).as("embedding"))
+    val model = Similarity.pqTrain(emb, m = 4, k = 4, iters = 1)
+    // encode: codes against LITERAL codebooks — the corpus never shuffles
+    assert(shuffles(Similarity.pqEncode(emb, model)) == 0)
+    // scoring: corpus side is map-only lookups; the sole corpus-touching
+    // exchange is the per-query rank window (heap top-k under TopKPerKey)
+    val n = shuffles(Similarity.pqTopK(Similarity.pqEncode(emb, model),
+      emb.where(col("vec_id") < 3), model, k = 3))
+    assert(n <= 2, s"pqTopK planned $n exchanges")
+  }
 }

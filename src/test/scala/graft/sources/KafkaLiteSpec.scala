@@ -386,7 +386,8 @@ class KafkaLiteSpec extends AnyFunSuite {
   }
 
   for ((codecName, codecId) <- Seq("gzip" -> KafkaWire.CodecGzip,
-    "lz4" -> KafkaWire.CodecLz4))
+    "snappy" -> KafkaWire.CodecSnappy, "lz4" -> KafkaWire.CodecLz4,
+    "zstd" -> KafkaWire.CodecZstd))
     test(s"$codecName produce: sink compresses batches on the wire; values land intact") {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
