@@ -32,6 +32,7 @@ object Bench {
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
     "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
+    "d22_paragraph_dedup", "s06_ann_pq",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
@@ -93,9 +94,12 @@ object Bench {
     // while calib_cpu showed that run's box 2.1× SLOWER than r7's
     // (2398 ms vs 1160 ms). Queries can't speed up 3× on a 2× more
     // loaded machine through a code mechanism; the r7 spikes were
-    // run-order/cache-state + ambient load, not plan changes. Standing
-    // rule the probes enable: a per-query drift is only a finding when
-    // it exceeds ~2× the calib drift of the same run.
+    // run-order/cache-state + ambient load, not plan changes. A second
+    // r8 run at MATCHED calib (1165 ms vs r7's 1160 — same box state)
+    // closed the remaining escape hatch: s01 0.53 s, t05 0.95 s, d14
+    // 0.55 s — in band at equal load too. Standing rule the probes
+    // enable: a per-query drift is only a finding when it exceeds ~2×
+    // the calib drift of the same run.
     def medianOf3Ms(work: => Unit): Double = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); work; (System.nanoTime() - t0) / 1e6

@@ -17,7 +17,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated entry-name filter for local
+    // iteration ("sbt 'runMain graft.Verify <sf> <out> d22_x,t17_y'");
+    // the driver's two-arg call runs the full catalog as before
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +51,9 @@ object Verify {
     // waves every in-flight query is done → sweeping + GC'ing is safe
     // (no cache is yanked from under a running job) and bounds resident
     // caches to one wave's worth.
-    SparkEntry.queries.toSeq.grouped(12).foreach { wave =>
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .grouped(12).foreach { wave =>
       val runs = wave.map { case (name, fn) =>
         Future {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -831,6 +831,89 @@ object Dedup {
         size(col("cut")).cast("long").as("n_removed"))
   }
 
+  /** CORPUS-LEVEL paragraph deduplication — the CCNet paragraph-hash
+    * dedup (Wenzek et al., "CCNet: Extracting high quality monolingual
+    * datasets from web crawl data", 2019 §3.1; also RefinedWeb's
+    * line-level dedup, Penedo et al. 2023): every paragraph whose exact
+    * normalized content already occurred ANYWHERE in the corpus — earlier
+    * in the same document or in any other document — is removed, keeping
+    * the single globally-first occurrence (ordered by (doc_id, position)).
+    * Boilerplate (nav bars, cookie banners, templated footers) repeats
+    * verbatim across millions of pages, so this removes it corpus-wide
+    * without any per-site rules. The span-aligned complement (duplicates
+    * at ARBITRARY token offsets) is [[scrubDuplicatedSpans]]; this one is
+    * delimiter-aligned, which is why it can keep first occurrences intact
+    * rather than scrubbing every copy.
+    *
+    * Paragraph unit: `block = 0` (production default) splits on the
+    * `delim` regex (blank lines) and normalizes each paragraph with the
+    * shared [[normalize]]; `block > 0` uses fixed non-overlapping
+    * `block`-token windows of the normalized text as the paragraph proxy —
+    * for corpora (like the synthetic test tables) whose documents carry no
+    * newline structure. Empty paragraphs are dropped before matching.
+    *
+    * Output: (doc_id, clean_text, n_removed) for every input document,
+    * where n_removed counts removed PARAGRAPHS (d17 counts tokens).
+    *
+    * Scale shape (100 TB story): paragraphs are hashed MAP-SIDE
+    * (xxhash64 — equality modulo collisions, the same contract as the
+    * MinHash/span paths; the oracle groups by paragraph strings), so the
+    * occurrence table shuffles only (hash, doc_id, pos) triples — never
+    * paragraph text. The keeper aggregate is one hash-partitioned groupBy
+    * with map-side combine; only hashes with >1 occurrence survive it, so
+    * the cut join is bounded by the duplicated subset. The rebuild joins
+    * per-doc cut-position int arrays back to the corpus — the corpus
+    * text moves at most once (AQE broadcasts the cut side when
+    * duplication is sparse, the common web-corpus case), and the
+    * paragraph arrays are rebuilt in place with a positional HOF filter.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      block: Int = 0, delim: String = "\\n{2,}",
+      joinWith: String = "\n\n"): DataFrame = {
+    val base =
+      if (block > 0) {
+        // fixed token-block paragraphs; fences keep the normalize regex
+        // and the split from being inlined (and re-evaluated) into the
+        // per-block lambda below — see shinglesFromToks for the measured
+        // O(|doc|²) failure mode this avoids
+        docs.select(col(idCol).as("doc_id"),
+          graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
+          .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
+          .withColumn("paras", filter(
+            transform(
+              sequence(lit(0),
+                greatest(ceil(size(col("toks")) / lit(block.toDouble)).cast("int"),
+                  lit(1)) - 1),
+              i => array_join(slice(col("toks"), i * block + 1, lit(block)), " ")),
+            p => p =!= lit("")))
+          .select("doc_id", "paras")
+      } else {
+        docs.select(col(idCol).as("doc_id"),
+          filter(transform(split(col(textCol), delim), p => normalize(p)),
+            p => p =!= lit("")).as("paras"))
+      }
+    // occurrences: only (hash, id, pos) ever leaves the scan stage
+    val occ = base.select(col("doc_id"), posexplode(col("paras")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val dup = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_occ") > 1)
+    val cuts = occ.join(dup.select("h", "first"), Seq("h"))
+      .where(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cut"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("paras"),
+          (p, i) => !coalesce(array_contains(col("cut"), i), lit(false))),
+          joinWith).as("clean_text"),
+        when(col("cut").isNull, 0L)
+          .otherwise(size(col("cut")).cast("long")).as("n_removed"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
     * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
     * `Similarity.lshCosinePairs`.

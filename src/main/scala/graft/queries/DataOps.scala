@@ -453,6 +453,57 @@ object DataOps {
       "intra-doc span dedup (Gopher-style self-repetition removal): later " +
         "occurrences of a repeated 3-token span cut, first kept; map-only"),
 
+    // d22: CCNet/RefinedWeb corpus-level paragraph dedup. The synthetic
+    // corpus has no newline structure (and no exact-duplicate documents at
+    // sf0.01), so the paragraph unit is the 12-token block proxy and the
+    // test corpus plants guaranteed duplicates: every third document gets
+    // a companion (id+100000) made of its first 24 normalized tokens —
+    // block-aligned, so the companion's two paragraphs are exact copies of
+    // the original's first two and must be cut (keeper = smaller doc_id).
+    "d22_paragraph_dedup" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select("doc_id", "text")
+        val copies = docs.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ",
+              slice(split(Dedup.normalize(col("text")), " "), 1, 24)).as("text"))
+        Dedup.paragraphDedup(docs.unionByName(copies), block = 12, joinWith = " ")
+      },
+      Some(s"""WITH d2 AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(($NormToksSql)[1:24], ' ') AS text
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |tk AS (SELECT doc_id, $NormToksSql AS toks FROM d2),
+             |pa AS (SELECT doc_id,
+             |        [p FOR p IN
+             |          [array_to_string(toks[(i-1)*12+1:i*12], ' ')
+             |           FOR i IN generate_series(1,
+             |             greatest(CAST(ceil(len(toks)/12.0) AS INT), 1))]
+             |         IF p <> ''] AS paras
+             |       FROM tk),
+             |occ AS (SELECT doc_id, unnest(ps, recursive := true) FROM (
+             |        SELECT doc_id, [{'pos': i - 1, 'para': paras[i]}
+             |                        FOR i IN generate_series(1, len(paras))] AS ps
+             |        FROM pa)),
+             |dup AS (SELECT para, min([doc_id, pos]) AS first FROM occ
+             |        GROUP BY para HAVING count(*) > 1),
+             |cuts AS (SELECT o.doc_id, list(DISTINCT o.pos) AS cut
+             |         FROM occ o JOIN dup d USING (para)
+             |         WHERE NOT (o.doc_id = d.first[1] AND o.pos = d.first[2])
+             |         GROUP BY o.doc_id)
+             |SELECT a.doc_id,
+             |  coalesce(array_to_string(
+             |    [a.paras[i] FOR i IN generate_series(1, len(a.paras))
+             |     IF NOT list_contains(coalesce(c.cut, []), i - 1)], ' '), '')
+             |    AS clean_text,
+             |  CAST(coalesce(len(c.cut), 0) AS BIGINT) AS n_removed
+             |FROM pa a LEFT JOIN cuts c USING (doc_id)""".stripMargin),
+      "corpus-level paragraph dedup (CCNet §3.1): every paragraph repeated " +
+        "anywhere in the corpus cut except its globally-first occurrence; " +
+        "only (hash, id, pos) shuffles"),
+
     // d21: DSIR-shaped importance weights (see Sampling.dsirWeights for
     // the ln-free integer form). Target = every 7th doc (offset 3) — a
     // deterministic "trusted set" slice whose bigram profile the rest of

@@ -221,4 +221,44 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicateClusters(chain, driverEdgeCutoff = 0L)
       .as[(Long, Long)].collect().toMap == cc2)
   }
+
+  test("paragraph dedup: delimiter mode cuts repeats, keeps global first") {
+    val pdocs = Seq(
+      (0L, "Alpha beta gamma.\n\nShared  Footer Text\n\nunique zero"),
+      (1L, "different body one\n\nshared footer text"),
+      (2L, "shared footer text\n\nDIFFERENT BODY two"),
+      (3L, "all original content here")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // footer normalizes identically everywhere; doc 0 pos 1 is first
+    assert(out(0) == ((0L, "alpha beta gamma.\n\nshared footer text\n\nunique zero", 0L)))
+    assert(out(1) == ((1L, "different body one", 1L)))
+    assert(out(2) == ((2L, "different body two", 1L)))
+    assert(out(3) == ((3L, "all original content here", 0L)))
+  }
+
+  test("paragraph dedup: intra-doc repeat keeps only first occurrence") {
+    val pdocs = Seq(
+      (7L, "same block\n\nmiddle part\n\nsame block")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs).as[(Long, String, Long)].collect().head
+    assert(out == ((7L, "same block\n\nmiddle part", 1L)))
+  }
+
+  test("paragraph dedup: token-block mode with block-aligned copies") {
+    val base = "a b c d e f g h i j"                // 10 toks → blocks of 4: 3 paras
+    val pdocs = Seq(
+      (0L, base),
+      (1L, "a b c d x y z w"),                      // shares block 0 of doc 0
+      (2L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs, block = 4, joinWith = " ")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out(0) == ((0L, "a b c d e f g h i j", 0L)))
+    assert(out(1) == ((1L, "x y z w", 1L)))         // "a b c d" cut, doc 0 kept it
+    assert(out(2) == ((2L, "q r s t u v", 0L)))
+    // empty and sub-block docs survive untouched
+    val tiny = Seq((9L, "solo"), (10L, "")).toDF("doc_id", "text")
+    val t = Dedup.paragraphDedup(tiny, block = 4, joinWith = " ")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(t(0) == ((9L, "solo", 0L)) && t(1) == ((10L, "", 0L)))
+  }
 }

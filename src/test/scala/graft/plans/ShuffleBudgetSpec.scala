@@ -116,6 +116,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       "model lookups must be broadcast joins, not shuffle joins")
   }
 
+  test("paragraphDedup: occurrence side carries only (hash,id,pos); corpus moves once") {
+    // exchanges allowed: the keeper aggregate (partial+final pair over
+    // hashes), the cut join's occ side, the per-doc cut-set aggregate
+    // pair, and the rebuild join's two doc-id sides — the only exchange
+    // that can carry document text is the single rebuild join
+    val n = shuffles(Dedup.paragraphDedup(docs, block = 4))
+    assert(n <= 7, s"paragraphDedup planned $n exchanges")
+  }
+
   test("dsirWeights: ratio model broadcasts; doc exchange carries aggregates") {
     val target = docs.where(col("doc_id") % 5 === 2)
     val n = shuffles(Sampling.dsirWeights(docs, target, n = 2, buckets = 64))

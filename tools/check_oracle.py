@@ -24,7 +24,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -32,6 +32,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     con2 = duckdb.connect()
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             got = con2.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
@@ -79,4 +81,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+             set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
