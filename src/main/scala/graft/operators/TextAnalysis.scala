@@ -748,4 +748,81 @@ object TextAnalysis {
         size(filter(col("toks"),
           t => !array_contains(col("keep"), t))).cast("long").as("n_unk"))
   }
+
+  /** Multinomial Naive Bayes text classifier — the fastText-shaped
+    * supervised filter production pipelines use for quality/domain
+    * gating (e.g. the GPT-3/LLaMA "looks like reference corpus"
+    * classifiers; Joulin et al. 2016 is the linear baseline this
+    * approximates with count statistics instead of trained embeddings).
+    * Train on a labeled subset, score every corpus document, emit the
+    * argmax label.
+    *
+    * Integer form (the t13/t15 ln-free rationale — argmax over a sum of
+    * logs is preserved, to integer-division precision, by summing scaled
+    * integer surprisals): with V = |train vocabulary|, N_l = tokens in
+    * label l, c(l,t) = count of t in l, D/D_l = total/per-label doc
+    * counts, a doc scores, per label,
+    *
+    *   score(l) = (10000·D) div D_l                       [prior]
+    *            + Σ_tokens (10000·(N_l + V)) div (c(l,t) + 1)   [add-one]
+    *
+    * and the prediction is the MINIMUM score (it is a surprisal — lower
+    * = more likely), ties to the lexicographically smaller label, so the
+    * output is fully deterministic and DuckDB-reproducible. Unseen
+    * tokens hit the add-one floor per label (c = 0) — they still carry
+    * signal because the floor scales with N_l, exactly as smoothed NB
+    * prescribes.
+    *
+    * Output: (doc_id, pred_label, nb_score) for every corpus doc.
+    *
+    * Scale shape (100 TB corpus, bounded labels): the model is Zipf-small
+    * (labels × vocabulary) and BROADCAST — the corpus-side plan explodes
+    * tokens map-side, fans out over the ≤|labels| label table (broadcast
+    * nested loop over a handful of rows), probes the model with a
+    * broadcast hash join, and aggregates per (doc, label) with map-side
+    * combine; the only corpus-side exchange carries per-doc-label partial
+    * sums, never tokens. Model training shuffles (label, token) count
+    * pairs — vocabulary-bounded, not corpus-bounded.
+    */
+  def nbClassify(corpus: DataFrame, labeled: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      labelCol: String = "label"): DataFrame = {
+    val base = labeled.select(col(labelCol).as("label"), tokArray(textCol).as("toks"))
+    val ltk = base.select(col("label"), explode(col("toks")).as("t"))
+    val vocabV = ltk.agg(count_distinct(col("t")).as("v"))
+    // one pass for BOTH per-label stats (doc count + token count); the
+    // corpus total re-aggregates the ≤|labels|-row result instead of
+    // re-scanning the labeled set
+    val labStats = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("d_l"), sum(size(col("toks"))).as("n_l"))
+    val model = ltk.groupBy(col("label"), col("t")).agg(count(lit(1)).as("c"))
+    val lab = labStats
+      .crossJoin(labStats.agg(sum(col("d_l")).as("d")))
+      .crossJoin(vocabV)
+      .select(col("label"), expr("(10000 * d) div d_l").as("prior"),
+        (col("n_l") + col("v")).as("nv"))
+    val scored = corpus
+      .select(col(idCol).as("doc_id"), tokArray(textCol).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .crossJoin(broadcast(lab))
+      .join(broadcast(model), Seq("label", "t"), "left")
+      .select(col("doc_id"), col("label"), col("prior"),
+        expr("(10000 * nv) div (coalesce(c, 0) + 1)").as("s"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg((max(col("prior")) + sum(col("s"))).as("total"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("total"), col("label"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("pred_label"),
+        col("best.total").as("nb_score"))
+    // zero-token docs produce no token rows — restore them with the
+    // prior-only argmin so the output covers every input doc
+    val priorBest = lab.agg(min(struct(col("prior"), col("label"))).as("pb"))
+      .select(col("pb.label").as("p_label"), col("pb.prior").as("p_score"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priorBest))
+      .select(col("doc_id"),
+        coalesce(col("pred_label"), col("p_label")).as("pred_label"),
+        coalesce(col("nb_score"), col("p_score")).as("nb_score"))
+  }
 }

@@ -1461,6 +1461,42 @@ object DataOps {
       "trigram Stupid-Backoff surprisal (t15 one order up, the CCNet " +
         "5-gram direction): trigram -> bigram -> unigram -> floor chain"),
 
+    // t17: multinomial Naive Bayes classifier (see TextAnalysis.nbClassify
+    // for the integer surprisal form). Train labels = documents.lang on
+    // the 75% slice doc_id % 4 <> 0; every document scored, including the
+    // held-out quarter — the fastText-shaped supervised-gating primitive.
+    "t17_nb_classify" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        TextAnalysis.nbClassify(docs,
+          docs.where(col("doc_id") % 4 =!= 0)
+            .select(col("doc_id"), col("text"), col("lang").as("label")))
+      },
+      Some(s"""WITH lab AS (SELECT lang AS label, text FROM documents
+             |             WHERE doc_id % 4 <> 0),
+             |ltk AS (SELECT label, unnest($NormToksSql) AS t FROM lab),
+             |vv AS (SELECT count(DISTINCT t) AS v FROM ltk),
+             |lt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_l FROM ltk GROUP BY label),
+             |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS d_l FROM lab GROUP BY label),
+             |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM lab),
+             |m AS (SELECT label, t, CAST(count(*) AS BIGINT) AS c FROM ltk GROUP BY label, t),
+             |la AS (SELECT lc.label, (10000 * dd.d) // lc.d_l AS prior,
+             |              lt.n_l + vv.v AS nv
+             |       FROM lc, lt, dd, vv WHERE lc.label = lt.label),
+             |ct AS (SELECT doc_id, unnest($NormToksSql) AS t FROM documents),
+             |sc AS (SELECT ct.doc_id, la.label,
+             |         max(la.prior) + sum((10000 * la.nv) // (coalesce(m.c, 0) + 1)) AS total
+             |       FROM ct CROSS JOIN la
+             |       LEFT JOIN m ON m.label = la.label AND m.t = ct.t
+             |       GROUP BY ct.doc_id, la.label)
+             |SELECT doc_id, label AS pred_label, CAST(total AS BIGINT) AS nb_score
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                                   ORDER BY total, label) AS rn
+             |      FROM sc) WHERE rn = 1""".stripMargin),
+      "multinomial Naive Bayes classify (fastText-shaped supervised gate): " +
+        "integer add-one surprisal argmin, model broadcast, corpus text " +
+        "never shuffles"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

@@ -159,4 +159,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L)._5 && !out(4L)._7)
     assert(out(5L)._6 && !out(5L)._7)
   }
+
+  test("nbClassify: learns label vocabularies, scores held-out docs") {
+    val labeled = Seq(
+      (0L, "spark shuffle executor partition stage", "eng"),
+      (1L, "executor stage shuffle spark codegen", "eng"),
+      (2L, "perro gato casa calle ciudad", "spa"),
+      (3L, "gato ciudad casa perro cielo", "spa")).toDF("doc_id", "text", "label")
+    val corpus = Seq(
+      (10L, "spark executor shuffle"),       // all-eng vocabulary
+      (11L, "perro casa gato"),              // all-spa vocabulary
+      (12L, "spark perro executor stage")).toDF("doc_id", "text") // majority eng
+    val out = TextAnalysis.nbClassify(corpus, labeled)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).sameElements(Array(10L, 11L, 12L)))
+    assert(out(0)._2 == "eng" && out(1)._2 == "spa" && out(2)._2 == "eng")
+    // scores are exact integers; the winning score is the argmin
+    assert(out.forall(_._3 > 0))
+  }
+
+  test("nbClassify: deterministic tie-break to the smaller label") {
+    // perfectly symmetric labels: any doc of shared-count vocabulary ties
+    val labeled = Seq(
+      (0L, "alpha beta", "l1"),
+      (1L, "gamma delta", "l2")).toDF("doc_id", "text", "label")
+    val corpus = Seq((9L, "omega")).toDF("doc_id", "text") // OOV everywhere
+    val out = TextAnalysis.nbClassify(corpus, labeled)
+      .as[(Long, String, Long)].collect().head
+    assert(out._2 == "l1") // equal scores → lexicographically smaller label
+  }
 }

@@ -125,6 +125,21 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(n <= 7, s"paragraphDedup planned $n exchanges")
   }
 
+  test("nbClassify: model/label tables broadcast; corpus-side exchange carries per-doc sums") {
+    // exchanges allowed: the model and label-stat aggregates (all
+    // vocabulary-bounded partial+final pairs) plus the per-(doc,label)
+    // and per-doc aggregates and the restore join's doc-id sides — every
+    // corpus-side exchange carries aggregated rows, never tokens; the
+    // model probe and label fanout must broadcast
+    val labeled = docs.withColumn("label", (col("doc_id") % 3).cast("string"))
+    val n = shuffles(TextAnalysis.nbClassify(docs, labeled))
+    assert(n <= 10, s"nbClassify planned $n exchanges")
+    val plan = TextAnalysis.nbClassify(docs, labeled)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "model probe must be a broadcast join, not a shuffle join")
+  }
+
   test("dsirWeights: ratio model broadcasts; doc exchange carries aggregates") {
     val target = docs.where(col("doc_id") % 5 === 2)
     val n = shuffles(Sampling.dsirWeights(docs, target, n = 2, buckets = 64))
