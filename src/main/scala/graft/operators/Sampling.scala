@@ -99,6 +99,20 @@ object Sampling {
       .where(col("rn") <= n)
       .drop("__prio")
 
+  /** Per-stratum BEST-k selection: the top `n` rows per stratum by score
+    * (descending, ties to the smaller id) — domain balancing in the
+    * RefinedWeb/Dolma sense: cap every domain's contribution to the
+    * training mix while keeping that domain's best-quality documents,
+    * so no source can flood the corpus. Deterministic (no RNG at all —
+    * the cap keeps the best, not a sample; [[stratifiedTake]] /
+    * [[weightedTake]] are the randomized variants). Plans as the
+    * row_number-filter idiom → [[graft.plans.TopKPerKey]]'s bounded-heap
+    * operator when installed.
+    */
+  def rankedTake(df: DataFrame, strataCol: String, idCol: String,
+      scoreCol: Column, n: Int): DataFrame =
+    takeByPriority(df, strataCol, idCol, -scoreCol.cast("long"), n)
+
   /** Deterministic WEIGHTED priority sample: the top `n` rows per stratum
     * by priority `u / w`, where `u` is the id's hash-uniform in [0, 1)
     * and `w > 0` the row's weight (quality score, importance) — higher

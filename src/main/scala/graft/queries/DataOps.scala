@@ -1417,6 +1417,59 @@ object DataOps {
       "perplexity-curation capstone: bigram-surprisal gate (CCNet tail " +
         "drop at 2x mean) into stride-chunking for training windows"),
 
+    // p06: domain-balanced curation — the RefinedWeb/Dolma mixing step:
+    // C4-gate the corpus, then cap every source's contribution at n docs
+    // keeping that source's BEST-quality members (rankedTake → the heap
+    // top-k operator), so no single domain floods the training mix. The
+    // C4 and quality CTEs are the t10/t02 oracles verbatim.
+    "p06_domain_balanced_curation" -> Q(
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        val docs = tp(s, dir, "documents")
+        val keepIds = TextAnalysis.c4Filters(docs, minToks = 15)
+          .where(col("keep")).select("doc_id")
+        val gated = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        val q = TextAnalysis.qualityScore(gated)
+          .select(col("doc_id"), col("quality_score"))
+        graft.operators.Sampling.rankedTake(
+          gated.select("doc_id", "source").join(q, Seq("doc_id")),
+          strataCol = "source", idCol = "doc_id",
+          scoreCol = col("quality_score"), n = 7)
+          .select("doc_id", "source", "quality_score", "rn")
+      },
+      Some("""WITH cq AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS INT) AS n_chars_c,
+             |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_space,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INT) AS n_toks,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS INT) AS stop_hits,
+             |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+             |    contains(lower(text), '{') AS has_brace
+             |  FROM documents),
+             |gated AS (
+             |  SELECT d.doc_id, d.source, d.text FROM documents d JOIN (
+             |    SELECT doc_id FROM cq
+             |    WHERE NOT (n_toks < 15
+             |      OR CAST(floor(10000.0 * (n_chars_c - n_space) / n_toks) AS INT) < 30000
+             |      OR CAST(floor(10000.0 * (n_chars_c - n_space) / n_toks) AS INT) > 100000
+             |      OR stop_hits < 2 OR has_lorem OR has_brace)) k USING (doc_id)),
+             |qual AS (
+             |  SELECT doc_id,
+             |    CAST(CAST(floor(10000.0 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / length(text)) AS INT)
+             |       + CAST(floor(10000.0 * len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |           w -> w IN ('the','and','of','to','a','in','is','that','for','it')))
+             |           / len(string_split_regex(trim(lower(text)), '\s+'))) AS INT) * 2 AS INT) AS quality_score
+             |  FROM gated)
+             |SELECT doc_id, source, quality_score, rn FROM (
+             |  SELECT g.doc_id, g.source, q.quality_score,
+             |    CAST(row_number() OVER (PARTITION BY g.source
+             |                            ORDER BY -q.quality_score, g.doc_id) AS INT) AS rn
+             |  FROM gated g JOIN qual q USING (doc_id))
+             |WHERE rn <= 7""".stripMargin),
+      "domain-balanced curation capstone: C4 gate, then every source " +
+        "capped at its 7 best-quality docs via the heap top-k operator"),
+
     "t16_trigram_surprisal" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

@@ -104,6 +104,18 @@ class SamplingSpec extends AnyFunSuite {
       (4L, 600L, 1L, 88L), (5L, 0L, 0L, 0L)))
   }
 
+  test("rankedTake: best-n per stratum by score desc, ties to smaller id") {
+    val rows = Seq(
+      (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 70L), (4L, "a", 90L),
+      (5L, "b", 10L), (6L, "b", 20L)).toDF("doc_id", "stratum", "score")
+    val out = Sampling.rankedTake(rows, "stratum", "doc_id", col("score"), n = 2)
+      .select("doc_id", "stratum", "rn").as[(Long, String, Int)].collect()
+      .sortBy(r => (r._2, r._3))
+    // a: 90@2 beats 90@4 on id, then 90@4; 70/50 dropped. b: all kept.
+    assert(out.map(r => (r._1, r._2, r._3)).sameElements(
+      Array((2L, "a", 1), (4L, "a", 2), (6L, "b", 1), (5L, "b", 2))))
+  }
+
   test("weightedTake: deterministic, weight-biased, excludes non-positive weights") {
     val rows = (0L until 100L).map(i =>
       (i, "s", if (i < 50) 100.0 else 1.0)).toDF("doc_id", "stratum", "w")
