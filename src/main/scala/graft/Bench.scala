@@ -32,7 +32,7 @@ object Bench {
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
     "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
-    "d22_paragraph_dedup", "s06_ann_pq", "t17_nb_classify",
+    "d22_paragraph_dedup", "s06_ann_pq", "s07_ann_ivfpq", "t17_nb_classify",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",

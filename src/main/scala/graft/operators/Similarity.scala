@@ -554,6 +554,94 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ — the canonical billion-scale ANN serving composition (Jégou
+    * et al. 2011 §V, "IVFADC"): an IVF coarse quantizer prunes the corpus
+    * to each query's `nProbe` nearest cells, PQ asymmetric-distance
+    * scoring ranks only those cells' m-byte codes, and (with `refine` > 0)
+    * the shortlist re-ranks by exact cosine. This is [[ivfTopK]]'s
+    * pruning with [[pqTopK]]'s code-only scan: at 100 TB the corpus is
+    * visited as ~m bytes/vector of codes, each query touches only
+    * ~nProbe/|cells| of them, and float vectors surface solely for the
+    * bounded shortlist re-rank.
+    *
+    * Determinism: cells, codes and all rankings are deterministic given
+    * the model (ties to the smaller id everywhere) — same contract as the
+    * other ANN paths.
+    *
+    * Scale shape: the corpus side is strictly MAP-ONLY and never shuffles
+    * — cell assignment is the broadcast centroid kernel
+    * ([[graft.functions.NearestCells]], one cell per vector), codes are
+    * the literal-codebook expression, and the probe join BROADCASTS the
+    * (cell, query, ADC-table) side into it. The only exchanges carry
+    * (query, neighbor, distance) candidate rows from the probed cells
+    * (the per-query top-k heaps), and the re-rank reuses pqTopK's
+    * broadcast-shortlist-into-corpus join. The centroid pull is the
+    * bounded-driver-state pattern (n/centroidMod rows by construction).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+      nProbe: Int = 2, centroidMod: Int = 37, lloydIters: Int = 0,
+      refine: Int = 0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = model.m; val subDim = model.subDim
+    val eRaw = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val seed = corpus.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val centDf = if (lloydIters <= 0) seed else lloydRefine(eRaw, seed, lloydIters)
+    val centRows = centDf.select(col("cent_id"), col("cv")).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    // corpus side: one cell per vector + m-byte codes — strictly map-only
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+        OptimizerFence(col(vecCol).cast("array<double>")).as("rv"))
+      .withColumn("cell",
+        element_at(graft.functions.NearestCells(col("rv"), centIds, cents, 1), 1))
+      .select(col("cell"), col("neighbor_id"),
+        pqCodesExpr(OptimizerFence(pqNormalize(col("rv"))), model).as("codes"))
+    // query side: nProbe probes, each carrying the per-query ADC table
+    val qRaw = queries.select(col(idCol).as("query_id"),
+      OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("qv"),
+      OptimizerFence(col(vecCol).cast("array<double>")).as("rqv"))
+    val q = qRaw.select(col("query_id"), col("qv"),
+        explode(graft.functions.NearestCells(col("rqv"), centIds, cents, nProbe))
+          .as("cell"))
+      .select(col("cell"), col("query_id"),
+        OptimizerFence(array((0 until m).map { s =>
+          val qs = slice(col("qv"), lit(s * subDim + 1), lit(subDim))
+          transform(typedlit(model.codebooks(s).map(_.toSeq)), c => dist2(qs, c))
+        }: _*)).as("tbl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad"), col("neighbor_id"))
+    val adcK = if (refine > 0) math.max(refine, k) else k
+    val adc = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad", aggregate(
+        zip_with(col("codes"), col("tbl"), (code, t) => element_at(t, code + 1)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= adcK)
+    if (refine <= 0)
+      adc.select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+    else {
+      val vecs = corpus.select(col(idCol).as("neighbor_id"),
+        OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("cv"))
+      val shortlist = adc.select(col("query_id"), col("neighbor_id"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      vecs.join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(qRaw.select(col("query_id"), col("qv"))), Seq("query_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(wx))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"))
+    }
+  }
+
   def quantizeInt8(
       emb: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =

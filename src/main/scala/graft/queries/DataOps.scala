@@ -881,6 +881,33 @@ object DataOps {
       "PQ: m-byte codes, map-only ADC shortlist, broadcast exact re-rank; " +
         "self-measured recall vs exact truth"),
 
+    // s07: IVF-PQ (IVFADC) — s03's coarse-cell pruning composed with
+    // s06's code-only ADC scan + exact re-rank: the canonical
+    // billion-scale serving shape. SELF-CHECKING like s06 (same
+    // near-isotropic worst-case corpus; cell pruning stacks its own
+    // recall loss on code quantization, hence the lower gate) and
+    // z01-proved; SimilaritySpec pins determinism and planted neighbors.
+    "s07_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") % 11 === 3)
+        val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+        val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select("query_id", "neighbor_id")
+        val ann = Similarity.ivfPqTopK(emb, queries, model, k = 5,
+          nProbe = 4, lloydIters = 2, refine = 32)
+          .select(col("query_id"), col("neighbor_id")).withColumn("in_p", lit(1))
+        truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("in_p"), lit(0))).as("n_ivfpq"))
+          .select(col("n_truth"), col("n_ivfpq"),
+            (col("n_ivfpq").cast("double") / col("n_truth")).as("recall"),
+            (col("n_ivfpq").cast("double") / col("n_truth") >= 0.4).as("pass"))
+      },
+      None,
+      "IVF-PQ (IVFADC): coarse-cell pruning, code-only ADC in probed " +
+        "cells, broadcast exact re-rank; self-measured recall vs truth"),
+
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
       (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),

@@ -252,6 +252,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refined >= 0.55, f"PQ refined recall@5 $refined%.3f below the s06 floor")
   }
 
+  test("IVF-PQ: planted near-duplicate survives cell pruning and ranks first") {
+    val dim = 16
+    def vec(hot: Int, eps: Double): Array[Float] =
+      Array.tabulate(dim)(i => (if (i == hot) 1.0 else if (i == (hot + 7) % dim) eps else 0.0).toFloat)
+    val rows = (0 until 12).map(h => (h.toLong, vec(h % 6, 0.02 * h))) :+
+      (100L, vec(2, 0.041)) // near-copy of id 2's cell
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(df, m = 4, k = 4, iters = 2)
+    // centroidMod=5 → centroids {0,5,10,100}; the copy and id 2 share a
+    // one-hot direction, so the copy's nearest cells contain id 2
+    val res = Similarity.ivfPqTopK(df, df.where(col("vec_id") === 100L),
+      model, k = 3, nProbe = 2, centroidMod = 5, refine = 6)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(res.nonEmpty && res.head._3 == 2L,
+      s"expected planted neighbor 2 first, got ${res.toList}")
+  }
+
+  test("IVF-PQ recall vs exact truth (the s07 gate, re-measured) + determinism") {
+    val queries = emb.where(col("vec_id") % 11 === 3)
+    val model = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+    val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfPqTopK(emb, queries, model, k = 5,
+      nProbe = 4, lloydIters = 2, refine = 32)
+      .as[(Long, Int, Long)].collect().toSet
+    val r1 = run()
+    assert(r1 == run(), "IVF-PQ must be deterministic across invocations")
+    val got = r1.map(r => (r._1, r._3))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"ivf-pq recall@5 refined@32 nProbe=4: $recall%.3f")
+    // cell pruning stacks on code quantization: gate looser than s06's,
+    // and the tiny sf0.001 corpus (~50 vectors/cell) is the worst case
+    assert(recall >= 0.3, f"ivf-pq recall degraded: $recall%.3f")
+  }
+
   test("int8 quantization: saturation, zero vector, negative half-up") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 0.5f)),     // max|v|=1 -> scale 127: ±127, 64 (63.5 rounds up)

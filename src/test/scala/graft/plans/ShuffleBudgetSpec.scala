@@ -194,4 +194,23 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       emb.where(col("vec_id") < 3), model, k = 3))
     assert(n <= 2, s"pqTopK planned $n exchanges")
   }
+
+  test("IVF-PQ: corpus side map-only (cells+codes), probe join broadcasts") {
+    import graft.operators.Similarity
+    val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") * 31 + i) % 13).cast("double") - 6.0).as("embedding"))
+    val model = Similarity.pqTrain(emb, m = 4, k = 4, iters = 1)
+    // exchanges allowed: the per-query ADC rank window and the re-rank's
+    // top-k window — the corpus-side assignment (broadcast centroid
+    // kernel) and code scan add none; the probe and shortlist joins must
+    // broadcast into the corpus
+    val df = Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 3),
+      model, k = 3, nProbe = 2, centroidMod = 37, refine = 8)
+    val n = shuffles(df)
+    assert(n <= 3, s"ivfPqTopK planned $n exchanges")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "probe/shortlist joins must broadcast into the corpus side")
+  }
 }
