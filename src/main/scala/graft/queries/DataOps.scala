@@ -1577,6 +1577,46 @@ object DataOps {
         "integer add-one surprisal argmin, model broadcast, corpus text " +
         "never shuffles"),
 
+    // t18: BPE tokenizer train+encode. SELF-CHECKING (the greedy merge
+    // loop has no DuckDB-expressible oracle; BpeSpec proves the algorithm
+    // against a plain-Scala reference): every doc must roundtrip (tokens
+    // re-spell the normalized text minus spaces), the merges must
+    // actually compress (fewer tokens than characters), and the emitted
+    // vocabulary is bounded by alphabet + numMerges by construction.
+    "t18_bpe_tokenize" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, numMerges = 24)
+        val enc = graft.operators.Bpe.encode(docs, model)
+        val flat = docs.select(col("doc_id"),
+          regexp_replace(Dedup.normalize(col("text")), " ", "").as("flat"))
+        val perDoc = enc.join(flat, Seq("doc_id"))
+          .select(col("n_tokens"),
+            length(col("flat")).cast("long").as("n_chars_flat"),
+            (array_join(col("tokens"), "") === col("flat")).as("ok"))
+        val vocab = enc.select(explode(col("tokens")).as("t"))
+          .agg(count_distinct(col("t")).as("vocab_size"))
+        val alphabet = flat.select(explode(split(col("flat"), "")).as("c"))
+          .where(col("c") =!= "")
+          .agg(count_distinct(col("c")).as("alphabet_size"))
+        perDoc.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("n_roundtrip_fail"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_chars_flat")).as("total_chars"))
+          .crossJoin(vocab).crossJoin(alphabet)
+          .select(col("n_docs"), col("n_roundtrip_fail"),
+            col("total_tokens"), col("total_chars"),
+            col("vocab_size"), col("alphabet_size"),
+            (col("n_roundtrip_fail") === 0 &&
+              col("total_tokens") < col("total_chars") &&
+              col("vocab_size") <= col("alphabet_size") + 24).as("pass"))
+      },
+      None,
+      "BPE tokenizer: greedy pair-merge training on the Zipf-bounded word " +
+        "table, map-only kernel encode; roundtrip/compression/vocab-bound " +
+        "self-checks"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

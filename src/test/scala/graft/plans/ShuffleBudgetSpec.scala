@@ -195,6 +195,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(n <= 2, s"pqTopK planned $n exchanges")
   }
 
+  test("BPE encode: merge table in-plan, strictly map-only") {
+    import graft.operators.Bpe
+    val model = Bpe.BpeModel(Vector(("s", "o"), ("so", "m")))
+    assert(shuffles(Bpe.encode(docs, model)) == 0)
+  }
+
   test("IVF-PQ: corpus side map-only (cells+codes), probe join broadcasts") {
     import graft.operators.Similarity
     val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
