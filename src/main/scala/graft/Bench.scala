@@ -311,10 +311,15 @@ object Bench {
       }
       // d11b and d17 join the probe (r8): their linear designs (8-byte
       // span keys / single corpus shuffle) had only plan-shape arguments;
-      // p02 embeds d17 but measures the composition, not the operator
+      // p02 embeds d17 but measures the composition, not the operator.
+      // The r8 additions probe too: d22 (hash-triple shuffle + one corpus
+      // move), t17 (broadcast model, per-doc-label sums), t18 (one corpus
+      // pass + vocab-table rounds — the corpus-side cost must be the
+      // word-count agg alone)
       val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
         "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
-        "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub")
+        "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
+        "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize")
       val oneX = results.toMap
       val entryStats = probeEntries.map { name =>
         val tN = robust(SparkEntry.queries(name)(spark, tmp)

@@ -786,7 +786,20 @@ object TextAnalysis {
     */
   def nbClassify(corpus: DataFrame, labeled: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label"): DataFrame =
+    nbScore(corpus, nbTrain(labeled, textCol, labelCol), textCol, idCol)
+
+  /** The trained half of [[nbClassify]]: `lab` = one row per label
+    * (prior + smoothing denominator), `model` = the (label, token) count
+    * table — both Zipf-small and broadcast at score time. Train once,
+    * score many (the [[graft.streaming.StatefulOps.classifyGateSink]]
+    * contract; long-lived callers should persist both tables for the
+    * model's lifetime, the d17/p03 rule).
+    */
+  final case class NbModel(lab: DataFrame, model: DataFrame)
+
+  def nbTrain(labeled: DataFrame,
+      textCol: String = "text", labelCol: String = "label"): NbModel = {
     val base = labeled.select(col(labelCol).as("label"), tokArray(textCol).as("toks"))
     val ltk = base.select(col("label"), explode(col("toks")).as("t"))
     val vocabV = ltk.agg(count_distinct(col("t")).as("v"))
@@ -801,6 +814,17 @@ object TextAnalysis {
       .crossJoin(vocabV)
       .select(col("label"), expr("(10000 * d) div d_l").as("prior"),
         (col("n_l") + col("v")).as("nv"))
+    NbModel(lab, model)
+  }
+
+  /** The scoring half of [[nbClassify]]: every corpus doc argmin-scored
+    * against a (possibly foreign-corpus) trained model — pure broadcast
+    * joins on the corpus side.
+    */
+  def nbScore(corpus: DataFrame, m: NbModel,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lab = m.lab
+    val model = m.model
     val scored = corpus
       .select(col(idCol).as("doc_id"), tokArray(textCol).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("t"))

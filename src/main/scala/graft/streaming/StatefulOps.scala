@@ -278,6 +278,38 @@ object StatefulOps {
       .start()
   }
 
+  /** Streaming classifier gate — the fastText-shaped supervised filter
+    * as a stream stage (CCNet runs exactly this for language ID before
+    * its perplexity gate): score each arriving micro-batch against a
+    * BATCH-TRAINED Naive Bayes model
+    * ([[graft.operators.TextAnalysis.nbTrain]] over a labeled reference
+    * set; the t17 scoring, unchanged) and keep only docs whose predicted
+    * label is in `keepLabels`. Same envelope as [[surprisalGateSink]]:
+    * foreachBatch (per-batch bounded aggregation, no stream state), the
+    * Zipf-small model tables pinned for the stream's lifetime and
+    * broadcast into every batch, at-least-once into the parquet sink.
+    */
+  def classifyGateSink(
+      docs: DataFrame, model: graft.operators.TextAnalysis.NbModel,
+      keepLabels: Seq[String], outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    model.lab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = graft.operators.TextAnalysis
+          .nbScore(batch.toDF(), model, textCol, idCol)
+          .where(col("pred_label").isin(keepLabels: _*))
+          .select(col("doc_id").as(idCol))
+        batch.toDF().join(kept, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Stream-static enrichment: join each micro-batch against a small
     * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
     * static side is planned per micro-batch (a broadcast hash join inside

@@ -193,6 +193,41 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifyGateSink: streamed gate ≡ the batch t17 filter on the same labels") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cls_gate")
+    // labeled reference: two clearly-separated vocabularies
+    val labeled = Seq(
+      (0L, "spark shuffle executor partition stage codegen", "eng"),
+      (1L, "executor stage shuffle spark partition plan", "eng"),
+      (2L, "perro gato casa calle ciudad cielo", "spa"),
+      (3L, "gato ciudad casa perro calle mar", "spa"))
+      .toDF("doc_id", "text", "label")
+    val model = graft.operators.TextAnalysis.nbTrain(labeled)
+    val arriving = Seq(
+      (100L, "spark executor shuffle stage"),   // eng → kept
+      (101L, "perro casa gato ciudad"),         // spa → dropped
+      (102L, "stage plan codegen partition"),   // eng → kept
+      (103L, "cielo mar calle"))                // spa → dropped
+    val stream = MemoryStream[(Long, String)]
+    val q = StatefulOps.classifyGateSink(
+      stream.toDS().toDF("doc_id", "text"), model, Seq("eng"),
+      s"$tmp/out", s"$tmp/cp")
+    try {
+      stream.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().sorted
+      val batchKept = graft.operators.TextAnalysis
+        .nbScore(arriving.toDF("doc_id", "text"), model)
+        .where(org.apache.spark.sql.functions.col("pred_label") === "eng")
+        .select("doc_id").as[Long].collect().sorted
+      assert(streamed.sameElements(batchKept),
+        s"streamed=${streamed.toSeq} batch=${batchKept.toSeq}")
+      assert(streamed.toSeq == Seq(100L, 102L))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("us", "United States"), ("de", "Germany")).toDF("cc", "country")
