@@ -1617,6 +1617,53 @@ object DataOps {
         "table, map-only kernel encode; roundtrip/compression/vocab-bound " +
         "self-checks"),
 
+    // p07: tokenize→pack — the last mile of an LM data pipeline: BPE
+    // tokenize (t18's model) and pack docs into fixed token-budget
+    // training bins (q36's packer) using the TOKENIZER's counts, not
+    // whitespace counts. SELF-CHECKING per lang stratum (BPE has no SQL
+    // oracle; t18/q36 prove the pieces): every doc packed exactly once,
+    // the final offset+len equals the token total (cumulative-packing
+    // conservation), the starting-bin count sits inside its provable
+    // bounds (≤ bins the span can reach; n_bins·(budget+max_len) covers
+    // the total — bins are NOT dense: a doc longer than the budget
+    // legitimately straddles whole bins, the packer's greedy-offset
+    // semantics), and BPE actually compressed.
+    "p07_tokenize_pack_pipeline" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, numMerges = 24)
+        val enc = graft.operators.Bpe.encode(docs, model)
+          .select("doc_id", "n_tokens")
+        val withLang = docs.select(col("doc_id"), col("lang"),
+            length(regexp_replace(Dedup.normalize(col("text")), " ", ""))
+              .cast("long").as("n_chars_flat"))
+          .join(enc, Seq("doc_id"))
+        val packed = graft.operators.Sampling.sequentialPack(
+          withLang, groupCol = "lang", orderCol = "doc_id",
+          tokenCountCol = col("n_tokens"), budget = 256)
+        val docCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_in"))
+        packed.groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("n_chars_flat")).as("total_chars"),
+            count_distinct(col("bin")).as("n_bins"),
+            (max(col("bin")) + 1).as("max_bin_p1"),
+            max(col("n_tok")).as("max_len"),
+            max(col("offset") + col("n_tok")).as("final_span"))
+          .join(docCounts, Seq("lang"))
+          .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_bins"),
+            (col("n_docs") === col("n_docs_in") &&
+              col("final_span") === col("total_tokens") &&
+              col("n_bins") <= col("max_bin_p1") &&
+              col("max_bin_p1") <= expr("total_tokens div 256") + 1 &&
+              col("n_bins") * (col("max_len") + 256) >= col("total_tokens") &&
+              col("total_tokens") < col("total_chars")).as("pass"))
+      },
+      None,
+      "tokenize→pack capstone: BPE token counts drive fixed-budget " +
+        "sequence packing per stratum; exactly-once/dense-bin/conservation " +
+        "self-checks"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")
