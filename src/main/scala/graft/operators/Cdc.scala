@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog compaction — the lakehouse "merge a CDC stream into a
+  * snapshot" primitive (the semantics of Kafka log compaction and of a
+  * Delta/Iceberg `MERGE ... WHEN MATCHED UPDATE / DELETE` fed by a
+  * change stream): given a changelog of keyed upserts and tombstones,
+  * produce the latest-wins table snapshot.
+  *
+  * The reference's pipeline lands append-only log rows into ClickHouse
+  * and leans on the engine's ReplacingMergeTree semantics for this
+  * (`/root/reference/README.md:303` — the `insert_date` + ORDER BY key
+  * DDL it generates is exactly a latest-wins compaction contract);
+  * Spark-side the equivalent is an explicit operator.
+  *
+  * Scale design (the 100 TB story): latest-wins is computed as a single
+  * `max_by(payload, version)` AGGREGATE, not a `row_number()` window —
+  * both shuffle on the key, but the aggregate combines map-side (the
+  * exchange carries one pre-combined candidate row per key per input
+  * partition, not every change record) and never sorts whole partitions.
+  * For a changelog with many updates per key — the normal CDC shape —
+  * that is the difference between shuffling the snapshot and shuffling
+  * the changelog. Tombstones ride the same aggregate: they must WIN the
+  * max_by (so a key whose newest record is a delete is dropped) and are
+  * filtered AFTER it, which keeps delete handling inside the one
+  * exchange.
+  */
+object Cdc {
+
+  /** Compact a changelog to its latest-wins snapshot.
+    *
+    * @param changelog    change records, one row per upsert/tombstone
+    * @param keyCols      primary-key columns
+    * @param versionCols  total order within a key, later wins; ties
+    *                     broken by the later column list entry
+    * @param tombstone    predicate marking delete records; a key whose
+    *                     latest record is a tombstone leaves the snapshot
+    * @return one row per live key, carrying the full latest record
+    */
+  def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String], tombstone: Column): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty)
+    val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
+    val latest = changelog
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct((payloadCols.map(col) :+ tombstone.as("__dead")): _*),
+        struct(versionCols.map(col): _*)).as("__latest"))
+    latest.where(!col("__latest.__dead"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+}

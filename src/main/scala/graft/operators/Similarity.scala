@@ -642,6 +642,179 @@ object Similarity {
     }
   }
 
+  /** Semi-hard triplet mining (Schroff, Kalenichenko, Philbin, "FaceNet",
+    * CVPR 2015 §3.2) — the contrastive-training data step: for each
+    * anchor, its nearest same-label positive and the k hardest negatives
+    * that are still FARTHER than the positive (cos(a,n) < cos(a,p) —
+    * "semi-hard": hard enough to carry gradient, not so hard they are
+    * label noise, which at corpus scale is usually an undetected dup).
+    *
+    * Output: (anchor_id, pos_id, rank, neg_id), rank 1..k by cosine desc
+    * (ties to the smaller id — fully deterministic). Anchors with no
+    * same-label partner, or no negative below their positive, emit no
+    * rows (strict semi-hard; the caller widens the anchor batch, not the
+    * definition).
+    *
+    * Scale design: anchors are a training batch — Zipf-small against the
+    * corpus — and are broadcast; the corpus side is a single map-only
+    * scoring scan. The positive is ONE `max`-of-struct aggregate per
+    * anchor (map-side combined argmax — no window), and the negative
+    * ranking is the window-top-k shape the heap-top-k rule plans into
+    * per-partition partial heaps, so the exchange carries at most
+    * partitions × anchors × k candidate rows, never the scored cross
+    * product.
+    */
+  def semiHardTriplets(corpus: DataFrame, anchors: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1)
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(labelCol).as("cand_label"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"),
+      col(vecCol).cast("array<double>").as("av"))
+      .withColumn("an", l2norm(col("av")))
+    val scored = c.crossJoin(broadcast(a))
+      .where(col("cand_id") =!= col("anchor_id"))
+      .withColumn("cos", cosine(col("av"), col("cv"), col("an"), col("cn")))
+    // argmax as an aggregate: (cos desc, id asc) tie-break via negated id
+    val pos = scored.where(col("cand_label") === col("anchor_label"))
+      .groupBy(col("anchor_id"))
+      .agg(max(struct(col("cos"), (-col("cand_id")).as("nid"),
+        col("cand_id").as("pid"))).as("p"))
+      .select(col("anchor_id"), col("p.pid").as("pos_id"),
+        col("p.cos").as("pos_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.where(col("cand_label") =!= col("anchor_label"))
+      .join(broadcast(pos), Seq("anchor_id"))
+      .where(col("cos") < col("pos_cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("pos_id"),
+        col("rank").cast("int").as("rank"), col("cand_id").as("neg_id"))
+  }
+
+  /** A trained PCA basis: `components(i)` is the i-th principal axis
+    * (orthonormal, eigenvalue-descending), `eigenvalues(i)` its captured
+    * variance, `mean` the per-dimension corpus mean, `totalVar` the trace
+    * of the covariance (so callers can report explained-variance ratios
+    * without another corpus pass).
+    */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double],
+      totalVar: Double) {
+    def dim: Int = mean.length
+  }
+
+  /** PCA training — the embedding whitening/reduction step in front of
+    * semantic dedup and ANN (SemDeDup clusters on normalized embeddings;
+    * OPQ/IVF recall improves markedly on decorrelated axes; a 100 TB
+    * float32 embedding store shrinks 64→16 dims with single-digit recall
+    * loss when variance is concentrated).
+    *
+    * Scale design: the corpus is touched EXACTLY ONCE — each row expands
+    * to its (dim + dim²) first/second-moment contributions (the
+    * concatenated vector-and-outer-product array), posexplode + one
+    * position-sum aggregate with map-side combine, so the exchange
+    * carries ≤ partitions × (dim + dim²) pre-combined rows and the
+    * driver pulls dim + dim² cells — bounded by construction, never by
+    * corpus size (the Lloyd-update shape). Eigenvectors come from
+    * deterministic power iteration with deflation on the driver-side
+    * d×d covariance (C = M2/n − μμᵀ): d ≤ a few thousand for any real
+    * embedding, so the O(d² · iters · k) driver work is microscopic next
+    * to the corpus pass.
+    */
+  def pcaTrain(corpus: DataFrame, nComponents: Int, powerIters: Int = 60,
+      vecCol: String = "embedding"): PcaModel = {
+    require(nComponents >= 1 && powerIters >= 1)
+    val v = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+    // one corpus pass: [x_0..x_{d-1}, x_0·x_0..x_0·x_{d-1}, x_1·x_0, ...]
+    val moments = v.select(posexplode(concat(col("v"),
+        flatten(transform(col("v"), x => transform(col("v"), y => x * y))))))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(moments.nonEmpty, "pcaTrain: empty corpus")
+    val n = moments.head.getAs[Long]("n").toDouble
+    val d = math.round((math.sqrt(4.0 * moments.length + 1) - 1) / 2).toInt
+    require(d * (d + 1) == moments.length && nComponents <= d,
+      s"pcaTrain: inconsistent dims (cells=${moments.length}, d=$d)")
+    val flat = new Array[Double](d + d * d)
+    moments.foreach(r => flat(r.getAs[Int]("pos")) = r.getAs[Double]("s"))
+    val mean = Array.tabulate(d)(i => flat(i) / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      flat(d + i * d + j) / n - mean(i) * mean(j))
+    // per-vector orthogonal iteration: power steps on the ORIGINAL
+    // covariance with explicit Gram-Schmidt against the components
+    // already found, every step. Deflation alone is not enough — in a
+    // near-degenerate eigenspace (isotropic noise dims) power iteration
+    // converges arbitrarily slowly, and deflating with a half-converged
+    // vector leaks it into every later component (measured 7e-4
+    // off-orthogonality); in-loop re-orthogonalization keeps the basis
+    // orthonormal to machine precision REGARDLESS of eigengap, and the
+    // Rayleigh quotient then equals the component's projected variance
+    // exactly (the s09 data-side check relies on this). Deterministic
+    // start = e_argmax(residual diag), never orthogonal to the dominant
+    // remaining eigenvector of a PSD matrix.
+    val comps = Array.ofDim[Array[Double]](nComponents)
+    val eigs = new Array[Double](nComponents)
+    def matVec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * x(j)))
+    def orthonormalize(x: Array[Double], m: Int): Array[Double] = {
+      val y = x.clone()
+      for (p <- 0 until m) {
+        val proj = (0 until d).foldLeft(0.0)((a, i) => a + y(i) * comps(p)(i))
+        for (i <- 0 until d) y(i) -= proj * comps(p)(i)
+      }
+      val norm = math.sqrt(y.map(v => v * v).sum)
+      if (norm > 1e-300) y.map(_ / norm) else y
+    }
+    for (m <- 0 until nComponents) {
+      val start = (0 until d).maxBy { i =>
+        cov(i)(i) - (0 until m).foldLeft(0.0)((a, p) =>
+          a + eigs(p) * comps(p)(i) * comps(p)(i))
+      }
+      var vec = orthonormalize(
+        Array.tabulate(d)(i => if (i == start) 1.0 else 0.0), m)
+      for (_ <- 1 to powerIters) vec = orthonormalize(matVec(vec), m)
+      comps(m) = vec
+      val mv = matVec(vec)
+      eigs(m) = math.max((0 until d).foldLeft(0.0)((a, i) =>
+        a + vec(i) * mv(i)), 0.0)
+    }
+    // discovery order tracks the spectrum only up to convergence error —
+    // in a near-flat spectrum (isotropic embeddings) adjacent Rayleigh
+    // quotients can invert. The model's contract is eigenvalue-descending
+    // components, so sort (stable; ties keep discovery order).
+    val order = eigs.indices.sortBy(i => -eigs(i))
+    PcaModel(mean, order.map(comps).toArray, order.map(eigs).toArray,
+      (0 until d).map(i => cov(i)(i)).sum)
+  }
+
+  /** Map-only projection onto a trained basis: output `(…, pc)` where
+    * `pc(i) = ⟨x − μ, componentᵢ⟩`, optionally whitened (divided by
+    * √eigenvalueᵢ — unit variance per axis, the SemDeDup/OPQ input
+    * convention). Components ride the plan as literal arrays (the
+    * literal-codebook pattern): zero shuffle, zero driver participation
+    * at any corpus size.
+    */
+  def pcaProject(corpus: DataFrame, model: PcaModel, whiten: Boolean = false,
+      vecCol: String = "embedding", outCol: String = "pc"): DataFrame = {
+    val meanLit = typedLit(model.mean.toSeq)
+    val compCols = model.components.zipWithIndex.map { case (comp, i) =>
+      val scale = if (whiten && model.eigenvalues(i) > 0)
+        1.0 / math.sqrt(model.eigenvalues(i)) else 1.0
+      (dot(zip_with(col(vecCol).cast("array<double>"), meanLit, _ - _),
+        typedLit(comp.toSeq)) * lit(scale)).as(s"__pc$i")
+    }
+    corpus.withColumn(outCol, array(compCols: _*))
+  }
+
   def quantizeInt8(
       emb: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =

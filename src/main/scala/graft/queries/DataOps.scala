@@ -908,6 +908,93 @@ object DataOps {
       "IVF-PQ (IVFADC): coarse-cell pruning, code-only ADC in probed " +
         "cells, broadcast exact re-rank; self-measured recall vs truth"),
 
+    // s08: semi-hard triplet mining (FaceNet §3.2) — contrastive-training
+    // data assembly. Fully SQL-expressible (exact cosine, deterministic
+    // tie-breaks), so unlike the ANN entries it gets a hash-match oracle.
+    "s08_hard_negatives" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        Similarity.semiHardTriplets(emb, emb.where(col("vec_id") < 10), k = 5)
+      },
+      Some("""WITH a AS (SELECT vec_id AS anchor_id, label AS al,
+             |            CAST(embedding AS DOUBLE[]) AS av
+             |          FROM embeddings WHERE vec_id < 10),
+             |sc AS (SELECT anchor_id, al, c.vec_id AS cand_id, c.label AS cl,
+             |         list_inner_product(av, CAST(c.embedding AS DOUBLE[]))
+             |         / (sqrt(list_inner_product(av, av))
+             |            * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]),
+             |                                      CAST(c.embedding AS DOUBLE[])))) AS cos
+             |       FROM a JOIN embeddings c ON c.vec_id <> anchor_id),
+             |p AS (SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+             |        SELECT *, row_number() OVER (PARTITION BY anchor_id
+             |                    ORDER BY cos DESC, cand_id) AS rn
+             |        FROM sc WHERE al = cl) WHERE rn = 1)
+             |SELECT anchor_id, pos_id, CAST(rank AS INT) AS rank, neg_id FROM (
+             |  SELECT s.anchor_id, p.pos_id, s.cand_id AS neg_id,
+             |    row_number() OVER (PARTITION BY s.anchor_id
+             |      ORDER BY s.cos DESC, s.cand_id) AS rank
+             |  FROM sc s JOIN p ON s.anchor_id = p.anchor_id
+             |  WHERE s.al <> s.cl AND s.cos < p.pos_cos)
+             |WHERE rank <= 5""".stripMargin),
+      "semi-hard triplet mining (FaceNet): nearest positive as one argmax " +
+        "aggregate, k hardest below-positive negatives via heap top-k; " +
+        "anchors broadcast, corpus scan map-only"),
+
+    // s09: PCA train + project. SELF-CHECKING (eigenvectors have no
+    // DuckDB-expressible oracle): driver-side model invariants
+    // (orthonormal basis, eigenvalues descending, captured ≤ total
+    // variance) plus DATA-side re-measurement — the population variance
+    // of each projected coordinate must equal its eigenvalue, and each
+    // whitened coordinate must have unit variance, which ties the
+    // distributed projection plan to the trained basis. SimilaritySpec
+    // pins recovery of a planted dominant axis; ShuffleBudgetSpec pins
+    // the one-pass train / zero-exchange project budgets.
+    "s09_pca_project" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val nc = 8
+        val model = Similarity.pcaTrain(emb, nComponents = nc)
+        val orthoErr = (for {
+          i <- 0 until nc; j <- i until nc
+        } yield math.abs(model.components(i).zip(model.components(j))
+            .map { case (x, y) => x * y }.sum - (if (i == j) 1.0 else 0.0)))
+          .max
+        // ordering slack is relative: within a near-degenerate eigenspace
+        // two Rayleigh quotients can land convergence-error apart
+        val eigOrdered = model.eigenvalues.forall(_ >= 0) &&
+          model.eigenvalues.sliding(2).forall(p =>
+            p.length < 2 || p(0) >= p(1) - 1e-9 * model.totalVar)
+        val varRatio = model.eigenvalues.sum / model.totalVar
+        val both = Similarity.pcaProject(
+          Similarity.pcaProject(emb, model, whiten = false, outCol = "pc"),
+          model, whiten = true, outCol = "wc")
+        val aggs = (0 until nc).map(i =>
+            var_pop(element_at(col("pc"), i + 1)).as(s"v$i")) ++
+          (0 until nc).map(i =>
+            var_pop(element_at(col("wc"), i + 1)).as(s"w$i")) :+
+          count(lit(1)).as("n")
+        val row = both.agg(aggs.head, aggs.tail: _*)
+        val varErr = greatest((0 until nc).map(i =>
+          abs(col(s"v$i") - lit(model.eigenvalues(i)))): _*)
+        val whitenErr = greatest((0 until nc)
+          .filter(i => model.eigenvalues(i) > 1e-12 * model.totalVar)
+          .map(i => abs(col(s"w$i") - lit(1.0))): _*)
+        row.select(col("n"),
+            lit(varRatio).as("var_ratio"),
+            lit(orthoErr < 1e-8).as("ortho_in_bound"),
+            lit(eigOrdered && varRatio <= 1.0 + 1e-9 && varRatio > 0.0)
+              .as("eig_order_in_bound"),
+            (varErr <= lit(1e-6 * model.totalVar)).as("var_match_in_bound"),
+            (whitenErr <= lit(1e-4)).as("whiten_in_bound"))
+          .withColumn("pass",
+            col("ortho_in_bound") && col("eig_order_in_bound") &&
+              col("var_match_in_bound") && col("whiten_in_bound"))
+      },
+      None,
+      "PCA whitening/reduction: one-pass moment aggregate + driver power " +
+        "iteration, map-only literal-basis projection; self-checked " +
+        "against re-measured projected variances"),
+
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
       (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),
@@ -1195,6 +1282,23 @@ object DataOps {
              |  array_to_string(toks[start:start+31], ' ') AS chunk
              |FROM s""".stripMargin),
       "stride-overlap context chunking: map-only sliding windows, tail window end-aligned"),
+
+    // q52: CDC latest-wins changelog compaction — the contract the
+    // reference's generated ReplacingMergeTree DDL delegates to the
+    // store (`/root/reference/README.md:303`), as an explicit operator.
+    // `events` is read as a changelog on user_id: 'error' records are
+    // tombstones, everything else an upsert; version = (ts, event_id).
+    "q52_cdc_merge" -> Q(
+      (s, dir) => graft.operators.Cdc.latestSnapshot(t(s, dir, "events"),
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+        tombstone = col("event_type") === "error"),
+      Some("""SELECT user_id, event_id, ts, event_type, value, props
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 AND event_type <> 'error'""".stripMargin),
+      "CDC changelog compaction to a latest-wins snapshot: one max_by " +
+        "aggregate (map-side combined, no window sort); tombstones win " +
+        "the aggregate then drop, so deletes ride the same exchange"),
 
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),

@@ -304,4 +304,98 @@ class SimilaritySpec extends AnyFunSuite {
     val v = Array(1.0, -1.0, 0.5); val q = out(1L)._1; val s = out(1L)._2
     v.indices.foreach(i => assert(math.abs(v(i) - q(i) / s) <= 0.5 / s + 1e-12))
   }
+
+  test("semiHardTriplets equals the plain-Scala reference on real embeddings") {
+    val res = Similarity.semiHardTriplets(emb, emb.where(col("vec_id") < 8), k = 4)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val all = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .as[(Long, Array[Double], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (aid, av, al) <- all.toSeq if aid < 8
+      cands = all.filter(_._1 != aid).map { case (cid, cv, cl) => (cid, cl, cos(av, cv)) }
+      poss = cands.filter(_._2 == al) if poss.nonEmpty
+      (pid, _, pcos) = poss.maxBy(c => (c._3, -c._1))
+      ((nid, _, _), i) <- cands.filter(c => c._2 != al && c._3 < pcos)
+        .sortBy(c => (-c._3, c._1)).take(4).zipWithIndex
+    } yield (aid, pid, i + 1, nid)).toSet
+    assert(expected.nonEmpty && res == expected)
+  }
+
+  test("semiHardTriplets: every row honors the semi-hard contract") {
+    val out = Similarity.semiHardTriplets(emb, emb.where(col("vec_id") < 8), k = 4)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val bad = out
+      .join(lab.withColumnRenamed("vec_id", "anchor_id").withColumnRenamed("label", "al"), "anchor_id")
+      .join(lab.withColumnRenamed("vec_id", "pos_id").withColumnRenamed("label", "pl"), "pos_id")
+      .join(lab.withColumnRenamed("vec_id", "neg_id").withColumnRenamed("label", "nl"), "neg_id")
+      .where(col("al") =!= col("pl") || col("al") === col("nl"))
+    assert(bad.count() == 0)
+    // ranks contiguous from 1 per anchor
+    val ranks = out.groupBy("anchor_id")
+      .agg(min(col("rank")).as("mn"), max(col("rank")).as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(ranks.count() == 0)
+  }
+
+  test("PCA recovers a planted dominant axis; projection matches eigenvalues") {
+    val rnd = new scala.util.Random(11)
+    val d = 12
+    val rows = Seq.tabulate(300) { i =>
+      val a = rnd.nextGaussian() * 5.0
+      val v = Array.tabulate(d) { j =>
+        (if (j == 3) a else 0.0) + 0.1 * rnd.nextGaussian() + (if (j == 5) 2.0 else 0.0)
+      }
+      (i.toLong, v.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Similarity.pcaTrain(df, nComponents = 3)
+    // dominant axis is e_3 (variance 25 vs noise 0.01); the constant
+    // offset on dim 5 is mean-centered away
+    assert(math.abs(m.components(0)(3)) > 0.99,
+      s"component0 = ${m.components(0).mkString(",")}")
+    assert(m.eigenvalues(0) > 10 * m.eigenvalues(1))
+    for (i <- 0 until 3; j <- i until 3) {
+      val g = m.components(i).zip(m.components(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(g - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+    assert(m.eigenvalues.sum <= m.totalVar * (1 + 1e-9))
+    // distributed projection re-measures the model: var(pc_i) = λ_i,
+    // mean(pc_i) = 0, whitened variance = 1
+    val pc = Similarity.pcaProject(df, m)
+    val w = Similarity.pcaProject(df, m, whiten = true, outCol = "wc")
+    val st = pc.agg(
+      var_pop(element_at(col("pc"), 1)).as("v0"),
+      avg(element_at(col("pc"), 1)).as("m0")).collect().head
+    assert(math.abs(st.getDouble(0) - m.eigenvalues(0)) < 1e-6 * m.totalVar)
+    assert(math.abs(st.getDouble(1)) < 1e-9 * math.sqrt(m.totalVar))
+    val wv = w.agg(var_pop(element_at(col("wc"), 1))).collect().head.getDouble(0)
+    assert(math.abs(wv - 1.0) < 1e-6)
+  }
+
+  test("PCA projection reduces reconstruction error vs mean-only baseline") {
+    val m = Similarity.pcaTrain(emb, nComponents = 8)
+    val meanLit = typedLit(m.mean.toSeq)
+    // ‖x − μ − Σ pcᵢ·cᵢ‖² averaged over the corpus must be the residual
+    // variance: totalVar − Σλᵢ (Pythagoras under an orthonormal basis)
+    val comps = m.components.map(c => typedLit(c.toSeq))
+    val recon = Similarity.pcaProject(emb, m)
+      .select(zip_with(col("embedding").cast("array<double>"), meanLit, _ - _).as("x"),
+        col("pc"))
+      .select((0 until m.dim).map { j =>
+        (col("x")(j) - comps.zipWithIndex.map { case (c, i) =>
+          col("pc")(i) * c(j) }.reduce(_ + _)).as(s"r$j")
+      }: _*)
+      .select(((0 until m.dim).map(j => col(s"r$j") * col(s"r$j")).reduce(_ + _)).as("e2"))
+      .agg(avg(col("e2"))).collect().head.getDouble(0)
+    val residual = m.totalVar - m.eigenvalues.sum
+    assert(math.abs(recon - residual) < 1e-6 * m.totalVar,
+      s"recon=$recon residual=$residual")
+    assert(recon < m.totalVar, "PCA basis must explain some variance")
+  }
 }

@@ -219,4 +219,43 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "probe/shortlist joins must broadcast into the corpus side")
   }
+
+  test("CDC latest-wins snapshot: exactly one (map-side combined) exchange") {
+    import graft.operators.Cdc
+    val changelog = spark.range(0, 400, 1, 8).select(
+      (col("id") % 50).as("k"), col("id").as("ver"),
+      (col("id") % 7 === 0).as("dead"), concat(lit("p"), col("id")).as("payload"))
+    val df = Cdc.latestSnapshot(changelog, Seq("k"), Seq("ver"), col("dead"))
+    assert(shuffles(df) == 1)
+    // and it must be an aggregate, not a window sort: partial max_by
+    // combines map-side, so no Window/Sort operator may appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "latestSnapshot must not plan a window")
+  }
+
+  test("semi-hard triplets: anchors broadcast; corpus-touching exchanges bounded") {
+    import graft.operators.Similarity
+    val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") * 31 + i) % 13).cast("double") - 6.0).as("embedding"),
+      (col("id") % 5).cast("int").as("label"))
+    val df = Similarity.semiHardTriplets(emb, emb.where(col("vec_id") < 4), k = 3)
+    // allowed: the positive argmax aggregate and the negative rank window
+    // (heap top-k) — the anchor and positive joins must broadcast
+    val n = shuffles(df)
+    assert(n <= 2, s"semiHardTriplets planned $n exchanges")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "anchor/positive sides must broadcast into the corpus scan")
+  }
+
+  test("PCA projection is strictly map-only (literal basis in-plan)") {
+    import graft.operators.Similarity
+    val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") * 31 + i) % 13).cast("double") - 6.0).as("embedding"))
+    val model = Similarity.pcaTrain(emb, nComponents = 3, powerIters = 10)
+    assert(shuffles(Similarity.pcaProject(emb, model)) == 0)
+    assert(shuffles(Similarity.pcaProject(emb, model, whiten = true)) == 0)
+  }
 }
