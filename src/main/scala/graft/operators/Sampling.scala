@@ -72,6 +72,55 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Temperature-scaled domain mixture at the √-temperature point
+    * (α = 1/2): domain d's share of the output is ∝ √n_d instead of n_d —
+    * the multilingual/multi-domain rebalancing rule (Arivazhagan et al.
+    * 2019 §4.2; XLM-R and mT5 sample with p_d ∝ (n_d/N)^α) that keeps
+    * head domains from drowning the tail without flat-capping them.
+    * Unlike [[mixtureSample]] the weights are DERIVED from the corpus:
+    * expected copies per document of domain d =
+    * `targetTotal · √n_d / (Σ_e √n_e · n_d)`.
+    *
+    * Cross-engine exactness: α = 1/2 is computed as `floor(sqrt(n·10^8))`
+    * — IEEE sqrt is correctly rounded, so any engine produces the SAME
+    * integer score, and everything after is BigInt arithmetic (no pow(),
+    * whose last-ulp behavior is library-specific, and no float summation
+    * order to pin). Weights land in basis points and reuse
+    * [[mixtureSample]]'s deterministic hash-fraction fan-out.
+    *
+    * Scale: one map-side-combined count aggregate (exchange carries ≤
+    * partitions × domains pre-combined rows), a Zipf-small driver pull
+    * (one row per domain), then the map-only resample. The corpus is
+    * scanned twice and shuffled never.
+    */
+  def temperatureMixture(df: DataFrame, targetTotal: Long,
+      srcCol: String = "source", idCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    mixtureSample(df, temperatureWeightsBp(counts, targetTotal),
+      srcCol, idCol, salt)
+  }
+
+  /** √-temperature weights in basis points (see [[temperatureMixture]]).
+    * BigInt internally: at 100 TB (n_d ~ 10^10, targetTotal ~ 10^10) the
+    * numerator 10^4·T·√(n·10^8) ≈ 10^23 overflows Long silently.
+    */
+  def temperatureWeightsBp(counts: Map[String, Long],
+      targetTotal: Long): Map[String, Int] = {
+    require(targetTotal > 0 && counts.values.forall(_ > 0))
+    val score = counts.map { case (d, n) =>
+      d -> BigInt(math.floor(math.sqrt(n.toDouble * 1e8)).toLong)
+    }
+    val ssum = score.values.sum
+    counts.map { case (d, n) =>
+      val bp = (BigInt(10000) * BigInt(targetTotal) * score(d)) /
+        (ssum * BigInt(n))
+      require(bp.isValidInt, s"weight overflow for domain $d: $bp bp")
+      d -> bp.toInt
+    }
+  }
+
   /** Deterministic stratified sample: EXACTLY `n` rows per stratum (when
     * the stratum has that many), chosen by hash order — reproducible,
     * auditable, and independent of physical row order, unlike

@@ -1198,6 +1198,49 @@ object DataOps {
              |FROM c WHERE n > 0""".stripMargin),
       "domain-mixture resampling: fractional epochs per source, hash-deterministic"),
 
+    // q53: √-temperature domain rebalancing. The synthetic sources are
+    // uniform, so the entry first coarsens them into skewed domains
+    // (web 12 sources, books 4, code 3, wiki 1) — the realistic shape:
+    // a fat head the temperature rule downsamples and a thin tail it
+    // upsamples, at constant corpus size. The weight math is integer +
+    // IEEE-sqrt end-to-end (see temperatureMixture), so the oracle
+    // re-derives identical basis points.
+    "q53_temperature_mixture" -> Q(
+      (s, dir) => {
+        val sn = expr("cast(substr(source, 4, 10) as int)")
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(sn <= 11, "web").when(sn <= 15, "books")
+            .when(sn <= 18, "code").otherwise("wiki").as("domain"))
+        graft.operators.Sampling.temperatureMixture(docs,
+          targetTotal = docs.count(), srcCol = "domain")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN CAST(substr(source, 4, 10) AS INT) <= 11 THEN 'web'
+             |         WHEN CAST(substr(source, 4, 10) AS INT) <= 15 THEN 'books'
+             |         WHEN CAST(substr(source, 4, 10) AS INT) <= 18 THEN 'code'
+             |         ELSE 'wiki' END AS domain
+             |  FROM documents),
+             |c AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY domain),
+             |sc AS (SELECT domain, n,
+             |         CAST(floor(sqrt(CAST(n AS DOUBLE) * 100000000)) AS BIGINT) AS sd
+             |       FROM c),
+             |tt AS (SELECT sum(sd) AS ssum, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS tot
+             |       FROM sc),
+             |w AS (SELECT domain,
+             |        CAST((CAST(10000 AS HUGEINT) * tt.tot * sd) // (CAST(tt.ssum AS HUGEINT) * n) AS BIGINT) AS wbp
+             |      FROM sc, tt),
+             |x AS (SELECT d.doc_id, d.domain,
+             |        (w.wbp // 10000) +
+             |        CASE WHEN ${Md5LongSql.format("CAST(d.doc_id AS VARCHAR)")} % 10000
+             |                  < w.wbp % 10000 THEN 1 ELSE 0 END AS ncp
+             |      FROM d JOIN w ON d.domain = w.domain)
+             |SELECT doc_id, domain, CAST(unnest(generate_series(1, ncp)) AS INT) AS copy
+             |FROM x WHERE ncp > 0""".stripMargin),
+      "√-temperature domain rebalancing (XLM-R/mT5 α=1/2): weights derived " +
+        "from corpus counts in cross-engine-exact integer/IEEE-sqrt " +
+        "arithmetic; head downsampled, tail upsampled, size preserved"),
+
     "q38_epoch_shuffle" -> Q(
       (s, dir) => graft.operators.Sampling.epochShuffle(
         t(s, dir, "documents").select("doc_id", "lang"),

@@ -184,4 +184,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(2L) == out(1L) && out(1L) > out(4L) && out(4L) > out(3L))
     assert(out(3L) == 0L)
   }
+
+  test("temperature weights: exact √-rule basis points; Long-overflow regime") {
+    // √-scores 300000 / 100000 → shares 3/4, 1/4 of a 1000-doc target:
+    // head 0.8333 copies/doc, tail 2.5 copies/doc — hand-checked integers
+    val w = Sampling.temperatureWeightsBp(Map("a" -> 900L, "b" -> 100L), 1000L)
+    assert(w == Map("a" -> 8333, "b" -> 25000))
+    // 100 TB regime: n ~ 10^10 would overflow the Long numerator; BigInt
+    // path must still produce the exact uniform answer (equal domains →
+    // exactly one epoch each)
+    val big = Sampling.temperatureWeightsBp(
+      Map("x" -> 10000000000L, "y" -> 10000000000L), 20000000000L)
+    assert(big == Map("x" -> 10000, "y" -> 10000))
+  }
+
+  test("temperatureMixture: head downsampled, tail upsampled, size ~preserved") {
+    val skewed = ((0L until 900L).map(i => (i, "head")) ++
+      (900L until 1000L).map(i => (i, "tail"))).toDF("doc_id", "domain")
+    val out = Sampling.temperatureMixture(skewed, targetTotal = 1000L,
+      srcCol = "domain")
+    val byDom = out.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    // expectations: head 900·0.8333 = 750, tail 100·2.5 = 250; the
+    // hash-fraction draw concentrates tightly (±5% at these sizes)
+    assert(math.abs(byDom("head") - 750L) <= 40, s"head=${byDom("head")}")
+    assert(math.abs(byDom("tail") - 250L) <= 20, s"tail=${byDom("tail")}")
+    val total = byDom.values.sum
+    assert(math.abs(total - 1000L) <= 50, s"total=$total")
+  }
 }
