@@ -41,15 +41,74 @@ object Cdc {
     */
   def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String], tombstone: Column): DataFrame = {
+    val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
+    compacted(changelog, keyCols, versionCols, tombstone)
+      .where(!col("__latest.__dead"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** Compact a changelog to one record per key, KEEPING tombstones — the
+    * merge-on-read log form ([[graft.streaming.StreamingIngest]]'s CDC
+    * sink appends these): a kept tombstone still shadows any older
+    * record of its key that a later compaction or late-arriving segment
+    * may carry, which `latestSnapshot`'s dropped tombstones could not.
+    * Same single map-side-combined exchange as [[latestSnapshot]].
+    */
+  def compactChangelog(changelog: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String], tombstone: Column): DataFrame = {
+    val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
+    compacted(changelog, keyCols, versionCols, tombstone)
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  private def compacted(changelog: DataFrame, keyCols: Seq[String],
+      versionCols: Seq[String], tombstone: Column): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty)
     val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
-    val latest = changelog
+    changelog
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(
         struct((payloadCols.map(col) :+ tombstone.as("__dead")): _*),
         struct(versionCols.map(col): _*)).as("__latest"))
-    latest.where(!col("__latest.__dead"))
-      .select(keyCols.map(col) ++
-        payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** Read the current snapshot of a merge-on-read CDC log directory
+    * (written by [[graft.streaming.StatefulOps.cdcLogSink]] or any
+    * appender of [[compactChangelog]] segments): latest-wins across all
+    * segments, tombstoned keys absent. Merge-on-read is what the
+    * reference's ReplacingMergeTree gives its readers with `FINAL` —
+    * appends stay O(batch) and the merge cost moves to read time, paid
+    * down by [[compactLog]].
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, logDir: String,
+      keyCols: Seq[String], versionCols: Seq[String],
+      tombstone: Column): DataFrame =
+    latestSnapshot(spark.read.parquet(logDir), keyCols, versionCols, tombstone)
+
+  /** Fold a merge-on-read CDC log to one record per key in place —
+    * the background-merge half of the ReplacingMergeTree contract.
+    * Tombstones are KEPT (they must shadow any late-arriving older
+    * version of their key; dropping them here would let a replayed or
+    * out-of-order upsert resurrect a deleted key).
+    *
+    * The rewrite goes through a sibling temp dir + delete + rename; the
+    * delete→rename window is not atomic on a plain FileSystem — same
+    * envelope as [[Layout]]'s documented non-manifest fallback. Run it
+    * from the maintenance process that owns the log (e.g. between
+    * micro-batches), not concurrently with readers.
+    */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, logDir: String,
+      keyCols: Seq[String], versionCols: Seq[String],
+      tombstone: Column): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(logDir)
+    val tmp = new org.apache.hadoop.fs.Path(logDir + ".compacting")
+    val fs = dir.getFileSystem(conf)
+    compactChangelog(spark.read.parquet(logDir), keyCols, versionCols, tombstone)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    require(fs.rename(tmp, dir), s"compactLog: rename $tmp -> $dir failed")
   }
 }

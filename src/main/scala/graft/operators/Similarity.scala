@@ -642,6 +642,36 @@ object Similarity {
     }
   }
 
+  /** Exact-cosine re-rank of a candidate shortlist — the second stage
+    * behind any compressed first pass (PQ codes, PCA-reduced vectors,
+    * LSH buckets): the cheap pass proposes `(query_id, neighbor_id)`
+    * candidates, this ranks them by FULL-dimension cosine and keeps the
+    * top k. The shortlist (queries × shortlist-size rows — bounded by
+    * construction) and the query vectors broadcast INTO the corpus, so
+    * the big side never shuffles; float vectors surface only for
+    * shortlisted rows.
+    */
+  def rerankExact(corpus: DataFrame, queries: DataFrame,
+      shortlist: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** Semi-hard triplet mining (Schroff, Kalenichenko, Philbin, "FaceNet",
     * CVPR 2015 §3.2) — the contrastive-training data step: for each
     * anchor, its nearest same-label positive and the k hardest negatives

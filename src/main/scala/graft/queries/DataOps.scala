@@ -995,6 +995,36 @@ object DataOps {
         "iteration, map-only literal-basis projection; self-checked " +
         "against re-measured projected variances"),
 
+    // s10: PCA-reduced candidate generation + exact re-rank — the
+    // dimensionality-reduction serving pattern (scan 16 of 64 dims for
+    // the shortlist, touch full vectors only for shortlisted rows).
+    // SELF-CHECKING like the other compressed-ANN entries (same
+    // near-isotropic worst-case corpus — the measured recall is a
+    // deterministic corpus constant because PCA training is
+    // deterministic); z01-proved.
+    "s10_ann_pca_rerank" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val isQ = col("vec_id") % 11 === 3
+        val model = Similarity.pcaTrain(emb, nComponents = 16)
+        val red = Similarity.pcaProject(emb, model)
+          .select(col("vec_id"), col("pc").as("embedding"), col("label"))
+        val shortlist = Similarity.bruteForceTopK(red, red.where(isQ), k = 32)
+        val ann = Similarity.rerankExact(emb, emb.where(isQ), shortlist, k = 5)
+          .select(col("query_id"), col("neighbor_id")).withColumn("in_p", lit(1))
+        val truth = Similarity.bruteForceTopK(emb, emb.where(isQ), k = 5)
+          .select("query_id", "neighbor_id")
+        truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("in_p"), lit(0))).as("n_pca"))
+          .select(col("n_truth"), col("n_pca"),
+            (col("n_pca").cast("double") / col("n_truth")).as("recall"),
+            (col("n_pca").cast("double") / col("n_truth") >= 0.5).as("pass"))
+      },
+      None,
+      "PCA-reduced ANN: 16-dim shortlist scan + full-dim exact re-rank; " +
+        "self-measured recall vs exact truth"),
+
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
       (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),

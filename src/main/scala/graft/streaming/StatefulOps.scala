@@ -310,6 +310,36 @@ object StatefulOps {
       .start()
   }
 
+  /** Streaming CDC materializer — [[graft.operators.Cdc]]'s latest-wins
+    * compaction as a stream stage: each micro-batch changelog is
+    * pre-compacted to one record per key (tombstones KEPT — they must
+    * shadow older log entries at read time) and appended as a
+    * merge-on-read log segment. Readers get the snapshot via
+    * [[graft.operators.Cdc.readSnapshot]]; a maintenance pass folds the
+    * log with [[graft.operators.Cdc.compactLog]] — the streaming half of
+    * the ReplacingMergeTree contract the reference's generated DDL
+    * delegates to ClickHouse.
+    *
+    * Delivery: checkpointed foreachBatch appends are at-least-once, but
+    * UNLIKE the corpus sinks a replayed batch is harmless — latest-wins
+    * merge is idempotent (a duplicated (key, version) record collapses
+    * in the next read's max_by), so the MATERIALIZED SNAPSHOT has
+    * effective exactly-once semantics over an at-least-once log.
+    */
+  def cdcLogSink(changes: DataFrame, logDir: String, checkpointDir: String,
+      keyCols: Seq[String], versionCols: Seq[String],
+      tombstone: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Cdc
+          .compactChangelog(batch.toDF(), keyCols, versionCols, tombstone)
+          .write.mode("append").parquet(logDir)
+      }
+      .start()
+
   /** Stream-static enrichment: join each micro-batch against a small
     * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
     * static side is planned per micro-batch (a broadcast hash join inside

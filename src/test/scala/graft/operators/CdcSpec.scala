@@ -46,6 +46,53 @@ class CdcSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("streaming log sink: snapshot ≡ batch compaction; compactLog preserves it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_log")
+    val logDir = s"$tmp/log"
+    val stream = MemoryStream[(Long, Long, String, String)]
+    val q = graft.streaming.StatefulOps.cdcLogSink(
+      stream.toDS().toDF("k", "ver", "op", "payload"), logDir, s"$tmp/cp",
+      keyCols = Seq("k"), versionCols = Seq("ver"),
+      tombstone = col("op") === "D")
+    val allChanges = Seq(
+      Seq((1L, 1L, "U", "a"), (2L, 1L, "U", "x"), (3L, 1L, "U", "s")),
+      Seq((1L, 2L, "U", "b"), (2L, 2L, "D", ""), (4L, 1L, "U", "q")),
+      Seq((2L, 3L, "U", "resurrected"), (3L, 2L, "D", "")))
+    try {
+      allChanges.foreach { batch => stream.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def snapshot() = Cdc.readSnapshot(spark, logDir,
+        Seq("k"), Seq("ver"), col("op") === "D")
+      .select("k", "ver", "op", "payload")
+      .as[(Long, Long, String, String)].collect().toSet
+    val expected = Cdc.latestSnapshot(
+        allChanges.flatten.toDF("k", "ver", "op", "payload"),
+        Seq("k"), Seq("ver"), col("op") === "D")
+      .select("k", "ver", "op", "payload")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(snapshot() == expected)
+    assert(expected == Set((1L, 2L, "U", "b"), (2L, 3L, "U", "resurrected"),
+      (4L, 1L, "U", "q")))
+    // replayed segment (at-least-once append) must not change the snapshot
+    Cdc.compactChangelog(allChanges(1).toDF("k", "ver", "op", "payload"),
+        Seq("k"), Seq("ver"), col("op") === "D")
+      .write.mode("append").parquet(logDir)
+    assert(snapshot() == expected, "latest-wins merge must be replay-idempotent")
+    // compaction folds segments, keeps tombstones, preserves the snapshot
+    val before = spark.read.parquet(logDir).count()
+    Cdc.compactLog(spark, logDir, Seq("k"), Seq("ver"), col("op") === "D")
+    val log = spark.read.parquet(logDir)
+    assert(log.count() == 4 && log.count() < before) // 3 live keys + 1 tombstone (k=3)
+    assert(log.where(col("op") === "D").count() == 1)
+    assert(snapshot() == expected)
+    // a late-arriving OLDER upsert of the deleted key stays shadowed
+    Seq((3L, 1L, "U", "stale")).toDF("k", "ver", "op", "payload")
+      .write.mode("append").parquet(logDir)
+    assert(snapshot() == expected, "kept tombstone must shadow late older upserts")
+  }
+
   test("multi-column keys and version tie-breaks") {
     val df = Seq(
       ("a", 1L, 10L, 1L, "U", "v1"),

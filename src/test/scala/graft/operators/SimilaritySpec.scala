@@ -378,6 +378,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(wv - 1.0) < 1e-6)
   }
 
+  test("PCA-reduced shortlist + exact re-rank recovers a planted near-dup at rank 1") {
+    val rnd = new scala.util.Random(31)
+    val d = 20
+    // variance concentrated in the first 4 dims — the regime PCA serves
+    val base = Seq.tabulate(80) { i =>
+      (i.toLong, Array.tabulate(d)(j =>
+        (if (j < 4) 3.0 * rnd.nextGaussian() else 0.05 * rnd.nextGaussian()).toFloat))
+    }
+    val planted = (999L, base(7)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    val df = (base :+ planted).toDF("vec_id", "embedding")
+    val model = Similarity.pcaTrain(df, nComponents = 4)
+    val red = Similarity.pcaProject(df, model)
+      .select(col("vec_id"), col("pc").as("embedding"))
+    val qIds = col("vec_id") === 7L
+    val shortlist = Similarity.bruteForceTopK(red, red.where(qIds), k = 8)
+    val top = Similarity.rerankExact(df, df.where(qIds), shortlist, k = 1)
+      .as[(Long, Int, Long)].collect()
+    assert(top.sameElements(Array((7L, 1, 999L))), top.mkString(","))
+  }
+
   test("PCA projection reduces reconstruction error vs mean-only baseline") {
     val m = Similarity.pcaTrain(emb, nComponents = 8)
     val meanLit = typedLit(m.mean.toSeq)
