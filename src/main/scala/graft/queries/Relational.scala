@@ -614,6 +614,59 @@ object Relational {
              |FROM sess GROUP BY user_id, sid""".stripMargin),
       "session window (30-min gap); same session_window op runs under readStream"),
 
+    // q54/q55: the ClickHouse behavioral-analytics pair (windowFunnel /
+    // retention) the reference's pipeline feeds its store for. The funnel
+    // oracle re-derives the level from first principles as EXISTS-chains
+    // (strict (ts,id) precedence, window anchored at the chain's first
+    // event) — the operator's greedy max-start fold must agree exactly.
+    "q54_window_funnel" -> Q(
+      (s, dir) => graft.operators.Funnels.windowFunnel(
+        t(s, dir, "events"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 3600L * 1000000L),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |               epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+             |        FROM events),
+             |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+             |l2 AS (SELECT DISTINCT a.user_id
+             |       FROM e a JOIN e b ON b.user_id = a.user_id
+             |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+             |         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+             |         AND b.t - a.t <= 3600000000),
+             |l3 AS (SELECT DISTINCT a.user_id
+             |       FROM e a JOIN e b ON b.user_id = a.user_id
+             |                JOIN e c ON c.user_id = a.user_id
+             |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+             |         AND c.event_type = 'purchase'
+             |         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+             |         AND (c.t > b.t OR (c.t = b.t AND c.event_id > b.event_id))
+             |         AND b.t - a.t <= 3600000000 AND c.t - a.t <= 3600000000)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+             |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+             |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+             |            ELSE 0 END AS INT) AS level
+             |FROM (SELECT DISTINCT user_id FROM events) u""".stripMargin),
+      "windowFunnel: view→click→purchase level within 1 h of the chain " +
+        "start; one per-user fold aggregate (levels longs of state), " +
+        "oracle re-derives via EXISTS-chains"),
+
+    "q55_retention" -> Q(
+      (s, dir) => graft.operators.Funnels.retention(
+        t(s, dir, "events"),
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase")),
+      Some("""SELECT user_id,
+             |  bool_or(event_type = 'signup') AS r1,
+             |  bool_or(event_type = 'signup') AND bool_or(event_type = 'click') AS r2,
+             |  bool_or(event_type = 'signup') AND bool_or(event_type = 'purchase') AS r3
+             |FROM events GROUP BY user_id""".stripMargin),
+      "retention cohort flags (signed up / came back to click / came back " +
+        "to purchase); one max-combine aggregate"),
+
     "q28_asof_join" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "user_id", "ts")

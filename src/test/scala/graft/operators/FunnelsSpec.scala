@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FunnelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user, event_id, ts_us, type) → DataFrame with a real timestamp col
+  private def ev(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "event_id", "t_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+
+  private def funnel(rows: Seq[(Long, Long, Long, String)], wUs: Long) =
+    Funnels.windowFunnel(ev(rows),
+      steps = Seq(col("event_type") === "A", col("event_type") === "B",
+        col("event_type") === "C"),
+      windowMicros = wUs)
+      .as[(Long, Int)].collect().toMap
+
+  test("windowFunnel: ordering, window anchor, and same-event exclusion") {
+    val out = funnel(Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"), // full chain
+      (2L, 1L, 100L, "B"), (2L, 2L, 200L, "A"),                      // B before A: level 1
+      (3L, 1L, 100L, "A"), (3L, 2L, 5000L, "B"),                     // B outside window
+      (4L, 1L, 100L, "X"),                                           // no step at all
+      // window anchored at chain START: A@100, B@900, C@1500 — C is
+      // within 1000 of B but NOT of A → level 2; the later A@800 chain
+      // (max-start dominance) rescues C: 1500-800 <= 1000 → level 3
+      (5L, 1L, 100L, "A"), (5L, 2L, 800L, "A"), (5L, 3L, 900L, "B"),
+      (5L, 4L, 1500L, "C")), wUs = 1000L)
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 3))
+    // tighter window: the A@800 chain's B is at 900 (ok) but C at 1500
+    // exceeds 800+500 → level 2
+    val tight = funnel(Seq(
+      (5L, 1L, 100L, "A"), (5L, 2L, 800L, "A"), (5L, 3L, 900L, "B"),
+      (5L, 4L, 1500L, "C")), wUs = 500L)
+    assert(tight == Map(5L -> 2))
+  }
+
+  test("windowFunnel: one event never fills two chain positions") {
+    // a lone event matching both A and B (steps can overlap) must not
+    // self-chain; with separate events it must
+    val df = ev(Seq((1L, 1L, 100L, "A")))
+    val out = Funnels.windowFunnel(df,
+      steps = Seq(col("event_type") === "A", col("event_type") === "A"),
+      windowMicros = 1000L).as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1))
+    val two = Funnels.windowFunnel(ev(Seq((1L, 1L, 100L, "A"), (1L, 2L, 100L, "A"))),
+      steps = Seq(col("event_type") === "A", col("event_type") === "A"),
+      windowMicros = 1000L).as[(Long, Int)].collect().toMap
+    assert(two == Map(1L -> 2), "same-ts events chain in event_id order")
+  }
+
+  test("windowFunnel equals the exhaustive chain search on random event logs") {
+    val rnd = new scala.util.Random(41)
+    val types = Array("A", "B", "C", "X")
+    val rows = for {
+      u <- 0L until 25L
+      i <- 0L until 12L
+    } yield (u, i, rnd.nextInt(2000).toLong, types(rnd.nextInt(4)))
+    val w = 600L
+    val got = funnel(rows, w)
+    // exhaustive reference: try every (ts,id)-increasing chain
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.map(e => (e._3, e._2, e._4)).sortBy(e => (e._1, e._2))
+      def reach(level: Int): Boolean = {
+        val want = Seq("A", "B", "C").take(level)
+        def go(idx: Int, step: Int, first: Long): Boolean =
+          if (step == level) true
+          else if (idx >= sorted.length) false
+          else {
+            val (t, _, ty) = sorted(idx)
+            (ty == want(step) && (step == 0 || t - first <= w) &&
+              go(idx + 1, step + 1, if (step == 0) t else first)) ||
+              go(idx + 1, step, first)
+          }
+        go(0, 0, 0L)
+      }
+      u -> (3 to 1 by -1).find(reach).getOrElse(0)
+    }
+    assert(got == expected)
+  }
+
+  test("retention: cohort flags gated on the first condition") {
+    val rows = ev(Seq(
+      (1L, 1L, 1L, "signup"), (1L, 2L, 2L, "click"),
+      (2L, 1L, 1L, "click"), (2L, 2L, 2L, "purchase"), // never signed up
+      (3L, 1L, 1L, "signup")))
+    val out = Funnels.retention(rows,
+      Seq(col("event_type") === "signup", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
+    assert(out == Set((1L, true, true, false), (2L, false, false, false),
+      (3L, true, false, false)))
+  }
+}
