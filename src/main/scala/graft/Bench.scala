@@ -35,7 +35,7 @@ object Bench {
     "d22_paragraph_dedup", "s06_ann_pq", "s07_ann_ivfpq", "t17_nb_classify",
     "t18_bpe_tokenize", "s08_hard_negatives", "s09_pca_project",
     "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
-    "q54_window_funnel", "q55_retention",
+    "q54_window_funnel", "q55_retention", "s11_embedding_outliers",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",

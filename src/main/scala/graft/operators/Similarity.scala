@@ -845,6 +845,56 @@ object Similarity {
     corpus.withColumn(outCol, array(compCols: _*))
   }
 
+  /** Embedding outlier scoring — the drop-the-noise curation filter (the
+    * embedding-space analog of a CLIP-score gate): per group (label /
+    * domain / cluster), score each vector by its squared deviation from
+    * the group centroid and flag the k most deviant. Operates on the
+    * [[quantizeInt8]] representation (v · 127/max|v| — per-vector
+    * L∞-normalized, so the deviation measures DIRECTION, not magnitude),
+    * which makes the whole computation INTEGER-EXACT: with S_i = Σ q_i
+    * and n the group size, dev = Σ_i (q_i·n − S_i)² is the squared
+    * distance to the centroid scaled by n² — identical in any engine, no
+    * float summation order to pin (the reason this is not cosine-to-mean:
+    * a float centroid is order-dependent across engines and runs).
+    *
+    * Overflow: |q_i·n − S_i| ≤ 254·n, so dev ≤ dim·(254·n)² — Long holds
+    * to n ≈ 3.8·10⁶/√dim per GROUP; beyond that the BigDecimal-free
+    * escape is scoring against a quantized mean (divide S_i by n first),
+    * which trades exactness for range. The entry pins the exact regime.
+    *
+    * Scale shape: one map-side-combined aggregate per group for (S, n)
+    * — the exchange carries ≤ partitions × groups × dim pre-combined
+    * rows (the Lloyd/PCA moment shape) — broadcast back, then a map-only
+    * deviation pass and the heap-top-k rank window. Corpus vectors never
+    * shuffle.
+    */
+  def outlierScores(emb: DataFrame, k: Int,
+      groupCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1)
+    val q = quantizeInt8(emb, vecCol, idCol)
+      .select(col(idCol), col("q"))
+      .join(emb.select(col(idCol), col(groupCol)), Seq(idCol))
+    val sums = q.select(col(groupCol), posexplode(col("q")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        p => p.getField("s")).as("sums"), max(col("n")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("dev").desc, col(idCol))
+    q.join(broadcast(sums), Seq(groupCol))
+      .withColumn("dev", aggregate(
+        zip_with(col("q"), col("sums"),
+          (qi, si) => { val d = qi.cast("long") * col("n") - si; d * d }),
+        lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("dev"),
+        col("rank").cast("int").as("rank"))
+  }
+
   def quantizeInt8(
       emb: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =

@@ -1025,6 +1025,38 @@ object DataOps {
       "PCA-reduced ANN: 16-dim shortlist scan + full-dim exact re-rank; " +
         "self-measured recall vs exact truth"),
 
+    // s11: embedding outlier scoring — integer-exact centroid deviation
+    // on the int8-normalized representation (see outlierScores scaladoc:
+    // a float centroid is summation-order-dependent across engines; the
+    // all-BIGINT form is not), so unlike most embedding-space ops it
+    // gets a full hash-match oracle.
+    "s11_embedding_outliers" -> Q(
+      (s, dir) => Similarity.outlierScores(tp(s, dir, "embeddings"), k = 3),
+      Some("""WITH qt AS (
+             |  SELECT vec_id, label,
+             |    [CASE WHEN s = 0 THEN 0 ELSE CAST(floor(x * s + 0.5) AS BIGINT) END
+             |     FOR x IN v] AS q
+             |  FROM (SELECT vec_id, label, v,
+             |          CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS s
+             |        FROM (SELECT vec_id, label,
+             |                [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+             |                list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS m
+             |              FROM embeddings))),
+             |d AS (SELECT label, i, sum(q[i]) AS sd, CAST(count(*) AS BIGINT) AS n
+             |      FROM qt, generate_series(1, 64) AS g(i) GROUP BY label, i),
+             |devs AS (SELECT q.vec_id, q.label,
+             |           sum((q.q[d.i] * d.n - d.sd) * (q.q[d.i] * d.n - d.sd)) AS dev
+             |         FROM qt q JOIN d ON d.label = q.label
+             |         GROUP BY q.vec_id, q.label)
+             |SELECT label, vec_id, CAST(dev AS BIGINT) AS dev,
+             |       CAST(rank AS INT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY label
+             |        ORDER BY dev DESC, vec_id) AS rank FROM devs)
+             |WHERE rank <= 3""".stripMargin),
+      "embedding outlier filter: top-k centroid deviation per label in " +
+        "all-integer arithmetic on int8-normalized vectors; one moment " +
+        "aggregate + map-only deviation pass + heap top-k"),
+
     // ---- text analysis ---------------------------------------------------
     "t01_token_stats" -> Q(
       (s, dir) => TextAnalysis.tokenStats(tp(s, dir, "documents")),

@@ -398,6 +398,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.sameElements(Array((7L, 1, 999L))), top.mkString(","))
   }
 
+  test("outlierScores: planted direction outlier ranks first; integer reference ≡") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(40) { i =>
+      val base = Array.tabulate(8)(j => (if (j == 0) 1.0 else 0.02 * rnd.nextGaussian()).toFloat)
+      (i.toLong, base, 0)
+    } :+ ((99L, Array.tabulate(8)(j => (if (j == 0) -1.0 else 0.01).toFloat), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.outlierScores(df, k = 3)
+      .select("label", "vec_id", "dev", "rank")
+      .as[(Int, Long, Long, Int)].collect()
+    assert(got.find(_._4 == 1).map(_._2).contains(99L), got.mkString(","))
+    // plain-Scala integer reference (same quantization formula)
+    def quant(v: Array[Float]): Array[Long] = {
+      val d = v.map(_.toDouble)
+      val m = d.map(math.abs).max
+      if (m == 0) Array.fill(v.length)(0L)
+      else d.map(x => math.floor(x * (127.0 / m) + 0.5).toLong)
+    }
+    val qs = rows.map { case (id, v, _) => id -> quant(v) }
+    val n = qs.size.toLong
+    val sums = (0 until 8).map(i => qs.map(_._2(i)).sum)
+    val devs = qs.map { case (id, q) =>
+      id -> (0 until 8).map(i => { val d = q(i) * n - sums(i); d * d }).sum
+    }
+    val expected = devs.sortBy { case (id, dev) => (-dev, id) }.take(3)
+      .zipWithIndex.map { case ((id, dev), r) => (0, id, dev, r + 1) }
+    assert(got.sortBy(_._4).toSeq == expected)
+  }
+
   test("PCA projection reduces reconstruction error vs mean-only baseline") {
     val m = Similarity.pcaTrain(emb, nComponents = 8)
     val meanLit = typedLit(m.mean.toSeq)
