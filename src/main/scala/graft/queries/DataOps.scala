@@ -2329,6 +2329,47 @@ object DataOps {
     // grid → flat source index 512·(i÷8) + 8·(i mod 8) clamped to the
     // payload, reproducible byte-by-byte in DuckDB via hex(); the checksum
     // is extractFeatures at dim=1 (sum of resized bytes mod 1009).
+    // m04: perceptual-hash image dedup. On the testdata stub payloads the
+    // hash takes the byte-grid fallback (512·(i÷8) + 8·(i mod 8) sampling,
+    // the m03 index mapping), which the oracle re-derives byte-by-byte —
+    // including the banding pair-gen's output, because pigeonhole banding
+    // has recall 1.0 (any pair within maxDist agrees on ≥1 of maxDist+1
+    // bands), so "all pairs ≤ maxDist" is the exact answer, not an
+    // approximation. maxDist = 0 here: thresholded ASCII byte grids have
+    // low entropy (a measured 74% of ALL pairs sit within 6 bits on this
+    // corpus — the fallback is a totality device, not a similarity
+    // signal), so the entry pins the exact-collision regime; the REAL
+    // decode path's Hamming discrimination (noise ≤4 bits, structural
+    // change ≥20) is pinned by MultimodalSpec on PNG fixtures.
+    "m04_phash_dedup" -> Q(
+      (s, dir) => Multimodal.phashNearDups(
+        Multimodal.asMediaTable(tp(s, dir, "documents")), maxDist = 0),
+      Some("""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS n
+             |           FROM documents),
+             |c AS (SELECT media_id,
+             |        [CAST(CONCAT('0x', SUBSTR(hx, 2*least(n-1, 512*(i//8) + 8*(i%8))+1, 2)) AS BIGINT)
+             |         FOR i IN generate_series(0, 63)] AS grid
+             |      FROM m WHERE n > 0),
+             |s AS (SELECT media_id, grid, list_sum(grid) AS ssum FROM c),
+             |h AS (SELECT media_id,
+             |        CAST(list_sum([CASE WHEN grid[i+1] * 64 > ssum
+             |                       THEN (CASE WHEN i = 63
+             |                             THEN CAST(-9223372036854775807 AS BIGINT) - 1
+             |                             ELSE (CAST(1 AS BIGINT) << i) END)
+             |                       ELSE CAST(0 AS BIGINT) END
+             |                  FOR i IN generate_series(0, 63)]) AS BIGINT) AS phash
+             |      FROM s
+             |      UNION ALL
+             |      SELECT media_id, CAST(0 AS BIGINT) AS phash FROM m WHERE n = 0)
+             |SELECT a.media_id AS a, b.media_id AS b,
+             |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
+             |FROM h a JOIN h b ON a.media_id < b.media_id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= 0""".stripMargin),
+      "perceptual-hash (aHash) image dedup: 8x8 luma/byte grid -> 64-bit " +
+        "fingerprint, pigeonhole banding (recall 1.0) + popcount verify; " +
+        "8-byte keys shuffle, payloads never"),
+
     "m03_media_resize" -> Q(
       (s, dir) => {
         val media = Multimodal.asMediaTable(tp(s, dir, "documents"))

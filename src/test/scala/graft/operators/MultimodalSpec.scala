@@ -219,4 +219,48 @@ class MultimodalSpec extends AnyFunSuite {
       .putInt(40, 0x7ffffff0)
     assert(Multimodal.tryDecodeWav(evil2).isEmpty)
   }
+
+  test("perceptual hash: real images — re-encode ≡, noise near, different far") {
+    val rnd = new scala.util.Random(3)
+    val base = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      base.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0) 0xFFFFFF else 0x101010)
+    // tiny noise: flip a few pixels' low bits — structure unchanged
+    val noisy = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      noisy.setRGB(x, y, base.getRGB(x, y) ^ (if (rnd.nextInt(10) == 0) 0x030303 else 0))
+    // inverted checkerboard: structurally different
+    val other = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      other.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 1) 0xFFFFFF else 0x101010)
+    def h(img: java.awt.image.BufferedImage) = Multimodal.aHash(png(img), 32, 32)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(base) == h(base)) // deterministic
+    assert(dist(h(base), h(noisy)) <= 4, s"noise moved ${dist(h(base), h(noisy))} bits")
+    assert(dist(h(base), h(other)) >= 20, s"inversion only ${dist(h(base), h(other))} bits")
+  }
+
+  test("phashNearDups finds planted image pairs end-to-end (banding recall)") {
+    val imgs = (0 until 6).map { k =>
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if ((x * (k + 2) + y) % 7 < 3) 0xEEEEEE else 0x111111)
+      png(img)
+    }
+    // planted pair: id 100 is a re-encode of img 0 (identical pixels)
+    val rows = imgs.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p, ("png", 16, 16, p.length.toLong))
+    } :+ ((100L, imgs(0), ("png", 16, 16, imgs(0).length.toLong)))
+    val media = rows.toDF("media_id", "payload", "meta")
+    val pairs = Multimodal.phashNearDups(media, maxDist = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 0))
+    // fallback path: identical byte payloads hash identically too
+    val stub = Multimodal.asMediaTable(Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "something else entirely"))
+      .toDF("doc_id", "text"))
+    val sp = Multimodal.phashNearDups(stub, maxDist = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(sp.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
 }
