@@ -36,7 +36,7 @@ object Bench {
     "t18_bpe_tokenize", "s08_hard_negatives", "s09_pca_project",
     "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
     "q54_window_funnel", "q55_retention", "s11_embedding_outliers",
-    "m04_phash_dedup",
+    "m04_phash_dedup", "q56_quality_percentile",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
@@ -320,10 +320,16 @@ object Bench {
       // move), t17 (broadcast model, per-doc-label sums), t18 (one corpus
       // pass + vocab-table rounds — the corpus-side cost must be the
       // word-count agg alone)
+      // NOTE: probe entries must read only documents/embeddings — those
+      // are the two tables the amplified tmp dir carries (an events-based
+      // entry would fail its load and report ratio -1). s09/s11 joined
+      // r8: both are one-aggregate embedding passes whose linearity
+      // deserves the same measured proof as the text family.
       val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
         "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
         "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
-        "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize")
+        "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize",
+        "s09_pca_project", "s11_embedding_outliers")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

@@ -121,6 +121,35 @@ object Sampling {
     }
   }
 
+  /** Per-stratum percentile calibration: map each row's score to its
+    * rank percentile WITHIN its stratum, in basis points — the
+    * quality-normalization step in front of a global threshold
+    * (Dolma/RefinedWeb-style: a raw quality score is not comparable
+    * across domains; "keep the top 30% of each domain" is). Integer-
+    * exact and fully deterministic: pct_bp = 10000·(rank−1) div (n−1)
+    * with rank by (score asc, id asc); a single-row stratum reports 0.
+    *
+    * One exchange on the stratum key (the rank window + the count ride
+    * the same partitioning); at 100 TB the stratum sort is the cost —
+    * the same envelope as any per-domain ranking, and strata are
+    * domains, so parallelism is |domains| × AQE-split skew handling.
+    */
+  def percentileRank(df: DataFrame, strataCol: String, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val wAll = Window.partitionBy(col(strataCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pct_bp",
+        when(col("__n") <= 1, lit(0)).otherwise(
+          // floor-of-double division, the t13 convention: both operands
+          // are exact in double ≪ 2^53, and the oracle runs the SAME ops
+          floor((col("__rk") - 1) * lit(10000.0) / (col("__n") - 1))
+            .cast("int")))
+      .drop("__rk", "__n")
+  }
+
   /** Deterministic stratified sample: EXACTLY `n` rows per stratum (when
     * the stratum has that many), chosen by hash order — reproducible,
     * auditable, and independent of physical row order, unlike

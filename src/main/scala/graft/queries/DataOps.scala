@@ -1303,6 +1303,32 @@ object DataOps {
         "from corpus counts in cross-engine-exact integer/IEEE-sqrt " +
         "arithmetic; head downsampled, tail upsampled, size preserved"),
 
+    // q56: per-domain score calibration — raw quality scores are not
+    // comparable across domains; the percentile form is ("keep each
+    // domain's top 30%"). Score here = n_chars (the machinery under
+    // test is the rank→basis-points mapping, not the score).
+    "q56_quality_percentile" -> Q(
+      (s, dir) => graft.operators.Sampling.percentileRank(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("score")),
+        strataCol = "source", scoreCol = "score"),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |            CAST(length(text) AS BIGINT) AS score
+             |        FROM documents),
+             |r AS (SELECT doc_id, source, score,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY score, doc_id) AS rk,
+             |        count(*) OVER (PARTITION BY source) AS n
+             |      FROM d)
+             |SELECT doc_id, source, score,
+             |  CAST(CASE WHEN n <= 1 THEN 0
+             |       ELSE floor((rk - 1) * 10000.0 / (n - 1)) END AS INT) AS pct_bp
+             |FROM r""".stripMargin),
+      "per-domain percentile calibration: integer basis-point rank " +
+        "normalization (score comparable across domains); one stratum " +
+        "exchange"),
+
     "q38_epoch_shuffle" -> Q(
       (s, dir) => graft.operators.Sampling.epochShuffle(
         t(s, dir, "documents").select("doc_id", "lang"),

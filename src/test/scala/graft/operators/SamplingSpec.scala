@@ -198,6 +198,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(big == Map("x" -> 10000, "y" -> 10000))
   }
 
+  test("percentileRank: endpoints, ties, singleton stratum") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 20L),
+      (5L, "b", 999L)).toDF("doc_id", "src", "score")
+    val out = Sampling.percentileRank(df, "src", "score")
+      .select("doc_id", "pct_bp").as[(Long, Int)].collect().toMap
+    // stratum a, order (score, id): 1(10) 2(20) 4(20) 3(30) → bp 0, 3333, 6666, 10000
+    assert(out == Map(1L -> 0, 2L -> 3333, 4L -> 6666, 3L -> 10000, 5L -> 0))
+  }
+
   test("temperatureMixture: head downsampled, tail upsampled, size ~preserved") {
     val skewed = ((0L until 900L).map(i => (i, "head")) ++
       (900L until 1000L).map(i => (i, "tail"))).toDF("doc_id", "domain")
