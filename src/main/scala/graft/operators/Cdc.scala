@@ -43,9 +43,9 @@ object Cdc {
       versionCols: Seq[String], tombstone: Column): DataFrame = {
     val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
     compacted(changelog, keyCols, versionCols, tombstone)
-      .where(!col("__latest.__dead"))
+      .where(!col("__latest").getField("__dead"))
       .select(keyCols.map(col) ++
-        payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+        payloadCols.map(c => col("__latest").getField(c).as(c)): _*)
   }
 
   /** Compact a changelog to one record per key, KEEPING tombstones — the
@@ -60,12 +60,18 @@ object Cdc {
     val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
     compacted(changelog, keyCols, versionCols, tombstone)
       .select(keyCols.map(col) ++
-        payloadCols.map(c => col(s"__latest.$c").as(c)): _*)
+        payloadCols.map(c => col("__latest").getField(c).as(c)): _*)
   }
 
   private def compacted(changelog: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String], tombstone: Column): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty)
+    // the payload struct carries an injected __dead field and surfaces as
+    // __latest; an input column with either name would alias into the
+    // injected ones (getField resolves by name) and corrupt tombstone
+    // resolution — refuse loudly instead
+    require(!changelog.columns.exists(c => c == "__latest" || c == "__dead"),
+      "changelog columns __latest/__dead collide with Cdc internals")
     val payloadCols = changelog.columns.filterNot(keyCols.contains).toSeq
     changelog
       .groupBy(keyCols.map(col): _*)

@@ -93,12 +93,16 @@ object Sampling {
     * (one row per domain), then the map-only resample. The corpus is
     * scanned twice and shuffled never.
     */
-  def temperatureMixture(df: DataFrame, targetTotal: Long,
+  def temperatureMixture(df: DataFrame, targetTotal: Option[Long] = None,
       srcCol: String = "source", idCol: String = "doc_id",
       salt: String = ""): DataFrame = {
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
-    mixtureSample(df, temperatureWeightsBp(counts, targetTotal),
+    // preserve-size default: the corpus total IS the sum of the domain
+    // counts just aggregated — a separate df.count() would be a third
+    // full corpus scan for a number this pass already produced
+    val target = targetTotal.getOrElse(counts.values.sum)
+    mixtureSample(df, temperatureWeightsBp(counts, target),
       srcCol, idCol, salt)
   }
 

@@ -50,27 +50,37 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Shared prep: (outId, vector-as-double, fenced norm) — the exact and
+    * re-rank paths must keep ONE cosine/tie-break contract, so the
+    * scaffolding lives once.
+    */
+  private def prepVectors(df: DataFrame, outId: String,
+      vecCol: String, idCol: String, v: String, n: String): DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).cast("array<double>").as(v))
+      .withColumn(n, l2norm(col(v)))
+
+  /** Shared ranking tail: per-query top-k by (cos desc, neighbor asc). */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ranked (cosine desc, id asc).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", l2norm(col("qv")))
-    val scored = c.crossJoin(broadcast(q))
+    val c = prepVectors(corpus, "neighbor_id", vecCol, idCol, "cv", "cn")
+    val q = prepVectors(queries, "query_id", vecCol, idCol, "qv", "qn")
+    topKByCos(c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** Lloyd (k-means) refinement of a centroid seed, expressed as
@@ -654,22 +664,12 @@ object Similarity {
   def rerankExact(corpus: DataFrame, queries: DataFrame,
       shortlist: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", l2norm(col("qv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+    val c = prepVectors(corpus, "neighbor_id", vecCol, idCol, "cv", "cn")
+    val q = prepVectors(queries, "query_id", vecCol, idCol, "qv", "qn")
+    topKByCos(c
+      .join(broadcast(shortlist.select("query_id", "neighbor_id")), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** Semi-hard triplet mining (Schroff, Kalenichenko, Philbin, "FaceNet",
@@ -769,7 +769,15 @@ object Similarity {
       .groupBy(col("pos")).agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
       .collect()
     require(moments.nonEmpty, "pcaTrain: empty corpus")
-    val n = moments.head.getAs[Long]("n").toDouble
+    // mixed-dimension corpora would silently cross-aggregate first and
+    // second moments into the same position buckets; uniform dims show as
+    // a uniform per-position row count, so the check is free (no extra
+    // corpus pass)
+    val counts = moments.map(_.getAs[Long]("n"))
+    require(counts.min == counts.max,
+      s"pcaTrain: mixed embedding dimensions (per-position counts " +
+        s"${counts.min}..${counts.max})")
+    val n = counts.head.toDouble
     val d = math.round((math.sqrt(4.0 * moments.length + 1) - 1) / 2).toInt
     require(d * (d + 1) == moments.length && nComponents <= d,
       s"pcaTrain: inconsistent dims (cells=${moments.length}, d=$d)")
@@ -788,8 +796,14 @@ object Similarity {
     // orthonormal to machine precision REGARDLESS of eigengap, and the
     // Rayleigh quotient then equals the component's projected variance
     // exactly (the s09 data-side check relies on this). Deterministic
-    // start = e_argmax(residual diag), never orthogonal to the dominant
-    // remaining eigenvector of a PSD matrix.
+    // start = e_argmax(residual diag) perturbed by a small DENSE ramp:
+    // the argmax coordinate gives fast convergence when the dominant
+    // eigenvector loads on it, and the dense term guarantees nonzero
+    // overlap with an eigenvector the argmax axis is STRUCTURALLY
+    // orthogonal to (block-decoupled covariances are common — a pure
+    // e_argmax start is exactly stationary on the wrong axis there,
+    // and power iteration would silently return a non-principal
+    // component).
     val comps = Array.ofDim[Array[Double]](nComponents)
     val eigs = new Array[Double](nComponents)
     def matVec(x: Array[Double]): Array[Double] =
@@ -810,7 +824,8 @@ object Similarity {
           a + eigs(p) * comps(p)(i) * comps(p)(i))
       }
       var vec = orthonormalize(
-        Array.tabulate(d)(i => if (i == start) 1.0 else 0.0), m)
+        Array.tabulate(d)(i =>
+          (if (i == start) 1.0 else 0.0) + 1e-3 * (i + 1) / d), m)
       for (_ <- 1 to powerIters) vec = orthonormalize(matVec(vec), m)
       comps(m) = vec
       val mv = matVec(vec)

@@ -976,9 +976,16 @@ object DataOps {
         val row = both.agg(aggs.head, aggs.tail: _*)
         val varErr = greatest((0 until nc).map(i =>
           abs(col(s"v$i") - lit(model.eigenvalues(i)))): _*)
-        val whitenErr = greatest((0 until nc)
+        // greatest() needs ≥2 args; a (near-)rank-deficient spectrum can
+        // leave 0 or 1 whitenable components
+        val whitenCols = (0 until nc)
           .filter(i => model.eigenvalues(i) > 1e-12 * model.totalVar)
-          .map(i => abs(col(s"w$i") - lit(1.0))): _*)
+          .map(i => abs(col(s"w$i") - lit(1.0)))
+        val whitenErr = whitenCols match {
+          case Seq() => lit(0.0)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
         row.select(col("n"),
             lit(varRatio).as("var_ratio"),
             lit(orthoErr < 1e-8).as("ortho_in_bound"),
@@ -1273,8 +1280,7 @@ object DataOps {
         val docs = t(s, dir, "documents").select(col("doc_id"),
           when(sn <= 11, "web").when(sn <= 15, "books")
             .when(sn <= 18, "code").otherwise("wiki").as("domain"))
-        graft.operators.Sampling.temperatureMixture(docs,
-          targetTotal = docs.count(), srcCol = "domain")
+        graft.operators.Sampling.temperatureMixture(docs, srcCol = "domain")
       },
       Some(s"""WITH d AS (
              |  SELECT doc_id,
@@ -2371,7 +2377,7 @@ object DataOps {
       (s, dir) => Multimodal.phashNearDups(
         Multimodal.asMediaTable(tp(s, dir, "documents")), maxDist = 0),
       Some("""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-             |                  octet_length(encode(text)) AS n
+             |                  coalesce(octet_length(encode(text)), 0) AS n
              |           FROM documents),
              |c AS (SELECT media_id,
              |        [CAST(CONCAT('0x', SUBSTR(hx, 2*least(n-1, 512*(i//8) + 8*(i%8))+1, 2)) AS BIGINT)

@@ -211,7 +211,7 @@ class SamplingSpec extends AnyFunSuite {
   test("temperatureMixture: head downsampled, tail upsampled, size ~preserved") {
     val skewed = ((0L until 900L).map(i => (i, "head")) ++
       (900L until 1000L).map(i => (i, "tail"))).toDF("doc_id", "domain")
-    val out = Sampling.temperatureMixture(skewed, targetTotal = 1000L,
+    val out = Sampling.temperatureMixture(skewed, targetTotal = Some(1000L),
       srcCol = "domain")
     val byDom = out.groupBy("domain").count()
       .as[(String, Long)].collect().toMap

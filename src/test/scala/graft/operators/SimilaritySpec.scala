@@ -378,6 +378,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(wv - 1.0) < 1e-6)
   }
 
+  test("PCA: block-decoupled covariance — start vector still finds the principal axis") {
+    // cov = [[1,1],[1,1]] ⊕ [1.5] ⊕ [0]: dominant eigenvector (e0+e1)/√2
+    // with λ=2, but the LARGEST DIAGONAL entry is the decoupled e2 axis
+    // (1.5) — a pure e_argmax start is exactly stationary on e2 (zero
+    // coupling, zero fp leakage) and would return the λ=1.5 axis as
+    // "component 0"; the dense ramp in the start vector guarantees
+    // overlap with the true principal axis
+    val s = math.sqrt(2.0).toFloat; val t = math.sqrt(3.0).toFloat
+    val df = Seq(
+      (1L, Array(s, s, 0f, 0f)), (2L, Array(-s, -s, 0f, 0f)),
+      (3L, Array(0f, 0f, t, 0f)), (4L, Array(0f, 0f, -t, 0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.pcaTrain(df, nComponents = 2)
+    assert(math.abs(m.eigenvalues(0) - 2.0) < 1e-3, m.eigenvalues.mkString(","))
+    assert(math.abs(math.abs(m.components(0)(0)) - math.sqrt(0.5)) < 1e-3 &&
+      math.abs(m.components(0)(2)) < 1e-3,
+      s"component0 = ${m.components(0).mkString(",")}")
+    assert(math.abs(m.eigenvalues(1) - 1.5) < 1e-3)
+  }
+
+  test("PCA train rejects mixed-dimension corpora loudly") {
+    val bad = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.pcaTrain(bad, 1))
+    assert(e.getMessage.contains("mixed embedding dimensions"))
+  }
+
   test("PCA-reduced shortlist + exact re-rank recovers a planted near-dup at rank 1") {
     val rnd = new scala.util.Random(31)
     val d = 20
