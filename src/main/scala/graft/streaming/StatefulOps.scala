@@ -310,6 +310,57 @@ object StatefulOps {
       .start()
   }
 
+  case class FunnelLevel(user_id: Long, level: Int)
+
+  /** Streaming funnel tracking — [[graft.operators.Funnels.windowFunnel]]
+    * as live per-user keyed state: every micro-batch advances each active
+    * user's funnel DP state (the per-level maximal chain-start array — a
+    * handful of longs per user, NOT the user's event history) and emits
+    * the user's current level in Update mode. The real-time "how far down
+    * the funnel is this user" board.
+    *
+    * Ordering contract: the batch operator sorts a user's whole history;
+    * a stream cannot. Within a micro-batch the group's events are sorted
+    * by (ts, id); ACROSS batches the fold assumes event-time-ordered
+    * arrival (the funnel-tracking norm), and a `t ≥ chain-start` guard
+    * rejects chains a time-traveling late event would otherwise form —
+    * late events can under-count a level (their rightful chain position
+    * is behind the state), never over-count. Streamed-in-order ≡ batch
+    * (spec-pinned).
+    */
+  def funnelStream(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
+      windowMicros: Long, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): Dataset[FunnelLevel] = {
+    require(steps.nonEmpty && windowMicros >= 0)
+    val n = steps.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unreached = Long.MinValue
+    events.select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("id"),
+        array(steps.map(s => coalesce(s.cast("boolean"), lit(false))): _*).as("conds"))
+      .as[(Long, Long, Long, Seq[Boolean])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], FunnelLevel](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val best = state.getOption.getOrElse(Seq.fill(n)(Unreached)).toArray
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, _, conds) =>
+            val prev = best.clone() // pre-event snapshot: no same-event chains
+            var k = 0
+            while (k < n) {
+              if (k == 0) { if (conds(0)) best(0) = math.max(best(0), t) }
+              else if (conds(k) && prev(k - 1) != Unreached &&
+                t >= prev(k - 1) && t - prev(k - 1) <= windowMicros)
+                best(k) = math.max(best(k), prev(k - 1))
+              k += 1
+            }
+          }
+          state.update(best.toSeq)
+          Iterator(FunnelLevel(user, best.lastIndexWhere(_ != Unreached) + 1))
+      }
+  }
+
   /** Streaming CDC materializer — [[graft.operators.Cdc]]'s latest-wins
     * compaction as a stream stage: each micro-batch changelog is
     * pre-compacted to one record per key (tombstones KEPT — they must

@@ -85,6 +85,43 @@ class FunnelsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("funnelStream: streamed in event-time order ≡ batch windowFunnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    val batches = Seq(
+      Seq((1L, 1L, 100L, "A"), (2L, 1L, 100L, "A"), (3L, 1L, 150L, "X")),
+      Seq((1L, 2L, 200L, "B"), (2L, 2L, 5000L, "B"), (3L, 2L, 300L, "A")),
+      Seq((1L, 3L, 300L, "C"), (3L, 3L, 400L, "B"), (3L, 4L, 9999L, "C")))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val levels = graft.streaming.StatefulOps.funnelStream(
+      stream.toDS().toDF("user_id", "event_id", "t_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us"),
+      steps, windowMicros = 1000L)
+    val q = levels.writeStream.format("memory")
+      .queryName("funnel_stream_test").outputMode("update").start()
+    val mid = try {
+      batches.take(1).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      val after1 = spark.table("funnel_stream_test")
+        .groupBy("user_id").agg(max("level").as("level"))
+        .as[(Long, Int)].collect().toMap
+      batches.drop(1).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      after1
+    } finally q.stop()
+    assert(mid == Map(1L -> 1, 2L -> 1, 3L -> 0)) // live progression view
+    // level is monotone per user, so max over the update stream = final
+    val streamed = spark.table("funnel_stream_test")
+      .groupBy("user_id").agg(max("level").as("level"))
+      .as[(Long, Int)].collect().toMap
+    val batch = Funnels.windowFunnel(
+      ev(batches.flatten), steps, windowMicros = 1000L)
+      .as[(Long, Int)].collect().toMap
+    // user 3: C@9999 is outside the 1000 µs window of its chain start
+    // (A@300) → stalls at level 2; user 2's B@5000 likewise outside
+    assert(streamed == batch && batch == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
   test("retention: cohort flags gated on the first condition") {
     val rows = ev(Seq(
       (1L, 1L, 1L, "signup"), (1L, 2L, 2L, "click"),
