@@ -249,6 +249,24 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       "anchor/positive sides must broadcast into the corpus scan")
   }
 
+  test("funnel/retention/percentile aggregates plan exactly one exchange") {
+    import graft.operators.{Funnels, Sampling}
+    val events = spark.range(0, 400, 1, 8).select(
+      (col("id") % 50).as("user_id"), col("id").as("event_id"),
+      timestamp_micros(col("id") * 1000).as("ts"),
+      element_at(array(lit("A"), lit("B"), lit("C"), lit("X")),
+        (col("id") % 4 + 1).cast("int")).as("event_type"))
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    assert(shuffles(Funnels.windowFunnel(events, steps, 1000000L)) == 1)
+    assert(shuffles(Funnels.retention(events, steps)) == 1)
+    // percentileRank: the rank window and the count window share the
+    // stratum partitioning — one exchange total
+    val scored = spark.range(0, 400, 1, 8).select(col("id").as("doc_id"),
+      (col("id") % 5).cast("string").as("src"), (col("id") * 37 % 101).as("score"))
+    assert(shuffles(Sampling.percentileRank(scored, "src", "score")) == 1)
+  }
+
   test("PCA projection is strictly map-only (literal basis in-plan)") {
     import graft.operators.Similarity
     val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
