@@ -34,4 +34,29 @@ class TinyCorpusSpec extends AnyFunSuite {
       val out = graft.SparkEntry.queries(name)(spark, tinyDir)
       assert(out.count() >= 0) // materialize — the invariant is "no throw"
     }
+
+  lazy val tinyEmbDir: String = {
+    val dir = tinyDir // share documents; add a 6-row dim-16 embeddings table
+    spark.range(6).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") * 13 + i * 7) % 11).cast("float") / 10f).as("embedding"),
+      (col("id") % 2).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // r8 entries on degenerate inputs: a 6-row dim-16 embeddings table is
+  // rank-deficient for s09's 8-component request (exercises the
+  // rank-deficient whitening guard), gives s10 a 1-query recall harness,
+  // and gives s08/s11 labels with ≤3 members; q53/q56/m04 run the 6-doc
+  // documents table (single derived domain / singleton strata / tiny
+  // byte grids)
+  for (name <- Seq("q53_temperature_mixture", "q56_quality_percentile",
+    "m04_phash_dedup", "s08_hard_negatives", "s09_pca_project",
+    "s10_ann_pca_rerank", "s11_embedding_outliers"))
+    test(s"$name runs a 6-row corpus end-to-end") {
+      val out = graft.SparkEntry.queries(name)(spark, tinyEmbDir)
+      assert(out.count() >= 0)
+    }
 }
