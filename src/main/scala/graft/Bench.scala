@@ -36,7 +36,7 @@ object Bench {
     "t18_bpe_tokenize", "s08_hard_negatives", "s09_pca_project",
     "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
     "q54_window_funnel", "q55_retention", "s11_embedding_outliers",
-    "m04_phash_dedup", "q56_quality_percentile",
+    "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",

@@ -70,6 +70,51 @@ object Funnels {
     folded.select(col(userCol), level.cast("int").as("level"))
   }
 
+  /** Non-overlapping complete-chain count per user (`sequenceCount`-
+    * shaped): how many DISJOINT step₁→…→stepₙ chains (each within
+    * `windowMicros` of its own first event) the user's history contains —
+    * "how many times did this user complete the funnel". Greedy
+    * earliest-completion: the same per-level fold as [[windowFunnel]],
+    * and the moment a chain completes the level state resets (events are
+    * not reused across chains) and the counter increments. Deterministic
+    * for the same reasons as the funnel ((ts, id) order, pre-event
+    * snapshots); state is `levels + 1` longs per user.
+    */
+  def sequenceCount(events: DataFrame, steps: Seq[Column], windowMicros: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty && windowMicros >= 0)
+    val n = steps.size
+    val ev = struct(
+      (unix_micros(col(tsCol)).as("t") +: col(idCol).as("i") +:
+        steps.zipWithIndex.map { case (c, k) => c.cast("boolean").as(s"c$k") }): _*)
+    // slots 1..n = per-level max chain start; slot n+1 = completed count
+    val init = array((0 until n).map(_ => lit(Unreached)) :+ lit(0L): _*)
+    val folded = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(ev)).as("evs"))
+      .withColumn("st", aggregate(col("evs"), init, (acc, e) => {
+        val upd = (0 until n).map { k =>
+          if (k == 0)
+            greatest(element_at(acc, 1),
+              when(e.getField("c0"), e.getField("t")).otherwise(lit(Unreached)))
+          else
+            greatest(element_at(acc, k + 1),
+              when(e.getField(s"c$k") &&
+                element_at(acc, k) =!= lit(Unreached) &&
+                e.getField("t") - element_at(acc, k) <= lit(windowMicros),
+                element_at(acc, k)).otherwise(lit(Unreached)))
+        }
+        val completed = upd(n - 1) =!= lit(Unreached)
+        array(upd.map(u => when(completed, lit(Unreached)).otherwise(u)) :+
+          (element_at(acc, n + 1) +
+            when(completed, lit(1L)).otherwise(lit(0L))): _*)
+      }))
+      .select(col(userCol),
+        element_at(col("st"), n + 1).cast("int").as("n_chains"))
+    folded
+  }
+
   /** Retention cohort flags per user (`retention`-shaped): flag 1 is
     * "condition 1 ever held"; flag k>1 is "condition 1 AND condition k
     * both held" — the came-back-to-do-X cohort shape. Columns out are

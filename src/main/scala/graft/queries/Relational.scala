@@ -667,6 +667,36 @@ object Relational {
       "retention cohort flags (signed up / came back to click / came back " +
         "to purchase); one max-combine aggregate"),
 
+    // q57: sequenceCount — how many DISJOINT complete funnels per user.
+    // SELF-CHECKING (the greedy non-overlapping matching has no tractable
+    // SQL oracle; FunnelsSpec pins it against a plain-Scala greedy
+    // reference): per user, a complete chain exists iff q54's funnel
+    // level is 3, and disjointness bounds the count by the scarcest
+    // step's event count — both invariants re-derived in-query.
+    "q57_sequence_count" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase")
+        val w = 3600L * 1000000L
+        val cnt = graft.operators.Funnels.sequenceCount(ev, steps, w)
+        val lvl = graft.operators.Funnels.windowFunnel(ev, steps, w)
+        val perStep = ev.groupBy(col("user_id")).agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_s1"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_s2"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_s3"))
+        cnt.join(lvl, "user_id").join(perStep, "user_id")
+          .select(col("user_id"), col("n_chains"), col("level"),
+            (((col("n_chains") > 0) === (col("level") === 3)) &&
+              col("n_chains") <= least(col("n_s1"), col("n_s2"), col("n_s3")))
+              .as("pass"))
+      },
+      None,
+      "sequenceCount: disjoint complete funnels per user (greedy " +
+        "earliest-completion fold, levels+1 longs of state); self-checked " +
+        "against the funnel-level iff and the scarcest-step bound"),
+
     "q28_asof_join" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "user_id", "ts")

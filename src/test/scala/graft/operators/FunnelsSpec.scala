@@ -122,6 +122,57 @@ class FunnelsSpec extends AnyFunSuite {
     assert(streamed == batch && batch == Map(1L -> 3, 2L -> 1, 3L -> 2))
   }
 
+  private def seqCount(rows: Seq[(Long, Long, Long, String)], wUs: Long) =
+    Funnels.sequenceCount(ev(rows),
+      steps = Seq(col("event_type") === "A", col("event_type") === "B",
+        col("event_type") === "C"),
+      windowMicros = wUs)
+      .as[(Long, Int)].collect().toMap
+
+  test("sequenceCount: disjoint chains, no event reuse, window cut") {
+    val out = seqCount(Seq(
+      // two back-to-back complete chains
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "C"),
+      (1L, 4L, 4L, "A"), (1L, 5L, 5L, "B"), (1L, 6L, 6L, "C"),
+      // a second C has no fresh A/B to chain from
+      (2L, 1L, 1L, "A"), (2L, 2L, 2L, "B"), (2L, 3L, 3L, "C"), (2L, 4L, 4L, "C"),
+      // two A's but one B/C: events are not reused -> one chain
+      (3L, 1L, 1L, "A"), (3L, 2L, 2L, "A"), (3L, 3L, 3L, "B"), (3L, 4L, 4L, "C"),
+      // no step-1 event at all
+      (4L, 1L, 1L, "B"), (4L, 2L, 2L, "C"),
+      // complete in order but C outside the window of the chain start
+      (5L, 1L, 1L, "A"), (5L, 2L, 2L, "B"), (5L, 3L, 5000L, "C")), wUs = 1000L)
+    assert(out == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 0))
+  }
+
+  test("sequenceCount equals the plain-Scala greedy reference on random logs") {
+    val rnd = new scala.util.Random(43)
+    val types = Array("A", "B", "C", "X")
+    val rows = for {
+      u <- 0L until 25L
+      i <- 0L until 14L
+    } yield (u, i, rnd.nextInt(2000).toLong, types(rnd.nextInt(4)))
+    val w = 600L
+    val got = seqCount(rows, w)
+    val MIN = Long.MinValue
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.map(e => (e._3, e._2, e._4)).sortBy(e => (e._1, e._2))
+      val best = Array.fill(3)(MIN); var cnt = 0
+      val want = Seq("A", "B", "C")
+      sorted.foreach { case (t, _, ty) =>
+        val prev = best.clone()
+        for (k <- 0 until 3) {
+          if (ty == want(k) &&
+            (k == 0 || (prev(k - 1) != MIN && t - prev(k - 1) <= w)))
+            best(k) = math.max(best(k), if (k == 0) t else prev(k - 1))
+        }
+        if (best(2) != MIN) { cnt += 1; java.util.Arrays.fill(best, MIN) }
+      }
+      u -> cnt
+    }
+    assert(got == expected && expected.values.sum > 0)
+  }
+
   test("retention: cohort flags gated on the first condition") {
     val rows = ev(Seq(
       (1L, 1L, 1L, "signup"), (1L, 2L, 2L, "click"),
