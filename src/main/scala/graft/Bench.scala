@@ -378,7 +378,33 @@ object Bench {
         System.err.println(f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
         (name, tN, t1)
       }
-      val all = entryStats ++ semStats
+      // m04 pair generation (r9): the catalog entry's stub ASCII byte
+      // grids are low-entropy, so the TRUE pair count there is ∝ n² (a
+      // measured 9% of ALL pairs within 8 of 256 bits) — probing it
+      // would measure output size, not plan shape. This probe runs the
+      // operator over HIGH-ENTROPY payloads (64 md5-derived bytes per
+      // doc → near-uniform fingerprints), where the only near-dups are
+      // the corpus's planted exact text duplicates (identical within a
+      // replica — linear in n), so the measured ratio isolates the
+      // banding/shuffle scaling the 256-bit fingerprint is meant to fix.
+      def phashPairs(dir: String): Unit = {
+        val media = graft.sources.Tables.load(spark, dir, "documents").selectExpr(
+          "doc_id AS media_id",
+          "unhex(concat(md5(text), md5(concat(text, 'a')), " +
+            "md5(concat(text, 'b')), md5(concat(text, 'c')))) AS payload",
+          "named_struct('format', 'bin', 'width', 8, 'height', 8, " +
+            "'n_bytes', CAST(64 AS BIGINT)) AS meta")
+        graft.operators.Multimodal.phashNearDups(media, maxDist = 6)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val phashStats = {
+        val t1 = tryRobust("m04_phash_pairs")(phashPairs(sfDir))
+        val tN = tryRobust("m04_phash_pairs")(phashPairs(tmp))
+        System.err.println(
+          f"[bench] scale_probe m04_phash_pairs ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+        Seq(("m04_phash_pairs", tN, t1))
+      }
+      val all = entryStats ++ semStats ++ phashStats
       all.map { case (name, tN, t1) =>
         val ratio = if (t1 > 0) tN / t1 else -1.0
         "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""

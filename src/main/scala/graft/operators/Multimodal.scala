@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -268,8 +268,72 @@ object Multimodal {
     h
   }
 
+  /** 256-bit aHash (16×16 grid) — the pair-generation fingerprint for
+    * [[phashNearDups]]. Same decode/fallback split and integer-exact
+    * threshold (`cell·256 > Σcells`) as the 64-bit [[aHash]]; bit `i`
+    * (grid cell `(i/16, i%16)`) lands in long `i/64`, bit `i%64`. The
+    * wider grid exists for SCALE, not extra recall: splitting 256 bits
+    * into `maxDist+1` bands leaves every band ≥ 32 bits (2³²⁺ key
+    * values), so band buckets are governed by true fingerprint
+    * collisions — a 64-bit hash over 7 bands leaves ~9-bit bands (≤1024
+    * values), whose buckets grow ∝ corpus and candidates ∝ n²/2⁹ (the
+    * r8-filed defect this retires).
+    */
+  private[operators] def aHash256(payload: Array[Byte], srcW: Int, srcH: Int): Array[Long] = {
+    val grid: Array[Long] = tryDecode(payload) match {
+      case Some(img) =>
+        val lum = lumaPixels(img); val w = img.getWidth; val h = img.getHeight
+        Array.tabulate(256) { i =>
+          val y = i / 16; val x = i % 16
+          lum((y * h / 16) * w + (x * w / 16)).toLong
+        }
+      case None =>
+        if (payload == null || payload.isEmpty) return new Array[Long](4)
+        Array.tabulate(256) { i =>
+          val y = i / 16; val x = i % 16
+          val idx = math.min(payload.length - 1, (y * srcH / 16) * srcW + (x * srcW / 16))
+          (payload(idx) & 0xff).toLong
+        }
+    }
+    var sum = 0L; var i = 0
+    while (i < 256) { sum += grid(i); i += 1 }
+    val out = new Array[Long](4)
+    i = 0
+    while (i < 256) {
+      if (grid(i) * 256L > sum) out(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    out
+  }
+
+  /** 256-bit fingerprints `(media_id, phash: array<long>[4])` — same
+    * mapPartitions batch shape as [[perceptualHash]].
+    */
+  def perceptualHash256(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val srcW = if (meta == null || meta.isNullAt(1)) 16 else meta.getInt(1)
+        val srcH = if (meta == null || meta.isNullAt(2)) 16 else meta.getInt(2)
+        Row(id, aHash256(payload, srcW, srcH).toSeq)
+      }
+    }(enc)
+  }
+
   /** Perceptual fingerprints over the binary column — same mapPartitions
     * batch shape as [[extractFeatures]]; output `(media_id, phash)`.
+    * The compact 64-bit key: right for storage/clustering columns;
+    * [[phashNearDups]] pairs on the 256-bit [[perceptualHash256]] so its
+    * banding keys keep pruning at corpus scale.
     */
   def perceptualHash(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -292,40 +356,74 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs by perceptual hash: pigeonhole banding —
-    * the 64-bit hash splits into `maxDist + 1` bands, and any pair within
-    * `maxDist` Hamming bits agrees EXACTLY on at least one band, so
-    * banding is a candidate filter with recall 1.0 (not probabilistic
-    * like MinHash bands), verified by full popcount. Output
-    * `(a, b, dist)`, a < b — provably ALL qualifying pairs.
+    * the 256-bit fingerprint ([[perceptualHash256]]) splits into
+    * `max(maxDist + 1, 4)` bands, and any pair within `maxDist` Hamming
+    * bits agrees EXACTLY on at least one band (pigeonhole holds for ANY
+    * band count > maxDist), so banding is a candidate filter with recall
+    * 1.0 (not probabilistic like MinHash bands), verified by full
+    * popcount. Output `(a, b, dist)`, a < b — provably ALL qualifying
+    * pairs, `dist` in 256-bit Hamming units (the 16×16 grid: small
+    * re-encodes land within a few bits, structural change tens of bits —
+    * thresholds scale 4× vs the 64-bit hash).
     *
     * Scale shape: fingerprints are map-only; the exchange carries
-    * (band_idx, band_bits, id, fp) tuples — `maxDist+1` rows of ~20
-    * bytes per image, never payloads — and band-bucket join sizes are
-    * governed by hash collisions, not corpus size. The dedup decision
-    * for 100 TB of images moves 8-byte keys.
+    * (band_idx, band_bits, id, fp) tuples — `nBands` rows of ~50 bytes
+    * per image, never payloads. At the default tolerance every band is
+    * ≥ 32 bits wide (the ≥4 band floor caps width at 64, and
+    * 256/(maxDist+1) ≥ 32 through maxDist = 7), so band-bucket sizes
+    * are governed by true fingerprint collisions, not by a saturated
+    * key space: the r8-filed defect — 64/7 ≈ 9-bit bands, ≤ 512
+    * values, buckets ∝ n, candidates ∝ n²/512 — is retired by
+    * construction at this design point, and the `m04_phash_pairs`
+    * scale_probe measures the pair-generation path at 10× corpus on a
+    * high-entropy payload set (the catalog corpus's low-entropy ASCII
+    * grids make the TRUE answer ∝ n² there — output size, not plan
+    * shape). FILED LIMITATION: recall-1.0 equality banding forces
+    * nBands = maxDist+1, so band width shrinks as 256/(maxDist+1) —
+    * keys stay collision-governed (≥ 2¹⁶ values) through maxDist ≈ 15
+    * and re-enter the saturated regime near maxDist ≳ 30 (≤ 2⁸
+    * values). A larger tolerance needs a finer grid (G×G aHash sized
+    * so G²/(maxDist+1) ≥ 32), not narrower bands; the require below
+    * draws that line rather than silently degrading.
     */
   def phashNearDups(media: DataFrame, maxDist: Int = 6): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64)
-    val nBands = maxDist + 1
-    val width = 64 / nBands
-    val ph = perceptualHash(media)
-    // band b covers bits [b*width, (b+1)*width) — the last band absorbs
-    // the remainder bits so all 64 participate
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist $maxDist: beyond 15 the 256/(maxDist+1)-bit band keys " +
+        "saturate (the r8 defect class); use a finer fingerprint grid for " +
+        "larger tolerances")
+    // ≥ 4 bands so every band fits a 64-bit key; extra bands never break
+    // the pigeonhole guarantee (nBands > maxDist suffices)
+    val nBands = math.max(maxDist + 1, 4)
+    val width = 256 / nBands
+    // band bits [lo, hi) extracted from the 4-long little-endian packing;
+    // straddles a long boundary at most once (width ≤ 64)
+    def bandKey(fp: Column, lo: Int, hi: Int): Column = {
+      val j0 = lo / 64; val j1 = (hi - 1) / 64; val s = lo % 64; val w = hi - lo
+      val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
+      if (j0 == j1)
+        shiftrightunsigned(element_at(fp, j0 + 1), s).bitwiseAND(mask)
+      else
+        shiftrightunsigned(element_at(fp, j0 + 1), s)
+          .bitwiseOR(shiftleft(element_at(fp, j1 + 1), 64 - s))
+          .bitwiseAND(mask)
+    }
+    val ph = perceptualHash256(media)
     val banded = ph.select(col("media_id"), col("phash"),
       posexplode(array((0 until nBands).map { b =>
-        val hi = if (b == nBands - 1) 64 else (b + 1) * width
-        val mask = if (hi - b * width >= 64) lit(-1L)
-          else lit((1L << (hi - b * width)) - 1L)
-        shiftright(col("phash"), b * width).bitwiseAND(mask)
+        val hi = if (b == nBands - 1) 256 else (b + 1) * width
+        bandKey(col("phash"), b * width, hi)
       }: _*)))
       .toDF("id", "fp", "band", "bits")
     val a = banded.select(col("band"), col("bits"),
       col("id").as("a"), col("fp").as("fpa"))
     val b = banded.select(col("band"), col("bits"),
       col("id").as("b"), col("fp").as("fpb"))
+    val hamming = aggregate(
+      zip_with(col("fpa"), col("fpb"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
     a.join(b, Seq("band", "bits")).where(col("a") < col("b"))
       .select(col("a"), col("b"), col("fpa"), col("fpb")).dropDuplicates("a", "b")
-      .withColumn("dist", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
+      .withColumn("dist", hamming)
       .where(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
   }

@@ -2361,18 +2361,24 @@ object DataOps {
     // grid → flat source index 512·(i÷8) + 8·(i mod 8) clamped to the
     // payload, reproducible byte-by-byte in DuckDB via hex(); the checksum
     // is extractFeatures at dim=1 (sum of resized bytes mod 1009).
-    // m04: perceptual-hash image dedup. On the testdata stub payloads the
-    // hash takes the byte-grid fallback (512·(i÷8) + 8·(i mod 8) sampling,
-    // the m03 index mapping), which the oracle re-derives byte-by-byte —
-    // including the banding pair-gen's output, because pigeonhole banding
-    // has recall 1.0 (any pair within maxDist agrees on ≥1 of maxDist+1
-    // bands), so "all pairs ≤ maxDist" is the exact answer, not an
-    // approximation. maxDist = 0 here: thresholded ASCII byte grids have
-    // low entropy (a measured 74% of ALL pairs sit within 6 bits on this
-    // corpus — the fallback is a totality device, not a similarity
-    // signal), so the entry pins the exact-collision regime; the REAL
-    // decode path's Hamming discrimination (noise ≤4 bits, structural
-    // change ≥20) is pinned by MultimodalSpec on PNG fixtures.
+    // m04: perceptual-hash image dedup, 256-bit fingerprint (r9: the
+    // 64-bit hash's 9-bit bands saturated at ~512 values — the r8-filed
+    // scale wall; 256 bits keep every band ≥ 32 bits wide). On the
+    // testdata stub payloads the hash takes the byte-grid fallback
+    // (16×16 sampling of the declared 64×64 grid: 256·(i÷16) + 4·(i mod
+    // 16), clamped), which the oracle re-derives byte-by-byte —
+    // including the banding pair-gen's output, because pigeonhole
+    // banding has recall 1.0 (any pair within maxDist agrees on ≥1 of
+    // max(maxDist+1, 4) bands), so "all pairs ≤ maxDist" is the exact
+    // answer, not an approximation. maxDist = 0 here: thresholded ASCII
+    // byte grids have low entropy (a measured 9% of ALL pairs sit
+    // within 8 of 256 bits on this corpus — the fallback is a totality
+    // device, not a similarity signal), so the entry pins the
+    // exact-collision regime (178 pairs at sf0.01); banding at maxDist
+    // > 0 incl. the long-straddling band extraction is pinned ≡
+    // brute-force popcount in MultimodalSpec, the REAL decode path's
+    // Hamming discrimination on PNG fixtures there too, and the
+    // pair-generation's 10× scaling by the m04_phash_pairs scale_probe.
     "m04_phash_dedup" -> Q(
       (s, dir) => Multimodal.phashNearDups(
         Multimodal.asMediaTable(tp(s, dir, "documents")), maxDist = 0),
@@ -2380,27 +2386,31 @@ object DataOps {
              |                  coalesce(octet_length(encode(text)), 0) AS n
              |           FROM documents),
              |c AS (SELECT media_id,
-             |        [CAST(CONCAT('0x', SUBSTR(hx, 2*least(n-1, 512*(i//8) + 8*(i%8))+1, 2)) AS BIGINT)
-             |         FOR i IN generate_series(0, 63)] AS grid
+             |        [CAST(CONCAT('0x', SUBSTR(hx, 2*least(n-1, 256*(i//16) + 4*(i%16))+1, 2)) AS BIGINT)
+             |         FOR i IN generate_series(0, 255)] AS grid
              |      FROM m WHERE n > 0),
              |s AS (SELECT media_id, grid, list_sum(grid) AS ssum FROM c),
              |h AS (SELECT media_id,
-             |        CAST(list_sum([CASE WHEN grid[i+1] * 64 > ssum
-             |                       THEN (CASE WHEN i = 63
-             |                             THEN CAST(-9223372036854775807 AS BIGINT) - 1
-             |                             ELSE (CAST(1 AS BIGINT) << i) END)
-             |                       ELSE CAST(0 AS BIGINT) END
-             |                  FOR i IN generate_series(0, 63)]) AS BIGINT) AS phash
+             |        [CAST(list_sum([CASE WHEN grid[64*j + k + 1] * 256 > ssum
+             |                        THEN (CASE WHEN k = 63
+             |                              THEN CAST(-9223372036854775807 AS BIGINT) - 1
+             |                              ELSE (CAST(1 AS BIGINT) << k) END)
+             |                        ELSE CAST(0 AS BIGINT) END
+             |                   FOR k IN generate_series(0, 63)]) AS BIGINT)
+             |         FOR j IN generate_series(0, 3)] AS fp
              |      FROM s
              |      UNION ALL
-             |      SELECT media_id, CAST(0 AS BIGINT) AS phash FROM m WHERE n = 0)
-             |SELECT a.media_id AS a, b.media_id AS b,
-             |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
-             |FROM h a JOIN h b ON a.media_id < b.media_id
-             |WHERE bit_count(xor(a.phash, b.phash)) <= 0""".stripMargin),
-      "perceptual-hash (aHash) image dedup: 8x8 luma/byte grid -> 64-bit " +
-        "fingerprint, pigeonhole banding (recall 1.0) + popcount verify; " +
-        "8-byte keys shuffle, payloads never"),
+             |      SELECT media_id, [CAST(0 AS BIGINT), 0, 0, 0] AS fp FROM m WHERE n = 0),
+             |p AS (SELECT a.media_id AS a, b.media_id AS b,
+             |        CAST(bit_count(xor(a.fp[1], b.fp[1])) AS INT)
+             |        + CAST(bit_count(xor(a.fp[2], b.fp[2])) AS INT)
+             |        + CAST(bit_count(xor(a.fp[3], b.fp[3])) AS INT)
+             |        + CAST(bit_count(xor(a.fp[4], b.fp[4])) AS INT) AS dist
+             |      FROM h a JOIN h b ON a.media_id < b.media_id)
+             |SELECT a, b, dist FROM p WHERE dist <= 0""".stripMargin),
+      "perceptual-hash (aHash) image dedup: 16x16 luma/byte grid -> " +
+        "256-bit fingerprint, pigeonhole banding (recall 1.0, bands >= " +
+        "32 bits) + popcount verify; ~50-byte keys shuffle, payloads never"),
 
     "m03_media_resize" -> Q(
       (s, dir) => {

@@ -263,4 +263,66 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect()
     assert(sp.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
+
+  test("aHash256: real-image discrimination at 256-bit scale") {
+    val rnd = new scala.util.Random(3)
+    def img(f: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) im.setRGB(x, y, f(x, y))
+      im
+    }
+    val base = img((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0xFFFFFF else 0x101010)
+    val noisy = img((x, y) =>
+      base.getRGB(x, y) ^ (if (rnd.nextInt(10) == 0) 0x030303 else 0))
+    val other = img((x, y) => if ((x / 8 + y / 8) % 2 == 1) 0xFFFFFF else 0x101010)
+    def h(im: java.awt.image.BufferedImage) = Multimodal.aHash256(png(im), 32, 32)
+    def dist(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(h(base).toSeq == h(base).toSeq)
+    // thresholds scale 4x vs the 64-bit pins (≤4 / ≥20 there)
+    assert(dist(h(base), h(noisy)) <= 16, s"noise moved ${dist(h(base), h(noisy))} bits")
+    assert(dist(h(base), h(other)) >= 80, s"inversion only ${dist(h(base), h(other))} bits")
+  }
+
+  test("phashNearDups banding ≡ brute-force popcount (recall 1.0, straddling bands)") {
+    val rnd = new scala.util.Random(11)
+    // 40 random 64-byte payloads + planted near-dups (a few flipped bytes)
+    val bases = (0 until 40).map { i =>
+      val p = new Array[Byte](64); rnd.nextBytes(p); (i.toLong, p)
+    }
+    // ±1 on one byte: ≤4 direct cell flips, negligible mean shift — the
+    // planted pairs stay within the banding tolerance
+    val dups = bases.take(8).map { case (id, p) =>
+      val q = p.clone(); val at = rnd.nextInt(64)
+      q(at) = (((q(at) & 0xff) ^ 1) & 0xff).toByte
+      (id + 1000L, q)
+    }
+    val rows = (bases ++ dups).map { case (id, p) =>
+      (id, p, ("bin", 8, 8, p.length.toLong))
+    }
+    val media = rows.toDF("media_id", "payload", "meta")
+    val fps = Multimodal.perceptualHash256(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dist(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // maxDist 5 → 6 bands of 42 bits (every band straddles a long
+    // boundary somewhere); maxDist 6 → 7×36 (the default design point)
+    for (maxDist <- Seq(5, 6)) {
+      val expected = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        d = dist(fa, fb) if d <= maxDist
+      } yield (a, b, d)).toSet
+      val got = Multimodal.phashNearDups(media, maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"maxDist=$maxDist")
+      assert(expected.nonEmpty) // planted dups actually exercise the path
+    }
+  }
+
+  test("phashNearDups rejects tolerances whose band keys would saturate") {
+    val media = Multimodal.asMediaTable(docs)
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(media, maxDist = 16)
+    }
+  }
 }
