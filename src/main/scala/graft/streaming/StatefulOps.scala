@@ -327,37 +327,82 @@ object StatefulOps {
     * late events can under-count a level (their rightful chain position
     * is behind the state), never over-count. Streamed-in-order ≡ batch
     * (spec-pinned).
+    *
+    * State eviction (`evictAfter`): pass a watermark delay (e.g.
+    * `"10 minutes"`) to bound the state store on a long-running stream —
+    * without it per-user state is tiny (n+1 longs) but the KEY SPACE is
+    * every user ever seen, growing monotonically. With eviction on, a
+    * watermark rides `tsCol` and a user's state is dropped once the
+    * watermark passes `last event + windowMicros`: by then every
+    * recorded chain start `s ≤ last` has `watermark − s > windowMicros`,
+    * so no in-order future event can extend a recorded chain — the
+    * frozen state is equivalent to fresh state for all future folding,
+    * and eviction is EXACT, not lossy (the final level is emitted once
+    * more as the timer fires). A user who reappears later starts a new
+    * funnel journey from level 0 — the live-board reading; the
+    * monotone-level view of a user's lifetime is the batch operator's
+    * job.
     */
   def funnelStream(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
       windowMicros: Long, userCol: String = "user_id", tsCol: String = "ts",
-      idCol: String = "event_id"): Dataset[FunnelLevel] = {
+      idCol: String = "event_id",
+      evictAfter: Option[String] = None): Dataset[FunnelLevel] = {
     require(steps.nonEmpty && windowMicros >= 0)
     val n = steps.size
     val spark = events.sparkSession
     import spark.implicits._
     val Unreached = Long.MinValue
-    events.select(col(userCol).cast("long").as("user"),
+    val src = evictAfter.map(d => events.withWatermark(tsCol, d)).getOrElse(events)
+    val timeout =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def level(best: Array[Long]): Int = best.lastIndexWhere(_ != Unreached) + 1
+    // state = n per-level max chain starts + the max event time seen
+    // (slot n, drives the eviction timer)
+    // the raw tsCol rides along (field 5, unused by the fold) so the
+    // watermark TAG survives projection — deriving `t` alone strips the
+    // event-time metadata and the event-time timeout is rejected
+    src.select(col(userCol).cast("long").as("user"),
         unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("id"),
-        array(steps.map(s => coalesce(s.cast("boolean"), lit(false))): _*).as("conds"))
-      .as[(Long, Long, Long, Seq[Boolean])]
+        array(steps.map(s => coalesce(s.cast("boolean"), lit(false))): _*).as("conds"),
+        col(tsCol).as("wm_ts"))
+      .as[(Long, Long, Long, Seq[Boolean], java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[Long], FunnelLevel](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeout) {
         (user, rows, state) =>
-          val best = state.getOption.getOrElse(Seq.fill(n)(Unreached)).toArray
-          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, _, conds) =>
-            val prev = best.clone() // pre-event snapshot: no same-event chains
-            var k = 0
-            while (k < n) {
-              if (k == 0) { if (conds(0)) best(0) = math.max(best(0), t) }
-              else if (conds(k) && prev(k - 1) != Unreached &&
-                t >= prev(k - 1) && t - prev(k - 1) <= windowMicros)
-                best(k) = math.max(best(k), prev(k - 1))
-              k += 1
+          if (state.hasTimedOut) {
+            // frozen journey: emit the final level once and drop the state
+            val best = state.get.take(n).toArray
+            state.remove()
+            Iterator(FunnelLevel(user, level(best)))
+          } else {
+            val stored = state.getOption.getOrElse(Seq.fill(n + 1)(Unreached))
+            val best = stored.take(n).toArray
+            var lastT = stored(n)
+            rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, _, conds, _) =>
+              val prev = best.clone() // pre-event snapshot: no same-event chains
+              var k = 0
+              while (k < n) {
+                if (k == 0) { if (conds(0)) best(0) = math.max(best(0), t) }
+                else if (conds(k) && prev(k - 1) != Unreached &&
+                  t >= prev(k - 1) && t - prev(k - 1) <= windowMicros)
+                  best(k) = math.max(best(k), prev(k - 1))
+                k += 1
+              }
+              lastT = math.max(lastT, t)
             }
+            state.update(best.toSeq :+ lastT)
+            if (evictAfter.isDefined && lastT != Unreached) {
+              // fire once the watermark proves no recorded chain can grow;
+              // clamp above the current watermark (a very-late-only user
+              // would otherwise set an already-expired timer, which throws)
+              val target = lastT / 1000L + windowMicros / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(target, state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator(FunnelLevel(user, level(best)))
           }
-          state.update(best.toSeq)
-          Iterator(FunnelLevel(user, best.lastIndexWhere(_ != Unreached) + 1))
       }
   }
 

@@ -122,6 +122,47 @@ class FunnelsSpec extends AnyFunSuite {
     assert(streamed == batch && batch == Map(1L -> 3, 2L -> 1, 3L -> 2))
   }
 
+  test("funnelStream evictAfter: state drops once the watermark passes, levels ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    val early = Seq( // two users complete their journeys around t≈100-300 µs
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"),
+      (2L, 1L, 150L, "A"), (2L, 2L, 250L, "X"))
+    // far-future events: advance the watermark way past early-last + window
+    val late1 = Seq((99L, 1L, 10_000_000_000L, "A"))
+    val late2 = Seq((99L, 2L, 10_000_000_100L, "B"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val levels = graft.streaming.StatefulOps.funnelStream(
+      stream.toDS().toDF("user_id", "event_id", "t_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us"),
+      steps, windowMicros = 1000L, evictAfter = Some("0 seconds"))
+    val q = levels.writeStream.format("memory")
+      .queryName("funnel_evict_test").outputMode("update").start()
+    val (rowsAfterEarly, rowsAfterLate) = try {
+      stream.addData(early: _*); q.processAllAvailable()
+      val a = q.lastProgress.stateOperators.head.numRowsTotal
+      // watermark advances at the END of the batch that reads late1; the
+      // expired timers then fire in the NEXT batch (late2)
+      stream.addData(late1: _*); q.processAllAvailable()
+      stream.addData(late2: _*); q.processAllAvailable()
+      (a, q.lastProgress.stateOperators.head.numRowsTotal)
+    } finally q.stop()
+    assert(rowsAfterEarly == 2L) // users 1 and 2 tracked
+    assert(rowsAfterLate == 1L, // users 1 and 2 evicted; only 99 remains
+      s"expected early users evicted, state rows = $rowsAfterLate")
+    // the update stream's max level per user still matches batch exactly
+    // (eviction re-emits the frozen final level, never a lower one)
+    val streamed = spark.table("funnel_evict_test")
+      .groupBy("user_id").agg(max("level").as("level"))
+      .as[(Long, Int)].collect().toMap
+    val batch = Funnels.windowFunnel(
+      ev(early ++ late1 ++ late2), steps, windowMicros = 1000L)
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == batch && batch == Map(1L -> 3, 2L -> 1, 99L -> 2))
+  }
+
   private def seqCount(rows: Seq[(Long, Long, Long, String)], wUs: Long) =
     Funnels.sequenceCount(ev(rows),
       steps = Seq(col("event_type") === "A", col("event_type") === "B",
