@@ -668,34 +668,59 @@ object Relational {
         "to purchase); one max-combine aggregate"),
 
     // q57: sequenceCount — how many DISJOINT complete funnels per user.
-    // SELF-CHECKING (the greedy non-overlapping matching has no tractable
-    // SQL oracle; FunnelsSpec pins it against a plain-Scala greedy
-    // reference): per user, a complete chain exists iff q54's funnel
-    // level is 3, and disjointness bounds the count by the scarcest
-    // step's event count — both invariants re-derived in-query.
+    // The oracle (r9; self-checked before) replays the exact greedy
+    // earliest-completion fold as a DuckDB RECURSIVE CTE over the
+    // (ts, event_id)-ordered per-user event list: state = 3 per-level
+    // chain starts + the completed count, one recursion step per event.
+    // Sentinel −4·10¹⁸ stands in for "unreached" (t − sentinel ≈ 4·10¹⁸
+    // stays inside BIGINT, so the window test needs no null-guarding,
+    // and it auto-fails ≤ window exactly like the operator's MinValue
+    // check). 24 h window: 126 chains over 86 of 150 users at sf0.01 —
+    // the 1 h window q54 pins has ZERO complete chains there, which
+    // would make the hash-match trivial.
     "q57_sequence_count" -> Q(
-      (s, dir) => {
-        val ev = t(s, dir, "events")
-        val steps = Seq(col("event_type") === "view",
+      (s, dir) => graft.operators.Funnels.sequenceCount(
+        t(s, dir, "events"),
+        steps = Seq(col("event_type") === "view",
           col("event_type") === "click",
-          col("event_type") === "purchase")
-        val w = 3600L * 1000000L
-        val cnt = graft.operators.Funnels.sequenceCount(ev, steps, w)
-        val lvl = graft.operators.Funnels.windowFunnel(ev, steps, w)
-        val perStep = ev.groupBy(col("user_id")).agg(
-          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_s1"),
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_s2"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_s3"))
-        cnt.join(lvl, "user_id").join(perStep, "user_id")
-          .select(col("user_id"), col("n_chains"), col("level"),
-            (((col("n_chains") > 0) === (col("level") === 3)) &&
-              col("n_chains") <= least(col("n_s1"), col("n_s2"), col("n_s3")))
-              .as("pass"))
-      },
-      None,
+          col("event_type") === "purchase"),
+        windowMicros = 24L * 3600L * 1000000L),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS m FROM e GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, 0 AS rn,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s1,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s2,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s3,
+             |         CAST(0 AS BIGINT) AS cnt
+             |  FROM mx
+             |  UNION ALL
+             |  SELECT user_id, rn,
+             |    CASE WHEN n3 <> -4000000000000000000 THEN -4000000000000000000 ELSE n1 END AS s1,
+             |    CASE WHEN n3 <> -4000000000000000000 THEN -4000000000000000000 ELSE n2 END AS s2,
+             |    CASE WHEN n3 <> -4000000000000000000 THEN -4000000000000000000 ELSE n3 END AS s3,
+             |    cnt + CASE WHEN n3 <> -4000000000000000000 THEN 1 ELSE 0 END AS cnt
+             |  FROM (
+             |    SELECT f.user_id, e.rn,
+             |      greatest(f.s1, CASE WHEN e.event_type = 'view'
+             |                     THEN e.t ELSE -4000000000000000000 END) AS n1,
+             |      greatest(f.s2, CASE WHEN e.event_type = 'click'
+             |                      AND e.t - f.s1 <= 86400000000
+             |                     THEN f.s1 ELSE -4000000000000000000 END) AS n2,
+             |      greatest(f.s3, CASE WHEN e.event_type = 'purchase'
+             |                      AND e.t - f.s2 <= 86400000000
+             |                     THEN f.s2 ELSE -4000000000000000000 END) AS n3,
+             |      f.cnt AS cnt
+             |    FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1))
+             |SELECT f.user_id, CAST(f.cnt AS INT) AS n_chains
+             |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.m""".stripMargin),
       "sequenceCount: disjoint complete funnels per user (greedy " +
-        "earliest-completion fold, levels+1 longs of state); self-checked " +
-        "against the funnel-level iff and the scarcest-step bound"),
+        "earliest-completion fold, levels+1 longs of state); oracle " +
+        "replays the fold as a recursive CTE"),
 
     "q28_asof_join" -> Q(
       (s, dir) => {
