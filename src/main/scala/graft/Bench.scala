@@ -360,9 +360,13 @@ object Bench {
       // DEFAULT: SemPairGen.Lsh() now auto-sizes planes from a corpus
       // count probe (Similarity.lshAutoPlanes), so `sem_lsh_default_auto`
       // probes what a caller of semanticDedup-with-defaults actually gets
-      // and must stay near-linear. The fixed 4×16 entry is kept so the
-      // quadratic stays named and measured — it is the escape hatch for
-      // low-threshold recall on bounded corpora, not the default.
+      // and must stay near-linear. r9 auto-sizes the TABLE count too
+      // (Similarity.lshAutoTables: constant planes×tables signature
+      // budget — the r8 probe measured fixed-16-tables auto at 6.8×,
+      // ~4× the work of the 12×4 config at the same recall regime). The
+      // fixed 4×16 entry is kept so the quadratic stays named and
+      // measured — it is the escape hatch for low-threshold recall on
+      // bounded corpora, not the default.
       def semBlocked(dir: String, planes: Int, tables: Int): Unit =
         graft.operators.Dedup.semanticDedup(
           graft.sources.Tables.load(spark, dir, "embeddings")
@@ -370,7 +374,7 @@ object Bench {
           threshold = 0.45,
           pairGen = graft.operators.Dedup.SemPairGen.Lsh(planes, tables))
           .write.format("noop").mode("overwrite").save()
-      val semStats = Seq(("sem_lsh_default_auto", 0, 16),
+      val semStats = Seq(("sem_lsh_default_auto", 0, 0),
         ("sem_lsh_recall_cfg_4x16", 4, 16),
         ("sem_lsh_scale_cfg_12x4", 12, 4)).map { case (name, planes, tables) =>
         val t1 = tryRobust(name)(semBlocked(sfDir, planes, tables))

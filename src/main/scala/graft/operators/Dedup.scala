@@ -996,19 +996,30 @@ object Dedup {
       * buckets/table, occupancy ∝ n, candidates ∝ n²/16) at 39× wall-time
       * for 10× data, vs ~2× for occupancy-bounded configs.
       *
+      * `nTables = 0` (the default) AUTO-SIZES the table count too
+      * ([[Similarity.lshAutoTables]]): the signature budget
+      * planes × tables is held at ~64 plane-projections per row, so the
+      * per-row signature cost and per-table candidate work stay bounded
+      * as the corpus (and thus the auto plane count) grows — 16 tables
+      * at the 4-plane floor (the unchanged small-corpus design point),
+      * ~6 tables at 10 planes. A fixed 16-table count at large plane
+      * counts did ~4× the work of the config this scaladoc itself
+      * recommends (measured: 18.6 s vs 3.3 s at the 10× probe).
+      *
       * Recall under auto-sizing: collision p per plane is 1 − θ/π, so
       * per-pair recall is 1 − (1 − p^planes)^tables. At SemDeDup's
-      * production regime (near-identical content, cosine ≥ 0.9,
-      * p ≈ 0.86) recall stays ≥ 0.95 through planes = 11 at the default
-      * 16 tables — auto-sizing is recall-safe where SemDeDup actually
-      * operates. At LOW thresholds (cos 0.45, p ≈ 0.65) recall decays as
-      * planes grow past 4 — that regime is fundamentally n^(1+ρ) for LSH
-      * at fixed recall, so on a BOUNDED corpus that needs low-threshold
-      * recall, pass an explicit `Lsh(4, 16)` (recall 1−(1−p⁴)¹⁶ ≈ 0.96 at
-      * cos 0.45; measured ≥0.95 dropped-set recall — catalog d15
-      * self-checks the default path at sf0.01, where the auto size IS 4).
+      * production regime (near-identical content, cos ≥ 0.97,
+      * p ≳ 0.92) the budgeted pairing keeps recall ≥ 0.95 at every
+      * auto design point (e.g. 10 planes × 6 tables: 0.997 at cos
+      * 0.99). At LOW thresholds (cos 0.45, p ≈ 0.65) recall decays as
+      * planes grow regardless of table count — that regime is
+      * fundamentally n^(1+ρ) for LSH at fixed recall, so on a BOUNDED
+      * corpus that needs low-threshold recall, pass an explicit
+      * `Lsh(4, 16)` (recall 1−(1−p⁴)¹⁶ ≈ 0.96 at cos 0.45; measured
+      * ≥0.95 dropped-set recall — catalog d15 self-checks the default
+      * path at sf0.01, where the auto sizes ARE 4 planes × 16 tables).
       */
-    final case class Lsh(nPlanes: Int = 0, nTables: Int = 16) extends SemPairGen
+    final case class Lsh(nPlanes: Int = 0, nTables: Int = 0) extends SemPairGen
     /** IVF-cell blocking (`Similarity.ivfCellPairs`) — SemDeDup's own
       * k-means-cell shape: multi-probe nearest-cell assignment is map-only
       * against a broadcast centroid matrix, candidates pair within cells,
@@ -1048,10 +1059,17 @@ object Dedup {
         // one parquet-metadata-cheap scan of the id column, paid once per
         // semanticDedup call, and is what keeps bucket occupancy bounded
         // (candidates ∝ n) at any corpus size — see SemPairGen.Lsh.
+        // nTables = 0 → hold the signature budget constant as planes
+        // grow (Similarity.lshAutoTables): 16 tables at the 4-plane
+        // floor, ~6 at 10 planes — auto mode stops paying 16 tables'
+        // work at exactly the corpus sizes where extra tables no longer
+        // buy near-identical-regime recall.
         val planes =
           if (nPlanes > 0) nPlanes
           else Similarity.lshAutoPlanes(emb.select(idCol).count())
-        Similarity.lshCosinePairs(emb, threshold, planes, nTables, vecCol, idCol)
+        val tables =
+          if (nTables > 0) nTables else Similarity.lshAutoTables(planes)
+        Similarity.lshCosinePairs(emb, threshold, planes, tables, vecCol, idCol)
       case SemPairGen.IvfCell(centroidMod, nProbe) =>
         Similarity.ivfCellPairs(emb, threshold, centroidMod, nProbe,
           vecCol = vecCol, idCol = idCol)

@@ -278,6 +278,25 @@ object Similarity {
     math.max(4, needed)
   }
 
+  /** Table count that holds the TOTAL signature budget (planes × tables ≈
+    * `bitBudget` plane-projections per row) constant as [[lshAutoPlanes]]
+    * grows the plane count, clamped to [4, 16]: at the 4-plane floor this
+    * is the unchanged 16-table high-recall design point, and at large
+    * corpora (10+ planes) it stops auto mode doing 16 tables' work where
+    * the scaladoc's own analysis recommends ~4-6. Recall consequence
+    * (per-pair, 1 − (1 − p^planes)^tables): at the near-identical
+    * SemDeDup regime the auto pairing stays high — e.g. planes = 10,
+    * tables = 6 gives 0.997 at cos 0.99 (p ≈ 0.955) and ≥ 0.95 down to
+    * cos ≈ 0.97 — while moderate-threshold recall on a growing corpus
+    * decays with plane count for ANY fixed budget (the n^(1+ρ) law);
+    * that regime passes an explicit `Lsh(planes, tables)`. Used by
+    * `Dedup.SemPairGen.Lsh`'s auto default.
+    */
+  def lshAutoTables(planes: Int, bitBudget: Int = 64): Int = {
+    require(planes > 0 && bitBudget > 0)
+    math.max(4, math.min(16, math.round(bitBudget.toDouble / planes).toInt))
+  }
+
   /** LSH-bucketed candidate near pairs: same nPlanes-bit signature bucket
     * → candidate; verify with exact cosine ≥ threshold. Multi-probe via
     * `nTables` independent plane families reduces misses.

@@ -179,6 +179,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshAutoTables: constant signature budget, clamped to [4, 16]") {
+    assert(Similarity.lshAutoTables(4) == 16)  // d15's sf0.01 design point unchanged
+    assert(Similarity.lshAutoTables(6) == 11)  // sf0.1
+    assert(Similarity.lshAutoTables(10) == 6)  // bench 10x probe
+    assert(Similarity.lshAutoTables(15) == 4)
+    assert(Similarity.lshAutoTables(64) == 4)  // floor
+    assert(Similarity.lshAutoTables(1) == 16)  // cap
+    // the budget: planes x tables never exceeds ~80 projections per row
+    // until the 4-table floor takes over (recall headroom > budget there)
+    (4 to 40).foreach { p =>
+      val t = Similarity.lshAutoTables(p)
+      assert(p * t <= math.max(80, 4 * p), s"budget blown at planes=$p tables=$t")
+    }
+  }
+
   test("PQ: training is deterministic; codes are in-range, near-identical vectors share codes") {
     val m1 = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
     val m2 = Similarity.pqTrain(emb, m = 4, k = 8, iters = 2)
