@@ -294,6 +294,20 @@ object Bench {
         }
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      // events amplify by USER replication (user_id/event_id offset per
+      // replica, timestamps kept): user cardinality scales 10×, events
+      // per user constant — the natural web-scale shape for the r8
+      // aggregate family (q52 CDC max_by, q54 funnel fold). The
+      // heavy-user (bot) axis is probed separately by q54_funnel_skew.
+      val evBase = graft.sources.Tables.load(spark, sfDir, "events")
+      (0 until probeFactor).map { r =>
+        if (r == 0) evBase
+        else evBase.selectExpr(
+          s"user_id + ${r}L * 10000000 AS user_id",
+          s"event_id + ${r}L * 10000000 AS event_id",
+          "ts", "event_type", "value", "props")
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
 
       def once(work: => Unit): Double = {
         val t0 = System.nanoTime()
@@ -320,16 +334,20 @@ object Bench {
       // move), t17 (broadcast model, per-doc-label sums), t18 (one corpus
       // pass + vocab-table rounds — the corpus-side cost must be the
       // word-count agg alone)
-      // NOTE: probe entries must read only documents/embeddings — those
-      // are the two tables the amplified tmp dir carries (an events-based
-      // entry would fail its load and report ratio -1). s09/s11 joined
-      // r8: both are one-aggregate embedding passes whose linearity
-      // deserves the same measured proof as the text family.
+      // NOTE: probe entries must read only documents/embeddings/events —
+      // the three tables the amplified tmp dir carries (any other load
+      // would fail and report ratio -1). s09/s11 joined r8: both are
+      // one-aggregate embedding passes whose linearity deserves the same
+      // measured proof as the text family. q52/q54/q56 joined r9 (the r8
+      // verdict's aggregate-family ask): CDC max_by, the funnel fold,
+      // and the percentile window all have documented one-exchange
+      // designs — now measured, not argued.
       val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
         "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
         "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
         "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize",
-        "s09_pca_project", "s11_embedding_outliers")
+        "s09_pca_project", "s11_embedding_outliers",
+        "q52_cdc_merge", "q54_window_funnel", "q56_quality_percentile")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must
@@ -408,7 +426,34 @@ object Bench {
           f"[bench] scale_probe m04_phash_pairs ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
         Seq(("m04_phash_pairs", tN, t1))
       }
-      val all = entryStats ++ semStats ++ phashStats
+      // funnel under heavy-user skew (r9): q54's probe above scales USER
+      // cardinality; this one holds users constant and gives every user
+      // 10× events (the bot envelope) — the per-user sorted fold list is
+      // the operator's documented memory/compute envelope, measured here
+      // rather than assumed. Timestamps shift per replica so the sorted
+      // list is genuinely longer, not duplicate-collapsed.
+      def funnelSkew(factor: Int): Unit = {
+        import org.apache.spark.sql.functions.col
+        val ev = graft.sources.Tables.load(spark, sfDir, "events")
+        val amp = (0 until factor).map { r =>
+          if (r == 0) ev
+          else ev.selectExpr("user_id",
+            s"event_id + ${r}L * 10000000 AS event_id",
+            s"ts + INTERVAL $r SECONDS AS ts", "event_type", "value", "props")
+        }.reduce(_ unionByName _)
+        graft.operators.Funnels.windowFunnel(amp,
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), 3600L * 1000000L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val skewStats = {
+        val t1 = tryRobust("q54_funnel_skew")(funnelSkew(1))
+        val tN = tryRobust("q54_funnel_skew")(funnelSkew(probeFactor))
+        System.err.println(
+          f"[bench] scale_probe q54_funnel_skew ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+        Seq(("q54_funnel_skew", tN, t1))
+      }
+      val all = entryStats ++ semStats ++ phashStats ++ skewStats
       all.map { case (name, tN, t1) =>
         val ratio = if (t1 > 0) tN / t1 else -1.0
         "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""
