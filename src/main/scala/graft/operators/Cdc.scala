@@ -99,11 +99,18 @@ object Cdc {
     * version of their key; dropping them here would let a replayed or
     * out-of-order upsert resurrect a deleted key).
     *
-    * The rewrite goes through a sibling temp dir + delete + rename; the
-    * delete→rename window is not atomic on a plain FileSystem — same
-    * envelope as [[Layout]]'s documented non-manifest fallback. Run it
-    * from the maintenance process that owns the log (e.g. between
-    * micro-batches), not concurrently with readers.
+    * The rewrite goes through a sibling temp dir and a rename-aside
+    * swing: write `.compacting`, rename live → `.old`, rename
+    * `.compacting` → live, delete `.old`. The two renames are still not
+    * one atomic step on a plain FileSystem — same envelope as
+    * [[Layout]]'s documented non-manifest fallback — but EVERY crash
+    * point now leaves a complete log recoverable by name (live, or
+    * `.old` when the crash lands between the renames): the r8 ordering
+    * (delete live, then rename) had a window where the only copy sat in
+    * the undiscoverable `.compacting` sibling and readers saw a missing
+    * table. Run it from the maintenance process that owns the log (e.g.
+    * between micro-batches), not concurrently with readers; a leftover
+    * `.old` from a crash is swept on the next call.
     */
   def compactLog(spark: org.apache.spark.sql.SparkSession, logDir: String,
       keyCols: Seq[String], versionCols: Seq[String],
@@ -111,10 +118,13 @@ object Cdc {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(logDir)
     val tmp = new org.apache.hadoop.fs.Path(logDir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(logDir + ".old")
     val fs = dir.getFileSystem(conf)
     compactChangelog(spark.read.parquet(logDir), keyCols, versionCols, tombstone)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dir, true)
+    fs.delete(old, true) // sweep a previous crash's leftover
+    require(fs.rename(dir, old), s"compactLog: rename $dir -> $old failed")
     require(fs.rename(tmp, dir), s"compactLog: rename $tmp -> $dir failed")
+    fs.delete(old, true)
   }
 }

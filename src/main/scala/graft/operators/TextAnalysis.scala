@@ -757,11 +757,9 @@ object TextAnalysis {
     * Train on a labeled subset, score every corpus document, emit the
     * argmax label.
     *
-    * Integer form (the t13/t15 ln-free rationale — argmax over a sum of
-    * logs is preserved, to integer-division precision, by summing scaled
-    * integer surprisals): with V = |train vocabulary|, N_l = tokens in
-    * label l, c(l,t) = count of t in l, D/D_l = total/per-label doc
-    * counts, a doc scores, per label,
+    * Integer form (the t13/t15 ln-free rationale): with V = |train
+    * vocabulary|, N_l = tokens in label l, c(l,t) = count of t in l,
+    * D/D_l = total/per-label doc counts, a doc scores, per label,
     *
     *   score(l) = (10000·D) div D_l                       [prior]
     *            + Σ_tokens (10000·(N_l + V)) div (c(l,t) + 1)   [add-one]
@@ -771,7 +769,16 @@ object TextAnalysis {
     * output is fully deterministic and DuckDB-reproducible. Unseen
     * tokens hit the add-one floor per label (c = 0) — they still carry
     * signal because the floor scales with N_l, exactly as smoothed NB
-    * prescribes.
+    * prescribes. NOTE this is a LINEAR-space surprisal heuristic, not
+    * log-space NB under a monotone transform: summing linear inverse
+    * likelihoods weights rare tokens more aggressively than summing
+    * their logs would (one very rare token can outvote several
+    * moderately rare ones), so predictions can differ from true
+    * multinomial NB on mixed-evidence docs. The tradeoff is deliberate —
+    * exact cross-engine reproducibility (integer arithmetic, no
+    * libm-dependent ln bits) over textbook posterior fidelity; a caller
+    * needing calibrated NB probabilities wants a float log-space scorer,
+    * not this gate.
     *
     * Output: (doc_id, pred_label, nb_score) for every corpus doc.
     *

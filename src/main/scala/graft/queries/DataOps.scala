@@ -1861,7 +1861,14 @@ object DataOps {
     // p07: tokenize→pack — the last mile of an LM data pipeline: BPE
     // tokenize (t18's model) and pack docs into fixed token-budget
     // training bins (q36's packer) using the TOKENIZER's counts, not
-    // whitespace counts. SELF-CHECKING per lang stratum (BPE has no SQL
+    // whitespace counts. NOTE p07 retrains the same model t18 trains —
+    // DELIBERATE entry isolation: catalog entries are self-contained
+    // (spark, dir) closures so each is independently runnable/verifiable,
+    // and a cross-entry model memo would make Bench medians measure cache
+    // hits, not the operator (~2 s/rep of double-paid training at sf0.1
+    // is the accepted cost; a production pipeline trains once and passes
+    // the model — Bpe.train/encode are separate calls precisely so it
+    // can). SELF-CHECKING per lang stratum (BPE has no SQL
     // oracle; t18/q36 prove the pieces): every doc packed exactly once,
     // the final offset+len equals the token total (cumulative-packing
     // conservation), the starting-bin count sits inside its provable

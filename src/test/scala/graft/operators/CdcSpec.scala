@@ -91,6 +91,16 @@ class CdcSpec extends AnyFunSuite {
     Seq((3L, 1L, "U", "stale")).toDF("k", "ver", "op", "payload")
       .write.mode("append").parquet(logDir)
     assert(snapshot() == expected, "kept tombstone must shadow late older upserts")
+    // rename-aside swing leaves no siblings behind, and a leftover .old
+    // from a crashed run (simulated) is swept, not tripped over
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(logDir + ".compacting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(logDir + ".old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(logDir + ".old"))
+    Cdc.compactLog(spark, logDir, Seq("k"), Seq("ver"), col("op") === "D")
+    assert(snapshot() == expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(logDir + ".old")))
   }
 
   test("multi-column keys and version tie-breaks") {
