@@ -20,13 +20,29 @@ import java.util.concurrent.atomic.AtomicInteger
   * sequential offset ranges per partition, so pipelining buys nothing,
   * and a single-threaded protocol keeps the failure model trivial (any
   * IOException tears down the socket; Spark task retry reconnects).
-  * Connections are cheap to re-establish — there is no SASL/TLS
-  * handshake in scope.
+  * Connections are cheap to re-establish.
+  *
+  * `saslUser`/`saslPass` enable SASL/PLAIN (KIP-43 handshake v1 +
+  * KIP-152 SaslAuthenticate) immediately after every (re)connect, before
+  * any other API flows; a rejected mechanism or bad credential surfaces
+  * as a named IOException carrying the broker's message. TLS is
+  * deliberately out of scope (README "Transport caveats") — PLAIN here
+  * is the same layering a production deployment wraps in TLS.
   */
 private[graft] class KafkaLiteClient(host: String, port: Int,
     clientId: String = "graft-kafka-lite", connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 30000,
-    dialect: KafkaWire.Dialect = KafkaWire.Modern) extends AutoCloseable {
+    dialect: KafkaWire.Dialect = KafkaWire.Modern,
+    saslUser: Option[String] = None,
+    saslPass: Option[String] = None) extends AutoCloseable {
+
+  // declared BEFORE connect() below: the constructor authenticates over
+  // the socket, so anything roundTripVersioned touches must already be
+  // initialized (a val after the connect() call reads as 0 during SASL)
+  /** Max response size accepted — same OOM fence as
+    * [[FileBufWire.MaxInboundMessageBytes]], sized for fetch batches.
+    */
+  private val MaxResponseBytes = 64 * 1024 * 1024
 
   private var socket: Socket = _
   private var out: DataOutputStream = _
@@ -40,6 +56,15 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     socket.setSoTimeout(readTimeoutMs)
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream, 64 * 1024))
     in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream, 64 * 1024))
+    saslUser.foreach { u =>
+      KafkaWire.decodeSaslHandshakeResponse(roundTripVersioned(
+        KafkaWire.ApiSaslHandshake, 1,
+        KafkaWire.encodeSaslHandshakeRequest("PLAIN")))
+      KafkaWire.decodeSaslAuthenticateResponse(roundTripVersioned(
+        KafkaWire.ApiSaslAuthenticate, 0,
+        KafkaWire.encodeSaslAuthenticateRequest(
+          KafkaWire.saslPlainToken(u, saslPass.getOrElse("")))))
+    }
   }
   connect()
 
@@ -65,11 +90,6 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
   }
 
   private def modern = resolvedDialect eq KafkaWire.Modern
-
-  /** Max response size accepted — same OOM fence as
-    * [[FileBufWire.MaxInboundMessageBytes]], sized for fetch batches.
-    */
-  private val MaxResponseBytes = 64 * 1024 * 1024
 
   private def versionOf(apiKey: Short): Short = apiKey match {
     case KafkaWire.ApiProduce => resolvedDialect.produceV

@@ -41,7 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `dialect` (`modern`, default — magic-2 batches over the post-KIP-896
   * version floor, brokers 0.11 → 4.x; `legacy` — magic-0 over the v0
   * APIs for pre-0.11 brokers; or `auto` — negotiate per broker via the
-  * ApiVersions API, resolved once on the driver and shipped to tasks).
+  * ApiVersions API, resolved once on the driver and shipped to tasks),
+  * `sasl.username`/`sasl.password` (SASL/PLAIN on every connection —
+  * driver metadata clients and executor fetch clients alike; see
+  * [[KafkaLiteClient]]).
   */
 class KafkaLiteSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-lite"
@@ -97,10 +100,13 @@ private[sources] class KafkaLiteTable extends Table with SupportsRead {
       private val maxOffsets = Option(options.get("maxoffsetspertrigger")).map(_.toLong)
       private val dialect = // validate on the driver, fail fast like startingOffsets
         KafkaWire.Dialect(Option(options.get("dialect")).getOrElse("modern")).name
+      private val saslUser = Option(options.get("sasl.username"))
+      private val saslPass = Option(options.get("sasl.password"))
       override def build(): Scan = this
       override def readSchema(): StructType = KafkaLiteSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new KafkaLiteMicroBatchStream(brokers, topic, startingOffsets, maxOffsets, dialect)
+        new KafkaLiteMicroBatchStream(brokers, topic, startingOffsets, maxOffsets, dialect,
+          saslUser, saslPass)
     }
 }
 
@@ -124,7 +130,8 @@ private[sources] object KafkaLiteOffset {
 
 private[sources] class KafkaLiteMicroBatchStream(
     brokers: String, topic: String, startingOffsets: String, maxOffsets: Option[Long],
-    dialect: String = "modern")
+    dialect: String = "modern",
+    saslUser: Option[String] = None, saslPass: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val (bootHost, bootPort) = KafkaLiteSource.parseBroker(brokers)
@@ -132,7 +139,8 @@ private[sources] class KafkaLiteMicroBatchStream(
   @transient private var clientVar: KafkaLiteClient = _
   private def client: KafkaLiteClient = synchronized {
     if (clientVar == null)
-      clientVar = new KafkaLiteClient(bootHost, bootPort, dialect = KafkaWire.Dialect(dialect))
+      clientVar = new KafkaLiteClient(bootHost, bootPort, dialect = KafkaWire.Dialect(dialect),
+        saslUser = saslUser, saslPass = saslPass)
     clientVar
   }
 
@@ -210,7 +218,7 @@ private[sources] class KafkaLiteMicroBatchStream(
         // executors get the RESOLVED dialect: under `auto` the driver
         // client negotiates once via ApiVersions and tasks skip the probe
         Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort,
-          from, until, client.resolvedDialect.name))
+          from, until, client.resolvedDialect.name, saslUser, saslPass))
       else None
     }.toArray
   }
@@ -226,7 +234,8 @@ private[sources] class KafkaLiteMicroBatchStream(
 
 private[sources] case class KafkaLitePartition(
     topic: String, partition: Int, host: String, port: Int,
-    startOffset: Long, endOffset: Long, dialect: String = "modern") extends InputPartition
+    startOffset: Long, endOffset: Long, dialect: String = "modern",
+    saslUser: Option[String] = None, saslPass: Option[String] = None) extends InputPartition
 
 private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -264,7 +273,8 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
 
   private val DefaultFetchBytes = 4 * 1024 * 1024
   private val dialect = KafkaWire.Dialect(p.dialect)
-  private val client = new KafkaLiteClient(p.host, p.port, dialect = dialect)
+  private val client = new KafkaLiteClient(p.host, p.port, dialect = dialect,
+    saslUser = p.saslUser, saslPass = p.saslPass)
   private var cur = p.startOffset
   private var maxBytes = DefaultFetchBytes
   private var queue: Iterator[KafkaWire.Record] = Iterator.empty

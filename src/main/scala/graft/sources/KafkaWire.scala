@@ -70,6 +70,8 @@ private[graft] object KafkaWire {
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
   val ApiApiVersions: Short = 18
+  val ApiSaslHandshake: Short = 17
+  val ApiSaslAuthenticate: Short = 36
 
   /** Modern-dialect API versions: the POST-KIP-896 floor — the oldest
     * versions a Kafka 4.x broker still serves — which are also accepted
@@ -854,5 +856,58 @@ private[graft] object KafkaWire {
     // throttle_time_ms trails the responses array from v1 on
     offs.flatten.headOption.getOrElse(
       throw new java.io.IOException("empty produce response"))
+  }
+
+  // ---- SASL/PLAIN (KIP-43 handshake, KIP-152 authenticate) ---------------
+  //
+  // Handshake v1 selects the mechanism; the PLAIN token then flows inside
+  // a Kafka-framed SaslAuthenticate request (v1+ brokers; the v0-handshake
+  // raw-token-after framing is deliberately out of scope — every broker
+  // that serves the modern dialect's API floor also serves handshake v1).
+  // PLAIN token per RFC 4616: [authzid] NUL authcid NUL passwd. TLS stays
+  // documented-out (README "Transport caveats"); PLAIN over plaintext is
+  // the stub-broker-testable half and the same layering a real deployment
+  // wraps in TLS.
+
+  /** v1 request: mechanism name. */
+  def encodeSaslHandshakeRequest(mechanism: String): Array[Byte] =
+    new Writer().string(mechanism).toBytes
+
+  /** v1 response: error_code, enabled mechanisms. Throws a NAMED error
+    * listing what the broker supports when the mechanism is rejected.
+    */
+  def decodeSaslHandshakeResponse(body: Array[Byte]): Seq[String] = {
+    val r = new Reader(body)
+    val err = r.int16()
+    val mechanisms = r.array(r.string())
+    if (err != 0)
+      throw new java.io.IOException(
+        s"sasl handshake rejected (error $err); broker mechanisms: " +
+          mechanisms.mkString(", "))
+    mechanisms
+  }
+
+  /** RFC 4616 PLAIN initial response: authzid NUL authcid NUL passwd. */
+  def saslPlainToken(user: String, pass: String, authzid: String = ""): Array[Byte] =
+    (authzid + "\u0000" + user + "\u0000" + pass)
+      .getBytes(StandardCharsets.UTF_8)
+
+  /** v0 request: auth_bytes. */
+  def encodeSaslAuthenticateRequest(token: Array[Byte]): Array[Byte] =
+    new Writer().bytes(token).toBytes
+
+  /** v0 response: error_code, error_message, auth_bytes. Throws a NAMED
+    * IOException carrying the broker's message (e.g. which user failed)
+    * on any non-zero error — the produce/fetch path never starts on an
+    * unauthenticated connection.
+    */
+  def decodeSaslAuthenticateResponse(body: Array[Byte]): Unit = {
+    val r = new Reader(body)
+    val err = r.int16()
+    val msg = r.string() // nullable
+    if (err != 0)
+      throw new java.io.IOException(
+        s"sasl authentication failed (error $err): " +
+          Option(msg).getOrElse("no broker message"))
   }
 }

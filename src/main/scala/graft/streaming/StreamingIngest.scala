@@ -60,18 +60,22 @@ object StreamingIngest {
     * pre-0.11), or `auto` (ApiVersions-negotiated per broker) — so the Kafka SEMANTICS are e2e-tested in this container
     * with no Kafka jars, and the same source deploys against a modern
     * cluster natively. [[kafkaSource]] (stock connector) remains wired for
-    * shops standardized on it (SASL/TLS, compacted-topic tooling).
+    * shops standardized on it (TLS, compacted-topic tooling).
     */
   def kafkaLiteSource(spark: SparkSession, brokers: String, topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
-      dialect: String = "modern"): DataFrame = {
+      dialect: String = "modern",
+      saslUser: Option[String] = None,
+      saslPass: Option[String] = None): DataFrame = {
     val base = spark.readStream.format("kafka-lite")
       .option("brokers", brokers)
       .option("topic", topic)
       .option("startingOffsets", startingOffsets)
       .option("dialect", dialect)
-    maxOffsetsPerTrigger.fold(base)(n => base.option("maxOffsetsPerTrigger", n))
+    val withSasl = saslUser.fold(base)(u => base.option("sasl.username", u)
+      .option("sasl.password", saslPass.getOrElse("")))
+    maxOffsetsPerTrigger.fold(withSasl)(n => withSasl.option("maxOffsetsPerTrigger", n))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
   }
@@ -88,7 +92,9 @@ object StreamingIngest {
   def kafkaLiteSink(lines: DataFrame, brokers: String, topic: String,
       checkpoint: String, produceBatch: Int = 500,
       dialect: String = "modern",
-      produceCodec: String = "none"): DataStreamWriter[org.apache.spark.sql.Row] = {
+      produceCodec: String = "none",
+      saslUser: Option[String] = None,
+      saslPass: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     val codecId = graft.sources.KafkaWire.codecId(produceCodec) // validate up front
     lines.selectExpr("CAST(value AS STRING) AS value")
       .where(col("value").isNotNull)
@@ -100,14 +106,15 @@ object StreamingIngest {
         batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            val boot = new graft.sources.KafkaLiteClient(host, port, dialect = wireDialect)
+            val boot = new graft.sources.KafkaLiteClient(host, port, dialect = wireDialect,
+              saslUser = saslUser, saslPass = saslPass)
             try {
               val metas = boot.partitionsOf(topic)
               val m = metas(pid % metas.size)
               val leader =
                 if (m.leaderHost == host && m.leaderPort == port) boot
                 else new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort,
-                  dialect = wireDialect)
+                  dialect = wireDialect, saslUser = saslUser, saslPass = saslPass)
               try rows.grouped(produceBatch).foreach { group =>
                 leader.produce(topic, m.partition,
                   group.map(r => (null: Array[Byte],

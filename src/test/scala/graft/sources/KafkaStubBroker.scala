@@ -39,10 +39,16 @@ import graft.sources.KafkaWire.{Reader, Writer}
   *   cluster: an ApiVersions request kills the connection (what real old
   *   brokers did with unknown api keys), forcing the client's
   *   reconnect-and-speak-v0 fallback.
+  * @param saslUsers when non-empty the broker REQUIRES SASL/PLAIN: only
+  *   SaslHandshake/SaslAuthenticate/ApiVersions flow pre-auth (any other
+  *   request kills the connection, like a real sasl-only listener); a
+  *   wrong credential gets error 58 (SASL_AUTHENTICATION_FAILED) with a
+  *   named message, then the connection closes.
   */
 class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     fetchCodec: Int = KafkaWire.CodecNone, modernApis: Boolean = true,
-    apiVersionsSupported: Boolean = true) {
+    apiVersionsSupported: Boolean = true,
+    saslUsers: Map[String, String] = Map.empty) {
 
   private val logs = TrieMap.empty[(String, Int), ArrayBuffer[(Array[Byte], Array[Byte])]]
   @volatile private var running = false
@@ -119,6 +125,8 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     socket.setTcpNoDelay(true)
     val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+    var authenticated = saslUsers.isEmpty
+    var closeAfterResponse = false
     try {
       while (running) {
         val size = in.readInt()
@@ -132,7 +140,36 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
         r.string() // client_id
         apiCounts.updateWith(apiKey) { c => Some(c.getOrElse(0) + 1) }
         versionCounts.updateWith((apiKey, apiVersion)) { c => Some(c.getOrElse(0) + 1) }
+        if (!authenticated &&
+            apiKey != KafkaWire.ApiSaslHandshake &&
+            apiKey != KafkaWire.ApiSaslAuthenticate &&
+            apiKey != KafkaWire.ApiApiVersions)
+          throw new IllegalArgumentException(
+            s"stub broker: api $apiKey before sasl authentication")
         val (body, respond) = (apiKey, apiVersion) match {
+          case (KafkaWire.ApiSaslHandshake, 1) =>
+            val mech = r.string()
+            val w = new Writer()
+            w.int16(if (mech == "PLAIN") 0 else 33) // 33 = UNSUPPORTED_SASL_MECHANISM
+            w.array(Seq("PLAIN"))(m => w.string(m))
+            (w.toBytes, true)
+          case (KafkaWire.ApiSaslAuthenticate, 0) =>
+            val token = new String(r.bytes(),
+              java.nio.charset.StandardCharsets.UTF_8).split("\u0000", -1)
+            // RFC 4616: [authzid, authcid, passwd]
+            val ok = token.length == 3 && saslUsers.get(token(1)).contains(token(2))
+            val w = new Writer()
+            if (ok) {
+              authenticated = true
+              w.int16(0).nullableString(null).bytes(Array.emptyByteArray)
+            } else {
+              closeAfterResponse = true // real brokers drop the connection
+              w.int16(58).nullableString( // 58 = SASL_AUTHENTICATION_FAILED
+                s"Authentication failed: invalid credentials for user " +
+                  s"'${token.lift(1).getOrElse("")}'")
+                .bytes(Array.emptyByteArray)
+            }
+            (w.toBytes, true)
           case (KafkaWire.ApiApiVersions, 0) =>
             // a pre-0.10 broker doesn't know api key 18: connection dies
             if (!apiVersionsSupported)
@@ -155,6 +192,7 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
           out.write(body)
           out.flush()
         }
+        if (closeAfterResponse) throw new EOFException("auth failed, closing")
       }
     } catch {
       case _: EOFException | _: SocketException => () // client went away
