@@ -30,7 +30,7 @@ object Bench {
     "s01_ann_bruteforce", "s03_ann_ivf", "t02_quality", "t05_winnowing",
     "t06_repetition", "t08_vocab", "t09_top_terms", "t10_c4_filters",
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
-    "q39_topk_per_key", "q42_resample", "q43_stratified_sample",
+    "q39_topk_per_key", "q42_resample", "q43_stratified_sample", "q58_bucketed_join",
     "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
     "d22_paragraph_dedup", "s06_ann_pq", "s07_ann_ivfpq", "t17_nb_classify",
     "t18_bpe_tokenize", "s08_hard_negatives", "s09_pca_project",

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed (sort-merge-bucket) co-located joins — the storage-layout
+  * answer to the repeated-big-join problem at 100 TB: pay the shuffle
+  * ONCE at write time by hash-bucketing both tables on the join key,
+  * then every subsequent join of the two reads co-located buckets and
+  * plans ZERO exchanges (Spark's scan reports the bucket hash
+  * distribution, EnsureRequirements sees both sides already clustered,
+  * and the sort-merge join runs bucket-against-bucket). A fact table
+  * joined nightly against the same dimension amortizes its exchange
+  * across every downstream query; this is the same layout contract as
+  * Hive SMB joins and Iceberg/Delta bucket transforms, expressed through
+  * Spark's native `bucketBy` metadata.
+  *
+  * Scale notes: bucket count is a LAYOUT property — pick it for target
+  * file sizes at production scale (buckets ≈ table bytes / desired file
+  * bytes, a multiple of cluster parallelism), and keep it IDENTICAL on
+  * both sides of a recurring join: mismatched counts cost the smaller
+  * side its shuffle back (Spark only coalesces when
+  * `spark.sql.bucketing.coalesceBucketsInJoin.enabled` is on). `sortBy`
+  * inside each bucket lets the merge join skip its sort when a bucket is
+  * a single file; with many files per bucket Spark re-sorts per task —
+  * a sort, never an exchange.
+  *
+  * `BucketedSpec` pins the contract: the co-located join compiles to
+  * zero `ShuffleExchangeLike` nodes (broadcast disabled) while the same
+  * join over plain parquet plans two, and results are identical; catalog
+  * q58 hash-matches the joined aggregate against the DuckDB oracle.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed + in-bucket-sorted managed table
+    * (overwriting any previous version) and return its catalog-backed
+    * DataFrame. Managed-table metadata is what carries the bucket spec —
+    * a plain parquet path has nowhere to record it.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && buckets > 0)
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous JVM's managed-table dir survives the in-memory catalog;
+    // CREATE refuses a pre-existing location, so sweep the orphan
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Equi-join two identically-bucketed tables on their bucket keys.
+    * Nothing magic happens here — the point is that NOTHING needs to:
+    * the bucket metadata on both scans satisfies the join's clustering
+    * requirement, so the planner inserts no exchange. Keys must be the
+    * tables' bucket columns, pairwise.
+    */
+  def colocatedJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _)
+    left.join(right, cond, joinType)
+  }
+}

@@ -120,6 +120,37 @@ object Relational {
              |GROUP BY c_mktsegment""".stripMargin),
       "3-way equi-join; big⋈big shuffles on orderkey, AQE handles build-side"),
 
+    // q58: bucketed (SMB) co-located join — both sides land bucketed+
+    // sorted on the join key (the write-once shuffle), then the join
+    // itself plans ZERO exchanges (BucketedSpec pins the physical-plan
+    // budget; this entry pins the RESULT against the plain-join oracle —
+    // co-location must change the plan, never the answer). Tables are
+    // session-managed (spark-warehouse) with q58-prefixed names,
+    // overwritten per run.
+    "q58_bucketed_join" -> Q(
+      (s, dir) => {
+        val bo = graft.operators.Bucketed.writeBucketed(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          "graft_q58_orders", buckets = 8, keys = Seq("o_custkey"))
+        val bc = graft.operators.Bucketed.writeBucketed(
+          t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          "graft_q58_customer", buckets = 8, keys = Seq("c_custkey"))
+        graft.operators.Bucketed.colocatedJoin(bo, bc,
+          Seq("o_custkey"), Seq("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(20,4)")
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT c_mktsegment,
+             | count(*) AS n_orders,
+             | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      "bucketed SMB co-located join: both sides pre-bucketed on the join " +
+        "key, join plans zero exchanges (write-once shuffle amortized " +
+        "across every downstream join)"),
+
     "q04_brand_stats" -> Q(
       (s, dir) => {
         val p = t(s, dir, "part")
