@@ -426,7 +426,11 @@ object Bench {
       // replica — linear in n), so the measured ratio isolates the
       // banding/shuffle scaling the 256-bit fingerprint is meant to fix.
       def phashPairs(dir: String): Unit = {
-        val media = graft.sources.Tables.load(spark, dir, "documents").selectExpr(
+        // repartition BOTH scales: the 1x table is a single parquet split
+        // (1-thread fingerprinting) while the amplified dir has ~10, and
+        // an asymmetric parallelism floor would flatter the ratio
+        val media = graft.sources.Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism).selectExpr(
           "doc_id AS media_id",
           "unhex(concat(md5(text), md5(concat(text, 'a')), " +
             "md5(concat(text, 'b')), md5(concat(text, 'c')))) AS payload",
@@ -450,7 +454,9 @@ object Bench {
       // list is genuinely longer, not duplicate-collapsed.
       def funnelSkew(factor: Int): Unit = {
         import org.apache.spark.sql.functions.col
+        // same symmetric-parallelism rule as phashPairs
         val ev = graft.sources.Tables.load(spark, sfDir, "events")
+          .repartition(spark.sparkContext.defaultParallelism)
         val amp = (0 until factor).map { r =>
           if (r == 0) ev
           else ev.selectExpr("user_id",

@@ -452,18 +452,29 @@ object StatefulOps {
     * join condition time-bounds the buffered state on BOTH sides (Spark
     * derives the state-eviction horizon from watermark + range), so state
     * is O(key-rate × window), never unbounded.
+    *
+    * `joinType = "left_outer"` is the NEGATIVE-attribution shape — "which
+    * clicks never converted": a left row with no in-window match is
+    * emitted with null right columns once the watermark proves no
+    * qualifying right event can still arrive (state eviction and
+    * unmatched-emission share the same horizon, so the outer result is
+    * exactly the batch outer join over the same data, just incremental).
+    * `"left_semi"` gives the matched-only projection without right
+    * columns; any Spark-supported time-bounded stream-stream join type
+    * passes through.
     */
   def correlate(
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
-      watermark: String, windowSeconds: Long): DataFrame = {
+      watermark: String, windowSeconds: Long,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "inner")
+      joinType)
       .drop(r(key)) // single unambiguous key column out
   }
 }

@@ -269,4 +269,37 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(matched == Seq(1L))
     } finally q.stop()
   }
+
+  test("correlate left_outer: unconverted clicks emit with null buys after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StatefulOps.correlate(
+      clicks.toDS().toDF("user_id", "click_ts"),
+      buys.toDS().toDF("user_id", "buy_ts"),
+      key = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      watermark = "1 minute", windowSeconds = 300,
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("correlate_outer_test").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      buys.addData((1L, ts("2024-01-01 00:03:00"))) // user 1 converts, user 2 never
+      q.processAllAvailable()
+      // push both watermarks past click+window+delay so the unmatched
+      // left row's fate is decided; the emission then happens in a
+      // subsequent trigger
+      clicks.addData((99L, ts("2024-01-01 01:00:00")))
+      buys.addData((99L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      clicks.addData((98L, ts("2024-01-01 02:00:00")))
+      buys.addData((98L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("correlate_outer_test")
+        .selectExpr("user_id", "buy_ts IS NULL AS unmatched")
+        .as[(Long, Boolean)].collect().toSet
+      assert(rows.contains((1L, false)), s"user 1 should attribute: $rows")
+      assert(rows.contains((2L, true)), s"user 2 should emit unmatched: $rows")
+    } finally q.stop()
+  }
 }
