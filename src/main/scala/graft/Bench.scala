@@ -42,7 +42,7 @@ object Bench {
     "p01_curation_pipeline", "p02_scrub_sample_pipeline",
     "p03_quality_curation_pipeline", "p04_target_matching_pipeline",
     "p05_perplexity_curation_pipeline", "p06_domain_balanced_curation",
-    "p07_tokenize_pack_pipeline",
+    "p07_tokenize_pack_pipeline", "p08_doremi_mixture",
     // last on purpose: its embedded exact-truth harness (all-pairs cosine
     // + double connected components) leaves enough heap/GC wake to tax
     // whatever runs next — measured +120% on p01/p02 when it ran before

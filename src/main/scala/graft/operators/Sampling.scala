@@ -125,6 +125,63 @@ object Sampling {
     }
   }
 
+  /** Excess-surprisal domain weights in basis points — the DoReMi
+    * intuition (Xie, Pham, Dong, Du, Liu, Lu, Liang, Re, Ma, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429) collapsed to its measurable core: domains a
+    * reference LM finds HARD (high mean surprisal = high excess loss)
+    * get more of the training budget. DoReMi proper learns weights with
+    * a proxy-model minimax round; this one-pass form uses per-domain
+    * excess surprisal over the easiest domain as the weight signal:
+    *
+    *   excess_d = mean_surp_e4(d) − min_e mean_surp_e4(e) + 1   (≥ 1)
+    *   expected copies/doc of d = T · excess_d / (Σ_e excess_e · n_d)
+    *
+    * Σ_d n_d · copies/doc = T — the budget is conserved exactly. The +1
+    * floor keeps the easiest domain sampled (DoReMi's uniform-smoothing
+    * role). Integer end-to-end: mean_surp is an integer division of the
+    * t15 e4-scaled surprisal sums, the weight product runs in BigInt
+    * (10^4·T·excess ≈ 10^19+ at corpus scale — Long would wrap), so any
+    * engine derives the SAME basis points.
+    *
+    * `stats`: domain → (n_docs, Σ surp_mean_e4) as produced by one
+    * count+sum aggregate over the t15 score table.
+    */
+  def excessWeightsBp(stats: Map[String, (Long, Long)],
+      targetTotal: Long): Map[String, Int] = {
+    require(targetTotal > 0 && stats.nonEmpty &&
+      stats.values.forall(_._1 > 0))
+    val mean = stats.map { case (d, (n, s)) => d -> s / n }
+    val minMean = mean.values.min
+    val excess = mean.map { case (d, m) => d -> BigInt(m - minMean + 1) }
+    val esum = excess.values.sum
+    stats.map { case (d, (n, _)) =>
+      val bp = (BigInt(10000) * BigInt(targetTotal) * excess(d)) /
+        (esum * BigInt(n))
+      require(bp.isValidInt, s"weight overflow for domain $d: $bp bp")
+      d -> bp.toInt
+    }
+  }
+
+  /** Excess-surprisal domain rebalancing ([[excessWeightsBp]] +
+    * [[mixtureSample]]'s deterministic hash-fraction fan-out): the input
+    * carries a per-doc integer surprisal column (t15's
+    * `surp_mean_e4`); weights derive from one count+sum aggregate and a
+    * Zipf-small driver pull (one row per domain), then the resample is
+    * map-only — the corpus shuffles never.
+    */
+  def excessSurprisalMixture(df: DataFrame, targetTotal: Option[Long] = None,
+      srcCol: String = "source", surpCol: String = "surp_mean_e4",
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val stats = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n"), sum(col(surpCol)).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s")))
+      .toMap
+    val target = targetTotal.getOrElse(stats.values.map(_._1).sum)
+    mixtureSample(df, excessWeightsBp(stats, target), srcCol, idCol, salt)
+  }
+
   /** Per-stratum percentile calibration: map each row's score to its
     * rank percentile WITHIN its stratum, in basis points — the
     * quality-normalization step in front of a global threshold

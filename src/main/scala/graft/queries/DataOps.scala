@@ -1309,6 +1309,84 @@ object DataOps {
         "from corpus counts in cross-engine-exact integer/IEEE-sqrt " +
         "arithmetic; head downsampled, tail upsampled, size preserved"),
 
+    // p08: DoReMi-shaped mixture — the t15 reference-LM surprisal drives
+    // the domain weights (hard domains get more of the budget, the
+    // easiest domain keeps the +1 smoothing floor), then the q53/q37
+    // hash-fraction fan-out resamples. Full-SQL oracle: the t15 CTEs
+    // reproduce the per-doc surprisal integer-exactly, the weight math
+    // runs in HUGEINT, and the fan-out is the q53 md5 pattern.
+    "p08_doremi_mixture" -> Q(
+      (s, dir) => {
+        val docsFull = tp(s, dir, "documents")
+        val sn = expr("cast(substr(source, 4, 10) as int)")
+        val surp = TextAnalysis.bigramSurprisal(docsFull,
+          minCount = math.max(1L, docsFull.count() / 10))
+        val scored = docsFull.select(col("doc_id"),
+            when(sn <= 11, "web").when(sn <= 15, "books")
+              .when(sn <= 18, "code").otherwise("wiki").as("domain"))
+          .join(surp.select(col("doc_id"), col("surp_mean_e4")), Seq("doc_id"))
+        graft.operators.Sampling.excessSurprisalMixture(
+          scored, srcCol = "domain")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |mc AS (SELECT greatest(1, count(*) // 10) AS m FROM documents),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             |c1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY term),
+             |g AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM c1),
+             |bg AS (
+             |  SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+             |                         FOR i IN generate_series(1, len(toks)-1)],
+             |                        recursive := true)
+             |  FROM tk WHERE len(toks) >= 2),
+             |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+             |model AS (SELECT c2.w1, c2.w2, (10000 * c1.c1) // c2.c2 AS r
+             |          FROM c2 JOIN c1 ON c2.w1 = c1.term, mc WHERE c2.c2 >= mc.m),
+             |uni AS (SELECT term AS w2, 10 * ((10000 * n_tok) // c1) AS rb
+             |        FROM c1, g, mc WHERE c1 >= m),
+             |sc AS (
+             |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+             |    CAST(sum(coalesce(model.r, uni.rb,
+             |      (SELECT 10 * ((10000 * n_tok) // m) FROM g, mc))) AS BIGINT) AS surp_sum_e4
+             |  FROM bg LEFT JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+             |          LEFT JOIN uni ON bg.w2 = uni.w2
+             |  GROUP BY bg.doc_id),
+             |sm AS (SELECT tk.doc_id,
+             |         CASE WHEN coalesce(sc.nb, 0) = 0 THEN 0
+             |              ELSE sc.surp_sum_e4 // sc.nb END AS surp_mean_e4
+             |       FROM tk LEFT JOIN sc USING (doc_id)),
+             |d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN CAST(substr(source, 4, 10) AS INT) <= 11 THEN 'web'
+             |         WHEN CAST(substr(source, 4, 10) AS INT) <= 15 THEN 'books'
+             |         WHEN CAST(substr(source, 4, 10) AS INT) <= 18 THEN 'code'
+             |         ELSE 'wiki' END AS domain
+             |  FROM documents),
+             |j AS (SELECT d.doc_id, d.domain, sm.surp_mean_e4
+             |      FROM d JOIN sm USING (doc_id)),
+             |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(surp_mean_e4) AS BIGINT) AS ssum
+             |      FROM j GROUP BY domain),
+             |me AS (SELECT domain, n, ssum // n AS mean_e4 FROM a),
+             |mn AS (SELECT min(mean_e4) AS mn FROM me),
+             |e AS (SELECT domain, n, mean_e4 - mn.mn + 1 AS ex FROM me, mn),
+             |tt AS (SELECT CAST(sum(ex) AS BIGINT) AS esum,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM j) AS tot FROM e),
+             |w AS (SELECT domain,
+             |        CAST((CAST(10000 AS HUGEINT) * tt.tot * ex)
+             |             // (CAST(tt.esum AS HUGEINT) * n) AS BIGINT) AS wbp
+             |      FROM e, tt),
+             |x AS (SELECT j.doc_id, j.domain, j.surp_mean_e4,
+             |        (w.wbp // 10000) +
+             |        CASE WHEN ${Md5LongSql.format("CAST(j.doc_id AS VARCHAR)")} % 10000
+             |                  < w.wbp % 10000 THEN 1 ELSE 0 END AS ncp
+             |      FROM j JOIN w USING (domain))
+             |SELECT doc_id, domain, surp_mean_e4,
+             |       CAST(unnest(generate_series(1, ncp)) AS INT) AS copy
+             |FROM x WHERE ncp > 0""".stripMargin),
+      "DoReMi-shaped mixture: reference-LM excess surprisal sets domain " +
+        "weights (hard domains upweighted, +1 smoothing floor, budget " +
+        "conserved exactly), deterministic hash-fraction resample"),
+
     // q56: per-domain score calibration — raw quality scores are not
     // comparable across domains; the percentile form is ("keep each
     // domain's top 30%"). Score here = n_chars (the machinery under

@@ -198,6 +198,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(big == Map("x" -> 10000, "y" -> 10000))
   }
 
+  test("excess-surprisal weights: hard domains up, floor keeps the easiest, budget conserved") {
+    // means: a = 5000/10 = 500 (easiest → excess 1), b = 14000/20 = 700
+    // (excess 201); esum 202, T = 30:
+    //   a: 10000·30·1/(202·10)  = 148 bp (0.0148 copies/doc)
+    //   b: 10000·30·201/(202·20) = 14925 bp (1.49 copies/doc)
+    val w = Sampling.excessWeightsBp(
+      Map("a" -> (10L, 5000L), "b" -> (20L, 14000L)), targetTotal = 30L)
+    assert(w == Map("a" -> 148, "b" -> 14925))
+    // budget conservation to rounding: Σ n_d · bp_d / 10⁴ ≈ T
+    val spent = w.map { case (d, bp) =>
+      Map("a" -> 10L, "b" -> 20L)(d) * bp / 10000.0 }.sum
+    assert(math.abs(spent - 30.0) < 0.2, s"budget drifted: $spent")
+    // equal-surprisal domains degrade to uniform (every excess = 1)
+    val eq = Sampling.excessWeightsBp(
+      Map("x" -> (100L, 700000L), "y" -> (300L, 2100000L)), targetTotal = 400L)
+    assert(eq == Map("x" -> 20000, "y" -> 6666))
+    // 100 TB regime: Long numerator would wrap; BigInt path stays exact
+    val big = Sampling.excessWeightsBp(
+      Map("x" -> (10000000000L, 5000000000000000L),
+          "y" -> (10000000000L, 5000000000000000L)),
+      targetTotal = 20000000000L)
+    assert(big == Map("x" -> 10000, "y" -> 10000))
+  }
+
+  test("excessSurprisalMixture: hard domain oversampled end-to-end") {
+    val docs = ((0L until 300L).map(i => (i, "easy", 500L)) ++
+      (300L until 400L).map(i => (i, "hard", 900L)))
+      .toDF("doc_id", "domain", "surp_mean_e4")
+    val out = Sampling.excessSurprisalMixture(docs, srcCol = "domain")
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    // easy: excess 1 of esum 402 → ~1 copy total; hard: 401/402 of the
+    // 400-doc budget → ~4 copies/doc
+    assert(out.getOrElse("hard", 0L) > 350L, s"hard undersampled: $out")
+    assert(out.getOrElse("easy", 0L) < 20L, s"easy oversampled: $out")
+  }
+
   test("percentileRank: endpoints, ties, singleton stratum") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 20L),
