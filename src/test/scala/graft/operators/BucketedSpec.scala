@@ -63,6 +63,21 @@ class BucketedSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly the mismatched side to shuffle, got $n")
   }
 
+  test("bucket pruning: an equality filter on the bucket key scans one bucket") {
+    val bf = Bucketed.writeBucketed(facts, "graft_spec_facts_p", 4, Seq("k"))
+    val plan = bf.where(col("k") === 17L).queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the planner proves only ONE of the 4 buckets can hold k=17
+    val pruned = scans.head.optionalBucketSet
+    assert(pruned.isDefined && pruned.get.cardinality() == 1,
+      s"expected 1 surviving bucket, got ${pruned.map(_.cardinality())}")
+    assert(bf.where(col("k") === 17L).count() ==
+      facts.where(col("k") === 17L).count())
+  }
+
   test("layout changes the plan, never the answer") {
     val bf = Bucketed.writeBucketed(facts, "graft_spec_facts_a", 4, Seq("k"))
     val bd = Bucketed.writeBucketed(dims, "graft_spec_dims_a", 4, Seq("k"))
