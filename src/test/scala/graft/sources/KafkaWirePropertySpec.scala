@@ -209,4 +209,51 @@ class KafkaWirePropertySpec extends AnyFunSuite {
       KafkaWire.decompress(KafkaWire.CodecGzip, bos.toByteArray, "test"))
     assert(e.getMessage.contains("bomb"))
   }
+
+  test("sasl plain token carries NUL-framed credentials for arbitrary strings") {
+    val strGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const('€'), Gen.const(' ')))
+        .map(_.mkString))
+    val creds = LazyList.from(0)
+      .map(i => Gen.zip(strGen, strGen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+      .flatten.take(50).toList
+    creds.foreach { case (u, p) =>
+      val tok = new String(KafkaWire.saslPlainToken(u, p),
+        java.nio.charset.StandardCharsets.UTF_8).split("\u0000", -1)
+      assert(tok.length == 3 && tok(0) == "" && tok(1) == u && tok(2) == p)
+    }
+  }
+
+  test("sasl handshake/authenticate decoders: ok, named rejection, named failure") {
+    // handshake ok → mechanism list out
+    val hs = new KafkaWire.Writer()
+    hs.int16(0)
+    hs.array(Seq("PLAIN", "SCRAM-SHA-256"))(m => hs.string(m))
+    assert(KafkaWire.decodeSaslHandshakeResponse(hs.toBytes) ==
+      Seq("PLAIN", "SCRAM-SHA-256"))
+    // handshake rejection names the broker's mechanisms
+    val bad = new KafkaWire.Writer()
+    bad.int16(33)
+    bad.array(Seq("GSSAPI"))(m => bad.string(m))
+    val e1 = intercept[java.io.IOException](
+      KafkaWire.decodeSaslHandshakeResponse(bad.toBytes))
+    assert(e1.getMessage.contains("GSSAPI"))
+    // authenticate ok → silent; failure carries the broker message
+    val ok = new KafkaWire.Writer()
+    ok.int16(0).nullableString(null).bytes(Array.emptyByteArray)
+    KafkaWire.decodeSaslAuthenticateResponse(ok.toBytes)
+    val fail = new KafkaWire.Writer()
+    fail.int16(58).nullableString("bad password for 'svc'")
+      .bytes(Array.emptyByteArray)
+    val e2 = intercept[java.io.IOException](
+      KafkaWire.decodeSaslAuthenticateResponse(fail.toBytes))
+    assert(e2.getMessage.contains("bad password for 'svc'"))
+    // a null error message must not NPE the failure path
+    val failNull = new KafkaWire.Writer()
+    failNull.int16(58).nullableString(null).bytes(Array.emptyByteArray)
+    val e3 = intercept[java.io.IOException](
+      KafkaWire.decodeSaslAuthenticateResponse(failNull.toBytes))
+    assert(e3.getMessage.contains("sasl authentication failed"))
+  }
 }
