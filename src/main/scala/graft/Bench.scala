@@ -363,7 +363,8 @@ object Bench {
         "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
         "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize",
         "s09_pca_project", "s11_embedding_outliers",
-        "q52_cdc_merge", "q54_window_funnel", "q56_quality_percentile")
+        "q52_cdc_merge", "q54_window_funnel", "q56_quality_percentile",
+        "p08_doremi_mixture")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must
