@@ -1515,6 +1515,45 @@ object DataOps {
         "aggregate (map-side combined, no window sort); tombstones win " +
         "the aggregate then drop, so deletes ride the same exchange"),
 
+    // t19: Misra-Gries heavy hitters (the ClickHouse `topK` family).
+    // SELF-CHECKING (sketch contents are merge-order-dependent, the
+    // q33/q48 class): the entry recomputes EXACT term counts in the same
+    // scan and re-proves the Mergeable-Summaries guarantees — no
+    // overcount, undercount ≤ n/(k+1), and every true heavy hitter
+    // (cnt > n/(k+1)) present in the summary.
+    "t19_heavy_hitters" -> Q(
+      (s, dir) => {
+        val k = 64
+        val docs = tp(s, dir, "documents")
+        val terms = docs.select(explode(
+            graft.functions.OptimizerFence(
+              split(Dedup.normalize(col("text")), " "))).as("term"))
+          .where(col("term") =!= "")
+        val sketch = graft.operators.HeavyHitters.topK(terms, "term", k)
+        val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val tot = terms.agg(count(lit(1)).as("n"))
+        val perItem = sketch
+          .join(exact, sketch("item") === exact("term")).crossJoin(tot)
+          .agg(count(lit(1)).as("n_sketch_items"),
+            min(col("est") <= col("cnt")).as("no_overcount"),
+            min(col("cnt") - col("est") <= expr(s"n div ${k + 1}"))
+              .as("under_in_bound"))
+        val missingHeavy = exact.crossJoin(tot)
+          .where(col("cnt") > expr(s"n div ${k + 1}"))
+          .join(sketch, exact("term") === sketch("item"), "left_anti")
+          .agg(count(lit(1)).as("n_missing_heavy"))
+        perItem.crossJoin(missingHeavy).crossJoin(tot)
+          .select(col("n"), col("n_sketch_items"), col("n_missing_heavy"),
+            (col("no_overcount") && col("under_in_bound") &&
+              col("n_missing_heavy") === 0 &&
+              col("n_sketch_items") > 0 &&
+              col("n_sketch_items") <= k).as("pass"))
+      },
+      None,
+      "Misra-Gries mergeable heavy hitters (ClickHouse topK family): " +
+        "bounded k-entry state, map-side combine; self-checked against " +
+        "exact counts from the same scan"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Misra-Gries invariants under real distributed aggregation: the
+  * Mergeable-Summaries bounds must hold for EVERY partitioning (each one
+  * exercises a different merge tree), the ≤-k-distinct regime must be
+  * exact, and a dominant item must always survive.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def invariants(items: Seq[String], k: Int, parts: Int): Unit = {
+    val df = items.toDF("v").repartition(parts)
+    val sketch = HeavyHitters.topK(df, "v", k)
+      .as[(String, Long)].collect().toMap
+    val exact = items.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val n = items.size.toLong
+    val bound = n / (k + 1)
+    assert(sketch.size <= k && sketch.nonEmpty)
+    sketch.foreach { case (item, est) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est <= t, s"overcount: $item est=$est true=$t (parts=$parts)")
+      assert(t - est <= bound, s"bound: $item est=$est true=$t n=$n (parts=$parts)")
+    }
+    exact.foreach { case (item, t) =>
+      if (t > bound)
+        assert(sketch.contains(item), s"heavy $item (true=$t > $bound) missing (parts=$parts)")
+    }
+  }
+
+  test("≤ k distinct items: the summary is exact for any partitioning") {
+    val items = (0 until 10).flatMap(i => Seq.fill(i + 1)(s"v$i"))
+    for (parts <- Seq(1, 3, 8)) {
+      val sketch = HeavyHitters.topK(items.toDF("v").repartition(parts), "v", 16)
+        .as[(String, Long)].collect().toMap
+      assert(sketch == (0 until 10).map(i => s"v$i" -> (i + 1).toLong).toMap,
+        s"parts=$parts")
+    }
+  }
+
+  test("mergeable-summaries bounds hold across merge trees (zipf-ish stream)") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: item i with weight ~ 1/(i+1)
+    val items = (0 until 5000).map { _ =>
+      val r = rnd.nextDouble()
+      s"z${(math.pow(200.0, r) - 1).toInt}" // log-uniform over ~[0,200)
+    }
+    for (parts <- Seq(1, 7, 32)) invariants(items, k = 16, parts = parts)
+  }
+
+  test("a dominant item always survives with a tight estimate") {
+    val rnd = new scala.util.Random(11)
+    val items = rnd.shuffle(
+      Seq.fill(500)("hot") ++ (0 until 400).map(i => s"cold$i"))
+    val n = items.size
+    for (parts <- Seq(1, 8)) {
+      val sketch = HeavyHitters.topK(items.toDF("v").repartition(parts), "v", 16)
+        .as[(String, Long)].collect().toMap
+      assert(sketch.contains("hot"))
+      assert(sketch("hot") >= 500L - n / 17, s"est too loose: ${sketch("hot")}")
+    }
+  }
+
+  test("null items are ignored, not counted") {
+    val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("v")
+    val sketch = HeavyHitters.topK(df, "v", 4).as[(String, Long)].collect().toMap
+    assert(sketch == Map("a" -> 2L, "b" -> 1L))
+  }
+}
