@@ -68,8 +68,7 @@ object HeavyHitters {
   }
 
   /** Frequent-items summary of `itemCol` → `(item, est)` rows, one
-    * summary over the whole frame (group it upstream for per-key
-    * variants). At most k rows out.
+    * summary over the whole frame. At most k rows out.
     */
   def topK(df: DataFrame, itemCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -78,5 +77,38 @@ object HeavyHitters {
     ds.select(new MisraGries(k).toColumn.name("summary"))
       .select(explode(col("summary")))
       .toDF("item", "est")
+  }
+
+  /** [[MisraGries]] lifted over the value half of a (key, value) pair —
+    * the grouped form's input adapter.
+    */
+  final class MisraGriesValue(k: Int)
+      extends Aggregator[(String, String), Map[String, Long], Map[String, Long]] {
+    private val inner = new MisraGries(k)
+    override def zero: Map[String, Long] = inner.zero
+    override def reduce(b: Map[String, Long], x: (String, String)): Map[String, Long] =
+      inner.reduce(b, x._2)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      inner.merge(a, b)
+    override def finish(b: Map[String, Long]): Map[String, Long] = inner.finish(b)
+    override def bufferEncoder: Encoder[Map[String, Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Map[String, Long]] = inner.outputEncoder
+  }
+
+  /** Per-key frequent items — the `topK(10)(user_agent) GROUP BY day`
+    * shape ClickHouse analysts run. Output `(key, item, est)`, ≤ k rows
+    * per key; state stays ≤ k entries per (partition, key) through the
+    * partial aggregate, so the exchange is keys × k, never the data.
+    */
+  def topKPerKey(df: DataFrame, keyCol: String, itemCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("string"), col(itemCol).cast("string"))
+      .na.drop().as[(String, String)]
+    ds.groupByKey(_._1)
+      .agg(new MisraGriesValue(k).toColumn.name("summary"))
+      .toDF("key", "summary")
+      .select(col("key"), explode(col("summary")))
+      .toDF("key", "item", "est")
   }
 }

@@ -66,6 +66,35 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("per-key summaries: invariants hold independently per key") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 3000).map { _ =>
+      val key = s"k${rnd.nextInt(3)}"
+      val item = s"i${(math.pow(80.0, rnd.nextDouble()) - 1).toInt}"
+      (key, item)
+    }
+    val sketch = HeavyHitters.topKPerKey(
+        rows.toDF("key", "v").repartition(8), "key", "v", k = 12)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (key, xs) =>
+        key -> xs.map(t => t._2 -> t._3).toMap }
+    val exact = rows.groupBy(_._1).map { case (key, xs) =>
+      key -> xs.groupBy(_._2).map { case (v, ys) => v -> ys.size.toLong } }
+    exact.foreach { case (key, ex) =>
+      val sk = sketch.getOrElse(key, Map.empty)
+      val n = ex.values.sum
+      val bound = n / 13
+      assert(sk.nonEmpty && sk.size <= 12, s"key $key size ${sk.size}")
+      sk.foreach { case (item, est) =>
+        val t = ex.getOrElse(item, 0L)
+        assert(est <= t && t - est <= bound, s"key $key item $item est=$est true=$t")
+      }
+      ex.foreach { case (item, t) =>
+        if (t > bound) assert(sk.contains(item), s"key $key heavy $item missing")
+      }
+    }
+  }
+
   test("null items are ignored, not counted") {
     val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
       .toDF("v")
