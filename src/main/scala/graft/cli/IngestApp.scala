@@ -30,7 +30,9 @@ import graft.streaming.StreamingIngest
   * stock connector;
   * `--brokers`, `--topic`), `kafka-lite` (S5 native wire, magic-2 to
   * 4.x brokers or magic-0 legacy — no Kafka jars needed; `--brokers`,
-  * `--topic`, `--starting-offsets`, `--max-offsets`, `--dialect`), `filebuf` (S6 native gRPC stream server; `--port`).
+  * `--topic`, `--starting-offsets`, `--max-offsets`, `--dialect`,
+  * `--sasl-user`/`--sasl-password` for SASL/PLAIN), `filebuf` (S6 native
+  * gRPC stream server; `--port`).
   * Sinks: `parquet` (K4 parity: insert_date + month partitioning), `jdbc`
   * (K1 parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
   * relay to a remote FileBuf server; `--sink-port`), `kafka-lite` (K2
@@ -129,7 +131,9 @@ object IngestApp {
             need("brokers"), need("topic"),
             startingOffsets = opts.getOrElse("starting-offsets", "earliest"),
             maxOffsetsPerTrigger = opts.get("max-offsets").map(_.toLong),
-            dialect = opts.getOrElse("dialect", "modern"))
+            dialect = opts.getOrElse("dialect", "modern"),
+            saslUser = opts.get("sasl-user"),
+            saslPass = opts.get("sasl-password"))
           case "filebuf" => StreamingIngest.filebufSource(spark, need("port").toInt,
             bind = opts.getOrElse("bind", "0.0.0.0"))
           case other   => sys.error(s"unknown source: $other")
@@ -167,7 +171,9 @@ object IngestApp {
             StreamingIngest.kafkaLiteSink(lines, need("brokers"),
               need("sink-topic"), checkpoint, produceBatch = batchSize,
               dialect = opts.getOrElse("dialect", "modern"),
-              produceCodec = opts.getOrElse("compress", "none"))
+              produceCodec = opts.getOrElse("compress", "none"),
+              saslUser = opts.get("sasl-user"),
+              saslPass = opts.get("sasl-password"))
               .trigger(Trigger.ProcessingTime(triggerMs))
           case other => sys.error(s"unknown sink: $other")
         }
