@@ -279,28 +279,40 @@ object Multimodal {
     * values), whose buckets grow ∝ corpus and candidates ∝ n²/2⁹ (the
     * r8-filed defect this retires).
     */
-  private[operators] def aHash256(payload: Array[Byte], srcW: Int, srcH: Int): Array[Long] = {
+  private[operators] def aHash256(payload: Array[Byte], srcW: Int, srcH: Int): Array[Long] =
+    aHashGrid(payload, srcW, srcH, 16)
+
+  /** G×G aHash generalization: g² bits packed little-endian into g²/64
+    * longs (g a multiple of 8). The grid size is the TOLERANCE dial for
+    * [[phashNearDups]]: band keys keep ≥ 16 bits as long as
+    * g²/(maxDist+1) ≥ 16, so a larger Hamming budget gets a finer grid
+    * rather than narrower (saturating) bands.
+    */
+  private[operators] def aHashGrid(payload: Array[Byte], srcW: Int, srcH: Int,
+      g: Int): Array[Long] = {
+    require(g >= 8 && g % 8 == 0, s"grid $g: must be a positive multiple of 8")
+    val bits = g * g
     val grid: Array[Long] = tryDecode(payload) match {
       case Some(img) =>
         val lum = lumaPixels(img); val w = img.getWidth; val h = img.getHeight
-        Array.tabulate(256) { i =>
-          val y = i / 16; val x = i % 16
-          lum((y * h / 16) * w + (x * w / 16)).toLong
+        Array.tabulate(bits) { i =>
+          val y = i / g; val x = i % g
+          lum((y * h / g) * w + (x * w / g)).toLong
         }
       case None =>
-        if (payload == null || payload.isEmpty) return new Array[Long](4)
-        Array.tabulate(256) { i =>
-          val y = i / 16; val x = i % 16
-          val idx = math.min(payload.length - 1, (y * srcH / 16) * srcW + (x * srcW / 16))
+        if (payload == null || payload.isEmpty) return new Array[Long](bits / 64)
+        Array.tabulate(bits) { i =>
+          val y = i / g; val x = i % g
+          val idx = math.min(payload.length - 1, (y * srcH / g) * srcW + (x * srcW / g))
           (payload(idx) & 0xff).toLong
         }
     }
     var sum = 0L; var i = 0
-    while (i < 256) { sum += grid(i); i += 1 }
-    val out = new Array[Long](4)
+    while (i < bits) { sum += grid(i); i += 1 }
+    val out = new Array[Long](bits / 64)
     i = 0
-    while (i < 256) {
-      if (grid(i) * 256L > sum) out(i / 64) |= 1L << (i % 64)
+    while (i < bits) {
+      if (grid(i) * bits.toLong > sum) out(i / 64) |= 1L << (i % 64)
       i += 1
     }
     out
@@ -309,7 +321,11 @@ object Multimodal {
   /** 256-bit fingerprints `(media_id, phash: array<long>[4])` — same
     * mapPartitions batch shape as [[perceptualHash]].
     */
-  def perceptualHash256(media: DataFrame): DataFrame = {
+  def perceptualHash256(media: DataFrame): DataFrame =
+    perceptualHashGrid(media, 16)
+
+  /** G×G fingerprints `(media_id, phash: array<long>[g²/64])`. */
+  def perceptualHashGrid(media: DataFrame, g: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("phash", ArrayType(LongType, containsNull = false), nullable = false)))
@@ -322,9 +338,9 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
         val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
-        val srcW = if (meta == null || meta.isNullAt(1)) 16 else meta.getInt(1)
-        val srcH = if (meta == null || meta.isNullAt(2)) 16 else meta.getInt(2)
-        Row(id, aHash256(payload, srcW, srcH).toSeq)
+        val srcW = if (meta == null || meta.isNullAt(1)) g else meta.getInt(1)
+        val srcH = if (meta == null || meta.isNullAt(2)) g else meta.getInt(2)
+        Row(id, aHashGrid(payload, srcW, srcH, g).toSeq)
       }
     }(enc)
   }
@@ -378,24 +394,34 @@ object Multimodal {
     * scale_probe measures the pair-generation path at 10× corpus on a
     * high-entropy payload set (the catalog corpus's low-entropy ASCII
     * grids make the TRUE answer ∝ n² there — output size, not plan
-    * shape). FILED LIMITATION: recall-1.0 equality banding forces
-    * nBands = maxDist+1, so band width shrinks as 256/(maxDist+1) —
-    * keys stay collision-governed (≥ 2¹⁶ values) through maxDist ≈ 15
-    * and re-enter the saturated regime near maxDist ≳ 30 (≤ 2⁸
-    * values). A larger tolerance needs a finer grid (G×G aHash sized
-    * so G²/(maxDist+1) ≥ 32), not narrower bands; the require below
-    * draws that line rather than silently degrading.
+    * shape). Recall-1.0 equality banding forces nBands ≥ maxDist+1, so
+    * band width shrinks as g²/(maxDist+1): the TOLERANCE DIAL is the
+    * `grid` parameter, not narrower bands — 16×16 carries maxDist ≤ 15
+    * at ≥ 16-bit keys, 32×32 carries ≤ 63, 64×64 ≤ 255 — and the
+    * require below rejects saturating combinations (the r8 defect
+    * class) instead of silently degrading.
     */
-  def phashNearDups(media: DataFrame, maxDist: Int = 6): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 15,
-      s"maxDist $maxDist: beyond 15 the 256/(maxDist+1)-bit band keys " +
-        "saturate (the r8 defect class); use a finer fingerprint grid for " +
-        "larger tolerances")
-    // ≥ 4 bands so every band fits a 64-bit key; extra bands never break
-    // the pigeonhole guarantee (nBands > maxDist suffices)
-    val nBands = math.max(maxDist + 1, 4)
-    val width = 256 / nBands
-    // band bits [lo, hi) extracted from the 4-long little-endian packing;
+  def phashNearDups(media: DataFrame, maxDist: Int = 6,
+      grid: Int = 16): DataFrame = {
+    val bits = grid * grid
+    require(maxDist >= 0 && maxDist < bits)
+    // key-width floor: below 16-bit band keys the value space saturates
+    // (the r8 defect class) — a larger Hamming budget needs a FINER grid
+    // (32×32 carries maxDist ≤ 63, 64×64 ≤ 255), not narrower bands
+    require(bits / (maxDist + 1) >= 16,
+      s"maxDist $maxDist saturates the $bits-bit fingerprint's band keys " +
+        s"(${bits / (maxDist + 1)} bits); use a finer grid " +
+        s"(grid*grid >= ${16 * (maxDist + 1)})")
+    // ≥ bits/64 bands so every band fits a 64-bit key; extra bands never
+    // break the pigeonhole guarantee (nBands > maxDist suffices)
+    val nBands = math.max(maxDist + 1, bits / 64)
+    // balanced band boundaries: the first (bits mod nBands) bands carry
+    // one extra bit, so every band stays ≤ 64 wide
+    val bounds = {
+      val base = bits / nBands; val rem = bits % nBands
+      (0 to nBands).map(b => b * base + math.min(b, rem))
+    }
+    // band bits [lo, hi) extracted from the little-endian long packing;
     // straddles a long boundary at most once (width ≤ 64)
     def bandKey(fp: Column, lo: Int, hi: Int): Column = {
       val j0 = lo / 64; val j1 = (hi - 1) / 64; val s = lo % 64; val w = hi - lo
@@ -407,7 +433,7 @@ object Multimodal {
           .bitwiseOR(shiftleft(element_at(fp, j1 + 1), 64 - s))
           .bitwiseAND(mask)
     }
-    val ph = perceptualHash256(media)
+    val ph = perceptualHashGrid(media, grid)
     // COMPOUND band key (multi-index-hashing style): a band's bucket is
     // (band bits, complement-popcount bucket). If a pair within maxDist
     // agrees exactly on band b, its OTHER bands carry all ≤ maxDist
@@ -425,8 +451,7 @@ object Multimodal {
     val w = maxDist + 1
     val banded = ph.select(col("media_id"), col("phash"), totpc.as("tot"),
       posexplode(array((0 until nBands).map { b =>
-        val hi = if (b == nBands - 1) 256 else (b + 1) * width
-        bandKey(col("phash"), b * width, hi)
+        bandKey(col("phash"), bounds(b), bounds(b + 1))
       }: _*)))
       .toDF("id", "fp", "tot", "band", "bits")
       .withColumn("cpc", col("tot") - bit_count(col("bits")).cast("long"))

@@ -322,7 +322,41 @@ class MultimodalSpec extends AnyFunSuite {
   test("phashNearDups rejects tolerances whose band keys would saturate") {
     val media = Multimodal.asMediaTable(docs)
     intercept[IllegalArgumentException] {
-      Multimodal.phashNearDups(media, maxDist = 16)
+      Multimodal.phashNearDups(media, maxDist = 16) // 256/17 < 16-bit keys
     }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(media, maxDist = 64, grid = 32) // 1024/65 < 16
+    }
+  }
+
+  test("32×32 grid carries large tolerances: banding ≡ brute force at maxDist 20") {
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 30).map { i =>
+      val p = new Array[Byte](1024); rnd.nextBytes(p); (i.toLong, p)
+    }
+    // ±1 on three bytes — well inside 20 of 1024 bits
+    val dups = bases.take(6).map { case (id, p) =>
+      val q = p.clone()
+      (0 until 3).foreach { _ =>
+        val at = rnd.nextInt(1024); q(at) = (((q(at) & 0xff) ^ 1) & 0xff).toByte
+      }
+      (id + 1000L, q)
+    }
+    val media = (bases ++ dups).map { case (id, p) =>
+      (id, p, ("bin", 32, 32, p.length.toLong))
+    }.toDF("media_id", "payload", "meta")
+    val fps = Multimodal.perceptualHashGrid(media, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(fps.values.head.length == 16) // 1024 bits = 16 longs
+    def dist(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      d = dist(fa, fb) if d <= 20
+    } yield (a, b, d)).toSet
+    val got = Multimodal.phashNearDups(media, maxDist = 20, grid = 32)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
   }
 }
