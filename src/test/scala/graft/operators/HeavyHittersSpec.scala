@@ -95,6 +95,49 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: the summary aggregates incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val batches = (0 until 3).map { _ =>
+      (0 until 800).map { _ =>
+        (s"k${rnd.nextInt(2)}", s"i${(math.pow(60.0, rnd.nextDouble()) - 1).toInt}")
+      }
+    }
+    val stream = MemoryStream[(String, String)]
+    val agg = stream.toDS()
+      .groupByKey(_._1)
+      .agg(new HeavyHitters.MisraGriesValue(12).toColumn.name("summary"))
+    val q = agg.writeStream.format("memory")
+      .queryName("hh_stream_test").outputMode("update").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // last update per key carries the whole history's summary — the
+    // mergeable-summaries bounds must hold over ALL batches
+    val all = batches.flatten
+    val exact = all.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.groupBy(_._2).map { case (v, ys) => v -> ys.size.toLong } }
+    import spark.implicits._
+    val sketch = spark.table("hh_stream_test")
+      .toDF("key", "summary")
+      .groupBy("key").agg(last("summary").as("summary"))
+      .select(col("key"), explode(col("summary")))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(t => t._2 -> t._3).toMap }
+    exact.foreach { case (key, ex) =>
+      val sk = sketch.getOrElse(key, Map.empty)
+      val n = ex.values.sum
+      sk.foreach { case (item, est) =>
+        val t = ex.getOrElse(item, 0L)
+        assert(est <= t && t - est <= n / 13, s"key $key item $item est=$est true=$t")
+      }
+      ex.foreach { case (item, t) =>
+        if (t > n / 13) assert(sk.contains(item), s"key $key heavy $item missing")
+      }
+    }
+  }
+
   test("null items are ignored, not counted") {
     val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
       .toDF("v")
