@@ -245,28 +245,8 @@ object Multimodal {
     * pattern: real decode proven on PNG fixtures in `MultimodalSpec`,
     * byte path oracle-checked in DuckDB. Empty payloads hash to 0.
     */
-  private[operators] def aHash(payload: Array[Byte], srcW: Int, srcH: Int): Long = {
-    val grid: Array[Long] = tryDecode(payload) match {
-      case Some(img) =>
-        val lum = lumaPixels(img); val w = img.getWidth; val h = img.getHeight
-        Array.tabulate(64) { i =>
-          val y = i / 8; val x = i % 8
-          lum((y * h / 8) * w + (x * w / 8)).toLong
-        }
-      case None =>
-        if (payload == null || payload.isEmpty) return 0L
-        Array.tabulate(64) { i =>
-          val y = i / 8; val x = i % 8
-          val idx = math.min(payload.length - 1, (y * srcH / 8) * srcW + (x * srcW / 8))
-          (payload(idx) & 0xff).toLong
-        }
-    }
-    var sum = 0L; var i = 0
-    while (i < 64) { sum += grid(i); i += 1 }
-    var h = 0L; i = 0
-    while (i < 64) { if (grid(i) * 64L > sum) h |= 1L << i; i += 1 }
-    h
-  }
+  private[operators] def aHash(payload: Array[Byte], srcW: Int, srcH: Int): Long =
+    aHashGrid(payload, srcW, srcH, 8)(0) // one algorithm, one implementation
 
   /** 256-bit aHash (16×16 grid) — the pair-generation fingerprint for
     * [[phashNearDups]]. Same decode/fallback split and integer-exact

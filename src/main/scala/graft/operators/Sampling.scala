@@ -176,7 +176,17 @@ object Sampling {
     val stats = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n"), sum(col(surpCol)).as("s"))
       .collect()
-      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s")))
+      .map { r =>
+        // loud, not silent: a null domain would consume budget that
+        // mixtureSample's equality fan-out can never spend (rows dropped
+        // AND every other weight deflated), and an all-null surprisal sum
+        // would unbox to 0 and masquerade as the easiest domain
+        require(!r.isNullAt(0), s"excessSurprisalMixture: null $srcCol key")
+        require(!r.isNullAt(2),
+          s"excessSurprisalMixture: domain '${r.getString(0)}' has no " +
+            s"non-null $surpCol values")
+        r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"))
+      }
       .toMap
     val target = targetTotal.getOrElse(stats.values.map(_._1).sum)
     mixtureSample(df, excessWeightsBp(stats, target), srcCol, idCol, salt)

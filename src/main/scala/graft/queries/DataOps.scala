@@ -1544,9 +1544,12 @@ object DataOps {
           .agg(count(lit(1)).as("n_missing_heavy"))
         perItem.crossJoin(missingHeavy).crossJoin(tot)
           .select(col("n"), col("n_sketch_items"), col("n_missing_heavy"),
-            (col("no_overcount") && col("under_in_bound") &&
+            // empty-token corpus: nothing to summarize is a PASS (null
+            // mins coalesce true, the sketch must simply be empty)
+            (coalesce(col("no_overcount"), lit(true)) &&
+              coalesce(col("under_in_bound"), lit(true)) &&
               col("n_missing_heavy") === 0 &&
-              col("n_sketch_items") > 0 &&
+              (col("n_sketch_items") > 0 || col("n") === 0) &&
               col("n_sketch_items") <= k).as("pass"))
       },
       None,

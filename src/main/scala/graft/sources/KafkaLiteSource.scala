@@ -235,7 +235,14 @@ private[sources] class KafkaLiteMicroBatchStream(
 private[sources] case class KafkaLitePartition(
     topic: String, partition: Int, host: String, port: Int,
     startOffset: Long, endOffset: Long, dialect: String = "modern",
-    saslUser: Option[String] = None, saslPass: Option[String] = None) extends InputPartition
+    saslUser: Option[String] = None, saslPass: Option[String] = None) extends InputPartition {
+  // the generated case-class toString would print the credential into any
+  // task-failure message or debug log that stringifies the partition —
+  // redact it the way the stock connector redacts jaas configs
+  override def toString: String =
+    s"KafkaLitePartition($topic,$partition,$host,$port,$startOffset," +
+      s"$endOffset,$dialect,$saslUser,${saslPass.map(_ => "***")})"
+}
 
 private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

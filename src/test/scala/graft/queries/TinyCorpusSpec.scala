@@ -54,9 +54,33 @@ class TinyCorpusSpec extends AnyFunSuite {
   // byte grids)
   for (name <- Seq("q53_temperature_mixture", "q56_quality_percentile",
     "m04_phash_dedup", "s08_hard_negatives", "s09_pca_project",
-    "s10_ann_pca_rerank", "s11_embedding_outliers"))
+    "s10_ann_pca_rerank", "s11_embedding_outliers",
+    // r9 entries: p08 derives minCount = max(1, count/10) (the class this
+    // spec exists for) and a single derived domain (uniform degeneracy);
+    // t19's self-check must PASS, not just run, on a degenerate corpus
+    "p08_doremi_mixture", "q58_bucketed_join"))
     test(s"$name runs a 6-row corpus end-to-end") {
       val out = graft.SparkEntry.queries(name)(spark, tinyEmbDir)
       assert(out.count() >= 0)
     }
+
+  test("t19_heavy_hitters self-check passes on a 6-doc corpus") {
+    val out = graft.SparkEntry.queries("t19_heavy_hitters")(spark, tinyEmbDir)
+      .select("pass").collect()
+    assert(out.length == 1 && out.head.getBoolean(0))
+  }
+
+  test("t19_heavy_hitters self-check passes vacuously when no doc tokenizes") {
+    // whitespace-only texts: zero terms — nothing to summarize is a PASS
+    // (empty sketch), not a null-flag failure
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny_blank").toString
+    spark.range(4).select(
+        col("id").as("doc_id"), lit("   ").as("text"),
+        lit("en").as("lang"), lit("web").as("source"),
+        lit(3).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t19_heavy_hitters")(spark, dir)
+      .select("pass").collect()
+    assert(out.length == 1 && out.head.getBoolean(0))
+  }
 }
