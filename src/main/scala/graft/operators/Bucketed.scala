@@ -40,19 +40,46 @@ object Bucketed {
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty && buckets > 0)
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // per-JVM table name: two drivers sharing spark-warehouse/ must not
+    // race on a fixed name; the suffix carries the pid so the stale
+    // sweep below can tell a dead JVM's orphan from a live peer's table
+    val name = s"${table}_p${ProcessHandle.current().pid()}"
+    sweepDeadJvmTables(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
     // a previous JVM's managed-table dir survives the in-memory catalog;
     // CREATE refuses a pre-existing location, so sweep the orphan
     val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(name)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
-      .saveAsTable(table)
-    spark.table(table)
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
+  /** Delete warehouse dirs `<base>_p<pid>` whose owning JVM is dead —
+    * the pid suffix makes stale-vs-live decidable, so repeated runs
+    * don't accumulate orphaned bucketed tables.
+    */
+  private def sweepDeadJvmTables(spark: org.apache.spark.sql.SparkSession,
+      base: String): Unit = {
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(base))).getParent
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(warehouse)) return
+    val pat = (java.util.regex.Pattern.quote(base) + "_p(\\d+)").r
+    fs.listStatus(warehouse).foreach { st =>
+      st.getPath.getName match {
+        case pat(pid) if ProcessHandle.of(pid.toLong)
+            .filter(_.isAlive).isEmpty =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
   }
 
   /** Equi-join two identically-bucketed tables on their bucket keys.

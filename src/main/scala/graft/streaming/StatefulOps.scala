@@ -337,8 +337,10 @@ object StatefulOps {
     * recorded chain start `s ≤ last` has `watermark − s > windowMicros`,
     * so no in-order future event can extend a recorded chain — the
     * frozen state is equivalent to fresh state for all future folding,
-    * and eviction is EXACT, not lossy (the final level is emitted once
-    * more as the timer fires). A user who reappears later starts a new
+    * and eviction is exact to the watermark's millisecond granularity
+    * (the timer target rounds the micros horizon UP to the next ms, so
+    * it never fires early; the final level is emitted once more as the
+    * timer fires). A user who reappears later starts a new
     * funnel journey from level 0 — the live-board reading; the
     * monotone-level view of a user's lifetime is the batch operator's
     * job.
@@ -397,7 +399,11 @@ object StatefulOps {
               // fire once the watermark proves no recorded chain can grow;
               // clamp above the current watermark (a very-late-only user
               // would otherwise set an already-expired timer, which throws)
-              val target = lastT / 1000L + windowMicros / 1000L + 1L
+              // sum in micros BEFORE the ms floor: flooring each term
+              // separately can land the timer ~1ms before the true
+              // lastT+windowMicros horizon (a non-late event in that
+              // sliver would find its state already evicted)
+              val target = (lastT + windowMicros) / 1000L + 1L
               state.setTimeoutTimestamp(
                 math.max(target, state.getCurrentWatermarkMs() + 1L))
             }

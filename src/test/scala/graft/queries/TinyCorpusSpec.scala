@@ -43,6 +43,17 @@ class TinyCorpusSpec extends AnyFunSuite {
         i => ((col("id") * 13 + i * 7) % 11).cast("float") / 10f).as("embedding"),
       (col("id") % 2).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // q58 reads TPC-H orders/customer: 3-row fixtures exercise the
+    // degenerate-bucket path (8 buckets, 3 rows → most buckets empty)
+    spark.range(3).select(
+      col("id").as("o_orderkey"),
+      (col("id") % 2).as("o_custkey"),
+      (col("id") * 100 + 50).cast("double").as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.range(2).select(
+      col("id").as("c_custkey"),
+      concat(lit("SEG"), (col("id") % 2).cast("string")).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     dir
   }
 
