@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Canonical physical-plan fingerprints — the mechanical half of bench
+  * drift adjudication (r9 verdict item 3). Three consecutive rounds paid
+  * a judge-flag → builder-remeasure cycle to prove that per-query drifts
+  * with untouched code were run-order/ambient noise, because nothing in
+  * the artifacts could show "the plan did not change". This emits that
+  * proof: `Bench` writes `PLANS_r{N}.json` (entry → canonical-plan hash +
+  * operator histogram) next to the bench line each round, so
+  *
+  *   - hash UNCHANGED round-over-round ⇒ any timing drift has no plan
+  *     mechanism — adjudicated instantly, no re-measurement needed;
+  *   - hash CHANGED ⇒ the diff names exactly which entries replanned,
+  *     and the node histogram says how (a new Exchange, a join strategy
+  *     flip) — regressions the timing table alone can't even see.
+  *
+  * Canonicalization strips every volatile token while preserving plan
+  * STRUCTURE: expression ids (`#123`), codegen/plan ids, file paths and
+  * table locations (testdata dirs, tmp dirs, warehouse dirs, the
+  * pid-suffixed bucketed-table names), object addresses, and file/path
+  * counts inside scan summaries. What remains — operator tree, join
+  * strategies, partitioning expressions, pushed filters, read schemas —
+  * is exactly the set of facts whose change constitutes a real plan
+  * regression.
+  */
+object PlanFingerprint {
+
+  /** The plan string with volatile tokens normalized away. Uses the
+    * pre-execution plan (under AQE: `isFinalPlan=false` + the initial
+    * plan) — deterministic for fixed code + data, which is the
+    * round-over-round comparison contract.
+    */
+  def canonical(df: DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    s.replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("cte_repr_id=\\d+", "cte_repr_id=x")
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      // locations: testdata / tmp / warehouse paths, with or without a
+      // file: scheme; bucketed tables carry a per-JVM pid suffix
+      .replaceAll("file:[^\\s,\\]\\)]+", "PATH")
+      .replaceAll("/root/testdata/[^\\s,\\]\\)]+", "PATH")
+      .replaceAll("/tmp/[^\\s,\\]\\)]+", "PATH")
+      .replaceAll("[^\\s,\\[\\]\\(\\)]*spark-warehouse[^\\s,\\]\\)]*", "PATH")
+      .replaceAll("graft_[a-z0-9_]+_p\\d+", "graft_TABLE")
+      .replaceAll("\\(\\d+ paths?\\)", "(N paths)")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+  }
+
+  /** Histogram of physical operator names — the "how did it change"
+    * companion to the hash. Keys are the first token of each plan line
+    * after tree-drawing prefixes and the `*(n)` codegen marker.
+    */
+  def nodeHistogram(canonicalPlan: String): Map[String, Int] =
+    canonicalPlan.linesIterator
+      .map(_.replaceAll("^[-+:\\s]*", "").replaceAll("^\\*\\(\\d+\\)\\s*", ""))
+      .filter(_.nonEmpty)
+      .map(_.takeWhile(c => c.isLetterOrDigit || c == '_'))
+      .filter(t => t.nonEmpty && t.head.isUpper)
+      .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+
+  /** (md5-hex of the canonical plan, operator histogram). */
+  def fingerprint(df: DataFrame): (String, Map[String, Int]) = {
+    val c = canonical(df)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (md.map("%02x".format(_)).mkString, nodeHistogram(c))
+  }
+}

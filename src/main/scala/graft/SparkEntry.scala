@@ -27,7 +27,8 @@ object SparkEntry {
     "d15_semantic_dedup_blocked", "q33_approx_sketches",
     "q48_hll_merge", "s02_ann_lsh", "s05_ann_ivf_lloyd", "s06_ann_pq",
     "s07_ann_ivfpq", "s09_pca_project", "s10_ann_pca_rerank",
-    "t18_bpe_tokenize", "p07_tokenize_pack_pipeline", "t19_heavy_hitters")
+    "t18_bpe_tokenize", "p07_tokenize_pack_pipeline", "t19_heavy_hitters",
+    "t20_kll_quantiles")
 
   /** z01_self_checks (r6 verdict item 6): the driver's CORRECTNESS artifact
     * recorded the four self-checking entries as bare `no_oracle`, so a

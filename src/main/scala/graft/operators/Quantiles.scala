@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KLL mergeable quantile sketch — the third leg of the mergeable-sketch
+  * family next to HLL (q48) and Misra-Gries frequent items (t19), and
+  * the Spark-side parity for ClickHouse's `quantileTDigestState` /
+  * `-Merge` pair (the store the reference lands rows into ships exactly
+  * this merge-at-read aggregate combinator surface).
+  *
+  * Algorithm: Karnin, Lang, Liberty, "Optimal Quantile Approximation in
+  * Streams" (FOCS 2016). A sketch is a stack of buffers ("levels");
+  * level i holds items of weight 2^i. When the sketch exceeds its
+  * capacity budget the lowest over-full level COMPACTS: sort, keep every
+  * other item (a pseudo-random even/odd offset), promote the survivors
+  * to level i+1 at doubled weight. Level capacities decay geometrically
+  * from the top (`k·(2/3)^depth`, floored at 8), which is what turns the
+  * naive O(log²) mergeable-quantile schedule into KLL's O(k) space.
+  *
+  * Error accounting — the part that makes the t20 self-check airtight
+  * rather than hand-wavy: a compaction at level i perturbs the estimated
+  * rank of ANY fixed value by a zero-mean error of magnitude ≤ 2^(i-1)
+  * (each surviving pair contributes exactly its pre-compaction rank;
+  * only an odd tail flips ±half a weight on the random offset — KLL
+  * §2's observation). The sketch therefore carries `varSum`, the sum of
+  * (2^(i-1))² over every compaction it has ever performed — ADDITIVE
+  * under merge, exactly like the data. Hoeffding over those bounded
+  * zero-mean terms gives, for failure probability δ:
+  *
+  *   |estRank(x) − trueRank(x)| ≤ sqrt(2 · varSum · ln(2/δ))
+  *
+  * which [[rankBound]] evaluates and the t20 catalog entry asserts
+  * against exact ranks recomputed from the same scan. Compaction offsets
+  * come from a splitmix64 of the sketch's own compaction counter, so
+  * runs are deterministic and the self-check is reproducible.
+  *
+  * Scale shape: the buffer is O(k) values regardless of input size
+  * (capacity Σ k·(2/3)^d ≤ 3k, + the 8-item floors on deep levels),
+  * partial aggregation combines map-side, and the exchange carries one
+  * O(k)-value state per partition — the same bounded-state contract as
+  * q48/t19. Summary CONTENTS are merge-order-dependent (like every
+  * sketch here), so t20 is self-checking, not oracle-hashed.
+  */
+object Quantiles {
+
+  private val GrowthC = 2.0 / 3.0
+  private val MinCap = 8
+
+  /** Sketch state. `levels(i)` holds weight-2^i items, unsorted between
+    * compactions (only a compaction needs order).
+    */
+  case class KllState(k: Int, n: Long, varSum: Double, nCompactions: Long,
+      levels: Seq[Seq[Double]])
+
+  /** Finished summary: the weighted sample sorted by value, plus the
+    * error accounting needed to evaluate [[rankBound]] downstream.
+    */
+  case class KllSummary(n: Long, varSum: Double, values: Seq[Double],
+      weights: Seq[Long])
+
+  /** Hoeffding rank-error bound at failure probability `delta` — see the
+    * class doc for the derivation. 0 when the sketch never compacted
+    * (it is then exact).
+    */
+  def rankBound(varSum: Double, delta: Double = 1e-6): Double =
+    if (varSum <= 0) 0.0 else math.sqrt(2.0 * varSum * math.log(2.0 / delta))
+
+  /** Estimated rank of `x`: total weight of summarized items ≤ x. */
+  def estRank(s: KllSummary, x: Double): Long = {
+    var r = 0L; var i = 0
+    while (i < s.values.length && s.values(i) <= x) { r += s.weights(i); i += 1 }
+    r
+  }
+
+  /** Estimated φ-quantile: the first summarized value whose cumulative
+    * weight reaches φ·n.
+    */
+  def quantile(s: KllSummary, phi: Double): Double = {
+    require(phi >= 0 && phi <= 1 && s.values.nonEmpty)
+    val target = math.max(1L, math.ceil(phi * s.n).toLong)
+    var cum = 0L; var i = 0
+    while (i < s.values.length) {
+      cum += s.weights(i)
+      if (cum >= target) return s.values(i)
+      i += 1
+    }
+    s.values.last
+  }
+
+  private def splitmix(seed: Long): Long = {
+    var x = seed + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private def capOf(level: Int, numLevels: Int, k: Int): Int =
+    math.max(MinCap,
+      math.ceil(k * math.pow(GrowthC, numLevels - 1 - level)).toInt)
+
+  private def totalCap(numLevels: Int, k: Int): Int =
+    (0 until numLevels).map(capOf(_, numLevels, k)).sum
+
+  /** One compaction: lowest over-cap (else lowest non-empty) level is
+    * sorted, an even count of its items pair-collapses to level i+1 at
+    * doubled weight, any odd head item stays put.
+    */
+  private def compactOnce(st: KllState): KllState = {
+    val h = st.levels.size
+    val idx = (0 until h)
+      .find(i => st.levels(i).size > capOf(i, h, st.k))
+      .orElse((0 until h).find(st.levels(_).nonEmpty))
+      .getOrElse(return st)
+    val sorted = st.levels(idx).sorted
+    val oddHead = sorted.length % 2 // keep one item in place if odd
+    val keepLocal = sorted.take(oddHead)
+    val body = sorted.drop(oddHead)
+    val offset = (splitmix(st.nCompactions * 0x100000001b3L + idx) & 1L).toInt
+    val promoted = body.indices.collect {
+      case j if j % 2 == offset => body(j)
+    }
+    val withRoom =
+      if (idx + 1 < h) st.levels else st.levels :+ Vector.empty[Double]
+    val newLevels = withRoom
+      .updated(idx, keepLocal.toVector)
+      .updated(idx + 1, (withRoom(idx + 1) ++ promoted).toVector)
+    // error term: zero-mean, magnitude ≤ 2^(idx-1) → variance proxy
+    // (2^(idx-1))² = 4^(idx-1); level 0 contributes (1/2)² = 0.25
+    st.copy(varSum = st.varSum + math.pow(4.0, idx - 1),
+      nCompactions = st.nCompactions + 1, levels = newLevels)
+  }
+
+  private def compactToBudget(st0: KllState): KllState = {
+    var st = st0
+    while (st.levels.map(_.size).sum > totalCap(st.levels.size, st.k)) {
+      val before = st.levels.map(_.size).sum
+      st = compactOnce(st)
+      if (st.levels.map(_.size).sum >= before) return st // defensive: no progress
+    }
+    st
+  }
+
+  final class Kll(k: Int) extends Aggregator[Double, KllState, KllSummary] {
+    require(k >= MinCap)
+
+    override def zero: KllState =
+      KllState(k, 0L, 0.0, 0L, Vector(Vector.empty[Double]))
+
+    override def reduce(b: KllState, x: Double): KllState =
+      compactToBudget(b.copy(n = b.n + 1,
+        levels = b.levels.updated(0, b.levels(0) :+ x)))
+
+    override def merge(a: KllState, b: KllState): KllState = {
+      if (a.n == 0) return b
+      if (b.n == 0) return a
+      val h = math.max(a.levels.size, b.levels.size)
+      val levels = (0 until h).map { i =>
+        val la = if (i < a.levels.size) a.levels(i) else Vector.empty[Double]
+        val lb = if (i < b.levels.size) b.levels(i) else Vector.empty[Double]
+        (la ++ lb).toVector
+      }
+      compactToBudget(KllState(a.k, a.n + b.n, a.varSum + b.varSum,
+        a.nCompactions + b.nCompactions, levels))
+    }
+
+    override def finish(st: KllState): KllSummary = {
+      val pairs = st.levels.zipWithIndex.flatMap { case (buf, i) =>
+        buf.map(v => (v, 1L << i))
+      }.sortBy(_._1)
+      KllSummary(st.n, st.varSum, pairs.map(_._1), pairs.map(_._2))
+    }
+
+    override def bufferEncoder: Encoder[KllState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllState]()
+    override def outputEncoder: Encoder[KllSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllSummary]()
+  }
+
+  /** Whole-frame sketch of `valueCol` → a single `KllSummary` row
+    * `(n, var_sum, values, weights)`.
+    */
+  def sketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(valueCol).cast("double")).na.drop().as[Double]
+      .select(new Kll(k).toColumn.name("s"))
+      .select(col("s.n").as("n"), col("s.varSum").as("var_sum"),
+        col("s.values").as("values"), col("s.weights").as("weights"))
+  }
+
+  /** Whole-frame summary pulled to the driver — a bounded O(k)-value
+    * pull (the finished sketch), same class as the Zipf-small pulls
+    * elsewhere. The aggregation itself is fully distributed (map-side
+    * partials, one O(k) state per partition on the exchange).
+    */
+  def sketchSummary(df: DataFrame, valueCol: String, k: Int): KllSummary = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(valueCol).cast("double")).na.drop().as[Double]
+      .select(new Kll(k).toColumn.name("s")).head()
+  }
+
+  /** φ-quantile estimates of `valueCol` → `(phi, est)` rows. */
+  def quantiles(df: DataFrame, valueCol: String, k: Int,
+      phis: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summary = sketchSummary(df, valueCol, k)
+    phis.map(p => (p, quantile(summary, p))).toDF("phi", "est")
+  }
+
+  /** [[Kll]] lifted over the value half of a (key, value) pair — the
+    * grouped form's input adapter (the [[HeavyHitters.MisraGriesValue]]
+    * pattern).
+    */
+  final class KllValue(k: Int)
+      extends Aggregator[(String, Double), KllState, KllSummary] {
+    private val inner = new Kll(k)
+    override def zero: KllState = inner.zero
+    override def reduce(b: KllState, x: (String, Double)): KllState =
+      inner.reduce(b, x._2)
+    override def merge(a: KllState, b: KllState): KllState = inner.merge(a, b)
+    override def finish(st: KllState): KllSummary = inner.finish(st)
+    override def bufferEncoder: Encoder[KllState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[KllSummary] = inner.outputEncoder
+  }
+
+  /** Per-key sketches — the `quantileState ... GROUP BY key` shape.
+    * State stays O(k) per (partition, key) through the partial
+    * aggregate; output one summary row per key.
+    */
+  def sketchPerKey(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .na.drop().as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(new KllValue(k).toColumn.name("s"))
+      .toDF("key", "s")
+      .select(col("key"), col("s.n").as("n"), col("s.varSum").as("var_sum"),
+        col("s.values").as("values"), col("s.weights").as("weights"))
+  }
+}

@@ -1557,6 +1557,57 @@ object DataOps {
         "bounded k-entry state, map-side combine; self-checked against " +
         "exact counts from the same scan"),
 
+    // t20: KLL mergeable quantile sketch — the third leg of the
+    // mergeable-sketch family (HLL q48, frequent items t19; ClickHouse
+    // `quantileTDigestState`/`-Merge` parity). SELF-CHECKING (summary
+    // contents are merge-order-dependent, the q33/q48/t19 class): the
+    // entry asks the sketch for 8 quantiles, recomputes the EXACT rank
+    // of each answer in the same scan, and asserts the sketch's OWN
+    // Hoeffding bound — |estRank − trueRank| ≤ sqrt(2·varSum·ln(2/δ)),
+    // δ=1e-6, where varSum is the error accounting the sketch carries
+    // (see Quantiles scaladoc) — plus the O(k) size bound and exact n.
+    "t20_kll_quantiles" -> Q(
+      (s, dir) => {
+        import graft.operators.Quantiles
+        val k = 128
+        val vals = tp(s, dir, "documents")
+          .select(col("n_chars").cast("double").as("v")).na.drop()
+        val sk = Quantiles.sketchSummary(vals, "v", k)
+        import s.implicits._
+        if (sk.n == 0L)
+          // empty corpus: nothing to summarize is a (vacuous) PASS
+          Seq((0.5, 0.0, 0L, 0L, 0.0, true, true, true))
+            .toDF("phi", "est_q", "est_rank", "true_rank", "bound",
+              "rank_in_bound", "size_in_bound", "pass")
+        else {
+          val phis = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+          val bound = Quantiles.rankBound(sk.varSum)
+          val probes = phis.zipWithIndex.map { case (p, i) =>
+            val q = Quantiles.quantile(sk, p)
+            (i, p, q, Quantiles.estRank(sk, q))
+          }
+          val probeDf = probes.toDF("idx", "phi", "est_q", "est_rank")
+          val exact = vals.agg(count(lit(1)).as("n_exact"),
+            array(probes.map { case (_, _, q, _) =>
+              sum(when(col("v") <= q, 1L).otherwise(0L)) }: _*).as("ranks"))
+          probeDf.crossJoin(exact) // 8 × 1 rows
+            .select(col("phi"), col("est_q"), col("est_rank"),
+              element_at(col("ranks"), col("idx") + 1).as("true_rank"),
+              lit(bound).as("bound"),
+              (abs(col("est_rank") -
+                element_at(col("ranks"), col("idx") + 1)) <= lit(bound))
+                .as("rank_in_bound"),
+              // capacity Σ k·(2/3)^d ≤ 3k plus the 8-item floors
+              lit(sk.values.length <= 3 * k + 8 * 64).as("size_in_bound"),
+              (col("n_exact") === sk.n).as("pass"))
+        }
+      },
+      None,
+      "KLL mergeable quantile sketch (Karnin-Lang-Liberty 2016): O(k) " +
+        "state per partition, map-side combine; self-checked against " +
+        "exact ranks from the same scan via the sketch's self-tracked " +
+        "Hoeffding bound"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Quantiles.{Kll, KllSummary}
+
+/** The KLL contract: the self-tracked Hoeffding rank bound holds for
+  * every queried quantile, under ANY merge tree (linear chain, balanced
+  * binary, Spark's nondeterministic partial-aggregate order), on
+  * adversarial (sorted, duplicate-heavy) inputs — and the bound is
+  * USEFUL (a small fraction of n), not vacuously wide. Plus the O(k)
+  * size invariant that makes the sketch shuffle-safe at scale.
+  */
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val K = 128
+  private val Phis = Seq(0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+  // deterministic pseudo-random doubles (no external RNG state)
+  private def mix(i: Long): Long = {
+    var x = i + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def uniform(n: Int): IndexedSeq[Double] =
+    (0 until n).map(i => (mix(i) >>> 11).toDouble / (1L << 53).toDouble)
+
+  private def checkBounds(data: Seq[Double], sk: KllSummary,
+      label: String): Double = {
+    assert(sk.n == data.size, s"$label: n")
+    assert(sk.values.length <= 3 * K + 8 * 64, s"$label: size ${sk.values.length}")
+    assert(sk.values == sk.values.sorted, s"$label: summary unsorted")
+    val sorted = data.sorted
+    val bound = Quantiles.rankBound(sk.varSum)
+    var worst = 0.0
+    for (phi <- Phis) {
+      val q = Quantiles.quantile(sk, phi)
+      val est = Quantiles.estRank(sk, q)
+      val truth = sorted.count(_ <= q).toLong
+      val err = math.abs(est - truth).toDouble
+      worst = math.max(worst, err)
+      assert(err <= bound,
+        s"$label: phi=$phi est=$est true=$truth err=$err bound=$bound")
+    }
+    bound
+  }
+
+  private def foldChunks(chunks: Seq[Seq[Double]]): Seq[Quantiles.KllState] = {
+    val agg = new Kll(K)
+    chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+  }
+
+  test("no compaction → exact ranks, zero bound") {
+    val data = uniform(K) // fits the single-level capacity: never compacts
+    val agg = new Kll(K)
+    val sk = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    assert(sk.varSum == 0.0 && Quantiles.rankBound(sk.varSum) == 0.0)
+    val sorted = data.sorted
+    for (phi <- Phis) {
+      val q = Quantiles.quantile(sk, phi)
+      assert(Quantiles.estRank(sk, q) == sorted.count(_ <= q).toLong)
+    }
+  }
+
+  test("rank bound holds after a single long fold, and is useful") {
+    val data = uniform(100000)
+    val agg = new Kll(K)
+    val sk = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    val bound = checkBounds(data, sk, "fold")
+    // usefulness: the bound must beat a trivial always-true n-bound by
+    // a wide margin — empirically ~2-4% of n at k=128, n=1e5
+    assert(bound < 0.08 * data.size, s"bound $bound vacuous for n=${data.size}")
+  }
+
+  test("rank bound holds across merge trees (chain vs balanced binary)") {
+    val data = uniform(80000)
+    val agg = new Kll(K)
+    val chunks = data.grouped(5000).toSeq
+    val states = foldChunks(chunks)
+    val chain = states.reduceLeft(agg.merge)
+    def tree(ss: Seq[Quantiles.KllState]): Quantiles.KllState =
+      if (ss.size == 1) ss.head
+      else tree(ss.grouped(2).map {
+        case Seq(a, b) => agg.merge(a, b)
+        case Seq(a) => a
+      }.toSeq)
+    checkBounds(data, agg.finish(chain), "chain")
+    checkBounds(data, agg.finish(tree(states)), "binary-tree")
+  }
+
+  test("adversarial inputs: sorted ascending and duplicate-heavy") {
+    val agg = new Kll(K)
+    val sorted = (0 until 60000).map(_.toDouble)
+    checkBounds(sorted,
+      agg.finish(sorted.foldLeft(agg.zero)(agg.reduce)), "sorted")
+    val dupes = (0 until 60000).map(i => (mix(i) % 100).abs.toDouble)
+    val skD = agg.finish(dupes.foldLeft(agg.zero)(agg.reduce))
+    checkBounds(dupes, skD, "dupes")
+    // on a 100-value domain the quantile answer must be a domain value
+    assert(Phis.forall(p => Quantiles.quantile(skD, p) == math.floor(
+      Quantiles.quantile(skD, p))))
+  }
+
+  test("estimated quantiles are monotone in phi") {
+    val data = uniform(50000)
+    val agg = new Kll(K)
+    val sk = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    val qs = Phis.map(Quantiles.quantile(sk, _))
+    assert(qs == qs.sorted, qs.toString)
+  }
+
+  test("distributed aggregate (Spark merge order) stays in bound") {
+    import spark.implicits._
+    val data = uniform(100000)
+    for (parts <- Seq(4, 32)) {
+      val df = spark.sparkContext.parallelize(data, parts).toDF("v")
+      val sk = Quantiles.sketchSummary(df, "v", K)
+      checkBounds(data, sk, s"spark-$parts-parts")
+    }
+  }
+
+  test("per-key sketches bound per group") {
+    import spark.implicits._
+    // two keys with disjoint ranges: a cross-contaminated merge would
+    // blow the rank check of one of them immediately
+    val a = uniform(30000)
+    val b = uniform(30000).map(_ + 10.0)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("key", "v")
+      .repartition(16)
+    val rows = Quantiles.sketchPerKey(df, "key", "v", K).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    for (r <- rows) {
+      val sk = KllSummary(r.getAs[Long]("n"), r.getAs[Double]("var_sum"),
+        r.getSeq[Double](3).toIndexedSeq, r.getSeq[Long](4).toIndexedSeq)
+      val data = if (r.getString(0) == "a") a else b
+      checkBounds(data, sk, s"key-${r.getString(0)}")
+    }
+  }
+
+  test("quantiles() DataFrame surface returns (phi, est) rows") {
+    import spark.implicits._
+    val df = uniform(20000).toDF("v")
+    val out = Quantiles.quantiles(df, "v", K, Seq(0.5, 0.9)).collect()
+    assert(out.length == 2)
+    val med = out.find(_.getDouble(0) == 0.5).get.getDouble(1)
+    assert(med > 0.4 && med < 0.6, s"median of uniform(0,1) was $med")
+  }
+}

@@ -69,7 +69,10 @@ class TinyCorpusSpec extends AnyFunSuite {
     // r9 entries: p08 derives minCount = max(1, count/10) (the class this
     // spec exists for) and a single derived domain (uniform degeneracy);
     // t19's self-check must PASS, not just run, on a degenerate corpus
-    "p08_doremi_mixture", "q58_bucketed_join"))
+    "p08_doremi_mixture", "q58_bucketed_join",
+    // r10: t20's sketch never compacts on 6 docs — varSum 0, bound 0,
+    // ranks must be EXACT for the self-check to pass
+    "t20_kll_quantiles"))
     test(s"$name runs a 6-row corpus end-to-end") {
       val out = graft.SparkEntry.queries(name)(spark, tinyEmbDir)
       assert(out.count() >= 0)
