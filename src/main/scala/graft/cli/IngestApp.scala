@@ -31,7 +31,8 @@ import graft.streaming.StreamingIngest
   * `--brokers`, `--topic`), `kafka-lite` (S5 native wire, magic-2 to
   * 4.x brokers or magic-0 legacy — no Kafka jars needed; `--brokers`,
   * `--topic`, `--starting-offsets`, `--max-offsets`, `--dialect`,
-  * `--sasl-user`/`--sasl-password` for SASL/PLAIN), `filebuf` (S6 native
+  * `--sasl-user`/`--sasl-password`/`--sasl-mechanism` for SASL PLAIN or
+  * SCRAM-SHA-256), `filebuf` (S6 native
   * gRPC stream server; `--port`).
   * Sinks: `parquet` (K4 parity: insert_date + month partitioning), `jdbc`
   * (K1 parity: batched, retried — `--url`, `--table`), `filebuf` (K3 gRPC
@@ -133,7 +134,8 @@ object IngestApp {
             maxOffsetsPerTrigger = opts.get("max-offsets").map(_.toLong),
             dialect = opts.getOrElse("dialect", "modern"),
             saslUser = opts.get("sasl-user"),
-            saslPass = opts.get("sasl-password"))
+            saslPass = opts.get("sasl-password"),
+            saslMechanism = opts.getOrElse("sasl-mechanism", "PLAIN"))
           case "filebuf" => StreamingIngest.filebufSource(spark, need("port").toInt,
             bind = opts.getOrElse("bind", "0.0.0.0"))
           case other   => sys.error(s"unknown source: $other")
@@ -173,7 +175,8 @@ object IngestApp {
               dialect = opts.getOrElse("dialect", "modern"),
               produceCodec = opts.getOrElse("compress", "none"),
               saslUser = opts.get("sasl-user"),
-              saslPass = opts.get("sasl-password"))
+              saslPass = opts.get("sasl-password"),
+              saslMechanism = opts.getOrElse("sasl-mechanism", "PLAIN"))
               .trigger(Trigger.ProcessingTime(triggerMs))
           case other => sys.error(s"unknown sink: $other")
         }

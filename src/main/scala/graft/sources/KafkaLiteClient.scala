@@ -22,19 +22,23 @@ import java.util.concurrent.atomic.AtomicInteger
   * IOException tears down the socket; Spark task retry reconnects).
   * Connections are cheap to re-establish.
   *
-  * `saslUser`/`saslPass` enable SASL/PLAIN (KIP-43 handshake v1 +
-  * KIP-152 SaslAuthenticate) immediately after every (re)connect, before
-  * any other API flows; a rejected mechanism or bad credential surfaces
-  * as a named IOException carrying the broker's message. TLS is
-  * deliberately out of scope (README "Transport caveats") — PLAIN here
-  * is the same layering a production deployment wraps in TLS.
+  * `saslUser`/`saslPass` enable SASL (KIP-43 handshake v1 + KIP-152
+  * SaslAuthenticate) immediately after every (re)connect, before any
+  * other API flows; a rejected mechanism or bad credential surfaces as a
+  * named IOException carrying the broker's message. `saslMechanism`
+  * picks `PLAIN` (RFC 4616, the TLS-wrapped deployment shape) or
+  * `SCRAM-SHA-256` (RFC 5802/7677 salted challenge-response — the
+  * cleartext-TCP-honest option: no password on the wire, and the
+  * server-final signature check authenticates the BROKER back to us).
+  * TLS itself stays out of scope (README "Transport caveats").
   */
 private[graft] class KafkaLiteClient(host: String, port: Int,
     clientId: String = "graft-kafka-lite", connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 30000,
     dialect: KafkaWire.Dialect = KafkaWire.Modern,
     saslUser: Option[String] = None,
-    saslPass: Option[String] = None) extends AutoCloseable {
+    saslPass: Option[String] = None,
+    saslMechanism: String = "PLAIN") extends AutoCloseable {
 
   // declared BEFORE connect() below: the constructor authenticates over
   // the socket, so anything roundTripVersioned touches must already be
@@ -59,11 +63,38 @@ private[graft] class KafkaLiteClient(host: String, port: Int,
     saslUser.foreach { u =>
       KafkaWire.decodeSaslHandshakeResponse(roundTripVersioned(
         KafkaWire.ApiSaslHandshake, 1,
-        KafkaWire.encodeSaslHandshakeRequest("PLAIN")))
-      KafkaWire.decodeSaslAuthenticateResponse(roundTripVersioned(
-        KafkaWire.ApiSaslAuthenticate, 0,
-        KafkaWire.encodeSaslAuthenticateRequest(
-          KafkaWire.saslPlainToken(u, saslPass.getOrElse("")))))
+        KafkaWire.encodeSaslHandshakeRequest(saslMechanism)))
+      saslMechanism match {
+        case "PLAIN" =>
+          KafkaWire.decodeSaslAuthenticateResponse(roundTripVersioned(
+            KafkaWire.ApiSaslAuthenticate, 0,
+            KafkaWire.encodeSaslAuthenticateRequest(
+              KafkaWire.saslPlainToken(u, saslPass.getOrElse("")))))
+        case "SCRAM-SHA-256" =>
+          val nonceBytes = new Array[Byte](18)
+          new java.security.SecureRandom().nextBytes(nonceBytes)
+          val cnonce = java.util.Base64.getUrlEncoder.withoutPadding
+            .encodeToString(nonceBytes)
+          val (first, bare) = KafkaWire.Scram.clientFirst(u, cnonce)
+          val serverFirstMsg = new String(
+            KafkaWire.decodeSaslAuthenticateResponseBytes(roundTripVersioned(
+              KafkaWire.ApiSaslAuthenticate, 0,
+              KafkaWire.encodeSaslAuthenticateRequest(
+                first.getBytes(java.nio.charset.StandardCharsets.UTF_8)))),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val sf = KafkaWire.Scram.parseServerFirst(serverFirstMsg, cnonce)
+          val (finalMsg, expectedSig) = KafkaWire.Scram.clientFinal(
+            saslPass.getOrElse(""), bare, serverFirstMsg, sf)
+          val serverFinal = new String(
+            KafkaWire.decodeSaslAuthenticateResponseBytes(roundTripVersioned(
+              KafkaWire.ApiSaslAuthenticate, 0,
+              KafkaWire.encodeSaslAuthenticateRequest(
+                finalMsg.getBytes(java.nio.charset.StandardCharsets.UTF_8)))),
+            java.nio.charset.StandardCharsets.UTF_8)
+          KafkaWire.Scram.verifyServerFinal(serverFinal, expectedSig)
+        case other => throw new IllegalArgumentException(
+          s"unsupported sasl mechanism '$other' (PLAIN | SCRAM-SHA-256)")
+      }
     }
   }
   connect()

@@ -42,8 +42,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * version floor, brokers 0.11 → 4.x; `legacy` — magic-0 over the v0
   * APIs for pre-0.11 brokers; or `auto` — negotiate per broker via the
   * ApiVersions API, resolved once on the driver and shipped to tasks),
-  * `sasl.username`/`sasl.password` (SASL/PLAIN on every connection —
-  * driver metadata clients and executor fetch clients alike; see
+  * `sasl.username`/`sasl.password` (SASL on every connection — driver
+  * metadata clients and executor fetch clients alike) and
+  * `sasl.mechanism` (`PLAIN`, default, or `SCRAM-SHA-256`; see
   * [[KafkaLiteClient]]).
   */
 class KafkaLiteSourceProvider extends TableProvider with DataSourceRegister {
@@ -102,11 +103,13 @@ private[sources] class KafkaLiteTable extends Table with SupportsRead {
         KafkaWire.Dialect(Option(options.get("dialect")).getOrElse("modern")).name
       private val saslUser = Option(options.get("sasl.username"))
       private val saslPass = Option(options.get("sasl.password"))
+      private val saslMech = Option(options.get("sasl.mechanism"))
+        .getOrElse("PLAIN")
       override def build(): Scan = this
       override def readSchema(): StructType = KafkaLiteSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new KafkaLiteMicroBatchStream(brokers, topic, startingOffsets, maxOffsets, dialect,
-          saslUser, saslPass)
+          saslUser, saslPass, saslMech)
     }
 }
 
@@ -131,7 +134,8 @@ private[sources] object KafkaLiteOffset {
 private[sources] class KafkaLiteMicroBatchStream(
     brokers: String, topic: String, startingOffsets: String, maxOffsets: Option[Long],
     dialect: String = "modern",
-    saslUser: Option[String] = None, saslPass: Option[String] = None)
+    saslUser: Option[String] = None, saslPass: Option[String] = None,
+    saslMechanism: String = "PLAIN")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val (bootHost, bootPort) = KafkaLiteSource.parseBroker(brokers)
@@ -140,7 +144,7 @@ private[sources] class KafkaLiteMicroBatchStream(
   private def client: KafkaLiteClient = synchronized {
     if (clientVar == null)
       clientVar = new KafkaLiteClient(bootHost, bootPort, dialect = KafkaWire.Dialect(dialect),
-        saslUser = saslUser, saslPass = saslPass)
+        saslUser = saslUser, saslPass = saslPass, saslMechanism = saslMechanism)
     clientVar
   }
 
@@ -218,7 +222,8 @@ private[sources] class KafkaLiteMicroBatchStream(
         // executors get the RESOLVED dialect: under `auto` the driver
         // client negotiates once via ApiVersions and tasks skip the probe
         Some(KafkaLitePartition(topic, m.partition, m.leaderHost, m.leaderPort,
-          from, until, client.resolvedDialect.name, saslUser, saslPass))
+          from, until, client.resolvedDialect.name, saslUser, saslPass,
+          saslMechanism))
       else None
     }.toArray
   }
@@ -235,13 +240,14 @@ private[sources] class KafkaLiteMicroBatchStream(
 private[sources] case class KafkaLitePartition(
     topic: String, partition: Int, host: String, port: Int,
     startOffset: Long, endOffset: Long, dialect: String = "modern",
-    saslUser: Option[String] = None, saslPass: Option[String] = None) extends InputPartition {
+    saslUser: Option[String] = None, saslPass: Option[String] = None,
+    saslMechanism: String = "PLAIN") extends InputPartition {
   // the generated case-class toString would print the credential into any
   // task-failure message or debug log that stringifies the partition —
   // redact it the way the stock connector redacts jaas configs
   override def toString: String =
     s"KafkaLitePartition($topic,$partition,$host,$port,$startOffset," +
-      s"$endOffset,$dialect,$saslUser,${saslPass.map(_ => "***")})"
+      s"$endOffset,$dialect,$saslUser,${saslPass.map(_ => "***")},$saslMechanism)"
 }
 
 private[sources] class KafkaLiteReaderFactory extends PartitionReaderFactory {
@@ -281,7 +287,7 @@ private[sources] class KafkaLitePartitionReader(p: KafkaLitePartition,
   private val DefaultFetchBytes = 4 * 1024 * 1024
   private val dialect = KafkaWire.Dialect(p.dialect)
   private val client = new KafkaLiteClient(p.host, p.port, dialect = dialect,
-    saslUser = p.saslUser, saslPass = p.saslPass)
+    saslUser = p.saslUser, saslPass = p.saslPass, saslMechanism = p.saslMechanism)
   private var cur = p.startOffset
   private var maxBytes = DefaultFetchBytes
   private var queue: Iterator[KafkaWire.Record] = Iterator.empty

@@ -902,6 +902,14 @@ private[graft] object KafkaWire {
     * unauthenticated connection.
     */
   def decodeSaslAuthenticateResponse(body: Array[Byte]): Unit = {
+    decodeSaslAuthenticateResponseBytes(body); ()
+  }
+
+  /** Like [[decodeSaslAuthenticateResponse]] but returns the broker's
+    * auth_bytes — the server half of a multi-step mechanism (SCRAM's
+    * server-first / server-final messages ride here under KIP-152).
+    */
+  def decodeSaslAuthenticateResponseBytes(body: Array[Byte]): Array[Byte] = {
     val r = new Reader(body)
     val err = r.int16()
     val msg = r.string() // nullable
@@ -909,5 +917,114 @@ private[graft] object KafkaWire {
       throw new java.io.IOException(
         s"sasl authentication failed (error $err): " +
           Option(msg).getOrElse("no broker message"))
+    r.bytes()
+  }
+
+  // ---- SASL/SCRAM-SHA-256 (RFC 5802 / RFC 7677) --------------------------
+  //
+  // The sandbox-honest secured-cluster story: PLAIN above sends the
+  // password cleartext and this build carries no TLS, while SCRAM's
+  // salted challenge-response never puts the password (or anything
+  // replayable) on the wire. Flow over the same KIP-152 framing, one
+  // SaslAuthenticate round trip per SCRAM message:
+  //
+  //   C: client-first  = gs2-header "n,," + "n=<user>,r=<cnonce>"
+  //   S: server-first  = "r=<cnonce+snonce>,s=<salt b64>,i=<iterations>"
+  //   C: client-final  = "c=biws,r=<nonces>,p=<ClientProof b64>"
+  //   S: server-final  = "v=<ServerSignature b64>"   (client MUST verify)
+  //
+  // ClientProof = ClientKey XOR HMAC(SHA256(ClientKey), AuthMessage)
+  // with ClientKey = HMAC(Hi(password, salt, i), "Client Key") and
+  // Hi = PBKDF2-HMAC-SHA256 (all JDK-standard primitives). Verifying
+  // server-final authenticates the BROKER to us — a man-in-the-middle
+  // that doesn't know the password can't forge it; [[Scram]] throws a
+  // named IOException on mismatch. The helpers are pure string/bytes
+  // functions so the RFC 7677 published test vector pins them in spec.
+  object Scram {
+    private val B64E = java.util.Base64.getEncoder
+    private val B64D = java.util.Base64.getDecoder
+
+    private def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(data)
+    }
+    private def sha256(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    private def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+    /** Hi(): PBKDF2-HMAC-SHA256, dkLen = hash length (RFC 5802 §2.2). */
+    def saltedPassword(password: String, salt: Array[Byte], iters: Int): Array[Byte] =
+      javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(new javax.crypto.spec.PBEKeySpec(
+          password.toCharArray, salt, iters, 256))
+        .getEncoded
+
+    def clientKey(salted: Array[Byte]): Array[Byte] = hmac(salted, utf8("Client Key"))
+    def serverKey(salted: Array[Byte]): Array[Byte] = hmac(salted, utf8("Server Key"))
+    def storedKey(cKey: Array[Byte]): Array[Byte] = sha256(cKey)
+
+    /** RFC 5802 §5.1 `n=` attribute escaping: '=' → "=3D", ',' → "=2C". */
+    def saslName(user: String): String =
+      user.replace("=", "=3D").replace(",", "=2C")
+
+    /** client-first-message; the bare part (after "n,,") feeds AuthMessage. */
+    def clientFirst(user: String, cnonce: String): (String, String) = {
+      val bare = s"n=${saslName(user)},r=$cnonce"
+      (s"n,,$bare", bare)
+    }
+
+    /** Parsed server-first-message. */
+    case class ServerFirst(nonce: String, salt: Array[Byte], iterations: Int)
+    def parseServerFirst(msg: String, cnonce: String): ServerFirst = {
+      val attrs = msg.split(",").collect {
+        case a if a.length >= 2 && a(1) == '=' => a.substring(0, 1) -> a.substring(2)
+      }.toMap
+      val nonce = attrs.getOrElse("r",
+        throw new java.io.IOException(s"scram server-first missing r=: $msg"))
+      if (!nonce.startsWith(cnonce))
+        throw new java.io.IOException(
+          "scram server nonce does not extend the client nonce (replayed or " +
+            "tampered server-first)")
+      ServerFirst(nonce,
+        B64D.decode(attrs.getOrElse("s",
+          throw new java.io.IOException(s"scram server-first missing s=: $msg"))),
+        attrs.getOrElse("i",
+          throw new java.io.IOException(s"scram server-first missing i=: $msg")).toInt)
+    }
+
+    /** (client-final-message, expected ServerSignature). The caller sends
+      * the former and MUST check the broker's `v=` against the latter via
+      * [[verifyServerFinal]].
+      */
+    def clientFinal(password: String, clientFirstBare: String,
+        serverFirstMsg: String, sf: ServerFirst): (String, Array[Byte]) = {
+      val salted = saltedPassword(password, sf.salt, sf.iterations)
+      val cKey = clientKey(salted)
+      val withoutProof = s"c=biws,r=${sf.nonce}" // biws = b64("n,,")
+      val authMessage = s"$clientFirstBare,$serverFirstMsg,$withoutProof"
+      val clientSig = hmac(storedKey(cKey), utf8(authMessage))
+      val proof = cKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+      val serverSig = hmac(serverKey(salted), utf8(authMessage))
+      (s"$withoutProof,p=${B64E.encodeToString(proof)}", serverSig)
+    }
+
+    /** server-final-message check: `e=` is the server's named rejection,
+      * a missing/mismatched `v=` means the peer never knew the password.
+      */
+    def verifyServerFinal(msg: String, expectedServerSig: Array[Byte]): Unit = {
+      if (msg.startsWith("e="))
+        throw new java.io.IOException(s"scram server error: ${msg.substring(2)}")
+      if (!msg.startsWith("v="))
+        throw new java.io.IOException(s"scram server-final malformed: $msg")
+      val got = try B64D.decode(msg.substring(2)) catch {
+        case _: IllegalArgumentException =>
+          throw new java.io.IOException(s"scram server-final malformed: $msg")
+      }
+      if (!java.security.MessageDigest.isEqual(got, expectedServerSig))
+        throw new java.io.IOException(
+          "scram server signature mismatch: broker failed to prove knowledge " +
+            "of the credential (tampered or man-in-the-middle server-final)")
+    }
   }
 }

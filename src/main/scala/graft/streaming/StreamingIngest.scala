@@ -67,14 +67,16 @@ object StreamingIngest {
       maxOffsetsPerTrigger: Option[Long] = None,
       dialect: String = "modern",
       saslUser: Option[String] = None,
-      saslPass: Option[String] = None): DataFrame = {
+      saslPass: Option[String] = None,
+      saslMechanism: String = "PLAIN"): DataFrame = {
     val base = spark.readStream.format("kafka-lite")
       .option("brokers", brokers)
       .option("topic", topic)
       .option("startingOffsets", startingOffsets)
       .option("dialect", dialect)
     val withSasl = saslUser.fold(base)(u => base.option("sasl.username", u)
-      .option("sasl.password", saslPass.getOrElse("")))
+      .option("sasl.password", saslPass.getOrElse(""))
+      .option("sasl.mechanism", saslMechanism))
     maxOffsetsPerTrigger.fold(withSasl)(n => withSasl.option("maxOffsetsPerTrigger", n))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
@@ -94,7 +96,8 @@ object StreamingIngest {
       dialect: String = "modern",
       produceCodec: String = "none",
       saslUser: Option[String] = None,
-      saslPass: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      saslPass: Option[String] = None,
+      saslMechanism: String = "PLAIN"): DataStreamWriter[org.apache.spark.sql.Row] = {
     val codecId = graft.sources.KafkaWire.codecId(produceCodec) // validate up front
     lines.selectExpr("CAST(value AS STRING) AS value")
       .where(col("value").isNotNull)
@@ -107,14 +110,15 @@ object StreamingIngest {
           if (rows.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val boot = new graft.sources.KafkaLiteClient(host, port, dialect = wireDialect,
-              saslUser = saslUser, saslPass = saslPass)
+              saslUser = saslUser, saslPass = saslPass, saslMechanism = saslMechanism)
             try {
               val metas = boot.partitionsOf(topic)
               val m = metas(pid % metas.size)
               val leader =
                 if (m.leaderHost == host && m.leaderPort == port) boot
                 else new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort,
-                  dialect = wireDialect, saslUser = saslUser, saslPass = saslPass)
+                  dialect = wireDialect, saslUser = saslUser, saslPass = saslPass,
+                  saslMechanism = saslMechanism)
               try rows.grouped(produceBatch).foreach { group =>
                 leader.produce(topic, m.partition,
                   group.map(r => (null: Array[Byte],

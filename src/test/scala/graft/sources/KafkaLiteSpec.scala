@@ -504,4 +504,112 @@ class KafkaLiteSpec extends AnyFunSuite {
       broker.stop()
     }
   }
+
+  test("SCRAM-SHA-256 helpers reproduce the RFC 7677 published test vector") {
+    // RFC 7677 §3: user "user", pass "pencil" — the vector pins our
+    // PBKDF2/HMAC/proof composition to the published bytes, so the
+    // stub-broker e2e below is not self-confirming
+    val cnonce = "rOprNGfwEbeRWgbNEkqO"
+    val serverFirstMsg = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val (first, bare) = KafkaWire.Scram.clientFirst("user", cnonce)
+    assert(first == s"n,,n=user,r=$cnonce" && bare == s"n=user,r=$cnonce")
+    val sf = KafkaWire.Scram.parseServerFirst(serverFirstMsg, cnonce)
+    assert(sf.iterations == 4096)
+    val (finalMsg, serverSig) =
+      KafkaWire.Scram.clientFinal("pencil", bare, serverFirstMsg, sf)
+    assert(finalMsg ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    // the expected ServerSignature equals the vector's v= → verify passes
+    KafkaWire.Scram.verifyServerFinal(
+      "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=", serverSig)
+    // and any other signature is rejected, named
+    val e = intercept[java.io.IOException](KafkaWire.Scram.verifyServerFinal(
+      "v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=", serverSig))
+    assert(e.getMessage.contains("server signature mismatch"))
+  }
+
+  test("SCRAM-SHA-256: authenticated round trip; wrong password and " +
+    "tampered server signature fail named") {
+    val broker = new KafkaStubBroker(numPartitions = 1,
+      saslUsers = Map("svc-graft" -> "hunter2"),
+      saslMechanism = "SCRAM-SHA-256")
+    val port = broker.start()
+    try {
+      // correct credentials: the 2-round-trip exchange then produce/fetch
+      val c = new KafkaLiteClient("127.0.0.1", port,
+        saslUser = Some("svc-graft"), saslPass = Some("hunter2"),
+        saslMechanism = "SCRAM-SHA-256")
+      try {
+        assert(c.produce("logs", 0, Seq((null, utf8("scram-authed")))) == 0L)
+        val (recs, _) = c.fetch("logs", 0, 0L)
+        assert(recs.map(r => str(r.value)) == Seq("scram-authed"))
+      } finally c.close()
+      // client-first + client-final = 2 authenticate calls minimum
+      assert(broker.apiCounts.getOrElse(KafkaWire.ApiSaslAuthenticate, 0) >= 2)
+
+      // wrong password: the broker rejects the PROOF (the password never
+      // travelled), named with the user
+      val e = intercept[java.io.IOException](new KafkaLiteClient(
+        "127.0.0.1", port, saslUser = Some("svc-graft"),
+        saslPass = Some("wrong"), saslMechanism = "SCRAM-SHA-256"))
+      assert(e.getMessage.contains("sasl authentication failed"))
+      assert(e.getMessage.contains("svc-graft"), e.getMessage)
+
+      // a PLAIN client against the SCRAM-only listener: handshake
+      // rejection names what the broker DOES support
+      val e2 = intercept[java.io.IOException](new KafkaLiteClient(
+        "127.0.0.1", port, saslUser = Some("svc-graft"),
+        saslPass = Some("hunter2")))
+      assert(e2.getMessage.contains("SCRAM-SHA-256"), e2.getMessage)
+    } finally broker.stop()
+
+    // tampered server signature: auth "succeeds" broker-side but the
+    // client must refuse the connection — the mutual-auth half of SCRAM
+    val mitm = new KafkaStubBroker(numPartitions = 1,
+      saslUsers = Map("svc-graft" -> "hunter2"),
+      saslMechanism = "SCRAM-SHA-256", tamperServerSignature = true)
+    val port2 = mitm.start()
+    try {
+      val e3 = intercept[java.io.IOException](new KafkaLiteClient(
+        "127.0.0.1", port2, saslUser = Some("svc-graft"),
+        saslPass = Some("hunter2"), saslMechanism = "SCRAM-SHA-256"))
+      assert(e3.getMessage.contains("server signature mismatch"), e3.getMessage)
+    } finally mitm.stop()
+  }
+
+  test("SCRAM-SHA-256: DSv2 source and sink authenticate via options end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val broker = new KafkaStubBroker(numPartitions = 1,
+      saslUsers = Map("svc-graft" -> "hunter2"),
+      saslMechanism = "SCRAM-SHA-256")
+    val port = broker.start()
+    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_scram_cp").toString
+    val stream = MemoryStream[String]
+    val qSink = StreamingIngest.kafkaLiteSink(
+      stream.toDF().toDF("value"), s"127.0.0.1:$port", "scramt", cp,
+      saslUser = Some("svc-graft"), saslPass = Some("hunter2"),
+      saslMechanism = "SCRAM-SHA-256").start()
+    try {
+      stream.addData("scram line 1", "scram line 2")
+      qSink.processAllAvailable()
+      assert(broker.stringValues("scramt", 0).sorted ==
+        Seq("scram line 1", "scram line 2"))
+    } finally qSink.stop()
+    val lines = StreamingIngest.kafkaLiteSource(spark, s"127.0.0.1:$port",
+      "scramt", saslUser = Some("svc-graft"), saslPass = Some("hunter2"),
+      saslMechanism = "SCRAM-SHA-256")
+    val qSrc = lines.writeStream.format("memory")
+      .queryName("kafka_scram_src").outputMode("append").start()
+    try {
+      qSrc.processAllAvailable()
+      assert(spark.table("kafka_scram_src").as[String].collect().sorted.toSeq ==
+        Seq("scram line 1", "scram line 2"))
+    } finally {
+      qSrc.stop()
+      broker.stop()
+    }
+  }
 }

@@ -39,18 +39,38 @@ import graft.sources.KafkaWire.{Reader, Writer}
   *   cluster: an ApiVersions request kills the connection (what real old
   *   brokers did with unknown api keys), forcing the client's
   *   reconnect-and-speak-v0 fallback.
-  * @param saslUsers when non-empty the broker REQUIRES SASL/PLAIN: only
+  * @param saslUsers when non-empty the broker REQUIRES SASL: only
   *   SaslHandshake/SaslAuthenticate/ApiVersions flow pre-auth (any other
   *   request kills the connection, like a real sasl-only listener); a
   *   wrong credential gets error 58 (SASL_AUTHENTICATION_FAILED) with a
   *   named message, then the connection closes.
+  * @param saslMechanism the ONE mechanism this listener serves and
+  *   advertises — `PLAIN` (RFC 4616 token compare) or `SCRAM-SHA-256`
+  *   (full RFC 5802 server side: per-connection nonce, salted challenge,
+  *   proof verification, server-signature response).
+  * @param tamperServerSignature (SCRAM only) flip a byte in the
+  *   server-final `v=` signature — emulates a man-in-the-middle that
+  *   accepted the proof but cannot prove credential knowledge back; a
+  *   correct client MUST abort, named.
   */
 class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     fetchCodec: Int = KafkaWire.CodecNone, modernApis: Boolean = true,
     apiVersionsSupported: Boolean = true,
-    saslUsers: Map[String, String] = Map.empty) {
+    saslUsers: Map[String, String] = Map.empty,
+    saslMechanism: String = "PLAIN",
+    tamperServerSignature: Boolean = false) {
 
   private val logs = TrieMap.empty[(String, Int), ArrayBuffer[(Array[Byte], Array[Byte])]]
+
+  // SCRAM server-side fixtures: one salt per broker (real brokers store a
+  // per-user salt; one is enough for a stub), HMAC via the same JDK Mac
+  private val scramSalt: Array[Byte] =
+    "graft-stub-salt-0123".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(data)
+  }
   @volatile private var running = false
   private var server: ServerSocket = _
 
@@ -127,6 +147,7 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
     var authenticated = saslUsers.isEmpty
     var closeAfterResponse = false
+    var scramState: Option[(String, String, String)] = None // (user, client-first-bare, server-first)
     try {
       while (running) {
         val size = in.readInt()
@@ -150,10 +171,10 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
           case (KafkaWire.ApiSaslHandshake, 1) =>
             val mech = r.string()
             val w = new Writer()
-            w.int16(if (mech == "PLAIN") 0 else 33) // 33 = UNSUPPORTED_SASL_MECHANISM
-            w.array(Seq("PLAIN"))(m => w.string(m))
+            w.int16(if (mech == saslMechanism) 0 else 33) // 33 = UNSUPPORTED_SASL_MECHANISM
+            w.array(Seq(saslMechanism))(m => w.string(m))
             (w.toBytes, true)
-          case (KafkaWire.ApiSaslAuthenticate, 0) =>
+          case (KafkaWire.ApiSaslAuthenticate, 0) if saslMechanism == "PLAIN" =>
             val token = new String(r.bytes(),
               java.nio.charset.StandardCharsets.UTF_8).split("\u0000", -1)
             // RFC 4616: [authzid, authcid, passwd]
@@ -168,6 +189,65 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
                 s"Authentication failed: invalid credentials for user " +
                   s"'${token.lift(1).getOrElse("")}'")
                 .bytes(Array.emptyByteArray)
+            }
+            (w.toBytes, true)
+          case (KafkaWire.ApiSaslAuthenticate, 0) if saslMechanism == "SCRAM-SHA-256" =>
+            val msg = new String(r.bytes(), java.nio.charset.StandardCharsets.UTF_8)
+            val w = new Writer()
+            scramState match {
+              case None =>
+                // client-first: "n,," gs2 header + "n=<user>,r=<cnonce>"
+                val bare = msg.stripPrefix("n,,")
+                val attrs = bare.split(",").collect {
+                  case a if a.length >= 2 && a(1) == '=' =>
+                    a.substring(0, 1) -> a.substring(2)
+                }.toMap
+                val user = attrs("n").replace("=2C", ",").replace("=3D", "=")
+                val cnonce = attrs("r")
+                val snonce = java.util.UUID.nameUUIDFromBytes(
+                  (user + cnonce).getBytes).toString.replace("-", "")
+                val serverFirst =
+                  s"r=$cnonce$snonce,s=${java.util.Base64.getEncoder
+                    .encodeToString(scramSalt)},i=4096"
+                scramState = Some((user, bare, serverFirst))
+                w.int16(0).nullableString(null)
+                  .bytes(serverFirst.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              case Some((user, bare, serverFirst)) =>
+                // client-final: "c=biws,r=<nonce>,p=<proof b64>"
+                val attrs = msg.split(",").collect {
+                  case a if a.length >= 2 && a(1) == '=' =>
+                    a.substring(0, 1) -> a.substring(2)
+                }.toMap
+                val expectedNonce = serverFirst.split(",")(0).substring(2)
+                val withoutProof = s"c=biws,r=${attrs("r")}"
+                val authMessage = s"$bare,$serverFirst,$withoutProof"
+                val ok = saslUsers.get(user).exists { pass =>
+                  val salted = KafkaWire.Scram.saltedPassword(pass, scramSalt, 4096)
+                  val cKey = KafkaWire.Scram.clientKey(salted)
+                  val sig = hmacSha256(KafkaWire.Scram.storedKey(cKey),
+                    authMessage.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  val expectedProof = cKey.zip(sig).map { case (a, b) => (a ^ b).toByte }
+                  attrs("r") == expectedNonce &&
+                    attrs.get("p").contains(
+                      java.util.Base64.getEncoder.encodeToString(expectedProof))
+                }
+                if (ok) {
+                  authenticated = true
+                  val salted = KafkaWire.Scram.saltedPassword(
+                    saslUsers(user), scramSalt, 4096)
+                  val serverSig = hmacSha256(KafkaWire.Scram.serverKey(salted),
+                    authMessage.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  if (tamperServerSignature) serverSig(0) = (serverSig(0) ^ 0x1).toByte
+                  w.int16(0).nullableString(null).bytes(
+                    s"v=${java.util.Base64.getEncoder.encodeToString(serverSig)}"
+                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                } else {
+                  closeAfterResponse = true
+                  scramState = None
+                  w.int16(58).nullableString(
+                    s"Authentication failed during SCRAM exchange for user '$user'")
+                    .bytes(Array.emptyByteArray)
+                }
             }
             (w.toBytes, true)
           case (KafkaWire.ApiApiVersions, 0) =>
