@@ -547,7 +547,58 @@ object Bench {
           f"[bench] scale_probe q54_funnel_skew ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
         Seq(("q54_funnel_skew", tN, t1))
       }
-      val all = entryStats ++ semStats ++ phashStats ++ skewStats
+      // t19/t20 sketch paths (r9 verdict item 6 + the r10 sketch): both
+      // catalog entries embed an exact-recount harness (that's the
+      // MEASUREMENT, like d15's), so these probes time the operator
+      // aggregates alone — the "exchange carries one bounded state per
+      // partition" claim is exactly what must stay flat at 10×.
+      def topkSketch(dir: String): Unit =
+        graft.operators.HeavyHitters.topK(
+          graft.sources.Tables.load(spark, dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .selectExpr("explode(split(lower(text), ' ')) AS term")
+            .where("term <> ''"),
+          "term", 64)
+          .write.format("noop").mode("overwrite").save()
+      def kllSketch(dir: String): Unit =
+        graft.operators.Quantiles.sketch(
+          graft.sources.Tables.load(spark, dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .selectExpr("CAST(n_chars AS DOUBLE) AS v"),
+          "v", 128)
+          .write.format("noop").mode("overwrite").save()
+      // q58's write side (r9 verdict item 6): the co-located JOIN is
+      // spec-pinned at zero exchanges; the amortized cost is the
+      // bucketed WRITE, probed here over the events table (fact =
+      // events keyed by user, dim = distinct users) so it reads only
+      // amplified tables. Symmetric repartition like every probe.
+      def bucketedWrite(dir: String): Unit = {
+        val ev = graft.sources.Tables.load(spark, dir, "events")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .selectExpr("event_id", "user_id", "value")
+        val users = ev.select("user_id").distinct()
+          .selectExpr("user_id AS u_id", "user_id % 5 AS seg")
+        val bf = graft.operators.Bucketed.writeBucketed(
+          ev, "graft_probe_fact", 16, Seq("user_id"))
+        val bd = graft.operators.Bucketed.writeBucketed(
+          users, "graft_probe_dim", 16, Seq("u_id"))
+        graft.operators.Bucketed.colocatedJoin(bf, bd,
+          Seq("user_id"), Seq("u_id"))
+          .groupBy("seg").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val opStats = Seq(
+        ("t19_topk_sketch", topkSketch _),
+        ("t20_kll_sketch", kllSketch _),
+        ("q58_bucketed_write", bucketedWrite _)).map { case (name, f) =>
+        val t1 = tryRobust(name)(f(sfDir))
+        val tN = tryRobust(name)(f(tmp))
+        System.err.println(
+          f"[bench] scale_probe $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+        (name, tN, t1)
+      }
+      val all = entryStats ++ semStats ++ phashStats ++ skewStats ++ opStats
       all.map { case (name, tN, t1) =>
         val ratio = if (t1 > 0) tN / t1 else -1.0
         "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""

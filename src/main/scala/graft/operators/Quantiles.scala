@@ -190,6 +190,26 @@ object Quantiles {
         col("s.values").as("values"), col("s.weights").as("weights"))
   }
 
+  /** [[Kll]] finishing straight to one φ-quantile estimate — the shape a
+    * SQL aggregate wants (`graft_kll_quantile(v, k, φ)`): scalar out, no
+    * summary handling at the call site. NaN on an empty group.
+    */
+  final class KllQuantile(k: Int, phi: Double)
+      extends Aggregator[Double, KllState, Double] {
+    require(phi >= 0 && phi <= 1)
+    private val inner = new Kll(k)
+    override def zero: KllState = inner.zero
+    override def reduce(b: KllState, x: Double): KllState = inner.reduce(b, x)
+    override def merge(a: KllState, b: KllState): KllState = inner.merge(a, b)
+    override def finish(st: KllState): Double = {
+      val s = inner.finish(st)
+      if (s.values.isEmpty) Double.NaN else quantile(s, phi)
+    }
+    override def bufferEncoder: Encoder[KllState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   /** Whole-frame summary pulled to the driver — a bounded O(k)-value
     * pull (the finished sketch), same class as the Zipf-small pulls
     * elsewhere. The aggregation itself is fully distributed (map-side

@@ -18,6 +18,8 @@ import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
   * SELECT dot_product(a.embedding, b.embedding)                  -- cosine parts
   * SELECT minhash_signature(shingle_hashes(lower(text), 3), 64)  -- sketches
   * SELECT fence(expensive_expr)                                  -- pin a projection
+  * SELECT graft_topk(term, 64) FROM tokens GROUP BY day          -- MG summary
+  * SELECT graft_kll_quantile(latency, 128, 0.99)                 -- KLL p99
   * }}}
   *
   * The only whole-plan extension is the top-k-per-key rewrite
@@ -43,6 +45,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v, org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
       s"$fn expects an integer literal, got $other")
+  }
+
+  /** Fractional literal as Double — SQL `0.5` parses as a DECIMAL
+    * literal, so accept both decimal and double forms.
+    */
+  private def numLit(e: Expression, fn: String): Double = e match {
+    case Literal(v, org.apache.spark.sql.types.DoubleType) => v.asInstanceOf[Double]
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) =>
+      v.toDouble
+    case Literal(v, org.apache.spark.sql.types.IntegerType) =>
+      v.asInstanceOf[Int].toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a numeric literal, got $other")
   }
 
   private def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -98,7 +113,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.FastLocalTime(args(0))),
     (FunctionIdentifier("fence"),
       info("fence", "fence(expr) - identity marked non-deterministic: pins the enclosing projection"),
-      (args: Seq[Expression]) => OptimizerFence(args(0))))
+      (args: Seq[Expression]) => OptimizerFence(args(0))),
+    // mergeable-sketch AGGREGATES (the ClickHouse topK / quantileTDigest
+    // SQL surface): builders return the AggregateFunction and the
+    // analyzer wraps it in a Complete AggregateExpression, exactly as
+    // for built-in aggregates. k/φ must be literals — they parameterize
+    // the Aggregator instance, not a per-row input.
+    (FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(item, k) - Misra-Gries frequent-items summary map<string,bigint>: no overcount, undercount ≤ n/(k+1), every item with count > n/(k+1) present"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.HeavyHitters.MisraGries(
+            intLit(args(1), "graft_topk")),
+          org.apache.spark.sql.Encoders.STRING, "graft_topk", Seq(args(0)))),
+    (FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile", "graft_kll_quantile(v, k, phi) - KLL-sketched φ-quantile of v (rank error ~ O(1/k) whp; NaN on empty group)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Quantiles.KllQuantile(
+            intLit(args(1), "graft_kll_quantile"),
+            numLit(args(2), "graft_kll_quantile")),
+          org.apache.spark.sql.Encoders.scalaDouble, "graft_kll_quantile",
+          Seq(args(0)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -24,4 +24,20 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** A typed `Aggregator` as a Catalyst aggregate expression — the
+    * SQL-function form of `functions.udaf(agg)`. `UserDefinedAggregator`
+    * is `private[sql]`, hence the bridge; the analyzer wraps the
+    * returned AggregateFunction in a Complete AggregateExpression like
+    * any built-in aggregate.
+    */
+  def scalaAggregator[IN](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, _, _],
+      inputEncoder: org.apache.spark.sql.Encoder[IN],
+      name: String,
+      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      org.apache.spark.sql.functions.udaf(agg, inputEncoder)
+        .asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[Any, Any, Any]],
+      children).copy(aggregatorName = Some(name))
 }

@@ -94,4 +94,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Long].collect().head
     assert(viaSql == viaCol)
   }
+
+  test("graft_topk aggregate from SQL: MG bounds + GROUP BY form") {
+    import spark.implicits._
+    // 40×'a', 20×'b', singletons — k=8 must carry both heavy items with
+    // no overcount; summary is a map<string,bigint>
+    val terms = (Seq.fill(40)("a") ++ Seq.fill(20)("b") ++
+      (1 to 10).map(i => s"x$i")).zipWithIndex
+      .map { case (t, i) => (t, i % 2) }
+    terms.toDF("term", "grp").createOrReplaceTempView("ge_terms")
+    val whole = spark.sql(
+      "SELECT graft_topk(term, 8) AS s FROM ge_terms")
+      .selectExpr("s['a']", "s['b']").collect().head
+    assert(!whole.isNullAt(0) && whole.getLong(0) <= 40 &&
+      whole.getLong(0) >= 40 - 70 / 9) // est ≤ true ≤ est + n/(k+1)
+    assert(!whole.isNullAt(1) && whole.getLong(1) <= 20)
+    // grouped: each group's summary only sees its partition of the data
+    val grouped = spark.sql(
+      "SELECT grp, graft_topk(term, 8) AS s FROM ge_terms GROUP BY grp")
+      .selectExpr("grp", "s['a']").collect()
+    assert(grouped.length == 2)
+    grouped.foreach(r => assert(!r.isNullAt(1) && r.getLong(1) <= 20))
+  }
+
+  test("graft_kll_quantile aggregate from SQL: decimal/double φ, per-group") {
+    import spark.implicits._
+    (0 until 1000).map(i => (i.toDouble, i % 2)).toDF("v", "grp")
+      .createOrReplaceTempView("ge_vals")
+    // whole frame, φ as a SQL decimal literal
+    val med = spark.sql(
+      "SELECT graft_kll_quantile(v, 128, 0.5) AS q FROM ge_vals")
+      .collect().head.getDouble(0)
+    assert(med > 400 && med < 600, s"median $med")
+    // per group with double φ; evens vs odds have disjoint parity
+    val qs = spark.sql(
+      "SELECT grp, graft_kll_quantile(v, 128, 0.99d) AS q " +
+        "FROM ge_vals GROUP BY grp").collect()
+    assert(qs.length == 2)
+    qs.foreach(r => assert(r.getDouble(1) > 900, r.toString))
+    // non-literal k is a named error, not a silent misread
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_kll_quantile(v, CAST(grp AS INT), 0.5) FROM ge_vals").collect())
+    assert(e.getMessage.contains("graft_kll_quantile"), e.getMessage)
+  }
 }
