@@ -31,7 +31,7 @@ object SparkEntry {
     "t20_kll_quantiles")
 
   /** z01_self_checks (r6 verdict item 6): the driver's CORRECTNESS artifact
-    * recorded the four self-checking entries as bare `no_oracle`, so a
+    * recorded the self-checking entries as bare `no_oracle`, so a
     * regression in any of their invariants would not fail the round. This
     * entry re-runs each of them, folds every boolean flag column to a
     * single all-true verdict (NULL or empty result counts as failure —
@@ -59,7 +59,7 @@ object SparkEntry {
       .map(n => s"('$n', true)")
       .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(name, pass)")),
     "driver-provable self-check rollup: re-evaluates the invariant flags " +
-      "of the four no-oracle entries; oracle expects every row true")
+      "of the no-oracle entries; oracle expects every row true")
 
   val catalog: Map[String, Q] = base + ("z01_self_checks" -> z01)
 

@@ -184,10 +184,13 @@ object Quantiles {
   def sketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a typed select of the aggregator column yields Dataset[KllSummary],
+    // whose schema is the case-class fields FLATTENED to top level (not a
+    // struct named "s") — select them directly
     df.select(col(valueCol).cast("double")).na.drop().as[Double]
       .select(new Kll(k).toColumn.name("s"))
-      .select(col("s.n").as("n"), col("s.varSum").as("var_sum"),
-        col("s.values").as("values"), col("s.weights").as("weights"))
+      .select(col("n"), col("varSum").as("var_sum"),
+        col("values"), col("weights"))
   }
 
   /** [[Kll]] finishing straight to one φ-quantile estimate — the shape a

@@ -120,6 +120,13 @@ class QuantilesSpec extends AnyFunSuite {
       val df = spark.sparkContext.parallelize(data, parts).toDF("v")
       val sk = Quantiles.sketchSummary(df, "v", K)
       checkBounds(data, sk, s"spark-$parts-parts")
+      // the DataFrame surface returns the same summary as flat columns
+      // (n, var_sum, values, weights) — the r10 bench probe caught this
+      // path unresolved, so it gets its own coverage
+      val r = Quantiles.sketch(df, "v", K).collect().head
+      checkBounds(data, KllSummary(r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toIndexedSeq, r.getSeq[Long](3).toIndexedSeq),
+        s"sketch-df-$parts-parts")
     }
   }
 
@@ -138,6 +145,43 @@ class QuantilesSpec extends AnyFunSuite {
         r.getSeq[Double](3).toIndexedSeq, r.getSeq[Long](4).toIndexedSeq)
       val data = if (r.getString(0) == "a") a else b
       checkBounds(data, sk, s"key-${r.getString(0)}")
+    }
+  }
+
+  test("streaming: the sketch aggregates incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 micro-batches × 2 keys; each batch shifts the distribution so a
+    // summary that dropped earlier batches would blow the rank check
+    val batches = (0 until 3).map { b =>
+      (0 until 4000).map { i =>
+        (s"k${i % 2}", (mix(b * 100000 + i) >>> 11).toDouble / (1L << 53).toDouble + b)
+      }
+    }
+    val stream = MemoryStream[(String, Double)]
+    val agg = stream.toDS()
+      .groupByKey(_._1)
+      .agg(new Quantiles.KllValue(K).toColumn.name("s"))
+    val q = agg.writeStream.format("memory")
+      .queryName("kll_stream_test").outputMode("update").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten
+    val rows = spark.table("kll_stream_test").toDF("key", "s")
+      .groupBy("key").agg(org.apache.spark.sql.functions.last("s").as("s"))
+      .select(col("key"), col("s.n"), col("s.varSum"),
+        col("s.values"), col("s.weights"))
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("k0", "k1"))
+    for (r <- rows) {
+      val sk = KllSummary(r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toIndexedSeq, r.getSeq[Long](4).toIndexedSeq)
+      // the last update per key summarizes the WHOLE stream history —
+      // the state store carried the sketch between micro-batches
+      checkBounds(all.filter(_._1 == r.getString(0)).map(_._2),
+        sk, s"stream-${r.getString(0)}")
     }
   }
 
