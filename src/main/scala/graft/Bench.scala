@@ -228,7 +228,9 @@ object Bench {
     // Standing rule this mechanizes: an unchanged hash round-over-round
     // PROVES a timing drift has no plan mechanism (adjudicated on the
     // spot — no isolated re-measurement needed); a changed hash names
-    // the replanned entry and its node histogram says how. Computed in a
+    // the replanned entry and its node histogram says how. One-line
+    // check: `python3 tools/diff_plans.py PLANS_r{N-1}.json PLANS_r{N}
+    // .json` (exit 0 = all shared hashes unchanged). Computed in a
     // separate pass AFTER the timing loop so forcing queryExecution
     // doesn't pre-warm planning out of the measured reps (which would
     // break comparability with earlier rounds).

@@ -24,10 +24,16 @@ import org.apache.spark.sql.DataFrame
   * a single file; with many files per bucket Spark re-sorts per task —
   * a sort, never an exchange.
   *
-  * `BucketedSpec` pins the contract: the co-located join compiles to
-  * zero `ShuffleExchangeLike` nodes (broadcast disabled) while the same
-  * join over plain parquet plans two, and results are identical; catalog
-  * q58 hash-matches the joined aggregate against the DuckDB oracle.
+  * The layout pays twice: a `groupBy` ON the bucket key also rides the
+  * scan's hash distribution — partial+final aggregate fused per bucket,
+  * no exchange (the nightly-rollup shape: bucket the fact table on the
+  * rollup key once, every day's aggregate is exchange-free).
+  *
+  * `BucketedSpec` pins the contract: the co-located join AND the
+  * bucket-key aggregation compile to zero `ShuffleExchangeLike` nodes
+  * (broadcast disabled) while the same plans over plain parquet pay
+  * two/one, and results are identical; catalog q58 hash-matches the
+  * joined aggregate against the DuckDB oracle.
   */
 object Bucketed {
 

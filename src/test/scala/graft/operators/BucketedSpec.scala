@@ -56,6 +56,26 @@ class BucketedSpec extends AnyFunSuite {
     assert(shuffles(pf.join(pd, pf("k") === pd("k"))) == 2)
   }
 
+  test("aggregation on the bucket key also plans zero exchanges") {
+    // the OTHER half of the layout payoff: the scan's bucket hash
+    // distribution satisfies the aggregate's clustering requirement too,
+    // so a groupBy on the bucket key runs partial+final fused per bucket
+    // with no exchange — while the same aggregate over plain parquet
+    // pays one
+    val bf = Bucketed.writeBucketed(facts, "graft_spec_facts_g", 4, Seq("k"))
+    assert(shuffles(bf.groupBy(col("k")).agg(sum(col("amount")))) == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed_agg")
+    facts.write.mode("overwrite").parquet(s"$tmp/facts")
+    val pf = spark.read.parquet(s"$tmp/facts")
+    assert(shuffles(pf.groupBy(col("k")).agg(sum(col("amount")))) == 1)
+    // and the answer is identical either way
+    val a = bf.groupBy(col("k")).agg(sum(col("amount")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val b = facts.groupBy(col("k")).agg(sum(col("amount")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.size == 37)
+  }
+
   test("mismatched bucket counts cost one side its shuffle back") {
     val bf = Bucketed.writeBucketed(facts, "graft_spec_facts8", 8, Seq("k"))
     val bd = Bucketed.writeBucketed(dims, "graft_spec_dims4", 4, Seq("k"))
