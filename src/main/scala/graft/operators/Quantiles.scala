@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Error accounting — the part that makes the t20 self-check airtight
   * rather than hand-wavy: a compaction at level i perturbs the estimated
-  * rank of ANY fixed value by a zero-mean error of magnitude ≤ 2^(i-1)
-  * (each surviving pair contributes exactly its pre-compaction rank;
-  * only an odd tail flips ±half a weight on the random offset — KLL
-  * §2's observation). The sketch therefore carries `varSum`, the sum of
-  * (2^(i-1))² over every compaction it has ever performed — ADDITIVE
+  * rank of ANY fixed threshold by a zero-mean error of magnitude ≤ 2^i
+  * — exactly 0 when the threshold's rank within the compacted buffer is
+  * even, ±2^i on the offset coin flip when odd (KLL §2's unbiased-
+  * compaction observation). The sketch therefore carries `varSum`, the
+  * sum of (2^i)² over every compaction it has ever performed — ADDITIVE
   * under merge, exactly like the data. Hoeffding over those bounded
   * zero-mean terms gives, for failure probability δ:
   *
@@ -126,9 +126,11 @@ object Quantiles {
     val newLevels = withRoom
       .updated(idx, keepLocal.toVector)
       .updated(idx + 1, (withRoom(idx + 1) ++ promoted).toVector)
-    // error term: zero-mean, magnitude ≤ 2^(idx-1) → variance proxy
-    // (2^(idx-1))² = 4^(idx-1); level 0 contributes (1/2)² = 0.25
-    st.copy(varSum = st.varSum + math.pow(4.0, idx - 1),
+    // error term: for any threshold x with r body items ≤ x, the
+    // promoted count ≤ x is r/2 (r even: error 0) or (r±1)/2 on the
+    // coin flip (r odd: error ±w at weight w=2^idx after doubling) —
+    // zero-mean, magnitude ≤ 2^idx, variance term (2^idx)² = 4^idx
+    st.copy(varSum = st.varSum + math.pow(4.0, idx),
       nCompactions = st.nCompactions + 1, levels = newLevels)
   }
 
