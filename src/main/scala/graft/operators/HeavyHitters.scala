@@ -53,7 +53,11 @@ object HeavyHitters {
 
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-      b.get(x) match {
+      // SQL-aggregate null semantics (the graft_topk surface feeds raw
+      // column values): NULL items are skipped, never counted — and a
+      // null map key would fail buffer encoding anyway
+      if (x == null) b
+      else b.get(x) match {
         case Some(c) => b.updated(x, c + 1L)
         case None => shrink(b.updated(x, 1L))
       }

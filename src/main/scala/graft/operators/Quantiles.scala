@@ -200,11 +200,15 @@ object Quantiles {
     * summary handling at the call site. NaN on an empty group.
     */
   final class KllQuantile(k: Int, phi: Double)
-      extends Aggregator[Double, KllState, Double] {
+      extends Aggregator[java.lang.Double, KllState, Double] {
     require(phi >= 0 && phi <= 1)
     private val inner = new Kll(k)
     override def zero: KllState = inner.zero
-    override def reduce(b: KllState, x: Double): KllState = inner.reduce(b, x)
+    // boxed input + null skip: the SQL surface feeds raw column values,
+    // and SQL aggregates ignore NULLs (a primitive input encoder would
+    // fail the row instead)
+    override def reduce(b: KllState, x: java.lang.Double): KllState =
+      if (x == null) b else inner.reduce(b, x.doubleValue())
     override def merge(a: KllState, b: KllState): KllState = inner.merge(a, b)
     override def finish(st: KllState): Double = {
       val s = inner.finish(st)
@@ -214,6 +218,7 @@ object Quantiles {
     override def outputEncoder: Encoder[Double] =
       org.apache.spark.sql.Encoders.scalaDouble
   }
+
 
   /** Whole-frame summary pulled to the driver — a bounded O(k)-value
     * pull (the finished sketch), same class as the Zipf-small pulls

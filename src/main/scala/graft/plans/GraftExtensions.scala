@@ -133,7 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new graft.operators.Quantiles.KllQuantile(
             intLit(args(1), "graft_kll_quantile"),
             numLit(args(2), "graft_kll_quantile")),
-          org.apache.spark.sql.Encoders.scalaDouble, "graft_kll_quantile",
+          org.apache.spark.sql.Encoders.DOUBLE, "graft_kll_quantile",
           Seq(args(0)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =

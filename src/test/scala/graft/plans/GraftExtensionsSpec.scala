@@ -137,4 +137,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_kll_quantile(v, CAST(grp AS INT), 0.5) FROM ge_vals").collect())
     assert(e.getMessage.contains("graft_kll_quantile"), e.getMessage)
   }
+
+  test("SQL sketch aggregates skip NULLs (standard aggregate semantics)") {
+    import spark.implicits._
+    // raw column values reach the Aggregators here (no na.drop upstream
+    // like the DataFrame surfaces) — NULL items must be ignored, never
+    // counted and never a null map key / encoding failure
+    Seq(Some("a"), None, Some("a"), None).toDF("t")
+      .createOrReplaceTempView("ge_null_t")
+    val m = spark.sql("SELECT graft_topk(t, 4) AS s FROM ge_null_t")
+      .selectExpr("map_keys(s)", "s['a']").collect().head
+    assert(m.getSeq[String](0).toSeq == Seq("a") && m.getLong(1) == 2L)
+    Seq(Some(1.0), None, Some(3.0), None).toDF("v")
+      .createOrReplaceTempView("ge_null_v")
+    val q = spark.sql(
+      "SELECT graft_kll_quantile(v, 128, 1.0) AS q FROM ge_null_v")
+      .collect().head.getDouble(0)
+    assert(q == 3.0, s"max over non-null values, got $q")
+    // all-NULL group: NaN, not a crash
+    val nan = spark.sql(
+      "SELECT graft_kll_quantile(CAST(NULL AS DOUBLE), 128, 0.5)")
+      .collect().head.getDouble(0)
+    assert(nan.isNaN)
+  }
 }
