@@ -103,8 +103,12 @@ private[sources] class KafkaLiteTable extends Table with SupportsRead {
         KafkaWire.Dialect(Option(options.get("dialect")).getOrElse("modern")).name
       private val saslUser = Option(options.get("sasl.username"))
       private val saslPass = Option(options.get("sasl.password"))
-      private val saslMech = Option(options.get("sasl.mechanism"))
-        .getOrElse("PLAIN")
+      private val saslMech = { // validate on the driver, fail fast like dialect
+        val m = Option(options.get("sasl.mechanism")).getOrElse("PLAIN")
+        require(m == "PLAIN" || m == "SCRAM-SHA-256",
+          s"kafka-lite sasl.mechanism must be 'PLAIN' or 'SCRAM-SHA-256', got '$m'")
+        m
+      }
       override def build(): Scan = this
       override def readSchema(): StructType = KafkaLiteSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -220,6 +220,18 @@ class KafkaLiteSpec extends AnyFunSuite {
       assert(causes(ex).exists(_.getMessage != null) &&
         causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("startingOffsets")),
         s"expected a startingOffsets validation error, got $ex")
+      // sasl.mechanism validates on the driver the same way
+      val df2 = StreamingIngest.kafkaLiteSource(
+        spark, s"127.0.0.1:$port", "t2",
+        saslUser = Some("u"), saslMechanism = "SCRAM-SHA-1")
+      val ex2 = intercept[Exception] {
+        val q = df2.writeStream.format("memory")
+          .queryName("kafka_lite_badmech").outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      assert(causes(ex2).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("sasl.mechanism")),
+        s"expected a sasl.mechanism validation error, got $ex2")
     } finally broker.stop()
   }
 
