@@ -83,6 +83,9 @@ object Bucketed {
         case pat(pid) if ProcessHandle.of(pid.toLong)
             .filter(_.isAlive).isEmpty =>
           fs.delete(st.getPath, true)
+        // an UNsuffixed dir is a pre-pid-scheme leftover: no live JVM can
+        // own it (every current writer suffixes), so it is always stale
+        case n if n == base => fs.delete(st.getPath, true)
         case _ => ()
       }
     }

@@ -917,7 +917,11 @@ private[graft] object KafkaWire {
       throw new java.io.IOException(
         s"sasl authentication failed (error $err): " +
           Option(msg).getOrElse("no broker message"))
-    r.bytes()
+    // auth_bytes is non-nullable BYTES in the v0 schema; a -1 length is a
+    // protocol violation — name it instead of NPE'ing in the caller
+    Option(r.bytes()).getOrElse(
+      throw new java.io.IOException(
+        "sasl authenticate response carried null auth bytes (protocol violation)"))
   }
 
   // ---- SASL/SCRAM-SHA-256 (RFC 5802 / RFC 7677) --------------------------
@@ -941,6 +945,11 @@ private[graft] object KafkaWire {
   // named IOException on mismatch. The helpers are pure string/bytes
   // functions so the RFC 7677 published test vector pins them in spec.
   object Scram {
+    /** Minimum accepted PBKDF2 iteration count — Kafka brokers default to
+      * 4096 and RFC 7677 recommends at least that; see [[parseServerFirst]].
+      */
+    val MinScramIterations = 4096
+
     private val B64E = java.util.Base64.getEncoder
     private val B64D = java.util.Base64.getDecoder
 
@@ -986,11 +995,19 @@ private[graft] object KafkaWire {
         throw new java.io.IOException(
           "scram server nonce does not extend the client nonce (replayed or " +
             "tampered server-first)")
+      val iters = attrs.get("i").flatMap(_.toIntOption).getOrElse(
+        throw new java.io.IOException(s"scram server-first missing/malformed i=: $msg"))
+      // RFC 5802 floor (and Kafka's own minimum): a MITM that rewrites
+      // server-first with i=1 would make the captured client proof cheap
+      // to brute-force offline — refuse the downgrade, named
+      if (iters < MinScramIterations)
+        throw new java.io.IOException(
+          s"scram iteration count $iters below the $MinScramIterations floor " +
+            "(downgraded or misconfigured server)")
       ServerFirst(nonce,
         B64D.decode(attrs.getOrElse("s",
           throw new java.io.IOException(s"scram server-first missing s=: $msg"))),
-        attrs.getOrElse("i",
-          throw new java.io.IOException(s"scram server-first missing i=: $msg")).toInt)
+        iters)
     }
 
     /** (client-final-message, expected ServerSignature). The caller sends

@@ -74,9 +74,12 @@ object StreamingIngest {
       .option("topic", topic)
       .option("startingOffsets", startingOffsets)
       .option("dialect", dialect)
+      // always forwarded, even with no credentials, so the DSv2 driver
+      // validation catches a typo'd mechanism instead of silently
+      // ignoring a mechanism-only misconfiguration
+      .option("sasl.mechanism", saslMechanism)
     val withSasl = saslUser.fold(base)(u => base.option("sasl.username", u)
-      .option("sasl.password", saslPass.getOrElse(""))
-      .option("sasl.mechanism", saslMechanism))
+      .option("sasl.password", saslPass.getOrElse("")))
     maxOffsetsPerTrigger.fold(withSasl)(n => withSasl.option("maxOffsetsPerTrigger", n))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
@@ -99,6 +102,8 @@ object StreamingIngest {
       saslPass: Option[String] = None,
       saslMechanism: String = "PLAIN"): DataStreamWriter[org.apache.spark.sql.Row] = {
     val codecId = graft.sources.KafkaWire.codecId(produceCodec) // validate up front
+    require(saslMechanism == "PLAIN" || saslMechanism == "SCRAM-SHA-256",
+      s"kafka-lite saslMechanism must be 'PLAIN' or 'SCRAM-SHA-256', got '$saslMechanism'")
     lines.selectExpr("CAST(value AS STRING) AS value")
       .where(col("value").isNotNull)
       .writeStream

@@ -119,9 +119,14 @@ class HeavyHittersSpec extends AnyFunSuite {
     val exact = all.groupBy(_._1).map { case (k, xs) =>
       k -> xs.groupBy(_._2).map { case (v, ys) => v -> ys.size.toLong } }
     import spark.implicits._
+    // max_by on an insertion ordinal, not last(): last() over an
+    // unordered groupBy is documented nondeterministic; the memory sink
+    // appends each batch as later partitions, so monotonically
+    // increasing ids select the final update per key deterministically
     val sketch = spark.table("hh_stream_test")
       .toDF("key", "summary")
-      .groupBy("key").agg(last("summary").as("summary"))
+      .withColumn("ord", monotonically_increasing_id())
+      .groupBy("key").agg(max_by(col("summary"), col("ord")).as("summary"))
       .select(col("key"), explode(col("summary")))
       .as[(String, String, Long)].collect()
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(t => t._2 -> t._3).toMap }

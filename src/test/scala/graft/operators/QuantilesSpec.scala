@@ -169,8 +169,12 @@ class QuantilesSpec extends AnyFunSuite {
       batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
     val all = batches.flatten
+    // max_by on n, not last(): last() over an unordered groupBy is
+    // documented nondeterministic, while the final update per key is
+    // exactly the one with the largest n
     val rows = spark.table("kll_stream_test").toDF("key", "s")
-      .groupBy("key").agg(org.apache.spark.sql.functions.last("s").as("s"))
+      .groupBy("key").agg(org.apache.spark.sql.functions
+        .max_by(col("s"), col("s.n")).as("s"))
       .select(col("key"), col("s.n"), col("s.varSum"),
         col("s.values"), col("s.weights"))
       .collect()

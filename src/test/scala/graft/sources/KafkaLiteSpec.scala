@@ -540,6 +540,18 @@ class KafkaLiteSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException](KafkaWire.Scram.verifyServerFinal(
       "v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=", serverSig))
     assert(e.getMessage.contains("server signature mismatch"))
+    // iteration-count downgrade (MITM rewrites i=1 to cheapen an offline
+    // attack on the captured proof) is refused named, as is malformed i=
+    val down = intercept[java.io.IOException](KafkaWire.Scram.parseServerFirst(
+      s"r=${cnonce}snonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=1", cnonce))
+    assert(down.getMessage.contains("below the 4096 floor"), down.getMessage)
+    val mal = intercept[java.io.IOException](KafkaWire.Scram.parseServerFirst(
+      s"r=${cnonce}snonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=many", cnonce))
+    assert(mal.getMessage.contains("malformed"), mal.getMessage)
+    // a server nonce that does not extend ours (replay/tamper) is refused
+    val replay = intercept[java.io.IOException](KafkaWire.Scram.parseServerFirst(
+      "r=stranger,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", cnonce))
+    assert(replay.getMessage.contains("does not extend"), replay.getMessage)
   }
 
   test("SCRAM-SHA-256: authenticated round trip; wrong password and " +
