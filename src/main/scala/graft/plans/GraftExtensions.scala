@@ -134,6 +134,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(1), "graft_kll_quantile"),
             numLit(args(2), "graft_kll_quantile")),
           org.apache.spark.sql.Encoders.DOUBLE, "graft_kll_quantile",
+          Seq(args(0)))),
+    (FunctionIdentifier("graft_sample"),
+      info("graft_sample", "graft_sample(item, k[, salt]) - uniform k-reservoir of item as array<string> (without replacement over rows; deterministic per salt)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Reservoir.Sample(
+            intLit(args(1), "graft_sample"),
+            if (args.size > 2) intLit(args(2), "graft_sample").toLong else 0L),
+          org.apache.spark.sql.Encoders.STRING, "graft_sample",
           Seq(args(0)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -1608,6 +1608,40 @@ object DataOps {
         "exact ranks from the same scan via the sketch's self-tracked " +
         "Hoeffding bound"),
 
+    // t21: mergeable uniform reservoir sample (ClickHouse
+    // `groupArraySample(k)` parity) — the fourth mergeable-summary leg.
+    // SELF-CHECKING (sample contents are merge-order-dependent): size =
+    // min(k, n), no row sampled twice, and every sampled id exists in
+    // the corpus, all proven in the same scan; UNIFORMITY is proven
+    // statistically in ReservoirSpec (inclusion frequencies over 400
+    // salts within ±5σ, for folds, chains, and merge trees).
+    "t21_reservoir_sample" -> Q(
+      (s, dir) => {
+        val k = 64
+        val docs = tp(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"))
+        val ids = graft.operators.Reservoir.sample(docs, "id", k, salt = 42L)
+          .select(explode(col("items")).as("sid"))
+        val stats = ids.agg(count(lit(1)).as("sz"),
+          countDistinct(col("sid")).as("nd"))
+        val nonMember = ids
+          .join(docs, col("sid") === col("id"), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        stats.crossJoin(nonMember).crossJoin(tot).select(
+          col("sz"), col("nd"), col("n_bad"), col("n"),
+          (col("sz") === least(lit(k.toLong), col("n"))).as("size_in_bound"),
+          (col("nd") === col("sz")).as("distinct_in_bound"),
+          (col("n_bad") === 0).as("member_in_bound"),
+          ((col("sz") === least(lit(k.toLong), col("n"))) &&
+            (col("nd") === col("sz")) && (col("n_bad") === 0)).as("pass"))
+      },
+      None,
+      "mergeable uniform reservoir sample (Algorithm R + the Mergeable " +
+        "Summaries weighted merge): <= k-item state per partition, " +
+        "map-side combine; size/distinctness/membership self-checked " +
+        "in-query, uniformity proven across merge trees in spec"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

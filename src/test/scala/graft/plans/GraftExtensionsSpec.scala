@@ -138,6 +138,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_kll_quantile"), e.getMessage)
   }
 
+  test("graft_sample aggregate from SQL: k distinct rows, per-group, salted") {
+    import spark.implicits._
+    (0 until 500).map(i => (s"r$i", i % 2)).toDF("t", "grp")
+      .createOrReplaceTempView("ge_sample")
+    val whole = spark.sql("SELECT graft_sample(t, 16) AS s FROM ge_sample")
+      .collect().head.getSeq[String](0)
+    assert(whole.size == 16 && whole.distinct.size == 16 &&
+      whole.forall(_.startsWith("r")))
+    val grouped = spark.sql(
+      "SELECT grp, graft_sample(t, 8, 7) AS s FROM ge_sample GROUP BY grp")
+      .collect()
+    assert(grouped.length == 2)
+    for (r <- grouped) { // each group's sample only holds its own parity
+      val par = r.getInt(0)
+      val s = r.getSeq[String](1)
+      assert(s.size == 8 && s.forall(_.drop(1).toInt % 2 == par), s.toString)
+    }
+  }
+
   test("SQL sketch aggregates skip NULLs (standard aggregate semantics)") {
     import spark.implicits._
     // raw column values reach the Aggregators here (no na.drop upstream

@@ -71,8 +71,9 @@ class TinyCorpusSpec extends AnyFunSuite {
     // t19's self-check must PASS, not just run, on a degenerate corpus
     "p08_doremi_mixture", "q58_bucketed_join",
     // r10: t20's sketch never compacts on 6 docs — varSum 0, bound 0,
-    // ranks must be EXACT for the self-check to pass
-    "t20_kll_quantiles"))
+    // ranks must be EXACT for the self-check to pass; t21's reservoir is
+    // exhaustive below k (sample == corpus, size = n)
+    "t20_kll_quantiles", "t21_reservoir_sample"))
     test(s"$name runs a 6-row corpus end-to-end") {
       val out = graft.SparkEntry.queries(name)(spark, tinyEmbDir)
       assert(out.count() >= 0)
