@@ -585,9 +585,17 @@ object Bench {
             org.apache.spark.sql.functions.lit(1)).as("n"))
           .write.format("noop").mode("overwrite").save()
       }
+      def samplePick(dir: String): Unit =
+        graft.operators.Reservoir.sample(
+          graft.sources.Tables.load(spark, dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .selectExpr("CAST(doc_id AS STRING) AS id"),
+          "id", 64)
+          .write.format("noop").mode("overwrite").save()
       val opStats = Seq(
         ("t19_topk_sketch", topkSketch _),
         ("t20_kll_sketch", kllSketch _),
+        ("t21_sample_sketch", samplePick _),
         ("q58_bucketed_write", bucketedWrite _)).map { case (name, f) =>
         val t1 = tryRobust(name)(f(sfDir))
         val tN = tryRobust(name)(f(tmp))

@@ -115,6 +115,22 @@ object Reservoir {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** [[Sample]] lifted over the value half of a (key, value) pair — the
+    * grouped/streaming form's input adapter (the
+    * [[HeavyHitters.MisraGriesValue]] pattern).
+    */
+  final class SampleValue(k: Int, salt: Long = 0L)
+      extends Aggregator[(String, String), ResState, Seq[String]] {
+    private val inner = new Sample(k, salt)
+    override def zero: ResState = inner.zero
+    override def reduce(b: ResState, x: (String, String)): ResState =
+      inner.reduce(b, x._2)
+    override def merge(a: ResState, b: ResState): ResState = inner.merge(a, b)
+    override def finish(st: ResState): Seq[String] = inner.finish(st)
+    override def bufferEncoder: Encoder[ResState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[String]] = inner.outputEncoder
+  }
+
   /** Whole-frame uniform k-sample of `valueCol` → one row, array column
     * `items` (≤ k entries, each a distinct input ROW's value — duplicate
     * values in the data can of course repeat).

@@ -87,6 +87,41 @@ class ReservoirSpec extends AnyFunSuite {
     assert(outS.sorted == (0 until 20).map(i => s"s$i").sorted)
   }
 
+  test("streaming: the reservoir aggregates incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, max_by, monotonically_increasing_id}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map(i => (s"k${i % 2}", s"b${b}r$i"))
+    }
+    val stream = MemoryStream[(String, String)]
+    val q = stream.toDS().groupByKey(_._1)
+      .agg(new Reservoir.SampleValue(12, salt = 9).toColumn.name("s"))
+      .writeStream.format("memory")
+      .queryName("res_stream_test").outputMode("update").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten
+    val rows = spark.table("res_stream_test").toDF("key", "s")
+      .withColumn("ord", monotonically_increasing_id())
+      .groupBy("key").agg(max_by(col("s"), col("ord")).as("s"))
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("k0", "k1"))
+    for (r <- rows) {
+      val key = r.getString(0)
+      val s = r.getSeq[String](1)
+      val keyRows = all.filter(_._1 == key).map(_._2).toSet
+      // the final update samples from the WHOLE stream history: 12
+      // distinct members drawn from all 60 of the key's rows, including
+      // (with overwhelming probability at these sizes, deterministic
+      // under the fixed salt) rows from more than one batch
+      assert(s.size == 12 && s.distinct.size == 12 && s.forall(keyRows))
+      assert(s.map(_.take(2)).distinct.size > 1, s.toString)
+    }
+  }
+
   test("null items are skipped, not sampled") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
