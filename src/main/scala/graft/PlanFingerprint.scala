@@ -38,6 +38,9 @@ object PlanFingerprint {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("cte_repr_id=\\d+", "cte_repr_id=x")
       .replaceAll("@[0-9a-f]{6,}", "@x")
+      // mapPartitions/typed-op closures print their runtime-generated
+      // class (`Foo$$Lambda$123/0x00007f...`) — a fresh identity per JVM
+      .replaceAll("\\$\\$Lambda\\$?\\d*(/0x[0-9a-f]+)?", "\\$\\$Lambda")
       // locations: testdata / tmp / warehouse paths, with or without a
       // file: scheme; bucketed tables carry a per-JVM pid suffix
       .replaceAll("file:[^\\s,\\]\\)]+", "PATH")
