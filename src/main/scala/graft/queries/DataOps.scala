@@ -1642,6 +1642,75 @@ object DataOps {
         "map-side combine; size/distinctness/membership self-checked " +
         "in-query, uniformity proven across merge trees in spec"),
 
+    // t22: distinct-count SET OPERATIONS via theta sketches — the
+    // ClickHouse `uniqTheta`/`uniqThetaUnion`/`uniqThetaIntersect`/
+    // `uniqThetaNot` surface, answered Spark-first with the STOCK
+    // DataSketches theta functions (theta_sketch_agg + union/
+    // intersection/difference estimators) rather than a reimplementation
+    // — the q48 pattern. The shape is corpus-overlap estimation: "how
+    // much does source A's vocabulary overlap source B's" answered from
+    // two bounded sketches instead of a distinct-distinct join, which is
+    // the only form that survives two 100 TB corpora. SELF-CHECKING
+    // (sketch estimates; fixed library seed → deterministic): per-side
+    // distinct, union, intersection, and difference estimates are
+    // compared against exact same-scan counts; default lgK=12 gives RSE
+    // ≈ 1.6%, bounds below are ±5σ for the direct sketches and ±10% of
+    // UNION size for the derived set ops (their absolute error scales
+    // with the union, not the result).
+    "t22_theta_set_ops" -> Q(
+      (s, dir) => {
+        // 3-token spans, not unigrams: the synthetic corpus has a tiny
+        // word vocabulary (31 distinct at sf0.01), which would keep the
+        // sketches in their exact regime and make the bounds vacuous;
+        // span hashes give tens of thousands of distinct values per
+        // side with realistic cross-side overlap
+        val terms = tp(s, dir, "documents")
+          .select((col("doc_id") % 2 === 0).as("side_a"), explode(
+            graft.functions.OptimizerFence(
+              graft.functions.VectorExprs.spanHashes(
+                Dedup.normalize(col("text")), 3))).as("h"))
+          .select(col("side_a"), col("h").cast("string").as("term"))
+        val sk = terms.agg(
+          expr("theta_sketch_agg(CASE WHEN side_a THEN term END)").as("sk_a"),
+          expr("theta_sketch_agg(CASE WHEN NOT side_a THEN term END)").as("sk_b"))
+        val est = sk.select(
+          expr("theta_sketch_estimate(sk_a)").as("a_est"),
+          expr("theta_sketch_estimate(sk_b)").as("b_est"),
+          expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").as("u_est"),
+          expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").as("i_est"),
+          expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").as("d_est"))
+        val exact = terms.agg(
+          count_distinct(when(col("side_a"), col("term"))).as("a_true"),
+          count_distinct(when(!col("side_a"), col("term"))).as("b_true"),
+          count_distinct(col("term")).as("u_true"))
+        val inter = terms.where(col("side_a")).select(col("term")).distinct()
+          .intersect(terms.where(!col("side_a")).select(col("term")).distinct())
+          .agg(count(lit(1)).as("i_true"))
+        est.crossJoin(exact).crossJoin(inter).select(
+          col("a_est"), col("a_true"), col("b_est"), col("b_true"),
+          col("u_est"), col("u_true"), col("i_est"), col("i_true"),
+          col("d_est"), (col("a_true") - col("i_true")).as("d_true"),
+          // ±5σ at lgK=12 RSE 1.56% → 7.8%; exact regime (< 4096
+          // distinct) the sketch is error-free and these hold trivially
+          (abs(col("a_est") - col("a_true")) <= greatest(lit(1.0),
+            col("a_true") * 0.078)).as("a_in_bound"),
+          (abs(col("b_est") - col("b_true")) <= greatest(lit(1.0),
+            col("b_true") * 0.078)).as("b_in_bound"),
+          (abs(col("u_est") - col("u_true")) <= greatest(lit(1.0),
+            col("u_true") * 0.078)).as("u_in_bound"),
+          (abs(col("i_est") - col("i_true")) <= greatest(lit(1.0),
+            col("u_true") * 0.10)).as("i_in_bound"),
+          (abs(col("d_est") - (col("a_true") - col("i_true"))) <=
+            greatest(lit(1.0), col("u_true") * 0.10)).as("d_in_bound"),
+          (col("u_true") <= col("a_true") + col("b_true")).as("pass"))
+      },
+      None,
+      "distinct-count set operations over theta sketches (ClickHouse " +
+        "uniqTheta family, stock DataSketches functions): corpus-overlap " +
+        "estimation from two bounded sketches instead of a " +
+        "distinct-distinct join; estimates self-checked against exact " +
+        "same-scan counts"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

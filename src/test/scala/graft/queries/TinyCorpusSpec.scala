@@ -73,7 +73,9 @@ class TinyCorpusSpec extends AnyFunSuite {
     // r10: t20's sketch never compacts on 6 docs — varSum 0, bound 0,
     // ranks must be EXACT for the self-check to pass; t21's reservoir is
     // exhaustive below k (sample == corpus, size = n)
-    "t20_kll_quantiles", "t21_reservoir_sample"))
+    "t20_kll_quantiles", "t21_reservoir_sample",
+    // t22 below the sketch's exact threshold: estimates == exact counts
+    "t22_theta_set_ops"))
     test(s"$name runs a 6-row corpus end-to-end") {
       val out = graft.SparkEntry.queries(name)(spark, tinyEmbDir)
       assert(out.count() >= 0)
