@@ -602,10 +602,25 @@ object Bench {
             .selectExpr("CAST(doc_id AS STRING) AS id"),
           "id", 64)
           .write.format("noop").mode("overwrite").save()
+      def thetaSetOps(dir: String): Unit = {
+        import org.apache.spark.sql.functions.{col, explode, expr}
+        graft.sources.Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select((col("doc_id") % 2 === 0).as("side_a"),
+            explode(graft.functions.VectorExprs.spanHashes(
+              graft.operators.Dedup.normalize(col("text")), 3)).as("h"))
+          .selectExpr("side_a", "CAST(h AS STRING) AS term")
+          .agg(
+            expr("theta_sketch_estimate(theta_intersection(" +
+              "theta_sketch_agg(CASE WHEN side_a THEN term END), " +
+              "theta_sketch_agg(CASE WHEN NOT side_a THEN term END)))"))
+          .write.format("noop").mode("overwrite").save()
+      }
       val opStats = Seq(
         ("t19_topk_sketch", topkSketch _),
         ("t20_kll_sketch", kllSketch _),
         ("t21_sample_sketch", samplePick _),
+        ("t22_theta_sketch", thetaSetOps _),
         ("q58_bucketed_write", bucketedWrite _)).map { case (name, f) =>
         val t1 = tryRobust(name)(f(sfDir))
         val tN = tryRobust(name)(f(tmp))
