@@ -75,6 +75,14 @@ object Bench {
       // the JIT queue is busy (measured; first lower()/upper() pays it)
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // plan fingerprints must be SESSION-STATE-INDEPENDENT: the default
+      // 100-char metadata truncation cuts DataFilters/ReadSchema at a
+      // RAW-character budget, so longer accumulated expression ids
+      // (#12345 vs #12) shift the "..." cut point and change the
+      // canonical hash with zero plan change (the r10 three-contexts-
+      // three-hashes q05 mystery). A large budget removes truncation;
+      // normalization then yields identical strings in any session.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       // match Verify: reference semantics drop malformed values, never raise
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -243,7 +251,7 @@ object Bench {
         val (h, nodes) =
           if (dataDependentPlans.contains(name))
             (dataDependentPlans(name), Map.empty[String, Int])
-          else try PlanFingerprint.fingerprint(SparkEntry.queries(name)(spark, sfDir))
+          else try PlanFingerprint.fingerprintNamed(SparkEntry.queries(name)(spark, sfDir), name)
           catch { case e: Throwable =>
             System.err.println(s"[bench] plan fingerprint $name FAILED: $e")
             ("ERROR:" + e.getClass.getSimpleName, Map.empty[String, Int])

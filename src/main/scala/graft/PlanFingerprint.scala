@@ -64,9 +64,21 @@ object PlanFingerprint {
       .filter(t => t.nonEmpty && t.head.isUpper)
       .toSeq.groupBy(identity).view.mapValues(_.size).toMap
 
-  /** (md5-hex of the canonical plan, operator histogram). */
-  def fingerprint(df: DataFrame): (String, Map[String, Int]) = {
+  /** (md5-hex of the canonical plan, operator histogram). When
+    * `SPARK_GRAFT_CANON_DIR` is set the canonical text is also written
+    * there as `<name>.txt` (name via [[fingerprintNamed]]) — the debug
+    * hook for diffing WHY two contexts hash differently.
+    */
+  def fingerprint(df: DataFrame): (String, Map[String, Int]) =
+    fingerprintNamed(df, "plan")
+
+  def fingerprintNamed(df: DataFrame, name: String): (String, Map[String, Int]) = {
     val c = canonical(df)
+    sys.env.get("SPARK_GRAFT_CANON_DIR").foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$name.txt"),
+        c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     (md.map("%02x".format(_)).mkString, nodeHistogram(c))

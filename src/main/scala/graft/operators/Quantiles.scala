@@ -89,13 +89,6 @@ object Quantiles {
     s.values.last
   }
 
-  private def splitmix(seed: Long): Long = {
-    var x = seed + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
   private def capOf(level: Int, numLevels: Int, k: Int): Int =
     math.max(MinCap,
       math.ceil(k * math.pow(GrowthC, numLevels - 1 - level)).toInt)
@@ -117,7 +110,7 @@ object Quantiles {
     val oddHead = sorted.length % 2 // keep one item in place if odd
     val keepLocal = sorted.take(oddHead)
     val body = sorted.drop(oddHead)
-    val offset = (splitmix(st.nCompactions * 0x100000001b3L + idx) & 1L).toInt
+    val offset = (Rng.splitmix64(st.nCompactions * 0x100000001b3L + idx) & 1L).toInt
     val promoted = body.indices.collect {
       case j if j % 2 == offset => body(j)
     }

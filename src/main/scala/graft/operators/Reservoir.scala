@@ -38,13 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object Reservoir {
 
-  private def mix(seed: Long): Long = {
-    var x = seed + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
-
   /** `n` = stream length seen; `draws` seeds the deterministic RNG and
     * advances on every random decision (so replays are identical and
     * merges of distinct subtrees decorrelate).
@@ -65,7 +58,7 @@ object Reservoir {
         b.copy(n = n, items = b.items :+ x)
       else {
         // Algorithm R: replace a uniform slot with probability k/n
-        val r = math.floorMod(mix(b.salt ^ (b.draws * 0x100000001b3L)), n)
+        val r = math.floorMod(Rng.splitmix64(b.salt ^ (b.draws * 0x100000001b3L)), n)
         val items =
           if (r < k) b.items.updated(r.toInt, x) else b.items
         b.copy(n = n, draws = b.draws + 1, items = items)
@@ -84,7 +77,7 @@ object Reservoir {
         val arr = xs.toArray
         var i = arr.length - 1
         while (i > 0) {
-          val j = math.floorMod(mix(s ^ (i * 0x9e3779b9L)), i + 1).toInt
+          val j = math.floorMod(Rng.splitmix64(s ^ (i * 0x9e3779b9L)), i + 1).toInt
           val t = arr(i); arr(i) = arr(j); arr(j) = t
           i -= 1
         }
@@ -97,7 +90,7 @@ object Reservoir {
       val out = Vector.newBuilder[String]
       var s = 0
       while (s < k) {
-        val r = math.floorMod(mix(a.salt ^ (d * 0xff51afd7ed558ccdL)),
+        val r = math.floorMod(Rng.splitmix64(a.salt ^ (d * 0xff51afd7ed558ccdL)),
           remA + remB)
         d += 1
         if (r < remA) { out += va(ia); ia += 1; remA -= 1 }

@@ -47,6 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects an integer literal, got $other")
   }
 
+  /** Integer-or-bigint literal as Long — a salt like `5000000000`
+    * parses as a SQL BIGINT literal and must work like the Column API's
+    * Long parameter.
+    */
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v, org.apache.spark.sql.types.IntegerType) =>
+      v.asInstanceOf[Int].toLong
+    case Literal(v, org.apache.spark.sql.types.LongType) =>
+      v.asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
   /** Fractional literal as Double — SQL `0.5` parses as a DECIMAL
     * literal, so accept both decimal and double forms.
     */
@@ -141,7 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.Reservoir.Sample(
             intLit(args(1), "graft_sample"),
-            if (args.size > 2) intLit(args(2), "graft_sample").toLong else 0L),
+            if (args.size > 2) longLit(args(2), "graft_sample") else 0L),
           org.apache.spark.sql.Encoders.STRING, "graft_sample",
           Seq(args(0)))))
 

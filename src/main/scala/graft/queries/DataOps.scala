@@ -1702,7 +1702,19 @@ object DataOps {
             col("u_true") * 0.10)).as("i_in_bound"),
           (abs(col("d_est") - (col("a_true") - col("i_true"))) <=
             greatest(lit(1.0), col("u_true") * 0.10)).as("d_in_bound"),
-          (col("u_true") <= col("a_true") + col("b_true")).as("pass"))
+          // pass = conjunction of every bound (the t19/t20/t21
+          // convention) + the inclusion-exclusion sanity of the exacts
+          ((abs(col("a_est") - col("a_true")) <= greatest(lit(1.0),
+            col("a_true") * 0.078)) &&
+            (abs(col("b_est") - col("b_true")) <= greatest(lit(1.0),
+              col("b_true") * 0.078)) &&
+            (abs(col("u_est") - col("u_true")) <= greatest(lit(1.0),
+              col("u_true") * 0.078)) &&
+            (abs(col("i_est") - col("i_true")) <= greatest(lit(1.0),
+              col("u_true") * 0.10)) &&
+            (abs(col("d_est") - (col("a_true") - col("i_true"))) <=
+              greatest(lit(1.0), col("u_true") * 0.10)) &&
+            col("u_true") <= col("a_true") + col("b_true")).as("pass"))
       },
       None,
       "distinct-count set operations over theta sketches (ClickHouse " +

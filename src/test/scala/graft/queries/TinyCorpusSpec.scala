@@ -87,6 +87,18 @@ class TinyCorpusSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getBoolean(0))
   }
 
+  // the sketch-family entries must not merely RUN on the degenerate
+  // corpus — their self-check verdicts must hold there (t20: zero
+  // compactions → exact ranks; t21: exhaustive below k; t22: exact
+  // sketch regime → estimates equal the exact counts)
+  for (name <- Seq("t20_kll_quantiles", "t21_reservoir_sample",
+    "t22_theta_set_ops"))
+    test(s"$name self-check PASSES on the 6-row corpus") {
+      val rows = graft.SparkEntry.queries(name)(spark, tinyEmbDir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getAs[Boolean]("pass"), r.toString))
+    }
+
   test("t19_heavy_hitters self-check passes vacuously when no doc tokenizes") {
     // whitespace-only texts: zero terms — nothing to summarize is a PASS
     // (empty sketch), not a null-flag failure
