@@ -51,16 +51,24 @@ object Bench {
     // them (r5)
     "d15_semantic_dedup_blocked")
 
-  /** Entries whose PLAN embeds nondeterministic data-derived literals:
-    * t20 pulls the KLL summary to the driver and bakes its (merge-order-
-    * dependent) quantile answers and bound into the exact-rank probe
-    * plan, so its hash would churn on identical code — exactly the false
-    * drift signal the PLANS artifact exists to kill. A CONSTANT marker
-    * keeps diff_plans.py reporting it unchanged forever. Shared with
-    * [[PlanDump]] so a regenerated artifact agrees with a benched one.
+  /** Entries whose plan hash cannot be made session-independent, mapped
+    * to CONSTANT markers so diff_plans.py reports them unchanged forever
+    * (a churning hash on identical code is exactly the false drift
+    * signal the PLANS artifact exists to kill). Shared with [[PlanDump]]
+    * so a regenerated artifact agrees with a benched one.
+    *
+    *   - t20 pulls the KLL summary to the driver and bakes its
+    *     (merge-order-dependent) quantile answers and bound into the
+    *     exact-rank probe plan — data-dependent literals.
+    *   - q15's multi-distinct rewrite assigns its Expand `gid`s by
+    *     iterating an ExprId-keyed collection, so two sessions emit the
+    *     same plan with the distinct groups (and their column order)
+    *     PERMUTED — structurally identical, textually unstable.
     */
   val dataDependentPlans: Map[String, String] = Map(
-    "t20_kll_quantiles" -> "DATA_DEPENDENT(driver-embedded sketch literals)")
+    "t20_kll_quantiles" -> "DATA_DEPENDENT(driver-embedded sketch literals)",
+    "q15_distinct_agg" ->
+      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,6 +41,10 @@ object PlanFingerprint {
       // mapPartitions/typed-op closures print their runtime-generated
       // class (`Foo$$Lambda$123/0x00007f...`) — a fresh identity per JVM
       .replaceAll("\\$\\$Lambda\\$?\\d*(/0x[0-9a-f]+)?", "\\$\\$Lambda")
+      // higher-order-function variables (`lambda x_357#x`, `lambda
+      // y_72#x`) are numbered by a session-global counter — the same
+      // expression built in two sessions prints different variable names
+      .replaceAll("lambda [a-z]+_\\d+#", "lambda VAR#")
       // locations: testdata / tmp / warehouse paths, with or without a
       // file: scheme; bucketed tables carry a per-JVM pid suffix
       .replaceAll("file:[^\\s,\\]\\)]+", "PATH")
