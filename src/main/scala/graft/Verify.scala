@@ -93,6 +93,9 @@ object Verify {
     // verdict trail has it even if the driver only keeps stdout.
     val selfChecks = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.oracleSql.contains)
+      // targeted runs only dumped the named entries — evaluating the
+      // rest would just print PATH_NOT_FOUND noise
+      .filter(name => only.forall(_.contains(name)))
       .flatMap { name =>
         try {
           val df = spark.read.parquet(s"$outDir/$name")
