@@ -60,6 +60,27 @@ class ThetaSetOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getLong(1) - 20000) <= 40000 * 0.10, s"d=${r.getLong(1)}")
   }
 
+  test("streaming: theta sketches aggregate incrementally across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 batches of 2000 distinct values each — the final update's
+    // estimate must cover the whole history, like every family member
+    val stream = MemoryStream[String]
+    val q = stream.toDF().toDF("v")
+      .selectExpr("theta_sketch_estimate(theta_sketch_agg(v)) AS est")
+      .writeStream.format("memory")
+      .queryName("theta_stream_test").outputMode("complete").start()
+    try {
+      (0 until 3).foreach { b =>
+        stream.addData((0 until 2000).map(i => s"b${b}v$i"): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val est = spark.table("theta_stream_test").collect().last.getLong(0)
+    assert(math.abs(est - 6000) <= 6000 * 0.078, s"est=$est")
+  }
+
   test("t22 catalog entry passes every bound on real testdata") {
     val row = graft.SparkEntry.queries("t22_theta_set_ops")(
       spark, "/root/testdata/sf0.001").collect().head
