@@ -20,6 +20,7 @@ import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
   * SELECT fence(expensive_expr)                                  -- pin a projection
   * SELECT graft_topk(term, 64) FROM tokens GROUP BY day          -- MG summary
   * SELECT graft_kll_quantile(latency, 128, 0.99)                 -- KLL p99
+  * SELECT graft_uniq_upto(user_id, 100) FROM hits GROUP BY day   -- bounded distinct
   * }}}
   *
   * The only whole-plan extension is the top-k-per-key rewrite
@@ -156,7 +157,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(1), "graft_sample"),
             if (args.size > 2) longLit(args(2), "graft_sample") else 0L),
           org.apache.spark.sql.Encoders.STRING, "graft_sample",
-          Seq(args(0)))))
+          Seq(args(0)))),
+    (FunctionIdentifier("graft_uniq_upto"),
+      info("graft_uniq_upto", "graft_uniq_upto(x, n) - exact distinct count of x while ≤ n, else the sentinel n+1 (ClickHouse uniqUpTo; state ≤ n+1 witnesses; ≡ LEAST(count(DISTINCT x), n+1))"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.UniqUpTo.UniqUpToAgg(
+            intLit(args(1), "graft_uniq_upto")),
+          org.apache.spark.sql.Encoders.STRING, "graft_uniq_upto",
+          Seq(org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+            org.apache.spark.sql.types.StringType)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

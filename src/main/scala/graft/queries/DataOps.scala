@@ -1723,6 +1723,34 @@ object DataOps {
         "distinct-distinct join; estimates self-checked against exact " +
         "same-scan counts"),
 
+    // t23: bounded exact distinct — ClickHouse `uniqUpTo(N)(x)`: exact
+    // count while ≤ N, the sentinel N+1 beyond (the low-cardinality
+    // probe run before choosing dictionary encodings / GROUP BY shapes).
+    // Sixth mergeable-summary leg, and the only one whose answer is a
+    // DETERMINISTIC function of the input's distinct-value set (merge
+    // order never shows), so it takes a full DuckDB oracle instead of a
+    // self-check: LEAST(count(DISTINCT x), N+1). Caps straddle the data
+    // (n_chars has 21-25 distinct per source → cap 23 exercises both
+    // regimes; lang has 4-5 → cap 4 likewise). u_chars goes through the
+    // Column surface, u_lang through the SQL aggregate surface
+    // (graft_uniq_upto) — one entry pins both frontends.
+    "t23_uniq_upto" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        tp(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            graft.operators.UniqUpTo.column(col("n_chars"), 23).as("u_chars"),
+            expr("graft_uniq_upto(lang, 4)").as("u_lang"))
+      },
+      Some("""SELECT source,
+             |  LEAST(count(DISTINCT n_chars), 24) AS u_chars,
+             |  LEAST(count(DISTINCT lang), 5) AS u_lang
+             |FROM documents GROUP BY source""".stripMargin),
+      "bounded exact distinct count (ClickHouse uniqUpTo): exact while " +
+        "<= N else N+1, <= N+1 witness strings of state per partition, " +
+        "map-side combine; deterministic -> full DuckDB oracle"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

@@ -75,7 +75,10 @@ class TinyCorpusSpec extends AnyFunSuite {
     // exhaustive below k (sample == corpus, size = n)
     "t20_kll_quantiles", "t21_reservoir_sample",
     // t22 below the sketch's exact threshold: estimates == exact counts
-    "t22_theta_set_ops"))
+    "t22_theta_set_ops",
+    // t23 on one (source, lang) group with 1 distinct n_chars: both
+    // caps sit in the exact regime (u = 1)
+    "t23_uniq_upto"))
     test(s"$name runs a 6-row corpus end-to-end") {
       val out = graft.SparkEntry.queries(name)(spark, tinyEmbDir)
       assert(out.count() >= 0)
