@@ -575,12 +575,29 @@ object Bench {
       // MEASUREMENT, like d15's), so these probes time the operator
       // aggregates alone — the "exchange carries one bounded state per
       // partition" claim is exactly what must stay flat at 10×.
+      //
+      // t19 ISOLATION (r10 verdict item 2): the r10 probe ran
+      // tokenize+explode INSIDE the timed region, so its 4.97× could not
+      // distinguish a linear-but-compute-bound scan from an
+      // aggregate-side scaling problem. The exploded term table is now
+      // MATERIALIZED to parquet (untimed, 32 files at both scales so
+      // split parallelism is symmetric) and the probe times the
+      // Misra-Gries aggregate alone over it — the bounded-state exchange
+      // the claim is about. (The aggregate itself also changed r11: the
+      // buffer is now a mutable HashMap updated in place; the old
+      // immutable-Map-per-row rebuild was the named suspect.)
+      val terms1x = s"$tmp/terms_1x.parquet"
+      val termsNx = s"$tmp/terms_${probeFactor}x.parquet"
+      Seq((sfDir, terms1x), (tmp, termsNx)).foreach { case (d, p) =>
+        graft.sources.Tables.load(spark, d, "documents")
+          .selectExpr("explode(split(lower(text), ' ')) AS term")
+          .where("term <> ''")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(p)
+      }
       def topkSketch(dir: String): Unit =
         graft.operators.HeavyHitters.topK(
-          graft.sources.Tables.load(spark, dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .selectExpr("explode(split(lower(text), ' ')) AS term")
-            .where("term <> ''"),
+          spark.read.parquet(if (dir == sfDir) terms1x else termsNx),
           "term", 64)
           .write.format("noop").mode("overwrite").save()
       def kllSketch(dir: String): Unit =

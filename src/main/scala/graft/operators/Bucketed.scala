@@ -76,6 +76,12 @@ object Bucketed {
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(base))).getParent
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SINGLE-HOST assumption: liveness is decided with the LOCAL
+    // ProcessHandle table, which says nothing about drivers on other
+    // hosts — on a shared (hdfs://, s3a://, …) warehouse a live remote
+    // driver's table would always read "dead" and get deleted mid-query.
+    // Restrict the sweep to file:// warehouses, where pid = owner holds.
+    if (fs.getScheme != "file") return
     if (!fs.exists(warehouse)) return
     val pat = (java.util.regex.Pattern.quote(base) + "_p(\\d+)").r
     fs.listStatus(warehouse).foreach { st =>

@@ -110,7 +110,18 @@ object Quantiles {
     val oddHead = sorted.length % 2 // keep one item in place if odd
     val keepLocal = sorted.take(oddHead)
     val body = sorted.drop(oddHead)
-    val offset = (Rng.splitmix64(st.nCompactions * 0x100000001b3L + idx) & 1L).toInt
+    // Even/odd coin: reference KLL uses a real random coin; a coin that
+    // is a function of the compaction COUNTER alone is a fixed sequence
+    // an adversarial input order could correlate with, accumulating
+    // one-sided error past the zero-mean Hoeffding bound. Deriving it
+    // from a hash of the buffer CONTENTS too makes the sequence
+    // input-dependent (an adversary would need to predict its own
+    // hash) while staying reproducible for a given execution.
+    val contentHash = body.foldLeft(0xcbf29ce484222325L) { (h, v) =>
+      (h ^ java.lang.Double.doubleToLongBits(v)) * 0x100000001b3L
+    }
+    val offset = (Rng.splitmix64(
+      contentHash ^ (st.nCompactions * 0x100000001b3L + idx)) & 1L).toInt
     val promoted = body.indices.collect {
       case j if j % 2 == offset => body(j)
     }

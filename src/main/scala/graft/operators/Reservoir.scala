@@ -72,7 +72,12 @@ object Reservoir {
       val drawsSeed = a.draws + b.draws + a.n // decorrelate sibling merges
       if (total <= k)
         return ResState(k, a.salt, total, drawsSeed, a.items ++ b.items)
-      // seeded shuffles, then the §4.1 weighted without-replacement fill
+      // seeded shuffles, then the §4.1 weighted without-replacement fill.
+      // NOTE: one seed per shuffle (the Fisher-Yates draws below do not
+      // advance `draws` per swap) — the UNIFORMITY guarantee rests on
+      // the 400-salt inclusion-frequency spec in ReservoirSpec, not on
+      // this particular seed schedule; the schedule only needs to be
+      // deterministic and decorrelated across sibling merges.
       def shuffled(xs: Seq[String], s: Long): IndexedSeq[String] = {
         val arr = xs.toArray
         var i = arr.length - 1

@@ -1599,7 +1599,14 @@ object DataOps {
                 .as("rank_in_bound"),
               // capacity Σ k·(2/3)^d ≤ 3k plus the 8-item floors
               lit(sk.values.length <= 3 * k + 8 * 64).as("size_in_bound"),
-              (col("n_exact") === sk.n).as("pass"))
+              // pass = conjunction of EVERY checked property (the
+              // t19/t21/t22 convention), so a single-column assert —
+              // TinyCorpusSpec reads only `pass` — still covers the
+              // rank and size bounds, not just the exact-n identity
+              ((abs(col("est_rank") -
+                element_at(col("ranks"), col("idx") + 1)) <= lit(bound)) &&
+                lit(sk.values.length <= 3 * k + 8 * 64) &&
+                (col("n_exact") === sk.n)).as("pass"))
         }
       },
       None,

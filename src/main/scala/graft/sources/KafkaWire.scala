@@ -991,7 +991,11 @@ private[graft] object KafkaWire {
       }.toMap
       val nonce = attrs.getOrElse("r",
         throw new java.io.IOException(s"scram server-first missing r=: $msg"))
-      if (!nonce.startsWith(cnonce))
+      // RFC 5802 §5.1: the server MUST append its own nonce — a nonce
+      // exactly equal to the client's (no extension) is as suspect as a
+      // non-prefixed one, and accepting it weakens the replay protection
+      // this check exists for
+      if (!nonce.startsWith(cnonce) || nonce.length <= cnonce.length)
         throw new java.io.IOException(
           "scram server nonce does not extend the client nonce (replayed or " +
             "tampered server-first)")

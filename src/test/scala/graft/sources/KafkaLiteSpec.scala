@@ -552,6 +552,11 @@ class KafkaLiteSpec extends AnyFunSuite {
     val replay = intercept[java.io.IOException](KafkaWire.Scram.parseServerFirst(
       "r=stranger,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", cnonce))
     assert(replay.getMessage.contains("does not extend"), replay.getMessage)
+    // and so is a nonce EXACTLY equal to ours: RFC 5802 §5.1 says the
+    // server MUST append its own nonce — no extension, no replay salt
+    val unext = intercept[java.io.IOException](KafkaWire.Scram.parseServerFirst(
+      s"r=$cnonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", cnonce))
+    assert(unext.getMessage.contains("does not extend"), unext.getMessage)
   }
 
   test("SCRAM-SHA-256: authenticated round trip; wrong password and " +
