@@ -70,6 +70,147 @@ object Funnels {
     folded.select(col(userCol), level.cast("int").as("level"))
   }
 
+  /** ClickHouse `windowFunnel` STRICT modes (`strict_deduplication`,
+    * `strict_order`, `strict_increase`) — the mode variants real funnel
+    * users reach for, with the same deterministic (ts, event_id) event
+    * order as [[windowFunnel]] (ClickHouse leaves ties unspecified).
+    *
+    * Semantics, by flag:
+    *
+    *   - `strictIncrease` alone: DECLARATIVE — the level is the longest
+    *     chain with STRICTLY increasing timestamps (an event never
+    *     chains off one at its own timestamp, whatever the event ids),
+    *     window anchored at the chain's first event. Computed as the
+    *     same exact per-level max-start DP over TIMESTAMP GROUPS:
+    *     same-ts events are pre-collapsed per (user, ts) with OR'd step
+    *     flags, so every fold element reads only strictly-earlier
+    *     state — max-start dominance then makes reachability exact,
+    *     like the default mode. (ClickHouse's own strict_increase is a
+    *     greedy single-chain scan that can under-report when equal-start
+    *     chains differ in their last timestamp; this variant is the
+    *     exact fixpoint of the documented semantics.)
+    *
+    *   - `strictDedup` / `strictOrder` (optionally + `strictIncrease`):
+    *     OPERATIONAL, matching the published ClickHouse algorithm
+    *     (AggregateFunctionWindowFunnel: one pass over (ts, id)-ordered
+    *     entries, an event matching several steps yielding one entry
+    *     per matched step in DESCENDING step order). strict_dedup: an
+    *     event matching step k (k ≥ 2) when level k is ALREADY reached
+    *     terminates the scan with level k. strict_order: once a step-1
+    *     event has been seen, an event matching NO step terminates with
+    *     the level so far, and an event matching step k whose previous
+    *     level is unreached terminates with the first unreached level.
+    *     strict_increase combined here additionally requires the chain's
+    *     previous event to sit at a strictly earlier timestamp.
+    *
+    * Scale shape is [[windowFunnel]]'s: one hash exchange on the user
+    * key, per-user state of O(levels) longs (the strict_increase
+    * pre-collapse adds one shrinking (user, ts) combine before it).
+    * Oracles: strict_increase is EXISTS-chains with strict inequalities;
+    * dedup/order replay the fold as recursive CTEs (q59-q61).
+    */
+  def windowFunnelStrict(events: DataFrame, steps: Seq[Column],
+      windowMicros: Long, strictDedup: Boolean = false,
+      strictOrder: Boolean = false, strictIncrease: Boolean = false,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty && windowMicros >= 0)
+    val n = steps.size
+    if (!strictDedup && !strictOrder && !strictIncrease)
+      windowFunnel(events, steps, windowMicros, userCol, tsCol, idCol)
+    else if (!strictDedup && !strictOrder) {
+      // pure strict_increase: collapse same-ts events per user (OR the
+      // step flags — none of them can chain with each other), then the
+      // exact DP; each fold element now IS a strictly-later timestamp
+      val flags = steps.zipWithIndex.map { case (c, k) =>
+        max(c.cast("boolean")).as(s"__f$k")
+      }
+      val grouped = events.groupBy(col(userCol), col(tsCol))
+        .agg(flags.head, flags.tail: _*)
+        .withColumn("__gid", lit(0L))
+      windowFunnel(grouped,
+        (0 until n).map(k => coalesce(col(s"__f$k"), lit(false))),
+        windowMicros, userCol, tsCol, "__gid")
+    } else {
+      // sequential early-termination fold (the ClickHouse algorithm).
+      // acc layout (1-based element_at): 1..n chain-start ts per level,
+      // n+1..2n last-event ts per level (strict_increase needs it),
+      // 2n+1 first-event-seen flag, 2n+2 result (−1 = still scanning).
+      val ev = struct(
+        (unix_micros(col(tsCol)).as("t") +: col(idCol).as("i") +:
+          steps.zipWithIndex.map { case (c, k) => c.cast("boolean").as(s"c$k") }): _*)
+      val init = array(
+        ((0 until 2 * n).map(_ => lit(Unreached)) :+ lit(0L) :+ lit(-1L)): _*)
+      def first(a: Column, k: Int) = element_at(a, k + 1)
+      def last(a: Column, k: Int) = element_at(a, n + k + 1)
+      def fe(a: Column) = element_at(a, 2 * n + 1)
+      def res(a: Column) = element_at(a, 2 * n + 2)
+      def mk(f: Seq[Column], l: Seq[Column], feV: Column, resV: Column) =
+        array((f ++ l ++ Seq(feV, resV)): _*)
+      def upd(a: Column, k: Int, newF: Column, newL: Column, feV: Column,
+          resV: Column) =
+        mk((0 until n).map(j => if (j == k) newF else first(a, j)),
+          (0 until n).map(j => if (j == k) newL else last(a, j)), feV, resV)
+      def withRes(a: Column, r: Column) =
+        mk((0 until n).map(first(a, _)), (0 until n).map(last(a, _)), fe(a), r)
+      def deepest(a: Column): Column = (1 to n).foldLeft(lit(0L)) { (els, j) =>
+        when(first(a, j - 1) =!= lit(Unreached), lit(j.toLong)).otherwise(els)
+      }
+      def firstGap(a: Column): Column =
+        (0 until n).foldRight(lit(n.toLong)) { (j, rest) =>
+          when(first(a, j) === lit(Unreached), lit(j.toLong)).otherwise(rest)
+        }
+      // one ClickHouse loop iteration: entry = (event, matched step k);
+      // branch order matches the reference algorithm exactly — step-1
+      // restart, then dedup termination, then order termination, then
+      // the windowed (and optionally strictly-increasing) advance
+      def stepEntry(a: Column, e: Column, k: Int): Column = {
+        val t = e.getField("t")
+        val matched = e.getField(s"c$k")
+        val running = res(a) === lit(-1L)
+        if (k == 0)
+          when(running && matched, upd(a, 0, t, t, lit(1L), lit(-1L)))
+            .otherwise(a)
+        else {
+          val advOk = first(a, k - 1) =!= lit(Unreached) &&
+            t - first(a, k - 1) <= lit(windowMicros) &&
+            (if (strictIncrease) last(a, k - 1) < t else lit(true))
+          val advanced = upd(a, k, first(a, k - 1), t, fe(a),
+            if (k == n - 1) lit(n.toLong) else lit(-1L))
+          val base = when(advOk, advanced).otherwise(a)
+          val withOrder =
+            if (!strictOrder) base
+            else when(fe(a) === lit(1L) && first(a, k - 1) === lit(Unreached),
+              withRes(a, firstGap(a))).otherwise(base)
+          val withDedup =
+            if (!strictDedup) withOrder
+            else when(first(a, k) =!= lit(Unreached),
+              withRes(a, lit((k + 1).toLong))).otherwise(withOrder)
+          when(running && matched, withDedup).otherwise(a)
+        }
+      }
+      // strict_order: an event matching NO step, after the chain
+      // started, freezes the scan at the level reached so far
+      def stepNoMatch(a: Column, e: Column): Column =
+        if (!strictOrder) a
+        else {
+          val noMatch = !(0 until n)
+            .map(k => coalesce(e.getField(s"c$k"), lit(false))).reduce(_ || _)
+          when(res(a) === lit(-1L) && noMatch && fe(a) === lit(1L),
+            withRes(a, deepest(a))).otherwise(a)
+        }
+      val folded = events
+        .groupBy(col(userCol))
+        .agg(sort_array(collect_list(ev)).as("evs"))
+        .withColumn("st", aggregate(col("evs"), init, (acc, e) =>
+          stepNoMatch(
+            (n - 1 to 0 by -1).foldLeft(acc)((a, k) => stepEntry(a, e, k)), e)))
+      val lvl = when(res(col("st")) =!= lit(-1L), res(col("st")))
+        .otherwise(deepest(col("st")))
+      folded.select(col(userCol), lvl.cast("int").as("level"))
+    }
+  }
+
   /** Non-overlapping complete-chain count per user (`sequenceCount`-
     * shaped): how many DISJOINT step₁→…→stepₙ chains (each within
     * `windowMicros` of its own first event) the user's history contains —

@@ -753,6 +753,160 @@ object Relational {
         "earliest-completion fold, levels+1 longs of state); oracle " +
         "replays the fold as a recursive CTE"),
 
+    // q59-q61: windowFunnel STRICT modes (the ClickHouse
+    // strict_deduplication / strict_order / strict_increase variants).
+    // q59/q60 are sequential early-termination scans, so their oracles
+    // REPLAY the fold as recursive CTEs over the (ts, event_id)-ordered
+    // per-user event list (the q57 pattern; sentinel −4·10¹⁸ stands in
+    // for "unreached" — t − sentinel stays inside BIGINT and auto-fails
+    // the window test, so no null-guarding). q61's strictly-increasing
+    // semantics is declarative, so its oracle is the q54 EXISTS-chain
+    // construction with strict t inequalities. 24 h window (q57's
+    // choice): the 1 h q54 window leaves no mode-distinguishing
+    // activity at sf0.01.
+    "q59_funnel_strict_dedup" -> Q(
+      (s, dir) => graft.operators.Funnels.windowFunnelStrict(
+        t(s, dir, "events"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 24L * 3600L * 1000000L, strictDedup = true),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS m FROM e GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, 0 AS rn,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s1,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s2,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s3,
+             |         CAST(-1 AS BIGINT) AS res
+             |  FROM mx
+             |  UNION ALL
+             |  SELECT f.user_id, e.rn,
+             |    CASE WHEN f.res <> -1 THEN f.s1
+             |         WHEN e.event_type = 'view' THEN e.t ELSE f.s1 END AS s1,
+             |    CASE WHEN f.res <> -1 THEN f.s2
+             |         WHEN e.event_type = 'click' AND f.s2 = -4000000000000000000
+             |              AND e.t - f.s1 <= 86400000000 THEN f.s1 ELSE f.s2 END AS s2,
+             |    CASE WHEN f.res <> -1 THEN f.s3
+             |         WHEN e.event_type = 'purchase' AND f.s3 = -4000000000000000000
+             |              AND e.t - f.s2 <= 86400000000 THEN f.s2 ELSE f.s3 END AS s3,
+             |    CASE WHEN f.res <> -1 THEN f.res
+             |         WHEN e.event_type = 'click'
+             |              AND f.s2 <> -4000000000000000000 THEN 2
+             |         WHEN e.event_type = 'purchase'
+             |              AND f.s3 <> -4000000000000000000 THEN 3
+             |         WHEN e.event_type = 'purchase'
+             |              AND e.t - f.s2 <= 86400000000 THEN 3
+             |         ELSE -1 END AS res
+             |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+             |SELECT f.user_id,
+             |  CAST(CASE WHEN f.res <> -1 THEN f.res
+             |            WHEN f.s3 <> -4000000000000000000 THEN 3
+             |            WHEN f.s2 <> -4000000000000000000 THEN 2
+             |            WHEN f.s1 <> -4000000000000000000 THEN 1
+             |            ELSE 0 END AS INT) AS level
+             |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.m""".stripMargin),
+      "windowFunnel strict_deduplication: a repeat of an already-reached " +
+        "step interrupts the scan at that level; oracle replays the fold " +
+        "as a recursive CTE"),
+
+    "q60_funnel_strict_order" -> Q(
+      (s, dir) => graft.operators.Funnels.windowFunnelStrict(
+        t(s, dir, "events"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 24L * 3600L * 1000000L, strictOrder = true),
+      // fe = "chain started" (first view seen); a non-step event with
+      // fe=1 freezes at the level so far; a purchase with level 2
+      // unreached (s2 sentinel) freezes at level 1 (the first gap —
+      // s1 is always set once fe=1)
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS m FROM e GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, 0 AS rn,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s1,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s2,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s3,
+             |         CAST(0 AS BIGINT) AS fe,
+             |         CAST(-1 AS BIGINT) AS res
+             |  FROM mx
+             |  UNION ALL
+             |  SELECT f.user_id, e.rn,
+             |    CASE WHEN f.res <> -1 THEN f.s1
+             |         WHEN e.event_type = 'view' THEN e.t ELSE f.s1 END AS s1,
+             |    CASE WHEN f.res <> -1 THEN f.s2
+             |         WHEN e.event_type = 'click'
+             |              AND e.t - f.s1 <= 86400000000 THEN f.s1 ELSE f.s2 END AS s2,
+             |    CASE WHEN f.res <> -1 THEN f.s3
+             |         WHEN e.event_type = 'purchase'
+             |              AND e.t - f.s2 <= 86400000000 THEN f.s2 ELSE f.s3 END AS s3,
+             |    CASE WHEN f.res <> -1 THEN f.fe
+             |         WHEN e.event_type = 'view' THEN 1 ELSE f.fe END AS fe,
+             |    CASE WHEN f.res <> -1 THEN f.res
+             |         WHEN e.event_type NOT IN ('view','click','purchase')
+             |              AND f.fe = 1
+             |           THEN CASE WHEN f.s3 <> -4000000000000000000 THEN 3
+             |                     WHEN f.s2 <> -4000000000000000000 THEN 2
+             |                     ELSE 1 END
+             |         WHEN e.event_type = 'purchase' AND f.fe = 1
+             |              AND f.s2 = -4000000000000000000 THEN 1
+             |         WHEN e.event_type = 'purchase'
+             |              AND e.t - f.s2 <= 86400000000 THEN 3
+             |         ELSE -1 END AS res
+             |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+             |SELECT f.user_id,
+             |  CAST(CASE WHEN f.res <> -1 THEN f.res
+             |            WHEN f.s3 <> -4000000000000000000 THEN 3
+             |            WHEN f.s2 <> -4000000000000000000 THEN 2
+             |            WHEN f.s1 <> -4000000000000000000 THEN 1
+             |            ELSE 0 END AS INT) AS level
+             |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.m""".stripMargin),
+      "windowFunnel strict_order: once the chain starts, an event " +
+        "matching no step (or skipping a level) terminates the scan; " +
+        "oracle replays the fold as a recursive CTE"),
+
+    "q61_funnel_strict_increase" -> Q(
+      (s, dir) => graft.operators.Funnels.windowFunnelStrict(
+        t(s, dir, "events"),
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMicros = 24L * 3600L * 1000000L, strictIncrease = true),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |               epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+             |        FROM events),
+             |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+             |l2 AS (SELECT DISTINCT a.user_id
+             |       FROM e a JOIN e b ON b.user_id = a.user_id
+             |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+             |         AND b.t > a.t AND b.t - a.t <= 86400000000),
+             |l3 AS (SELECT DISTINCT a.user_id
+             |       FROM e a JOIN e b ON b.user_id = a.user_id
+             |                JOIN e c ON c.user_id = a.user_id
+             |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+             |         AND c.event_type = 'purchase'
+             |         AND b.t > a.t AND c.t > b.t
+             |         AND b.t - a.t <= 86400000000 AND c.t - a.t <= 86400000000)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+             |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+             |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+             |            ELSE 0 END AS INT) AS level
+             |FROM (SELECT DISTINCT user_id FROM events) u""".stripMargin),
+      "windowFunnel strict_increase: chains need strictly increasing " +
+        "timestamps (same-ts events never chain); exact reachability DP " +
+        "over timestamp groups, oracle = EXISTS-chains with strict " +
+        "inequalities"),
+
     "q28_asof_join" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "user_id", "ts")

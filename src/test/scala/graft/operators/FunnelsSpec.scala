@@ -163,6 +163,165 @@ class FunnelsSpec extends AnyFunSuite {
     assert(streamed == batch && batch == Map(1L -> 3, 2L -> 1, 99L -> 2))
   }
 
+  // ---- strict modes ----
+
+  private def strict(rows: Seq[(Long, Long, Long, String)], wUs: Long,
+      dedup: Boolean = false, order: Boolean = false,
+      increase: Boolean = false) =
+    Funnels.windowFunnelStrict(ev(rows),
+      steps = Seq(col("event_type") === "A", col("event_type") === "B",
+        col("event_type") === "C"),
+      windowMicros = wUs, strictDedup = dedup, strictOrder = order,
+      strictIncrease = increase)
+      .as[(Long, Int)].collect().toMap
+
+  test("strict_order: a non-step event after the chain starts freezes the level") {
+    val rows = Seq(
+      // the ClickHouse doc example: A→B→D→C stops at D with level 2
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "X"),
+      (1L, 4L, 400L, "C"),
+      // non-step events BEFORE the first A are ignored
+      (2L, 1L, 50L, "X"), (2L, 2L, 100L, "A"), (2L, 3L, 200L, "B"),
+      (2L, 4L, 300L, "C"),
+      // a step event whose previous level is unreached (A then C)
+      // terminates with the first unreached level (= 1)
+      (3L, 1L, 100L, "A"), (3L, 2L, 200L, "C"), (3L, 3L, 300L, "B"),
+      (3L, 4L, 400L, "C"))
+    assert(strict(rows, 1000L, order = true) ==
+      Map(1L -> 2, 2L -> 3, 3L -> 1))
+    // default mode reads the same logs permissively
+    assert(funnel(rows, 1000L) == Map(1L -> 3, 2L -> 3, 3L -> 3))
+  }
+
+  test("strict_dedup: a repeat of an already-reached step interrupts at that level") {
+    val rows = Seq(
+      // full chain then a second B: the repeat comes AFTER completion —
+      // but the scan has already terminated at level 3
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"),
+      (1L, 4L, 400L, "B"),
+      // A B B C: the second B repeats reached level 2 → terminate at 2
+      (2L, 1L, 100L, "A"), (2L, 2L, 200L, "B"), (2L, 3L, 300L, "B"),
+      (2L, 4L, 400L, "C"),
+      // repeated A's never interrupt (step 1 restarts the chain)
+      (3L, 1L, 100L, "A"), (3L, 2L, 200L, "A"), (3L, 3L, 300L, "B"),
+      (3L, 4L, 400L, "C"))
+    assert(strict(rows, 1000L, dedup = true) ==
+      Map(1L -> 3, 2L -> 2, 3L -> 3))
+    assert(funnel(rows, 1000L) == Map(1L -> 3, 2L -> 3, 3L -> 3))
+  }
+
+  test("strict_increase: same-timestamp events never chain; max-start stays exact") {
+    val rows = Seq(
+      // A and B at the same ts: ids order them for the default mode,
+      // strict_increase refuses the tie
+      (1L, 1L, 100L, "A"), (1L, 2L, 100L, "B"), (1L, 3L, 300L, "C"),
+      // strictly increasing chain passes
+      (2L, 1L, 100L, "A"), (2L, 2L, 200L, "B"), (2L, 3L, 300L, "C"),
+      // equal-start chains with different last ts: A@100 B@150, A@100
+      // (id 4) B@150 — then C@160 chains off ANY level-2 chain; the
+      // greedy single-chain scan would be order-sensitive here, the
+      // exact DP is not
+      (3L, 1L, 100L, "A"), (3L, 2L, 150L, "B"), (3L, 3L, 150L, "B"),
+      (3L, 4L, 160L, "C"))
+    assert(strict(rows, 1000L, increase = true) ==
+      Map(1L -> 1, 2L -> 3, 3L -> 3))
+    assert(funnel(rows, 1000L) == Map(1L -> 3, 2L -> 3, 3L -> 3))
+  }
+
+  /** Plain-Scala port of the ClickHouse windowFunnel loop (entries =
+    * (ts,id)-sorted events × matched steps in descending step order, plus
+    * a no-step entry in strict_order mode) — the independent reference
+    * the Column-expression fold must reproduce. `evs` = (id, t, flags).
+    */
+  private def refStrict(evs: Seq[(Long, Long, Seq[Boolean])], n: Int,
+      w: Long, dedup: Boolean, order: Boolean, increase: Boolean): Int = {
+    val MIN = Long.MinValue
+    val entries = evs.sortBy(e => (e._2, e._1)).flatMap { case (_, t, cs) =>
+      val m = (n - 1 to 0 by -1).filter(cs(_)).map(k => (t, k))
+      if (m.isEmpty) Seq((t, -1)) else m
+    }
+    val first = Array.fill(n)(MIN)
+    val lastT = Array.fill(n)(MIN)
+    var fe = false
+    var result = -1
+    for ((t, k) <- entries if result < 0) {
+      def deepest = (n to 1 by -1).find(j => first(j - 1) != MIN).getOrElse(0)
+      if (k == -1) { if (order && fe) result = deepest }
+      else if (k == 0) { first(0) = t; lastT(0) = t; fe = true }
+      else if (dedup && first(k) != MIN) result = k + 1
+      else if (order && fe && first(k - 1) == MIN)
+        result = (0 until n).find(first(_) == MIN).getOrElse(n)
+      else if (first(k - 1) != MIN && t - first(k - 1) <= w &&
+        (!increase || lastT(k - 1) < t)) {
+        first(k) = first(k - 1); lastT(k) = t
+        if (k == n - 1) result = n
+      }
+    }
+    if (result >= 0) result
+    else (n to 1 by -1).find(j => first(j - 1) != MIN).getOrElse(0)
+  }
+
+  test("strict_dedup / strict_order / combined ≡ the ClickHouse-loop reference " +
+    "on random logs with overlapping steps") {
+    val rnd = new scala.util.Random(47)
+    // boolean step columns that can OVERLAP (one event matching several
+    // steps exercises the descending-entry order) plus no-step events
+    val rows = for {
+      u <- 0L until 30L
+      i <- 0L until 14L
+    } yield (u, i, rnd.nextInt(800).toLong,
+      rnd.nextInt(5) == 0, rnd.nextInt(3) == 0, rnd.nextInt(3) == 0)
+    val df = rows.toDF("user_id", "event_id", "t_us", "a", "b", "c")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val steps = Seq(col("a"), col("b"), col("c"))
+    val w = 300L
+    for ((dd, oo, ii) <- Seq((true, false, false), (false, true, false),
+      (true, true, false), (true, false, true), (false, true, true),
+      (true, true, true))) {
+      val got = Funnels.windowFunnelStrict(df, steps, w, strictDedup = dd,
+        strictOrder = oo, strictIncrease = ii)
+        .as[(Long, Int)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (u, es) =>
+        u -> refStrict(
+          es.map(e => (e._2, e._3, Seq(e._4, e._5, e._6))), 3, w, dd, oo, ii)
+      }
+      assert(got == expected, s"mode dedup=$dd order=$oo increase=$ii")
+      assert(expected.values.toSet.size > 1, "degenerate mode fixture")
+    }
+  }
+
+  test("pure strict_increase ≡ exhaustive strictly-increasing chain search " +
+    "on tie-heavy random logs") {
+    val rnd = new scala.util.Random(53)
+    val types = Array("A", "B", "C", "X")
+    // ts drawn from a SMALL domain so same-ts collisions are common
+    val rows = for {
+      u <- 0L until 30L
+      i <- 0L until 12L
+    } yield (u, i, rnd.nextInt(40).toLong * 10L, types(rnd.nextInt(4)))
+    val w = 150L
+    val got = strict(rows, w, increase = true)
+    val expected = rows.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.map(e => (e._3, e._4)).sortBy(_._1)
+      def reach(level: Int): Boolean = {
+        val want = Seq("A", "B", "C").take(level)
+        def go(idx: Int, step: Int, firstT: Long, lastT: Long): Boolean =
+          if (step == level) true
+          else if (idx >= sorted.length) false
+          else {
+            val (t, ty) = sorted(idx)
+            (ty == want(step) && (step == 0 || (t > lastT && t - firstT <= w)) &&
+              go(idx + 1, step + 1, if (step == 0) t else firstT, t)) ||
+              go(idx + 1, step, firstT, lastT)
+          }
+        go(0, 0, 0L, MinT)
+      }
+      u -> (3 to 1 by -1).find(reach).getOrElse(0)
+    }
+    assert(got == expected && expected.values.toSet.size > 1)
+  }
+  private val MinT = Long.MinValue
+
   private def seqCount(rows: Seq[(Long, Long, Long, String)], wUs: Long) =
     Funnels.sequenceCount(ev(rows),
       steps = Seq(col("event_type") === "A", col("event_type") === "B",
