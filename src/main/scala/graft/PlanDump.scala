@@ -34,7 +34,7 @@ object PlanDump {
     val names =
       if (positional.length > 1 && positional(1) != "all")
         positional(1).split(",").toSeq
-      else Bench.headline
+      else SparkEntry.queries.keys.toSeq.sorted // full catalog, like Bench's pass
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -54,6 +54,16 @@ object PlanFingerprint {
       .replaceAll("graft_[a-z0-9_]+_p\\d+", "graft_TABLE")
       .replaceAll("\\(\\d+ paths?\\)", "(N paths)")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+      // entries that pull a driver-side model at BUILD time (t15's bigram
+      // table, p05/p08's domain stats) arrive here with their AQE stages
+      // already materialized; stage ids and whole-stage-codegen ids are
+      // assigned by ASYNC completion order — nondeterministic between
+      // identical runs. Neither carries structure: normalize.
+      .replaceAll("(Shuffle|Broadcast|TableCache)QueryStage \\d+", "$1QueryStage N")
+      .replaceAll("\\*\\(\\d+\\)", "*(N)")
+      // a materialized AQE plan also prints isFinalPlan=true where a
+      // fresh one prints false — same plan, different execution progress
+      .replaceAll("isFinalPlan=(true|false)", "isFinalPlan=x")
   }
 
   /** Histogram of physical operator names — the "how did it change"
