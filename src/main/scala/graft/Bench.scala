@@ -35,6 +35,7 @@ object Bench {
     "d22_paragraph_dedup", "s06_ann_pq", "s07_ann_ivfpq", "t17_nb_classify",
     "t18_bpe_tokenize", "t19_heavy_hitters", "t20_kll_quantiles",
     "t21_reservoir_sample", "t22_theta_set_ops", "t23_uniq_upto",
+    "t24_topk_weighted",
     "s08_hard_negatives", "s09_pca_project",
     "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
     "q54_window_funnel", "q55_retention", "q59_funnel_strict_dedup",

@@ -132,82 +132,99 @@ object Funnels {
         (0 until n).map(k => coalesce(col(s"__f$k"), lit(false))),
         windowMicros, userCol, tsCol, "__gid")
     } else {
-      // sequential early-termination fold (the ClickHouse algorithm).
+      // sequential early-termination fold (the ClickHouse algorithm),
+      // flattened to one ENTRY per (event, matched step) BEFORE the
+      // aggregate — k becomes a runtime field and the fold lambda is a
+      // single depth-1 step. The first version composed one step per
+      // static step index inside the lambda; higher-order-function
+      // lambdas are evaluated INTERPRETED with no subexpression sharing,
+      // so every reference to the composed intermediate accumulator
+      // re-evaluated the whole inner expression — measured 17× slower
+      // with one extra composition level (q60 13.3 s vs q59 0.78 s on
+      // identical data). With per-entry processing the only repeated
+      // reference is the bound lambda variable, which is free.
+      //
+      // Entry encoding: `nk` = −k so the lexicographic (t, id, nk)
+      // sort yields same-event entries in DESCENDING step order (the
+      // ClickHouse add() order); an event matching NO step emits one
+      // k = −1 entry (consulted only in strict_order mode).
+      //
       // acc layout (1-based element_at): 1..n chain-start ts per level,
       // n+1..2n last-event ts per level (strict_increase needs it),
       // 2n+1 first-event-seen flag, 2n+2 result (−1 = still scanning).
-      val ev = struct(
-        (unix_micros(col(tsCol)).as("t") +: col(idCol).as("i") +:
-          steps.zipWithIndex.map { case (c, k) => c.cast("boolean").as(s"c$k") }): _*)
+      val stepArr = array(steps.map(c => coalesce(c.cast("boolean"), lit(false))): _*)
+      val ksMatched = filter(sequence(lit(0), lit(n - 1)),
+        i => element_at(stepArr, i + 1))
+      val ks = when(size(ksMatched) > 0, reverse(ksMatched))
+        .otherwise(array(lit(-1)))
+      val exploded = events
+        .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__t"),
+          col(idCol).cast("long").as("__i"), explode(ks).as("__k"))
+      val entries = (if (strictOrder) exploded
+        // no-step entries only matter to strict_order — elsewhere they
+        // would ride the shuffle as guaranteed no-ops
+        else exploded.where(col("__k") =!= lit(-1)))
+        .select(col("__u"),
+          struct(col("__t").as("t"), col("__i").as("i"),
+            (-col("__k")).as("nk")).as("ev"))
       val init = array(
         ((0 until 2 * n).map(_ => lit(Unreached)) :+ lit(0L) :+ lit(-1L)): _*)
-      def first(a: Column, k: Int) = element_at(a, k + 1)
-      def last(a: Column, k: Int) = element_at(a, n + k + 1)
       def fe(a: Column) = element_at(a, 2 * n + 1)
       def res(a: Column) = element_at(a, 2 * n + 2)
-      def mk(f: Seq[Column], l: Seq[Column], feV: Column, resV: Column) =
-        array((f ++ l ++ Seq(feV, resV)): _*)
-      def upd(a: Column, k: Int, newF: Column, newL: Column, feV: Column,
-          resV: Column) =
-        mk((0 until n).map(j => if (j == k) newF else first(a, j)),
-          (0 until n).map(j => if (j == k) newL else last(a, j)), feV, resV)
-      def withRes(a: Column, r: Column) =
-        mk((0 until n).map(first(a, _)), (0 until n).map(last(a, _)), fe(a), r)
-      def deepest(a: Column): Column = (1 to n).foldLeft(lit(0L)) { (els, j) =>
-        when(first(a, j - 1) =!= lit(Unreached), lit(j.toLong)).otherwise(els)
-      }
-      def firstGap(a: Column): Column =
-        (0 until n).foldRight(lit(n.toLong)) { (j, rest) =>
-          when(first(a, j) === lit(Unreached), lit(j.toLong)).otherwise(rest)
-        }
-      // one ClickHouse loop iteration: entry = (event, matched step k);
-      // branch order matches the reference algorithm exactly — step-1
-      // restart, then dedup termination, then order termination, then
-      // the windowed (and optionally strictly-increasing) advance
-      def stepEntry(a: Column, e: Column, k: Int): Column = {
+      // levels fill as a contiguous prefix (slot k is only ever set when
+      // slot k−1 is set), so ONE number is both the deepest-reached
+      // level and the first-unreached index — the value every
+      // termination branch reports
+      def reached(a: Column): Column =
+        size(filter(slice(a, 1, n), v => v =!= lit(Unreached))).cast("long")
+      val seqAll = sequence(lit(1), lit(2 * n + 2))
+      def withRes(a: Column, r: Column): Column =
+        transform(seqAll, j => when(j === lit(2 * n + 2), r)
+          .otherwise(element_at(a, j)))
+      // one ClickHouse loop iteration; branch order matches the
+      // reference algorithm — step-1 restart, then dedup termination,
+      // then order termination, then the windowed (and optionally
+      // strictly-increasing) advance
+      def stepAny(acc: Column, e: Column): Column = {
         val t = e.getField("t")
-        val matched = e.getField(s"c$k")
-        val running = res(a) === lit(-1L)
-        if (k == 0)
-          when(running && matched, upd(a, 0, t, t, lit(1L), lit(-1L)))
-            .otherwise(a)
-        else {
-          val advOk = first(a, k - 1) =!= lit(Unreached) &&
-            t - first(a, k - 1) <= lit(windowMicros) &&
-            (if (strictIncrease) last(a, k - 1) < t else lit(true))
-          val advanced = upd(a, k, first(a, k - 1), t, fe(a),
-            if (k == n - 1) lit(n.toLong) else lit(-1L))
-          val base = when(advOk, advanced).otherwise(a)
-          val withOrder =
-            if (!strictOrder) base
-            else when(fe(a) === lit(1L) && first(a, k - 1) === lit(Unreached),
-              withRes(a, firstGap(a))).otherwise(base)
-          val withDedup =
-            if (!strictDedup) withOrder
-            else when(first(a, k) =!= lit(Unreached),
-              withRes(a, lit((k + 1).toLong))).otherwise(withOrder)
-          when(running && matched, withDedup).otherwise(a)
-        }
+        val k = -e.getField("nk") // matched step, or −1 for a no-step event
+        val firstPrev = element_at(acc, k)      // first[k−1] (slot k)
+        val firstCur = element_at(acc, k + 1)   // first[k]
+        val lastPrev = element_at(acc, lit(n) + k) // last[k−1]
+        val k0upd = transform(seqAll, j =>
+          when(j === lit(1), t).when(j === lit(n + 1), t)
+            .when(j === lit(2 * n + 1), lit(1L))
+            .otherwise(element_at(acc, j)))
+        val advanced = transform(seqAll, j =>
+          when(j === k + 1, firstPrev)
+            .when(j === lit(n) + k + 1, t)
+            .when(j === lit(2 * n + 2) && k === lit(n - 1), lit(n.toLong))
+            .otherwise(element_at(acc, j)))
+        val advOk = firstPrev =!= lit(Unreached) &&
+          t - firstPrev <= lit(windowMicros) &&
+          (if (strictIncrease) lastPrev < t else lit(true))
+        var c = when(res(acc) =!= lit(-1L), acc)
+          .when(k === lit(-1),
+            if (strictOrder)
+              when(fe(acc) === lit(1L), withRes(acc, reached(acc)))
+                .otherwise(acc)
+            else acc)
+          .when(k === lit(0), k0upd)
+        if (strictDedup)
+          c = c.when(firstCur =!= lit(Unreached),
+            withRes(acc, (k + 1).cast("long")))
+        if (strictOrder)
+          c = c.when(fe(acc) === lit(1L) && firstPrev === lit(Unreached),
+            withRes(acc, reached(acc)))
+        c.when(advOk, advanced).otherwise(acc)
       }
-      // strict_order: an event matching NO step, after the chain
-      // started, freezes the scan at the level reached so far
-      def stepNoMatch(a: Column, e: Column): Column =
-        if (!strictOrder) a
-        else {
-          val noMatch = !(0 until n)
-            .map(k => coalesce(e.getField(s"c$k"), lit(false))).reduce(_ || _)
-          when(res(a) === lit(-1L) && noMatch && fe(a) === lit(1L),
-            withRes(a, deepest(a))).otherwise(a)
-        }
-      val folded = events
-        .groupBy(col(userCol))
-        .agg(sort_array(collect_list(ev)).as("evs"))
-        .withColumn("st", aggregate(col("evs"), init, (acc, e) =>
-          stepNoMatch(
-            (n - 1 to 0 by -1).foldLeft(acc)((a, k) => stepEntry(a, e, k)), e)))
+      val folded = entries
+        .groupBy(col("__u"))
+        .agg(sort_array(collect_list(col("ev"))).as("evs"))
+        .withColumn("st", aggregate(col("evs"), init, stepAny _))
       val lvl = when(res(col("st")) =!= lit(-1L), res(col("st")))
-        .otherwise(deepest(col("st")))
-      folded.select(col(userCol), lvl.cast("int").as("level"))
+        .otherwise(reached(col("st")))
+      folded.select(col("__u").as(userCol), lvl.cast("int").as("level"))
     }
   }
 

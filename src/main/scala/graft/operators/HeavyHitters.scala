@@ -50,31 +50,56 @@ object HeavyHitters {
     */
   type MGBuf = java.util.HashMap[String, java.lang.Long]
 
+  // subtract the (k+1)-th largest counter from all, drop non-positive
+  // (Mergeable Summaries §3.1) — also the overflow step for reduce.
+  // Mutates and returns `m`; size ≤ 2k+1 on entry, so the sort is O(k log k).
+  private def shrink(m: MGBuf, k: Int): MGBuf =
+    if (m.size <= k) m
+    else {
+      val vals = new Array[Long](m.size)
+      var i = 0
+      val vit = m.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next().longValue(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val kth = vals(vals.length - 1 - k) // (k+1)-th largest counter
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue() - kth
+        if (c > 0) e.setValue(c) else it.remove()
+      }
+      m
+    }
+
+  // sum counter-wise into the larger side, then one shrink
+  private def mergeBufs(a: MGBuf, b: MGBuf, k: Int): MGBuf = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    val it = small.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val prev = big.get(e.getKey)
+      big.put(e.getKey,
+        if (prev == null) e.getValue
+        else prev.longValue() + e.getValue.longValue())
+    }
+    shrink(big, k)
+  }
+
+  private def freeze(b: MGBuf): Map[String, Long] = {
+    val mb = Map.newBuilder[String, Long]
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); mb += (e.getKey -> e.getValue.longValue())
+    }
+    mb.result()
+  }
+
+  private def mapEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+
   final class MisraGries(k: Int)
       extends Aggregator[String, MGBuf, Map[String, Long]] {
     require(k > 0)
-
-    // subtract the (k+1)-th largest counter from all, drop non-positive
-    // (Mergeable Summaries §3.1) — also the overflow step for reduce.
-    // Mutates and returns `m`; size ≤ 2k+1 on entry, so the sort is O(k log k).
-    private def shrink(m: MGBuf): MGBuf =
-      if (m.size <= k) m
-      else {
-        val vals = new Array[Long](m.size)
-        var i = 0
-        val vit = m.values().iterator()
-        while (vit.hasNext) { vals(i) = vit.next().longValue(); i += 1 }
-        java.util.Arrays.sort(vals)
-        val kth = vals(vals.length - 1 - k) // (k+1)-th largest counter
-        val it = m.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val c = e.getValue.longValue() - kth
-          if (c > 0) e.setValue(c) else it.remove()
-        }
-        m
-      }
-
     override def zero: MGBuf = new MGBuf()
     override def reduce(b: MGBuf, x: String): MGBuf =
       // SQL-aggregate null semantics (the graft_topk surface feeds raw
@@ -84,33 +109,46 @@ object HeavyHitters {
       else {
         val c = b.get(x)
         if (c != null) { b.put(x, c.longValue() + 1L); b }
-        else { b.put(x, 1L); shrink(b) }
+        else { b.put(x, 1L); shrink(b, k) }
       }
-    override def merge(a: MGBuf, b: MGBuf): MGBuf = {
-      // sum counter-wise into the larger side, then one shrink
-      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
-      val it = small.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val prev = big.get(e.getKey)
-        big.put(e.getKey,
-          if (prev == null) e.getValue
-          else prev.longValue() + e.getValue.longValue())
-      }
-      shrink(big)
-    }
-    override def finish(b: MGBuf): Map[String, Long] = {
-      val mb = Map.newBuilder[String, Long]
-      val it = b.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next(); mb += (e.getKey -> e.getValue.longValue())
-      }
-      mb.result()
-    }
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = mergeBufs(a, b, k)
+    override def finish(b: MGBuf): Map[String, Long] = freeze(b)
     override def bufferEncoder: Encoder[MGBuf] =
       org.apache.spark.sql.Encoders.kryo[MGBuf]
-    override def outputEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] = mapEncoder
+  }
+
+  /** WEIGHTED Misra-Gries (the ClickHouse `topKWeighted` surface): each
+    * row contributes `weight` instead of 1. The unit-copy reduction
+    * carries the analysis over: inserting an unseen item adds its whole
+    * weight then shrinks ONCE, and each shrink subtracts the (k+1)-th
+    * largest counter m from ≥ k+1 counters each ≥ m, so the cumulative
+    * subtracted mass Σm ≤ W/(k+1) (W = total weight). Hence
+    *
+    *   est(x) ≤ true(x) ≤ est(x) + W/(k+1)
+    *
+    * and every item with weight above W/(k+1) is present — the same
+    * guarantee as the unweighted form with n replaced by W, preserved
+    * under any merge tree by the §3.1 merge. NULL items and non-positive
+    * weights are skipped (ClickHouse casts weight to UInt; a zero weight
+    * adds nothing).
+    */
+  final class MisraGriesWeighted(k: Int)
+      extends Aggregator[(String, Long), MGBuf, Map[String, Long]] {
+    require(k > 0)
+    override def zero: MGBuf = new MGBuf()
+    override def reduce(b: MGBuf, x: (String, Long)): MGBuf =
+      if (x._1 == null || x._2 <= 0L) b
+      else {
+        val c = b.get(x._1)
+        if (c != null) { b.put(x._1, c.longValue() + x._2); b }
+        else { b.put(x._1, x._2); shrink(b, k) }
+      }
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = mergeBufs(a, b, k)
+    override def finish(b: MGBuf): Map[String, Long] = freeze(b)
+    override def bufferEncoder: Encoder[MGBuf] =
+      org.apache.spark.sql.Encoders.kryo[MGBuf]
+    override def outputEncoder: Encoder[Map[String, Long]] = mapEncoder
   }
 
   /** Frequent-items summary of `itemCol` → `(item, est)` rows, one
@@ -153,6 +191,52 @@ object HeavyHitters {
       .na.drop().as[(String, String)]
     ds.groupByKey(_._1)
       .agg(new MisraGriesValue(k).toColumn.name("summary"))
+      .toDF("key", "summary")
+      .select(col("key"), explode(col("summary")))
+      .toDF("key", "item", "est")
+  }
+
+  /** Weighted frequent items of (`itemCol`, `weightCol`) → `(item, est)`
+    * rows, one summary over the whole frame; ≤ k rows out. Same scale
+    * shape as [[topK]]: bounded buffer, map-side combine.
+    */
+  def topKWeighted(df: DataFrame, itemCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(itemCol).cast("string"),
+        col(weightCol).cast("long")).na.drop().as[(String, Long)]
+    ds.select(new MisraGriesWeighted(k).toColumn.name("summary"))
+      .select(explode(col("summary")))
+      .toDF("item", "est")
+  }
+
+  /** [[MisraGriesWeighted]] lifted over (key, item, weight) — the
+    * grouped form's input adapter.
+    */
+  final class MisraGriesWeightedValue(k: Int)
+      extends Aggregator[(String, String, Long), MGBuf, Map[String, Long]] {
+    private val inner = new MisraGriesWeighted(k)
+    override def zero: MGBuf = inner.zero
+    override def reduce(b: MGBuf, x: (String, String, Long)): MGBuf =
+      inner.reduce(b, (x._2, x._3))
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = inner.merge(a, b)
+    override def finish(b: MGBuf): Map[String, Long] = inner.finish(b)
+    override def bufferEncoder: Encoder[MGBuf] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Map[String, Long]] = inner.outputEncoder
+  }
+
+  /** Per-key weighted frequent items: `(key, item, est)`, ≤ k rows per
+    * key; exchange carries keys × k entries, never the data.
+    */
+  def topKWeightedPerKey(df: DataFrame, keyCol: String, itemCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("string"), col(itemCol).cast("string"),
+        col(weightCol).cast("long")).na.drop().as[(String, String, Long)]
+    ds.groupByKey(_._1)
+      .agg(new MisraGriesWeightedValue(k).toColumn.name("summary"))
       .toDF("key", "summary")
       .select(col("key"), explode(col("summary")))
       .toDF("key", "item", "est")

@@ -140,6 +140,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new graft.operators.HeavyHitters.MisraGries(
             intLit(args(1), "graft_topk")),
           org.apache.spark.sql.Encoders.STRING, "graft_topk", Seq(args(0)))),
+    (FunctionIdentifier("graft_topk_weighted"),
+      info("graft_topk_weighted", "graft_topk_weighted(item, weight, k) - weighted Misra-Gries summary map<string,bigint>: no overcount, undercount ≤ W/(k+1) for total weight W, every item with weight > W/(k+1) present; null items and non-positive weights skipped"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.HeavyHitters.MisraGriesWeighted(
+            intLit(args(2), "graft_topk_weighted")),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long)](),
+          "graft_topk_weighted", Seq(args(0), args(1)))),
     (FunctionIdentifier("graft_kll_quantile"),
       info("graft_kll_quantile", "graft_kll_quantile(v, k, phi) - KLL-sketched φ-quantile of v (rank error ~ O(1/k) whp; NaN on empty group)"),
       (args: Seq[Expression]) =>

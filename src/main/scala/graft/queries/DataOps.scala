@@ -1758,6 +1758,65 @@ object DataOps {
         "<= N else N+1, <= N+1 witness strings of state per partition, " +
         "map-side combine; deterministic -> full DuckDB oracle"),
 
+    // t24: WEIGHTED heavy hitters (ClickHouse `topKWeighted`) — the t19
+    // summary with per-row weights; terms here are weighted by their
+    // document's length, the "which terms dominate the byte budget"
+    // question. SELF-CHECKING (t19's class: summary contents are
+    // merge-order-dependent): exact weighted totals are recomputed in
+    // the same scan, and the Column AND SQL frontends each re-prove the
+    // weighted Mergeable-Summaries guarantees — no overcount, undercount
+    // ≤ W/(k+1) for total weight W, every item with weight > W/(k+1)
+    // present.
+    "t24_topk_weighted" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val k = 64
+        val docs = tp(s, dir, "documents")
+        val terms = docs.select(explode(
+            graft.functions.OptimizerFence(
+              split(Dedup.normalize(col("text")), " "))).as("term"),
+            col("n_chars").cast("long").as("w"))
+          .where(col("term") =!= "" && col("w") > 0)
+        val exact = terms.groupBy(col("term")).agg(sum(col("w")).as("wt"))
+        val tot = terms.agg(coalesce(sum(col("w")), lit(0L)).as("wsum"))
+        def legChecks(sketch: org.apache.spark.sql.DataFrame, leg: String) = {
+          val perItem = sketch
+            .join(exact, sketch("item") === exact("term")).crossJoin(tot)
+            .agg(count(lit(1)).as(s"n_items_$leg"),
+              min(col("est") <= col("wt")).as(s"no_over_$leg"),
+              min(col("wt") - col("est") <= expr(s"wsum div ${k + 1}"))
+                .as(s"under_$leg"))
+          val missing = exact.crossJoin(tot)
+            .where(col("wt") > expr(s"wsum div ${k + 1}"))
+            .join(sketch, exact("term") === sketch("item"), "left_anti")
+            .agg(count(lit(1)).as(s"n_missing_$leg"))
+          perItem.crossJoin(missing)
+        }
+        val colSketch =
+          graft.operators.HeavyHitters.topKWeighted(terms, "term", "w", k)
+        val sqlSketch = terms
+          .agg(expr(s"graft_topk_weighted(term, w, $k)").as("summary"))
+          .select(explode(col("summary"))).toDF("item", "est")
+        legChecks(colSketch, "col").crossJoin(legChecks(sqlSketch, "sql"))
+          .crossJoin(tot).select(
+            col("wsum"), col("n_items_col"), col("n_items_sql"),
+            col("n_missing_col"), col("n_missing_sql"),
+            // empty-token corpus: nothing to summarize is a PASS (null
+            // mins coalesce true, the sketches must simply be empty)
+            Seq("col", "sql").map { leg =>
+              coalesce(col(s"no_over_$leg"), lit(true)) &&
+                coalesce(col(s"under_$leg"), lit(true)) &&
+                col(s"n_missing_$leg") === 0 &&
+                (col(s"n_items_$leg") > 0 || col("wsum") === 0) &&
+                col(s"n_items_$leg") <= k
+            }.reduce(_ && _).as("pass"))
+      },
+      None,
+      "weighted Misra-Gries heavy hitters (ClickHouse topKWeighted): " +
+        "bounded k-entry state with per-row weights, map-side combine; " +
+        "Column and SQL frontends both self-checked against exact " +
+        "weighted totals from the same scan"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

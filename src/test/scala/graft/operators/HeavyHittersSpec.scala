@@ -149,4 +149,94 @@ class HeavyHittersSpec extends AnyFunSuite {
     val sketch = HeavyHitters.topK(df, "v", 4).as[(String, Long)].collect().toMap
     assert(sketch == Map("a" -> 2L, "b" -> 1L))
   }
+
+  // ---- weighted (topKWeighted) ----
+
+  test("weighted with all weights 1: exact ≤-k regime equals the unweighted form") {
+    val rows = (0 until 10).flatMap(i => Seq.fill(i + 1)((s"v$i", 1L)))
+    for (parts <- Seq(1, 5)) {
+      val sketch = HeavyHitters.topKWeighted(
+          rows.toDF("v", "w").repartition(parts), "v", "w", 16)
+        .as[(String, Long)].collect().toMap
+      assert(sketch == (0 until 10).map(i => s"v$i" -> (i + 1).toLong).toMap,
+        s"parts=$parts")
+    }
+  }
+
+  test("weighted mergeable bounds hold across merge trees") {
+    val rnd = new scala.util.Random(17)
+    // skewed items with heavy-tailed weights — the regime weights exist for
+    val rows = (0 until 4000).map { _ =>
+      val item = s"z${(math.pow(150.0, rnd.nextDouble()) - 1).toInt}"
+      (item, (rnd.nextInt(9) + 1).toLong * (if (rnd.nextInt(20) == 0) 50L else 1L))
+    }
+    val exact = rows.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+    val w = rows.map(_._2).sum
+    val k = 16
+    val bound = w / (k + 1)
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = HeavyHitters.topKWeighted(
+          rows.toDF("v", "w").repartition(parts), "v", "w", k)
+        .as[(String, Long)].collect().toMap
+      assert(sketch.size <= k && sketch.nonEmpty)
+      sketch.foreach { case (item, est) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(est <= t, s"overcount: $item est=$est true=$t (parts=$parts)")
+        assert(t - est <= bound, s"bound: $item est=$est true=$t W=$w (parts=$parts)")
+      }
+      exact.foreach { case (item, t) =>
+        if (t > bound)
+          assert(sketch.contains(item), s"heavy $item (true=$t > $bound) missing")
+      }
+    }
+  }
+
+  test("weighted: one massive-weight row dominates however late it arrives") {
+    // a single row carrying most of the mass must survive the summary
+    // even when inserted after the buffer is full of light items
+    val rows = (0 until 400).map(i => (s"light$i", 1L)) :+ ("whale", 10000L)
+    val sketch = HeavyHitters.topKWeighted(
+        rows.toDF("v", "w").repartition(4), "v", "w", 8)
+      .as[(String, Long)].collect().toMap
+    assert(sketch.contains("whale"))
+    assert(sketch("whale") >= 10000L - (10400L / 9L))
+  }
+
+  test("weighted: null items and non-positive weights are skipped") {
+    val rows = Seq((Some("a"), 5L), (None, 99L), (Some("a"), 0L),
+      (Some("b"), -3L), (Some("b"), 2L))
+    val sketch = HeavyHitters.topKWeighted(
+        rows.toDF("v", "w"), "v", "w", 4)
+      .as[(String, Long)].collect().toMap
+    assert(sketch == Map("a" -> 5L, "b" -> 2L))
+  }
+
+  test("weighted per-key: bounds hold independently per key") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 2500).map { _ =>
+      (s"k${rnd.nextInt(3)}",
+        s"i${(math.pow(60.0, rnd.nextDouble()) - 1).toInt}",
+        (rnd.nextInt(7) + 1).toLong)
+    }
+    val sketch = HeavyHitters.topKWeightedPerKey(
+        rows.toDF("key", "v", "w").repartition(8), "key", "v", "w", k = 12)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (key, xs) =>
+        key -> xs.map(t => t._2 -> t._3).toMap }
+    val exact = rows.groupBy(_._1).map { case (key, xs) =>
+      key -> xs.groupBy(_._2).map { case (v, ys) => v -> ys.map(_._3).sum } }
+    exact.foreach { case (key, ex) =>
+      val sk = sketch.getOrElse(key, Map.empty)
+      val w = ex.values.sum
+      val bound = w / 13
+      assert(sk.nonEmpty && sk.size <= 12, s"key $key size ${sk.size}")
+      sk.foreach { case (item, est) =>
+        val t = ex.getOrElse(item, 0L)
+        assert(est <= t && t - est <= bound, s"key $key item $item est=$est true=$t")
+      }
+      ex.foreach { case (item, t) =>
+        if (t > bound) assert(sk.contains(item), s"key $key heavy $item missing")
+      }
+    }
+  }
 }

@@ -117,6 +117,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     grouped.foreach(r => assert(!r.isNullAt(1) && r.getLong(1) <= 20))
   }
 
+  test("graft_topk_weighted aggregate from SQL: weighted MG bounds, " +
+    "int weights implicit-cast, GROUP BY form") {
+    import spark.implicits._
+    // 'a' carries 400 of ~470 total weight — must be present with no
+    // overcount and undercount ≤ W/(k+1); weights typed INT to prove the
+    // encoder-driven implicit cast to BIGINT
+    val rows = (Seq.fill(4)(("a", 100)) ++ Seq.fill(10)(("b", 5)) ++
+      (1 to 10).map(i => (s"x$i", 2))).zipWithIndex
+      .map { case ((t, w), i) => (t, w, i % 2) }
+    rows.toDF("term", "w", "grp").createOrReplaceTempView("ge_wterms")
+    val wsum = rows.map(_._2).sum
+    val whole = spark.sql(
+      "SELECT graft_topk_weighted(term, w, 8) AS s FROM ge_wterms")
+      .selectExpr("s['a']", "s['b']").collect().head
+    assert(!whole.isNullAt(0) && whole.getLong(0) <= 400 &&
+      whole.getLong(0) >= 400L - wsum / 9)
+    assert(whole.isNullAt(1) || whole.getLong(1) <= 50)
+    val grouped = spark.sql(
+      "SELECT grp, graft_topk_weighted(term, w, 8) AS s " +
+        "FROM ge_wterms GROUP BY grp")
+      .selectExpr("grp", "s['a']").collect()
+    assert(grouped.length == 2)
+    grouped.foreach(r => assert(!r.isNullAt(1) && r.getLong(1) <= 200))
+  }
+
   test("graft_kll_quantile aggregate from SQL: decimal/double φ, per-group") {
     import spark.implicits._
     (0 until 1000).map(i => (i.toDouble, i % 2)).toDF("v", "grp")

@@ -90,6 +90,14 @@ class TinyCorpusSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getBoolean(0))
   }
 
+  test("t24_topk_weighted self-check passes on a 6-doc corpus") {
+    // ~11 distinct terms all fit in the k=64 summary: estimates must be
+    // the exact weighted totals and the bounds hold with zero slack
+    val out = graft.SparkEntry.queries("t24_topk_weighted")(spark, tinyEmbDir)
+      .select("pass").collect()
+    assert(out.length == 1 && out.head.getBoolean(0))
+  }
+
   // the sketch-family entries must not merely RUN on the degenerate
   // corpus — their self-check verdicts must hold there (t20: zero
   // compactions → exact ranks; t21: exhaustive below k; t22: exact
