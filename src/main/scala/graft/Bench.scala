@@ -71,7 +71,20 @@ object Bench {
   val dataDependentPlans: Map[String, String] = Map(
     "t20_kll_quantiles" -> "DATA_DEPENDENT(driver-embedded sketch literals)",
     "q15_distinct_agg" ->
-      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)")
+      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
+    // r11: the q15 mechanism, found in three more entries by the first
+    // full Bench-vs-PlanDump parity sweep — each aggregates several
+    // DISTINCT columns, and RewriteDistinctAggregates assigns Expand
+    // gids / key order by iterating an ExprId-keyed collection, so two
+    // sessions emit the same plan with the groups permuted (this is
+    // also why PLANS_r10's t22 hash differed from every same-code
+    // PlanDump: Bench's session had different exprId history)
+    "t22_theta_set_ops" ->
+      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
+    "q33_approx_sketches" ->
+      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
+    "z01_self_checks" ->
+      "SESSION_DEPENDENT(embeds t22/q33 — distinct-agg gid permutation)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
