@@ -40,7 +40,7 @@ object Bench {
     "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
     "q54_window_funnel", "q55_retention", "q59_funnel_strict_dedup",
     "q60_funnel_strict_order", "q61_funnel_strict_increase",
-    "s11_embedding_outliers",
+    "q62_sequence_match", "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",

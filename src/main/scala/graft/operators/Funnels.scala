@@ -273,6 +273,148 @@ object Funnels {
     folded
   }
 
+  /** Pattern language of ClickHouse `sequenceMatch` / `sequenceCount`:
+    * `(?N)` matches a stored event satisfying condition N (1-based);
+    * `.` matches any single stored event; `.*` matches any number of
+    * stored events; `(?t OP seconds)` constrains the time between the
+    * two NEIGHBORING matched events (OP ∈ <=, >=, <, >, ==, !=).
+    * "Stored" = events satisfying at least one condition — events
+    * matching none are never buffered (the ClickHouse contract its doc
+    * examples pin: with conds (1,2) the log 1,3,2 matches '(?1)(?2)',
+    * with conds (1,2,3) it does not). An implicit `.*` surrounds the
+    * pattern (contains-semantics).
+    */
+  private[operators] sealed trait PatTok
+  private[operators] case class EvTok(k: Int) extends PatTok
+  private[operators] case object AnyTok extends PatTok
+  private[operators] case class Step(tok: PatTok, gapBefore: Boolean,
+    timeCs: Seq[(String, Long)])
+
+  private[operators] def parsePattern(pattern: String, nConds: Int): Seq[Step] = {
+    val Ev = """^\(\?(\d+)\)""".r
+    val Tc = """^\(\?t(<=|>=|==|!=|<|>)(\d+)\)""".r
+    val steps = Seq.newBuilder[Step]
+    var gap = true // implicit leading .*
+    var timeCs = Seq.empty[(String, Long)]
+    var emitted = 0
+    var rest = pattern.trim
+    while (rest.nonEmpty) {
+      (Tc.findPrefixMatchOf(rest), Ev.findPrefixMatchOf(rest)) match {
+        case (Some(m), _) =>
+          val (op, secs) = (m.group(1), m.group(2))
+          require(emitted > 0,
+            s"sequenceMatch pattern: (?t$op$secs) needs a preceding event token")
+          timeCs :+= (op -> secs.toLong * 1000000L) // seconds → micros
+          rest = rest.drop(m.matched.length)
+        case (_, Some(m)) =>
+          val k = m.group(1).toInt
+          require(k >= 1 && k <= nConds,
+            s"sequenceMatch pattern references (?$k) but only $nConds conditions given")
+          steps += Step(EvTok(k - 1), gap, timeCs)
+          emitted += 1; gap = false; timeCs = Seq.empty
+          rest = rest.drop(m.matched.length)
+        case _ if rest.startsWith(".*") =>
+          gap = true; rest = rest.drop(2)
+        case _ if rest.startsWith(".") =>
+          steps += Step(AnyTok, gap, timeCs)
+          emitted += 1; gap = false; timeCs = Seq.empty
+          rest = rest.drop(1)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"sequenceMatch pattern: cannot parse at '...$rest'")
+      }
+    }
+    require(timeCs.isEmpty,
+      "sequenceMatch pattern: trailing (?t...) has no event token to constrain")
+    val out = steps.result()
+    require(out.nonEmpty, "sequenceMatch pattern matches no events")
+    out
+  }
+
+  /** Backtracking pattern match over the (t, mask) entry list, memoized
+    * on (step, entry) — sound because the previous consumed entry at any
+    * call is always `entry − 1` (adjacency steps consume it directly,
+    * gap steps pass j+1), so prevT is a function of the entry index.
+    * O(steps × entries²) worst case.
+    */
+  private[operators] def matchEntries(ts: Array[Long], masks: Array[Int],
+      steps: Seq[Step]): Boolean = {
+    val nE = ts.length
+    val nS = steps.size
+    val memo = new java.util.HashMap[Long, java.lang.Boolean]()
+    def okAt(st: Step, j: Int): Boolean = {
+      val tokOk = st.tok match {
+        case EvTok(k) => (masks(j) & (1 << k)) != 0
+        case AnyTok => true
+      }
+      tokOk && st.timeCs.forall { case (op, micros) =>
+        val dt = ts(j) - ts(j - 1) // parser guarantees a preceding event
+        op match {
+          case "<=" => dt <= micros
+          case ">=" => dt >= micros
+          case "<" => dt < micros
+          case ">" => dt > micros
+          case "==" => dt == micros
+          case "!=" => dt != micros
+        }
+      }
+    }
+    def go(si: Int, ei: Int): Boolean = {
+      if (si == nS) return true
+      if (ei >= nE) return false
+      val key = si.toLong * (nE + 1) + ei
+      val cached = memo.get(key)
+      if (cached != null) return cached.booleanValue()
+      val st = steps(si)
+      val r =
+        if (st.gapBefore)
+          (ei until nE).exists(j => okAt(st, j) && go(si + 1, j + 1))
+        else okAt(st, ei) && go(si + 1, ei + 1)
+      memo.put(key, r)
+      r
+    }
+    // prevT for a time constraint reads ts(j-1); the parser only allows
+    // constraints after the first event token, and every later step's
+    // candidate j is ≥ 1 because step 0 consumed an earlier entry
+    go(0, 0)
+  }
+
+  /** ClickHouse `sequenceMatch(pattern)(ts, cond1, …)` per user: does the
+    * user's stored-event sequence contain a chain matching the pattern?
+    * Output `(userCol, matched)`; users with NO condition-matching events
+    * produce no row (nothing is stored for them — the same filter
+    * ClickHouse applies before buffering).
+    *
+    * Shape: events matching no condition are filtered BEFORE the
+    * exchange, the per-user sorted entry list is the same envelope as
+    * [[windowFunnel]]'s, and the matcher runs once per user over the
+    * collected array (a scalar UDF — backtracking with memoization has
+    * no Column-expression form; the per-row work the codegen path would
+    * optimize is already reduced to one call per user).
+    */
+  def sequenceMatch(events: DataFrame, pattern: String, steps: Seq[Column],
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 30)
+    val parsed = parsePattern(pattern, steps.size)
+    val mask = steps.zipWithIndex.map { case (c, k) =>
+      when(coalesce(c.cast("boolean"), lit(false)), lit(1 << k)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val matcher = udf { (entries: Seq[(Long, Long, Int)]) =>
+      val ts = entries.map(_._1).toArray
+      val masks = entries.map(_._3).toArray
+      matchEntries(ts, masks, parsed)
+    }
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
+        col(idCol).cast("long").as("__i"), mask.as("__m"))
+      .where(col("__m") =!= 0)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__i"),
+        col("__m")))).as("evs"))
+      .select(col(userCol), matcher(col("evs")).as("matched"))
+  }
+
   /** Retention cohort flags per user (`retention`-shaped): flag 1 is
     * "condition 1 ever held"; flag k>1 is "condition 1 AND condition k
     * both held" — the came-back-to-do-X cohort shape. Columns out are

@@ -907,6 +907,41 @@ object Relational {
         "over timestamp groups, oracle = EXISTS-chains with strict " +
         "inequalities"),
 
+    // q62: sequenceMatch — the ClickHouse event-chain pattern matcher
+    // ('(?N)' / '.' / '.*' / '(?t op sec)'). Pattern here: a view
+    // IMMEDIATELY followed (among stored events — only view/click/
+    // purchase are stored) by a click within 1 h, then a purchase
+    // anywhere later. Adjacency is expressible without recursion: rank
+    // stored events per user and require b.rn = a.rn + 1. Users with no
+    // stored event produce no row (nothing is buffered for them —
+    // ClickHouse's own pre-filter).
+    "q62_sequence_match" -> Q(
+      (s, dir) => graft.operators.Funnels.sequenceMatch(
+        t(s, dir, "events"), "(?1)(?t<=3600)(?2).*(?3)",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase")),
+      Some("""WITH m AS (
+             |  SELECT user_id, event_id,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase')),
+             |hit AS (
+             |  SELECT DISTINCT a.user_id
+             |  FROM m a
+             |  JOIN m b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+             |  JOIN m c ON c.user_id = a.user_id AND c.rn > b.rn
+             |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+             |    AND b.t - a.t <= 3600000000 AND c.event_type = 'purchase')
+             |SELECT u.user_id,
+             |       u.user_id IN (SELECT user_id FROM hit) AS matched
+             |FROM (SELECT DISTINCT user_id FROM m) u""".stripMargin),
+      "sequenceMatch('(?1)(?t<=3600)(?2).*(?3)'): adjacency-among-stored " +
+        "+ time constraint + gap; one per-user fold, oracle re-derives " +
+        "via ranked EXISTS-joins"),
+
     "q28_asof_join" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "user_id", "ts")

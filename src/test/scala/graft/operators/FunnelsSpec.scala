@@ -322,6 +322,127 @@ class FunnelsSpec extends AnyFunSuite {
   }
   private val MinT = Long.MinValue
 
+  // ---- sequenceMatch ----
+
+  private def seqMatch(rows: Seq[(Long, Long, Long, String)], pattern: String,
+      conds: Seq[String]) =
+    Funnels.sequenceMatch(ev(rows), pattern,
+      conds.map(c => col("event_type") === c))
+      .as[(Long, Boolean)].collect().toMap
+
+  test("sequenceMatch: the ClickHouse doc triple — unmatched events are not stored") {
+    // the published example: log 1,3,2; pattern '(?1)(?2)'
+    val log = Seq((1L, 1L, 100L, "e1"), (1L, 2L, 200L, "e3"), (1L, 3L, 300L, "e2"))
+    // conds (1,2): 3 is never stored → 1 and 2 are adjacent → match
+    assert(seqMatch(log, "(?1)(?2)", Seq("e1", "e2")) == Map(1L -> true))
+    // conds (1,2,3): 3 sits between them in the stored list → no match
+    assert(seqMatch(log, "(?1)(?2)", Seq("e1", "e2", "e3")) == Map(1L -> false))
+    // conds (1,2,4): 4 never occurs → same as the first case
+    assert(seqMatch(log, "(?1)(?2)", Seq("e1", "e2", "e4")) == Map(1L -> true))
+    // .* restores the match even with 3 stored
+    assert(seqMatch(log, "(?1).*(?2)", Seq("e1", "e2", "e3")) == Map(1L -> true))
+  }
+
+  test("sequenceMatch: time constraints, dot token, leading skip, absent users") {
+    val log = Seq(
+      // u1: view@100 click@200 (dt=100µs « 1s) — (?t<=1) passes, (?t>1) fails
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "click"),
+      // u2: view then click 2 s later
+      (2L, 1L, 100L, "view"), (2L, 2L, 2100000L, "click"),
+      // u3: leading stored noise then the chain; '.' must consume exactly
+      // one stored event
+      (3L, 1L, 50L, "click"), (3L, 2L, 100L, "view"), (3L, 3L, 200L, "click"),
+      // u4: only unmatched events → no stored entries → NO output row
+      (4L, 1L, 100L, "x"))
+    val conds = Seq("view", "click")
+    assert(seqMatch(log, "(?1)(?t<=1)(?2)", conds) ==
+      Map(1L -> true, 2L -> false, 3L -> true))
+    assert(seqMatch(log, "(?1)(?t>1)(?2)", conds) ==
+      Map(1L -> false, 2L -> true, 3L -> false))
+    assert(seqMatch(log, ".(?1)", conds) == // some stored event, then a view
+      Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("sequenceMatch: invalid patterns are rejected named") {
+    val df = ev(Seq((1L, 1L, 100L, "view")))
+    val conds = Seq(col("event_type") === "view")
+    val e1 = intercept[IllegalArgumentException](
+      Funnels.sequenceMatch(df, "(?2)", conds))
+    assert(e1.getMessage.contains("only 1 conditions"))
+    val e2 = intercept[IllegalArgumentException](
+      Funnels.sequenceMatch(df, "(?t<=5)(?1)", conds))
+    assert(e2.getMessage.contains("preceding event token"))
+    val e3 = intercept[IllegalArgumentException](
+      Funnels.sequenceMatch(df, "(?1)%%", conds))
+    assert(e3.getMessage.contains("cannot parse"))
+  }
+
+  test("sequenceMatch ≡ explicit-prevT DFS reference on random overlapping logs") {
+    val rnd = new scala.util.Random(61)
+    // boolean conds that can overlap; ~1/4 of events match nothing
+    val rows = for {
+      u <- 0L until 30L
+      i <- 0L until 10L
+    } yield (u, i, rnd.nextInt(500).toLong,
+      rnd.nextInt(4) == 0, rnd.nextInt(3) == 0, rnd.nextInt(4) == 0)
+    val df = rows.toDF("user_id", "event_id", "t_us", "a", "b", "c")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val conds = Seq(col("a"), col("b"), col("c"))
+    // spec-side token lists: (Left(k0) = (?k), Right(()) = '.', gapBefore,
+    // time constraints in µs) — hand-built per pattern, independent of the
+    // operator's parser
+    type RefStep = (Either[Int, Unit], Boolean, Seq[(String, Long)])
+    val cases: Seq[(String, Seq[RefStep])] = Seq(
+      "(?1)(?2)" -> Seq((Left(0), true, Nil), (Left(1), false, Nil)),
+      "(?1).*(?3)" -> Seq((Left(0), true, Nil), (Left(2), true, Nil)),
+      "(?2)(?t<=1)(?1)" ->
+        Seq((Left(1), true, Nil), (Left(0), false, Seq("<=" -> 1000000L))),
+      "(?1).(?2)" ->
+        Seq((Left(0), true, Nil), (Right(()), false, Nil), (Left(1), false, Nil)),
+      "(?3).*(?t>0)(?3)" ->
+        Seq((Left(2), true, Nil), (Left(2), true, Seq(">" -> 0L)))
+    )
+    def refMatch(entries: IndexedSeq[(Long, Int)], steps: Seq[RefStep]): Boolean = {
+      def cmp(dt: Long, op: String, x: Long) = op match {
+        case "<=" => dt <= x; case ">=" => dt >= x; case "<" => dt < x
+        case ">" => dt > x; case "==" => dt == x; case "!=" => dt != x
+      }
+      def go(si: Int, ei: Int, prevT: Long): Boolean =
+        if (si == steps.length) true
+        else {
+          val (tok, gap, tcs) = steps(si)
+          val cand = if (gap) ei until entries.length
+            else if (ei < entries.length) Seq(ei) else Seq.empty
+          cand.exists { j =>
+            val (t, m) = entries(j)
+            val tokOk = tok match {
+              case Left(k) => (m & (1 << k)) != 0
+              case Right(_) => true
+            }
+            tokOk && tcs.forall { case (op, x) => cmp(t - prevT, op, x) } &&
+              go(si + 1, j + 1, t)
+          }
+        }
+      go(0, 0, Long.MinValue / 2)
+    }
+    for ((pattern, refSteps) <- cases) {
+      val got = Funnels.sequenceMatch(df, pattern, conds)
+        .as[(Long, Boolean)].collect().toMap
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val entries = es
+          .map(e => (e._3, e._2,
+            (if (e._4) 1 else 0) | (if (e._5) 2 else 0) | (if (e._6) 4 else 0)))
+          .filter(_._3 != 0)
+          .sortBy(e => (e._1, e._2))
+          .map(e => (e._1, e._3)).toIndexedSeq
+        if (entries.isEmpty) None
+        else Some(u -> refMatch(entries, refSteps))
+      }
+      assert(got == expected, s"pattern $pattern")
+      assert(expected.values.toSet.size == 2, s"degenerate fixture for $pattern")
+    }
+  }
+
   private def seqCount(rows: Seq[(Long, Long, Long, String)], wUs: Long) =
     Funnels.sequenceCount(ev(rows),
       steps = Seq(col("event_type") === "A", col("event_type") === "B",
