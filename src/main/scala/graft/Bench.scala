@@ -40,7 +40,8 @@ object Bench {
     "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
     "q54_window_funnel", "q55_retention", "q59_funnel_strict_dedup",
     "q60_funnel_strict_order", "q61_funnel_strict_increase",
-    "q62_sequence_match", "s11_embedding_outliers",
+    "q62_sequence_match", "q63_sequence_count_pattern",
+    "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
     "t14_hybrid_rrf", "t15_bigram_surprisal", "d21_dsir_weights",
@@ -508,7 +509,13 @@ object Bench {
         "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize",
         "s09_pca_project", "s11_embedding_outliers",
         "q52_cdc_merge", "q54_window_funnel", "q56_quality_percentile",
-        "p08_doremi_mixture")
+        "p08_doremi_mixture",
+        // r11 behavioral additions: all three read only the events table
+        // (user-replicated 10× — the natural axis for per-user folds);
+        // each is one user-keyed exchange + a per-user scan, so the
+        // ratio must sit in the linear band
+        "q59_funnel_strict_dedup", "q60_funnel_strict_order",
+        "q62_sequence_match")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must
@@ -705,8 +712,18 @@ object Bench {
               "theta_sketch_agg(CASE WHEN NOT side_a THEN term END)))"))
           .write.format("noop").mode("overwrite").save()
       }
+      // t24's weighted aggregate, isolated over the same materialized
+      // term table (weight = term length) — the same flat-at-10× claim
+      // as t19's, with the weighted reduce path under measurement
+      def topkWeightedSketch(dir: String): Unit =
+        graft.operators.HeavyHitters.topKWeighted(
+          spark.read.parquet(if (dir == sfDir) terms1x else termsNx)
+            .selectExpr("term", "length(term) AS w"),
+          "term", "w", 64)
+          .write.format("noop").mode("overwrite").save()
       val opStats = Seq(
         ("t19_topk_sketch", topkSketch _),
+        ("t24_topkw_sketch", topkWeightedSketch _),
         ("t20_kll_sketch", kllSketch _),
         ("t21_sample_sketch", samplePick _),
         ("t22_theta_sketch", thetaSetOps _),

@@ -337,11 +337,22 @@ object Funnels {
     * gap steps pass j+1), so prevT is a function of the entry index.
     * O(steps × entries²) worst case.
     */
-  private[operators] def matchEntries(ts: Array[Long], masks: Array[Int],
-      steps: Seq[Step]): Boolean = {
+  /** Leftmost-lazy match starting at entry `from`: returns the index
+    * AFTER the last consumed entry, or −1 if no match. Gap steps try
+    * candidates in increasing order (the ClickHouse backtracking order),
+    * so the found match is leftmost-lazy; memoized on (step, entry) —
+    * sound because the previous consumed entry at any call is always
+    * `entry − 1` (adjacency steps consume it directly, gap steps pass
+    * j+1), so a time constraint's prevT is a function of the entry
+    * index, and the lazy end from a (step, entry) state is
+    * start-independent (one memo serves every `from` of the
+    * non-overlapping count loop). O(steps × entries²) worst case.
+    */
+  private[operators] def findEnd(ts: Array[Long], masks: Array[Int],
+      steps: Seq[Step], from: Int,
+      memo: java.util.HashMap[Long, Integer]): Int = {
     val nE = ts.length
     val nS = steps.size
-    val memo = new java.util.HashMap[Long, java.lang.Boolean]()
     def okAt(st: Step, j: Int): Boolean = {
       val tokOk = st.tok match {
         case EvTok(k) => (masks(j) & (1 << k)) != 0
@@ -359,25 +370,37 @@ object Funnels {
         }
       }
     }
-    def go(si: Int, ei: Int): Boolean = {
-      if (si == nS) return true
-      if (ei >= nE) return false
+    def go(si: Int, ei: Int): Int = {
+      if (si == nS) return ei
+      if (ei >= nE) return -1
       val key = si.toLong * (nE + 1) + ei
       val cached = memo.get(key)
-      if (cached != null) return cached.booleanValue()
+      if (cached != null) return cached.intValue()
       val st = steps(si)
       val r =
-        if (st.gapBefore)
-          (ei until nE).exists(j => okAt(st, j) && go(si + 1, j + 1))
-        else okAt(st, ei) && go(si + 1, ei + 1)
+        if (st.gapBefore) {
+          var j = ei
+          var found = -1
+          while (j < nE && found < 0) {
+            if (okAt(st, j)) {
+              val e = go(si + 1, j + 1)
+              if (e >= 0) found = e
+            }
+            j += 1
+          }
+          found
+        } else if (okAt(st, ei)) go(si + 1, ei + 1)
+        else -1
       memo.put(key, r)
       r
     }
-    // prevT for a time constraint reads ts(j-1); the parser only allows
-    // constraints after the first event token, and every later step's
-    // candidate j is ≥ 1 because step 0 consumed an earlier entry
-    go(0, 0)
+    go(0, from)
   }
+
+  private[operators] def matchEntries(ts: Array[Long], masks: Array[Int],
+      steps: Seq[Step]): Boolean =
+    findEnd(ts, masks, steps, 0,
+      new java.util.HashMap[Long, Integer]()) >= 0
 
   /** ClickHouse `sequenceMatch(pattern)(ts, cond1, …)` per user: does the
     * user's stored-event sequence contain a chain matching the pattern?
@@ -392,19 +415,11 @@ object Funnels {
     * no Column-expression form; the per-row work the codegen path would
     * optimize is already reduced to one call per user).
     */
-  def sequenceMatch(events: DataFrame, pattern: String, steps: Seq[Column],
-      userCol: String = "user_id", tsCol: String = "ts",
-      idCol: String = "event_id"): DataFrame = {
-    require(steps.nonEmpty && steps.size <= 30)
-    val parsed = parsePattern(pattern, steps.size)
+  private def storedEntries(events: DataFrame, steps: Seq[Column],
+      userCol: String, tsCol: String, idCol: String): DataFrame = {
     val mask = steps.zipWithIndex.map { case (c, k) =>
       when(coalesce(c.cast("boolean"), lit(false)), lit(1 << k)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val matcher = udf { (entries: Seq[(Long, Long, Int)]) =>
-      val ts = entries.map(_._1).toArray
-      val masks = entries.map(_._3).toArray
-      matchEntries(ts, masks, parsed)
-    }
     events
       .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
         col(idCol).cast("long").as("__i"), mask.as("__m"))
@@ -412,7 +427,52 @@ object Funnels {
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col("__t"), col("__i"),
         col("__m")))).as("evs"))
+  }
+
+  def sequenceMatch(events: DataFrame, pattern: String, steps: Seq[Column],
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 30)
+    val parsed = parsePattern(pattern, steps.size)
+    val matcher = udf { (entries: Seq[(Long, Long, Int)]) =>
+      val ts = entries.map(_._1).toArray
+      val masks = entries.map(_._3).toArray
+      matchEntries(ts, masks, parsed)
+    }
+    storedEntries(events, steps, userCol, tsCol, idCol)
       .select(col(userCol), matcher(col("evs")).as("matched"))
+  }
+
+  /** ClickHouse `sequenceCount(pattern)(ts, cond1, …)` per user: how many
+    * NON-OVERLAPPING chains match the pattern. Matches are taken
+    * leftmost-lazy (the ClickHouse backtracking order — each gap consumes
+    * as few events as possible) and the next search resumes after the
+    * previous match's last consumed entry; every match consumes ≥ 1
+    * entry, so the scan is linear in matches. Same storage contract and
+    * scale shape as [[sequenceMatch]]; one memo table is shared across
+    * the count loop (lazy ends from a (step, entry) state are
+    * start-independent).
+    */
+  def sequenceCountPattern(events: DataFrame, pattern: String,
+      steps: Seq[Column], userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 30)
+    val parsed = parsePattern(pattern, steps.size)
+    val counter = udf { (entries: Seq[(Long, Long, Int)]) =>
+      val ts = entries.map(_._1).toArray
+      val masks = entries.map(_._3).toArray
+      val memo = new java.util.HashMap[Long, Integer]()
+      var pos = 0
+      var cnt = 0L
+      while (pos >= 0 && pos < ts.length) {
+        val end = findEnd(ts, masks, parsed, pos, memo)
+        if (end < 0) pos = -1
+        else { cnt += 1L; pos = end }
+      }
+      cnt
+    }
+    storedEntries(events, steps, userCol, tsCol, idCol)
+      .select(col(userCol), counter(col("evs")).as("n_matches"))
   }
 
   /** Retention cohort flags per user (`retention`-shaped): flag 1 is

@@ -942,6 +942,36 @@ object Relational {
         "+ time constraint + gap; one per-user fold, oracle re-derives " +
         "via ranked EXISTS-joins"),
 
+    // q63: sequenceCount(pattern) — non-overlapping chain count,
+    // leftmost-lazy. Pattern: a view ADJACENT (among stored view/click
+    // events) to a click within 1 h. With mutually exclusive conditions
+    // a matched pair's click can never start the next chain, so the
+    // lazy non-overlapping count equals the plain adjacent-pair count —
+    // which the oracle states directly with lead() over ranked stored
+    // events (no recursion; the disjointness argument is in the entry
+    // comment).
+    "q63_sequence_count_pattern" -> Q(
+      (s, dir) => graft.operators.Funnels.sequenceCountPattern(
+        t(s, dir, "events"), "(?1)(?t<=3600)(?2)",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click")),
+      Some("""WITH m AS (
+             |  SELECT user_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |         lead(event_type) OVER w AS nxt_type,
+             |         lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS nxt_t
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |  WINDOW w AS (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+             |SELECT user_id,
+             |       CAST(count(*) FILTER (WHERE event_type = 'view'
+             |         AND nxt_type = 'click'
+             |         AND nxt_t - t <= 3600000000) AS BIGINT) AS n_matches
+             |FROM m GROUP BY user_id""".stripMargin),
+      "sequenceCount('(?1)(?t<=3600)(?2)'): non-overlapping leftmost-lazy " +
+        "chain count; mutually exclusive conditions reduce it to the " +
+        "adjacent-pair count the lead() oracle states directly"),
+
     "q28_asof_join" -> Q(
       (s, dir) => {
         val ev = t(s, dir, "events").select("event_id", "user_id", "ts")

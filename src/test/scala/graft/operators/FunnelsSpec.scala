@@ -443,6 +443,97 @@ class FunnelsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceCountPattern: non-overlapping lazy counting") {
+    val conds = Seq("view", "click")
+    val log = Seq(
+      // two disjoint adjacent pairs
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "click"),
+      (1L, 3L, 300L, "view"), (1L, 4L, 400L, "click"),
+      // view view click: only ONE chain (second view is adjacent)
+      (2L, 1L, 100L, "view"), (2L, 2L, 200L, "view"), (2L, 3L, 300L, "click"),
+      // clicks without views: stored but zero chains
+      (3L, 1L, 100L, "click"), (3L, 2L, 200L, "click"))
+    assert(Funnels.sequenceCountPattern(ev(log), "(?1)(?2)",
+        conds.map(c => col("event_type") === c))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+    // gap form: view .* click — lazy matching still yields 2 disjoint
+    // chains for user 1 (first chain ends at the FIRST click)
+    assert(Funnels.sequenceCountPattern(ev(log), "(?1).*(?2)",
+        conds.map(c => col("event_type") === c))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+    // time constraint: the second pair of user 1 is 100 µs apart too, so
+    // (?t>1) kills both
+    assert(Funnels.sequenceCountPattern(ev(log), "(?1)(?t>1)(?2)",
+        conds.map(c => col("event_type") === c))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("sequenceCountPattern ≡ repeated-lazy-scan reference on random logs") {
+    val rnd = new scala.util.Random(67)
+    val rows = for {
+      u <- 0L until 30L
+      i <- 0L until 12L
+    } yield (u, i, rnd.nextInt(500).toLong,
+      rnd.nextInt(3) == 0, rnd.nextInt(3) == 0)
+    val df = rows.toDF("user_id", "event_id", "t_us", "a", "b")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val conds = Seq(col("a"), col("b"))
+    type RefStep = (Either[Int, Unit], Boolean, Seq[(String, Long)])
+    val cases: Seq[(String, Seq[RefStep])] = Seq(
+      "(?1)(?2)" -> Seq((Left(0), true, Nil), (Left(1), false, Nil)),
+      "(?1).*(?2)" -> Seq((Left(0), true, Nil), (Left(1), true, Nil)),
+      "(?2)(?t<=1)(?1)" ->
+        Seq((Left(1), true, Nil), (Left(0), false, Seq("<=" -> 1000000L))))
+    def cmp(dt: Long, op: String, x: Long) = op match {
+      case "<=" => dt <= x; case ">=" => dt >= x; case "<" => dt < x
+      case ">" => dt > x; case "==" => dt == x; case "!=" => dt != x
+    }
+    // independent lazy scan: returns end index after the match or -1;
+    // no memoization, explicit prevT
+    def refEnd(entries: IndexedSeq[(Long, Int)], steps: Seq[RefStep],
+        from: Int): Int = {
+      def go(si: Int, ei: Int, prevT: Long): Int =
+        if (si == steps.length) ei
+        else {
+          val (tok, gap, tcs) = steps(si)
+          val cand = if (gap) ei until entries.length
+            else if (ei < entries.length) Seq(ei) else Seq.empty
+          cand.iterator.map { j =>
+            val (t, m) = entries(j)
+            val tokOk = tok match {
+              case Left(k) => (m & (1 << k)) != 0
+              case Right(_) => true
+            }
+            if (tokOk && tcs.forall { case (op, x) => cmp(t - prevT, op, x) })
+              go(si + 1, j + 1, t)
+            else -1
+          }.find(_ >= 0).getOrElse(-1)
+        }
+      go(0, from, Long.MinValue / 2)
+    }
+    for ((pattern, refSteps) <- cases) {
+      val got = Funnels.sequenceCountPattern(df, pattern, conds)
+        .as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val entries = es
+          .map(e => (e._3, e._2, (if (e._4) 1 else 0) | (if (e._5) 2 else 0)))
+          .filter(_._3 != 0).sortBy(e => (e._1, e._2))
+          .map(e => (e._1, e._3)).toIndexedSeq
+        if (entries.isEmpty) None
+        else {
+          var pos = 0; var cnt = 0L
+          while (pos >= 0 && pos < entries.length) {
+            val e = refEnd(entries, refSteps, pos)
+            if (e < 0) pos = -1 else { cnt += 1; pos = e }
+          }
+          Some(u -> cnt)
+        }
+      }
+      assert(got == expected, s"pattern $pattern")
+      assert(expected.values.max >= 2, s"degenerate fixture for $pattern")
+    }
+  }
+
   private def seqCount(rows: Seq[(Long, Long, Long, String)], wUs: Long) =
     Funnels.sequenceCount(ev(rows),
       steps = Seq(col("event_type") === "A", col("event_type") === "B",
