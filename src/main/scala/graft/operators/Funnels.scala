@@ -415,6 +415,67 @@ object Funnels {
     * no Column-expression form; the per-row work the codegen path would
     * optimize is already reduced to one call per user).
     */
+  /** One ClickHouse strict-scan iteration over the SCALAR state array —
+    * the same branch structure as the Column fold in
+    * [[windowFunnelStrict]] (step-1 restart, dedup termination, order
+    * termination, windowed advance), shared with the streaming leg so
+    * batch and stream cannot drift. Layout: 0..n−1 chain-start ts,
+    * n..2n−1 last-event ts, 2n first-event flag, 2n+1 result (−1 =
+    * scanning). `k` = matched step, −1 for a no-step event.
+    */
+  private[graft] def strictScalarStep(st: Array[Long], n: Int, t: Long,
+      k: Int, windowMicros: Long, dedup: Boolean, order: Boolean,
+      increase: Boolean): Unit = {
+    if (st(2 * n + 1) != -1L) return
+    def reached: Long = {
+      var c = 0
+      while (c < n && st(c) != Unreached) c += 1
+      c.toLong
+    }
+    if (k == -1) {
+      if (order && st(2 * n) == 1L) st(2 * n + 1) = reached
+    } else if (k == 0) {
+      st(0) = t; st(n) = t; st(2 * n) = 1L
+    } else if (dedup && st(k) != Unreached) {
+      st(2 * n + 1) = k + 1L
+    } else if (order && st(2 * n) == 1L && st(k - 1) == Unreached) {
+      st(2 * n + 1) = reached
+    } else if (st(k - 1) != Unreached && t - st(k - 1) <= windowMicros &&
+      (!increase || st(n + k - 1) < t)) {
+      st(k) = st(k - 1); st(n + k) = t
+      if (k == n - 1) st(2 * n + 1) = n.toLong
+    }
+  }
+
+  /** Feed one event into the scalar strict scan: matched steps in
+    * descending order, else the no-step entry.
+    */
+  private[graft] def strictScalarEvent(st: Array[Long], n: Int, t: Long,
+      conds: Seq[Boolean], windowMicros: Long, dedup: Boolean,
+      order: Boolean, increase: Boolean): Unit = {
+    var any = false
+    var k = n - 1
+    while (k >= 0) {
+      if (conds(k)) {
+        any = true
+        strictScalarStep(st, n, t, k, windowMicros, dedup, order, increase)
+      }
+      k -= 1
+    }
+    if (!any) strictScalarStep(st, n, t, -1, windowMicros, dedup, order, increase)
+  }
+
+  /** Level read off the scalar strict state: the terminated result, else
+    * the contiguous reached prefix.
+    */
+  private[graft] def strictScalarLevel(st: Array[Long], n: Int): Int =
+    if (st(2 * n + 1) != -1L) st(2 * n + 1).toInt
+    else {
+      var c = 0
+      while (c < n && st(c) != Unreached) c += 1
+      c
+    }
+
   private def storedEntries(events: DataFrame, steps: Seq[Column],
       userCol: String, tsCol: String, idCol: String): DataFrame = {
     val mask = steps.zipWithIndex.map { case (c, k) =>

@@ -412,6 +412,134 @@ object StatefulOps {
       }
   }
 
+  /** Live STRICT-mode funnel tracking — [[graft.operators.Funnels
+    * .windowFunnelStrict]] as per-user keyed state, batch/stream parity
+    * by construction:
+    *
+    *   - dedup/order (± increase): the state IS the scalar strict-scan
+    *     array (2·levels+2 longs), advanced by the SAME
+    *     `Funnels.strictScalarEvent` the batch fold mirrors. Once the
+    *     scan terminates the level is frozen (late events cannot change
+    *     a terminated result); until then the cross-batch in-order
+    *     contract applies — a late event is folded at arrival position,
+    *     which can miss a termination an in-order replay would have hit.
+    *
+    *   - pure strict_increase: the exact timestamp-group DP with a
+    *     commit/pending pair per level — `best` holds chains whose last
+    *     event is strictly before the current group time, `pend` folds
+    *     the current group against that snapshot, and a later timestamp
+    *     commits pend into best. Same-ts events SPLIT ACROSS
+    *     MICRO-BATCHES still read the pre-group snapshot (curT tracks
+    *     the open group), so in-order streams reproduce the batch DP
+    *     exactly, ties included; events older than the open group are
+    *     dropped (under-count, never over-count). State = 2·levels+2
+    *     longs.
+    *
+    * Update-mode output `(user, level)` per batch. UNLIKE the default
+    * funnel, the strict level is NOT monotone: a dedup termination
+    * reports the repeated level, which can be LOWER than the deepest
+    * already emitted — consumers must read the LATEST update per user,
+    * not the max. `evictAfter` arms the same watermark eviction as
+    * [[funnelStream]], but for the sequential modes it is a POLICY
+    * cutoff, not an exactness horizon: a duplicate or no-step event is
+    * not window-bounded, so an event arriving after eviction would still
+    * have terminated a batch scan — evicted journeys freeze at their
+    * level as of eviction.
+    */
+  def funnelStrictStream(events: DataFrame,
+      steps: Seq[org.apache.spark.sql.Column], windowMicros: Long,
+      strictDedup: Boolean = false, strictOrder: Boolean = false,
+      strictIncrease: Boolean = false,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id",
+      evictAfter: Option[String] = None): Dataset[FunnelLevel] = {
+    require(steps.nonEmpty && windowMicros >= 0)
+    require(strictDedup || strictOrder || strictIncrease,
+      "no strict flag set — use funnelStream for the default mode")
+    val n = steps.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unreached = Long.MinValue
+    val sequential = strictDedup || strictOrder
+    val src = evictAfter.map(d => events.withWatermark(tsCol, d)).getOrElse(events)
+    val timeout =
+      if (evictAfter.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // state = mode-specific slots ++ (max event time seen) for eviction;
+    // wm_ts rides along so the watermark tag survives projection (see
+    // funnelStream)
+    val stateLen = 2 * n + 3 // sequential: first|last|fe|res|lastT
+    val dpLen = 2 * n + 2 //   increase DP: best|pend|curT|lastT
+    def seqLevel(st: Array[Long]): Int =
+      graft.operators.Funnels.strictScalarLevel(st, n)
+    def dpLevel(st: Array[Long]): Int = {
+      var c = 0
+      while (c < n && st(n + c) != Unreached) c += 1 // pend incl. open group
+      c
+    }
+    src.select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol)).as("t"), col(idCol).cast("long").as("id"),
+        array(steps.map(s => coalesce(s.cast("boolean"), lit(false))): _*).as("conds"),
+        col(tsCol).as("wm_ts"))
+      .as[(Long, Long, Long, Seq[Boolean], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], FunnelLevel](
+        OutputMode.Update(), timeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get.toArray
+            state.remove()
+            Iterator(FunnelLevel(user,
+              if (sequential) seqLevel(st) else dpLevel(st)))
+          } else {
+            val init =
+              if (sequential)
+                Array.fill(stateLen)(Unreached)
+                  .updated(2 * n, 0L).updated(2 * n + 1, -1L)
+              else Array.fill(dpLen)(Unreached)
+            val st = state.getOption.map(_.toArray).getOrElse(init)
+            val lastSlot = st.length - 1
+            rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, _, conds, _) =>
+              if (sequential)
+                graft.operators.Funnels.strictScalarEvent(st, n, t, conds,
+                  windowMicros, strictDedup, strictOrder, strictIncrease)
+              else {
+                // exact ts-group DP: commit the open group on a strictly
+                // later timestamp, fold equal-ts events against the
+                // committed snapshot, drop older-than-open-group events
+                val curT = st(2 * n)
+                if (curT == Unreached || t > curT) {
+                  var j = 0
+                  while (j < n) { st(j) = st(n + j); j += 1 } // commit pend
+                  st(2 * n) = t
+                }
+                if (st(2 * n) == t) {
+                  if (conds(0)) st(n) = math.max(st(n), t)
+                  var k = 1
+                  while (k < n) {
+                    if (conds(k) && st(k - 1) != Unreached &&
+                      t - st(k - 1) <= windowMicros)
+                      st(n + k) = math.max(st(n + k), st(k - 1))
+                    k += 1
+                  }
+                }
+              }
+              st(lastSlot) =
+                if (st(lastSlot) == Unreached) t else math.max(st(lastSlot), t)
+            }
+            state.update(st.toSeq)
+            val lastT = st(lastSlot)
+            if (evictAfter.isDefined && lastT != Unreached) {
+              val target = (lastT + windowMicros) / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(target, state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator(FunnelLevel(user,
+              if (sequential) seqLevel(st) else dpLevel(st)))
+          }
+      }
+  }
+
   /** Streaming CDC materializer — [[graft.operators.Cdc]]'s latest-wins
     * compaction as a stream stage: each micro-batch changelog is
     * pre-compacted to one record per key (tombstones KEPT — they must

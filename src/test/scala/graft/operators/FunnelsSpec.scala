@@ -585,6 +585,127 @@ class FunnelsSpec extends AnyFunSuite {
     assert(got == expected && expected.values.sum > 0)
   }
 
+  // ---- strict streaming ----
+
+  private def latestPerUser(table: String) = {
+    import org.apache.spark.sql.functions.{col, max_by, monotonically_increasing_id}
+    spark.table(table)
+      .withColumn("ord", monotonically_increasing_id())
+      .groupBy("user_id").agg(max_by(col("level"), col("ord")).as("level"))
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("funnelStrictStream: streamed in event-time order ≡ batch for " +
+    "dedup / order / dedup+increase") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    val types = Array("A", "B", "C", "X")
+    val rows = (for {
+      u <- 0L until 20L
+      i <- 0L until 12L
+    } yield (u, i, rnd.nextInt(1500).toLong, types(rnd.nextInt(4))))
+      .sortBy(e => (e._3, e._2)) // stream arrives in event-time order
+    val batches = rows.grouped(rows.size / 3 + 1).toSeq
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    val w = 400L
+    for (((dd, oo, ii), tag) <- Seq((true, false, false), (false, true, false),
+      (true, false, true)).zipWithIndex) {
+      val stream = MemoryStream[(Long, Long, Long, String)]
+      val levels = graft.streaming.StatefulOps.funnelStrictStream(
+        stream.toDS().toDF("user_id", "event_id", "t_us", "event_type")
+          .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us"),
+        steps, windowMicros = w, strictDedup = dd, strictOrder = oo,
+        strictIncrease = ii)
+      val q = levels.writeStream.format("memory")
+        .queryName(s"strict_stream_$tag").outputMode("update").start()
+      try {
+        batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = latestPerUser(s"strict_stream_$tag")
+      val batch = Funnels.windowFunnelStrict(ev(rows), steps, w,
+        strictDedup = dd, strictOrder = oo, strictIncrease = ii)
+        .as[(Long, Int)].collect().toMap
+      assert(streamed == batch, s"mode dedup=$dd order=$oo increase=$ii")
+      assert(batch.values.toSet.size > 1, "degenerate fixture")
+    }
+  }
+
+  test("funnelStrictStream pure increase: a same-ts group split across " +
+    "micro-batches still reads the pre-group snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    // u1: A@100 then B@100 ARRIVING IN THE NEXT BATCH — same-ts, must
+    // NOT chain; C@300 then chains off nothing past level 1
+    // u2: clean strictly increasing chain split across batches
+    val b1 = Seq((1L, 1L, 100L, "A"), (2L, 1L, 100L, "A"))
+    val b2 = Seq((1L, 2L, 100L, "B"), (2L, 2L, 200L, "B"))
+    val b3 = Seq((1L, 3L, 300L, "C"), (2L, 3L, 300L, "C"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val levels = graft.streaming.StatefulOps.funnelStrictStream(
+      stream.toDS().toDF("user_id", "event_id", "t_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us"),
+      steps, windowMicros = 1000L, strictIncrease = true)
+    val q = levels.writeStream.format("memory")
+      .queryName("strict_inc_stream").outputMode("update").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = latestPerUser("strict_inc_stream")
+    val batch = Funnels.windowFunnelStrict(ev(b1 ++ b2 ++ b3), steps, 1000L,
+      strictIncrease = true).as[(Long, Int)].collect().toMap
+    assert(streamed == batch && batch == Map(1L -> 1, 2L -> 3))
+  }
+
+  test("funnelStrictStream dedup: a later duplicate DROPS the level — " +
+    "latest update wins, not max") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    val b1 = Seq((1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"))
+    val b2 = Seq((1L, 4L, 400L, "B"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val levels = graft.streaming.StatefulOps.funnelStrictStream(
+      stream.toDS().toDF("user_id", "event_id", "t_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us"),
+      steps, windowMicros = 1000L, strictDedup = true)
+    val q = levels.writeStream.format("memory")
+      .queryName("strict_dedup_stream").outputMode("update").start()
+    val mid = try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      val m = latestPerUser("strict_dedup_stream")
+      stream.addData(b2: _*); q.processAllAvailable()
+      m
+    } finally q.stop()
+    assert(mid == Map(1L -> 3), "complete chain reported before the repeat")
+    // the repeat arrives AFTER completion — the scan is terminated at 3,
+    // so the level stays (terminated results are frozen)...
+    assert(latestPerUser("strict_dedup_stream") == Map(1L -> 3))
+    // ...but a repeat BEFORE completion terminates lower: B B then C
+    val stream2 = MemoryStream[(Long, Long, Long, String)]
+    val levels2 = graft.streaming.StatefulOps.funnelStrictStream(
+      stream2.toDS().toDF("user_id", "event_id", "t_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us"),
+      steps, windowMicros = 1000L, strictDedup = true)
+    val q2 = levels2.writeStream.format("memory")
+      .queryName("strict_dedup_stream2").outputMode("update").start()
+    val mid2 = try {
+      stream2.addData(Seq((1L, 1L, 100L, "A"), (1L, 2L, 200L, "B")): _*)
+      q2.processAllAvailable()
+      val m = latestPerUser("strict_dedup_stream2")
+      stream2.addData(Seq((1L, 3L, 300L, "B"), (1L, 4L, 400L, "C")): _*)
+      q2.processAllAvailable()
+      m
+    } finally q2.stop()
+    assert(mid2 == Map(1L -> 2))
+    assert(latestPerUser("strict_dedup_stream2") == Map(1L -> 2),
+      "repeat of level 2 terminates the scan at 2; the C never counts")
+  }
+
   test("retention: cohort flags gated on the first condition") {
     val rows = ev(Seq(
       (1L, 1L, 1L, "signup"), (1L, 2L, 2L, "click"),
