@@ -218,7 +218,9 @@ object Bench {
     // fingerprint with stages already materialized, and those ids are
     // assigned by ASYNC completion order (measured: two identical
     // back-to-back dumps differed in exactly those tokens). Under the
-    // new basis a double full-catalog PlanDump is 131/131 stable.
+    // new basis a double full-catalog PlanDump is stable on every entry
+    // (the acceptance test; first run 131/131, re-proven as the catalog
+    // grows).
     // Consequence: r10→r11 hashes are NOT comparable wholesale; the
     // bridging diff was run at the OLD basis before switching — 75 of
     // the 80 shared entries unchanged (d19 among them), changes being

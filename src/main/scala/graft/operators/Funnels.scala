@@ -157,13 +157,17 @@ object Funnels {
         i => element_at(stepArr, i + 1))
       val ks = when(size(ksMatched) > 0, reverse(ksMatched))
         .otherwise(array(lit(-1)))
-      val exploded = events
+      // no-step entries (k = −1) are kept in EVERY mode, not just
+      // strict_order where the fold consults them: filtering them would
+      // also drop users whose events match no step at all, and those
+      // users owe a level-0 row exactly like the default mode emits
+      // (and like the q59 oracle derives). The raw id column keeps its
+      // type so same-ts ties order identically to windowFunnel (a cast
+      // to long would NULL out non-numeric ids and leave ties
+      // undefined).
+      val entries = events
         .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__t"),
-          col(idCol).cast("long").as("__i"), explode(ks).as("__k"))
-      val entries = (if (strictOrder) exploded
-        // no-step entries only matter to strict_order — elsewhere they
-        // would ride the shuffle as guaranteed no-ops
-        else exploded.where(col("__k") =!= lit(-1)))
+          col(idCol).as("__i"), explode(ks).as("__k"))
         .select(col("__u"),
           struct(col("__t").as("t"), col("__i").as("i"),
             (-col("__k")).as("nk")).as("ev"))
@@ -331,35 +335,31 @@ object Funnels {
     out
   }
 
-  /** Backtracking pattern match over the (t, mask) entry list, memoized
-    * on (step, entry) — sound because the previous consumed entry at any
-    * call is always `entry − 1` (adjacency steps consume it directly,
-    * gap steps pass j+1), so prevT is a function of the entry index.
-    * O(steps × entries²) worst case.
-    */
   /** Leftmost-lazy match starting at entry `from`: returns the index
     * AFTER the last consumed entry, or −1 if no match. Gap steps try
     * candidates in increasing order (the ClickHouse backtracking order),
-    * so the found match is leftmost-lazy; memoized on (step, entry) —
-    * sound because the previous consumed entry at any call is always
-    * `entry − 1` (adjacency steps consume it directly, gap steps pass
-    * j+1), so a time constraint's prevT is a function of the entry
-    * index, and the lazy end from a (step, entry) state is
-    * start-independent (one memo serves every `from` of the
-    * non-overlapping count loop). O(steps × entries²) worst case.
+    * so the found match is leftmost-lazy. A `(?t)` constraint is
+    * measured against the previously MATCHED event — which in `go(si,
+    * ei)` is always entry `ei − 1`, because every step (adjacency or
+    * gap) passes consumed+1 as the next `ei`; a gap step's candidate j
+    * therefore compares ts(j) against ts(ei−1), NOT ts(j−1) (the entry
+    * it happens to sit next to). That same invariant makes the (step,
+    * entry) memo sound and start-independent (one memo serves every
+    * `from` of the non-overlapping count loop). O(steps × entries²)
+    * worst case.
     */
   private[operators] def findEnd(ts: Array[Long], masks: Array[Int],
       steps: Seq[Step], from: Int,
       memo: java.util.HashMap[Long, Integer]): Int = {
     val nE = ts.length
     val nS = steps.size
-    def okAt(st: Step, j: Int): Boolean = {
+    def okAt(st: Step, j: Int, prev: Int): Boolean = {
       val tokOk = st.tok match {
         case EvTok(k) => (masks(j) & (1 << k)) != 0
         case AnyTok => true
       }
       tokOk && st.timeCs.forall { case (op, micros) =>
-        val dt = ts(j) - ts(j - 1) // parser guarantees a preceding event
+        val dt = ts(j) - ts(prev) // parser guarantees a preceding event
         op match {
           case "<=" => dt <= micros
           case ">=" => dt >= micros
@@ -382,14 +382,14 @@ object Funnels {
           var j = ei
           var found = -1
           while (j < nE && found < 0) {
-            if (okAt(st, j)) {
+            if (okAt(st, j, ei - 1)) {
               val e = go(si + 1, j + 1)
               if (e >= 0) found = e
             }
             j += 1
           }
           found
-        } else if (okAt(st, ei)) go(si + 1, ei + 1)
+        } else if (okAt(st, ei, ei - 1)) go(si + 1, ei + 1)
         else -1
       memo.put(key, r)
       r
@@ -402,19 +402,6 @@ object Funnels {
     findEnd(ts, masks, steps, 0,
       new java.util.HashMap[Long, Integer]()) >= 0
 
-  /** ClickHouse `sequenceMatch(pattern)(ts, cond1, …)` per user: does the
-    * user's stored-event sequence contain a chain matching the pattern?
-    * Output `(userCol, matched)`; users with NO condition-matching events
-    * produce no row (nothing is stored for them — the same filter
-    * ClickHouse applies before buffering).
-    *
-    * Shape: events matching no condition are filtered BEFORE the
-    * exchange, the per-user sorted entry list is the same envelope as
-    * [[windowFunnel]]'s, and the matcher runs once per user over the
-    * collected array (a scalar UDF — backtracking with memoization has
-    * no Column-expression form; the per-row work the codegen path would
-    * optimize is already reduced to one call per user).
-    */
   /** One ClickHouse strict-scan iteration over the SCALAR state array —
     * the same branch structure as the Column fold in
     * [[windowFunnelStrict]] (step-1 restart, dedup termination, order
@@ -481,15 +468,35 @@ object Funnels {
     val mask = steps.zipWithIndex.map { case (c, k) =>
       when(coalesce(c.cast("boolean"), lit(false)), lit(1 << k)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
+    // the raw id column rides into the sort struct so same-ts ties order
+    // by the id's OWN type (numeric ids numerically, strings
+    // lexicographically — the windowFunnel contract); it is stripped
+    // after the sort so the matcher UDF's input type stays concrete
     events
       .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
-        col(idCol).cast("long").as("__i"), mask.as("__m"))
+        col(idCol).as("__i"), mask.as("__m"))
       .where(col("__m") =!= 0)
       .groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(col("__t"), col("__i"),
-        col("__m")))).as("evs"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__t"), col("__i"),
+          col("__m")))),
+        e => struct(e.getField("__t").as("t"), lit(0L).as("i"),
+          e.getField("__m").as("m"))).as("evs"))
   }
 
+  /** ClickHouse `sequenceMatch(pattern)(ts, cond1, …)` per user: does the
+    * user's stored-event sequence contain a chain matching the pattern?
+    * Output `(userCol, matched)`; users with NO condition-matching events
+    * produce no row (nothing is stored for them — the same filter
+    * ClickHouse applies before buffering).
+    *
+    * Shape: events matching no condition are filtered BEFORE the
+    * exchange, the per-user sorted entry list is the same envelope as
+    * [[windowFunnel]]'s, and the matcher runs once per user over the
+    * collected array (a scalar UDF — backtracking with memoization has
+    * no Column-expression form; the per-row work the codegen path would
+    * optimize is already reduced to one call per user).
+    */
   def sequenceMatch(events: DataFrame, pattern: String, steps: Seq[Column],
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {

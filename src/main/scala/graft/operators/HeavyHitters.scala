@@ -47,6 +47,12 @@ object HeavyHitters {
     * case class) and only cross the wire at the partial-aggregate
     * exchange, so the kryo round-trip is paid once per (partition, key),
     * never per row.
+    *
+    * COMPATIBILITY: this changed the aggregator's serialized buffer
+    * schema (map<string,bigint> → binary) in r11 — a STREAMING query
+    * checkpointed under the old Map buffer cannot resume on this code
+    * (state-store schema validation rejects it); restart such streams
+    * from a fresh checkpoint. Batch results are unaffected.
     */
   type MGBuf = java.util.HashMap[String, java.lang.Long]
 

@@ -147,7 +147,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new graft.operators.HeavyHitters.MisraGriesWeighted(
             intLit(args(2), "graft_topk_weighted")),
           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long)](),
-          "graft_topk_weighted", Seq(args(0), args(1)))),
+          "graft_topk_weighted",
+          // the tuple encoder's weight slot is a non-nullable primitive,
+          // so a NULL weight would crash the deserializer instead of
+          // being skipped as documented — coalesce to 0, which the
+          // aggregator's non-positive-weight skip discards identically
+          Seq(args(0), org.apache.spark.sql.catalyst.expressions.Coalesce(
+            Seq(args(1), org.apache.spark.sql.catalyst.expressions.Literal(0L)))))),
     (FunctionIdentifier("graft_kll_quantile"),
       info("graft_kll_quantile", "graft_kll_quantile(v, k, phi) - KLL-sketched φ-quantile of v (rank error ~ O(1/k) whp; NaN on empty group)"),
       (args: Seq[Expression]) =>

@@ -228,6 +228,19 @@ class FunnelsSpec extends AnyFunSuite {
     assert(funnel(rows, 1000L) == Map(1L -> 3, 2L -> 3, 3L -> 3))
   }
 
+  test("strict modes: a user whose events match NO step still reports level 0") {
+    // the review-caught gap: dedup-only mode used to filter no-step
+    // entries before the groupBy and silently dropped such users, while
+    // the default mode, the other strict modes, and the oracles all
+    // emit (user, 0)
+    val rows = Seq((1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"),
+      (2L, 1L, 100L, "X"), (2L, 2L, 200L, "Y"))
+    for ((dd, oo, ii) <- Seq((true, false, false), (false, true, false),
+      (false, false, true), (true, true, true)))
+      assert(strict(rows, 1000L, dedup = dd, order = oo, increase = ii)
+        .get(2L).contains(0), s"mode dedup=$dd order=$oo increase=$ii")
+  }
+
   /** Plain-Scala port of the ClickHouse windowFunnel loop (entries =
     * (ts,id)-sorted events × matched steps in descending step order, plus
     * a no-step entry in strict_order mode) — the independent reference
@@ -361,6 +374,24 @@ class FunnelsSpec extends AnyFunSuite {
       Map(1L -> false, 2L -> true, 3L -> false))
     assert(seqMatch(log, ".(?1)", conds) == // some stored event, then a view
       Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("sequenceMatch: a (?t) after .* measures from the MATCHED event, " +
+    "not the entry the candidate sits next to") {
+    // view@0, other-stored@5.5h, click@5.98h: the view→click gap is
+    // ~6 h, so '(?1).*(?t<=3600)(?2)' must NOT match even though the
+    // click is only 29 min after its neighboring stored entry (the
+    // review-caught bug computed dt against ts(j−1))
+    val log = Seq(
+      (1L, 1L, 0L, "view"), (1L, 2L, 19800000000L, "other"),
+      (1L, 3L, 21540000000L, "click"))
+    val conds = Seq("view", "click", "other")
+    assert(seqMatch(log, "(?1).*(?t<=3600)(?2)", conds) == Map(1L -> false))
+    // and with a within-window click it does match through the gap
+    val log2 = Seq(
+      (1L, 1L, 0L, "view"), (1L, 2L, 600000000L, "other"),
+      (1L, 3L, 1800000000L, "click"))
+    assert(seqMatch(log2, "(?1).*(?t<=3600)(?2)", conds) == Map(1L -> true))
   }
 
   test("sequenceMatch: invalid patterns are rejected named") {

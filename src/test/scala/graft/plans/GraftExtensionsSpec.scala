@@ -140,6 +140,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .selectExpr("grp", "s['a']").collect()
     assert(grouped.length == 2)
     grouped.foreach(r => assert(!r.isNullAt(1) && r.getLong(1) <= 200))
+    // NULL weights are SKIPPED, not a deserializer crash (the tuple
+    // encoder's weight slot is a non-nullable primitive; the builder
+    // coalesces to 0, which the aggregator discards)
+    Seq((Some("a"), Some(5L)), (Some("a"), None), (None, Some(9L)))
+      .toDF("t", "w").createOrReplaceTempView("ge_wnull")
+    val nw = spark.sql("SELECT graft_topk_weighted(t, w, 4) AS s FROM ge_wnull")
+      .selectExpr("s['a']").collect().head
+    assert(!nw.isNullAt(0) && nw.getLong(0) == 5L)
   }
 
   test("graft_kll_quantile aggregate from SQL: decimal/double φ, per-group") {
