@@ -41,6 +41,8 @@ object Bench {
     "q54_window_funnel", "q55_retention", "q59_funnel_strict_dedup",
     "q60_funnel_strict_order", "q61_funnel_strict_increase",
     "q62_sequence_match", "q63_sequence_count_pattern",
+    "q64_delta_sum", "q65_interval_stats", "q66_map_combinators",
+    "q67_weighted_quantile",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

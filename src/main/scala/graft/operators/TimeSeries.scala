@@ -32,6 +32,101 @@ object TimeSeries {
     * `tieBreakCol` must make (tsCol, tieBreakCol) unique per key so the
     * "last observation in a bucket" is well-defined.
     */
+  /** ClickHouse `deltaSum` + `boundingRatio` per key (the ClickHouse docs
+    * define `deltaSum` as the sum of positive differences between
+    * consecutive values and `boundingRatio` as the slope between the
+    * leftmost and rightmost points; `deltaSumTimestamp` coincides with
+    * `deltaSum` here because the fold order is DECLARED to be
+    * `(tsCol, tieBreakCol)` rather than block-arrival order — the only
+    * order that is well-defined on a distributed engine).
+    *
+    * `valueCol` must already be integer (callers pre-scale floats): every
+    * aggregate below is then integer-exact; the single float division for
+    * the ratio happens once per key on two exact integers.
+    *
+    * Plan shape: ONE exchange on the key — the lag window sorts within
+    * the key partitions, and the groupBy reuses the same partitioning
+    * (first/last via `min_by`/`max_by` on the (ts, tiebreak) struct, no
+    * second window sort). At 100 TB the key cardinality carries the
+    * parallelism; state per key is O(1).
+    *
+    * Output: key, n, delta_sum, first_v, last_v, dt_us,
+    * bounding_ratio = (last_v-first_v)/dt_us (NULL when the key's span is
+    * a single instant).
+    */
+  def deltaStats(df: DataFrame, keyCol: String, tsCol: String,
+      tieBreakCol: String, valueCol: String): DataFrame = {
+    val key = col(keyCol)
+    val ord = struct(col(tsCol), col(tieBreakCol))
+    val v = col(valueCol)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieBreakCol))
+    df.withColumn("__dv", v - lag(v, 1).over(w))
+      .groupBy(key)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__dv") > 0, col("__dv"))), lit(0L)).as("delta_sum"),
+        min_by(v, ord).as("first_v"),
+        max_by(v, ord).as("last_v"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))).as("dt_us"))
+      .withColumn("bounding_ratio",
+        when(col("dt_us") > 0,
+          (col("last_v") - col("first_v")).cast("double") /
+            col("dt_us").cast("double")))
+  }
+
+  /** ClickHouse `intervalLengthSum` + `maxIntersections` /
+    * `maxIntersectionsPosition` per key over half-open integer intervals
+    * `[startCol, endCol)` (positions in any integer unit, e.g. epoch
+    * micros). Touching intervals merge for the union measure (same total
+    * either way); at equal sweep positions interval ENDS are processed
+    * before starts (half-open), so `[1,2)`+`[2,3)` never overlap.
+    *
+    * Construction (all stock window/agg operators, integer-exact):
+    *   - union length: gaps-and-islands — a row opens a new island when
+    *     its start exceeds the running max end of all earlier rows in
+    *     (start, end, tiebreak) order; island length = max(end)−min(start);
+    *   - max overlap: ±1 sweep — each interval contributes (+1 at start,
+    *     −1 at end), the running sum ordered by (pos, delta) is the
+    *     overlap depth, and the reported position is the EARLIEST position
+    *     attaining the maximum (always some interval's start, since a
+    *     maximum is only ever reached on a +1 step).
+    *
+    * Plan shape: one exchange on the key feeding both window passes (the
+    * sweep explodes 2 points per interval — bounded 2× row inflation,
+    * never payload inflation). Per-key work is O(n log n) in that key's
+    * interval count; key cardinality carries the parallelism at 100 TB.
+    */
+  def intervalStats(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieBreakCol: String): DataFrame = {
+    val key = col(keyCol)
+    val s = col(startCol)
+    val e = col(endCol)
+    val wOrd = Window.partitionBy(key).orderBy(s, e, col(tieBreakCol))
+    val prevMaxEnd = max(e).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = df
+      .withColumn("__new_island",
+        when(s > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(wOrd))
+      .groupBy(key, col("__island"))
+      .agg((max(e) - min(s)).as("__len"), count(lit(1)).as("__cnt"))
+      .groupBy(key)
+      .agg(sum(col("__cnt")).as("n_intervals"),
+        sum(col("__len")).as("union_len"))
+    val wp = Window.partitionBy(key).orderBy(col("pos"), col("delta"))
+    val sweep = df
+      .select(key, explode(array(
+        struct(s.as("pos"), lit(1).as("delta")),
+        struct(e.as("pos"), lit(-1).as("delta")))).as("p"))
+      .select(key, col("p.pos").as("pos"), col("p.delta").as("delta"))
+      .withColumn("__depth", sum(col("delta")).over(wp))
+      .withColumn("__maxd", max(col("__depth")).over(Window.partitionBy(key)))
+      .groupBy(key)
+      .agg(max(col("__depth")).cast("long").as("max_overlap"),
+        min(when(col("__depth") === col("__maxd"), col("pos")))
+          .as("max_overlap_pos"))
+    islands.join(sweep, Seq(keyCol))
+  }
+
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieBreakCol: String, unit: String = "hour"): DataFrame = {
     val key = col(keyCol)

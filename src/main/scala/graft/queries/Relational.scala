@@ -1228,6 +1228,187 @@ object Relational {
              |FROM span s LEFT JOIN o1 o ON s.user_id = o.user_id AND s.h = o.h""".stripMargin),
       "time-series resample: dense hourly grid per key with forward fill"),
 
+    // ---- ClickHouse time-series aggregates -------------------------------
+    // deltaSum / boundingRatio (q64) and intervalLengthSum /
+    // maxIntersections(+Position) (q65) — the ClickHouse time-series
+    // aggregate family, declared over (ts, event_id) order (the only
+    // well-defined fold order on a distributed engine). Values pre-scaled
+    // to integers (floor(value*100)) so every aggregate is integer-exact;
+    // the oracle replays the identical window constructions in DuckDB.
+    "q64_delta_sum" -> Q(
+      (s, dir) => graft.operators.TimeSeries.deltaStats(
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("v")),
+        keyCol = "user_id", tsCol = "ts", tieBreakCol = "event_id",
+        valueCol = "v"),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, ts, event_id, v,
+             |    v - lag(v) OVER w AS dv,
+             |    row_number() OVER w AS rn_a,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |agg AS (
+             |  SELECT user_id,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(CASE WHEN dv > 0 THEN dv END), 0) AS BIGINT)
+             |      AS delta_sum,
+             |    CAST(max(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS first_v,
+             |    CAST(max(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS last_v,
+             |    CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dt_us
+             |  FROM d GROUP BY user_id)
+             |SELECT user_id, n, delta_sum, first_v, last_v, dt_us,
+             |  CASE WHEN dt_us > 0
+             |    THEN CAST(last_v - first_v AS DOUBLE) / CAST(dt_us AS DOUBLE)
+             |  END AS bounding_ratio
+             |FROM agg""".stripMargin),
+      "ClickHouse deltaSum + boundingRatio per user in declared (ts, id) " +
+        "order: positive consecutive deltas, first/last slope — one key " +
+        "exchange, integer-exact"),
+
+    "q65_interval_stats" -> Q(
+      (s, dir) => graft.operators.TimeSeries.intervalStats(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("s_us"),
+            (unix_micros(col("ts")) +
+              (regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+                .cast("long") % 30 + 1) * 1000000L).as("e_us")),
+        keyCol = "user_id", startCol = "s_us", endCol = "e_us",
+        tieBreakCol = "event_id"),
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(ts) AS s_us,
+             |    epoch_us(ts) + (CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+             |      AS BIGINT) % 30 + 1) * 1000000 AS e_us
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id, event_id, s_us, e_us,
+             |    CASE WHEN s_us > coalesce(max(e_us) OVER (
+             |        PARTITION BY user_id ORDER BY s_us, e_us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+             |  FROM iv),
+             |isl2 AS (
+             |  SELECT user_id, s_us, e_us,
+             |    sum(new_island) OVER (PARTITION BY user_id
+             |      ORDER BY s_us, e_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |un AS (
+             |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+             |    CAST(sum(len) AS BIGINT) AS union_len
+             |  FROM (SELECT user_id, island, max(e_us) - min(s_us) AS len,
+             |          count(*) AS cnt
+             |        FROM isl2 GROUP BY user_id, island)
+             |  GROUP BY user_id),
+             |pts AS (
+             |  SELECT user_id, s_us AS pos, 1 AS delta FROM iv
+             |  UNION ALL
+             |  SELECT user_id, e_us AS pos, -1 AS delta FROM iv),
+             |dep AS (
+             |  SELECT user_id, pos,
+             |    sum(delta) OVER (PARTITION BY user_id ORDER BY pos, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+             |  FROM pts),
+             |dep2 AS (
+             |  SELECT user_id, pos, depth,
+             |    max(depth) OVER (PARTITION BY user_id) AS maxd
+             |  FROM dep),
+             |sw AS (
+             |  SELECT user_id, CAST(max(depth) AS BIGINT) AS max_overlap,
+             |    min(CASE WHEN depth = maxd THEN pos END) AS max_overlap_pos
+             |  FROM dep2 GROUP BY user_id)
+             |SELECT un.user_id, n_intervals, union_len, max_overlap,
+             |  max_overlap_pos
+             |FROM un JOIN sw ON un.user_id = sw.user_id""".stripMargin),
+      "ClickHouse intervalLengthSum + maxIntersections(Position) per user " +
+        "over half-open [ts, ts+dur) intervals: gaps-and-islands union " +
+        "measure + a ±1 sweep for peak concurrency — integer-exact"),
+
+    // ---- ClickHouse Map combinators (sumMap / minMap / maxMap) -----------
+    // Per-row small maps (event-type value + a props bucket) merged
+    // key-wise per cohort; the catalog entry drives the FULL map-typed
+    // result shape (map_from_entries reassembly) and explodes it back to
+    // scalar rows for the oracle (no MAP/ARRAY output columns).
+    "q66_map_combinators" -> Q(
+      (s, dir) => {
+        val kk = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long")
+        val ev = t(s, dir, "events").select(
+          (col("user_id") % 16).as("cohort"),
+          map(
+            concat(lit("t_"), col("event_type")),
+            floor(col("value") * 100).cast("long"),
+            concat(lit("k_"), (kk % 4).cast("string")), kk).as("m"))
+        graft.operators.MapCombinators.aggMaps(ev, Seq("cohort"), "m")
+          .select(col("cohort"),
+            explode(map_entries(col("sum_map"))).as("e"),
+            col("min_map"), col("max_map"), col("count_map"))
+          .select(col("cohort"), col("e.key").as("k"),
+            col("e.value").as("sum_v"),
+            element_at(col("min_map"), col("e.key")).as("min_v"),
+            element_at(col("max_map"), col("e.key")).as("max_v"),
+            element_at(col("count_map"), col("e.key")).as("cnt"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id % 16 AS cohort, event_type,
+             |    CAST(floor(value * 100) AS BIGINT) AS v,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS kk
+             |  FROM events),
+             |kv AS (
+             |  SELECT cohort, 't_' || event_type AS k, v FROM base
+             |  UNION ALL
+             |  SELECT cohort, 'k_' || CAST(kk % 4 AS VARCHAR) AS k, kk FROM base)
+             |SELECT cohort, k, CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+             |  count(*) AS cnt
+             |FROM kv GROUP BY cohort, k""".stripMargin),
+      "ClickHouse sumMap/minMap/maxMap combinators: per-row maps merged " +
+        "key-wise per cohort — exploded (group, key) aggregate + " +
+        "map_from_entries reassembly, exchange carries the key DOMAIN " +
+        "not the row count"),
+
+    // ---- ClickHouse quantileExactWeighted --------------------------------
+    // Exact weighted percentiles (money floored to whole units, quantity
+    // as the weight) — integer-exact rank arithmetic, so unlike the KLL /
+    // approx sketch entries this one is oracle-pinnable row-for-row.
+    "q67_weighted_quantile" -> Q(
+      (s, dir) => graft.operators.WeightedQuantile.exactWeighted(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("v"),
+          floor(col("l_quantity")).cast("long").as("w")),
+        groupCols = Seq("l_returnflag"), valueCol = "v", weightCol = "w",
+        percentiles = Seq(0, 25, 50, 75, 90, 99, 100)),
+      Some("""WITH pv AS (
+             |  SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS v,
+             |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT l_returnflag, v, w,
+             |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM pv)
+             |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_w,
+             |  CAST(min(CASE WHEN cum*100 >= tot*0   THEN v END) AS BIGINT) AS p0,
+             |  CAST(min(CASE WHEN cum*100 >= tot*25  THEN v END) AS BIGINT) AS p25,
+             |  CAST(min(CASE WHEN cum*100 >= tot*50  THEN v END) AS BIGINT) AS p50,
+             |  CAST(min(CASE WHEN cum*100 >= tot*75  THEN v END) AS BIGINT) AS p75,
+             |  CAST(min(CASE WHEN cum*100 >= tot*90  THEN v END) AS BIGINT) AS p90,
+             |  CAST(min(CASE WHEN cum*100 >= tot*99  THEN v END) AS BIGINT) AS p99,
+             |  CAST(min(CASE WHEN cum*100 >= tot*100 THEN v END) AS BIGINT) AS p100
+             |FROM c GROUP BY l_returnflag""".stripMargin),
+      "ClickHouse quantileExactWeighted: exact weighted percentiles via " +
+        "distinct-value collapse + cumulative-weight window — " +
+        "integer-exact, two shrinking exchanges"),
+
     // ---- scalar fns: URL parsing (access-log analytics) ------------------
     // The reference's domain is web access logs; URL decomposition is the
     // canonical downstream transform. Spark's parse_url is codegen'd;

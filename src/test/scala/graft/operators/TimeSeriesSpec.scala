@@ -12,6 +12,52 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("deltaStats: positive deltas only, declared order, ratio from endpoints") {
+    // user 1 in (ts, id) order: v = 10, 4, 9, 9, 20 → deltas −6, +5, 0, +11
+    //   deltaSum = 16; first 10, last 20; span 40 s → ratio 10/40e6 per µs
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, 10L),
+      (1L, ts("2024-01-01 00:00:10"), 101L, 4L),
+      (1L, ts("2024-01-01 00:00:20"), 102L, 9L),
+      (1L, ts("2024-01-01 00:00:30"), 103L, 9L),
+      (1L, ts("2024-01-01 00:00:40"), 104L, 20L),
+      // user 2: single row → deltaSum 0, zero span → NULL ratio
+      (2L, ts("2024-01-01 00:00:00"), 200L, 7L),
+      // user 3: tie on ts broken by event_id: 5 (id 300) then 1 (id 301)
+      (3L, ts("2024-01-01 00:00:00"), 300L, 5L),
+      (3L, ts("2024-01-01 00:00:00"), 301L, 1L),
+      (3L, ts("2024-01-01 00:01:00"), 302L, 2L))
+      .toDF("user_id", "ts", "event_id", "v")
+    val out = TimeSeries.deltaStats(events, "user_id", "ts", "event_id", "v")
+      .select("user_id", "n", "delta_sum", "first_v", "last_v", "dt_us", "bounding_ratio")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 5L, 16L, 10L, 20L, 40000000L, Some(10.0 / 40000000.0))))
+    assert(out(1) == ((2L, 1L, 0L, 7L, 7L, 0L, None)))
+    // user 3: deltas (ordered 5, 1, 2) = −4, +1 → deltaSum 1; last_v = 2
+    assert(out(2) == ((3L, 3L, 1L, 5L, 2L, 60000000L, Some((2.0 - 5.0) / 60000000.0))))
+  }
+
+  test("intervalStats: union merges overlaps, touching stays half-open, sweep peak") {
+    // user 1: [0,10) [5,20) [20,30) → one island [0,30) len 30;
+    //   depths: +1@0 → 1, +1@5 → 2, −1@10 → 1, (−1@20 before +1@20) → 0→1, −1@30 → 0
+    //   max overlap 2 first reached at pos 5
+    // user 2: [0,5) [100,101) → two islands, union 6; max overlap 1 at 0
+    // user 3: nested [0,100) [10,20) [30,40) → union 100; peak 2 at 10
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 20L, 30L),
+      (2L, 4L, 0L, 5L), (2L, 5L, 100L, 101L),
+      (3L, 6L, 0L, 100L), (3L, 7L, 10L, 20L), (3L, 8L, 30L, 40L))
+      .toDF("user_id", "event_id", "s", "e")
+    val out = TimeSeries.intervalStats(iv, "user_id", "s", "e", "event_id")
+      .select("user_id", "n_intervals", "union_len", "max_overlap", "max_overlap_pos")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 30L, 2L, 5L),
+      (2L, 2L, 6L, 1L, 0L),
+      (3L, 3L, 100L, 2L, 10L)))
+  }
+
   test("resampleFill: last-per-bucket wins, gaps forward-fill, spans are per key") {
     val events = Seq(
       (1L, ts("2024-01-01 00:10:00"), 1.0, 100L),
