@@ -42,7 +42,7 @@ object Bench {
     "q60_funnel_strict_order", "q61_funnel_strict_increase",
     "q62_sequence_match", "q63_sequence_count_pattern",
     "q64_delta_sum", "q65_interval_stats", "q66_map_combinators",
-    "q67_weighted_quantile",
+    "q67_weighted_quantile", "t25_histogram", "q68_lttb_downsample",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -523,7 +523,15 @@ object Bench {
         // each is one user-keyed exchange + a per-user scan, so the
         // ratio must sit in the linear band
         "q59_funnel_strict_dedup", "q60_funnel_strict_order",
-        "q62_sequence_match")
+        "q62_sequence_match",
+        // r11 time-series + sketch additions, all events-only readers:
+        // q64/q65 are one user-keyed exchange + per-user windows (linear
+        // band expected); t25 is the bounded-state histogram aggregate —
+        // the O(B)-state exchange is exactly what must stay flat at 10×
+        "q64_delta_sum", "q65_interval_stats", "t25_histogram",
+        // q68 is a per-user sequential fold (LTTB) — the q54/q62
+        // compute-bound envelope is the expected band
+        "q68_lttb_downsample")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

@@ -29,7 +29,7 @@ object SparkEntry {
     "s07_ann_ivfpq", "s09_pca_project", "s10_ann_pca_rerank",
     "t18_bpe_tokenize", "p07_tokenize_pack_pipeline", "t19_heavy_hitters",
     "t20_kll_quantiles", "t21_reservoir_sample", "t22_theta_set_ops",
-    "t24_topk_weighted")
+    "t24_topk_weighted", "t25_histogram")
 
   /** z01_self_checks (r6 verdict item 6): the driver's CORRECTNESS artifact
     * recorded the self-checking entries as bare `no_oracle`, so a

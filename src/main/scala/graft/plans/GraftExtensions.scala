@@ -180,7 +180,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(1), "graft_uniq_upto")),
           org.apache.spark.sql.Encoders.STRING, "graft_uniq_upto",
           Seq(org.apache.spark.sql.catalyst.expressions.Cast(args(0),
-            org.apache.spark.sql.types.StringType)))))
+            org.apache.spark.sql.types.StringType)))),
+    (FunctionIdentifier("graft_histogram"),
+      info("graft_histogram", "graft_histogram(v, bins) - adaptive streaming histogram (Ben-Haim/Tom-Toms, ClickHouse histogram(bins)): array<struct<lower,upper,cnt>> with Σcnt = n and outer edges at the exact min/max"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Histogram.HistBins(
+            intLit(args(1), "graft_histogram")),
+          org.apache.spark.sql.Encoders.DOUBLE, "graft_histogram",
+          Seq(args(0)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -1817,6 +1817,71 @@ object DataOps {
         "Column and SQL frontends both self-checked against exact " +
         "weighted totals from the same scan"),
 
+    // t25: mergeable adaptive histogram (ClickHouse histogram(bins),
+    // Ben-Haim & Tom-Toms JMLR 2010) — seventh mergeable-summary leg.
+    // SELF-CHECKING (centroid contents are merge-order-dependent): the
+    // EXACT invariants — mass conservation Σcnt = n, ≤ B strictly
+    // increasing in-range centers, outer edges at the exact min/max, and
+    // the count-weighted center sum ≡ the data sum to FP tolerance — are
+    // asserted for BOTH the Column leg (driver-pulled O(B) summary) and
+    // the SQL leg (graft_histogram bins re-aggregated in-query).
+    "t25_histogram" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        import graft.operators.Histogram
+        val b = 24
+        val vals = tp(s, dir, "events")
+          .select(col("value").cast("double").as("v")).na.drop()
+        val sk = Histogram.sketchSummary(vals, "v", b)
+        import s.implicits._
+        if (sk.n == 0L)
+          // empty stream: nothing to summarize is a (vacuous) PASS
+          Seq((0L, true, true, true, true, true, true, true, true))
+            .toDF("n_exact", "mass_col", "shape_col", "edges_col",
+              "sum_in_bound", "mass_sql", "size_sql", "edges_sql", "pass")
+        else {
+          val massCol = sk.counts.sum == sk.n
+          val shapeCol = sk.centers.length <= b &&
+            sk.counts.forall(_ > 0) &&
+            sk.centers.lazyZip(sk.centers.drop(1)).forall(_ < _) &&
+            sk.centers.forall(c => c >= sk.lo && c <= sk.hi)
+          val histSum = sk.centers.lazyZip(sk.counts)
+            .map((c, n) => c * n).sum
+          val sqlBins = vals
+            .agg(expr(s"graft_histogram(v, $b)").as("bins"))
+            .select(explode(col("bins")).as("e"))
+            .select(col("e._1").as("lower"), col("e._2").as("upper"),
+              col("e._3").as("cnt"))
+          val sqlChecks = sqlBins.agg(
+            coalesce(sum(col("cnt")), lit(0L)).as("cnt_sql"),
+            count(lit(1)).as("nbins_sql"),
+            min(col("lower")).as("min_lower_sql"),
+            max(col("upper")).as("max_upper_sql"))
+          val exact = vals.agg(count(lit(1)).as("n_exact"),
+            min(col("v")).as("min_exact"), max(col("v")).as("max_exact"),
+            sum(col("v")).as("sum_exact"))
+          val flags = Seq(
+            lit(massCol).as("mass_col"),
+            lit(shapeCol).as("shape_col"),
+            (lit(sk.lo) === col("min_exact") &&
+              lit(sk.hi) === col("max_exact")).as("edges_col"),
+            (abs(lit(histSum) - col("sum_exact")) <=
+              abs(col("sum_exact")) * 1e-9 + 1e-6).as("sum_in_bound"),
+            (col("cnt_sql") === col("n_exact")).as("mass_sql"),
+            (col("nbins_sql") <= b && col("nbins_sql") > 0).as("size_sql"),
+            (col("min_lower_sql") === col("min_exact") &&
+              col("max_upper_sql") === col("max_exact")).as("edges_sql"))
+          exact.crossJoin(sqlChecks).select(
+            (col("n_exact") +: flags) :+
+              flags.reduce(_ && _).as("pass"): _*)
+        }
+      },
+      None,
+      "mergeable adaptive histogram (Ben-Haim/Tom-Toms streaming " +
+        "centroid merge, ClickHouse histogram(bins)): O(B) state per " +
+        "partition, pending-buffer reduce (no per-row rebuild); Column " +
+        "and SQL legs self-checked on exact invariants from the same scan"),
+
     "t08_vocab" -> Q(
       (s, dir) => TextAnalysis.vocabulary(tp(s, dir, "documents"), topK = 100),
       Some("""WITH tok AS (

@@ -1409,6 +1409,68 @@ object Relational {
         "distinct-value collapse + cumulative-weight window — " +
         "integer-exact, two shrinking exchanges"),
 
+    // ---- ClickHouse largestTriangleThreeBuckets (LTTB) -------------------
+    // Per-user series (per-second max of scaled value) downsampled to 12
+    // visually-representative points. All-integer triangle metric (cross
+    // product scaled by next-bucket size) makes the sequential fold
+    // oracle-pinnable; the DuckDB oracle replays it as a recursive CTE,
+    // one bucket per step, argmax via correlated ORDER BY/LIMIT subquery.
+    "q68_lttb_downsample" -> Q(
+      (s, dir) => graft.operators.Lttb.downsample(
+        t(s, dir, "events")
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 1000000").as("x"))
+          .agg(max(floor(col("value") * 100).cast("long")).as("y")),
+        keyCol = "user_id", xCol = "x", yCol = "y", threshold = 12),
+      Some("""WITH RECURSIVE pre AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
+             |         max(CAST(floor(value * 100) AS BIGINT)) AS y
+             |  FROM events GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT user_id, x, y,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY x) - 1 AS idx,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM pre),
+             |small AS (SELECT user_id, x, y FROM pts WHERE n <= 12),
+             |big AS (SELECT * FROM pts WHERE n > 12),
+             |mid AS (
+             |  SELECT user_id, idx, x, y, ((idx - 1) * 10) // (n - 2) AS b
+             |  FROM big WHERE idx >= 1 AND idx <= n - 2),
+             |bs AS (SELECT user_id, b, count(*) AS m, sum(x) AS sx, sum(y) AS sy
+             |       FROM mid GROUP BY 1, 2),
+             |lastp AS (SELECT user_id, x, y FROM big WHERE idx = n - 1),
+             |nxt AS (
+             |  SELECT user_id, b - 1 AS b, m, sx, sy FROM bs WHERE b >= 1
+             |  UNION ALL
+             |  SELECT user_id, 9 AS b, CAST(1 AS BIGINT) AS m,
+             |    CAST(x AS HUGEINT) AS sx, CAST(y AS HUGEINT) AS sy FROM lastp),
+             |firstp AS (SELECT user_id, x, y FROM big WHERE idx = 0),
+             |rec AS (
+             |  SELECT user_id, -1 AS b, x, y FROM firstp
+             |  UNION ALL
+             |  SELECT r.user_id, r.b + 1 AS b,
+             |    (SELECT p.x FROM mid p JOIN nxt nx
+             |       ON nx.user_id = p.user_id AND nx.b = p.b
+             |      WHERE p.user_id = r.user_id AND p.b = r.b + 1
+             |      ORDER BY abs((r.x - p.x) * (nx.sy - nx.m * r.y)
+             |                 - (nx.m * r.x - nx.sx) * (p.y - r.y)) DESC,
+             |        p.x LIMIT 1) AS x,
+             |    (SELECT p.y FROM mid p JOIN nxt nx
+             |       ON nx.user_id = p.user_id AND nx.b = p.b
+             |      WHERE p.user_id = r.user_id AND p.b = r.b + 1
+             |      ORDER BY abs((r.x - p.x) * (nx.sy - nx.m * r.y)
+             |                 - (nx.m * r.x - nx.sx) * (p.y - r.y)) DESC,
+             |        p.x LIMIT 1) AS y
+             |  FROM rec r WHERE r.b + 1 <= 9)
+             |SELECT user_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+             |FROM rec
+             |UNION ALL
+             |SELECT user_id, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM lastp
+             |UNION ALL
+             |SELECT user_id, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM small""".stripMargin),
+      "ClickHouse largestTriangleThreeBuckets: per-user LTTB downsampling " +
+        "to 12 points — all-integer triangle metric, sequential per-key " +
+        "fold, recursive-CTE oracle"),
+
     // ---- scalar fns: URL parsing (access-log analytics) ------------------
     // The reference's domain is web access logs; URL decomposition is the
     // canonical downstream transform. Spark's parse_url is codegen'd;

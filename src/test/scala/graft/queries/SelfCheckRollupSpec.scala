@@ -24,7 +24,7 @@ class SelfCheckRollupSpec extends AnyFunSuite {
       "s07_ann_ivfpq", "s09_pca_project", "s10_ann_pca_rerank",
       "t18_bpe_tokenize", "p07_tokenize_pack_pipeline", "t19_heavy_hitters",
       "t20_kll_quantiles", "t21_reservoir_sample", "t22_theta_set_ops",
-      "t24_topk_weighted")
+      "t24_topk_weighted", "t25_histogram")
     assert(rows.keySet == expected, s"entries: ${rows.keySet}")
     rows.foreach { case (name, pass) => assert(pass, s"$name self-check failed") }
   }

@@ -54,6 +54,16 @@ class TinyCorpusSpec extends AnyFunSuite {
       col("id").as("c_custkey"),
       concat(lit("SEG"), (col("id") % 2).cast("string")).as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // t25 reads events.value: 6 distinct values keep the histogram in
+    // its exact regime on the tiny corpus
+    spark.range(6).select(
+      col("id").as("event_id"),
+      timestamp_micros(col("id") * 1000000L).as("ts"),
+      (col("id") % 2).as("user_id"),
+      lit("view").as("event_type"),
+      (col("id") * 7 + 1).cast("double").as("value"),
+      lit("{\"k\": 3}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -103,7 +113,10 @@ class TinyCorpusSpec extends AnyFunSuite {
   // compactions → exact ranks; t21: exhaustive below k; t22: exact
   // sketch regime → estimates equal the exact counts)
   for (name <- Seq("t20_kll_quantiles", "t21_reservoir_sample",
-    "t22_theta_set_ops"))
+    "t22_theta_set_ops",
+    // t25: 6 distinct values < B bins → the exact-table regime; every
+    // invariant must hold with zero slack
+    "t25_histogram"))
     test(s"$name self-check PASSES on the 6-row corpus") {
       val rows = graft.SparkEntry.queries(name)(spark, tinyEmbDir).collect()
       assert(rows.nonEmpty)
