@@ -1471,6 +1471,35 @@ object Relational {
         "to 12 points — all-integer triangle metric, sequential per-key " +
         "fold, recursive-CTE oracle"),
 
+    // ---- Bloom-prefiltered join ------------------------------------------
+    // The explicit runtime-filter operator: a Bloom filter over the
+    // urgent-order keys gates lineitem BEFORE its exchange. No false
+    // negatives → the output is EXACTLY the plain join, so the oracle is
+    // the plain join SQL; the Bloom path's value (shuffle-volume cut) is
+    // the scale story, proven in BloomJoinSpec + the bench probe.
+    "q69_bloom_join" -> Q(
+      (s, dir) => {
+        val dim = t(s, dir, "orders")
+          .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select("o_orderkey", "o_orderpriority")
+        graft.operators.BloomJoin.prefilterJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            floor(col("l_quantity")).cast("long").as("qty")),
+          dim, factKey = "l_orderkey", dimKey = "o_orderkey",
+          expectedItems = 32768, fpp = 0.01)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority""".stripMargin),
+      "Bloom-prefiltered join (Bloom 1970 + Kirsch-Mitzenmacher double " +
+        "hashing, xxhash64 codegen membership test): fact rows that " +
+        "cannot match never enter the exchange; output ≡ plain join"),
+
     // ---- scalar fns: URL parsing (access-log analytics) ------------------
     // The reference's domain is web access logs; URL decomposition is the
     // canonical downstream transform. Spark's parse_url is codegen'd;
