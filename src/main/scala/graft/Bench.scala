@@ -43,7 +43,7 @@ object Bench {
     "q62_sequence_match", "q63_sequence_count_pattern",
     "q64_delta_sum", "q65_interval_stats", "q66_map_combinators",
     "q67_weighted_quantile", "t25_histogram", "q68_lttb_downsample",
-    "q69_bloom_join",
+    "q69_bloom_join", "q70_bitmap_setops",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -531,8 +531,9 @@ object Bench {
         // the O(B)-state exchange is exactly what must stay flat at 10×
         "q64_delta_sum", "q65_interval_stats", "t25_histogram",
         // q68 is a per-user sequential fold (LTTB) — the q54/q62
-        // compute-bound envelope is the expected band
-        "q68_lttb_downsample")
+        // compute-bound envelope is the expected band; q70's bitmap
+        // aggregate state is id-density-bounded (10× rows ≠ 10× state)
+        "q68_lttb_downsample", "q70_bitmap_setops")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

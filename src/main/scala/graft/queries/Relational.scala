@@ -1500,6 +1500,55 @@ object Relational {
         "hashing, xxhash64 codegen membership test): fact rows that " +
         "cannot match never enter the exchange; output ≡ plain join"),
 
+    // ---- ClickHouse bitmap family ----------------------------------------
+    // groupBitmap per event_type over user ids (Roaring-style two-level
+    // containers), then every pairwise AND/OR/XOR/ANDNOT cardinality from
+    // the aggregated bitmaps alone — the segment-audience pattern; the
+    // bitmaps are EXACT, so the whole output hash-matches COUNT(DISTINCT)
+    // set algebra in DuckDB. The driver pull is the compressed bitmaps
+    // (id-density-bounded, documented-pull class), never the events.
+    "q70_bitmap_setops" -> Q(
+      (s, dir) => {
+        import graft.operators.Bitmap
+        val bms = Bitmap.collectPerKey(
+          t(s, dir, "events").select(col("event_type"), col("user_id")),
+          "event_type", "user_id").toMap
+        val types = bms.keys.toSeq.sorted
+        import s.implicits._
+        val rows = for { a <- types; b <- types if a < b } yield {
+          val (andC, orC, xorC, anC) = Bitmap.opCardinalities(bms(a), bms(b))
+          (a, b, Bitmap.cardinality(bms(a)), Bitmap.cardinality(bms(b)),
+            andC, orC, xorC, anC)
+        }
+        rows.toDF("type_a", "type_b", "card_a", "card_b",
+          "and_card", "or_card", "xor_card", "andnot_card")
+      },
+      Some("""WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+             |c AS (SELECT event_type, count(*) AS card FROM s GROUP BY 1),
+             |ac AS (
+             |  SELECT x.event_type AS ta, y.event_type AS tb,
+             |    count(*) AS and_card
+             |  FROM s x JOIN s y
+             |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+             |  CAST(ca.card AS BIGINT) AS card_a,
+             |  CAST(cb.card AS BIGINT) AS card_b,
+             |  CAST(coalesce(ac.and_card, 0) AS BIGINT) AS and_card,
+             |  CAST(ca.card + cb.card - coalesce(ac.and_card, 0) AS BIGINT)
+             |    AS or_card,
+             |  CAST(ca.card + cb.card - 2 * coalesce(ac.and_card, 0) AS BIGINT)
+             |    AS xor_card,
+             |  CAST(ca.card - coalesce(ac.and_card, 0) AS BIGINT)
+             |    AS andnot_card
+             |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+             |LEFT JOIN ac
+             |  ON ac.ta = ca.event_type AND ac.tb = cb.event_type""".stripMargin),
+      "ClickHouse groupBitmap + bitmapAnd/Or/Xor/AndnotCardinality: exact " +
+        "Roaring-style per-segment id bitmaps, pairwise set algebra from " +
+        "the aggregated artifacts alone — hash-matches COUNT(DISTINCT) " +
+        "set identities"),
+
     // ---- scalar fns: URL parsing (access-log analytics) ------------------
     // The reference's domain is web access logs; URL decomposition is the
     // canonical downstream transform. Spark's parse_url is codegen'd;
