@@ -43,7 +43,8 @@ object Bench {
     "q62_sequence_match", "q63_sequence_count_pattern",
     "q64_delta_sum", "q65_interval_stats", "q66_map_combinators",
     "q67_weighted_quantile", "t25_histogram", "q68_lttb_downsample",
-    "q69_bloom_join", "q70_bitmap_setops",
+    "q69_bloom_join", "q70_bitmap_setops", "q71_ab_ttest",
+    "q72_mann_whitney",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

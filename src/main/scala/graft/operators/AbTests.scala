@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A/B experiment aggregates — ClickHouse `studentTTest` / `welchTTest` /
+  * `mannWhitneyUTest` (all textbook statistics: Student 1908, Welch 1947,
+  * Mann & Whitney 1947).
+  *
+  * Determinism contract: the DISTRIBUTED part aggregates only exact
+  * integers — per-variant n, Σv, Σv² for the t-tests (callers pre-scale
+  * values to integers), and the tie-aware doubled rank sum for
+  * Mann-Whitney (`2·R₁` is always an integer even with average ranks on
+  * ties, since ties contribute .5 steps in pairs). The float statistics
+  * (means, variances, t, Welch df) are then ONE fixed expression tree
+  * over those exact integers, written with identical parenthesization on
+  * the Spark and DuckDB sides — IEEE doubles make them bit-equal, so the
+  * whole output hash-matches.
+  *
+  * Scale shape: t-tests are a single 2-row hash aggregate (map-side
+  * combine, 3 longs per variant per partition). Mann-Whitney collapses
+  * to the DISTINCT VALUE domain first (groupBy value with map-side
+  * combine), then one window pass over that domain for cumulative
+  * counts — the WeightedQuantile pattern: the exchange that sees data
+  * volume shrinks it to the value domain.
+  */
+object AbTests {
+
+  /** Per-variant moments + Student/Welch t statistics. `variantCol` must
+    * take exactly two values; `valueCol` integer.
+    * Output: one row — variant labels, exact (n, s, q) evidence per
+    * variant, then means/variances/t/df as doubles.
+    */
+  def tTests(df: DataFrame, variantCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val moments = df.groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("q"))
+    val a = moments.orderBy(col("variant")).limit(1)
+      .select(col("variant").as("variant_a"), col("n").as("n1"),
+        col("s").as("s1"), col("q").as("q1"))
+    val b = moments.orderBy(col("variant").desc).limit(1)
+      .select(col("variant").as("variant_b"), col("n").as("n2"),
+        col("s").as("s2"), col("q").as("q2"))
+    val m1 = col("s1").cast("double") / col("n1").cast("double")
+    val m2 = col("s2").cast("double") / col("n2").cast("double")
+    val var1 = (col("q1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") /
+        col("n1").cast("double")) / (col("n1").cast("double") - 1.0)
+    val var2 = (col("q2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double") /
+        col("n2").cast("double")) / (col("n2").cast("double") - 1.0)
+    val sp2 = ((col("n1").cast("double") - 1.0) * col("var1") +
+      (col("n2").cast("double") - 1.0) * col("var2")) /
+      (col("n1").cast("double") + col("n2").cast("double") - 2.0)
+    val se1 = col("var1") / col("n1").cast("double")
+    val se2 = col("var2") / col("n2").cast("double")
+    a.crossJoin(b)
+      .withColumn("mean1", m1).withColumn("mean2", m2)
+      .withColumn("var1", var1).withColumn("var2", var2)
+      .withColumn("student_t", (col("mean1") - col("mean2")) /
+        sqrt(sp2 * (lit(1.0) / col("n1").cast("double") +
+          lit(1.0) / col("n2").cast("double"))))
+      .withColumn("welch_t",
+        (col("mean1") - col("mean2")) / sqrt(se1 + se2))
+      .withColumn("welch_df", (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1").cast("double") - 1.0) +
+          se2 * se2 / (col("n2").cast("double") - 1.0)))
+  }
+
+  /** Mann-Whitney U via tie-aware DOUBLED rank sums (integer-exact):
+    * for each distinct value v with c(v) total occurrences and m₁(v)
+    * occurrences in variant 1, the average-rank convention gives
+    * `2·R₁ = Σ_v m₁(v) · (2·below(v) + c(v) + 1)` where below(v) counts
+    * pooled observations strictly less than v. Output: n1, n2, 2U₁, 2U₂
+    * (the identity U₁+U₂ = n₁·n₂ makes the pair self-validating).
+    */
+  def mannWhitney(df: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    val perV = df
+      .groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("m1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV.withColumn("below",
+      coalesce(sum(col("c")).over(w), lit(0L)))
+    ranked.agg(
+      sum(col("m1")).as("n1"),
+      (sum(col("c")) - sum(col("m1"))).as("n2"),
+      sum(col("m1") * (lit(2L) * col("below") + col("c") + 1L)).as("r1x2"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + 1L)).as("u1x2"),
+        (lit(2L) * col("n1") * col("n2") -
+          (col("r1x2") - col("n1") * (col("n1") + 1L))).as("u2x2"))
+  }
+}

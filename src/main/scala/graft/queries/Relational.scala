@@ -1549,6 +1549,90 @@ object Relational {
         "the aggregated artifacts alone — hash-matches COUNT(DISTINCT) " +
         "set identities"),
 
+    // ---- A/B experiment aggregates (ClickHouse t-tests, Mann-Whitney) ----
+    // The distributed part aggregates exact integers only; the float
+    // statistics are one fixed expression tree over those integers,
+    // mirrored token-for-token in the oracle → bit-equal doubles.
+    "q71_ab_ttest" -> Q(
+      (s, dir) => graft.operators.AbTests.tTests(
+        t(s, dir, "events").select(
+          (col("user_id") % 2).cast("string").as("variant"),
+          floor(col("value") * 100).cast("long").as("v")),
+        variantCol = "variant", valueCol = "v"),
+      Some("""WITH base AS (
+             |  SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT variant, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(sum(v * v) AS BIGINT) AS q
+             |  FROM base GROUP BY variant),
+             |a AS (SELECT variant AS variant_a, n AS n1, s AS s1, q AS q1
+             |      FROM m ORDER BY variant LIMIT 1),
+             |b AS (SELECT variant AS variant_b, n AS n2, s AS s2, q AS q2
+             |      FROM m ORDER BY variant DESC LIMIT 1),
+             |j AS (SELECT * FROM a CROSS JOIN b),
+             |v AS (
+             |  SELECT *,
+             |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+             |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS var1,
+             |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS var2
+             |  FROM j)
+             |SELECT variant_a, n1, s1, q1, variant_b, n2, s2, q2,
+             |  mean1, mean2, var1, var2,
+             |  (mean1 - mean2) / sqrt(
+             |    ((CAST(n1 AS DOUBLE) - 1.0) * var1 +
+             |     (CAST(n2 AS DOUBLE) - 1.0) * var2) /
+             |    (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) *
+             |    (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             |    AS student_t,
+             |  (mean1 - mean2) / sqrt(var1 / CAST(n1 AS DOUBLE) +
+             |    var2 / CAST(n2 AS DOUBLE)) AS welch_t,
+             |  (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) *
+             |  (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) /
+             |  (var1 / CAST(n1 AS DOUBLE) * (var1 / CAST(n1 AS DOUBLE)) /
+             |     (CAST(n1 AS DOUBLE) - 1.0) +
+             |   var2 / CAST(n2 AS DOUBLE) * (var2 / CAST(n2 AS DOUBLE)) /
+             |     (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+             |FROM v""".stripMargin),
+      "ClickHouse studentTTest + welchTTest: exact integer moments per " +
+        "variant (one 2-row aggregate), float statistics as one mirrored " +
+        "expression tree — bit-equal doubles vs the oracle"),
+
+    "q72_mann_whitney" -> Q(
+      (s, dir) => graft.operators.AbTests.mannWhitney(
+        t(s, dir, "events").select((col("user_id") % 2).as("variant"),
+          floor(col("value") * 100).cast("long").as("v")),
+        variantCol = "variant", valueCol = "v"),
+      Some("""WITH base AS (
+             |  SELECT user_id % 2 AS g,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |perv AS (
+             |  SELECT v, count(*) AS c,
+             |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS m1
+             |  FROM base GROUP BY v),
+             |r AS (
+             |  SELECT v, c, m1,
+             |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM perv),
+             |agg AS (
+             |  SELECT CAST(sum(m1) AS BIGINT) AS n1,
+             |    CAST(sum(c) - sum(m1) AS BIGINT) AS n2,
+             |    CAST(sum(m1 * (2 * below + c + 1)) AS BIGINT) AS r1x2
+             |  FROM r)
+             |SELECT n1, n2,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+             |  CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2x2
+             |FROM agg""".stripMargin),
+      "ClickHouse mannWhitneyUTest: tie-aware doubled rank sums — " +
+        "integer-exact U statistics via distinct-value collapse + one " +
+        "cumulative window"),
+
     // ---- scalar fns: URL parsing (access-log analytics) ------------------
     // The reference's domain is web access logs; URL decomposition is the
     // canonical downstream transform. Spark's parse_url is codegen'd;
