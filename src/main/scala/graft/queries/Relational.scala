@@ -1721,5 +1721,67 @@ object Relational {
              | AND epoch_ms(CAST(c.ts AS TIMESTAMP)) <= epoch_ms(CAST(e.ts AS TIMESTAMP)) + 1800000
              |GROUP BY e.user_id""".stripMargin),
       "bounded interval join: clicks within (0, 30min] after an error, " +
-        "bucketed equi-join shape (linear, not quadratic)"))
+        "bucketed equi-join shape (linear, not quadratic)"),
+
+    // ---- ClickHouse IPv4 function family ---------------------------------
+    // IPv4NumToString / IPv4StringToNum / isIPAddressInRange / subnet math
+    // (graft.functions.IpFunctions) — access-log enrichment next to the URL
+    // functions (q44). Addresses are synthesized deterministically from
+    // event_id by a Knuth multiplicative hash (pure BIGINT arithmetic, so
+    // the oracle reproduces the corpus exactly); the round-trip column
+    // (string→num over num→string) proves the parse is the exact inverse
+    // on every row. All pure codegen Column arithmetic — the CIDR tests
+    // fold to one AND+EQ per row at plan time.
+    "q73_ip_functions" -> Q(
+      (s, dir) => {
+        import graft.functions.IpFunctions._
+        val ip = (col("event_id") * 2654435761L) % 4294967296L
+        val base = t(s, dir, "events").select(ip.as("ip"))
+        base.select(col("ip"), ipv4NumToString(col("ip")).as("ip_str"))
+          .select(col("ip"),
+            ipv4StringToNum(col("ip_str")).as("back"),
+            ipv4Class(col("ip")).as("cls"),
+            isPrivateIpv4(col("ip")).as("is_private"),
+            ipv4Subnet(col("ip"), 16).as("net16"))
+          .groupBy(col("cls"), col("is_private"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("net16")).as("n_nets"),
+            min(col("ip")).as("min_ip"), max(col("ip")).as("max_ip"),
+            sum(when(col("back") === col("ip"), 1L).otherwise(0L))
+              .as("n_roundtrip"))
+      },
+      Some("""WITH base AS (
+             |  SELECT (event_id * 2654435761) % 4294967296 AS ip FROM events),
+             |e AS (
+             |  SELECT ip, ip // 16777216 AS o1, (ip // 65536) % 256 AS o2,
+             |    (ip // 256) % 256 AS o3, ip % 256 AS o4
+             |  FROM base),
+             |st AS (
+             |  SELECT ip, o1,
+             |    CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+             |      CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str
+             |  FROM e),
+             |p AS (
+             |  SELECT ip, o1,
+             |    CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216 +
+             |    CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536 +
+             |    CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256 +
+             |    CAST(split_part(ip_str, '.', 4) AS BIGINT) AS back,
+             |    CASE WHEN o1 < 128 THEN 'A' WHEN o1 < 192 THEN 'B'
+             |         WHEN o1 < 224 THEN 'C' WHEN o1 < 240 THEN 'D'
+             |         ELSE 'E' END AS cls,
+             |    (ip // 16777216 = 10 OR ip // 1048576 = 2753
+             |     OR ip // 65536 = 49320) AS is_private,
+             |    (ip // 65536) * 65536 AS net16
+             |  FROM st)
+             |SELECT cls, is_private, count(*) AS n,
+             |  count(DISTINCT net16) AS n_nets,
+             |  CAST(min(ip) AS BIGINT) AS min_ip,
+             |  CAST(max(ip) AS BIGINT) AS max_ip,
+             |  CAST(sum(CASE WHEN back = ip THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_roundtrip
+             |FROM p GROUP BY cls, is_private""".stripMargin),
+      "ClickHouse IPv4 family: IPv4NumToString/StringToNum round-trip " +
+        "proved per row, RFC1918 CIDR classification, /16 subnet " +
+        "cardinality — all codegen Column arithmetic, no UDFs"))
 }
