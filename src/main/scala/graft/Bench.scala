@@ -41,10 +41,12 @@ object Bench {
     "q54_window_funnel", "q55_retention", "q59_funnel_strict_dedup",
     "q60_funnel_strict_order", "q61_funnel_strict_increase",
     "q62_sequence_match", "q63_sequence_count_pattern",
+    "q77_sequence_next_node",
     "q64_delta_sum", "q65_interval_stats", "q66_map_combinators",
     "q67_weighted_quantile", "t25_histogram", "q68_lttb_downsample",
     "q69_bloom_join", "q70_bitmap_setops", "q71_ab_ttest",
-    "q72_mann_whitney",
+    "q72_mann_whitney", "q73_ip_functions", "q74_cramers_v",
+    "q75_linreg", "q76_rank_corr",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

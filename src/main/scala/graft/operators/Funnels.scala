@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics aggregates in the shape ClickHouse ships as
@@ -541,6 +542,83 @@ object Funnels {
     }
     storedEntries(events, steps, userCol, tsCol, idCol)
       .select(col(userCol), counter(col("evs")).as("n_matches"))
+  }
+
+  /** ClickHouse `sequenceNextNode(direction, base)(ts, event, baseCond,
+    * cond1, …)` per user: find the chain of CONSECUTIVE events (among ALL
+    * the user's events — unlike [[sequenceMatch]], nothing is
+    * pre-filtered, because the returned next node may be any value)
+    * matching `steps` in the scan direction, anchored per `base`, and
+    * return the value of the event immediately after the chain — the
+    * path-analysis "what do users do next" aggregate.
+    *
+    * Supported pairings (the meaningful ClickHouse combinations):
+    * `forward` with `head` (chain must start at the user's FIRST event)
+    * or `first_match` (earliest step-1 event in scan order);
+    * `backward` with `tail` / `last_match` (the same anchors against the
+    * time-reversed scan). `baseCond` gates the anchor event. Ties order
+    * by `(ts, id)` — the [[windowFunnel]] determinism contract. NULL out
+    * when no chain matches or the chain ends the stream (ClickHouse
+    * parity); every user with ≥ 1 event gets a row.
+    *
+    * Shape: three window passes over ONE user-keyed exchange (rank +
+    * per-step mask leads + next-value lead reuse the same sort), then a
+    * candidate filter and a 1-row-per-user pick — no self-joins, no
+    * per-user arrays; state on the exchange is the event rows themselves,
+    * and the window sort is the per-user envelope every ClickHouse
+    * sequence aggregate already pays.
+    */
+  def sequenceNextNode(events: DataFrame, direction: String, base: String,
+      steps: Seq[Column], baseCond: Column = lit(true),
+      userCol: String = "user_id", tsCol: String = "ts",
+      eventCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 30)
+    val forward = direction match {
+      case "forward"  => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    val anchorFirst = base match {
+      case "head" =>
+        require(forward, "head pairs with forward"); true
+      case "tail" =>
+        require(!forward, "tail pairs with backward"); true
+      case "first_match" =>
+        require(forward, "first_match pairs with forward"); false
+      case "last_match" =>
+        require(!forward, "last_match pairs with backward"); false
+      case other => throw new IllegalArgumentException(s"base: $other")
+    }
+    val n = steps.size
+    val mask = steps.zipWithIndex.map { case (c, k) =>
+      when(coalesce(c.cast("boolean"), lit(false)), lit(1 << k)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val ord =
+      if (forward) Seq(col("__t").asc, col("__i").asc)
+      else Seq(col("__t").desc, col("__i").desc)
+    val w = Window.partitionBy(col(userCol)).orderBy(ord: _*)
+    val seq0 = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__t"),
+        col(idCol).as("__i"), col(eventCol).as("__e"), mask.as("__m"),
+        coalesce(baseCond.cast("boolean"), lit(false)).as("__b"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("__e"), n).over(w))
+    val chainOk = (0 until n).map { k =>
+      val mk = if (k == 0) col("__m") else lead(col("__m"), k).over(w)
+      mk.bitwiseAND(lit(1 << k)) =!= 0
+    }.reduce(_ && _)
+    val anchorOk =
+      if (anchorFirst) col("__rn") === 1 && col("__b") else col("__b")
+    val pickOrd =
+      if (base == "last_match") col("__rn").desc else col("__rn").asc
+    val picked = seq0.withColumn("__ok", chainOk && anchorOk)
+      .where(col("__ok"))
+      .withColumn("__pick", row_number().over(
+        Window.partitionBy(col(userCol)).orderBy(pickOrd)))
+      .where(col("__pick") === 1)
+      .select(col(userCol), col("__next").as("next_node"))
+    events.select(col(userCol)).distinct()
+      .join(picked, Seq(userCol), "left")
   }
 
   /** Retention cohort flags per user (`retention`-shaped): flag 1 is

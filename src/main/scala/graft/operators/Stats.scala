@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates — ClickHouse `cramersV` /
+  * `cramersVBiasCorrected` / `contingency` (categorical association),
+  * `simpleLinearRegression` (+ Pearson r), and `rankCorr` (Spearman's
+  * rank correlation). All textbook statistics: Cramér 1946, Bergsma 2013
+  * (the bias correction), Spearman 1904.
+  *
+  * Determinism contract (the q71/q72 discipline): the DISTRIBUTED part
+  * aggregates only exact integers — contingency cell counts, integer
+  * (x, y) moments, tie-aware DOUBLED ranks (`2·avgRank = 2·rank + ties−1`,
+  * always integral). The float statistics are then ONE fixed expression
+  * tree over those integers using only +,−,×,÷,sqrt — every one of which
+  * IEEE 754 correctly rounds — mirrored token-for-token in the DuckDB
+  * oracle, so the doubles hash-match bit-for-bit. χ² needs a SUM of
+  * per-cell float terms (order-dependent in FP), so each term is floored
+  * to integer 1e-15ths first (the t11/BM25 quantization pattern): the
+  * pre-floor value is itself bit-reproducible (only exact products ≤ 2^53
+  * and one correctly-rounded division), making the floored sum
+  * order-independent AND engine-exact. The quantization is part of the
+  * operator's contract, not an approximation knob.
+  *
+  * Scale shape: `contingencyStats` shuffles only the contingency CELLS
+  * (≤ |A|×|B| rows — the category domain, never the data);
+  * `simpleLinReg` is one hash aggregate of six integer moments per group
+  * (map-side combine); `spearman` ranks whatever bounded domain the
+  * caller hands it — rank correlation over raw 100 TB rows is a global
+  * sort by definition, so the intended shape (and what q76 does) is
+  * aggregate-then-rank: collapse to a bounded domain (days, buckets,
+  * cohorts) first, then the two rank windows run over thousands of rows
+  * regardless of input scale.
+  */
+object Stats {
+
+  /** Association between two categorical columns from the contingency
+    * table: χ² (quantized as documented above), Cramér's V, the
+    * Bergsma bias-corrected V, and the contingency coefficient.
+    * One output row: exact evidence (n, r, c, sum_contrib) + the four
+    * float statistics.
+    */
+  def contingencyStats(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    // row/col marginals as windows over the CELLS table (≤ r·c rows)
+    val w = cells
+      .withColumn("ra", sum(col("o")).over(Window.partitionBy(col("a"))))
+      .withColumn("cb", sum(col("o")).over(Window.partitionBy(col("b"))))
+    // χ² = n·(Σ o²/(ra·cb) − 1); per-cell term ∈ (0,1], floored to
+    // integer 1e-15ths. o², ra·cb ≤ (n ≤ ~2^33)… both ≤ 2^53 at any SF
+    // this runs at, so the doubles entering the division are exact.
+    val c3 = w.withColumn("contrib",
+      floor((lit(1e15) * (col("o") * col("o")).cast("double")) /
+        (col("ra") * col("cb")).cast("double")))
+    val main = c3.agg(sum(col("o")).as("n"), sum(col("contrib")).as("sum_contrib"))
+    val rCnt = c3.select(col("a")).distinct().agg(count(lit(1)).as("r"))
+    val cCnt = c3.select(col("b")).distinct().agg(count(lit(1)).as("c"))
+    val nD = col("n").cast("double")
+    val joined = main.crossJoin(rCnt).crossJoin(cCnt)
+      // Σfloor ≤ Σterm and χ² ≥ 0, so the floor can only dip a hair
+      // below zero on an independent table — clamp (mirrored in SQL)
+      .withColumn("chi2", greatest(lit(0.0),
+        nD * (col("sum_contrib").cast("double") / lit(1e15) - lit(1.0))))
+    joined
+      .withColumn("cramers_v", sqrt(col("chi2") /
+        (nD * least(col("r") - 1L, col("c") - 1L).cast("double"))))
+      .withColumn("cramers_v_bc", {
+        val phi2c = greatest(lit(0.0), col("chi2") / nD -
+          ((col("r") - 1L) * (col("c") - 1L)).cast("double") / (nD - lit(1.0)))
+        val rc = col("r").cast("double") -
+          ((col("r") - 1L) * (col("r") - 1L)).cast("double") / (nD - lit(1.0))
+        val cc = col("c").cast("double") -
+          ((col("c") - 1L) * (col("c") - 1L)).cast("double") / (nD - lit(1.0))
+        sqrt(phi2c / least(rc - lit(1.0), cc - lit(1.0)))
+      })
+      .withColumn("contingency_coef", sqrt(col("chi2") / (col("chi2") + nD)))
+  }
+
+  /** Per-group ordinary least squares y = kx + b over exact integer
+    * moments, plus Pearson r. `xCol`/`yCol` must already be integral
+    * (LongType) — callers floor-quantize floats, which both bounds the
+    * moments and makes them engine-exact. Output per group: the exact
+    * integer evidence (n, num, den_x, den_y) + slope/intercept/pearson_r.
+    *
+    * Overflow envelope: den_y = n·Σy² − (Σy)² must stay under 2^63 —
+    * with |y| ≤ 2^11 that holds to n ≈ 2^40 rows per group; pre-scale y
+    * harder for more. (The doubles the statistics are computed FROM are
+    * cast from those exact integers — correctly rounded on both engines
+    * even past 2^53.)
+    */
+  def simpleLinReg(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val m = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_y", col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("grp"), col("n"), col("num"), col("den_x"), col("den_y"),
+      (col("num").cast("double") / col("den_x").cast("double")).as("slope"),
+      ((col("sy").cast("double") -
+        col("num").cast("double") / col("den_x").cast("double") *
+          col("sx").cast("double")) / col("n").cast("double")).as("intercept"),
+      (col("num").cast("double") /
+        (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+        .as("pearson_r"))
+  }
+
+  /** Spearman's ρ with the average-rank tie convention, over the rows of
+    * `df` (the caller's bounded, already-aggregated domain — see the
+    * object scaladoc). Doubled ranks keep ties integral:
+    * `2·avgRank(v) = 2·rank(v) + ties(v) − 1` (rank = min rank of the tie
+    * group, so first+last = 2·rank + ties − 1). ρ is then Pearson over
+    * the doubled ranks — affine-invariant, so the doubling cancels.
+    * One output row: n + exact integer evidence + rho.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def rank2(c: String) =
+      lit(2L) * rank().over(Window.orderBy(col(c))).cast("long") +
+        count(lit(1)).over(Window.partitionBy(col(c))) - lit(1L)
+    val ranked = df
+      .withColumn("rx2", rank2(xCol))
+      .withColumn("ry2", rank2(yCol))
+    val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("ry2")).as("sxy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den_x", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_y", col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("n"), col("num"), col("den_x"), col("den_y"),
+      (col("num").cast("double") /
+        (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+        .as("rho"))
+  }
+}

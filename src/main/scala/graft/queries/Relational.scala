@@ -1783,5 +1783,163 @@ object Relational {
              |FROM p GROUP BY cls, is_private""".stripMargin),
       "ClickHouse IPv4 family: IPv4NumToString/StringToNum round-trip " +
         "proved per row, RFC1918 CIDR classification, /16 subnet " +
-        "cardinality — all codegen Column arithmetic, no UDFs"))
+        "cardinality — all codegen Column arithmetic, no UDFs"),
+
+    // ---- statistical aggregates (ClickHouse cramersV / regression /
+    // rankCorr) — the q71/q72 exact-integer-evidence discipline ----------
+    "q74_cramers_v" -> Q(
+      (s, dir) => graft.operators.Stats.contingencyStats(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority"),
+      Some("""WITH cells AS (
+             |  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+             |  FROM orders GROUP BY 1, 2),
+             |w AS (
+             |  SELECT a, b, o,
+             |    sum(o) OVER (PARTITION BY a) AS ra,
+             |    sum(o) OVER (PARTITION BY b) AS cb
+             |  FROM cells),
+             |cc AS (
+             |  SELECT a, b, o,
+             |    CAST(floor((1e15 * CAST(o * o AS DOUBLE)) /
+             |      CAST(ra * cb AS DOUBLE)) AS BIGINT) AS contrib
+             |  FROM w),
+             |agg AS (
+             |  SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(sum(contrib) AS BIGINT) AS sum_contrib
+             |  FROM cc),
+             |dims AS (
+             |  SELECT
+             |    (SELECT count(*) FROM (SELECT DISTINCT a FROM cc)) AS r,
+             |    (SELECT count(*) FROM (SELECT DISTINCT b FROM cc)) AS c),
+             |j AS (
+             |  SELECT n, sum_contrib, r, c,
+             |    GREATEST(0.0, CAST(n AS DOUBLE) *
+             |      (CAST(sum_contrib AS DOUBLE) / 1e15 - 1.0)) AS chi2
+             |  FROM agg CROSS JOIN dims)
+             |SELECT n, sum_contrib, r, c, chi2,
+             |  sqrt(chi2 / (CAST(n AS DOUBLE) *
+             |    CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v,
+             |  sqrt(
+             |    GREATEST(0.0, chi2 / CAST(n AS DOUBLE) -
+             |      CAST((r - 1) * (c - 1) AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+             |    / LEAST(
+             |        (CAST(r AS DOUBLE) - CAST((r - 1) * (r - 1) AS DOUBLE) /
+             |          (CAST(n AS DOUBLE) - 1.0)) - 1.0,
+             |        (CAST(c AS DOUBLE) - CAST((c - 1) * (c - 1) AS DOUBLE) /
+             |          (CAST(n AS DOUBLE) - 1.0)) - 1.0)) AS cramers_v_bc,
+             |  sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coef
+             |FROM j""".stripMargin),
+      "ClickHouse cramersV / cramersVBiasCorrected / contingency: " +
+        "exact contingency cells (the only exchange — category domain, " +
+        "never data), chi-square from order-independent integer-1e-15th " +
+        "terms, float statistics as one mirrored sqrt-only tree"),
+
+    "q75_linreg" -> Q(
+      (s, dir) => graft.operators.Stats.simpleLinReg(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_extendedprice") / lit(100)).cast("long").as("y")),
+        groupCol = "grp", xCol = "x", yCol = "y"),
+      Some("""WITH base AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(floor(l_quantity) AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT grp, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM base GROUP BY grp),
+             |d AS (
+             |  SELECT grp, n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y,
+             |    sx, sy
+             |  FROM m)
+             |SELECT grp, n, num, den_x, den_y,
+             |  CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) AS slope,
+             |  (CAST(sy AS DOUBLE) -
+             |    CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) *
+             |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+             |  CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE)) *
+             |    sqrt(CAST(den_y AS DOUBLE))) AS pearson_r
+             |FROM d""".stripMargin),
+      "ClickHouse simpleLinearRegression + Pearson r per group: ONE hash " +
+        "aggregate of six exact integer moments (map-side combine), " +
+        "slope/intercept/r as one mirrored expression tree"),
+
+    "q76_rank_corr" -> Q(
+      (s, dir) => graft.operators.Stats.spearman(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("y")),
+        xCol = "x", yCol = "y"),
+      Some("""WITH days AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x,
+             |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS y
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT
+             |    2 * RANK() OVER (ORDER BY x) +
+             |      COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+             |    2 * RANK() OVER (ORDER BY y) +
+             |      COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+             |  FROM days),
+             |m AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+             |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+             |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+             |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+             |  FROM r),
+             |d AS (
+             |  SELECT n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y
+             |  FROM m)
+             |SELECT n, num, den_x, den_y,
+             |  CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE)) *
+             |    sqrt(CAST(den_y AS DOUBLE))) AS rho
+             |FROM d""".stripMargin),
+      "ClickHouse rankCorr (Spearman): aggregate-then-rank — daily order " +
+        "volume vs revenue collapses 100 TB to the bounded day domain " +
+        "FIRST, tie-aware doubled ranks stay integral, rho is Pearson " +
+        "over exact integer rank moments"),
+
+    // q77: sequenceNextNode — "what do users do after view→click": the
+    // chain matches CONSECUTIVE events among ALL the user's events
+    // (the next node may be any value, so nothing pre-filters), anchored
+    // at the earliest step-1 event (forward/first_match), NULL when no
+    // chain or the chain ends the stream.
+    "q77_sequence_next_node" -> Q(
+      (s, dir) => graft.operators.Funnels.sequenceNextNode(
+        t(s, dir, "events"), direction = "forward", base = "first_match",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         row_number() OVER w AS rn,
+             |         lead(event_type, 1) OVER w AS nxt1,
+             |         lead(event_type, 2) OVER w AS nxt2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+             |cand AS (
+             |  SELECT user_id, rn, nxt2 AS next_node
+             |  FROM e WHERE event_type = 'view' AND nxt1 = 'click'),
+             |pick AS (
+             |  SELECT user_id, next_node FROM (
+             |    SELECT user_id, next_node,
+             |           row_number() OVER (PARTITION BY user_id
+             |               ORDER BY rn) AS p
+             |    FROM cand)
+             |  WHERE p = 1)
+             |SELECT u.user_id, p.next_node
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN pick p USING (user_id)""".stripMargin),
+      "ClickHouse sequenceNextNode(forward, first_match): the event right " +
+        "after the earliest consecutive view->click chain per user — " +
+        "three windows over ONE user-keyed exchange, no self-joins"))
 }

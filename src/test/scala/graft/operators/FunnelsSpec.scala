@@ -749,4 +749,93 @@ class FunnelsSpec extends AnyFunSuite {
     assert(out == Set((1L, true, true, false), (2L, false, false, false),
       (3L, true, false, false)))
   }
+
+  // ---- sequenceNextNode ----------------------------------------------------
+
+  private def nextNode(rows: Seq[(Long, Long, Long, String)],
+      direction: String, base: String,
+      steps: Seq[String] = Seq("A", "B")): Map[Long, Option[String]] =
+    Funnels.sequenceNextNode(ev(rows), direction, base,
+        steps = steps.map(col("event_type") === _))
+      .as[(Long, Option[String])].collect().toMap
+
+  test("sequenceNextNode forward/first_match: earliest consecutive chain, " +
+      "NULL at stream end, all-events adjacency") {
+    val out = nextNode(Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"),  // → C
+      (2L, 1L, 100L, "X"), (2L, 2L, 200L, "A"), (2L, 3L, 300L, "B"),  // chain ends stream → NULL
+      // A,B NOT consecutive (X between) → no match even though subsequence exists
+      (3L, 1L, 100L, "A"), (3L, 2L, 200L, "X"), (3L, 3L, 300L, "B"),
+      // two chains: first one (at 100) wins → next is A, not D
+      (4L, 1L, 100L, "A"), (4L, 2L, 200L, "B"), (4L, 3L, 300L, "A"),
+      (4L, 4L, 400L, "B"), (4L, 5L, 500L, "D"),
+      (5L, 1L, 100L, "Z")),                                            // no step-1 at all
+      "forward", "first_match")
+    assert(out == Map(1L -> Some("C"), 2L -> None, 3L -> None,
+      4L -> Some("A"), 5L -> None))
+  }
+
+  test("sequenceNextNode forward/head: the chain must start at the user's first event") {
+    val out = nextNode(Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"),  // head chain → C
+      (2L, 1L, 100L, "X"), (2L, 2L, 200L, "A"), (2L, 3L, 300L, "B"),
+      (2L, 4L, 400L, "C")),                                            // match not at head → NULL
+      "forward", "head")
+    assert(out == Map(1L -> Some("C"), 2L -> None))
+  }
+
+  test("sequenceNextNode backward/tail and backward/last_match walk the " +
+      "reversed stream") {
+    // user 1 reversed: D,C,B,A — chain D,C anchored at the last event →
+    // next (going backward) is B
+    val rows = Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"),
+      (1L, 4L, 400L, "D"),
+      // user 2 reversed: B,A,B,A — last_match of chain B,A in scan order
+      // is the anchor at rn=3 (the EARLIER B) → next after its chain is
+      // nothing (stream end) → NULL; first candidate (rn=1) would give B
+      (2L, 1L, 100L, "A"), (2L, 2L, 200L, "B"), (2L, 3L, 300L, "A"),
+      (2L, 4L, 400L, "B"))
+    val tail = nextNode(rows, "backward", "tail", Seq("D", "C"))
+    assert(tail(1L) == Some("B") && tail(2L) == None)
+    val lastM = nextNode(rows, "backward", "last_match", Seq("B", "A"))
+    assert(lastM(2L) == None)
+    val firstEquiv = nextNode(rows, "backward", "last_match", Seq("D", "C"))
+    assert(firstEquiv(1L) == Some("B")) // single candidate: same as tail
+  }
+
+  test("sequenceNextNode: same-ts ties order by event_id; baseCond gates the anchor") {
+    val rows = Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 100L, "B"), (1L, 3L, 100L, "C"))
+    assert(nextNode(rows, "forward", "first_match") == Map(1L -> Some("C")))
+    val gated = Funnels.sequenceNextNode(ev(rows), "forward", "first_match",
+        steps = Seq(col("event_type") === "A", col("event_type") === "B"),
+        baseCond = col("event_id") > 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(gated == Map(1L -> None)) // the only A fails the anchor gate
+  }
+
+  test("sequenceNextNode ≡ scalar scan reference on random logs, any partitioning") {
+    val rng = new scala.util.Random(77)
+    val types = Vector("A", "B", "C", "D")
+    val rows = (1 to 400).map { i =>
+      ((i % 25).toLong, i.toLong, rng.nextInt(50).toLong * 10L,
+        types(rng.nextInt(types.size)))
+    }
+    def ref(evs: Seq[(Long, Long, String)], steps: Seq[String]): Option[String] = {
+      val s = evs.sortBy(e => (e._2, e._1)).map(_._3)
+      s.indices.find(i => i + steps.size <= s.size &&
+          steps.indices.forall(k => s(i + k) == steps(k)))
+        .flatMap(i => s.drop(i + steps.size).headOption)
+    }
+    val byUser = rows.groupBy(_._1)
+      .map { case (u, es) => u -> ref(es.map(e => (e._2, e._3, e._4)), Seq("A", "B")) }
+    Seq(1, 8).foreach { parts =>
+      val got = Funnels.sequenceNextNode(
+          ev(rows).repartition(parts), "forward", "first_match",
+          steps = Seq(col("event_type") === "A", col("event_type") === "B"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == byUser, s"parts=$parts")
+    }
+  }
 }
