@@ -46,7 +46,8 @@ object Bench {
     "q67_weighted_quantile", "t25_histogram", "q68_lttb_downsample",
     "q69_bloom_join", "q70_bitmap_setops", "q71_ab_ttest",
     "q72_mann_whitney", "q73_ip_functions", "q74_cramers_v",
-    "q75_linreg", "q76_rank_corr",
+    "q75_linreg", "q76_rank_corr", "q78_geohash",
+    "q79_array_combinators",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -40,6 +40,63 @@ object Relational {
   private def views(s: SparkSession, dir: String): Unit =
     Tables.registerAll(s, dir)
 
+  /** The q78 oracle, GENERATED from the same (nLon, nLat, precision)
+    * parameters GeoFunctions unrolls — the two interleave loops share one
+    * source of truth. String/integer steps need only equal VALUES; the
+    * float quantize + center decode are mirrored token-for-token.
+    */
+  private def geohashOracle: String = {
+    val p = 6
+    val total = 5 * p
+    val nLon = (total + 1) / 2
+    val nLat = total / 2
+    val ab = graft.functions.GeoFunctions.Alphabet
+    val interleave = (0 until total).map { k =>
+      val (src, bit) =
+        if (k % 2 == 0) ("lonq", nLon - 1 - k / 2)
+        else ("latq", nLat - 1 - (k - 1) / 2)
+      s"((($src >> $bit) & 1) << ${total - 1 - k})"
+    }.mkString(" | ")
+    val render = (0 until p).map { i =>
+      s"substring('$ab', CAST((gbits >> ${5 * (p - 1 - i)}) & 31 AS INT) + 1, 1)"
+    }.mkString(" || ")
+    val parse = (0 until p).map { i =>
+      s"((strpos('$ab', substring(gh, ${i + 1}, 1)) - 1) << ${5 * (p - 1 - i)})"
+    }.mkString(" | ")
+    s"""WITH pts AS (
+       |  SELECT event_id, user_id,
+       |    CAST((user_id * 2654435761) % 180000000 AS DOUBLE)
+       |      / 1000000.0 - 90.0 AS lat,
+       |    CAST((event_id * 2654435761 + 40503) % 360000000 AS DOUBLE)
+       |      / 1000000.0 - 180.0 AS lon
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id, user_id,
+       |    GREATEST(0, LEAST(${(1L << nLon) - 1}, CAST(floor(
+       |      (lon + 180.0) / 360.0 * ${(1L << nLon).toDouble}) AS BIGINT)))
+       |      AS lonq,
+       |    GREATEST(0, LEAST(${(1L << nLat) - 1}, CAST(floor(
+       |      (lat + 90.0) / 180.0 * ${(1L << nLat).toDouble}) AS BIGINT)))
+       |      AS latq
+       |  FROM pts),
+       |g AS (SELECT *, ($interleave) AS gbits FROM q),
+       |r AS (
+       |  SELECT *, ($render) AS gh,
+       |    (CAST(latq AS DOUBLE) + 0.5) / ${(1L << nLat).toDouble}
+       |      * 180.0 - 90.0 AS clat,
+       |    (CAST(lonq AS DOUBLE) + 0.5) / ${(1L << nLon).toDouble}
+       |      * 360.0 - 180.0 AS clon
+       |  FROM g),
+       |pr AS (SELECT *, ($parse) AS back FROM r)
+       |SELECT substring(gh, 1, 3) AS cell, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(CASE WHEN back = gbits THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_roundtrip,
+       |  min(clat) AS min_clat, max(clat) AS max_clat,
+       |  min(clon) AS min_clon, max(clon) AS max_clon
+       |FROM pr GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- aggregation ----------------------------------------------------
@@ -1941,5 +1998,101 @@ object Relational {
              |LEFT JOIN pick p USING (user_id)""".stripMargin),
       "ClickHouse sequenceNextNode(forward, first_match): the event right " +
         "after the earliest consecutive view->click chain per user — " +
-        "three windows over ONE user-keyed exchange, no self-joins"))
+        "three windows over ONE user-keyed exchange, no self-joins"),
+
+    // q78: geohashEncode/geohashDecode (ClickHouse geo family) — pure
+    // integer bit-interleave + base-32 render (GeoFunctions), points
+    // synthesized deterministically from ids. The oracle SQL is GENERATED
+    // from the same (nLon, nLat, precision) parameters the Column builder
+    // unrolls, so the two interleave loops cannot drift apart. Integer
+    // steps are exact; the only float ops (quantize multiply, center
+    // decode) are mirrored token-for-token.
+    "q78_geohash" -> Q(
+      (s, dir) => {
+        import graft.functions.GeoFunctions._
+        val pts = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          (((col("user_id") * 2654435761L) % 180000000L).cast("double") /
+            lit(1000000.0) - lit(90.0)).as("lat"),
+          (((col("event_id") * 2654435761L + 40503L) % 360000000L)
+            .cast("double") / lit(1000000.0) - lit(180.0)).as("lon"))
+        pts
+          .withColumn("gbits", geohashBits(col("lat"), col("lon"), 6))
+          .withColumn("gh", renderBits(col("gbits"), 6))
+          .withColumn("rt", geohashParse(col("gh"), 6) === col("gbits"))
+          .withColumn("clat", decodeCenterLat(col("gbits"), 6))
+          .withColumn("clon", decodeCenterLon(col("gbits"), 6))
+          .groupBy(substring(col("gh"), 1, 3).as("cell"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(when(col("rt"), 1L).otherwise(0L)).as("n_roundtrip"),
+            min(col("clat")).as("min_clat"), max(col("clat")).as("max_clat"),
+            min(col("clon")).as("min_clon"), max(col("clon")).as("max_clon"))
+      },
+      Some(geohashOracle),
+      "ClickHouse geohashEncode/Decode: plan-time-unrolled bit interleave " +
+        "+ base-32 render, per-row string<->bits round-trip proved, " +
+        "3-char-cell spatial rollup; oracle interleave generated from the " +
+        "same parameters"),
+
+    // q79: ClickHouse array combinators — arrayDifference / arrayCumSum /
+    // arrayEnumerateUniq over per-user ordered event arrays, re-expressed
+    // as Spark higher-order functions (transform-with-index, running
+    // `aggregate` with an array accumulator — linear, and filter-count for
+    // the O(k²) occurrence index, bounded by the k=20 slice). The arrays
+    // explode back to scalar rows for the oracle (never output ARRAY
+    // columns — driver compare constraint), which re-derives every value
+    // with per-user windows: lag (difference), running sum (cumsum),
+    // row_number within (user, type) (enumerateUniq). All integers and
+    // strings — engine-exact.
+    "q79_array_combinators" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("t"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v"), col("event_type"))
+        val sorted = base.groupBy(col("user_id"))
+          .agg(slice(array_sort(collect_list(struct(col("t"), col("event_id"),
+            col("v"), col("event_type")))), 1, 20).as("evs"))
+          .select(col("user_id"),
+            transform(col("evs"), e => e.getField("v")).as("nums"),
+            transform(col("evs"), e => e.getField("event_type")).as("typs"))
+        val arr = sorted
+          // element_at is 1-based so index i (0-based) IS the previous
+          // element; the i=0 branch never reads it, but the index still
+          // clamps to 1 so the unused branch can't trip the index-0 error
+          .withColumn("diffs", transform(col("nums"), (x, i) =>
+            when(i === 0, lit(0L))
+              .otherwise(x - element_at(col("nums"), greatest(i, lit(1))))))
+          .withColumn("cums", aggregate(col("nums"), typedLit(Seq.empty[Long]),
+            (acc, x) => array_append(acc,
+              coalesce(element_at(acc, lit(-1)), lit(0L)) + x)))
+          .withColumn("occs", transform(col("typs"), (x, i) =>
+            size(filter(slice(col("typs"), lit(1), i), y => y === x)) + lit(1)))
+        arr.select(col("user_id"),
+            posexplode(arrays_zip(col("nums"), col("typs"), col("diffs"),
+              col("cums"), col("occs"))))
+          .select(col("user_id"), col("pos"),
+            col("col.nums").as("v"), col("col.typs").as("typ"),
+            col("col.diffs").as("diff"), col("col.cums").as("cum"),
+            col("col.occs").cast("long").as("occ"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS v, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |k AS (SELECT * FROM e WHERE rn <= 20)
+             |SELECT user_id, CAST(rn - 1 AS INT) AS pos, v, event_type AS typ,
+             |  CAST(CASE WHEN rn = 1 THEN 0
+             |       ELSE v - lag(v) OVER w END AS BIGINT) AS diff,
+             |  CAST(sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW) AS BIGINT) AS cum,
+             |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY rn) AS BIGINT) AS occ
+             |FROM k
+             |WINDOW w AS (PARTITION BY user_id ORDER BY rn)""".stripMargin),
+      "ClickHouse arrayDifference + arrayCumSum + arrayEnumerateUniq as " +
+        "higher-order functions over per-user ordered arrays (k=20 " +
+        "slice bounds the quadratic occurrence index); oracle re-derives " +
+        "each via per-user windows"))
 }
