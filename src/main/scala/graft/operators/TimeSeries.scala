@@ -74,6 +74,41 @@ object TimeSeries {
             col("dt_us").cast("double")))
   }
 
+  /** ClickHouse `exponentialMovingAverage`-family smoothing over the
+    * DECLARED (ts, tiebreak) order per key: the classic series EMA
+    * `s₁ = v₁; sᵢ = α·vᵢ + β·sᵢ₋₁` with β passed EXPLICITLY rather than
+    * computed as 1−α (α = 0.3 gives 1−α = 0.7000000000000001 in FP — the
+    * caller states both constants and the oracle embeds the identical
+    * literals, keeping the fold bit-reproducible; exact-binary pairs like
+    * 0.25/0.75 make the point moot). ClickHouse's time-decayed variants
+    * weight by `exp(−Δt/τ)` — libm `exp` is not bit-pinned across
+    * engines (the same reason the geo family omits great-circle trig), so
+    * the Δt-weighted form is deliberately out of the oracle-exact
+    * surface; callers who want it pre-scale per-row weights upstream.
+    *
+    * Output: key, n, ema (the final smoothed value). Shape: one key
+    * exchange; the per-key sorted collect is the funnel-family envelope,
+    * and the fold is one linear `aggregate` pass over the collected
+    * values — at 100 TB key cardinality carries the parallelism and a
+    * pathological single key is the caller's pre-filter.
+    */
+  def ema(df: DataFrame, keyCol: String, tsCol: String, tieBreakCol: String,
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta < 1,
+      s"alpha=$alpha beta=$beta")
+    val sorted = df
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__t"),
+        col(tieBreakCol).as("__i"), col(valueCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__t"), col("__i"), col("__v")))),
+        e => e.getField("__v")).as("vals"))
+    sorted.select(col(keyCol), size(col("vals")).cast("long").as("n"),
+      aggregate(col("vals"), lit(null).cast("double"), (acc, x) =>
+        when(acc.isNull, x).otherwise(lit(alpha) * x + lit(beta) * acc))
+        .as("ema"))
+  }
+
   /** ClickHouse `intervalLengthSum` + `maxIntersections` /
     * `maxIntersectionsPosition` per key over half-open integer intervals
     * `[startCol, endCol)` (positions in any integer unit, e.g. epoch

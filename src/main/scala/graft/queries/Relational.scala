@@ -2094,5 +2094,33 @@ object Relational {
       "ClickHouse arrayDifference + arrayCumSum + arrayEnumerateUniq as " +
         "higher-order functions over per-user ordered arrays (k=20 " +
         "slice bounds the quadratic occurrence index); oracle re-derives " +
-        "each via per-user windows"))
+        "each via per-user windows"),
+
+    // q80: exponential smoothing (ClickHouse exponentialMovingAverage
+    // family, the ordered-series form — the Δt-weighted variants need
+    // libm exp, deliberately outside the oracle-exact surface). α = 0.25
+    // and β = 0.75 are exact binary doubles; the per-step fused ops are
+    // mirrored in a recursive CTE, so the final doubles hash-match.
+    "q80_ema" -> Q(
+      (s, dir) => graft.operators.TimeSeries.ema(
+        t(s, dir, "events"), keyCol = "user_id", tsCol = "ts",
+        tieBreakCol = "event_id", valueCol = "value",
+        alpha = 0.25, beta = 0.75),
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT user_id, value AS v,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+             |               event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS mr FROM m GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, rn, v AS s FROM m WHERE rn = 1
+             |  UNION ALL
+             |  SELECT m.user_id, m.rn, 0.25 * m.v + 0.75 * f.s AS s
+             |  FROM f JOIN m ON m.user_id = f.user_id AND m.rn = f.rn + 1)
+             |SELECT f.user_id, CAST(mx.mr AS BIGINT) AS n, f.s AS ema
+             |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.mr""".stripMargin),
+      "exponential smoothing per user over the declared (ts, id) order: " +
+        "one linear aggregate-fold per key, bit-equal vs the recursive-" +
+        "CTE oracle replaying the identical fused steps"))
 }

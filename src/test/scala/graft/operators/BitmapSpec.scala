@@ -86,4 +86,34 @@ class BitmapSpec extends AnyFunSuite {
       assert(got == again)
     }
   }
+
+  test("streaming: complete-mode per-key bitmaps across micro-batches ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ids straddle blocks and revisit earlier batches' values — the
+    // streamed state must collapse duplicates across batches exactly
+    val batches = (0 until 3).map { b =>
+      (0 until 4000).map { i =>
+        (s"k${i % 2}", (mix(b * 2000 + i / 2) % 150000L).abs)
+      }
+    }
+    val stream = MemoryStream[(String, Long)]
+    val agg = stream.toDS()
+      .groupByKey(_._1)
+      .agg(new Bitmap.BitmapValue().toColumn.name("s"))
+    val q = agg.writeStream.format("memory")
+      .queryName("bitmap_stream_test").outputMode("complete").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("bitmap_stream_test").toDF("key", "s")
+      .as[(String, Bitmap.Bm)].collect().toMap
+    val expect = Bitmap.collectPerKey(
+      batches.flatten.toDF("k", "id"), "k", "id").toMap
+    assert(got.keySet == Set("k0", "k1"))
+    // CONTENT equality, not just cardinality — the OR-merge is
+    // order-independent so the streamed artifact is the batch artifact
+    assert(got == expect)
+  }
 }

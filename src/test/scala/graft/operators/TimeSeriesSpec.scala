@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -73,5 +74,52 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 01:00:00"), 2.0), // forward-filled gap
       (1L, ts("2024-01-01 02:00:00"), 3.0),
       (2L, ts("2024-01-05 10:00:00"), 9.0)))
+  }
+
+  // ---- ema -----------------------------------------------------------------
+
+  private def emaRef(vals: Seq[Double], a: Double, b: Double): Double =
+    vals.tail.foldLeft(vals.head)((s, v) => a * v + b * s)
+
+  test("ema: BIT-equal to the scalar fold in declared order, any partitioning") {
+    val rng = new scala.util.Random(80)
+    val rows = (1 to 600).map { i =>
+      ((i % 7).toLong, i.toLong, rng.nextInt(1000).toLong * 10L,
+        rng.nextDouble() * 100 - 50)
+    }
+    val want = rows.groupBy(_._1).map { case (k, es) =>
+      k -> emaRef(es.sortBy(e => (e._3, e._2)).map(_._4), 0.25, 0.75)
+    }
+    Seq(1, 9).foreach { parts =>
+      val got = TimeSeries.ema(
+          rows.toDF("user_id", "event_id", "t_us", "value")
+            .withColumn("ts", timestamp_micros(col("t_us")))
+            .repartition(parts),
+          "user_id", "ts", "event_id", "value", alpha = 0.25, beta = 0.75)
+        .select("user_id", "ema").as[(Long, Double)].collect().toMap
+      // exact double equality: same fused ops in the same order
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("ema: single observation is itself; alpha=1 tracks the last value; " +
+      "same-ts ties break by id") {
+    val rows = Seq(
+      (1L, 1L, 100L, 42.0),
+      (2L, 1L, 100L, 1.0), (2L, 2L, 200L, 2.0), (2L, 3L, 300L, 3.0),
+      (3L, 2L, 100L, 5.0), (3L, 1L, 100L, 7.0)) // id 1 first at equal ts
+      .toDF("user_id", "event_id", "t_us", "value")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val track = TimeSeries.ema(rows, "user_id", "ts", "event_id", "value",
+        alpha = 1.0, beta = 0.0)
+      .select("user_id", "n", "ema").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(track(1L) == ((1L, 42.0)))
+    assert(track(2L) == ((3L, 3.0)))
+    assert(track(3L) == ((2L, 5.0))) // folds 7 then 5; alpha=1 keeps 5
+    val smooth = TimeSeries.ema(rows, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, beta = 0.5)
+      .select("user_id", "ema").as[(Long, Double)].collect().toMap
+    assert(smooth(3L) == 0.5 * 5.0 + 0.5 * 7.0)
   }
 }
