@@ -47,7 +47,7 @@ object Bench {
     "q69_bloom_join", "q70_bitmap_setops", "q71_ab_ttest",
     "q72_mann_whitney", "q73_ip_functions", "q74_cramers_v",
     "q75_linreg", "q76_rank_corr", "q78_geohash",
-    "q79_array_combinators", "q80_ema",
+    "q79_array_combinators", "q80_ema", "q81_ks_test", "q82_corr_matrix",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -537,7 +537,16 @@ object Bench {
         // q68 is a per-user sequential fold (LTTB) — the q54/q62
         // compute-bound envelope is the expected band; q70's bitmap
         // aggregate state is id-density-bounded (10× rows ≠ 10× state)
-        "q68_lttb_downsample", "q70_bitmap_setops")
+        "q68_lttb_downsample", "q70_bitmap_setops",
+        // r11 late additions, all events-only readers: q77 is three
+        // windows on one user-keyed exchange (linear band), q78 a
+        // map-only geohash kernel + cell aggregate (linear), q79/q80
+        // per-user collect + linear HOF folds (the funnel envelope),
+        // q81 a value-domain collapse + one bounded window (the
+        // Mann-Whitney shape — must stay flat-ish as the domain
+        // saturates)
+        "q77_sequence_next_node", "q78_geohash", "q79_array_combinators",
+        "q80_ema", "q81_ks_test")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

@@ -111,6 +111,62 @@ object Stats {
         .as("pearson_r"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov D statistic (ClickHouse
+    * `kolmogorovSmirnovTest` — the statistic only; the asymptotic p-value
+    * needs libm `exp`, outside the oracle-exact surface). D =
+    * max over the pooled value domain of |F₁(v) − F₂(v)|, computed as the
+    * exact integer `m = max |cum₁·n₂ − cum₂·n₁|` so the distributed part
+    * is integral; D = m/(n₁·n₂) is one correctly-rounded division.
+    * `variantCol` must be 0/1. One output row:
+    * (n1, n2, m, d).
+    *
+    * Scale shape: the Mann-Whitney pattern — distinct-value collapse
+    * (map-side combine) shrinks the exchange to the value DOMAIN, one
+    * cumulative window over that domain, totals broadcast back as a
+    * 1-row cross join.
+    */
+  def ksTest(df: DataFrame, variantCol: String, valueCol: String): DataFrame = {
+    val perV = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(variantCol) === 0, 0L).otherwise(1L)).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(tot)
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("m"))
+      .withColumn("d", col("m").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")))
+  }
+
+  /** Pairwise Pearson correlation matrix (ClickHouse `corrMatrix`) over
+    * integral columns, from ONE hash aggregate of the full exact moment
+    * set (n, Σxᵢ, Σxᵢxⱼ for i ≤ j — map-side combine, one row out). The
+    * float correlations are the usual sqrt-only tree over those integers.
+    * Output: one row — n, then `corr_i_j` for every i < j in column
+    * order.
+    */
+  def corrMatrix(df: DataFrame, xs: Seq[String]): DataFrame = {
+    require(xs.size >= 2)
+    val sums = xs.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"s$i") }
+    val prods = for {
+      i <- xs.indices; j <- i until xs.size
+    } yield sum(col(xs(i)) * col(xs(j))).as(s"q${i}_$j")
+    val m = df.agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    val corrs = for { i <- xs.indices; j <- (i + 1) until xs.size } yield {
+      val num = col("n") * col(s"q${i}_$j") - col(s"s$i") * col(s"s$j")
+      val di = col("n") * col(s"q${i}_$i") - col(s"s$i") * col(s"s$i")
+      val dj = col("n") * col(s"q${j}_$j") - col(s"s$j") * col(s"s$j")
+      (num.cast("double") /
+        (sqrt(di.cast("double")) * sqrt(dj.cast("double"))))
+        .as(s"corr_${i}_$j")
+    }
+    m.select(col("n") +: corrs: _*)
+  }
+
   /** Spearman's ρ with the average-rank tie convention, over the rows of
     * `df` (the caller's bounded, already-aggregated domain — see the
     * object scaladoc). Doubled ranks keep ties integral:

@@ -40,6 +40,33 @@ object Relational {
   private def views(s: SparkSession, dir: String): Unit =
     Tables.registerAll(s, dir)
 
+  /** The q82 oracle, GENERATED from the same column list Stats.corrMatrix
+    * receives — moment names and correlation trees share one source of
+    * truth with the Column builder.
+    */
+  private def corrMatrixOracle: String = {
+    val defs = Seq(
+      "CAST(floor(l_quantity) AS BIGINT) AS x0",
+      "CAST(floor(l_extendedprice / 100) AS BIGINT) AS x1",
+      "CAST(floor(l_discount * 100) AS BIGINT) AS x2",
+      "CAST(floor(l_tax * 100) AS BIGINT) AS x3")
+    val k = defs.size
+    val sums = (0 until k).map(i => s"CAST(sum(x$i) AS BIGINT) AS s$i")
+    val prods = for { i <- 0 until k; j <- i until k }
+      yield s"CAST(sum(x$i * x$j) AS BIGINT) AS q${i}_$j"
+    val corrs = for { i <- 0 until k; j <- (i + 1) until k } yield
+      s"CAST(n * q${i}_$j - s$i * s$j AS DOUBLE) / " +
+        s"(sqrt(CAST(n * q${i}_$i - s$i * s$i AS DOUBLE)) * " +
+        s"sqrt(CAST(n * q${j}_$j - s$j * s$j AS DOUBLE))) AS corr_${i}_$j"
+    s"""WITH base AS (SELECT ${defs.mkString(", ")} FROM lineitem),
+       |m AS (SELECT count(*) AS n,
+       |  ${(sums ++ prods).mkString(",\n  ")}
+       |  FROM base)
+       |SELECT n,
+       |  ${corrs.mkString(",\n  ")}
+       |FROM m""".stripMargin
+  }
+
   /** The q78 oracle, GENERATED from the same (nLon, nLat, precision)
     * parameters GeoFunctions unrolls — the two interleave loops share one
     * source of truth. String/integer steps need only equal VALUES; the
@@ -2122,5 +2149,61 @@ object Relational {
              |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.mr""".stripMargin),
       "exponential smoothing per user over the declared (ts, id) order: " +
         "one linear aggregate-fold per key, bit-equal vs the recursive-" +
-        "CTE oracle replaying the identical fused steps"))
+        "CTE oracle replaying the identical fused steps"),
+
+    // q81: two-sample Kolmogorov-Smirnov D — completes the ClickHouse A/B
+    // family (q71 t-tests, q72 Mann-Whitney). The D statistic is pure
+    // rational arithmetic (the p-value needs exp — outside the
+    // oracle-exact surface): max |cum1*n2 - cum2*n1| stays integral, one
+    // division at the end.
+    "q81_ks_test" -> Q(
+      (s, dir) => graft.operators.Stats.ksTest(
+        t(s, dir, "events").select((col("user_id") % 2).as("g"),
+          floor(col("value") * 100).cast("long").as("v")),
+        variantCol = "g", valueCol = "v"),
+      Some("""WITH base AS (
+             |  SELECT user_id % 2 AS g,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |perv AS (
+             |  SELECT v,
+             |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(sum(CASE WHEN g = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+             |  FROM base GROUP BY v),
+             |cum AS (
+             |  SELECT v,
+             |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+             |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
+             |  FROM perv
+             |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW)),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |               CAST(sum(c2) AS BIGINT) AS n2 FROM perv),
+             |agg AS (
+             |  SELECT n1, n2,
+             |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS m
+             |  FROM cum CROSS JOIN tot GROUP BY n1, n2)
+             |SELECT n1, n2, m,
+             |  CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             |    AS d
+             |FROM agg""".stripMargin),
+      "ClickHouse kolmogorovSmirnovTest (D statistic): distinct-value " +
+        "collapse + one cumulative window over the value domain, exact " +
+        "integer max, one division — the Mann-Whitney exchange shape"),
+
+    // q82: pairwise Pearson correlation matrix (ClickHouse corrMatrix)
+    // from ONE hash aggregate of the full exact moment set; the oracle's
+    // moment/correlation SQL is GENERATED from the same column list.
+    "q82_corr_matrix" -> Q(
+      (s, dir) => graft.operators.Stats.corrMatrix(
+        t(s, dir, "lineitem").select(
+          floor(col("l_quantity")).cast("long").as("x0"),
+          floor(col("l_extendedprice") / lit(100)).cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"),
+          floor(col("l_tax") * 100).cast("long").as("x3")),
+        xs = Seq("x0", "x1", "x2", "x3")),
+      Some(corrMatrixOracle),
+      "ClickHouse corrMatrix over 4 measures: n + 14 exact integer " +
+        "moments in one map-side-combined aggregate, 6 correlations as " +
+        "mirrored sqrt-only trees"))
 }

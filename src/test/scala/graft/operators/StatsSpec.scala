@@ -153,6 +153,69 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Kolmogorov-Smirnov ---------------------------------------------------
+
+  private def refKs(g0: Seq[Long], g1: Seq[Long]): (Long, Long, Long) = {
+    val dom = (g0 ++ g1).distinct.sorted
+    val n1 = g0.size.toLong; val n2 = g1.size.toLong
+    val m = dom.map { v =>
+      val c1 = g0.count(_ <= v).toLong; val c2 = g1.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    (n1, n2, m)
+  }
+
+  private def ks(rows: Seq[(Long, Long)]) =
+    Stats.ksTest(rows.toDF("g", "v"), "g", "v")
+      .select("n1", "n2", "m", "d").as[(Long, Long, Long, Double)].head()
+
+  test("ksTest: identical samples read D = 0, disjoint supports read D = 1") {
+    val same = ks(Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 1L), (1L, 2L), (1L, 3L)))
+    assert(same == ((3L, 3L, 0L, 0.0)))
+    val apart = ks(Seq((0L, 1L), (0L, 2L), (1L, 10L), (1L, 20L), (1L, 30L)))
+    assert(apart._3 == 2L * 3L && apart._4 == 1.0)
+  }
+
+  test("ksTest == integer scan reference on random data, any partitioning") {
+    val rng = new scala.util.Random(81)
+    val rows = (1 to 500).map(_ =>
+      ((rng.nextInt(2)).toLong,
+        (rng.nextInt(40) + (if (rng.nextBoolean()) 5 else 0)).toLong))
+    val (n1, n2, m) = refKs(rows.filter(_._1 == 0).map(_._2),
+      rows.filter(_._1 == 1).map(_._2))
+    Seq(1, 7).foreach { parts =>
+      val got = Stats.ksTest(rows.toDF("g", "v").repartition(parts), "g", "v")
+        .select("n1", "n2", "m", "d").as[(Long, Long, Long, Double)].head()
+      assert(got._1 == n1 && got._2 == n2 && got._3 == m, s"parts=$parts")
+      assert(got._4 == m.toDouble / (n1.toDouble * n2.toDouble))
+    }
+  }
+
+  // ---- correlation matrix ---------------------------------------------------
+
+  test("corrMatrix: pairwise entries equal the single-pair Pearson exactly") {
+    val rng = new scala.util.Random(82)
+    val rows = (1 to 300).map { _ =>
+      val x = rng.nextInt(100).toLong
+      (x, 2 * x + rng.nextInt(10), rng.nextInt(50).toLong,
+        100L - x + rng.nextInt(5))
+    }
+    val df = rows.toDF("x0", "x1", "x2", "x3")
+    val mat = Stats.corrMatrix(df, Seq("x0", "x1", "x2", "x3"))
+      .select("n", "corr_0_1", "corr_0_3", "corr_2_3")
+      .as[(Long, Double, Double, Double)].head()
+    assert(mat._1 == 300L)
+    // identical formula shape as simpleLinReg's pearson_r → bit-equal
+    def pair(a: String, b: String): Double =
+      Stats.simpleLinReg(df.withColumn("g", lit("g")), "g", a, b)
+        .select("pearson_r").as[Double].head()
+    assert(mat._2 == pair("x0", "x1"))
+    assert(mat._3 == pair("x0", "x3"))
+    assert(mat._4 == pair("x2", "x3"))
+    assert(mat._2 > 0.9 && mat._3 < -0.9) // the planted structure
+  }
+
   test("doubled-rank evidence is exactly integral and self-consistent") {
     // n rows, no ties: sx = sum of 2*rank = n(n+1), den_x = n*sxx - sx^2
     val pts = (1L to 10L).map(x => (x * 3L, 100L - x))
