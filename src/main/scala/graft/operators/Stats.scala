@@ -111,6 +111,58 @@ object Stats {
         .as("pearson_r"))
   }
 
+  /** Per-group moment statistics — ClickHouse `stddevPop` / `stddevSamp` /
+    * `skewPop` / `kurtPop` / `covarPop` / `covarSamp` / `corr` from ONE
+    * hash aggregate of exact integer power sums (n, Σx, Σx², Σx³, Σx⁴,
+    * Σy, Σy², Σxy — map-side combine, 8 longs per group per partition).
+    * Central moments and the statistics are one mirrored tree over those
+    * integers: only +,−,×,÷,sqrt, so the doubles hash-match.
+    *
+    * Overflow envelope: Σx⁴ caps the input — |x| ≤ 2^10 holds to ~2^23
+    * rows per group in an exact long; pre-scale harder for more (the
+    * same contract as [[simpleLinReg]]).
+    */
+  def momentStats(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val m = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sx2"),
+        sum(x * x * x).as("sx3"), sum(x * x * x * x).as("sx4"),
+        sum(y).as("sy"), sum(y * y).as("sy2"), sum(x * y).as("sxy"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val meanY = col("sy").cast("double") / nD
+    val m2 = col("sx2").cast("double") / nD - mean * mean
+    val m3 = col("sx3").cast("double") / nD -
+      lit(3.0) * mean * (col("sx2").cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("sx4").cast("double") / nD -
+      lit(4.0) * mean * (col("sx3").cast("double") / nD) +
+      lit(6.0) * mean * mean * (col("sx2").cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val varSamp = (col("sx2").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) /
+      (nD - lit(1.0))
+    val corrNum = col("n") * col("sxy") - col("sx") * col("sy")
+    val corrDx = col("n") * col("sx2") - col("sx") * col("sx")
+    val corrDy = col("n") * col("sy2") - col("sy") * col("sy")
+    m.select(col("grp"), col("n"), col("sx"), col("sx2"), col("sx3"),
+      col("sx4"), col("sy"), col("sy2"), col("sxy"),
+      sqrt(m2).as("stddev_pop"),
+      sqrt(varSamp).as("stddev_samp"),
+      (m3 / (m2 * sqrt(m2))).as("skew_pop"),
+      (m4 / (m2 * m2)).as("kurt_pop"),
+      (col("sxy").cast("double") / nD - mean * meanY).as("covar_pop"),
+      ((col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / nD) /
+        (nD - lit(1.0))).as("covar_samp"),
+      (corrNum.cast("double") /
+        (sqrt(corrDx.cast("double")) * sqrt(corrDy.cast("double"))))
+        .as("corr"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov D statistic (ClickHouse
     * `kolmogorovSmirnovTest` — the statistic only; the asymptotic p-value
     * needs libm `exp`, outside the oracle-exact surface). D =

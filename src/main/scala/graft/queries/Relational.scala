@@ -2205,5 +2205,63 @@ object Relational {
       Some(corrMatrixOracle),
       "ClickHouse corrMatrix over 4 measures: n + 14 exact integer " +
         "moments in one map-side-combined aggregate, 6 correlations as " +
-        "mirrored sqrt-only trees"))
+        "mirrored sqrt-only trees"),
+
+    // q83: the ClickHouse moment-statistics family (stddevPop/Samp,
+    // skewPop, kurtPop, covarPop/Samp, corr) per group — 8 exact integer
+    // power sums in one aggregate, statistics as one mirrored tree.
+    "q83_moment_stats" -> Q(
+      (s, dir) => graft.operators.Stats.momentStats(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+          floor(col("l_extendedprice") / lit(100)).cast("long").as("x"),
+          floor(col("l_quantity")).cast("long").as("y")),
+        groupCol = "grp", xCol = "x", yCol = "y"),
+      Some("""WITH base AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS x,
+             |    CAST(floor(l_quantity) AS BIGINT) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT grp, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(x*x) AS BIGINT) AS sx2,
+             |    CAST(sum(x*x*x) AS BIGINT) AS sx3,
+             |    CAST(sum(x*x*x*x) AS BIGINT) AS sx4,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(y*y) AS BIGINT) AS sy2,
+             |    CAST(sum(x*y) AS BIGINT) AS sxy
+             |  FROM base GROUP BY grp),
+             |v AS (
+             |  SELECT *,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanx,
+             |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS meany
+             |  FROM m),
+             |w AS (
+             |  SELECT *,
+             |    CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) - meanx * meanx AS m2,
+             |    CAST(sx3 AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - 3.0 * meanx * (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      + 2.0 * meanx * meanx * meanx AS m3,
+             |    CAST(sx4 AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - 4.0 * meanx * (CAST(sx3 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      + 6.0 * meanx * meanx * (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - 3.0 * meanx * meanx * meanx * meanx AS m4,
+             |    (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_samp
+             |  FROM v)
+             |SELECT grp, n, sx, sx2, sx3, sx4, sy, sy2, sxy,
+             |  sqrt(m2) AS stddev_pop, sqrt(var_samp) AS stddev_samp,
+             |  m3 / (m2 * sqrt(m2)) AS skew_pop,
+             |  m4 / (m2 * m2) AS kurt_pop,
+             |  CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - meanx * meany
+             |    AS covar_pop,
+             |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+             |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covar_samp,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+             |FROM w""".stripMargin),
+      "ClickHouse moment family: stddevPop/Samp + skewPop + kurtPop + " +
+        "covarPop/Samp + corr per group — 8 exact integer power sums in " +
+        "one map-side-combined aggregate, all statistics one mirrored tree"))
 }

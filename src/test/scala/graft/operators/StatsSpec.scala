@@ -153,6 +153,51 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- moment statistics ----------------------------------------------------
+
+  test("momentStats == the exact-sum scalar reference; sane on planted shapes") {
+    val rng = new scala.util.Random(83)
+    val rows = (1 to 500).map { _ =>
+      val g = s"g${rng.nextInt(2)}"
+      val x = rng.nextInt(41).toLong - 20L // symmetric-ish
+      (g, x, 2L * x + rng.nextInt(7))
+    }
+    def ref(es: Seq[(String, Long, Long)]) = {
+      val n = es.size.toLong
+      val sx = es.map(_._2).sum; val sx2 = es.map(e => e._2 * e._2).sum
+      val sx3 = es.map(e => e._2 * e._2 * e._2).sum
+      val sx4 = es.map(e => e._2 * e._2 * e._2 * e._2).sum
+      val sy = es.map(_._3).sum; val sy2 = es.map(e => e._3 * e._3).sum
+      val sxy = es.map(e => e._2 * e._3).sum
+      val nD = n.toDouble
+      val mean = sx.toDouble / nD
+      val m2 = sx2.toDouble / nD - mean * mean
+      val m3 = sx3.toDouble / nD - 3.0 * mean * (sx2.toDouble / nD) +
+        2.0 * mean * mean * mean
+      val m4 = sx4.toDouble / nD - 4.0 * mean * (sx3.toDouble / nD) +
+        6.0 * mean * mean * (sx2.toDouble / nD) -
+        3.0 * mean * mean * mean * mean
+      (math.sqrt(m2), m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2),
+        (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sx2 - sx * sx).toDouble) *
+            math.sqrt((n * sy2 - sy * sy).toDouble)))
+    }
+    val got = Stats.momentStats(rows.toDF("g", "x", "y").repartition(6),
+        "g", "x", "y")
+      .select("grp", "stddev_pop", "skew_pop", "kurt_pop", "corr")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    rows.groupBy(_._1).foreach { case (g, es) =>
+      assert(got(g) == ref(es), s"group $g")
+    }
+    // planted structure: near-uniform x → skew ~ 0, kurtosis ~ 1.8,
+    // y = 2x + noise → strong positive corr
+    got.values.foreach { case (sd, skew, kurt, corr) =>
+      assert(sd > 5 && math.abs(skew) < 0.3 && kurt > 1.5 && kurt < 2.2 &&
+        corr > 0.95)
+    }
+  }
+
   // ---- Kolmogorov-Smirnov ---------------------------------------------------
 
   private def refKs(g0: Seq[Long], g1: Seq[Long]): (Long, Long, Long) = {
