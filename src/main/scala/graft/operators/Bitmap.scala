@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,42 @@ object Bitmap {
       .agg(new BitmapValue().toColumn.name("bm"))
       .collect().toSeq
   }
+
+  /** The ClickHouse `-State` / `-Merge` combinator pair: re-aggregate
+    * FINISHED bitmap artifacts (e.g. per-day states persisted by an
+    * earlier job) into coarser groups without touching the fact table —
+    * the AggregatingMergeTree workflow. OR-merge keeps content
+    * merge-order-independent, so the re-merged artifact is IDENTICAL to
+    * direct aggregation over the raw ids (pinned in `BitmapSpec`).
+    * `reduce` folds one finished artifact at a time — artifact count per
+    * group is small by construction (days per month, shards per table),
+    * so this is never the per-row path the pending buffer exists for.
+    */
+  final class BitmapMerge extends Aggregator[Bm, BmState, Bm] {
+    override def zero: BmState = BmState(Bm(Nil, Nil, Nil), Vector.empty)
+    override def reduce(st: BmState, bm: Bm): BmState =
+      BmState(rebuild(entriesOf(st.bm) ++ entriesOf(bm)), Vector.empty)
+    override def merge(a: BmState, b: BmState): BmState = {
+      val fa = flush(a); val fb = flush(b)
+      BmState(rebuild(entriesOf(fa.bm) ++ entriesOf(fb.bm)), Vector.empty)
+    }
+    override def finish(st: BmState): Bm = flush(st).bm
+    override def bufferEncoder: Encoder[BmState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[BmState]()
+    override def outputEncoder: Encoder[Bm] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Bm]()
+  }
+
+  /** Exact cardinality of a bitmap STRUCT column as a pure expression
+    * (no UDF — dense blocks popcount their words, sparse blocks count
+    * their values): the distributed read side of the `-Merge` pattern.
+    */
+  def cardinalityCol(bm: Column): Column =
+    aggregate(
+      zip_with(bm.getField("dense"), bm.getField("words"), (d, ws) =>
+        when(d, aggregate(ws, lit(0L), (a, w) => a + bit_count(w).cast("long")))
+          .otherwise(size(ws).cast("long"))),
+      lit(0L), (a, x) => a + x)
 
   /** [[BitmapAgg]] over the id half of (key, id) pairs. */
   final class BitmapValue extends Aggregator[(String, Long), BmState, Bm] {

@@ -2263,5 +2263,39 @@ object Relational {
              |FROM w""".stripMargin),
       "ClickHouse moment family: stddevPop/Samp + skewPop + kurtPop + " +
         "covarPop/Samp + corr per group — 8 exact integer power sums in " +
-        "one map-side-combined aggregate, all statistics one mirrored tree"))
+        "one map-side-combined aggregate, all statistics one mirrored tree"),
+
+    // q84: the ClickHouse -State / -Merge combinator workflow
+    // (AggregatingMergeTree): per-day bitmap ARTIFACTS re-merged to month
+    // totals without re-touching the fact table. The bitmap is exact, so
+    // unlike sketch state-merge the result hash-matches plain
+    // COUNT(DISTINCT) — the whole point of demonstrating the pattern on
+    // the exact family. Cardinality reads off the merged struct as a pure
+    // expression (popcount fold), no UDF.
+    "q84_state_merge" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          concat(date_trunc("week", col("ts")).cast("date").cast("string"),
+            lit("|"), to_date(col("ts")).cast("string")).as("k"),
+          col("user_id"))
+        val dayStates = graft.operators.Bitmap.perKey(ev, "k", "user_id")
+        val mergeBm = udaf(new graft.operators.Bitmap.BitmapMerge())
+        dayStates
+          .select(substring(col("key"), 1, 10).as("week"),
+            substring(col("key"), 12, 10).as("day"), col("bm"))
+          .groupBy(col("week"))
+          .agg(count_distinct(col("day")).as("n_days"),
+            graft.operators.Bitmap.cardinalityCol(mergeBm(col("bm.blocks"),
+              col("bm.dense"), col("bm.words"))).as("users"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+             |    AS DATE) AS VARCHAR) AS week,
+             |  CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+             |    AS BIGINT) AS n_days,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+             |FROM events GROUP BY 1""".stripMargin),
+      "ClickHouse -State/-Merge (AggregatingMergeTree): per-day exact " +
+        "bitmap artifacts re-merged per month, cardinality via expression " +
+        "popcount — hash-matches COUNT(DISTINCT) because the artifact is " +
+        "exact"))
 }

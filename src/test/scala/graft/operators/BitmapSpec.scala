@@ -87,6 +87,35 @@ class BitmapSpec extends AnyFunSuite {
     }
   }
 
+  test("-State/-Merge: re-merged fine-grained artifacts ≡ direct aggregation " +
+      "by CONTENT; expression cardinality ≡ the scala popcount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring, udaf}
+    // 6000 ids across 3 coarse keys × 4 fine shards, values straddling
+    // the dense-container switch inside one block
+    val rows = (0 until 24000).map { i =>
+      (s"m${i % 3}|s${(i / 3) % 4}", (mix(i) % 6000L).abs)
+    }
+    val fine = Bitmap.perKey(rows.toDF("k", "id"), "k", "id")
+    val mergeBm = udaf(new Bitmap.BitmapMerge())
+    val merged = fine
+      .select(substring(col("key"), 1, 2).as("coarse"), col("bm"))
+      .groupBy(col("coarse"))
+      .agg(mergeBm(col("bm.blocks"), col("bm.dense"), col("bm.words")).as("bm"),
+        Bitmap.cardinalityCol(mergeBm(col("bm.blocks"), col("bm.dense"), col("bm.words"))).as("card"))
+      .as[(String, Bitmap.Bm, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val direct = Bitmap.collectPerKey(
+      rows.map { case (k, id) => (k.substring(0, 2), id) }.toDF("k", "id"),
+      "k", "id").toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (k, (bm, card)) =>
+      assert(bm == direct(k), s"content $k")           // artifact identity
+      assert(card == Bitmap.cardinality(bm), s"card $k") // expression ≡ scala
+      assert(card == rows.filter(_._1.startsWith(k)).map(_._2).distinct.size)
+    }
+  }
+
   test("streaming: complete-mode per-key bitmaps across micro-batches ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
