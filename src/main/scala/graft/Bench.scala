@@ -48,7 +48,7 @@ object Bench {
     "q72_mann_whitney", "q73_ip_functions", "q74_cramers_v",
     "q75_linreg", "q76_rank_corr", "q78_geohash",
     "q79_array_combinators", "q80_ema", "q81_ks_test", "q82_corr_matrix",
-    "q83_moment_stats", "q84_state_merge",
+    "q83_moment_stats", "q84_state_merge", "t26_log_templates",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -547,7 +547,10 @@ object Bench {
         // Mann-Whitney shape — must stay flat-ish as the domain
         // saturates)
         "q77_sequence_next_node", "q78_geohash", "q79_array_combinators",
-        "q80_ema", "q81_ks_test")
+        "q80_ema", "q81_ks_test",
+        // t26 is one map-side-combined aggregate whose exchange is the
+        // TEMPLATE domain (constant at 10×) — must read flat-ish
+        "t26_log_templates")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

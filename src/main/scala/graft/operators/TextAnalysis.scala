@@ -856,4 +856,28 @@ object TextAnalysis {
         coalesce(col("pred_label"), col("p_label")).as("pred_label"),
         coalesce(col("nb_score"), col("p_score")).as("nb_score"))
   }
+
+  /** Log template mining — the deterministic core of Drain-style log
+    * parsing (He et al., ICWS 2017 use this masking as the preprocessing
+    * step; the full tree adds similarity clustering for templates that
+    * differ in non-numeric tokens): every whitespace-delimited token
+    * containing a digit masks to `<*>`, and lines grouping to the same
+    * masked string are one event template. On access/error logs the
+    * variable parts (ids, ips, timestamps, sizes, durations) all carry
+    * digits, so the mask alone recovers the template set — and unlike the
+    * clustering step it is exactly reproducible (regexp_replace + one
+    * hash aggregate), which is what lets the t26 entry hash-match a
+    * DuckDB oracle.
+    *
+    * Output: (template, n, example) — example = lexicographic min line,
+    * a deterministic witness. Shape: one map-side-combined aggregate on
+    * the template; at 100 TB the exchange carries the TEMPLATE domain
+    * (log-structure cardinality, typically thousands), never the lines.
+    */
+  def logTemplates(lines: DataFrame, lineCol: String = "value"): DataFrame =
+    lines
+      .select(regexp_replace(col(lineCol), "\\S*\\d\\S*", "<*>").as("template"),
+        col(lineCol).as("line"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"), min(col("line")).as("example"))
 }

@@ -2898,5 +2898,50 @@ object DataOps {
       Some("""SELECT doc_id AS media_id,
              |  CAST(greatest(octet_length(encode(text)) // 128, 1) AS BIGINT) AS n_frames
              |FROM documents""".stripMargin),
-      "frame-sampling plumbing over binary payloads"))
+      "frame-sampling plumbing over binary payloads"),
+
+    // t26: log template mining (Drain-lite) — the reference's whole
+    // domain is access/error logs; this is the "what event shapes does
+    // this log contain" operator. Lines synthesized in four shapes from
+    // events; digit-bearing tokens mask to <*>; the template rollup is
+    // one map-side-combined aggregate whose exchange carries the
+    // TEMPLATE domain, never the lines.
+    "t26_log_templates" -> Q(
+      (s, dir) => {
+        val ev = tp(s, dir, "events")
+        val uid = col("user_id").cast("string")
+        val eid = col("event_id").cast("string")
+        val line = when(col("event_id") % 4 === 0,
+            concat(uid, lit(" GET /p/"), eid, lit(" 200 "),
+              (col("event_id") % 9973).cast("string")))
+          .when(col("event_id") % 4 === 1,
+            concat(uid, lit(" POST /api/v1/items/"), eid, lit(" 201")))
+          .when(col("event_id") % 4 === 2,
+            concat(uid, lit(" GET /p/"), eid, lit(" 404 not found")))
+          .otherwise(concat(lit("[error] upstream timed out, client "),
+            uid, lit(", request "), eid))
+        graft.operators.TextAnalysis.logTemplates(ev.select(line.as("value")))
+      },
+      Some("""WITH lines AS (
+             |  SELECT CASE
+             |    WHEN event_id % 4 = 0 THEN CAST(user_id AS VARCHAR)
+             |      || ' GET /p/' || CAST(event_id AS VARCHAR) || ' 200 '
+             |      || CAST(event_id % 9973 AS VARCHAR)
+             |    WHEN event_id % 4 = 1 THEN CAST(user_id AS VARCHAR)
+             |      || ' POST /api/v1/items/' || CAST(event_id AS VARCHAR)
+             |      || ' 201'
+             |    WHEN event_id % 4 = 2 THEN CAST(user_id AS VARCHAR)
+             |      || ' GET /p/' || CAST(event_id AS VARCHAR)
+             |      || ' 404 not found'
+             |    ELSE '[error] upstream timed out, client '
+             |      || CAST(user_id AS VARCHAR) || ', request '
+             |      || CAST(event_id AS VARCHAR)
+             |  END AS line
+             |  FROM events)
+             |SELECT regexp_replace(line, '\S*\d\S*', '<*>', 'g') AS template,
+             |  count(*) AS n, min(line) AS example
+             |FROM lines GROUP BY 1""".stripMargin),
+      "Drain-lite log template mining: digit-bearing tokens mask to <*>, " +
+        "template rollup with a deterministic example witness — the " +
+        "exchange carries the template domain, never the log lines"))
 }

@@ -188,4 +188,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().head
     assert(out._2 == "l1") // equal scores → lexicographically smaller label
   }
+
+  test("logTemplates: whole digit-bearing tokens mask to <*>, digitless " +
+      "lines are their own template, example is the lexicographic min") {
+    val lines = Seq(
+      "1001 GET /p/42 200 17",
+      "1002 GET /p/9000 200 3",
+      "worker started",
+      "worker started",
+      "[error] upstream timed out, client 7",
+      "conn from 10.0.0.1:8080 closed").toDF("value")
+    val out = TextAnalysis.logTemplates(lines)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the MASK consumes the whole token: '/p/42' → '<*>', not '/p/<*>'
+    assert(out("<*> GET <*> <*> <*>") == ((2L, "1001 GET /p/42 200 17")))
+    assert(out("worker started") == ((2L, "worker started")))
+    assert(out("[error] upstream timed out, client <*>")._1 == 1L)
+    assert(out("conn from <*> closed")._1 == 1L)
+    assert(out.size == 4)
+  }
 }
