@@ -205,6 +205,25 @@ object Bitmap {
           .otherwise(size(ws).cast("long"))),
       lit(0L), (a, x) => a + x)
 
+  /** [[BitmapAgg]] finishing straight to the exact cardinality — the SQL
+    * surface (`graft_bitmap_card`): exact COUNT(DISTINCT id) semantics
+    * with bitmap state (bounded by id density, mergeable under any
+    * tree). Negative ids are the NULL sentinel from the SQL frontend
+    * (the primitive-encoder coalesce, the graft_topk_weighted lesson)
+    * and are skipped — matching COUNT(DISTINCT)'s null skip.
+    */
+  final class BitmapCard extends Aggregator[Long, BmState, Long] {
+    private val inner = new BitmapAgg
+    override def zero: BmState = inner.zero
+    override def reduce(b: BmState, id: Long): BmState =
+      if (id < 0L) b else inner.reduce(b, id)
+    override def merge(a: BmState, b: BmState): BmState = inner.merge(a, b)
+    override def finish(st: BmState): Long = cardinality(inner.finish(st))
+    override def bufferEncoder: Encoder[BmState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** [[BitmapAgg]] over the id half of (key, id) pairs. */
   final class BitmapValue extends Aggregator[(String, Long), BmState, Bm] {
     private val inner = new BitmapAgg

@@ -21,6 +21,7 @@ import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
   * SELECT graft_topk(term, 64) FROM tokens GROUP BY day          -- MG summary
   * SELECT graft_kll_quantile(latency, 128, 0.99)                 -- KLL p99
   * SELECT graft_uniq_upto(user_id, 100) FROM hits GROUP BY day   -- bounded distinct
+  * SELECT graft_bitmap_card(user_id) FROM hits GROUP BY day      -- exact distinct, bitmap state
   * }}}
   *
   * The only whole-plan extension is the top-k-per-key rewrite
@@ -181,6 +182,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.Encoders.STRING, "graft_uniq_upto",
           Seq(org.apache.spark.sql.catalyst.expressions.Cast(args(0),
             org.apache.spark.sql.types.StringType)))),
+    (FunctionIdentifier("graft_bitmap_card"),
+      info("graft_bitmap_card", "graft_bitmap_card(id) - EXACT distinct count of non-negative bigint ids via a Roaring-style bitmap aggregate (= count(DISTINCT id) with null skip; state bounded by id DENSITY not row count, mergeable under any tree)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Bitmap.BitmapCard(),
+          org.apache.spark.sql.Encoders.scalaLong, "graft_bitmap_card",
+          // primitive Long encoder slot: NULL would crash the
+          // deserializer — coalesce to the negative sentinel the
+          // aggregator skips (count(DISTINCT) null semantics)
+          Seq(org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.catalyst.expressions.Literal(-1L)))))),
     (FunctionIdentifier("graft_histogram"),
       info("graft_histogram", "graft_histogram(v, bins) - adaptive streaming histogram (Ben-Haim/Tom-Toms, ClickHouse histogram(bins)): array<struct<lower,upper,cnt>> with Σcnt = n and outer edges at the exact min/max"),
       (args: Seq[Expression]) =>

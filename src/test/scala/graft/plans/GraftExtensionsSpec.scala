@@ -222,6 +222,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("graft_bitmap_card aggregate from SQL: exact distinct, GROUP BY form, " +
+      "null skip, int implicit-cast") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => (i % 3, (i * 37L) % 1234))
+    rows.toDF("grp", "id").createOrReplaceTempView("ge_bm")
+    val whole = spark.sql(
+      "SELECT graft_bitmap_card(id), count(DISTINCT id) FROM ge_bm")
+      .collect().head
+    assert(whole.getLong(0) == whole.getLong(1)) // EXACT, not approximate
+    val grouped = spark.sql(
+      """SELECT grp, graft_bitmap_card(id) AS c, count(DISTINCT id) AS e
+        |FROM ge_bm GROUP BY grp""".stripMargin).collect()
+    assert(grouped.length == 3)
+    grouped.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+    // NULL ids are skipped like count(DISTINCT); INT ids implicit-cast
+    Seq(Some(1), None, Some(2), Some(1), None).toDF("id")
+      .createOrReplaceTempView("ge_bm_null")
+    val n = spark.sql("SELECT graft_bitmap_card(id) FROM ge_bm_null")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+  }
+
   test("SQL sketch aggregates skip NULLs (standard aggregate semantics)") {
     import spark.implicits._
     // raw column values reach the Aggregators here (no na.drop upstream
