@@ -2297,5 +2297,47 @@ object Relational {
       "ClickHouse -State/-Merge (AggregatingMergeTree): per-day exact " +
         "bitmap artifacts re-merged per month, cardinality via expression " +
         "popcount — hash-matches COUNT(DISTINCT) because the artifact is " +
-        "exact"))
+        "exact"),
+
+    // q85: event flow (the Sankey / user-path transition matrix — what
+    // ClickHouse analysts build from neighbor()/lead): consecutive-pair
+    // counts per (from, to) in the declared (ts, id) order, with the
+    // per-source transition probability. The pair scan is one user-keyed
+    // window; everything after runs on the TRANSITION domain (|types|²),
+    // never the events. The probability is one division over two exact
+    // integers — mirrored, so the doubles hash-match.
+    "q85_event_flow" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("out_total",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .withColumn("p",
+            col("n").cast("double") / col("out_total").cast("double"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+             |               event_id) AS to_type
+             |  FROM events),
+             |m AS (
+             |  SELECT from_type, to_type, count(*) AS n
+             |  FROM pairs WHERE to_type IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+             |    AS out_total,
+             |  CAST(n AS DOUBLE) /
+             |    CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+             |      AS DOUBLE) AS p
+             |FROM m""".stripMargin),
+      "event-flow transition matrix (Sankey): one user-keyed window for " +
+        "the pair scan, then the transition domain only; probabilities " +
+        "as one mirrored division over exact counts"))
 }
