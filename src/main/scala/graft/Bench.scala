@@ -49,7 +49,7 @@ object Bench {
     "q75_linreg", "q76_rank_corr", "q78_geohash",
     "q79_array_combinators", "q80_ema", "q81_ks_test", "q82_corr_matrix",
     "q83_moment_stats", "q84_state_merge", "t26_log_templates",
-    "q85_event_flow",
+    "q85_event_flow", "q86_time_to_convert",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -551,7 +551,11 @@ object Bench {
         "q80_ema", "q81_ks_test",
         // t26 is one map-side-combined aggregate whose exchange is the
         // TEMPLATE domain (constant at 10×) — must read flat-ish
-        "t26_log_templates")
+        "t26_log_templates",
+        // q84 is two bounded typed exchanges (day states, then ≤7
+        // artifacts per week); q85 one user-keyed window + the
+        // transition-domain rollup — both linear-band expectations
+        "q84_state_merge", "q85_event_flow")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

@@ -2339,5 +2339,45 @@ object Relational {
              |FROM m""".stripMargin),
       "event-flow transition matrix (Sankey): one user-keyed window for " +
         "the pair scan, then the transition domain only; probabilities " +
-        "as one mirrored division over exact counts"))
+        "as one mirrored division over exact counts"),
+
+    // q86: time-to-convert — the timing dimension of the funnel family
+    // (q54 measures WHETHER users convert; this measures HOW FAST).
+    // Deterministic definition: from each user's FIRST view, the earliest
+    // subsequent click within 24 h; duration in micros. One user-keyed
+    // aggregate (min_by shapes), integer-exact throughout.
+    "q86_time_to_convert" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        val firstView = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+        val converted = ev.where(col("event_type") === "click")
+          .join(firstView, Seq("user_id"))
+          .where(col("t") > col("tv") &&
+            col("t") - col("tv") <= 86400000000L)
+          .groupBy(col("user_id"))
+          .agg(min(col("t") - col("tv")).as("dur_us"))
+        firstView.join(converted, Seq("user_id"), "left")
+          .select(col("user_id"), col("tv"), col("dur_us"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t
+             |  FROM events),
+             |fv AS (
+             |  SELECT user_id, min(t) AS tv FROM e
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |conv AS (
+             |  SELECT e.user_id, min(e.t - fv.tv) AS dur_us
+             |  FROM e JOIN fv ON fv.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.t > fv.tv
+             |    AND e.t - fv.tv <= 86400000000
+             |  GROUP BY e.user_id)
+             |SELECT fv.user_id, fv.tv, conv.dur_us
+             |FROM fv LEFT JOIN conv USING (user_id)""".stripMargin),
+      "time-to-convert: earliest click within 24h of each user's first " +
+        "view — the funnel family's timing dimension; two user-keyed " +
+        "min aggregates, integer-exact, NULL for non-converters"))
 }
