@@ -2379,5 +2379,43 @@ object Relational {
              |FROM fv LEFT JOIN conv USING (user_id)""".stripMargin),
       "time-to-convert: earliest click within 24h of each user's first " +
         "view — the funnel family's timing dimension; two user-keyed " +
-        "min aggregates, integer-exact, NULL for non-converters"))
+        "min aggregates, integer-exact, NULL for non-converters"),
+
+    // q87: moving-frame aggregates (ClickHouse groupArrayMovingSum /
+    // groupArrayMovingAvg over a 5-row window) — ROWS frames per user in
+    // declared (ts, id) order. Sum/min/max stay integral; the moving avg
+    // is one mirrored division of two exact integers per row.
+    "q87_moving_aggregates" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .select(col("user_id"), col("event_id"), col("v"),
+            sum(col("v")).over(w).as("mov_sum"),
+            min(col("v")).over(w).as("mov_min"),
+            max(col("v")).over(w).as("mov_max"),
+            (sum(col("v")).over(w).cast("double") /
+              count(lit(1)).over(w).cast("double")).as("mov_avg"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |         CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events)
+             |SELECT user_id, event_id, v,
+             |  CAST(sum(v) OVER w AS BIGINT) AS mov_sum,
+             |  min(v) OVER w AS mov_min,
+             |  max(v) OVER w AS mov_max,
+             |  CAST(CAST(sum(v) OVER w AS BIGINT) AS DOUBLE) /
+             |    CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin),
+      "ClickHouse groupArrayMovingSum/Avg: 5-row ROWS frames per user in " +
+        "declared order — integral sum/min/max, avg as one mirrored " +
+        "division per row"))
 }
