@@ -182,4 +182,58 @@ object TimeSeries {
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true)
         .over(Window.partitionBy(key).orderBy(col("h"))))
   }
+
+  /** ClickHouse `ORDER BY … WITH FILL INTERPOLATE` — [[resampleFill]]'s
+    * grid with LINEAR interpolation between the neighbouring
+    * observations instead of forward fill (constant extension past the
+    * edges). `valueCol` must be integral (callers floor-quantize) so the
+    * bracketing observations are exact; the per-row interpolation is
+    * then ONE fixed expression over four exact integers — mirrored in
+    * the oracle, the doubles hash-match. Grid positions are integer
+    * bucket indices (epoch `unit`s).
+    *
+    * Shape: same as [[resampleFill]] — a tiny (key, min, max) aggregate
+    * explodes each key's grid map-side, one key exchange feeds the
+    * bracketing windows (running last / first over the grid). Output:
+    * (key, h, v) with v DOUBLE on the dense grid.
+    */
+  def resampleInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreakCol: String, unit: String = "hour"): DataFrame = {
+    val key = col(keyCol)
+    val unitMicros = unit match {
+      case "hour"   => 3600000000L
+      case "minute" => 60000000L
+      case "day"    => 86400000000L
+      case other => throw new IllegalArgumentException(s"unit: $other")
+    }
+    val bucket = (unix_micros(col(tsCol)) / unitMicros).cast("long")
+    val lastInBucket = Window.partitionBy(key, col("h"))
+      .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
+    val obs = df
+      .withColumn("h", bucket)
+      .withColumn("__rn", row_number().over(lastInBucket))
+      .where(col("__rn") === 1)
+      .select(key, col("h"), col(valueCol).as("__v"))
+    val span = df.groupBy(key)
+      .agg(min(bucket).as("h0"), max(bucket).as("h1"))
+      .select(key, explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wPrev = Window.partitionBy(key).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(key).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val g = span.join(obs, Seq(keyCol, "h"), "left")
+      .withColumn("pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("__v").isNotNull, col("h")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("__v").isNotNull, col("h")),
+        ignoreNulls = true).over(wNext))
+    g.select(key, col("h"),
+      when(col("__v").isNotNull, col("__v").cast("double"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv").cast("double") + (col("nv") - col("pv")).cast("double") *
+            ((col("h") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double")))
+        .otherwise(coalesce(col("pv"), col("nv")).cast("double")).as("v"))
+  }
 }

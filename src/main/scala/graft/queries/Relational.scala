@@ -2417,5 +2417,56 @@ object Relational {
              |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin),
       "ClickHouse groupArrayMovingSum/Avg: 5-row ROWS frames per user in " +
         "declared order — integral sum/min/max, avg as one mirrored " +
-        "division per row"))
+        "division per row"),
+
+    // q88: WITH FILL INTERPOLATE — linear interpolation on the dense
+    // per-user hourly grid (q42's forward-fill sibling). Bracketing
+    // observations are exact integers; each interpolated value is one
+    // mirrored expression over four of them.
+    "q88_interpolate" -> Q(
+      (s, dir) => graft.operators.TimeSeries.resampleInterpolate(
+        t(s, dir, "events").withColumn("vq",
+          floor(col("value") * 100).cast("long")),
+        keyCol = "user_id", tsCol = "ts", valueCol = "vq",
+        tieBreakCol = "event_id"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             |         CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |obs0 AS (
+             |  SELECT user_id, t // 3600000000 AS h, v,
+             |         row_number() OVER (PARTITION BY user_id,
+             |             t // 3600000000
+             |             ORDER BY t DESC, event_id DESC) AS rn
+             |  FROM e),
+             |obs AS (SELECT user_id, h, v FROM obs0 WHERE rn = 1),
+             |span AS (
+             |  SELECT user_id, unnest(generate_series(
+             |    min(t // 3600000000), max(t // 3600000000))) AS h
+             |  FROM e GROUP BY user_id),
+             |g AS (
+             |  SELECT s.user_id, s.h, o.v,
+             |    last_value(o.v IGNORE NULLS) OVER wp AS pv,
+             |    last_value(CASE WHEN o.v IS NOT NULL THEN s.h END
+             |      IGNORE NULLS) OVER wp AS ph,
+             |    first_value(o.v IGNORE NULLS) OVER wn AS nv,
+             |    first_value(CASE WHEN o.v IS NOT NULL THEN s.h END
+             |      IGNORE NULLS) OVER wn AS nh
+             |  FROM span s LEFT JOIN obs o USING (user_id, h)
+             |  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY s.user_id ORDER BY s.h
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, h,
+             |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |         CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+             |           (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+             |       ELSE CAST(coalesce(pv, nv) AS DOUBLE) END AS v
+             |FROM g""".stripMargin),
+      "ClickHouse WITH FILL INTERPOLATE: dense per-user hourly grid with " +
+        "linear interpolation between exact integer observations, " +
+        "constant extension past the edges — same one-key-exchange " +
+        "shape as q42"))
 }

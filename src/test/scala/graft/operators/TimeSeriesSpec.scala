@@ -76,6 +76,36 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, ts("2024-01-05 10:00:00"), 9.0)))
   }
 
+  // ---- resampleInterpolate ---------------------------------------------------
+
+  test("resampleInterpolate: linear between brackets, exact on hits, " +
+      "constant past the edges, last-in-bucket wins") {
+    val hour = 3600000000L
+    val rows = Seq(
+      // user 1: obs at hours 0 (v=100) and 3 (v=400) → linear 200, 300
+      (1L, 1L, 0L * hour, 100L),
+      (1L, 2L, 3L * hour, 400L),
+      // user 2: single obs → grid is one point
+      (2L, 1L, 5L * hour, 77L),
+      // user 3: two obs in one bucket (later wins) then a gap to hour 2,
+      // leading edge before the first obs cannot exist (grid starts at
+      // min bucket) — instead pin the last-in-bucket rule
+      (3L, 1L, 0L, 10L), (3L, 2L, 30L, 50L), (3L, 3L, 2L * hour, 80L))
+      .toDF("user_id", "event_id", "t_us", "vq")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val out = TimeSeries.resampleInterpolate(rows, "user_id", "ts", "vq",
+        "event_id")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 0L)) == 100.0 && out((1L, 3L)) == 400.0) // exact hits
+    assert(out((1L, 1L)) == 200.0 && out((1L, 2L)) == 300.0) // linear
+    assert(out((2L, 5L)) == 77.0)
+    assert(out((3L, 0L)) == 50.0)  // last-in-bucket (event_id 2 at t=30)
+    assert(out((3L, 1L)) == 65.0)  // midpoint of 50 and 80
+    assert(out((3L, 2L)) == 80.0)
+    assert(out.size == 4 + 1 + 3)
+  }
+
   // ---- ema -----------------------------------------------------------------
 
   private def emaRef(vals: Seq[Double], a: Double, b: Double): Double =
