@@ -206,6 +206,9 @@ object TimeSeries {
       case "day"    => 86400000000L
       case other => throw new IllegalArgumentException(s"unit: $other")
     }
+    // integer division truncates toward zero (Spark) while the oracle's
+    // `//` floors — identical for epoch-positive timestamps; pre-1970
+    // data would need pmod-floor bucketing on both sides
     val bucket = (unix_micros(col(tsCol)) / unitMicros).cast("long")
     val lastInBucket = Window.partitionBy(key, col("h"))
       .orderBy(col(tsCol).desc, col(tieBreakCol).desc)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, regexp_replace}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -207,5 +208,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("[error] upstream timed out, client <*>")._1 == 1L)
     assert(out("conn from <*> closed")._1 == 1L)
     assert(out.size == 4)
+  }
+
+  test("logTemplates streams: live template counts across micro-batches " +
+      "≡ batch (the log-pattern monitor over the ingest feed)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq("10 GET /p/1 200", "worker started", "11 GET /p/2 200"),
+      Seq("12 GET /p/9 404", "worker started"),
+      Seq("13 GET /p/3 200", "[gc] pause 12ms"))
+    val stream = MemoryStream[String]
+    // the same mask expression, applied streaming-side; counts in
+    // complete mode — templates are low-cardinality state by design
+    val agg = stream.toDF().toDF("value")
+      .select(regexp_replace(col("value"), "\\S*\\d\\S*", "<*>")
+        .as("template"))
+      .groupBy("template").count()
+    val q = agg.writeStream.format("memory")
+      .queryName("tmpl_stream_test").outputMode("complete").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("tmpl_stream_test")
+      .as[(String, Long)].collect().toMap
+    val want = TextAnalysis.logTemplates(batches.flatten.toDF("value"))
+      .select("template", "n").as[(String, Long)].collect().toMap
+    assert(got == want)
+    // all four GET lines (batches 1-3, any status) share one template
+    assert(got("<*> GET <*> <*>") == 4L && got("worker started") == 2L)
   }
 }
