@@ -2468,5 +2468,46 @@ object Relational {
       "ClickHouse WITH FILL INTERPOLATE: dense per-user hourly grid with " +
         "linear interpolation between exact integer observations, " +
         "constant extension past the edges — same one-key-exchange " +
-        "shape as q42"))
+        "shape as q42"),
+
+    // q89: sparkbar — ClickHouse's sparkline aggregate (daily order
+    // volume rendered as ▁▂▃▄▅▆▇█ per month). Levels are integer
+    // arithmetic (n·7 / max, truncating), glyphs come from character
+    // substring on the literal ramp, the bar concatenates in day order —
+    // every step exact, so the unicode strings hash-match.
+    "q89_sparkbar" -> Q(
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            dayofmonth(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy(col("month"))
+          .agg(max(col("n")).as("mx"),
+            array_sort(collect_list(struct(col("day"), col("n"))))
+              .as("days"))
+          .select(col("month"), col("mx"),
+            array_join(transform(col("days"), e =>
+              substr(lit("▁▂▃▄▅▆▇█"),
+                (floor((e.getField("n") * 7L).cast("double") /
+                  col("mx").cast("double")) + 1L).cast("int"), lit(1))),
+              "").as("bar"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+             |           AS month,
+             |         CAST(day(CAST(o_orderdate AS TIMESTAMP)) AS INT)
+             |           AS day,
+             |         count(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (SELECT month, CAST(max(n) AS BIGINT) AS mx
+             |      FROM daily GROUP BY month)
+             |SELECT d.month, m.mx,
+             |  string_agg(substring('▁▂▃▄▅▆▇█',
+             |    CAST(floor(CAST(n * 7 AS DOUBLE) / CAST(mx AS DOUBLE))
+             |      AS INT) + 1, 1), '' ORDER BY d.day)
+             |    AS bar
+             |FROM daily d JOIN m ON m.month = d.month
+             |GROUP BY d.month, m.mx""".stripMargin),
+      "ClickHouse sparkbar: daily volume as a unicode ramp per month — " +
+        "integer level arithmetic + character substring, exact strings"))
 }
