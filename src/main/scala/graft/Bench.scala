@@ -50,7 +50,7 @@ object Bench {
     "q79_array_combinators", "q80_ema", "q81_ks_test", "q82_corr_matrix",
     "q83_moment_stats", "q84_state_merge", "t26_log_templates",
     "q85_event_flow", "q86_time_to_convert", "q87_moving_aggregates",
-    "q88_interpolate", "q89_sparkbar",
+    "q88_interpolate", "q89_sparkbar", "q90_auc",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

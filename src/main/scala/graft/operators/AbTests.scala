@@ -68,6 +68,23 @@ object AbTests {
           se2 * se2 / (col("n2").cast("double") - 1.0)))
   }
 
+  /** Tie-aware ROC-AUC (ClickHouse `arrayAUC`) — evaluation metric for
+    * score-based classifiers (e.g. the t17 quality gate): AUC =
+    * P(score₊ > score₋) + ½·P(score₊ = score₋) over all (positive,
+    * negative) pairs, which is exactly U₊/(n₊·n₋) with average-rank ties
+    * — so it reuses [[mannWhitney]]'s integer-exact doubled-U machinery
+    * verbatim and the only float op is one final division. `labelCol`
+    * must be 0/1 (1 = positive).
+    */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    mannWhitney(df.select(
+        when(col(labelCol) === 1, lit(0)).otherwise(lit(1)).as("__g"),
+        col(scoreCol).as("__s")), "__g", "__s")
+      .select(col("n1").as("n_pos"), col("n2").as("n_neg"), col("u1x2"),
+        (col("u1x2").cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")))
+          .as("auc"))
+
   /** Mann-Whitney U via tie-aware DOUBLED rank sums (integer-exact):
     * for each distinct value v with c(v) total occurrences and m₁(v)
     * occurrences in variant 1, the average-rank convention gives

@@ -2509,5 +2509,41 @@ object Relational {
              |FROM daily d JOIN m ON m.month = d.month
              |GROUP BY d.month, m.mx""".stripMargin),
       "ClickHouse sparkbar: daily volume as a unicode ramp per month — " +
-        "integer level arithmetic + character substring, exact strings"))
+        "integer level arithmetic + character substring, exact strings"),
+
+    // q90: tie-aware ROC-AUC (ClickHouse arrayAUC) — classifier
+    // evaluation as a first-class aggregate: AUC = U₊/(n₊·n₋) from the
+    // q72 integer-exact doubled-U machinery; the one float op is the
+    // final division, mirrored.
+    "q90_auc" -> Q(
+      (s, dir) => graft.operators.AbTests.auc(
+        t(s, dir, "events").select((col("user_id") % 2).as("label"),
+          floor(col("value") * 100).cast("long").as("score")),
+        labelCol = "label", scoreCol = "score"),
+      Some("""WITH base AS (
+             |  SELECT CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END AS g,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |perv AS (
+             |  SELECT v, count(*) AS c,
+             |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS m1
+             |  FROM base GROUP BY v),
+             |r AS (
+             |  SELECT v, c, m1,
+             |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM perv),
+             |agg AS (
+             |  SELECT CAST(sum(m1) AS BIGINT) AS n1,
+             |    CAST(sum(c) - sum(m1) AS BIGINT) AS n2,
+             |    CAST(sum(m1 * (2 * below + c + 1)) AS BIGINT) AS r1x2
+             |  FROM r)
+             |SELECT n1 AS n_pos, n2 AS n_neg,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+             |    (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+             |FROM agg""".stripMargin),
+      "tie-aware ROC-AUC (ClickHouse arrayAUC): exact doubled-U over the " +
+        "score value domain, one mirrored division — the evaluation " +
+        "metric for the t17-style classifier gates"))
 }

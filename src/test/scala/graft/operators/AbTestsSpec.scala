@@ -75,4 +75,28 @@ class AbTestsSpec extends AnyFunSuite {
       assert(r.getLong(2) + r.getLong(3) == 2L * g0.size * g1.size)
     }
   }
+
+  test("auc: perfect separation = 1, reversed = 0, all-tied = 0.5, " +
+      "random ≡ the pair-counting definition") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]): Double =
+      AbTests.auc(rows.toDF("label", "score"), "label", "score")
+        .select("auc").as[Double].head()
+    // positives all score above negatives
+    val perfect = (1L to 10L).map(s => (1L, 100L + s)) ++
+      (1L to 8L).map(s => (0L, s))
+    assert(run(perfect) == 1.0)
+    assert(run(perfect.map { case (l, s) => (1L - l, s) }) == 0.0)
+    assert(run(Seq((1L, 5L), (1L, 5L), (0L, 5L))) == 0.5) // all tied
+    // randomized: AUC == (#(pos>neg) + 0.5*#(pos=neg)) / (n_pos*n_neg)
+    val rng = new scala.util.Random(90)
+    val rows = (1 to 400).map(_ =>
+      ((rng.nextInt(2)).toLong, rng.nextInt(30).toLong))
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    val pairs = for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val want = pairs.sum / (pos.size.toDouble * neg.size.toDouble)
+    assert(math.abs(run(rows) - want) < 1e-12)
+  }
 }
