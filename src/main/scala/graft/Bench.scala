@@ -511,6 +511,17 @@ object Bench {
       // move), t17 (broadcast model, per-doc-label sums), t18 (one corpus
       // pass + vocab-table rounds — the corpus-side cost must be the
       // word-count agg alone)
+      // t18 ADJUDICATION (r12, closes the r11 14.97× flag): isolated
+      // fresh-JVM runs at sf0.1 measured train(24 merges) 6.8 s at 1× vs
+      // 4.9 s at 10× (ratio 0.7) with vocab 31 → 310 rows — the operator
+      // scales; the bench's 68 s read was 24 rounds × 3 tiny Spark jobs
+      // each paying the long-lived bench JVM's accumulated per-job
+      // overhead (the p02 pre-adjudication mechanism). Fixed
+      // structurally: Bpe.train now runs the merge rounds DRIVER-LOCAL
+      // whenever the vocab fits under a bounded cutoff (Bpe.scala — the
+      // duplicateClusters pattern; identical algorithm, BpeSpec-proved),
+      // so the probed entry is the corpus word-count agg + map-only
+      // encode, and the ratio must now actually sit in the linear band.
       // NOTE: probe entries must read only documents/embeddings/events —
       // the three tables the amplified tmp dir carries (any other load
       // would fail and report ratio -1). s09/s11 joined r8: both are

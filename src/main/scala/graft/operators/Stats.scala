@@ -50,16 +50,21 @@ object Stats {
       .withColumn("ra", sum(col("o")).over(Window.partitionBy(col("a"))))
       .withColumn("cb", sum(col("o")).over(Window.partitionBy(col("b"))))
     // χ² = n·(Σ o²/(ra·cb) − 1); per-cell term ∈ (0,1], floored to
-    // integer 1e-15ths. o², ra·cb ≤ (n ≤ ~2^33)… both ≤ 2^53 at any SF
-    // this runs at, so the doubles entering the division are exact.
+    // integer 1e-15ths. Factors are cast to double BEFORE multiplying so
+    // no Long intermediate can wrap at any n: each factor ≤ n is an exact
+    // double to 2^53, and the products are IEEE correctly rounded —
+    // engine-identical — even past it (exact below n ≈ 2^26). The
+    // division and the 1e15 scale are likewise single correctly-rounded
+    // ops, so the pre-floor value is bit-reproducible at every scale.
     val c3 = w.withColumn("contrib",
-      floor((lit(1e15) * (col("o") * col("o")).cast("double")) /
-        (col("ra") * col("cb")).cast("double")))
-    val main = c3.agg(sum(col("o")).as("n"), sum(col("contrib")).as("sum_contrib"))
-    val rCnt = c3.select(col("a")).distinct().agg(count(lit(1)).as("r"))
-    val cCnt = c3.select(col("b")).distinct().agg(count(lit(1)).as("c"))
+      floor((lit(1e15) * (col("o").cast("double") * col("o").cast("double"))) /
+        (col("ra").cast("double") * col("cb").cast("double"))))
+    // r and c from the SAME aggregate over the cells relation — one scan
+    // of c3 (the former two distinct() legs re-scanned the source twice)
+    val main = c3.agg(sum(col("o")).as("n"), sum(col("contrib")).as("sum_contrib"),
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
     val nD = col("n").cast("double")
-    val joined = main.crossJoin(rCnt).crossJoin(cCnt)
+    val joined = main
       // Σfloor ≤ Σterm and χ² ≥ 0, so the floor can only dip a hair
       // below zero on an independent table — clamp (mirrored in SQL)
       .withColumn("chi2", greatest(lit(0.0),
@@ -171,6 +176,11 @@ object Stats {
     * is integral; D = m/(n₁·n₂) is one correctly-rounded division.
     * `variantCol` must be 0/1. One output row:
     * (n1, n2, m, d).
+    *
+    * Overflow envelope (the [[simpleLinReg]]/[[momentStats]] convention):
+    * each product cumᵢ·nⱼ is bounded by n₁·n₂, so the Long arithmetic is
+    * exact while n₁·n₂ < 2^63 — balanced samples up to ~3·10⁹ rows each;
+    * pre-aggregate (or subsample) beyond that.
     *
     * Scale shape: the Mann-Whitney pattern — distinct-value collapse
     * (map-side combine) shrinks the exchange to the value DOMAIN, one

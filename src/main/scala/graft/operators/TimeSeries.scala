@@ -206,10 +206,13 @@ object TimeSeries {
       case "day"    => 86400000000L
       case other => throw new IllegalArgumentException(s"unit: $other")
     }
-    // integer division truncates toward zero (Spark) while the oracle's
-    // `//` floors — identical for epoch-positive timestamps; pre-1970
-    // data would need pmod-floor bucketing on both sides
-    val bucket = (unix_micros(col(tsCol)) / unitMicros).cast("long")
+    // TRUE integral division (`div` = Catalyst IntegralDivide on longs) —
+    // Column `/` would be IEEE double division + cast, whose exactness
+    // rests on a half-ulp margin for far-future micros. `div` truncates
+    // toward zero while the oracle's `//` floors — identical for
+    // epoch-positive timestamps; pre-1970 data would need pmod-floor
+    // bucketing on both sides
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${unitMicros}L")
     val lastInBucket = Window.partitionBy(key, col("h"))
       .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
     val obs = df

@@ -1884,22 +1884,20 @@ object Relational {
              |  FROM cells),
              |cc AS (
              |  SELECT a, b, o,
-             |    CAST(floor((1e15 * CAST(o * o AS DOUBLE)) /
-             |      CAST(ra * cb AS DOUBLE)) AS BIGINT) AS contrib
+             |    CAST(floor((1e15 * (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))) /
+             |      (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS BIGINT)
+             |      AS contrib
              |  FROM w),
              |agg AS (
              |  SELECT CAST(sum(o) AS BIGINT) AS n,
-             |    CAST(sum(contrib) AS BIGINT) AS sum_contrib
+             |    CAST(sum(contrib) AS BIGINT) AS sum_contrib,
+             |    count(DISTINCT a) AS r, count(DISTINCT b) AS c
              |  FROM cc),
-             |dims AS (
-             |  SELECT
-             |    (SELECT count(*) FROM (SELECT DISTINCT a FROM cc)) AS r,
-             |    (SELECT count(*) FROM (SELECT DISTINCT b FROM cc)) AS c),
              |j AS (
              |  SELECT n, sum_contrib, r, c,
              |    GREATEST(0.0, CAST(n AS DOUBLE) *
              |      (CAST(sum_contrib AS DOUBLE) / 1e15 - 1.0)) AS chi2
-             |  FROM agg CROSS JOIN dims)
+             |  FROM agg)
              |SELECT n, sum_contrib, r, c, chi2,
              |  sqrt(chi2 / (CAST(n AS DOUBLE) *
              |    CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v,
@@ -2266,8 +2264,9 @@ object Relational {
         "one map-side-combined aggregate, all statistics one mirrored tree"),
 
     // q84: the ClickHouse -State / -Merge combinator workflow
-    // (AggregatingMergeTree): per-day bitmap ARTIFACTS re-merged to month
-    // totals without re-touching the fact table. The bitmap is exact, so
+    // (AggregatingMergeTree): per-day bitmap ARTIFACTS re-merged to WEEK
+    // totals (≤7 artifacts per group) without re-touching the fact table.
+    // The bitmap is exact, so
     // unlike sketch state-merge the result hash-matches plain
     // COUNT(DISTINCT) — the whole point of demonstrating the pattern on
     // the exact family. Cardinality reads off the merged struct as a pure
@@ -2295,7 +2294,7 @@ object Relational {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
              |FROM events GROUP BY 1""".stripMargin),
       "ClickHouse -State/-Merge (AggregatingMergeTree): per-day exact " +
-        "bitmap artifacts re-merged per month, cardinality via expression " +
+        "bitmap artifacts re-merged per week, cardinality via expression " +
         "popcount — hash-matches COUNT(DISTINCT) because the artifact is " +
         "exact"),
 
@@ -2475,6 +2474,12 @@ object Relational {
     // arithmetic (n·7 / max, truncating), glyphs come from character
     // substring on the literal ramp, the bar concatenates in day order —
     // every step exact, so the unicode strings hash-match.
+    // BOUND (the simpleLinReg-envelope convention): floor((n·7)/max) is
+    // engine-exact only while n·7 ≤ 2^53 — the double of the Long product
+    // is then exact and the single division correctly rounded, so the
+    // floor cannot straddle an integer boundary differently across
+    // engines (and n ≤ max makes the quotient's 0..7 range exact). Daily
+    // counts of ~1.3e15 would breach it; no per-day event count does.
     "q89_sparkbar" -> Q(
       (s, dir) => {
         val daily = t(s, dir, "orders")

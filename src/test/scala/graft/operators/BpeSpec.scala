@@ -109,4 +109,23 @@ class BpeSpec extends AnyFunSuite {
     // determinism across invocations
     assert(Bpe.train(docs, numMerges = 12, minPairCount = 2).merges == expected)
   }
+
+  test("local and distributed merge loops are the same algorithm") {
+    // localVocabThreshold = 0 forces the per-round distributed loop; the
+    // default runs the driver-local one — both must emit the identical
+    // merge list (the adaptive cutoff is an execution choice only)
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map { _ =>
+      (0 until (2 + rnd.nextInt(5))).map { _ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val local = Bpe.train(docs, numMerges = 10, minPairCount = 2)
+    val dist = Bpe.train(docs, numMerges = 10, minPairCount = 2,
+      localVocabThreshold = 0)
+    assert(local.merges == dist.merges,
+      s"cutoff paths diverge:\n local=${local.merges}\n dist=${dist.merges}")
+    assert(local.merges == refTrain(texts, numMerges = 10, minPairCount = 2))
+  }
 }
