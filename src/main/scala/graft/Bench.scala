@@ -32,7 +32,7 @@ object Bench {
     "q34_zorder", "q36_seq_pack", "q38_epoch_shuffle",
     "q39_topk_per_key", "q42_resample", "q43_stratified_sample", "q58_bucketed_join",
     "q47_chunk_overlap", "d19_quality_survivors", "d20_intradoc_scrub",
-    "d22_paragraph_dedup", "s06_ann_pq", "s07_ann_ivfpq", "t17_nb_classify",
+    "d22_paragraph_dedup", "d23_cdc_chunks", "s06_ann_pq", "s07_ann_ivfpq", "t17_nb_classify",
     "t18_bpe_tokenize", "t19_heavy_hitters", "t20_kll_quantiles",
     "t21_reservoir_sample", "t22_theta_set_ops", "t23_uniq_upto",
     "t24_topk_weighted",
@@ -485,6 +485,19 @@ object Bench {
           "ts", "event_type", "value", "props")
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      // orders amplify by ORDER replication with dates kept (r12, for
+      // q89): months stay constant, daily volumes scale 10× — the
+      // sparkbar aggregate's group domain is fixed while its input
+      // grows, exactly the shape a year-over-year rollup sees
+      val ordBase = graft.sources.Tables.load(spark, sfDir, "orders")
+      (0 until probeFactor).map { r =>
+        if (r == 0) ordBase
+        else ordBase.selectExpr(
+          s"o_orderkey + ${r}L * 100000000 AS o_orderkey",
+          "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority")
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
 
       def once(work: => Unit): Double = {
         val t0 = System.nanoTime()
@@ -522,9 +535,9 @@ object Bench {
       // duplicateClusters pattern; identical algorithm, BpeSpec-proved),
       // so the probed entry is the corpus word-count agg + map-only
       // encode, and the ratio must now actually sit in the linear band.
-      // NOTE: probe entries must read only documents/embeddings/events —
-      // the three tables the amplified tmp dir carries (any other load
-      // would fail and report ratio -1). s09/s11 joined r8: both are
+      // NOTE: probe entries must read only documents/embeddings/events/
+      // orders — the four tables the amplified tmp dir carries (any other
+      // load would fail and report ratio -1). s09/s11 joined r8: both are
       // one-aggregate embedding passes whose linearity deserves the same
       // measured proof as the text family. q52/q54/q56 joined r9 (the r8
       // verdict's aggregate-family ask): CDC max_by, the funnel fold,
@@ -577,7 +590,23 @@ object Bench {
         // q84 is two bounded typed exchanges (day states, then ≤7
         // artifacts per week); q85 one user-keyed window + the
         // transition-domain rollup — both linear-band expectations
-        "q84_state_merge", "q85_event_flow")
+        "q84_state_merge", "q85_event_flow",
+        // r11 late entries, probed r12 (the r11 verdict ask): q86 is two
+        // user-keyed min aggregates + one user join (linear); q87 three
+        // bounded ROWS frames on one user exchange (linear); q88 is the
+        // O(n²)→running-frame fix of commit 3438835 — this probe is its
+        // measured 10× proof (dense per-user grids, both window legs
+        // running frames now, must sit in the linear band); q90 collapses
+        // to the bounded value domain then one window (the q81
+        // Mann-Whitney shape — flat-ish as the domain saturates); q89
+        // reads the amplified ORDERS table: fixed month/day domain,
+        // 10× input — the daily aggregate is map-side-combined so the
+        // exchange is constant and the ratio must track the scan alone
+        "q86_time_to_convert", "q87_moving_aggregates", "q88_interpolate",
+        "q89_sparkbar", "q90_auc",
+        // d23 (new r12): per-doc window-hash chunking is map-only and the
+        // inventory exchange carries only 16-byte keys — linear band
+        "d23_cdc_chunks")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

@@ -914,6 +914,133 @@ object Dedup {
           .otherwise(size(col("cut")).cast("long")).as("n_removed"))
   }
 
+  /** Gear-hash rolling constant for content-defined chunking (Knuth's
+    * multiplicative constant; any fixed odd mixer works — the low
+    * `maskBits` bits of `code·Mult` must merely spread the alphabet).
+    * Shared with the d23 oracle generator — one source of truth.
+    */
+  val CdcGearMult: Long = 2654435761L
+
+  /** Content-defined chunking (the Gear rolling hash of FastCDC — Xia et
+    * al., USENIX ATC 2016, `reference`-independent: this is the missing
+    * member of the exact-substring family). [[duplicatedSpans]] catches
+    * aligned k-TOKEN spans; shifted or reflowed duplication — the common
+    * web-scrape case, where boilerplate re-appears mid-sentence — needs
+    * boundaries chosen by CONTENT, so that an edit re-synchronizes after
+    * ~2^maskBits characters and every chunk past it is byte-identical.
+    *
+    * Gear recurrence h_i = (h_{i-1} << 1) + G(c_i) means bit k of h_i
+    * sees only the last k+1 characters — so the low-`maskBits` boundary
+    * test `h & mask == mask` is a FIXED-WIDTH window function of the
+    * trailing `maskBits` characters, not sequential state. That makes
+    * the whole operator map-only Catalyst HOFs (one transform computes
+    * the per-position window hash, one filter collects cut positions,
+    * substrings slice the chunks) with NO UDF and no shuffle before the
+    * final chunk-key aggregate: per-doc work is O(len·maskBits), and
+    * only (doc_id, positions, 16-byte chunk keys) leave the scan stage.
+    * Expected chunk length is 2^maskBits (geometric); FastCDC's min/max
+    * normalization is [[cdcChunksNormalized]] — kept separate because
+    * min/max cut suppression is genuinely sequential (an `aggregate`
+    * fold), while this pure form stays a window expression AND is what
+    * the DuckDB oracle mirrors position-for-position (catalog d23).
+    *
+    * G(c) = codePointOf(first UTF-16 unit)·[[CdcGearMult]]; ASCII-exact
+    * on both engines (the corpus contract shared by the whole family).
+    * Output: (doc_id, chunk_idx, start, len, chunk_md5) — 1-based char
+    * `start` into the NORMALIZED text; md5 keys so the oracle reproduces
+    * identity (a 100 TB run keys by xxhash64 like d11b, same argument).
+    * Empty-after-normalize docs emit no chunks.
+    */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 16, s"maskBits: $maskBits")
+    val mask = (1L << maskBits) - 1
+    val withCuts = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.OptimizerFence(normalize(col(textCol))).as("__s"))
+      .where(length(col("__s")) > 0)
+      // per-char gear values, computed once (the fence keeps the split
+      // out of the per-position lambdas below)
+      .withColumn("__gear", graft.functions.OptimizerFence(
+        transform(split(col("__s"), ""), c => ascii(c).cast("long") * lit(CdcGearMult))))
+      // cut AFTER 1-based position p when the windowed hash hits mask;
+      // never after the last char (an empty tail chunk is meaningless)
+      .withColumn("__cuts", filter(
+        transform(col("__gear"), (_, i) => {
+          val h = (0 until maskBits).map { j =>
+            when(i >= j, element_at(col("__gear"), i - lit(j) + 1) * lit(1L << j))
+              .otherwise(lit(0L))
+          }.reduce(_ + _).bitwiseAND(lit(mask))
+          when(h === lit(mask) && i < size(col("__gear")) - 1, i + 1)
+            .otherwise(lit(null).cast("int"))
+        }),
+        x => x.isNotNull))
+    chunksFromCuts(withCuts)
+  }
+
+  /** FastCDC-normalized variant: cut candidates are the same Gear test,
+    * but a candidate is ACCEPTED only ≥ `minLen` past the previous
+    * accepted cut, and a cut is FORCED at `maxLen` regardless — bounding
+    * chunk sizes the way dedup storage systems require. Acceptance is
+    * inherently sequential (each decision moves the anchor), so this
+    * variant folds over positions with one `aggregate` HOF — still
+    * map-only per doc, O(len) state-free outside the row. Semantics
+    * pinned against a plain-Scala reference in DedupSpec (no SQL oracle:
+    * the fold is not windowed). With minLen=1, maxLen=∞ it degenerates
+    * to [[cdcChunks]] — proved in the spec.
+    */
+  def cdcChunksNormalized(docs: DataFrame, maskBits: Int = 6,
+      minLen: Int = 16, maxLen: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 16, s"maskBits: $maskBits")
+    require(minLen >= 1 && maxLen >= minLen, s"minLen=$minLen maxLen=$maxLen")
+    val mask = (1L << maskBits) - 1
+    val withCuts = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.OptimizerFence(normalize(col(textCol))).as("__s"))
+      .where(length(col("__s")) > 0)
+      .withColumn("__gear", graft.functions.OptimizerFence(
+        transform(split(col("__s"), ""), c => ascii(c).cast("long") * lit(CdcGearMult))))
+      .withColumn("__h", graft.functions.OptimizerFence(
+        transform(col("__gear"), (_, i) =>
+          (0 until maskBits).map { j =>
+            when(i >= j, element_at(col("__gear"), i - lit(j) + 1) * lit(1L << j))
+              .otherwise(lit(0L))
+          }.reduce(_ + _).bitwiseAND(lit(mask)))))
+      // sequential acceptance: acc = (anchor of the current chunk,
+      // accepted cuts); p runs over 1-based positions 1..n-1 (a 1-char
+      // doc folds over the empty array — sequence(1, 0) would step DOWN)
+      .withColumn("__cuts", aggregate(
+        when(size(col("__h")) >= 2, sequence(lit(1), size(col("__h")) - 1))
+          .otherwise(array().cast("array<int>")),
+        struct(lit(0).as("anchor"), array().cast("array<int>").as("cuts")),
+        (acc, p) => {
+          val gap = p - acc.getField("anchor")
+          val isCut = gap >= lit(maxLen) ||
+            (gap >= lit(minLen) && element_at(col("__h"), p) === lit(mask))
+          when(isCut, struct(p.as("anchor"),
+            concat(acc.getField("cuts"), array(p)).as("cuts")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cuts")))
+    chunksFromCuts(withCuts)
+  }
+
+  /** Shared rebuild: (doc_id, __s, __cuts ascending 1-based) → exploded
+    * (doc_id, chunk_idx, start, len, chunk_md5).
+    */
+  private def chunksFromCuts(withCuts: DataFrame): DataFrame = {
+    val starts = concat(array(lit(1)), transform(col("__cuts"), c => c + 1))
+    val ends = concat(col("__cuts"), array(length(col("__s")).cast("int")))
+    withCuts
+      .withColumn("__chunks", zip_with(starts, ends,
+        (st, en) => struct(st.as("start"), (en - st + 1).as("len"))))
+      .select(col("doc_id"), col("__s"), posexplode(col("__chunks")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        md5(col("__s").substr(col("col.start"), col("col.len"))).as("chunk_md5"))
+  }
+
   /** Embedding near-duplicate pairs by cosine ≥ threshold. Brute-force
     * pairwise (a < b) — correct baseline; the LSH-bucketed scale path is
     * `Similarity.lshCosinePairs`.

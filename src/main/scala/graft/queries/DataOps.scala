@@ -97,6 +97,46 @@ object DataOps {
   private val Md5LongSql = // mirrors Sampling.idHash (salt appended pre-md5)
     "CAST(CONCAT('0x', SUBSTR(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** The d23 oracle, GENERATED from the same (maskBits, gear multiplier)
+    * parameters [[Dedup.cdcChunks]] unrolls — the windowed Gear boundary
+    * test is emitted term-for-term from one source of truth (the q78
+    * geohashOracle pattern). Integer-only per position (codepoint ·
+    * multiplier · 2^j sums stay < 2^60 — no DuckDB checked-arithmetic
+    * overflow), so the cut set, chunk strings, and md5 keys are exact.
+    */
+  private def cdcOracle: String = {
+    val m = 6
+    val mask = (1L << m) - 1
+    val mult = graft.operators.Dedup.CdcGearMult
+    // windowed hash at 1-based char i: sum_j gear(c_{i-j}) << j, low m bits
+    val hterms = (0 until m).map { j =>
+      s"CASE WHEN i > $j THEN (ascii(substring(s, i - $j, 1)) * $mult) * ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH d2 AS ($DupCorpusSql),
+       |nm AS (SELECT doc_id,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |       FROM d2),
+       |ch AS (SELECT doc_id, s, length(s) AS n FROM nm WHERE length(s) > 0),
+       |p AS (SELECT doc_id, s, n, unnest(generate_series(1, n)) AS i FROM ch),
+       |hb AS (SELECT doc_id, i, substring(s, i, 1) AS c,
+       |         CASE WHEN (($hterms) & $mask) = $mask
+       |               AND i < n THEN 1 ELSE 0 END AS cut
+       |       FROM p),
+       |cid AS (SELECT doc_id, i, c,
+       |          coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+       |        FROM hb),
+       |chunks AS (SELECT doc_id, k,
+       |             md5(string_agg(c, '' ORDER BY i)) AS chunk_md5,
+       |             CAST(count(*) AS BIGINT) AS clen
+       |           FROM cid GROUP BY doc_id, k)
+       |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occ, min(doc_id) AS first_doc,
+       |  min(clen) AS min_len, max(clen) AS max_len
+       |FROM chunks GROUP BY chunk_md5
+       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- ingest parity (the reference's whole pipeline, oracle-checked) --
@@ -503,6 +543,30 @@ object DataOps {
       "corpus-level paragraph dedup (CCNet §3.1): every paragraph repeated " +
         "anywhere in the corpus cut except its globally-first occurrence; " +
         "only (hash, id, pos) shuffles"),
+
+    // d23: content-defined chunking dedup (Gear hash / FastCDC family) —
+    // the exact-substring member that catches SHIFTED duplication: the
+    // perturbed corpus drops two leading tokens, so d11's aligned k-token
+    // spans and this entry's chunks both re-find the copies, but CDC does
+    // it with boundaries that re-synchronize ~2^6 chars after ANY edit
+    // (insertions/reflow included, where fixed token grids break).
+    // Inventory mirrors d11: chunks present in ≥2 docs, plus min/max
+    // chunk length per key (same-md5 ⇒ same string, so min=max — a free
+    // content-identity pin in the oracle).
+    "d23_cdc_chunks" -> Q(
+      (s, dir) => Dedup.cdcChunks(docsWithNearDups(s, dir), maskBits = 6)
+        .groupBy(col("chunk_md5"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"),
+          min(col("len")).cast("long").as("min_len"),
+          max(col("len")).cast("long").as("max_len"))
+        .where(col("n_docs") >= 2),
+      Some(cdcOracle),
+      "content-defined chunking (FastCDC Gear hash as a bounded-window " +
+        "expression — no UDF, no sequential state): duplicated-chunk " +
+        "inventory over shifted near-dup corpus; boundaries re-sync " +
+        "past edits, only 16-byte chunk keys shuffle"),
 
     // d21: DSIR-shaped importance weights (see Sampling.dsirWeights for
     // the ln-free integer form). Target = every 7th doc (offset 3) — a

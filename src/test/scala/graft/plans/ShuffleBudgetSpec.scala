@@ -201,6 +201,30 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assert(shuffles(Bpe.encode(docs, model)) == 0)
   }
 
+  test("CDC chunking: chunk emission map-only; inventory shuffles keys, not text") {
+    assert(shuffles(Dedup.cdcChunks(docs)) == 0)
+    assert(shuffles(Dedup.cdcChunksNormalized(docs)) == 0)
+    val inv = Dedup.cdcChunks(docs).groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occ"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = inv.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val ex = plan.collect { case s: ShuffleExchangeLike => s }
+      assert(ex.size == 1, s"inventory planned ${ex.size} exchanges")
+      // the shuffled row is (chunk_md5, partial count) — document text
+      // and the per-char gear arrays never leave the scan stage
+      val cols = ex.head.output.map(_.name.toLowerCase)
+      assert(cols.exists(_.contains("chunk_md5")) &&
+        !cols.exists(c => c.contains("text") || c.contains("__s") ||
+          c.contains("gear")),
+        s"exchange carries $cols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("IVF-PQ: corpus side map-only (cells+codes), probe join broadcasts") {
     import graft.operators.Similarity
     val emb = spark.range(0, 200, 1, 8).select(col("id").as("vec_id"),
