@@ -540,6 +540,116 @@ object StatefulOps {
       }
   }
 
+  case class EmaOut(key: Long, n: Long, ema: Double)
+  case class DeltaStatsOut(key: Long, n: Long, delta_sum: Long,
+      first_v: Long, last_v: Long, dt_us: Long,
+      bounding_ratio: Option[Double])
+
+  /** Live EMA per key — [[graft.operators.TimeSeries.ema]] as keyed
+    * state, the r11 time-series family's streaming leg (the funnelStream
+    * pattern). State = (n, ema): each micro-batch's rows fold in (ts,
+    * tiebreak) order onto the carried smoothed value with the IDENTICAL
+    * recurrence `s ← α·v + β·s` — JVM doubles are strict IEEE (JEP 306)
+    * and Spark's codegen'd Multiply/Add are the same ops, so in-order
+    * streams reproduce the batch fold BIT-EXACTLY across any micro-batch
+    * split (proved in StatefulOpsSpec).
+    *
+    * Ordering contract (the funnelStrictStream convention): rows sort
+    * within a micro-batch, but a LATE row (older than the folded
+    * horizon) folds at arrival position — EMA is order-defined, so
+    * out-of-order delivery diverges from batch; bound lateness upstream
+    * with a watermark + dropped-late policy if the input can be late.
+    * Update-mode output (key, n, ema) per batch; read the LATEST row per
+    * key.
+    */
+  def emaStream(events: DataFrame, alpha: Double, beta: Double,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      tieBreakCol: String = "event_id", valueCol: String = "value")
+      : Dataset[EmaOut] = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta < 1,
+      s"alpha=$alpha beta=$beta")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieBreakCol).cast("long").as("i"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), EmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          var (n, ema) = state.getOption.getOrElse((0L, 0.0))
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, v) =>
+            ema = if (n == 0L) v else alpha * v + beta * ema
+            n += 1L
+          }
+          state.update((n, ema))
+          Iterator(EmaOut(key, n, ema))
+      }
+  }
+
+  /** Live deltaSum/boundingRatio per key —
+    * [[graft.operators.TimeSeries.deltaStats]] as keyed state. State =
+    * (n, lastV, firstV, lastStruct-equivalent, minT, maxT, deltaSum) —
+    * seven longs; every field is integer-exact, so in-order streams
+    * equal the batch aggregate EXACTLY across any micro-batch split
+    * (consecutive-pair deltas that straddle a batch boundary fold
+    * against the carried lastV). Same ordering contract as [[emaStream]].
+    * Update-mode output mirrors the batch schema; read the latest row
+    * per key.
+    */
+  def deltaStatsStream(events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      tieBreakCol: String = "event_id", valueCol: String = "value")
+      : Dataset[DeltaStatsOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (n, lastV in fold order, firstV at min (t,i), lastV at max
+    // (t,i), minT, maxT, deltaSum); fold order == (t, i) order under the
+    // in-order contract, so slots 2 and 3 track the ORDER extremes the
+    // batch min_by/max_by read
+    events.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieBreakCol).cast("long").as("i"),
+        col(valueCol).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], DeltaStatsOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val st = state.getOption.map(_.toArray).getOrElse(null)
+          var n = if (st == null) 0L else st(0)
+          var lastFold = if (st == null) 0L else st(1)
+          var firstV = if (st == null) 0L else st(2)
+          var lastV = if (st == null) 0L else st(3)
+          var minT = if (st == null) Long.MaxValue else st(4)
+          var maxT = if (st == null) Long.MinValue else st(5)
+          var deltaSum = if (st == null) 0L else st(6)
+          var firstOrd = if (st == null) (Long.MaxValue, Long.MaxValue)
+            else (st(7), st(8))
+          var lastOrd = if (st == null) (Long.MinValue, Long.MinValue)
+            else (st(9), st(10))
+          def ordLt(a: (Long, Long), b: (Long, Long)): Boolean =
+            a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, i, v) =>
+            if (n > 0L) { val dv = v - lastFold; if (dv > 0L) deltaSum += dv }
+            lastFold = v
+            if (ordLt((t, i), firstOrd)) { firstOrd = (t, i); firstV = v }
+            if (ordLt(lastOrd, (t, i))) { lastOrd = (t, i); lastV = v }
+            minT = math.min(minT, t)
+            maxT = math.max(maxT, t)
+            n += 1L
+          }
+          state.update(Seq(n, lastFold, firstV, lastV, minT, maxT, deltaSum,
+            firstOrd._1, firstOrd._2, lastOrd._1, lastOrd._2))
+          val dt = maxT - minT
+          Iterator(DeltaStatsOut(key, n, deltaSum, firstV, lastV, dt,
+            if (dt > 0L) Some((lastV - firstV).toDouble / dt.toDouble)
+            else None))
+      }
+  }
+
   /** Streaming CDC materializer — [[graft.operators.Cdc]]'s latest-wins
     * compaction as a stream stage: each micro-batch changelog is
     * pre-compacted to one record per key (tombstones KEPT — they must

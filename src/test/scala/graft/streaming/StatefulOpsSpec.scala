@@ -302,4 +302,79 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(rows.contains((2L, true)), s"user 2 should emit unmatched: $rows")
     } finally q.stop()
   }
+
+  test("emaStream: in-order micro-batches ≡ batch TimeSeries.ema bit-exactly") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    // per-key event-time-ordered batches, split mid-series so the carry
+    // crosses micro-batch boundaries; 0.3/0.7 is deliberately NOT an
+    // exact binary pair — the bit-equality claim is doing real work
+    val batches = Seq(
+      Seq((1L, 100L, 1L, 2.5), (1L, 200L, 2L, 4.25), (2L, 100L, 3L, 10.0)),
+      Seq((1L, 300L, 4L, 8.125), (2L, 150L, 5L, 6.5)),
+      Seq((1L, 400L, 6L, 1.75), (2L, 500L, 7L, 3.0), (3L, 10L, 8L, 9.9)))
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    def df(d: org.apache.spark.sql.DataFrame) = d
+      .toDF("user_id", "t_us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val out = StatefulOps.emaStream(df(stream.toDF()), alpha = 0.3, beta = 0.7)
+    val q = out.writeStream.format("memory")
+      .queryName("ema_stream_test").outputMode("update").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // n is monotone per key → the max-n row is the latest update
+    val streamed = spark.table("ema_stream_test")
+      .groupBy("key").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(col("n"), col("ema"))).as("s"))
+      .select(col("key"), col("s.n"), col("s.ema"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.operators.TimeSeries.ema(
+      df(batches.flatten.toDF()), "user_id", "ts", "event_id", "value",
+      alpha = 0.3, beta = 0.7)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch(3L) == ((1L, 9.9))) // single-event key: ema = v₁
+  }
+
+  test("deltaStatsStream: in-order micro-batches ≡ batch TimeSeries.deltaStats") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    // values chosen so positive deltas straddle the batch split (1: 5→2→9
+    // with the 2→9 rise split across batches; 2: monotone down → 0)
+    val batches = Seq(
+      Seq((1L, 100L, 1L, 5L), (1L, 200L, 2L, 2L), (2L, 100L, 3L, 10L)),
+      Seq((1L, 300L, 4L, 9L), (2L, 400L, 5L, 7L)),
+      Seq((1L, 400L, 6L, 9L), (2L, 900L, 7L, 1L), (3L, 50L, 8L, 4L)))
+    val stream = MemoryStream[(Long, Long, Long, Long)]
+    def df(d: org.apache.spark.sql.DataFrame) = d
+      .toDF("user_id", "t_us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val out = StatefulOps.deltaStatsStream(df(stream.toDF()))
+    val q = out.writeStream.format("memory")
+      .queryName("delta_stream_test").outputMode("update").start()
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("delta_stream_test")
+      .groupBy("key").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(col("n"), col("delta_sum"),
+          col("first_v"), col("last_v"), col("dt_us"),
+          col("bounding_ratio"))).as("s"))
+      .select(col("key"), col("s"))
+      .as[(Long, (Long, Long, Long, Long, Long, Option[Double]))]
+      .collect().toMap
+    val batch = graft.operators.TimeSeries.deltaStats(
+      df(batches.flatten.toDF()), "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), org.apache.spark.sql.functions.struct(
+        col("n"), col("delta_sum"), col("first_v"),
+        col("last_v"), col("dt_us"), col("bounding_ratio")).as("s"))
+      .as[(Long, (Long, Long, Long, Long, Long, Option[Double]))]
+      .collect().toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // hand-check key 1: deltas +0 (5→2), +7 (2→9), +0 (9→9) = 7
+    assert(batch(1L)._2 == 7L)
+    // single-instant key 3: dt 0 → NULL ratio
+    assert(batch(3L)._5 == 0L && batch(3L)._6.isEmpty)
+  }
 }
