@@ -641,4 +641,52 @@ object Funnels {
         (if (k == 0) m else m && base).as(s"r${k + 1}")
       }: _*)
   }
+
+  /** [[windowFunnel]] as a typed Aggregator — the `graft_window_funnel`
+    * SQL surface (registered in
+    * [[graft.plans.GraftExtensions]]): input rows are
+    * (t micros, tiebreak id, step bitmask), the buffer is the per-group
+    * event list (EXACTLY ClickHouse's own AggregateFunctionWindowFunnel
+    * state, which also buffers and sorts per group — state is the
+    * user's event count, the documented funnel-family envelope), and
+    * finish replays the identical (ts, id)-sorted per-level max-start
+    * DP, so `graft_window_funnel(...) GROUP BY user` ≡ the Column
+    * operator row-for-row (pinned in GraftExtensionsSpec). Rows with
+    * the null-timestamp sentinel are skipped (SQL null semantics).
+    */
+  final class WindowFunnelAgg(windowMicros: Long, nSteps: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long),
+        scala.collection.mutable.ArrayBuffer[Array[Long]], Int] {
+    require(nSteps >= 1 && nSteps <= 62 && windowMicros >= 0)
+    type Buf = scala.collection.mutable.ArrayBuffer[Array[Long]]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Long)): Buf =
+      if (e._1 == Long.MinValue) b else { b += Array(e._1, e._2, e._3); b }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    override def finish(b: Buf): Int = {
+      val best = Array.fill(nSteps)(Unreached)
+      b.sortBy(e => (e(0), e(1)))(Ordering.Tuple2[Long, Long]).foreach { e =>
+        val t = e(0)
+        val mask = e(2)
+        // pre-event snapshot: an event extends a chain ending strictly
+        // before it, never one through itself (the batch fold's rule)
+        val prev = best.clone()
+        var k = 0
+        while (k < nSteps) {
+          if (((mask >> k) & 1L) == 1L) {
+            if (k == 0) best(0) = math.max(best(0), t)
+            else if (prev(k - 1) != Unreached &&
+              t - prev(k - 1) <= windowMicros)
+              best(k) = math.max(best(k), prev(k - 1))
+          }
+          k += 1
+        }
+      }
+      best.lastIndexWhere(_ != Unreached) + 1
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Int] =
+      org.apache.spark.sql.Encoders.scalaInt
+  }
 }

@@ -22,6 +22,9 @@ import graft.functions.{OptimizerFence, ParseLogLine, VectorExprs}
   * SELECT graft_kll_quantile(latency, 128, 0.99)                 -- KLL p99
   * SELECT graft_uniq_upto(user_id, 100) FROM hits GROUP BY day   -- bounded distinct
   * SELECT graft_bitmap_card(user_id) FROM hits GROUP BY day      -- exact distinct, bitmap state
+  * SELECT graft_window_funnel(3600000000, ts, event_id,
+  *          etype = 'view', etype = 'click', etype = 'buy')
+  * FROM events GROUP BY user_id                                   -- funnel level
   * }}}
   *
   * The only whole-plan extension is the top-k-per-key rewrite
@@ -202,7 +205,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new graft.operators.Histogram.HistBins(
             intLit(args(1), "graft_histogram")),
           org.apache.spark.sql.Encoders.DOUBLE, "graft_histogram",
-          Seq(args(0)))))
+          Seq(args(0)))),
+    (FunctionIdentifier("graft_window_funnel"),
+      info("graft_window_funnel", "graft_window_funnel(window_us, ts, id, cond1[, ...condN]) - ClickHouse windowFunnel level as an aggregate: the longest k such that events matching cond1..condk exist in strict (ts, id) order with every chain event within window_us of the chain's FIRST event; deterministic tie order (ts, id) unlike ClickHouse, NULL-ts rows skipped, NULL conds read false"),
+      (args: Seq[Expression]) => {
+        if (args.size < 4) throw new IllegalArgumentException(
+          "graft_window_funnel expects (window_us, ts, id, cond1, ...)")
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
+        import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
+        val n = args.size - 3
+        // (t, id, step-bitmask) rows feed the typed Aggregator; the
+        // bitmask folds the variadic conditions into one primitive slot
+        // (the tuple encoder's fields are non-nullable primitives)
+        val t = Coalesce(Seq(UnixMicros(Cast(args(1), TimestampType)),
+          Literal(Long.MinValue)))
+        val id = Coalesce(Seq(Cast(args(2), LongType), Literal(0L)))
+        val mask = (0 until n).map { k =>
+          If(Coalesce(Seq(Cast(args(k + 3), BooleanType), Literal(false))),
+            Literal(1L << k), Literal(0L)): Expression
+        }.reduce((a, b) => BitwiseOr(a, b))
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Funnels.WindowFunnelAgg(
+            longLit(args(0), "graft_window_funnel"), n),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long, Long)](),
+          "graft_window_funnel", Seq(t, id, mask))
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

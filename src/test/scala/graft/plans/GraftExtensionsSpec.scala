@@ -266,4 +266,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(nan.isNaN)
   }
+
+  test("graft_window_funnel aggregate from SQL ≡ Funnels.windowFunnel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // deterministic synthetic journeys: 40 users × up to 8 events with
+    // colliding timestamps (exercises the (ts, id) tie order), plus a
+    // null-ts row and a no-step-1 user
+    val rnd = new scala.util.Random(5)
+    val evs = (0 until 40).flatMap { u =>
+      (0 until (1 + rnd.nextInt(8))).map { j =>
+        (u.toLong, (u * 100 + j).toLong, (rnd.nextInt(6) * 100).toLong,
+          Seq("view", "click", "buy", "other")(rnd.nextInt(4)))
+      }
+    } :+ (99L, 9900L, 0L, "other")
+    val df = evs.toDF("user_id", "event_id", "t_us", "etype")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    df.createOrReplaceTempView("ge_funnel")
+    val viaSql = spark.sql(
+      """SELECT user_id, graft_window_funnel(250, ts, event_id,
+        |         etype = 'view', etype = 'click', etype = 'buy') AS level
+        |FROM ge_funnel GROUP BY user_id""".stripMargin)
+      .as[(Long, Int)].collect().toMap
+    val viaColumn = graft.operators.Funnels.windowFunnel(df,
+      Seq(col("etype") === "view", col("etype") === "click",
+        col("etype") === "buy"), windowMicros = 250L)
+      .as[(Long, Int)].collect().toMap
+    assert(viaSql == viaColumn, s"sql=$viaSql column=$viaColumn")
+    assert(viaSql(99L) == 0) // no step-1 event → level 0
+    assert(viaSql.values.exists(_ >= 2), "test data should convert somewhere")
+    // NULL timestamps are skipped, not folded
+    spark.sql("""SELECT graft_window_funnel(250, CAST(NULL AS TIMESTAMP),
+        |  1L, true) AS level""".stripMargin)
+      .collect().head.getInt(0) match {
+      case lvl => assert(lvl == 0)
+    }
+  }
 }
