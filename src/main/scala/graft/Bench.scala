@@ -51,6 +51,7 @@ object Bench {
     "q83_moment_stats", "q84_state_merge", "t26_log_templates",
     "q85_event_flow", "q86_time_to_convert", "q87_moving_aggregates",
     "q88_interpolate", "q89_sparkbar", "q90_auc",
+    "q91_funnel_sql", "q92_tukey_outliers", "q93_ip_trie_lookup",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -606,7 +607,12 @@ object Bench {
         "q89_sparkbar", "q90_auc",
         // d23 (new r12): per-doc window-hash chunking is map-only and the
         // inventory exchange carries only 16-byte keys — linear band
-        "d23_cdc_chunks")
+        "d23_cdc_chunks",
+        // r12 additions: q92 is one user-keyed sorted collect + in-row
+        // quartile arithmetic (the funnel envelope); q93's /8-bucket
+        // equi-join broadcasts the 64-row net side, so the probe measures
+        // the ip-domain hash aggregate + map-only join — linear band
+        "q92_tukey_outliers", "q93_ip_trie_lookup")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must

@@ -124,6 +124,36 @@ object Relational {
        |FROM pr GROUP BY 1""".stripMargin
   }
 
+  /** The q54/q91 funnel oracle — EXISTS-chain re-derivation of the
+    * view→click→purchase level within 1 h of the chain start, shared by
+    * the Column-API and SQL-frontend entries (identical semantics is the
+    * claim, so identical oracle is the check).
+    */
+  private val FunnelOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |               epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+      |        FROM events),
+      |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+      |l2 AS (SELECT DISTINCT a.user_id
+      |       FROM e a JOIN e b ON b.user_id = a.user_id
+      |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+      |         AND b.t - a.t <= 3600000000),
+      |l3 AS (SELECT DISTINCT a.user_id
+      |       FROM e a JOIN e b ON b.user_id = a.user_id
+      |                JOIN e c ON c.user_id = a.user_id
+      |       WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |         AND c.event_type = 'purchase'
+      |         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+      |         AND (c.t > b.t OR (c.t = b.t AND c.event_id > b.event_id))
+      |         AND b.t - a.t <= 3600000000 AND c.t - a.t <= 3600000000)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+      |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+      |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+      |            ELSE 0 END AS INT) AS level
+      |FROM (SELECT DISTINCT user_id FROM events) u""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- aggregation ----------------------------------------------------
@@ -741,32 +771,30 @@ object Relational {
           col("event_type") === "click",
           col("event_type") === "purchase"),
         windowMicros = 3600L * 1000000L),
-      Some("""WITH e AS (SELECT user_id, event_id,
-             |               epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
-             |        FROM events),
-             |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
-             |l2 AS (SELECT DISTINCT a.user_id
-             |       FROM e a JOIN e b ON b.user_id = a.user_id
-             |       WHERE a.event_type = 'view' AND b.event_type = 'click'
-             |         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
-             |         AND b.t - a.t <= 3600000000),
-             |l3 AS (SELECT DISTINCT a.user_id
-             |       FROM e a JOIN e b ON b.user_id = a.user_id
-             |                JOIN e c ON c.user_id = a.user_id
-             |       WHERE a.event_type = 'view' AND b.event_type = 'click'
-             |         AND c.event_type = 'purchase'
-             |         AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
-             |         AND (c.t > b.t OR (c.t = b.t AND c.event_id > b.event_id))
-             |         AND b.t - a.t <= 3600000000 AND c.t - a.t <= 3600000000)
-             |SELECT u.user_id,
-             |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
-             |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
-             |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
-             |            ELSE 0 END AS INT) AS level
-             |FROM (SELECT DISTINCT user_id FROM events) u""".stripMargin),
+      Some(FunnelOracleSql),
       "windowFunnel: view→click→purchase level within 1 h of the chain " +
         "start; one per-user fold aggregate (levels longs of state), " +
         "oracle re-derives via EXISTS-chains"),
+
+    // q91: the SAME funnel through the SQL frontend — graft_window_funnel
+    // inside the correctness gate, not just the spec: a ClickHouse
+    // migrant's `SELECT windowFunnel(...)` port is oracle-checked
+    // end-to-end against q54's EXISTS-chain re-derivation. The typed
+    // Aggregator buffers the per-user event list (ClickHouse's own
+    // windowFunnel state shape) and replays the batch DP at finish.
+    "q91_funnel_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(expr("graft_window_funnel(3600000000, ts, event_id, " +
+            "event_type = 'view', event_type = 'click', " +
+            "event_type = 'purchase')").as("level"))
+      },
+      Some(FunnelOracleSql),
+      "windowFunnel through the SQL frontend (graft_window_funnel " +
+        "aggregate): buffered-event Aggregator state, (ts, id) " +
+        "deterministic tie order, hash-matched against the q54 oracle"),
 
     "q55_retention" -> Q(
       (s, dir) => graft.operators.Funnels.retention(
@@ -2550,5 +2578,133 @@ object Relational {
              |FROM agg""".stripMargin),
       "tie-aware ROC-AUC (ClickHouse arrayAUC): exact doubled-U over the " +
         "score value domain, one mirrored division — the evaluation " +
-        "metric for the t17-style classifier gates"))
+        "metric for the t17-style classifier gates"),
+
+    // q92: Tukey-fence series outliers (ClickHouse
+    // seriesOutliersDetectTukey, adapted to the per-key aggregate shape)
+    // — with the quartiles in QUARTER units the whole test is integer:
+    // type-7 quartile q at fraction rem/4 gives 4q = 4·a[lo] +
+    // rem·(a[lo+1]−a[lo]) (exact BIGINT), and the fences ×8 become
+    // 8x < 2·Q1₄ − 3·IQR₄ / 8x > 2·Q3₄ + 3·IQR₄ — ZERO float ops, so
+    // the oracle mirrors arithmetic, not rounding. Per-user sorted
+    // collect is the funnel-family envelope.
+    "q92_tukey_outliers" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "events").select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("v"))
+        val g = base.groupBy(col("user_id"))
+          .agg(array_sort(collect_list(col("v"))).as("arr"),
+            count(lit(1)).as("n"))
+        // numer = 4·(n−1)·p for p ∈ {¼, ¾}; lo = numer div 4 exact via
+        // subtract-remainder (the divided value is a multiple of 4, so
+        // the double division is exact)
+        def quart4(numer: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val rem = pmod(numer, lit(4L))
+          val lo = ((numer - rem) / lit(4L)).cast("long")
+          val aLo = element_at(col("arr"), (lo + 1L).cast("int"))
+          val aHi = element_at(col("arr"), least(lo + 2L, col("n")).cast("int"))
+          lit(4L) * aLo + rem * (aHi - aLo)
+        }
+        val q = g
+          .withColumn("q1_4", quart4(col("n") - 1L))
+          .withColumn("q3_4", quart4(lit(3L) * (col("n") - 1L)))
+          .withColumn("__iqr4", col("q3_4") - col("q1_4"))
+        q.select(col("user_id"), col("n"), col("q1_4"), col("q3_4"),
+          size(filter(col("arr"), x =>
+            lit(8L) * x < lit(2L) * col("q1_4") - lit(3L) * col("__iqr4") ||
+              lit(8L) * x > lit(2L) * col("q3_4") + lit(3L) * col("__iqr4")))
+            .cast("long").as("n_outliers"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |g AS (SELECT user_id, list_sort(list(v)) AS arr,
+             |        count(*) AS n
+             |      FROM b GROUP BY user_id),
+             |q AS (SELECT user_id, n, arr,
+             |        (n - 1) % 4 AS rem1, (n - 1) // 4 AS lo1,
+             |        (3 * (n - 1)) % 4 AS rem3, (3 * (n - 1)) // 4 AS lo3
+             |      FROM g),
+             |qq AS (SELECT user_id, n, arr,
+             |         4 * arr[lo1 + 1]
+             |           + rem1 * (arr[least(lo1 + 2, n)] - arr[lo1 + 1])
+             |           AS q1_4,
+             |         4 * arr[lo3 + 1]
+             |           + rem3 * (arr[least(lo3 + 2, n)] - arr[lo3 + 1])
+             |           AS q3_4
+             |       FROM q)
+             |SELECT user_id, CAST(n AS BIGINT) AS n, q1_4, q3_4,
+             |  CAST(len([x FOR x IN arr
+             |            IF 8 * x < 2 * q1_4 - 3 * (q3_4 - q1_4)
+             |            OR 8 * x > 2 * q3_4 + 3 * (q3_4 - q1_4)])
+             |    AS BIGINT) AS n_outliers
+             |FROM qq""".stripMargin),
+      "Tukey-fence outlier detection (ClickHouse seriesOutliersDetectTukey " +
+        "as a per-key aggregate): type-7 quartiles in quarter units keep " +
+        "the whole 1.5-IQR test integral — zero float ops"),
+
+    // q93: longest-prefix-match CIDR lookup (the ClickHouse ip_trie
+    // dictionary / dictGet shape — GeoIP enrichment). The 100 TB trick is
+    // the join KEY: every net here has prefix ≥ 8, so a network lies
+    // inside one /8 and (ip >> 24) = (start >> 24) is an EQUI-join
+    // bucket — a broadcast hash join + range filter instead of a
+    // nested-loop range join; LPM = max (prefix, −k) per ip, ties
+    // impossible to matter (deterministic pick mirrored in the oracle's
+    // row_number). Nets derive from user_id (≤64 rows — the dictionary
+    // side is always broadcast-size), ips from event_id.
+    "q93_ip_trie_lookup" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val nets = ev.select((col("user_id") % 64).as("k")).distinct()
+          .withColumn("p", lit(8L) + lit(4L) * (col("k") % 5))
+          .withColumn("raw", (col("k") * 2654435761L) % 4294967296L)
+          .withColumn("sz", expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - p AS INT))"))
+          .withColumn("start", col("raw") - pmod(col("raw"), col("sz")))
+          .withColumn("e", col("start") + col("sz") - 1L)
+          .withColumn("bucket", floor(col("start") / lit(16777216L)).cast("long"))
+        val ips = ev
+          .select(((col("event_id") * 2654435761L) % 4294967296L).as("ip"))
+          .groupBy(col("ip")).agg(count(lit(1)).as("cnt"))
+          .withColumn("bucket", floor(col("ip") / lit(16777216L)).cast("long"))
+        val lpm = ips.join(broadcast(nets), Seq("bucket"))
+          .where(col("ip") >= col("start") && col("ip") <= col("e"))
+          .groupBy(col("ip"))
+          .agg(first(col("cnt")).as("cnt"),
+            max_by(struct(col("k"), col("p")),
+              struct(col("p"), (lit(-1L) * col("k")).as("nk"))).as("net"))
+        lpm.groupBy(concat(lit("net"), col("net.k").cast("string")).as("label"),
+            col("net.p").as("prefix_len"))
+          .agg(count(lit(1)).as("n_ips"), sum(col("cnt")).as("n_events"),
+            min(col("ip")).as("min_ip"), max(col("ip")).as("max_ip"))
+      },
+      Some("""WITH ks AS (SELECT DISTINCT user_id % 64 AS k FROM events),
+             |nets AS (
+             |  SELECT k, 8 + 4 * (k % 5) AS p,
+             |    (k * 2654435761) % 4294967296 AS raw
+             |  FROM ks),
+             |n2 AS (
+             |  SELECT k, p,
+             |    raw - raw % (CAST(1 AS BIGINT) << CAST(32 - p AS INT)) AS s,
+             |    raw - raw % (CAST(1 AS BIGINT) << CAST(32 - p AS INT))
+             |      + (CAST(1 AS BIGINT) << CAST(32 - p AS INT)) - 1 AS e
+             |  FROM nets),
+             |ips AS (
+             |  SELECT (event_id * 2654435761) % 4294967296 AS ip,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |cand AS (
+             |  SELECT i.ip, i.cnt, n.k, n.p
+             |  FROM ips i JOIN n2 n ON i.ip >= n.s AND i.ip <= n.e),
+             |lpm AS (
+             |  SELECT ip, cnt, k, p,
+             |    row_number() OVER (PARTITION BY ip ORDER BY p DESC, k) AS rn
+             |  FROM cand)
+             |SELECT concat('net', CAST(k AS VARCHAR)) AS label,
+             |  p AS prefix_len,
+             |  count(*) AS n_ips, CAST(sum(cnt) AS BIGINT) AS n_events,
+             |  min(ip) AS min_ip, max(ip) AS max_ip
+             |FROM lpm WHERE rn = 1 GROUP BY 1, 2""".stripMargin),
+      "longest-prefix-match CIDR lookup (ClickHouse ip_trie dictGet): " +
+        "/8-bucket EQUI-join key turns the range join into a broadcast " +
+        "hash join + filter; LPM as one max_by per ip"))
 }
