@@ -689,4 +689,73 @@ object Funnels {
     override def outputEncoder: org.apache.spark.sql.Encoder[Int] =
       org.apache.spark.sql.Encoders.scalaInt
   }
+
+  /** Shared buffered-event base for the sequence-pattern SQL aggregates
+    * (`graft_sequence_match` / `graft_sequence_count`): rows are
+    * (t micros, tiebreak id, step bitmask); no-step rows (mask 0) and
+    * null-ts sentinels are DROPPED AT REDUCE — the same pre-buffer
+    * filter [[sequenceMatch]] applies before its exchange, so state is
+    * condition-matching events only. Finish sorts by (ts, id) — the
+    * windowFunnel determinism contract — and hands (ts, masks) to the
+    * memoized matcher the Column operators use, so the SQL form is the
+    * same algorithm behind a GROUP BY. One divergence by construction:
+    * an aggregate emits a row for EVERY group, so users with no stored
+    * events read false/0 instead of being absent (pinned in the spec).
+    */
+  sealed abstract class SequencePatternAgg[OUT](pattern: String, nSteps: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long),
+        scala.collection.mutable.ArrayBuffer[Array[Long]], OUT] {
+    require(nSteps >= 1 && nSteps <= 30)
+    @transient private[operators] lazy val parsed: Seq[Step] =
+      parsePattern(pattern, nSteps)
+    // fail fast on a bad pattern at PLAN time, not first reduce
+    parsePattern(pattern, nSteps)
+    type Buf = scala.collection.mutable.ArrayBuffer[Array[Long]]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Long)): Buf =
+      if (e._1 == Long.MinValue || e._3 == 0L) b
+      else { b += Array(e._1, e._2, e._3); b }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    protected def sorted(b: Buf): (Array[Long], Array[Int]) = {
+      val s = b.sortBy(e => (e(0), e(1)))(Ordering.Tuple2[Long, Long])
+      (s.map(_(0)).toArray, s.map(_(2).toInt).toArray)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+  }
+
+  /** `graft_sequence_match(pattern, ts, id, cond1..)` ≡
+    * [[sequenceMatch]] per group.
+    */
+  final class SequenceMatchAgg(pattern: String, nSteps: Int)
+      extends SequencePatternAgg[Boolean](pattern, nSteps) {
+    override def finish(b: Buf): Boolean = {
+      val (ts, masks) = sorted(b)
+      matchEntries(ts, masks, parsed)
+    }
+    override def outputEncoder: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+  }
+
+  /** `graft_sequence_count(pattern, ts, id, cond1..)` ≡
+    * [[sequenceCountPattern]] per group (leftmost-lazy non-overlapping
+    * matches, shared memo).
+    */
+  final class SequenceCountAgg(pattern: String, nSteps: Int)
+      extends SequencePatternAgg[Long](pattern, nSteps) {
+    override def finish(b: Buf): Long = {
+      val (ts, masks) = sorted(b)
+      val memo = new java.util.HashMap[Long, Integer]()
+      var pos = 0
+      var cnt = 0L
+      while (pos >= 0 && pos < ts.length) {
+        val end = findEnd(ts, masks, parsed, pos, memo)
+        if (end < 0) pos = -1
+        else { cnt += 1L; pos = end }
+      }
+      cnt
+    }
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
 }

@@ -230,7 +230,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.encoders
             .ExpressionEncoder[(Long, Long, Long)](),
           "graft_window_funnel", Seq(t, id, mask))
-      }))
+      }),
+    (FunctionIdentifier("graft_sequence_match"),
+      info("graft_sequence_match", "graft_sequence_match(pattern, ts, id, cond1[, ...condN]) - ClickHouse sequenceMatch(pattern)(ts, cond1..) as an aggregate: TRUE when the group's (ts, id)-ordered condition-matching events contain a chain matching the pattern ('(?k)', '.*', '(?t<=s)' operators); groups with no matching events read FALSE (the aggregate emits every group)"),
+      (args: Seq[Expression]) =>
+        seqPatternAgg(args, "graft_sequence_match",
+          (p, n) => new graft.operators.Funnels.SequenceMatchAgg(p, n))),
+    (FunctionIdentifier("graft_sequence_count"),
+      info("graft_sequence_count", "graft_sequence_count(pattern, ts, id, cond1[, ...condN]) - ClickHouse sequenceCount(pattern)(ts, cond1..) as an aggregate: the number of NON-OVERLAPPING leftmost-lazy chains matching the pattern over the group's (ts, id)-ordered condition-matching events"),
+      (args: Seq[Expression]) =>
+        seqPatternAgg(args, "graft_sequence_count",
+          (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n))))
+
+  /** Shared builder for the sequence-pattern aggregates: same
+    * (pattern, ts, id, conds…) → (t, id, bitmask) input plumbing as
+    * graft_window_funnel.
+    */
+  private def seqPatternAgg(args: Seq[Expression], fn: String,
+      mk: (String, Int) => org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Long), _, _]): Expression = {
+    if (args.size < 4) throw new IllegalArgumentException(
+      s"$fn expects (pattern, ts, id, cond1, ...)")
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
+    import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
+    val n = args.size - 3
+    val t = Coalesce(Seq(UnixMicros(Cast(args(1), TimestampType)),
+      Literal(Long.MinValue)))
+    val id = Coalesce(Seq(Cast(args(2), LongType), Literal(0L)))
+    val mask = (0 until n).map { k =>
+      If(Coalesce(Seq(Cast(args(k + 3), BooleanType), Literal(false))),
+        Literal(1L << k), Literal(0L)): Expression
+    }.reduce((a, b) => BitwiseOr(a, b))
+    org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+      mk(strLit(args(0), fn), n),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long, Long)](),
+      fn, Seq(t, id, mask))
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

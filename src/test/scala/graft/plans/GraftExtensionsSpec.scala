@@ -302,4 +302,54 @@ class GraftExtensionsSpec extends AnyFunSuite {
       case lvl => assert(lvl == 0)
     }
   }
+
+  test("graft_sequence_match / graft_sequence_count from SQL ≡ Column operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val rnd = new scala.util.Random(17)
+    val evs = (0 until 50).flatMap { u =>
+      (0 until (1 + rnd.nextInt(10))).map { j =>
+        (u.toLong, (u * 100 + j).toLong, (rnd.nextInt(8) * 1000000L),
+          Seq("view", "click", "buy", "other")(rnd.nextInt(4)))
+      }
+    }
+    val df = evs.toDF("user_id", "event_id", "t_us", "etype")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    df.createOrReplaceTempView("ge_seq")
+    val steps = Seq(col("etype") === "view", col("etype") === "click",
+      col("etype") === "buy")
+    val pat = "(?1)(?t<=3)(?2).*(?3)"
+    val viaSqlM = spark.sql(
+      s"""SELECT user_id, graft_sequence_match('$pat', ts, event_id,
+         |  etype = 'view', etype = 'click', etype = 'buy') AS matched
+         |FROM ge_seq GROUP BY user_id""".stripMargin)
+      .as[(Long, Boolean)].collect().toMap
+    val viaColM = graft.operators.Funnels.sequenceMatch(df, pat, steps)
+      .as[(Long, Boolean)].collect().toMap
+    // the Column form emits no row for users with no stored events; the
+    // aggregate emits FALSE for them — equal on the common domain, and
+    // the extras must all be false
+    viaColM.foreach { case (u, m) => assert(viaSqlM(u) == m, s"user $u") }
+    (viaSqlM.keySet -- viaColM.keySet).foreach(u => assert(!viaSqlM(u)))
+    assert(viaColM.values.exists(identity) && viaColM.values.exists(!_),
+      "test data should mix matches and non-matches")
+
+    val patC = "(?1).*(?2)"
+    val viaSqlC = spark.sql(
+      s"""SELECT user_id, graft_sequence_count('$patC', ts, event_id,
+         |  etype = 'view', etype = 'click', etype = 'buy') AS n_matches
+         |FROM ge_seq GROUP BY user_id""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    val viaColC = graft.operators.Funnels
+      .sequenceCountPattern(df, patC, steps)
+      .as[(Long, Long)].collect().toMap
+    viaColC.foreach { case (u, c) => assert(viaSqlC(u) == c, s"user $u") }
+    (viaSqlC.keySet -- viaColC.keySet).foreach(u => assert(viaSqlC(u) == 0L))
+    assert(viaColC.values.exists(_ >= 2L), "want a multi-match user")
+    // bad pattern fails at PLAN time with the function's name
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_sequence_match('(?9)', ts, event_id, etype = 'view') " +
+        "FROM ge_seq").collect())
+    assert(e.getMessage.contains("pattern"), e.getMessage)
+  }
 }
