@@ -168,12 +168,18 @@ object TimeSeries {
     val bucket = date_trunc(unit, col(tsCol))
     val lastInBucket = Window.partitionBy(key, col("h"))
       .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
-    val obs = df
+    // one explicit key exchange feeds the whole plan — grid generation
+    // parallelizes and the grid itself never shuffles; see the full
+    // trap analysis in resampleInterpolate
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = df.select(key, col(tsCol), col(tieBreakCol), col(valueCol))
+      .repartition(par, key)
+    val obs = src
       .withColumn("h", bucket)
       .withColumn("__rn", row_number().over(lastInBucket))
       .where(col("__rn") === 1)
       .select(key, col("h"), col(valueCol))
-    val span = df.groupBy(key).agg(
+    val span = src.groupBy(key).agg(
       date_trunc(unit, min(col(tsCol))).as("h0"),
       date_trunc(unit, max(col(tsCol))).as("h1"))
       .select(key, explode(sequence(col("h0"), col("h1"),
@@ -215,12 +221,39 @@ object TimeSeries {
     val bucket = expr(s"unix_micros(`$tsCol`) div ${unitMicros}L")
     val lastInBucket = Window.partitionBy(key, col("h"))
       .orderBy(col(tsCol).desc, col(tieBreakCol).desc)
-    val obs = df
+    // ONE explicit key exchange of the raw events feeds the WHOLE plan.
+    // Everything downstream satisfies its clustering from the subset
+    // rule — the (key, h) dedup window, the span aggregate, the (key, h)
+    // join, and both fill windows run with ZERO further exchanges, and
+    // the dense grid (keys × span, the big relation here) never crosses
+    // the wire. The explicit numPartitions matters twice, measured on
+    // the 10× probe corpus (fresh-JVM isolated):
+    //   1. AQE coalesces implicit (ENSURE_REQUIREMENTS) exchanges on
+    //      PRE-explode stats: the tiny 1-row-per-key span table reads
+    //      as one partition, and since explode has no re-split — and a
+    //      runtime-broadcast obs side breaks no stage — the explode,
+    //      join, both sorts and all four fill windows ran in a SINGLE
+    //      TASK (14.4 s of the 15 s total). A plain repartition(key)
+    //      doesn't help: it collapses into the aggregate's identical
+    //      exchange and gets coalesced with it. User-specified
+    //      repartition(N, key) is AQE-coalescing-exempt.
+    //   2. Without key co-partitioning, once obs outgrows the broadcast
+    //      threshold the (key, h) join exchanges the GRID and the fill
+    //      window re-exchanges it on key — two shuffles of the largest
+    //      relation (measured 6-7× at 10× data against ~2× after).
+    // Cost: the span aggregate loses map-side combine (the exchange
+    // carries raw (key, ts) pairs) — but those same rows had to cross
+    // the wire for the dedup window anyway, so the plan's total traffic
+    // went DOWN (one raw-event exchange instead of raw events + obs).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = df.select(key, col(tsCol), col(tieBreakCol), col(valueCol))
+      .repartition(par, key)
+    val obs = src
       .withColumn("h", bucket)
       .withColumn("__rn", row_number().over(lastInBucket))
       .where(col("__rn") === 1)
       .select(key, col("h"), col(valueCol).as("__v"))
-    val span = df.groupBy(key)
+    val span = src.groupBy(key)
       .agg(min(bucket).as("h0"), max(bucket).as("h1"))
       .select(key, explode(sequence(col("h0"), col("h1"))).as("h"))
     val wPrev = Window.partitionBy(key).orderBy(col("h"))
@@ -232,13 +265,16 @@ object TimeSeries {
     // running frame is the same value in O(n)
     val wNext = Window.partitionBy(key).orderBy(col("h").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __hobs is PRE-projected so the pv/ph (and nv/nh) pairs share a
+    // bare-column window spec: an inline when() gets extracted into a
+    // Project BETWEEN the Window nodes, which blocks CollapseWindow —
+    // measured as 4 WindowExec passes over the grid instead of 2
     val g = span.join(obs, Seq(keyCol, "h"), "left")
+      .withColumn("__hobs", when(col("__v").isNotNull, col("h")))
       .withColumn("pv", last(col("__v"), ignoreNulls = true).over(wPrev))
-      .withColumn("ph", last(when(col("__v").isNotNull, col("h")),
-        ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(col("__hobs"), ignoreNulls = true).over(wPrev))
       .withColumn("nv", last(col("__v"), ignoreNulls = true).over(wNext))
-      .withColumn("nh", last(when(col("__v").isNotNull, col("h")),
-        ignoreNulls = true).over(wNext))
+      .withColumn("nh", last(col("__hobs"), ignoreNulls = true).over(wNext))
     g.select(key, col("h"),
       when(col("__v").isNotNull, col("__v").cast("double"))
         .when(col("pv").isNotNull && col("nv").isNotNull,
