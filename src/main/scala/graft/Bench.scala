@@ -200,6 +200,17 @@ object Bench {
     // replicated 10× (window ~3 s; the lines/s/core unit is unchanged,
     // r10's value is the new reference point).
     //
+    // ADJUDICATION (r11 verdict item 3, resolved r12 — the one-rerun
+    // rule): a full same-code rerun this round read the 55-entry
+    // like-for-like sum at −4% vs BENCH_r11 (112.0 → 107.7 s; the r11
+    // +5.2% read recovered, calib_query 99 → 80 ms) and q59/q65 back at
+    // 1.19×/2.91× — both flags were ambient, as their unchanged plan
+    // hashes predicted. ingest_lines_per_sec read 66k in the rerun (r11:
+    // 84.6k, historical band 43k–172k, i01 plan hash unchanged since
+    // r10) — the ingest figure is the most ambient-sensitive number in
+    // the file and 66–85k is well inside its own observed spread; no
+    // code mechanism exists and none is chased.
+    //
     // From r10 on, the plan-unchanged half of any such argument is
     // MECHANICAL: the fingerprint pass below emits PLANS_r{N}.json
     // (entry → canonical-plan md5 + operator histogram); an unchanged
@@ -597,7 +608,11 @@ object Bench {
         // bounded ROWS frames on one user exchange (linear); q88 is the
         // O(n²)→running-frame fix of commit 3438835 — this probe is its
         // measured 10× proof (dense per-user grids, both window legs
-        // running frames now, must sit in the linear band); q90 collapses
+        // running frames now, must sit in the linear band). The probe
+        // EARNED ITS KEEP on first run (r12): it read 5.7×, fresh-JVM
+        // isolation confirmed 7.1× — the AQE-coalesced single-task grid
+        // pipeline, fixed in resampleInterpolate (trap note there;
+        // post-fix isolated ratio 1.65×); q90 collapses
         // to the bounded value domain then one window (the q81
         // Mann-Whitney shape — flat-ish as the domain saturates); q89
         // reads the amplified ORDERS table: fixed month/day domain,
@@ -606,7 +621,12 @@ object Bench {
         "q86_time_to_convert", "q87_moving_aggregates", "q88_interpolate",
         "q89_sparkbar", "q90_auc",
         // d23 (new r12): per-doc window-hash chunking is map-only and the
-        // inventory exchange carries only 16-byte keys — linear band
+        // inventory exchange carries only 16-byte keys. ENVELOPE NOTE:
+        // the suffixed replication grows CHARS 14.9× at 10× docs (every
+        // replica token gains '_rN', measured over the corpus), and CDC
+        // work is per-char — the first probe read 6.16× against that
+        // 14.9× input growth, i.e. sublinear in the operator's own unit;
+        // read this entry's ratio against ~15, not ~10
         "d23_cdc_chunks",
         // r12 additions: q92 is one user-keyed sorted collect + in-row
         // quartile arithmetic (the funnel envelope); q93's /8-bucket
