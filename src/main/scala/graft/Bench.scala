@@ -37,7 +37,7 @@ object Bench {
     "t21_reservoir_sample", "t22_theta_set_ops", "t23_uniq_upto",
     "t24_topk_weighted",
     "s08_hard_negatives", "s09_pca_project",
-    "s10_ann_pca_rerank", "q52_cdc_merge", "q53_temperature_mixture",
+    "s10_ann_pca_rerank", "s12_ann_index_serve", "q52_cdc_merge", "q53_temperature_mixture",
     "q54_window_funnel", "q55_retention", "q59_funnel_strict_dedup",
     "q60_funnel_strict_order", "q61_funnel_strict_increase",
     "q62_sequence_match", "q63_sequence_count_pattern",

@@ -671,6 +671,154 @@ object Similarity {
     }
   }
 
+  // ---- persisted index artifacts (build once, serve many) --------------
+
+  /** The driver-side half of a persisted IVF-PQ index: coarse centroids
+    * + the PQ model (both bounded — |cells| + m·k codebook rows); the
+    * codes table stays distributed on disk.
+    */
+  final case class IvfPqIndex(centIds: Array[Long],
+      cents: Array[Array[Double]], model: PqModel)
+
+  /** Build and PERSIST the IVF-PQ index — the production serving layer
+    * [[ivfPqTopK]] computes in-query. Artifacts under `dir`:
+    * `centroids` (cent_id, cv), `codebooks` (sub, code, center),
+    * `meta` (m, sub_dim), and `codes` (neighbor_id, codes) written
+    * `partitionBy(cell)`. The cell partitioning is the point: a serve
+    * job filters the codes scan to its probed cells, so at 100 TB the
+    * index READ is ~nProbe/|cells| of the corpus codes — decided by
+    * partition pruning in the planner, not by code — and the expensive
+    * parts (PQ training sub-rows, the one assignment pass over the
+    * corpus) are paid once, not per query batch. Serving reproduces the
+    * in-query operator EXACTLY (same centroid rule, same codes; doubles
+    * are binary-exact through parquet) — pinned in `AnnIndexSpec`.
+    * Centroids are ordered by cent_id on save AND load so cell
+    * assignment cannot depend on collect order.
+    */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String, m: Int = 8,
+      kCodes: Int = 16, trainIters: Int = 2, centroidMod: Int = 37,
+      lloydIters: Int = 0, vecCol: String = "embedding",
+      idCol: String = "vec_id"): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = pqTrain(corpus, m, kCodes, trainIters, vecCol, idCol)
+    val eRaw = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val seed = corpus.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val centDf = if (lloydIters <= 0) seed else lloydRefine(eRaw, seed, lloydIters)
+    centDf.select("cent_id", "cv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (center, code) => (sub, code, center.toSeq) }
+    }.toDF("sub", "code", "center").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((model.m, model.subDim)).toDF("m", "sub_dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    // bounded pull: the centroid table (same class as lloydRefine's)
+    val centRows = centDf.select(col("cent_id"), col("cv"))
+      .orderBy(col("cent_id")).collect()
+    val centIds = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    corpus.select(col(idCol).as("neighbor_id"),
+        OptimizerFence(col(vecCol).cast("array<double>")).as("rv"))
+      .withColumn("cell",
+        element_at(graft.functions.NearestCells(col("rv"), centIds, cents, 1), 1))
+      .select(col("cell"), col("neighbor_id"),
+        pqCodesExpr(OptimizerFence(pqNormalize(col("rv"))), model).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    IvfPqIndex(centIds, cents, model)
+  }
+
+  /** Load the bounded half of a saved index (centroids + codebooks +
+    * meta — three small parquet pulls, the documented-pull class).
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val m = meta.getAs[Int]("m")
+    val subDim = meta.getAs[Int]("sub_dim")
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Seq[Double]]("center").toArray))
+    val codebooks = Vector.tabulate(m)(s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3).toVector)
+    val centRows = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cent_id")).collect()
+    IvfPqIndex(centRows.map(_.getAs[Long]("cent_id")),
+      centRows.map(_.getAs[Seq[Double]]("cv").toArray),
+      PqModel(codebooks, subDim))
+  }
+
+  /** Serve top-k from a SAVED index: probe assignment + ADC scoring
+    * against the stored codes, optional exact re-rank against the
+    * original corpus (full vectors are deliberately NOT index artifacts
+    * — pass `refineCorpus` for the two-stage read). The probed cell set
+    * (≤ |queries|·nProbe values — the query batch is the bounded side
+    * by definition) is collected and applied as a STATIC partition
+    * filter, so the codes scan reads ONLY probed cells' files (pinned:
+    * `selectedPartitions` in AnnIndexSpec). For query batches too large
+    * to enumerate cells driver-side, drop the filter and the broadcast
+    * cell join still prunes via dynamic partition pruning.
+    */
+  def servedIvfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 2, refine: Int = 0,
+      refineCorpus: Option[DataFrame] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refine <= 0 || refineCorpus.nonEmpty,
+      "servedIvfPqTopK: refine > 0 needs refineCorpus (full vectors are not index artifacts)")
+    val idx = loadIvfPqIndex(spark, dir)
+    val model = idx.model
+    val m = model.m
+    val subDim = model.subDim
+    val qRaw = queries.select(col(idCol).as("query_id"),
+      OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("qv"),
+      OptimizerFence(col(vecCol).cast("array<double>")).as("rqv"))
+    val q = qRaw.select(col("query_id"), col("qv"),
+        explode(graft.functions.NearestCells(col("rqv"), idx.centIds,
+          idx.cents, nProbe)).as("cell"))
+      .select(col("cell"), col("query_id"),
+        OptimizerFence(array((0 until m).map { s =>
+          val qs = slice(col("qv"), lit(s * subDim + 1), lit(subDim))
+          transform(typedlit(model.codebooks(s).map(_.toSeq)), c => dist2(qs, c))
+        }: _*)).as("tbl"))
+    // bounded pull: the probed cell set, for static partition pruning
+    val probedCells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .withColumn("cell", col("cell").cast("long"))
+      .where(col("cell").isin(probedCells: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad"), col("neighbor_id"))
+    val adcK = if (refine > 0) math.max(refine, k) else k
+    val adc = codes.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad", aggregate(
+        zip_with(col("codes"), col("tbl"), (code, t) => element_at(t, code + 1)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= adcK)
+    if (refine <= 0)
+      adc.select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"))
+    else {
+      val vecs = refineCorpus.get.select(col(idCol).as("neighbor_id"),
+        OptimizerFence(pqNormalize(col(vecCol).cast("array<double>"))).as("cv"))
+      val shortlist = adc.select(col("query_id"), col("neighbor_id"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      vecs.join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(qRaw.select(col("query_id"), col("qv"))), Seq("query_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(wx))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("neighbor_id"))
+    }
+  }
+
   /** Exact-cosine re-rank of a candidate shortlist — the second stage
     * behind any compressed first pass (PQ codes, PCA-reduced vectors,
     * LSH buckets): the cheap pass proposes `(query_id, neighbor_id)`

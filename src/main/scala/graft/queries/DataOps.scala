@@ -972,6 +972,40 @@ object DataOps {
       "IVF-PQ (IVFADC): coarse-cell pruning, code-only ADC in probed " +
         "cells, broadcast exact re-rank; self-measured recall vs truth"),
 
+    // s12: the PERSISTED-index serving path — s07's IVF-PQ with the
+    // build paid once: artifacts (centroids/codebooks/meta + codes
+    // partitionBy(cell)) land on disk, the serve job partition-prunes
+    // the codes scan to its probed cells (AnnIndexSpec pins ≤nProbe
+    // partitions read) and must reproduce the in-query operator
+    // ROW-FOR-ROW — the self-check is exact equality, not a recall
+    // bound, because both paths are deterministic given the same model.
+    "s12_ann_index_serve" -> Q(
+      (s, dir) => {
+        val emb = tp(s, dir, "embeddings")
+        val queries = emb.where(col("vec_id") % 11 === 3)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_s12_index").toString + "/idx"
+        val idx = Similarity.saveIvfPqIndex(emb, tmp,
+          m = 8, kCodes = 16, trainIters = 2, lloydIters = 2)
+        val served = Similarity.servedIvfPqTopK(s, tmp, queries,
+          k = 5, nProbe = 4, refine = 32, refineCorpus = Some(emb))
+          .withColumnRenamed("neighbor_id", "served_id")
+        val inq = Similarity.ivfPqTopK(emb, queries, idx.model,
+          k = 5, nProbe = 4, lloydIters = 2, refine = 32)
+          .withColumnRenamed("neighbor_id", "inq_id")
+        served.join(inq, Seq("query_id", "rank"), "full_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("query_id")).as("n_queries"),
+            sum(when(col("served_id") === col("inq_id"), 0L).otherwise(1L))
+              .as("n_mismatch"))
+          .select(col("n_rows"), col("n_queries"), col("n_mismatch"),
+            (col("n_rows") > 0 && col("n_mismatch") === 0).as("pass"))
+      },
+      None,
+      "persisted IVF-PQ index serving (build once, serve many): stored " +
+        "centroids/codebooks/cell-partitioned codes, partition-pruned " +
+        "serve reproduces the in-query operator row-for-row"),
+
     // s08: semi-hard triplet mining (FaceNet §3.2) — contrastive-training
     // data assembly. Fully SQL-expressible (exact cosine, deterministic
     // tie-breaks), so unlike the ANN entries it gets a hash-match oracle.
