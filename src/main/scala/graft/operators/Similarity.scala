@@ -732,6 +732,29 @@ object Similarity {
     IvfPqIndex(centIds, cents, model)
   }
 
+  /** Append NEW vectors to a saved index WITHOUT retraining: cell
+    * assignment and codes use the STORED centroids/codebooks (exactly
+    * what a serve reads), written mode-append into the cell partitions —
+    * the incremental-ingest half of the build-once pattern. The model
+    * deliberately does not drift (appended vectors quantize in the
+    * original space — the standard IVF trade; periodic re-train is a
+    * full [[saveIvfPqIndex]]). Map-only over the new batch. Returns the
+    * loaded index for chaining.
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): IvfPqIndex = {
+    val spark = newVectors.sparkSession
+    val idx = loadIvfPqIndex(spark, dir)
+    newVectors.select(col(idCol).as("neighbor_id"),
+        OptimizerFence(col(vecCol).cast("array<double>")).as("rv"))
+      .withColumn("cell", element_at(
+        graft.functions.NearestCells(col("rv"), idx.centIds, idx.cents, 1), 1))
+      .select(col("cell"), col("neighbor_id"),
+        pqCodesExpr(OptimizerFence(pqNormalize(col("rv"))), idx.model).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    idx
+  }
+
   /** Load the bounded half of a saved index (centroids + codebooks +
     * meta — three small parquet pulls, the documented-pull class).
     */

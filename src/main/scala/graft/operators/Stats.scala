@@ -229,6 +229,49 @@ object Stats {
     m.select(col("n") +: corrs: _*)
   }
 
+  /** One-way ANOVA F statistic (ClickHouse `analysisOfVariance` /
+    * `anova`): does the mean of `valueCol` differ across the groups of
+    * `groupCol`? `valueCol` must be integral (callers floor-quantize).
+    *
+    * Exactness: per-group sums/counts are exact integers; the per-group
+    * between-term S_g²/n_g is NOT integral, so each is floored to
+    * integer 1e-6ths after one exact-product double division (the
+    * contingencyStats/t11 quantization pattern — the floored sum is
+    * order-independent AND engine-exact; quantization is part of the
+    * contract). F is then one mirrored tree:
+    * SSB = Σterm/1e6 − S²/n, SSW = Q − Σterm/1e6,
+    * F = (SSB/(k−1)) / (SSW/(n−k)).
+    *
+    * Overflow envelope: S_g² ≤ 2^53 needs |Σ per group| ≤ ~9.4·10⁷·√1
+    * — i.e. pre-scale so per-group sums stay under ~2^26.5; term·1e6
+    * stays far below 2^63 for any such input.
+    *
+    * Scale shape: ONE hash aggregate over the group domain (map-side
+    * combine) + a 1-row rollup — the group table, never the data,
+    * crosses the wire twice.
+    *
+    * Output: one row (n, k, s_all, q_all, sum_term, f_stat).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val g = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"), sum(v).as("sg"), sum(v * v).as("qg"))
+      .withColumn("term", floor((lit(1e6) *
+        (col("sg").cast("double") * col("sg").cast("double"))) /
+        col("ng").cast("double")))
+    val m = g.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("sg")).as("s_all"), sum(col("qg")).as("q_all"),
+      sum(col("term")).as("sum_term"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val between = col("sum_term").cast("double") / lit(1e6) -
+      (col("s_all").cast("double") * col("s_all").cast("double")) / nD
+    val within = col("q_all").cast("double") -
+      col("sum_term").cast("double") / lit(1e6)
+    m.select(col("n"), col("k"), col("s_all"), col("q_all"), col("sum_term"),
+      ((between / (kD - lit(1.0))) / (within / (nD - kD))).as("f_stat"))
+  }
+
   /** Spearman's ρ with the average-rank tie convention, over the rows of
     * `df` (the caller's bounded, already-aggregated domain — see the
     * object scaladoc). Doubled ranks keep ties integral:

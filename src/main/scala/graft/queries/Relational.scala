@@ -2706,5 +2706,89 @@ object Relational {
              |FROM lpm WHERE rn = 1 GROUP BY 1, 2""".stripMargin),
       "longest-prefix-match CIDR lookup (ClickHouse ip_trie dictGet): " +
         "/8-bucket EQUI-join key turns the range join into a broadcast " +
-        "hash join + filter; LPM as one max_by per ip"))
+        "hash join + filter; LPM as one max_by per ip"),
+
+    // q94: one-way ANOVA (ClickHouse analysisOfVariance) — does mean
+    // order value differ across priorities? Integer evidence + the
+    // 1e-6th-quantized between-terms (order-independent sum), F as one
+    // mirrored tree — the experiment-statistics family's k-group member.
+    "q94_anova" -> Q(
+      (s, dir) => graft.operators.Stats.anovaF(
+        t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          floor(col("o_totalprice") / lit(100)).cast("long").as("v")),
+        groupCol = "grp", valueCol = "v"),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS grp,
+             |    CAST(floor(o_totalprice / 100) AS BIGINT) AS v
+             |  FROM orders),
+             |g AS (SELECT grp, count(*) AS ng,
+             |        CAST(sum(v) AS BIGINT) AS sg,
+             |        CAST(sum(v * v) AS BIGINT) AS qg
+             |      FROM b GROUP BY grp),
+             |t AS (SELECT ng, sg, qg,
+             |        CAST(floor((1e6 * (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+             |          / CAST(ng AS DOUBLE)) AS BIGINT) AS term
+             |      FROM g),
+             |m AS (SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+             |        CAST(sum(sg) AS BIGINT) AS s_all,
+             |        CAST(sum(qg) AS BIGINT) AS q_all,
+             |        CAST(sum(term) AS BIGINT) AS sum_term
+             |      FROM t)
+             |SELECT n, k, s_all, q_all, sum_term,
+             |  ((CAST(sum_term AS DOUBLE) / 1e6 -
+             |     (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+             |       / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             |  / ((CAST(q_all AS DOUBLE) - CAST(sum_term AS DOUBLE) / 1e6)
+             |     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+             |FROM m""".stripMargin),
+      "one-way ANOVA (ClickHouse analysisOfVariance): exact per-group " +
+        "integer moments, 1e-6th-quantized between-terms for an " +
+        "order-independent sum, F as one mirrored tree — one group-domain " +
+        "exchange"),
+
+    // q95: ClickHouse groupArrayIntersect — the per-key set that appears
+    // in EVERY sub-group (here: event types a user fires on every one of
+    // their active days — the habitual-action profile). Re-expressed
+    // relationally: a type is in the intersection iff its distinct-day
+    // count equals the user's active-day count; the string rollup
+    // (sorted, comma-joined) stands in for the array result (driver
+    // compare forbids ARRAY columns).
+    "q95_group_array_intersect" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          to_date(col("ts")).as("day"), col("event_type"))
+        val days = ev.groupBy(col("user_id"))
+          .agg(count_distinct(col("day")).as("n_days"))
+        val perType = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count_distinct(col("day")).as("n_type_days"))
+        perType.join(days, Seq("user_id"))
+          .groupBy(col("user_id"), col("n_days"))
+          .agg(count(lit(1)).as("n_types"),
+            sum(when(col("n_type_days") === col("n_days"), 1L).otherwise(0L))
+              .as("n_common"),
+            array_join(array_sort(collect_list(
+              when(col("n_type_days") === col("n_days"), col("event_type")))),
+              ",").as("common_types"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |         event_type
+             |  FROM events),
+             |d AS (SELECT user_id, count(DISTINCT day) AS n_days
+             |      FROM e GROUP BY user_id),
+             |pt AS (SELECT user_id, event_type,
+             |         count(DISTINCT day) AS n_type_days
+             |       FROM e GROUP BY user_id, event_type)
+             |SELECT pt.user_id, d.n_days, count(*) AS n_types,
+             |  CAST(sum(CASE WHEN n_type_days = n_days THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_common,
+             |  coalesce(array_to_string(list_sort(list(
+             |    CASE WHEN n_type_days = n_days THEN event_type END)
+             |    FILTER (WHERE n_type_days = n_days)), ','), '')
+             |    AS common_types
+             |FROM pt JOIN d ON d.user_id = pt.user_id
+             |GROUP BY pt.user_id, d.n_days""".stripMargin),
+      "ClickHouse groupArrayIntersect: the per-user type set present on " +
+        "EVERY active day — distinct-day counts vs the day total, no " +
+        "set materialization, two group-domain exchanges"))
 }

@@ -680,6 +680,33 @@ object StatefulOps {
       }
       .start()
 
+  /** Online ANN serving: each micro-batch of query vectors is served
+    * from a SAVED IVF-PQ index
+    * ([[graft.operators.Similarity.saveIvfPqIndex]]) — the streaming
+    * half of the build-once/serve-many pattern. Per batch the codes
+    * scan partition-prunes to the batch's probed cells, so a trickle of
+    * queries reads a trickle of the index; results append to `outDir`.
+    * Checkpointed foreachBatch is at-least-once — replays duplicate
+    * whole result batches, deduped downstream by (query_id, rank) if
+    * exactly-once reads matter. The index may be [[graft.operators
+    * .Similarity.appendToIvfPqIndex]]-extended between batches; each
+    * batch serves against the index state at its own read time.
+    */
+  def annServeSink(queryStream: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, k: Int, nProbe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.servedIvfPqTopK(batch.sparkSession,
+            indexDir, batch.toDF(), k, nProbe, vecCol = vecCol, idCol = idCol)
+            .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Stream-static enrichment: join each micro-batch against a small
     * static dimension, broadcast — the GeoIP/user-agent-lookup shape. The
     * static side is planned per micro-batch (a broadcast hash join inside

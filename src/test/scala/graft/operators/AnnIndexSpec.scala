@@ -69,6 +69,63 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refineCorpus"))
   }
 
+  test("append extends the index with the stored model; twins surface at rank 1") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ann_append")
+      .toString + "/idx"
+    val half = corpus.where(col("vec_id") < 100)
+    Similarity.saveIvfPqIndex(half, d, m = 4, kCodes = 8,
+      trainIters = 2, centroidMod = 23, lloydIters = 2)
+    val idx = Similarity.appendToIvfPqIndex(
+      corpus.where(col("vec_id") >= 100), d)
+    // all 200 vectors are in the codes table, every cell a stored centroid
+    val codes = spark.read.parquet(s"$d/codes")
+      .select(col("neighbor_id"), col("cell").cast("long").as("cell"))
+    assert(codes.count() == 200)
+    val cells = codes.select("cell").distinct().as[Long].collect().toSet
+    assert(cells.subsetOf(idx.centIds.toSet))
+    // a query IDENTICAL to an appended vector (different id) must find
+    // its twin at rank 1 on the refined path — the appended half is live
+    val twins = (0 until 3).map(j => (1000L + j, vec(150L + j)))
+      .toDF("vec_id", "embedding")
+    // vec() is near-periodic with Δi=17 (17·0.37 ≈ 2π), so each twin has
+    // ~9 near-identical siblings whose PQ codes tie; the shortlist must
+    // be wide enough that id-ordered tie-breaking can't cut the true
+    // twin before the exact re-rank sees it
+    val top1 = Similarity.servedIvfPqTopK(spark, d, twins, k = 1,
+      nProbe = 3, refine = 64, refineCorpus = Some(corpus))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 3).foreach(j =>
+      assert(top1(1000L + j) == 150L + j, s"twin $j not found: $top1"))
+  }
+
+  test("annServeSink: streamed query batches ≡ batch serve per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    built // the shared index
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+    val outDir = s"$tmp/out"
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StatefulOps.annServeSink(
+      stream.toDS().toDF("vec_id", "embedding"), dir, outDir, s"$tmp/cp",
+      k = 3, nProbe = 2)
+    val batches = Seq(Seq(500L, 501L), Seq(502L, 503L, 504L))
+      .map(_.map(i => (i, vec(i * 7 + 1))))
+    try {
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val direct = batches.map { b =>
+      Similarity.servedIvfPqTopK(spark, dir,
+        b.toDF("vec_id", "embedding"), k = 3, nProbe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSeq
+    }.reduce(_ ++ _).sortBy(r => (r._1, r._2))
+    assert(streamed == direct, s"streamed=$streamed direct=$direct")
+    assert(streamed.groupBy(_._1).size == 5)
+  }
+
   test("codes scan is partition-pruned to the probed cells") {
     val nCells = built.centIds.length // forces the build too
     val one = queries.limit(1)
