@@ -274,4 +274,38 @@ class StatsSpec extends AnyFunSuite {
     assert(row._1 == n && row._3 == den && row._4 == den)
     assert(row._2 == -den) // perfectly anti-monotone
   }
+
+  test("anovaF matches the scalar reference; extremes behave") {
+    def refF(groups: Seq[Seq[Long]]): Double = {
+      val n = groups.map(_.size).sum.toDouble
+      val k = groups.size.toDouble
+      val s = groups.map(_.sum).sum.toDouble
+      val q = groups.flatMap(_.map(v => v * v)).sum.toDouble
+      // the operator's quantization: Σ floor(1e6·Sg²/ng) / 1e6
+      val sumTerm = groups.map { g =>
+        val sg = g.sum.toDouble
+        math.floor(1e6 * (sg * sg) / g.size.toDouble)
+      }.sum / 1e6
+      ((sumTerm - s * s / n) / (k - 1)) / ((q - sumTerm) / (n - k))
+    }
+    val rnd = new scala.util.Random(31)
+    val groups = Seq.tabulate(4)(g =>
+      Seq.fill(20 + rnd.nextInt(30))(
+        (g * 7 + rnd.nextInt(25)).toLong))
+    val df = groups.zipWithIndex.flatMap { case (vs, g) =>
+      vs.map(v => (s"g$g", v))
+    }.toDF("grp", "v").repartition(7)
+    val row = Stats.anovaF(df, "grp", "v")
+      .select("n", "k", "f_stat").as[(Long, Long, Double)].head()
+    assert(row._1 == groups.map(_.size).sum && row._2 == 4)
+    assert(row._3 == refF(groups), s"got ${row._3} want ${refF(groups)}")
+    // shifted group means → large F; identical groups → F ≈ 0
+    val flat = Seq.tabulate(3)(g => Seq.fill(25)(10L))
+    val flatDf = flat.zipWithIndex.flatMap { case (vs, g) =>
+      vs.map(v => (s"g$g", v)) }.toDF("grp", "v")
+    // 0/0 under non-ANSI Spark division is NULL (zero within AND between)
+    val f0 = Stats.anovaF(flatDf, "grp", "v")
+      .select("f_stat").as[Option[Double]].head()
+    assert(f0.isEmpty || math.abs(f0.get) < 1e-6)
+  }
 }
