@@ -43,7 +43,8 @@ object Bench {
     "q62_sequence_match", "q63_sequence_count_pattern",
     "q77_sequence_next_node",
     "q64_delta_sum", "q65_interval_stats", "q66_map_combinators",
-    "q67_weighted_quantile", "t25_histogram", "q68_lttb_downsample",
+    "q67_weighted_quantile", "t25_histogram", "t27_kll_state_merge",
+    "q68_lttb_downsample",
     "q69_bloom_join", "q70_bitmap_setops", "q71_ab_ttest",
     "q72_mann_whitney", "q73_ip_functions", "q74_cramers_v",
     "q75_linreg", "q76_rank_corr", "q78_geohash",

@@ -30,7 +30,7 @@ object SparkEntry {
     "s12_ann_index_serve",
     "t18_bpe_tokenize", "p07_tokenize_pack_pipeline", "t19_heavy_hitters",
     "t20_kll_quantiles", "t21_reservoir_sample", "t22_theta_set_ops",
-    "t24_topk_weighted", "t25_histogram")
+    "t24_topk_weighted", "t25_histogram", "t27_kll_state_merge")
 
   /** z01_self_checks (r6 verdict item 6): the driver's CORRECTNESS artifact
     * recorded the self-checking entries as bare `no_oracle`, so a

@@ -224,6 +224,47 @@ object Quantiles {
   }
 
 
+  /** ClickHouse `-State` for the KLL leg: aggregate to the RAW mergeable
+    * state as a persistable struct artifact (k, n, varSum, nCompactions,
+    * levels) — the AggregatingMergeTree workflow q84 demonstrates on the
+    * exact bitmap, HERE on the approximate family: per-day jobs persist
+    * O(k) states, coarser reads [[KllMergeSummary]] them WITHOUT
+    * re-touching the fact table. Unlike the bitmap, a merged sketch's
+    * CONTENT is merge-order-dependent; what survives any merge tree is
+    * the CONTRACT — n and varSum are additive, so the Hoeffding rank
+    * bound keeps holding over stored artifacts (re-asserted in t27).
+    */
+  final class KllStateAgg(k: Int)
+      extends Aggregator[java.lang.Double, KllState, KllState] {
+    private val inner = new Kll(k)
+    override def zero: KllState = inner.zero
+    override def reduce(b: KllState, x: java.lang.Double): KllState =
+      if (x == null) b else inner.reduce(b, x.doubleValue())
+    override def merge(a: KllState, b: KllState): KllState = inner.merge(a, b)
+    override def finish(st: KllState): KllState = st
+    override def bufferEncoder: Encoder[KllState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[KllState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllState]()
+  }
+
+  /** ClickHouse `-Merge`: fold STORED [[KllStateAgg]] artifacts back
+    * into one summary. The zero state carries the minimum capacity and
+    * defers to the first real state's k on merge (the n==0 short-circuit
+    * in [[Kll.merge]]), so the artifact's own k governs.
+    */
+  final class KllMergeSummary
+      extends Aggregator[KllState, KllState, KllSummary] {
+    private val inner = new Kll(MinCap)
+    override def zero: KllState = inner.zero
+    override def reduce(b: KllState, x: KllState): KllState =
+      if (x == null) b else inner.merge(b, x)
+    override def merge(a: KllState, b: KllState): KllState = inner.merge(a, b)
+    override def finish(st: KllState): KllSummary = inner.finish(st)
+    override def bufferEncoder: Encoder[KllState] = inner.bufferEncoder
+    override def outputEncoder: Encoder[KllSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllSummary]()
+  }
+
   /** Whole-frame summary pulled to the driver — a bounded O(k)-value
     * pull (the finished sketch), same class as the Zipf-small pulls
     * elsewhere. The aggregation itself is fully distributed (map-side

@@ -3041,5 +3041,79 @@ object DataOps {
              |FROM lines GROUP BY 1""".stripMargin),
       "Drain-lite log template mining: digit-bearing tokens mask to <*>, " +
         "template rollup with a deterministic example witness — the " +
-        "exchange carries the template domain, never the log lines"))
+        "exchange carries the template domain, never the log lines"),
+
+    // t27: the -State/-Merge combinator workflow on the APPROXIMATE
+    // family — q84's AggregatingMergeTree pattern with KLL states
+    // instead of exact bitmaps: per-day O(k) sketch states are PERSISTED
+    // to parquet, read back, and merged to week summaries without
+    // re-touching the fact table. A merged sketch's content is
+    // merge-order-dependent (why this can't hash-match an oracle the way
+    // q84 does); the SELF-CHECK asserts what the artifact contract
+    // guarantees instead: n is exactly additive through the store, and
+    // the merged sketch's own Hoeffding bound holds against exact ranks
+    // recomputed from the same scan (the t20 discipline over STORED
+    // artifacts).
+    "t27_kll_state_merge" -> Q(
+      (s, dir) => {
+        import graft.operators.Quantiles
+        val k = 128
+        val ev = t(s, dir, "events").select(
+          date_trunc("week", col("ts")).cast("date").cast("string").as("week"),
+          to_date(col("ts")).cast("string").as("day"),
+          col("value").cast("double").as("v")).na.drop()
+        val stateAgg = udaf(new Quantiles.KllStateAgg(k),
+          org.apache.spark.sql.Encoders.DOUBLE)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_t27_states").toString
+        ev.groupBy(col("week"), col("day"))
+          .agg(stateAgg(col("v")).as("st"))
+          .write.mode("overwrite").parquet(s"$tmp/day_states")
+        val stored = s.read.parquet(s"$tmp/day_states")
+        val mergeAgg = udaf(new Quantiles.KllMergeSummary())
+        // udaf flattens case-class inputs to one SQL arg per field
+        val merged = stored.groupBy(col("week"))
+          .agg(count(lit(1)).as("n_days"),
+            mergeAgg(col("st.k"), col("st.n"), col("st.varSum"),
+              col("st.nCompactions"), col("st.levels")).as("sum"))
+          .collect() // bounded: weeks × O(k) summary values
+        import s.implicits._
+        val probes = merged.map { r =>
+          val week = r.getString(0)
+          val nDays = r.getLong(1)
+          val sRow = r.getStruct(2)
+          // getAs returns a mutable ArraySeq — copy into the immutable
+          // Seq the case class declares (checkcast fails otherwise)
+          val summ = Quantiles.KllSummary(sRow.getAs[Long]("n"),
+            sRow.getAs[Double]("varSum"),
+            sRow.getAs[scala.collection.Seq[Double]]("values").toVector,
+            sRow.getAs[scala.collection.Seq[Long]]("weights").toVector)
+          val q = Quantiles.quantile(summ, 0.5)
+          (week, nDays, summ.n, q, Quantiles.estRank(summ, q),
+            Quantiles.rankBound(summ.varSum))
+        }.toSeq
+        val probeDf = probes.toDF("week", "n_days", "n_sketch", "est_q",
+          "est_rank", "bound")
+        val exact = ev.groupBy(col("week"))
+          .agg(count(lit(1)).as("n_exact")).withColumnRenamed("week", "w")
+        val trueRanks = ev.join(
+            broadcast(probeDf.select(col("week").as("w"), col("est_q"))),
+            col("week") === col("w"))
+          .groupBy(col("w"))
+          .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+            .as("true_rank"))
+        probeDf.join(exact, probeDf("week") === exact("w")).drop("w")
+          .join(trueRanks, probeDf("week") === trueRanks("w")).drop("w")
+          .select(col("week"), col("n_days"), col("n_sketch"), col("n_exact"),
+            col("est_rank"), col("true_rank"), col("bound"),
+            (abs(col("est_rank") - col("true_rank")) <= col("bound"))
+              .as("rank_in_bound"),
+            ((abs(col("est_rank") - col("true_rank")) <= col("bound")) &&
+              col("n_sketch") === col("n_exact")).as("pass"))
+      },
+      None,
+      "ClickHouse -State/-Merge on the approximate family: per-day KLL " +
+        "sketch states persisted to parquet and re-merged to week " +
+        "summaries; n exactly additive through the store, Hoeffding rank " +
+        "bound re-proved against exact ranks from the same scan"))
 }

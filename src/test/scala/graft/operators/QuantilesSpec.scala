@@ -197,4 +197,39 @@ class QuantilesSpec extends AnyFunSuite {
     val med = out.find(_.getDouble(0) == 0.5).get.getDouble(1)
     assert(med > 0.4 && med < 0.6, s"median of uniform(0,1) was $med")
   }
+
+  test("-State/-Merge: states survive parquet, merged bound holds, n additive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 30000).map(i =>
+      (s"g${i % 5}", rnd.nextDouble() * 100 + (i % 5) * 10))
+    val df = rows.toDF("g", "v").repartition(9)
+    val stateAgg = udaf(new Quantiles.KllStateAgg(K),
+      org.apache.spark.sql.Encoders.DOUBLE)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_states")
+    df.groupBy("g").agg(stateAgg(col("v")).as("st"))
+      .write.mode("overwrite").parquet(s"$tmp/st")
+    val stored = spark.read.parquet(s"$tmp/st")
+    // the stored struct is a faithful state: k/n round-trip
+    val ns = stored.select(col("st.k"), col("st.n"))
+      .as[(Int, Long)].collect()
+    assert(ns.forall(_._1 == K) && ns.map(_._2).sum == 30000L)
+    val mergeAgg = udaf(new Quantiles.KllMergeSummary())
+    val merged = stored.agg(mergeAgg(col("st.k"), col("st.n"),
+      col("st.varSum"), col("st.nCompactions"), col("st.levels")).as("s"))
+      .select(col("s.n"), col("s.varSum"), col("s.values"), col("s.weights"))
+      .as[(Long, Double, Seq[Double], Seq[Long])].head()
+    val summ = Quantiles.KllSummary(merged._1, merged._2, merged._3, merged._4)
+    assert(summ.n == 30000L) // additive through the store
+    val bound = Quantiles.rankBound(summ.varSum)
+    Seq(0.1, 0.5, 0.9).foreach { p =>
+      val q = Quantiles.quantile(summ, p)
+      val est = Quantiles.estRank(summ, q)
+      val exact = rows.count(_._2 <= q).toLong
+      assert(math.abs(est - exact) <= bound,
+        s"phi=$p: |$est - $exact| > $bound")
+    }
+    assert(bound < 3000, s"bound should be useful, got $bound")
+  }
 }

@@ -22,9 +22,10 @@ class SelfCheckRollupSpec extends AnyFunSuite {
     val expected = Set("d15_semantic_dedup_blocked", "q33_approx_sketches",
       "q48_hll_merge", "s02_ann_lsh", "s05_ann_ivf_lloyd", "s06_ann_pq",
       "s07_ann_ivfpq", "s09_pca_project", "s10_ann_pca_rerank",
+      "s12_ann_index_serve",
       "t18_bpe_tokenize", "p07_tokenize_pack_pipeline", "t19_heavy_hitters",
       "t20_kll_quantiles", "t21_reservoir_sample", "t22_theta_set_ops",
-      "t24_topk_weighted", "t25_histogram")
+      "t24_topk_weighted", "t25_histogram", "t27_kll_state_merge")
     assert(rows.keySet == expected, s"entries: ${rows.keySet}")
     rows.foreach { case (name, pass) => assert(pass, s"$name self-check failed") }
   }
