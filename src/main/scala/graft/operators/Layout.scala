@@ -82,6 +82,35 @@ object Layout {
     (before.size, parquetFiles(root).size)
   }
 
+  /** Partition-expiry retention — the `ALTER TABLE … DROP PARTITION`
+    * companion of the reference's `PARTITION BY toYYYYMM(insert_date)`
+    * layout (K4) and the lake-side analogue of ClickHouse table TTL:
+    * drop every partition directory of `partCol` whose value sorts
+    * STRICTLY BELOW `cutoff` (string comparison — correct for the
+    * zero-padded `yyyyMM`/`yyyy-MM-dd` partition value shapes this
+    * engine writes, where lexicographic = chronological). METADATA-ONLY:
+    * directories unlink without reading a row, so expiring a month of a
+    * 100 TB table costs file-system calls, not a scan — the whole point
+    * of date-partitioned layout. The same age-based policy as the
+    * reference's archive retention (`pkg/fileio/io.go` prune, S2),
+    * applied to the analytical store.
+    *
+    * Returns the dropped partition values (empty when nothing expired).
+    */
+  def dropExpiredPartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, partCol: String, cutoff: String): Seq[String] = {
+    val (filesystem, root) = fs(spark, dir)
+    if (!filesystem.exists(root)) return Seq.empty
+    val prefix = s"$partCol="
+    val expired = filesystem.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+      .filter { case (_, v) => v < cutoff }
+      .sortBy(_._2)
+    expired.foreach { case (p, _) => filesystem.delete(p, true) }
+    expired.map(_._2)
+  }
+
   // ---- versioned publish (dataset snapshots) -----------------------------
   //
   // Training-data pipelines need REPRODUCIBLE corpus versions: "model X

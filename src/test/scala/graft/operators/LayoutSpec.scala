@@ -66,6 +66,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(partsRead == 1, s"expected 1 partition scanned, got $partsRead")
   }
 
+  test("dropExpiredPartitions unlinks only sub-cutoff months, metadata-only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttl").toString + "/t"
+    val rows = Seq(
+      (1L, "202311", 10), (2L, "202312", 20),
+      (3L, "202401", 30), (4L, "202402", 40))
+      .toDF("id", "insert_month", "v")
+    rows.write.partitionBy("insert_month").parquet(tmp)
+    val dropped = Layout.dropExpiredPartitions(spark, tmp, "insert_month", "202401")
+    assert(dropped == Seq("202311", "202312"))
+    val left = spark.read.parquet(tmp)
+      .select("id").as[Long].collect().sorted
+    assert(left.sameElements(Array(3L, 4L)))
+    // idempotent + boundary: the cutoff month itself survives
+    assert(Layout.dropExpiredPartitions(spark, tmp, "insert_month", "202401").isEmpty)
+    // missing dir is a no-op, not a crash
+    assert(Layout.dropExpiredPartitions(spark, s"$tmp/__nope", "m", "1").isEmpty)
+  }
+
   test("compact merges small files without losing rows; no-op when already compact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
     val dir = s"$tmp/table"
