@@ -612,8 +612,12 @@ object Bench {
         // running frames now, must sit in the linear band). The probe
         // EARNED ITS KEEP on first run (r12): it read 5.7×, fresh-JVM
         // isolation confirmed 7.1× — the AQE-coalesced single-task grid
-        // pipeline, fixed in resampleInterpolate (trap note there;
-        // post-fix isolated ratio 1.65×); q90 collapses
+        // pipeline, fixed in resampleInterpolate (trap note there).
+        // POST-FIX band: isolated BenchOne protocol reads 1.65×
+        // (1.87 s → 3.08 s); the IN-BENCH ratio reads higher (~4.6×)
+        // only because the fix also cut the 1× DENOMINATOR 3×
+        // (2.36 → 0.74 s, fixed overhead now dominating it) — judge the
+        // absolute 10× leg, which fell 13.5 → 3.4 s; q90 collapses
         // to the bounded value domain then one window (the q81
         // Mann-Whitney shape — flat-ish as the domain saturates); q89
         // reads the amplified ORDERS table: fixed month/day domain,
