@@ -985,13 +985,19 @@ object DataOps {
         val queries = emb.where(col("vec_id") % 11 === 3)
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_s12_index").toString + "/idx"
+        // parameters deliberately LIGHTER than s07's (trainIters=1,
+        // no lloyd, nProbe=2): the claim here is serve ≡ in-query
+        // row-for-row — an EQUALITY, true at any quality point — and
+        // s07 already recall-gates the heavy configuration
+        // centroidMod 149 ≈ √n cells at sf0.1 (the textbook IVF
+        // sizing) — also keeps the artifact's directory count sane
         val idx = Similarity.saveIvfPqIndex(emb, tmp,
-          m = 8, kCodes = 16, trainIters = 2, lloydIters = 2)
+          m = 8, kCodes = 16, trainIters = 1, centroidMod = 149)
         val served = Similarity.servedIvfPqTopK(s, tmp, queries,
-          k = 5, nProbe = 4, refine = 32, refineCorpus = Some(emb))
+          k = 5, nProbe = 2, refine = 16, refineCorpus = Some(emb))
           .withColumnRenamed("neighbor_id", "served_id")
         val inq = Similarity.ivfPqTopK(emb, queries, idx.model,
-          k = 5, nProbe = 4, lloydIters = 2, refine = 32)
+          k = 5, nProbe = 2, centroidMod = 149, refine = 16)
           .withColumnRenamed("neighbor_id", "inq_id")
         served.join(inq, Seq("query_id", "rank"), "full_outer")
           .agg(count(lit(1)).as("n_rows"),
