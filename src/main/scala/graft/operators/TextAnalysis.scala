@@ -220,6 +220,48 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** Tracking-parameter names dropped by [[canonicalizeUrl]] — the
+    * CommonCrawl/ad-tech set (utm_* campaign tags, click ids, bare ref).
+    * Alternation of simple literals, engine-portable like the PII
+    * patterns above.
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+  /** URL canonicalization — the normalize-before-dedup step every
+    * web-scrape pipeline runs ahead of exact/URL-level dedup (the same
+    * page arrives as `HTTP://Site.com/a/?utm_source=x&b=1#top` and
+    * `http://site.com/a?b=1`): drop the fragment, lowercase scheme and
+    * host, strip explicit default ports (:80/:443), collapse repeated
+    * trailing slashes (bare host → "/"), drop tracking parameters
+    * ([[TrackingParamPattern]]) and empty pairs, SORT the surviving
+    * query parameters, rejoin. Map-only column expressions (regex +
+    * array HOFs, codegen'd, zero UDFs); every regex is the portable
+    * subset (no lookarounds/backrefs) so the DuckDB oracle mirrors it
+    * token-for-token.
+    *
+    * Contract: absolute `scheme://host...` URLs (the access-log /
+    * crawl-frontier shape); pre-filter malformed rows — component
+    * extraction on a URL with no scheme is not defined here.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), ":(80|443)$", "")
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val rawPath = regexp_replace(
+      regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
   /** Corpus vocabulary: top-k terms by total occurrences (tf) with
     * document frequency (df) — the corpus-statistics pass behind tokenizer
     * training, stopword induction, and IDF tables.

@@ -3121,5 +3121,83 @@ object DataOps {
       "ClickHouse -State/-Merge on the approximate family: per-day KLL " +
         "sketch states persisted to parquet and re-merged to week " +
         "summaries; n exactly additive through the store, Hoeffding rank " +
-        "bound re-proved against exact ranks from the same scan"))
+        "bound re-proved against exact ranks from the same scan"),
+
+    // t28: URL canonicalization — the normalize-before-dedup step of
+    // every web-scrape pipeline (the same page arrives with case-shuffled
+    // scheme/host, default ports, trailing slashes, tracking params, and
+    // fragments). Deterministic messy URLs synthesized from events;
+    // the rollup counts how many raw variants collapse per canonical
+    // URL. Every regex is anchored/single-match and the param
+    // filter+sort is plain list algebra — mirrored step-for-step in the
+    // oracle.
+    "t28_url_canonicalize" -> Q(
+      (s, dir) => {
+        val raw = t(s, dir, "events").select(concat(
+          when(col("event_id") % 2 === 0, lit("HTTP://"))
+            .otherwise(lit("https://")),
+          lit("Shop"), (col("user_id") % 7).cast("string"),
+          lit(".Example.COM"),
+          when(col("event_id") % 6 === 0, lit(":80")).otherwise(lit("")),
+          lit("/p/"), (col("event_id") % 500).cast("string"),
+          when(col("event_id") % 5 === 0, lit("//")).otherwise(lit("")),
+          lit("?b=2&utm_source=x"),
+          when(col("event_id") % 4 === 0, lit("&a=1")).otherwise(lit("")),
+          when(col("event_id") % 7 === 0, lit("&fbclid=zz")).otherwise(lit("")),
+          when(col("event_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+        raw.select(col("url"),
+            TextAnalysis.canonicalizeUrl(col("url")).as("url_canon"))
+          .groupBy(col("url_canon"))
+          .agg(count(lit(1)).as("n_raw"),
+            count_distinct(col("url")).as("n_variants"),
+            min(col("url")).as("example"))
+      },
+      Some("""WITH raw AS (SELECT
+             |  CASE WHEN event_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
+             |  || 'Shop' || CAST(user_id % 7 AS VARCHAR) || '.Example.COM'
+             |  || CASE WHEN event_id % 6 = 0 THEN ':80' ELSE '' END
+             |  || '/p/' || CAST(event_id % 500 AS VARCHAR)
+             |  || CASE WHEN event_id % 5 = 0 THEN '//' ELSE '' END
+             |  || '?b=2&utm_source=x'
+             |  || CASE WHEN event_id % 4 = 0 THEN '&a=1' ELSE '' END
+             |  || CASE WHEN event_id % 7 = 0 THEN '&fbclid=zz' ELSE '' END
+             |  || CASE WHEN event_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+             |FROM events),
+             |s1 AS (SELECT url, regexp_replace(trim(url), '#.*$', '') AS nofrag
+             |       FROM raw),
+             |s2 AS (SELECT url,
+             |         lower(regexp_extract(nofrag,
+             |           '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             |         regexp_replace(nofrag,
+             |           '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+             |       FROM s1),
+             |s3 AS (SELECT url, scheme,
+             |         regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+             |           ':(80|443)$', '') AS host,
+             |         regexp_replace(rest, '^[^/?]*', '') AS pathq
+             |       FROM s2),
+             |s4 AS (SELECT url, scheme, host,
+             |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+             |           '/+$', '') AS rawpath,
+             |         regexp_extract(pathq, '\?(.*)$', 1) AS query
+             |       FROM s3),
+             |s5 AS (SELECT url, scheme, host,
+             |         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             |         array_to_string(list_sort(
+             |           [p FOR p IN string_split(query, '&')
+             |            IF p <> '' AND NOT regexp_matches(p,
+             |              '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)=')]),
+             |           '&') AS q
+             |       FROM s4),
+             |c AS (SELECT url, scheme || '://' || host || path ||
+             |        CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon
+             |      FROM s5)
+             |SELECT url_canon, count(*) AS n_raw,
+             |  count(DISTINCT url) AS n_variants, min(url) AS example
+             |FROM c GROUP BY url_canon""".stripMargin),
+      "URL canonicalization (web-scrape dedup prep): fragment/case/" +
+        "default-port/trailing-slash/tracking-param normalization with " +
+        "sorted query params — map-only portable regex + list algebra, " +
+        "variant-collapse rollup"))
 }

@@ -238,4 +238,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     // all four GET lines (batches 1-3, any status) share one template
     assert(got("<*> GET <*> <*>") == 4L && got("worker started") == 2L)
   }
+
+  test("canonicalizeUrl: hand-checked normalization cases") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // case + fragment + tracking + param order + default port
+      ("HTTP://Shop.Example.COM:80/p/1/?b=2&utm_source=x&a=1#frag",
+        "http://shop.example.com/p/1?a=1&b=2"),
+      // bare host → "/", https default port, click ids and bare ref drop
+      ("https://Host.com:443?fbclid=zz&gclid=q&ref=tw",
+        "https://host.com/"),
+      // repeated trailing slashes collapse; empty pairs drop; kept
+      // params sort; non-default port SURVIVES
+      ("https://h.io:8080/a/b///?z=9&&m=1", "https://h.io:8080/a/b?m=1&z=9"),
+      // already canonical is a fixpoint
+      ("https://h.io/a?m=1&z=9", "https://h.io/a?m=1&z=9"),
+      // utm params drop wherever they sit; query gone → no '?'
+      ("http://h.io/x?utm_campaign=c&utm_medium=m", "http://h.io/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"$in → $g, want $want")
+    }
+    // idempotence: canonicalize(canonicalize(u)) == canonicalize(u)
+    val twice = cases.map(_._2).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(twice == cases.map(_._2))
+  }
 }
