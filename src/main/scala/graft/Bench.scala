@@ -625,13 +625,14 @@ object Bench {
         // exchange is constant and the ratio must track the scan alone
         "q86_time_to_convert", "q87_moving_aggregates", "q88_interpolate",
         "q89_sparkbar", "q90_auc",
-        // d23 (new r12): per-doc window-hash chunking is map-only and the
-        // inventory exchange carries only 16-byte keys. ENVELOPE NOTE:
-        // the suffixed replication grows CHARS 14.9× at 10× docs (every
-        // replica token gains '_rN', measured over the corpus), and CDC
-        // work is per-char — the first probe read 6.16× against that
-        // 14.9× input growth, i.e. sublinear in the operator's own unit;
-        // read this entry's ratio against ~15, not ~10
+        // d23 (new r12): per-doc chunking is map-only and the inventory
+        // exchange carries only 16-byte keys. ENVELOPE NOTE: the suffixed
+        // replication grows CHARS 14.9× at 10× docs (every replica token
+        // gains '_rN'), and CDC work is per-char — read the ratio against
+        // ~15, not ~10. History: the first HOF-tree implementation probed
+        // 6.2× (sublinear in chars already); the GearCuts rolling kernel
+        // (same cut set, one codegen'd loop) took the legs from
+        // 1.9 s/11.6 s to 1.2 s/2.0 s — fixed costs now dominate both
         "d23_cdc_chunks",
         // r12 additions: q92 is one user-keyed sorted collect + in-row
         // quartile arithmetic (the funnel envelope); q93's /8-bucket

@@ -408,4 +408,74 @@ object Kernels {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Gear-hash content-defined cut positions (the [[graft.operators
+    * .Dedup.cdcChunks]] kernel): the TRUE rolling recurrence
+    * `h = (h << 1) + code·mult`, cutting after 1-based position p
+    * (never the last) when the low `maskBits` bits of h are all ones.
+    * Equivalent by construction to the fixed-width windowed form the
+    * operator documents (bit k of h sees only the last k+1 characters),
+    * but O(1) per character instead of a maskBits-term expression tree.
+    * Positions are CODEPOINT indices — identical to the DuckDB oracle's
+    * character positions, and to the byte offsets on the ASCII corpus
+    * contract the dedup family states; the ASCII fast path walks the
+    * UTF-8 bytes zero-alloc.
+    */
+  def gearCuts(s: UTF8String, maskBits: Int, mult: Long): ArrayData =
+    gearCutsBounded(s, maskBits, mult, 1, Int.MaxValue)
+
+  /** [[gearCuts]] with FastCDC min/max-length acceptance: a candidate
+    * only cuts >= minLen past the previous cut; a cut is forced at
+    * maxLen. minLen = 1, maxLen = MaxValue degenerates to the pure form.
+    */
+  def gearCutsBounded(s: UTF8String, maskBits: Int, mult: Long,
+      minLen: Int, maxLen: Int): ArrayData = {
+    val mask = (1L << maskBits) - 1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var ascii = true
+    var i = 0
+    while (i < len && ascii) {
+      if (Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      val out = new Array[Int](len)
+      var n = 0
+      var h = 0L
+      var anchor = 0
+      var p = 0
+      while (p < len) {
+        h = (h << 1) + (Platform.getByte(base, off + p).toLong & 0xFFL) * mult
+        val pos = p + 1
+        val gap = pos - anchor
+        if (pos < len &&
+          (gap >= maxLen || (gap >= minLen && (h & mask) == mask))) {
+          out(n) = pos; n += 1; anchor = pos
+        }
+        p += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+    } else {
+      val cps = s.toString.codePoints().toArray
+      val total = cps.length
+      val out = new Array[Int](total)
+      var n = 0
+      var h = 0L
+      var anchor = 0
+      var p = 0
+      while (p < total) {
+        h = (h << 1) + cps(p).toLong * mult
+        val pos = p + 1
+        val gap = pos - anchor
+        if (pos < total &&
+          (gap >= maxLen || (gap >= minLen && (h & mask) == mask))) {
+          out(n) = pos; n += 1; anchor = pos
+        }
+        p += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+    }
+  }
 }

@@ -299,4 +299,36 @@ object VectorExprs {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Gear-hash content-defined cut positions (array<int>, 1-based, never
+    * the last) — see [[Kernels.gearCutsBounded]]; minLen = 1 and
+    * maxLen = MaxValue give the pure content-defined form. Replaces a
+    * maskBits-term per-character HOF expression tree with one rolling
+    * byte/codepoint loop inside whole-stage codegen.
+    */
+  case class GearCuts(child: Expression, maskBits: Int, mult: Long,
+      minLen: Int, maxLen: Int) extends UnaryExpression {
+    require(maskBits >= 1 && maskBits <= 16 && minLen >= 1 && maxLen >= minLen)
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "gear_cuts"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.gearCutsBounded(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        maskBits, mult, minLen, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.gearCutsBounded($s, $maskBits, ${mult}L, $minLen, $maxLen);")
+
+    override protected def withNewChildInternal(newChild: Expression): GearCuts =
+      copy(child = newChild)
+  }
+
+  def gearCuts(normalizedText: Column, maskBits: Int, mult: Long,
+      minLen: Int = 1, maxLen: Int = Int.MaxValue): Column =
+    ColumnBridge.column(GearCuts(ColumnBridge.expression(normalizedText),
+      maskBits, mult, minLen, maxLen))
 }
