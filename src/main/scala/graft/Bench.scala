@@ -53,6 +53,7 @@ object Bench {
     "q85_event_flow", "q86_time_to_convert", "q87_moving_aggregates",
     "q88_interpolate", "q89_sparkbar", "q90_auc",
     "q91_funnel_sql", "q92_tukey_outliers", "q93_ip_trie_lookup",
+    "q94_anova", "q95_group_array_intersect", "t28_url_canonicalize",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
