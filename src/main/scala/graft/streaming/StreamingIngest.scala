@@ -88,11 +88,24 @@ object StreamingIngest {
   /** K2 (native): Kafka producer sink over the same wire client — the
     * producer half of the reference's KafkaLog
     * (`internal/services/kafkalog/client.go:62-98`: lines batched to a
-    * topic, leader-acked). Each Spark partition produces to one Kafka
-    * partition (spark partition id mod partition count) in
-    * `produceBatch`-sized leader-acked requests; a broker error fails the
-    * batch, so checkpoint + replay give at-least-once, the reference's
-    * own envelope.
+    * topic, leader-acked). Partition routing is selected by `balancer`:
+    *
+    *   - `"spark_partition"` (default) — each Spark partition produces to
+    *     one Kafka partition (spark partition id mod partition count);
+    *     this sink's original mapping, one leader connection per task.
+    *   - `"round_robin"` / `"least_bytes"` / `"hash"` /
+    *     `"reference_hash"` — the reference's per-record balancers
+    *     (`opt.go:47-61`, kafka-go semantics re-derived in
+    *     [[graft.sources.KafkaBalancer]]; unknown names fall back to
+    *     least_bytes exactly like the reference's `Balancer.Match`).
+    *     Keyed balancers read the key from `keyExpr` (a SQL expression
+    *     over the input columns, cast to STRING; absent/null keys hash
+    *     as empty). Records buffer per target partition and flush in
+    *     `produceBatch`-sized leader-acked requests; leader connections
+    *     are opened once per task and cached by (host, port).
+    *
+    * A broker error fails the batch, so checkpoint + replay give
+    * at-least-once, the reference's own envelope, in every mode.
     */
   def kafkaLiteSink(lines: DataFrame, brokers: String, topic: String,
       checkpoint: String, produceBatch: Int = 500,
@@ -100,11 +113,19 @@ object StreamingIngest {
       produceCodec: String = "none",
       saslUser: Option[String] = None,
       saslPass: Option[String] = None,
-      saslMechanism: String = "PLAIN"): DataStreamWriter[org.apache.spark.sql.Row] = {
+      saslMechanism: String = "PLAIN",
+      balancer: String = "spark_partition",
+      keyExpr: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     val codecId = graft.sources.KafkaWire.codecId(produceCodec) // validate up front
     require(saslMechanism == "PLAIN" || saslMechanism == "SCRAM-SHA-256",
       s"kafka-lite saslMechanism must be 'PLAIN' or 'SCRAM-SHA-256', got '$saslMechanism'")
-    lines.selectExpr("CAST(value AS STRING) AS value")
+    val projected = keyExpr match {
+      case Some(k) => lines.selectExpr(s"CAST(($k) AS STRING) AS key",
+        "CAST(value AS STRING) AS value")
+      case None => lines.selectExpr("CAST(NULL AS STRING) AS key",
+        "CAST(value AS STRING) AS value")
+    }
+    projected
       .where(col("value").isNotNull)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -113,24 +134,55 @@ object StreamingIngest {
         val wireDialect = graft.sources.KafkaWire.Dialect(dialect)
         batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.hasNext) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
             val boot = new graft.sources.KafkaLiteClient(host, port, dialect = wireDialect,
               saslUser = saslUser, saslPass = saslPass, saslMechanism = saslMechanism)
-            try {
-              val metas = boot.partitionsOf(topic)
-              val m = metas(pid % metas.size)
-              val leader =
-                if (m.leaderHost == host && m.leaderPort == port) boot
-                else new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort,
+            val extra = scala.collection.mutable.Map.empty[(String, Int),
+              graft.sources.KafkaLiteClient]
+            def clientFor(m: graft.sources.KafkaWire.PartitionMeta) =
+              if (m.leaderHost == host && m.leaderPort == port) boot
+              else extra.getOrElseUpdate((m.leaderHost, m.leaderPort),
+                new graft.sources.KafkaLiteClient(m.leaderHost, m.leaderPort,
                   dialect = wireDialect, saslUser = saslUser, saslPass = saslPass,
-                  saslMechanism = saslMechanism)
-              try rows.grouped(produceBatch).foreach { group =>
-                leader.produce(topic, m.partition,
-                  group.map(r => (null: Array[Byte],
-                    r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))),
-                  codec = codecId)
-              } finally if (leader ne boot) leader.close()
-            } finally boot.close()
+                  saslMechanism = saslMechanism))
+            def bytesOf(r: org.apache.spark.sql.Row): (Array[Byte], Array[Byte]) = {
+              val key = if (r.isNullAt(0)) null
+                else r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              (key, r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            try {
+              // sorted partition-id order: balancers index the same list
+              // kafka-go balances over (the topic's partitions ascending)
+              val metas = boot.partitionsOf(topic).sortBy(_.partition)
+              if (balancer == "spark_partition") {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                val m = metas(pid % metas.size)
+                val leader = clientFor(m)
+                rows.grouped(produceBatch).foreach { group =>
+                  leader.produce(topic, m.partition, group.map(bytesOf), codec = codecId)
+                }
+              } else {
+                val bal = graft.sources.KafkaBalancer(balancer)
+                val bufs = Array.fill(metas.size)(
+                  scala.collection.mutable.ArrayBuffer
+                    .empty[(Array[Byte], Array[Byte])])
+                def flush(i: Int): Unit = if (bufs(i).nonEmpty) {
+                  clientFor(metas(i)).produce(topic, metas(i).partition,
+                    bufs(i).toSeq, codec = codecId)
+                  bufs(i).clear()
+                }
+                rows.foreach { r =>
+                  val (key, value) = bytesOf(r)
+                  val sz = (if (key == null) 0 else key.length) + value.length
+                  val i = bal.pick(key, sz, metas.size)
+                  bufs(i) += ((key, value))
+                  if (bufs(i).size >= produceBatch) flush(i)
+                }
+                bufs.indices.foreach(flush)
+              }
+            } finally {
+              extra.values.foreach(_.close())
+              boot.close()
+            }
           }
         }
       }

@@ -641,4 +641,97 @@ class KafkaLiteSpec extends AnyFunSuite {
       broker.stop()
     }
   }
+
+  test("producer balancers: FNV-1a vectors, hash/reference mappings, " +
+    "least-bytes accounting, round robin, reference fallback") {
+    // Published FNV-1a/32 test vectors (Fowler/Noll/Vo)
+    assert(KafkaBalancer.fnv1a32(utf8("")) == 0x811c9dc5)
+    assert(KafkaBalancer.fnv1a32(null) == 0x811c9dc5) // null key ≡ empty
+    assert(KafkaBalancer.fnv1a32(utf8("a")) == 0xe40c292c)
+    assert(KafkaBalancer.fnv1a32(utf8("foobar")) == 0xbf9cf968)
+
+    // The two hash mappings DIVERGE (the int32-cast-vs-mask difference the
+    // kafka-go comment warns about): h("") = 0x811c9dc5 is negative as
+    // int32 (−2128831035 → fold → 5 mod 10); masked it is 18652613 → 3.
+    assert(new KafkaBalancer.Hash().pick(utf8(""), 0, 10) == 5)
+    assert(new KafkaBalancer.ReferenceHash().pick(utf8(""), 0, 10) == 3)
+    // stateless + key-stable
+    val h = new KafkaBalancer.Hash()
+    assert(h.pick(utf8("user-42"), 7, 3) == h.pick(utf8("user-42"), 99, 3))
+
+    // least_bytes: ties break low, counters steer to the lightest
+    val lb = new KafkaBalancer.LeastBytes()
+    assert(lb.pick(null, 100, 3) == 0) // all-zero tie → 0
+    assert(lb.pick(null, 1, 3) == 1)   // 0 now carries 100
+    assert(lb.pick(null, 1, 3) == 2)
+    assert(lb.pick(null, 1, 3) == 1)   // 1 and 2 carry 1 < 100 → low tie
+    assert(lb.pick(null, 200, 3) == 2)
+    assert(lb.pick(null, 1, 3) == 1)   // 2 jumped past 1
+
+    val rr = new KafkaBalancer.RoundRobin()
+    assert((0 until 6).map(_ => rr.pick(null, 1, 3)) == Seq(0, 1, 2, 0, 1, 2))
+
+    // the reference's Balancer.Match falls back to least_bytes on any
+    // unknown name — mirrored
+    assert(KafkaBalancer("bogus").isInstanceOf[KafkaBalancer.LeastBytes])
+  }
+
+  test("hash-balanced sink routes records by key; same key → same partition (K2)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val broker = new KafkaStubBroker(numPartitions = 3)
+    val port = broker.start()
+    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_bal_cp").toString
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingIngest.kafkaLiteSink(
+      stream.toDF().toDF("k", "value"), s"127.0.0.1:$port", "keyed", cp,
+      balancer = "hash", keyExpr = Some("k")).start()
+    try {
+      val keys = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      val lines = for (k <- keys; i <- 1 to 20) yield (k, s"$k msg $i")
+      stream.addData(lines: _*)
+      q.processAllAvailable()
+      val landed = (0 until 3).map(p => broker.stringKeyedValues("keyed", p))
+      // everything arrived, exactly once, WITH its key on the wire
+      assert(landed.flatten.sorted == lines.map { case (k, v) => (k, v) }.sorted)
+      // every key sits in exactly one partition, and it is the one the
+      // balancer computes (partition list is 0,1,2 ascending)
+      keys.foreach { k =>
+        val expected = new KafkaBalancer.Hash().pick(utf8(k), 0, 3)
+        val at = landed.indices.filter(p => landed(p).exists(_._1 == k))
+        assert(at == Seq(expected), s"key $k landed at $at, expected $expected")
+      }
+      // sanity: the 5 keys actually exercise >1 partition
+      assert(landed.count(_.nonEmpty) >= 2)
+    } finally {
+      q.stop()
+      broker.stop()
+    }
+  }
+
+  test("least_bytes-balanced sink spreads equal-size keyless records evenly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val broker = new KafkaStubBroker(numPartitions = 3)
+    val port = broker.start()
+    val cp = java.nio.file.Files.createTempDirectory("graft_kafka_lb_cp").toString
+    val stream = MemoryStream[String]
+    // one task so ONE balancer instance owns all 99 records — the
+    // per-task-counters contract is what makes the split exact
+    val q = StreamingIngest.kafkaLiteSink(
+      stream.toDF().toDF("value").repartition(1), s"127.0.0.1:$port",
+      "spread", cp, balancer = "least_bytes").start()
+    try {
+      val lines = (1 to 99).map(i => f"payload $i%03d") // equal byte size
+      stream.addData(lines: _*)
+      q.processAllAvailable()
+      val counts = (0 until 3).map(p => broker.size("spread", p))
+      assert(counts == Seq(33, 33, 33), s"got $counts")
+      assert((0 until 3).flatMap(p => broker.stringValues("spread", p)).sorted
+        == lines.sorted)
+    } finally {
+      q.stop()
+      broker.stop()
+    }
+  }
 }

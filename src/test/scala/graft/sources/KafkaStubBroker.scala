@@ -114,6 +114,17 @@ class KafkaStubBroker(numPartitions: Int = 2, host: String = "127.0.0.1",
     l.synchronized(l.map(kv => new String(kv._2, java.nio.charset.StandardCharsets.UTF_8)).toSeq)
   }
 
+  /** (key, value) pairs of one partition's log as strings (null key →
+    * null) — keyed-balancer spec assertions.
+    */
+  def stringKeyedValues(topic: String, partition: Int): Seq[(String, String)] = {
+    val l = log(topic, partition)
+    l.synchronized(l.map { case (k, v) =>
+      (if (k == null) null else new String(k, java.nio.charset.StandardCharsets.UTF_8),
+        new String(v, java.nio.charset.StandardCharsets.UTF_8))
+    }.toSeq)
+  }
+
   def size(topic: String, partition: Int): Int = {
     val l = log(topic, partition)
     l.synchronized(l.size)
