@@ -867,33 +867,40 @@ object Dedup {
     * duplication is sparse, the common web-corpus case), and the
     * paragraph arrays are rebuilt in place with a positional HOF filter.
     */
+  /** Shared (doc_id, paras) segmentation for the paragraph-level family
+    * ([[paragraphDedup]], [[boilerplateStrip]]): fixed token blocks when
+    * `block > 0`, regex-delimited paragraphs (each normalized) otherwise.
+    */
+  private def paragraphBase(docs: DataFrame, textCol: String, idCol: String,
+      block: Int, delim: String): DataFrame =
+    if (block > 0) {
+      // fixed token-block paragraphs; fences keep the normalize regex
+      // and the split from being inlined (and re-evaluated) into the
+      // per-block lambda below — see shinglesFromToks for the measured
+      // O(|doc|²) failure mode this avoids
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
+        .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
+        .withColumn("paras", filter(
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(col("toks")) / lit(block.toDouble)).cast("int"),
+                lit(1)) - 1),
+            i => array_join(slice(col("toks"), i * block + 1, lit(block)), " ")),
+          p => p =!= lit("")))
+        .select("doc_id", "paras")
+    } else {
+      docs.select(col(idCol).as("doc_id"),
+        filter(transform(split(col(textCol), delim), p => normalize(p)),
+          p => p =!= lit("")).as("paras"))
+    }
+
   def paragraphDedup(
       docs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       block: Int = 0, delim: String = "\\n{2,}",
       joinWith: String = "\n\n"): DataFrame = {
-    val base =
-      if (block > 0) {
-        // fixed token-block paragraphs; fences keep the normalize regex
-        // and the split from being inlined (and re-evaluated) into the
-        // per-block lambda below — see shinglesFromToks for the measured
-        // O(|doc|²) failure mode this avoids
-        docs.select(col(idCol).as("doc_id"),
-          graft.functions.OptimizerFence(normalize(col(textCol))).as("norm"))
-          .withColumn("toks", graft.functions.OptimizerFence(split(col("norm"), " ")))
-          .withColumn("paras", filter(
-            transform(
-              sequence(lit(0),
-                greatest(ceil(size(col("toks")) / lit(block.toDouble)).cast("int"),
-                  lit(1)) - 1),
-              i => array_join(slice(col("toks"), i * block + 1, lit(block)), " ")),
-            p => p =!= lit("")))
-          .select("doc_id", "paras")
-      } else {
-        docs.select(col(idCol).as("doc_id"),
-          filter(transform(split(col(textCol), delim), p => normalize(p)),
-            p => p =!= lit("")).as("paras"))
-      }
+    val base = paragraphBase(docs, textCol, idCol, block, delim)
     // occurrences: only (hash, id, pos) ever leaves the scan stage
     val occ = base.select(col("doc_id"), posexplode(col("paras")))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
@@ -904,6 +911,44 @@ object Dedup {
     val cuts = occ.join(dup.select("h", "first"), Seq("h"))
       .where(col("doc_id") =!= col("first.doc_id") ||
         col("pos") =!= col("first.pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cut"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("paras"),
+          (p, i) => !coalesce(array_contains(col("cut"), i), lit(false))),
+          joinWith).as("clean_text"),
+        when(col("cut").isNull, 0L)
+          .otherwise(size(col("cut")).cast("long")).as("n_removed"))
+  }
+
+  /** Boilerplate stripping — the corpus-level REMOVAL complement of
+    * [[paragraphDedup]] (CCNet §3.1 / RefinedWeb line-wise filtering):
+    * a paragraph appearing in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, subscribe footers) and is cut
+    * from EVERY document — including the first occurrence, which dedup
+    * would keep. Repetition inside one document does not count toward the
+    * threshold (an intra-doc refrain is repetition, not boilerplate;
+    * [[duplicatedSpans]]/intra-doc entries own that case).
+    *
+    * Output: (doc_id, clean_text, n_removed) — same contract as
+    * [[paragraphDedup]], same scale shape: only (hash, id, pos) leaves
+    * the scan stage, the ubiquity count is one map-side-combined
+    * aggregate over the paragraph-hash domain, and document text is
+    * touched exactly once (the final assembly join is on doc_id).
+    */
+  def boilerplateStrip(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      block: Int = 0, delim: String = "\\n{2,}",
+      joinWith: String = "\n\n", minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = paragraphBase(docs, textCol, idCol, block, delim)
+    val occ = base.select(col("doc_id"), posexplode(col("paras")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val ubiquitous = occ.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    val cuts = occ.join(ubiquitous.select("h"), Seq("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cut"))
     base.join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"),

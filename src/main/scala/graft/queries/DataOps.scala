@@ -568,6 +568,60 @@ object DataOps {
         "inventory over shifted near-dup corpus; boundaries re-sync " +
         "past edits, only 16-byte chunk keys shuffle"),
 
+    // d24: boilerplate stripping (CCNet §3.1 / RefinedWeb line-wise
+    // filtering) — the REMOVAL complement of d22's dedup: a paragraph in
+    // ≥ minDocs distinct documents is cut from every document, first
+    // occurrence included. Synthetic corpus: every even doc gains a
+    // newsletter footer paragraph (ubiquitous → stripped everywhere);
+    // docs 1 and 3 share a rare paragraph (2 docs < minDocs=3 →
+    // SURVIVES) — the differential that separates strip from dedup.
+    "d24_boilerplate_strip" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0,
+              lit("\n\nSubscribe to our newsletter for DAILY updates"))
+              .otherwise(lit("")),
+            when(col("doc_id").isin(1, 3),
+              lit("\n\nRare promo paragraph")).otherwise(lit("")))
+            .as("text"))
+        Dedup.boilerplateStrip(docs, minDocs = 3)
+      },
+      Some("""WITH d2 AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN chr(10)||chr(10)||'Subscribe to our newsletter for DAILY updates'
+             |      ELSE '' END ||
+             |    CASE WHEN doc_id IN (1, 3)
+             |      THEN chr(10)||chr(10)||'Rare promo paragraph'
+             |      ELSE '' END AS text
+             |  FROM documents),
+             |pa AS (SELECT doc_id,
+             |        [q FOR q IN
+             |          [trim(regexp_replace(lower(p), '\s+', ' ', 'g'))
+             |           FOR p IN regexp_split_to_array(text, '\n{2,}')]
+             |         IF q <> ''] AS paras
+             |       FROM d2),
+             |occ AS (SELECT doc_id, unnest(ps, recursive := true) FROM (
+             |        SELECT doc_id, [{'pos': i - 1, 'para': paras[i]}
+             |                        FOR i IN generate_series(1, len(paras))] AS ps
+             |        FROM pa)),
+             |ubiq AS (SELECT para FROM occ
+             |         GROUP BY para HAVING count(DISTINCT doc_id) >= 3),
+             |cuts AS (SELECT o.doc_id, list(DISTINCT o.pos) AS cut
+             |         FROM occ o JOIN ubiq u USING (para)
+             |         GROUP BY o.doc_id)
+             |SELECT a.doc_id,
+             |  coalesce(array_to_string(
+             |    [a.paras[i] FOR i IN generate_series(1, len(a.paras))
+             |     IF NOT list_contains(coalesce(c.cut, []), i - 1)],
+             |    chr(10)||chr(10)), '') AS clean_text,
+             |  CAST(coalesce(len(c.cut), 0) AS BIGINT) AS n_removed
+             |FROM pa a LEFT JOIN cuts c USING (doc_id)""".stripMargin),
+      "boilerplate stripping (CCNet/RefinedWeb): paragraphs in >= minDocs " +
+        "distinct docs cut from every doc, first occurrence included; " +
+        "rare shared paragraphs survive; only (hash, id, pos) shuffles"),
+
     // d21: DSIR-shaped importance weights (see Sampling.dsirWeights for
     // the ln-free integer form). Target = every 7th doc (offset 3) — a
     // deterministic "trusted set" slice whose bigram profile the rest of

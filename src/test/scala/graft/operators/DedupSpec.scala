@@ -261,4 +261,32 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, String, Long)].collect()
     assert(t(0) == ((9L, "solo", 0L)) && t(1) == ((10L, "", 0L)))
   }
+
+  test("boilerplate strip: ubiquitous paragraph cut EVERYWHERE, rare survives, " +
+    "intra-doc repeats don't count toward the doc threshold") {
+    val pdocs = Seq(
+      (0L, "body zero\n\nCookie  Banner Text\n\nrare pair"),
+      (1L, "cookie banner text\n\nbody one\n\nrare pair"),
+      (2L, "body two\n\ncookie banner text"),
+      // doc 3 repeats the refrain TWICE but it appears in only 2 DISTINCT
+      // docs (3 and 4) — under minDocs=3 it must survive in both
+      (3L, "refrain block\n\nmiddle three\n\nrefrain block"),
+      (4L, "refrain block\n\nbody four")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(pdocs, minDocs = 3).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // banner is in 3 distinct docs → cut from all three, FIRST included
+    assert(out(0) == ((0L, "body zero\n\nrare pair", 1L)))
+    assert(out(1) == ((1L, "body one\n\nrare pair", 1L)))
+    assert(out(2) == ((2L, "body two", 1L)))
+    // "rare pair" (2 docs) and "refrain block" (2 distinct docs, one of
+    // them twice) both stay — dedup would have cut the non-first copies
+    assert(out(3) == ((3L, "refrain block\n\nmiddle three\n\nrefrain block", 0L)))
+    assert(out(4) == ((4L, "refrain block\n\nbody four", 0L)))
+    // drop the threshold: minDocs=2 removes the refrain from BOTH docs
+    // and both of doc 3's copies at once
+    val low = Dedup.boilerplateStrip(pdocs, minDocs = 2).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(low(3) == ((3L, "middle three", 2L)))
+    assert(low(4) == ((4L, "body four", 1L)))
+  }
 }

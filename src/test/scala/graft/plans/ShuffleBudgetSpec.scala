@@ -123,6 +123,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // that can carry document text is the single rebuild join
     val n = shuffles(Dedup.paragraphDedup(docs, block = 4))
     assert(n <= 7, s"paragraphDedup planned $n exchanges")
+    // same budget for the removal complement — identical occurrence side,
+    // the ubiquity count replaces the keeper aggregate one-for-one
+    val b = shuffles(Dedup.boilerplateStrip(docs, block = 4, minDocs = 3))
+    assert(b <= 7, s"boilerplateStrip planned $b exchanges")
   }
 
   test("nbClassify: model/label tables broadcast; corpus-side exchange carries per-doc sums") {
