@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching by character n-gram profiles — ClickHouse's
+  * `ngramDistance` / `ngramSearch` family (the fuzzy half of its string
+  * search functions; reference scope: the ClickHouse surface the engine's
+  * users query through, like the q73 IP and q78 geohash families).
+  *
+  * Contract (documented exactly, so the oracle can mirror it): the n-gram
+  * profile of a string is the MULTISET of its overlapping length-`n`
+  * character substrings (positions 1..len−n+1; strings shorter than `n`
+  * have an empty profile). For haystack profile A and needle profile B:
+  *
+  *   - `dist` = (|A| + |B| − 2·|A∩B|) / (|A| + |B|) — multiset
+  *     symmetric difference over total size (ClickHouse's ngramDistance
+  *     shape; 0 = identical profiles, 1 = disjoint).
+  *   - `search` = |A∩B| / |B| — the non-symmetric variant (ClickHouse
+  *     ngramSearch: how much of the NEEDLE is present; insensitive to
+  *     haystack length, the "find fuzzy needle in long doc" mode).
+  *
+  * |A∩B| is the multiset intersection Σ_g min(count_A(g), count_B(g)).
+  * Both statistics are ONE correctly-rounded division over exact
+  * integers (the ksTest/q90 discipline), so they hash-match the DuckDB
+  * oracle bit-for-bit; the integer evidence (na, inter) is emitted
+  * alongside. Case handling is the caller's (wrap in `lower` for the
+  * CaseInsensitive variants, as q96 does).
+  *
+  * Scale shape: strictly map-only. The needle is a LITERAL: its gram
+  * counts fold at plan time into a fixed sum of `min(filter-count, c_g)`
+  * terms over the haystack's gram array — no join, no UDF, all codegen'd
+  * HOFs. Per-row cost O(len · |distinct needle grams|). The gram array
+  * is materialized once per row behind an [[OptimizerFence]] — without
+  * it, CollapseProject would inline (and re-evaluate) the substring
+  * transform into every one of the D filter terms, the measured
+  * O(len·n·D) failure mode the fence exists for.
+  */
+object FuzzyMatch {
+
+  /** Overlapping length-`n` character grams of `c` as an array column
+    * (multiset: occurrences kept, order = position).
+    */
+  def charGrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    transform(
+      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
+      i => c.substr(i, lit(n)))
+  }
+
+  /** Plain-Scala needle profile — the single source of truth shared with
+    * the q96 oracle generator (gram → multiplicity, insertion order by
+    * first occurrence so generated SQL is deterministic).
+    */
+  def needleGramCounts(needle: String, n: Int): Seq[(String, Int)] = {
+    val grams = (0 to needle.length - n).map(i => needle.substring(i, i + n))
+    grams.distinct.map(g => g -> grams.count(_ == g))
+  }
+
+  /** Append (na, inter, dist, search) for `textCol` vs a literal
+    * `needle` (see object doc for the exact statistics). `needle` must
+    * carry at least one gram.
+    */
+  def ngramMatch(df: DataFrame, textCol: String, needle: String,
+      n: Int = 4): DataFrame = {
+    require(needle.length >= n,
+      s"needle must be at least $n chars, got '${needle}'")
+    val counts = needleGramCounts(needle, n)
+    val nb = counts.map(_._2).sum
+    val fenced = df.withColumn("_grams",
+      OptimizerFence(charGrams(col(textCol), n)))
+    val inter = counts.map { case (g, c) =>
+      least(size(filter(col("_grams"), x => x === lit(g))), lit(c))
+    }.reduce(_ + _)
+    fenced
+      .withColumn("na", greatest(length(col(textCol)) - lit(n - 1), lit(0))
+        .cast("long"))
+      .withColumn("inter", inter.cast("long"))
+      .withColumn("dist",
+        (col("na") + lit(nb.toLong) - lit(2L) * col("inter")).cast("double") /
+          (col("na") + lit(nb.toLong)).cast("double"))
+      .withColumn("search",
+        col("inter").cast("double") / lit(nb.toDouble))
+      .drop("_grams")
+  }
+}

@@ -2790,5 +2790,57 @@ object Relational {
              |GROUP BY pt.user_id, d.n_days""".stripMargin),
       "ClickHouse groupArrayIntersect: the per-user type set present on " +
         "EVERY active day — distinct-day counts vs the day total, no " +
-        "set materialization, two group-domain exchanges"))
+        "set materialization, two group-domain exchanges"),
+
+    // q96: ClickHouse ngramDistance / ngramSearch — fuzzy string match by
+    // character 4-gram profiles (FuzzyMatch scaladoc has the exact
+    // multiset contract). Map-only: the needle's gram counts fold at plan
+    // time into a fixed min-of-filter-count sum over each doc's gram
+    // array (fenced — built once per row); the two float statistics are
+    // single mirrored divisions over exact integers.
+    "q96_ngram_fuzzy" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("tl"))
+        graft.functions.FuzzyMatch.ngramMatch(docs, "tl", NgramNeedle, n = 4)
+          .select("doc_id", "na", "inter", "dist", "search")
+      },
+      Some(ngramFuzzyOracle),
+      "ClickHouse ngramDistance/ngramSearch: 4-gram multiset profiles, " +
+        "needle folded to plan-time literals — map-only fuzzy match, " +
+        "integer evidence + two mirrored divisions"))
+
+  /** q96's needle — lowercase words from the synthetic vocabulary so the
+    * match is non-trivial at every SF. (`def`, not `val`: the catalog map
+    * above initializes first and evaluates the oracle eagerly.)
+    */
+  private def NgramNeedle = "fast table value"
+
+  /** The q96 oracle, GENERATED from the same needle profile
+    * `FuzzyMatch.ngramMatch` folds at plan time
+    * ([[graft.functions.FuzzyMatch.needleGramCounts]] is the one source
+    * of truth for gram strings and multiplicities — the q78/d23
+    * generated-oracle pattern).
+    */
+  private def ngramFuzzyOracle: String = {
+    val n = 4
+    val counts = graft.functions.FuzzyMatch.needleGramCounts(NgramNeedle, n)
+    val nb = counts.map(_._2).sum
+    val inter = counts.map { case (g, c) =>
+      s"least(len(list_filter(grams, x -> x = '${g.replace("'", "''")}')), $c)"
+    }.mkString(" + ")
+    s"""WITH g AS (SELECT doc_id, lower(text) AS tl FROM documents),
+       |ga AS (
+       |  SELECT doc_id,
+       |    [substring(tl, i, $n) FOR i IN
+       |      generate_series(1, greatest(length(tl) - ${n - 1}, 0))] AS grams,
+       |    CAST(greatest(length(tl) - ${n - 1}, 0) AS BIGINT) AS na
+       |  FROM g),
+       |iv AS (SELECT doc_id, na, CAST($inter AS BIGINT) AS inter FROM ga)
+       |SELECT doc_id, na, inter,
+       |  CAST(na + $nb - 2 * inter AS DOUBLE) / CAST(na + $nb AS DOUBLE)
+       |    AS dist,
+       |  CAST(inter AS DOUBLE) / CAST($nb AS DOUBLE) AS search
+       |FROM iv""".stripMargin
+  }
 }
