@@ -262,6 +262,66 @@ object TextAnalysis {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  /** Fill-in-the-middle (FIM) transformation — the infilling data prep of
+    * Bavarian et al. 2022 ("Efficient Training of Language Models to Fill
+    * in the Middle"): a deterministic fraction of documents is rewritten
+    * from `prefix middle suffix` to the PSM order
+    * `<PRE> prefix <SUF> suffix <MID> middle`, teaching the model to
+    * infill; the rest pass through untouched. Production pipelines run
+    * this over tokenized code/text corpora at full scale — it is strictly
+    * map-only here (token split + two modular cuts + three slices, all
+    * codegen'd; no UDF, no shuffle).
+    *
+    * Determinism contract (what lets d24-style SQL re-derivation
+    * hash-match): the FIM gate is `doc_id % 2 = 0` (a 50% rate) and the
+    * two cut points are `(doc_id · K) mod (n+1)` for two fixed odd
+    * multipliers, sorted — pure integer arithmetic on the id, not RNG, so
+    * the SAME document always gets the SAME split on every engine.
+    * Products stay < 2^63 for doc_id ≤ ~4·10⁹ (multipliers < 2^32);
+    * documents shorter than `minToks` tokens pass through (an empty or
+    * 1-token middle is fine — the paper's splits are uniform incl.
+    * degenerate spans, but sub-minToks docs carry no useful infill
+    * signal).
+    *
+    * Output: (doc_id, fim, n_toks, cut1, cut2, len_pre, len_mid, len_suf,
+    * out_text) — span lengths always sum to n_toks (conservation is part
+    * of the contract and the spec pins it).
+    */
+  def fimSplit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minToks: Int = 4): DataFrame = {
+    val id = col(idCol)
+    val toks = graft.functions.OptimizerFence(
+      split(Dedup.normalize(col(textCol)), " "))
+    val base = df.select(id.as("doc_id"), toks.as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("fim",
+        col("doc_id") % 2 === 0 && col("n_toks") >= minToks)
+    val h1 = pmod(col("doc_id") * lit(2654435761L), col("n_toks") + 1L)
+    val h2 = pmod(col("doc_id") * lit(2246822519L), col("n_toks") + 1L)
+    val cut = base
+      .withColumn("cut1", when(col("fim"), least(h1, h2)).otherwise(0L))
+      .withColumn("cut2", when(col("fim"), greatest(h1, h2))
+        .otherwise(col("n_toks")))
+    cut.select(col("doc_id"), col("fim"), col("n_toks"),
+      col("cut1"), col("cut2"),
+      col("cut1").as("len_pre"),
+      (col("cut2") - col("cut1")).as("len_mid"),
+      (col("n_toks") - col("cut2")).as("len_suf"),
+      // plain concatenation, NOT concat_ws: Spark's concat_ws keeps empty
+      // parts (double space on an empty span) while DuckDB's skips them —
+      // `||` semantics are identical on both engines
+      when(col("fim"), concat(
+        lit("<PRE> "),
+        array_join(slice(col("toks"), lit(1), col("cut1").cast("int")), " "),
+        lit(" <SUF> "),
+        array_join(slice(col("toks"), (col("cut2") + 1L).cast("int"),
+          (col("n_toks") - col("cut2")).cast("int")), " "),
+        lit(" <MID> "),
+        array_join(slice(col("toks"), (col("cut1") + 1L).cast("int"),
+          (col("cut2") - col("cut1")).cast("int")), " ")))
+        .otherwise(array_join(col("toks"), " ")).as("out_text"))
+  }
+
   /** Corpus vocabulary: top-k terms by total occurrences (tf) with
     * document frequency (df) — the corpus-statistics pass behind tokenizer
     * training, stopword induction, and IDF tables.

@@ -2515,6 +2515,37 @@ object DataOps {
         "sequence packing per stratum; exactly-once/dense-bin/conservation " +
         "self-checks"),
 
+    // p09: fill-in-the-middle transformation (Bavarian et al. 2022) —
+    // infilling data prep: half the corpus (doc_id parity) rewritten to
+    // PSM order with sentinel tokens, cut points by modular arithmetic on
+    // the id (not RNG — same doc, same split, every engine). Map-only.
+    "p09_fim_split" -> Q(
+      (s, dir) => TextAnalysis.fimSplit(tp(s, dir, "documents")),
+      Some(s"""WITH tk AS (SELECT doc_id, $NormToksSql AS toks FROM documents),
+             |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+             |        (doc_id % 2 = 0 AND len(toks) >= 4) AS fim FROM tk),
+             |c AS (SELECT *,
+             |        (doc_id * 2654435761) % (n_toks + 1) AS h1,
+             |        (doc_id * 2246822519) % (n_toks + 1) AS h2 FROM b),
+             |d AS (SELECT doc_id, fim, n_toks, toks,
+             |        CASE WHEN fim THEN least(h1, h2) ELSE 0 END AS cut1,
+             |        CASE WHEN fim THEN greatest(h1, h2)
+             |             ELSE n_toks END AS cut2 FROM c)
+             |SELECT doc_id, fim, n_toks, cut1, cut2,
+             |  cut1 AS len_pre, cut2 - cut1 AS len_mid,
+             |  n_toks - cut2 AS len_suf,
+             |  CASE WHEN fim THEN '<PRE> ' ||
+             |      coalesce(array_to_string(toks[1:cut1], ' '), '')
+             |      || ' <SUF> ' ||
+             |      coalesce(array_to_string(toks[cut2+1:n_toks], ' '), '')
+             |      || ' <MID> ' ||
+             |      coalesce(array_to_string(toks[cut1+1:cut2], ' '), '')
+             |    ELSE array_to_string(toks, ' ') END AS out_text
+             |FROM d""".stripMargin),
+      "fill-in-the-middle (FIM) data prep: deterministic id-keyed 50% " +
+        "gate, modular cut points, PSM reassembly with sentinels — " +
+        "map-only, span lengths conserve"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

@@ -267,4 +267,53 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(twice == cases.map(_._2))
   }
+
+  test("fimSplit: conservation, passthrough gates, PSM reassembly round-trips") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),  // even, 6 toks → FIM
+      (1L, "one two three four five"),              // odd → passthrough
+      (2L, "a b c"),                                // even but < minToks
+      (4L, "W X  Y Z"),                             // whitespace collapses, 4 toks
+      (6L, "lone pair trio quad quint")             // even, 5 toks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fimSplit(docs).orderBy("doc_id").collect()
+
+    out.foreach { r =>
+      val (n, c1, c2) = (r.getAs[Long]("n_toks"),
+        r.getAs[Long]("cut1"), r.getAs[Long]("cut2"))
+      // span conservation + cut ordering, every row
+      assert(r.getAs[Long]("len_pre") + r.getAs[Long]("len_mid") +
+        r.getAs[Long]("len_suf") == n)
+      assert(0L <= c1 && c1 <= c2 && c2 <= n)
+    }
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // gates: odd id and short doc pass through verbatim (normalized)
+    assert(!byId(1L).getAs[Boolean]("fim") &&
+      byId(1L).getAs[String]("out_text") == "one two three four five")
+    assert(!byId(2L).getAs[Boolean]("fim") &&
+      byId(2L).getAs[String]("out_text") == "a b c")
+    // FIM'd rows: rebuild the expected PSM string from the row's own cuts
+    // and the independently-normalized source (concat_ws keeps empties =
+    // plain mkString(" ") over the same parts)
+    val src = Map(0L -> "alpha beta gamma delta epsilon zeta",
+      4L -> "W X  Y Z", 6L -> "lone pair trio quad quint")
+    Seq(0L, 4L, 6L).foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Boolean]("fim"), s"doc $id should be FIM'd")
+      val toks = src(id).toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").toSeq
+      val (c1, c2) = (r.getAs[Long]("cut1").toInt, r.getAs[Long]("cut2").toInt)
+      val expected = Seq("<PRE>", toks.take(c1).mkString(" "),
+        "<SUF>", toks.drop(c2).mkString(" "),
+        "<MID>", toks.slice(c1, c2).mkString(" ")).mkString(" ")
+      assert(r.getAs[String]("out_text") == expected, s"doc $id")
+      // cuts match the documented modular arithmetic
+      val n = toks.size.toLong
+      val (h1, h2) = (id * 2654435761L % (n + 1), id * 2246822519L % (n + 1))
+      assert(c1 == math.min(h1, h2) && c2 == math.max(h1, h2))
+    }
+    // determinism: same input, same cuts on a re-run
+    val again = TextAnalysis.fimSplit(docs).orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
