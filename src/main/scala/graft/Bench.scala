@@ -54,6 +54,7 @@ object Bench {
     "q88_interpolate", "q89_sparkbar", "q90_auc",
     "q91_funnel_sql", "q92_tukey_outliers", "q93_ip_trie_lookup",
     "q94_anova", "q95_group_array_intersect", "t28_url_canonicalize",
+    "d24_boilerplate_strip", "q96_ngram_fuzzy", "p09_fim_split",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -639,7 +640,34 @@ object Bench {
         // quartile arithmetic (the funnel envelope); q93's /8-bucket
         // equi-join broadcasts the 64-row net side, so the probe measures
         // the ip-domain hash aggregate + map-only join — linear band
-        "q92_tukey_outliers", "q93_ip_trie_lookup")
+        "q92_tukey_outliers", "q93_ip_trie_lookup",
+        // r12 entries the r12 probe extension missed (all read only
+        // amplifiable tables): q91 is q54's funnel THROUGH the SQL
+        // aggregate surface (same one-exchange fold — the probe proves
+        // the ScalaAggregator wrapper adds no scaling term); q94 one
+        // map-side-combined group-moment aggregate over orders (group
+        // domain fixed, must read flat-ish); q95 two group-domain
+        // exchanges over (user, type, day) — linear band; t27 per-day
+        // KLL states then a merge over the fixed day domain (state
+        // count constant at 10× users — flat-ish); t28 a map-only
+        // regex/list-algebra kernel + variant-collapse rollup (linear);
+        // s12 builds AND serves the persisted IVF-PQ index at 10×
+        // vectors — cells scale with sqrt(n) config inside the entry,
+        // so expect the one-assignment-pass cost to dominate (linear)
+        "q91_funnel_sql", "q94_anova", "q95_group_array_intersect",
+        "t27_kll_state_merge", "t28_url_canonicalize",
+        "s12_ann_index_serve",
+        // r13 additions, documents-only readers: d24 shares d22's
+        // occurrence shape (hash-triple shuffle + one corpus move —
+        // same linear band); q96 is strictly map-only (needle folded to
+        // plan-time literals) — the ratio must track the scan alone.
+        // Both read the suffixed-replication corpus: chars grow ~15×
+        // at 10× docs (the d23 envelope note) and BOTH kernels are
+        // per-char, so read these two against ~15, not ~10
+        "d24_boilerplate_strip", "q96_ngram_fuzzy",
+        // p09 is a pure map-only kernel (split + modular cuts + slices) —
+        // same suffixed-corpus ~15× chars envelope as q96
+        "p09_fim_split")
       // Per-entry fault isolation (r8): the r8b probe run lost ALL probe
       // data because the very last entry hit a transient driver-side
       // failure after ~7000 accumulated stages — one entry's hiccup must
