@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ClickHouse URL function family — `domain`, `topLevelDomain`,
+  * `firstSignificantSubdomain`, `path`, `queryString`, `fragment`,
+  * `extractURLParameter`, `cutQueryStringAndFragment`, `netloc` — the
+  * web-analytics accessors a ClickHouse nginx-log deployment (the
+  * reference's own domain) queries constantly. Complements
+  * `TextAnalysis.canonicalizeUrl` (t28): that one NORMALIZES before
+  * dedup, these EXTRACT for grouping.
+  *
+  * All pure map-only Column regex/string algebra, zero UDFs, and every
+  * regex is the engine-portable subset (RE2-compatible: no lookarounds,
+  * no backrefs; non-capturing groups only) so the q97 oracle mirrors
+  * token-for-token.
+  *
+  * Contract: absolute `scheme://[user[:pass]@]host[:port]` URLs (the
+  * access-log / crawl shape, same as t28). Deviations from ClickHouse,
+  * documented rather than hidden:
+  *   - `topLevelDomain` returns '' for IPv4 hosts (as CH does) via an
+  *     all-digits-and-dots guard, not a full IP parse.
+  *   - `firstSignificantSubdomain` uses a compact multi-part-suffix
+  *     heuristic (second-level labels co/com/org/net/gov/edu/ac under a
+  *     2-letter cc-TLD) instead of CH's embedded public-suffix list —
+  *     right on the overwhelmingly common cases (example.co.uk →
+  *     example), an explicit approximation elsewhere.
+  */
+object UrlFunctions {
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+  /** host[:port] with userinfo — everything between `://` and the first
+    * `/`, `?` or `#` (ClickHouse `netloc` keeps userinfo and port too).
+    */
+  def netloc(url: Column): Column =
+    regexp_extract(url, SchemeRe + "([^/?#]*)", 1)
+
+  /** Bare host: netloc with userinfo and port stripped. */
+  def domain(url: Column): Column =
+    regexp_replace(
+      regexp_replace(netloc(url), "^[^@]*@", ""),
+      ":[0-9]+$", "")
+
+  /** Last dot-label of the host; '' for single-label or IPv4 hosts. */
+  def topLevelDomain(url: Column): Column = {
+    val h = domain(url)
+    when(h.rlike("^[0-9.]+$"), lit(""))
+      .otherwise(regexp_extract(h, "\\.([a-zA-Z0-9-]+)$", 1))
+  }
+
+  /** The registrable label: "clickhouse" in news.clickhouse.com and
+    * example in example.co.uk (see object doc for the heuristic).
+    */
+  def firstSignificantSubdomain(url: Column): Column = {
+    val h = domain(url)
+    val multi = regexp_extract(h,
+      "([a-zA-Z0-9-]+)\\.(?:co|com|org|net|gov|edu|ac)\\.[a-zA-Z]{2}$", 1)
+    val plain = regexp_extract(h, "([a-zA-Z0-9-]+)\\.[a-zA-Z0-9-]+$", 1)
+    when(h.rlike("^[0-9.]+$"), lit(""))
+      .otherwise(when(multi =!= "", multi)
+        .otherwise(when(plain =!= "", plain).otherwise(h)))
+  }
+
+  /** Path without query/fragment; bare authority → "/" (CH `path` shape). */
+  def path(url: Column): Column = {
+    val p = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Query string without the leading '?' or the fragment; '' if none. */
+  def queryString(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Fragment without the leading '#'; '' if none. */
+  def fragment(url: Column): Column =
+    regexp_extract(url, "#(.*)$", 1)
+
+  /** Value of the FIRST `name=` pair in the query string; '' if absent.
+    * `name` is restricted to word characters so the generated regex (and
+    * its oracle mirror) needs no quoting dialect.
+    */
+  def extractURLParameter(url: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"parameter name must be [A-Za-z0-9_]+, got '$name'")
+    regexp_extract(queryString(url), s"(?:^|&)$name=([^&]*)", 1)
+  }
+
+  /** URL with query string and fragment removed (no trailing '?'/'#'). */
+  def cutQueryStringAndFragment(url: Column): Column =
+    regexp_replace(url, "[?#].*$", "")
+}

@@ -2808,7 +2808,67 @@ object Relational {
       Some(ngramFuzzyOracle),
       "ClickHouse ngramDistance/ngramSearch: 4-gram multiset profiles, " +
         "needle folded to plan-time literals — map-only fuzzy match, " +
-        "integer evidence + two mirrored divisions"))
+        "integer evidence + two mirrored divisions"),
+
+    // q97: the ClickHouse URL function family (domain / topLevelDomain /
+    // firstSignificantSubdomain / path / queryString / fragment /
+    // extractURLParameter / netloc / cutQueryStringAndFragment) over a
+    // synthesized URL corpus hitting every branch: three host families
+    // (IPv4, co.uk multi-part suffix, plain .com), userinfo, ports,
+    // bare-authority paths, fragments, positional query params. Map-only
+    // regex extracts + one domain-rollup exchange; every regex is the
+    // portable RE2 subset and every replace is anchored (first-match ≡
+    // global, the t28 discipline).
+    "q97_url_functions" -> Q(
+      (s, dir) => {
+        import graft.functions.UrlFunctions._
+        val ev = t(s, dir, "events")
+          .select(col("event_id").as("id"), col("user_id").as("uid"))
+        val host = when(col("id") % 13 === 0,
+            concat(lit("10.0.0."), (col("uid") % 250).cast("string")))
+          .when(col("id") % 7 === 0,
+            concat(lit("shop"), (col("uid") % 5).cast("string"),
+              lit(".example.co.uk")))
+          .otherwise(concat(lit("news"), (col("uid") % 9).cast("string"),
+            lit(".example.com")))
+        val url = concat(
+          when(col("id") % 3 === 0, lit("https://")).otherwise(lit("http://")),
+          when(col("id") % 11 === 0, lit("user:pw@")).otherwise(lit("")),
+          host,
+          when(col("id") % 6 === 0, lit(":8080")).otherwise(lit("")),
+          when(col("id") % 17 === 0, lit(""))
+            .otherwise(concat(lit("/item/"), (col("id") % 50).cast("string"))),
+          when(col("id") % 2 === 0,
+            concat(lit("?q="), (col("id") % 10).cast("string"), lit("&ref=x")))
+            .otherwise(lit("")),
+          when(col("id") % 5 === 0, lit("#sec2")).otherwise(lit("")))
+        val ex = ev.select(col("id"), url.as("url"))
+          .select(col("id"), col("url"),
+            domain(col("url")).as("dom"),
+            topLevelDomain(col("url")).as("tld"),
+            firstSignificantSubdomain(col("url")).as("fsd"),
+            path(col("url")).as("p"),
+            queryString(col("url")).as("qs"),
+            fragment(col("url")).as("frag"),
+            extractURLParameter(col("url"), "q").as("qv"),
+            netloc(col("url")).as("nl"),
+            cutQueryStringAndFragment(col("url")).as("cut"))
+        ex.groupBy(col("dom"), col("tld"), col("fsd"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("p")).as("n_paths"),
+            sum(when(col("p") === "/", 1L).otherwise(0L)).as("n_bare"),
+            sum(when(col("qv") =!= "", 1L).otherwise(0L)).as("n_q"),
+            max(col("qv")).as("max_qv"),
+            sum(when(col("frag") =!= "", 1L).otherwise(0L)).as("n_frag"),
+            count_distinct(col("nl")).as("n_netlocs"),
+            sum(when(col("cut") === col("url"), 1L).otherwise(0L))
+              .as("n_cut_noop"),
+            min(col("qs")).as("min_qs"))
+      },
+      Some(urlFunctionsOracle),
+      "ClickHouse URL function family: domain/tld/firstSignificant" +
+        "Subdomain/path/queryString/fragment/param extracts as map-only " +
+        "portable regexes; domain-level rollup, every branch exercised"))
 
   /** q96's needle — lowercase words from the synthetic vocabulary so the
     * match is non-trivial at every SF. (`def`, not `val`: the catalog map
@@ -2843,4 +2903,68 @@ object Relational {
        |  CAST(inter AS DOUBLE) / CAST($nb AS DOUBLE) AS search
        |FROM iv""".stripMargin
   }
+
+  /** The q97 oracle — URL synthesis and every extraction regex mirrored
+    * token-for-token from [[graft.functions.UrlFunctions]] (portable RE2
+    * subset; anchored replaces so first-match ≡ global).
+    */
+  private def urlFunctionsOracle: String =
+    """WITH e AS (SELECT event_id AS id, user_id AS uid FROM events),
+      |u AS (SELECT id,
+      |  (CASE WHEN id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+      |  (CASE WHEN id % 11 = 0 THEN 'user:pw@' ELSE '' END) ||
+      |  (CASE WHEN id % 13 = 0
+      |     THEN '10.0.0.' || CAST(uid % 250 AS VARCHAR)
+      |   WHEN id % 7 = 0
+      |     THEN 'shop' || CAST(uid % 5 AS VARCHAR) || '.example.co.uk'
+      |   ELSE 'news' || CAST(uid % 9 AS VARCHAR) || '.example.com' END) ||
+      |  (CASE WHEN id % 6 = 0 THEN ':8080' ELSE '' END) ||
+      |  (CASE WHEN id % 17 = 0 THEN ''
+      |   ELSE '/item/' || CAST(id % 50 AS VARCHAR) END) ||
+      |  (CASE WHEN id % 2 = 0
+      |     THEN '?q=' || CAST(id % 10 AS VARCHAR) || '&ref=x'
+      |   ELSE '' END) ||
+      |  (CASE WHEN id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+      | FROM e),
+      |x AS (SELECT id, url,
+      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+      |    AS nl,
+      |  regexp_replace(regexp_replace(
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      |    '^[^@]*@', ''), ':[0-9]+$', '') AS dom,
+      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      |    AS p0,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS qs,
+      |  regexp_extract(url, '#(.*)$', 1) AS frag,
+      |  regexp_replace(url, '[?#].*$', '') AS cut
+      | FROM u),
+      |y AS (SELECT *,
+      |  CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+      |  CASE WHEN regexp_matches(dom, '^[0-9.]+$') THEN ''
+      |       ELSE regexp_extract(dom, '\.([a-zA-Z0-9-]+)$', 1) END AS tld,
+      |  CASE WHEN regexp_matches(dom, '^[0-9.]+$') THEN ''
+      |       WHEN regexp_extract(dom,
+      |         '([a-zA-Z0-9-]+)\.(?:co|com|org|net|gov|edu|ac)\.[a-zA-Z]{2}$',
+      |         1) <> ''
+      |       THEN regexp_extract(dom,
+      |         '([a-zA-Z0-9-]+)\.(?:co|com|org|net|gov|edu|ac)\.[a-zA-Z]{2}$',
+      |         1)
+      |       WHEN regexp_extract(dom, '([a-zA-Z0-9-]+)\.[a-zA-Z0-9-]+$', 1)
+      |         <> ''
+      |       THEN regexp_extract(dom, '([a-zA-Z0-9-]+)\.[a-zA-Z0-9-]+$', 1)
+      |       ELSE dom END AS fsd,
+      |  regexp_extract(qs, '(?:^|&)q=([^&]*)', 1) AS qv
+      | FROM x)
+      |SELECT dom, tld, fsd, count(*) AS n,
+      |  count(DISTINCT p) AS n_paths,
+      |  CAST(sum(CASE WHEN p = '/' THEN 1 ELSE 0 END) AS BIGINT) AS n_bare,
+      |  CAST(sum(CASE WHEN qv <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+      |  max(qv) AS max_qv,
+      |  CAST(sum(CASE WHEN frag <> '' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_frag,
+      |  count(DISTINCT nl) AS n_netlocs,
+      |  CAST(sum(CASE WHEN cut = url THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cut_noop,
+      |  min(qs) AS min_qs
+      |FROM y GROUP BY dom, tld, fsd""".stripMargin
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ClickHouse URL function family (q97): hand-pinned accessor cases over
+  * every branch the synthesized q97 corpus exercises, plus the map-only
+  * plan pin.
+  */
+class UrlFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(url: String): Map[String, String] = {
+    import UrlFunctions._
+    val r = Seq(url).toDF("u").select(
+      netloc(col("u")).as("nl"), domain(col("u")).as("dom"),
+      topLevelDomain(col("u")).as("tld"),
+      firstSignificantSubdomain(col("u")).as("fsd"),
+      path(col("u")).as("p"), queryString(col("u")).as("qs"),
+      fragment(col("u")).as("frag"),
+      extractURLParameter(col("u"), "q").as("qv"),
+      cutQueryStringAndFragment(col("u")).as("cut")).collect().head
+    r.schema.fieldNames.map(f => f -> r.getAs[String](f)).toMap
+  }
+
+  test("full URL: userinfo and port stripped from domain, kept in netloc") {
+    val m = one("https://user:pw@shop3.example.co.uk:8080/item/7?q=5&ref=x#sec2")
+    assert(m("nl") == "user:pw@shop3.example.co.uk:8080")
+    assert(m("dom") == "shop3.example.co.uk")
+    assert(m("tld") == "uk")
+    assert(m("fsd") == "example") // multi-part suffix: co.uk
+    assert(m("p") == "/item/7")
+    assert(m("qs") == "q=5&ref=x")
+    assert(m("frag") == "sec2")
+    assert(m("qv") == "5")
+    assert(m("cut") == "https://user:pw@shop3.example.co.uk:8080/item/7")
+  }
+
+  test("plain .com host: fsd is the second-level label") {
+    val m = one("http://news4.example.com/item/1")
+    assert(m("dom") == "news4.example.com" && m("tld") == "com" &&
+      m("fsd") == "example" && m("qs") == "" && m("frag") == "" &&
+      m("qv") == "" && m("cut") == "http://news4.example.com/item/1")
+  }
+
+  test("IPv4 host: tld and fsd are empty (the ClickHouse convention)") {
+    val m = one("http://10.0.0.42:8080/item/3?q=1&ref=x")
+    assert(m("dom") == "10.0.0.42" && m("tld") == "" && m("fsd") == "")
+    assert(m("qv") == "1")
+  }
+
+  test("bare authority: path is '/', cut is a no-op without query/fragment") {
+    val m = one("https://news1.example.com")
+    assert(m("p") == "/" && m("cut") == "https://news1.example.com")
+    // single-label host falls back to itself for fsd
+    val s = one("http://localhost/x")
+    assert(s("tld") == "" && s("fsd") == "localhost")
+  }
+
+  test("extractURLParameter takes the FIRST occurrence and needs word names") {
+    val m = one("http://h.example.com/p?q=first&a=1&q=second")
+    assert(m("qv") == "first")
+    // name embedded in another key must not match: ?xq=9 is not q
+    val n = one("http://h.example.com/p?xq=9&q=7")
+    assert(n("qv") == "7")
+    val e = intercept[IllegalArgumentException](
+      UrlFunctions.extractURLParameter(col("u"), "a&b"))
+    assert(e.getMessage.contains("[A-Za-z0-9_]+"))
+  }
+
+  test("fragment before query-less end; query stops at fragment") {
+    val m = one("http://h.example.com/p#only-frag")
+    assert(m("frag") == "only-frag" && m("qs") == "")
+    val n = one("http://h.example.com/p?q=2#frag")
+    assert(n("qs") == "q=2" && n("frag") == "frag")
+  }
+
+  test("the accessor projection is map-only (zero exchanges)") {
+    import UrlFunctions._
+    val df = (1 to 8).map(i => s"http://h$i.example.com/p$i").toDF("u")
+      .select(domain(col("u")), topLevelDomain(col("u")),
+        firstSignificantSubdomain(col("u")), path(col("u")),
+        queryString(col("u")), fragment(col("u")),
+        extractURLParameter(col("u"), "q"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
