@@ -69,10 +69,22 @@ object PlanFingerprint {
   /** Histogram of physical operator names — the "how did it change"
     * companion to the hash. Keys are the first token of each plan line
     * after tree-drawing prefixes and the `*(n)` codegen marker.
+    *
+    * Only lines that are actually plan NODES count: the root line, or a
+    * line carrying a tree-drawing connector (`+-` / `:-`). Multi-line
+    * string literals inside expressions continue RAW on following lines
+    * with no connector — before this check they minted phantom operators
+    * (d24's embedded test paragraphs produced `"Rare": 11` keys; r13
+    * verdict hygiene item). The codegen-marker strip also accepts the
+    * canonicalized `*(N)` form — [[canonical]] rewrites the digits to `N`
+    * before the histogram runs, so the digits-only pattern silently
+    * dropped every whole-stage-codegen node from the counts.
     */
   def nodeHistogram(canonicalPlan: String): Map[String, Int] =
-    canonicalPlan.linesIterator
-      .map(_.replaceAll("^[-+:\\s]*", "").replaceAll("^\\*\\(\\d+\\)\\s*", ""))
+    canonicalPlan.linesIterator.zipWithIndex
+      .filter { case (l, i) => i == 0 || l.matches("^[\\s:]*[+:]-\\s.*") }
+      .map(_._1)
+      .map(_.replaceAll("^[-+:\\s]*", "").replaceAll("^\\*\\((\\d+|N)\\)\\s*", ""))
       .filter(_.nonEmpty)
       .map(_.takeWhile(c => c.isLetterOrDigit || c == '_'))
       .filter(t => t.nonEmpty && t.head.isUpper)

@@ -43,9 +43,13 @@ object FuzzyMatch {
     */
   def charGrams(c: Column, n: Int): Column = {
     require(n >= 1, s"gram size must be >= 1, got $n")
-    transform(
-      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
-      i => c.substr(i, lit(n)))
+    // the short case needs an explicit guard: sequence(1, 0) evaluates as
+    // the DESCENDING sequence [1, 0] in Spark, which would mint two bogus
+    // sub-n substrings instead of the documented empty profile
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - lit(n - 1)),
+        i => c.substr(i, lit(n))))
   }
 
   /** Plain-Scala needle profile — the single source of truth shared with

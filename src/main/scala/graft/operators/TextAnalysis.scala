@@ -277,7 +277,12 @@ object TextAnalysis {
     * two cut points are `(doc_id · K) mod (n+1)` for two fixed odd
     * multipliers, sorted — pure integer arithmetic on the id, not RNG, so
     * the SAME document always gets the SAME split on every engine.
-    * Products stay < 2^63 for doc_id ≤ ~4·10⁹ (multipliers < 2^32);
+    * The id is pre-reduced mod (n+1) BEFORE multiplying (a ring
+    * homomorphism, so the cut values are unchanged) — products then stay
+    * < (n+1)·2^32, overflow-free by construction at any doc_id, where the
+    * unreduced product would overflow 2^63 past doc_id ≈ 3.47·10⁹ (and
+    * Spark wraps silently while DuckDB raises — a cross-engine
+    * divergence);
     * documents shorter than `minToks` tokens pass through (an empty or
     * 1-token middle is fine — the paper's splits are uniform incl.
     * degenerate spans, but sub-minToks docs carry no useful infill
@@ -296,8 +301,9 @@ object TextAnalysis {
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("fim",
         col("doc_id") % 2 === 0 && col("n_toks") >= minToks)
-    val h1 = pmod(col("doc_id") * lit(2654435761L), col("n_toks") + 1L)
-    val h2 = pmod(col("doc_id") * lit(2246822519L), col("n_toks") + 1L)
+    val idRed = pmod(col("doc_id"), col("n_toks") + 1L)
+    val h1 = pmod(idRed * lit(2654435761L), col("n_toks") + 1L)
+    val h2 = pmod(idRed * lit(2246822519L), col("n_toks") + 1L)
     val cut = base
       .withColumn("cut1", when(col("fim"), least(h1, h2)).otherwise(0L))
       .withColumn("cut2", when(col("fim"), greatest(h1, h2))

@@ -2525,8 +2525,8 @@ object DataOps {
              |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
              |        (doc_id % 2 = 0 AND len(toks) >= 4) AS fim FROM tk),
              |c AS (SELECT *,
-             |        (doc_id * 2654435761) % (n_toks + 1) AS h1,
-             |        (doc_id * 2246822519) % (n_toks + 1) AS h2 FROM b),
+             |        ((doc_id % (n_toks + 1)) * 2654435761) % (n_toks + 1) AS h1,
+             |        ((doc_id % (n_toks + 1)) * 2246822519) % (n_toks + 1) AS h2 FROM b),
              |d AS (SELECT doc_id, fim, n_toks, toks,
              |        CASE WHEN fim THEN least(h1, h2) ELSE 0 END AS cut1,
              |        CASE WHEN fim THEN greatest(h1, h2)

@@ -48,6 +48,32 @@ class PlanFingerprintSpec extends AnyFunSuite {
     assert(nodes.keys.exists(_.contains("HashAggregate")), keys)
   }
 
+  test("multi-line string literals do not mint phantom operators") {
+    // a literal with embedded newlines prints RAW in the plan text; its
+    // continuation lines used to be counted as operator names (d24's
+    // test paragraphs yielded `"Rare": 11` keys — r13 verdict hygiene)
+    val df = agg(dirA).withColumn("tag",
+      lit("Rare paragraph only here.\nSubscribe to our newsletter.\nAnother Line."))
+    val (_, nodes) = PlanFingerprint.fingerprint(df)
+    assert(!nodes.contains("Subscribe") && !nodes.contains("Another"), nodes.toString)
+    assert(nodes.keys.exists(_.contains("HashAggregate")), nodes.toString)
+  }
+
+  test("whole-stage-codegen node lines are counted (canonical *(N) marker stripped)") {
+    // canonical() rewrites `*(3)` to `*(N)`; the old digits-only strip
+    // pattern then dropped every codegen'd node line from the histogram
+    val canon =
+      """AdaptiveSparkPlan isFinalPlan=x
+        |+- *(N) HashAggregate(keys=[k#x], functions=[sum(id#x)])
+        |   +- Exchange hashpartitioning(k#x, 32)
+        |      +- *(N) ColumnarToRow
+        |         +- FileScan parquet [id#x,k#x]""".stripMargin
+    val nodes = PlanFingerprint.nodeHistogram(canon)
+    assert(nodes.get("HashAggregate").contains(1), nodes.toString)
+    assert(nodes.get("ColumnarToRow").contains(1), nodes.toString)
+    assert(nodes.get("Exchange").contains(1), nodes.toString)
+  }
+
   test("canonical form contains no absolute paths or expression ids") {
     val c = PlanFingerprint.canonical(agg(dirA))
     assert(!c.contains(dirA) && !c.contains("/tmp/"))

@@ -72,6 +72,19 @@ class FuzzyMatchSpec extends AnyFunSuite {
     }
   }
 
+  test("charGrams of a string shorter than n is empty (documented contract)") {
+    // without the explicit guard, sequence(1, 0) evaluates as the
+    // DESCENDING sequence [1, 0] and mints two bogus short substrings
+    val got = Seq(("ab"), (""), ("abc"), ("abcd"))
+      .toDF("t")
+      .select(FuzzyMatch.charGrams(col("t"), 4).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq("abcd"))
+  }
+
   test("ngramMatch is map-only (zero exchanges)") {
     val df = (1 to 10).map(i => (i.toLong, s"text $i")).toDF("id", "t")
     val plan = FuzzyMatch.ngramMatch(df, "t", "text", 4)
