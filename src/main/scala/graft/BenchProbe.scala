@@ -1,0 +1,436 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The 10× scale-probe sweep as a standalone main, forked by [[Bench]]
+  * into a FRESH JVM each round (r13 verdict items 1+2 — the structural
+  * fix for the long-lived-JVM probe-bias class).
+  *
+  * WHY A FRESH JVM (the adjudication history that forced this):
+  *   - r11 flagged t18 at 14.97×; isolated fresh-JVM runs measured the
+  *     same code at 0.7× — the bench's read was 24 merge rounds × 3 tiny
+  *     Spark jobs each paying the long-lived bench JVM's accumulated
+  *     per-job overhead (fixed structurally in Bpe.scala, flag retired).
+  *   - p02's probe ratio then drifted ~2.3× → 4.3–5.5× (r11) → 7.36×
+  *     (r13) with its plan hash UNCHANGED in PLANS_r11≡r12 and code
+  *     untouched since r9. Named mechanism (r11 pre-adjudication note):
+  *     the probe sweep ran AFTER the 3-rep timed section — ~113 entries
+  *     × 3 reps of accumulated GC/code-cache/ContextCleaner history —
+  *     and p02 ran FIRST in the sweep, absorbing the transition.
+  *     ADJUDICATED r14 in this fresh-JVM harness: p02 reads 2.91×
+  *     (t_1x 3.4 s, t_10x 10.0 s — the ~2.3× historical band),
+  *     confirming the 7.36× was JVM-state, not operator scaling.
+  *   - The same run re-repped the two other r13 at/over-band reads:
+  *     sem_lsh_default_auto 1.48× (was 3.25× — inside the ∝n auto-sizing
+  *     claim; r13 verdict item 5 closed) and the SPLIT s12 legs
+  *     (r13 verdict item 1): s12_index_build 1.82× (t_1x 2.5 s,
+  *     t_10x 4.6 s), s12_index_serve 1.55× (t_1x 1.7 s, t_10x 2.7 s) —
+  *     the combined entry's 4.06× was JVM-state on top of build+serve
+  *     coupling, and BOTH halves sit in the linear band when measured
+  *     fresh; the build's partitioned write did not superlinearize.
+  *   Instead of re-adjudicating entry by entry every round, the sweep now
+  *   ALWAYS runs in a fresh process: no inherited JIT/GC/code-cache
+  *   state, so a high ratio here is a real scaling signal, not JVM age.
+  *
+  * BASIS CHANGE (r14): BOTH legs (1× and factor×) are measured in this
+  * JVM — previously the 1× denominator for catalog entries was the timed
+  * section's median from the long-lived bench JVM, which made ratios
+  * cross-regime (the q88 post-fix note: an in-bench ratio of ~4.6× vs
+  * 1.65× isolated, purely because the denominators came from different
+  * JVM states). Ratios from r14 on are internally consistent and NOT
+  * comparable wholesale to r13-and-earlier probe ratios; compare the
+  * absolute legs across rounds instead.
+  *
+  * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
+  * optional 4th arg filters to named probe entries (adjudication runs).
+  * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}
+  * to outJsonPath; progress to stderr only (Bench's stdout contract
+  * line must stay the parent's).
+  */
+object BenchProbe {
+
+  /** Catalog entries probed at 1× and factor×. Probe entries must read
+    * only documents/embeddings/events/orders — the four tables the
+    * amplified tmp dir carries (any other load fails → ratio -1).
+    *
+    * Expectation notes (what "linear band" means per family):
+    *   - d11b/d17/d22/d24: 8-byte span/hash keys shuffle, text ≤1×.
+    *   - d19: pair-domain CC + anti-join; adaptive driver cutoff.
+    *   - d23/q96/p09/d24: per-CHAR kernels over the suffixed-replication
+    *     corpus — chars grow ~15× at 10× docs (every replica token gains
+    *     '_rN'), so read these against ~15, not ~10.
+    *   - t17/t18/s09/s11: broadcast models / one-pass moments.
+    *   - q5x/q6x/q7x/q8x/q9x behavioral+stats: one user-keyed or
+    *     domain-bounded exchange each (scaladoc per operator).
+    *   - t25/q70/q84/t27: bounded sketch/bitmap state per partition.
+    *   - q97: map-only URL extracts + a fixed domain-rollup exchange.
+    */
+  val probeEntries: Seq[String] = Seq(
+    "p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
+    "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
+    "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",
+    "d22_paragraph_dedup", "t17_nb_classify", "t18_bpe_tokenize",
+    "s09_pca_project", "s11_embedding_outliers",
+    "q52_cdc_merge", "q54_window_funnel", "q56_quality_percentile",
+    "p08_doremi_mixture",
+    "q59_funnel_strict_dedup", "q60_funnel_strict_order",
+    "q62_sequence_match",
+    "q64_delta_sum", "q65_interval_stats", "t25_histogram",
+    "q68_lttb_downsample", "q70_bitmap_setops",
+    "q77_sequence_next_node", "q78_geohash", "q79_array_combinators",
+    "q80_ema", "q81_ks_test",
+    "t26_log_templates",
+    "q84_state_merge", "q85_event_flow",
+    "q86_time_to_convert", "q87_moving_aggregates", "q88_interpolate",
+    "q89_sparkbar", "q90_auc",
+    "d23_cdc_chunks",
+    "q92_tukey_outliers", "q93_ip_trie_lookup",
+    "q91_funnel_sql", "q94_anova", "q95_group_array_intersect",
+    "t27_kll_state_merge", "t28_url_canonicalize",
+    "d24_boilerplate_strip", "q96_ngram_fuzzy",
+    "p09_fim_split",
+    // r14: the one r13 entry that was never benched (ADVICE) — map-only
+    // URL extracts over events, linear band — and the new hierarchy
+    // family: map-only HOF levels + an explode whose fan-out is the
+    // bounded per-URL level count, linear band too
+    "q97_url_functions", "q98_url_hierarchy")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val probeFactor = args(1).toInt
+    val outPath = args(2)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+
+    // JVM/codegen warmup at the smallest SF (same rationale as Bench's):
+    // without it the 1× legs would fold first-use JIT into the
+    // denominator. Custom (non-catalog) probes self-warm through their
+    // own 1× min-of-2 leg.
+    val warmDir = "/root/testdata/sf0.001"
+    probeEntries.filter(keep).foreach { n =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[probe] warmup $n FAILED: $e") }
+      System.err.println(f"[probe] warmup $n ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+
+    // ---- amplified tables (SALTED replicas; see Bench history) --------
+    // documents: every token of replica r>0 gets an `_r$r` suffix so
+    // replicas are not near-dups of each other and dup structure scales
+    // linearly, the way a real 10× corpus's would. embeddings: dimension
+    // rotations (norm-preserving, cosine-distant). events: USER
+    // replication (user cardinality × factor, events/user constant — the
+    // natural web-scale shape; the heavy-user axis is q54_funnel_skew).
+    // orders: order replication with dates kept (fixed month/day domain,
+    // 10× input — the q89 rollup shape).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale_probe").toString
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    (0 until probeFactor).map { r =>
+      if (r == 0) docs
+      else docs.selectExpr(
+        s"doc_id + ${r}L * 10000000 AS doc_id",
+        s"array_join(transform(split(text, ' '), t -> concat(t, '_r$r')), ' ') AS text",
+        "lang", "source", "n_chars")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    (0 until probeFactor).map { r =>
+      if (r == 0) emb
+      else {
+        val k = r % 63 + 1
+        emb.selectExpr(
+          s"vec_id + ${r}L * 10000000 AS vec_id",
+          s"concat(slice(embedding, ${k + 1}, size(embedding)), slice(embedding, 1, $k)) AS embedding",
+          "label")
+      }
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val evBase = graft.sources.Tables.load(spark, sfDir, "events")
+    (0 until probeFactor).map { r =>
+      if (r == 0) evBase
+      else evBase.selectExpr(
+        s"user_id + ${r}L * 10000000 AS user_id",
+        s"event_id + ${r}L * 10000000 AS event_id",
+        "ts", "event_type", "value", "props")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ordBase = graft.sources.Tables.load(spark, sfDir, "orders")
+    (0 until probeFactor).map { r =>
+      if (r == 0) ordBase
+      else ordBase.selectExpr(
+        s"o_orderkey + ${r}L * 100000000 AS o_orderkey",
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+
+    def once(work: => Unit): Double = {
+      val t0 = System.nanoTime()
+      work
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      System.gc()
+      t
+    }
+    // min-of-2: single-shot probe times swung up to 4× between same-code
+    // runs (ambient GC/load spikes). Second rep skipped above 60 s — the
+    // quadratic case is unambiguous and a rep there costs minutes.
+    def robust(work: => Unit): Double = {
+      val t1 = once(work)
+      if (t1 >= 60.0) t1 else math.min(t1, once(work))
+    }
+    // per-entry fault isolation (r8 lesson: one transient failure must
+    // degrade that one ratio to -1, not null the whole blob)
+    def tryRobust(name: String)(work: => Unit): Double =
+      try robust(work) catch {
+        case e: Throwable =>
+          System.err.println(s"[probe] $name FAILED: $e")
+          e.printStackTrace()
+          -1.0
+      }
+    def probePair(name: String)(work: String => Unit): (String, Double, Double) = {
+      val t1 = tryRobust(name)(work(sfDir))
+      val tN = tryRobust(name)(work(tmp))
+      System.err.println(f"[probe] $name ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+      (name, tN, t1)
+    }
+
+    val entryStats = probeEntries.filter(keep).map { name =>
+      probePair(name)(dir =>
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+    }
+
+    // three LSH configs (r7 finding, SemPairGen.Lsh scaladoc): the fixed
+    // 4×16 recall config has bucket occupancy ∝ n → candidates ∝ n²/16
+    // (measured 39× at 10× — kept so the quadratic stays named); the
+    // auto default (lshAutoPlanes/Tables) must stay near-linear. The r13
+    // sem_lsh_default_auto 3.25× read was flagged for a fresh-JVM re-rep
+    // (r13 verdict item 5) — this harness IS that re-rep, every round.
+    def semBlocked(dir: String, planes: Int, tables: Int): Unit =
+      graft.operators.Dedup.semanticDedup(
+        graft.sources.Tables.load(spark, dir, "embeddings")
+          .repartition(spark.sparkContext.defaultParallelism),
+        threshold = 0.45,
+        pairGen = graft.operators.Dedup.SemPairGen.Lsh(planes, tables))
+        .write.format("noop").mode("overwrite").save()
+    val semStats = Seq(("sem_lsh_default_auto", 0, 0),
+      ("sem_lsh_recall_cfg_4x16", 4, 16),
+      ("sem_lsh_scale_cfg_12x4", 12, 4))
+      .filter { case (n, _, _) => keep(n) }
+      .map { case (name, planes, tables) =>
+        probePair(name)(dir => semBlocked(dir, planes, tables))
+      }
+
+    // m04 pair generation over HIGH-ENTROPY payloads (r9): the catalog
+    // entry's ASCII grids are low-entropy (true pair count ∝ n² there —
+    // output size, not plan shape); md5-derived bytes make the only
+    // near-dups the corpus's planted exact duplicates (linear in n), so
+    // the ratio isolates the banding/shuffle scaling.
+    def phashPairs(dir: String): Unit = {
+      val media = graft.sources.Tables.load(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism).selectExpr(
+        "doc_id AS media_id",
+        "unhex(concat(md5(text), md5(concat(text, 'a')), " +
+          "md5(concat(text, 'b')), md5(concat(text, 'c')))) AS payload",
+        "named_struct('format', 'bin', 'width', 8, 'height', 8, " +
+          "'n_bytes', CAST(64 AS BIGINT)) AS meta")
+      graft.operators.Multimodal.phashNearDups(media, maxDist = 6)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val phashStats =
+      if (!keep("m04_phash_pairs")) Seq.empty
+      else Seq(probePair("m04_phash_pairs")(phashPairs))
+
+    // funnel under heavy-user skew (r9): users constant, every user
+    // factor× events (the bot envelope) — the per-user sorted fold list
+    // is the operator's documented memory/compute envelope. Timestamps
+    // shift per replica so the list is genuinely longer.
+    def funnelSkew(factor: Int): Unit = {
+      import org.apache.spark.sql.functions.col
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val amp = (0 until factor).map { r =>
+        if (r == 0) ev
+        else ev.selectExpr("user_id",
+          s"event_id + ${r}L * 10000000 AS event_id",
+          s"ts + INTERVAL $r SECONDS AS ts", "event_type", "value", "props")
+      }.reduce(_ unionByName _)
+      graft.operators.Funnels.windowFunnel(amp,
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), 3600L * 1000000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val skewStats =
+      if (!keep("q54_funnel_skew")) Seq.empty
+      else {
+        val t1 = tryRobust("q54_funnel_skew")(funnelSkew(1))
+        val tN = tryRobust("q54_funnel_skew")(funnelSkew(probeFactor))
+        System.err.println(
+          f"[probe] q54_funnel_skew ${probeFactor}x=${tN}%.1fs 1x=${t1}%.1fs")
+        Seq(("q54_funnel_skew", tN, t1))
+      }
+
+    // t19/t24 aggregates isolated over a MATERIALIZED term table (r10
+    // verdict item 2): tokenize+explode untimed, symmetric 32 files at
+    // both scales, so the probe times the bounded-state exchange alone.
+    val terms1x = s"$tmp/terms_1x.parquet"
+    val termsNx = s"$tmp/terms_${probeFactor}x.parquet"
+    Seq((sfDir, terms1x), (tmp, termsNx)).foreach { case (d, p) =>
+      graft.sources.Tables.load(spark, d, "documents")
+        .selectExpr("explode(split(lower(text), ' ')) AS term")
+        .where("term <> ''")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(p)
+    }
+    def topkSketch(dir: String): Unit =
+      graft.operators.HeavyHitters.topK(
+        spark.read.parquet(if (dir == sfDir) terms1x else termsNx),
+        "term", 64)
+        .write.format("noop").mode("overwrite").save()
+    def kllSketch(dir: String): Unit =
+      graft.operators.Quantiles.sketch(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .selectExpr("CAST(n_chars AS DOUBLE) AS v"),
+        "v", 128)
+        .write.format("noop").mode("overwrite").save()
+    // q58's amortized cost is the bucketed WRITE (the join is spec-pinned
+    // zero-exchange), probed over events (fact = events by user, dim =
+    // distinct users — only amplified tables)
+    def bucketedWrite(dir: String): Unit = {
+      val ev = graft.sources.Tables.load(spark, dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("event_id", "user_id", "value")
+      val users = ev.select("user_id").distinct()
+        .selectExpr("user_id AS u_id", "user_id % 5 AS seg")
+      val bf = graft.operators.Bucketed.writeBucketed(
+        ev, "graft_probe_fact", 16, Seq("user_id"))
+      val bd = graft.operators.Bucketed.writeBucketed(
+        users, "graft_probe_dim", 16, Seq("u_id"))
+      graft.operators.Bucketed.colocatedJoin(bf, bd,
+        Seq("user_id"), Seq("u_id"))
+        .groupBy("seg").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def samplePick(dir: String): Unit =
+      graft.operators.Reservoir.sample(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .selectExpr("CAST(doc_id AS STRING) AS id"),
+        "id", 64)
+        .write.format("noop").mode("overwrite").save()
+    def thetaSetOps(dir: String): Unit = {
+      import org.apache.spark.sql.functions.{col, explode, expr}
+      graft.sources.Tables.load(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select((col("doc_id") % 2 === 0).as("side_a"),
+          explode(graft.functions.VectorExprs.spanHashes(
+            graft.operators.Dedup.normalize(col("text")), 3)).as("h"))
+        .selectExpr("side_a", "CAST(h AS STRING) AS term")
+        .agg(
+          expr("theta_sketch_estimate(theta_intersection(" +
+            "theta_sketch_agg(CASE WHEN side_a THEN term END), " +
+            "theta_sketch_agg(CASE WHEN NOT side_a THEN term END)))"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def topkWeightedSketch(dir: String): Unit =
+      graft.operators.HeavyHitters.topKWeighted(
+        spark.read.parquet(if (dir == sfDir) terms1x else termsNx)
+          .selectExpr("term", "length(term) AS w"),
+        "term", "w", 64)
+        .write.format("noop").mode("overwrite").save()
+    val opStats = Seq(
+      ("t19_topk_sketch", topkSketch _),
+      ("t24_topkw_sketch", topkWeightedSketch _),
+      ("t20_kll_sketch", kllSketch _),
+      ("t21_sample_sketch", samplePick _),
+      ("t22_theta_sketch", thetaSetOps _),
+      ("q58_bucketed_write", bucketedWrite _))
+      .filter { case (n, _) => keep(n) }
+      .map { case (name, f) => probePair(name)(f) }
+
+    // s12 SPLIT probes (r13 verdict item 1): the combined entry's 4.06×
+    // read could not distinguish the one-time BUILD (pqTrain + one
+    // assignment pass + a partitionBy(cell) write whose partition count
+    // scales ~n/149 — task/file-count superlinearity suspect) from the
+    // bounded SERVE path (static partition pruning to the probed cell
+    // set). Probed separately: build once per scale (min-of-2 would pay
+    // the write twice for nothing — build is one-time by design, the
+    // entry's whole point), serve min-of-2 against the already-built
+    // index. Serve's query set scales with the corpus (vec_id % 11 = 3),
+    // so its linear band is ~factor×; build's write fans out factor×
+    // rows into factor× cell dirs — read build against ~factor with a
+    // small-file overhead allowance, and judge the SERVE leg strictly.
+    def s12Queries(dir: String) = {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Tables.load(spark, dir, "embeddings")
+        .where(col("vec_id") % 11 === 3)
+    }
+    val s12Stats =
+      if (!keep("s12_index_build") && !keep("s12_index_serve")) Seq.empty
+      else {
+        val idx1 = s"$tmp/s12_idx_1x"
+        val idxN = s"$tmp/s12_idx_${probeFactor}x"
+        def build(dir: String, idxDir: String): Unit = {
+          graft.operators.Similarity.saveIvfPqIndex(
+            graft.sources.Tables.load(spark, dir, "embeddings")
+              .repartition(spark.sparkContext.defaultParallelism),
+            idxDir, m = 8, kCodes = 16, trainIters = 1, centroidMod = 149)
+          ()
+        }
+        def serve(dir: String, idxDir: String): Unit =
+          graft.operators.Similarity.servedIvfPqTopK(spark, idxDir,
+            s12Queries(dir), k = 5, nProbe = 2, refine = 16,
+            refineCorpus = Some(graft.sources.Tables.load(spark, dir, "embeddings")))
+            .write.format("noop").mode("overwrite").save()
+        val b1 = tryRobust("s12_index_build") { build(sfDir, idx1) }
+        val bN = {
+          // build is NOT min-of-2: a second build just rewrites the index
+          val t0 = System.nanoTime()
+          try { build(tmp, idxN) } catch { case e: Throwable =>
+            System.err.println(s"[probe] s12_index_build ${probeFactor}x FAILED: $e") }
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          spark.catalog.clearCache(); System.gc()
+          t
+        }
+        System.err.println(
+          f"[probe] s12_index_build ${probeFactor}x=${bN}%.1fs 1x=${b1}%.1fs")
+        val sv1 = tryRobust("s12_index_serve")(serve(sfDir, idx1))
+        val svN = tryRobust("s12_index_serve")(serve(tmp, idxN))
+        System.err.println(
+          f"[probe] s12_index_serve ${probeFactor}x=${svN}%.1fs 1x=${sv1}%.1fs")
+        Seq(("s12_index_build", bN, b1), ("s12_index_serve", svN, sv1))
+      }
+
+    val all = entryStats ++ semStats ++ phashStats ++ skewStats ++ opStats ++ s12Stats
+    val body = all.map { case (name, tN, t1) =>
+      val ratio = if (t1 > 0) tN / t1 else -1.0
+      "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""
+    }.mkString(s"""{"factor":$probeFactor,"fresh_jvm":true,""", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[probe] wrote $outPath")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -90,4 +90,60 @@ object UrlFunctions {
   /** URL with query string and fragment removed (no trailing '?'/'#'). */
   def cutQueryStringAndFragment(url: Column): Column =
     regexp_replace(url, "[?#].*$", "")
+
+  /** `scheme://netloc` prefix (no trailing slash); '' if no scheme. */
+  private def schemePrefix(url: Column): Column =
+    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+
+  /** Host truncated to start at the first significant subdomain —
+    * ClickHouse `cutToFirstSignificantSubdomain` ("news.clickhouse.com.tr"
+    * → "clickhouse.com.tr"); same suffix heuristic as
+    * [[firstSignificantSubdomain]]. '' for IPv4 or dot-less hosts (no
+    * registrable suffix exists).
+    */
+  def cutToFirstSignificantSubdomain(url: Column): Column = {
+    val h = domain(url)
+    val multi = regexp_extract(h,
+      "([a-zA-Z0-9-]+\\.(?:co|com|org|net|gov|edu|ac)\\.[a-zA-Z]{2})$", 1)
+    val plain = regexp_extract(h, "([a-zA-Z0-9-]+\\.[a-zA-Z0-9-]+)$", 1)
+    when(h.rlike("^[0-9.]+$"), lit(""))
+      .otherwise(when(multi =!= "", multi).otherwise(plain))
+  }
+
+  /** ClickHouse `URLPathHierarchy`: one array element per path level,
+    * root '/' excluded — "/browse/CONF/x" → ["/browse/", "/browse/CONF/",
+    * "/browse/CONF/x"]. Exact contract (documented so the q98 oracle can
+    * mirror it): empty segments collapse (CH counts consecutive
+    * separators as one), every non-final level ends with '/', the final
+    * level ends with '/' only if the path did; bare authority (path "/")
+    * → empty array. The sub-n `sequence` guard matters here too:
+    * sequence(1, 0) is DESCENDING in Spark.
+    */
+  def urlPathHierarchy(url: Column): Column = {
+    val p = path(url)
+    val segs = filter(split(p, "/"), s => s =!= "")
+    val n = size(segs)
+    val endsSlash = p.rlike("/$")
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n), i =>
+        concat(lit("/"), array_join(slice(segs, lit(1), i), "/"),
+          when(i === n && !endsSlash, lit("")).otherwise(lit("/")))))
+  }
+
+  /** ClickHouse `URLHierarchy`: `scheme://netloc/` as the root level,
+    * then the [[urlPathHierarchy]] levels with the prefix re-attached,
+    * then — when a query string exists — the query-bearing URL (fragment
+    * excluded, a documented deviation: fragments are client-side) as the
+    * final level.
+    */
+  def urlHierarchy(url: Column): Column = {
+    val pre = schemePrefix(url)
+    val levels = concat(
+      array(concat(pre, lit("/"))),
+      transform(urlPathHierarchy(url), l => concat(pre, l)))
+    val qs = queryString(url)
+    when(qs === "", levels)
+      .otherwise(concat(levels,
+        array(concat(cutQueryStringAndFragment(url), lit("?"), qs))))
+  }
 }

@@ -2868,7 +2868,59 @@ object Relational {
       Some(urlFunctionsOracle),
       "ClickHouse URL function family: domain/tld/firstSignificant" +
         "Subdomain/path/queryString/fragment/param extracts as map-only " +
-        "portable regexes; domain-level rollup, every branch exercised"))
+        "portable regexes; domain-level rollup, every branch exercised"),
+
+    // q98: the ClickHouse URL HIERARCHY family (URLHierarchy /
+    // URLPathHierarchy / cutToFirstSignificantSubdomain) — the drill-down
+    // dimension web analytics groups by at every level. Corpus: q97's
+    // synthesis with MULTI-SEGMENT paths (2 levels + optional trailing
+    // slash) so hierarchy depth varies 0–3; the level arrays explode back
+    // to scalar rows (driver-compare constraint — never output ARRAY
+    // columns). Map-only HOF/regex algebra + the explode; the oracle
+    // re-derives every level with DuckDB list comprehensions, mirroring
+    // the documented contract (segments collapse, non-final levels end
+    // '/', query level last, fragment excluded).
+    "q98_url_hierarchy" -> Q(
+      (s, dir) => {
+        import graft.functions.UrlFunctions._
+        val ev = t(s, dir, "events")
+          .select(col("event_id").as("id"), col("user_id").as("uid"))
+        val host = when(col("id") % 13 === 0,
+            concat(lit("10.0.0."), (col("uid") % 250).cast("string")))
+          .when(col("id") % 7 === 0,
+            concat(lit("shop"), (col("uid") % 5).cast("string"),
+              lit(".example.co.uk")))
+          .otherwise(concat(lit("news"), (col("uid") % 9).cast("string"),
+            lit(".example.com")))
+        val url = concat(
+          when(col("id") % 3 === 0, lit("https://")).otherwise(lit("http://")),
+          host,
+          when(col("id") % 6 === 0, lit(":8080")).otherwise(lit("")),
+          when(col("id") % 17 === 0, lit(""))
+            .otherwise(concat(lit("/cat/"), (col("id") % 5).cast("string"),
+              lit("/item/"), (col("id") % 50).cast("string"),
+              when(col("id") % 4 === 0, lit("/")).otherwise(lit("")))),
+          when(col("id") % 2 === 0,
+            concat(lit("?q="), (col("id") % 10).cast("string"), lit("&ref=x")))
+            .otherwise(lit("")),
+          when(col("id") % 5 === 0, lit("#sec2")).otherwise(lit("")))
+        val base = ev.select(col("id"), url.as("url"))
+          .select(col("id"),
+            cutToFirstSignificantSubdomain(col("url")).as("cut_fsd"),
+            urlPathHierarchy(col("url")).as("ph"),
+            urlHierarchy(col("url")).as("uh"))
+        base.select(col("id"), col("cut_fsd"),
+            size(col("ph")).cast("long").as("n_path_levels"),
+            coalesce(element_at(col("ph"), -1), lit("")).as("deepest_path"),
+            posexplode(col("uh")))
+          .select(col("id"), col("cut_fsd"), col("n_path_levels"),
+            col("deepest_path"), (col("pos") + 1).cast("long").as("lvl"),
+            col("col").as("level_url"))
+      },
+      Some(urlHierarchyOracle),
+      "ClickHouse URL hierarchy family: URLHierarchy/URLPathHierarchy " +
+        "levels + cutToFirstSignificantSubdomain as map-only HOF/regex " +
+        "algebra, exploded to one row per drill-down level"))
 
   /** q96's needle — lowercase words from the synthetic vocabulary so the
     * match is non-trivial at every SF. (`def`, not `val`: the catalog map
@@ -2967,4 +3019,71 @@ object Relational {
       |    AS n_cut_noop,
       |  min(qs) AS min_qs
       |FROM y GROUP BY dom, tld, fsd""".stripMargin
+
+  /** The q98 oracle: every hierarchy level re-derived with DuckDB list
+    * comprehensions, mirroring the documented `urlPathHierarchy` /
+    * `urlHierarchy` contracts (segments collapse, non-final levels end
+    * with '/', root level first, query level last, fragment excluded).
+    */
+  private def urlHierarchyOracle: String =
+    """WITH e AS (SELECT event_id AS id, user_id AS uid FROM events),
+      |u AS (SELECT id,
+      |  (CASE WHEN id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+      |  (CASE WHEN id % 13 = 0
+      |     THEN '10.0.0.' || CAST(uid % 250 AS VARCHAR)
+      |   WHEN id % 7 = 0
+      |     THEN 'shop' || CAST(uid % 5 AS VARCHAR) || '.example.co.uk'
+      |   ELSE 'news' || CAST(uid % 9 AS VARCHAR) || '.example.com' END) ||
+      |  (CASE WHEN id % 6 = 0 THEN ':8080' ELSE '' END) ||
+      |  (CASE WHEN id % 17 = 0 THEN ''
+      |   ELSE '/cat/' || CAST(id % 5 AS VARCHAR) ||
+      |        '/item/' || CAST(id % 50 AS VARCHAR) ||
+      |        (CASE WHEN id % 4 = 0 THEN '/' ELSE '' END) END) ||
+      |  (CASE WHEN id % 2 = 0
+      |     THEN '?q=' || CAST(id % 10 AS VARCHAR) || '&ref=x'
+      |   ELSE '' END) ||
+      |  (CASE WHEN id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+      | FROM e),
+      |x AS (SELECT id, url,
+      |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+      |    AS pre,
+      |  regexp_replace(regexp_replace(
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      |    '^[^@]*@', ''), ':[0-9]+$', '') AS dom,
+      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      |    AS p0,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS qs,
+      |  regexp_replace(url, '[?#].*$', '') AS cut
+      | FROM u),
+      |y AS (SELECT *, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+      |  CASE WHEN regexp_matches(dom, '^[0-9.]+$') THEN ''
+      |       WHEN regexp_extract(dom,
+      |         '([a-zA-Z0-9-]+\.(?:co|com|org|net|gov|edu|ac)\.[a-zA-Z]{2})$',
+      |         1) <> ''
+      |       THEN regexp_extract(dom,
+      |         '([a-zA-Z0-9-]+\.(?:co|com|org|net|gov|edu|ac)\.[a-zA-Z]{2})$',
+      |         1)
+      |       ELSE regexp_extract(dom, '([a-zA-Z0-9-]+\.[a-zA-Z0-9-]+)$', 1)
+      |       END AS cut_fsd
+      | FROM x),
+      |z AS (SELECT *,
+      |  list_filter(string_split(p, '/'), s -> s <> '') AS segs,
+      |  (p LIKE '%/') AS ends_slash FROM y),
+      |h AS (SELECT *,
+      |  ['/' || array_to_string(segs[1:i], '/') ||
+      |     (CASE WHEN i = len(segs) AND NOT ends_slash
+      |       THEN '' ELSE '/' END)
+      |   FOR i IN generate_series(1, len(segs))] AS ph FROM z),
+      |g AS (SELECT *,
+      |  [pre || '/'] || [pre || lv FOR lv IN ph] ||
+      |  (CASE WHEN qs <> '' THEN [cut || '?' || qs]
+      |   ELSE CAST([] AS VARCHAR[]) END) AS uh
+      | FROM h)
+      |SELECT id, cut_fsd, CAST(len(ph) AS BIGINT) AS n_path_levels,
+      |  CASE WHEN len(ph) = 0 THEN '' ELSE ph[len(ph)] END AS deepest_path,
+      |  CAST(r.lvl AS BIGINT) AS lvl, r.u AS level_url
+      |FROM (SELECT id, cut_fsd, ph,
+      |        unnest([{'lvl': i, 'u': uh[i]}
+      |                FOR i IN generate_series(1, len(uh))]) AS r
+      |      FROM g)""".stripMargin
 }

@@ -78,6 +78,45 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(n("qs") == "q=2" && n("frag") == "frag")
   }
 
+  private def hier(url: String): (String, Seq[String], Seq[String]) = {
+    import UrlFunctions._
+    val r = Seq(url).toDF("u").select(
+      cutToFirstSignificantSubdomain(col("u")).as("cf"),
+      urlPathHierarchy(col("u")).as("ph"),
+      urlHierarchy(col("u")).as("uh")).collect().head
+    (r.getAs[String]("cf"), r.getSeq[String](1).toList, r.getSeq[String](2).toList)
+  }
+
+  test("hierarchy: root, per-segment levels, query level last, fragment excluded") {
+    val (cf, ph, uh) = hier("https://news2.example.com:8080/cat/3/item/41?q=7&ref=x#sec2")
+    assert(cf == "example.com")
+    assert(ph == Seq("/cat/", "/cat/3/", "/cat/3/item/", "/cat/3/item/41"))
+    assert(uh == Seq(
+      "https://news2.example.com:8080/",
+      "https://news2.example.com:8080/cat/",
+      "https://news2.example.com:8080/cat/3/",
+      "https://news2.example.com:8080/cat/3/item/",
+      "https://news2.example.com:8080/cat/3/item/41",
+      "https://news2.example.com:8080/cat/3/item/41?q=7&ref=x"))
+  }
+
+  test("hierarchy: trailing slash kept on the final level, segments collapse") {
+    val (_, ph, _) = hier("http://h.example.com/a//b/")
+    assert(ph == Seq("/a/", "/a/b/")) // '//' counts as one separator
+  }
+
+  test("hierarchy: bare authority yields the root level only; path levels empty") {
+    val (cf, ph, uh) = hier("http://shop1.example.co.uk")
+    assert(cf == "example.co.uk") // multi-part suffix keeps the cc pair
+    assert(ph.isEmpty)
+    assert(uh == Seq("http://shop1.example.co.uk/"))
+  }
+
+  test("cutToFirstSignificantSubdomain: '' for IPv4 and dot-less hosts") {
+    assert(hier("http://10.0.0.9/x")._1 == "")
+    assert(hier("http://localhost/x")._1 == "")
+  }
+
   test("the accessor projection is map-only (zero exchanges)") {
     import UrlFunctions._
     val df = (1 to 8).map(i => s"http://h$i.example.com/p$i").toDF("u")
