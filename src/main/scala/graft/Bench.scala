@@ -55,7 +55,7 @@ object Bench {
     "q91_funnel_sql", "q92_tukey_outliers", "q93_ip_trie_lookup",
     "q94_anova", "q95_group_array_intersect", "t28_url_canonicalize",
     "d24_boilerplate_strip", "q96_ngram_fuzzy", "p09_fim_split",
-    "q97_url_functions", "q98_url_hierarchy",
+    "q97_url_functions", "q98_url_hierarchy", "p10_sentence_chunks",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",
@@ -105,6 +105,13 @@ object Bench {
     "t22_theta_set_ops" ->
       "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
     "q33_approx_sketches" ->
+      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
+    // r14: q97 joined the class on its first artifact-to-artifact diff
+    // (added in the final r13 commit, so r13 had no second dump to catch
+    // it): it aggregates TWO DISTINCT columns (n_paths, n_netlocs), and
+    // the r12↔r14 hashes differ with IDENTICAL node histograms — the
+    // Expand-gid permutation signature
+    "q97_url_functions" ->
       "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
     "z01_self_checks" ->
       "SESSION_DEPENDENT(embeds t22/q33 — distinct-agg gid permutation)")

@@ -41,6 +41,14 @@ import org.apache.spark.sql.SparkSession
   * comparable wholesale to r13-and-earlier probe ratios; compare the
   * absolute legs across rounds instead.
   *
+  * RESIDUAL NOISE FLOOR (measured r14): even this fresh JVM ages over
+  * its own ~60-pair sweep — sem_lsh_default_auto read 1.48× in a
+  * 4-entry filtered run but 3.38× at the tail of the full sweep, same
+  * code, same day. Ratios in the 3–4.5× band from a FULL sweep are
+  * therefore not yet findings; the adjudication protocol is one
+  * filtered rerun (`[onlyCsv]` arg below) — cheap, same harness — and
+  * only a ratio that survives isolation escalates.
+  *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
   * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}
@@ -93,7 +101,10 @@ object BenchProbe {
     // URL extracts over events, linear band — and the new hierarchy
     // family: map-only HOF levels + an explode whose fan-out is the
     // bounded per-URL level count, linear band too
-    "q97_url_functions", "q98_url_hierarchy")
+    "q97_url_functions", "q98_url_hierarchy",
+    // p10 reads the suffixed-replication corpus: per-char sentence fold →
+    // the ~15× chars envelope (the d23/q96/p09 note)
+    "p10_sentence_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -373,6 +373,76 @@ object Sampling {
         array_join(slice(col("toks"), col("start"), lit(win)), " ").as("chunk"))
   }
 
+  /** Sentence-boundary-respecting greedy chunking — the RAG/context-prep
+    * splitter (the recursive-character-splitter staple, reduced to its
+    * deterministic core): documents split into sentences, consecutive
+    * sentences greedily packed into chunks of at most `maxChars`
+    * characters, never cutting inside a sentence. The boundary-preserving
+    * complement of [[chunkStride]] (which hard-splits on token windows).
+    *
+    * Exact contract (each rule oracle-mirrored in p10):
+    *   - sentence split: boundaries after `.`/`!`/`?` followed by a
+    *     space (portable two-step: mark with  then split — Spark's
+    *     regexp_replace is global by default, DuckDB mirrors with the
+    *     'g' flag; no lookbehind, which RE2 lacks); empty sentences drop.
+    *   - greedy packing in document order: a sentence joins the current
+    *     chunk when currentLen + 1 (separator) + len(s) ≤ maxChars, else
+    *     starts the next chunk. A single sentence longer than maxChars
+    *     gets its own OVERSIZED chunk — the operator never cuts inside a
+    *     sentence by contract (callers wanting hard caps compose with
+    *     chunkStride).
+    *   - chunk text = its sentences joined by one space; chunk_idx is
+    *     0-based.
+    *
+    * Scale shape: strictly map-only (split + one linear `aggregate` fold
+    * for the assignment + per-chunk rebuild), zero shuffle, zero UDFs.
+    * The rebuild scans the sentence array once per chunk (O(sents ×
+    * chunks) per ROW — the q79 bounded in-row envelope; row cost is a
+    * function of document length, not corpus size).
+    */
+  def sentenceChunks(docs: DataFrame, maxChars: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxChars >= 1, "maxChars must be positive")
+    val marked = regexp_replace(col(textCol), "([.!?]) ", "$1")
+    val sentsRaw = filter(split(marked, ""), s => s =!= "")
+    val base = docs.select(col(idCol).as("doc_id"),
+      graft.functions.OptimizerFence(sentsRaw).as("sents"))
+    val accType = "array<struct<idx:bigint,cur:bigint>>"
+    val fold = aggregate(col("sents"),
+      expr(s"CAST(array() AS $accType)"),
+      (acc, s) => {
+        val prev = element_at(acc, -1)
+        val prevIdx = coalesce(prev.getField("idx"), lit(0L))
+        val prevCur = coalesce(prev.getField("cur"), lit(0L))
+        val sl = length(s).cast("long")
+        val cont = prevCur + lit(1L) + sl
+        val newIdx = when(prevCur === 0L, lit(0L))
+          .when(cont <= maxChars, prevIdx).otherwise(prevIdx + 1L)
+        val newCur = when(prevCur === 0L, sl)
+          .when(cont <= maxChars, cont).otherwise(sl)
+        concat(acc, array(struct(newIdx.as("idx"), newCur.as("cur"))))
+      })
+    val withAssign = base.select(col("doc_id"), col("sents"),
+      graft.functions.OptimizerFence(
+        transform(fold, x => x.getField("idx"))).as("assign"))
+    val maxIdx = element_at(col("assign"), -1)
+    val chunks = when(size(col("sents")) === 0,
+        expr("CAST(array() AS array<struct<idx:bigint,txt:string,ns:bigint>>)"))
+      .otherwise(transform(sequence(lit(0L), maxIdx), k => {
+        val mine = filter(
+          zip_with(col("sents"), col("assign"), (s, a) => when(a === k, s)),
+          x => x.isNotNull)
+        struct(k.as("idx"), array_join(mine, " ").as("txt"),
+          size(mine).cast("long").as("ns"))
+      }))
+    withAssign.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"),
+        col("c").getField("idx").as("chunk_idx"),
+        col("c").getField("txt").as("chunk_text"),
+        col("c").getField("ns").as("n_sents"),
+        length(col("c").getField("txt")).cast("long").as("n_chars"))
+  }
+
   /** DSIR-shaped importance weights (Xie, Santurkar, Ma, Liang, "Data
     * Selection for Language Models via Importance Resampling", NeurIPS
     * 2023): score each corpus document by how much its hashed-n-gram

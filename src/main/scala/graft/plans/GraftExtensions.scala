@@ -240,7 +240,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sequence_count", "graft_sequence_count(pattern, ts, id, cond1[, ...condN]) - ClickHouse sequenceCount(pattern)(ts, cond1..) as an aggregate: the number of NON-OVERLAPPING leftmost-lazy chains matching the pattern over the group's (ts, id)-ordered condition-matching events"),
       (args: Seq[Expression]) =>
         seqPatternAgg(args, "graft_sequence_count",
-          (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n))))
+          (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
+  ) ++ urlFunctions
+
+  /** The ClickHouse URL family under its OWN names (no graft_ prefix —
+    * the kernel-scalar convention of parse_log_line/simhash60): a
+    * ClickHouse migrant's `SELECT domain(url), topLevelDomain(url)`
+    * runs unchanged. Each builder is the q97/q98 Column composition
+    * re-exposed through the registry (pure built-in expression trees —
+    * regexp/HOF algebra, zero UDFs, whole-stage codegen), so SQL ≡
+    * Column by construction; `GraftExtensionsSpec` pins it anyway.
+    * None of the names collides with a Spark built-in (Spark's URL
+    * surface is parse_url/url_encode/url_decode/try_parse_url).
+    */
+  private def urlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.UrlFunctions
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression => expression}
+    def col1(name: String, doc: String,
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      (FunctionIdentifier(name), info(name, doc),
+        (args: Seq[Expression]) => expression(f(column(args(0)))))
+    Seq(
+      col1("domain", "domain(url) - host without userinfo/port (ClickHouse domain)",
+        UrlFunctions.domain),
+      col1("netloc", "netloc(url) - user:pw@host:port authority (ClickHouse netloc)",
+        UrlFunctions.netloc),
+      col1("topLevelDomain", "topLevelDomain(url) - last host label; '' for IPv4/dot-less hosts",
+        UrlFunctions.topLevelDomain),
+      col1("firstSignificantSubdomain", "firstSignificantSubdomain(url) - registrable label (example in example.co.uk)",
+        UrlFunctions.firstSignificantSubdomain),
+      col1("cutToFirstSignificantSubdomain", "cutToFirstSignificantSubdomain(url) - host from the first significant subdomain down ('' for IPv4/dot-less)",
+        UrlFunctions.cutToFirstSignificantSubdomain),
+      col1("path", "path(url) - path without query/fragment; '/' for bare authority (ClickHouse path)",
+        UrlFunctions.path),
+      col1("queryString", "queryString(url) - query without '?' or fragment; '' if none",
+        UrlFunctions.queryString),
+      col1("fragment", "fragment(url) - fragment without '#'; '' if none",
+        UrlFunctions.fragment),
+      col1("cutQueryStringAndFragment", "cutQueryStringAndFragment(url) - URL with query string and fragment removed",
+        UrlFunctions.cutQueryStringAndFragment),
+      col1("URLHierarchy", "URLHierarchy(url) - array of drill-down prefixes: scheme://host/, each path level, query level last (fragment excluded)",
+        UrlFunctions.urlHierarchy),
+      col1("URLPathHierarchy", "URLPathHierarchy(url) - array of path levels, root '/' excluded",
+        UrlFunctions.urlPathHierarchy),
+      (FunctionIdentifier("extractURLParameter"),
+        info("extractURLParameter", "extractURLParameter(url, name) - value of the FIRST name= pair; '' if absent; name must be a [A-Za-z0-9_]+ literal"),
+        (args: Seq[Expression]) => expression(UrlFunctions.extractURLParameter(
+          column(args(0)), strLit(args(1), "extractURLParameter")))))
+  }
 
   /** Shared builder for the sequence-pattern aggregates: same
     * (pattern, ts, id, conds…) → (t, id, bitmask) input plumbing as

@@ -2546,6 +2546,63 @@ object DataOps {
         "gate, modular cut points, PSM reassembly with sentinels — " +
         "map-only, span lengths conserve"),
 
+    // p10: sentence-boundary-respecting greedy chunking (the RAG /
+    // context-prep splitter; Sampling.sentenceChunks scaladoc has the
+    // exact contract). The synthetic corpus carries no punctuation, so
+    // the entry INJECTS deterministic boundaries first — a period after
+    // every (4 + doc_id % 5)-th token, id-keyed so sentence lengths vary
+    // across docs (the q97 synthesis pattern; both engines re-derive the
+    // same text). maxChars=120 forces multi-chunk splits on most docs.
+    // Oracle: the greedy fold replayed as a DuckDB recursive CTE (the
+    // q57 pattern), chunk text via ordered string_agg.
+    "p10_sentence_chunks" -> Q(
+      (s, dir) => {
+        val docs = tp(s, dir, "documents")
+        val k = col("doc_id") % 5 + 4
+        val toks = split(col("text"), " ")
+        val text2 = array_join(
+          transform(toks, (t, i) =>
+            when((i + 1) % k === 0, concat(t, lit("."))).otherwise(t)), " ")
+        graft.operators.Sampling.sentenceChunks(
+          docs.select(col("doc_id"), text2.as("text")), maxChars = 120)
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |        (4 + doc_id % 5) AS k FROM documents),
+             |t2 AS (SELECT doc_id, array_to_string(
+             |  [CASE WHEN i % k = 0 THEN toks[i] || '.' ELSE toks[i] END
+             |   FOR i IN generate_series(1, len(toks))], ' ') AS text2
+             | FROM t),
+             |m AS (SELECT doc_id, list_filter(string_split(
+             |    regexp_replace(text2, '([.!?]) ', '\1' || chr(1), 'g'),
+             |    chr(1)), s -> s <> '') AS sents FROM t2),
+             |es AS (SELECT doc_id, r.p AS p, r.t AS t,
+             |        CAST(length(r.t) AS BIGINT) AS l
+             |  FROM (SELECT doc_id,
+             |          unnest([{'p': i, 't': sents[i]}
+             |                  FOR i IN generate_series(1, len(sents))]) AS r
+             |        FROM m)),
+             |rec AS (
+             |  SELECT doc_id, p, CAST(0 AS BIGINT) AS idx, l AS cur
+             |  FROM es WHERE p = 1
+             |  UNION ALL
+             |  SELECT es.doc_id, es.p,
+             |    CASE WHEN rec.cur + 1 + es.l <= 120 THEN rec.idx
+             |         ELSE rec.idx + 1 END,
+             |    CASE WHEN rec.cur + 1 + es.l <= 120 THEN rec.cur + 1 + es.l
+             |         ELSE es.l END
+             |  FROM rec JOIN es ON es.doc_id = rec.doc_id
+             |                  AND es.p = rec.p + 1)
+             |SELECT rec.doc_id, rec.idx AS chunk_idx,
+             |  string_agg(es.t, ' ' ORDER BY es.p) AS chunk_text,
+             |  CAST(count(*) AS BIGINT) AS n_sents,
+             |  CAST(sum(es.l) + count(*) - 1 AS BIGINT) AS n_chars
+             |FROM rec JOIN es ON es.doc_id = rec.doc_id AND es.p = rec.p
+             |GROUP BY rec.doc_id, rec.idx""".stripMargin),
+      "sentence-boundary greedy chunking (RAG splitter): sentences never " +
+        "cut, greedy <=120-char packing as one linear in-row fold — " +
+        "map-only, zero shuffle"),
+
     "t13_rarity_score" -> Q(
       (s, dir) => {
         val docs = tp(s, dir, "documents")

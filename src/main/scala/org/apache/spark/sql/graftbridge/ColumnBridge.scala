@@ -12,6 +12,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. `expression` wraps the Column's
+    * node tree lazily (`ColumnNodeExpression`), which the analyzer treats
+    * as opaque — fine inside DataFrame plans (the DataFrame layer converts
+    * at plan build), but a function-REGISTRY builder's return value goes
+    * straight into the analyzed tree, where the lazy wrapper survives to
+    * codegen and dies Unevaluable. This converts through the default
+    * node-to-Catalyst converter up front: API functions become
+    * `UnresolvedFunction`s the analyzer then resolves like any SQL text.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a function builder into an EXISTING session's registry —
     * the runtime-installation counterpart of
     * `SparkSessionExtensions.injectFunction` (which only applies at

@@ -155,6 +155,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(ch2 == Seq((0, 1, 4, "p q r s"), (1, 2, 4, "q r s t")))
   }
 
+  test("sentenceChunks: greedy packing never cuts inside a sentence") {
+    // sentences: "aaaa bb." (8) / "cc dd!" (6) / "eee?" (4) / "ff gg" (5)
+    // maxChars=16: chunk0 = s1+s2 (8+1+6=15 ≤ 16; +s3 would be 20),
+    // chunk1 = s3+s4 (4+1+5=10)
+    val d = Seq((1L, "aaaa bb. cc dd! eee? ff gg")).toDF("doc_id", "text")
+    val got = Sampling.sentenceChunks(d, maxChars = 16)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_sents", "n_chars")
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 0L, "aaaa bb. cc dd!", 2L, 15L),
+      (1L, 1L, "eee? ff gg", 2L, 10L)))
+  }
+
+  test("sentenceChunks: oversized sentence gets its own chunk, never split") {
+    val d = Seq((1L, "tiny. " + ("w" * 40) + ". end.")).toDF("doc_id", "text")
+    val got = Sampling.sentenceChunks(d, maxChars = 10)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "tiny."), (1L, "w" * 40 + "."), (2L, "end.")))
+  }
+
+  test("sentenceChunks: punctuation-free doc is one sentence, one chunk") {
+    val d = Seq((7L, "no boundaries here at all")).toDF("doc_id", "text")
+    val got = Sampling.sentenceChunks(d, maxChars = 8)
+      .select("chunk_idx", "chunk_text", "n_sents")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "no boundaries here at all", 1L)))
+  }
+
+  test("sentenceChunks is map-only (zero exchanges)") {
+    val d = Seq((1L, "a. b. c.")).toDF("doc_id", "text")
+    val plan = Sampling.sentenceChunks(d, maxChars = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("dsirWeights: hand-checked integer ratio model") {
     // source bigrams: doc1 -> "a a","a b"; doc2 -> "c c","c c"
     // source model: cnt("a a")=1, cnt("a b")=1, cnt("c c")=2, tot=4

@@ -352,4 +352,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "FROM ge_seq").collect())
     assert(e.getMessage.contains("pattern"), e.getMessage)
   }
+
+  test("ClickHouse URL family from SQL under its own names ≡ Column API") {
+    import graft.functions.UrlFunctions
+    import org.apache.spark.sql.functions.col
+    val url = "https://user:pw@shop3.example.co.uk:8080/cat/2/item/7?q=5&ref=x#sec2"
+    val r = spark.sql(
+      s"""SELECT domain('$url') AS dom, netloc('$url') AS nl,
+         |  topLevelDomain('$url') AS tld,
+         |  firstSignificantSubdomain('$url') AS fsd,
+         |  cutToFirstSignificantSubdomain('$url') AS cfsd,
+         |  path('$url') AS p, queryString('$url') AS qs,
+         |  fragment('$url') AS fr, extractURLParameter('$url', 'q') AS qv,
+         |  cutQueryStringAndFragment('$url') AS cut,
+         |  URLPathHierarchy('$url') AS ph, URLHierarchy('$url') AS uh
+         |""".stripMargin).collect().head
+    assert(r.getAs[String]("dom") == "shop3.example.co.uk")
+    assert(r.getAs[String]("nl") == "user:pw@shop3.example.co.uk:8080")
+    assert(r.getAs[String]("tld") == "uk")
+    assert(r.getAs[String]("fsd") == "example")
+    assert(r.getAs[String]("cfsd") == "example.co.uk")
+    assert(r.getAs[String]("p") == "/cat/2/item/7")
+    assert(r.getAs[String]("qs") == "q=5&ref=x")
+    assert(r.getAs[String]("fr") == "sec2")
+    assert(r.getAs[String]("qv") == "5")
+    // SQL ≡ Column on a small corpus, every accessor at once
+    import spark.implicits._
+    val df = (1 to 20).map(i =>
+      s"http://h$i.example.com/a/$i${if (i % 2 == 0) s"?q=$i" else ""}")
+      .toDF("u")
+    df.createOrReplaceTempView("ge_urls")
+    val viaSql = spark.sql(
+      """SELECT domain(u), path(u), queryString(u),
+        |  extractURLParameter(u, 'q'), URLHierarchy(u)
+        |FROM ge_urls""".stripMargin).collect().toSeq.map(_.toString)
+    val viaCol = df.select(UrlFunctions.domain(col("u")),
+      UrlFunctions.path(col("u")), UrlFunctions.queryString(col("u")),
+      UrlFunctions.extractURLParameter(col("u"), "q"),
+      UrlFunctions.urlHierarchy(col("u"))).collect().toSeq.map(_.toString)
+    assert(viaSql == viaCol)
+    // non-literal parameter name fails at PLAN time with the fn's name
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT extractURLParameter(u, u) FROM ge_urls").collect())
+    assert(e2.getMessage.contains("extractURLParameter"), e2.getMessage)
+  }
 }
