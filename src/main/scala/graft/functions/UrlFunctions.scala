@@ -135,6 +135,15 @@ object UrlFunctions {
     * then — when a query string exists — the query-bearing URL (fragment
     * excluded, a documented deviation: fragments are client-side) as the
     * final level.
+    *
+    * PERFORMANCE: this self-contained Column form embeds the prefix /
+    * segment subtrees inside the per-level lambda bodies, so each level
+    * re-evaluates the regex+split chain — O(levels × regexes) per row.
+    * Fine for a scalar SQL accessor; for CORPUS-scale hierarchy columns
+    * use [[withUrlHierarchies]], which stages the shared pieces once per
+    * row behind fences (measured ~6× on the q98 corpus: the unstaged
+    * form benched 21 s at sf0.1 — the whole bench's top entry — the
+    * staged one 3.2–3.6 s isolated).
     */
   def urlHierarchy(url: Column): Column = {
     val pre = schemePrefix(url)
@@ -145,5 +154,42 @@ object UrlFunctions {
     when(qs === "", levels)
       .otherwise(concat(levels,
         array(concat(cutQueryStringAndFragment(url), lit("?"), qs))))
+  }
+
+  /** Corpus-scale form of [[urlPathHierarchy]] + [[urlHierarchy]]:
+    * appends BOTH hierarchy columns with the shared per-row pieces
+    * (prefix, path, query string, cut URL, path segments) computed
+    * exactly once as FENCED intermediate columns — the per-level lambdas
+    * then reference cheap bound attributes instead of re-evaluating the
+    * regex+split trees (the FuzzyMatch staging discipline; the fence
+    * stops CollapseProject from inlining the definitions back in).
+    * Results ≡ the Column forms row-for-row (spec-pinned).
+    */
+  def withUrlHierarchies(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      pathHierCol: String = "ph", urlHierCol: String = "uh"): org.apache.spark.sql.DataFrame = {
+    import graft.functions.OptimizerFence
+    val u = col(urlCol)
+    val staged = df
+      .withColumn("_uh_pre", OptimizerFence(schemePrefix(u)))
+      .withColumn("_uh_p", OptimizerFence(path(u)))
+      .withColumn("_uh_qs", OptimizerFence(queryString(u)))
+      .withColumn("_uh_cut", OptimizerFence(cutQueryStringAndFragment(u)))
+      .withColumn("_uh_segs",
+        OptimizerFence(filter(split(col("_uh_p"), "/"), s => s =!= "")))
+    val n = size(col("_uh_segs"))
+    val endsSlash = col("_uh_p").rlike("/$")
+    val ph = when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n), i =>
+        concat(lit("/"), array_join(slice(col("_uh_segs"), lit(1), i), "/"),
+          when(i === n && !endsSlash, lit("")).otherwise(lit("/")))))
+    val withPh = staged.withColumn(pathHierCol, OptimizerFence(ph))
+    val levels = concat(
+      array(concat(col("_uh_pre"), lit("/"))),
+      transform(col(pathHierCol), l => concat(col("_uh_pre"), l)))
+    val uh = when(col("_uh_qs") === "", levels)
+      .otherwise(concat(levels,
+        array(concat(col("_uh_cut"), lit("?"), col("_uh_qs")))))
+    withPh.withColumn(urlHierCol, uh)
+      .drop("_uh_pre", "_uh_p", "_uh_qs", "_uh_cut", "_uh_segs")
   }
 }

@@ -2904,11 +2904,14 @@ object Relational {
             concat(lit("?q="), (col("id") % 10).cast("string"), lit("&ref=x")))
             .otherwise(lit("")),
           when(col("id") % 5 === 0, lit("#sec2")).otherwise(lit("")))
-        val base = ev.select(col("id"), url.as("url"))
-          .select(col("id"),
-            cutToFirstSignificantSubdomain(col("url")).as("cut_fsd"),
-            urlPathHierarchy(col("url")).as("ph"),
-            urlHierarchy(col("url")).as("uh"))
+        // staged hierarchy form: the self-contained Column accessors
+        // embed the regex/split trees in every per-level lambda — the
+        // unstaged entry benched 21 s at sf0.1 (top of the whole bench);
+        // withUrlHierarchies computes the shared pieces once per row
+        val base = withUrlHierarchies(
+          ev.select(col("id"), url.as("url")), "url")
+          .withColumn("cut_fsd",
+            cutToFirstSignificantSubdomain(col("url")))
         base.select(col("id"), col("cut_fsd"),
             size(col("ph")).cast("long").as("n_path_levels"),
             coalesce(element_at(col("ph"), -1), lit("")).as("deepest_path"),

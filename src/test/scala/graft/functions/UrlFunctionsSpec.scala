@@ -112,6 +112,24 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(uh == Seq("http://shop1.example.co.uk/"))
   }
 
+  test("withUrlHierarchies (staged corpus form) ≡ the Column accessors row-for-row") {
+    import UrlFunctions._
+    val urls = Seq(
+      "https://news2.example.com:8080/cat/3/item/41?q=7&ref=x#sec2",
+      "http://h.example.com/a//b/",
+      "http://shop1.example.co.uk",
+      "https://user:pw@x.example.org/p?only=1",
+      "http://10.0.0.9/x/y#f")
+    val df = urls.toDF("u")
+    val staged = withUrlHierarchies(df, "u")
+      .select(col("u"), col("ph"), col("uh")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList, r.getSeq[String](2).toList))
+    val direct = df.select(col("u"), urlPathHierarchy(col("u")).as("ph"),
+        urlHierarchy(col("u")).as("uh")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList, r.getSeq[String](2).toList))
+    assert(staged.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+  }
+
   test("cutToFirstSignificantSubdomain: '' for IPv4 and dot-less hosts") {
     assert(hier("http://10.0.0.9/x")._1 == "")
     assert(hier("http://localhost/x")._1 == "")
