@@ -68,6 +68,37 @@ object AbTests {
           se2 * se2 / (col("n2").cast("double") - 1.0)))
   }
 
+  /** ClickHouse `meanZTest(pop_var_x, pop_var_y, conf)` — the two-sample
+    * mean z-test with KNOWN population variances (the CH signature takes
+    * them as parameters, exactly as here):
+    * z = (x̄₁ − x̄₂) / sqrt(σ₁²/n₁ + σ₂²/n₂). Same shape as [[tTests]]:
+    * ONE 2-row map-side-combined hash aggregate of exact integer moments
+    * (callers pre-quantize float values), the statistic one mirrored
+    * sqrt-only expression tree over those integers — IEEE ⇒ bit-equal
+    * doubles vs the oracle. The confidence-interval half-width needs the
+    * normal quantile (libm erf⁻¹) — outside the oracle-exact surface,
+    * the KS-p-value rationale; z is the decision-bearing number.
+    */
+  def meanZTest(df: DataFrame, variantCol: String, valueCol: String,
+      popVar1: Double, popVar2: Double): DataFrame = {
+    require(popVar1 > 0 && popVar2 > 0, "population variances must be positive")
+    val v = col(valueCol)
+    val moments = df.groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"))
+    val a = moments.orderBy(col("variant")).limit(1)
+      .select(col("variant").as("variant_a"), col("n").as("n1"),
+        col("s").as("s1"))
+    val b = moments.orderBy(col("variant").desc).limit(1)
+      .select(col("variant").as("variant_b"), col("n").as("n2"),
+        col("s").as("s2"))
+    a.crossJoin(b)
+      .withColumn("mean1", col("s1").cast("double") / col("n1").cast("double"))
+      .withColumn("mean2", col("s2").cast("double") / col("n2").cast("double"))
+      .withColumn("z", (col("mean1") - col("mean2")) /
+        sqrt(lit(popVar1) / col("n1").cast("double") +
+          lit(popVar2) / col("n2").cast("double")))
+  }
+
   /** Tie-aware ROC-AUC (ClickHouse `arrayAUC`) — evaluation metric for
     * score-based classifiers (e.g. the t17 quality gate): AUC =
     * P(score₊ > score₋) + ½·P(score₊ = score₋) over all (positive,

@@ -2923,7 +2923,41 @@ object Relational {
       Some(urlHierarchyOracle),
       "ClickHouse URL hierarchy family: URLHierarchy/URLPathHierarchy " +
         "levels + cutToFirstSignificantSubdomain as map-only HOF/regex " +
-        "algebra, exploded to one row per drill-down level"))
+        "algebra, exploded to one row per drill-down level"),
+
+    // q99: ClickHouse meanZTest — the q71 construction with KNOWN
+    // population variances passed as parameters (the CH signature):
+    // one 2-row integer-moment aggregate, z as one mirrored sqrt tree.
+    // Distinct per-variant variances exercise both parameters.
+    "q99_mean_z_test" -> Q(
+      (s, dir) => graft.operators.AbTests.meanZTest(
+        t(s, dir, "events").select(
+          (col("user_id") % 2).cast("string").as("variant"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "variant", "v", popVar1 = 850000.0, popVar2 = 820000.0),
+      Some("""WITH base AS (
+             |  SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |m AS (SELECT variant, count(*) AS n,
+             |        CAST(sum(v) AS BIGINT) AS s
+             |      FROM base GROUP BY variant),
+             |a AS (SELECT variant AS variant_a, n AS n1, s AS s1
+             |      FROM m ORDER BY variant LIMIT 1),
+             |b AS (SELECT variant AS variant_b, n AS n2, s AS s2
+             |      FROM m ORDER BY variant DESC LIMIT 1),
+             |j AS (SELECT * FROM a CROSS JOIN b)
+             |SELECT variant_a, n1, s1, variant_b, n2, s2,
+             |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+             |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |  / sqrt(850000.0 / CAST(n1 AS DOUBLE)
+             |         + 820000.0 / CAST(n2 AS DOUBLE)) AS z
+             |FROM j""".stripMargin),
+      "ClickHouse meanZTest: two-sample mean z-test with known " +
+        "population variances — one 2-row integer-moment aggregate, " +
+        "z as a single mirrored sqrt tree"))
 
   /** q96's needle — lowercase words from the synthetic vocabulary so the
     * match is non-trivial at every SF. (`def`, not `val`: the catalog map

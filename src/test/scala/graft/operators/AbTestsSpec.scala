@@ -49,6 +49,23 @@ class AbTestsSpec extends AnyFunSuite {
     (u1x2, 2L * g0.size * g1.size - u1x2)
   }
 
+  test("meanZTest: hand-checked z with known population variances") {
+    import spark.implicits._
+    // a: [0, 2] (n=2, mean 1); b: [4] (n=1, mean 4); σa²=4, σb²=9
+    // z = (1 − 4) / sqrt(4/2 + 9/1) = −3 / sqrt(11)
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 4L)).toDF("variant", "v")
+    val r = AbTests.meanZTest(df, "variant", "v", popVar1 = 4.0, popVar2 = 9.0)
+      .select("variant_a", "n1", "variant_b", "n2", "mean1", "mean2", "z")
+      .collect().head
+    assert(r.getAs[String]("variant_a") == "a" && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[String]("variant_b") == "b" && r.getAs[Long]("n2") == 1L)
+    assert(r.getAs[Double]("mean1") == 1.0 && r.getAs[Double]("mean2") == 4.0)
+    assert(r.getAs[Double]("z") == -3.0 / math.sqrt(4.0 / 2.0 + 9.0 / 1.0))
+    val e = intercept[IllegalArgumentException](
+      AbTests.meanZTest(df, "variant", "v", popVar1 = 0.0, popVar2 = 1.0))
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("mannWhitney: hand case with ties") {
     import spark.implicits._
     val g0 = Seq(1L, 2L, 2L, 5L)
