@@ -104,7 +104,11 @@ object BenchProbe {
     "q97_url_functions", "q98_url_hierarchy",
     // p10 reads the suffixed-replication corpus: per-char sentence fold →
     // the ~15× chars envelope (the d23/q96/p09 note)
-    "p10_sentence_chunks")
+    "p10_sentence_chunks",
+    // q100 is one map-side-combined count aggregate over the key domain
+    // (user replication grows keys 10× but the exchange carries keys,
+    // not rows) + a heap top-k — linear band
+    "q100_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -38,6 +38,49 @@ object Skew {
       .agg(aggs.head._3.as(aggs.head._1), aggs.tail.map(a => a._3.as(a._1)): _*)
   }
 
+  /** Key-skew diagnosis report — the pre-shuffle check an operator runs
+    * BEFORE joining or aggregating 100 TB on a key: is the key histogram
+    * spiky enough to need [[saltedAggregate]]/[[saltedJoin]] (or AQE
+    * skew-join), and how hot is the hottest key? One row out:
+    *
+    *   - n_rows / n_keys / max_cnt — exact totals
+    *   - top1_key (deterministic: max count, ties to the smallest key)
+    *   - top1_share_bp / topk_share_bp — hottest-key and top-`topK`
+    *     row shares in basis points, floored integer division (engine-
+    *     exact, the t13 quantization)
+    *   - skew_x1000 — floor(1000 · max_cnt · n_keys / n_rows): 1000 = a
+    *     perfectly uniform histogram; the factor by which the hottest
+    *     key exceeds the mean key. The salt factor to scatter it is
+    *     ceil(skew_x1000 / 1000 · partitions / n_keys) — left to the
+    *     caller, whose partition count is runtime config, not data.
+    *
+    * Scale shape: ONE map-side-combined count aggregate over the key
+    * domain (the exchange carries keys, not rows), then 1-row totals +
+    * the heap top-k (`TakeOrderedAndProject`) over the counts table.
+    * The EXACT report is the oracle-checkable form; at unbounded key
+    * domains compose [[HeavyHitters.topK]] (Misra-Gries, bounded state)
+    * for the same decision with sketch guarantees.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val top1 = counts.orderBy(col("cnt").desc, col("k")).limit(1)
+      .select(col("k").as("top1_key"))
+    val topAgg = counts.orderBy(col("cnt").desc, col("k")).limit(topK)
+      .agg(sum(col("cnt")).as("topk_cnt"),
+        count(lit(1)).as("topk_keys"))
+    totals.crossJoin(top1).crossJoin(topAgg)
+      .withColumn("top1_share_bp",
+        expr("max_cnt * 10000L div n_rows"))
+      .withColumn("topk_share_bp",
+        expr("topk_cnt * 10000L div n_rows"))
+      .withColumn("skew_x1000",
+        expr("max_cnt * 1000L * n_keys div n_rows"))
+  }
+
   /** Salted inner equi-join: scatter the (big, skewed) left side over
     * `saltFactor` sub-keys and replicate the right side once per sub-key.
     * Right-side replication costs |R|·saltFactor — use when R is modest

@@ -2957,7 +2957,44 @@ object Relational {
              |FROM j""".stripMargin),
       "ClickHouse meanZTest: two-sample mean z-test with known " +
         "population variances — one 2-row integer-moment aggregate, " +
-        "z as a single mirrored sqrt tree"))
+        "z as a single mirrored sqrt tree"),
+
+    // q100: key-skew diagnosis report (Skew.skewReport scaladoc) — the
+    // pre-shuffle check before joining/aggregating 100 TB on a key. The
+    // corpus synthesizes a hot key: 40% of events collapse onto key −1
+    // (id-keyed, both engines re-derive it), the rest keep user_id — so
+    // the report must read a heavily skewed histogram. All-integer
+    // output (basis points / x1000 via floored div).
+    "q100_skew_report" -> Q(
+      (s, dir) => graft.operators.Skew.skewReport(
+        t(s, dir, "events").select(
+          when(col("event_id") % 10 < 4, lit(-1L))
+            .otherwise(col("user_id")).as("k")),
+        "k", topK = 10),
+      Some("""WITH base AS (
+             |  SELECT CASE WHEN event_id % 10 < 4 THEN -1
+             |              ELSE user_id END AS k
+             |  FROM events),
+             |c AS (SELECT k, count(*) AS cnt FROM base GROUP BY k),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |          count(*) AS n_keys,
+             |          CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+             |t1 AS (SELECT k AS top1_key FROM c
+             |       ORDER BY cnt DESC, k LIMIT 1),
+             |tk AS (SELECT CAST(sum(cnt) AS BIGINT) AS topk_cnt,
+             |         count(*) AS topk_keys
+             |       FROM (SELECT cnt, k FROM c
+             |             ORDER BY cnt DESC, k LIMIT 10))
+             |SELECT n_rows, n_keys, max_cnt, top1_key, topk_cnt,
+             |  topk_keys,
+             |  (max_cnt * 10000) // n_rows AS top1_share_bp,
+             |  (topk_cnt * 10000) // n_rows AS topk_share_bp,
+             |  (max_cnt * 1000 * n_keys) // n_rows AS skew_x1000
+             |FROM tot CROSS JOIN t1 CROSS JOIN tk""".stripMargin),
+      "key-skew diagnosis: exact key histogram totals, hottest-key " +
+        "share, top-k share, and uniformity factor — the pre-shuffle " +
+        "report behind salting decisions; exchange carries the key " +
+        "domain only"))
 
   /** q96's needle — lowercase words from the synthetic vocabulary so the
     * match is non-trivial at every SF. (`def`, not `val`: the catalog map

@@ -24,6 +24,26 @@ class SkewTypedSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("skewReport: hand-checked histogram, shares, uniformity factor") {
+    // keys: 0 ×6, 1 ×2, 2 ×1, 3 ×1 → n_rows=10, n_keys=4, max=6
+    val df = (Seq.fill(6)(0L) ++ Seq(1L, 1L, 2L, 3L)).toDF("k")
+    val r = Skew.skewReport(df, "k", topK = 2).collect().head
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_cnt") == 6L && r.getAs[Long]("top1_key") == 0L)
+    assert(r.getAs[Long]("top1_share_bp") == 6000L)          // 6/10
+    assert(r.getAs[Long]("topk_cnt") == 8L && r.getAs[Long]("topk_keys") == 2L)
+    assert(r.getAs[Long]("topk_share_bp") == 8000L)          // (6+2)/10
+    assert(r.getAs[Long]("skew_x1000") == 2400L)             // 6·4/10 = 2.4×
+    // uniform histogram reads exactly 1000
+    val u = (0L until 4L).flatMap(k => Seq.fill(5)(k)).toDF("k")
+    assert(Skew.skewReport(u, "k").collect().head
+      .getAs[Long]("skew_x1000") == 1000L)
+    // top1 tie breaks to the smaller key
+    val t = Seq(5L, 5L, 3L, 3L, 9L).toDF("k")
+    assert(Skew.skewReport(t, "k").collect().head
+      .getAs[Long]("top1_key") == 3L)
+  }
+
   test("AQE splits the skewed partition at runtime (skew join engages)") {
     val conf = spark.conf
     val saved = Seq(
