@@ -308,13 +308,17 @@ object BenchProbe {
     // both scales, so the probe times the bounded-state exchange alone.
     val terms1x = s"$tmp/terms_1x.parquet"
     val termsNx = s"$tmp/terms_${probeFactor}x.parquet"
-    Seq((sfDir, terms1x), (tmp, termsNx)).foreach { case (d, p) =>
-      graft.sources.Tables.load(spark, d, "documents")
-        .selectExpr("explode(split(lower(text), ' ')) AS term")
-        .where("term <> ''")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(p)
-    }
+    // only t19/t24 read the materialized term tables — a filtered
+    // adjudication run for anything else skips the two corpus-wide
+    // explode+write passes (the [onlyCsv] path must stay cheap)
+    if (keep("t19_topk_sketch") || keep("t24_topkw_sketch"))
+      Seq((sfDir, terms1x), (tmp, termsNx)).foreach { case (d, p) =>
+        graft.sources.Tables.load(spark, d, "documents")
+          .selectExpr("explode(split(lower(text), ' ')) AS term")
+          .where("term <> ''")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(p)
+      }
     def topkSketch(dir: String): Unit =
       graft.operators.HeavyHitters.topK(
         spark.read.parquet(if (dir == sfDir) terms1x else termsNx),
@@ -417,17 +421,19 @@ object BenchProbe {
             s12Queries(dir), k = 5, nProbe = 2, refine = 16,
             refineCorpus = Some(graft.sources.Tables.load(spark, dir, "embeddings")))
             .write.format("noop").mode("overwrite").save()
-        val b1 = tryRobust("s12_index_build") { build(sfDir, idx1) }
-        val bN = {
-          // build is NOT min-of-2: a second build just rewrites the index
-          val t0 = System.nanoTime()
-          try { build(tmp, idxN) } catch { case e: Throwable =>
-            System.err.println(s"[probe] s12_index_build ${probeFactor}x FAILED: $e") }
-          val t = (System.nanoTime() - t0) / 1e9
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          spark.catalog.clearCache(); System.gc()
-          t
-        }
+        // build is NOT min-of-2 (a second build just rewrites the index)
+        // and BOTH legs get the same single-shot + fail-to--1 treatment —
+        // asymmetric handling would bias the ratio (one leg min-of-2, or
+        // a failed leg reporting time-until-failure as a measurement)
+        def tryOnce(name: String)(work: => Unit): Double =
+          try once(work) catch {
+            case e: Throwable =>
+              System.err.println(s"[probe] $name FAILED: $e")
+              e.printStackTrace()
+              -1.0
+          }
+        val b1 = tryOnce("s12_index_build 1x") { build(sfDir, idx1) }
+        val bN = tryOnce(s"s12_index_build ${probeFactor}x") { build(tmp, idxN) }
         System.err.println(
           f"[probe] s12_index_build ${probeFactor}x=${bN}%.1fs 1x=${b1}%.1fs")
         val sv1 = tryRobust("s12_index_serve")(serve(sfDir, idx1))
@@ -438,10 +444,14 @@ object BenchProbe {
       }
 
     val all = entryStats ++ semStats ++ phashStats ++ skewStats ++ opStats ++ s12Stats
-    val body = all.map { case (name, tN, t1) =>
-      val ratio = if (t1 > 0) tN / t1 else -1.0
-      "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""
-    }.mkString(s"""{"factor":$probeFactor,"fresh_jvm":true,""", ",", "}")
+    // header fields join the entry list BEFORE mkString so an all-filtered
+    // run (e.g. a typo'd onlyCsv name) still emits valid JSON rather than
+    // a trailing-comma '{"factor":N,"fresh_jvm":true,}'
+    val body = (Seq(s""""factor":$probeFactor""", "\"fresh_jvm\":true") ++
+      all.map { case (name, tN, t1) =>
+        val ratio = if (t1 > 0) tN / t1 else -1.0
+        "\"" + name + f"""\":{"t_${probeFactor}x":$tN%.2f,"t_1x":$t1%.2f,"ratio":$ratio%.2f}"""
+      }).mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[probe] wrote $outPath")

@@ -78,6 +78,12 @@ object AbTests {
     * doubles vs the oracle. The confidence-interval half-width needs the
     * normal quantile (libm erf⁻¹) — outside the oracle-exact surface,
     * the KS-p-value rationale; z is the decision-bearing number.
+    *
+    * Contract (same as [[tTests]]): `variantCol` must take exactly two
+    * distinct values — the lexicographic min/max picks label the two
+    * samples; with one value the output degenerates to variant_a ==
+    * variant_b and z = 0, with three or more the middle variants are
+    * silently excluded.
     */
   def meanZTest(df: DataFrame, variantCol: String, valueCol: String,
       popVar1: Double, popVar2: Double): DataFrame = {

@@ -411,9 +411,15 @@ object Sampling {
     val fold = aggregate(col("sents"),
       expr(s"CAST(array() AS $accType)"),
       (acc, s) => {
-        val prev = element_at(acc, -1)
-        val prevIdx = coalesce(prev.getField("idx"), lit(0L))
-        val prevCur = coalesce(prev.getField("cur"), lit(0L))
+        // size-guard the empty-accumulator access (the Bpe.scala
+        // pattern): element_at(acc, -1) on an empty array is NULL under
+        // the repo's non-ANSI sessions but THROWS under ANSI mode (the
+        // Spark 4 default a library caller may run with)
+        val empty = size(acc) === 0
+        val prevIdx = when(empty, lit(0L))
+          .otherwise(element_at(acc, -1).getField("idx"))
+        val prevCur = when(empty, lit(0L))
+          .otherwise(element_at(acc, -1).getField("cur"))
         val sl = length(s).cast("long")
         val cont = prevCur + lit(1L) + sl
         val newIdx = when(prevCur === 0L, lit(0L))

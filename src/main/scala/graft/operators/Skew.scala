@@ -48,11 +48,19 @@ object Skew {
     *   - top1_share_bp / topk_share_bp — hottest-key and top-`topK`
     *     row shares in basis points, floored integer division (engine-
     *     exact, the t13 quantization)
-    *   - skew_x1000 — floor(1000 · max_cnt · n_keys / n_rows): 1000 = a
-    *     perfectly uniform histogram; the factor by which the hottest
-    *     key exceeds the mean key. The salt factor to scatter it is
-    *     ceil(skew_x1000 / 1000 · partitions / n_keys) — left to the
-    *     caller, whose partition count is runtime config, not data.
+    *   - skew_x1000 — the factor by which the hottest key exceeds the
+    *     mean key, ×1000 (1000 = perfectly uniform): computed as
+    *     floor(max_cnt·10⁶ / floor(n_rows·1000 / n_keys)) — the two-step
+    *     flooring keeps every intermediate under 2⁶³ to max_cnt ≤ ~9·10¹²
+    *     and n_rows ≤ ~9·10¹⁵ (a direct max·1000·keys product overflows
+    *     Long at the very scales this report targets and would wrap
+    *     silently under the repo's non-ANSI sessions). The salt factor
+    *     to scatter the hot key is skew/1000 · partitions/n_keys —
+    *     left to the caller, whose partition count is config, not data.
+    *
+    * The key column groups AS-IS (strings, longs — any orderable type;
+    * no cast, so string keys keep their identity and the deterministic
+    * tie order is the column type's own).
     *
     * Scale shape: ONE map-side-combined count aggregate over the key
     * domain (the exchange carries keys, not rows), then 1-row totals +
@@ -63,7 +71,7 @@ object Skew {
     */
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, "topK must be positive")
-    val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+    val counts = df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
@@ -78,7 +86,7 @@ object Skew {
       .withColumn("topk_share_bp",
         expr("topk_cnt * 10000L div n_rows"))
       .withColumn("skew_x1000",
-        expr("max_cnt * 1000L * n_keys div n_rows"))
+        expr("max_cnt * 1000000L div (n_rows * 1000L div n_keys)"))
   }
 
   /** Salted inner equi-join: scatter the (big, skewed) left side over

@@ -2989,7 +2989,8 @@ object Relational {
              |  topk_keys,
              |  (max_cnt * 10000) // n_rows AS top1_share_bp,
              |  (topk_cnt * 10000) // n_rows AS topk_share_bp,
-             |  (max_cnt * 1000 * n_keys) // n_rows AS skew_x1000
+             |  (max_cnt * 1000000) // ((n_rows * 1000) // n_keys)
+             |    AS skew_x1000
              |FROM tot CROSS JOIN t1 CROSS JOIN tk""".stripMargin),
       "key-skew diagnosis: exact key histogram totals, hottest-key " +
         "share, top-k share, and uniformity factor — the pre-shuffle " +
