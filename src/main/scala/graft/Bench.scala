@@ -114,6 +114,12 @@ object Bench {
     // Expand-gid permutation signature
     "q97_url_functions" ->
       "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
+    // r14: q74 joined the class when the r13 ADVICE fix folded r/c into
+    // the cells aggregate as TWO count_distincts (Stats.scala:65) — its
+    // hash flipped between two same-code same-day runs with identical
+    // node histograms (Expand present), the q97 signature exactly
+    "q74_cramers_v" ->
+      "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
     "z01_self_checks" ->
       "SESSION_DEPENDENT(embeds t22/q33 — distinct-agg gid permutation)")
 

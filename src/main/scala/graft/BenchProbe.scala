@@ -44,10 +44,16 @@ import org.apache.spark.sql.SparkSession
   * RESIDUAL NOISE FLOOR (measured r14): even this fresh JVM ages over
   * its own ~60-pair sweep — sem_lsh_default_auto read 1.48× in a
   * 4-entry filtered run but 3.38× at the tail of the full sweep, same
-  * code, same day. Ratios in the 3–4.5× band from a FULL sweep are
-  * therefore not yet findings; the adjudication protocol is one
-  * filtered rerun (`[onlyCsv]` arg below) — cheap, same harness — and
-  * only a ratio that survives isolation escalates.
+  * code, same day; p02's 10× leg read 4.5 / 10.0 / 11.9 / 23.9 s across
+  * FOUR same-code fresh-JVM runs the same day (filtered runs lowest,
+  * full sweeps highest — ratios 1.96× to 5.59× with the plan hash
+  * constant). Ratios in the 3–6× band from a FULL sweep are therefore
+  * not yet findings; the adjudication protocol is one filtered rerun
+  * (`[onlyCsv]` arg below) — cheap, same harness — and only a ratio
+  * that survives isolation escalates. Filtered same-day adjudications
+  * on the r14 full-sweep outliers: p02 1.96×, t18 1.70×, q88 3.4×
+  * (fixed-cost-dominated 0.8 s denominator; absolute 10× leg 2.7 s vs
+  * the 13.5 s pre-fix history), p10 2.7× (vs its ~15× chars envelope).
   *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
