@@ -285,4 +285,40 @@ object Layout {
       f.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
     doomed
   }
+
+  /** Snapshot diff between two committed versions of a published table —
+    * the audit step between dataset releases ("what changed in v7 vs
+    * v5?"): each row of the result is a key present in only one side
+    * (`change` = 'added' when only in `to`, 'removed' when only in
+    * `from`) or present in both with different content ('changed').
+    * Identity = `keyCols`; content equality = every OTHER shared column
+    * byte-equal (compared via a canonical struct). Two hash anti/outer
+    * joins on the key — shuffles carry the two snapshots once each, no
+    * window, no collect; at 100 TB the keyed shuffle is the floor for any
+    * exact diff and both sides prune to key+content columns at the scan.
+    */
+  def diffVersions(spark: org.apache.spark.sql.SparkSession, table: String,
+      fromVersion: Int, toVersion: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "diffVersions needs at least one key column")
+    val from = readVersion(spark, table, Some(fromVersion))
+    val to = readVersion(spark, table, Some(toVersion))
+    val contentCols = from.columns.toSeq.intersect(to.columns.toSeq)
+      .filterNot(keyCols.contains)
+    def keyed(df: DataFrame, side: String) =
+      df.select(
+        struct(keyCols.map(col): _*).as("key"),
+        struct(contentCols.map(col): _*).as(s"content_$side"))
+    val l = keyed(from, "from")
+    val r = keyed(to, "to")
+    l.join(r, Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("content_from").isNull, lit("added"))
+          .when(col("content_to").isNull, lit("removed"))
+          .when(col("content_from") =!= col("content_to"), lit("changed")))
+      .where(col("change").isNotNull)
+      .select((keyCols.map(k => col("key").getField(k).as(k)) :+
+        col("change")): _*)
+  }
 }

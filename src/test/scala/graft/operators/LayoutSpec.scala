@@ -139,6 +139,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(!orphan.exists())
   }
 
+  test("diffVersions: added/removed/changed keys between committed snapshots") {
+    val table = s"${java.nio.file.Files.createTempDirectory("graft_diff")}/corpus"
+    Layout.publishVersion(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "txt", "score"), table)
+    Layout.publishVersion(
+      Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40)).toDF("id", "txt", "score"), table)
+    val diff = Layout.diffVersions(spark, table, 1, 2, Seq("id"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // id 1 identical → absent; id 2 content changed; id 3 removed; id 4 added
+    assert(diff == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+    // identical snapshots diff to nothing
+    Layout.publishVersion(
+      Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40)).toDF("id", "txt", "score"), table)
+    assert(Layout.diffVersions(spark, table, 2, 3, Seq("id")).count() == 0)
+    // a never-committed version fails loudly (readVersion's contract)
+    intercept[IllegalArgumentException](
+      Layout.diffVersions(spark, table, 1, 9, Seq("id")))
+  }
+
   test("publish succeeds on a scheme with no AbstractFileSystem binding (delete+rename fallback)") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.noafs.impl", classOf[NoAfsFileSystem].getName)
