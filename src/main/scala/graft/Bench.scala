@@ -56,7 +56,7 @@ object Bench {
     "q94_anova", "q95_group_array_intersect", "t28_url_canonicalize",
     "d24_boilerplate_strip", "q96_ngram_fuzzy", "p09_fim_split",
     "q97_url_functions", "q98_url_hierarchy", "p10_sentence_chunks",
-    "q99_mean_z_test", "q100_skew_report",
+    "q99_mean_z_test", "q100_skew_report", "q101_funnel_strict_sql",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -114,7 +114,11 @@ object BenchProbe {
     // q100 is one map-side-combined count aggregate over the key domain
     // (user replication grows keys 10× but the exchange carries keys,
     // not rows) + a heap top-k — linear band
-    "q100_skew_report")
+    "q100_skew_report",
+    // q101 is q91's shape for the strict scan: one buffered-event
+    // aggregate exchange, per-user fold at finish — the probe proves the
+    // strict ScalaAggregator wrapper adds no scaling term (linear band)
+    "q101_funnel_strict_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

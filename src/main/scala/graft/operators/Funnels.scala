@@ -690,6 +690,77 @@ object Funnels {
       org.apache.spark.sql.Encoders.scalaInt
   }
 
+  /** The STRICT-mode windowFunnel as a SQL aggregate
+    * (`graft_window_funnel_strict`) — the ClickHouse
+    * `windowFunnel(w, 'strict_order', …)` surface behind a GROUP BY.
+    * Same buffered-event base as [[WindowFunnelAgg]], with one
+    * difference it must keep: NO-STEP rows (mask 0) stay in the buffer —
+    * strict_order consults them (an unrelated event between steps
+    * terminates the scan), and dropping them would also drop the
+    * level-0 rows the Column operator emits for users whose events
+    * match nothing. Finish sorts by (ts, id) and replays
+    * [[strictScalarEvent]] — the SAME scalar scan the Column fold
+    * mirrors and the streaming leg advances, so all three surfaces
+    * cannot drift. Pure strict_increase (no dedup/order) uses the batch
+    * operator's exact construction instead: same-ts groups collapse
+    * (OR'd masks — none of them can chain with each other), then the
+    * plain max-start fold over now-strictly-increasing timestamps IS
+    * the exact DP.
+    */
+  final class WindowFunnelStrictAgg(windowMicros: Long, nSteps: Int,
+      dedup: Boolean, order: Boolean, increase: Boolean)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long),
+        scala.collection.mutable.ArrayBuffer[Array[Long]], Int] {
+    require(nSteps >= 1 && nSteps <= 62 && windowMicros >= 0)
+    require(dedup || order || increase,
+      "no strict mode selected — use graft_window_funnel")
+    type Buf = scala.collection.mutable.ArrayBuffer[Array[Long]]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Long)): Buf =
+      if (e._1 == Long.MinValue) b else { b += Array(e._1, e._2, e._3); b }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    override def finish(b: Buf): Int = {
+      val sorted = b.sortBy(e => (e(0), e(1)))(Ordering.Tuple2[Long, Long])
+      if (dedup || order) {
+        val st = Array.fill(2 * nSteps + 2)(Unreached)
+        st(2 * nSteps) = 0L
+        st(2 * nSteps + 1) = -1L
+        sorted.foreach { e =>
+          val conds = (0 until nSteps).map(k => ((e(2) >> k) & 1L) == 1L)
+          strictScalarEvent(st, nSteps, e(0), conds, windowMicros,
+            dedup, order, increase)
+        }
+        strictScalarLevel(st, nSteps)
+      } else {
+        val best = Array.fill(nSteps)(Unreached)
+        var i = 0
+        while (i < sorted.length) {
+          val t = sorted(i)(0)
+          var mask = 0L
+          while (i < sorted.length && sorted(i)(0) == t) {
+            mask |= sorted(i)(2); i += 1
+          }
+          val prev = best.clone()
+          var k = 0
+          while (k < nSteps) {
+            if (((mask >> k) & 1L) == 1L) {
+              if (k == 0) best(0) = math.max(best(0), t)
+              else if (prev(k - 1) != Unreached &&
+                t - prev(k - 1) <= windowMicros)
+                best(k) = math.max(best(k), prev(k - 1))
+            }
+            k += 1
+          }
+        }
+        best.lastIndexWhere(_ != Unreached) + 1
+      }
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Int] =
+      org.apache.spark.sql.Encoders.scalaInt
+  }
+
   /** Shared buffered-event base for the sequence-pattern SQL aggregates
     * (`graft_sequence_match` / `graft_sequence_count`): rows are
     * (t micros, tiebreak id, step bitmask); no-step rows (mask 0) and

@@ -231,6 +231,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .ExpressionEncoder[(Long, Long, Long)](),
           "graft_window_funnel", Seq(t, id, mask))
       }),
+    (FunctionIdentifier("graft_window_funnel_strict"),
+      info("graft_window_funnel_strict", "graft_window_funnel_strict(window_us, modes, ts, id, cond1[, ...condN]) - the ClickHouse strict windowFunnel modes as an aggregate; modes = CSV literal of strict_deduplication / strict_order / strict_increase; same (ts, id) determinism and NULL handling as graft_window_funnel, and (unlike it) no-step events participate, as strict_order requires"),
+      (args: Seq[Expression]) => {
+        if (args.size < 5) throw new IllegalArgumentException(
+          "graft_window_funnel_strict expects (window_us, modes, ts, id, cond1, ...)")
+        val known = Set("strict_deduplication", "strict_order", "strict_increase")
+        val modes = strLit(args(1), "graft_window_funnel_strict")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val bad = modes.diff(known)
+        if (modes.isEmpty || bad.nonEmpty) throw new IllegalArgumentException(
+          s"graft_window_funnel_strict: unknown or empty mode(s) " +
+            s"[${bad.mkString(",")}] — expected a CSV of ${known.mkString(", ")}")
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
+        import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
+        val n = args.size - 4
+        val t = Coalesce(Seq(UnixMicros(Cast(args(2), TimestampType)),
+          Literal(Long.MinValue)))
+        val id = Coalesce(Seq(Cast(args(3), LongType), Literal(0L)))
+        val mask = (0 until n).map { k =>
+          If(Coalesce(Seq(Cast(args(k + 4), BooleanType), Literal(false))),
+            Literal(1L << k), Literal(0L)): Expression
+        }.reduce((a, b) => BitwiseOr(a, b))
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Funnels.WindowFunnelStrictAgg(
+            longLit(args(0), "graft_window_funnel_strict"), n,
+            modes.contains("strict_deduplication"),
+            modes.contains("strict_order"),
+            modes.contains("strict_increase")),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long, Long)](),
+          "graft_window_funnel_strict", Seq(t, id, mask))
+      }),
     (FunctionIdentifier("graft_sequence_match"),
       info("graft_sequence_match", "graft_sequence_match(pattern, ts, id, cond1[, ...condN]) - ClickHouse sequenceMatch(pattern)(ts, cond1..) as an aggregate: TRUE when the group's (ts, id)-ordered condition-matching events contain a chain matching the pattern ('(?k)', '.*', '(?t<=s)' operators); groups with no matching events read FALSE (the aggregate emits every group)"),
       (args: Seq[Expression]) =>

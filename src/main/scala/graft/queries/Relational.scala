@@ -883,45 +883,7 @@ object Relational {
           col("event_type") === "click",
           col("event_type") === "purchase"),
         windowMicros = 24L * 3600L * 1000000L, strictDedup = true),
-      Some("""WITH RECURSIVE e AS (
-             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
-             |         row_number() OVER (PARTITION BY user_id
-             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
-             |  FROM events),
-             |mx AS (SELECT user_id, max(rn) AS m FROM e GROUP BY user_id),
-             |f AS (
-             |  SELECT user_id, 0 AS rn,
-             |         CAST(-4000000000000000000 AS BIGINT) AS s1,
-             |         CAST(-4000000000000000000 AS BIGINT) AS s2,
-             |         CAST(-4000000000000000000 AS BIGINT) AS s3,
-             |         CAST(-1 AS BIGINT) AS res
-             |  FROM mx
-             |  UNION ALL
-             |  SELECT f.user_id, e.rn,
-             |    CASE WHEN f.res <> -1 THEN f.s1
-             |         WHEN e.event_type = 'view' THEN e.t ELSE f.s1 END AS s1,
-             |    CASE WHEN f.res <> -1 THEN f.s2
-             |         WHEN e.event_type = 'click' AND f.s2 = -4000000000000000000
-             |              AND e.t - f.s1 <= 86400000000 THEN f.s1 ELSE f.s2 END AS s2,
-             |    CASE WHEN f.res <> -1 THEN f.s3
-             |         WHEN e.event_type = 'purchase' AND f.s3 = -4000000000000000000
-             |              AND e.t - f.s2 <= 86400000000 THEN f.s2 ELSE f.s3 END AS s3,
-             |    CASE WHEN f.res <> -1 THEN f.res
-             |         WHEN e.event_type = 'click'
-             |              AND f.s2 <> -4000000000000000000 THEN 2
-             |         WHEN e.event_type = 'purchase'
-             |              AND f.s3 <> -4000000000000000000 THEN 3
-             |         WHEN e.event_type = 'purchase'
-             |              AND e.t - f.s2 <= 86400000000 THEN 3
-             |         ELSE -1 END AS res
-             |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
-             |SELECT f.user_id,
-             |  CAST(CASE WHEN f.res <> -1 THEN f.res
-             |            WHEN f.s3 <> -4000000000000000000 THEN 3
-             |            WHEN f.s2 <> -4000000000000000000 THEN 2
-             |            WHEN f.s1 <> -4000000000000000000 THEN 1
-             |            ELSE 0 END AS INT) AS level
-             |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.m""".stripMargin),
+      Some(funnelStrictDedupOracle),
       "windowFunnel strict_deduplication: a repeat of an already-reached " +
         "step interrupts the scan at that level; oracle replays the fold " +
         "as a recursive CTE"),
@@ -2995,7 +2957,73 @@ object Relational {
       "key-skew diagnosis: exact key histogram totals, hottest-key " +
         "share, top-k share, and uniformity factor — the pre-shuffle " +
         "report behind salting decisions; exchange carries the key " +
-        "domain only"))
+        "domain only"),
+
+    // q101: the STRICT funnel through the SQL frontend — q59's exact
+    // query (strict_deduplication, 24 h window) via the
+    // graft_window_funnel_strict aggregate, hash-matched against q59's
+    // own recursive-CTE oracle (shared verbatim): the SQL surface must
+    // reproduce the Column operator's fold bit-for-bit, the q91
+    // pattern one mode family up.
+    "q101_funnel_strict_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(expr("graft_window_funnel_strict(86400000000, " +
+            "'strict_deduplication', ts, event_id, " +
+            "event_type = 'view', event_type = 'click', " +
+            "event_type = 'purchase')").as("level"))
+      },
+      Some(funnelStrictDedupOracle),
+      "strict windowFunnel through the SQL frontend " +
+        "(graft_window_funnel_strict aggregate): the scalar strict scan " +
+        "behind a GROUP BY, hash-matched against the q59 oracle"))
+
+  /** The q59 oracle (strict_deduplication fold replayed as a DuckDB
+    * recursive CTE) — shared verbatim with q101, which runs the SAME
+    * query through the graft_window_funnel_strict SQL aggregate.
+    */
+  private def funnelStrictDedupOracle: String =
+    """WITH RECURSIVE e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS m FROM e GROUP BY user_id),
+             |f AS (
+             |  SELECT user_id, 0 AS rn,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s1,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s2,
+             |         CAST(-4000000000000000000 AS BIGINT) AS s3,
+             |         CAST(-1 AS BIGINT) AS res
+             |  FROM mx
+             |  UNION ALL
+             |  SELECT f.user_id, e.rn,
+             |    CASE WHEN f.res <> -1 THEN f.s1
+             |         WHEN e.event_type = 'view' THEN e.t ELSE f.s1 END AS s1,
+             |    CASE WHEN f.res <> -1 THEN f.s2
+             |         WHEN e.event_type = 'click' AND f.s2 = -4000000000000000000
+             |              AND e.t - f.s1 <= 86400000000 THEN f.s1 ELSE f.s2 END AS s2,
+             |    CASE WHEN f.res <> -1 THEN f.s3
+             |         WHEN e.event_type = 'purchase' AND f.s3 = -4000000000000000000
+             |              AND e.t - f.s2 <= 86400000000 THEN f.s2 ELSE f.s3 END AS s3,
+             |    CASE WHEN f.res <> -1 THEN f.res
+             |         WHEN e.event_type = 'click'
+             |              AND f.s2 <> -4000000000000000000 THEN 2
+             |         WHEN e.event_type = 'purchase'
+             |              AND f.s3 <> -4000000000000000000 THEN 3
+             |         WHEN e.event_type = 'purchase'
+             |              AND e.t - f.s2 <= 86400000000 THEN 3
+             |         ELSE -1 END AS res
+             |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+             |SELECT f.user_id,
+             |  CAST(CASE WHEN f.res <> -1 THEN f.res
+             |            WHEN f.s3 <> -4000000000000000000 THEN 3
+             |            WHEN f.s2 <> -4000000000000000000 THEN 2
+             |            WHEN f.s1 <> -4000000000000000000 THEN 1
+             |            ELSE 0 END AS INT) AS level
+             |FROM f JOIN mx USING (user_id) WHERE f.rn = mx.m""".stripMargin
 
   /** q96's needle — lowercase words from the synthetic vocabulary so the
     * match is non-trivial at every SF. (`def`, not `val`: the catalog map

@@ -353,6 +353,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pattern"), e.getMessage)
   }
 
+  test("graft_window_funnel_strict from SQL ≡ Funnels.windowFunnelStrict " +
+    "across mode combos on randomized tie-colliding journeys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20814)
+    val types = Seq("view", "click", "buy", "noise")
+    val rows = (1 to 40).flatMap { u =>
+      (1 to 3 + rnd.nextInt(12)).map { i =>
+        // coarse timestamps force same-ts ties; ids break them
+        (u.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(6) * 1000L),
+          (u * 100 + i).toLong, types(rnd.nextInt(types.length)))
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "etype")
+    df.createOrReplaceTempView("ge_strict")
+    val steps = Seq(col("etype") === "view", col("etype") === "click",
+      col("etype") === "buy")
+    val combos = Seq(
+      ("strict_deduplication", (true, false, false)),
+      ("strict_order", (false, true, false)),
+      ("strict_increase", (false, false, true)),
+      ("strict_order,strict_increase", (false, true, true)))
+    combos.foreach { case (modes, (d, o, inc)) =>
+      val viaSql = spark.sql(
+        s"""SELECT user_id, graft_window_funnel_strict(5000000, '$modes',
+           |  ts, event_id, etype = 'view', etype = 'click', etype = 'buy')
+           |FROM ge_strict GROUP BY user_id""".stripMargin)
+        .as[(Long, Int)].collect().toMap
+      val viaCol = graft.operators.Funnels.windowFunnelStrict(
+        df, steps, 5000000L, strictDedup = d, strictOrder = o,
+        strictIncrease = inc, tsCol = "ts")
+        .as[(Long, Int)].collect().toMap
+      assert(viaSql == viaCol, s"modes=$modes")
+    }
+    // unknown mode fails at PLAN time with the function's name
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_window_funnel_strict(1000, 'strict_typo', ts, event_id, " +
+        "etype = 'view') FROM ge_strict").collect())
+    assert(e.getMessage.contains("graft_window_funnel_strict"), e.getMessage)
+  }
+
   test("ClickHouse URL family from SQL under its own names ≡ Column API") {
     import graft.functions.UrlFunctions
     import org.apache.spark.sql.functions.col
