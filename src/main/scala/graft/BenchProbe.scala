@@ -51,9 +51,13 @@ import org.apache.spark.sql.SparkSession
   * not yet findings; the adjudication protocol is one filtered rerun
   * (`[onlyCsv]` arg below) — cheap, same harness — and only a ratio
   * that survives isolation escalates. Filtered same-day adjudications
-  * on the r14 full-sweep outliers: p02 1.96×, t18 1.70×, q88 3.4×
-  * (fixed-cost-dominated 0.8 s denominator; absolute 10× leg 2.7 s vs
-  * the 13.5 s pre-fix history), p10 2.7× (vs its ~15× chars envelope).
+  * on the r14 full-sweep outliers (note the over-band SET rotated
+  * between the two sweeps — p02 flagged in one and in-band in the
+  * other, d19/s09/p05 vice versa — the noise-floor signature itself):
+  * p02 1.96×, t18 1.70×, q88 3.4× (fixed-cost-dominated 0.8 s
+  * denominator; absolute 10× leg 2.7 s vs the 13.5 s pre-fix history),
+  * p10 2.7× (vs its ~15× chars envelope), d19 2.67×, s09 1.8×,
+  * p05 1.5× — every flagged entry in band when isolated.
   *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
