@@ -43,6 +43,21 @@ object UrlFunctions {
       regexp_replace(netloc(url), "^[^@]*@", ""),
       ":[0-9]+$", "")
 
+  /** ClickHouse `domainWithoutWWW`: [[domain]] with one leading `www.`
+    * label stripped (anchored — only the first label, never an inner
+    * `www` subdomain).
+    */
+  def domainWithoutWWW(url: Column): Column =
+    regexp_replace(domain(url), "^www\\.", "")
+
+  /** ClickHouse `cutWWW`: the full URL with the host's leading `www.`
+    * stripped in place (scheme, userinfo, port, path, query, fragment
+    * all preserved).
+    */
+  def cutWWW(url: Column): Column =
+    regexp_replace(url,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?)www\\.", "$1")
+
   /** Last dot-label of the host; '' for single-label or IPv4 hosts. */
   def topLevelDomain(url: Column): Column = {
     val h = domain(url)

@@ -297,6 +297,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UrlFunctions.domain),
       col1("netloc", "netloc(url) - user:pw@host:port authority (ClickHouse netloc)",
         UrlFunctions.netloc),
+      col1("domainWithoutWWW", "domainWithoutWWW(url) - domain with one leading www. label stripped",
+        UrlFunctions.domainWithoutWWW),
+      col1("cutWWW", "cutWWW(url) - URL with the host's leading www. stripped in place",
+        UrlFunctions.cutWWW),
       col1("topLevelDomain", "topLevelDomain(url) - last host label; '' for IPv4/dot-less hosts",
         UrlFunctions.topLevelDomain),
       col1("firstSignificantSubdomain", "firstSignificantSubdomain(url) - registrable label (example in example.co.uk)",

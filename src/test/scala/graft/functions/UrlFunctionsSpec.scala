@@ -112,6 +112,21 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(uh == Seq("http://shop1.example.co.uk/"))
   }
 
+  test("domainWithoutWWW / cutWWW strip exactly one leading www label") {
+    import UrlFunctions._
+    val r = Seq("https://user:pw@www.example.co.uk:8080/p?q=1#f",
+        "http://www.www.example.com/x", "http://sub.www.example.com/x")
+      .toDF("u")
+      .select(domainWithoutWWW(col("u")).as("d"), cutWWW(col("u")).as("c"))
+      .collect()
+    assert(r(0).getString(0) == "example.co.uk")
+    assert(r(0).getString(1) == "https://user:pw@example.co.uk:8080/p?q=1#f")
+    // only the FIRST label strips; inner www subdomains survive
+    assert(r(1).getString(0) == "www.example.com")
+    assert(r(2).getString(0) == "sub.www.example.com" &&
+      r(2).getString(1) == "http://sub.www.example.com/x")
+  }
+
   test("withUrlHierarchies (staged corpus form) ≡ the Column accessors row-for-row") {
     import UrlFunctions._
     val urls = Seq(
