@@ -57,6 +57,7 @@ object Bench {
     "d24_boilerplate_strip", "q96_ngram_fuzzy", "p09_fim_split",
     "q97_url_functions", "q98_url_hierarchy", "p10_sentence_chunks",
     "q99_mean_z_test", "q100_skew_report", "q101_funnel_strict_sql",
+    "q102_next_node_sql",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -119,10 +119,11 @@ object BenchProbe {
     // (user replication grows keys 10× but the exchange carries keys,
     // not rows) + a heap top-k — linear band
     "q100_skew_report",
-    // q101 is q91's shape for the strict scan: one buffered-event
-    // aggregate exchange, per-user fold at finish — the probe proves the
-    // strict ScalaAggregator wrapper adds no scaling term (linear band)
-    "q101_funnel_strict_sql")
+    // q101/q102 are q91's shape for the strict scan / next-node scan:
+    // one buffered-event aggregate exchange, per-user fold at finish —
+    // the probes prove the ScalaAggregator wrappers add no scaling term
+    // (linear band)
+    "q101_funnel_strict_sql", "q102_next_node_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -544,6 +544,31 @@ object Funnels {
       .select(col(userCol), counter(col("evs")).as("n_matches"))
   }
 
+  /** Shared (direction, base) validation for [[sequenceNextNode]] and
+    * its SQL aggregate: returns (forward, anchorFirst); the pick side
+    * (first vs last qualifying position) is `base == "last_match"`.
+    */
+  private[graft] def parseNextNodeMode(direction: String,
+      base: String): (Boolean, Boolean) = {
+    val forward = direction match {
+      case "forward"  => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    val anchorFirst = base match {
+      case "head" =>
+        require(forward, "head pairs with forward"); true
+      case "tail" =>
+        require(!forward, "tail pairs with backward"); true
+      case "first_match" =>
+        require(forward, "first_match pairs with forward"); false
+      case "last_match" =>
+        require(!forward, "last_match pairs with backward"); false
+      case other => throw new IllegalArgumentException(s"base: $other")
+    }
+    (forward, anchorFirst)
+  }
+
   /** ClickHouse `sequenceNextNode(direction, base)(ts, event, baseCond,
     * cond1, …)` per user: find the chain of CONSECUTIVE events (among ALL
     * the user's events — unlike [[sequenceMatch]], nothing is
@@ -573,22 +598,7 @@ object Funnels {
       userCol: String = "user_id", tsCol: String = "ts",
       eventCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
     require(steps.nonEmpty && steps.size <= 30)
-    val forward = direction match {
-      case "forward"  => true
-      case "backward" => false
-      case other => throw new IllegalArgumentException(s"direction: $other")
-    }
-    val anchorFirst = base match {
-      case "head" =>
-        require(forward, "head pairs with forward"); true
-      case "tail" =>
-        require(!forward, "tail pairs with backward"); true
-      case "first_match" =>
-        require(forward, "first_match pairs with forward"); false
-      case "last_match" =>
-        require(!forward, "last_match pairs with backward"); false
-      case other => throw new IllegalArgumentException(s"base: $other")
-    }
+    val (forward, anchorFirst) = parseNextNodeMode(direction, base)
     val n = steps.size
     val mask = steps.zipWithIndex.map { case (c, k) =>
       when(coalesce(c.cast("boolean"), lit(false)), lit(1 << k)).otherwise(lit(0))
@@ -759,6 +769,55 @@ object Funnels {
       org.apache.spark.sql.Encoders.kryo[Buf]
     override def outputEncoder: org.apache.spark.sql.Encoder[Int] =
       org.apache.spark.sql.Encoders.scalaInt
+  }
+
+  /** [[sequenceNextNode]] as a SQL aggregate
+    * (`graft_sequence_next_node`) — same buffered-event base as the
+    * funnel aggregates, with the event VALUE string riding along.
+    * Finish sorts by (ts, id) in the direction's order and runs the
+    * scalar scan of the Column operator's window formulation: position
+    * p qualifies when its n consecutive events match steps 1..n in
+    * order and the anchor holds (head/tail: p is the stream's first
+    * event AND baseCond; first_match/last_match: baseCond at p); the
+    * picked chain (first qualifying p, or last for last_match) emits
+    * the event value n positions further on, NULL at stream end or
+    * when no chain qualifies. NULL-ts rows are skipped (the
+    * graft_window_funnel convention). Randomized SQL ≡ Column pinned in
+    * `GraftExtensionsSpec` across all four (direction, base) pairings.
+    */
+  final class SequenceNextNodeAgg(direction: String, base: String, nSteps: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Long, String),
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)],
+        String] {
+    require(nSteps >= 1 && nSteps <= 30)
+    private val (forward, anchorFirst) = parseNextNodeMode(direction, base)
+    private val pickLast = base == "last_match"
+    type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Long, String)): Buf =
+      if (e._1 == Long.MinValue) b else { b += e; b }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    override def finish(b: Buf): String = {
+      val sorted =
+        if (forward) b.sortBy(e => (e._1, e._2))(Ordering.Tuple2[Long, Long])
+        else b.sortBy(e => (e._1, e._2))(Ordering.Tuple2[Long, Long].reverse)
+      def ok(p: Int): Boolean =
+        p + nSteps <= sorted.length &&
+          (0 until nSteps).forall(k => ((sorted(p + k)._3 >> k) & 1L) == 1L) && {
+            val baseOk = ((sorted(p)._3 >> nSteps) & 1L) == 1L
+            if (anchorFirst) p == 0 && baseOk else baseOk
+          }
+      val range = 0 until sorted.length
+      val pick = if (pickLast) range.reverseIterator.find(ok) else range.find(ok)
+      pick.collect {
+        case p if p + nSteps < sorted.length => sorted(p + nSteps)._4
+      }.orNull
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
   }
 
   /** Shared buffered-event base for the sequence-pattern SQL aggregates

@@ -263,6 +263,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .ExpressionEncoder[(Long, Long, Long)](),
           "graft_window_funnel_strict", Seq(t, id, mask))
       }),
+    (FunctionIdentifier("graft_sequence_next_node"),
+      info("graft_sequence_next_node", "graft_sequence_next_node(direction, base, ts, id, event_value, base_cond, cond1[, ...condN]) - ClickHouse sequenceNextNode as an aggregate: the event value following the picked n-step consecutive chain in the group's (ts, id)-ordered stream; direction = 'forward'/'backward', base = 'head'/'tail'/'first_match'/'last_match' (string literals, validated pairings); NULL at stream end or when no chain qualifies; NULL-ts rows skipped"),
+      (args: Seq[Expression]) => {
+        if (args.size < 7) throw new IllegalArgumentException(
+          "graft_sequence_next_node expects (direction, base, ts, id, event_value, base_cond, cond1, ...)")
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
+        import org.apache.spark.sql.types.{BooleanType, LongType, StringType, TimestampType}
+        val n = args.size - 6
+        val t = Coalesce(Seq(UnixMicros(Cast(args(2), TimestampType)),
+          Literal(Long.MinValue)))
+        val id = Coalesce(Seq(Cast(args(3), LongType), Literal(0L)))
+        val value = Cast(args(4), StringType)
+        // step bits 0..n-1, base-condition bit n
+        val mask = ((0 until n).map { k =>
+          If(Coalesce(Seq(Cast(args(k + 6), BooleanType), Literal(false))),
+            Literal(1L << k), Literal(0L)): Expression
+        } :+ (If(Coalesce(Seq(Cast(args(5), BooleanType), Literal(false))),
+          Literal(1L << n), Literal(0L)): Expression))
+          .reduce((a, b) => BitwiseOr(a, b))
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.Funnels.SequenceNextNodeAgg(
+            strLit(args(0), "graft_sequence_next_node"),
+            strLit(args(1), "graft_sequence_next_node"), n),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long, Long, String)](),
+          "graft_sequence_next_node", Seq(t, id, mask, value))
+      }),
     (FunctionIdentifier("graft_sequence_match"),
       info("graft_sequence_match", "graft_sequence_match(pattern, ts, id, cond1[, ...condN]) - ClickHouse sequenceMatch(pattern)(ts, cond1..) as an aggregate: TRUE when the group's (ts, id)-ordered condition-matching events contain a chain matching the pattern ('(?k)', '.*', '(?t<=s)' operators); groups with no matching events read FALSE (the aggregate emits every group)"),
       (args: Seq[Expression]) =>

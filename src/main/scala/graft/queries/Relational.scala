@@ -1990,27 +1990,7 @@ object Relational {
         t(s, dir, "events"), direction = "forward", base = "first_match",
         steps = Seq(col("event_type") === "view",
           col("event_type") === "click")),
-      Some("""WITH e AS (
-             |  SELECT user_id, event_type,
-             |         row_number() OVER w AS rn,
-             |         lead(event_type, 1) OVER w AS nxt1,
-             |         lead(event_type, 2) OVER w AS nxt2
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id
-             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
-             |cand AS (
-             |  SELECT user_id, rn, nxt2 AS next_node
-             |  FROM e WHERE event_type = 'view' AND nxt1 = 'click'),
-             |pick AS (
-             |  SELECT user_id, next_node FROM (
-             |    SELECT user_id, next_node,
-             |           row_number() OVER (PARTITION BY user_id
-             |               ORDER BY rn) AS p
-             |    FROM cand)
-             |  WHERE p = 1)
-             |SELECT u.user_id, p.next_node
-             |FROM (SELECT DISTINCT user_id FROM events) u
-             |LEFT JOIN pick p USING (user_id)""".stripMargin),
+      Some(nextNodeOracle),
       "ClickHouse sequenceNextNode(forward, first_match): the event right " +
         "after the earliest consecutive view->click chain per user — " +
         "three windows over ONE user-keyed exchange, no self-joins"),
@@ -2978,7 +2958,54 @@ object Relational {
       Some(funnelStrictDedupOracle),
       "strict windowFunnel through the SQL frontend " +
         "(graft_window_funnel_strict aggregate): the scalar strict scan " +
-        "behind a GROUP BY, hash-matched against the q59 oracle"))
+        "behind a GROUP BY, hash-matched against the q59 oracle"),
+
+    // q102: sequenceNextNode through the SQL frontend — q77's exact
+    // query (forward/first_match, view→click, all-true base) via the
+    // graft_sequence_next_node aggregate, hash-matched against q77's
+    // own window oracle (shared verbatim): the buffered-event scalar
+    // scan must reproduce the Column operator's three-window
+    // formulation row-for-row. The q91/q101 pattern for path analysis.
+    "q102_next_node_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(expr("graft_sequence_next_node('forward', 'first_match', " +
+            "ts, event_id, event_type, true, " +
+            "event_type = 'view', event_type = 'click')").as("next_node"))
+      },
+      Some(nextNodeOracle),
+      "sequenceNextNode through the SQL frontend " +
+        "(graft_sequence_next_node aggregate): buffered-event scalar " +
+        "scan behind a GROUP BY, hash-matched against the q77 oracle"))
+
+  /** The q77 oracle (forward/first_match next-node via windows) —
+    * shared verbatim with q102, which runs the SAME query through the
+    * graft_sequence_next_node SQL aggregate.
+    */
+  private def nextNodeOracle: String =
+    """WITH e AS (
+             |  SELECT user_id, event_type,
+             |         row_number() OVER w AS rn,
+             |         lead(event_type, 1) OVER w AS nxt1,
+             |         lead(event_type, 2) OVER w AS nxt2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+             |cand AS (
+             |  SELECT user_id, rn, nxt2 AS next_node
+             |  FROM e WHERE event_type = 'view' AND nxt1 = 'click'),
+             |pick AS (
+             |  SELECT user_id, next_node FROM (
+             |    SELECT user_id, next_node,
+             |           row_number() OVER (PARTITION BY user_id
+             |               ORDER BY rn) AS p
+             |    FROM cand)
+             |  WHERE p = 1)
+             |SELECT u.user_id, p.next_node
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN pick p USING (user_id)""".stripMargin
 
   /** The q59 oracle (strict_deduplication fold replayed as a DuckDB
     * recursive CTE) — shared verbatim with q101, which runs the SAME

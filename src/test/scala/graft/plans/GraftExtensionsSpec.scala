@@ -394,6 +394,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_window_funnel_strict"), e.getMessage)
   }
 
+  test("graft_sequence_next_node from SQL ≡ Funnels.sequenceNextNode " +
+    "across all four (direction, base) pairings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(31415)
+    val types = Seq("home", "view", "click", "buy", "exit")
+    val rows = (1 to 40).flatMap { u =>
+      (1 to 3 + rnd.nextInt(10)).map { i =>
+        (u.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(8) * 1000L),
+          (u * 100 + i).toLong, types(rnd.nextInt(types.length)))
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    df.createOrReplaceTempView("ge_nn")
+    val steps = Seq(col("event_type") === "view", col("event_type") === "click")
+    val pairs = Seq(("forward", "head"), ("forward", "first_match"),
+      ("backward", "tail"), ("backward", "last_match"))
+    pairs.foreach { case (dir, base) =>
+      val viaSql = spark.sql(
+        s"""SELECT user_id, graft_sequence_next_node('$dir', '$base',
+           |  ts, event_id, event_type, true,
+           |  event_type = 'view', event_type = 'click')
+           |FROM ge_nn GROUP BY user_id""".stripMargin)
+        .as[(Long, Option[String])].collect().toMap
+      val viaCol = graft.operators.Funnels.sequenceNextNode(
+        df, dir, base, steps, baseCond = lit(true))
+        .as[(Long, Option[String])].collect().toMap
+      assert(viaSql == viaCol, s"dir=$dir base=$base")
+    }
+    // invalid pairing fails at PLAN time, named
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_sequence_next_node('forward', 'tail', ts, event_id, " +
+        "event_type, true, event_type = 'view') FROM ge_nn").collect())
+    assert(e.getMessage.contains("tail"), e.getMessage)
+  }
+
   test("ClickHouse URL family from SQL under its own names ≡ Column API") {
     import graft.functions.UrlFunctions
     import org.apache.spark.sql.functions.col
