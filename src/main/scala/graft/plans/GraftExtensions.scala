@@ -78,6 +78,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a numeric literal, got $other")
   }
 
+  /** Shared (t, id, mask) input plumbing for the buffered-event
+    * aggregates (funnel / strict funnel / next-node / sequence
+    * patterns): t = event-time micros with a NULL→Long.MinValue
+    * sentinel the Aggregators drop at reduce, id = long tiebreak
+    * (NULL→0), and the variadic boolean conditions fold into BIT
+    * positions of one long — the tuple encoder's fields are
+    * non-nullable primitives, so the bitmask carries the variadic
+    * width in a single slot.
+    */
+  private def tsExpr(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, UnixMicros}
+    Coalesce(Seq(UnixMicros(Cast(e, org.apache.spark.sql.types.TimestampType)),
+      Literal(Long.MinValue)))
+  }
+
+  private def idExpr(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
+    Coalesce(Seq(Cast(e, org.apache.spark.sql.types.LongType), Literal(0L)))
+  }
+
+  /** `conds(i)` as bit `bits(i)`, OR-folded. */
+  private def maskExpr(conds: Seq[Expression], bits: Seq[Int]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If}
+    conds.zip(bits).map { case (c, bit) =>
+      If(Coalesce(Seq(Cast(c, org.apache.spark.sql.types.BooleanType),
+        Literal(false))),
+        Literal(1L << bit), Literal(0L)): Expression
+    }.reduce((a, b) => BitwiseOr(a, b))
+  }
+
   private def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("parse_log_line"),
       info("parse_log_line", "parse_log_line(line, regex) - all capture groups as array<string>, NULL on mismatch"),
@@ -211,19 +241,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         if (args.size < 4) throw new IllegalArgumentException(
           "graft_window_funnel expects (window_us, ts, id, cond1, ...)")
-        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
-        import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
         val n = args.size - 3
-        // (t, id, step-bitmask) rows feed the typed Aggregator; the
-        // bitmask folds the variadic conditions into one primitive slot
-        // (the tuple encoder's fields are non-nullable primitives)
-        val t = Coalesce(Seq(UnixMicros(Cast(args(1), TimestampType)),
-          Literal(Long.MinValue)))
-        val id = Coalesce(Seq(Cast(args(2), LongType), Literal(0L)))
-        val mask = (0 until n).map { k =>
-          If(Coalesce(Seq(Cast(args(k + 3), BooleanType), Literal(false))),
-            Literal(1L << k), Literal(0L)): Expression
-        }.reduce((a, b) => BitwiseOr(a, b))
+        val (t, id) = (tsExpr(args(1)), idExpr(args(2)))
+        val mask = maskExpr(args.drop(3), 0 until n)
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.Funnels.WindowFunnelAgg(
             longLit(args(0), "graft_window_funnel"), n),
@@ -243,16 +263,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (modes.isEmpty || bad.nonEmpty) throw new IllegalArgumentException(
           s"graft_window_funnel_strict: unknown or empty mode(s) " +
             s"[${bad.mkString(",")}] — expected a CSV of ${known.mkString(", ")}")
-        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
-        import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
         val n = args.size - 4
-        val t = Coalesce(Seq(UnixMicros(Cast(args(2), TimestampType)),
-          Literal(Long.MinValue)))
-        val id = Coalesce(Seq(Cast(args(3), LongType), Literal(0L)))
-        val mask = (0 until n).map { k =>
-          If(Coalesce(Seq(Cast(args(k + 4), BooleanType), Literal(false))),
-            Literal(1L << k), Literal(0L)): Expression
-        }.reduce((a, b) => BitwiseOr(a, b))
+        val (t, id) = (tsExpr(args(2)), idExpr(args(3)))
+        val mask = maskExpr(args.drop(4), 0 until n)
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.Funnels.WindowFunnelStrictAgg(
             longLit(args(0), "graft_window_funnel_strict"), n,
@@ -268,20 +281,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         if (args.size < 7) throw new IllegalArgumentException(
           "graft_sequence_next_node expects (direction, base, ts, id, event_value, base_cond, cond1, ...)")
-        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
-        import org.apache.spark.sql.types.{BooleanType, LongType, StringType, TimestampType}
         val n = args.size - 6
-        val t = Coalesce(Seq(UnixMicros(Cast(args(2), TimestampType)),
-          Literal(Long.MinValue)))
-        val id = Coalesce(Seq(Cast(args(3), LongType), Literal(0L)))
-        val value = Cast(args(4), StringType)
+        val (t, id) = (tsExpr(args(2)), idExpr(args(3)))
+        val value = org.apache.spark.sql.catalyst.expressions.Cast(
+          args(4), org.apache.spark.sql.types.StringType)
         // step bits 0..n-1, base-condition bit n
-        val mask = ((0 until n).map { k =>
-          If(Coalesce(Seq(Cast(args(k + 6), BooleanType), Literal(false))),
-            Literal(1L << k), Literal(0L)): Expression
-        } :+ (If(Coalesce(Seq(Cast(args(5), BooleanType), Literal(false))),
-          Literal(1L << n), Literal(0L)): Expression))
-          .reduce((a, b) => BitwiseOr(a, b))
+        val mask = maskExpr(args.drop(6) :+ args(5), (0 until n) :+ n)
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.Funnels.SequenceNextNodeAgg(
             strLit(args(0), "graft_sequence_next_node"),
@@ -361,16 +366,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (Long, Long, Long), _, _]): Expression = {
     if (args.size < 4) throw new IllegalArgumentException(
       s"$fn expects (pattern, ts, id, cond1, ...)")
-    import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, Cast, Coalesce, If, UnixMicros}
-    import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
     val n = args.size - 3
-    val t = Coalesce(Seq(UnixMicros(Cast(args(1), TimestampType)),
-      Literal(Long.MinValue)))
-    val id = Coalesce(Seq(Cast(args(2), LongType), Literal(0L)))
-    val mask = (0 until n).map { k =>
-      If(Coalesce(Seq(Cast(args(k + 3), BooleanType), Literal(false))),
-        Literal(1L << k), Literal(0L)): Expression
-    }.reduce((a, b) => BitwiseOr(a, b))
+    val (t, id) = (tsExpr(args(1)), idExpr(args(2)))
+    val mask = maskExpr(args.drop(3), 0 until n)
     org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
       mk(strLit(args(0), fn), n),
       org.apache.spark.sql.catalyst.encoders
