@@ -53,4 +53,53 @@ object WeightedQuantile {
         .as(s"p$p"))
     cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[exactWeighted]] as a typed Aggregator — the
+    * `graft_quantile_exact_weighted(v, w, φ)` SQL surface, matching
+    * ClickHouse's own execution shape (quantileExactWeighted holds a
+    * value→weight hash map per group; so does this buffer, i.e. state
+    * is bounded by the group's DISTINCT value count, not its row
+    * count — quantize continuous domains first or use the KLL sketch,
+    * exactly the [[exactWeighted]] guidance). φ is quantized to basis
+    * points (round(φ·10⁴)); the pick rule is the same integer-exact
+    * inclusive boundary as the DataFrame form — smallest v with
+    * cum·10⁴ ≥ pBp·W — so at matching granularity
+    * (φ = p/100 ⇔ percentile p) the two surfaces agree value-for-value
+    * (spec-pinned). NULL values and non-positive weights are skipped
+    * (standard aggregate semantics, the topKWeighted convention);
+    * an all-skipped group yields NULL. Total weight must stay under
+    * ~9.2·10¹⁴ (the cum·10⁴ product's Long envelope).
+    */
+  final class ExactWeightedAgg(phiBp: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long),
+        scala.collection.mutable.HashMap[Long, Long], java.lang.Long] {
+    require(phiBp >= 0 && phiBp <= 10000, s"φ must be in [0, 1], got bp $phiBp")
+    type Buf = scala.collection.mutable.HashMap[Long, Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (Long, Long)): Buf = {
+      if (e._1 != Long.MinValue && e._2 > 0)
+        b.update(e._1, b.getOrElse(e._1, 0L) + e._2)
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (v, w) => a.update(v, a.getOrElse(v, 0L) + w) }
+      a
+    }
+    override def finish(b: Buf): java.lang.Long = {
+      if (b.isEmpty) return null
+      val tot = b.valuesIterator.sum
+      var cum = 0L
+      val it = b.keysIterator.toArray.sorted.iterator
+      while (it.hasNext) {
+        val v = it.next()
+        cum += b(v)
+        if (cum * 10000L >= phiBp.toLong * tot) return v
+      }
+      null // unreachable: the last value always satisfies cum = tot
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[java.lang.Long] =
+      org.apache.spark.sql.Encoders.LONG
+  }
 }

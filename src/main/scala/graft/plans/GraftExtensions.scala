@@ -236,6 +236,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(1), "graft_histogram")),
           org.apache.spark.sql.Encoders.DOUBLE, "graft_histogram",
           Seq(args(0)))),
+    (FunctionIdentifier("graft_quantile_exact_weighted"),
+      info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped"),
+      (args: Seq[Expression]) => {
+        if (args.size != 3) throw new IllegalArgumentException(
+          "graft_quantile_exact_weighted expects (value, weight, phi)")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
+        import org.apache.spark.sql.types.LongType
+        val v = Coalesce(Seq(Cast(args(0), LongType), Literal(Long.MinValue)))
+        val w = Coalesce(Seq(Cast(args(1), LongType), Literal(0L)))
+        val phi = numLit(args(2), "graft_quantile_exact_weighted")
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.WeightedQuantile.ExactWeightedAgg(
+            math.round(phi * 10000).toInt),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long)](),
+          "graft_quantile_exact_weighted", Seq(v, w))
+      }),
     (FunctionIdentifier("graft_window_funnel"),
       info("graft_window_funnel", "graft_window_funnel(window_us, ts, id, cond1[, ...condN]) - ClickHouse windowFunnel level as an aggregate: the longest k such that events matching cond1..condk exist in strict (ts, id) order with every chain event within window_us of the chain's FIRST event; deterministic tie order (ts, id) unlike ClickHouse, NULL-ts rows skipped, NULL conds read false"),
       (args: Seq[Expression]) => {

@@ -353,6 +353,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pattern"), e.getMessage)
   }
 
+  test("graft_quantile_exact_weighted from SQL ≡ WeightedQuantile.exactWeighted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    val rows = (1 to 400).map { i =>
+      (i % 5L, rnd.nextInt(50).toLong, 1L + rnd.nextInt(9).toLong)
+    } :+ ((0L, 999L, 100000L)) // whale weight dominates group 0's tail
+    val df = rows.toDF("g", "v", "w")
+    df.createOrReplaceTempView("ge_qw")
+    val viaSql = spark.sql(
+      """SELECT g, graft_quantile_exact_weighted(v, w, 0.5) AS p50,
+        |  graft_quantile_exact_weighted(v, w, 0.9) AS p90,
+        |  graft_quantile_exact_weighted(v, w, 0.0) AS p0,
+        |  graft_quantile_exact_weighted(v, w, 1.0) AS p100
+        |FROM ge_qw GROUP BY g""".stripMargin)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val viaDf = graft.operators.WeightedQuantile.exactWeighted(
+      df, Seq("g"), "v", "w", Seq(0, 50, 90, 100))
+      .selectExpr("g", "p50", "p90", "p0", "p100")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(viaSql.keySet == viaDf.keySet)
+    viaDf.foreach { case (g, r) => assert(viaSql(g) == r, s"group $g") }
+    // whale: group 0's p90 lands on the whale value
+    assert(viaSql(0L)._2 == 999L)
+    // null values / non-positive weights skip; all-skipped group is NULL
+    val edge = spark.sql(
+      """SELECT graft_quantile_exact_weighted(v, w, 0.5)
+        |FROM VALUES (CAST(NULL AS BIGINT), 5L), (7L, 0L), (7L, -3L)
+        |  AS t(v, w)""".stripMargin).collect().head
+    assert(edge.isNullAt(0))
+  }
+
   test("graft_window_funnel_strict from SQL ≡ Funnels.windowFunnelStrict " +
     "across mode combos on randomized tie-colliding journeys") {
     import spark.implicits._
