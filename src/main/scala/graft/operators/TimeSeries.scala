@@ -283,4 +283,43 @@ object TimeSeries {
               (col("nh") - col("ph")).cast("double")))
         .otherwise(coalesce(col("pv"), col("nv")).cast("double")).as("v"))
   }
+
+  /** [[deltaStats]]' delta_sum leg as a typed Aggregator — the
+    * `graft_delta_sum(ts, id, v)` SQL surface (ClickHouse
+    * `deltaSumTimestamp`: sum of POSITIVE consecutive deltas in the
+    * declared (ts, tiebreak) order — the only well-defined fold order on
+    * a distributed engine, where CH's plain `deltaSum` folds in block
+    * order). Buffers (t, id, v) rows; NULL-ts and NULL-v sentinel rows
+    * are SKIPPED at reduce — a skipped row joins its neighbors, where
+    * the window form's lag-over-NULL voids both adjacent deltas; on the
+    * family's non-null contract (callers pre-scale/clean, like every
+    * deltaStats caller) the two surfaces agree, spec-pinned. Finish
+    * sorts and folds. Integer values (pre-scale floats, the family
+    * discipline).
+    */
+  final class DeltaSumAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long),
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long)], Long] {
+    type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Long)): Buf =
+      if (e._1 == Long.MinValue || e._3 == Long.MinValue) b
+      else { b += e; b }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    override def finish(b: Buf): Long = {
+      val sorted = b.sortBy(e => (e._1, e._2))(Ordering.Tuple2[Long, Long])
+      var sum = 0L
+      var i = 1
+      while (i < sorted.length) {
+        val d = sorted(i)._3 - sorted(i - 1)._3
+        if (d > 0) sum += d
+        i += 1
+      }
+      sum
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
 }

@@ -236,6 +236,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(1), "graft_histogram")),
           org.apache.spark.sql.Encoders.DOUBLE, "graft_histogram",
           Seq(args(0)))),
+    (FunctionIdentifier("graft_delta_sum"),
+      info("graft_delta_sum", "graft_delta_sum(ts, id, v) - ClickHouse deltaSumTimestamp: sum of POSITIVE consecutive value deltas in strict (ts, id) order (the engine's declared fold order; CH's plain deltaSum folds in block order, undefined distributed); NULL ts/v rows skipped; integer values — pre-scale floats"),
+      (args: Seq[Expression]) => {
+        if (args.size != 3) throw new IllegalArgumentException(
+          "graft_delta_sum expects (ts, id, value)")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
+        val v = Coalesce(Seq(Cast(args(2), org.apache.spark.sql.types.LongType),
+          Literal(Long.MinValue)))
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.TimeSeries.DeltaSumAgg(),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long, Long)](),
+          "graft_delta_sum", Seq(tsExpr(args(0)), idExpr(args(1)), v))
+      }),
     (FunctionIdentifier("graft_quantile_exact_weighted"),
       info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped"),
       (args: Seq[Expression]) => {

@@ -353,6 +353,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pattern"), e.getMessage)
   }
 
+  test("graft_delta_sum from SQL ≡ TimeSeries.deltaStats delta_sum per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1618)
+    val rows = (1 to 30).flatMap { k =>
+      (1 to 5 + rnd.nextInt(20)).map { i =>
+        // coarse timestamps force same-ts ties broken by id
+        (k.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(7) * 1000L),
+          (k * 1000 + i).toLong, rnd.nextInt(200).toLong - 100L)
+      }
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    df.createOrReplaceTempView("ge_ds")
+    val viaSql = spark.sql(
+      "SELECT k, graft_delta_sum(ts, id, v) FROM ge_ds GROUP BY k")
+      .as[(Long, Long)].collect().toMap
+    val viaDf = graft.operators.TimeSeries
+      .deltaStats(df, "k", "ts", "id", "v")
+      .selectExpr("k", "delta_sum").as[(Long, Long)].collect().toMap
+    assert(viaSql == viaDf)
+    // single-row key: no consecutive pair, delta_sum 0
+    val single = spark.sql(
+      """SELECT graft_delta_sum(ts, id, v)
+        |FROM VALUES (TIMESTAMP '2024-01-01 00:00:00', 1L, 42L)
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(single.getLong(0) == 0L)
+  }
+
   test("graft_quantile_exact_weighted from SQL ≡ WeightedQuantile.exactWeighted") {
     import spark.implicits._
     val rnd = new scala.util.Random(2718)
