@@ -297,6 +297,43 @@ object TimeSeries {
     * sorts and folds. Integer values (pre-scale floats, the family
     * discipline).
     */
+  /** [[ema]] as a typed Aggregator — the `graft_ema(ts, id, v, α, β)`
+    * SQL surface. β is passed EXPLICITLY like the Column form (1−α is
+    * not FP-safe to recompute; the caller states both constants). The
+    * finish fold runs the IDENTICAL double operations as the Column
+    * form's `aggregate` lambda (`α·x + β·acc`, same multiply/add order —
+    * JVM strict doubles ≡ codegen, the emaStream precedent), so the two
+    * surfaces are BIT-equal, spec-pinned. NULL-ts/NULL-v rows skip;
+    * empty group → NULL.
+    */
+  final class EmaAgg(alpha: Double, beta: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Double),
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Double)],
+        java.lang.Double] {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta < 1,
+      s"need 0 < alpha <= 1 and 0 <= beta < 1, got ($alpha, $beta)")
+    type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Double)): Buf =
+      if (e._1 == Long.MinValue || e._3.isNaN) b else { b += e; b }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    override def finish(b: Buf): java.lang.Double = {
+      if (b.isEmpty) return null
+      val sorted = b.sortBy(e => (e._1, e._2))(Ordering.Tuple2[Long, Long])
+      var acc = sorted.head._3
+      var i = 1
+      while (i < sorted.length) {
+        acc = alpha * sorted(i)._3 + beta * acc
+        i += 1
+      }
+      acc
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[java.lang.Double] =
+      org.apache.spark.sql.Encoders.DOUBLE
+  }
+
   final class DeltaSumAgg
       extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long),
         scala.collection.mutable.ArrayBuffer[(Long, Long, Long)], Long] {

@@ -250,6 +250,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .ExpressionEncoder[(Long, Long, Long)](),
           "graft_delta_sum", Seq(tsExpr(args(0)), idExpr(args(1)), v))
       }),
+    (FunctionIdentifier("graft_ema"),
+      info("graft_ema", "graft_ema(ts, id, v, alpha, beta) - ClickHouse exponentialMovingAverage (ordered-series form): s1 = v1, si = alpha*vi + beta*s(i-1) folded in strict (ts, id) order; beta passed EXPLICITLY (1-alpha is not FP-safe to recompute — state both constants, e.g. 0.25/0.75); bit-equal to the Column form; NULL ts/v rows skipped, empty group NULL"),
+      (args: Seq[Expression]) => {
+        if (args.size != 5) throw new IllegalArgumentException(
+          "graft_ema expects (ts, id, value, alpha, beta)")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
+        val v = Coalesce(Seq(Cast(args(2), org.apache.spark.sql.types.DoubleType),
+          Literal(Double.NaN)))
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.TimeSeries.EmaAgg(
+            numLit(args(3), "graft_ema"), numLit(args(4), "graft_ema")),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Long, Long, Double)](),
+          "graft_ema", Seq(tsExpr(args(0)), idExpr(args(1)), v))
+      }),
     (FunctionIdentifier("graft_quantile_exact_weighted"),
       info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped"),
       (args: Seq[Expression]) => {

@@ -353,6 +353,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pattern"), e.getMessage)
   }
 
+  test("graft_ema from SQL is BIT-equal to TimeSeries.ema per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5772)
+    val rows = (1 to 25).flatMap { k =>
+      (1 to 4 + rnd.nextInt(15)).map { i =>
+        (k.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(6) * 1000L),
+          (k * 1000 + i).toLong, rnd.nextDouble() * 100.0 - 50.0)
+      }
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    df.createOrReplaceTempView("ge_ema")
+    // 0.3/0.7 is a NON-exact-binary pair — bit-equality here proves the
+    // fold ops match, not just the constants
+    val viaSql = spark.sql(
+      "SELECT k, graft_ema(ts, id, v, 0.3d, 0.7d) FROM ge_ema GROUP BY k")
+      .as[(Long, Double)].collect().toMap
+    val viaCol = graft.operators.TimeSeries
+      .ema(df, "k", "ts", "id", "v", alpha = 0.3, beta = 0.7)
+      .selectExpr("k", "ema").as[(Long, Double)].collect().toMap
+    assert(viaSql.keySet == viaCol.keySet)
+    viaCol.foreach { case (k, e) =>
+      assert(java.lang.Double.doubleToLongBits(viaSql(k)) ==
+        java.lang.Double.doubleToLongBits(e), s"key $k")
+    }
+    // invalid constants rejected named
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_ema(ts, id, v, 1.5d, 0.7d) FROM ge_ema").collect())
+    assert(e.getMessage.contains("alpha"), e.getMessage)
+  }
+
   test("graft_delta_sum from SQL ≡ TimeSeries.deltaStats delta_sum per key") {
     import spark.implicits._
     val rnd = new scala.util.Random(1618)
