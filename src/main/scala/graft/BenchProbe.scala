@@ -59,6 +59,15 @@ import org.apache.spark.sql.SparkSession
   * p10 2.7× (vs its ~15× chars envelope), d19 2.67×, s09 1.8×,
   * p05 1.5× — every flagged entry in band when isolated.
   *
+  * ADJUDICATED r15 (the r14 verdict's one `weak`): d17_span_scrub's
+  * 5.92× final-sweep read (t_10x 10.17 s) isolated to **2.27×**
+  * (t_1x 1.77 s, t_10x 4.02 s) in a filtered fresh-JVM rerun of the
+  * whole span family — the same-JVM family row the verdict asked for:
+  * d11b 1.30×, d17 2.27×, d22 1.61×, d24 1.37×. The absolute 10× leg
+  * dropped 10.17 → 4.02 s with zero code change, the full-sweep-tail
+  * noise signature; no `persistToks` mechanism to chase (the cache
+  * pressure hypothesis would have survived isolation).
+  *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
   * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}

@@ -97,4 +97,40 @@ object Lttb {
       }
       .toDF(keyCol, xCol, yCol)
   }
+
+  /** One selected point of [[LttbAgg]]'s array result. */
+  case class LttbPoint(x: Long, y: Long)
+
+  /** `largestTriangleThreeBuckets(n, x, y)` as a SQL aggregate (the
+    * ClickHouse parametric form flattened — `(n)(x, y)` becomes three
+    * arguments): per group, the ≤ n selected points in x order as
+    * array<struct<x,y>>. Buffers the group's (x, y) points (the series
+    * the fold needs whole — the funnel-family buffered-event envelope:
+    * per-key series length is the documented compute axis); finish
+    * sorts by x and replays [[select]]'s all-integer fold verbatim, so
+    * SQL ≡ Column with no FP argument. Same contracts as [[downsample]]:
+    * x unique per group (pre-aggregate duplicates), invalid (NULL x/y)
+    * rows skipped like its na.drop.
+    */
+  final class LttbAgg(threshold: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Boolean),
+        scala.collection.mutable.ArrayBuffer[(Long, Long)],
+        Seq[LttbPoint]] {
+    require(threshold >= 3, s"threshold must be >= 3: $threshold")
+    type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf = {
+      if (e._3) b += ((e._1, e._2))
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
+    override def finish(b: Buf): Seq[LttbPoint] =
+      select(b.toArray.sortBy(_._1), threshold)
+        .map(p => LttbPoint(p._1, p._2))
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[LttbPoint]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[LttbPoint]]()
+  }
 }

@@ -59,4 +59,50 @@ object MapCombinators {
         reassemble("max_v").as("max_map"),
         reassemble("cnt").as("count_map"))
   }
+
+  /** The `sumMap(m)` / `minMap(m)` / `maxMap(m)` SQL aggregates — a
+    * ClickHouse migrant's per-group key-wise map merge behind GROUP BY
+    * under the reference names (countMap is CH's own idiom
+    * `sumMap(transform_values(m, (k, v) -> 1))`). State: key →
+    * combined value — bounded by the group's key DOMAIN, the
+    * [[aggMaps]] contract (schema-bounded keys; unbounded domains
+    * should stay in the exploded [[aggMapEntries]] relation). Output
+    * map keys ascending (the array_sort reassembly order), so SQL ≡
+    * Column row-for-row. NULL maps skip; map VALUES must be non-null
+    * (the map<string,bigint> cast contract — CH maps carry no null
+    * values either).
+    */
+  final class MapAgg(mode: String)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Map[String, Long],
+        scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] {
+    private val combineFn: (Long, Long) => Long = mode match {
+      case "sum" => _ + _
+      case "min" => math.min
+      case "max" => math.max
+      case other => throw new IllegalArgumentException(
+        s"MapAgg mode must be sum/min/max: $other")
+    }
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, m: Map[String, Long]): Buf = {
+      if (m != null) m.foreach { case (k, v) =>
+        b.update(k, b.get(k).map(combineFn(_, v)).getOrElse(v))
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (k, v) =>
+        a.update(k, a.get(k).map(combineFn(_, v)).getOrElse(v))
+      }
+      a
+    }
+    override def finish(b: Buf): Map[String, Long] =
+      scala.collection.immutable.ListMap(b.toSeq.sortBy(_._1): _*)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
 }

@@ -300,4 +300,200 @@ object Stats {
         (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
         .as("rho"))
   }
+
+  // ===== SQL aggregate frontends (ClickHouse names) ========================
+  // `SELECT grp, simpleLinearRegression(x, y) FROM t GROUP BY grp` etc. —
+  // the AbTests frontend discipline: explicit `valid` input slot (no
+  // in-band sentinels), finish replays the Column tree token for token
+  // (IEEE ⇒ bit-equal vs the q74/q75/q76 oracles), all-invalid groups
+  // degenerate to a zero-count row with NaN statistics.
+
+  /** [[simpleLinReg]]'s per-group output (minus the GROUP BY key the SQL
+    * form gets for free).
+    */
+  case class LinRegResult(n: Long, num: Long, den_x: Long, den_y: Long,
+      slope: Double, intercept: Double, pearson_r: Double)
+
+  /** Six exact integer moments as constant-size tuple state — the ideal
+    * aggregate shape (map-side combine of 6 longs; the state IS
+    * [[simpleLinReg]]'s per-group aggregate row). Same overflow envelope
+    * as the Column form: pre-scale so n·Σy² − (Σy)² stays under 2^63.
+    */
+  final class SimpleLinRegAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Boolean),
+        (Long, Long, Long, Long, Long, Long), LinRegResult] {
+    type Buf = (Long, Long, Long, Long, Long, Long)
+    override def zero: Buf = (0L, 0L, 0L, 0L, 0L, 0L)
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf =
+      if (!e._3) b
+      else {
+        val (x, y) = (e._1, e._2)
+        (b._1 + 1L, b._2 + x, b._3 + y, b._4 + x * y, b._5 + x * x,
+          b._6 + y * y)
+      }
+    override def merge(a: Buf, b: Buf): Buf =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5,
+        a._6 + b._6)
+    override def finish(b: Buf): LinRegResult = {
+      val (n, sx, sy, sxy, sxx, syy) = b
+      val num = n * sxy - sx * sy
+      val denX = n * sxx - sx * sx
+      val denY = n * syy - sy * sy
+      LinRegResult(n, num, denX, denY,
+        num.toDouble / denX.toDouble,
+        (sy.toDouble - num.toDouble / denX.toDouble * sx.toDouble) /
+          n.toDouble,
+        num.toDouble /
+          (math.sqrt(denX.toDouble) * math.sqrt(denY.toDouble)))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[LinRegResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[LinRegResult]()
+  }
+
+  /** [[contingencyStats]]' one-row output — the `cramersV(a, b)` /
+    * `cramersVBiasCorrected(a, b)` SQL surface (both names return the
+    * full struct; CH returns the bare statistic, the evidence superset
+    * is the house discipline).
+    */
+  case class CramersVResult(n: Long, sum_contrib: Long, r: Long, c: Long,
+      chi2: Double, cramers_v: Double, cramers_v_bc: Double,
+      contingency_coef: Double)
+
+  /** Contingency-CELL state: (a, b) → count — bounded by the category
+    * domain |A|×|B|, never the data (the Column form's cells relation as
+    * aggregate state). Finish computes marginals over the cell map and
+    * replays the quantized-χ² tree: per-cell terms floored to integer
+    * 1e-15ths, so the sum is order-independent — finish iterates the
+    * hash map unordered and still matches the oracle exactly.
+    */
+  final class CramersVAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String, Boolean),
+        scala.collection.mutable.HashMap[(String, String), Long],
+        CramersVResult] {
+    type Buf = scala.collection.mutable.HashMap[(String, String), Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (String, String, Boolean)): Buf = {
+      if (e._3) {
+        val k = (e._1, e._2)
+        b.update(k, b.getOrElse(k, 0L) + 1L)
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (k, o) => a.update(k, a.getOrElse(k, 0L) + o) }
+      a
+    }
+    override def finish(cells: Buf): CramersVResult = {
+      if (cells.isEmpty)
+        return CramersVResult(0L, 0L, 0L, 0L, Double.NaN, Double.NaN,
+          Double.NaN, Double.NaN)
+      val ra = scala.collection.mutable.HashMap.empty[String, Long]
+      val cb = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      cells.foreach { case ((a, b), o) =>
+        ra.update(a, ra.getOrElse(a, 0L) + o)
+        cb.update(b, cb.getOrElse(b, 0L) + o)
+        n += o
+      }
+      var sumContrib = 0L
+      cells.foreach { case ((a, b), o) =>
+        sumContrib += math.floor((1e15 * (o.toDouble * o.toDouble)) /
+          (ra(a).toDouble * cb(b).toDouble)).toLong
+      }
+      val (r, c) = (ra.size.toLong, cb.size.toLong)
+      val nD = n.toDouble
+      val chi2 = math.max(0.0, nD * (sumContrib.toDouble / 1e15 - 1.0))
+      val cramersV =
+        math.sqrt(chi2 / (nD * math.min(r - 1L, c - 1L).toDouble))
+      val phi2c = math.max(0.0,
+        chi2 / nD - ((r - 1L) * (c - 1L)).toDouble / (nD - 1.0))
+      val rc = r.toDouble - ((r - 1L) * (r - 1L)).toDouble / (nD - 1.0)
+      val cc = c.toDouble - ((c - 1L) * (c - 1L)).toDouble / (nD - 1.0)
+      val cramersVBc = math.sqrt(phi2c / math.min(rc - 1.0, cc - 1.0))
+      CramersVResult(n, sumContrib, r, c, chi2, cramersV, cramersVBc,
+        math.sqrt(chi2 / (chi2 + nD)))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[CramersVResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CramersVResult]()
+  }
+
+  /** [[spearman]]'s one-row output — the `rankCorr(x, y)` SQL surface. */
+  case class RankCorrResult(n: Long, num: Long, den_x: Long, den_y: Long,
+      rho: Double)
+
+  /** Distinct-PAIR state: (x, y) → count. Ranking needs the group's full
+    * multiset, so the state is bounded by the distinct-pair domain — the
+    * Column form's aggregate-then-rank contract carried into the
+    * aggregate (collapse 100 TB to days/buckets/cohorts FIRST; rankCorr
+    * over raw rows is a global sort by definition). Finish derives the
+    * tie-aware doubled ranks from per-x / per-y marginal counts — for a
+    * value with t ties starting at min-rank k, 2·avgRank = 2k + t − 1,
+    * exactly the window form — then folds the exact integer moments.
+    */
+  final class RankCorrAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Boolean),
+        scala.collection.mutable.HashMap[(Long, Long), Long],
+        RankCorrResult] {
+    type Buf = scala.collection.mutable.HashMap[(Long, Long), Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf = {
+      if (e._3) {
+        val k = (e._1, e._2)
+        b.update(k, b.getOrElse(k, 0L) + 1L)
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (k, m) => a.update(k, a.getOrElse(k, 0L) + m) }
+      a
+    }
+    override def finish(pairs: Buf): RankCorrResult = {
+      if (pairs.isEmpty)
+        return RankCorrResult(0L, 0L, 0L, 0L, Double.NaN)
+      def doubledRanks(marg: Iterable[(Long, Long)])
+          : scala.collection.mutable.HashMap[Long, Long] = {
+        val out = scala.collection.mutable.HashMap.empty[Long, Long]
+        var before = 0L
+        marg.toSeq.sortBy(_._1).foreach { case (v, cnt) =>
+          // min-rank = before + 1; 2·avgRank = 2·minRank + ties − 1
+          out.update(v, 2L * (before + 1L) + cnt - 1L)
+          before += cnt
+        }
+        out
+      }
+      val cx = scala.collection.mutable.HashMap.empty[Long, Long]
+      val cy = scala.collection.mutable.HashMap.empty[Long, Long]
+      pairs.foreach { case ((x, y), m) =>
+        cx.update(x, cx.getOrElse(x, 0L) + m)
+        cy.update(y, cy.getOrElse(y, 0L) + m)
+      }
+      val rx2 = doubledRanks(cx)
+      val ry2 = doubledRanks(cy)
+      var n = 0L
+      var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L; var syy = 0L
+      pairs.foreach { case ((x, y), m) =>
+        val (rx, ry) = (rx2(x), ry2(y))
+        n += m
+        sx += m * rx; sy += m * ry
+        sxy += m * rx * ry; sxx += m * rx * rx; syy += m * ry * ry
+      }
+      val num = n * sxy - sx * sy
+      val denX = n * sxx - sx * sx
+      val denY = n * syy - sy * sy
+      RankCorrResult(n, num, denX, denY,
+        num.toDouble /
+          (math.sqrt(denX.toDouble) * math.sqrt(denY.toDouble)))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[RankCorrResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[RankCorrResult]()
+  }
 }

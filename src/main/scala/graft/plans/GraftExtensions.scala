@@ -351,7 +351,162 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
-  ) ++ urlFunctions
+  ) ++ urlFunctions ++ statsFunctions
+
+  // ---- the ClickHouse STATS aggregate family under its OWN names --------
+  // (the r14 verdict's largest migrant-facing seam: ~20 MIGRATION.md rows
+  // had Column operators but no SQL cell). Each builder feeds a typed
+  // Aggregator whose finish replays the Column operator's exact
+  // arithmetic — spec-pinned SQL ≡ Column, hash-matched in the catalog
+  // against the existing q71/q72/q74/q75/q76/q99/q68 oracles. Input rows
+  // carry an EXPLICIT validity slot (value/variant IS NOT NULL) instead
+  // of an in-band sentinel, so genuine NaN / Long.MinValue values
+  // survive; invalid rows skip at reduce like the Column forms' NULL
+  // skip. None of the names collides with a Spark built-in.
+
+  /** TRUE iff every argument is non-NULL — the explicit validity slot. */
+  private def validExpr(es: Expression*): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    es.map(e => IsNotNull(e): Expression).reduce(And)
+  }
+
+  /** Long input slot: NULL → 0 (a non-nullable primitive in the tuple
+    * encoder; the paired validity slot already excludes the row).
+    */
+  private def longIn(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
+    Coalesce(Seq(Cast(e, org.apache.spark.sql.types.LongType), Literal(0L)))
+  }
+
+  /** String input slot: NULL → '' (same rationale as [[longIn]]). */
+  private def strIn(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
+    Coalesce(Seq(Cast(e, org.apache.spark.sql.types.StringType), Literal("")))
+  }
+
+  private def arity(args: Seq[Expression], n: Int, fn: String,
+      usage: String): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$fn expects $usage (${args.size} argument(s) given)")
+
+  private def statsFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // (value, variant) → (variant, value, valid): the shared two-sample
+    // plumbing of the t/z tests (CH argument order: data first)
+    def twoSample(args: Seq[Expression]): Seq[Expression] =
+      Seq(strIn(args(1)), longIn(args(0)), validExpr(args(0), args(1)))
+    def tTest(name: String) =
+      (FunctionIdentifier(name),
+        info(name, s"$name(v, variant) - ClickHouse $name as an aggregate: two-sample t statistics from exact per-variant integer moments (pre-scale floats); returns the full evidence struct (variant_a/b = lexicographic min/max label, n/s/q per sample, means, variances, student_t, welch_t, welch_df) - a superset of CH's (t, p) tuple; p-values are libm territory, documented-out"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, name, "(value, variant)")
+          ColumnBridge.scalaAggregator(new graft.operators.AbTests.TTestAgg(),
+            ExpressionEncoder[(String, Long, Boolean)](), name, twoSample(args))
+        })
+    Seq(
+      tTest("studentTTest"),
+      tTest("welchTTest"),
+      (FunctionIdentifier("meanZTest"),
+        info("meanZTest", "meanZTest(v, variant, pop_var_x, pop_var_y) - ClickHouse meanZTest (parametric form flattened; the trailing conf/CI half-width is libm territory, documented-out): two-sample mean z-test with KNOWN population variances from exact per-variant integer moments; returns the evidence struct with z"),
+        (args: Seq[Expression]) => {
+          arity(args, 4, "meanZTest", "(value, variant, pop_var_x, pop_var_y)")
+          ColumnBridge.scalaAggregator(
+            new graft.operators.AbTests.MeanZAgg(
+              numLit(args(2), "meanZTest"), numLit(args(3), "meanZTest")),
+            ExpressionEncoder[(String, Long, Boolean)](), "meanZTest",
+            twoSample(args))
+        }),
+      (FunctionIdentifier("mannWhitneyUTest"),
+        info("mannWhitneyUTest", "mannWhitneyUTest(v, variant) - ClickHouse mannWhitneyUTest as an aggregate: tie-aware integer-exact doubled U statistics (variant 0 = sample 1, else sample 2; pre-scale float values); state = the group's value domain; returns struct(n1, n2, u1x2, u2x2) - U doubled keeps average-rank ties integral, p-values documented-out"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "mannWhitneyUTest", "(value, variant)")
+          ColumnBridge.scalaAggregator(
+            new graft.operators.AbTests.MannWhitneyAgg(),
+            ExpressionEncoder[(Long, Long, Boolean)](), "mannWhitneyUTest",
+            Seq(longIn(args(0)), longIn(args(1)),
+              validExpr(args(0), args(1))))
+        }),
+      (FunctionIdentifier("simpleLinearRegression"),
+        info("simpleLinearRegression", "simpleLinearRegression(x, y) - ClickHouse simpleLinearRegression as an aggregate: per-group OLS y = kx + b over six exact integer moments (pre-scale floats; den_y under 2^63 bounds the envelope), plus Pearson r; returns struct(n, num, den_x, den_y, slope, intercept, pearson_r)"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "simpleLinearRegression", "(x, y)")
+          ColumnBridge.scalaAggregator(
+            new graft.operators.Stats.SimpleLinRegAgg(),
+            ExpressionEncoder[(Long, Long, Boolean)](),
+            "simpleLinearRegression",
+            Seq(longIn(args(0)), longIn(args(1)),
+              validExpr(args(0), args(1))))
+        }),
+      (FunctionIdentifier("cramersV"),
+        info("cramersV", "cramersV(a, b) - ClickHouse cramersV/cramersVBiasCorrected/contingency as ONE aggregate: categorical association from exact contingency cells (state bounded by the category domain |A|x|B|); chi-square from order-independent integer-1e-15th terms; returns struct(n, sum_contrib, r, c, chi2, cramers_v, cramers_v_bc, contingency_coef)"),
+        (args: Seq[Expression]) => cramersBuilder(args, "cramersV")),
+      (FunctionIdentifier("cramersVBiasCorrected"),
+        info("cramersVBiasCorrected", "cramersVBiasCorrected(a, b) - alias of cramersV returning the same evidence struct (read the cramers_v_bc field; Bergsma 2013 correction)"),
+        (args: Seq[Expression]) => cramersBuilder(args, "cramersVBiasCorrected")),
+      (FunctionIdentifier("rankCorr"),
+        info("rankCorr", "rankCorr(x, y) - ClickHouse rankCorr (Spearman) as an aggregate: tie-aware doubled ranks over the group's distinct-(x,y) domain (aggregate-then-rank: collapse to a bounded domain FIRST - rank correlation over raw rows is a global sort by definition); returns struct(n, num, den_x, den_y, rho)"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "rankCorr", "(x, y)")
+          ColumnBridge.scalaAggregator(
+            new graft.operators.Stats.RankCorrAgg(),
+            ExpressionEncoder[(Long, Long, Boolean)](), "rankCorr",
+            Seq(longIn(args(0)), longIn(args(1)),
+              validExpr(args(0), args(1))))
+        }),
+      mapCombinator("sumMap", "key-wise SUM"),
+      mapCombinator("minMap", "key-wise MIN"),
+      mapCombinator("maxMap", "key-wise MAX"),
+      (FunctionIdentifier("arrayAUC"),
+        info("arrayAUC", "arrayAUC(scores, labels) - ClickHouse arrayAUC: tie-aware ROC-AUC of one (scores, labels) array pair as a map-only in-row kernel (sort + one integer doubled-U fold; the only float op is the final division). Scores pre-quantized to BIGINT (exact tie detection), label 1 = positive; equal lengths, null-free; one-class arrays give NaN"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "arrayAUC", "(scores, labels)")
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.{ArrayType, LongType}
+          ColumnBridge.eagerExpression(graft.operators.AbTests.arrayAuc(
+            ColumnBridge.column(Cast(args(0), ArrayType(LongType))),
+            ColumnBridge.column(Cast(args(1), ArrayType(LongType)))))
+        }),
+      (FunctionIdentifier("largestTriangleThreeBuckets"),
+        info("largestTriangleThreeBuckets", "largestTriangleThreeBuckets(n, x, y) - ClickHouse largestTriangleThreeBuckets(n)(x, y) as an aggregate (parametric form flattened): per group, the <= n LTTB-selected points in x order as array<struct<x,y>>; all-integer triangle metric (pre-scale floats), x unique per group (pre-aggregate duplicates), NULL x/y rows skipped"),
+        (args: Seq[Expression]) => {
+          arity(args, 3, "largestTriangleThreeBuckets", "(n, x, y)")
+          ColumnBridge.scalaAggregator(
+            new graft.operators.Lttb.LttbAgg(
+              intLit(args(0), "largestTriangleThreeBuckets")),
+            ExpressionEncoder[(Long, Long, Boolean)](),
+            "largestTriangleThreeBuckets",
+            Seq(longIn(args(1)), longIn(args(2)),
+              validExpr(args(1), args(2))))
+        }))
+  }
+
+  private def cramersBuilder(args: Seq[Expression], fn: String): Expression = {
+    arity(args, 2, fn, "(a, b)")
+    org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+      new graft.operators.Stats.CramersVAgg(),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(String, String, Boolean)](), fn,
+      Seq(strIn(args(0)), strIn(args(1)), validExpr(args(0), args(1))))
+  }
+
+  /** `sumMap` / `minMap` / `maxMap` — one builder parameterized by the
+    * combine mode; the input map casts to map<string,bigint> (CH's own
+    * "any key renders to its string form" reading for this engine).
+    */
+  private def mapCombinator(name: String, what: String) =
+    (FunctionIdentifier(name),
+      info(name, s"$name(m) - ClickHouse $name as an aggregate: $what of map values per key across the group's rows; returns map<string,bigint> with keys ascending; state bounded by the group's key DOMAIN (schema-bounded keys - unbounded domains should stay in an exploded (group, key) relation); NULL maps skip, map values must be non-null (countMap = CH's own sumMap(transform_values(m, (k, v) -> 1)) idiom)"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, name, "(map)")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{LongType, MapType, StringType}
+        org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
+          new graft.operators.MapCombinators.MapAgg(name.stripSuffix("Map")),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[Map[String, Long]](), name,
+          Seq(Cast(args(0), MapType(StringType, LongType))))
+      })
 
   /** The ClickHouse URL family under its OWN names (no graft_ prefix —
     * the kernel-scalar convention of parse_log_line/simhash60): a
@@ -369,7 +524,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def col1(name: String, doc: String,
         f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       (FunctionIdentifier(name), info(name, doc),
-        (args: Seq[Expression]) => expression(f(column(args(0)))))
+        (args: Seq[Expression]) => {
+          arity(args, 1, name, "(url)")
+          expression(f(column(args(0))))
+        })
     Seq(
       col1("domain", "domain(url) - host without userinfo/port (ClickHouse domain)",
         UrlFunctions.domain),
@@ -399,8 +557,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UrlFunctions.urlPathHierarchy),
       (FunctionIdentifier("extractURLParameter"),
         info("extractURLParameter", "extractURLParameter(url, name) - value of the FIRST name= pair; '' if absent; name must be a [A-Za-z0-9_]+ literal"),
-        (args: Seq[Expression]) => expression(UrlFunctions.extractURLParameter(
-          column(args(0)), strLit(args(1), "extractURLParameter")))))
+        (args: Seq[Expression]) => {
+          arity(args, 2, "extractURLParameter", "(url, name)")
+          expression(UrlFunctions.extractURLParameter(
+            column(args(0)), strLit(args(1), "extractURLParameter")))
+        }))
   }
 
   /** Shared builder for the sequence-pattern aggregates: same

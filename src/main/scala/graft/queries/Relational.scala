@@ -1431,19 +1431,7 @@ object Relational {
             element_at(col("max_map"), col("e.key")).as("max_v"),
             element_at(col("count_map"), col("e.key")).as("cnt"))
       },
-      Some("""WITH base AS (
-             |  SELECT user_id % 16 AS cohort, event_type,
-             |    CAST(floor(value * 100) AS BIGINT) AS v,
-             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS kk
-             |  FROM events),
-             |kv AS (
-             |  SELECT cohort, 't_' || event_type AS k, v FROM base
-             |  UNION ALL
-             |  SELECT cohort, 'k_' || CAST(kk % 4 AS VARCHAR) AS k, kk FROM base)
-             |SELECT cohort, k, CAST(sum(v) AS BIGINT) AS sum_v,
-             |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
-             |  count(*) AS cnt
-             |FROM kv GROUP BY cohort, k""".stripMargin),
+      Some(mapCombinatorsOracle),
       "ClickHouse sumMap/minMap/maxMap combinators: per-row maps merged " +
         "key-wise per cohort — exploded (group, key) aggregate + " +
         "map_from_entries reassembly, exchange carries the key DOMAIN " +
@@ -1495,52 +1483,7 @@ object Relational {
           .groupBy(col("user_id"), expr("unix_micros(ts) div 1000000").as("x"))
           .agg(max(floor(col("value") * 100).cast("long")).as("y")),
         keyCol = "user_id", xCol = "x", yCol = "y", threshold = 12),
-      Some("""WITH RECURSIVE pre AS (
-             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
-             |         max(CAST(floor(value * 100) AS BIGINT)) AS y
-             |  FROM events GROUP BY 1, 2),
-             |pts AS (
-             |  SELECT user_id, x, y,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY x) - 1 AS idx,
-             |    count(*) OVER (PARTITION BY user_id) AS n
-             |  FROM pre),
-             |small AS (SELECT user_id, x, y FROM pts WHERE n <= 12),
-             |big AS (SELECT * FROM pts WHERE n > 12),
-             |mid AS (
-             |  SELECT user_id, idx, x, y, ((idx - 1) * 10) // (n - 2) AS b
-             |  FROM big WHERE idx >= 1 AND idx <= n - 2),
-             |bs AS (SELECT user_id, b, count(*) AS m, sum(x) AS sx, sum(y) AS sy
-             |       FROM mid GROUP BY 1, 2),
-             |lastp AS (SELECT user_id, x, y FROM big WHERE idx = n - 1),
-             |nxt AS (
-             |  SELECT user_id, b - 1 AS b, m, sx, sy FROM bs WHERE b >= 1
-             |  UNION ALL
-             |  SELECT user_id, 9 AS b, CAST(1 AS BIGINT) AS m,
-             |    CAST(x AS HUGEINT) AS sx, CAST(y AS HUGEINT) AS sy FROM lastp),
-             |firstp AS (SELECT user_id, x, y FROM big WHERE idx = 0),
-             |rec AS (
-             |  SELECT user_id, -1 AS b, x, y FROM firstp
-             |  UNION ALL
-             |  SELECT r.user_id, r.b + 1 AS b,
-             |    (SELECT p.x FROM mid p JOIN nxt nx
-             |       ON nx.user_id = p.user_id AND nx.b = p.b
-             |      WHERE p.user_id = r.user_id AND p.b = r.b + 1
-             |      ORDER BY abs((r.x - p.x) * (nx.sy - nx.m * r.y)
-             |                 - (nx.m * r.x - nx.sx) * (p.y - r.y)) DESC,
-             |        p.x LIMIT 1) AS x,
-             |    (SELECT p.y FROM mid p JOIN nxt nx
-             |       ON nx.user_id = p.user_id AND nx.b = p.b
-             |      WHERE p.user_id = r.user_id AND p.b = r.b + 1
-             |      ORDER BY abs((r.x - p.x) * (nx.sy - nx.m * r.y)
-             |                 - (nx.m * r.x - nx.sx) * (p.y - r.y)) DESC,
-             |        p.x LIMIT 1) AS y
-             |  FROM rec r WHERE r.b + 1 <= 9)
-             |SELECT user_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
-             |FROM rec
-             |UNION ALL
-             |SELECT user_id, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM lastp
-             |UNION ALL
-             |SELECT user_id, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM small""".stripMargin),
+      Some(lttbOracle),
       "ClickHouse largestTriangleThreeBuckets: per-user LTTB downsampling " +
         "to 12 points — all-integer triangle metric, sequential per-key " +
         "fold, recursive-CTE oracle"),
@@ -1633,45 +1576,7 @@ object Relational {
           (col("user_id") % 2).cast("string").as("variant"),
           floor(col("value") * 100).cast("long").as("v")),
         variantCol = "variant", valueCol = "v"),
-      Some("""WITH base AS (
-             |  SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
-             |    CAST(floor(value * 100) AS BIGINT) AS v
-             |  FROM events),
-             |m AS (
-             |  SELECT variant, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
-             |    CAST(sum(v * v) AS BIGINT) AS q
-             |  FROM base GROUP BY variant),
-             |a AS (SELECT variant AS variant_a, n AS n1, s AS s1, q AS q1
-             |      FROM m ORDER BY variant LIMIT 1),
-             |b AS (SELECT variant AS variant_b, n AS n2, s AS s2, q AS q2
-             |      FROM m ORDER BY variant DESC LIMIT 1),
-             |j AS (SELECT * FROM a CROSS JOIN b),
-             |v AS (
-             |  SELECT *,
-             |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
-             |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
-             |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-             |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS var1,
-             |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-             |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS var2
-             |  FROM j)
-             |SELECT variant_a, n1, s1, q1, variant_b, n2, s2, q2,
-             |  mean1, mean2, var1, var2,
-             |  (mean1 - mean2) / sqrt(
-             |    ((CAST(n1 AS DOUBLE) - 1.0) * var1 +
-             |     (CAST(n2 AS DOUBLE) - 1.0) * var2) /
-             |    (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) *
-             |    (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
-             |    AS student_t,
-             |  (mean1 - mean2) / sqrt(var1 / CAST(n1 AS DOUBLE) +
-             |    var2 / CAST(n2 AS DOUBLE)) AS welch_t,
-             |  (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) *
-             |  (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) /
-             |  (var1 / CAST(n1 AS DOUBLE) * (var1 / CAST(n1 AS DOUBLE)) /
-             |     (CAST(n1 AS DOUBLE) - 1.0) +
-             |   var2 / CAST(n2 AS DOUBLE) * (var2 / CAST(n2 AS DOUBLE)) /
-             |     (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
-             |FROM v""".stripMargin),
+      Some(tTestOracle),
       "ClickHouse studentTTest + welchTTest: exact integer moments per " +
         "variant (one 2-row aggregate), float statistics as one mirrored " +
         "expression tree — bit-equal doubles vs the oracle"),
@@ -1681,28 +1586,7 @@ object Relational {
         t(s, dir, "events").select((col("user_id") % 2).as("variant"),
           floor(col("value") * 100).cast("long").as("v")),
         variantCol = "variant", valueCol = "v"),
-      Some("""WITH base AS (
-             |  SELECT user_id % 2 AS g,
-             |    CAST(floor(value * 100) AS BIGINT) AS v
-             |  FROM events),
-             |perv AS (
-             |  SELECT v, count(*) AS c,
-             |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS m1
-             |  FROM base GROUP BY v),
-             |r AS (
-             |  SELECT v, c, m1,
-             |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-             |      PRECEDING AND 1 PRECEDING), 0) AS below
-             |  FROM perv),
-             |agg AS (
-             |  SELECT CAST(sum(m1) AS BIGINT) AS n1,
-             |    CAST(sum(c) - sum(m1) AS BIGINT) AS n2,
-             |    CAST(sum(m1 * (2 * below + c + 1)) AS BIGINT) AS r1x2
-             |  FROM r)
-             |SELECT n1, n2,
-             |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
-             |  CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2x2
-             |FROM agg""".stripMargin),
+      Some(mannWhitneyOracle),
       "ClickHouse mannWhitneyUTest: tie-aware doubled rank sums — " +
         "integer-exact U statistics via distinct-value collapse + one " +
         "cumulative window"),
@@ -1864,43 +1748,7 @@ object Relational {
     "q74_cramers_v" -> Q(
       (s, dir) => graft.operators.Stats.contingencyStats(
         t(s, dir, "orders"), "o_orderstatus", "o_orderpriority"),
-      Some("""WITH cells AS (
-             |  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
-             |  FROM orders GROUP BY 1, 2),
-             |w AS (
-             |  SELECT a, b, o,
-             |    sum(o) OVER (PARTITION BY a) AS ra,
-             |    sum(o) OVER (PARTITION BY b) AS cb
-             |  FROM cells),
-             |cc AS (
-             |  SELECT a, b, o,
-             |    CAST(floor((1e15 * (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))) /
-             |      (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS BIGINT)
-             |      AS contrib
-             |  FROM w),
-             |agg AS (
-             |  SELECT CAST(sum(o) AS BIGINT) AS n,
-             |    CAST(sum(contrib) AS BIGINT) AS sum_contrib,
-             |    count(DISTINCT a) AS r, count(DISTINCT b) AS c
-             |  FROM cc),
-             |j AS (
-             |  SELECT n, sum_contrib, r, c,
-             |    GREATEST(0.0, CAST(n AS DOUBLE) *
-             |      (CAST(sum_contrib AS DOUBLE) / 1e15 - 1.0)) AS chi2
-             |  FROM agg)
-             |SELECT n, sum_contrib, r, c, chi2,
-             |  sqrt(chi2 / (CAST(n AS DOUBLE) *
-             |    CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v,
-             |  sqrt(
-             |    GREATEST(0.0, chi2 / CAST(n AS DOUBLE) -
-             |      CAST((r - 1) * (c - 1) AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
-             |    / LEAST(
-             |        (CAST(r AS DOUBLE) - CAST((r - 1) * (r - 1) AS DOUBLE) /
-             |          (CAST(n AS DOUBLE) - 1.0)) - 1.0,
-             |        (CAST(c AS DOUBLE) - CAST((c - 1) * (c - 1) AS DOUBLE) /
-             |          (CAST(n AS DOUBLE) - 1.0)) - 1.0)) AS cramers_v_bc,
-             |  sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coef
-             |FROM j""".stripMargin),
+      Some(cramersVOracle),
       "ClickHouse cramersV / cramersVBiasCorrected / contingency: " +
         "exact contingency cells (the only exchange — category domain, " +
         "never data), chi-square from order-independent integer-1e-15th " +
@@ -1912,31 +1760,7 @@ object Relational {
           floor(col("l_quantity")).cast("long").as("x"),
           floor(col("l_extendedprice") / lit(100)).cast("long").as("y")),
         groupCol = "grp", xCol = "x", yCol = "y"),
-      Some("""WITH base AS (
-             |  SELECT l_returnflag AS grp,
-             |    CAST(floor(l_quantity) AS BIGINT) AS x,
-             |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
-             |  FROM lineitem),
-             |m AS (
-             |  SELECT grp, count(*) AS n,
-             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             |    CAST(sum(x * y) AS BIGINT) AS sxy,
-             |    CAST(sum(x * x) AS BIGINT) AS sxx,
-             |    CAST(sum(y * y) AS BIGINT) AS syy
-             |  FROM base GROUP BY grp),
-             |d AS (
-             |  SELECT grp, n, n * sxy - sx * sy AS num,
-             |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y,
-             |    sx, sy
-             |  FROM m)
-             |SELECT grp, n, num, den_x, den_y,
-             |  CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) AS slope,
-             |  (CAST(sy AS DOUBLE) -
-             |    CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) *
-             |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-             |  CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE)) *
-             |    sqrt(CAST(den_y AS DOUBLE))) AS pearson_r
-             |FROM d""".stripMargin),
+      Some(linRegOracle),
       "ClickHouse simpleLinearRegression + Pearson r per group: ONE hash " +
         "aggregate of six exact integer moments (map-side combine), " +
         "slope/intercept/r as one mirrored expression tree"),
@@ -1948,33 +1772,7 @@ object Relational {
           .agg(count(lit(1)).as("x"),
             sum(floor(col("o_totalprice") * 100).cast("long")).as("y")),
         xCol = "x", yCol = "y"),
-      Some("""WITH days AS (
-             |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x,
-             |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
-             |      AS BIGINT) AS y
-             |  FROM orders GROUP BY 1),
-             |r AS (
-             |  SELECT
-             |    2 * RANK() OVER (ORDER BY x) +
-             |      COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
-             |    2 * RANK() OVER (ORDER BY y) +
-             |      COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
-             |  FROM days),
-             |m AS (
-             |  SELECT count(*) AS n,
-             |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
-             |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
-             |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
-             |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy
-             |  FROM r),
-             |d AS (
-             |  SELECT n, n * sxy - sx * sy AS num,
-             |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y
-             |  FROM m)
-             |SELECT n, num, den_x, den_y,
-             |  CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE)) *
-             |    sqrt(CAST(den_y AS DOUBLE))) AS rho
-             |FROM d""".stripMargin),
+      Some(rankCorrOracle),
       "ClickHouse rankCorr (Spearman): aggregate-then-rank — daily order " +
         "volume vs revenue collapses 100 TB to the bounded day domain " +
         "FIRST, tie-aware doubled ranks stay integral, rho is Pearson " +
@@ -2978,7 +2776,190 @@ object Relational {
       Some(nextNodeOracle),
       "sequenceNextNode through the SQL frontend " +
         "(graft_sequence_next_node aggregate): buffered-event scalar " +
-        "scan behind a GROUP BY, hash-matched against the q77 oracle"))
+        "scan behind a GROUP BY, hash-matched against the q77 oracle"),
+
+    // ---- r15: the ClickHouse STATS aggregate family through the SQL
+    // frontend — q71/q72/q74/q75/q76/q68's exact queries via the
+    // reference-named aggregates (studentTTest, mannWhitneyUTest,
+    // cramersV, simpleLinearRegression, rankCorr,
+    // largestTriangleThreeBuckets), each hash-matched against the
+    // shared oracle verbatim: the Aggregator finish must replay the
+    // Column operator's arithmetic bit-for-bit (the q101/q102 pattern
+    // across the whole stats family).
+    "q103_ttest_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .agg(expr("studentTTest(v, variant)").as("r"))
+          .select(col("r.*"))
+      },
+      Some(tTestOracle),
+      "studentTTest/welchTTest through the SQL frontend: per-variant " +
+        "exact integer moments as aggregate state (3 longs per label, " +
+        "map-side combine), the full evidence struct at finish — " +
+        "hash-matched against the q71 oracle"),
+
+    "q104_mann_whitney_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select((col("user_id") % 2).as("variant"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .agg(expr("mannWhitneyUTest(v, variant)").as("r"))
+          .select(col("r.*"))
+      },
+      Some(mannWhitneyOracle),
+      "mannWhitneyUTest through the SQL frontend: distinct-value-domain " +
+        "aggregate state, tie-aware doubled-U fold at finish — " +
+        "hash-matched against the q72 oracle"),
+
+    "q105_linreg_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            floor(col("l_quantity")).cast("long").as("x"),
+            floor(col("l_extendedprice") / lit(100)).cast("long").as("y"))
+          .groupBy(col("grp"))
+          .agg(expr("simpleLinearRegression(x, y)").as("r"))
+          .select(col("grp"), col("r.*"))
+      },
+      Some(linRegOracle),
+      "simpleLinearRegression through the SQL frontend: six exact " +
+        "integer moments as constant-size tuple state (the ideal " +
+        "aggregate shape) — hash-matched against the q75 oracle"),
+
+    "q106_cramers_v_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "orders")
+          .agg(expr("cramersV(o_orderstatus, o_orderpriority)").as("r"))
+          .select(col("r.*"))
+      },
+      Some(cramersVOracle),
+      "cramersV through the SQL frontend: contingency-cell aggregate " +
+        "state (bounded by the category domain), quantized chi-square " +
+        "at finish — hash-matched against the q74 oracle"),
+
+    "q107_rank_corr_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+          .agg(expr("rankCorr(x, y)").as("r"))
+          .select(col("r.*"))
+      },
+      Some(rankCorrOracle),
+      "rankCorr through the SQL frontend: distinct-pair aggregate state " +
+        "over the PRE-AGGREGATED day domain (the aggregate-then-rank " +
+        "contract), doubled-rank fold at finish — hash-matched against " +
+        "the q76 oracle"),
+
+    // q108: sumMap/minMap/maxMap through the SQL frontend — q66's exact
+    // query via the reference-named map aggregates (countMap as CH's own
+    // sumMap-of-ones idiom), exploded back to scalar rows and
+    // hash-matched against the q66 oracle verbatim.
+    "q108_map_combinators_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val kk = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+          .cast("long")
+        t(s, dir, "events").select(
+            (col("user_id") % 16).as("cohort"),
+            map(
+              concat(lit("t_"), col("event_type")),
+              floor(col("value") * 100).cast("long"),
+              concat(lit("k_"), (kk % 4).cast("string")), kk).as("m"))
+          .groupBy(col("cohort"))
+          .agg(expr("sumMap(m)").as("sum_map"),
+            expr("minMap(m)").as("min_map"),
+            expr("maxMap(m)").as("max_map"),
+            expr("sumMap(transform_values(m, (k, v) -> CAST(1 AS BIGINT)))")
+              .as("count_map"))
+          .select(col("cohort"),
+            explode(map_entries(col("sum_map"))).as("e"),
+            col("min_map"), col("max_map"), col("count_map"))
+          .select(col("cohort"), col("e.key").as("k"),
+            col("e.value").as("sum_v"),
+            element_at(col("min_map"), col("e.key")).as("min_v"),
+            element_at(col("max_map"), col("e.key")).as("max_v"),
+            element_at(col("count_map"), col("e.key")).as("cnt"))
+      },
+      Some(mapCombinatorsOracle),
+      "sumMap/minMap/maxMap through the SQL frontend: key-domain " +
+        "aggregate state behind GROUP BY, keys ascending at finish — " +
+        "hash-matched against the q66 oracle"),
+
+    // q109: arrayAUC — the CH array form over per-event-type
+    // groupArray'd (score, label) pairs: the in-row sorted doubled-U
+    // fold must agree with the q90 row machinery replayed per group in
+    // DuckDB (AUC is a rank statistic — collect_list order is
+    // irrelevant by construction).
+    "q109_array_auc" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("event_type").as("grp"),
+            floor(col("value") * 100).cast("long").as("score"),
+            (col("user_id") % 2).as("label"))
+          .groupBy(col("grp"))
+          .agg(collect_list(struct(col("score"), col("label"))).as("sl"),
+            sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("label") === 1, 0L).otherwise(1L)).as("n_neg"))
+          .select(col("grp"), col("n_pos"), col("n_neg"),
+            expr("arrayAUC(transform(sl, e -> e.score), " +
+              "transform(sl, e -> e.label))").as("auc"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS grp,
+             |    CAST(floor(value * 100) AS BIGINT) AS v,
+             |    CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END AS g
+             |  FROM events),
+             |perv AS (
+             |  SELECT grp, v, count(*) AS c,
+             |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS m1
+             |  FROM base GROUP BY grp, v),
+             |r AS (
+             |  SELECT grp, v, c, m1,
+             |    coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS below
+             |  FROM perv),
+             |agg AS (
+             |  SELECT grp, CAST(sum(m1) AS BIGINT) AS n1,
+             |    CAST(sum(c) - sum(m1) AS BIGINT) AS n2,
+             |    CAST(sum(m1 * (2 * below + c + 1)) AS BIGINT) AS r1x2
+             |  FROM r GROUP BY grp)
+             |SELECT grp, n1 AS n_pos, n2 AS n_neg,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) /
+             |    (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+             |FROM agg""".stripMargin),
+      "ClickHouse arrayAUC: per-group array form of the q90 tie-aware " +
+        "AUC — map-only in-row sorted doubled-U fold (pure HOF algebra), " +
+        "one mirrored division; per-group arrays are the funnel-family " +
+        "envelope"),
+
+    "q110_lttb_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("x"))
+          .agg(max(floor(col("value") * 100).cast("long")).as("y"))
+          .groupBy(col("user_id"))
+          .agg(expr("largestTriangleThreeBuckets(12, x, y)").as("pts"))
+          .select(col("user_id"), explode(col("pts")).as("p"))
+          .select(col("user_id"), col("p.x").as("x"), col("p.y").as("y"))
+      },
+      Some(lttbOracle),
+      "largestTriangleThreeBuckets through the SQL frontend: buffered " +
+        "(x, y) aggregate state, the all-integer LTTB fold at finish, " +
+        "points exploded back to rows — hash-matched against the q68 " +
+        "oracle"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the
@@ -3006,6 +2987,257 @@ object Relational {
              |SELECT u.user_id, p.next_node
              |FROM (SELECT DISTINCT user_id FROM events) u
              |LEFT JOIN pick p USING (user_id)""".stripMargin
+
+  /** The q71 oracle (two-sample t statistics from exact integer moments)
+    * — shared verbatim with q103, which runs the SAME query through the
+    * studentTTest SQL aggregate.
+    */
+  private def tTestOracle: String =
+    """WITH base AS (
+             |  SELECT CAST(user_id % 2 AS VARCHAR) AS variant,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT variant, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(sum(v * v) AS BIGINT) AS q
+             |  FROM base GROUP BY variant),
+             |a AS (SELECT variant AS variant_a, n AS n1, s AS s1, q AS q1
+             |      FROM m ORDER BY variant LIMIT 1),
+             |b AS (SELECT variant AS variant_b, n AS n2, s AS s2, q AS q2
+             |      FROM m ORDER BY variant DESC LIMIT 1),
+             |j AS (SELECT * FROM a CROSS JOIN b),
+             |v AS (
+             |  SELECT *,
+             |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+             |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS var1,
+             |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS var2
+             |  FROM j)
+             |SELECT variant_a, n1, s1, q1, variant_b, n2, s2, q2,
+             |  mean1, mean2, var1, var2,
+             |  (mean1 - mean2) / sqrt(
+             |    ((CAST(n1 AS DOUBLE) - 1.0) * var1 +
+             |     (CAST(n2 AS DOUBLE) - 1.0) * var2) /
+             |    (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) *
+             |    (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             |    AS student_t,
+             |  (mean1 - mean2) / sqrt(var1 / CAST(n1 AS DOUBLE) +
+             |    var2 / CAST(n2 AS DOUBLE)) AS welch_t,
+             |  (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) *
+             |  (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) /
+             |  (var1 / CAST(n1 AS DOUBLE) * (var1 / CAST(n1 AS DOUBLE)) /
+             |     (CAST(n1 AS DOUBLE) - 1.0) +
+             |   var2 / CAST(n2 AS DOUBLE) * (var2 / CAST(n2 AS DOUBLE)) /
+             |     (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+             |FROM v""".stripMargin
+
+  /** The q72 oracle (tie-aware doubled-U) — shared verbatim with q104,
+    * which runs the SAME query through the mannWhitneyUTest SQL
+    * aggregate.
+    */
+  private def mannWhitneyOracle: String =
+    """WITH base AS (
+             |  SELECT user_id % 2 AS g,
+             |    CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |perv AS (
+             |  SELECT v, count(*) AS c,
+             |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS m1
+             |  FROM base GROUP BY v),
+             |r AS (
+             |  SELECT v, c, m1,
+             |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM perv),
+             |agg AS (
+             |  SELECT CAST(sum(m1) AS BIGINT) AS n1,
+             |    CAST(sum(c) - sum(m1) AS BIGINT) AS n2,
+             |    CAST(sum(m1 * (2 * below + c + 1)) AS BIGINT) AS r1x2
+             |  FROM r)
+             |SELECT n1, n2,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2,
+             |  CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2x2
+             |FROM agg""".stripMargin
+
+  /** The q74 oracle (quantized chi-square contingency statistics) —
+    * shared verbatim with q106, which runs the SAME query through the
+    * cramersV SQL aggregate.
+    */
+  private def cramersVOracle: String =
+    """WITH cells AS (
+             |  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+             |  FROM orders GROUP BY 1, 2),
+             |w AS (
+             |  SELECT a, b, o,
+             |    sum(o) OVER (PARTITION BY a) AS ra,
+             |    sum(o) OVER (PARTITION BY b) AS cb
+             |  FROM cells),
+             |cc AS (
+             |  SELECT a, b, o,
+             |    CAST(floor((1e15 * (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))) /
+             |      (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) AS BIGINT)
+             |      AS contrib
+             |  FROM w),
+             |agg AS (
+             |  SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(sum(contrib) AS BIGINT) AS sum_contrib,
+             |    count(DISTINCT a) AS r, count(DISTINCT b) AS c
+             |  FROM cc),
+             |j AS (
+             |  SELECT n, sum_contrib, r, c,
+             |    GREATEST(0.0, CAST(n AS DOUBLE) *
+             |      (CAST(sum_contrib AS DOUBLE) / 1e15 - 1.0)) AS chi2
+             |  FROM agg)
+             |SELECT n, sum_contrib, r, c, chi2,
+             |  sqrt(chi2 / (CAST(n AS DOUBLE) *
+             |    CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v,
+             |  sqrt(
+             |    GREATEST(0.0, chi2 / CAST(n AS DOUBLE) -
+             |      CAST((r - 1) * (c - 1) AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+             |    / LEAST(
+             |        (CAST(r AS DOUBLE) - CAST((r - 1) * (r - 1) AS DOUBLE) /
+             |          (CAST(n AS DOUBLE) - 1.0)) - 1.0,
+             |        (CAST(c AS DOUBLE) - CAST((c - 1) * (c - 1) AS DOUBLE) /
+             |          (CAST(n AS DOUBLE) - 1.0)) - 1.0)) AS cramers_v_bc,
+             |  sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) AS contingency_coef
+             |FROM j""".stripMargin
+
+  /** The q75 oracle (per-group OLS over exact integer moments) — shared
+    * verbatim with q105, which runs the SAME query through the
+    * simpleLinearRegression SQL aggregate.
+    */
+  private def linRegOracle: String =
+    """WITH base AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(floor(l_quantity) AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT grp, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM base GROUP BY grp),
+             |d AS (
+             |  SELECT grp, n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y,
+             |    sx, sy
+             |  FROM m)
+             |SELECT grp, n, num, den_x, den_y,
+             |  CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) AS slope,
+             |  (CAST(sy AS DOUBLE) -
+             |    CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) *
+             |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+             |  CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE)) *
+             |    sqrt(CAST(den_y AS DOUBLE))) AS pearson_r
+             |FROM d""".stripMargin
+
+  /** The q76 oracle (Spearman over tie-aware doubled ranks) — shared
+    * verbatim with q107, which runs the SAME query through the rankCorr
+    * SQL aggregate.
+    */
+  private def rankCorrOracle: String =
+    """WITH days AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x,
+             |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS y
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT
+             |    2 * RANK() OVER (ORDER BY x) +
+             |      COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+             |    2 * RANK() OVER (ORDER BY y) +
+             |      COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+             |  FROM days),
+             |m AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+             |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+             |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+             |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+             |  FROM r),
+             |d AS (
+             |  SELECT n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS den_x, n * syy - sy * sy AS den_y
+             |  FROM m)
+             |SELECT n, num, den_x, den_y,
+             |  CAST(num AS DOUBLE) / (sqrt(CAST(den_x AS DOUBLE)) *
+             |    sqrt(CAST(den_y AS DOUBLE))) AS rho
+             |FROM d""".stripMargin
+
+  /** The q68 oracle (the LTTB fold as a recursive CTE) — shared verbatim
+    * with q110, which runs the SAME query through the
+    * largestTriangleThreeBuckets SQL aggregate.
+    */
+  private def lttbOracle: String =
+    """WITH RECURSIVE pre AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
+             |         max(CAST(floor(value * 100) AS BIGINT)) AS y
+             |  FROM events GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT user_id, x, y,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY x) - 1 AS idx,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM pre),
+             |small AS (SELECT user_id, x, y FROM pts WHERE n <= 12),
+             |big AS (SELECT * FROM pts WHERE n > 12),
+             |mid AS (
+             |  SELECT user_id, idx, x, y, ((idx - 1) * 10) // (n - 2) AS b
+             |  FROM big WHERE idx >= 1 AND idx <= n - 2),
+             |bs AS (SELECT user_id, b, count(*) AS m, sum(x) AS sx, sum(y) AS sy
+             |       FROM mid GROUP BY 1, 2),
+             |lastp AS (SELECT user_id, x, y FROM big WHERE idx = n - 1),
+             |nxt AS (
+             |  SELECT user_id, b - 1 AS b, m, sx, sy FROM bs WHERE b >= 1
+             |  UNION ALL
+             |  SELECT user_id, 9 AS b, CAST(1 AS BIGINT) AS m,
+             |    CAST(x AS HUGEINT) AS sx, CAST(y AS HUGEINT) AS sy FROM lastp),
+             |firstp AS (SELECT user_id, x, y FROM big WHERE idx = 0),
+             |rec AS (
+             |  SELECT user_id, -1 AS b, x, y FROM firstp
+             |  UNION ALL
+             |  SELECT r.user_id, r.b + 1 AS b,
+             |    (SELECT p.x FROM mid p JOIN nxt nx
+             |       ON nx.user_id = p.user_id AND nx.b = p.b
+             |      WHERE p.user_id = r.user_id AND p.b = r.b + 1
+             |      ORDER BY abs((r.x - p.x) * (nx.sy - nx.m * r.y)
+             |                 - (nx.m * r.x - nx.sx) * (p.y - r.y)) DESC,
+             |        p.x LIMIT 1) AS x,
+             |    (SELECT p.y FROM mid p JOIN nxt nx
+             |       ON nx.user_id = p.user_id AND nx.b = p.b
+             |      WHERE p.user_id = r.user_id AND p.b = r.b + 1
+             |      ORDER BY abs((r.x - p.x) * (nx.sy - nx.m * r.y)
+             |                 - (nx.m * r.x - nx.sx) * (p.y - r.y)) DESC,
+             |        p.x LIMIT 1) AS y
+             |  FROM rec r WHERE r.b + 1 <= 9)
+             |SELECT user_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+             |FROM rec
+             |UNION ALL
+             |SELECT user_id, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM lastp
+             |UNION ALL
+             |SELECT user_id, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM small""".stripMargin
+
+  /** The q66 oracle (key-wise map combinators as an exploded UNION
+    * ALL aggregate) — shared verbatim with q108, which runs the SAME
+    * query through the sumMap/minMap/maxMap SQL aggregates.
+    */
+  private def mapCombinatorsOracle: String =
+    """WITH base AS (
+             |  SELECT user_id % 16 AS cohort, event_type,
+             |    CAST(floor(value * 100) AS BIGINT) AS v,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS kk
+             |  FROM events),
+             |kv AS (
+             |  SELECT cohort, 't_' || event_type AS k, v FROM base
+             |  UNION ALL
+             |  SELECT cohort, 'k_' || CAST(kk % 4 AS VARCHAR) AS k, kk FROM base)
+             |SELECT cohort, k, CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+             |  count(*) AS cnt
+             |FROM kv GROUP BY cohort, k""".stripMargin
 
   /** The q59 oracle (strict_deduplication fold replayed as a DuckDB
     * recursive CTE) — shared verbatim with q101, which runs the SAME
