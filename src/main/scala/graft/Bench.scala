@@ -58,6 +58,9 @@ object Bench {
     "q97_url_functions", "q98_url_hierarchy", "p10_sentence_chunks",
     "q99_mean_z_test", "q100_skew_report", "q101_funnel_strict_sql",
     "q102_next_node_sql",
+    "q103_ttest_sql", "q104_mann_whitney_sql", "q105_linreg_sql",
+    "q106_cramers_v_sql", "q107_rank_corr_sql", "q108_map_combinators_sql",
+    "q109_array_auc", "q110_lttb_sql", "q111_snapshot_diff",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -132,7 +132,20 @@ object BenchProbe {
     // one buffered-event aggregate exchange, per-user fold at finish —
     // the probes prove the ScalaAggregator wrappers add no scaling term
     // (linear band)
-    "q101_funnel_strict_sql", "q102_next_node_sql")
+    "q101_funnel_strict_sql", "q102_next_node_sql",
+    // r15 stats SQL frontends (q105 reads lineitem — not in the
+    // amplified set — and is the same six-moment shape as q107's
+    // domain-collapse anyway): q103/q106/q107 shuffle a bounded DOMAIN
+    // (variant labels / contingency cells / distinct day-pairs) — near
+    //-flat expected; q104's exchange carries the distinct value domain;
+    // q108 the (cohort, key) domain; q109/q110 are the buffered per-group
+    // envelope (collect + in-row fold / per-user series) — linear band
+    "q103_ttest_sql", "q104_mann_whitney_sql", "q106_cramers_v_sql",
+    "q107_rank_corr_sql", "q108_map_combinators_sql", "q109_array_auc",
+    "q110_lttb_sql",
+    // q111 is one full-outer key join of two snapshot projections —
+    // both sides shuffle once on the 8-byte key, linear band
+    "q111_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -106,7 +106,18 @@ object UrlFunctions {
   def cutQueryStringAndFragment(url: Column): Column =
     regexp_replace(url, "[?#].*$", "")
 
-  /** `scheme://netloc` prefix (no trailing slash); '' if no scheme. */
+  /** `scheme://netloc` prefix (no trailing slash); '' if no scheme.
+    *
+    * SCHEME-REQUIRED contract (a documented deviation, like the
+    * fragment exclusion): ClickHouse's cutWWW/URLHierarchy also accept
+    * scheme-less forms ("www.example.com/a"); here every consumer of
+    * this prefix — [[cutWWW]] (passes scheme-less URLs through
+    * unchanged) and [[urlHierarchy]] (reads a bare "/" root level) —
+    * requires `scheme://`. The engine's URL columns come from access
+    * logs and t28 canonicalization, both schemed; pre-concat
+    * 'https://' for bare-host corpora. Pinned in UrlFunctionsSpec,
+    * noted in MIGRATION.md.
+    */
   private def schemePrefix(url: Column): Column =
     regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
 

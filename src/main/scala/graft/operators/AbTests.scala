@@ -136,7 +136,8 @@ object AbTests {
     * Contract: scores pre-quantized to BIGINT (tie detection must be
     * exact — the family discipline), labels 1 = positive / anything
     * else negative, arrays same length and null-free; all-one-class
-    * arrays give NaN (0/0), NULL arrays give NULL.
+    * arrays give NULL (the engine-family divide-by-zero semantics,
+    * same as the Column form), NULL arrays give NULL.
     *
     * Scale shape: map-only — the kernel runs inside the row; array
     * sizes are the caller's per-group domain (the q54/q62 envelope).

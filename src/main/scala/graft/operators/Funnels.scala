@@ -784,6 +784,13 @@ object Funnels {
     * when no chain qualifies. NULL-ts rows are skipped (the
     * graft_window_funnel convention). Randomized SQL ≡ Column pinned in
     * `GraftExtensionsSpec` across all four (direction, base) pairings.
+    *
+    * NULL-ts SCOPE of that equivalence: the Column form KEEPS null-ts
+    * rows (they sort to one end of the per-user window and can shift
+    * positions/anchors), this aggregate drops them — so SQL ≡ Column
+    * holds on non-null timestamps, the funnel family's standing
+    * contract (events' ts is non-null by schema; the spec pins the
+    * divergence explicitly with a null-ts case).
     */
   final class SequenceNextNodeAgg(direction: String, base: String, nSteps: Int)
       extends org.apache.spark.sql.expressions.Aggregator[

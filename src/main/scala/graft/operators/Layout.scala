@@ -299,11 +299,19 @@ object Layout {
     */
   def diffVersions(spark: org.apache.spark.sql.SparkSession, table: String,
       fromVersion: Int, toVersion: Int,
+      keyCols: Seq[String]): DataFrame =
+    diffSnapshots(readVersion(spark, table, Some(fromVersion)),
+      readVersion(spark, table, Some(toVersion)), keyCols)
+
+  /** [[diffVersions]]' join construction over two already-loaded
+    * snapshots — factored out so the catalog can oracle-check the
+    * SHARED code path on derived frames (q111) while the publish
+    * machinery stays spec-tested (`LayoutSpec`).
+    */
+  def diffSnapshots(from: DataFrame, to: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(keyCols.nonEmpty, "diffVersions needs at least one key column")
-    val from = readVersion(spark, table, Some(fromVersion))
-    val to = readVersion(spark, table, Some(toVersion))
+    require(keyCols.nonEmpty, "diffSnapshots needs at least one key column")
     val contentCols = from.columns.toSeq.intersect(to.columns.toSeq)
       .filterNot(keyCols.contains)
     def keyed(df: DataFrame, side: String) =

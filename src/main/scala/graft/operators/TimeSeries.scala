@@ -305,6 +305,18 @@ object TimeSeries {
     * JVM strict doubles ≡ codegen, the emaStream precedent), so the two
     * surfaces are BIT-equal, spec-pinned. NULL-ts/NULL-v rows skip;
     * empty group → NULL.
+    *
+    * SENTINEL CAVEAT (scope of the bit-equality claim): the registry
+    * encodes NULL values IN-BAND as NaN (the tuple encoder's value slot
+    * is a non-nullable primitive), so a GENUINE NaN input row is
+    * indistinguishable from NULL and skips here, where the Column form
+    * would propagate NaN through the fold — the SQL ≡ Column claim
+    * holds on NaN-free inputs (every deltaStats-family caller's
+    * contract; callers pre-scale/clean). [[DeltaSumAgg]] conflates a
+    * legitimate Long.MinValue the same way. The r15 stats frontends
+    * (AbTests/Stats aggregators) carry an explicit validity slot
+    * instead — migrate this family if a NaN-transparent SQL EMA is
+    * ever needed.
     */
   final class EmaAgg(alpha: Double, beta: Double)
       extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Double),

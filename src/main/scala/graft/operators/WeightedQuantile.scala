@@ -69,6 +69,13 @@ object WeightedQuantile {
     * (standard aggregate semantics, the topKWeighted convention);
     * an all-skipped group yields NULL. Total weight must stay under
     * ~9.2·10¹⁴ (the cum·10⁴ product's Long envelope).
+    *
+    * SENTINEL CAVEAT (the EmaAgg note): the registry encodes NULL
+    * values in-band as Long.MinValue, so a GENUINE Long.MinValue input
+    * is conflated with NULL and skipped — out of scope for the
+    * quantized-domain contract above (a domain needing MinValue has no
+    * business in a value→weight map), but stated for completeness; the
+    * r15 stats frontends carry an explicit validity slot instead.
     */
   final class ExactWeightedAgg(phiBp: Int)
       extends org.apache.spark.sql.expressions.Aggregator[(Long, Long),

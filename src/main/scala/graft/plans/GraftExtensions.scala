@@ -237,7 +237,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.Encoders.DOUBLE, "graft_histogram",
           Seq(args(0)))),
     (FunctionIdentifier("graft_delta_sum"),
-      info("graft_delta_sum", "graft_delta_sum(ts, id, v) - ClickHouse deltaSumTimestamp: sum of POSITIVE consecutive value deltas in strict (ts, id) order (the engine's declared fold order; CH's plain deltaSum folds in block order, undefined distributed); NULL ts/v rows skipped; integer values — pre-scale floats"),
+      info("graft_delta_sum", "graft_delta_sum(ts, id, v) - ClickHouse deltaSumTimestamp: sum of POSITIVE consecutive value deltas in strict (ts, id) order (the engine's declared fold order; CH's plain deltaSum folds in block order, undefined distributed); NULL ts/v rows skipped (NULL encoded in-band as Long.MinValue: a genuine Long.MinValue value is conflated and skipped); integer values — pre-scale floats"),
       (args: Seq[Expression]) => {
         if (args.size != 3) throw new IllegalArgumentException(
           "graft_delta_sum expects (ts, id, value)")
@@ -251,7 +251,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_delta_sum", Seq(tsExpr(args(0)), idExpr(args(1)), v))
       }),
     (FunctionIdentifier("graft_ema"),
-      info("graft_ema", "graft_ema(ts, id, v, alpha, beta) - ClickHouse exponentialMovingAverage (ordered-series form): s1 = v1, si = alpha*vi + beta*s(i-1) folded in strict (ts, id) order; beta passed EXPLICITLY (1-alpha is not FP-safe to recompute — state both constants, e.g. 0.25/0.75); bit-equal to the Column form; NULL ts/v rows skipped, empty group NULL"),
+      info("graft_ema", "graft_ema(ts, id, v, alpha, beta) - ClickHouse exponentialMovingAverage (ordered-series form): s1 = v1, si = alpha*vi + beta*s(i-1) folded in strict (ts, id) order; beta passed EXPLICITLY (1-alpha is not FP-safe to recompute — state both constants, e.g. 0.25/0.75); bit-equal to the Column form on NaN-free inputs (NULL encoded in-band as NaN: a genuine NaN value is conflated and skipped where the Column form propagates it); NULL ts/v rows skipped, empty group NULL"),
       (args: Seq[Expression]) => {
         if (args.size != 5) throw new IllegalArgumentException(
           "graft_ema expects (ts, id, value, alpha, beta)")
@@ -266,7 +266,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_ema", Seq(tsExpr(args(0)), idExpr(args(1)), v))
       }),
     (FunctionIdentifier("graft_quantile_exact_weighted"),
-      info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped"),
+      info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped (NULL encoded in-band as Long.MinValue: a genuine Long.MinValue value is conflated and skipped)"),
       (args: Seq[Expression]) => {
         if (args.size != 3) throw new IllegalArgumentException(
           "graft_quantile_exact_weighted expects (value, weight, phi)")
@@ -458,7 +458,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       mapCombinator("minMap", "key-wise MIN"),
       mapCombinator("maxMap", "key-wise MAX"),
       (FunctionIdentifier("arrayAUC"),
-        info("arrayAUC", "arrayAUC(scores, labels) - ClickHouse arrayAUC: tie-aware ROC-AUC of one (scores, labels) array pair as a map-only in-row kernel (sort + one integer doubled-U fold; the only float op is the final division). Scores pre-quantized to BIGINT (exact tie detection), label 1 = positive; equal lengths, null-free; one-class arrays give NaN"),
+        info("arrayAUC", "arrayAUC(scores, labels) - ClickHouse arrayAUC: tie-aware ROC-AUC of one (scores, labels) array pair as a map-only in-row kernel (sort + one integer doubled-U fold; the only float op is the final division). Scores pre-quantized to BIGINT (exact tie detection), label 1 = positive; equal lengths, null-free; one-class arrays give NULL (divide-by-zero null semantics, like the Column form)"),
         (args: Seq[Expression]) => {
           arity(args, 2, "arrayAUC", "(scores, labels)")
           import org.apache.spark.sql.catalyst.expressions.Cast

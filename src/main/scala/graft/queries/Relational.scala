@@ -2959,7 +2959,48 @@ object Relational {
       "largestTriangleThreeBuckets through the SQL frontend: buffered " +
         "(x, y) aggregate state, the all-integer LTTB fold at finish, " +
         "points exploded back to rows — hash-matched against the q68 " +
-        "oracle"))
+        "oracle"),
+
+    // q111: dataset snapshot diff (Layout.diffSnapshots — the shared
+    // join construction behind diffVersions, which LayoutSpec drives
+    // through the publish machinery). Two derived document snapshots
+    // simulate a release: doc_id%5==0 rows dropped (removed),
+    // doc_id%7==0 rows absent from the old side (added), doc_id%3==0
+    // survivors get a content bump (changed). ONE full-outer key join
+    // of canonical content structs — each snapshot shuffles once — is
+    // the floor for an exact diff.
+    "q111_snapshot_diff" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val from = docs.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val to = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + when(col("doc_id") % 3 === 0, 1L)
+              .otherwise(0L)).as("n_chars"))
+        graft.operators.Layout.diffSnapshots(from, to, Seq("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  WHERE doc_id % 7 <> 0),
+             |t2 AS (
+             |  SELECT doc_id, lang,
+             |    n_chars + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+             |      AS n_chars
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |j AS (
+             |  SELECT coalesce(f.doc_id, t2.doc_id) AS doc_id,
+             |    CASE WHEN f.doc_id IS NULL THEN 'added'
+             |         WHEN t2.doc_id IS NULL THEN 'removed'
+             |         WHEN f.lang <> t2.lang OR f.n_chars <> t2.n_chars
+             |           THEN 'changed' END AS change
+             |  FROM f FULL OUTER JOIN t2 ON f.doc_id = t2.doc_id)
+             |SELECT doc_id, change FROM j WHERE change IS NOT NULL"""
+        .stripMargin),
+      "dataset snapshot diff (Layout.diffSnapshots, the diffVersions " +
+        "construction): added/removed/changed keys from ONE full-outer " +
+        "key join of canonical content structs — the exact-diff floor; " +
+        "columns prune at the scan"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the

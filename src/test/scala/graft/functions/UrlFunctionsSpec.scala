@@ -150,6 +150,19 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(hier("http://localhost/x")._1 == "")
   }
 
+  test("scheme-required contract (documented deviation): scheme-less " +
+    "URLs pass cutWWW unchanged and read a bare '/' root in URLHierarchy") {
+    import UrlFunctions._
+    val df = Seq("www.example.com/a/b?q=1").toDF("u")
+    val r = df.select(cutWWW(col("u")).as("cw"),
+      urlHierarchy(col("u")).as("uh"),
+      // the documented workaround: pre-concat a scheme
+      cutWWW(concat(lit("https://"), col("u"))).as("cw2")).collect().head
+    assert(r.getString(0) == "www.example.com/a/b?q=1") // unchanged
+    assert(r.getSeq[String](1).headOption.contains("/")) // bare root level
+    assert(r.getString(2) == "https://example.com/a/b?q=1")
+  }
+
   test("the accessor projection is map-only (zero exchanges)") {
     import UrlFunctions._
     val df = (1 to 8).map(i => s"http://h$i.example.com/p$i").toDF("u")

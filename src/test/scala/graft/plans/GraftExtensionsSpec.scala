@@ -518,6 +518,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_sequence_next_node('forward', 'tail', ts, event_id, " +
         "event_type, true, event_type = 'view') FROM ge_nn").collect())
     assert(e.getMessage.contains("tail"), e.getMessage)
+    // NULL-ts scope (the scaladoc's qualified claim, pinned): the SQL
+    // aggregate DROPS null-ts rows — equivalent to the Column form on
+    // the null-ts-FILTERED stream, not on the raw one (where null ts
+    // sorts to a window end and can shift anchors)
+    val nullTs = rows.take(60).map { case (u, ts, id, t) =>
+      (u, Option(ts), id, t)
+    } ++ (1 to 15).map(u => (u.toLong, None: Option[java.sql.Timestamp],
+      9999L, "view"))
+    val dfN = nullTs.toDF("user_id", "ts", "event_id", "event_type")
+    dfN.createOrReplaceTempView("ge_nn_null")
+    val viaSqlN = spark.sql(
+      """SELECT user_id, graft_sequence_next_node('forward', 'head',
+        |  ts, event_id, event_type, true,
+        |  event_type = 'view', event_type = 'click')
+        |FROM ge_nn_null GROUP BY user_id""".stripMargin)
+      .as[(Long, Option[String])].collect().toMap
+    val viaColFiltered = graft.operators.Funnels.sequenceNextNode(
+      dfN.where(col("ts").isNotNull), "forward", "head", steps,
+      baseCond = lit(true))
+      .as[(Long, Option[String])].collect().toMap
+    // compare on the users present in both (an all-null-ts user exists
+    // only on the SQL side, where it reads NULL)
+    viaColFiltered.foreach { case (u, v) =>
+      assert(viaSqlN(u) == v, s"user $u")
+    }
+    viaSqlN.keySet.diff(viaColFiltered.keySet).foreach { u =>
+      assert(viaSqlN(u).isEmpty, s"all-null-ts user $u must read NULL")
+    }
   }
 
   test("ClickHouse URL family from SQL under its own names ≡ Column API") {
@@ -562,5 +590,238 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val e2 = intercept[Exception](spark.sql(
       "SELECT extractURLParameter(u, u) FROM ge_urls").collect())
     assert(e2.getMessage.contains("extractURLParameter"), e2.getMessage)
+    // wrong arity fails at PLAN time with the fn's name (not a raw
+    // IndexOutOfBounds / silent extra-arg drop)
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT domain(u, u) FROM ge_urls").collect())
+    assert(e3.getMessage.contains("domain"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT extractURLParameter(u) FROM ge_urls").collect())
+    assert(e4.getMessage.contains("extractURLParameter"), e4.getMessage)
+  }
+
+  test("studentTTest/welchTTest from SQL ≡ AbTests.tTests bit-for-bit, " +
+    "NULL rows skip, all-invalid group degenerates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1907)
+    val rows = (1 to 300).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextInt(1000).toLong))
+    val df = rows.toDF("variant", "v")
+    df.createOrReplaceTempView("ge_tt")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT studentTTest(v, variant) AS r FROM ge_tt)")
+      .collect().head
+    val viaWelch = spark.sql(
+      "SELECT r.* FROM (SELECT welchTTest(v, variant) AS r FROM ge_tt)")
+      .collect().head
+    val viaCol = graft.operators.AbTests.tTests(df, "variant", "v")
+      .collect().head
+    assert(viaSql.toString == viaCol.toString) // bit-equal doubles included
+    assert(viaWelch.toString == viaCol.toString)
+    // NULL value rows skip (explicit validity slot, no sentinel):
+    // SQL-with-nulls ≡ Column-on-filtered
+    val withNulls = rows.map { case (g, v) => (g, Some(v)) } ++
+      Seq(("a", None), ("b", None))
+    val dfn = withNulls.toDF("variant", "v")
+    dfn.createOrReplaceTempView("ge_ttn")
+    val viaSqlN = spark.sql(
+      "SELECT r.* FROM (SELECT studentTTest(v, variant) AS r FROM ge_ttn)")
+      .collect().head
+    assert(viaSqlN.toString == viaCol.toString)
+    // all-invalid group: zero-count degenerate row, not a crash
+    val degen = spark.sql(
+      """SELECT r.variant_a, r.n1, r.student_t FROM (
+        |  SELECT studentTTest(v, variant) AS r
+        |  FROM VALUES (CAST(NULL AS BIGINT), 'a') AS t(v, variant))"""
+        .stripMargin).collect().head
+    assert(degen.isNullAt(0) && degen.getLong(1) == 0L &&
+      degen.getDouble(2).isNaN)
+    // arity fails at PLAN time, named
+    val e = intercept[Exception](spark.sql(
+      "SELECT studentTTest(v) FROM ge_tt").collect())
+    assert(e.getMessage.contains("studentTTest"), e.getMessage)
+  }
+
+  test("meanZTest from SQL ≡ AbTests.meanZTest bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val df = (1 to 200).map(i =>
+      (if (i % 2 == 0) "x" else "y", rnd.nextInt(500).toLong))
+      .toDF("variant", "v")
+    df.createOrReplaceTempView("ge_mz")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT meanZTest(v, variant, 850000.0, 820000.0) AS r FROM ge_mz)")
+      .collect().head
+    val viaCol = graft.operators.AbTests.meanZTest(
+      df, "variant", "v", 850000.0, 820000.0).collect().head
+    assert(viaSql.toString == viaCol.toString)
+  }
+
+  test("mannWhitneyUTest from SQL ≡ AbTests.mannWhitney; a genuine " +
+    "Long.MinValue value survives (no in-band sentinel)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1947)
+    // small value domain forces heavy ties; one legitimate extreme value
+    val rows = (1 to 400).map(i =>
+      ((i % 2).toLong, rnd.nextInt(12).toLong)) :+ ((0L, Long.MinValue))
+    val df = rows.toDF("variant", "v")
+    df.createOrReplaceTempView("ge_mw")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT mannWhitneyUTest(v, variant) AS r FROM ge_mw)")
+      .as[(Long, Long, Long, Long)].collect().head
+    val viaCol = graft.operators.AbTests.mannWhitney(df, "variant", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(viaSql == viaCol)
+    // the MinValue row is IN the counts (201 + 200 rows)
+    assert(viaSql._1 == 201L && viaSql._2 == 200L)
+    // self-validating identity: U1 + U2 = n1*n2 (doubled)
+    assert(viaSql._3 + viaSql._4 == 2L * viaSql._1 * viaSql._2)
+  }
+
+  test("simpleLinearRegression from SQL ≡ Stats.simpleLinReg per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1805)
+    val df = (1 to 300).map { i =>
+      val x = rnd.nextInt(100).toLong
+      (s"g${i % 3}", x, 3L * x + rnd.nextInt(40).toLong)
+    }.toDF("grp", "x", "y")
+    df.createOrReplaceTempView("ge_lr")
+    val viaSql = spark.sql(
+      """SELECT grp, r.* FROM (
+        |  SELECT grp, simpleLinearRegression(x, y) AS r
+        |  FROM ge_lr GROUP BY grp)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    val viaCol = graft.operators.Stats.simpleLinReg(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("cramersV / cramersVBiasCorrected from SQL ≡ Stats.contingencyStats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1946)
+    val df = (1 to 500).map { _ =>
+      val a = s"a${rnd.nextInt(4)}"
+      // correlated: b leans on a
+      val b = if (rnd.nextInt(3) == 0) s"b${rnd.nextInt(5)}"
+        else s"b${a.last.toString.toInt % 5}"
+      (a, b)
+    }.toDF("a", "b")
+    df.createOrReplaceTempView("ge_cv")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT cramersV(a, b) AS r FROM ge_cv)")
+      .collect().head
+    val viaBc = spark.sql(
+      "SELECT r.* FROM (SELECT cramersVBiasCorrected(a, b) AS r FROM ge_cv)")
+      .collect().head
+    val viaCol = graft.operators.Stats.contingencyStats(df, "a", "b")
+      .collect().head
+    assert(viaSql.toString == viaCol.toString) // quantized χ² ⇒ exact
+    assert(viaBc.toString == viaCol.toString)
+  }
+
+  test("rankCorr from SQL ≡ Stats.spearman on a tie-heavy domain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1904)
+    val df = (1 to 200).map { _ =>
+      val x = rnd.nextInt(15).toLong
+      (x, x / 2 + rnd.nextInt(8).toLong) // monotone-ish with ties both axes
+    }.toDF("x", "y")
+    df.createOrReplaceTempView("ge_rc")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT rankCorr(x, y) AS r FROM ge_rc)")
+      .collect().head
+    val viaCol = graft.operators.Stats.spearman(df, "x", "y").collect().head
+    assert(viaSql.toString == viaCol.toString)
+  }
+
+  test("sumMap/minMap/maxMap from SQL ≡ MapCombinators.aggMaps, keys " +
+    "ascending, NULL maps skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(66)
+    val df = (1 to 200).map { i =>
+      (i % 4, Map(s"k${rnd.nextInt(5)}" -> rnd.nextInt(100).toLong,
+        s"k${rnd.nextInt(5)}" -> rnd.nextInt(100).toLong))
+    }.toDF("g", "m")
+    df.createOrReplaceTempView("ge_maps")
+    val viaSql = spark.sql(
+      """SELECT g, sumMap(m) AS sm, minMap(m) AS mn, maxMap(m) AS mx
+        |FROM ge_maps GROUP BY g""".stripMargin)
+      .as[(Int, Map[String, Long], Map[String, Long], Map[String, Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val viaCol = graft.operators.MapCombinators.aggMaps(df, Seq("g"), "m")
+      .selectExpr("g", "sum_map", "min_map", "max_map")
+      .as[(Int, Map[String, Long], Map[String, Long], Map[String, Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(viaSql == viaCol)
+    // keys come out ascending (the array_sort reassembly order)
+    val keys = spark.sql("SELECT map_keys(sumMap(m)) FROM ge_maps")
+      .as[Seq[String]].collect().head
+    assert(keys == keys.sorted)
+    // NULL maps skip
+    val withNull = spark.sql(
+      """SELECT sumMap(m) FROM VALUES
+        |  (map('a', 1L)), (CAST(NULL AS MAP<STRING, BIGINT>)),
+        |  (map('a', 2L)) AS t(m)""".stripMargin)
+      .as[Map[String, Long]].collect().head
+    assert(withNull == Map("a" -> 3L))
+  }
+
+  test("arrayAUC from SQL ≡ AbTests.auc bit-for-bit; one-class gives NaN") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(90)
+    // tie-heavy scores so the average-rank path is exercised
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, (rnd.nextInt(2)).toLong))
+    val df = rows.toDF("score", "label")
+    df.createOrReplaceTempView("ge_auc")
+    val viaSql = spark.sql(
+      """SELECT arrayAUC(collect_list(score), collect_list(label))
+        |FROM ge_auc""".stripMargin).as[Double].collect().head
+    val viaCol = graft.operators.AbTests.auc(df, "label", "score")
+      .selectExpr("auc").as[Double].collect().head
+    assert(java.lang.Double.doubleToRawLongBits(viaSql) ==
+      java.lang.Double.doubleToRawLongBits(viaCol))
+    // Column-form arrayAuc kernel too (the registry wraps this)
+    val viaKernel = df.agg(org.apache.spark.sql.functions
+        .collect_list("score").as("s"),
+      org.apache.spark.sql.functions.collect_list("label").as("l"))
+      .select(graft.operators.AbTests.arrayAuc(
+        org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("l")).as("auc"))
+      .as[Double].collect().head
+    assert(java.lang.Double.doubleToRawLongBits(viaKernel) ==
+      java.lang.Double.doubleToRawLongBits(viaCol))
+    // one-class arrays: NULL (Spark/DuckDB divide-by-zero semantics —
+    // the Column form reads the same), not a crash
+    val oneClass = spark.sql(
+      "SELECT arrayAUC(array(1L, 2L, 3L), array(1L, 1L, 1L))")
+      .collect().head
+    assert(oneClass.isNullAt(0))
+  }
+
+  test("largestTriangleThreeBuckets from SQL ≡ Lttb.downsample per key, " +
+    "pass-through for short series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2013)
+    val rows = (1 to 8).flatMap { k =>
+      // key 1 gets a SHORT series (≤ threshold: pass-through leg)
+      val n = if (k == 1) 7 else 40 + rnd.nextInt(60)
+      (1 to n).map(i =>
+        (k.toLong, i.toLong * 10, rnd.nextInt(2000).toLong))
+    }
+    val df = rows.toDF("k", "x", "y")
+    df.createOrReplaceTempView("ge_lttb")
+    val viaSql = spark.sql(
+      """SELECT k, p.x, p.y FROM (
+        |  SELECT k, largestTriangleThreeBuckets(12, x, y) AS pts
+        |  FROM ge_lttb GROUP BY k)
+        |LATERAL VIEW explode(pts) AS p""".stripMargin)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaCol = graft.operators.Lttb.downsample(df, "k", "x", "y", 12)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(viaSql == viaCol)
+    // the short key passed through whole
+    assert(viaSql.count(_._1 == 1L) == 7)
   }
 }
