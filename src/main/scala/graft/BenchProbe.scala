@@ -145,7 +145,18 @@ object BenchProbe {
     "q110_lttb_sql",
     // q111 is one full-outer key join of two snapshot projections —
     // both sides shuffle once on the 8-byte key, linear band
-    "q111_snapshot_diff")
+    "q111_snapshot_diff",
+    // r15 frontends. q112 carries the value domain (q104's shape),
+    // q113 the label-domain moment state, q115 the distinct-interval
+    // domain, q116 the (month, day) domain, q119 a ≤4096-entry sketch
+    // per group — near-flat to linear; q117/q118 are map-only per-row
+    // kernels over events/documents (q118 reads the suffixed-replication
+    // corpus: ~15× chars envelope, the d23/q96/p09 note). q114 reads
+    // lineitem — outside the amplified table set, not probeable — and is
+    // the same constant-size moment shape as q113 anyway.
+    "q112_ks_sql", "q113_anova_sql", "q115_interval_sql",
+    "q116_sparkbar_sql", "q117_geohash_sql", "q118_ngram_sql",
+    "q119_uniq_theta_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

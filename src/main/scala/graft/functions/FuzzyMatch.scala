@@ -61,6 +61,48 @@ object FuzzyMatch {
     grams.distinct.map(g => g -> grams.count(_ == g))
   }
 
+  /** The (na, inter) evidence pair for a single text Column vs a literal
+    * needle — the scalar-expression form of [[ngramMatch]]'s
+    * construction (one gram-array materialization behind the fence, D
+    * capped filter-count terms; codegen's common-subexpression
+    * elimination collapses the D gram-subtree copies to one eval).
+    */
+  private def gramEvidence(text: Column, needle: String, n: Int)
+      : (Column, Column) = {
+    require(needle.length >= n,
+      s"needle must be at least $n chars, got '${needle}'")
+    val counts = needleGramCounts(needle, n)
+    val grams = OptimizerFence(charGrams(text, n))
+    val inter = counts.map { case (g, c) =>
+      least(size(filter(grams, x => x === lit(g))), lit(c))
+    }.reduce(_ + _)
+    val na = greatest(length(text) - lit(n - 1), lit(0)).cast("long")
+    (na, inter.cast("long"))
+  }
+
+  /** ClickHouse `ngramDistance(haystack, needle)` as one scalar Column —
+    * the [[ngramMatch]] `dist` statistic ((|A| + |B| − 2·|A∩B|) /
+    * (|A| + |B|)), bit-equal to it by construction (same integer
+    * evidence, same one division). Case handling is the caller's (wrap
+    * in `lower` for the CaseInsensitive variants).
+    */
+  def ngramDistance(text: Column, needle: String, n: Int = 4): Column = {
+    val (na, inter) = gramEvidence(text, needle, n)
+    val nb = needleGramCounts(needle, n).map(_._2).sum.toLong
+    (na + lit(nb) - lit(2L) * inter).cast("double") /
+      (na + lit(nb)).cast("double")
+  }
+
+  /** ClickHouse `ngramSearch(haystack, needle)` as one scalar Column —
+    * the [[ngramMatch]] `search` statistic (|A∩B| / |B|): how much of
+    * the NEEDLE is present, insensitive to haystack length.
+    */
+  def ngramSearch(text: Column, needle: String, n: Int = 4): Column = {
+    val (_, inter) = gramEvidence(text, needle, n)
+    val nb = needleGramCounts(needle, n).map(_._2).sum
+    inter.cast("double") / lit(nb.toDouble)
+  }
+
   /** Append (na, inter, dist, search) for `textCol` vs a literal
     * `needle` (see object doc for the exact statistics). `needle` must
     * carry at least one gram.

@@ -496,4 +496,183 @@ object Stats {
     override def outputEncoder: org.apache.spark.sql.Encoder[RankCorrResult] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[RankCorrResult]()
   }
+
+  /** [[ksTest]]'s one-row output — the `kolmogorovSmirnovTest(v,
+    * variant)` SQL surface (D statistic + the integer evidence; the
+    * p-value needs exp, documented-out with the rest of the libm
+    * family).
+    */
+  case class KsResult(n1: Long, n2: Long, m: Long, d: Double)
+
+  /** Value-DOMAIN state: v → (count in sample 1, count in sample 2) —
+    * the Column form's `perV` relation as aggregate state (bounded by
+    * the group's distinct values, the Mann-Whitney shape; pre-scale
+    * floats). Finish replays the cumulative walk over the ascending
+    * value domain: m = max |cum1·n2 − cum2·n1| stays integral, D is the
+    * one division — bit-equal to [[ksTest]] by construction. Variant 0
+    * is sample 1, anything else sample 2 (the Column form's reading).
+    */
+  final class KsAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Boolean),
+        scala.collection.mutable.HashMap[Long, (Long, Long)], KsResult] {
+    type Buf = scala.collection.mutable.HashMap[Long, (Long, Long)]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf = {
+      if (e._3) {
+        val (c1, c2) = b.getOrElse(e._1, (0L, 0L))
+        b.update(e._1,
+          if (e._2 == 0L) (c1 + 1L, c2) else (c1, c2 + 1L))
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (v, (c1, c2)) =>
+        val (a1, a2) = a.getOrElse(v, (0L, 0L))
+        a.update(v, (a1 + c1, a2 + c2))
+      }
+      a
+    }
+    override def finish(perV: Buf): KsResult = {
+      var n1 = 0L; var n2 = 0L
+      perV.foreach { case (_, (c1, c2)) => n1 += c1; n2 += c2 }
+      var cum1 = 0L; var cum2 = 0L; var m = 0L
+      perV.keys.toSeq.sorted.foreach { v =>
+        val (c1, c2) = perV(v)
+        cum1 += c1; cum2 += c2
+        val t = math.abs(cum1 * n2 - cum2 * n1)
+        if (t > m) m = t
+      }
+      KsResult(n1, n2, m,
+        m.toDouble / (n1.toDouble * n2.toDouble))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[KsResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KsResult]()
+  }
+
+  /** [[anovaF]]'s one-row output — the `analysisOfVariance(v, grp)` SQL
+    * surface (integer evidence + F; the p-value is libm territory,
+    * documented-out).
+    */
+  case class AnovaResult(n: Long, k: Long, s_all: Long, q_all: Long,
+      sum_term: Long, f_stat: Double)
+
+  /** Group-DOMAIN state: label → (nᵍ, Σv, Σv²) — the Column form's
+    * per-group moment relation as aggregate state (bounded by the group
+    * label domain). Finish replays [[anovaF]]'s quantized between-terms
+    * — floor(1e6·(Σv)²/nᵍ) per label, an order-independent integer sum,
+    * so the unordered hash-map iteration still matches the oracle — then
+    * the identical F tree. Labels render to strings (the SQL surface's
+    * group key reading); same overflow envelope as the Column form.
+    */
+  final class AnovaAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Boolean),
+        scala.collection.mutable.HashMap[String, (Long, Long, Long)],
+        AnovaResult] {
+    type Buf = scala.collection.mutable.HashMap[String, (Long, Long, Long)]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (String, Long, Boolean)): Buf = {
+      if (e._3) {
+        val (ng, sg, qg) = b.getOrElse(e._1, (0L, 0L, 0L))
+        b.update(e._1, (ng + 1L, sg + e._2, qg + e._2 * e._2))
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (g, (ng, sg, qg)) =>
+        val (an, as, aq) = a.getOrElse(g, (0L, 0L, 0L))
+        a.update(g, (an + ng, as + sg, aq + qg))
+      }
+      a
+    }
+    override def finish(groups: Buf): AnovaResult = {
+      var n = 0L; var sAll = 0L; var qAll = 0L; var sumTerm = 0L
+      val k = groups.size.toLong
+      groups.foreach { case (_, (ng, sg, qg)) =>
+        n += ng; sAll += sg; qAll += qg
+        sumTerm += math.floor(
+          (1e6 * (sg.toDouble * sg.toDouble)) / ng.toDouble).toLong
+      }
+      val nD = n.toDouble
+      val kD = k.toDouble
+      val between = sumTerm.toDouble / 1e6 -
+        (sAll.toDouble * sAll.toDouble) / nD
+      val within = qAll.toDouble - sumTerm.toDouble / 1e6
+      AnovaResult(n, k, sAll, qAll, sumTerm,
+        (between / (kD - 1.0)) / (within / (nD - kD)))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[AnovaResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[AnovaResult]()
+  }
+
+  /** [[corrMatrix]]'s output reshaped to ClickHouse's own `corrMatrix`
+    * return: the full k×k symmetric matrix (diagonal from the same
+    * formula — 1.0 for any column with variance, NaN for a constant
+    * column, exactly what the pairwise tree yields at i = j).
+    */
+  case class CorrMatrixResult(n: Long, corr: Seq[Seq[Double]])
+
+  /** Constant-size moment state: n + k sums + k·(k+1)/2 upper-triangle
+    * product sums — the ideal aggregate shape (map-side combine of
+    * 1 + k + k(k+1)/2 longs; the state IS [[corrMatrix]]'s one
+    * aggregate row). Finish replays the identical num/den integer trees
+    * and sqrt-only divisions, so every off-diagonal element is bit-equal
+    * to the Column form's `corr_i_j`. Same overflow envelope: pre-scale
+    * so n·Σxᵢxⱼ and the sums' products stay under 2^63.
+    */
+  final class CorrMatrixAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Seq[Long], Boolean),
+        (Long, Array[Long], Array[Long]), CorrMatrixResult] {
+    require(k >= 2, s"corrMatrix needs >= 2 columns, got $k")
+    type Buf = (Long, Array[Long], Array[Long])
+    private val nq = k * (k + 1) / 2
+    // upper-triangle index of (i, j), i <= j
+    private def qi(i: Int, j: Int): Int = i * k - i * (i - 1) / 2 + (j - i)
+    override def zero: Buf = (0L, new Array[Long](k), new Array[Long](nq))
+    override def reduce(b: Buf, e: (Seq[Long], Boolean)): Buf =
+      if (!e._2) b
+      else {
+        val xs = e._1
+        val s = b._2; val q = b._3
+        var i = 0
+        while (i < k) {
+          s(i) += xs(i)
+          var j = i
+          while (j < k) { q(qi(i, j)) += xs(i) * xs(j); j += 1 }
+          i += 1
+        }
+        (b._1 + 1L, s, q)
+      }
+    override def merge(a: Buf, b: Buf): Buf = {
+      var i = 0
+      while (i < k) { a._2(i) += b._2(i); i += 1 }
+      i = 0
+      while (i < nq) { a._3(i) += b._3(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+    override def finish(b: Buf): CorrMatrixResult = {
+      val (n, s, q) = b
+      def corr(i: Int, j: Int): Double = {
+        val (lo, hi) = (math.min(i, j), math.max(i, j))
+        val num = n * q(qi(lo, hi)) - s(lo) * s(hi)
+        val di = n * q(qi(lo, lo)) - s(lo) * s(lo)
+        val dj = n * q(qi(hi, hi)) - s(hi) * s(hi)
+        num.toDouble / (math.sqrt(di.toDouble) * math.sqrt(dj.toDouble))
+      }
+      CorrMatrixResult(n,
+        (0 until k).map(i => (0 until k).map(j => corr(i, j))))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder
+        : org.apache.spark.sql.Encoder[CorrMatrixResult] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[CorrMatrixResult]()
+  }
 }

@@ -371,4 +371,140 @@ object TimeSeries {
     override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
   }
+
+  /** [[intervalStats]]'s per-key output — the `intervalLengthSum` /
+    * `maxIntersections` / `maxIntersectionsPosition` SQL surface (all
+    * three ClickHouse names return this one evidence struct, the
+    * cramersV convention; read the field you asked for). Empty /
+    * all-NULL groups degenerate to (0, 0, 0, NULL).
+    */
+  case class IntervalResult(n_intervals: Long, union_len: Long,
+      max_overlap: Long, max_overlap_pos: Option[Long])
+
+  /** Interval-DOMAIN state: (start, end) → multiplicity — bounded by the
+    * group's distinct intervals (time-series intervals repeat heavily;
+    * a group whose every interval is unique degenerates to buffering,
+    * which is also what the Column form's per-key sort costs). Finish
+    * replays [[intervalStats]]'s two constructions EXACTLY:
+    *
+    *   - union/islands: walk intervals in (start, end) order keeping the
+    *     RUNNING max end over all earlier intervals (the Column form's
+    *     `prevMaxEnd` — global, not per-island, so even malformed
+    *     end < start rows replay identically); a row opens a new island
+    *     when start exceeds it; island length = max(end) − min(start);
+    *   - max overlap: the ±multiplicity sweep with interval ENDS
+    *     processed before starts at equal positions (half-open), depth
+    *     after each position group = the Column form's row-level depth
+    *     at the group's last row. A position's intermediate (mid-group)
+    *     depths never exceed the neighbouring after-group depths, so the
+    *     row-level max and the group-level max coincide, and the max is
+    *     only ever attained on a start step — the reported position is
+    *     the EARLIEST position whose after-group depth equals the max,
+    *     exactly the Column form's `min(pos) WHERE depth = maxd`.
+    */
+  final class IntervalAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Boolean),
+        scala.collection.mutable.HashMap[(Long, Long), Long],
+        IntervalResult] {
+    type Buf = scala.collection.mutable.HashMap[(Long, Long), Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf = {
+      if (e._3) {
+        val k = (e._1, e._2)
+        b.update(k, b.getOrElse(k, 0L) + 1L)
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+      a
+    }
+    override def finish(ivals: Buf): IntervalResult = {
+      if (ivals.isEmpty) return IntervalResult(0L, 0L, 0L, None)
+      val sorted = ivals.toSeq.sortBy(_._1)
+      // islands: running max end over ALL earlier rows breaks islands;
+      // per-island max(end) − min(start) accumulates the union
+      var nIntervals = 0L
+      var unionLen = 0L
+      var runMax = Long.MinValue
+      var islandMin = 0L
+      var islandMax = 0L
+      var open = false
+      sorted.foreach { case ((s, e), c) =>
+        nIntervals += c
+        if (!open || s > runMax) {
+          if (open) unionLen += islandMax - islandMin
+          islandMin = s; islandMax = e; open = true
+        } else if (e > islandMax) islandMax = e
+        if (e > runMax) runMax = e
+      }
+      unionLen += islandMax - islandMin
+      // sweep: per position, ends retire before starts open (half-open)
+      val starts = scala.collection.mutable.HashMap.empty[Long, Long]
+      val ends = scala.collection.mutable.HashMap.empty[Long, Long]
+      ivals.foreach { case ((s, e), c) =>
+        starts.update(s, starts.getOrElse(s, 0L) + c)
+        ends.update(e, ends.getOrElse(e, 0L) + c)
+      }
+      val positions = (starts.keySet ++ ends.keySet).toSeq.sorted
+      var depth = 0L
+      var maxD = Long.MinValue
+      var maxPos = 0L
+      positions.foreach { pos =>
+        depth += starts.getOrElse(pos, 0L) - ends.getOrElse(pos, 0L)
+        if (depth > maxD) { maxD = depth; maxPos = pos }
+      }
+      IntervalResult(nIntervals, unionLen, maxD, Some(maxPos))
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[IntervalResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[IntervalResult]()
+  }
+
+  /** The `sparkbar(x, y)` SQL surface — q89's composition as one
+    * aggregate: (mx = the group's max level, bar = the ▁▂▃▄▅▆▇█ ramp in
+    * ascending-x order).
+    */
+  case class SparkbarResult(mx: Long, bar: String)
+
+  /** x-DOMAIN state: x → Σy (bounded by the group's distinct x
+    * positions — days of a month, hours of a day). Finish replays the
+    * q89 Column tree: level = floor((Σy·7) / max) via one exact-product
+    * double division (engine-exact while Σy·7 ≤ 2^53 — the q89 bound),
+    * glyph = the level'th ramp character, bar concatenated in ascending
+    * x. CONTRACT: Σy per x must be in [0, 2^53/7] — q89's count inputs
+    * by construction; a negative sum renders as an empty glyph (the
+    * Column form's out-of-range substr), documented not defined.
+    */
+  final class SparkbarAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Boolean),
+        scala.collection.mutable.HashMap[Long, Long], SparkbarResult] {
+    private val Ramp = "▁▂▃▄▅▆▇█"
+    type Buf = scala.collection.mutable.HashMap[Long, Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf = {
+      if (e._3) b.update(e._1, b.getOrElse(e._1, 0L) + e._2)
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (x, y) => a.update(x, a.getOrElse(x, 0L) + y) }
+      a
+    }
+    override def finish(perX: Buf): SparkbarResult = {
+      if (perX.isEmpty) return SparkbarResult(0L, "")
+      val mx = perX.valuesIterator.max
+      val bar = perX.toSeq.sortBy(_._1).map { case (_, v) =>
+        val level = math.floor((v * 7L).toDouble / mx.toDouble).toInt
+        if (level >= 0 && level < 8) Ramp.substring(level, level + 1) else ""
+      }.mkString
+      SparkbarResult(mx, bar)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[SparkbarResult] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SparkbarResult]()
+  }
 }

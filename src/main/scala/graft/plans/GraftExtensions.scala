@@ -351,7 +351,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
-  ) ++ urlFunctions ++ statsFunctions
+  ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions
+
+  /** The ClickHouse geo + fuzzy-string scalars under their OWN names —
+    * the urlFunctions convention (pure built-in/codegen expression
+    * trees, SQL ≡ Column by construction, spec-pinned anyway). The
+    * plan-time parameters (precision, needle) must be literals: the
+    * geohash bit interleave and the needle gram profile unroll into the
+    * expression tree at resolution (the q78/q96 designs).
+    */
+  private def geoFuzzyFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.functions.{FuzzyMatch, GeoFunctions}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression => expression}
+    Seq(
+      (FunctionIdentifier("geohashEncode"),
+        info("geohashEncode", "geohashEncode(longitude, latitude[, precision = 12]) - ClickHouse geohashEncode: base-32 geohash of the point (CH argument order - longitude first); precision an INT LITERAL 1..12 (the bit interleave unrolls at plan time); out-of-range coordinates clamp to the edge cell"),
+        (args: Seq[Expression]) => {
+          if (args.size != 2 && args.size != 3)
+            throw new IllegalArgumentException(
+              s"geohashEncode expects (longitude, latitude[, precision]) " +
+                s"(${args.size} argument(s) given)")
+          val p = if (args.size == 3) intLit(args(2), "geohashEncode") else 12
+          expression(GeoFunctions.geohashEncode(
+            column(args(1)), column(args(0)), p))
+        }),
+      (FunctionIdentifier("geohashDecode"),
+        info("geohashDecode", "geohashDecode(h, precision) - ClickHouse geohashDecode: the cell-CENTER point as struct(longitude, latitude); DEVIATION: precision is a required INT LITERAL (CH infers it from the string length at runtime; this engine unrolls the bit de-interleave at plan time - pass length(h)'s known value); unknown base-32 characters poison the result rather than truncating"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "geohashDecode", "(h, precision)")
+          val p = intLit(args(1), "geohashDecode")
+          val bits = GeoFunctions.geohashParse(column(args(0)), p)
+          expression(org.apache.spark.sql.functions.struct(
+            GeoFunctions.decodeCenterLon(bits, p).as("longitude"),
+            GeoFunctions.decodeCenterLat(bits, p).as("latitude")))
+        }),
+      (FunctionIdentifier("ngramDistance"),
+        info("ngramDistance", "ngramDistance(haystack, needle) - ClickHouse ngramDistance: 4-gram multiset profile distance in [0, 1] (0 = identical profiles, 1 = disjoint); needle a STRING LITERAL of >= 4 chars (its gram profile folds into the plan); case-sensitive - wrap both sides in lower() for the CaseInsensitive variants; map-only, no UDFs"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "ngramDistance", "(haystack, needle)")
+          expression(FuzzyMatch.ngramDistance(
+            column(args(0)), strLit(args(1), "ngramDistance")))
+        }),
+      (FunctionIdentifier("ngramSearch"),
+        info("ngramSearch", "ngramSearch(haystack, needle) - ClickHouse ngramSearch: the non-symmetric 4-gram statistic |A intersect B| / |B| in [0, 1] (how much of the NEEDLE is present - insensitive to haystack length, the fuzzy-needle-in-long-doc mode); needle a STRING LITERAL of >= 4 chars; case-sensitive like ngramDistance"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "ngramSearch", "(haystack, needle)")
+          expression(FuzzyMatch.ngramSearch(
+            column(args(0)), strLit(args(1), "ngramSearch")))
+        }))
+  }
 
   // ---- the ClickHouse STATS aggregate family under its OWN names --------
   // (the r14 verdict's largest migrant-facing seam: ~20 MIGRATION.md rows
@@ -478,7 +526,94 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "largestTriangleThreeBuckets",
             Seq(longIn(args(1)), longIn(args(2)),
               validExpr(args(1), args(2))))
+        }),
+      (FunctionIdentifier("kolmogorovSmirnovTest"),
+        info("kolmogorovSmirnovTest", "kolmogorovSmirnovTest(v, variant) - ClickHouse kolmogorovSmirnovTest as an aggregate: two-sample KS D statistic (variant 0 = sample 1, else sample 2; pre-scale float values); state = the group's value domain, finish = one cumulative walk with the integral max |cum1*n2 - cum2*n1|; returns struct(n1, n2, m, d) - the p-value needs exp, documented-out with the libm family"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "kolmogorovSmirnovTest", "(value, variant)")
+          ColumnBridge.scalaAggregator(new graft.operators.Stats.KsAgg(),
+            ExpressionEncoder[(Long, Long, Boolean)](),
+            "kolmogorovSmirnovTest",
+            Seq(longIn(args(0)), longIn(args(1)),
+              validExpr(args(0), args(1))))
+        }),
+      anovaBuilder("analysisOfVariance"),
+      anovaBuilder("anova"),
+      (FunctionIdentifier("corrMatrix"),
+        info("corrMatrix", "corrMatrix(x1, x2[, ...xk]) - ClickHouse corrMatrix as an aggregate: the full k x k Pearson matrix from one constant-size exact integer moment state (1 + k + k(k+1)/2 longs, map-side combine; pre-scale floats so n*sum(xi*xj) stays under 2^63); returns struct(n, corr array<array<double>>) - diagonal from the same formula (1.0, NaN for a constant column)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2) throw new IllegalArgumentException(
+            s"corrMatrix expects (x1, x2, ...xk) with k >= 2 " +
+              s"(${args.size} argument(s) given)")
+          import org.apache.spark.sql.catalyst.expressions.CreateArray
+          ColumnBridge.scalaAggregator(
+            new graft.operators.Stats.CorrMatrixAgg(args.size),
+            ExpressionEncoder[(Seq[Long], Boolean)](), "corrMatrix",
+            Seq(CreateArray(args.map(longIn)), validExpr(args: _*)))
+        }),
+      intervalBuilder("intervalLengthSum"),
+      intervalBuilder("maxIntersections"),
+      intervalBuilder("maxIntersectionsPosition"),
+      (FunctionIdentifier("sparkbar"),
+        info("sparkbar", "sparkbar(x, y) - ClickHouse sparkbar as an aggregate (bucketing form flattened: x IS the bucket - pre-bucket timestamps): per group, y summed per x, rendered as the 8-level unicode ramp in ascending-x order; returns struct(mx, bar); levels exact while sum(y)*7 <= 2^53, y sums must be non-negative"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "sparkbar", "(x, y)")
+          ColumnBridge.scalaAggregator(
+            new graft.operators.TimeSeries.SparkbarAgg(),
+            ExpressionEncoder[(Long, Long, Boolean)](), "sparkbar",
+            Seq(longIn(args(0)), longIn(args(1)),
+              validExpr(args(0), args(1))))
+        }),
+      (FunctionIdentifier("uniqTheta"),
+        info("uniqTheta", "uniqTheta(x) - ClickHouse uniqTheta: approximate distinct count via a theta sketch (the STOCK Spark DataSketches aggregate, rewritten to theta_sketch_estimate(theta_sketch_agg(x)) and rounded to BIGINT); EXACT below the default sketch capacity (4096 distinct), RSE ~ 1.6% beyond; NULL skips. Set operations stay on the stock theta_union/theta_intersection/theta_difference surface (t22)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "uniqTheta", "(x)")
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          Cast(
+            UnresolvedFunction(Seq("theta_sketch_estimate"),
+              Seq(UnresolvedFunction(Seq("theta_sketch_agg"), Seq(args(0)),
+                isDistinct = false)),
+              isDistinct = false),
+            org.apache.spark.sql.types.LongType)
         }))
+  }
+
+  /** `analysisOfVariance` / `anova` (both ClickHouse names): one-way
+    * ANOVA F over the group-label domain. CH argument order: data first.
+    */
+  private def anovaBuilder(name: String) = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    (FunctionIdentifier(name),
+      info(name, s"$name(v, grp) - ClickHouse analysisOfVariance as an aggregate: one-way ANOVA F across the labels of grp (labels render to strings; pre-scale float values); state = label -> exact integer moments (bounded by the label domain), finish replays the 1e-6th-quantized between-terms (order-independent) and the F tree; returns struct(n, k, s_all, q_all, sum_term, f_stat) - the p-value is libm territory, documented-out"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, name, "(value, group)")
+        ColumnBridge.scalaAggregator(new graft.operators.Stats.AnovaAgg(),
+          ExpressionEncoder[(String, Long, Boolean)](), name,
+          Seq(strIn(args(1)), longIn(args(0)),
+            validExpr(args(0), args(1))))
+      })
+  }
+
+  /** `intervalLengthSum` / `maxIntersections` / `maxIntersectionsPosition`
+    * — one aggregate over half-open `[start, end)` integer intervals; all
+    * three ClickHouse names return the full evidence struct (the cramersV
+    * convention).
+    */
+  private def intervalBuilder(name: String) = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    (FunctionIdentifier(name),
+      info(name, s"$name(start, end) - the ClickHouse interval aggregate family as ONE aggregate over half-open [start, end) integer intervals (positions in any integer unit; ends retire before starts at equal positions): returns struct(n_intervals, union_len, max_overlap, max_overlap_pos) - read the field the name asks for; state bounded by the group's DISTINCT intervals; NULL start/end rows skip, empty groups read (0, 0, 0, NULL)"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, name, "(start, end)")
+        ColumnBridge.scalaAggregator(
+          new graft.operators.TimeSeries.IntervalAgg(),
+          ExpressionEncoder[(Long, Long, Boolean)](), name,
+          Seq(longIn(args(0)), longIn(args(1)),
+            validExpr(args(0), args(1))))
+      })
   }
 
   private def cramersBuilder(args: Seq[Expression], fn: String): Expression = {

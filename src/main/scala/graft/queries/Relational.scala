@@ -1356,52 +1356,7 @@ object Relational {
                 .cast("long") % 30 + 1) * 1000000L).as("e_us")),
         keyCol = "user_id", startCol = "s_us", endCol = "e_us",
         tieBreakCol = "event_id"),
-      Some("""WITH iv AS (
-             |  SELECT user_id, event_id,
-             |    epoch_us(ts) AS s_us,
-             |    epoch_us(ts) + (CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
-             |      AS BIGINT) % 30 + 1) * 1000000 AS e_us
-             |  FROM events),
-             |isl AS (
-             |  SELECT user_id, event_id, s_us, e_us,
-             |    CASE WHEN s_us > coalesce(max(e_us) OVER (
-             |        PARTITION BY user_id ORDER BY s_us, e_us, event_id
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |        -9223372036854775808) THEN 1 ELSE 0 END AS new_island
-             |  FROM iv),
-             |isl2 AS (
-             |  SELECT user_id, s_us, e_us,
-             |    sum(new_island) OVER (PARTITION BY user_id
-             |      ORDER BY s_us, e_us, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-             |  FROM isl),
-             |un AS (
-             |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
-             |    CAST(sum(len) AS BIGINT) AS union_len
-             |  FROM (SELECT user_id, island, max(e_us) - min(s_us) AS len,
-             |          count(*) AS cnt
-             |        FROM isl2 GROUP BY user_id, island)
-             |  GROUP BY user_id),
-             |pts AS (
-             |  SELECT user_id, s_us AS pos, 1 AS delta FROM iv
-             |  UNION ALL
-             |  SELECT user_id, e_us AS pos, -1 AS delta FROM iv),
-             |dep AS (
-             |  SELECT user_id, pos,
-             |    sum(delta) OVER (PARTITION BY user_id ORDER BY pos, delta
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
-             |  FROM pts),
-             |dep2 AS (
-             |  SELECT user_id, pos, depth,
-             |    max(depth) OVER (PARTITION BY user_id) AS maxd
-             |  FROM dep),
-             |sw AS (
-             |  SELECT user_id, CAST(max(depth) AS BIGINT) AS max_overlap,
-             |    min(CASE WHEN depth = maxd THEN pos END) AS max_overlap_pos
-             |  FROM dep2 GROUP BY user_id)
-             |SELECT un.user_id, n_intervals, union_len, max_overlap,
-             |  max_overlap_pos
-             |FROM un JOIN sw ON un.user_id = sw.user_id""".stripMargin),
+      Some(intervalOracle),
       "ClickHouse intervalLengthSum + maxIntersections(Position) per user " +
         "over half-open [ts, ts+dur) intervals: gaps-and-islands union " +
         "measure + a ±1 sweep for peak concurrency — integer-exact"),
@@ -1927,32 +1882,7 @@ object Relational {
         t(s, dir, "events").select((col("user_id") % 2).as("g"),
           floor(col("value") * 100).cast("long").as("v")),
         variantCol = "g", valueCol = "v"),
-      Some("""WITH base AS (
-             |  SELECT user_id % 2 AS g,
-             |    CAST(floor(value * 100) AS BIGINT) AS v
-             |  FROM events),
-             |perv AS (
-             |  SELECT v,
-             |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-             |    CAST(sum(CASE WHEN g = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
-             |  FROM base GROUP BY v),
-             |cum AS (
-             |  SELECT v,
-             |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
-             |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
-             |  FROM perv
-             |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-             |    AND CURRENT ROW)),
-             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
-             |               CAST(sum(c2) AS BIGINT) AS n2 FROM perv),
-             |agg AS (
-             |  SELECT n1, n2,
-             |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS m
-             |  FROM cum CROSS JOIN tot GROUP BY n1, n2)
-             |SELECT n1, n2, m,
-             |  CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-             |    AS d
-             |FROM agg""".stripMargin),
+      Some(ksOracle),
       "ClickHouse kolmogorovSmirnovTest (D statistic): distinct-value " +
         "collapse + one cumulative window over the value domain, exact " +
         "integer max, one division — the Mann-Whitney exchange shape"),
@@ -2265,22 +2195,7 @@ object Relational {
                   col("mx").cast("double")) + 1L).cast("int"), lit(1))),
               "").as("bar"))
       },
-      Some("""WITH daily AS (
-             |  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
-             |           AS month,
-             |         CAST(day(CAST(o_orderdate AS TIMESTAMP)) AS INT)
-             |           AS day,
-             |         count(*) AS n
-             |  FROM orders GROUP BY 1, 2),
-             |m AS (SELECT month, CAST(max(n) AS BIGINT) AS mx
-             |      FROM daily GROUP BY month)
-             |SELECT d.month, m.mx,
-             |  string_agg(substring('▁▂▃▄▅▆▇█',
-             |    CAST(floor(CAST(n * 7 AS DOUBLE) / CAST(mx AS DOUBLE))
-             |      AS INT) + 1, 1), '' ORDER BY d.day)
-             |    AS bar
-             |FROM daily d JOIN m ON m.month = d.month
-             |GROUP BY d.month, m.mx""".stripMargin),
+      Some(sparkbarOracle),
       "ClickHouse sparkbar: daily volume as a unicode ramp per month — " +
         "integer level arithmetic + character substring, exact strings"),
 
@@ -2457,30 +2372,7 @@ object Relational {
         t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
           floor(col("o_totalprice") / lit(100)).cast("long").as("v")),
         groupCol = "grp", valueCol = "v"),
-      Some("""WITH b AS (
-             |  SELECT o_orderpriority AS grp,
-             |    CAST(floor(o_totalprice / 100) AS BIGINT) AS v
-             |  FROM orders),
-             |g AS (SELECT grp, count(*) AS ng,
-             |        CAST(sum(v) AS BIGINT) AS sg,
-             |        CAST(sum(v * v) AS BIGINT) AS qg
-             |      FROM b GROUP BY grp),
-             |t AS (SELECT ng, sg, qg,
-             |        CAST(floor((1e6 * (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
-             |          / CAST(ng AS DOUBLE)) AS BIGINT) AS term
-             |      FROM g),
-             |m AS (SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
-             |        CAST(sum(sg) AS BIGINT) AS s_all,
-             |        CAST(sum(qg) AS BIGINT) AS q_all,
-             |        CAST(sum(term) AS BIGINT) AS sum_term
-             |      FROM t)
-             |SELECT n, k, s_all, q_all, sum_term,
-             |  ((CAST(sum_term AS DOUBLE) / 1e6 -
-             |     (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
-             |       / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
-             |  / ((CAST(q_all AS DOUBLE) - CAST(sum_term AS DOUBLE) / 1e6)
-             |     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
-             |FROM m""".stripMargin),
+      Some(anovaOracle),
       "one-way ANOVA (ClickHouse analysisOfVariance): exact per-group " +
         "integer moments, 1e-6th-quantized between-terms for an " +
         "order-independent sum, F as one mirrored tree — one group-domain " +
@@ -3000,7 +2892,167 @@ object Relational {
       "dataset snapshot diff (Layout.diffSnapshots, the diffVersions " +
         "construction): added/removed/changed keys from ONE full-outer " +
         "key join of canonical content structs — the exact-diff floor; " +
-        "columns prune at the scan"))
+        "columns prune at the scan"),
+
+    "q112_ks_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select((col("user_id") % 2).as("g"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .agg(expr("kolmogorovSmirnovTest(v, g)").as("r"))
+          .select(col("r.*"))
+      },
+      Some(ksOracle),
+      "kolmogorovSmirnovTest through the SQL frontend: value-domain " +
+        "aggregate state, the integral cumulative-max walk at finish — " +
+        "hash-matched against the q81 oracle"),
+
+    "q113_anova_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") / lit(100)).cast("long").as("v"))
+          .agg(expr("analysisOfVariance(v, grp)").as("r"))
+          .select(col("r.*"))
+      },
+      Some(anovaOracle),
+      "analysisOfVariance through the SQL frontend: label-domain moment " +
+        "state, the order-independent quantized between-terms and the F " +
+        "tree at finish — hash-matched against the q94 oracle"),
+
+    // q114: corrMatrix through the SQL frontend — q82's exact query via
+    // the reference-named aggregate; the k x k matrix result indexes
+    // back out to the flat corr_i_j columns (driver-compare constraint)
+    // and hash-matches the shared generated oracle bit-for-bit.
+    "q114_corr_matrix_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val m = t(s, dir, "lineitem")
+          .select(floor(col("l_quantity")).cast("long").as("x0"),
+            floor(col("l_extendedprice") / lit(100)).cast("long").as("x1"),
+            floor(col("l_discount") * 100).cast("long").as("x2"),
+            floor(col("l_tax") * 100).cast("long").as("x3"))
+          .agg(expr("corrMatrix(x0, x1, x2, x3)").as("r"))
+        val corrs = for { i <- 0 until 4; j <- (i + 1) until 4 } yield
+          col("r.corr")(i)(j).as(s"corr_${i}_$j")
+        m.select(col("r.n").as("n") +: corrs: _*)
+      },
+      Some(corrMatrixOracle),
+      "corrMatrix through the SQL frontend: one constant-size integer " +
+        "moment state (1 + k + k(k+1)/2 longs, the ideal aggregate " +
+        "shape), the full k x k matrix at finish — hash-matched against " +
+        "the q82 oracle"),
+
+    "q115_interval_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("s_us"),
+            (unix_micros(col("ts")) +
+              (regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+                .cast("long") % 30 + 1) * 1000000L).as("e_us"))
+          .groupBy(col("user_id"))
+          .agg(expr("intervalLengthSum(s_us, e_us)").as("r"))
+          .select(col("user_id"), col("r.*"))
+      },
+      Some(intervalOracle),
+      "intervalLengthSum/maxIntersections(Position) through the SQL " +
+        "frontend: distinct-interval aggregate state, the islands walk + " +
+        "retire-before-open sweep at finish — hash-matched against the " +
+        "q65 oracle"),
+
+    "q116_sparkbar_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            dayofmonth(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("month"))
+          .agg(expr("sparkbar(day, n)").as("r"))
+          .select(col("month"), col("r.*"))
+      },
+      Some(sparkbarOracle),
+      "sparkbar through the SQL frontend: x-domain sum state, the exact " +
+        "integer ramp render at finish — unicode bars hash-matched " +
+        "against the q89 oracle"),
+
+    // q117: the geo scalars through the SQL frontend — q78's spatial
+    // rollup with every geohash step running through geohashEncode /
+    // geohashDecode under their ClickHouse names. The roundtrip proof
+    // uses the SQL surface's own inverse (re-encoding the decoded cell
+    // center reproduces the hash — total on any input since the center
+    // re-quantizes to its own cell, spec-pinned on random points), so
+    // its count equals the oracle's parse-roundtrip count: both are
+    // "every row", hash-equal by totality.
+    "q117_geohash_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            (((col("user_id") * 2654435761L) % 180000000L).cast("double") /
+              lit(1000000.0) - lit(90.0)).as("lat"),
+            (((col("event_id") * 2654435761L + 40503L) % 360000000L)
+              .cast("double") / lit(1000000.0) - lit(180.0)).as("lon"))
+          .withColumn("gh", expr("geohashEncode(lon, lat, 6)"))
+          .withColumn("d", expr("geohashDecode(gh, 6)"))
+          .withColumn("rt", expr("geohashEncode(d.longitude, d.latitude, 6)")
+            === col("gh"))
+          .groupBy(substring(col("gh"), 1, 3).as("cell"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            sum(when(col("rt"), 1L).otherwise(0L)).as("n_roundtrip"),
+            min(col("d.latitude")).as("min_clat"),
+            max(col("d.latitude")).as("max_clat"),
+            min(col("d.longitude")).as("min_clon"),
+            max(col("d.longitude")).as("max_clon"))
+      },
+      Some(geohashOracle),
+      "geohashEncode/geohashDecode through the SQL frontend (ClickHouse " +
+        "argument order, plan-time-unrolled interleave): the q78 spatial " +
+        "rollup hash-matched against the shared generated oracle"),
+
+    // q118: the fuzzy scalars through the SQL frontend — q96's corpus
+    // scored by ngramDistance/ngramSearch under their ClickHouse names;
+    // the oracle WRAPS the shared q96 oracle (same needle profile, same
+    // integer evidence, projected to the scalar statistics).
+    "q118_ngram_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("tl"))
+          .select(col("doc_id"),
+            expr(s"ngramDistance(tl, '$NgramNeedle')").as("dist"),
+            expr(s"ngramSearch(tl, '$NgramNeedle')").as("search"))
+      },
+      Some(s"SELECT doc_id, dist, search FROM (\n$ngramFuzzyOracle\n)"),
+      "ngramDistance/ngramSearch through the SQL frontend: the needle " +
+        "profile folds into the plan, one fenced gram materialization — " +
+        "statistics hash-matched against the wrapped q96 oracle"),
+
+    // q119: uniqTheta through the SQL frontend — the stock DataSketches
+    // rewrite in its EXACT regime (<= 1500 distinct per group, far below
+    // the 4096 sketch capacity), so the estimate IS the exact distinct
+    // count and takes a full DuckDB oracle; the approximate regime's
+    // error bounds are t22's self-checked territory.
+    "q119_uniq_theta_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 1500).as("u"))
+          .groupBy(col("event_type"))
+          .agg(expr("uniqTheta(u)").as("n_users_est"))
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id % 1500) AS n_users_est
+             |FROM events GROUP BY event_type""".stripMargin),
+      "uniqTheta through the SQL frontend (stock theta-sketch rewrite): " +
+        "exact-regime estimates hash-match the DuckDB exact distinct " +
+        "count; sketch state bounded at 4096 entries per group at any " +
+        "scale"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the
@@ -3329,6 +3381,141 @@ object Relational {
     * match is non-trivial at every SF. (`def`, not `val`: the catalog map
     * above initializes first and evaluates the oracle eagerly.)
     */
+  /** The q65 oracle (gaps-and-islands union + the ±1 sweep) — shared
+    * verbatim with q115, which runs the SAME query through the
+    * intervalLengthSum SQL aggregate.
+    */
+  private def intervalOracle: String =
+    """WITH iv AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(ts) AS s_us,
+             |    epoch_us(ts) + (CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+             |      AS BIGINT) % 30 + 1) * 1000000 AS e_us
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id, event_id, s_us, e_us,
+             |    CASE WHEN s_us > coalesce(max(e_us) OVER (
+             |        PARTITION BY user_id ORDER BY s_us, e_us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |        -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+             |  FROM iv),
+             |isl2 AS (
+             |  SELECT user_id, s_us, e_us,
+             |    sum(new_island) OVER (PARTITION BY user_id
+             |      ORDER BY s_us, e_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |un AS (
+             |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+             |    CAST(sum(len) AS BIGINT) AS union_len
+             |  FROM (SELECT user_id, island, max(e_us) - min(s_us) AS len,
+             |          count(*) AS cnt
+             |        FROM isl2 GROUP BY user_id, island)
+             |  GROUP BY user_id),
+             |pts AS (
+             |  SELECT user_id, s_us AS pos, 1 AS delta FROM iv
+             |  UNION ALL
+             |  SELECT user_id, e_us AS pos, -1 AS delta FROM iv),
+             |dep AS (
+             |  SELECT user_id, pos,
+             |    sum(delta) OVER (PARTITION BY user_id ORDER BY pos, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+             |  FROM pts),
+             |dep2 AS (
+             |  SELECT user_id, pos, depth,
+             |    max(depth) OVER (PARTITION BY user_id) AS maxd
+             |  FROM dep),
+             |sw AS (
+             |  SELECT user_id, CAST(max(depth) AS BIGINT) AS max_overlap,
+             |    min(CASE WHEN depth = maxd THEN pos END) AS max_overlap_pos
+             |  FROM dep2 GROUP BY user_id)
+             |SELECT un.user_id, n_intervals, union_len, max_overlap,
+             |  max_overlap_pos
+             |FROM un JOIN sw ON un.user_id = sw.user_id""".stripMargin
+
+  /** The q89 oracle (daily ramp render) — shared verbatim with q116,
+    * which runs the SAME query through the sparkbar SQL aggregate.
+    */
+  private def sparkbarOracle: String =
+    """WITH daily AS (
+             |  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+             |           AS month,
+             |         CAST(day(CAST(o_orderdate AS TIMESTAMP)) AS INT)
+             |           AS day,
+             |         count(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (SELECT month, CAST(max(n) AS BIGINT) AS mx
+             |      FROM daily GROUP BY month)
+             |SELECT d.month, m.mx,
+             |  string_agg(substring('▁▂▃▄▅▆▇█',
+             |    CAST(floor(CAST(n * 7 AS DOUBLE) / CAST(mx AS DOUBLE))
+             |      AS INT) + 1, 1), '' ORDER BY d.day)
+             |    AS bar
+             |FROM daily d JOIN m ON m.month = d.month
+             |GROUP BY d.month, m.mx""".stripMargin
+
+  /** The q81 oracle (two-sample KS D from the value-domain cumulative
+    * walk) — shared verbatim with q112, which runs the SAME query
+    * through the kolmogorovSmirnovTest SQL aggregate.
+    */
+  private def ksOracle: String =
+    """WITH base AS (
+      |  SELECT user_id % 2 AS g,
+      |    CAST(floor(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |perv AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN g = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |  FROM base GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
+      |  FROM perv
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |               CAST(sum(c2) AS BIGINT) AS n2 FROM perv),
+      |agg AS (
+      |  SELECT n1, n2,
+      |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS m
+      |  FROM cum CROSS JOIN tot GROUP BY n1, n2)
+      |SELECT n1, n2, m,
+      |  CAST(m AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+      |    AS d
+      |FROM agg""".stripMargin
+
+  /** The q94 oracle (per-label exact moments + the 1e-6th-quantized
+    * between-terms) — shared verbatim with q113, which runs the SAME
+    * query through the analysisOfVariance SQL aggregate.
+    */
+  private def anovaOracle: String =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice / 100) AS BIGINT) AS v
+      |  FROM orders),
+      |g AS (SELECT grp, count(*) AS ng,
+      |        CAST(sum(v) AS BIGINT) AS sg,
+      |        CAST(sum(v * v) AS BIGINT) AS qg
+      |      FROM b GROUP BY grp),
+      |t AS (SELECT ng, sg, qg,
+      |        CAST(floor((1e6 * (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+      |          / CAST(ng AS DOUBLE)) AS BIGINT) AS term
+      |      FROM g),
+      |m AS (SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+      |        CAST(sum(sg) AS BIGINT) AS s_all,
+      |        CAST(sum(qg) AS BIGINT) AS q_all,
+      |        CAST(sum(term) AS BIGINT) AS sum_term
+      |      FROM t)
+      |SELECT n, k, s_all, q_all, sum_term,
+      |  ((CAST(sum_term AS DOUBLE) / 1e6 -
+      |     (CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+      |       / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+      |  / ((CAST(q_all AS DOUBLE) - CAST(sum_term AS DOUBLE) / 1e6)
+      |     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+      |FROM m""".stripMargin
+
   private def NgramNeedle = "fast table value"
 
   /** The q96 oracle, GENERATED from the same needle profile

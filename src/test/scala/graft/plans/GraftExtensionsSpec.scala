@@ -824,4 +824,237 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // the short key passed through whole
     assert(viaSql.count(_._1 == 1L) == 7)
   }
+
+  test("kolmogorovSmirnovTest from SQL ≡ Stats.ksTest bit-for-bit; " +
+    "one-sample group degenerates to NaN; named arity error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1933)
+    // small value domain forces the cumulative walk over heavy ties
+    val rows = (1 to 500).map(i => ((i % 2).toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("g", "v")
+    df.createOrReplaceTempView("ge_ks")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT kolmogorovSmirnovTest(v, g) AS r FROM ge_ks)")
+      .collect().head
+    val viaCol = graft.operators.Stats.ksTest(df, "g", "v").collect().head
+    assert(viaSql.toString == viaCol.toString) // includes the double D
+    // only sample 1 present: d = m / (n1*0) = 0/0 = NaN, no crash
+    val degen = spark.sql(
+      """SELECT r.n1, r.n2, r.d FROM (
+        |  SELECT kolmogorovSmirnovTest(v, g) AS r
+        |  FROM VALUES (1L, 0L), (2L, 0L) AS t(v, g))""".stripMargin)
+      .collect().head
+    assert(degen.getLong(0) == 2L && degen.getLong(1) == 0L &&
+      degen.getDouble(2).isNaN)
+    val e = intercept[Exception](spark.sql(
+      "SELECT kolmogorovSmirnovTest(v) FROM ge_ks").collect())
+    assert(e.getMessage.contains("kolmogorovSmirnovTest"), e.getMessage)
+  }
+
+  test("analysisOfVariance / anova from SQL ≡ Stats.anovaF bit-for-bit " +
+    "(CH argument order: value first)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1918)
+    val rows = (1 to 600).map { i =>
+      val g = s"g${i % 5}"
+      (g, (rnd.nextInt(200) + (i % 5) * 30).toLong)
+    }
+    val df = rows.toDF("grp", "v")
+    df.createOrReplaceTempView("ge_anova")
+    val viaSql = spark.sql(
+      "SELECT r.* FROM (SELECT analysisOfVariance(v, grp) AS r FROM ge_anova)")
+      .collect().head
+    val viaAlias = spark.sql(
+      "SELECT r.* FROM (SELECT anova(v, grp) AS r FROM ge_anova)")
+      .collect().head
+    val viaCol = graft.operators.Stats.anovaF(df, "grp", "v").collect().head
+    assert(viaSql.toString == viaCol.toString)
+    assert(viaAlias.toString == viaCol.toString)
+  }
+
+  test("corrMatrix from SQL ≡ Stats.corrMatrix element-by-element; " +
+    "diagonal 1.0; constant column NaN row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1895)
+    val rows = (1 to 400).map { i =>
+      val x0 = rnd.nextInt(100).toLong
+      (x0, x0 * 2 + rnd.nextInt(10), rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("x0", "x1", "x2")
+    df.createOrReplaceTempView("ge_cm")
+    val viaSql = spark.sql(
+      """SELECT r.n, r.corr[0][1] AS corr_0_1, r.corr[0][2] AS corr_0_2,
+        |       r.corr[1][2] AS corr_1_2, r.corr[1][0] AS sym,
+        |       r.corr[0][0] AS diag
+        |FROM (SELECT corrMatrix(x0, x1, x2) AS r FROM ge_cm)""".stripMargin)
+      .collect().head
+    val viaCol = graft.operators.Stats.corrMatrix(df, Seq("x0", "x1", "x2"))
+      .collect().head
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getDouble(1) == viaCol.getDouble(1)) // corr_0_1 bit-equal
+    assert(viaSql.getDouble(2) == viaCol.getDouble(2))
+    assert(viaSql.getDouble(3) == viaCol.getDouble(3))
+    assert(viaSql.getDouble(4) == viaSql.getDouble(1)) // symmetric
+    assert(viaSql.getDouble(5) == 1.0) // diagonal from the same formula
+    // a constant column yields NaN correlations (den = 0), 2-arg min arity
+    val const = spark.sql(
+      """SELECT r.corr[0][1] AS c FROM (
+        |  SELECT corrMatrix(x, y) AS r
+        |  FROM VALUES (1L, 5L), (2L, 5L), (3L, 5L) AS t(x, y))""".stripMargin)
+      .collect().head
+    assert(const.getDouble(0).isNaN)
+    val e = intercept[Exception](spark.sql(
+      "SELECT corrMatrix(x0) FROM ge_cm").collect())
+    assert(e.getMessage.contains("corrMatrix"), e.getMessage)
+  }
+
+  test("intervalLengthSum/maxIntersections/maxIntersectionsPosition from " +
+    "SQL ≡ TimeSeries.intervalStats per key; all-NULL group degenerates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1848)
+    // overlapping, touching, nested, and duplicate intervals per key
+    val rows = (1 to 8).flatMap { k =>
+      (1 to 60).map { i =>
+        val s = rnd.nextInt(500).toLong
+        (k.toLong, i.toLong, s, s + 1 + rnd.nextInt(40).toLong)
+      }
+    } ++ Seq((9L, 1L, 100L, 120L), (9L, 2L, 100L, 120L)) // exact duplicates
+    val df = rows.toDF("k", "id", "s", "e")
+    df.createOrReplaceTempView("ge_iv")
+    val viaSql = spark.sql(
+      """SELECT k, r.n_intervals, r.union_len, r.max_overlap,
+        |       r.max_overlap_pos
+        |FROM (SELECT k, intervalLengthSum(s, e) AS r FROM ge_iv GROUP BY k)"""
+        .stripMargin)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val viaCol = graft.operators.TimeSeries.intervalStats(df, "k", "s", "e", "id")
+      .select($"k", $"n_intervals", $"union_len", $"max_overlap",
+        $"max_overlap_pos")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(viaSql == viaCol)
+    // the three names are one aggregate returning the evidence struct
+    val same = spark.sql(
+      """SELECT k, intervalLengthSum(s, e) = maxIntersections(s, e)
+        |         AND maxIntersections(s, e) = maxIntersectionsPosition(s, e)
+        |           AS eq
+        |FROM ge_iv GROUP BY k""".stripMargin).collect()
+    assert(same.forall(_.getBoolean(1)))
+    // all-NULL group: (0, 0, 0, NULL)
+    val degen = spark.sql(
+      """SELECT r.* FROM (SELECT intervalLengthSum(s, e) AS r
+        |  FROM VALUES (CAST(NULL AS BIGINT), 5L) AS t(s, e))""".stripMargin)
+      .collect().head
+    assert(degen.getLong(0) == 0L && degen.getLong(1) == 0L &&
+      degen.getLong(2) == 0L && degen.isNullAt(3))
+  }
+
+  test("sparkbar from SQL ≡ the q89 Column composition (mx + unicode bar)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(1854)
+    val daily = (1 to 6).flatMap { m =>
+      (1 to 28).map(d => (s"2024-0$m", d.toLong, (1 + rnd.nextInt(400)).toLong))
+    }
+    val df = daily.toDF("month", "day", "n")
+    df.createOrReplaceTempView("ge_sb")
+    val viaSql = spark.sql(
+      """SELECT month, r.mx, r.bar
+        |FROM (SELECT month, sparkbar(day, n) AS r FROM ge_sb GROUP BY month)"""
+        .stripMargin)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val viaCol = df.groupBy(col("month"))
+      .agg(max(col("n")).as("mx"),
+        array_sort(collect_list(struct(col("day"), col("n")))).as("days"))
+      .select(col("month"), col("mx"),
+        array_join(transform(col("days"), e =>
+          substr(lit("▁▂▃▄▅▆▇█"),
+            (floor((e.getField("n") * 7L).cast("double") /
+              col("mx").cast("double")) + 1L).cast("int"), lit(1))),
+          "").as("bar"))
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(viaSql == viaCol)
+    // every bar covers the full ramp contract: 28 glyphs, max glyph = █
+    assert(viaSql.forall(_._3.length == 28))
+    assert(viaSql.forall(_._3.contains("█")))
+  }
+
+  test("uniqTheta from SQL: exact below sketch capacity (== count " +
+    "distinct), BIGINT, per-group; named arity error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1777)
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", rnd.nextInt(900).toLong))
+    val df = rows.toDF("g", "v")
+    df.createOrReplaceTempView("ge_ut")
+    val viaSql = spark.sql(
+      """SELECT g, uniqTheta(v) AS u FROM ge_ut GROUP BY g""")
+      .as[(String, Long)].collect().sorted.toSeq
+    val exact = spark.sql(
+      "SELECT g, count(DISTINCT v) AS u FROM ge_ut GROUP BY g")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(viaSql == exact) // < 4096 distinct per group: exact regime
+    val e = intercept[Exception](spark.sql(
+      "SELECT uniqTheta(v, g) FROM ge_ut").collect())
+    assert(e.getMessage.contains("uniqTheta"), e.getMessage)
+  }
+
+  test("geohashEncode/geohashDecode from SQL ≡ GeoFunctions columns " +
+    "(CH argument order: longitude first); round-trip; named errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(2008)
+    val pts = (1 to 200).map(_ =>
+      (rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180))
+    val df = pts.toDF("lat", "lon")
+    df.createOrReplaceTempView("ge_geo")
+    val viaSql = spark.sql(
+      "SELECT geohashEncode(lon, lat, 6) AS gh FROM ge_geo")
+      .as[String].collect().toSeq
+    val viaCol = df.select(
+      graft.functions.GeoFunctions.geohashEncode(col("lat"), col("lon"), 6)
+        .as("gh")).as[String].collect().toSeq
+    assert(viaSql == viaCol)
+    // default precision 12; decode returns the cell center as a struct
+    // in CH order, and re-encoding the center reproduces the hash
+    val rt = spark.sql(
+      """SELECT gh, geohashEncode(d.longitude, d.latitude, 6) AS gh2
+        |FROM (SELECT geohashEncode(lon, lat, 6) AS gh,
+        |             geohashDecode(geohashEncode(lon, lat, 6), 6) AS d
+        |      FROM ge_geo)""".stripMargin).collect()
+    assert(rt.forall(r => r.getString(0) == r.getString(1)))
+    val d12 = spark.sql(
+      "SELECT length(geohashEncode(lon, lat)) AS l FROM ge_geo LIMIT 1")
+      .collect().head
+    assert(d12.getInt(0) == 12)
+    val e = intercept[Exception](spark.sql(
+      "SELECT geohashDecode('ezs42') FROM ge_geo").collect())
+    assert(e.getMessage.contains("geohashDecode"), e.getMessage)
+  }
+
+  test("ngramDistance/ngramSearch from SQL ≡ FuzzyMatch.ngramMatch " +
+    "statistics bit-for-bit; literal-needle contract enforced") {
+    import spark.implicits._
+    val docs = Seq("the fast table value store", "a slow list", "fast table",
+      "completely unrelated text", "value fast table value").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    df.createOrReplaceTempView("ge_ng")
+    val viaSql = spark.sql(
+      """SELECT id, ngramDistance(text, 'fast table value') AS dist,
+        |       ngramSearch(text, 'fast table value') AS search
+        |FROM ge_ng""".stripMargin)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaCol = graft.functions.FuzzyMatch.ngramMatch(
+      df, "text", "fast table value", n = 4)
+      .select($"id", $"dist", $"search")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaCol)
+    // identical profile → 0 distance; full needle present → search 1.0
+    val self = viaSql.find(_._1 == 4L).get
+    assert(self._3 == 1.0)
+    // needle must be a literal of >= n chars, named at plan time
+    val e = intercept[Exception](spark.sql(
+      "SELECT ngramDistance(text, 'abc') FROM ge_ng").collect())
+    assert(e.getMessage.contains("needle") ||
+      e.getMessage.contains("ngramDistance"), e.getMessage)
+  }
 }
