@@ -156,7 +156,12 @@ object BenchProbe {
     // the same constant-size moment shape as q113 anyway.
     "q112_ks_sql", "q113_anova_sql", "q115_interval_sql",
     "q116_sparkbar_sql", "q117_geohash_sql", "q118_ngram_sql",
-    "q119_uniq_theta_sql")
+    "q119_uniq_theta_sql",
+    // q120 buffers each user's series once and scores it in-row (the
+    // let-binding transform pins one sort per row) — user-exchange
+    // envelope, linear band; t29 is t28's map-only normalization +
+    // the bounded variant-collapse rollup — linear band
+    "q120_tukey_scores_sql", "t29_url_canonicalize_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

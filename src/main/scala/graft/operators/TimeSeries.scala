@@ -372,6 +372,50 @@ object TimeSeries {
       org.apache.spark.sql.Encoders.scalaLong
   }
 
+  /** ClickHouse `seriesOutliersDetectTukey` as an IN-ROW kernel over an
+    * `array<bigint>` series — q92's all-integer fence algebra carried
+    * into one Column expression (zero FP: quartiles in exact integer
+    * 4ths via the subtract-remainder division, fences in 8ths, k = 1.5
+    * and the 0.25/0.75 quantiles fixed at ClickHouse's defaults).
+    * DEVIATION (oracle discipline): scores are integer 8ths of the
+    * value unit — `8·x − fence₈` outside the fences, 0 inside —
+    * where ClickHouse emits float distances; same sign, same zero set,
+    * engine-exact. Pre-scale float series.
+    *
+    * Plan shape: the fence pair is computed ONCE per row and passed
+    * into the scoring lambda through a 1-element transform (the
+    * let-binding idiom) — without it every element's lambda would
+    * re-evaluate the `array_sort` subtree and the per-row cost would be
+    * O(n²·log n), the q96/HOF-subtree failure mode. Map-only,
+    * whole-stage codegen, no UDFs.
+    */
+  def tukeyScores8(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val n = size(arr).cast("long")
+    // 4·quartile at φ over the sorted copy: numer = 4·(n−1)·φ; the
+    // subtract-remainder division is exact (multiple of 4) — q92's tree
+    def quart4(numer: Column): Column = {
+      val rem = pmod(numer, lit(4L))
+      val lo = ((numer - rem) / lit(4L)).cast("long")
+      val aLo = element_at(sorted, (lo + 1L).cast("int"))
+      val aHi = element_at(sorted, least(lo + 2L, n).cast("int"))
+      lit(4L) * aLo + rem * (aHi - aLo)
+    }
+    val q14 = quart4(n - 1L)
+    val q34 = quart4(lit(3L) * (n - 1L))
+    val fences = array(struct(
+      (lit(2L) * q14 - lit(3L) * (q34 - q14)).as("lo8"),
+      (lit(2L) * q34 + lit(3L) * (q34 - q14)).as("hi8")))
+    when(size(arr) < 1, arr).otherwise(
+      element_at(transform(fences, f =>
+        transform(arr, x =>
+          when(lit(8L) * x < f.getField("lo8"),
+            lit(8L) * x - f.getField("lo8"))
+            .when(lit(8L) * x > f.getField("hi8"),
+              lit(8L) * x - f.getField("hi8"))
+            .otherwise(lit(0L)))), 1))
+  }
+
   /** [[intervalStats]]'s per-key output — the `intervalLengthSum` /
     * `maxIntersections` / `maxIntersectionsPosition` SQL surface (all
     * three ClickHouse names return this one evidence struct, the

@@ -398,6 +398,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           arity(args, 2, "ngramSearch", "(haystack, needle)")
           expression(FuzzyMatch.ngramSearch(
             column(args(0)), strLit(args(1), "ngramSearch")))
+        }),
+      (FunctionIdentifier("seriesOutliersDetectTukey"),
+        info("seriesOutliersDetectTukey", "seriesOutliersDetectTukey(arr) - ClickHouse seriesOutliersDetectTukey over an array<bigint> series at the CH defaults (quantiles 0.25/0.75, k = 1.5): per-element outlier scores, position-aligned; DEVIATION: scores are EXACT integer 8ths of the value unit (8*x - fence outside, 0 inside; CH emits float distances - same sign, same zero set); pre-scale float series; fences computed once per row (let-binding transform)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "seriesOutliersDetectTukey", "(arr)")
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          import org.apache.spark.sql.types.{ArrayType, LongType}
+          expression(graft.operators.TimeSeries.tukeyScores8(
+            column(Cast(args(0), ArrayType(LongType)))))
+        }),
+      (FunctionIdentifier("graft_canonicalize_url"),
+        info("graft_canonicalize_url", "graft_canonicalize_url(url) - the engine's dedup URL normalization (t28): fragment stripped, scheme/host lowercased, default :80/:443 ports dropped, trailing path slashes collapsed ('' path -> '/'), tracking params (utm_*, fbclid, gclid, ...) removed, surviving query params sorted; map-only regex/HOF algebra, zero UDFs"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "graft_canonicalize_url", "(url)")
+          expression(graft.operators.TextAnalysis.canonicalizeUrl(
+            column(args(0))))
         }))
   }
 

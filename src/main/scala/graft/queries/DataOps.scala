@@ -3295,7 +3295,52 @@ object DataOps {
             count_distinct(col("url")).as("n_variants"),
             min(col("url")).as("example"))
       },
-      Some("""WITH raw AS (SELECT
+      Some(urlCanonicalizeOracle),
+      "URL canonicalization (web-scrape dedup prep): fragment/case/" +
+        "default-port/trailing-slash/tracking-param normalization with " +
+        "sorted query params — map-only portable regex + list algebra, " +
+        "variant-collapse rollup"),
+
+    // t29: canonicalizeUrl through the SQL frontend
+    // (graft_canonicalize_url) — t28's exact query with the
+    // normalization running as the registered scalar, hash-matched
+    // against the shared oracle (SQL ≡ Column is by construction — the
+    // builder wraps the same expression tree — so one oracle checks
+    // both surfaces end to end).
+    "t29_url_canonicalize_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val raw = t(s, dir, "events").select(concat(
+          when(col("event_id") % 2 === 0, lit("HTTP://"))
+            .otherwise(lit("https://")),
+          lit("Shop"), (col("user_id") % 7).cast("string"),
+          lit(".Example.COM"),
+          when(col("event_id") % 6 === 0, lit(":80")).otherwise(lit("")),
+          lit("/p/"), (col("event_id") % 500).cast("string"),
+          when(col("event_id") % 5 === 0, lit("//")).otherwise(lit("")),
+          lit("?b=2&utm_source=x"),
+          when(col("event_id") % 4 === 0, lit("&a=1")).otherwise(lit("")),
+          when(col("event_id") % 7 === 0, lit("&fbclid=zz")).otherwise(lit("")),
+          when(col("event_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+        raw.select(col("url"),
+            expr("graft_canonicalize_url(url)").as("url_canon"))
+          .groupBy(col("url_canon"))
+          .agg(count(lit(1)).as("n_raw"),
+            count_distinct(col("url")).as("n_variants"),
+            min(col("url")).as("example"))
+      },
+      Some(urlCanonicalizeOracle),
+      "graft_canonicalize_url through the SQL frontend: t28's " +
+        "variant-collapse rollup with the normalization as the " +
+        "registered scalar — hash-matched against the shared oracle"))
+
+  /** The t28 oracle (the full normalization re-derivation in DuckDB) —
+    * shared verbatim with t29, which runs the SAME query through the
+    * graft_canonicalize_url SQL scalar.
+    */
+  private def urlCanonicalizeOracle: String =
+    """WITH raw AS (SELECT
              |  CASE WHEN event_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END
              |  || 'Shop' || CAST(user_id % 7 AS VARCHAR) || '.Example.COM'
              |  || CASE WHEN event_id % 6 = 0 THEN ':80' ELSE '' END
@@ -3337,9 +3382,5 @@ object DataOps {
              |      FROM s5)
              |SELECT url_canon, count(*) AS n_raw,
              |  count(DISTINCT url) AS n_variants, min(url) AS example
-             |FROM c GROUP BY url_canon""".stripMargin),
-      "URL canonicalization (web-scrape dedup prep): fragment/case/" +
-        "default-port/trailing-slash/tracking-param normalization with " +
-        "sorted query params — map-only portable regex + list algebra, " +
-        "variant-collapse rollup"))
+             |FROM c GROUP BY url_canon""".stripMargin
 }

@@ -3052,7 +3052,66 @@ object Relational {
       "uniqTheta through the SQL frontend (stock theta-sketch rewrite): " +
         "exact-regime estimates hash-match the DuckDB exact distinct " +
         "count; sketch state bounded at 4096 entries per group at any " +
-        "scale"))
+        "scale"),
+
+    // q120: seriesOutliersDetectTukey — q92's all-integer fence algebra
+    // as the ClickHouse IN-ROW series function: per-element outlier
+    // scores (integer 8ths) over each user's (ts, id)-ordered value
+    // series, exploded back to scalar rows. One user exchange; the
+    // let-binding transform keeps the per-row cost at one sort.
+    "q120_tukey_scores_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tt"),
+            col("event_id"), floor(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("user_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("tt"), col("event_id"),
+              col("v")))), e => e.getField("v")).as("vals"))
+          .withColumn("scores", expr("seriesOutliersDetectTukey(vals)"))
+          .select(col("user_id"),
+            posexplode(arrays_zip(col("vals"), col("scores"))))
+          .select(col("user_id"), col("pos"),
+            col("col.vals").as("v"), col("col.scores").as("score8"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+             |  FROM events),
+             |d AS (
+             |  SELECT user_id, v, rn,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY v, rn)
+             |      AS sr,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM b),
+             |qv AS (
+             |  SELECT user_id, max(n) AS n,
+             |    max(CASE WHEN sr = (n - 1) // 4 + 1 THEN v END) AS a1lo,
+             |    max(CASE WHEN sr = least((n - 1) // 4 + 2, n) THEN v END)
+             |      AS a1hi,
+             |    max(CASE WHEN sr = (3 * (n - 1)) // 4 + 1 THEN v END)
+             |      AS a3lo,
+             |    max(CASE WHEN sr = least((3 * (n - 1)) // 4 + 2, n) THEN v
+             |      END) AS a3hi
+             |  FROM d GROUP BY user_id),
+             |qq AS (
+             |  SELECT user_id,
+             |    4 * a1lo + ((n - 1) % 4) * (a1hi - a1lo) AS q1_4,
+             |    4 * a3lo + ((3 * (n - 1)) % 4) * (a3hi - a3lo) AS q3_4
+             |  FROM qv),
+             |f AS (SELECT user_id, 2 * q1_4 - 3 * (q3_4 - q1_4) AS lo8,
+             |             2 * q3_4 + 3 * (q3_4 - q1_4) AS hi8 FROM qq)
+             |SELECT b.user_id, CAST(b.rn - 1 AS INT) AS pos, b.v,
+             |  CAST(CASE WHEN 8 * b.v < f.lo8 THEN 8 * b.v - f.lo8
+             |            WHEN 8 * b.v > f.hi8 THEN 8 * b.v - f.hi8
+             |            ELSE 0 END AS BIGINT) AS score8
+             |FROM b JOIN f ON b.user_id = f.user_id""".stripMargin),
+      "seriesOutliersDetectTukey as the ClickHouse in-row series kernel: " +
+        "q92's integer quartile fences per user, per-element 8th-scores " +
+        "position-aligned — the oracle re-derives every score with " +
+        "window-ranked quartiles"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the

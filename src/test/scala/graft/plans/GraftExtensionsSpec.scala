@@ -1057,4 +1057,90 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("needle") ||
       e.getMessage.contains("ngramDistance"), e.getMessage)
   }
+
+  test("seriesOutliersDetectTukey from SQL ≡ plain integer reference; " +
+    "empty/constant series; agrees with the q92 fence predicate") {
+    import spark.implicits._
+    // the q92/tukeyScores8 integer algebra as a scalar reference
+    def refScores(a: Seq[Long]): Seq[Long] = {
+      if (a.isEmpty) return Seq.empty
+      val s = a.sorted
+      val n = a.size.toLong
+      def quart4(numer: Long): Long = {
+        val rem = numer % 4
+        val lo = (numer - rem) / 4
+        val aLo = s(lo.toInt)
+        val aHi = s(math.min(lo + 1, n - 1).toInt)
+        4 * aLo + rem * (aHi - aLo)
+      }
+      val q14 = quart4(n - 1)
+      val q34 = quart4(3 * (n - 1))
+      val lo8 = 2 * q14 - 3 * (q34 - q14)
+      val hi8 = 2 * q34 + 3 * (q34 - q14)
+      a.map(x =>
+        if (8 * x < lo8) 8 * x - lo8
+        else if (8 * x > hi8) 8 * x - hi8
+        else 0L)
+    }
+    val rnd = new scala.util.Random(1977)
+    val rows = (1 to 60).map { i =>
+      val n = rnd.nextInt(50) // includes 0 (empty) and tiny series
+      val base = Seq.fill(n)(rnd.nextInt(200).toLong)
+      // plant whales on some rows so outliers actually occur
+      val a = if (i % 3 == 0 && n > 4) base :+ 5000L :+ -4000L else base
+      (i.toLong, a)
+    } :+ (997L, Seq.fill(8)(42L)) // constant series: iqr 0, all inlier 0
+    val df = rows.toDF("id", "arr")
+    df.createOrReplaceTempView("ge_tk")
+    val viaSql = spark.sql(
+      "SELECT id, seriesOutliersDetectTukey(arr) AS s FROM ge_tk")
+      .as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, a) =>
+      assert(viaSql(id) == refScores(a), s"id=$id arr=$a")
+    }
+    assert(viaSql(997L).forall(_ == 0L))
+    // nonzero score ⟺ the q92 outlier predicate fires
+    rows.filter(_._2.nonEmpty).foreach { case (id, a) =>
+      val nOut = viaSql(id).count(_ != 0L)
+      val s = a.sorted
+      val n = a.size.toLong
+      def quart4(numer: Long): Long = {
+        val rem = numer % 4; val lo = (numer - rem) / 4
+        4 * s(lo.toInt) + rem * (s(math.min(lo + 1, n - 1).toInt) - s(lo.toInt))
+      }
+      val (q14, q34) = (quart4(n - 1), quart4(3 * (n - 1)))
+      val iqr4 = q34 - q14
+      val expect = a.count(x =>
+        8 * x < 2 * q14 - 3 * iqr4 || 8 * x > 2 * q34 + 3 * iqr4)
+      assert(nOut == expect, s"id=$id")
+    }
+    val e = intercept[Exception](spark.sql(
+      "SELECT seriesOutliersDetectTukey(arr, 0.1) FROM ge_tk").collect())
+    assert(e.getMessage.contains("seriesOutliersDetectTukey"), e.getMessage)
+  }
+
+  test("graft_canonicalize_url from SQL ≡ TextAnalysis.canonicalizeUrl") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val urls = Seq(
+      "HTTP://Shop3.Example.COM:80/p/7//?b=2&utm_source=x&a=1#frag",
+      "https://shop3.example.com/p/7?a=1&b=2",
+      "https://news.example.co.uk:443/a/b/?fbclid=zz",
+      "http://bare.example.com?utm_campaign=c&ref=r",
+      "https://x.example.com/path",
+      "  https://pad.example.com/p  ").zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+    val df = urls.toDF("id", "url")
+    df.createOrReplaceTempView("ge_cu")
+    val viaSql = spark.sql(
+      "SELECT id, graft_canonicalize_url(url) AS c FROM ge_cu")
+      .as[(Long, String)].collect().sorted.toSeq
+    val viaCol = df.select($"id",
+      graft.operators.TextAnalysis.canonicalizeUrl($"url").as("c"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(viaSql == viaCol)
+    // spot-pin the normalization itself
+    assert(viaSql.head._2 == "http://shop3.example.com/p/7?a=1&b=2")
+    assert(viaSql(1)._2 == "https://shop3.example.com/p/7?a=1&b=2")
+  }
 }
