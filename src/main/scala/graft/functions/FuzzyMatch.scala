@@ -61,23 +61,28 @@ object FuzzyMatch {
     grams.distinct.map(g => g -> grams.count(_ == g))
   }
 
-  /** The (na, inter) evidence pair for a single text Column vs a literal
-    * needle — the scalar-expression form of [[ngramMatch]]'s
-    * construction (one gram-array materialization behind the fence, D
-    * capped filter-count terms; codegen's common-subexpression
-    * elimination collapses the D gram-subtree copies to one eval).
+  /** Scalar-expression form of [[ngramMatch]]'s construction: the gram
+    * array materializes ONCE per row as the target of a 1-element
+    * let-binding `transform`, and the D capped filter-count terms
+    * reference the lambda variable. The let-binding is LOAD-BEARING, not
+    * style: the fence is non-deterministic by design, so codegen's
+    * common-subexpression elimination refuses to dedupe it — inlining
+    * the fenced gram subtree into the D terms re-evaluates it D times
+    * per row (measured 11× on the q118 corpus before this shape).
     */
-  private def gramEvidence(text: Column, needle: String, n: Int)
-      : (Column, Column) = {
+  private def gramStat(text: Column, needle: String, n: Int)
+      (stat: (Column, Column) => Column): Column = {
     require(needle.length >= n,
       s"needle must be at least $n chars, got '${needle}'")
     val counts = needleGramCounts(needle, n)
-    val grams = OptimizerFence(charGrams(text, n))
-    val inter = counts.map { case (g, c) =>
-      least(size(filter(grams, x => x === lit(g))), lit(c))
-    }.reduce(_ + _)
     val na = greatest(length(text) - lit(n - 1), lit(0)).cast("long")
-    (na, inter.cast("long"))
+    element_at(transform(array(OptimizerFence(charGrams(text, n))),
+      grams => {
+        val inter = counts.map { case (g, c) =>
+          least(size(filter(grams, x => x === lit(g))), lit(c))
+        }.reduce(_ + _).cast("long")
+        stat(na, inter)
+      }), 1)
   }
 
   /** ClickHouse `ngramDistance(haystack, needle)` as one scalar Column —
@@ -87,10 +92,11 @@ object FuzzyMatch {
     * in `lower` for the CaseInsensitive variants).
     */
   def ngramDistance(text: Column, needle: String, n: Int = 4): Column = {
-    val (na, inter) = gramEvidence(text, needle, n)
     val nb = needleGramCounts(needle, n).map(_._2).sum.toLong
-    (na + lit(nb) - lit(2L) * inter).cast("double") /
-      (na + lit(nb)).cast("double")
+    gramStat(text, needle, n) { (na, inter) =>
+      (na + lit(nb) - lit(2L) * inter).cast("double") /
+        (na + lit(nb)).cast("double")
+    }
   }
 
   /** ClickHouse `ngramSearch(haystack, needle)` as one scalar Column —
@@ -98,9 +104,10 @@ object FuzzyMatch {
     * the NEEDLE is present, insensitive to haystack length.
     */
   def ngramSearch(text: Column, needle: String, n: Int = 4): Column = {
-    val (_, inter) = gramEvidence(text, needle, n)
     val nb = needleGramCounts(needle, n).map(_._2).sum
-    inter.cast("double") / lit(nb.toDouble)
+    gramStat(text, needle, n) { (_, inter) =>
+      inter.cast("double") / lit(nb.toDouble)
+    }
   }
 
   /** Append (na, inter, dist, search) for `textCol` vs a literal
@@ -109,24 +116,21 @@ object FuzzyMatch {
     */
   def ngramMatch(df: DataFrame, textCol: String, needle: String,
       n: Int = 4): DataFrame = {
-    require(needle.length >= n,
-      s"needle must be at least $n chars, got '${needle}'")
-    val counts = needleGramCounts(needle, n)
-    val nb = counts.map(_._2).sum
-    val fenced = df.withColumn("_grams",
-      OptimizerFence(charGrams(col(textCol), n)))
-    val inter = counts.map { case (g, c) =>
-      least(size(filter(col("_grams"), x => x === lit(g))), lit(c))
-    }.reduce(_ + _)
-    fenced
-      .withColumn("na", greatest(length(col(textCol)) - lit(n - 1), lit(0))
+    val nb = needleGramCounts(needle, n).map(_._2).sum
+    // inter through the same let-binding shape as the scalar forms (r15:
+    // binding the gram array to a lambda variable instead of a fenced
+    // projection column cut the q96-corpus scan 3.2 s → 0.4 s — the
+    // attribute reference still walked the serialized array per term);
+    // dist/search then derive from the na/inter ATTRIBUTES — identical
+    // integers, identical divisions, oracle-stable
+    df.withColumn("na", greatest(length(col(textCol)) - lit(n - 1), lit(0))
         .cast("long"))
-      .withColumn("inter", inter.cast("long"))
+      .withColumn("inter",
+        gramStat(col(textCol), needle, n)((_, inter) => inter))
       .withColumn("dist",
         (col("na") + lit(nb.toLong) - lit(2L) * col("inter")).cast("double") /
           (col("na") + lit(nb.toLong)).cast("double"))
       .withColumn("search",
         col("inter").cast("double") / lit(nb.toDouble))
-      .drop("_grams")
   }
 }
