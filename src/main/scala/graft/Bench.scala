@@ -265,7 +265,9 @@ object Bench {
     // there is no code mechanism (none could exist: the r14 diff
     // touches no parse-path file) and the r11 precedent holds: the
     // ingest figures are the most ambient-sensitive numbers in the
-    // file. r15's bench value is the new reference point.
+    // file. CONFIRMED by the r15 builder bench itself: 145,097 e2e
+    // lines/s (r13's level) and 1,222,296 parse lines/s/core — both
+    // fully recovered with i01's plan hash still unchanged.
     //
     // From r10 on, the plan-unchanged half of any such argument is
     // MECHANICAL: the fingerprint pass below emits PLANS_r{N}.json

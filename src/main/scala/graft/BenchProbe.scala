@@ -68,6 +68,15 @@ import org.apache.spark.sql.SparkSession
   * noise signature; no `persistToks` mechanism to chase (the cache
   * pressure hypothesis would have survived isolation).
   *
+  * ADJUDICATED r15 (same-day filtered rerun of the r15 full sweep's
+  * over-band reads): q54_funnel_skew 6.57× → 4.05× (t_10x 6.88 → 3.76 s
+  * — the bot-axis envelope with a sub-second denominator),
+  * q109_array_auc 4.53× (consistent across both runs: the per-group
+  * in-row sort genuinely grows with the 10× arrays — sub-linear, in
+  * band), q88_interpolate 2.76×, p10_sentence_chunks 2.59×. The r15
+  * full sweep also re-read the whole d17 span family in band
+  * (d17 2.62×, d11b/d22/d24 ≤ 1.6×) — the r14 `weak` stays retired.
+  *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
   * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}
