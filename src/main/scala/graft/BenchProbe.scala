@@ -170,7 +170,10 @@ object BenchProbe {
     // let-binding transform pins one sort per row) — user-exchange
     // envelope, linear band; t29 is t28's map-only normalization +
     // the bounded variant-collapse rollup — linear band
-    "q120_tukey_scores_sql", "t29_url_canonicalize_sql")
+    "q120_tukey_scores_sql", "t29_url_canonicalize_sql",
+    // q121 is q73's shape: map-only integer octet/CIDR kernels + one
+    // bounded (cls, is_private) rollup exchange — linear band
+    "q121_ip_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

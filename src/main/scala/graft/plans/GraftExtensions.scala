@@ -399,6 +399,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           expression(FuzzyMatch.ngramSearch(
             column(args(0)), strLit(args(1), "ngramSearch")))
         }),
+      (FunctionIdentifier("ngramDistanceCaseInsensitive"),
+        info("ngramDistanceCaseInsensitive", "ngramDistanceCaseInsensitive(haystack, needle) - ngramDistance over lower(haystack) and the lowercased needle literal (ClickHouse's CaseInsensitive variant as the documented composition)"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "ngramDistanceCaseInsensitive", "(haystack, needle)")
+          expression(FuzzyMatch.ngramDistance(
+            org.apache.spark.sql.functions.lower(column(args(0))),
+            strLit(args(1), "ngramDistanceCaseInsensitive").toLowerCase))
+        }),
+      (FunctionIdentifier("ngramSearchCaseInsensitive"),
+        info("ngramSearchCaseInsensitive", "ngramSearchCaseInsensitive(haystack, needle) - ngramSearch over lower(haystack) and the lowercased needle literal"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "ngramSearchCaseInsensitive", "(haystack, needle)")
+          expression(FuzzyMatch.ngramSearch(
+            org.apache.spark.sql.functions.lower(column(args(0))),
+            strLit(args(1), "ngramSearchCaseInsensitive").toLowerCase))
+        }),
+      ipNumToString("IPv4NumToString"),
+      ipStringToNum("IPv4StringToNum"),
+      ipStringToNum("toIPv4"),
+      (FunctionIdentifier("isIPAddressInRange"),
+        info("isIPAddressInRange", "isIPAddressInRange(ip, cidr) - ClickHouse isIPAddressInRange for IPv4: TRUE iff ip falls in the CIDR block; cidr a STRING LITERAL 'a.b.c.d/n' (base and mask fold to two long literals at plan time); ip may be the numeric UInt32-in-BIGINT form or a dotted string (CH's form) - a non-numeric input routes through IPv4StringToNum"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "isIPAddressInRange", "(ip, cidr)")
+          expression(graft.functions.IpFunctions.isIpv4InRange(
+            ipArg(args(0)), strLit(args(1), "isIPAddressInRange")))
+        }),
+      (FunctionIdentifier("IPv4CIDRToRange"),
+        info("IPv4CIDRToRange", "IPv4CIDRToRange(ip, n) - ClickHouse IPv4CIDRToRange: struct(min, max) bounds of ip's /n block as numeric addresses; n an INT LITERAL 0..32 (the mask folds at plan time); ip numeric or dotted string"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "IPv4CIDRToRange", "(ip, n)")
+          val n = intLit(args(1), "IPv4CIDRToRange")
+          val ip = ipArg(args(0))
+          val base = graft.functions.IpFunctions.ipv4Subnet(ip, n)
+          val span = (1L << (32 - n)) - 1L
+          expression(org.apache.spark.sql.functions.struct(
+            base.as("min"),
+            (base + org.apache.spark.sql.functions.lit(span)).as("max")))
+        }),
       (FunctionIdentifier("seriesOutliersDetectTukey"),
         info("seriesOutliersDetectTukey", "seriesOutliersDetectTukey(arr) - ClickHouse seriesOutliersDetectTukey over an array<bigint> series at the CH defaults (quantiles 0.25/0.75, k = 1.5): per-element outlier scores, position-aligned; DEVIATION: scores are EXACT integer 8ths of the value unit (8*x - fence outside, 0 inside; CH emits float distances - same sign, same zero set); pre-scale float series; fences computed once per row (let-binding transform)"),
         (args: Seq[Expression]) => {
@@ -714,6 +752,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             column(args(0)), strLit(args(1), "extractURLParameter")))
         }))
   }
+
+  /** Numeric-or-dotted-string ip argument: a numeric input passes
+    * through `try_cast` untouched; a dotted string falls back to the
+    * octet parse (ClickHouse accepts the string form; this engine's q73
+    * convention keeps addresses numeric).
+    */
+  private def ipArg(e: Expression): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, EvalMode}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // TRY-mode cast: a numeric input passes through, a dotted string
+    // reads NULL (never throws, even under ANSI sessions) and falls to
+    // the octet parse
+    val asNum = Cast(e, LongType, None, EvalMode.TRY)
+    val asStr = eagerExpression(
+      graft.functions.IpFunctions.ipv4StringToNum(
+        column(Cast(e, StringType))))
+    column(Coalesce(Seq(asNum, asStr)))
+  }
+
+  private def ipNumToString(name: String) =
+    (FunctionIdentifier(name),
+      info(name, s"$name(ip) - ClickHouse IPv4NumToString: dotted-quad render of a numeric UInt32-in-BIGINT address"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, name, "(ip)")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
+        eagerExpression(graft.functions.IpFunctions.ipv4NumToString(
+          column(Cast(args(0), org.apache.spark.sql.types.LongType))))
+      })
+
+  private def ipStringToNum(name: String) =
+    (FunctionIdentifier(name),
+      info(name, s"$name(s) - ClickHouse IPv4StringToNum/toIPv4: numeric UInt32-in-BIGINT address of a dotted-quad string"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, name, "(s)")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
+        eagerExpression(graft.functions.IpFunctions.ipv4StringToNum(
+          column(Cast(args(0), org.apache.spark.sql.types.StringType))))
+      })
 
   /** Shared builder for the sequence-pattern aggregates: same
     * (pattern, ts, id, conds…) → (t, id, bitmask) input plumbing as

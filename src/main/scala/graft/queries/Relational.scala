@@ -1663,37 +1663,7 @@ object Relational {
             sum(when(col("back") === col("ip"), 1L).otherwise(0L))
               .as("n_roundtrip"))
       },
-      Some("""WITH base AS (
-             |  SELECT (event_id * 2654435761) % 4294967296 AS ip FROM events),
-             |e AS (
-             |  SELECT ip, ip // 16777216 AS o1, (ip // 65536) % 256 AS o2,
-             |    (ip // 256) % 256 AS o3, ip % 256 AS o4
-             |  FROM base),
-             |st AS (
-             |  SELECT ip, o1,
-             |    CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
-             |      CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str
-             |  FROM e),
-             |p AS (
-             |  SELECT ip, o1,
-             |    CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216 +
-             |    CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536 +
-             |    CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256 +
-             |    CAST(split_part(ip_str, '.', 4) AS BIGINT) AS back,
-             |    CASE WHEN o1 < 128 THEN 'A' WHEN o1 < 192 THEN 'B'
-             |         WHEN o1 < 224 THEN 'C' WHEN o1 < 240 THEN 'D'
-             |         ELSE 'E' END AS cls,
-             |    (ip // 16777216 = 10 OR ip // 1048576 = 2753
-             |     OR ip // 65536 = 49320) AS is_private,
-             |    (ip // 65536) * 65536 AS net16
-             |  FROM st)
-             |SELECT cls, is_private, count(*) AS n,
-             |  count(DISTINCT net16) AS n_nets,
-             |  CAST(min(ip) AS BIGINT) AS min_ip,
-             |  CAST(max(ip) AS BIGINT) AS max_ip,
-             |  CAST(sum(CASE WHEN back = ip THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_roundtrip
-             |FROM p GROUP BY cls, is_private""".stripMargin),
+      Some(ipFunctionsOracle),
       "ClickHouse IPv4 family: IPv4NumToString/StringToNum round-trip " +
         "proved per row, RFC1918 CIDR classification, /16 subnet " +
         "cardinality — all codegen Column arithmetic, no UDFs"),
@@ -3111,7 +3081,38 @@ object Relational {
       "seriesOutliersDetectTukey as the ClickHouse in-row series kernel: " +
         "q92's integer quartile fences per user, per-element 8th-scores " +
         "position-aligned — the oracle re-derives every score with " +
-        "window-ranked quartiles"))
+        "window-ranked quartiles"),
+
+    // q121: the IPv4 family through the SQL frontend — q73's exact query
+    // with every registered name exercised (render, parse, CIDR
+    // membership over the RFC1918 union, /16 block bounds via the range
+    // struct's min), hash-matched against the shared q73 oracle. The
+    // classful letter stays a Column composition (not a CH function).
+    "q121_ip_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val ip = (col("event_id") * 2654435761L) % 4294967296L
+        t(s, dir, "events").select(ip.as("ip"))
+          .withColumn("ip_str", expr("IPv4NumToString(ip)"))
+          .select(col("ip"),
+            expr("IPv4StringToNum(ip_str)").as("back"),
+            graft.functions.IpFunctions.ipv4Class(col("ip")).as("cls"),
+            expr("isIPAddressInRange(ip, '10.0.0.0/8') OR " +
+              "isIPAddressInRange(ip, '172.16.0.0/12') OR " +
+              "isIPAddressInRange(ip, '192.168.0.0/16')").as("is_private"),
+            expr("IPv4CIDRToRange(ip, 16).min").as("net16"))
+          .groupBy(col("cls"), col("is_private"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("net16")).as("n_nets"),
+            min(col("ip")).as("min_ip"), max(col("ip")).as("max_ip"),
+            sum(when(col("back") === col("ip"), 1L).otherwise(0L))
+              .as("n_roundtrip"))
+      },
+      Some(ipFunctionsOracle),
+      "the ClickHouse IPv4 family through the SQL frontend " +
+        "(IPv4NumToString/StringToNum, isIPAddressInRange with plan-time " +
+        "CIDR folding, IPv4CIDRToRange struct bounds) — hash-matched " +
+        "against the shared q73 oracle"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the
@@ -3574,6 +3575,44 @@ object Relational {
       |  / ((CAST(q_all AS DOUBLE) - CAST(sum_term AS DOUBLE) / 1e6)
       |     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
       |FROM m""".stripMargin
+
+  /** The q73 oracle (octet render/parse + CIDR classification) — shared
+    * verbatim with q121, which runs the SAME query through the
+    * IPv4NumToString / IPv4StringToNum / isIPAddressInRange /
+    * IPv4CIDRToRange SQL frontends.
+    */
+  private def ipFunctionsOracle: String =
+    """WITH base AS (
+             |  SELECT (event_id * 2654435761) % 4294967296 AS ip FROM events),
+             |e AS (
+             |  SELECT ip, ip // 16777216 AS o1, (ip // 65536) % 256 AS o2,
+             |    (ip // 256) % 256 AS o3, ip % 256 AS o4
+             |  FROM base),
+             |st AS (
+             |  SELECT ip, o1,
+             |    CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+             |      CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str
+             |  FROM e),
+             |p AS (
+             |  SELECT ip, o1,
+             |    CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216 +
+             |    CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536 +
+             |    CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256 +
+             |    CAST(split_part(ip_str, '.', 4) AS BIGINT) AS back,
+             |    CASE WHEN o1 < 128 THEN 'A' WHEN o1 < 192 THEN 'B'
+             |         WHEN o1 < 224 THEN 'C' WHEN o1 < 240 THEN 'D'
+             |         ELSE 'E' END AS cls,
+             |    (ip // 16777216 = 10 OR ip // 1048576 = 2753
+             |     OR ip // 65536 = 49320) AS is_private,
+             |    (ip // 65536) * 65536 AS net16
+             |  FROM st)
+             |SELECT cls, is_private, count(*) AS n,
+             |  count(DISTINCT net16) AS n_nets,
+             |  CAST(min(ip) AS BIGINT) AS min_ip,
+             |  CAST(max(ip) AS BIGINT) AS max_ip,
+             |  CAST(sum(CASE WHEN back = ip THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_roundtrip
+             |FROM p GROUP BY cls, is_private""".stripMargin
 
   private def NgramNeedle = "fast table value"
 

@@ -1119,6 +1119,68 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("seriesOutliersDetectTukey"), e.getMessage)
   }
 
+  test("IPv4 family from SQL ≡ IpFunctions columns: render/parse " +
+    "round-trip, string-or-numeric range args, CIDR block bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(1969)
+    val ips = (1 to 300).map(_ => rnd.nextLong().abs % 4294967296L)
+    val df = ips.toDF("ip")
+    df.createOrReplaceTempView("ge_ip")
+    val viaSql = spark.sql(
+      "SELECT ip, IPv4NumToString(ip) AS s, " +
+        "IPv4StringToNum(IPv4NumToString(ip)) AS back FROM ge_ip")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val viaCol = df.select($"ip",
+      graft.functions.IpFunctions.ipv4NumToString($"ip").as("s"),
+      graft.functions.IpFunctions.ipv4StringToNum(
+        graft.functions.IpFunctions.ipv4NumToString($"ip")).as("back"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.forall(r => r._1 == r._3)) // round-trip total
+    // range check accepts BOTH the numeric and the dotted-string form
+    val both = spark.sql(
+      """SELECT isIPAddressInRange(ip, '10.0.0.0/8') AS a,
+        |       isIPAddressInRange(IPv4NumToString(ip), '10.0.0.0/8') AS b,
+        |       isIPAddressInRange('10.1.2.3', '10.0.0.0/8') AS c
+        |FROM ge_ip""".stripMargin).collect()
+    assert(both.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+    assert(both.head.getBoolean(2))
+    // toIPv4 alias; CIDR block bounds: min = masked base, max = min + 2^(32-n) - 1
+    val rng = spark.sql(
+      """SELECT toIPv4('192.168.5.7') AS num,
+        |       IPv4CIDRToRange(ip, 16).min AS lo,
+        |       IPv4CIDRToRange(ip, 16).max AS hi, ip
+        |FROM ge_ip""".stripMargin).collect()
+    assert(rng.head.getLong(0) == (192L << 24 | 168L << 16 | 5L << 8 | 7L))
+    assert(rng.forall { r =>
+      val (lo, hi, ip) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      lo == (ip & 0xffff0000L) && hi == lo + 65535L && ip >= lo && ip <= hi
+    })
+    val e = intercept[Exception](spark.sql(
+      "SELECT IPv4CIDRToRange(ip) FROM ge_ip").collect())
+    assert(e.getMessage.contains("IPv4CIDRToRange"), e.getMessage)
+  }
+
+  test("ngramDistance/SearchCaseInsensitive ≡ lower-wrapped base forms") {
+    import spark.implicits._
+    val df = Seq((1L, "The FAST Table VALUE store"), (2L, "unrelated"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("ge_ngci")
+    val ci = spark.sql(
+      """SELECT id, ngramDistanceCaseInsensitive(text, 'Fast TABLE value') AS d,
+        |       ngramSearchCaseInsensitive(text, 'Fast TABLE value') AS s
+        |FROM ge_ngci""".stripMargin)
+      .as[(Long, Double, Double)].collect().sorted.toSeq
+    val base = spark.sql(
+      """SELECT id, ngramDistance(lower(text), 'fast table value') AS d,
+        |       ngramSearch(lower(text), 'fast table value') AS s
+        |FROM ge_ngci""".stripMargin)
+      .as[(Long, Double, Double)].collect().sorted.toSeq
+    assert(ci == base)
+    assert(ci.head._3 == 1.0) // full needle present case-insensitively
+  }
+
   test("graft_canonicalize_url from SQL ≡ TextAnalysis.canonicalizeUrl") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
