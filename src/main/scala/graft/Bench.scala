@@ -64,7 +64,7 @@ object Bench {
     "q112_ks_sql", "q113_anova_sql", "q114_corr_matrix_sql",
     "q115_interval_sql", "q116_sparkbar_sql", "q117_geohash_sql",
     "q118_ngram_sql", "q119_uniq_theta_sql", "q120_tukey_scores_sql",
-    "t29_url_canonicalize_sql", "q121_ip_sql",
+    "t29_url_canonicalize_sql", "q121_ip_sql", "q122_ch_alias_battery",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

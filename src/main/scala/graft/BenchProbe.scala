@@ -172,8 +172,10 @@ object BenchProbe {
     // the bounded variant-collapse rollup — linear band
     "q120_tukey_scores_sql", "t29_url_canonicalize_sql",
     // q121 is q73's shape: map-only integer octet/CIDR kernels + one
-    // bounded (cls, is_private) rollup exchange — linear band
-    "q121_ip_sql")
+    // bounded (cls, is_private) rollup exchange — linear band; q122 is
+    // one grouped aggregate over orders (built-in rewrites: DISTINCT +
+    // FILTER + min_by/collect_set/percentile) — one status-key exchange
+    "q121_ip_sql", "q122_ch_alias_battery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -351,7 +351,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
-  ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions
+  ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions ++ chAliases
+
+  /** ClickHouse aggregate names that map 1:1 onto Spark built-ins — pure
+    * plan-time REWRITES (an UnresolvedFunction tree the analyzer
+    * resolves like SQL text; zero new execution code): a migrant's
+    * `SELECT argMax(url, ts), uniqExact(user_id), sumIf(v, v > 0)` runs
+    * unchanged. The -If combinator family rewrites to Spark's aggregate
+    * FILTER clause (the standard translation); `uniq`/`uniqCombined`
+    * map to approx_count_distinct — BOTH approximate, but different
+    * estimators (HLL++ here), so point estimates differ from
+    * ClickHouse's own: exact counts must use uniqExact, the
+    * documented-deviation class.
+    */
+  private def chAliases: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    def rewrite(name: String, doc: String, nArgs: Int, usage: String)(
+        mk: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), info(name, doc),
+        (args: Seq[Expression]) => { arity(args, nArgs, name, usage); mk(args) })
+    def fn(target: String, args: Seq[Expression],
+        distinct: Boolean = false, filter: Option[Expression] = None) =
+      UnresolvedFunction(Seq(target), args, distinct, filter)
+    def iff(target: String) =
+      rewrite(s"${target}If",
+        s"${target}If(v, cond) - ClickHouse ${target}If: $target(v) over the rows where cond holds (rewrites to $target(v) FILTER (WHERE cond))",
+        2, "(v, cond)")(a => fn(target, Seq(a(0)), filter = Some(a(1))))
+    Seq(
+      rewrite("uniqExact", "uniqExact(x) - ClickHouse uniqExact: exact distinct count (rewrites to count(DISTINCT x); for bounded mergeable state see graft_bitmap_card / graft_uniq_upto)",
+        1, "(x)")(a => fn("count", a, distinct = true)),
+      rewrite("uniq", "uniq(x) - ClickHouse uniq: approximate distinct count (rewrites to approx_count_distinct - HLL++ here, a DIFFERENT estimator than ClickHouse's, so point estimates differ; use uniqExact for exact)",
+        1, "(x)")(a => fn("approx_count_distinct", a)),
+      rewrite("uniqCombined", "uniqCombined(x) - ClickHouse uniqCombined: approximate distinct count (approx_count_distinct; estimator differs from ClickHouse's, use uniqExact for exact)",
+        1, "(x)")(a => fn("approx_count_distinct", a)),
+      rewrite("argMin", "argMin(a, v) - ClickHouse argMin: the value of a at the row with minimal v (rewrites to min_by)",
+        2, "(a, v)")(a => fn("min_by", a)),
+      rewrite("argMax", "argMax(a, v) - ClickHouse argMax: the value of a at the row with maximal v (rewrites to max_by)",
+        2, "(a, v)")(a => fn("max_by", a)),
+      rewrite("groupArray", "groupArray(x) - ClickHouse groupArray: all values as an array (rewrites to collect_list; element order is arrival order - partition-dependent on a distributed engine, sort for determinism)",
+        1, "(x)")(a => fn("collect_list", a)),
+      rewrite("groupUniqArray", "groupUniqArray(x) - ClickHouse groupUniqArray: distinct values as an array (rewrites to collect_set; unordered - sort for determinism)",
+        1, "(x)")(a => fn("collect_set", a)),
+      rewrite("quantileExact", "quantileExact(x, phi) - ClickHouse quantileExact, parametric form flattened (rewrites to percentile(x, phi) - exact with linear interpolation); weighted form = graft_quantile_exact_weighted, sketched = graft_kll_quantile",
+        2, "(x, phi)")(a => fn("percentile", a)),
+      // countIf takes ONE arg in ClickHouse (count() has no base args)
+      rewrite("countIf", "countIf(cond) - ClickHouse countIf: row count over the rows where cond holds (rewrites to count(1) FILTER (WHERE cond))",
+        1, "(cond)")(a => fn("count", Seq(Literal(1)), filter = Some(a(0)))),
+      iff("sum"), iff("avg"), iff("min"), iff("max"))
+  }
 
   /** The ClickHouse geo + fuzzy-string scalars under their OWN names —
     * the urlFunctions convention (pure built-in/codegen expression

@@ -3112,7 +3112,63 @@ object Relational {
       "the ClickHouse IPv4 family through the SQL frontend " +
         "(IPv4NumToString/StringToNum, isIPAddressInRange with plan-time " +
         "CIDR folding, IPv4CIDRToRange struct bounds) — hash-matched " +
-        "against the shared q73 oracle"))
+        "against the shared q73 oracle"),
+
+    // q122: the ClickHouse aggregate-alias battery — uniqExact / the -If
+    // combinator family / argMin / argMax / groupUniqArray /
+    // quantileExact as pure plan-time rewrites onto Spark built-ins
+    // (count DISTINCT, FILTER clause, min_by/max_by, collect_set,
+    // percentile), all in one grouped query against a DuckDB oracle
+    // using ITS spellings of the same semantics. avgIf stays
+    // order-independent because every partial double sum of the cent
+    // values is below 2^53 (integer-exact at any accumulation order —
+    // the simpleLinReg envelope); arg ties are broken by the UNIQUE
+    // o_orderkey, so min_by/arg_min agree deterministically.
+    "q122_ch_alias_battery" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_custkey"), col("o_orderkey"),
+            col("o_orderpriority"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("o_orderstatus"))
+          .agg(expr("uniqExact(o_custkey)").as("n_cust"),
+            expr("countIf(cents > 10000000)").as("n_hi"),
+            expr("sumIf(cents, cents > 10000000)").as("sum_hi"),
+            expr("avgIf(cents, cents > 10000000)").as("avg_hi"),
+            expr("minIf(cents, cents > 10000000)").as("min_hi"),
+            expr("maxIf(cents, cents > 10000000)").as("max_hi"),
+            expr("argMin(o_orderpriority, o_orderkey)").as("first_prio"),
+            expr("argMax(o_orderpriority, o_orderkey)").as("last_prio"),
+            expr("array_join(array_sort(groupUniqArray(o_orderpriority)), ',')")
+              .as("prios"),
+            expr("quantileExact(cents, 0.5)").as("p50"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderstatus, o_custkey, o_orderkey,
+             |    o_orderpriority,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderstatus,
+             |  count(DISTINCT o_custkey) AS n_cust,
+             |  count(*) FILTER (WHERE cents > 10000000) AS n_hi,
+             |  CAST(sum(cents) FILTER (WHERE cents > 10000000) AS BIGINT)
+             |    AS sum_hi,
+             |  avg(cents) FILTER (WHERE cents > 10000000) AS avg_hi,
+             |  CAST(min(cents) FILTER (WHERE cents > 10000000) AS BIGINT)
+             |    AS min_hi,
+             |  CAST(max(cents) FILTER (WHERE cents > 10000000) AS BIGINT)
+             |    AS max_hi,
+             |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
+             |  arg_max(o_orderpriority, o_orderkey) AS last_prio,
+             |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             |    AS prios,
+             |  quantile_cont(cents, 0.5) AS p50
+             |FROM b GROUP BY o_orderstatus""".stripMargin),
+      "the ClickHouse aggregate-alias battery (uniqExact, countIf/sumIf/" +
+        "avgIf/minIf/maxIf, argMin/argMax, groupUniqArray, quantileExact)" +
+        " as pure rewrites onto Spark built-ins — one grouped query " +
+        "hash-matched against DuckDB's spellings of the same semantics"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the

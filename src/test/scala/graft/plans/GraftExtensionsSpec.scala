@@ -1181,6 +1181,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ci.head._3 == 1.0) // full needle present case-insensitively
   }
 
+  test("ClickHouse aggregate aliases rewrite onto Spark built-ins: " +
+    "uniqExact/uniq, -If family, argMin/argMax, groupArray/UniqArray, " +
+    "quantileExact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1903)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(100).toLong))
+    rows.toDF("g", "k", "v").createOrReplaceTempView("ge_al")
+    val via = spark.sql(
+      """SELECT g, uniqExact(v) AS a, countIf(v > 50) AS b,
+        |  sumIf(v, v > 50) AS c, avgIf(v, v > 50) AS d,
+        |  minIf(v, v > 50) AS e2, maxIf(v, v > 50) AS f,
+        |  argMin(v, k) AS am, argMax(v, k) AS ax,
+        |  size(groupArray(v)) AS ga,
+        |  array_join(array_sort(groupUniqArray(v)), ',') AS gu,
+        |  quantileExact(v, 0.5) AS p50, uniq(v) AS u
+        |FROM ge_al GROUP BY g""".stripMargin)
+    val base = spark.sql(
+      """SELECT g, count(DISTINCT v) AS a,
+        |  count(1) FILTER (WHERE v > 50) AS b,
+        |  sum(v) FILTER (WHERE v > 50) AS c,
+        |  avg(v) FILTER (WHERE v > 50) AS d,
+        |  min(v) FILTER (WHERE v > 50) AS e2,
+        |  max(v) FILTER (WHERE v > 50) AS f,
+        |  min_by(v, k) AS am, max_by(v, k) AS ax,
+        |  size(collect_list(v)) AS ga,
+        |  array_join(array_sort(collect_set(v)), ',') AS gu,
+        |  percentile(v, 0.5) AS p50, approx_count_distinct(v) AS u
+        |FROM ge_al GROUP BY g""".stripMargin)
+    assert(via.collect().map(_.toString).sorted.toSeq ==
+      base.collect().map(_.toString).sorted.toSeq)
+    // all-filtered-out group: countIf 0, the value -Ifs NULL
+    val degen = spark.sql(
+      """SELECT countIf(v > 99), sumIf(v, v > 99)
+        |FROM VALUES (1L), (2L) AS t(v)""".stripMargin).collect().head
+    assert(degen.getLong(0) == 0L && degen.isNullAt(1))
+    val e = intercept[Exception](spark.sql(
+      "SELECT sumIf(v) FROM ge_al").collect())
+    assert(e.getMessage.contains("sumIf"), e.getMessage)
+  }
+
   test("graft_canonicalize_url from SQL ≡ TextAnalysis.canonicalizeUrl") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
