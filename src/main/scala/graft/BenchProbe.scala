@@ -175,7 +175,9 @@ object BenchProbe {
     // bounded (cls, is_private) rollup exchange — linear band; q122 is
     // one grouped aggregate over orders (built-in rewrites: DISTINCT +
     // FILTER + min_by/collect_set/percentile) — one status-key exchange
-    "q121_ip_sql", "q122_ch_alias_battery")
+    // q123 groups events on three derived date keys — one bounded
+    // (hour, dow, ym) exchange, map-only extraction — linear band
+    "q121_ip_sql", "q122_ch_alias_battery", "q123_date_fns_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -351,7 +351,122 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
-  ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions ++ chAliases
+  ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions ++ chAliases ++
+    dateFunctions
+
+  /** The ClickHouse date/time function names — the family every migrant
+    * query touches first (`GROUP BY toStartOfHour(ts)`, `toYYYYMM`
+    * partitions, `formatDateTime` renders). Pure rewrites/compositions
+    * over Spark built-ins; the two places ClickHouse and Spark disagree
+    * are handled, not aliased: `toDayOfWeek` returns Monday=1..Sunday=7
+    * (CH's convention; Spark's dayofweek is Sunday=1) via explicit
+    * arithmetic, and `formatDateTime`'s %-spec translates to a Java
+    * pattern at plan time with unknown specifiers REJECTED by name
+    * (`%M` is version-ambiguous in ClickHouse — minute historically,
+    * month name under modern MySQL-compat defaults — so it is rejected
+    * with guidance to the unambiguous `%i`). `toStartOf*` return
+    * TIMESTAMP uniformly (CH's date-valued variants differ — cast as
+    * needed, documented in MIGRATION).
+    */
+  private def dateFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{DateType, IntegerType}
+    def fn(target: String, args: Expression*) =
+      UnresolvedFunction(Seq(target), args.toSeq, isDistinct = false)
+    def one(name: String, doc: String)(mk: Expression => Expression) =
+      (FunctionIdentifier(name), info(name, doc),
+        (args: Seq[Expression]) => { arity(args, 1, name, "(ts)"); mk(args(0)) })
+    def trunc(name: String, unit: String) =
+      one(name, s"$name(ts) - ClickHouse $name (rewrites to date_trunc('$unit'); returns TIMESTAMP uniformly - CH's Date-valued variants differ, cast as needed)")(
+        a => fn("date_trunc", Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(unit),
+          org.apache.spark.sql.types.StringType), a))
+    def part(name: String, target: String) =
+      one(name, s"$name(ts) - ClickHouse $name (rewrites to $target)")(
+        a => fn(target, a))
+    Seq(
+      trunc("toStartOfMinute", "minute"), trunc("toStartOfHour", "hour"),
+      trunc("toStartOfDay", "day"), trunc("toStartOfMonth", "month"),
+      trunc("toStartOfQuarter", "quarter"), trunc("toStartOfYear", "year"),
+      part("toHour", "hour"), part("toMinute", "minute"),
+      part("toSecond", "second"), part("toDayOfMonth", "dayofmonth"),
+      part("toDayOfYear", "dayofyear"), part("toMonth", "month"),
+      part("toQuarter", "quarter"), part("toYear", "year"),
+      part("toUnixTimestamp", "unix_timestamp"),
+      one("toDate", "toDate(x) - ClickHouse toDate (rewrites to CAST(x AS DATE))")(
+        a => Cast(a, DateType)),
+      one("toDayOfWeek", "toDayOfWeek(ts) - ClickHouse toDayOfWeek: Monday = 1 .. Sunday = 7 (CH's default mode; Spark's dayofweek is Sunday = 1 - the conversion is explicit arithmetic, not an alias)")(
+        a => {
+          val shifted = fn("pmod",
+            fn("+", fn("dayofweek", a), Literal(5)), Literal(7))
+          Cast(fn("+", shifted, Literal(1)), IntegerType)
+        }),
+      one("toYYYYMM", "toYYYYMM(ts) - ClickHouse toYYYYMM: the integer yyyyMM (e.g. 202408) via exact year*100 + month arithmetic")(
+        a => Cast(fn("+", fn("*", fn("year", a), Literal(100)),
+          fn("month", a)), IntegerType)),
+      one("toYYYYMMDD", "toYYYYMMDD(ts) - ClickHouse toYYYYMMDD: the integer yyyyMMdd via exact arithmetic")(
+        a => Cast(fn("+", fn("*", fn("year", a), Literal(10000)),
+          fn("+", fn("*", fn("month", a), Literal(100)),
+            fn("dayofmonth", a))), IntegerType)),
+      (FunctionIdentifier("formatDateTime"),
+        info("formatDateTime", "formatDateTime(ts, fmt) - ClickHouse formatDateTime with fmt a STRING LITERAL translated to a Java pattern at plan time; supported: %Y %y %m %d %H %i %S %F %T %% and literal text (letters auto-quoted); %M REJECTED by name (version-ambiguous in CH - use %i for minutes)"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "formatDateTime", "(ts, fmt)")
+          val java = chFormatToJava(
+            strLit(args(1), "formatDateTime"), "formatDateTime")
+          fn("date_format", args(0), Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(java),
+            org.apache.spark.sql.types.StringType))
+        }))
+  }
+
+  /** ClickHouse %-format → Java DateTimeFormatter pattern (plan-time,
+    * literal-only). Literal text with pattern letters is single-quoted;
+    * unsupported specifiers throw a NAMED error listing the supported
+    * set.
+    */
+  private def chFormatToJava(fmt: String, fnName: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def quoted(s: String): String =
+      if (s.isEmpty) s
+      else if (s.exists(c => c.isLetter || c == '\''))
+        "'" + s.replace("'", "''") + "'"
+      else s
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        if (i + 1 >= fmt.length) throw new IllegalArgumentException(
+          s"$fnName: dangling % at end of format '$fmt'")
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb ++= "yyyy"
+          case 'y' => sb ++= "yy"
+          case 'm' => sb ++= "MM"
+          case 'd' => sb ++= "dd"
+          case 'H' => sb ++= "HH"
+          case 'i' => sb ++= "mm"
+          case 'S' => sb ++= "ss"
+          case 'F' => sb ++= "yyyy-MM-dd"
+          case 'T' => sb ++= "HH:mm:ss"
+          case '%' => sb += '%'
+          case 'M' => throw new IllegalArgumentException(
+            s"$fnName: %M is version-ambiguous in ClickHouse (minute " +
+              "historically, month name under MySQL-compat defaults) - " +
+              "use %i for minutes")
+          case other => throw new IllegalArgumentException(
+            s"$fnName: unsupported format specifier %$other (supported: " +
+              "%Y %y %m %d %H %i %S %F %T %%)")
+        }
+        i += 2
+      } else {
+        val j = fmt.indexOf('%', i)
+        val end = if (j < 0) fmt.length else j
+        sb ++= quoted(fmt.substring(i, end))
+        i = end
+      }
+    }
+    sb.toString
+  }
 
   /** ClickHouse aggregate names that map 1:1 onto Spark built-ins — pure
     * plan-time REWRITES (an UnresolvedFunction tree the analyzer

@@ -3168,7 +3168,43 @@ object Relational {
       "the ClickHouse aggregate-alias battery (uniqExact, countIf/sumIf/" +
         "avgIf/minIf/maxIf, argMin/argMax, groupUniqArray, quantileExact)" +
         " as pure rewrites onto Spark built-ins — one grouped query " +
-        "hash-matched against DuckDB's spellings of the same semantics"))
+        "hash-matched against DuckDB's spellings of the same semantics"),
+
+    // q123: the ClickHouse date-function names — the hourly-rollup query
+    // every migrant brings (`GROUP BY toStartOfHour(ts)`) plus the
+    // Monday-based toDayOfWeek, the toYYYYMM partition arithmetic, and a
+    // formatDateTime render, hash-matched against DuckDB's own
+    // spellings (isodow IS Monday-based; strftime's %M is unambiguous
+    // minute there).
+    "q123_date_fns_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("ts"), col("value"))
+          .groupBy(expr("toStartOfHour(ts)").as("hr"),
+            expr("toDayOfWeek(ts)").as("dow"),
+            expr("toYYYYMM(ts)").as("ym"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("v_cents"),
+            min(expr("formatDateTime(ts, '%F %H:%i')")).as("first_minute"),
+            max(expr("toUnixTimestamp(ts)")).as("max_ux"))
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             |  CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+             |  CAST(year(CAST(ts AS TIMESTAMP)) * 100 +
+             |       month(CAST(ts AS TIMESTAMP)) AS INT) AS ym,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS v_cents,
+             |  min(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'))
+             |    AS first_minute,
+             |  CAST(max(floor(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+             |    AS max_ux
+             |FROM events GROUP BY 1, 2, 3""".stripMargin),
+      "the ClickHouse date-function names (toStartOfHour grouping, " +
+        "Monday-based toDayOfWeek, toYYYYMM arithmetic, formatDateTime " +
+        "via the plan-time %-spec translator, toUnixTimestamp) — " +
+        "hash-matched against DuckDB's own date spellings"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the

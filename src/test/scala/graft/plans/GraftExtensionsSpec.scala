@@ -1222,6 +1222,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sumIf"), e.getMessage)
   }
 
+  test("ClickHouse date-function names: toStartOf*/parts rewrites, " +
+    "Monday-based toDayOfWeek, toYYYYMM arithmetic, formatDateTime " +
+    "translation with named rejections") {
+    import spark.implicits._
+    val df = Seq("2024-08-12 13:45:30", "2023-12-31 23:59:59",
+      "2024-01-01 00:00:00", "2024-02-29 07:05:00")
+      .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts")
+    df.createOrReplaceTempView("ge_dt")
+    val r = spark.sql(
+      """SELECT CAST(toStartOfHour(ts) AS STRING) AS soh,
+        |  CAST(toStartOfMonth(ts) AS STRING) AS som,
+        |  toHour(ts) AS h, toDayOfWeek(ts) AS dow,
+        |  toYYYYMM(ts) AS ym, toYYYYMMDD(ts) AS ymd,
+        |  toYear(ts) AS y, toUnixTimestamp(ts) AS ux,
+        |  CAST(toDate(ts) AS STRING) AS d,
+        |  formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') AS f,
+        |  formatDateTime(ts, '%F %T') AS ft,
+        |  formatDateTime(ts, '100%% at %H') AS fp
+        |FROM ge_dt ORDER BY ts""".stripMargin).collect()
+    val first = r(1) // 2024-01-01 00:00:00 (Monday)
+    assert(first.getString(0) == "2024-01-01 00:00:00")
+    assert(first.getString(1) == "2024-01-01 00:00:00")
+    assert(first.getInt(3) == 1) // Monday = 1, the CH convention
+    assert(first.getInt(4) == 202401 && first.getInt(5) == 20240101)
+    assert(first.getString(9) == "2024-01-01T00:00:00")
+    assert(first.getString(10) == "2024-01-01 00:00:00")
+    assert(first.getString(11) == "100% at 00")
+    val sun = r(0) // 2023-12-31 (Sunday)
+    assert(sun.getInt(3) == 7) // Sunday = 7
+    assert(sun.getInt(4) == 202312 && sun.getInt(5) == 20231231)
+    val aug = r.find(_.getInt(2) == 13).get // 2024-08-12 (Monday) 13:45
+    assert(aug.getString(9) == "2024-08-12T13:45:30")
+    // %M rejected by NAME with guidance; unknown spec rejected
+    val eM = intercept[Exception](spark.sql(
+      "SELECT formatDateTime(ts, '%H:%M') FROM ge_dt").collect())
+    assert(eM.getMessage.contains("%i"), eM.getMessage)
+    val eU = intercept[Exception](spark.sql(
+      "SELECT formatDateTime(ts, '%Q') FROM ge_dt").collect())
+    assert(eU.getMessage.contains("unsupported"), eU.getMessage)
+  }
+
   test("graft_canonicalize_url from SQL ≡ TextAnalysis.canonicalizeUrl") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
