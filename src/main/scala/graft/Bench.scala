@@ -65,7 +65,7 @@ object Bench {
     "q115_interval_sql", "q116_sparkbar_sql", "q117_geohash_sql",
     "q118_ngram_sql", "q119_uniq_theta_sql", "q120_tukey_scores_sql",
     "t29_url_canonicalize_sql", "q121_ip_sql", "q122_ch_alias_battery",
-    "q123_date_fns_sql",
+    "q123_date_fns_sql", "q124_json_sql",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -176,8 +176,10 @@ object BenchProbe {
     // one grouped aggregate over orders (built-in rewrites: DISTINCT +
     // FILTER + min_by/collect_set/percentile) — one status-key exchange
     // q123 groups events on three derived date keys — one bounded
-    // (hour, dow, ym) exchange, map-only extraction — linear band
-    "q121_ip_sql", "q122_ch_alias_battery", "q123_date_fns_sql")
+    // (hour, dow, ym) exchange, map-only extraction — linear band;
+    // q124 is map-only get_json_object extraction + one type-key rollup
+    "q121_ip_sql", "q122_ch_alias_battery", "q123_date_fns_sql",
+    "q124_json_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

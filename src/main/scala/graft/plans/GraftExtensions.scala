@@ -352,7 +352,80 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
   ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions ++ chAliases ++
-    dateFunctions
+    dateFunctions ++ jsonFunctions
+
+  /** The ClickHouse JSONExtract family — the `props` parsing every CH
+    * events deployment carries. Indices-and-keys argument lists compile
+    * to a JSONPath literal at plan time (CH's 1-based indices become
+    * 0-based `[i-1]`; keys validated [A-Za-z0-9_]+, out-of-contract
+    * steps REJECTED by name), the extraction itself is Spark's
+    * codegen'd get_json_object; missing paths read CH's defaults
+    * ('' / 0 / 0.0 / false) via one Coalesce. `JSONExtractString`
+    * returns the raw extraction text (a nested object extracts as its
+    * JSON — CH returns '' for non-string nodes; deviation documented
+    * in MIGRATION).
+    */
+  private def jsonFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, EvalMode}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val KeyOk = "[A-Za-z0-9_]+".r
+    def jsonPath(args: Seq[Expression], fn: String): Expression = {
+      if (args.size < 2) throw new IllegalArgumentException(
+        s"$fn expects (json, key_or_index, ...) with at least one step")
+      val steps = args.drop(1).map {
+        case Literal(s: UTF8String, StringType) =>
+          val k = s.toString
+          if (!KeyOk.matches(k)) throw new IllegalArgumentException(
+            s"$fn: key '$k' must match [A-Za-z0-9_]+ " +
+              "(quote-free JSONPath keys only)")
+          "." + k
+        case Literal(i: Int, IntegerType) =>
+          if (i < 1) throw new IllegalArgumentException(
+            s"$fn: index $i - ClickHouse indices are 1-based and this " +
+              "engine rejects negative/zero (no from-the-end addressing)")
+          s"[${i - 1}]"
+        case Literal(i: Long, LongType) =>
+          if (i < 1) throw new IllegalArgumentException(
+            s"$fn: index $i - ClickHouse indices are 1-based and this " +
+              "engine rejects negative/zero (no from-the-end addressing)")
+          s"[${i - 1}]"
+        case other => throw new IllegalArgumentException(
+          s"$fn: path steps must be string-key or integer-index " +
+            s"LITERALS, got $other")
+      }
+      Literal(UTF8String.fromString("$" + steps.mkString), StringType)
+    }
+    def get(args: Seq[Expression], fn: String): Expression =
+      UnresolvedFunction(Seq("get_json_object"),
+        Seq(args.head, jsonPath(args, fn)), isDistinct = false)
+    def extractAs(name: String, what: String, tpe: DataType,
+        default: Literal) =
+      (FunctionIdentifier(name),
+        info(name, s"$name(json, key_or_index, ...) - ClickHouse $name: the $what at the literal key/1-based-index path; ${default.toString} when the path is absent or uncastable (CH's default)"),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          Cast(get(args, name), tpe, None, EvalMode.TRY), default)))
+    Seq(
+      (FunctionIdentifier("JSONExtractString"),
+        info("JSONExtractString", "JSONExtractString(json, key_or_index, ...) - ClickHouse JSONExtractString: the value at the literal key/1-based-index path as text, '' when absent; DEVIATION: a non-string node extracts as its raw JSON text (CH returns '')"),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          get(args, "JSONExtractString"),
+          Literal(UTF8String.fromString(""), StringType)))),
+      (FunctionIdentifier("JSONExtractRaw"),
+        info("JSONExtractRaw", "JSONExtractRaw(json, key_or_index, ...) - ClickHouse JSONExtractRaw: the raw JSON text at the path, '' when absent"),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          get(args, "JSONExtractRaw"),
+          Literal(UTF8String.fromString(""), StringType)))),
+      extractAs("JSONExtractInt", "integer", LongType, Literal(0L)),
+      extractAs("JSONExtractFloat", "double", DoubleType, Literal(0.0)),
+      extractAs("JSONExtractBool", "boolean", BooleanType, Literal(false)),
+      (FunctionIdentifier("JSONHas"),
+        info("JSONHas", "JSONHas(json, key_or_index, ...) - ClickHouse JSONHas: TRUE iff the literal key/1-based-index path exists"),
+        (args: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            get(args, "JSONHas"))))
+  }
 
   /** The ClickHouse date/time function names — the family every migrant
     * query touches first (`GROUP BY toStartOfHour(ts)`, `toYYYYMM`

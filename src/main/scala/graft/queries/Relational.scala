@@ -3204,7 +3204,63 @@ object Relational {
       "the ClickHouse date-function names (toStartOfHour grouping, " +
         "Monday-based toDayOfWeek, toYYYYMM arithmetic, formatDateTime " +
         "via the plan-time %-spec translator, toUnixTimestamp) — " +
-        "hash-matched against DuckDB's own date spellings"))
+        "hash-matched against DuckDB's own date spellings"),
+
+    // q124: the JSONExtract family — the real props column plus a
+    // synthesized nested document (object path, array index, absent
+    // keys), rolled up per event type and hash-matched against DuckDB's
+    // json_extract spellings with the same coalesced CH defaults.
+    // Map-only extraction + one bounded type-key exchange.
+    "q124_json_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val js = concat(lit("{\"a\":{\"k\":"),
+          (col("event_id") % 100).cast("string"),
+          lit("},\"tags\":[\""), col("event_type"), lit("\",\"x\"]}"))
+        t(s, dir, "events")
+          .select(col("event_type"), col("props"), js.as("js"))
+          .select(col("event_type"),
+            expr("JSONExtractInt(js, 'a', 'k')").as("ak"),
+            expr("JSONExtractString(js, 'tags', 1)").as("tag1"),
+            expr("JSONExtractString(js, 'tags', 2)").as("tag2"),
+            expr("JSONHas(js, 'a', 'k')").as("has_ak"),
+            expr("JSONHas(js, 'zzz')").as("has_z"),
+            expr("JSONExtractInt(props, 'k')").as("pk"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("ak")).as("sum_ak"),
+            min(col("tag1")).as("t1"), max(col("tag2")).as("t2"),
+            sum(when(col("has_ak"), 1L).otherwise(0L)).as("n_has"),
+            sum(when(col("has_z"), 1L).otherwise(0L)).as("n_z"),
+            sum(col("pk")).as("sum_pk"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, props,
+             |    '{"a":{"k":' || CAST(event_id % 100 AS VARCHAR) ||
+             |    '},"tags":["' || event_type || '","x"]}' AS js
+             |  FROM events),
+             |e AS (SELECT event_type,
+             |  coalesce(CAST(json_extract(js, '$.a.k') AS BIGINT), 0) AS ak,
+             |  coalesce(json_extract_string(js, '$.tags[0]'), '') AS tag1,
+             |  coalesce(json_extract_string(js, '$.tags[1]'), '') AS tag2,
+             |  json_extract(js, '$.a.k') IS NOT NULL AS has_ak,
+             |  json_extract(js, '$.zzz') IS NOT NULL AS has_z,
+             |  coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0) AS pk
+             | FROM b)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(ak) AS BIGINT) AS sum_ak,
+             |  min(tag1) AS t1, max(tag2) AS t2,
+             |  CAST(sum(CASE WHEN has_ak THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_has,
+             |  CAST(sum(CASE WHEN has_z THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_z,
+             |  CAST(sum(pk) AS BIGINT) AS sum_pk
+             |FROM e GROUP BY event_type""".stripMargin),
+      "the ClickHouse JSONExtract family (JSONExtractInt/String, " +
+        "JSONHas; literal key + 1-based-index paths compiled to " +
+        "JSONPath at plan time, CH missing-value defaults) over the " +
+        "real props column and a synthesized nested document — " +
+        "hash-matched against DuckDB's json_extract spellings"))
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the

@@ -1263,6 +1263,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(eU.getMessage.contains("unsupported"), eU.getMessage)
   }
 
+  test("JSONExtract family: key/1-based-index paths, CH missing-value " +
+    "defaults, named rejections for bad steps") {
+    val df = spark.sql(
+      """SELECT '{"a":{"k":42,"s":"hi","f":1.5,"t":true},
+        |"arr":[10,20,30]}' AS j""".stripMargin.replace("\n", ""))
+    df.createOrReplaceTempView("ge_js")
+    val r = spark.sql(
+      """SELECT JSONExtractInt(j, 'a', 'k') AS ak,
+        |  JSONExtractString(j, 'a', 's') AS s,
+        |  JSONExtractFloat(j, 'a', 'f') AS f,
+        |  JSONExtractBool(j, 'a', 't') AS t,
+        |  JSONExtractInt(j, 'arr', 2) AS a2,
+        |  JSONExtractInt(j, 'missing') AS m0,
+        |  JSONExtractString(j, 'missing') AS ms,
+        |  JSONExtractBool(j, 'missing') AS mb,
+        |  JSONHas(j, 'a', 'k') AS h1, JSONHas(j, 'zzz') AS h0,
+        |  JSONExtractRaw(j, 'a') AS raw
+        |FROM ge_js""".stripMargin).collect().head
+    assert(r.getLong(0) == 42L)
+    assert(r.getString(1) == "hi")
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getBoolean(3))
+    assert(r.getLong(4) == 20L) // 1-based index 2 = second element
+    assert(r.getLong(5) == 0L && r.getString(6) == "" && !r.getBoolean(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getString(10).contains("\"k\":42"))
+    // zero/negative index and non-literal step rejected by NAME
+    val e0 = intercept[Exception](spark.sql(
+      "SELECT JSONExtractInt(j, 'arr', 0) FROM ge_js").collect())
+    assert(e0.getMessage.contains("1-based"), e0.getMessage)
+    val eK = intercept[Exception](spark.sql(
+      "SELECT JSONExtractInt(j, 'a.b') FROM ge_js").collect())
+    assert(eK.getMessage.contains("[A-Za-z0-9_]"), eK.getMessage)
+  }
+
   test("graft_canonicalize_url from SQL ≡ TextAnalysis.canonicalizeUrl") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
