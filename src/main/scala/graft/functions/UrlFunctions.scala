@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * no backrefs; non-capturing groups only) so the q97 oracle mirrors
   * token-for-token.
   *
-  * Contract: absolute `scheme://[user[:pass]@]host[:port]` URLs (the
-  * access-log / crawl shape, same as t28). Deviations from ClickHouse,
-  * documented rather than hidden:
+  * Contract: `[scheme://][user[:pass]@]host[:port]` URLs — the scheme
+  * is OPTIONAL, as in ClickHouse ("some.domain.com/path" works; r15
+  * ADVICE retired the old scheme-required deviation). A host-less
+  * relative path ("/a/b") reads an empty host and the path accessors
+  * still apply. Protocol-relative "//host" is NOT special-cased
+  * (the slashes read as path steps — pre-concat a scheme for those).
+  * Deviations from ClickHouse, documented rather than hidden:
   *   - `topLevelDomain` returns '' for IPv4 hosts (as CH does) via an
   *     all-digits-and-dots guard, not a full IP parse.
   *   - `firstSignificantSubdomain` uses a compact multi-part-suffix
@@ -29,10 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object UrlFunctions {
 
-  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+  /** Optional-scheme prefix: the greedy optional group eats `scheme://`
+    * when present, so the following `[^/?#]*` always starts at the
+    * authority (a scheme-less "host/path" starts there directly; a
+    * host-less "/path" matches it empty).
+    */
+  private val SchemeRe = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?"
 
-  /** host[:port] with userinfo — everything between `://` and the first
-    * `/`, `?` or `#` (ClickHouse `netloc` keeps userinfo and port too).
+  /** host[:port] with userinfo — everything before the first `/`, `?`
+    * or `#`, after the optional `scheme://` (ClickHouse `netloc` keeps
+    * userinfo and port too, and accepts scheme-less URLs).
     */
   def netloc(url: Column): Column =
     regexp_extract(url, SchemeRe + "([^/?#]*)", 1)
@@ -56,7 +66,7 @@ object UrlFunctions {
     */
   def cutWWW(url: Column): Column =
     regexp_replace(url,
-      "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?)www\\.", "$1")
+      "^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?)www\\.", "$1")
 
   /** Last dot-label of the host; '' for single-label or IPv4 hosts. */
   def topLevelDomain(url: Column): Column = {
@@ -106,20 +116,15 @@ object UrlFunctions {
   def cutQueryStringAndFragment(url: Column): Column =
     regexp_replace(url, "[?#].*$", "")
 
-  /** `scheme://netloc` prefix (no trailing slash); '' if no scheme.
-    *
-    * SCHEME-REQUIRED contract (a documented deviation, like the
-    * fragment exclusion): ClickHouse's cutWWW/URLHierarchy also accept
-    * scheme-less forms ("www.example.com/a"); here every consumer of
-    * this prefix — [[cutWWW]] (passes scheme-less URLs through
-    * unchanged) and [[urlHierarchy]] (reads a bare "/" root level) —
-    * requires `scheme://`. The engine's URL columns come from access
-    * logs and t28 canonicalization, both schemed; pre-concat
-    * 'https://' for bare-host corpora. Pinned in UrlFunctionsSpec,
-    * noted in MIGRATION.md.
+  /** `[scheme://]netloc` prefix (no trailing slash) — the hierarchy
+    * root. Scheme-less URLs keep their bare authority as the prefix
+    * ("www.example.com/a" roots at "www.example.com/", ClickHouse's
+    * own URLHierarchy read); a host-less relative path reads an empty
+    * prefix and roots at "/". The old scheme-REQUIRED deviation is
+    * retired (r15 ADVICE), spec- and oracle-pinned both ways.
     */
   private def schemePrefix(url: Column): Column =
-    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    regexp_extract(url, "^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*)", 1)
 
   /** Host truncated to start at the first significant subdomain —
     * ClickHouse `cutToFirstSignificantSubdomain` ("news.clickhouse.com.tr"

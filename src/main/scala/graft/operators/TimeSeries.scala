@@ -289,8 +289,10 @@ object TimeSeries {
     * `deltaSumTimestamp`: sum of POSITIVE consecutive deltas in the
     * declared (ts, tiebreak) order — the only well-defined fold order on
     * a distributed engine, where CH's plain `deltaSum` folds in block
-    * order). Buffers (t, id, v) rows; NULL-ts and NULL-v sentinel rows
-    * are SKIPPED at reduce — a skipped row joins its neighbors, where
+    * order). Buffers (t, id, v) rows; NULL-ts and NULL-v rows (flagged
+    * by the explicit validity slot, no in-band sentinel — a genuine
+    * Long.MinValue value participates like any other) are SKIPPED at
+    * reduce — a skipped row joins its neighbors, where
     * the window form's lag-over-NULL voids both adjacent deltas; on the
     * family's non-null contract (callers pre-scale/clean, like every
     * deltaStats caller) the two surfaces agree, spec-pinned. Finish
@@ -306,28 +308,25 @@ object TimeSeries {
     * surfaces are BIT-equal, spec-pinned. NULL-ts/NULL-v rows skip;
     * empty group → NULL.
     *
-    * SENTINEL CAVEAT (scope of the bit-equality claim): the registry
-    * encodes NULL values IN-BAND as NaN (the tuple encoder's value slot
-    * is a non-nullable primitive), so a GENUINE NaN input row is
-    * indistinguishable from NULL and skips here, where the Column form
-    * would propagate NaN through the fold — the SQL ≡ Column claim
-    * holds on NaN-free inputs (every deltaStats-family caller's
-    * contract; callers pre-scale/clean). [[DeltaSumAgg]] conflates a
-    * legitimate Long.MinValue the same way. The r15 stats frontends
-    * (AbTests/Stats aggregators) carry an explicit validity slot
-    * instead — migrate this family if a NaN-transparent SQL EMA is
-    * ever needed.
+    * NULL rows travel as an EXPLICIT validity slot (the 4th tuple
+    * field, the r15 stats-frontend pattern) — the value slot carries no
+    * in-band sentinel, so a GENUINE NaN input survives and propagates
+    * through the fold exactly as the Column form's `aggregate` lambda
+    * propagates it (spec-pinned); the SQL ≡ Column claim is
+    * unqualified. [[DeltaSumAgg]] carries the same slot for its Long
+    * values.
     */
   final class EmaAgg(alpha: Double, beta: Double)
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Double),
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double, Boolean),
         scala.collection.mutable.ArrayBuffer[(Long, Long, Double)],
         java.lang.Double] {
     require(alpha > 0 && alpha <= 1 && beta >= 0 && beta < 1,
       s"need 0 < alpha <= 1 and 0 <= beta < 1, got ($alpha, $beta)")
     type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]
     override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
-    override def reduce(b: Buf, e: (Long, Long, Double)): Buf =
-      if (e._1 == Long.MinValue || e._3.isNaN) b else { b += e; b }
+    override def reduce(b: Buf, e: (Long, Long, Double, Boolean)): Buf =
+      if (!e._4) b else { b += ((e._1, e._2, e._3)); b }
     override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
     override def finish(b: Buf): java.lang.Double = {
       if (b.isEmpty) return null
@@ -347,13 +346,13 @@ object TimeSeries {
   }
 
   final class DeltaSumAgg
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long),
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Long, Boolean),
         scala.collection.mutable.ArrayBuffer[(Long, Long, Long)], Long] {
     type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
     override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
-    override def reduce(b: Buf, e: (Long, Long, Long)): Buf =
-      if (e._1 == Long.MinValue || e._3 == Long.MinValue) b
-      else { b += e; b }
+    override def reduce(b: Buf, e: (Long, Long, Long, Boolean)): Buf =
+      if (!e._4) b else { b += ((e._1, e._2, e._3)); b }
     override def merge(a: Buf, b: Buf): Buf = { a ++= b; a }
     override def finish(b: Buf): Long = {
       val sorted = b.sortBy(e => (e._1, e._2))(Ordering.Tuple2[Long, Long])

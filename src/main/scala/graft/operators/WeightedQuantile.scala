@@ -70,21 +70,19 @@ object WeightedQuantile {
     * an all-skipped group yields NULL. Total weight must stay under
     * ~9.2·10¹⁴ (the cum·10⁴ product's Long envelope).
     *
-    * SENTINEL CAVEAT (the EmaAgg note): the registry encodes NULL
-    * values in-band as Long.MinValue, so a GENUINE Long.MinValue input
-    * is conflated with NULL and skipped — out of scope for the
-    * quantized-domain contract above (a domain needing MinValue has no
-    * business in a value→weight map), but stated for completeness; the
-    * r15 stats frontends carry an explicit validity slot instead.
+    * NULL values travel as an EXPLICIT validity slot (the 3rd tuple
+    * field, the r15 stats-frontend pattern) — no in-band sentinel, so
+    * a GENUINE Long.MinValue value participates like any other
+    * (spec-pinned) and the SQL ≡ Column claim is unqualified.
     */
   final class ExactWeightedAgg(phiBp: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long),
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Boolean),
         scala.collection.mutable.HashMap[Long, Long], java.lang.Long] {
     require(phiBp >= 0 && phiBp <= 10000, s"φ must be in [0, 1], got bp $phiBp")
     type Buf = scala.collection.mutable.HashMap[Long, Long]
     override def zero: Buf = scala.collection.mutable.HashMap.empty
-    override def reduce(b: Buf, e: (Long, Long)): Buf = {
-      if (e._1 != Long.MinValue && e._2 > 0)
+    override def reduce(b: Buf, e: (Long, Long, Boolean)): Buf = {
+      if (e._3 && e._2 > 0)
         b.update(e._1, b.getOrElse(e._1, 0L) + e._2)
       b
     }

@@ -237,50 +237,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.Encoders.DOUBLE, "graft_histogram",
           Seq(args(0)))),
     (FunctionIdentifier("graft_delta_sum"),
-      info("graft_delta_sum", "graft_delta_sum(ts, id, v) - ClickHouse deltaSumTimestamp: sum of POSITIVE consecutive value deltas in strict (ts, id) order (the engine's declared fold order; CH's plain deltaSum folds in block order, undefined distributed); NULL ts/v rows skipped (NULL encoded in-band as Long.MinValue: a genuine Long.MinValue value is conflated and skipped); integer values — pre-scale floats"),
+      info("graft_delta_sum", "graft_delta_sum(ts, id, v) - ClickHouse deltaSumTimestamp: sum of POSITIVE consecutive value deltas in strict (ts, id) order (the engine's declared fold order; CH's plain deltaSum folds in block order, undefined distributed); NULL ts/v rows skipped via an EXPLICIT validity slot (no in-band sentinel - a genuine Long.MinValue value participates); integer values — pre-scale floats"),
       (args: Seq[Expression]) => {
         if (args.size != 3) throw new IllegalArgumentException(
           "graft_delta_sum expects (ts, id, value)")
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
-        val v = Coalesce(Seq(Cast(args(2), org.apache.spark.sql.types.LongType),
-          Literal(Long.MinValue)))
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.TimeSeries.DeltaSumAgg(),
           org.apache.spark.sql.catalyst.encoders
-            .ExpressionEncoder[(Long, Long, Long)](),
-          "graft_delta_sum", Seq(tsExpr(args(0)), idExpr(args(1)), v))
+            .ExpressionEncoder[(Long, Long, Long, Boolean)](),
+          "graft_delta_sum", Seq(tsExpr(args(0)), idExpr(args(1)),
+            longIn(args(2)), validExpr(args(0), args(2))))
       }),
     (FunctionIdentifier("graft_ema"),
-      info("graft_ema", "graft_ema(ts, id, v, alpha, beta) - ClickHouse exponentialMovingAverage (ordered-series form): s1 = v1, si = alpha*vi + beta*s(i-1) folded in strict (ts, id) order; beta passed EXPLICITLY (1-alpha is not FP-safe to recompute — state both constants, e.g. 0.25/0.75); bit-equal to the Column form on NaN-free inputs (NULL encoded in-band as NaN: a genuine NaN value is conflated and skipped where the Column form propagates it); NULL ts/v rows skipped, empty group NULL"),
+      info("graft_ema", "graft_ema(ts, id, v, alpha, beta) - ClickHouse exponentialMovingAverage (ordered-series form): s1 = v1, si = alpha*vi + beta*s(i-1) folded in strict (ts, id) order; beta passed EXPLICITLY (1-alpha is not FP-safe to recompute — state both constants, e.g. 0.25/0.75); bit-equal to the Column form UNQUALIFIED (NULL rows travel as an explicit validity slot, no in-band sentinel - a genuine NaN value survives and propagates through the fold like the Column form); NULL ts/v rows skipped, empty group NULL"),
       (args: Seq[Expression]) => {
         if (args.size != 5) throw new IllegalArgumentException(
           "graft_ema expects (ts, id, value, alpha, beta)")
         import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
         val v = Coalesce(Seq(Cast(args(2), org.apache.spark.sql.types.DoubleType),
-          Literal(Double.NaN)))
+          Literal(0.0)))
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.TimeSeries.EmaAgg(
             numLit(args(3), "graft_ema"), numLit(args(4), "graft_ema")),
           org.apache.spark.sql.catalyst.encoders
-            .ExpressionEncoder[(Long, Long, Double)](),
-          "graft_ema", Seq(tsExpr(args(0)), idExpr(args(1)), v))
+            .ExpressionEncoder[(Long, Long, Double, Boolean)](),
+          "graft_ema", Seq(tsExpr(args(0)), idExpr(args(1)), v,
+            validExpr(args(0), args(2))))
       }),
     (FunctionIdentifier("graft_quantile_exact_weighted"),
-      info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped (NULL encoded in-band as Long.MinValue: a genuine Long.MinValue value is conflated and skipped)"),
+      info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped via an EXPLICIT validity slot (no in-band sentinel - a genuine Long.MinValue value participates)"),
       (args: Seq[Expression]) => {
         if (args.size != 3) throw new IllegalArgumentException(
           "graft_quantile_exact_weighted expects (value, weight, phi)")
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce}
-        import org.apache.spark.sql.types.LongType
-        val v = Coalesce(Seq(Cast(args(0), LongType), Literal(Long.MinValue)))
-        val w = Coalesce(Seq(Cast(args(1), LongType), Literal(0L)))
         val phi = numLit(args(2), "graft_quantile_exact_weighted")
         org.apache.spark.sql.graftbridge.ColumnBridge.scalaAggregator(
           new graft.operators.WeightedQuantile.ExactWeightedAgg(
             math.round(phi * 10000).toInt),
           org.apache.spark.sql.catalyst.encoders
-            .ExpressionEncoder[(Long, Long)](),
-          "graft_quantile_exact_weighted", Seq(v, w))
+            .ExpressionEncoder[(Long, Long, Boolean)](),
+          "graft_quantile_exact_weighted",
+          Seq(longIn(args(0)), longIn(args(1)), validExpr(args(0))))
       }),
     (FunctionIdentifier("graft_window_funnel"),
       info("graft_window_funnel", "graft_window_funnel(window_us, ts, id, cond1[, ...condN]) - ClickHouse windowFunnel level as an aggregate: the longest k such that events matching cond1..condk exist in strict (ts, id) order with every chain event within window_us of the chain's FIRST event; deterministic tie order (ts, id) unlike ClickHouse, NULL-ts rows skipped, NULL conds read false"),
@@ -352,7 +348,118 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
   ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions ++ chAliases ++
-    dateFunctions ++ jsonFunctions
+    dateFunctions ++ jsonFunctions ++ chScalarAliases
+
+  /** ClickHouse scalar-name aliases — the everyday vocabulary a migrant
+    * query carries besides aggregates and dates: `arrayJoin`, `multiIf`,
+    * the `toIntN` / `toUIntN` / `toFloatN` / `toString` cast names,
+    * `intDiv` / `modulo`, array accessors (`has`/`indexOf`/
+    * `arrayElement`), string helpers (`empty`/`notEmpty`/`splitByChar`/
+    * `arrayStringConcat`/`match`/`replaceAll`/`replaceRegexpAll`),
+    * `today`/`yesterday`,
+    * `assumeNotNull`. All pure plan-time rewrites onto Spark built-ins
+    * (the chAliases discipline — zero new execution code); semantic
+    * deviations are stated per name, and names Spark's parser or
+    * registry already owns with DIFFERENT semantics (`position` — CH
+    * swaps the argument order; `length` — CH counts bytes; `extract` —
+    * grammar-owned) are deliberately NOT shadowed: those are named
+    * MIGRATION gaps, not silent traps.
+    */
+  private def chScalarAliases: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, EqualTo, If}
+    import org.apache.spark.sql.types._
+    def fn(target: String, args: Expression*) =
+      UnresolvedFunction(Seq(target), args.toSeq, isDistinct = false)
+    def rewrite(name: String, doc: String, nArgs: Int, usage: String)(
+        mk: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), info(name, doc),
+        (args: Seq[Expression]) => { arity(args, nArgs, name, usage); mk(args) })
+    def castAlias(name: String, tpe: DataType, note: String = "") =
+      rewrite(name,
+        s"$name(x) - ClickHouse $name (rewrites to CAST(x AS ${tpe.sql})$note; non-ANSI session semantics: overflow wraps, malformed strings read NULL where CH throws - the T4 convention)",
+        1, "(x)")(a => Cast(a(0), tpe))
+    val nullLit = Literal.create(null, NullType)
+    Seq(
+      rewrite("arrayJoin",
+        "arrayJoin(arr) - ClickHouse arrayJoin (rewrites to explode: one output row per element). SELECT-list only and ONE generator per SELECT (Spark's generator rule; CH allows several - split into chained selects)",
+        1, "(arr)")(a => fn("explode", a(0))),
+      (FunctionIdentifier("multiIf"),
+        info("multiIf", "multiIf(cond1, v1[, cond2, v2, ...], else) - ClickHouse multiIf (rewrites to CASE WHEN cond1 THEN v1 ... ELSE else END)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 3 || args.size % 2 == 0)
+            throw new IllegalArgumentException(
+              "multiIf expects (cond1, v1, ..., condN, vN, else) - an " +
+                s"odd argument count of at least 3 (${args.size} given)")
+          CaseWhen(args.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq,
+            Some(args.last))
+        }),
+      rewrite("has", "has(arr, x) - ClickHouse has (rewrites to array_contains)",
+        2, "(arr, x)")(a => fn("array_contains", a(0), a(1))),
+      rewrite("indexOf", "indexOf(arr, x) - ClickHouse indexOf: 1-based position of the first occurrence, 0 when absent (rewrites to array_position)",
+        2, "(arr, x)")(a => fn("array_position", a(0), a(1))),
+      rewrite("arrayElement", "arrayElement(arr, n) - ClickHouse arrayElement: 1-based element access, negative n from the end; DEVIATION: out-of-range (including n = 0) reads NULL, not CH's type default",
+        2, "(arr, n)")(a =>
+        If(EqualTo(a(1), Literal(0)), nullLit,
+          fn("try_element_at", a(0), a(1)))),
+      rewrite("empty", "empty(s) - ClickHouse empty for strings (length = 0; NULL passes through - CH reads 1 for NULL via Nullable wrapping); for arrays use size(arr) = 0",
+        1, "(s)")(a => EqualTo(fn("length", a(0)), Literal(0))),
+      rewrite("notEmpty", "notEmpty(s) - ClickHouse notEmpty for strings (length > 0)",
+        1, "(s)")(a =>
+        org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          fn("length", a(0)), Literal(0))),
+      castAlias("toString", StringType,
+        "; a timestamp renders 'yyyy-MM-dd HH:mm:ss' like CH, with a fractional tail when sub-second"),
+      castAlias("toInt8", ByteType), castAlias("toInt16", ShortType),
+      castAlias("toInt32", IntegerType), castAlias("toInt64", LongType),
+      castAlias("toUInt8", ShortType, " - no unsigned types: widened one level"),
+      castAlias("toUInt16", IntegerType, " - no unsigned types: widened one level"),
+      castAlias("toUInt32", LongType, " - no unsigned types: widened one level"),
+      castAlias("toUInt64", LongType, " - no unsigned types: UInt64 values past int64 wrap"),
+      castAlias("toFloat32", FloatType), castAlias("toFloat64", DoubleType),
+      rewrite("intDiv", "intDiv(a, b) - ClickHouse intDiv (rewrites to integral div; truncates toward zero)",
+        2, "(a, b)")(a => fn("div", a(0), a(1))),
+      rewrite("modulo", "modulo(a, b) - ClickHouse modulo (rewrites to mod; sign follows the dividend, both engines)",
+        2, "(a, b)")(a => fn("mod", a(0), a(1))),
+      (FunctionIdentifier("today"),
+        info("today", "today() - ClickHouse today (rewrites to current_date)"),
+        (args: Seq[Expression]) => {
+          arity(args, 0, "today", "()"); fn("current_date")
+        }),
+      (FunctionIdentifier("yesterday"),
+        info("yesterday", "yesterday() - ClickHouse yesterday (current_date - 1)"),
+        (args: Seq[Expression]) => {
+          arity(args, 0, "yesterday", "()")
+          fn("date_sub", fn("current_date"), Literal(1))
+        }),
+      rewrite("splitByChar", "splitByChar(sep, s) - ClickHouse splitByChar: sep a ONE-CHARACTER string literal (quoted into the split regex at plan time); trailing empties kept, like CH",
+        2, "(sep, s)")(a => {
+        val sep = strLit(a(0), "splitByChar")
+        if (sep.length != 1) throw new IllegalArgumentException(
+          s"splitByChar: separator must be exactly one character, got '$sep'")
+        fn("split", a(1), Literal(java.util.regex.Pattern.quote(sep)))
+      }),
+      (FunctionIdentifier("arrayStringConcat"),
+        info("arrayStringConcat", "arrayStringConcat(arr[, sep]) - ClickHouse arrayStringConcat (rewrites to array_join; sep defaults to '')"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 2)
+            throw new IllegalArgumentException(
+              s"arrayStringConcat expects (arr[, sep]) (${args.size} given)")
+          val sep = if (args.size == 2) args(1)
+            else Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(""), StringType)
+          fn("array_join", args(0), sep)
+        }),
+      rewrite("match", "match(haystack, pattern) - ClickHouse match: unanchored regex search (rewrites to RLIKE; Java regex here vs CH's RE2 - the portable subset behaves identically)",
+        2, "(haystack, pattern)")(a => fn("rlike", a(0), a(1))),
+      rewrite("replaceAll", "replaceAll(s, pattern, replacement) - ClickHouse replaceAll: LITERAL substring replace, all occurrences (rewrites to replace)",
+        3, "(s, pattern, replacement)")(a => fn("replace", a(0), a(1), a(2))),
+      rewrite("replaceRegexpAll", "replaceRegexpAll(s, pattern, replacement) - ClickHouse replaceRegexpAll (rewrites to regexp_replace); DEVIATION: backreferences are $1 here vs CH's \\1",
+        3, "(s, pattern, replacement)")(a =>
+        fn("regexp_replace", a(0), a(1), a(2))),
+      rewrite("assumeNotNull", "assumeNotNull(x) - ClickHouse assumeNotNull (identity here: the engine has no non-nullable enforcement to unlock; NULLs pass through)",
+        1, "(x)")(a => a(0)))
+  }
 
   /** The ClickHouse JSONExtract family — the `props` parsing every CH
     * events deployment carries. Indices-and-keys argument lists compile
@@ -364,6 +471,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * returns the raw extraction text (a nested object extracts as its
     * JSON — CH returns '' for non-string nodes; deviation documented
     * in MIGRATION).
+    *
+    * The structural members (`JSONHas`/`JSONLength`/`JSONType`/
+    * `JSONExtractArrayRaw`/`JSONExtractKeys`/
+    * `JSONExtractKeysAndValuesRaw`) route through Spark's VARIANT
+    * surface instead (`try_parse_json` → `try_variant_get`): a variant
+    * distinguishes an ABSENT path (SQL NULL) from an explicit JSON
+    * null (variant null), so `JSONHas` matches ClickHouse exactly —
+    * including `JSONHas('{"a":null}', 'a') = TRUE` — and the text is
+    * parsed ONCE per row (the let-binding transform binds the parsed
+    * variant; path navigation on variant binary is index arithmetic,
+    * not re-parsing).
     */
   private def jsonFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -371,9 +489,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     val KeyOk = "[A-Za-z0-9_]+".r
-    def jsonPath(args: Seq[Expression], fn: String): Expression = {
-      if (args.size < 2) throw new IllegalArgumentException(
-        s"$fn expects (json, key_or_index, ...) with at least one step")
+    def jsonPath(args: Seq[Expression], fn: String,
+        minSteps: Int = 1): Expression = {
+      if (args.size < minSteps + 1) throw new IllegalArgumentException(
+        s"$fn expects (json, key_or_index, ...) with at least " +
+          s"$minSteps step(s)")
       val steps = args.drop(1).map {
         case Literal(s: UTF8String, StringType) =>
           val k = s.toString
@@ -397,9 +517,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       Literal(UTF8String.fromString("$" + steps.mkString), StringType)
     }
+    def pathStr(e: Expression): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalStateException(s"not a path: $other")
+    }
     def get(args: Seq[Expression], fn: String): Expression =
       UnresolvedFunction(Seq("get_json_object"),
         Seq(args.head, jsonPath(args, fn)), isDistinct = false)
+    // the VARIANT leg: parse once, navigate on variant binary. The
+    // let-binding transform (1-element array + lambda) pins the parsed
+    // value so multi-probe bodies (array-vs-object, type dispatch)
+    // never re-parse the text — the q96/tukeyScores8 idiom.
+    import org.apache.spark.sql.{functions => F, Column}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
+    def vGet(args: Seq[Expression], fn: String, minSteps: Int = 1): Column =
+      F.try_variant_get(
+        F.try_parse_json(column(Cast(args.head, StringType))),
+        pathStr(jsonPath(args, fn, minSteps)), "variant")
+    def let(bound: Column)(body: Column => Column): Column =
+      F.element_at(F.transform(F.array(bound), body), 1)
+    val emptyStrArr = F.array().cast("array<string>")
     def extractAs(name: String, what: String, tpe: DataType,
         default: Literal) =
       (FunctionIdentifier(name),
@@ -417,14 +554,80 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => Coalesce(Seq(
           get(args, "JSONExtractRaw"),
           Literal(UTF8String.fromString(""), StringType)))),
-      extractAs("JSONExtractInt", "integer", LongType, Literal(0L)),
+      (FunctionIdentifier("JSONExtractInt"),
+        info("JSONExtractInt", "JSONExtractInt(json, key_or_index, ...) - ClickHouse JSONExtractInt: the integer at the literal key/1-based-index path; integral text converts exactly (full int64 range), a non-integral numeric node truncates toward zero (200.7 reads 200 - CH's conversion), true/false read 1/0, absent/uncastable reads 0 (CH's default)"),
+        (args: Seq[Expression]) => {
+          val raw = get(args, "JSONExtractInt")
+          // three TRY legs, evaluated lazily: the exact int64 parse
+          // first (no double round-trip for values past 2^53), then
+          // CH's numeric truncation, then the bool conversion
+          Coalesce(Seq(
+            Cast(raw, LongType, None, EvalMode.TRY),
+            Cast(Cast(raw, DoubleType, None, EvalMode.TRY), LongType,
+              None, EvalMode.TRY),
+            Cast(Cast(raw, BooleanType, None, EvalMode.TRY), LongType,
+              None, EvalMode.TRY),
+            Literal(0L)))
+        }),
       extractAs("JSONExtractFloat", "double", DoubleType, Literal(0.0)),
       extractAs("JSONExtractBool", "boolean", BooleanType, Literal(false)),
       (FunctionIdentifier("JSONHas"),
-        info("JSONHas", "JSONHas(json, key_or_index, ...) - ClickHouse JSONHas: TRUE iff the literal key/1-based-index path exists"),
+        info("JSONHas", "JSONHas(json, key_or_index, ...) - ClickHouse JSONHas: TRUE iff the literal key/1-based-index path exists, INCLUDING a key holding an explicit JSON null (the variant surface distinguishes absent - SQL NULL - from JSON null - variant null - exactly as CH does); malformed JSON reads FALSE"),
         (args: Seq[Expression]) =>
-          org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            get(args, "JSONHas"))))
+          eagerExpression(vGet(args, "JSONHas").isNotNull)),
+      (FunctionIdentifier("JSONLength"),
+        info("JSONLength", "JSONLength(json[, key_or_index, ...]) - ClickHouse JSONLength: element count of the array or key count of the object at the path (the whole document with no path steps); 0 for scalars, absent paths and malformed JSON (CH's default)"),
+        (args: Seq[Expression]) => eagerExpression(
+          let(vGet(args, "JSONLength", minSteps = 0)) { v =>
+            val arr = F.try_variant_get(v, "$", "array<variant>")
+            val obj = F.try_variant_get(v, "$", "map<string,variant>")
+            F.when(arr.isNotNull, F.size(arr).cast("long"))
+              .when(obj.isNotNull, F.size(F.map_keys(obj)).cast("long"))
+              .otherwise(F.lit(0L))
+          })),
+      (FunctionIdentifier("JSONType"),
+        info("JSONType", "JSONType(json[, key_or_index, ...]) - ClickHouse JSONType: the type name of the node at the path - 'String'/'Int64'/'Double'/'Bool'/'Array'/'Object', 'Null' for an explicit JSON null, an absent path or malformed JSON (CH's missing-value read); DEVIATION: integers past int64 read 'Double' (CH distinguishes UInt64), every integral number reads 'Int64' (CH never returns UInt64 for in-range values either)"),
+        (args: Seq[Expression]) => eagerExpression(
+          let(vGet(args, "JSONType", minSteps = 0)) { v =>
+            F.when(v.isNull, F.lit("Null")).otherwise(
+              let(F.schema_of_variant(v)) { s =>
+                F.when(s === "VOID", "Null")
+                  .when(s === "STRING", "String")
+                  .when(s === "BIGINT", "Int64")
+                  .when(s === "BOOLEAN", "Bool")
+                  // parse_json types every in-range integer BIGINT;
+                  // DECIMAL arises only for non-integral numbers
+                  // (2.5 -> DECIMAL(2,1)) or integers past int64 - both
+                  // the documented 'Double' read here
+                  .when(s === "DOUBLE" || s.startsWith("DECIMAL"), "Double")
+                  .when(s.startsWith("ARRAY"), "Array")
+                  .when(s.startsWith("OBJECT"), "Object")
+                  .otherwise("Null")
+              })
+          })),
+      (FunctionIdentifier("JSONExtractArrayRaw"),
+        info("JSONExtractArrayRaw", "JSONExtractArrayRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractArrayRaw: each element of the array at the path as its raw JSON text (strings keep their quotes, nested structures their braces); [] when the path is absent or not an array (CH's default)"),
+        (args: Seq[Expression]) => eagerExpression(
+          F.coalesce(F.transform(
+            let(vGet(args, "JSONExtractArrayRaw", minSteps = 0))(v =>
+              F.try_variant_get(v, "$", "array<variant>")),
+            x => F.to_json(x)), emptyStrArr))),
+      (FunctionIdentifier("JSONExtractKeys"),
+        info("JSONExtractKeys", "JSONExtractKeys(json[, key_or_index, ...]) - ClickHouse JSONExtractKeys: the keys of the object at the path; [] when absent or not an object; DEVIATION: keys sort ASCENDING (the variant encoding's canonical order; CH preserves document order)"),
+        (args: Seq[Expression]) => eagerExpression(
+          F.coalesce(F.map_keys(
+            let(vGet(args, "JSONExtractKeys", minSteps = 0))(v =>
+              F.try_variant_get(v, "$", "map<string,variant>"))),
+            emptyStrArr))),
+      (FunctionIdentifier("JSONExtractKeysAndValuesRaw"),
+        info("JSONExtractKeysAndValuesRaw", "JSONExtractKeysAndValuesRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractKeysAndValuesRaw: array<struct<key, value>> of the object's entries with values as raw JSON text; [] when absent or not an object; DEVIATION: entries sort by key ASCENDING (CH preserves document order)"),
+        (args: Seq[Expression]) => eagerExpression(
+          F.coalesce(F.transform(F.map_entries(
+            let(vGet(args, "JSONExtractKeysAndValuesRaw", minSteps = 0))(v =>
+              F.try_variant_get(v, "$", "map<string,variant>"))),
+            e => F.struct(e.getField("key").as("key"),
+              F.to_json(e.getField("value")).as("value"))),
+            F.array().cast("array<struct<key:string,value:string>>")))))
   }
 
   /** The ClickHouse date/time function names — the family every migrant
@@ -440,6 +643,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * with guidance to the unambiguous `%i`). `toStartOf*` return
     * TIMESTAMP uniformly (CH's date-valued variants differ — cast as
     * needed, documented in MIGRATION).
+    *
+    * Tier 2 (the dashboard-query staples): `toMonday`/`toStartOfWeek`
+    * (mode 0 = Sunday start, CH's default — explicit date_sub
+    * arithmetic, not an alias of Spark's Monday-based 'week' trunc),
+    * the N-minute grid floors, the `addDays`/`subtractDays` interval
+    * family (make_dt_interval / make_ym_interval arithmetic, n may be
+    * a column), `graft_date_diff` with CH's BOUNDARY-CROSSING
+    * semantics (truncate-then-diff per unit — NOT Spark's
+    * elapsed-units timestampdiff; the CH spelling `dateDiff` is owned
+    * by Spark's PARSER at grammar level and cannot be taken over — a
+    * named MIGRATION gap), and `toDateTime`.
     */
   private def dateFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -458,10 +672,127 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def part(name: String, target: String) =
       one(name, s"$name(ts) - ClickHouse $name (rewrites to $target)")(
         a => fn(target, a))
+    // interval-free helpers for the week/N-minute/add families: date
+    // arithmetic on exact integers (date_sub day counts, unix-second
+    // remainders) rather than interval algebra — every result is a
+    // plain TIMESTAMP with no calendar-interval types in the plan
+    def tsCast(e: Expression) =
+      Cast(e, org.apache.spark.sql.types.TimestampType)
+    def strL(s: String) = Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    // days since the week start: Sunday mode = dayofweek-1 (Spark's
+    // dayofweek is Sunday=1), Monday mode = pmod(dayofweek+5, 7)
+    def weekStart(a: Expression, monday: Boolean): Expression = {
+      val back =
+        if (monday) fn("pmod", fn("+", fn("dayofweek", a), Literal(5)),
+          Literal(7))
+        else fn("-", fn("dayofweek", a), Literal(1))
+      tsCast(fn("date_sub", Cast(a, DateType), back))
+    }
+    def nMinutes(name: String, secs: Int) =
+      one(name, s"$name(ts) - ClickHouse $name: the ${secs / 60}-minute grid floor via exact unix-second remainder arithmetic (returns TIMESTAMP)")(
+        a => {
+          val u = fn("unix_timestamp", a)
+          fn("timestamp_seconds", fn("-", u, fn("pmod", u,
+            Literal(secs.toLong))))
+        })
+    // addDays(ts, n) and friends: CH's interval-add family. The input
+    // casts to TIMESTAMP uniformly (the toStartOf* convention); n may
+    // be any integer COLUMN (not just a literal). Day/hour/minute/
+    // second legs go through make_dt_interval (exact micros); month/
+    // year legs through make_ym_interval (calendar add, end-of-month
+    // clamped like CH).
+    def addUnit(name: String, what: String)(
+        mk: Expression => Expression) =
+      (FunctionIdentifier(name),
+        info(name, s"$name(ts, n) - ClickHouse $name: ts $what (n an integer expression, negative OK; input cast to TIMESTAMP uniformly - CH's Date-in/Date-out variants differ, cast as needed)"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, name, "(ts, n)")
+          fn("+", tsCast(args(0)), mk(args(1)))
+        })
+    def dt(d: Expression, h: Expression, m: Expression, s: Expression) =
+      fn("make_dt_interval", d, h, m, s)
+    val zero = Literal(0)
+    def neg(e: Expression) = fn("negative", e)
+    def addSub(base: String, what: String)(mk: Expression => Expression) = Seq(
+      addUnit("add" + base, what)(mk),
+      addUnit("subtract" + base, s"minus $what")(n => mk(neg(n))))
     Seq(
       trunc("toStartOfMinute", "minute"), trunc("toStartOfHour", "hour"),
       trunc("toStartOfDay", "day"), trunc("toStartOfMonth", "month"),
       trunc("toStartOfQuarter", "quarter"), trunc("toStartOfYear", "year"),
+      one("toMonday", "toMonday(ts) - ClickHouse toMonday: the Monday of ts's week (returns TIMESTAMP at midnight; CH returns Date - cast as needed)")(
+        a => weekStart(a, monday = true)),
+      nMinutes("toStartOfFiveMinutes", 300),
+      nMinutes("toStartOfTenMinutes", 600),
+      nMinutes("toStartOfFifteenMinutes", 900),
+      (FunctionIdentifier("toStartOfWeek"),
+        info("toStartOfWeek", "toStartOfWeek(ts[, mode = 0]) - ClickHouse toStartOfWeek: the week start at midnight as TIMESTAMP; mode an INT LITERAL - 0 (CH's default, week starts SUNDAY) or 1 (Monday); other CH modes (first-week-of-year policies, irrelevant to the week-start pick) are rejected by name"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 2)
+            throw new IllegalArgumentException(
+              s"toStartOfWeek expects (ts[, mode]) (${args.size} given)")
+          val mode =
+            if (args.size == 2) intLit(args(1), "toStartOfWeek") else 0
+          if (mode != 0 && mode != 1) throw new IllegalArgumentException(
+            s"toStartOfWeek: mode $mode - only 0 (Sunday start, CH " +
+              "default) and 1 (Monday start) are supported")
+          weekStart(args(0), monday = mode == 1)
+        })) ++
+      addSub("Seconds", "plus n seconds")(n => dt(zero, zero, zero, n)) ++
+      addSub("Minutes", "plus n minutes")(n => dt(zero, zero, n, zero)) ++
+      addSub("Hours", "plus n hours")(n => dt(zero, n, zero, zero)) ++
+      addSub("Days", "plus n days")(n => dt(n, zero, zero, zero)) ++
+      addSub("Weeks", "plus n weeks (7-day)")(n =>
+        dt(fn("*", n, Literal(7)), zero, zero, zero)) ++
+      addSub("Months", "plus n calendar months (end-of-month clamped)")(
+        n => fn("make_ym_interval", zero, n)) ++
+      addSub("Quarters", "plus n quarters (3-month)")(
+        n => fn("make_ym_interval", zero, fn("*", n, Literal(3)))) ++
+      addSub("Years", "plus n calendar years (Feb-29 clamped)")(
+        n => fn("make_ym_interval", n, zero)) ++
+    Seq(
+      (FunctionIdentifier("graft_date_diff"),
+        info("graft_date_diff", "graft_date_diff(unit, start, end) - ClickHouse dateDiff SEMANTICS under an engine name: the number of UNIT BOUNDARIES crossed from start to end (truncate-then-diff, so ('day', 23:00, next 01:00) = 1 - NOT elapsed full units), unit a string literal in second/minute/hour/day/week/month/quarter/year (week boundaries are Mondays, CH's rule); returns BIGINT. The CH spelling dateDiff('day', ...) CANNOT be taken over: Spark's PARSER owns dateDiff/date_diff at the grammar level (quoted units are a parse error; unquoted dateDiff(DAY, ...) is Spark's ELAPSED-unit timestampdiff - silently different) - the named MIGRATION gap is the rewrite to this function"),
+        (args: Seq[Expression]) => {
+          {
+            arity(args, 3, "graft_date_diff", "(unit, start, end)")
+            val unit = strLit(args(0), "graft_date_diff").toLowerCase
+            val a = tsCast(args(1))
+            val b = tsCast(args(2))
+            def u(e: Expression) = fn("unix_timestamp", e)
+            def truncDiv(w: String, secs: Long) =
+              fn("div",
+                fn("-", u(fn("date_trunc", strL(w), b)),
+                  u(fn("date_trunc", strL(w), a))),
+                Literal(secs))
+            def ymIndex(e: Expression, perYear: Int, part: String) =
+              fn("+", fn("*", fn("year", e), Literal(perYear)),
+                fn(part, e))
+            val d: Expression = unit match {
+              case "second" => fn("-", u(b), u(a))
+              case "minute" => truncDiv("minute", 60L)
+              case "hour" => truncDiv("hour", 3600L)
+              case "day" => fn("datediff", Cast(b, DateType),
+                Cast(a, DateType))
+              case "week" => fn("div",
+                fn("datediff", fn("date_trunc", strL("week"), b),
+                  fn("date_trunc", strL("week"), a)), Literal(7))
+              case "month" => fn("-", ymIndex(b, 12, "month"),
+                ymIndex(a, 12, "month"))
+              case "quarter" => fn("-", ymIndex(b, 4, "quarter"),
+                ymIndex(a, 4, "quarter"))
+              case "year" => fn("-", fn("year", b), fn("year", a))
+              case other => throw new IllegalArgumentException(
+                s"graft_date_diff: unit '$other' - expected second/" +
+                  "minute/hour/day/week/month/quarter/year")
+            }
+            Cast(d, org.apache.spark.sql.types.LongType)
+          }
+        }),
+      one("toDateTime", "toDateTime(x) - ClickHouse toDateTime (rewrites to CAST(x AS TIMESTAMP))")(
+        a => tsCast(a)),
       part("toHour", "hour"), part("toMinute", "minute"),
       part("toSecond", "second"), part("toDayOfMonth", "dayofmonth"),
       part("toDayOfYear", "dayofyear"), part("toMonth", "month"),
@@ -502,9 +833,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def chFormatToJava(fmt: String, fnName: String): String = {
     val sb = new StringBuilder
     var i = 0
+    // '#', '{' and '}' are reserved in Java DateTimeFormatter alongside
+    // the pattern letters — an unquoted '{%Y}' would pass plan-time
+    // validation here and throw an opaque runtime error, so they quote
+    // like letters do
     def quoted(s: String): String =
       if (s.isEmpty) s
-      else if (s.exists(c => c.isLetter || c == '\''))
+      else if (s.exists(c => c.isLetter || c == '\'' || c == '#' ||
+        c == '{' || c == '}'))
         "'" + s.replace("'", "''") + "'"
       else s
     while (i < fmt.length) {
@@ -580,7 +916,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         1, "(x)")(a => fn("collect_list", a)),
       rewrite("groupUniqArray", "groupUniqArray(x) - ClickHouse groupUniqArray: distinct values as an array (rewrites to collect_set; unordered - sort for determinism)",
         1, "(x)")(a => fn("collect_set", a)),
-      rewrite("quantileExact", "quantileExact(x, phi) - ClickHouse quantileExact, parametric form flattened (rewrites to percentile(x, phi) - exact with linear interpolation); weighted form = graft_quantile_exact_weighted, sketched = graft_kll_quantile",
+      rewrite("quantileExact", "quantileExact(x, phi) - ClickHouse quantileExact, parametric form flattened: returns an ACTUAL element of the group (CH's nth_element pick - sorted[floor(phi*n)] zero-based, clamped), NOT an interpolation; phi a numeric literal; NULL on an empty group (CH reads nan). State = the group's values, CH's own shape. The interpolating sibling is quantileExactInclusive; weighted form = graft_quantile_exact_weighted, sketched = graft_kll_quantile",
+        2, "(x, phi)")(a => {
+          // rank arithmetic on exact integers: floor(phi*n) stays exact
+          // while n < 2^52/phi-denominator - any real group size
+          val phi = numLit(a(1), "quantileExact")
+          if (phi < 0 || phi > 1) throw new IllegalArgumentException(
+            s"quantileExact: phi must be in [0, 1], got $phi")
+          val cnt = fn("count", Seq(a(0)))
+          // greatest(1, _) keeps the index structurally valid on an
+          // empty group (count 0 -> index 1 -> try_element_at NULL;
+          // element_at index 0 is rejected even in TRY mode)
+          val idx = org.apache.spark.sql.catalyst.expressions.Cast(
+            fn("greatest", Seq(Literal(1L),
+              fn("least", Seq(
+                fn("+", Seq(fn("floor", Seq(fn("*",
+                  Seq(Literal(phi), cnt)))), Literal(1L))),
+                cnt)))),
+            org.apache.spark.sql.types.IntegerType)
+          fn("try_element_at", Seq(
+            fn("array_sort", Seq(fn("collect_list", Seq(a(0))))), idx))
+        }),
+      rewrite("quantileExactInclusive", "quantileExactInclusive(x, phi) - ClickHouse quantileExactInclusive, parametric form flattened (rewrites to percentile(x, phi) - exact with linear interpolation, the PERCENTILE.INC/percentile_cont rule both engines share)",
         2, "(x, phi)")(a => fn("percentile", a)),
       // countIf takes ONE arg in ClickHouse (count() has no base args)
       rewrite("countIf", "countIf(cond) - ClickHouse countIf: row count over the rows where cond holds (rewrites to count(1) FILTER (WHERE cond))",

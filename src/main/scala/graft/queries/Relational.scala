@@ -2434,7 +2434,9 @@ object Relational {
           .otherwise(concat(lit("news"), (col("uid") % 9).cast("string"),
             lit(".example.com")))
         val url = concat(
-          when(col("id") % 3 === 0, lit("https://")).otherwise(lit("http://")),
+          when(col("id") % 19 === 0, lit(""))  // scheme-less, CH-style
+            .when(col("id") % 3 === 0, lit("https://"))
+            .otherwise(lit("http://")),
           when(col("id") % 11 === 0, lit("user:pw@")).otherwise(lit("")),
           host,
           when(col("id") % 6 === 0, lit(":8080")).otherwise(lit("")),
@@ -2495,7 +2497,9 @@ object Relational {
           .otherwise(concat(lit("news"), (col("uid") % 9).cast("string"),
             lit(".example.com")))
         val url = concat(
-          when(col("id") % 3 === 0, lit("https://")).otherwise(lit("http://")),
+          when(col("id") % 19 === 0, lit(""))  // scheme-less, CH-style
+            .when(col("id") % 3 === 0, lit("https://"))
+            .otherwise(lit("http://")),
           host,
           when(col("id") % 6 === 0, lit(":8080")).otherwise(lit("")),
           when(col("id") % 17 === 0, lit(""))
@@ -3117,8 +3121,9 @@ object Relational {
     // q122: the ClickHouse aggregate-alias battery — uniqExact / the -If
     // combinator family / argMin / argMax / groupUniqArray /
     // quantileExact as pure plan-time rewrites onto Spark built-ins
-    // (count DISTINCT, FILTER clause, min_by/max_by, collect_set,
-    // percentile), all in one grouped query against a DuckDB oracle
+    // (count DISTINCT, FILTER clause, min_by/max_by, collect_set, the
+    // sorted-collect actual-element pick - CH's nth_element rule, not
+    // interpolation), all in one grouped query against a DuckDB oracle
     // using ITS spellings of the same semantics. avgIf stays
     // order-independent because every partial double sum of the cent
     // values is below 2^53 (integer-exact at any accumulation order —
@@ -3163,7 +3168,8 @@ object Relational {
              |  arg_max(o_orderpriority, o_orderkey) AS last_prio,
              |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
              |    AS prios,
-             |  quantile_cont(cents, 0.5) AS p50
+             |  list_sort(list(cents))[CAST(least(floor(0.5 * count(cents))
+             |    + 1, count(cents)) AS BIGINT)] AS p50
              |FROM b GROUP BY o_orderstatus""".stripMargin),
       "the ClickHouse aggregate-alias battery (uniqExact, countIf/sumIf/" +
         "avgIf/minIf/maxIf, argMin/argMax, groupUniqArray, quantileExact)" +
@@ -3260,7 +3266,188 @@ object Relational {
         "JSONHas; literal key + 1-based-index paths compiled to " +
         "JSONPath at plan time, CH missing-value defaults) over the " +
         "real props column and a synthesized nested document — " +
-        "hash-matched against DuckDB's json_extract spellings"))
+        "hash-matched against DuckDB's json_extract spellings"),
+
+    // q125: the STRUCTURAL JSON family over the variant surface
+    // (r15 verdict item 5) — JSONHas distinguishing an explicit JSON
+    // null from an absent key (the r15 ADVICE deviation, now fixed, and
+    // the oracle PINS the fix: DuckDB's json_type is non-NULL for an
+    // explicit null), JSONLength on objects and arrays, JSONType's CH
+    // type names, JSONExtractArrayRaw / JSONExtractKeys /
+    // JSONExtractKeysAndValuesRaw flattened to joined strings (the
+    // driver-compare no-ARRAY-columns rule), and JSONExtractInt's
+    // non-integral truncation (2.5 reads 2 - the other r15 ADVICE fix).
+    // Map-only: one try_parse_json per row bound by the let-binding
+    // transform, then variant-binary navigation; one type-key exchange.
+    "q125_json_structural" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val js = concat(lit("{\"a\":{\"k\":"),
+          (col("event_id") % 100).cast("string"),
+          lit("},\"n\":null,\"tags\":[\""), col("event_type"),
+          lit("\",\"x\",3],\"s\":\"v\",\"d\":2.5}"))
+        t(s, dir, "events")
+          .select(col("event_type"), js.as("js"))
+          .select(col("event_type"),
+            expr("JSONLength(js)").as("len_root"),
+            expr("JSONLength(js, 'tags')").as("len_tags"),
+            expr("JSONLength(js, 's')").as("len_s"),
+            expr("JSONType(js, 'a', 'k')").as("t_ak"),
+            expr("JSONType(js, 'n')").as("t_n"),
+            expr("JSONType(js, 'zz')").as("t_zz"),
+            expr("JSONType(js, 'd')").as("t_d"),
+            expr("JSONType(js, 'tags')").as("t_tags"),
+            expr("JSONHas(js, 'n')").as("has_n"),
+            expr("array_join(JSONExtractArrayRaw(js, 'tags'), '|')")
+              .as("arr_raw"),
+            expr("array_join(JSONExtractKeys(js), ',')").as("keys_root"),
+            expr("array_join(transform(JSONExtractKeysAndValuesRaw(js, 'a')," +
+              " e -> concat(e.key, '=', e.value)), '|')").as("kv_a"),
+            expr("JSONExtractInt(js, 'd')").as("int_d"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("len_root")).as("sum_len_root"),
+            sum(col("len_tags")).as("sum_len_tags"),
+            sum(col("len_s")).as("sum_len_s"),
+            min(col("t_ak")).as("t_ak"), min(col("t_n")).as("t_n"),
+            min(col("t_zz")).as("t_zz"), min(col("t_d")).as("t_d"),
+            min(col("t_tags")).as("t_tags"),
+            sum(when(col("has_n"), 1L).otherwise(0L)).as("n_has_null_key"),
+            min(col("arr_raw")).as("arr_raw"),
+            min(col("keys_root")).as("keys_root"),
+            max(col("kv_a")).as("max_kv"),
+            sum(col("int_d")).as("sum_int_d"))
+      },
+      Some(jsonStructuralOracle),
+      "the structural JSON family (JSONHas on explicit nulls, " +
+        "JSONLength, JSONType under CH type names, JSONExtractArrayRaw/" +
+        "Keys/KeysAndValuesRaw, JSONExtractInt truncation) over the " +
+        "variant surface - hash-matched against DuckDB json_type/" +
+        "json_keys/json_extract spellings"),
+
+    // q126: the tier-2 date family (r15 verdict item 6) — Sunday-based
+    // toStartOfWeek (CH's mode-0 default, explicit date_sub arithmetic)
+    // as the GROUP key, toMonday, the 15/5-minute grid floors, the
+    // add/subtract interval family (day-time and year-month legs, the
+    // end-of-month clamp exercised by real data), and graft_date_diff's
+    // boundary-crossing rule summed per row against the week start —
+    // all mirrored in DuckDB's own spellings (its date_diff IS
+    // boundary-crossing, its week IS Monday-based).
+    "q126_date_tier2" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("ts"))
+          .select(col("ts"),
+            expr("toStartOfWeek(ts)").as("wk"),
+            expr("toMonday(ts)").as("mon"),
+            expr("toStartOfFifteenMinutes(ts)").as("m15"),
+            expr("toStartOfFiveMinutes(ts)").as("m5"),
+            expr("addDays(ts, 3)").as("d3"),
+            expr("subtractMonths(ts, 1)").as("msub"))
+          .groupBy(col("wk"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("mon")).as("n_mondays"),
+            min(col("m15")).as("min_m15"), max(col("m5")).as("max_m5"),
+            min(col("d3")).as("min_d3"), max(col("msub")).as("max_msub"),
+            sum(expr("graft_date_diff('hour', wk, ts)")).as("sum_dd_hr"),
+            sum(expr("graft_date_diff('day', mon, ts)")).as("sum_dd_day"))
+      },
+      Some(dateTier2Oracle),
+      "the tier-2 ClickHouse date family: Sunday-based toStartOfWeek " +
+        "grouping, toMonday, N-minute grid floors, add/subtract " +
+        "interval arithmetic with calendar clamps, boundary-crossing " +
+        "graft_date_diff - hash-matched against DuckDB's own date " +
+        "spellings"))
+
+  /** The q125 oracle: the structural JSON family re-derived with
+    * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
+    * `json_type` is non-NULL ('NULL') for an explicit JSON null and SQL
+    * NULL for an absent path — exactly the distinction the fixed
+    * JSONHas draws on the variant surface. The type-name CASE maps
+    * DuckDB's names onto CH's (UBIGINT/BIGINT → Int64, VARCHAR →
+    * String, ...), mirroring the engine's schema_of_variant mapping.
+    */
+  private def jsonStructuralOracle: String = {
+    def chType(path: String): String =
+      s"""CASE coalesce(json_type(js, '$path'), 'MISSING')
+         |    WHEN 'VARCHAR' THEN 'String' WHEN 'BIGINT' THEN 'Int64'
+         |    WHEN 'UBIGINT' THEN 'Int64' WHEN 'DOUBLE' THEN 'Double'
+         |    WHEN 'BOOLEAN' THEN 'Bool' WHEN 'ARRAY' THEN 'Array'
+         |    WHEN 'OBJECT' THEN 'Object' ELSE 'Null' END""".stripMargin
+    def chLen(path: String): String = {
+      val p = if (path.isEmpty) "js" else s"js, '$path'"
+      s"""CASE WHEN json_type($p) = 'ARRAY'
+         |    THEN CAST(json_array_length($p) AS BIGINT)
+         |    WHEN json_type($p) = 'OBJECT'
+         |    THEN CAST(len(json_keys($p)) AS BIGINT)
+         |    ELSE 0 END""".stripMargin
+    }
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    '{"a":{"k":' || CAST(event_id % 100 AS VARCHAR) ||
+       |    '},"n":null,"tags":["' || event_type ||
+       |    '","x",3],"s":"v","d":2.5}' AS js
+       |  FROM events),
+       |e AS (SELECT event_type,
+       |  ${chLen("")} AS len_root,
+       |  ${chLen("$.tags")} AS len_tags,
+       |  ${chLen("$.s")} AS len_s,
+       |  ${chType("$.a.k")} AS t_ak,
+       |  ${chType("$.n")} AS t_n,
+       |  ${chType("$.zz")} AS t_zz,
+       |  ${chType("$.d")} AS t_d,
+       |  ${chType("$.tags")} AS t_tags,
+       |  json_type(js, '$$.n') IS NOT NULL AS has_n,
+       |  array_to_string(list_transform(
+       |    range(CAST(json_array_length(js, '$$.tags') AS BIGINT)),
+       |    i -> CAST(json_extract(js, '$$.tags[' || i || ']') AS VARCHAR)),
+       |    '|') AS arr_raw,
+       |  array_to_string(list_sort(json_keys(js)), ',') AS keys_root,
+       |  array_to_string(list_transform(list_sort(json_keys(js, '$$.a')),
+       |    k -> k || '=' || CAST(json_extract(js, '$$.a.' || k) AS VARCHAR)),
+       |    '|') AS kv_a,
+       |  CAST(trunc(CAST(json_extract(js, '$$.d') AS DOUBLE)) AS BIGINT)
+       |    AS int_d
+       | FROM b)
+       |SELECT event_type, count(*) AS n,
+       |  CAST(sum(len_root) AS BIGINT) AS sum_len_root,
+       |  CAST(sum(len_tags) AS BIGINT) AS sum_len_tags,
+       |  CAST(sum(len_s) AS BIGINT) AS sum_len_s,
+       |  min(t_ak) AS t_ak, min(t_n) AS t_n, min(t_zz) AS t_zz,
+       |  min(t_d) AS t_d, min(t_tags) AS t_tags,
+       |  CAST(sum(CASE WHEN has_n THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_has_null_key,
+       |  min(arr_raw) AS arr_raw, min(keys_root) AS keys_root,
+       |  max(kv_a) AS max_kv,
+       |  CAST(sum(int_d) AS BIGINT) AS sum_int_d
+       |FROM e GROUP BY event_type""".stripMargin
+  }
+
+  /** The q126 oracle: DuckDB's week IS Monday-based (`date_trunc('week')`)
+    * and its `date_diff` IS boundary-crossing — the Sunday-mode
+    * toStartOfWeek is the same +1day/-1day trick, the N-minute grids are
+    * epoch-remainder arithmetic, the interval adds its native `+ INTERVAL`
+    * (identical end-of-month clamping).
+    */
+  private def dateTier2Oracle: String =
+    """WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT ts,
+      |  date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY AS wk,
+      |  date_trunc('week', ts) AS mon,
+      |  make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(ts)) AS BIGINT) % 900) * 1000000) AS m15,
+      |  make_timestamp((CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(ts)) AS BIGINT) % 300) * 1000000) AS m5,
+      |  ts + 3 * INTERVAL 1 DAY AS d3,
+      |  ts - INTERVAL 1 MONTH AS msub
+      | FROM b)
+      |SELECT wk, count(*) AS n, count(DISTINCT mon) AS n_mondays,
+      |  min(m15) AS min_m15, max(m5) AS max_m5,
+      |  min(d3) AS min_d3, max(msub) AS max_msub,
+      |  CAST(sum(date_diff('hour', wk, ts)) AS BIGINT) AS sum_dd_hr,
+      |  CAST(sum(date_diff('day', mon, ts)) AS BIGINT) AS sum_dd_day
+      |FROM c GROUP BY wk""".stripMargin
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the
@@ -3799,7 +3986,8 @@ object Relational {
   private def urlFunctionsOracle: String =
     """WITH e AS (SELECT event_id AS id, user_id AS uid FROM events),
       |u AS (SELECT id,
-      |  (CASE WHEN id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+      |  (CASE WHEN id % 19 = 0 THEN ''
+      |        WHEN id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
       |  (CASE WHEN id % 11 = 0 THEN 'user:pw@' ELSE '' END) ||
       |  (CASE WHEN id % 13 = 0
       |     THEN '10.0.0.' || CAST(uid % 250 AS VARCHAR)
@@ -3815,12 +4003,12 @@ object Relational {
       |  (CASE WHEN id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
       | FROM e),
       |x AS (SELECT id, url,
-      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+      |  regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1)
       |    AS nl,
       |  regexp_replace(regexp_replace(
-      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      |    regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1),
       |    '^[^@]*@', ''), ':[0-9]+$', '') AS dom,
-      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      |  regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1)
       |    AS p0,
       |  regexp_extract(url, '\?([^#]*)', 1) AS qs,
       |  regexp_extract(url, '#(.*)$', 1) AS frag,
@@ -3864,7 +4052,8 @@ object Relational {
   private def urlHierarchyOracle: String =
     """WITH e AS (SELECT event_id AS id, user_id AS uid FROM events),
       |u AS (SELECT id,
-      |  (CASE WHEN id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
+      |  (CASE WHEN id % 19 = 0 THEN ''
+      |        WHEN id % 3 = 0 THEN 'https://' ELSE 'http://' END) ||
       |  (CASE WHEN id % 13 = 0
       |     THEN '10.0.0.' || CAST(uid % 250 AS VARCHAR)
       |   WHEN id % 7 = 0
@@ -3881,12 +4070,12 @@ object Relational {
       |  (CASE WHEN id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
       | FROM e),
       |x AS (SELECT id, url,
-      |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+      |  regexp_extract(url, '^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*)', 1)
       |    AS pre,
       |  regexp_replace(regexp_replace(
-      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      |    regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1),
       |    '^[^@]*@', ''), ':[0-9]+$', '') AS dom,
-      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      |  regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1)
       |    AS p0,
       |  regexp_extract(url, '\?([^#]*)', 1) AS qs,
       |  regexp_replace(url, '[?#].*$', '') AS cut

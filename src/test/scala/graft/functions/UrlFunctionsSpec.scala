@@ -150,17 +150,33 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(hier("http://localhost/x")._1 == "")
   }
 
-  test("scheme-required contract (documented deviation): scheme-less " +
-    "URLs pass cutWWW unchanged and read a bare '/' root in URLHierarchy") {
+  test("scheme-less URLs are accepted ClickHouse-style (r15 ADVICE: the " +
+    "old scheme-required deviation is retired)") {
     import UrlFunctions._
     val df = Seq("www.example.com/a/b?q=1").toDF("u")
     val r = df.select(cutWWW(col("u")).as("cw"),
       urlHierarchy(col("u")).as("uh"),
-      // the documented workaround: pre-concat a scheme
+      domain(col("u")).as("dom"),
+      firstSignificantSubdomain(col("u")).as("fsd"),
+      path(col("u")).as("p"),
+      netloc(col("u")).as("nl"),
       cutWWW(concat(lit("https://"), col("u"))).as("cw2")).collect().head
-    assert(r.getString(0) == "www.example.com/a/b?q=1") // unchanged
-    assert(r.getSeq[String](1).headOption.contains("/")) // bare root level
-    assert(r.getString(2) == "https://example.com/a/b?q=1")
+    assert(r.getString(0) == "example.com/a/b?q=1") // www. stripped in place
+    // hierarchy roots at the bare authority, query level last
+    assert(r.getSeq[String](1).toList == List(
+      "www.example.com/", "www.example.com/a/", "www.example.com/a/b",
+      "www.example.com/a/b?q=1"))
+    assert(r.getString(2) == "www.example.com")
+    assert(r.getString(3) == "example")
+    assert(r.getString(4) == "/a/b")
+    assert(r.getString(5) == "www.example.com")
+    assert(r.getString(6) == "https://example.com/a/b?q=1")
+    // host-less relative path: empty host, path accessors still apply
+    val rel = Seq("/a/b?q=2").toDF("u")
+      .select(domain(col("u")), path(col("u")),
+        urlHierarchy(col("u"))).collect().head
+    assert(rel.getString(0) == "" && rel.getString(1) == "/a/b")
+    assert(rel.getSeq[String](2).headOption.contains("/")) // bare root
   }
 
   test("the accessor projection is map-only (zero exchanges)") {

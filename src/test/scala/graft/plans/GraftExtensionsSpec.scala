@@ -1208,7 +1208,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  min_by(v, k) AS am, max_by(v, k) AS ax,
         |  size(collect_list(v)) AS ga,
         |  array_join(array_sort(collect_set(v)), ',') AS gu,
-        |  percentile(v, 0.5) AS p50, approx_count_distinct(v) AS u
+        |  try_element_at(array_sort(collect_list(v)),
+        |    CAST(least(floor(0.5 * count(v)) + 1, count(v)) AS INT)) AS p50,
+        |  approx_count_distinct(v) AS u
         |FROM ge_al GROUP BY g""".stripMargin)
     assert(via.collect().map(_.toString).sorted.toSeq ==
       base.collect().map(_.toString).sorted.toSeq)
@@ -1321,5 +1323,218 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // spot-pin the normalization itself
     assert(viaSql.head._2 == "http://shop3.example.com/p/7?a=1&b=2")
     assert(viaSql(1)._2 == "https://shop3.example.com/p/7?a=1&b=2")
+  }
+
+  test("explicit validity slots: genuine NaN / Long.MinValue inputs " +
+    "survive graft_ema / graft_delta_sum / graft_quantile_exact_weighted") {
+    // EMA: a NaN value row PARTICIPATES and poisons the fold exactly as
+    // the Column form's aggregate lambda would (NaN * anything = NaN) —
+    // the old in-band encoding silently dropped it
+    val ema = spark.sql(
+      """SELECT graft_ema(ts, id, v, 0.25d, 0.75d)
+        |FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 1L, 10.0d),
+        |  (TIMESTAMP '2024-01-01 00:00:01', 2L, CAST('NaN' AS DOUBLE)),
+        |  (TIMESTAMP '2024-01-01 00:00:02', 3L, 20.0d)
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(ema.getDouble(0).isNaN)
+    // ...while a NULL value row still skips (validity slot, not value)
+    val emaNull = spark.sql(
+      """SELECT graft_ema(ts, id, v, 0.25d, 0.75d)
+        |FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 1L, 10.0d),
+        |  (TIMESTAMP '2024-01-01 00:00:01', 2L, CAST(NULL AS DOUBLE)),
+        |  (TIMESTAMP '2024-01-01 00:00:02', 3L, 20.0d)
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(emaNull.getDouble(0) == 0.25 * 20.0 + 0.75 * 10.0)
+    // delta_sum: Long.MinValue participates as a real value — the
+    // MinValue -> 0 step wraps to MinValue (two's-complement, same as
+    // the Column form's lag subtraction) and is skipped as negative;
+    // the 0 -> 5 step contributes. The old in-band encoding would have
+    // dropped the MinValue ROW, making 5 -> 5 contribute nothing extra
+    // but, with (10, MinValue, 5), would misread the series entirely
+    val ds = spark.sql(
+      s"""SELECT graft_delta_sum(ts, id, v)
+        |FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 1L, ${Long.MinValue}L),
+        |  (TIMESTAMP '2024-01-01 00:00:01', 2L, 0L),
+        |  (TIMESTAMP '2024-01-01 00:00:02', 3L, 5L)
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(ds.getLong(0) == 5L)
+    // exact weighted quantile: MinValue is an ordinary (smallest) value
+    val qw = spark.sql(
+      s"""SELECT graft_quantile_exact_weighted(v, w, 0.0),
+        |  graft_quantile_exact_weighted(v, w, 1.0)
+        |FROM VALUES (${Long.MinValue}L, 1L), (7L, 1L)
+        |  AS t(v, w)""".stripMargin).collect().head
+    assert(qw.getLong(0) == Long.MinValue && qw.getLong(1) == 7L)
+  }
+
+  test("quantileExact picks an ACTUAL element (CH nth_element rule); " +
+    "quantileExactInclusive interpolates") {
+    val r = spark.sql(
+      """SELECT quantileExact(v, 0.5) AS p50,
+        |  quantileExact(v, 0.0) AS p0,
+        |  quantileExact(v, 1.0) AS p100,
+        |  quantileExactInclusive(v, 0.5) AS i50
+        |FROM VALUES (1L), (2L), (3L), (4L) AS t(v)""".stripMargin)
+      .collect().head
+    // CH: sorted[floor(0.5*4)] = sorted[2] = 3 (never 2.5)
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 2.5)
+    // all-NULL group reads NULL (CH reads nan; engine NULL convention)
+    val n = spark.sql(
+      "SELECT quantileExact(v, 0.5) FROM VALUES (CAST(NULL AS BIGINT)) t(v)")
+      .collect().head
+    assert(n.isNullAt(0))
+    val e = intercept[Exception](spark.sql(
+      "SELECT quantileExact(v, 1.5) FROM VALUES (1L) t(v)").collect())
+    assert(e.getMessage.contains("phi"), e.getMessage)
+  }
+
+  test("JSON structural family over the variant surface: JSONHas on an " +
+    "explicit null, JSONLength, JSONType, JSONExtractArrayRaw, " +
+    "JSONExtractKeys, JSONExtractKeysAndValuesRaw") {
+    spark.sql(
+      """SELECT '{"a":{"k":42},"n":null,"tags":["view","x",3],"s":"v","d":2.5}'
+        |AS j""".stripMargin.replace("\n", ""))
+      .createOrReplaceTempView("ge_jv")
+    val r = spark.sql(
+      """SELECT JSONHas(j, 'n') AS has_null_key,
+        |  JSONHas(j, 'zz') AS has_missing,
+        |  JSONLength(j) AS len_root, JSONLength(j, 'tags') AS len_tags,
+        |  JSONLength(j, 'a') AS len_a, JSONLength(j, 's') AS len_s,
+        |  JSONType(j) AS t_root, JSONType(j, 'a', 'k') AS t_ak,
+        |  JSONType(j, 'n') AS t_n, JSONType(j, 'zz') AS t_zz,
+        |  JSONType(j, 'd') AS t_d, JSONType(j, 's') AS t_s,
+        |  JSONType(j, 'tags') AS t_tags,
+        |  array_join(JSONExtractArrayRaw(j, 'tags'), '|') AS arr_raw,
+        |  array_join(JSONExtractArrayRaw(j, 's'), '|') AS arr_not,
+        |  array_join(JSONExtractKeys(j), ',') AS keys_root,
+        |  array_join(transform(JSONExtractKeysAndValuesRaw(j, 'a'),
+        |    e -> concat(e.key, '=', e.value)), '|') AS kv_a,
+        |  JSONExtractInt(j, 'd') AS int_d
+        |FROM ge_jv""".stripMargin).collect().head
+    assert(r.getBoolean(0), "JSONHas must see an explicit JSON null")
+    assert(!r.getBoolean(1))
+    assert(r.getLong(2) == 5L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 0L)
+    assert(r.getString(6) == "Object" && r.getString(7) == "Int64")
+    assert(r.getString(8) == "Null" && r.getString(9) == "Null")
+    assert(r.getString(10) == "Double" && r.getString(11) == "String")
+    assert(r.getString(12) == "Array")
+    assert(r.getString(13) == "\"view\"|\"x\"|3")
+    assert(r.getString(14) == "")
+    assert(r.getString(15) == "a,d,n,s,tags")
+    assert(r.getString(16) == "k=42")
+    assert(r.getLong(17) == 2L) // 2.5 truncates toward zero, CH's read
+    // non-integral / bool conversions of JSONExtractInt (ADVICE r15)
+    val conv = spark.sql(
+      """SELECT JSONExtractInt(j, 'a') AS d1, JSONExtractInt(j, 'b') AS b1,
+        |  JSONExtractInt(j, 's') AS s0
+        |FROM (SELECT '{"a":200.7,"b":true,"s":"zz"}' AS j)""".stripMargin)
+      .collect().head
+    assert(conv.getLong(0) == 200L && conv.getLong(1) == 1L &&
+      conv.getLong(2) == 0L)
+    // malformed JSON: FALSE / 0 / 'Null', never a crash
+    val bad = spark.sql(
+      """SELECT JSONHas(j, 'a') AS h, JSONLength(j) AS l, JSONType(j) AS t
+        |FROM (SELECT '{oops' AS j)""".stripMargin).collect().head
+    assert(!bad.getBoolean(0) && bad.getLong(1) == 0L &&
+      bad.getString(2) == "Null")
+  }
+
+  test("date tier 2: toMonday/toStartOfWeek modes, N-minute grids, " +
+    "add/subtract interval family, boundary-crossing dateDiff") {
+    val r = spark.sql(
+      """SELECT CAST(toMonday(TIMESTAMP '2024-08-14 13:45:30') AS STRING) AS mon,
+        |  CAST(toStartOfWeek(TIMESTAMP '2024-08-14 13:45:30') AS STRING) AS w0,
+        |  CAST(toStartOfWeek(TIMESTAMP '2024-08-14 13:45:30', 1) AS STRING) AS w1,
+        |  CAST(toStartOfWeek(TIMESTAMP '2024-08-11 00:00:00') AS STRING) AS wsun,
+        |  CAST(toStartOfFifteenMinutes(TIMESTAMP '2024-08-14 13:47:30') AS STRING) AS m15,
+        |  CAST(toStartOfTenMinutes(TIMESTAMP '2024-08-14 13:47:30') AS STRING) AS m10,
+        |  CAST(toStartOfFiveMinutes(TIMESTAMP '2024-08-14 13:47:30') AS STRING) AS m5
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "2024-08-12 00:00:00") // Wed -> Monday
+    assert(r.getString(1) == "2024-08-11 00:00:00") // mode 0: Sunday (CH default)
+    assert(r.getString(2) == "2024-08-12 00:00:00") // mode 1: Monday
+    assert(r.getString(3) == "2024-08-11 00:00:00") // Sunday is its own start
+    assert(r.getString(4) == "2024-08-14 13:45:00")
+    assert(r.getString(5) == "2024-08-14 13:40:00")
+    assert(r.getString(6) == "2024-08-14 13:45:00")
+    val add = spark.sql(
+      """SELECT CAST(addDays(TIMESTAMP '2024-08-14 13:45:30', 3) AS STRING) AS d3,
+        |  CAST(subtractDays(TIMESTAMP '2024-08-14 13:45:30', 14) AS STRING) AS dm14,
+        |  CAST(addMonths(TIMESTAMP '2024-01-31 08:00:00', 1) AS STRING) AS eom,
+        |  CAST(addYears(TIMESTAMP '2024-02-29 08:00:00', 1) AS STRING) AS feb,
+        |  CAST(addHours(TIMESTAMP '2024-01-01 00:30:00', -1) AS STRING) AS hneg,
+        |  CAST(addWeeks(TIMESTAMP '2024-08-14 13:45:30', 2) AS STRING) AS w2,
+        |  CAST(addSeconds(TIMESTAMP '2024-08-14 13:45:30', 90) AS STRING) AS s90,
+        |  CAST(toDateTime('2024-08-12 13:45:30') AS STRING) AS tdt
+        |""".stripMargin).collect().head
+    assert(add.getString(0) == "2024-08-17 13:45:30")
+    assert(add.getString(1) == "2024-07-31 13:45:30")
+    assert(add.getString(2) == "2024-02-29 08:00:00") // end-of-month clamp
+    assert(add.getString(3) == "2025-02-28 08:00:00") // Feb-29 clamp
+    assert(add.getString(4) == "2023-12-31 23:30:00")
+    assert(add.getString(5) == "2024-08-28 13:45:30")
+    assert(add.getString(6) == "2024-08-14 13:47:00")
+    assert(add.getString(7) == "2024-08-12 13:45:30")
+    // boundary-crossing graft_date_diff (CH dateDiff semantics; the CH
+    // NAME is grammar-owned by Spark's parser and cannot be taken over)
+    val dd = spark.sql(
+      """SELECT graft_date_diff('day', TIMESTAMP '2024-01-01 23:00:00',
+        |                 TIMESTAMP '2024-01-02 01:00:00') AS d,
+        |  graft_date_diff('hour', TIMESTAMP '2024-01-01 13:59:00',
+        |           TIMESTAMP '2024-01-01 14:01:00') AS h,
+        |  graft_date_diff('month', TIMESTAMP '2024-01-31 00:00:00',
+        |           TIMESTAMP '2024-02-01 00:00:00') AS m,
+        |  graft_date_diff('year', TIMESTAMP '2023-12-31 23:59:59',
+        |           TIMESTAMP '2024-01-01 00:00:00') AS y,
+        |  graft_date_diff('week', TIMESTAMP '2024-08-11 12:00:00',
+        |           TIMESTAMP '2024-08-12 12:00:00') AS w,
+        |  graft_date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+        |           TIMESTAMP '2024-01-01 00:01:30') AS s,
+        |  graft_date_diff('minute', TIMESTAMP '2024-01-01 00:00:59',
+        |           TIMESTAMP '2024-01-01 00:01:00') AS mi
+        |""".stripMargin).collect().head
+    assert(dd.getLong(0) == 1L) // one midnight crossed (elapsed = 0 days)
+    assert(dd.getLong(1) == 1L)
+    assert(dd.getLong(2) == 1L)
+    assert(dd.getLong(3) == 1L)
+    assert(dd.getLong(4) == 1L) // Sunday->Monday crosses CH's Monday boundary
+    assert(dd.getLong(5) == 90L)
+    assert(dd.getLong(6) == 1L)
+    // the parser-owned spellings are NOT shadowed: 2-arg datediff is
+    // Spark's day count, unquoted-unit dateDiff is Spark's ELAPSED
+    // timestampdiff (reads 0 where CH's boundary rule reads 1), and the
+    // quoted-unit CH text is a parse error - the documented MIGRATION gap
+    val fallback = spark.sql(
+      """SELECT dateDiff(DATE '2024-01-03', DATE '2024-01-01') AS d,
+        |  dateDiff(DAY, TIMESTAMP '2024-01-01 23:00:00',
+        |           TIMESTAMP '2024-01-02 01:00:00') AS elapsed
+        |""".stripMargin).collect().head
+    assert(fallback.getInt(0) == 2)
+    assert(fallback.getLong(1) == 0L)
+    val eP = intercept[Exception](spark.sql(
+      """SELECT dateDiff('day', TIMESTAMP '2024-01-01 23:00:00',
+        |  TIMESTAMP '2024-01-02 01:00:00')""".stripMargin).collect())
+    assert(eP.getMessage.contains("unit"), eP.getMessage)
+    // named rejections
+    val eU = intercept[Exception](spark.sql(
+      """SELECT graft_date_diff('fortnight', TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '2024-01-02 00:00:00')""".stripMargin).collect())
+    assert(eU.getMessage.contains("fortnight"), eU.getMessage)
+    val eM = intercept[Exception](spark.sql(
+      "SELECT toStartOfWeek(TIMESTAMP '2024-01-01 00:00:00', 3)").collect())
+    assert(eM.getMessage.contains("mode"), eM.getMessage)
+  }
+
+  test("formatDateTime quotes reserved literal punctuation ('#', '{', '}')") {
+    val r = spark.sql(
+      """SELECT formatDateTime(TIMESTAMP '2024-08-12 13:45:30',
+        |  '{%Y}#%m') AS f""".stripMargin).collect().head
+    assert(r.getString(0) == "{2024}#08")
   }
 }
