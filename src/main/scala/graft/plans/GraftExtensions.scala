@@ -382,7 +382,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val nullLit = Literal.create(null, NullType)
     Seq(
       rewrite("arrayJoin",
-        "arrayJoin(arr) - ClickHouse arrayJoin (rewrites to explode: one output row per element). SELECT-list only and ONE generator per SELECT (Spark's generator rule; CH allows several - split into chained selects)",
+        "arrayJoin(arr) - ClickHouse arrayJoin (rewrites to explode: one output row per element). SELECT-list only, ONE generator per SELECT (Spark's generator rule; CH allows several - split into chained selects), and its alias cannot feed GROUP BY in the SAME select (the generator sits above the aggregate) - explode in a subquery, aggregate outside",
         1, "(arr)")(a => fn("explode", a(0))),
       (FunctionIdentifier("multiIf"),
         info("multiIf", "multiIf(cond1, v1[, cond2, v2, ...], else) - ClickHouse multiIf (rewrites to CASE WHEN cond1 THEN v1 ... ELSE else END)"),
@@ -458,7 +458,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         3, "(s, pattern, replacement)")(a =>
         fn("regexp_replace", a(0), a(1), a(2))),
       rewrite("assumeNotNull", "assumeNotNull(x) - ClickHouse assumeNotNull (identity here: the engine has no non-nullable enforcement to unlock; NULLs pass through)",
-        1, "(x)")(a => a(0)))
+        1, "(x)")(a => a(0)),
+      rewrite("arraySort", "arraySort(arr) - ClickHouse arraySort, plain 1-arg form (rewrites to array_sort; the lambda form is Spark's own array_sort(arr, comparator))",
+        1, "(arr)")(a => fn("array_sort", a(0))),
+      rewrite("arrayDistinct", "arrayDistinct(arr) - ClickHouse arrayDistinct (rewrites to array_distinct; first-occurrence order, both engines)",
+        1, "(arr)")(a => fn("array_distinct", a(0))))
   }
 
   /** The ClickHouse JSONExtract family — the `props` parsing every CH

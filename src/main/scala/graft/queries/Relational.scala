@@ -3358,7 +3358,43 @@ object Relational {
         "grouping, toMonday, N-minute grid floors, add/subtract " +
         "interval arithmetic with calendar clamps, boundary-crossing " +
         "graft_date_diff - hash-matched against DuckDB's own date " +
-        "spellings"))
+        "spellings"),
+
+    // q127: the migrant smoke capstone (r15 verdict item 1) — ONE
+    // multi-family ClickHouse statement run VERBATIM through spark.sql
+    // (toYYYYMM + toDayOfWeek grouping, uniqExact, the -If combinators
+    // with toInt64 cast names, argMax, the actual-element quantileExact,
+    // formatDateTime, JSONHas/JSONExtractInt over the real props
+    // column, a toDate filter) and hash-matched against DuckDB. This is
+    // the end-to-end proof of the r13-r16 name surface AS A WHOLE: the
+    // text is what a grower + ClickHouse dashboard actually sends; the
+    // enumerated pass/gap/trap table lives in MigrantSqlSpec.
+    "q127_migrant_sql" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, dir)
+        s.sql(
+          """SELECT toYYYYMM(ts) AS ym, toDayOfWeek(ts) AS dow,
+            |  count(*) AS hits,
+            |  uniqExact(user_id) AS users,
+            |  countIf(value > 0.5) AS n_hi,
+            |  sumIf(toInt64(floor(value * 100)),
+            |        event_type = 'click') AS click_cents,
+            |  argMax(event_type, event_id) AS last_type,
+            |  quantileExact(toInt64(floor(value * 100)), 0.5) AS p50_cents,
+            |  min(formatDateTime(ts, '%F %H:%i')) AS first_slot,
+            |  countIf(JSONHas(props, 'k')) AS n_with_k,
+            |  max(JSONExtractInt(props, 'k')) AS max_k
+            |FROM events
+            |WHERE toDate(ts) >= toDate('2020-01-01')
+            |GROUP BY ym, dow""".stripMargin)
+      },
+      Some(migrantSqlOracle),
+      "the migrant smoke capstone: one multi-family ClickHouse " +
+        "statement (date names, uniqExact, -If combinators, cast " +
+        "names, argMax, actual-element quantileExact, formatDateTime, " +
+        "JSON accessors) run VERBATIM through spark.sql and " +
+        "hash-matched against DuckDB"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
@@ -3448,6 +3484,37 @@ object Relational {
       |  CAST(sum(date_diff('hour', wk, ts)) AS BIGINT) AS sum_dd_hr,
       |  CAST(sum(date_diff('day', mon, ts)) AS BIGINT) AS sum_dd_day
       |FROM c GROUP BY wk""".stripMargin
+
+  /** The q127 oracle: DuckDB spellings of the verbatim migrant
+    * statement — isodow IS Monday-based, FILTER mirrors the -If
+    * combinators (both engines read NULL for an all-filtered group),
+    * the quantileExact pick is the same explicit sorted-list index as
+    * the q122 oracle, and `json_type IS NOT NULL` is the JSONHas
+    * absent-vs-null distinction.
+    */
+  private def migrantSqlOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |    event_id, value, props,
+      |    CAST(floor(value * 100) AS BIGINT) AS cv
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) >= DATE '2020-01-01')
+      |SELECT CAST(year(ts) * 100 + month(ts) AS INT) AS ym,
+      |  CAST(isodow(ts) AS INT) AS dow,
+      |  count(*) AS hits,
+      |  count(DISTINCT user_id) AS users,
+      |  CAST(count(*) FILTER (WHERE value > 0.5) AS BIGINT) AS n_hi,
+      |  CAST(sum(cv) FILTER (WHERE event_type = 'click') AS BIGINT)
+      |    AS click_cents,
+      |  arg_max(event_type, event_id) AS last_type,
+      |  list_sort(list(cv))[CAST(least(floor(0.5 * count(cv)) + 1,
+      |    count(cv)) AS BIGINT)] AS p50_cents,
+      |  min(strftime(ts, '%Y-%m-%d %H:%M')) AS first_slot,
+      |  CAST(count(*) FILTER (WHERE json_type(props, '$.k') IS NOT NULL)
+      |    AS BIGINT) AS n_with_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS max_k
+      |FROM b GROUP BY 1, 2""".stripMargin
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the
