@@ -66,6 +66,9 @@ object Bench {
     "q118_ngram_sql", "q119_uniq_theta_sql", "q120_tukey_scores_sql",
     "t29_url_canonicalize_sql", "q121_ip_sql", "q122_ch_alias_battery",
     "q123_date_fns_sql", "q124_json_sql",
+    // r16: the structural JSON family (variant surface), the tier-2
+    // date family, and the verbatim migrant capstone
+    "q125_json_structural", "q126_date_tier2", "q127_migrant_sql",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -77,6 +77,24 @@ import org.apache.spark.sql.SparkSession
   * full sweep also re-read the whole d17 span family in band
   * (d17 2.62×, d11b/d22/d24 ≤ 1.6×) — the r14 `weak` stays retired.
   *
+  * FACTOR-30 EXTRAPOLATION RUN (r16, verdict item 4 — PROBE30_r16.json):
+  * one filtered fresh-JVM sweep of the heavy families at factor 30
+  * against sf0.1, testing whether the 10× linear bands extrapolate.
+  * They do: p02 3.55×, p03 1.21×, d17 4.48×, d22 2.40×, t17 3.83×,
+  * q118 3.05× (vs its ~45× chars envelope at 30× replication),
+  * s12_index_build 2.51×, s12_index_serve 2.58× — every banded family
+  * ≤ 4.5× TIME at 30× DATA (fixed costs still dominate at these
+  * absolute sizes; no family shows a superlinear knee). The one real
+  * scaling signal is the s07_ivfpq_prod probe at 21.9× (133.8 s vs
+  * 6.1 s): with a FIXED centroidMod the centroid count grows ∝ n, so
+  * the broadcast-centroid assignment+train compute is ∝ n²/mod — the
+  * named first superlinear term in the ANN family. The cheap fix
+  * shipped with the finding: `Similarity.ivfAutoCentroidMod` (√n cells
+  * of √n vectors — assignment n^1.5, per-query scan nProbe·√n);
+  * catalog entries keep small fixed mods for oracle determinism, and
+  * the partition-pruned s12 serve path (2.58×) is the serving-scale
+  * story either way.
+  *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
   * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}
@@ -179,7 +197,14 @@ object BenchProbe {
     // (hour, dow, ym) exchange, map-only extraction — linear band;
     // q124 is map-only get_json_object extraction + one type-key rollup
     "q121_ip_sql", "q122_ch_alias_battery", "q123_date_fns_sql",
-    "q124_json_sql")
+    "q124_json_sql",
+    // r16: q125 is one try_parse_json per row (let-binding-bound) +
+    // variant navigation + a bounded type-key rollup — linear band;
+    // q126 groups events on derived week keys (bounded exchange);
+    // q127 is the verbatim migrant statement — one (ym, dow)-domain
+    // grouped aggregate whose only buffered state is the per-group
+    // quantile value list — linear band
+    "q125_json_structural", "q126_date_tier2", "q127_migrant_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -448,12 +473,32 @@ object BenchProbe {
           .selectExpr("term", "length(term) AS w"),
         "term", "w", 64)
         .write.format("noop").mode("overwrite").save()
+    // s07 PRODUCTION path (r16 factor-30 probe): the catalog s07 entry
+    // embeds its brute-force recall ORACLE (the documented all-pairs
+    // harness), so probing the entry at scale measures the oracle, not
+    // the operator. This probe runs the production legs only — pqTrain's
+    // sampled k-means + the IVF-pruned search over the ∝n query set
+    // (fixed 149-cell layout: per-query cost grows with cell size, so
+    // the strict linear band applies to FIXED query sets; with ∝n
+    // queries read it against the s12-serve envelope).
+    def ivfPqProd(dir: String): Unit = {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val queries = emb.where(col("vec_id") % 11 === 3)
+      val model = graft.operators.Similarity.pqTrain(emb, m = 8, k = 16,
+        iters = 2)
+      graft.operators.Similarity.ivfPqTopK(emb, queries, model, k = 5,
+        nProbe = 4, lloydIters = 2, refine = 32)
+        .write.format("noop").mode("overwrite").save()
+    }
     val opStats = Seq(
       ("t19_topk_sketch", topkSketch _),
       ("t24_topkw_sketch", topkWeightedSketch _),
       ("t20_kll_sketch", kllSketch _),
       ("t21_sample_sketch", samplePick _),
       ("t22_theta_sketch", thetaSetOps _),
+      ("s07_ivfpq_prod", ivfPqProd _),
       ("q58_bucketed_write", bucketedWrite _))
       .filter { case (n, _) => keep(n) }
       .map { case (name, f) => probePair(name)(f) }

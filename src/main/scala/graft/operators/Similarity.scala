@@ -271,6 +271,22 @@ object Similarity {
     * degrades to. Used by `Dedup.SemPairGen.Lsh`'s auto default; recall
     * consequences are documented there.
     */
+  /** √n-balanced IVF sizing: `centroidMod ≈ √n` gives ≈√n cells of ≈√n
+    * vectors each, so the broadcast-centroid ASSIGNMENT pass costs
+    * n·(n/mod) ≈ n^1.5 cosine evaluations and the per-query candidate
+    * scan nProbe·√n — the classic IVF balance. A FIXED mod keeps cell
+    * SIZE constant but grows the centroid count ∝ n, degrading
+    * assignment to ∝ n²/mod: the r16 factor-30 probe named exactly this
+    * as the one superlinear term in the ANN family (`s07_ivfpq_prod`
+    * read 21.9× at 30× data — the n²/mod assignment+train compute —
+    * while every banded family stayed ≤ 4.5× and the partition-pruned
+    * s12 serve path read 2.6×; PROBE30_r16.json). The catalog entries
+    * keep small fixed mods for oracle determinism; corpus-scale callers
+    * pass `centroidMod = ivfAutoCentroidMod(corpusCount)`.
+    */
+  def ivfAutoCentroidMod(n: Long): Int =
+    math.max(37L, math.round(math.sqrt(n.toDouble))).toInt
+
   def lshAutoPlanes(n: Long, targetOccupancy: Int = 32): Int = {
     require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
     val needed = math.ceil(math.log(math.max(1L, n).toDouble / targetOccupancy)

@@ -462,8 +462,122 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       rewrite("arraySort", "arraySort(arr) - ClickHouse arraySort, plain 1-arg form (rewrites to array_sort; the lambda form is Spark's own array_sort(arr, comparator))",
         1, "(arr)")(a => fn("array_sort", a(0))),
       rewrite("arrayDistinct", "arrayDistinct(arr) - ClickHouse arrayDistinct (rewrites to array_distinct; first-occurrence order, both engines)",
-        1, "(arr)")(a => fn("array_distinct", a(0))))
+        1, "(arr)")(a => fn("array_distinct", a(0))),
+      // the higher-order family: ClickHouse puts the LAMBDA FIRST
+      // (arrayMap(x -> x + 1, arr)); these builders swap it into
+      // Spark's HOF argument order. The analyzer demands that a
+      // function whose arguments carry a lambda resolve DIRECTLY to a
+      // HigherOrderFunction (an UnresolvedFunction rewrite trips
+      // INVALID_LAMBDA_FUNCTION_CALL before re-resolution), so these
+      // construct the Catalyst nodes themselves
+      hof("arrayMap", "transform", "element-wise map")(
+        (arr, f) => org.apache.spark.sql.catalyst.expressions
+          .ArrayTransform(arr, f)),
+      hof("arrayFilter", "filter", "elements where the lambda holds")(
+        (arr, f) => org.apache.spark.sql.catalyst.expressions
+          .ArrayFilter(arr, f)),
+      hof("arrayExists", "exists", "TRUE if the lambda holds anywhere")(
+        (arr, f) => new org.apache.spark.sql.catalyst.expressions
+          .ArrayExists(arr, f)),
+      hof("arrayAll", "forall", "TRUE if the lambda holds everywhere")(
+        (arr, f) => org.apache.spark.sql.catalyst.expressions
+          .ArrayForAll(arr, f)),
+      // count/first cannot COMPOSE around a HOF (the analyzer requires
+      // the resolved result of a lambda-carrying call to BE the
+      // HigherOrderFunction — size(filter(...)) is rejected outright),
+      // so both splice the user's predicate into one ArrayAggregate
+      // fold: count accumulates +1 on matches; first keeps the first
+      // match, with the zero TYPED as the element type via an
+      // out-of-bounds element_at (a bare NULL zero fails aggregate's
+      // type check)
+      hof("arrayCount", "aggregate", "the number of elements where the lambda holds")(
+        (arr, f) => {
+          import org.apache.spark.sql.catalyst.expressions._
+          val (acc, fin, x) = hofVars(f, "arrayCount")
+          ArrayAggregate(arr, Literal(0),
+            LambdaFunction(
+              If(Coalesce(Seq(f.function, Literal(false))),
+                Add(acc, Literal(1)), acc),
+              Seq(acc, x)),
+            LambdaFunction(fin, Seq(fin)))
+        }),
+      hof("arrayFirst", "aggregate", "the first element where the lambda holds - DEVIATION: NULL when none matches (CH reads the type default)")(
+        (arr, f) => {
+          import org.apache.spark.sql.catalyst.expressions._
+          val (acc, fin, x) = hofVars(f, "arrayFirst")
+          ArrayAggregate(arr,
+            ElementAt(arr, Literal(Int.MaxValue), None, failOnError = false),
+            LambdaFunction(
+              If(And(IsNull(acc),
+                Coalesce(Seq(f.function, Literal(false)))), x, acc),
+              Seq(acc, x)),
+            LambdaFunction(fin, Seq(fin)))
+        }),
+      (FunctionIdentifier("toStartOfInterval"),
+        info("toStartOfInterval", "toStartOfInterval(ts, INTERVAL n unit) - ClickHouse toStartOfInterval for second/minute/hour/day grids (rewrites to exact unix-second remainder arithmetic; the interval must be a literal with a whole-second day-time value); month/quarter/year intervals are not supported - use toStartOfMonth/Quarter/Year"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "toStartOfInterval", "(ts, INTERVAL n unit)")
+          val secs: Long = args(1) match {
+            case Literal(micros: Long, _: org.apache.spark.sql.types.DayTimeIntervalType)
+                if micros > 0 && micros % 1000000L == 0 =>
+              micros / 1000000L
+            case Literal(_, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+              throw new IllegalArgumentException(
+                "toStartOfInterval: month/quarter/year intervals have no " +
+                  "fixed second width - use toStartOfMonth/Quarter/Year")
+            case other => throw new IllegalArgumentException(
+              "toStartOfInterval expects a positive whole-second " +
+                s"INTERVAL LITERAL (e.g. INTERVAL 15 MINUTE), got $other")
+          }
+          val u = fn("unix_timestamp", args(0))
+          fn("timestamp_seconds", fn("-", u, fn("pmod", u, Literal(secs))))
+        }))
   }
+
+  /** Accumulator/finish lambda variables + the user's element variable
+    * for the spliced ArrayAggregate builders; the engine-reserved
+    * variable names are rejected in user lambdas (they would shadow).
+    */
+  private def hofVars(
+      f: org.apache.spark.sql.catalyst.expressions.LambdaFunction,
+      fn: String): (
+        org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable,
+        org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable,
+        org.apache.spark.sql.catalyst.expressions.NamedExpression) = {
+    import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+    if (f.arguments.size != 1) throw new IllegalArgumentException(
+      s"$fn expects a ONE-variable lambda (x -> ...), got " +
+        s"${f.arguments.size} variables")
+    val userName = f.arguments(0).name
+    if (userName == "__graft_acc" || userName == "__graft_fin")
+      throw new IllegalArgumentException(
+        s"$fn: lambda variable name '$userName' is reserved by the " +
+          "engine's fold splice - rename it")
+    (UnresolvedNamedLambdaVariable(Seq("__graft_acc")),
+      UnresolvedNamedLambdaVariable(Seq("__graft_fin")),
+      f.arguments(0))
+  }
+
+  /** ClickHouse lambda-first HOF name → the Catalyst HigherOrderFunction
+    * with the arguments swapped (`arrayMap(x -> f(x), arr)` ≡
+    * `transform(arr, x -> f(x))`); the first argument must BE a lambda,
+    * rejected by name otherwise.
+    */
+  private def hof(name: String, target: String, what: String)(
+      mk: (Expression,
+        org.apache.spark.sql.catalyst.expressions.LambdaFunction) => Expression) =
+    (FunctionIdentifier(name),
+      info(name, s"$name(lambda, arr) - ClickHouse $name (LAMBDA-FIRST, CH's convention): $what (≡ $target with Spark's argument order)"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, name, "(lambda, arr)")
+        args(0) match {
+          case f: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+            mk(args(1), f)
+          case other => throw new IllegalArgumentException(
+            s"$name expects the LAMBDA first (ClickHouse's argument " +
+              s"order): $name(x -> ..., arr); got $other")
+        }
+      })
 
   /** The ClickHouse JSONExtract family — the `props` parsing every CH
     * events deployment carries. Indices-and-keys argument lists compile

@@ -162,6 +162,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(n - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("ivfAutoCentroidMod: √n-balanced cell sizing, floored at the " +
+    "test-scale default") {
+    // floor: tiny corpora keep the deterministic small-mod design point
+    assert(Similarity.ivfAutoCentroidMod(0L) == 37)
+    assert(Similarity.ivfAutoCentroidMod(1000L) == 37)
+    // √n growth: cells of ≈√n vectors — assignment n^1.5, not n²/mod
+    // (the r16 factor-30 probe's named superlinear term)
+    assert(Similarity.ivfAutoCentroidMod(10000L) == 100)
+    assert(Similarity.ivfAutoCentroidMod(1000000L) == 1000)
+    Seq(10000L, 1000000L, 1000000000L).foreach { n =>
+      val mod = Similarity.ivfAutoCentroidMod(n).toDouble
+      val centroids = n / mod
+      // balanced within 2×: cell size and cell count within a factor
+      // of 2 of each other
+      assert(centroids / mod < 2.0 && mod / centroids < 2.0,
+        s"unbalanced at n=$n mod=$mod centroids=$centroids")
+    }
+  }
+
   test("lshAutoPlanes: occupancy-bounded plane count, floored at 4") {
     // floor: tiny corpora keep the 4-plane low-threshold design point
     assert(Similarity.lshAutoPlanes(0L) == 4)

@@ -1531,6 +1531,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(eM.getMessage.contains("mode"), eM.getMessage)
   }
 
+  test("lambda-first HOF family (arrayMap/Filter/Exists/All/Count/First) " +
+    "and toStartOfInterval") {
+    val r = spark.sql(
+      """SELECT
+        |  array_join(arrayMap(x -> concat(x, '!'),
+        |    splitByChar(',', 'a,b,c')), '|') AS m,
+        |  array_join(arrayFilter(x -> x <> 'b',
+        |    splitByChar(',', 'a,b,c')), '|') AS f,
+        |  arrayCount(x -> x > 1, array(0, 1, 2, 3)) AS c,
+        |  arrayFirst(x -> x > 1, array(0, 1, 2, 3)) AS fst,
+        |  arrayFirst(x -> x > 9, array(0, 1)) AS none,
+        |  arrayExists(x -> x = 2, array(0, 1)) AS ex,
+        |  arrayAll(x -> x >= 0, array(0, 1)) AS al,
+        |  CAST(toStartOfInterval(TIMESTAMP '2024-08-14 13:47:30',
+        |    INTERVAL 15 MINUTE) AS STRING) AS q15,
+        |  CAST(toStartOfInterval(TIMESTAMP '2024-08-14 13:47:30',
+        |    INTERVAL 6 HOUR) AS STRING) AS h6
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "a!|b!|c!")
+    assert(r.getString(1) == "a|c")
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 2 && r.isNullAt(4))
+    assert(!r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getString(7) == "2024-08-14 13:45:00")
+    assert(r.getString(8) == "2024-08-14 12:00:00")
+    // month-width intervals rejected by name
+    val e = intercept[Exception](spark.sql(
+      """SELECT toStartOfInterval(TIMESTAMP '2024-08-14 13:47:30',
+        |  INTERVAL 1 MONTH)""".stripMargin).collect())
+    assert(e.getMessage.contains("toStartOfMonth"), e.getMessage)
+  }
+
   test("formatDateTime quotes reserved literal punctuation ('#', '{', '}')") {
     val r = spark.sql(
       """SELECT formatDateTime(TIMESTAMP '2024-08-12 13:45:30',

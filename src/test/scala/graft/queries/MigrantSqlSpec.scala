@@ -170,7 +170,17 @@ class MigrantSqlSpec extends AnyFunSuite {
       |    event_type = 'purchase') AS level
       |FROM events GROUP BY user_id ORDER BY user_id LIMIT 20""".stripMargin)
 
+  pass("15-minute interval series (toStartOfInterval) + lambda-first HOFs", 1,
+    """SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) AS q, count(*) AS n,
+      |  arrayStringConcat(arrayFilter(x -> x <> '',
+      |    arraySort(groupUniqArray(event_type))), ',') AS types
+      |FROM events GROUP BY q ORDER BY q LIMIT 5""".stripMargin)
+
   // ---- GAP: named failures with documented rewrites -------------------
+
+  gap("bracketed array literal [1, 2, 3]",
+    "PARSE_SYNTAX_ERROR", "array(1, 2, 3)",
+    "SELECT [1, 2, 3] AS a")
 
   gap("parametric aggregate syntax quantileExact(0.9)(v)",
     "quantileExact", "flatten: quantileExact(v, 0.9)",
