@@ -1060,7 +1060,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // countIf takes ONE arg in ClickHouse (count() has no base args)
       rewrite("countIf", "countIf(cond) - ClickHouse countIf: row count over the rows where cond holds (rewrites to count(1) FILTER (WHERE cond))",
         1, "(cond)")(a => fn("count", Seq(Literal(1)), filter = Some(a(0)))),
-      iff("sum"), iff("avg"), iff("min"), iff("max"))
+      iff("sum"), iff("avg"), iff("min"), iff("max"),
+      // CH `any(x)` is NOT aliased: Spark's own `any` is bool_or —
+      // shadowing would silently change boolean aggregates. anyLast has
+      // no collision; both CH forms are order-arbitrary on a
+      // distributed engine anyway (MIGRATION: any(x) -> any_value(x))
+      rewrite("anyLast", "anyLast(x) - ClickHouse anyLast (rewrites to any_value: SOME value of the group - arrival order is partition-dependent on a distributed engine, exactly as CH documents for its own any/anyLast; CH's `any` name is NOT aliased - Spark's any is bool_or, rewrite to any_value yourself)",
+        1, "(x)")(a => fn("any_value", a)),
+      rewrite("uniqHLL12", "uniqHLL12(x) - ClickHouse uniqHLL12 (rewrites to approx_count_distinct - HLL++ here vs CH's HLL-12: point estimates differ; uniqExact for exact)",
+        1, "(x)")(a => fn("approx_count_distinct", a)),
+      (FunctionIdentifier("quantile"),
+        info("quantile", "quantile(x[, phi = 0.5]) - ClickHouse quantile, parametric form flattened: APPROXIMATE phi-quantile (rewrites to approx_percentile - a different estimator than CH's reservoir, so point estimates differ; quantileExact for the exact element, quantileExactInclusive for interpolation)"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 2)
+            throw new IllegalArgumentException(
+              s"quantile expects (x[, phi]) (${args.size} given)")
+          val phi = if (args.size == 2) args(1)
+            else Literal(0.5, org.apache.spark.sql.types.DoubleType)
+          fn("approx_percentile", Seq(args(0), phi))
+        }),
+      rewrite("quantileTDigest", "quantileTDigest(x, phi) - ClickHouse quantileTDigest, parametric form flattened: the engine's mergeable quantile sketch (graft_kll_quantile at k = 200 - a KLL sketch, not a t-digest: same mergeable-sketch role, different error profile, documented deviation)",
+        2, "(x, phi)")(a =>
+        fn("graft_kll_quantile", Seq(a(0), Literal(200), a(1)))))
   }
 
   /** The ClickHouse geo + fuzzy-string scalars under their OWN names —

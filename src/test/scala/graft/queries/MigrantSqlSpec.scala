@@ -176,11 +176,21 @@ class MigrantSqlSpec extends AnyFunSuite {
       |    arraySort(groupUniqArray(event_type))), ',') AS types
       |FROM events GROUP BY q ORDER BY q LIMIT 5""".stripMargin)
 
+  pass("quantile ladder + anyLast + uniqHLL12", 1,
+    """SELECT anyLast(event_type) AS a, uniqHLL12(user_id) AS u,
+      |  quantile(value) AS med, quantile(value, 0.9) AS p90,
+      |  quantileTDigest(toInt64(floor(value * 1000)), 0.99) AS p99
+      |FROM events""".stripMargin)
+
   // ---- GAP: named failures with documented rewrites -------------------
 
   gap("bracketed array literal [1, 2, 3]",
     "PARSE_SYNTAX_ERROR", "array(1, 2, 3)",
     "SELECT [1, 2, 3] AS a")
+
+  gap("CH any(x) on a non-boolean (Spark's any IS bool_or - not shadowed)",
+    "any", "any_value(x)",
+    "SELECT any(value) FROM events")
 
   gap("parametric aggregate syntax quantileExact(0.9)(v)",
     "quantileExact", "flatten: quantileExact(v, 0.9)",
