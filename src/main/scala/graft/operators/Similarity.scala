@@ -151,6 +151,13 @@ object Similarity {
     * |queries|×|centroids| — the QUERY side is the small one), rank
     * candidates in those cells by exact cosine, keep top k. Scan cost drops
     * from O(corpus) to O(corpus × nProbe / nCells) per query.
+    *
+    * SIZING AT SCALE: a fixed `centroidMod` keeps cell SIZE constant but
+    * grows the centroid count ∝ n, so the assignment cross product is
+    * ∝ n²/mod — the r16 factor-30 probe's named superlinear term
+    * (`s07_ivfpq_prod` 21.9× at 30×, PROBE30_r16.json). Corpus-scale
+    * callers pass `centroidMod = ivfAutoCentroidMod(count)` (√n cells
+    * of √n vectors → assignment n^1.5).
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,

@@ -597,9 +597,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * distinguishes an ABSENT path (SQL NULL) from an explicit JSON
     * null (variant null), so `JSONHas` matches ClickHouse exactly —
     * including `JSONHas('{"a":null}', 'a') = TRUE` — and the text is
-    * parsed ONCE per row (the let-binding transform binds the parsed
-    * variant; path navigation on variant binary is index arithmetic,
-    * not re-parsing).
+    * parsed ONCE per CALL (the let-binding transform binds the parsed
+    * variant where a call probes it more than once; path navigation on
+    * variant binary is index arithmetic, not re-parsing).
+    *
+    * COST PROFILE (measured, q125): variant and HOF expressions have
+    * no codegen — these trees evaluate interpreted. The 13-accessor
+    * battery reads ~0.45 s steady-state over sf0.1 events AFTER the
+    * r16 fix; it read 8.8 s when three single-use accessors carried a
+    * let-transform layer around their bound variant. The rule the two
+    * measurements pin down (the q96 story's dual): let-bind ONLY what
+    * is probed more than once — in interpreted eval, a gratuitous
+    * lambda layer costs an array allocation + dispatch per row, the
+    * exact inverse of the HOF-subtree re-evaluation the let exists to
+    * prevent. Each CALL still parses its document (CSE does not span
+    * projection columns): WIDE extraction of many fields should
+    * project `try_parse_json(js)` ONCE and read fields with stock
+    * `variant_get` on the bound column.
     */
   private def jsonFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -648,10 +662,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // never re-parse the text — the q96/tukeyScores8 idiom.
     import org.apache.spark.sql.{functions => F, Column}
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
-    def vGet(args: Seq[Expression], fn: String, minSteps: Int = 1): Column =
+    // targetType folds the path navigation AND the structural cast into
+    // ONE try_variant_get call — single-use consumers (ArrayRaw/Keys/
+    // KeysAndValuesRaw) take their typed value directly instead of
+    // paying a let-binding lambda layer per row (these trees evaluate
+    // INTERPRETED — variant + HOF expressions have no codegen — so
+    // every spared navigation/lambda shows up at corpus scale)
+    def vGet(args: Seq[Expression], fn: String, minSteps: Int = 1,
+        targetType: String = "variant"): Column =
       F.try_variant_get(
         F.try_parse_json(column(Cast(args.head, StringType))),
-        pathStr(jsonPath(args, fn, minSteps)), "variant")
+        pathStr(jsonPath(args, fn, minSteps)), targetType)
     def let(bound: Column)(body: Column => Column): Column =
       F.element_at(F.transform(F.array(bound), body), 1)
     val emptyStrArr = F.array().cast("array<string>")
@@ -727,22 +748,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("JSONExtractArrayRaw", "JSONExtractArrayRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractArrayRaw: each element of the array at the path as its raw JSON text (strings keep their quotes, nested structures their braces); [] when the path is absent or not an array (CH's default)"),
         (args: Seq[Expression]) => eagerExpression(
           F.coalesce(F.transform(
-            let(vGet(args, "JSONExtractArrayRaw", minSteps = 0))(v =>
-              F.try_variant_get(v, "$", "array<variant>")),
+            vGet(args, "JSONExtractArrayRaw", minSteps = 0,
+              targetType = "array<variant>"),
             x => F.to_json(x)), emptyStrArr))),
       (FunctionIdentifier("JSONExtractKeys"),
         info("JSONExtractKeys", "JSONExtractKeys(json[, key_or_index, ...]) - ClickHouse JSONExtractKeys: the keys of the object at the path; [] when absent or not an object; DEVIATION: keys sort ASCENDING (the variant encoding's canonical order; CH preserves document order)"),
         (args: Seq[Expression]) => eagerExpression(
           F.coalesce(F.map_keys(
-            let(vGet(args, "JSONExtractKeys", minSteps = 0))(v =>
-              F.try_variant_get(v, "$", "map<string,variant>"))),
+            vGet(args, "JSONExtractKeys", minSteps = 0,
+              targetType = "map<string,variant>")),
             emptyStrArr))),
       (FunctionIdentifier("JSONExtractKeysAndValuesRaw"),
         info("JSONExtractKeysAndValuesRaw", "JSONExtractKeysAndValuesRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractKeysAndValuesRaw: array<struct<key, value>> of the object's entries with values as raw JSON text; [] when absent or not an object; DEVIATION: entries sort by key ASCENDING (CH preserves document order)"),
         (args: Seq[Expression]) => eagerExpression(
           F.coalesce(F.transform(F.map_entries(
-            let(vGet(args, "JSONExtractKeysAndValuesRaw", minSteps = 0))(v =>
-              F.try_variant_get(v, "$", "map<string,variant>"))),
+            vGet(args, "JSONExtractKeysAndValuesRaw", minSteps = 0,
+              targetType = "map<string,variant>")),
             e => F.struct(e.getField("key").as("key"),
               F.to_json(e.getField("value")).as("value"))),
             F.array().cast("array<struct<key:string,value:string>>")))))

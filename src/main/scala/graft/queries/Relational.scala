@@ -3361,14 +3361,17 @@ object Relational {
         "spellings"),
 
     // q127: the migrant smoke capstone (r15 verdict item 1) — ONE
-    // multi-family ClickHouse statement run VERBATIM through spark.sql
-    // (toYYYYMM + toDayOfWeek grouping, uniqExact, the -If combinators
-    // with toInt64 cast names, argMax, the actual-element quantileExact,
+    // multi-family ClickHouse statement run as literal SQL TEXT through
+    // spark.sql (toYYYYMM + toDayOfWeek grouping, uniqExact, the -If
+    // combinators with toInt64 cast names, argMax, quantileExact,
     // formatDateTime, JSONHas/JSONExtractInt over the real props
-    // column, a toDate filter) and hash-matched against DuckDB. This is
-    // the end-to-end proof of the r13-r16 name surface AS A WHOLE: the
-    // text is what a grower + ClickHouse dashboard actually sends; the
-    // enumerated pass/gap/trap table lives in MigrantSqlSpec.
+    // column, a toDate filter) and hash-matched against DuckDB. Every
+    // name is the ClickHouse spelling; the ONE departure from
+    // character-verbatim CH text is quantileExact's flattened argument
+    // list (CH's parametric f(params)(args) syntax is grammar-level,
+    // the documented G1 gap in MigrantSqlSpec). This is the end-to-end
+    // proof of the r13-r16 name surface AS A WHOLE; the enumerated
+    // pass/gap/trap table lives in MigrantSqlSpec.
     "q127_migrant_sql" -> Q(
       (s, dir) => {
         graft.plans.GraftExtensions.install(s)
@@ -3392,9 +3395,9 @@ object Relational {
       Some(migrantSqlOracle),
       "the migrant smoke capstone: one multi-family ClickHouse " +
         "statement (date names, uniqExact, -If combinators, cast " +
-        "names, argMax, actual-element quantileExact, formatDateTime, " +
-        "JSON accessors) run VERBATIM through spark.sql and " +
-        "hash-matched against DuckDB"))
+        "names, argMax, actual-element quantileExact in the flattened " +
+        "form, formatDateTime, JSON accessors) run as literal SQL " +
+        "text through spark.sql and hash-matched against DuckDB"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's

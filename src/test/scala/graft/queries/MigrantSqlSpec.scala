@@ -25,8 +25,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *     FINAL as a table alias, unquoted `dateDiff(DAY, …)` is elapsed
   *     units, `length` counts chars not bytes).
   *
-  * The hash-matched end-to-end leg is q127_migrant_sql (one
-  * multi-family statement verbatim against the DuckDB oracle).
+  * The hash-matched end-to-end leg is q127_migrant_sql: one
+  * multi-family statement in ClickHouse spellings against the DuckDB
+  * oracle (its quantileExact term uses the flattened argument list —
+  * the parametric syntax is the G1 gap below).
   */
 class MigrantSqlSpec extends AnyFunSuite {
 
@@ -176,6 +178,11 @@ class MigrantSqlSpec extends AnyFunSuite {
       |    arraySort(groupUniqArray(event_type))), ',') AS types
       |FROM events GROUP BY q ORDER BY q LIMIT 5""".stripMargin)
 
+  pass("rollup subtotals (WITH ROLLUP - same clause, both engines)", 2,
+    """SELECT event_type, toDayOfWeek(ts) AS d, count(*) AS n
+      |FROM events GROUP BY event_type, d WITH ROLLUP
+      |ORDER BY event_type NULLS LAST, d NULLS LAST LIMIT 20""".stripMargin)
+
   pass("quantile ladder + anyLast + uniqHLL12", 1,
     """SELECT anyLast(event_type) AS a, uniqHLL12(user_id) AS u,
       |  quantile(value) AS med, quantile(value, 0.9) AS p90,
@@ -191,6 +198,28 @@ class MigrantSqlSpec extends AnyFunSuite {
   gap("CH any(x) on a non-boolean (Spark's any IS bool_or - not shadowed)",
     "any", "any_value(x)",
     "SELECT any(value) FROM events")
+
+  gap("LIMIT n BY col (per-key top-n clause)",
+    "PARSE_SYNTAX_ERROR",
+    "row_number() OVER (PARTITION BY col ORDER BY ...) <= n (plans onto the TopKPerKey operator)",
+    """SELECT event_type, user_id, count(*) AS n FROM events
+      |GROUP BY event_type, user_id ORDER BY n DESC
+      |LIMIT 3 BY event_type""".stripMargin)
+
+  gap("GROUP BY ... WITH TOTALS",
+    "PARSE_SYNTAX_ERROR", "WITH ROLLUP / GROUPING SETS ((event_type), ())",
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type WITH TOTALS""".stripMargin)
+
+  gap("SETTINGS suffix",
+    "PARSE_SYNTAX_ERROR", "drop it; session confs are SET key=value",
+    "SELECT count(*) FROM events SETTINGS max_threads = 4")
+
+  gap("LEFT ARRAY JOIN",
+    "PARSE_SYNTAX_ERROR",
+    "LATERAL VIEW OUTER explode(...) / select explode_outer(...)",
+    """SELECT event_type, tok FROM events
+      |LEFT ARRAY JOIN splitByChar('_', event_type) AS tok""".stripMargin)
 
   gap("parametric aggregate syntax quantileExact(0.9)(v)",
     "quantileExact", "flatten: quantileExact(v, 0.9)",
