@@ -355,8 +355,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * the `toIntN` / `toUIntN` / `toFloatN` / `toString` cast names,
     * `intDiv` / `modulo`, array accessors (`has`/`indexOf`/
     * `arrayElement`), string helpers (`empty`/`notEmpty`/`splitByChar`/
-    * `arrayStringConcat`/`match`/`replaceAll`/`replaceRegexpAll`),
-    * `today`/`yesterday`,
+    * `arrayStringConcat`/`match`/`replaceAll`/`replaceRegexpAll`/
+    * `trimLeft`/`trimRight`/`trimBoth`/`leftPad`/`rightPad`/
+    * `countSubstrings`), map accessors (`mapKeys`/`mapValues`/
+    * `mapContains`), `tuple`/`tupleElement` (positional col1..colN
+    * fields), `age` (ELAPSED units — the complement of
+    * `graft_date_diff`'s boundary crossing), `today`/`yesterday`,
     * `assumeNotNull`. All pure plan-time rewrites onto Spark built-ins
     * (the chAliases discipline — zero new execution code); semantic
     * deviations are stated per name, and names Spark's parser or
@@ -459,6 +463,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         fn("regexp_replace", a(0), a(1), a(2))),
       rewrite("assumeNotNull", "assumeNotNull(x) - ClickHouse assumeNotNull (identity here: the engine has no non-nullable enforcement to unlock; NULLs pass through)",
         1, "(x)")(a => a(0)),
+      rewrite("trimLeft", "trimLeft(s) - ClickHouse trimLeft (rewrites to ltrim: leading spaces)",
+        1, "(s)")(a => fn("ltrim", a(0))),
+      rewrite("trimRight", "trimRight(s) - ClickHouse trimRight (rewrites to rtrim)",
+        1, "(s)")(a => fn("rtrim", a(0))),
+      rewrite("trimBoth", "trimBoth(s) - ClickHouse trimBoth (rewrites to trim)",
+        1, "(s)")(a => fn("trim", a(0))),
+      rewrite("leftPad", "leftPad(s, n, pad) - ClickHouse leftPad (rewrites to lpad - same argument order)",
+        3, "(s, n, pad)")(a => fn("lpad", a(0), a(1), a(2))),
+      rewrite("rightPad", "rightPad(s, n, pad) - ClickHouse rightPad (rewrites to rpad)",
+        3, "(s, n, pad)")(a => fn("rpad", a(0), a(1), a(2))),
+      rewrite("countSubstrings", "countSubstrings(haystack, needle) - ClickHouse countSubstrings: NON-OVERLAPPING occurrence count of a LITERAL needle ((length(h) - length(replace(h, needle))) / length(needle), exact integer arithmetic); needle a non-empty string literal",
+        2, "(haystack, needle)")(a => {
+        val needle = strLit(a(1), "countSubstrings")
+        if (needle.isEmpty) throw new IllegalArgumentException(
+          "countSubstrings: needle must be a non-empty string literal")
+        fn("div",
+          fn("-", fn("length", a(0)),
+            fn("length", fn("replace", a(0), a(1)))),
+          Literal(needle.length))
+      }),
+      rewrite("mapKeys", "mapKeys(m) - ClickHouse mapKeys (rewrites to map_keys)",
+        1, "(m)")(a => fn("map_keys", a(0))),
+      rewrite("mapValues", "mapValues(m) - ClickHouse mapValues (rewrites to map_values)",
+        1, "(m)")(a => fn("map_values", a(0))),
+      rewrite("mapContains", "mapContains(m, k) - ClickHouse mapContains (rewrites to map_contains_key)",
+        2, "(m, k)")(a => fn("map_contains_key", a(0), a(1))),
+      (FunctionIdentifier("tuple"),
+        info("tuple", "tuple(x1[, ...xn]) - ClickHouse tuple (rewrites to struct with DETERMINISTIC positional field names col1..colN, so tupleElement(t, n) resolves regardless of the argument expressions)"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty) throw new IllegalArgumentException(
+            "tuple expects at least one argument")
+          fn("struct", args.zipWithIndex.map { case (e, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .Alias(e, s"col${i + 1}")(): Expression
+          }: _*)
+        }),
+      rewrite("tupleElement", "tupleElement(t, n) - ClickHouse tupleElement with a 1-based INT LITERAL index over tuple()'s positional col1..colN fields (resolves to struct-field access at analysis)",
+        2, "(t, n)")(a => {
+        val n = intLit(a(1), "tupleElement")
+        if (n < 1) throw new IllegalArgumentException(
+          s"tupleElement: index $n - ClickHouse indices are 1-based")
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          a(0), Literal(s"col${n}"))
+      }),
+      (FunctionIdentifier("age"),
+        info("age", "age(unit, start, end) - ClickHouse age: ELAPSED complete units from start to end (Spark's timestampdiff semantics - the complement of graft_date_diff's boundary crossing); unit a string literal in second/minute/hour/day/week/month/quarter/year"),
+        (args: Seq[Expression]) => {
+          arity(args, 3, "age", "(unit, start, end)")
+          val unit = strLit(args(0), "age").toLowerCase match {
+            case "second" => "SECOND"
+            case "minute" => "MINUTE"
+            case "hour" => "HOUR"
+            case "day" => "DAY"
+            case "week" => "WEEK"
+            case "month" => "MONTH"
+            case "quarter" => "QUARTER"
+            case "year" => "YEAR"
+            case other => throw new IllegalArgumentException(
+              s"age: unit '$other' - expected second/minute/hour/day/" +
+                "week/month/quarter/year")
+          }
+          org.apache.spark.sql.catalyst.expressions.TimestampDiff(unit,
+            Cast(args(1), org.apache.spark.sql.types.TimestampType),
+            Cast(args(2), org.apache.spark.sql.types.TimestampType))
+        }),
       rewrite("arraySort", "arraySort(arr) - ClickHouse arraySort, plain 1-arg form (rewrites to array_sort; the lambda form is Spark's own array_sort(arr, comparator))",
         1, "(arr)")(a => fn("array_sort", a(0))),
       rewrite("arrayDistinct", "arrayDistinct(arr) - ClickHouse arrayDistinct (rewrites to array_distinct; first-occurrence order, both engines)",

@@ -1563,6 +1563,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("toStartOfMonth"), e.getMessage)
   }
 
+  test("string/map/tuple/age scalar aliases; age vs graft_date_diff " +
+    "contrast") {
+    val r = spark.sql(
+      """SELECT trimLeft('  a ') AS tl, trimRight('  a ') AS tr2,
+        |  trimBoth('  a ') AS tb,
+        |  leftPad('7', 3, '0') AS lp, rightPad('7', 3, '0') AS rp,
+        |  countSubstrings('abcabcab', 'ab') AS cs,
+        |  array_join(mapKeys(map('a', 1)), ',') AS mk,
+        |  mapValues(map('a', 1))[0] AS mv,
+        |  mapContains(map('a', 1), 'a') AS mc,
+        |  tupleElement(tuple('x', 42), 2) AS te,
+        |  age('month', TIMESTAMP '2024-01-31 00:00:00',
+        |      TIMESTAMP '2024-02-01 00:00:00') AS am,
+        |  graft_date_diff('month', TIMESTAMP '2024-01-31 00:00:00',
+        |      TIMESTAMP '2024-02-01 00:00:00') AS bm
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "a " && r.getString(1) == "  a" &&
+      r.getString(2) == "a")
+    assert(r.getString(3) == "007" && r.getString(4) == "700")
+    assert(r.getLong(5) == 3L)
+    assert(r.getString(6) == "a" && r.getInt(7) == 1 && r.getBoolean(8))
+    assert(r.getInt(9) == 42)
+    // the complementary pair: age counts ELAPSED complete months (0 -
+    // a day short), graft_date_diff counts month BOUNDARIES crossed (1)
+    assert(r.getLong(10) == 0L && r.getLong(11) == 1L)
+  }
+
   test("formatDateTime quotes reserved literal punctuation ('#', '{', '}')") {
     val r = spark.sql(
       """SELECT formatDateTime(TIMESTAMP '2024-08-12 13:45:30',
