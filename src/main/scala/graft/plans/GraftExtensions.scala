@@ -423,6 +423,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       castAlias("toFloat32", FloatType), castAlias("toFloat64", DoubleType),
       rewrite("intDiv", "intDiv(a, b) - ClickHouse intDiv (rewrites to integral div; truncates toward zero)",
         2, "(a, b)")(a => fn("div", a(0), a(1))),
+      rewrite("plus", "plus(a, b) - ClickHouse plus (rewrites to +)",
+        2, "(a, b)")(a => fn("+", a(0), a(1))),
+      rewrite("minus", "minus(a, b) - ClickHouse minus (rewrites to -)",
+        2, "(a, b)")(a => fn("-", a(0), a(1))),
+      rewrite("multiply", "multiply(a, b) - ClickHouse multiply (rewrites to *)",
+        2, "(a, b)")(a => fn("*", a(0), a(1))),
+      rewrite("divide", "divide(a, b) - ClickHouse divide (rewrites to /; double division on integers, both engines)",
+        2, "(a, b)")(a => fn("/", a(0), a(1))),
+      rewrite("cityHash64", "cityHash64(x) - ClickHouse cityHash64 NAME mapped onto xxhash64; DEVIATION: a DIFFERENT hash function - uniform 64-bit distribution preserved (sampling/sharding semantics hold) but the VALUES differ from ClickHouse's, so cross-engine shard assignments will not line up",
+        1, "(x)")(a => fn("xxhash64", a(0))),
+      rewrite("sipHash64", "sipHash64(x) - ClickHouse sipHash64 NAME mapped onto xxhash64 (the cityHash64 deviation: same distributional role, different values)",
+        1, "(x)")(a => fn("xxhash64", a(0))),
       rewrite("modulo", "modulo(a, b) - ClickHouse modulo (rewrites to mod; sign follows the dividend, both engines)",
         2, "(a, b)")(a => fn("mod", a(0), a(1))),
       (FunctionIdentifier("today"),
@@ -670,19 +682,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * variant where a call probes it more than once; path navigation on
     * variant binary is index arithmetic, not re-parsing).
     *
-    * COST PROFILE (measured, q125): variant and HOF expressions have
-    * no codegen — these trees evaluate interpreted. The 13-accessor
-    * battery reads ~0.45 s steady-state over sf0.1 events AFTER the
-    * r16 fix; it read 8.8 s when three single-use accessors carried a
-    * let-transform layer around their bound variant. The rule the two
-    * measurements pin down (the q96 story's dual): let-bind ONLY what
-    * is probed more than once — in interpreted eval, a gratuitous
-    * lambda layer costs an array allocation + dispatch per row, the
-    * exact inverse of the HOF-subtree re-evaluation the let exists to
-    * prevent. Each CALL still parses its document (CSE does not span
-    * projection columns): WIDE extraction of many fields should
-    * project `try_parse_json(js)` ONCE and read fields with stock
-    * `variant_get` on the bound column.
+    * COST PROFILE (measured, q125 bench medians — full noop-write
+    * evaluation; a `count()`-based timing PRUNES the projection and
+    * reads 17× lower, the ProfileQ r16 fix): variant and HOF
+    * expressions have no codegen — these trees evaluate interpreted at
+    * ~0.6 s per accessor-column over sf0.1 events, so the deliberate
+    * 13-accessor battery totals ~7.8 s (the bench's top entry, by
+    * construction 13 batteries not one slow operator; linear in rows).
+    * Dropping the single-use let-transform layers (r16) shaved ~11%:
+    * the rule is let-bind ONLY what is probed more than once — in
+    * interpreted eval a gratuitous lambda layer costs an array
+    * allocation + dispatch per row, the inverse of the HOF-subtree
+    * re-evaluation the let exists to prevent. The per-CALL parse is
+    * then shared ACROSS projection columns by the [[DedupProjectParse]]
+    * optimizer rule (13 parses/row → 1 on q125, ~30% entry-level —
+    * codegen CSE cannot do this for interpreted variant trees); wide
+    * extraction can still bind `try_parse_json(js)` explicitly and use
+    * stock `variant_get` when the accessors sit outside one Project.
     */
   private def jsonFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -1155,7 +1171,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // shadowing would silently change boolean aggregates. anyLast has
       // no collision; both CH forms are order-arbitrary on a
       // distributed engine anyway (MIGRATION: any(x) -> any_value(x))
-      rewrite("anyLast", "anyLast(x) - ClickHouse anyLast (rewrites to any_value: SOME value of the group - arrival order is partition-dependent on a distributed engine, exactly as CH documents for its own any/anyLast; CH's `any` name is NOT aliased - Spark's any is bool_or, rewrite to any_value yourself)",
+      rewrite("anyLast", "anyLast(x) - ClickHouse anyLast (rewrites to any_value: SOME value of the group - arrival order is partition-dependent on a distributed engine, exactly as CH documents for its own any/anyLast; DEVIATION: a NULL row may be picked where CH skips NULLs - use any_value(x, true) for ignore-nulls; CH's `any` name is NOT aliased - Spark's any is bool_or, rewrite to any_value yourself)",
         1, "(x)")(a => fn("any_value", a)),
       rewrite("uniqHLL12", "uniqHLL12(x) - ClickHouse uniqHLL12 (rewrites to approx_count_distinct - HLL++ here vs CH's HLL-12: point estimates differ; uniqExact for exact)",
         1, "(x)")(a => fn("approx_count_distinct", a)),
@@ -1634,17 +1650,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn, Seq(t, id, mask))
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DedupProjectParse)
+  }
 }
 
 object GraftExtensions {
   /** Runtime installation into an already-built session (extensions via
-    * the builder only apply at session construction).
+    * the builder only apply at session construction). The
+    * [[DedupProjectParse]] optimizer rule rides the experimental hook
+    * (the TopKPerKey precedent) because injectOptimizerRule cannot bind
+    * to a running session; idempotent across repeated installs.
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     new GraftExtensions().functions.foreach { case (id, inf, builder) =>
       org.apache.spark.sql.graftbridge.ColumnBridge
         .registerFunction(spark, id, inf, builder)
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(DedupProjectParse))
+      spark.experimental.extraOptimizations = cur :+ DedupProjectParse
+  }
 }

@@ -1588,6 +1588,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // the complementary pair: age counts ELAPSED complete months (0 -
     // a day short), graft_date_diff counts month BOUNDARIES crossed (1)
     assert(r.getLong(10) == 0L && r.getLong(11) == 1L)
+    // function-form arithmetic + the hash-name deviation (values are
+    // xxhash64's, role is uniform hashing)
+    val ar = spark.sql(
+      """SELECT plus(2, 3) AS p, minus(2, 3) AS m, multiply(2, 3) AS x,
+        |  divide(1, 2) AS d,
+        |  cityHash64('abc') = xxhash64('abc') AS ch,
+        |  sipHash64('abc') = xxhash64('abc') AS sh
+        |""".stripMargin).collect().head
+    assert(ar.getInt(0) == 5 && ar.getInt(1) == -1 && ar.getInt(2) == 6)
+    assert(ar.getDouble(3) == 0.5)
+    assert(ar.getBoolean(4) && ar.getBoolean(5))
+  }
+
+  test("DedupProjectParse: one try_parse_json per row however many " +
+    "structural accessors read the document") {
+    import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
+    // a non-foldable document column: a literal doc would be
+    // constant-folded away before the rule ever sees a ParseJson
+    spark.range(1, 4).selectExpr(
+      "concat('{\"a\":', id, ',\"b\":[1,2],\"n\":null}') AS j")
+      .createOrReplaceTempView("ge_dp")
+    val df = spark.sql(
+      """SELECT JSONHas(j, 'a') AS h, JSONHas(j, 'n') AS hn,
+        |  JSONLength(j) AS l, JSONType(j, 'b') AS t,
+        |  array_join(JSONExtractArrayRaw(j, 'b'), ',') AS ar
+        |FROM ge_dp""".stripMargin)
+    val parses = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e if DedupProjectParse.isTryParse(e) => e
+      })
+    }.flatten
+    assert(parses.size == 1,
+      s"want ONE shared parse, got ${parses.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    // values unchanged by the pull
+    val r = df.collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getLong(2) == 3L && r.getString(3) == "Array")
+    assert(r.getString(4) == "1,2")
   }
 
   test("formatDateTime quotes reserved literal punctuation ('#', '{', '}')") {
