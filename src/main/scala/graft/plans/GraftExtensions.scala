@@ -468,6 +468,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }),
       rewrite("match", "match(haystack, pattern) - ClickHouse match: unanchored regex search (rewrites to RLIKE; Java regex here vs CH's RE2 - the portable subset behaves identically)",
         2, "(haystack, pattern)")(a => fn("rlike", a(0), a(1))),
+      rewrite("extractAll", "extractAll(haystack, pattern) - ClickHouse extractAll: every match as an array; pattern a STRING LITERAL - CH extracts the FIRST GROUP when the pattern has capturing groups, else the whole match, and the group count is resolved EXACTLY at plan time (Pattern.compile(...).groupCount, not a paren heuristic); rewrites to regexp_extract_all with the matching group index",
+        2, "(haystack, pattern)")(a => {
+        val pat = strLit(a(1), "extractAll")
+        val groups =
+          try java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(
+                s"extractAll: bad pattern '$pat' - ${e.getMessage}")
+          }
+        fn("regexp_extract_all", a(0), a(1),
+          Literal(if (groups > 0) 1 else 0))
+      }),
+      rewrite("splitByString", "splitByString(sep, s) - ClickHouse splitByString: sep a non-empty string LITERAL, quoted into the split regex at plan time; trailing empties kept",
+        2, "(sep, s)")(a => {
+        val sep = strLit(a(0), "splitByString")
+        if (sep.isEmpty) throw new IllegalArgumentException(
+          "splitByString: empty separator (CH's split-to-chars mode) is " +
+            "not supported - use split(s, '')")
+        fn("split", a(1), Literal(java.util.regex.Pattern.quote(sep)))
+      }),
+      rewrite("base64Encode", "base64Encode(s) - ClickHouse base64Encode (rewrites to base64)",
+        1, "(s)")(a => fn("base64", a(0))),
+      rewrite("base64Decode", "base64Decode(s) - ClickHouse base64Decode (rewrites to CAST(unbase64(s) AS STRING); malformed input reads garbage-or-empty rather than CH's exception - non-ANSI semantics)",
+        1, "(s)")(a => Cast(fn("unbase64", a(0)),
+        org.apache.spark.sql.types.StringType)),
       rewrite("replaceAll", "replaceAll(s, pattern, replacement) - ClickHouse replaceAll: LITERAL substring replace, all occurrences (rewrites to replace)",
         3, "(s, pattern, replacement)")(a => fn("replace", a(0), a(1), a(2))),
       rewrite("replaceRegexpAll", "replaceRegexpAll(s, pattern, replacement) - ClickHouse replaceRegexpAll (rewrites to regexp_replace); DEVIATION: backreferences are $1 here vs CH's \\1",
@@ -767,6 +793,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info(name, s"$name(json, key_or_index, ...) - ClickHouse $name: the $what at the literal key/1-based-index path; ${default.toString} when the path is absent or uncastable (CH's default)"),
         (args: Seq[Expression]) => Coalesce(Seq(
           Cast(get(args, name), tpe, None, EvalMode.TRY), default)))
+    def jsonIntBuilder(name: String, doc: String) =
+      (FunctionIdentifier(name),
+        info(name, s"$name(json, key_or_index, ...) - $doc"),
+        (args: Seq[Expression]) => {
+          val raw = get(args, name)
+          // three TRY legs, evaluated lazily: the exact int64 parse
+          // first (no double round-trip for values past 2^53), then
+          // CH's numeric truncation, then the bool conversion
+          Coalesce(Seq(
+            Cast(raw, LongType, None, EvalMode.TRY),
+            Cast(Cast(raw, DoubleType, None, EvalMode.TRY), LongType,
+              None, EvalMode.TRY),
+            Cast(Cast(raw, BooleanType, None, EvalMode.TRY), LongType,
+              None, EvalMode.TRY),
+            Literal(0L)))
+        })
     Seq(
       (FunctionIdentifier("JSONExtractString"),
         info("JSONExtractString", "JSONExtractString(json, key_or_index, ...) - ClickHouse JSONExtractString: the value at the literal key/1-based-index path as text, '' when absent; DEVIATION: a non-string node extracts as its raw JSON text (CH returns '')"),
@@ -778,21 +820,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => Coalesce(Seq(
           get(args, "JSONExtractRaw"),
           Literal(UTF8String.fromString(""), StringType)))),
-      (FunctionIdentifier("JSONExtractInt"),
-        info("JSONExtractInt", "JSONExtractInt(json, key_or_index, ...) - ClickHouse JSONExtractInt: the integer at the literal key/1-based-index path; integral text converts exactly (full int64 range), a non-integral numeric node truncates toward zero (200.7 reads 200 - CH's conversion), true/false read 1/0, absent/uncastable reads 0 (CH's default)"),
-        (args: Seq[Expression]) => {
-          val raw = get(args, "JSONExtractInt")
-          // three TRY legs, evaluated lazily: the exact int64 parse
-          // first (no double round-trip for values past 2^53), then
-          // CH's numeric truncation, then the bool conversion
-          Coalesce(Seq(
-            Cast(raw, LongType, None, EvalMode.TRY),
-            Cast(Cast(raw, DoubleType, None, EvalMode.TRY), LongType,
-              None, EvalMode.TRY),
-            Cast(Cast(raw, BooleanType, None, EvalMode.TRY), LongType,
-              None, EvalMode.TRY),
-            Literal(0L)))
-        }),
+      jsonIntBuilder("JSONExtractInt",
+        "ClickHouse JSONExtractInt: the integer at the literal key/1-based-index path; integral text converts exactly (full int64 range), a non-integral numeric node truncates toward zero (200.7 reads 200 - CH's conversion), true/false read 1/0, absent/uncastable reads 0 (CH's default)"),
+      jsonIntBuilder("JSONExtractUInt",
+        "ClickHouse JSONExtractUInt mapped onto the signed int64 read (no unsigned types - values past int64 max read 0 via the failed cast; the JSONExtractInt conversion rules otherwise)"),
       extractAs("JSONExtractFloat", "double", DoubleType, Literal(0.0)),
       extractAs("JSONExtractBool", "boolean", BooleanType, Literal(false)),
       (FunctionIdentifier("JSONHas"),

@@ -1588,6 +1588,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // the complementary pair: age counts ELAPSED complete months (0 -
     // a day short), graft_date_diff counts month BOUNDARIES crossed (1)
     assert(r.getLong(10) == 0L && r.getLong(11) == 1L)
+    // extractAll group dispatch (exact Pattern.groupCount, both modes),
+    // splitByString quoting, base64 names, JSONExtractUInt widen
+    val ex = spark.sql(
+      """SELECT array_join(extractAll('a1b22c333', '[0-9]+'), ',') AS whole,
+        |  array_join(extractAll('k=1;j=2', '([a-z])='), ',') AS grp,
+        |  array_join(splitByString('::', 'a::b::c'), ',') AS sbs,
+        |  base64Decode(base64Encode('round trip')) AS b64,
+        |  JSONExtractUInt('{"k":42}', 'k') AS ju,
+        |  JSONExtractUInt('{"k":99999999999999999999}', 'k') AS ju_over
+        |""".stripMargin).collect().head
+    assert(ex.getString(0) == "1,22,333")
+    assert(ex.getString(1) == "k,j") // group 1 extracted, CH's rule
+    assert(ex.getString(2) == "a,b,c")
+    assert(ex.getString(3) == "round trip")
+    assert(ex.getLong(4) == 42L && ex.getLong(5) == 0L)
     // function-form arithmetic + the hash-name deviation (values are
     // xxhash64's, role is uniform hashing)
     val ar = spark.sql(
