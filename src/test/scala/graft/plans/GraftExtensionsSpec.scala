@@ -1614,6 +1614,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ar.getInt(0) == 5 && ar.getInt(1) == -1 && ar.getInt(2) == 6)
     assert(ar.getDouble(3) == 0.5)
     assert(ar.getBoolean(4) && ar.getBoolean(5))
+    // the remaining scalar vocabulary, value-pinned
+    val sc = spark.sql(
+      """SELECT match('hello123', '[0-9]+') AS m,
+        |  match('hello', '^[0-9]+$') AS m0,
+        |  replaceAll('a.b.c', '.', '-') AS ra,
+        |  replaceRegexpAll('a1b22', '[0-9]+', '#') AS rr,
+        |  empty('') AS e1, empty('x') AS e0, notEmpty('x') AS ne,
+        |  toString(42) AS ts, toInt32('17') AS i32,
+        |  toUInt8(200) AS u8, toFloat64('2.5') AS f64,
+        |  intDiv(-7, 2) AS idv, modulo(-7, 2) AS md,
+        |  has(array('a', 'b'), 'b') AS hs,
+        |  indexOf(array('a', 'b'), 'b') AS ix,
+        |  arrayElement(array(10, 20), -1) AS ae,
+        |  arrayElement(array(10, 20), 0) AS ae0,
+        |  assumeNotNull(5) AS an,
+        |  today() = current_date() AS td,
+        |  yesterday() = date_sub(current_date(), 1) AS yd
+        |""".stripMargin).collect().head
+    assert(sc.getBoolean(0) && !sc.getBoolean(1))
+    assert(sc.getString(2) == "a-b-c") // LITERAL replace, not regex
+    assert(sc.getString(3) == "a#b#")
+    assert(sc.getBoolean(4) && !sc.getBoolean(5) && sc.getBoolean(6))
+    assert(sc.getString(7) == "42" && sc.getInt(8) == 17)
+    assert(sc.getShort(9) == 200 && sc.getDouble(10) == 2.5)
+    assert(sc.getLong(11) == -3L) // intDiv truncates toward zero
+    assert(sc.getInt(12) == -1)   // modulo follows the dividend sign
+    assert(sc.getBoolean(13) && sc.getLong(14) == 2L)
+    assert(sc.getInt(15) == 20 && sc.isNullAt(16))
+    assert(sc.getInt(17) == 5)
+    assert(sc.getBoolean(18) && sc.getBoolean(19))
   }
 
   test("DedupProjectParse: one try_parse_json per row however many " +
