@@ -822,6 +822,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Literal(UTF8String.fromString(""), StringType)))),
       jsonIntBuilder("JSONExtractInt",
         "ClickHouse JSONExtractInt: the integer at the literal key/1-based-index path; integral text converts exactly (full int64 range), a non-integral numeric node truncates toward zero (200.7 reads 200 - CH's conversion), true/false read 1/0, absent/uncastable reads 0 (CH's default)"),
+      (FunctionIdentifier("JSONExtract"),
+        info("JSONExtract", "JSONExtract(json, key_or_index, ..., 'TypeName') - ClickHouse's generic typed extract: the LAST argument is a CH type-name literal (Int8..Int64/UInt8..UInt64 - signed reads, the engine has no unsigned - Float32/Float64, String, Bool, Date, DateTime) dispatching to the corresponding typed accessor at plan time; numeric/Bool/String absent-path defaults follow the family (0/false/''); Date/DateTime read NULL when absent (CH reads the 1970 epoch default - documented deviation); unknown type names are REJECTED with the supported list"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2) throw new IllegalArgumentException(
+            "JSONExtract expects (json, key_or_index, ..., 'TypeName')")
+          val inner = args.dropRight(1)
+          def typed(tpe: DataType, default: Literal) = Coalesce(Seq(
+            Cast(get(inner, "JSONExtract"), tpe, None, EvalMode.TRY),
+            default))
+          strLit(args.last, "JSONExtract") match {
+            case "Int8" => typed(ByteType, Literal(0.toByte))
+            case "Int16" => typed(ShortType, Literal(0.toShort))
+            case "Int32" => typed(IntegerType, Literal(0))
+            case "Int64" | "UInt64" =>
+              jsonIntBuilder("JSONExtract", "")._3(inner)
+            case "UInt8" => typed(ShortType, Literal(0.toShort))
+            case "UInt16" => typed(IntegerType, Literal(0))
+            case "UInt32" => typed(LongType, Literal(0L))
+            case "Float32" => typed(FloatType, Literal(0.0f))
+            case "Float64" => typed(DoubleType, Literal(0.0))
+            case "Bool" => typed(BooleanType, Literal(false))
+            case "String" => Coalesce(Seq(get(inner, "JSONExtract"),
+              Literal(UTF8String.fromString(""), StringType)))
+            case "Date" => Cast(get(inner, "JSONExtract"), DateType,
+              None, EvalMode.TRY)
+            case "DateTime" => Cast(get(inner, "JSONExtract"),
+              TimestampType, None, EvalMode.TRY)
+            case other => throw new IllegalArgumentException(
+              s"JSONExtract: type '$other' - supported: Int8..Int64, " +
+                "UInt8..UInt64 (signed reads), Float32/Float64, " +
+                "String, Bool, Date, DateTime")
+          }
+        }),
       jsonIntBuilder("JSONExtractUInt",
         "ClickHouse JSONExtractUInt mapped onto the signed int64 read (no unsigned types - values past int64 max read 0 via the failed cast; the JSONExtractInt conversion rules otherwise)"),
       extractAs("JSONExtractFloat", "double", DoubleType, Literal(0.0)),

@@ -1429,6 +1429,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(15) == "a,d,n,s,tags")
     assert(r.getString(16) == "k=42")
     assert(r.getLong(17) == 2L) // 2.5 truncates toward zero, CH's read
+    // the generic typed extract: type-name literal dispatched at plan time
+    val gen = spark.sql(
+      """SELECT JSONExtract(j, 'a', 'k', 'Int64') AS i64,
+        |  JSONExtract(j, 'd', 'Float64') AS f64,
+        |  JSONExtract(j, 's', 'String') AS str,
+        |  JSONExtract(j, 'zz', 'Int32') AS z32,
+        |  JSONExtract(j, 'a', 'k', 'UInt16') AS u16,
+        |  JSONExtract(j, 'd', 'Int64') AS trunc64
+        |FROM ge_jv""".stripMargin).collect().head
+    assert(gen.getLong(0) == 42L && gen.getDouble(1) == 2.5)
+    assert(gen.getString(2) == "v" && gen.getInt(3) == 0)
+    assert(gen.getInt(4) == 42 && gen.getLong(5) == 2L)
+    val eT = intercept[Exception](spark.sql(
+      "SELECT JSONExtract(j, 'a', 'Decimal128') FROM ge_jv").collect())
+    assert(eT.getMessage.contains("supported"), eT.getMessage)
     // non-integral / bool conversions of JSONExtractInt (ADVICE r15)
     val conv = spark.sql(
       """SELECT JSONExtractInt(j, 'a') AS d1, JSONExtractInt(j, 'b') AS b1,

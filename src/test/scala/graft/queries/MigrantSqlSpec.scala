@@ -183,6 +183,13 @@ class MigrantSqlSpec extends AnyFunSuite {
       |FROM events GROUP BY event_type, d WITH ROLLUP
       |ORDER BY event_type NULLS LAST, d NULLS LAST LIMIT 20""".stripMargin)
 
+  pass("INTERVAL arithmetic (same syntax both engines) + typed JSONExtract", 1,
+    """SELECT count(*) AS n,
+      |  countIf(ts + INTERVAL 1 DAY > ts) AS all_rows,
+      |  max(JSONExtract(props, 'k', 'Int64')) AS max_k,
+      |  max(JSONExtract(props, 'k', 'String')) AS max_ks
+      |FROM events""".stripMargin)
+
   pass("quantile ladder + anyLast + uniqHLL12", 1,
     """SELECT anyLast(event_type) AS a, uniqHLL12(user_id) AS u,
       |  quantile(value) AS med, quantile(value, 0.9) AS p90,
@@ -220,6 +227,16 @@ class MigrantSqlSpec extends AnyFunSuite {
     "LATERAL VIEW OUTER explode(...) / select explode_outer(...)",
     """SELECT event_type, tok FROM events
       |LEFT ARRAY JOIN splitByChar('_', event_type) AS tok""".stripMargin)
+
+  gap("GLOBAL JOIN",
+    "PARSE_SYNTAX_ERROR", "plain JOIN (the planner owns distribution)",
+    """SELECT a.event_id FROM events a GLOBAL JOIN events b
+      |ON a.user_id = b.user_id LIMIT 1""".stripMargin)
+
+  gap("GLOBAL IN",
+    "PARSE_SYNTAX_ERROR", "plain IN (subqueries broadcast/shuffle as planned)",
+    """SELECT count(*) FROM events WHERE user_id GLOBAL IN
+      |(SELECT user_id FROM events LIMIT 10)""".stripMargin)
 
   gap("parametric aggregate syntax quantileExact(0.9)(v)",
     "quantileExact", "flatten: quantileExact(v, 0.9)",
