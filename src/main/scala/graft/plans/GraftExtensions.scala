@@ -568,6 +568,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }),
       rewrite("arraySort", "arraySort(arr) - ClickHouse arraySort, plain 1-arg form (rewrites to array_sort; the lambda form is Spark's own array_sort(arr, comparator))",
         1, "(arr)")(a => fn("array_sort", a(0))),
+      rewrite("arrayFlatten", "arrayFlatten(arr) - ClickHouse arrayFlatten (rewrites to flatten; one level, like CH)",
+        1, "(arr)")(a => fn("flatten", a(0))),
+      rewrite("arrayReverse", "arrayReverse(arr) - ClickHouse arrayReverse (rewrites to reverse)",
+        1, "(arr)")(a => fn("reverse", a(0))),
+      rewrite("arrayMin", "arrayMin(arr) - ClickHouse arrayMin, plain form (rewrites to array_min; the lambda form composes arrayMap first)",
+        1, "(arr)")(a => fn("array_min", a(0))),
+      rewrite("arrayMax", "arrayMax(arr) - ClickHouse arrayMax, plain form (rewrites to array_max)",
+        1, "(arr)")(a => fn("array_max", a(0))),
+      rewrite("arrayZip", "arrayZip(a, b) - ClickHouse arrayZip for the two-array form (rewrites to arrays_zip; DEVIATION: struct fields carry the input expression names, not CH's positional tuple slots - read them with tupleElement-style field access)",
+        2, "(a, b)")(a => fn("arrays_zip", a(0), a(1))),
+      (FunctionIdentifier("arraySlice"),
+        info("arraySlice", "arraySlice(arr, offset[, length]) - ClickHouse arraySlice: 1-based offset (negative from the end, CH and Spark agree); length defaults to the rest of the array (rewrites to slice with a size() fallback)"),
+        (args: Seq[Expression]) => {
+          if (args.size != 2 && args.size != 3)
+            throw new IllegalArgumentException(
+              s"arraySlice expects (arr, offset[, length]) (${args.size} given)")
+          val len = if (args.size == 3) args(2) else fn("size", args(0))
+          fn("slice", args(0), args(1), len)
+        }),
+      (FunctionIdentifier("arrayCompact"),
+        info("arrayCompact", "arrayCompact(arr) - ClickHouse arrayCompact: removes CONSECUTIVE duplicate elements (NOT Spark's array_compact, which strips NULLs - the names are false friends, deliberately not aliased); an element survives when it is the first position or differs null-safely from its predecessor"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "arrayCompact", "(arr)")
+          import org.apache.spark.sql.catalyst.expressions._
+          val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          val i = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
+          // i is filter's 0-based position; element_at(arr, i) is then
+          // the PREDECESSOR (1-based); the i = 0 disjunct short-circuits
+          // before the index-0 access can ever evaluate
+          ArrayFilter(args(0), LambdaFunction(
+            Or(EqualTo(i, Literal(0)),
+              Not(EqualNullSafe(x, ElementAt(args(0), i, None,
+                failOnError = false)))),
+            Seq(x, i)))
+        }),
+      (FunctionIdentifier("arraySum"),
+        info("arraySum", "arraySum(arr) - ClickHouse arraySum, plain form over INTEGER arrays (the family's pre-scale-floats discipline; a double array fails the aggregate type check loudly): one in-row fold, BIGINT result"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "arraySum", "(arr)")
+          arrayFold(args(0))
+        }),
+      (FunctionIdentifier("arrayAvg"),
+        info("arrayAvg", "arrayAvg(arr) - ClickHouse arrayAvg, plain form over INTEGER arrays: exact integer sum, ONE double division by size; NULL on an empty array (CH reads 0 - documented deviation, divide-by-zero null semantics)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "arrayAvg", "(arr)")
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+          import org.apache.spark.sql.types.DoubleType
+          Divide(Cast(arrayFold(args(0)), DoubleType),
+            Cast(fn("size", args(0)), DoubleType))
+        }),
       rewrite("arrayDistinct", "arrayDistinct(arr) - ClickHouse arrayDistinct (rewrites to array_distinct; first-occurrence order, both engines)",
         1, "(arr)")(a => fn("array_distinct", a(0))),
       // the higher-order family: ClickHouse puts the LAMBDA FIRST
@@ -639,6 +689,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           val u = fn("unix_timestamp", args(0))
           fn("timestamp_seconds", fn("-", u, fn("pmod", u, Literal(secs))))
         }))
+  }
+
+  /** In-row integer sum fold: `aggregate(arr, 0L, (a, x) -> a + x)` as
+    * resolved Catalyst nodes (the hof note: a lambda under an
+    * UnresolvedFunction is rejected). Long zero ⇒ integer element
+    * types widen into it; a double array fails the aggregate type
+    * check loudly — the pre-scale discipline, stated at both callers.
+    */
+  private def arrayFold(arr: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+    ArrayAggregate(arr, Literal(0L),
+      LambdaFunction(Add(acc, x), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
   }
 
   /** Accumulator/finish lambda variables + the user's element variable

@@ -1603,6 +1603,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // the complementary pair: age counts ELAPSED complete months (0 -
     // a day short), graft_date_diff counts month BOUNDARIES crossed (1)
     assert(r.getLong(10) == 0L && r.getLong(11) == 1L)
+    // the array vocabulary round-out: flatten/reverse/min/max/zip/
+    // slice, CONSECUTIVE-dedup arrayCompact (the array_compact false
+    // friend), integer fold arraySum/arrayAvg
+    val av = spark.sql(
+      """SELECT array_join(arrayFlatten(array(array(1,2), array(3))), ',') AS fl,
+        |  array_join(arrayReverse(array('a','b','c')), ',') AS rv,
+        |  arrayMin(array(3, 1, 2)) AS mn, arrayMax(array(3, 1, 2)) AS mx,
+        |  array_join(arraySlice(array(1,2,3,4), 2), ',') AS sl2,
+        |  array_join(arraySlice(array(1,2,3,4), 2, 2), ',') AS sl3,
+        |  array_join(arrayCompact(array(1,1,2,2,2,1,3,3)), ',') AS cp,
+        |  arraySum(array(1, 2, 3)) AS asum,
+        |  arrayAvg(array(1, 2, 4)) AS aavg,
+        |  size(arrays_zip(array(1), array('x'))) AS az
+        |""".stripMargin).collect().head
+    assert(av.getString(0) == "1,2,3" && av.getString(1) == "c,b,a")
+    assert(av.getInt(2) == 1 && av.getInt(3) == 3)
+    assert(av.getString(4) == "2,3,4" && av.getString(5) == "2,3")
+    assert(av.getString(6) == "1,2,1,3") // consecutive dedup, CH's rule
+    assert(av.getLong(7) == 6L)
+    assert(av.getDouble(8) == 7.0 / 3.0)
+    assert(av.getInt(9) == 1)
     // extractAll group dispatch (exact Pattern.groupCount, both modes),
     // splitByString quoting, base64 names, JSONExtractUInt widen
     val ex = spark.sql(
