@@ -108,7 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }.reduce((a, b) => BitwiseOr(a, b))
   }
 
-  private def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  private[plans] def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("parse_log_line"),
       info("parse_log_line", "parse_log_line(line, regex) - all capture groups as array<string>, NULL on mismatch"),
       (args: Seq[Expression]) => ParseLogLine(args(0), strLit(args(1), "parse_log_line"))),
