@@ -198,12 +198,17 @@ object BenchProbe {
     // q124 is map-only get_json_object extraction + one type-key rollup
     "q121_ip_sql", "q122_ch_alias_battery", "q123_date_fns_sql",
     "q124_json_sql",
-    // r16: q125 is one try_parse_json per row (let-binding-bound) +
-    // variant navigation + a bounded type-key rollup — linear band;
-    // q126 groups events on derived week keys (bounded exchange);
-    // q127 is the verbatim migrant statement — one (ym, dow)-domain
-    // grouped aggregate whose only buffered state is the per-group
-    // quantile value list — linear band
+    // r16: q125 is one shared try_parse_json per row (the
+    // DedupProjectParse pull) + 13 interpreted variant-navigation
+    // kernels + a bounded type-key rollup — its bench cost is a large
+    // CONSTANT per row, and the pre-adjudicated filtered probe read
+    // 1.22× at 10× (flat growth, the constant dominates); q126 groups
+    // events on derived week keys (bounded exchange; 1.13×
+    // pre-adjudicated); q127 is the migrant capstone — one (ym, dow)-
+    // domain grouped aggregate whose only buffered state is the
+    // per-group quantile value list (1.77× pre-adjudicated; it
+    // registers ONLY the events view so the amplified four-table
+    // corpus satisfies it)
     "q125_json_structural", "q126_date_tier2", "q127_migrant_sql")
 
   def main(args: Array[String]): Unit = {
