@@ -501,6 +501,73 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         fn("regexp_replace", a(0), a(1), a(2))),
       rewrite("assumeNotNull", "assumeNotNull(x) - ClickHouse assumeNotNull (identity here: the engine has no non-nullable enforcement to unlock; NULLs pass through)",
         1, "(x)")(a => a(0)),
+      // the -UTF8 suffixed forms are EXACT matches: ClickHouse defines
+      // them over characters, which is precisely Spark's default
+      // semantics - registering them retires the chars-vs-bytes trap
+      // for migrants who already write the UTF8 forms
+      rewrite("lengthUTF8", "lengthUTF8(s) - ClickHouse lengthUTF8 (rewrites to length: CHARACTERS on both engines - unlike bare length, which CH counts in bytes)",
+        1, "(s)")(a => fn("length", a(0))),
+      rewrite("lowerUTF8", "lowerUTF8(s) - ClickHouse lowerUTF8 (rewrites to lower)",
+        1, "(s)")(a => fn("lower", a(0))),
+      rewrite("upperUTF8", "upperUTF8(s) - ClickHouse upperUTF8 (rewrites to upper)",
+        1, "(s)")(a => fn("upper", a(0))),
+      rewrite("reverseUTF8", "reverseUTF8(s) - ClickHouse reverseUTF8 (rewrites to reverse: character-wise on both engines)",
+        1, "(s)")(a => fn("reverse", a(0))),
+      rewrite("substringUTF8", "substringUTF8(s, offset, length) - ClickHouse substringUTF8 (rewrites to substring: 1-based character offsets on both engines)",
+        3, "(s, offset, length)")(a => fn("substring", a(0), a(1), a(2))),
+      (FunctionIdentifier("range"),
+        info("range", "range([start, ]end[, step]) - ClickHouse range: end-EXCLUSIVE integer sequence ([0..end) in the 1-arg form; rewrites to sequence with the bound pulled in by one step and an empty-range guard - Spark's sequence is INCLUSIVE and auto-reverses on a negative span, which would misread range(0))"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 3)
+            throw new IllegalArgumentException(
+              s"range expects ([start, ]end[, step]) (${args.size} given)")
+          import org.apache.spark.sql.catalyst.expressions.{If, LessThanOrEqual}
+          val (start, end, step) = args.size match {
+            case 1 => (Literal(0L), args(0), Literal(1L))
+            case 2 => (args(0), args(1), Literal(1L))
+            case _ => (args(0), args(1), args(2))
+          }
+          // last included element = end - 1 step; empty when end <= start
+          // (positive steps - CH's range rejects non-positive steps too)
+          If(LessThanOrEqual(Cast(end,
+            org.apache.spark.sql.types.LongType),
+            Cast(start, org.apache.spark.sql.types.LongType)),
+            Cast(fn("array"), org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)),
+            fn("sequence", Cast(start, org.apache.spark.sql.types.LongType),
+              fn("-", Cast(end, org.apache.spark.sql.types.LongType),
+                Literal(1L)),
+              Cast(step, org.apache.spark.sql.types.LongType)))
+        }),
+      rewrite("arrayEnumerate", "arrayEnumerate(arr) - ClickHouse arrayEnumerate: [1..size(arr)] positions; empty arrays read [] (guarded - Spark's sequence(1, 0) would auto-reverse)",
+        1, "(arr)")(a => {
+        import org.apache.spark.sql.catalyst.expressions.{If, EqualTo}
+        If(EqualTo(fn("size", a(0)), Literal(0)),
+          Cast(fn("array"), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+          fn("sequence", Literal(1), fn("size", a(0))))
+      }),
+      rewrite("bitAnd", "bitAnd(a, b) - ClickHouse bitAnd (rewrites to &)",
+        2, "(a, b)")(a => fn("&", a(0), a(1))),
+      rewrite("bitOr", "bitOr(a, b) - ClickHouse bitOr (rewrites to |)",
+        2, "(a, b)")(a => fn("|", a(0), a(1))),
+      rewrite("bitXor", "bitXor(a, b) - ClickHouse bitXor (rewrites to ^)",
+        2, "(a, b)")(a => fn("^", a(0), a(1))),
+      rewrite("bitNot", "bitNot(a) - ClickHouse bitNot (rewrites to ~)",
+        1, "(a)")(a => fn("~", a(0))),
+      rewrite("bitShiftLeft", "bitShiftLeft(a, n) - ClickHouse bitShiftLeft (rewrites to shiftleft)",
+        2, "(a, n)")(a => fn("shiftleft", a(0), a(1))),
+      rewrite("bitShiftRight", "bitShiftRight(a, n) - ClickHouse bitShiftRight (rewrites to shiftright: arithmetic shift, sign-propagating like CH on signed types)",
+        2, "(a, n)")(a => fn("shiftright", a(0), a(1))),
+      (FunctionIdentifier("roundBankers"),
+        info("roundBankers", "roundBankers(x[, n = 0]) - ClickHouse roundBankers (rewrites to bround: half-to-even on both engines)"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 2)
+            throw new IllegalArgumentException(
+              s"roundBankers expects (x[, n]) (${args.size} given)")
+          fn("bround", args(0),
+            if (args.size == 2) args(1) else Literal(0))
+        }),
       rewrite("trimLeft", "trimLeft(s) - ClickHouse trimLeft (rewrites to ltrim: leading spaces)",
         1, "(s)")(a => fn("ltrim", a(0))),
       rewrite("trimRight", "trimRight(s) - ClickHouse trimRight (rewrites to rtrim)",

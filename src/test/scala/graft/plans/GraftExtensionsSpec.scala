@@ -1624,6 +1624,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(av.getLong(7) == 6L)
     assert(av.getDouble(8) == 7.0 / 3.0)
     assert(av.getInt(9) == 1)
+    // UTF8-suffixed exact matches, range/arrayEnumerate guards, bit ops,
+    // bankers rounding
+    val ux = spark.sql(
+      """SELECT lengthUTF8('héllo') AS lu,
+        |  lowerUTF8('ABC') AS lo, upperUTF8('abc') AS up,
+        |  reverseUTF8('abc') AS rv, substringUTF8('héllo', 2, 3) AS su,
+        |  array_join(range(3), ',') AS r1,
+        |  array_join(range(2, 5), ',') AS r2,
+        |  array_join(range(0, 10, 3), ',') AS r3,
+        |  size(range(0)) AS r0,
+        |  array_join(arrayEnumerate(array('a','b','c')), ',') AS en,
+        |  size(arrayEnumerate(array())) AS en0,
+        |  bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, bitXor(12, 10) AS bx,
+        |  bitNot(0) AS bn, bitShiftLeft(1, 4) AS bl,
+        |  bitShiftRight(-16, 2) AS br,
+        |  roundBankers(CAST(2.5 AS DOUBLE)) AS rb0,
+        |  roundBankers(CAST(0.125 AS DOUBLE), 2) AS rb2
+        |""".stripMargin).collect().head
+    assert(ux.getInt(0) == 5) // characters, the UTF8 form's contract
+    assert(ux.getString(1) == "abc" && ux.getString(2) == "ABC")
+    assert(ux.getString(3) == "cba" && ux.getString(4) == "éll")
+    assert(ux.getString(5) == "0,1,2") // end-EXCLUSIVE, CH's rule
+    assert(ux.getString(6) == "2,3,4" && ux.getString(7) == "0,3,6,9")
+    assert(ux.getInt(8) == 0) // range(0) = [], not sequence's [0,-1]
+    assert(ux.getString(9) == "1,2,3" && ux.getInt(10) == 0)
+    assert(ux.getInt(11) == 8 && ux.getInt(12) == 14 && ux.getInt(13) == 6)
+    assert(ux.getInt(14) == -1 && ux.getInt(15) == 16 && ux.getInt(16) == -4)
+    assert(ux.getDouble(17) == 2.0 && ux.getDouble(18) == 0.12) // half-to-even
     // extractAll group dispatch (exact Pattern.groupCount, both modes),
     // splitByString quoting, base64 names, JSONExtractUInt widen
     val ex = spark.sql(
