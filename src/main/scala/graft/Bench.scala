@@ -69,6 +69,7 @@ object Bench {
     // r16: the structural JSON family (variant surface), the tier-2
     // date family, and the verbatim migrant capstone
     "q125_json_structural", "q126_date_tier2", "q127_migrant_sql",
+    "q128_scalar_battery",
     "s11_embedding_outliers",
     "m04_phash_dedup", "q56_quality_percentile", "q57_sequence_count",
     "t11_keyword_search", "t12_unk_rewrite", "t13_rarity_score",

@@ -209,7 +209,11 @@ object BenchProbe {
     // per-group quantile value list (1.77× pre-adjudicated; it
     // registers ONLY the events view so the amplified four-table
     // corpus satisfies it)
-    "q125_json_structural", "q126_date_tier2", "q127_migrant_sql")
+    "q125_json_structural", "q126_date_tier2", "q127_migrant_sql",
+    // q128 is map-only codegen scalar kernels + one bounded
+    // band-key exchange - linear band (pre-adjudicated 0.9x at 10x:
+    // flat, fixed costs dominate)
+    "q128_scalar_battery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -3400,7 +3400,56 @@ object Relational {
         "statement (date names, uniqExact, -If combinators, cast " +
         "names, argMax, actual-element quantileExact in the flattened " +
         "form, formatDateTime, JSON accessors) run as literal SQL " +
-        "text through spark.sql and hash-matched against DuckDB"))
+        "text through spark.sql and hash-matched against DuckDB"),
+
+    // q128: the r16 scalar-vocabulary battery under a DuckDB oracle —
+    // upgrades the new alias names from spec-pinned to hash-matched:
+    // multiIf banding, intDiv/modulo, splitByChar + arrayStringConcat,
+    // CH end-exclusive range + arrayEnumerate (both with their empty
+    // guards exercised by the % 5 domain's zero), arraySum folds, the
+    // bit-operator names, replaceRegexpAll (DuckDB needs its 'g' flag
+    // for the same all-occurrences read), countSubstrings' exact
+    // length arithmetic, leftPad/trimBoth, substringUTF8, toString.
+    // Map-only kernels + one bounded band-key exchange.
+    "q128_scalar_battery" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .select(
+            expr("multiIf(value < 0.25, 'low', value < 0.75, 'mid', " +
+              "'high')").as("band"),
+            expr("intDiv(event_id, 7)").as("idv"),
+            expr("modulo(event_id, 7)").as("md"),
+            expr("arrayStringConcat(splitByChar('_', event_type), '|')")
+              .as("tok"),
+            expr("arraySum(range(toInt64(event_id % 5)))").as("rng"),
+            expr("arraySum(arrayEnumerate(splitByChar('e', event_type)))")
+              .as("en"),
+            expr("bitAnd(event_id, 255)").as("ba"),
+            expr("bitXor(event_id, 129)").as("bx"),
+            expr("replaceRegexpAll(event_type, '[aeiou]', '#')").as("rr"),
+            expr("countSubstrings(event_type, 'e')").as("cs"),
+            expr("leftPad(toString(event_id % 100), 5, '0')").as("lp"),
+            expr("trimBoth(concat('  ', event_type, ' '))").as("tb"),
+            expr("substringUTF8(event_type, 2, 3)").as("su"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("idv")).as("sum_idv"), sum(col("md")).as("sum_md"),
+            min(col("tok")).as("min_tok"),
+            sum(col("rng")).as("sum_rng"), sum(col("en")).as("sum_en"),
+            sum(col("ba")).as("sum_ba"), sum(col("bx")).as("sum_bx"),
+            min(col("rr")).as("min_rr"), sum(col("cs")).as("sum_cs"),
+            max(col("lp")).as("max_lp"), min(col("tb")).as("min_tb"),
+            min(col("su")).as("min_su"))
+      },
+      Some(scalarBatteryOracle),
+      "the r16 scalar-vocabulary battery (multiIf, intDiv/modulo, " +
+        "splitByChar/arrayStringConcat, end-exclusive range + " +
+        "arrayEnumerate with empty guards, arraySum folds, bit " +
+        "operators, replaceRegexpAll, countSubstrings, leftPad, " +
+        "trimBoth, substringUTF8, toString) hash-matched against " +
+        "DuckDB's own spellings"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
@@ -3521,6 +3570,48 @@ object Relational {
       |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
       |    AS max_k
       |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** The q128 oracle: DuckDB spellings of the scalar battery — its
+    * `range` IS end-exclusive (CH-shaped) but `list_sum([])` reads NULL
+    * where the engine's fold reads 0 (coalesced); `//` is floor
+    * division (≡ intDiv's truncation on this non-negative domain);
+    * regexp_replace needs the 'g' flag for the all-occurrences read.
+    */
+  private def scalarBatteryOracle: String =
+    """WITH b AS (
+      |  SELECT event_type, value, event_id,
+      |    CASE WHEN value < 0.25 THEN 'low'
+      |         WHEN value < 0.75 THEN 'mid' ELSE 'high' END AS band
+      |  FROM events),
+      |e AS (SELECT band,
+      |  CAST(event_id // 7 AS BIGINT) AS idv,
+      |  CAST(event_id % 7 AS BIGINT) AS md,
+      |  array_to_string(string_split(event_type, '_'), '|') AS tok,
+      |  CAST(coalesce(list_sum(range(CAST(event_id % 5 AS BIGINT))), 0)
+      |    AS BIGINT) AS rng,
+      |  CAST(coalesce(list_sum(range(1,
+      |    len(string_split(event_type, 'e')) + 1)), 0) AS BIGINT) AS en,
+      |  CAST(event_id & 255 AS BIGINT) AS ba,
+      |  CAST(xor(event_id, 129) AS BIGINT) AS bx,
+      |  regexp_replace(event_type, '[aeiou]', '#', 'g') AS rr,
+      |  CAST((length(event_type) -
+      |    length(replace(event_type, 'e', ''))) AS BIGINT) AS cs,
+      |  lpad(CAST(event_id % 100 AS VARCHAR), 5, '0') AS lp,
+      |  trim('  ' || event_type || ' ') AS tb,
+      |  substring(event_type, 2, 3) AS su
+      | FROM b)
+      |SELECT band, count(*) AS n,
+      |  CAST(sum(idv) AS BIGINT) AS sum_idv,
+      |  CAST(sum(md) AS BIGINT) AS sum_md,
+      |  min(tok) AS min_tok,
+      |  CAST(sum(rng) AS BIGINT) AS sum_rng,
+      |  CAST(sum(en) AS BIGINT) AS sum_en,
+      |  CAST(sum(ba) AS BIGINT) AS sum_ba,
+      |  CAST(sum(bx) AS BIGINT) AS sum_bx,
+      |  min(rr) AS min_rr,
+      |  CAST(sum(cs) AS BIGINT) AS sum_cs,
+      |  max(lp) AS max_lp, min(tb) AS min_tb, min(su) AS min_su
+      |FROM e GROUP BY band""".stripMargin
 
   /** The q77 oracle (forward/first_match next-node via windows) —
     * shared verbatim with q102, which runs the SAME query through the
