@@ -988,6 +988,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 "String, Bool, Date, DateTime")
           }
         }),
+      // the legacy visitParam* spellings (pre-JSONExtract ClickHouse;
+      // still live in old dashboards) alias the same builders - CH
+      // documents them as the single-level fast path, and the engine's
+      // path compiler accepts exactly that shape
+      (FunctionIdentifier("visitParamHas"),
+        info("visitParamHas", "visitParamHas(params, name) - legacy ClickHouse spelling of JSONHas (single-level key)"),
+        (args: Seq[Expression]) =>
+          eagerExpression(vGet(args, "visitParamHas").isNotNull)),
+      (FunctionIdentifier("visitParamExtractString"),
+        info("visitParamExtractString", "visitParamExtractString(params, name) - legacy spelling of JSONExtractString"),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          get(args, "visitParamExtractString"),
+          Literal(UTF8String.fromString(""), StringType)))),
+      (FunctionIdentifier("visitParamExtractRaw"),
+        info("visitParamExtractRaw", "visitParamExtractRaw(params, name) - legacy spelling of JSONExtractRaw"),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          get(args, "visitParamExtractRaw"),
+          Literal(UTF8String.fromString(""), StringType)))),
+      jsonIntBuilder("visitParamExtractInt",
+        "legacy spelling of JSONExtractInt (single-level key)"),
+      jsonIntBuilder("visitParamExtractUInt",
+        "legacy spelling of JSONExtractUInt (signed int64 read)"),
+      extractAs("visitParamExtractFloat", "double (legacy JSONExtractFloat spelling)", DoubleType, Literal(0.0)),
+      extractAs("visitParamExtractBool", "boolean (legacy JSONExtractBool spelling)", BooleanType, Literal(false)),
       jsonIntBuilder("JSONExtractUInt",
         "ClickHouse JSONExtractUInt mapped onto the signed int64 read (no unsigned types - values past int64 max read 0 via the failed cast; the JSONExtractInt conversion rules otherwise)"),
       extractAs("JSONExtractFloat", "double", DoubleType, Literal(0.0)),
@@ -1221,6 +1245,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       part("toUnixTimestamp", "unix_timestamp"),
       one("toDate", "toDate(x) - ClickHouse toDate (rewrites to CAST(x AS DATE))")(
         a => Cast(a, DateType)),
+      one("toISOWeek", "toISOWeek(ts) - ClickHouse toISOWeek (rewrites to weekofyear - Spark's week number IS the ISO week)")(
+        a => fn("weekofyear", a)),
+      one("toISOYear", "toISOYear(ts) - ClickHouse toISOYear (rewrites to date_part('YEAROFWEEK') - the ISO week-numbering year, which differs from toYear around January 1st)")(
+        a => Cast(fn("date_part", strL("YEAROFWEEK"), a), IntegerType)),
       one("toDayOfWeek", "toDayOfWeek(ts) - ClickHouse toDayOfWeek: Monday = 1 .. Sunday = 7 (CH's default mode; Spark's dayofweek is Sunday = 1 - the conversion is explicit arithmetic, not an alias)")(
         a => {
           val shifted = fn("pmod",
@@ -1235,7 +1263,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           fn("+", fn("*", fn("month", a), Literal(100)),
             fn("dayofmonth", a))), IntegerType)),
       (FunctionIdentifier("formatDateTime"),
-        info("formatDateTime", "formatDateTime(ts, fmt) - ClickHouse formatDateTime with fmt a STRING LITERAL translated to a Java pattern at plan time; supported: %Y %y %m %d %H %i %S %F %T %% and literal text (letters auto-quoted); %M REJECTED by name (version-ambiguous in CH - use %i for minutes)"),
+        info("formatDateTime", "formatDateTime(ts, fmt) - ClickHouse formatDateTime with fmt a STRING LITERAL translated to a Java pattern at plan time; supported: %Y %y %m %c %d %H %i %S %F %T %R %j %a %b %n %t %% and literal text (letters auto-quoted; %a/%b render English-locale abbreviations); %M REJECTED by name (version-ambiguous in CH - use %i for minutes)"),
         (args: Seq[Expression]) => {
           arity(args, 2, "formatDateTime", "(ts, fmt)")
           val java = chFormatToJava(
@@ -1272,12 +1300,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case 'Y' => sb ++= "yyyy"
           case 'y' => sb ++= "yy"
           case 'm' => sb ++= "MM"
+          case 'c' => sb ++= "MM"
           case 'd' => sb ++= "dd"
           case 'H' => sb ++= "HH"
           case 'i' => sb ++= "mm"
           case 'S' => sb ++= "ss"
           case 'F' => sb ++= "yyyy-MM-dd"
           case 'T' => sb ++= "HH:mm:ss"
+          case 'R' => sb ++= "HH:mm"
+          case 'j' => sb ++= "DDD"
+          case 'a' => sb ++= "EEE"
+          case 'b' => sb ++= "MMM"
+          // newline/tab are not pattern letters - unquoted literals
+          // (quoting each would merge adjacent sections: '\n''\t' reads
+          // the '' as an ESCAPED apostrophe inside one section)
+          case 'n' => sb += '\n'
+          case 't' => sb += '\t'
           case '%' => sb += '%'
           case 'M' => throw new IllegalArgumentException(
             s"$fnName: %M is version-ambiguous in ClickHouse (minute " +
@@ -1285,7 +1323,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "use %i for minutes")
           case other => throw new IllegalArgumentException(
             s"$fnName: unsupported format specifier %$other (supported: " +
-              "%Y %y %m %d %H %i %S %F %T %%)")
+              "%Y %y %m %c %d %H %i %S %F %T %R %j %a %b %n %t %%)")
         }
         i += 2
       } else {

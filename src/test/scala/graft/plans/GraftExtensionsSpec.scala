@@ -1744,4 +1744,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  '{%Y}#%m') AS f""".stripMargin).collect().head
     assert(r.getString(0) == "{2024}#08")
   }
+
+  test("formatDateTime tier-2 specifiers; visitParam legacy JSON names; " +
+    "ISO week/year") {
+    val r = spark.sql(
+      """SELECT formatDateTime(TIMESTAMP '2024-08-12 13:45:30',
+        |    '%a %b %j %R %c%n%t') AS f,
+        |  visitParamHas('{"k":42,"n":null}', 'n') AS vh,
+        |  visitParamHas('{"k":42}', 'zz') AS vh0,
+        |  visitParamExtractString('{"s":"x"}', 's') AS vs,
+        |  visitParamExtractInt('{"k":42}', 'k') AS vi,
+        |  visitParamExtractUInt('{"k":7}', 'k') AS vu,
+        |  visitParamExtractFloat('{"f":2.5}', 'f') AS vf,
+        |  visitParamExtractBool('{"b":true}', 'b') AS vb,
+        |  visitParamExtractRaw('{"o":{"x":1}}', 'o') AS vr,
+        |  toISOWeek(TIMESTAMP '2024-01-01 00:00:00') AS iw,
+        |  toISOYear(TIMESTAMP '2023-01-01 00:00:00') AS iy
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "Mon Aug 225 13:45 08\n\t")
+    assert(r.getBoolean(1), "legacy visitParamHas sees explicit null")
+    assert(!r.getBoolean(2))
+    assert(r.getString(3) == "x" && r.getLong(4) == 42L && r.getLong(5) == 7L)
+    assert(r.getDouble(6) == 2.5 && r.getBoolean(7))
+    assert(r.getString(8).contains("\"x\":1"))
+    assert(r.getInt(9) == 1)   // 2024-01-01 is ISO week 1 (a Monday)
+    assert(r.getInt(10) == 2022) // Jan 1 2023 (Sunday) belongs to ISO 2022
+  }
 }
