@@ -54,9 +54,13 @@ object DedupProjectParse extends Rule[LogicalPlan] {
   private[plans] def isTryParse(e: Expression): Boolean = e match {
     case p: ParseJson => !p.failOnError
     case si: StaticInvoke =>
+      // VariantExpressionEvalUtils.parseJson(input, allowDuplicateKeys,
+      // failOnError) — the TRY flag is argument index 2; index 1 is
+      // allowDuplicateKeys (matching on it would hoist STRICT parses out
+      // of their CASE WHEN guards, the exact hazard this rule avoids).
       si.functionName == "parseJson" &&
         si.dataType.typeName == "variant" &&
-        (si.arguments.lift(1) match {
+        (si.arguments.lift(2) match {
           case Some(Literal(false, BooleanType)) => true
           case _ => false
         })

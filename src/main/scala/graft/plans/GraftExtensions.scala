@@ -246,7 +246,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.encoders
             .ExpressionEncoder[(Long, Long, Long, Boolean)](),
           "graft_delta_sum", Seq(tsExpr(args(0)), idExpr(args(1)),
-            longIn(args(2)), validExpr(args(0), args(2))))
+            longIn(args(2)), validExpr(asTs(args(0)), asLong(args(2)))))
       }),
     (FunctionIdentifier("graft_ema"),
       info("graft_ema", "graft_ema(ts, id, v, alpha, beta) - ClickHouse exponentialMovingAverage (ordered-series form): s1 = v1, si = alpha*vi + beta*s(i-1) folded in strict (ts, id) order; beta passed EXPLICITLY (1-alpha is not FP-safe to recompute — state both constants, e.g. 0.25/0.75); bit-equal to the Column form UNQUALIFIED (NULL rows travel as an explicit validity slot, no in-band sentinel - a genuine NaN value survives and propagates through the fold like the Column form); NULL ts/v rows skipped, empty group NULL"),
@@ -262,7 +262,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.encoders
             .ExpressionEncoder[(Long, Long, Double, Boolean)](),
           "graft_ema", Seq(tsExpr(args(0)), idExpr(args(1)), v,
-            validExpr(args(0), args(2))))
+            validExpr(asTs(args(0)), asDouble(args(2)))))
       }),
     (FunctionIdentifier("graft_quantile_exact_weighted"),
       info("graft_quantile_exact_weighted", "graft_quantile_exact_weighted(v, w, φ) - ClickHouse quantileExactWeighted: the EXACT weighted quantile (smallest v with cumulative weight ≥ φ·total, inclusive boundary, φ quantized to basis points); state = the group's value→weight map (bounded by distinct values, ClickHouse's own shape — quantize continuous domains or use graft_kll_quantile); NULL values / non-positive weights skipped via an EXPLICIT validity slot (no in-band sentinel - a genuine Long.MinValue value participates)"),
@@ -276,7 +276,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.encoders
             .ExpressionEncoder[(Long, Long, Boolean)](),
           "graft_quantile_exact_weighted",
-          Seq(longIn(args(0)), longIn(args(1)), validExpr(args(0))))
+          Seq(longIn(args(0)), longIn(args(1)), validExpr(asLong(args(0)))))
       }),
     (FunctionIdentifier("graft_window_funnel"),
       info("graft_window_funnel", "graft_window_funnel(window_us, ts, id, cond1[, ...condN]) - ClickHouse windowFunnel level as an aggregate: the longest k such that events matching cond1..condk exist in strict (ts, id) order with every chain event within window_us of the chain's FIRST event; deterministic tie order (ts, id) unlike ClickHouse, NULL-ts rows skipped, NULL conds read false"),
@@ -1051,7 +1051,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               })
           })),
       (FunctionIdentifier("JSONExtractArrayRaw"),
-        info("JSONExtractArrayRaw", "JSONExtractArrayRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractArrayRaw: each element of the array at the path as its raw JSON text (strings keep their quotes, nested structures their braces); [] when the path is absent or not an array (CH's default)"),
+        info("JSONExtractArrayRaw", "JSONExtractArrayRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractArrayRaw: each element of the array at the path as its raw JSON text (strings keep their quotes, nested structures their braces); [] when the path is absent or not an array (CH's default); DEVIATION: element text is the CANONICALIZED variant-to-JSON rendering, not the original byte slice (number formatting normalizes - 2.50 reads back 2.5 - key order and whitespace are canonical)"),
         (args: Seq[Expression]) => eagerExpression(
           F.coalesce(F.transform(
             vGet(args, "JSONExtractArrayRaw", minSteps = 0,
@@ -1065,7 +1065,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               targetType = "map<string,variant>")),
             emptyStrArr))),
       (FunctionIdentifier("JSONExtractKeysAndValuesRaw"),
-        info("JSONExtractKeysAndValuesRaw", "JSONExtractKeysAndValuesRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractKeysAndValuesRaw: array<struct<key, value>> of the object's entries with values as raw JSON text; [] when absent or not an object; DEVIATION: entries sort by key ASCENDING (CH preserves document order)"),
+        info("JSONExtractKeysAndValuesRaw", "JSONExtractKeysAndValuesRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractKeysAndValuesRaw: array<struct<key, value>> of the object's entries with values as raw JSON text; [] when absent or not an object; DEVIATIONS: entries sort by key ASCENDING (CH preserves document order), and value text is the CANONICALIZED variant-to-JSON rendering, not the original byte slice (number formatting normalizes, whitespace is canonical)"),
         (args: Seq[Expression]) => eagerExpression(
           F.coalesce(F.transform(F.map_entries(
             vGet(args, "JSONExtractKeysAndValuesRaw", minSteps = 0,
@@ -1538,11 +1538,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // survive; invalid rows skip at reduce like the Column forms' NULL
   // skip. None of the names collides with a Spark built-in.
 
-  /** TRUE iff every argument is non-NULL — the explicit validity slot. */
+  /** TRUE iff every argument is non-NULL — the explicit validity slot.
+    * Pass the CAST form of each numeric/timestamp input (via [[asLong]] /
+    * [[asDouble]] / [[asTs]]), not the raw argument: under the non-ANSI
+    * session a malformed string casts to NULL, and the Column forms see
+    * that NULL and skip the row — the validity slot must skip it too, or
+    * a fabricated 0/0.0 participates and SQL ≢ Column (r16 ADVICE
+    * medium). Raw arguments are fine only for string slots (a cast to
+    * STRING never NULLs a non-NULL input).
+    */
   private def validExpr(es: Expression*): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
     es.map(e => IsNotNull(e): Expression).reduce(And)
   }
+
+  /** Cast views for validity slots — same target types as the paired
+    * [[longIn]] / value-slot casts, WITHOUT the NULL→zero coalesce.
+    */
+  private def asLong(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
+  private def asDouble(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
+  private def asTs(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType)
 
   /** Long input slot: NULL → 0 (a non-nullable primitive in the tuple
     * encoder; the paired validity slot already excludes the row).
@@ -1569,7 +1590,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (value, variant) → (variant, value, valid): the shared two-sample
     // plumbing of the t/z tests (CH argument order: data first)
     def twoSample(args: Seq[Expression]): Seq[Expression] =
-      Seq(strIn(args(1)), longIn(args(0)), validExpr(args(0), args(1)))
+      Seq(strIn(args(1)), longIn(args(0)), validExpr(asLong(args(0)), args(1)))
     def tTest(name: String) =
       (FunctionIdentifier(name),
         info(name, s"$name(v, variant) - ClickHouse $name as an aggregate: two-sample t statistics from exact per-variant integer moments (pre-scale floats); returns the full evidence struct (variant_a/b = lexicographic min/max label, n/s/q per sample, means, variances, student_t, welch_t, welch_df) - a superset of CH's (t, p) tuple; p-values are libm territory, documented-out"),
@@ -1599,7 +1620,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             new graft.operators.AbTests.MannWhitneyAgg(),
             ExpressionEncoder[(Long, Long, Boolean)](), "mannWhitneyUTest",
             Seq(longIn(args(0)), longIn(args(1)),
-              validExpr(args(0), args(1))))
+              validExpr(asLong(args(0)), asLong(args(1)))))
         }),
       (FunctionIdentifier("simpleLinearRegression"),
         info("simpleLinearRegression", "simpleLinearRegression(x, y) - ClickHouse simpleLinearRegression as an aggregate: per-group OLS y = kx + b over six exact integer moments (pre-scale floats; den_y under 2^63 bounds the envelope), plus Pearson r; returns struct(n, num, den_x, den_y, slope, intercept, pearson_r)"),
@@ -1610,7 +1631,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ExpressionEncoder[(Long, Long, Boolean)](),
             "simpleLinearRegression",
             Seq(longIn(args(0)), longIn(args(1)),
-              validExpr(args(0), args(1))))
+              validExpr(asLong(args(0)), asLong(args(1)))))
         }),
       (FunctionIdentifier("cramersV"),
         info("cramersV", "cramersV(a, b) - ClickHouse cramersV/cramersVBiasCorrected/contingency as ONE aggregate: categorical association from exact contingency cells (state bounded by the category domain |A|x|B|); chi-square from order-independent integer-1e-15th terms; returns struct(n, sum_contrib, r, c, chi2, cramers_v, cramers_v_bc, contingency_coef)"),
@@ -1626,7 +1647,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             new graft.operators.Stats.RankCorrAgg(),
             ExpressionEncoder[(Long, Long, Boolean)](), "rankCorr",
             Seq(longIn(args(0)), longIn(args(1)),
-              validExpr(args(0), args(1))))
+              validExpr(asLong(args(0)), asLong(args(1)))))
         }),
       mapCombinator("sumMap", "key-wise SUM"),
       mapCombinator("minMap", "key-wise MIN"),
@@ -1651,7 +1672,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ExpressionEncoder[(Long, Long, Boolean)](),
             "largestTriangleThreeBuckets",
             Seq(longIn(args(1)), longIn(args(2)),
-              validExpr(args(1), args(2))))
+              validExpr(asLong(args(1)), asLong(args(2)))))
         }),
       (FunctionIdentifier("kolmogorovSmirnovTest"),
         info("kolmogorovSmirnovTest", "kolmogorovSmirnovTest(v, variant) - ClickHouse kolmogorovSmirnovTest as an aggregate: two-sample KS D statistic (variant 0 = sample 1, else sample 2; pre-scale float values); state = the group's value domain, finish = one cumulative walk with the integral max |cum1*n2 - cum2*n1|; returns struct(n1, n2, m, d) - the p-value needs exp, documented-out with the libm family"),
@@ -1661,7 +1682,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ExpressionEncoder[(Long, Long, Boolean)](),
             "kolmogorovSmirnovTest",
             Seq(longIn(args(0)), longIn(args(1)),
-              validExpr(args(0), args(1))))
+              validExpr(asLong(args(0)), asLong(args(1)))))
         }),
       anovaBuilder("analysisOfVariance"),
       anovaBuilder("anova"),
@@ -1675,7 +1696,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ColumnBridge.scalaAggregator(
             new graft.operators.Stats.CorrMatrixAgg(args.size),
             ExpressionEncoder[(Seq[Long], Boolean)](), "corrMatrix",
-            Seq(CreateArray(args.map(longIn)), validExpr(args: _*)))
+            Seq(CreateArray(args.map(longIn)), validExpr(args.map(asLong): _*)))
         }),
       intervalBuilder("intervalLengthSum"),
       intervalBuilder("maxIntersections"),
@@ -1688,7 +1709,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             new graft.operators.TimeSeries.SparkbarAgg(),
             ExpressionEncoder[(Long, Long, Boolean)](), "sparkbar",
             Seq(longIn(args(0)), longIn(args(1)),
-              validExpr(args(0), args(1))))
+              validExpr(asLong(args(0)), asLong(args(1)))))
         }),
       (FunctionIdentifier("uniqTheta"),
         info("uniqTheta", "uniqTheta(x) - ClickHouse uniqTheta: approximate distinct count via a theta sketch (the STOCK Spark DataSketches aggregate, rewritten to theta_sketch_estimate(theta_sketch_agg(x)) and rounded to BIGINT); EXACT below the default sketch capacity (4096 distinct), RSE ~ 1.6% beyond; NULL skips. Set operations stay on the stock theta_union/theta_intersection/theta_difference surface (t22)"),
@@ -1718,7 +1739,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ColumnBridge.scalaAggregator(new graft.operators.Stats.AnovaAgg(),
           ExpressionEncoder[(String, Long, Boolean)](), name,
           Seq(strIn(args(1)), longIn(args(0)),
-            validExpr(args(0), args(1))))
+            validExpr(asLong(args(0)), args(1))))
       })
   }
 
@@ -1738,7 +1759,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new graft.operators.TimeSeries.IntervalAgg(),
           ExpressionEncoder[(Long, Long, Boolean)](), name,
           Seq(longIn(args(0)), longIn(args(1)),
-            validExpr(args(0), args(1))))
+            validExpr(asLong(args(0)), asLong(args(1)))))
       })
   }
 

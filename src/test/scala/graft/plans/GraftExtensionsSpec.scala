@@ -1370,6 +1370,46 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(qw.getLong(0) == Long.MinValue && qw.getLong(1) == 7L)
   }
 
+  test("validity slots test the CAST inputs: a non-NULL but uncastable " +
+    "value skips the row (SQL ≡ Column), never a fabricated zero") {
+    // under the non-ANSI session CAST('junk' AS DOUBLE/BIGINT/TIMESTAMP)
+    // is NULL — the Column forms see that NULL and skip; the r16 slots
+    // tested the RAW argument and let the coalesced 0/0.0 participate
+    val ema = spark.sql(
+      """SELECT graft_ema(ts, id, v, 0.25d, 0.75d)
+        |FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 1L, '10.0'),
+        |  (TIMESTAMP '2024-01-01 00:00:01', 2L, 'junk'),
+        |  (TIMESTAMP '2024-01-01 00:00:02', 3L, '20.0')
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(ema.getDouble(0) == 0.25 * 20.0 + 0.75 * 10.0,
+      "uncastable value row must skip, not fold in 0.0")
+    val ds = spark.sql(
+      """SELECT graft_delta_sum(ts, id, v)
+        |FROM VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00', 1L, '10'),
+        |  (TIMESTAMP '2024-01-01 00:00:01', 2L, 'junk'),
+        |  (TIMESTAMP '2024-01-01 00:00:02', 3L, '15')
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(ds.getLong(0) == 5L,
+      "uncastable value row must skip (junk->0 would add a 0->15 delta)")
+    // an uncastable TIMESTAMP likewise invalidates the row
+    val ds2 = spark.sql(
+      """SELECT graft_delta_sum(ts, id, v)
+        |FROM VALUES
+        |  ('2024-01-01 00:00:00', 1L, 10L),
+        |  ('not a time', 2L, 99L),
+        |  ('2024-01-01 00:00:02', 3L, 15L)
+        |  AS t(ts, id, v)""".stripMargin).collect().head
+    assert(ds2.getLong(0) == 5L)
+    val qw = spark.sql(
+      """SELECT graft_quantile_exact_weighted(v, w, 0.0)
+        |FROM VALUES ('junk', 1L), ('7', 1L) AS t(v, w)""".stripMargin)
+      .collect().head
+    assert(qw.getLong(0) == 7L,
+      "uncastable value must not participate as 0 (would be the p0 pick)")
+  }
+
   test("quantileExact picks an ACTUAL element (CH nth_element rule); " +
     "quantileExactInclusive interpolates") {
     val r = spark.sql(
@@ -1738,6 +1778,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "1,2")
   }
 
+  test("DedupProjectParse: STRICT parse_json under a CASE WHEN guard is " +
+    "NOT pulled (hoisting it would throw on rows the guard excluded)") {
+    // one well-formed row, one malformed: the strict parse is reachable
+    // only behind the guard. With the r16 arg-index bug (failOnError
+    // read from index 1 = allowDuplicateKeys) the rule hoisted this
+    // parse unconditionally and the query threw MALFORMED_VARIANT.
+    spark.createDataFrame(Seq(
+      Tuple1("""{"a":1}"""), Tuple1("not json at all")))
+      .toDF("j").createOrReplaceTempView("ge_dp_strict")
+    val df = spark.sql(
+      """SELECT
+        |  CASE WHEN startswith(j, '{')
+        |    THEN to_json(parse_json(j)) END AS a,
+        |  CASE WHEN startswith(j, '{')
+        |    THEN variant_get(parse_json(j), '$.a', 'long') END AS b
+        |FROM ge_dp_strict""".stripMargin)
+    val hoisted = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.collect {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+          if al.name == "__graft_parse" => al
+      }
+    }.flatten
+    assert(hoisted.isEmpty,
+      s"strict parse was hoisted:\n${df.queryExecution.optimizedPlan}")
+    // end-to-end: the malformed row must survive (guard intact)
+    val rows = df.orderBy("a").collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(1) == 1L))
+  }
+
   test("formatDateTime quotes reserved literal punctuation ('#', '{', '}')") {
     val r = spark.sql(
       """SELECT formatDateTime(TIMESTAMP '2024-08-12 13:45:30',
@@ -1769,5 +1840,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(8).contains("\"x\":1"))
     assert(r.getInt(9) == 1)   // 2024-01-01 is ISO week 1 (a Monday)
     assert(r.getInt(10) == 2022) // Jan 1 2023 (Sunday) belongs to ISO 2022
+  }
+
+  test("visitParam* on a MALFORMED document reads the type default " +
+    "(DEVIATION: ClickHouse's lenient single-level scanner can still " +
+    "find the key in a not-quite-JSON fragment)") {
+    // CH visitParamExtractInt('junk {"k":1', 'k') scans to 1; this
+    // engine routes through try_parse_json, so the whole-document parse
+    // fails and every reader returns its default — pinned here and in
+    // MIGRATION.md so the divergence is load-bearing documentation
+    val r = spark.sql(
+      """SELECT visitParamHas('junk {"k":1', 'k') AS h,
+        |  visitParamExtractInt('junk {"k":1', 'k') AS i,
+        |  visitParamExtractString('junk {"s":"x"', 's') AS s,
+        |  visitParamExtractFloat('junk {"f":2.5', 'f') AS f,
+        |  visitParamExtractBool('junk {"b":true', 'b') AS b,
+        |  visitParamExtractRaw('junk {"o":{}', 'o') AS raw
+        |""".stripMargin).collect().head
+    assert(!r.getBoolean(0))
+    assert(r.getLong(1) == 0L)
+    assert(r.getString(2) == "")
+    assert(r.getDouble(3) == 0.0)
+    assert(!r.getBoolean(4))
+    assert(r.getString(5) == "")
   }
 }
