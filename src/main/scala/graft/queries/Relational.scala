@@ -3449,7 +3449,39 @@ object Relational {
         "arrayEnumerate with empty guards, arraySum folds, bit " +
         "operators, replaceRegexpAll, countSubstrings, leftPad, " +
         "trimBoth, substringUTF8, toString) hash-matched against " +
-        "DuckDB's own spellings"))
+        "DuckDB's own spellings"),
+
+    // q129: the ChSqlRewriter capstone (r16 verdict item 1) — a
+    // formerly-GAP ClickHouse dashboard statement run END TO END
+    // through the migrant front door and hash-matched against DuckDB.
+    // The text hits FOUR of the measured r16 gaps at once: zero-arg
+    // count(), the parametric quantileExact(φ)(v) syntax, LIMIT n BY
+    // (the per-key top-n clause the reference's status dashboards use,
+    // migrations/sample_test.sql's status×date shape), and a SETTINGS
+    // suffix. Raw spark.sql REJECTS this text (MigrantSqlSpec pins the
+    // parse errors); ChSqlRewriter lowers it to one aggregate + one
+    // row_number window — a single hash-partition Exchange on
+    // (event_type, user_id) then one on event_type, the same plan
+    // TopKPerKey's input takes. Scale: both exchanges are key-hash
+    // partitioned, no driver-side work, no cartesians.
+    "q129_ch_rewriter" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events").createOrReplaceTempView("events")
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT event_type, user_id, count() AS n,
+            |  quantileExact(0.5)(toInt64(floor(value * 1000))) AS med
+            |FROM events
+            |GROUP BY event_type, user_id
+            |ORDER BY n DESC, user_id
+            |LIMIT 2 BY event_type
+            |SETTINGS max_threads = 4""".stripMargin)
+      },
+      Some(chRewriterOracle),
+      "the dialect pre-rewriter capstone: a formerly-GAP ClickHouse " +
+        "statement (count(), parametric quantileExact, LIMIT n BY, " +
+        "SETTINGS) run verbatim through ChSqlRewriter.sql and " +
+        "hash-matched against DuckDB's row_number spelling"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
@@ -3570,6 +3602,26 @@ object Relational {
       |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
       |    AS max_k
       |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** The q129 oracle: the LIMIT-BY statement in DuckDB's row_number
+    * spelling; the quantileExact pick is the q127 oracle's explicit
+    * sorted-list index (CH's zero-based floor(φ·n), 1-based here), and
+    * the window's ORDER BY (n DESC, user_id) is a total order within
+    * each partition — the same deterministic pick the rewriter's
+    * window makes.
+    */
+  private def chRewriterOracle: String =
+    """WITH g AS (
+      |  SELECT event_type, user_id, count(*) AS n,
+      |    list_sort(list(CAST(floor(value * 1000) AS BIGINT)))[
+      |      CAST(least(floor(0.5 * count(*)) + 1, count(*)) AS BIGINT)]
+      |      AS med
+      |  FROM events GROUP BY event_type, user_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+      |  FROM g)
+      |SELECT event_type, user_id, n, med FROM r WHERE rn <= 2""".stripMargin
 
   /** The q128 oracle: DuckDB spellings of the scalar battery — its
     * `range` IS end-exclusive (CH-shaped) but `list_sum([])` reads NULL

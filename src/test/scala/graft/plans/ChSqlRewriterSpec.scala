@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-level pins for [[ChSqlRewriter]] — the pass/flip table lives in
+  * `MigrantSqlSpec` (every formerly-GAP statement asserted raw-FAIL +
+  * rewritten-PASS against real testdata); here the REWRITE TEXT itself
+  * is pinned so a pass regression names the broken pass, plus the
+  * named-error contracts and the Spark-SQL-is-a-fixed-point property.
+  */
+class ChSqlRewriterSpec extends AnyFunSuite {
+
+  private def rw(sql: String): String = ChSqlRewriter.rewrite(sql)
+
+  test("SETTINGS suffix is dropped (multi-setting list)") {
+    assert(rw("SELECT count(*) FROM events SETTINGS max_threads = 4") ==
+      "SELECT count ( * ) FROM events")
+    assert(rw("SELECT 1 SETTINGS a = 1, b = 'x'") == "SELECT 1")
+  }
+
+  test("GLOBAL JOIN / GLOBAL IN / GLOBAL NOT IN drop the GLOBAL") {
+    assert(rw("SELECT 1 FROM a GLOBAL JOIN b ON a.x = b.x")
+      .contains("a JOIN b"))
+    assert(rw("SELECT 1 WHERE x GLOBAL IN (SELECT 1)").contains("x IN ("))
+    assert(rw("SELECT 1 WHERE x GLOBAL NOT IN (SELECT 1)")
+      .contains("x NOT IN ("))
+    // a column actually NAMED global survives
+    assert(rw("SELECT global FROM t").contains("global FROM t"))
+  }
+
+  test("PREWHERE alone becomes WHERE; PREWHERE + WHERE merge with AND") {
+    assert(rw("SELECT 1 FROM t PREWHERE a = 1") ==
+      "SELECT 1 FROM t WHERE a = 1")
+    assert(rw("SELECT 1 FROM t PREWHERE a = 1 WHERE b = 2 GROUP BY c") ==
+      "SELECT 1 FROM t WHERE ( a = 1 ) AND ( b = 2 ) GROUP BY c")
+  }
+
+  test("count() becomes count(*); count(x) untouched") {
+    assert(rw("SELECT count() FROM t") == "SELECT count ( * ) FROM t")
+    assert(rw("SELECT count(x) FROM t") == "SELECT count ( x ) FROM t")
+  }
+
+  test("any()/anyHeavy() become any_value(); ANY JOIN style untouched") {
+    assert(rw("SELECT any(v) FROM t") == "SELECT any_value ( v ) FROM t")
+    assert(rw("SELECT anyHeavy(v) FROM t") ==
+      "SELECT any_value ( v ) FROM t")
+    assert(rw("SELECT 1 FROM a LEFT ANY JOIN b ON a.x = b.x")
+      .contains("ANY JOIN"))
+  }
+
+  test("quoted-unit dateDiff renames to graft_date_diff; unquoted " +
+    "(Spark's elapsed-unit form, the pinned TRAP) untouched") {
+    assert(rw("SELECT dateDiff('day', a, b)") ==
+      "SELECT graft_date_diff ( 'day' , a , b )")
+    assert(rw("SELECT dateDiff(DAY, a, b)") ==
+      "SELECT dateDiff ( DAY , a , b )")
+  }
+
+  test("parametric aggregates flatten onto the registered names") {
+    assert(rw("SELECT quantileExact(0.9)(v) FROM t") ==
+      "SELECT quantileExact ( v , 0.9 ) FROM t")
+    assert(rw("SELECT topK(5)(x) FROM t") ==
+      "SELECT graft_topk ( x , 5 ) FROM t")
+    assert(rw("SELECT quantileExactWeighted(0.5)(v, w) FROM t") ==
+      "SELECT graft_quantile_exact_weighted ( v , w , 0.5 ) FROM t")
+    assert(rw("SELECT largestTriangleThreeBuckets(100)(x, y) FROM t") ==
+      "SELECT largestTriangleThreeBuckets ( 100 , x , y ) FROM t")
+    assert(rw("SELECT uniqUpTo(8)(x) FROM t") ==
+      "SELECT graft_uniq_upto ( x , 8 ) FROM t")
+    assert(rw("SELECT histogram(10)(v) FROM t") ==
+      "SELECT graft_histogram ( v , 10 ) FROM t")
+    // meanZTest: the trailing confidence parameter is dropped
+    assert(rw("SELECT meanZTest(1.0, 2.0, 0.95)(x, y) FROM t") ==
+      "SELECT meanZTest ( x , y , 1.0 , 2.0 ) FROM t")
+    // windowFunnel: seconds -> micros (folded: the aggregate takes a
+    // literal), ts doubles as the tiebreak id
+    assert(rw("SELECT windowFunnel(3600)(ts, a = 1, b = 2) FROM t") ==
+      "SELECT graft_window_funnel ( 3600000000 , ts , ts , " +
+        "a = 1 , b = 2 ) FROM t")
+    assert(rw("SELECT sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 2) FROM t")
+      == "SELECT graft_sequence_match ( '(?1).*(?2)' , ts , ts , " +
+        "a = 1 , b = 2 ) FROM t")
+    // a plain (already-flattened) call is a fixed point
+    assert(rw("SELECT quantileExact(v, 0.9) FROM t") ==
+      "SELECT quantileExact ( v , 0.9 ) FROM t")
+  }
+
+  test("bracketed array literals become array(); subscripts survive") {
+    assert(rw("SELECT [1, 2, 3] AS a") ==
+      "SELECT array ( 1 , 2 , 3 ) AS a")
+    assert(rw("SELECT ['a', 'b'][1]") ==
+      "SELECT array ( 'a' , 'b' ) [ 1 ]")
+    assert(rw("SELECT arr[2] FROM t") == "SELECT arr [ 2 ] FROM t")
+    assert(rw("SELECT [[1], [2]]") ==
+      "SELECT array ( array ( 1 ) , array ( 2 ) )")
+    assert(rw("SELECT f(x)[1]") == "SELECT f ( x ) [ 1 ]")
+  }
+
+  test("SAMPLE fraction -> TABLESAMPLE PERCENT; integer -> ROWS; " +
+    "OFFSET is a named error") {
+    assert(rw("SELECT count(*) FROM events SAMPLE 0.1") ==
+      "SELECT count ( * ) FROM events TABLESAMPLE ( 10 PERCENT )")
+    assert(rw("SELECT 1 FROM t SAMPLE 1000") ==
+      "SELECT 1 FROM t TABLESAMPLE ( 1000 ROWS )")
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM t SAMPLE 0.1 OFFSET 0.5"))
+    assert(e.getMessage.contains("OFFSET"))
+  }
+
+  test("[LEFT] ARRAY JOIN becomes LATERAL VIEW [OUTER] explode") {
+    assert(rw("SELECT t, x FROM e LEFT ARRAY JOIN splitByChar('_', t) AS x") ==
+      "SELECT t , x FROM e LATERAL VIEW OUTER explode ( " +
+        "splitByChar ( '_' , t ) ) __graft_aj AS x")
+    assert(rw("SELECT x FROM e ARRAY JOIN arr WHERE x > 1") ==
+      "SELECT x FROM e LATERAL VIEW explode ( arr ) __graft_aj AS arr " +
+        "WHERE x > 1")
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM e ARRAY JOIN a AS x, b AS y"))
+    assert(e.getMessage.contains("multi-array"))
+  }
+
+  test("GROUP BY ... WITH TOTALS becomes GROUPING SETS ((keys), ())") {
+    assert(rw("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS") ==
+      "SELECT k , count ( * ) AS n FROM t GROUP BY GROUPING SETS " +
+        "( ( k ) , ( ) )")
+    assert(rw("SELECT a, b, count() AS n FROM t GROUP BY a, b WITH TOTALS" +
+      " ORDER BY a") ==
+      "SELECT a , b , count ( * ) AS n FROM t GROUP BY GROUPING SETS " +
+        "( ( a , b ) , ( ) ) ORDER BY a")
+  }
+
+  test("LIMIT n BY becomes the row_number window rewrite") {
+    assert(rw("SELECT k, u, count(*) AS n FROM t GROUP BY k, u " +
+      "ORDER BY n DESC LIMIT 3 BY k") ==
+      "SELECT k , u , n FROM ( SELECT * , row_number ( ) OVER ( " +
+        "PARTITION BY k ORDER BY n DESC ) AS __graft_limit_by FROM ( " +
+        "SELECT k , u , count ( * ) AS n FROM t GROUP BY k , u ) ) " +
+        "WHERE __graft_limit_by <= 3 ORDER BY n DESC")
+    // trailing LIMIT m is preserved outside the window filter
+    assert(rw("SELECT k, v FROM t ORDER BY v LIMIT 2 BY k LIMIT 10")
+      .endsWith("ORDER BY v LIMIT 10"))
+    // no ORDER BY: deterministic fallback partitions AND orders by keys
+    assert(rw("SELECT k, v AS w FROM t LIMIT 1 BY k").contains(
+      "PARTITION BY k ORDER BY k"))
+    // an underivable output name is a NAMED error
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT k, max(v) FROM t GROUP BY k LIMIT 1 BY k"))
+    assert(e.getMessage.contains("output name"))
+  }
+
+  test("WITH FILL needs an explicit STEP (named error), then becomes " +
+    "the sequence-axis LEFT JOIN") {
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT d, n FROM t ORDER BY d WITH FILL"))
+    assert(e.getMessage.contains("STEP"))
+    val out = rw("SELECT toStartOfDay(ts) AS d, count() AS n FROM e " +
+      "GROUP BY d ORDER BY d WITH FILL STEP INTERVAL 1 DAY")
+    assert(out.startsWith("WITH __graft_src AS ("))
+    assert(out.contains("sequence ( ( SELECT min ( d ) FROM __graft_src " +
+      ") , ( SELECT max ( d ) FROM __graft_src ) , INTERVAL 1 DAY )"))
+    assert(out.contains("LEFT JOIN __graft_src USING ( d )"))
+  }
+
+  test("plain Spark SQL is a fixed point (modulo whitespace)") {
+    val stmts = Seq(
+      "SELECT a, sum(b) AS s FROM t WHERE c > 1 GROUP BY a ORDER BY s " +
+        "DESC LIMIT 10",
+      "SELECT * FROM a JOIN b ON a.x = b.x",
+      "WITH q AS (SELECT 1 AS x) SELECT x FROM q",
+      "SELECT CASE WHEN a THEN 'x' ELSE 'y' END FROM t",
+      "SELECT transform(arr, x -> x + 1) FROM t")
+    stmts.foreach { s =>
+      val norm = ChSqlRewriter.render(ChSqlRewriter.tokenize(s))
+      assert(rw(s) == norm, s"not a fixed point: $s")
+    }
+  }
+
+  test("comments are stripped; strings with quotes/escapes survive") {
+    assert(rw("SELECT 1 -- trailing\n, 2 /* block */ , 'it''s'") ==
+      "SELECT 1 , 2 , 'it''s'")
+  }
+}

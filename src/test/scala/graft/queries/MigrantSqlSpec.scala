@@ -47,6 +47,9 @@ class MigrantSqlSpec extends AnyFunSuite {
         s"$name: ${rows.length} rows < $minRows\n$sql")
     }
 
+  private def chain(t: Throwable): String =
+    if (t == null) "" else t.toString + chain(t.getCause)
+
   /** A named gap: the verbatim text must FAIL with `fragment` somewhere
     * in the error chain, and the documented rewrite is part of the test
     * name (the spec IS the statement→gap table).
@@ -55,10 +58,25 @@ class MigrantSqlSpec extends AnyFunSuite {
       sql: String): Unit =
     test(s"GAP  $name [rewrite: $rewrite]") {
       val e = intercept[Exception](spark.sql(sql).collect())
-      def chain(t: Throwable): String =
-        if (t == null) "" else t.toString + chain(t.getCause)
       assert(chain(e).contains(fragment),
         s"$name: wanted '$fragment' in\n${chain(e)}")
+    }
+
+  /** A gap CLOSED by the r17 dialect pre-rewriter: the verbatim text
+    * still FAILS raw (the parser-level gap is real and stays pinned),
+    * and the SAME text PASSES through `ChSqlRewriter.sql` — the migrant
+    * front door (`via` names the pass that closes it).
+    */
+  private def gapFlipped(name: String, fragment: String, via: String,
+      minRows: Int, sql: String): Unit =
+    test(s"GAP→PASS $name [via ChSqlRewriter: $via]") {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(chain(e).contains(fragment),
+        s"$name: raw text no longer fails with '$fragment' in\n${chain(e)}")
+      val rows = graft.plans.ChSqlRewriter.sql(spark, sql).collect()
+      assert(rows.length >= minRows,
+        s"$name rewritten: ${rows.length} rows < $minRows\n" +
+          graft.plans.ChSqlRewriter.rewrite(sql))
     }
 
   // ---- PASS: the unmodified ClickHouse text runs ----------------------
@@ -196,85 +214,116 @@ class MigrantSqlSpec extends AnyFunSuite {
       |  quantileTDigest(toInt64(floor(value * 1000)), 0.99) AS p99
       |FROM events""".stripMargin)
 
-  // ---- GAP: named failures with documented rewrites -------------------
+  // ---- GAP: named failures with documented rewrites. 15 of the 17
+  // r16 gaps are CLOSED by the ChSqlRewriter pre-pass (gapFlipped: raw
+  // text still fails — the parser gap is real — and the same text runs
+  // through the migrant front door); the 2 operator-shaped ones stay
+  // named gaps, plus WITH FILL's no-STEP form (deliberate: CH's
+  // implicit 1-second DateTime step is a silent row blow-up). --------
 
-  gap("bracketed array literal [1, 2, 3]",
-    "PARSE_SYNTAX_ERROR", "array(1, 2, 3)",
+  gapFlipped("bracketed array literal [1, 2, 3]",
+    "PARSE_SYNTAX_ERROR", "array-literal pass", 1,
     "SELECT [1, 2, 3] AS a")
 
-  gap("CH any(x) on a non-boolean (Spark's any IS bool_or - not shadowed)",
-    "any", "any_value(x)",
+  gapFlipped("CH any(x) on a non-boolean (Spark's any IS bool_or - " +
+    "registry must not shadow it; the DIALECT pass may)",
+    "any", "any_value pass", 1,
     "SELECT any(value) FROM events")
 
-  gap("LIMIT n BY col (per-key top-n clause)",
-    "PARSE_SYNTAX_ERROR",
-    "row_number() OVER (PARTITION BY col ORDER BY ...) <= n (plans onto the TopKPerKey operator)",
+  gapFlipped("LIMIT n BY col (per-key top-n clause)",
+    "PARSE_SYNTAX_ERROR", "row_number window rewrite", 4,
     """SELECT event_type, user_id, count(*) AS n FROM events
       |GROUP BY event_type, user_id ORDER BY n DESC
       |LIMIT 3 BY event_type""".stripMargin)
 
-  gap("GROUP BY ... WITH TOTALS",
-    "PARSE_SYNTAX_ERROR", "WITH ROLLUP / GROUPING SETS ((event_type), ())",
+  gapFlipped("GROUP BY ... WITH TOTALS",
+    "PARSE_SYNTAX_ERROR", "GROUPING SETS ((keys), ()) - NULL-key totals row", 3,
     """SELECT event_type, count(*) AS n FROM events
       |GROUP BY event_type WITH TOTALS""".stripMargin)
 
-  gap("SETTINGS suffix",
-    "PARSE_SYNTAX_ERROR", "drop it; session confs are SET key=value",
+  gapFlipped("SETTINGS suffix",
+    "PARSE_SYNTAX_ERROR", "settings-strip pass", 1,
     "SELECT count(*) FROM events SETTINGS max_threads = 4")
 
-  gap("LEFT ARRAY JOIN",
-    "PARSE_SYNTAX_ERROR",
-    "LATERAL VIEW OUTER explode(...) / select explode_outer(...)",
+  gapFlipped("LEFT ARRAY JOIN",
+    "PARSE_SYNTAX_ERROR", "LATERAL VIEW OUTER explode", 1,
     """SELECT event_type, tok FROM events
       |LEFT ARRAY JOIN splitByChar('_', event_type) AS tok""".stripMargin)
 
-  gap("GLOBAL JOIN",
-    "PARSE_SYNTAX_ERROR", "plain JOIN (the planner owns distribution)",
+  gapFlipped("GLOBAL JOIN",
+    "PARSE_SYNTAX_ERROR", "GLOBAL-strip (the planner owns distribution)", 1,
     """SELECT a.event_id FROM events a GLOBAL JOIN events b
       |ON a.user_id = b.user_id LIMIT 1""".stripMargin)
 
-  gap("GLOBAL IN",
-    "PARSE_SYNTAX_ERROR", "plain IN (subqueries broadcast/shuffle as planned)",
+  gapFlipped("GLOBAL IN",
+    "PARSE_SYNTAX_ERROR", "GLOBAL-strip", 1,
     """SELECT count(*) FROM events WHERE user_id GLOBAL IN
       |(SELECT user_id FROM events LIMIT 10)""".stripMargin)
 
-  gap("parametric aggregate syntax quantileExact(0.9)(v)",
-    "quantileExact", "flatten: quantileExact(v, 0.9)",
+  gapFlipped("parametric aggregate syntax quantileExact(0.9)(v)",
+    "quantileExact", "flatten to quantileExact(v, 0.9)", 1,
     "SELECT quantileExact(0.9)(value) FROM events")
 
-  gap("parametric topK(5)(x)",
-    "topK", "graft_topk(x, 5)",
+  gapFlipped("parametric topK(5)(x)",
+    "topK", "graft_topk(x, 5)", 1,
     "SELECT topK(5)(event_type) FROM events")
 
-  gap("parametric windowFunnel(w)(ts, conds...)",
-    "windowFunnel", "graft_window_funnel(w_us, ts, id, conds...)",
+  gapFlipped("parametric windowFunnel(w)(ts, conds...)",
+    "windowFunnel", "graft_window_funnel(w*1e6 us, ts, ts, conds...)", 1,
     """SELECT windowFunnel(3600)(ts, event_type = 'view',
       |  event_type = 'click') FROM events GROUP BY user_id""".stripMargin)
 
-  gap("zero-arg count()",
-    "WRONG_NUM_ARGS", "count(*) or count(1)",
+  gapFlipped("zero-arg count()",
+    "WRONG_NUM_ARGS", "count(*)", 1,
     "SELECT count() FROM events")
 
-  gap("SAMPLE clause",
-    "PARSE_SYNTAX_ERROR", "TABLESAMPLE (10 PERCENT) or Sampling.hashSplit",
+  gapFlipped("SAMPLE clause",
+    "PARSE_SYNTAX_ERROR",
+    "TABLESAMPLE (10 PERCENT) - DEVIATION: Bernoulli, not sampling-key", 1,
     "SELECT count(*) FROM events SAMPLE 0.1")
 
-  gap("ORDER BY ... WITH FILL",
-    "PARSE_SYNTAX_ERROR", "TimeSeries.resampleFill / resampleInterpolate",
+  gap("ORDER BY ... WITH FILL (no STEP)",
+    "PARSE_SYNTAX_ERROR",
+    "add STEP (rewriter lowers it) or TimeSeries.resampleFill - CH's implicit DateTime step is 1 SECOND, a silent blow-up",
     """SELECT toStartOfDay(ts) AS d, count(*) AS n FROM events
       |GROUP BY d ORDER BY d WITH FILL""".stripMargin)
+
+  test("GAP→PASS ORDER BY ... WITH FILL STEP INTERVAL [via ChSqlRewriter: " +
+    "sequence-axis LEFT JOIN; no-STEP form stays a NAMED error]") {
+    val withStep =
+      """SELECT toStartOfDay(ts) AS d, count(*) AS n FROM events
+        |GROUP BY d ORDER BY d WITH FILL STEP INTERVAL 1 DAY""".stripMargin
+    val e = intercept[Exception](spark.sql(withStep).collect())
+    assert(chain(e).contains("PARSE_SYNTAX_ERROR"))
+    val rows = graft.plans.ChSqlRewriter.sql(spark, withStep).collect()
+    val plain = spark.sql(
+      """SELECT toStartOfDay(ts) AS d, count(*) AS n FROM events
+        |GROUP BY d""".stripMargin).collect()
+    assert(rows.length >= plain.length, "fill never removes rows")
+    // the axis is gap-free at 1-day steps
+    val days = rows.map(_.getTimestamp(0).getTime).sorted
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a == 86400000L, s"axis gap: $a -> $b")
+    }
+    // and the no-STEP form through the rewriter is the documented error
+    val e2 = intercept[graft.plans.ChSqlRewriter.RewriteException](
+      graft.plans.ChSqlRewriter.sql(spark,
+        """SELECT toStartOfDay(ts) AS d, count(*) AS n FROM events
+          |GROUP BY d ORDER BY d WITH FILL""".stripMargin))
+    assert(e2.getMessage.contains("STEP"))
+  }
 
   gap("ASOF JOIN",
     "PARSE_SYNTAX_ERROR", "AsOfJoin.backward / backwardOuter",
     """SELECT a.event_id FROM events a ASOF JOIN events b
       |ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)
 
-  gap("PREWHERE",
-    "PARSE_SYNTAX_ERROR", "WHERE (Spark pushes predicates to the scan)",
+  gapFlipped("PREWHERE",
+    "PARSE_SYNTAX_ERROR", "WHERE merge (Spark pushes predicates anyway)", 1,
     "SELECT count(*) FROM events PREWHERE event_type = 'view'")
 
-  gap("quoted-unit dateDiff('day', a, b)",
-    "unit", "graft_date_diff('day', a, b)",
+  gapFlipped("quoted-unit dateDiff('day', a, b)",
+    "unit", "graft_date_diff (boundary-crossing semantics)", 1,
     "SELECT dateDiff('day', min(ts), max(ts)) FROM events")
 
   // ---- TRAP: parses but means something different — pinned ------------
