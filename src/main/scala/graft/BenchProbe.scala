@@ -120,6 +120,12 @@ object BenchProbe {
     *   - q97: map-only URL extracts + a fixed domain-rollup exchange.
     */
   val probeEntries: Seq[String] = Seq(
+    // r17: p01/t15 join the probe set (the r16 bench-drift adjudication
+    // family — both read only documents), and q125 gets the probe row
+    // the r16 verdict asked for alongside its VariantKernels rework
+    // (map-only events scan + one type-key exchange — linear band)
+    "p01_curation_pipeline", "t15_bigram_surprisal",
+    "q125_json_structural",
     "p02_scrub_sample_pipeline", "p03_quality_curation_pipeline",
     "p04_target_matching_pipeline", "p05_perplexity_curation_pipeline",
     "d19_quality_survivors", "d11b_dup_spans_fast", "d17_span_scrub",

@@ -844,18 +844,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * COST PROFILE (measured, q125 bench medians — full noop-write
     * evaluation; a `count()`-based timing PRUNES the projection and
     * reads 17× lower, the ProfileQ r16 fix): variant and HOF
-    * expressions have no codegen — these trees evaluate interpreted at
-    * ~0.6 s per accessor-column over sf0.1 events, so the deliberate
-    * 13-accessor battery totals ~7.8 s (the bench's top entry, by
-    * construction 13 batteries not one slow operator; linear in rows).
-    * Dropping the single-use let-transform layers (r16) shaved ~11%:
-    * the rule is let-bind ONLY what is probed more than once — in
-    * interpreted eval a gratuitous lambda layer costs an array
-    * allocation + dispatch per row, the inverse of the HOF-subtree
-    * re-evaluation the let exists to prevent. The per-CALL parse is
-    * then shared ACROSS projection columns by the [[DedupProjectParse]]
-    * optimizer rule (13 parses/row → 1 on q125, ~30% entry-level —
-    * codegen CSE cannot do this for interpreted variant trees); wide
+    * expressions have no codegen — the r16 stock-composition trees
+    * evaluated interpreted at ~0.6 s per accessor-column over sf0.1
+    * events (~7.8 s for q125's deliberate 13-accessor battery). Two
+    * structural levers applied since: (1) the per-CALL parse is shared
+    * ACROSS projection columns by the [[DedupProjectParse]] optimizer
+    * rule (13 parses/row → 1, ~30% entry-level — codegen CSE cannot do
+    * this for interpreted variant trees); (2) r17: `JSONHas` /
+    * `JSONLength` / `JSONType` probe through
+    * [[graft.functions.VariantKernels]] — navigation + header read in
+    * ONE `StaticInvoke` static call on variant binary instead of
+    * try_variant_get + schema_of_variant + let-lambda layers (the r16
+    * top-entry cost was exactly those interpreted navigation trees).
+    * The collection-valued accessors (ArrayRaw/Keys/KeysAndValuesRaw)
+    * stay on the stock variant surface — their output IS a collection,
+    * so the transform/to_json re-render is the work itself. Wide
     * extraction can still bind `try_parse_json(js)` explicitly and use
     * stock `variant_get` when the accessors sit outside one Project.
     */
@@ -865,34 +868,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     val KeyOk = "[A-Za-z0-9_]+".r
-    def jsonPath(args: Seq[Expression], fn: String,
-        minSteps: Int = 1): Expression = {
+    // plan-time validated path steps: Left(key) / Right(zero-based index)
+    def rawSteps(args: Seq[Expression], fn: String,
+        minSteps: Int = 1): Seq[Either[String, Long]] = {
       if (args.size < minSteps + 1) throw new IllegalArgumentException(
         s"$fn expects (json, key_or_index, ...) with at least " +
           s"$minSteps step(s)")
-      val steps = args.drop(1).map {
+      args.drop(1).map {
         case Literal(s: UTF8String, StringType) =>
           val k = s.toString
           if (!KeyOk.matches(k)) throw new IllegalArgumentException(
             s"$fn: key '$k' must match [A-Za-z0-9_]+ " +
               "(quote-free JSONPath keys only)")
-          "." + k
+          Left(k)
         case Literal(i: Int, IntegerType) =>
           if (i < 1) throw new IllegalArgumentException(
             s"$fn: index $i - ClickHouse indices are 1-based and this " +
               "engine rejects negative/zero (no from-the-end addressing)")
-          s"[${i - 1}]"
+          Right(i - 1L)
         case Literal(i: Long, LongType) =>
           if (i < 1) throw new IllegalArgumentException(
             s"$fn: index $i - ClickHouse indices are 1-based and this " +
               "engine rejects negative/zero (no from-the-end addressing)")
-          s"[${i - 1}]"
+          Right(i - 1)
         case other => throw new IllegalArgumentException(
           s"$fn: path steps must be string-key or integer-index " +
             s"LITERALS, got $other")
       }
-      Literal(UTF8String.fromString("$" + steps.mkString), StringType)
     }
+    def jsonPath(args: Seq[Expression], fn: String,
+        minSteps: Int = 1): Expression =
+      Literal(UTF8String.fromString("$" + rawSteps(args, fn, minSteps).map {
+        case Left(k) => "." + k
+        case Right(i) => s"[$i]"
+      }.mkString), StringType)
+    // the step array for the VariantKernels StaticInvoke leg
+    // ("k:<key>" / "i:<zero-based>"), same plan-time validation
+    def stepsLit(args: Seq[Expression], fn: String,
+        minSteps: Int): Expression =
+      Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        rawSteps(args, fn, minSteps).map {
+          case Left(k) => UTF8String.fromString("k:" + k)
+          case Right(i) => UTF8String.fromString("i:" + i)
+        }.toArray[Any]), ArrayType(StringType, containsNull = false))
     def pathStr(e: Expression): String = e match {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => throw new IllegalStateException(s"not a path: $other")
@@ -900,26 +918,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def get(args: Seq[Expression], fn: String): Expression =
       UnresolvedFunction(Seq("get_json_object"),
         Seq(args.head, jsonPath(args, fn)), isDistinct = false)
-    // the VARIANT leg: parse once, navigate on variant binary. The
-    // let-binding transform (1-element array + lambda) pins the parsed
-    // value so multi-probe bodies (array-vs-object, type dispatch)
-    // never re-parse the text — the q96/tukeyScores8 idiom.
-    import org.apache.spark.sql.{functions => F, Column}
+    // the VARIANT leg: parse once (the DedupProjectParse CSE key) via
+    // stock try_parse_json, then ALL navigation + probing in ONE static
+    // call on variant binary via StaticInvoke (which codegens a direct
+    // call) — the r17 kernel leg (q125 perf, r16 verdict item 3). The
+    // r16 stock-composition trees (try_variant_get navigation +
+    // schema_of_variant + map/array casts + let-lambda layers) were
+    // fully interpreted and dominated the bench's top entry; see the
+    // COST PROFILE note above and [[graft.functions.VariantKernels]].
+    import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, eagerExpression}
-    // targetType folds the path navigation AND the structural cast into
-    // ONE try_variant_get call — single-use consumers (ArrayRaw/Keys/
-    // KeysAndValuesRaw) take their typed value directly instead of
-    // paying a let-binding lambda layer per row (these trees evaluate
-    // INTERPRETED — variant + HOF expressions have no codegen — so
-    // every spared navigation/lambda shows up at corpus scale)
-    def vGet(args: Seq[Expression], fn: String, minSteps: Int = 1,
-        targetType: String = "variant"): Column =
-      F.try_variant_get(
-        F.try_parse_json(column(Cast(args.head, StringType))),
-        pathStr(jsonPath(args, fn, minSteps)), targetType)
-    def let(bound: Column)(body: Column => Column): Column =
-      F.element_at(F.transform(F.array(bound), body), 1)
-    val emptyStrArr = F.array().cast("array<string>")
+    def kernel(args: Seq[Expression], fn: String, method: String,
+        dt: DataType, minSteps: Int, nullable: Boolean = false): Expression =
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        graft.functions.VariantKernels.getClass,
+        dt, method,
+        Seq(eagerExpression(
+          F.try_parse_json(column(Cast(args.head, StringType)))),
+          stepsLit(args, fn, minSteps)),
+        inputTypes = Seq(VariantType, ArrayType(StringType)),
+        propagateNull = true,
+        returnNullable = nullable)
+    val emptyStrArrLit = Literal(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any]), ArrayType(StringType))
+    val kvArrType = ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))))
     def extractAs(name: String, what: String, tpe: DataType,
         default: Literal) =
       (FunctionIdentifier(name),
@@ -994,8 +1019,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // path compiler accepts exactly that shape
       (FunctionIdentifier("visitParamHas"),
         info("visitParamHas", "visitParamHas(params, name) - legacy ClickHouse spelling of JSONHas (single-level key)"),
-        (args: Seq[Expression]) =>
-          eagerExpression(vGet(args, "visitParamHas").isNotNull)),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "visitParamHas", "jsonHas", BooleanType, 1),
+          Literal(false)))),
       (FunctionIdentifier("visitParamExtractString"),
         info("visitParamExtractString", "visitParamExtractString(params, name) - legacy spelling of JSONExtractString"),
         (args: Seq[Expression]) => Coalesce(Seq(
@@ -1018,61 +1044,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       extractAs("JSONExtractBool", "boolean", BooleanType, Literal(false)),
       (FunctionIdentifier("JSONHas"),
         info("JSONHas", "JSONHas(json, key_or_index, ...) - ClickHouse JSONHas: TRUE iff the literal key/1-based-index path exists, INCLUDING a key holding an explicit JSON null (the variant surface distinguishes absent - SQL NULL - from JSON null - variant null - exactly as CH does); malformed JSON reads FALSE"),
-        (args: Seq[Expression]) =>
-          eagerExpression(vGet(args, "JSONHas").isNotNull)),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "JSONHas", "jsonHas", BooleanType, 1),
+          Literal(false)))),
       (FunctionIdentifier("JSONLength"),
         info("JSONLength", "JSONLength(json[, key_or_index, ...]) - ClickHouse JSONLength: element count of the array or key count of the object at the path (the whole document with no path steps); 0 for scalars, absent paths and malformed JSON (CH's default)"),
-        (args: Seq[Expression]) => eagerExpression(
-          let(vGet(args, "JSONLength", minSteps = 0)) { v =>
-            val arr = F.try_variant_get(v, "$", "array<variant>")
-            val obj = F.try_variant_get(v, "$", "map<string,variant>")
-            F.when(arr.isNotNull, F.size(arr).cast("long"))
-              .when(obj.isNotNull, F.size(F.map_keys(obj)).cast("long"))
-              .otherwise(F.lit(0L))
-          })),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "JSONLength", "jsonLength", LongType, 0),
+          Literal(0L)))),
       (FunctionIdentifier("JSONType"),
-        info("JSONType", "JSONType(json[, key_or_index, ...]) - ClickHouse JSONType: the type name of the node at the path - 'String'/'Int64'/'Double'/'Bool'/'Array'/'Object', 'Null' for an explicit JSON null, an absent path or malformed JSON (CH's missing-value read); DEVIATION: integers past int64 read 'Double' (CH distinguishes UInt64), every integral number reads 'Int64' (CH never returns UInt64 for in-range values either)"),
-        (args: Seq[Expression]) => eagerExpression(
-          let(vGet(args, "JSONType", minSteps = 0)) { v =>
-            F.when(v.isNull, F.lit("Null")).otherwise(
-              let(F.schema_of_variant(v)) { s =>
-                F.when(s === "VOID", "Null")
-                  .when(s === "STRING", "String")
-                  .when(s === "BIGINT", "Int64")
-                  .when(s === "BOOLEAN", "Bool")
-                  // parse_json types every in-range integer BIGINT;
-                  // DECIMAL arises only for non-integral numbers
-                  // (2.5 -> DECIMAL(2,1)) or integers past int64 - both
-                  // the documented 'Double' read here
-                  .when(s === "DOUBLE" || s.startsWith("DECIMAL"), "Double")
-                  .when(s.startsWith("ARRAY"), "Array")
-                  .when(s.startsWith("OBJECT"), "Object")
-                  .otherwise("Null")
-              })
-          })),
+        info("JSONType", "JSONType(json[, key_or_index, ...]) - ClickHouse JSONType: the type name of the node at the path - 'String'/'Int64'/'Double'/'Bool'/'Array'/'Object', 'Null' for an explicit JSON null, an absent path or malformed JSON (CH's missing-value read); DEVIATION: integers past int64 read 'Double' (CH distinguishes UInt64), every integral number reads 'Int64' (CH never returns UInt64 for in-range values either); parse_json types every in-range integer BIGINT - DECIMAL arises only for non-integral numbers (2.5) or integers past int64, both the documented 'Double' read"),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "JSONType", "chTypeName", StringType, 0),
+          Literal(UTF8String.fromString("Null"), StringType)))),
       (FunctionIdentifier("JSONExtractArrayRaw"),
         info("JSONExtractArrayRaw", "JSONExtractArrayRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractArrayRaw: each element of the array at the path as its raw JSON text (strings keep their quotes, nested structures their braces); [] when the path is absent or not an array (CH's default); DEVIATION: element text is the CANONICALIZED variant-to-JSON rendering, not the original byte slice (number formatting normalizes - 2.50 reads back 2.5 - key order and whitespace are canonical)"),
-        (args: Seq[Expression]) => eagerExpression(
-          F.coalesce(F.transform(
-            vGet(args, "JSONExtractArrayRaw", minSteps = 0,
-              targetType = "array<variant>"),
-            x => F.to_json(x)), emptyStrArr))),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "JSONExtractArrayRaw", "jsonArrayRaw",
+            ArrayType(StringType), 0, nullable = true),
+          emptyStrArrLit))),
       (FunctionIdentifier("JSONExtractKeys"),
         info("JSONExtractKeys", "JSONExtractKeys(json[, key_or_index, ...]) - ClickHouse JSONExtractKeys: the keys of the object at the path; [] when absent or not an object; DEVIATION: keys sort ASCENDING (the variant encoding's canonical order; CH preserves document order)"),
-        (args: Seq[Expression]) => eagerExpression(
-          F.coalesce(F.map_keys(
-            vGet(args, "JSONExtractKeys", minSteps = 0,
-              targetType = "map<string,variant>")),
-            emptyStrArr))),
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "JSONExtractKeys", "jsonKeys",
+            ArrayType(StringType), 0, nullable = true),
+          emptyStrArrLit))),
       (FunctionIdentifier("JSONExtractKeysAndValuesRaw"),
         info("JSONExtractKeysAndValuesRaw", "JSONExtractKeysAndValuesRaw(json[, key_or_index, ...]) - ClickHouse JSONExtractKeysAndValuesRaw: array<struct<key, value>> of the object's entries with values as raw JSON text; [] when absent or not an object; DEVIATIONS: entries sort by key ASCENDING (CH preserves document order), and value text is the CANONICALIZED variant-to-JSON rendering, not the original byte slice (number formatting normalizes, whitespace is canonical)"),
-        (args: Seq[Expression]) => eagerExpression(
-          F.coalesce(F.transform(F.map_entries(
-            vGet(args, "JSONExtractKeysAndValuesRaw", minSteps = 0,
-              targetType = "map<string,variant>")),
-            e => F.struct(e.getField("key").as("key"),
-              F.to_json(e.getField("value")).as("value"))),
-            F.array().cast("array<struct<key:string,value:string>>")))))
+        (args: Seq[Expression]) => Coalesce(Seq(
+          kernel(args, "JSONExtractKeysAndValuesRaw", "jsonKeysValuesRaw",
+            kvArrType, 0, nullable = true),
+          Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array.empty[Any]), kvArrType)))))
   }
 
   /** The ClickHouse date/time function names — the family every migrant
@@ -1908,11 +1911,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => DedupProjectParse)
+    if (!GraftExtensions.parseCseDisabled)
+      ext.injectOptimizerRule(_ => DedupProjectParse)
   }
 }
 
 object GraftExtensions {
+  /** Bench-adjudication switch (r16 verdict item 2): set
+    * SPARK_GRAFT_NO_PARSE_CSE=1 to run WITHOUT the [[DedupProjectParse]]
+    * rule — the A/B that rules the always-on optimizer pass in or out
+    * of a timing drift. Never set in production paths.
+    */
+  private[plans] def parseCseDisabled: Boolean =
+    sys.env.get("SPARK_GRAFT_NO_PARSE_CSE").contains("1")
+
   /** Runtime installation into an already-built session (extensions via
     * the builder only apply at session construction). The
     * [[DedupProjectParse]] optimizer rule rides the experimental hook
@@ -1925,7 +1937,7 @@ object GraftExtensions {
         .registerFunction(spark, id, inf, builder)
     }
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(DedupProjectParse))
+    if (!parseCseDisabled && !cur.contains(DedupProjectParse))
       spark.experimental.extraOptimizations = cur :+ DedupProjectParse
   }
 }
