@@ -95,6 +95,22 @@ import org.apache.spark.sql.SparkSession
   * the partition-pruned s12 serve path (2.58×) is the serving-scale
   * story either way.
   *
+  * ADJUDICATED r17 (the r16 verdict's text-pipeline regression cluster
+  * — p02 3.45→6.48 s, t15 2.07→3.51, p01 1.53→2.33, p05 1.94→2.67,
+  * p03 5.50→7.20 across bench medians with UNCHANGED plan hashes and
+  * untouched code): the filtered fresh-JVM family rerun read
+  * p01 1.90 s / t15 2.61 / p02 3.36 / p03 6.65 / p05 3.51 at 1× —
+  * p02's fresh leg lands ON the r15 level (3.45 s), the full-sweep
+  * 6.48 s read was JVM-age, the documented noise-band signature.
+  * Ratios all in band (p02 2.18×, p05 1.48×, t15 1.46×, p03 1.10×,
+  * p01 1.02×). The one candidate mechanism — [[plans.DedupProjectParse]]
+  * walking every Project — was A/B'd with SPARK_GRAFT_NO_PARSE_CSE=1:
+  * no directional effect (p02/p03 ran FASTER with the rule installed,
+  * p01/t15/p05 slower, every delta within the ±25% same-day noise the
+  * r14 protocol measured) — the rule is ruled OUT; cluster retired as
+  * ambient. q125's first probe row (post-VariantKernels) read 0.88×
+  * at 10× data — fixed-cost dominated, the map-only-scan claim held.
+  *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
   * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}

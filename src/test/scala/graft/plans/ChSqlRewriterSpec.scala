@@ -18,6 +18,22 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(rw("SELECT 1 SETTINGS a = 1, b = 'x'") == "SELECT 1")
   }
 
+  test("trailing FORMAT suffix is dropped; FORMAT as a column survives") {
+    assert(rw("SELECT count(*) FROM t FORMAT JSON") ==
+      "SELECT count ( * ) FROM t")
+    assert(rw("SELECT count(*) FROM t SETTINGS a = 1 FORMAT TabSeparated")
+      == "SELECT count ( * ) FROM t")
+    assert(rw("SELECT format FROM t") == "SELECT format FROM t")
+  }
+
+  test("LIMIT offset, n becomes LIMIT n OFFSET offset; LIMIT n BY is " +
+    "left for the window rewrite") {
+    assert(rw("SELECT x FROM t ORDER BY x LIMIT 5, 10") ==
+      "SELECT x FROM t ORDER BY x LIMIT 10 OFFSET 5")
+    assert(rw("SELECT k, v FROM t ORDER BY v LIMIT 2 BY k")
+      .contains("__graft_limit_by <= 2"))
+  }
+
   test("GLOBAL JOIN / GLOBAL IN / GLOBAL NOT IN drop the GLOBAL") {
     assert(rw("SELECT 1 FROM a GLOBAL JOIN b ON a.x = b.x")
       .contains("a JOIN b"))
@@ -26,6 +42,18 @@ class ChSqlRewriterSpec extends AnyFunSuite {
       .contains("x NOT IN ("))
     // a column actually NAMED global survives
     assert(rw("SELECT global FROM t").contains("global FROM t"))
+  }
+
+  test("ALL JOIN drops the ALL (CH documents it as the standard join); " +
+    "ANY JOIN and UNION ALL are untouched") {
+    assert(rw("SELECT 1 FROM a ALL INNER JOIN b ON a.x = b.x")
+      .contains("a INNER JOIN b"))
+    assert(rw("SELECT 1 FROM a ALL LEFT JOIN b ON a.x = b.x")
+      .contains("a LEFT JOIN b"))
+    assert(rw("SELECT 1 FROM a ANY JOIN b ON a.x = b.x")
+      .contains("ANY JOIN")) // first-match semantics: fail loudly
+    assert(rw("SELECT 1 UNION ALL SELECT 2") ==
+      "SELECT 1 UNION ALL SELECT 2")
   }
 
   test("PREWHERE alone becomes WHERE; PREWHERE + WHERE merge with AND") {
