@@ -189,6 +189,26 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(out.contains("LEFT JOIN __graft_src USING ( d )"))
   }
 
+  test("select-list arrayJoin feeding GROUP BY explodes in a subquery") {
+    assert(rw("SELECT arrayJoin(splitByChar('_', t)) AS tok, count() AS n " +
+      "FROM e WHERE v > 1 GROUP BY tok ORDER BY n DESC") ==
+      "SELECT tok , count ( * ) AS n FROM ( SELECT * , arrayJoin ( " +
+        "splitByChar ( '_' , t ) ) AS tok FROM e WHERE v > 1 ) " +
+        "GROUP BY tok ORDER BY n DESC")
+    // no GROUP BY on the alias: untouched (plain generator select works)
+    assert(rw("SELECT arrayJoin(x) AS t FROM e") ==
+      "SELECT arrayJoin ( x ) AS t FROM e")
+    // alias referenced in WHERE: named error (CH evaluates aliases there)
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT arrayJoin(x) AS t, count() FROM e WHERE t > 1 GROUP BY t"))
+    assert(e.getMessage.contains("alias"))
+    // CH's multi-arrayJoin cartesian form: named error
+    val e2 = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT arrayJoin(x) AS a, arrayJoin(y) AS b, count() FROM e " +
+        "GROUP BY a, b"))
+    assert(e2.getMessage.contains("multiple"))
+  }
+
   test("plain Spark SQL is a fixed point (modulo whitespace)") {
     val stmts = Seq(
       "SELECT a, sum(b) AS s FROM t WHERE c > 1 GROUP BY a ORDER BY s " +

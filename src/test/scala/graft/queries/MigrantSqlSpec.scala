@@ -313,6 +313,13 @@ class MigrantSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("STEP"))
   }
 
+  gapFlipped("select-list arrayJoin alias feeding GROUP BY (CH evaluates " +
+    "aliases anywhere; Spark's generator sits above the aggregate)",
+    "UNRESOLVED_COLUMN", "explode-in-subquery rewrite", 1,
+    """SELECT arrayJoin(splitByChar('_', event_type)) AS tok,
+      |  count(*) AS n FROM events GROUP BY tok ORDER BY n DESC, tok
+      |LIMIT 10""".stripMargin)
+
   gap("ASOF JOIN",
     "PARSE_SYNTAX_ERROR", "AsOfJoin.backward / backwardOuter",
     """SELECT a.event_id FROM events a ASOF JOIN events b
