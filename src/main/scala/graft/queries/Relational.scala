@@ -3459,11 +3459,13 @@ object Relational {
     // (the per-key top-n clause the reference's status dashboards use,
     // migrations/sample_test.sql's status×date shape), and a SETTINGS
     // suffix. Raw spark.sql REJECTS this text (MigrantSqlSpec pins the
-    // parse errors); ChSqlRewriter lowers it to one aggregate + one
-    // row_number window — a single hash-partition Exchange on
-    // (event_type, user_id) then one on event_type, the same plan
-    // TopKPerKey's input takes. Scale: both exchanges are key-hash
-    // partitioned, no driver-side work, no cartesians.
+    // parse errors); ChSqlRewriter lowers it to one aggregate + a
+    // row_number window that the TopKPerKey optimizer rule plans onto
+    // the HEAP operator — the physical plan carries TopKPerKey
+    // partial+final pairs and NO Window node (PLANS_r17 fingerprint:
+    // 3 Exchanges, 2 ObjectHashAggregate, 2 TopKPerKey, 0 Window,
+    // 0 CartesianProduct). Scale: every exchange is key-hash
+    // partitioned, no driver-side work.
     "q129_ch_rewriter" -> Q(
       (s, dir) => {
         graft.plans.GraftExtensions.install(s)
@@ -3481,7 +3483,66 @@ object Relational {
       "the dialect pre-rewriter capstone: a formerly-GAP ClickHouse " +
         "statement (count(), parametric quantileExact, LIMIT n BY, " +
         "SETTINGS) run verbatim through ChSqlRewriter.sql and " +
-        "hash-matched against DuckDB's row_number spelling"))
+        "hash-matched against DuckDB's row_number spelling"),
+
+    // q130: WITH TOTALS through the front door — the rewriter lowers
+    // it to GROUPING SETS ((keys), ()), DuckDB runs the same GROUPING
+    // SETS natively, and the hash-match pins BOTH the per-key rows and
+    // the NULL-key grand-total row (the documented deviation from CH's
+    // type-default totals row is thereby load-bearing: the oracle
+    // asserts the NULL read). One exchange, grouping-set expansion is
+    // map-side — the stock rollup plan shape.
+    "q130_ch_with_totals" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events").createOrReplaceTempView("events")
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT event_type, count() AS n,
+            |  sumIf(toInt64(floor(value * 100)),
+            |        event_type = 'view') AS view_cents
+            |FROM events GROUP BY event_type WITH TOTALS;""".stripMargin)
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+          |    FILTER (WHERE event_type = 'view') AS BIGINT) AS view_cents
+          |FROM events
+          |GROUP BY GROUPING SETS ((event_type), ())""".stripMargin),
+      "GROUP BY ... WITH TOTALS verbatim through ChSqlRewriter " +
+        "(lowered to GROUPING SETS ((keys), ())), hash-matched against " +
+        "DuckDB's native GROUPING SETS incl. the NULL-key totals row"),
+
+    // q131: ORDER BY ... WITH FILL STEP through the front door — the
+    // rewriter lowers it to a sequence() axis LEFT-JOINED back to the
+    // aggregate (TimeSeries.resampleFill's shape in pure SQL); DuckDB
+    // mirrors with generate_series. The axis is two scalar-subquery
+    // broadcasts + one keyed join — nothing driver-side, linear in the
+    // axis length.
+    "q131_ch_with_fill" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events").createOrReplaceTempView("events")
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT toStartOfDay(ts) AS d, count() AS n,
+            |  uniqExact(user_id) AS users
+            |FROM events GROUP BY d
+            |ORDER BY d WITH FILL STEP INTERVAL 1 DAY""".stripMargin)
+      },
+      Some(
+        """WITH src AS (
+          |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+          |      AS TIMESTAMP) AS d,
+          |    count(*) AS n, count(DISTINCT user_id) AS users
+          |  FROM events GROUP BY 1),
+          |axis AS (
+          |  SELECT unnest(generate_series(
+          |    (SELECT min(d) FROM src), (SELECT max(d) FROM src),
+          |    INTERVAL 1 DAY)) AS d)
+          |SELECT axis.d AS d, n, users
+          |FROM axis LEFT JOIN src USING (d)""".stripMargin),
+      "ORDER BY ... WITH FILL STEP INTERVAL 1 DAY verbatim through " +
+        "ChSqlRewriter (sequence-axis LEFT JOIN), hash-matched against " +
+        "DuckDB's generate_series spelling"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's

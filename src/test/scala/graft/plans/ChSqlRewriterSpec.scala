@@ -227,4 +227,14 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(rw("SELECT 1 -- trailing\n, 2 /* block */ , 'it''s'") ==
       "SELECT 1 , 2 , 'it''s'")
   }
+
+  test("trailing semicolons are dropped; INTERPOLATE is a named error") {
+    assert(rw("SELECT 1;") == "SELECT 1")
+    assert(rw("SELECT count(*) FROM t SETTINGS a = 1;") ==
+      "SELECT count ( * ) FROM t")
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
+        "INTERPOLATE (n AS n)"))
+    assert(e.getMessage.contains("INTERPOLATE"))
+  }
 }

@@ -333,6 +333,32 @@ class MigrantSqlSpec extends AnyFunSuite {
     "unit", "graft_date_diff (boundary-crossing semantics)", 1,
     "SELECT dateDiff('day', min(ts), max(ts)) FROM events")
 
+  test("GAP→PASS combined-stress statement: SAMPLE + PREWHERE + WHERE + " +
+    "count() + parametric quantile + WITH TOTALS + LIMIT offset,n + " +
+    "SETTINGS + FORMAT + ';' in ONE text [pass-interaction pin]") {
+    val sql =
+      """SELECT event_type, count() AS n,
+        |  quantileExact(0.9)(toInt64(floor(value * 100))) AS p90
+        |FROM events SAMPLE 1.0
+        |PREWHERE value >= 0
+        |WHERE event_type != ''
+        |GROUP BY event_type WITH TOTALS
+        |ORDER BY n DESC
+        |LIMIT 0, 10
+        |SETTINGS max_threads = 2
+        |FORMAT JSON;""".stripMargin
+    val e = intercept[Exception](spark.sql(sql).collect())
+    assert(chain(e).contains("PARSE_SYNTAX_ERROR"))
+    val rows = graft.plans.ChSqlRewriter.sql(spark, sql).collect()
+    // per-type rows plus the NULL-key grand-total row (SAMPLE 1.0 keeps
+    // every row, so totals n = sum of per-type n)
+    assert(rows.length >= 3)
+    val total = rows.filter(_.isNullAt(0))
+    assert(total.length == 1, "exactly one totals row")
+    assert(total.head.getLong(1) ==
+      rows.filterNot(_.isNullAt(0)).map(_.getLong(1)).sum)
+  }
+
   // ---- TRAP: parses but means something different — pinned ------------
 
   test("TRAP position(haystack, needle): Spark's argument order is " +
