@@ -359,6 +359,26 @@ class MigrantSqlSpec extends AnyFunSuite {
       rows.filterNot(_.isNullAt(0)).map(_.getLong(1)).sum)
   }
 
+  test("LIMIT n BY lowers to a PRE-EXCHANGE group-limit (TopKPerKey " +
+    "heap when the graft strategy is installed, Spark's own " +
+    "WindowGroupLimit partial+final otherwise) - never a bare " +
+    "shuffle-everything Window") {
+    val df = graft.plans.ChSqlRewriter.sql(spark,
+      """SELECT event_type, user_id, count(*) AS n FROM events
+        |GROUP BY event_type, user_id ORDER BY n DESC
+        |LIMIT 3 BY event_type""".stripMargin)
+    df.collect() // finalize the adaptive plan
+    val phys = df.queryExecution.executedPlan.toString
+    // the load-bearing property at 100 TB: per-key limiting happens on
+    // the MAP side, before the event_type exchange - either operator
+    // spelling proves it (q129's Bench-session fingerprint carries the
+    // TopKPerKey pair; the stock session plans WindowGroupLimit
+    // Partial -> Exchange -> Final)
+    assert(phys.contains("TopKPerKey") ||
+      (phys.contains("WindowGroupLimit") && phys.contains("Partial")),
+      s"no pre-exchange group-limit in:\n$phys")
+  }
+
   // ---- TRAP: parses but means something different — pinned ------------
 
   test("TRAP position(haystack, needle): Spark's argument order is " +
