@@ -228,6 +228,37 @@ class ChSqlRewriterSpec extends AnyFunSuite {
       "SELECT 1 , 2 , 'it''s'")
   }
 
+  test("rewrite is idempotent: the output is its own fixed point") {
+    // the output is valid Spark SQL, and valid Spark SQL must pass
+    // through untouched - so a second rewrite must change nothing
+    // (catches passes that fire on their own output)
+    val stmts = Seq(
+      "SELECT count() FROM events SETTINGS max_threads = 4",
+      "SELECT quantileExact(0.9)(value) FROM events",
+      "SELECT [1, 2, 3] AS a",
+      "SELECT event_type, user_id, count(*) AS n FROM events " +
+        "GROUP BY event_type, user_id ORDER BY n DESC LIMIT 3 BY event_type",
+      "SELECT event_type, count() AS n FROM events " +
+        "GROUP BY event_type WITH TOTALS",
+      "SELECT t, x FROM e LEFT ARRAY JOIN splitByChar('_', t) AS x",
+      "SELECT toStartOfDay(ts) AS d, count() AS n FROM e GROUP BY d " +
+        "ORDER BY d WITH FILL STEP INTERVAL 1 DAY",
+      "SELECT arrayJoin(splitByChar('_', t)) AS tok, count(*) AS n " +
+        "FROM e GROUP BY tok",
+      "SELECT count(*) FROM events SAMPLE 0.1",
+      "SELECT x FROM t ORDER BY x LIMIT 5, 10")
+    stmts.foreach { s =>
+      val once = rw(s)
+      assert(rw(once) == once, s"not idempotent on: $s\nfirst: $once")
+    }
+  }
+
+  test("interior semicolons are a named error (one statement at a time)") {
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1; SELECT 2"))
+    assert(e.getMessage.contains("one statement"))
+  }
+
   test("trailing semicolons are dropped; INTERPOLATE is a named error") {
     assert(rw("SELECT 1;") == "SELECT 1")
     assert(rw("SELECT count(*) FROM t SETTINGS a = 1;") ==
