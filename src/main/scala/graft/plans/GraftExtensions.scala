@@ -755,6 +755,188 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
           val u = fn("unix_timestamp", args(0))
           fn("timestamp_seconds", fn("-", u, fn("pmod", u, Literal(secs))))
+        }),
+      // ---- r17 scalar batch: the remaining high-traffic CH names with
+      // exact Spark spellings (audited against the registry; names
+      // Spark already resolves identically - startsWith, ifNull,
+      // repeat, greatest, hex, now, ... - are deliberately NOT
+      // re-registered) -------------------------------------------------
+      (FunctionIdentifier("arrayConcat"),
+        info("arrayConcat", "arrayConcat(a1[, a2, ...]) - ClickHouse arrayConcat (rewrites to concat over arrays)"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty) throw new IllegalArgumentException(
+            "arrayConcat expects (a1[, a2, ...])")
+          fn("concat", args: _*)
+        }),
+      (FunctionIdentifier("concatAssumeInjective"),
+        info("concatAssumeInjective", "concatAssumeInjective(s1, s2, ...) - ClickHouse concatAssumeInjective: plain concat (the CH name is an optimizer HINT for GROUP BY keys; Catalyst needs no such hint - same values)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2) throw new IllegalArgumentException(
+            "concatAssumeInjective expects (s1, s2, ...)")
+          fn("concat", args: _*)
+        }),
+      rewrite("arrayProduct",
+        "arrayProduct(arr) - ClickHouse arrayProduct: product of the elements as DOUBLE (CH's Float64 read; empty array reads 1.0)",
+        1, "(arr)")(a => {
+          import org.apache.spark.sql.catalyst.expressions._
+          val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+          val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+          ArrayAggregate(
+            Cast(a(0), ArrayType(DoubleType)), Literal(1.0d),
+            LambdaFunction(Multiply(acc, x), Seq(acc, x)),
+            LambdaFunction(fin, Seq(fin)))
+        }),
+      rewrite("arrayUniq",
+        "arrayUniq(arr) - ClickHouse arrayUniq: count of DISTINCT elements (rewrites to size(array_distinct(arr)) as BIGINT)",
+        1, "(arr)")(a =>
+          Cast(fn("size", fn("array_distinct", a(0))), LongType)),
+      rewrite("arrayReverseSort",
+        "arrayReverseSort(arr) - ClickHouse arrayReverseSort (no-lambda form): descending sort (rewrites to reverse(array_sort(arr)); the lambda form is arraySort machinery - sort a keyed struct instead)",
+        1, "(arr)")(a => fn("reverse", fn("array_sort", a(0)))),
+      rewrite("arrayIntersect",
+        "arrayIntersect(a, b) - ClickHouse arrayIntersect for TWO arrays (rewrites to array_intersect; DEVIATION: result order follows the first array - CH's is unspecified); chain calls for more arrays",
+        2, "(a, b)")(a => fn("array_intersect", a(0), a(1))),
+      rewrite("hasAll",
+        "hasAll(arr, subset) - ClickHouse hasAll: TRUE iff every element of subset occurs in arr (rewrites to size(array_except(subset, arr)) = 0; empty subset reads TRUE, CH's rule)",
+        2, "(arr, subset)")(a =>
+          org.apache.spark.sql.catalyst.expressions.EqualTo(
+            fn("size", fn("array_except", a(1), a(0))), Literal(0))),
+      rewrite("hasAny",
+        "hasAny(a, b) - ClickHouse hasAny: TRUE iff the arrays share an element (rewrites to arrays_overlap; empty b reads FALSE, CH's rule)",
+        2, "(a, b)")(a => fn("arrays_overlap", a(0), a(1))),
+      rewrite("arrayPushBack",
+        "arrayPushBack(arr, x) - ClickHouse arrayPushBack (rewrites to concat(arr, array(x)))",
+        2, "(arr, x)")(a => fn("concat", a(0), fn("array", a(1)))),
+      rewrite("arrayPushFront",
+        "arrayPushFront(arr, x) - ClickHouse arrayPushFront (rewrites to concat(array(x), arr))",
+        2, "(arr, x)")(a => fn("concat", fn("array", a(1)), a(0))),
+      rewrite("arrayPopBack",
+        "arrayPopBack(arr) - ClickHouse arrayPopBack: the array without its last element (slice arithmetic; empty stays empty)",
+        1, "(arr)")(a => fn("slice", a(0), Literal(1),
+          fn("greatest", fn("-", fn("size", a(0)), Literal(1)),
+            Literal(0)))),
+      rewrite("arrayPopFront",
+        "arrayPopFront(arr) - ClickHouse arrayPopFront: the array without its first element (slice arithmetic; empty stays empty)",
+        1, "(arr)")(a => fn("slice", a(0), Literal(2),
+          fn("greatest", fn("-", fn("size", a(0)), Literal(1)),
+            Literal(0)))),
+      (FunctionIdentifier("arrayResize"),
+        info("arrayResize", "arrayResize(arr, n, fill) - ClickHouse arrayResize with an EXPLICIT fill (truncate to n, or pad with fill up to n). The 2-argument CH form pads with the element type's DEFAULT (0/''), which this engine cannot synthesize at plan time - pass the fill explicitly (REJECTED by name otherwise)"),
+        (args: Seq[Expression]) => {
+          if (args.size == 2) throw new IllegalArgumentException(
+            "arrayResize: the 2-argument form pads with CH's type " +
+              "default - pass the fill explicitly: arrayResize(arr, n, fill)")
+          arity(args, 3, "arrayResize", "(arr, n, fill)")
+          fn("concat",
+            fn("slice", args(0), Literal(1),
+              fn("least", args(1), fn("size", args(0)))),
+            fn("array_repeat", args(2),
+              fn("greatest", fn("-", args(1), fn("size", args(0))),
+                Literal(0))))
+        }),
+      rewrite("positionCaseInsensitive",
+        "positionCaseInsensitive(haystack, needle) - ClickHouse positionCaseInsensitive: 1-based first occurrence over lowercased inputs, 0 when absent (NOTE the haystack-first order - plain position() is the pinned Spark arg-order TRAP)",
+        2, "(haystack, needle)")(a =>
+          fn("instr", fn("lower", a(0)), fn("lower", a(1)))),
+      rewrite("bitCount",
+        "bitCount(x) - ClickHouse bitCount (rewrites to bit_count)",
+        1, "(x)")(a => fn("bit_count", a(0))),
+      rewrite("exp2",
+        "exp2(x) - ClickHouse exp2 (rewrites to power(2, x))",
+        1, "(x)")(a => fn("power", Literal(2.0d), a(0))),
+      rewrite("isFinite",
+        "isFinite(x) - ClickHouse isFinite: TRUE iff x is neither NaN nor infinite (double read)",
+        1, "(x)")(a => {
+          import org.apache.spark.sql.catalyst.expressions.{And, Not, EqualTo}
+          val d = Cast(a(0), DoubleType)
+          And(Not(fn("isnan", d)),
+            Not(EqualTo(fn("abs", d), Literal(Double.PositiveInfinity))))
+        }),
+      rewrite("isInfinite",
+        "isInfinite(x) - ClickHouse isInfinite: TRUE iff x is +/-Inf (NaN reads FALSE)",
+        1, "(x)")(a =>
+          org.apache.spark.sql.catalyst.expressions.EqualTo(
+            fn("abs", Cast(a(0), DoubleType)),
+            Literal(Double.PositiveInfinity))),
+      rewrite("translateUTF8",
+        "translateUTF8(s, from, to) - ClickHouse translateUTF8 (rewrites to translate; DEVIATION: CH requires equal from/to lengths - Spark DELETES characters when to is shorter)",
+        3, "(s, from, to)")(a => fn("translate", a(0), a(1), a(2))),
+      rewrite("toLastDayOfMonth",
+        "toLastDayOfMonth(ts) - ClickHouse toLastDayOfMonth (rewrites to last_day; returns DATE, CH's read)",
+        1, "(ts)")(a => fn("last_day", Cast(a(0), DateType))),
+      rewrite("toStartOfSecond",
+        "toStartOfSecond(ts) - ClickHouse toStartOfSecond (rewrites to date_trunc second; returns TIMESTAMP)",
+        1, "(ts)")(a => fn("date_trunc", Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("second"),
+          StringType), Cast(a(0), TimestampType))),
+      rewrite("timeSlot",
+        "timeSlot(ts) - ClickHouse timeSlot: floor to the half-hour grid (the toStartOfInterval 1800-second remainder arithmetic)",
+        1, "(ts)")(a => {
+          val u = fn("unix_timestamp", Cast(a(0), TimestampType))
+          fn("timestamp_seconds",
+            fn("-", u, fn("pmod", u, Literal(1800L))))
+        }),
+      rewrite("monthName",
+        "monthName(ts) - ClickHouse monthName: the full English month name (rewrites to date_format 'MMMM')",
+        1, "(ts)")(a => fn("date_format", Cast(a(0), TimestampType),
+          Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString("MMMM"), StringType))),
+      (FunctionIdentifier("now64"),
+        info("now64", "now64([precision]) - ClickHouse now64: statement-start timestamp (rewrites to now(); Spark timestamps are fixed micros precision - the precision argument is accepted and ignored, CH's sub-micro precisions are not representable)"),
+        (args: Seq[Expression]) => {
+          if (args.size > 1) throw new IllegalArgumentException(
+            "now64 expects ([precision])")
+          fn("now")
+        }),
+      (FunctionIdentifier("formatReadableSize"),
+        info("formatReadableSize", "formatReadableSize(bytes) - ClickHouse formatReadableSize: binary-unit render with two decimals ('1.00 KiB', '976.56 MiB'; units B..EiB), the dashboard display helper"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "formatReadableSize", "(bytes)")
+          import org.apache.spark.sql.catalyst.expressions.{CaseWhen, LessThan}
+          import org.apache.spark.unsafe.types.UTF8String
+          val v = Cast(args(0), DoubleType)
+          def render(den: Double, unit: String): Expression =
+            fn("format_string",
+              Literal(UTF8String.fromString(s"%.2f $unit"), StringType),
+              fn("/", v, Literal(den)))
+          val units = Seq("B" -> 1d, "KiB" -> 1024d, "MiB" -> math.pow(1024, 2),
+            "GiB" -> math.pow(1024, 3), "TiB" -> math.pow(1024, 4),
+            "PiB" -> math.pow(1024, 5), "EiB" -> math.pow(1024, 6))
+          val branches = units.init.map { case (unit, den) =>
+            (LessThan(fn("abs", v),
+              Literal(den * 1024)): Expression) -> render(den, unit)
+          }
+          CaseWhen(branches, Some(render(units.last._2, units.last._1)))
+        }),
+      (FunctionIdentifier("bar"),
+        info("bar", "bar(x, min, max[, width=80]) - ClickHouse bar: a unicode bar of (x-min)/(max-min)*width characters, full blocks plus one eighth-block partial; DEVIATION: the partial rounds to the NEAREST eighth (CH's renderer may differ by one eighth on exact boundaries); x clamps into [min, max]"),
+        (args: Seq[Expression]) => {
+          if (args.size < 3 || args.size > 4) throw new IllegalArgumentException(
+            "bar expects (x, min, max[, width])")
+          import org.apache.spark.sql.catalyst.expressions.{Greatest, Least}
+          import org.apache.spark.unsafe.types.UTF8String
+          val width = if (args.size == 4) Cast(args(3), DoubleType)
+            else Literal(80.0d)
+          val x = Cast(args(0), DoubleType)
+          val lo = Cast(args(1), DoubleType)
+          val hi = Cast(args(2), DoubleType)
+          // w in [0, width]; eighths = round(w * 8) split into full + rem
+          val frac = fn("/", fn("-", Least(Seq(Greatest(Seq(x, lo)), hi)),
+            lo), fn("-", hi, lo))
+          val eighths = Cast(fn("round", fn("*", fn("*", frac, width),
+            Literal(8.0d))), LongType)
+          val full = fn("div", eighths, Literal(8L))
+          val rem = Cast(fn("pmod", eighths, Literal(8L)), IntegerType)
+          // partial glyphs: index 1..7 = U+258F (1/8) .. U+2589 (7/8)
+          val partials = "▏▎▍▌▋▊▉"
+          fn("concat",
+            fn("repeat", Literal(UTF8String.fromString("█"),
+              StringType), Cast(full, IntegerType)),
+            fn("substring", Literal(UTF8String.fromString(partials),
+              StringType), rem, fn("if",
+                org.apache.spark.sql.catalyst.expressions.EqualTo(rem,
+                  Literal(0)), Literal(0), Literal(1))))
         }))
   }
 

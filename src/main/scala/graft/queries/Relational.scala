@@ -3542,7 +3542,78 @@ object Relational {
           |FROM axis LEFT JOIN src USING (d)""".stripMargin),
       "ORDER BY ... WITH FILL STEP INTERVAL 1 DAY verbatim through " +
         "ChSqlRewriter (sequence-axis LEFT JOIN), hash-matched against " +
-        "DuckDB's generate_series spelling"))
+        "DuckDB's generate_series spelling"),
+
+    // q132: the r17 scalar batch under a DuckDB oracle (the q128
+    // pattern: upgrade new alias names from spec-pinned to
+    // hash-matched). Covers the array push/pop/resize/concat/product/
+    // uniq/intersect family, hasAll/hasAny, positionCaseInsensitive,
+    // bitCount, exp2, isFinite, monthName/toLastDayOfMonth/
+    // toStartOfSecond/timeSlot, and formatReadableSize (input kept in
+    // the exact-integer byte range - printf tie-rounding differs
+    // Java-vs-C at .xx5 boundaries, the q128 float discipline). bar and
+    // now64 stay spec-pinned (DuckDB's bar renderer differs; now64 is
+    // nondeterministic). Map-only kernels + one band-key exchange.
+    "q132_scalar_batch2" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            col("ts"))
+          .select(col("event_type"),
+            expr("arrayStringConcat(arrayReverseSort(arrayConcat(" +
+              "splitByChar('e', event_type), " +
+              "array(toString(event_id % 3)))), ',')").as("arr_render"),
+            expr("arrayUniq(arrayPushBack(" +
+              "splitByChar('_', event_type), 'x'))").as("uniq_n"),
+            expr("arrayStringConcat(arrayPopFront(arrayPushFront(" +
+              "splitByChar('_', event_type), 'h')), '-')").as("poppush"),
+            expr("arrayStringConcat(arrayResize(" +
+              "splitByChar('_', event_type), 3, 'z'), '+')").as("resized"),
+            expr("hasAll(splitByChar('_', event_type), array('view'))")
+              .as("has_view"),
+            expr("hasAny(splitByChar('_', event_type), " +
+              "array('cart', 'view'))").as("has_any"),
+            expr("arrayStringConcat(arraySort(arrayIntersect(" +
+              "splitByChar('_', event_type), " +
+              "array('view', 'cart', 'add'))), '/')").as("inter"),
+            expr("positionCaseInsensitive(event_type, 'E')").as("pci"),
+            expr("bitCount(event_id)").as("bits"),
+            expr("exp2(toInt64(event_id % 4))").as("p2"),
+            expr("isFinite(value)").as("fin"),
+            expr("monthName(ts)").as("mname"),
+            expr("toLastDayOfMonth(ts)").as("ldm"),
+            expr("toStartOfSecond(ts)").as("tss"),
+            expr("timeSlot(ts)").as("slot"),
+            expr("arrayProduct(array(CAST(toInt64(event_id % 5) + 1L " +
+              "AS DOUBLE), 2.0d))").as("prod"),
+            expr("formatReadableSize(event_id % 1000)").as("frs"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("arr_render")).as("min_arr"),
+            sum(col("uniq_n")).as("sum_uniq"),
+            min(col("poppush")).as("min_pp"),
+            min(col("resized")).as("min_rz"),
+            sum(when(col("has_view"), 1L).otherwise(0L)).as("n_has_view"),
+            sum(when(col("has_any"), 1L).otherwise(0L)).as("n_has_any"),
+            min(col("inter")).as("min_inter"),
+            sum(col("pci")).as("sum_pci"),
+            sum(col("bits")).as("sum_bits"),
+            sum(col("p2")).as("sum_p2"),
+            sum(when(col("fin"), 1L).otherwise(0L)).as("n_fin"),
+            min(col("mname")).as("min_mn"),
+            max(col("ldm")).as("max_ldm"),
+            min(col("tss")).as("min_tss"),
+            min(col("slot")).as("min_slot"),
+            sum(col("prod")).as("sum_prod"),
+            max(col("frs")).as("max_frs"))
+      },
+      Some(scalarBatch2Oracle),
+      "the r17 scalar batch (array push/pop/resize/concat/product/" +
+        "uniq/intersect, hasAll/hasAny, positionCaseInsensitive, " +
+        "bitCount, exp2, isFinite, monthName, toLastDayOfMonth, " +
+        "toStartOfSecond, timeSlot, formatReadableSize) hash-matched " +
+        "against DuckDB's list/bit/date spellings"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
@@ -3683,6 +3754,66 @@ object Relational {
       |    PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
       |  FROM g)
       |SELECT event_type, user_id, n, med FROM r WHERE rn <= 2""".stripMargin
+
+  /** The q132 oracle: DuckDB spellings of the r17 scalar batch —
+    * list_concat/list_distinct/list_sort('DESC')/list_intersect,
+    * array_has_all/array_has_any, instr-over-lower, bit_count, power,
+    * isfinite, monthname/last_day/date_trunc, the half-hour grid via
+    * hour-trunc + a minute CASE (to_timestamp returns TIMESTAMPTZ in
+    * DuckDB — dtype mismatch), slicing + list_transform(range(...)) for
+    * arrayResize, printf for formatReadableSize (exact-integer byte
+    * inputs only — the tie-rounding note at the entry).
+    */
+  private def scalarBatch2Oracle: String =
+    """WITH b AS (
+      |  SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    string_split(event_type, 'e') AS se,
+      |    string_split(event_type, '_') AS su
+      |  FROM events),
+      |e AS (SELECT event_type,
+      |  array_to_string(list_sort(list_concat(se,
+      |    [CAST(event_id % 3 AS VARCHAR)]), 'DESC'), ',') AS arr_render,
+      |  CAST(len(list_distinct(list_concat(su, ['x']))) AS BIGINT)
+      |    AS uniq_n,
+      |  array_to_string(su, '-') AS poppush,
+      |  array_to_string(list_concat(su[1:least(3, len(su))],
+      |    list_transform(range(CAST(greatest(3 - len(su), 0) AS BIGINT)),
+      |      x -> 'z')), '+') AS resized,
+      |  array_has_all(su, ['view']) AS has_view,
+      |  array_has_any(su, ['cart', 'view']) AS has_any,
+      |  coalesce(array_to_string(list_sort(list_intersect(su,
+      |    ['view', 'cart', 'add'])), '/'), '') AS inter,
+      |  CAST(instr(lower(event_type), 'e') AS BIGINT) AS pci,
+      |  CAST(bit_count(event_id) AS BIGINT) AS bits,
+      |  power(2, event_id % 4) AS p2,
+      |  isfinite(value) AS fin,
+      |  monthname(ts) AS mname,
+      |  last_day(CAST(ts AS DATE)) AS ldm,
+      |  date_trunc('second', ts) AS tss,
+      |  date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+      |    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS slot,
+      |  (CAST(event_id % 5 AS DOUBLE) + 1) * 2 AS prod,
+      |  printf('%.2f B', CAST(event_id % 1000 AS DOUBLE)) AS frs
+      | FROM b)
+      |SELECT event_type, count(*) AS n,
+      |  min(arr_render) AS min_arr,
+      |  CAST(sum(uniq_n) AS BIGINT) AS sum_uniq,
+      |  min(poppush) AS min_pp,
+      |  min(resized) AS min_rz,
+      |  CAST(count(*) FILTER (WHERE has_view) AS BIGINT) AS n_has_view,
+      |  CAST(count(*) FILTER (WHERE has_any) AS BIGINT) AS n_has_any,
+      |  min(inter) AS min_inter,
+      |  CAST(sum(pci) AS BIGINT) AS sum_pci,
+      |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+      |  sum(p2) AS sum_p2,
+      |  CAST(count(*) FILTER (WHERE fin) AS BIGINT) AS n_fin,
+      |  min(mname) AS min_mn,
+      |  max(ldm) AS max_ldm,
+      |  min(tss) AS min_tss,
+      |  min(slot) AS min_slot,
+      |  sum(prod) AS sum_prod,
+      |  max(frs) AS max_frs
+      |FROM e GROUP BY event_type""".stripMargin
 
   /** The q128 oracle: DuckDB spellings of the scalar battery — its
     * `range` IS end-exclusive (CH-shaped) but `list_sum([])` reads NULL

@@ -1842,6 +1842,93 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(10) == 2022) // Jan 1 2023 (Sunday) belongs to ISO 2022
   }
 
+  test("r17 scalar batch: array push/pop/resize/product/uniq/intersect, " +
+    "hasAll/hasAny, positionCaseInsensitive, bit/exp2/finite, dates, " +
+    "formatReadableSize, bar") {
+    val r = spark.sql(
+      """SELECT arrayConcat(array(1, 2), array(3)) AS ac,
+        |  concatAssumeInjective('a', '_', 'b') AS cai,
+        |  arrayProduct(array(2, 3, 4)) AS ap,
+        |  arrayProduct(CAST(array() AS ARRAY<DOUBLE>)) AS ap0,
+        |  arrayUniq(array(1, 2, 2, 3)) AS au,
+        |  arrayReverseSort(array(3, 1, 2)) AS ars,
+        |  arrayIntersect(array(1, 2, 3), array(2, 3, 4)) AS ai,
+        |  hasAll(array(1, 2, 3), array(2, 3)) AS ha,
+        |  hasAll(array(1, 2), array(3)) AS ha0,
+        |  hasAll(array(1), CAST(array() AS ARRAY<INT>)) AS hae,
+        |  hasAny(array(1, 2), array(2, 5)) AS hy,
+        |  hasAny(array(1, 2), array(7)) AS hy0,
+        |  arrayPushBack(array(1, 2), 3) AS apb,
+        |  arrayPushFront(array(1, 2), 0) AS apf,
+        |  arrayPopBack(array(1, 2, 3)) AS apob,
+        |  arrayPopFront(array(1, 2, 3)) AS apof,
+        |  arrayPopBack(CAST(array() AS ARRAY<INT>)) AS apoe,
+        |  arrayResize(array(1, 2, 3), 2, 0) AS arz1,
+        |  arrayResize(array(1), 3, 9) AS arz2,
+        |  positionCaseInsensitive('Hello World', 'WORLD') AS pci,
+        |  positionCaseInsensitive('abc', 'zz') AS pci0,
+        |  bitCount(255L) AS bc,
+        |  exp2(10) AS e2,
+        |  isFinite(1.5d) AS fin1,
+        |  isFinite(CAST('NaN' AS DOUBLE)) AS fin2,
+        |  isFinite(CAST('Infinity' AS DOUBLE)) AS fin3,
+        |  isInfinite(CAST('-Infinity' AS DOUBLE)) AS inf1,
+        |  isInfinite(CAST('NaN' AS DOUBLE)) AS inf2,
+        |  translateUTF8('abcab', 'ab', 'xy') AS tr,
+        |  CAST(toLastDayOfMonth(TIMESTAMP '2024-02-10 05:00:00')
+        |    AS STRING) AS ldm,
+        |  CAST(toStartOfSecond(TIMESTAMP '2024-01-01 01:02:03.789')
+        |    AS STRING) AS tss,
+        |  CAST(timeSlot(TIMESTAMP '2024-01-01 01:47:03') AS STRING) AS tsl,
+        |  monthName(TIMESTAMP '2024-03-05 00:00:00') AS mn,
+        |  now64(3) IS NOT NULL AS n64,
+        |  formatReadableSize(1023) AS frs1,
+        |  formatReadableSize(1536) AS frs2,
+        |  formatReadableSize(1073741824) AS frs3,
+        |  bar(3, 0, 8, 8) AS b1,
+        |  bar(3.5, 0, 8, 8) AS b2,
+        |  bar(10, 0, 8, 8) AS b3
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getString(1) == "a_b")
+    assert(r.getDouble(2) == 24.0 && r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 3L)
+    assert(r.getSeq[Int](5) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](6) == Seq(2, 3))
+    assert(r.getBoolean(7) && !r.getBoolean(8) && r.getBoolean(9))
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+    assert(r.getSeq[Int](12) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](13) == Seq(0, 1, 2))
+    assert(r.getSeq[Int](14) == Seq(1, 2))
+    assert(r.getSeq[Int](15) == Seq(2, 3))
+    assert(r.getSeq[Int](16) == Seq())
+    assert(r.getSeq[Int](17) == Seq(1, 2))
+    assert(r.getSeq[Int](18) == Seq(1, 9, 9))
+    assert(r.getInt(19) == 7 && r.getInt(20) == 0)
+    assert(r.getInt(21) == 8)
+    assert(r.getDouble(22) == 1024.0)
+    assert(r.getBoolean(23) && !r.getBoolean(24) && !r.getBoolean(25))
+    assert(r.getBoolean(26) && !r.getBoolean(27))
+    assert(r.getString(28) == "xycxy")
+    assert(r.getString(29) == "2024-02-29") // leap February
+    assert(r.getString(30) == "2024-01-01 01:02:03")
+    assert(r.getString(31) == "2024-01-01 01:30:00")
+    assert(r.getString(32) == "March")
+    assert(r.getBoolean(33))
+    assert(r.getString(34) == "1023.00 B")
+    assert(r.getString(35) == "1.50 KiB")
+    assert(r.getString(36) == "1.00 GiB")
+    assert(r.getString(37) == "███")
+    assert(r.getString(38) == "███▌") // 3 full + 4/8
+    assert(r.getString(39) == "█" * 8) // clamped at max
+  }
+
+  test("r17 scalar batch named rejections: 2-arg arrayResize") {
+    val e = intercept[Exception](spark.sql(
+      "SELECT arrayResize(array(1), 3)").collect())
+    assert(e.getMessage.contains("fill"))
+  }
+
   test("visitParam* on a MALFORMED document reads the type default " +
     "(DEVIATION: ClickHouse's lenient single-level scanner can still " +
     "find the key in a not-quite-JSON fragment)") {

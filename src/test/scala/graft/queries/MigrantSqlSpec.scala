@@ -3,14 +3,16 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The migrant SQL smoke corpus (r15 verdict item 1): realistic
-  * ClickHouse SELECTs — the shapes a grower + ClickHouse deployment
-  * actually runs against its events/access-log tables
+/** The migrant SQL smoke corpus (r15 verdict item 1, widened r16/r17):
+  * 49 realistic ClickHouse SELECTs — the shapes a grower + ClickHouse
+  * deployment actually runs against its events/access-log tables
   * (`/root/reference/migrations/sample_test.sql`: toYYYYMM rollups,
   * toStartOfHour series, status×date top-k, funnel + uniqExact +
   * quantileExact + domain() + JSONExtract combinations) — run VERBATIM
   * through `spark.sql` on real testdata. Every statement lands in one
-  * of three buckets, each asserted:
+  * of the buckets below, each asserted (r17 adds the GAP→PASS bucket:
+  * `ChSqlRewriter` closes the mechanical grammar gaps, so those
+  * statements assert raw-FAIL AND rewritten-PASS):
   *
   *   - PASS: the unmodified text parses, runs, and returns rows — the
   *     r13–r16 name-surface investment proved end to end;
@@ -213,6 +215,16 @@ class MigrantSqlSpec extends AnyFunSuite {
       |  quantile(value) AS med, quantile(value, 0.9) AS p90,
       |  quantileTDigest(toInt64(floor(value * 1000)), 0.99) AS p99
       |FROM events""".stripMargin)
+
+  pass("r17 scalar batch verbatim (monthName + formatReadableSize + " +
+    "bar + hasAny + arrayUniq)", 1,
+    """SELECT monthName(ts) AS m, count(*) AS n,
+      |  formatReadableSize(count(*) * 1024) AS vol,
+      |  bar(count(*), 0, 100000, 20) AS b,
+      |  countIf(hasAny(splitByChar('_', event_type),
+      |    array('view', 'cart'))) AS n_vc,
+      |  max(arrayUniq(splitByChar('e', event_type))) AS mx
+      |FROM events GROUP BY m ORDER BY m""".stripMargin)
 
   // ---- GAP: named failures with documented rewrites. 15 of the 17
   // r16 gaps are CLOSED by the ChSqlRewriter pre-pass (gapFlipped: raw
