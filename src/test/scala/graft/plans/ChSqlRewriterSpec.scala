@@ -186,7 +186,14 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(out.startsWith("WITH __graft_src AS ("))
     assert(out.contains("sequence ( ( SELECT min ( d ) FROM __graft_src " +
       ") , ( SELECT max ( d ) FROM __graft_src ) , INTERVAL 1 DAY )"))
-    assert(out.contains("LEFT JOIN __graft_src USING ( d )"))
+    // FULL OUTER: source rows off the fill grid are KEPT (CH's rule)
+    assert(out.contains("FULL OUTER JOIN __graft_src USING ( d )"))
+    // FROM/TO bounds: FROM inclusive, TO exclusive (the axis filter)
+    val bounded = rw("SELECT d, n FROM t ORDER BY d WITH FILL " +
+      "FROM 10 TO 20 STEP 2 LIMIT 5")
+    assert(bounded.contains("sequence ( ( 10 ) , ( 20 ) , 2 )"))
+    assert(bounded.contains("WHERE d < ( 20 )"))
+    assert(bounded.endsWith("ORDER BY d LIMIT 5"))
   }
 
   test("select-list arrayJoin feeding GROUP BY explodes in a subquery") {
