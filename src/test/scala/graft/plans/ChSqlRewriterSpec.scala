@@ -16,6 +16,8 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(rw("SELECT count(*) FROM events SETTINGS max_threads = 4") ==
       "SELECT count ( * ) FROM events")
     assert(rw("SELECT 1 SETTINGS a = 1, b = 'x'") == "SELECT 1")
+    // signed values are one setting, not a stray trailing token
+    assert(rw("SELECT 1 SETTINGS log_level = -1, x = +2") == "SELECT 1")
   }
 
   test("trailing FORMAT suffix is dropped; FORMAT as a column survives") {
