@@ -882,6 +882,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         1, "(ts)")(a => fn("date_format", Cast(a(0), TimestampType),
           Literal(org.apache.spark.unsafe.types.UTF8String
             .fromString("MMMM"), StringType))),
+      (FunctionIdentifier("roundBankers"),
+        info("roundBankers", "roundBankers(x[, n]) - ClickHouse roundBankers: half-to-even rounding (rewrites to bround). NOTE the TRAP: ClickHouse's plain round() is ALSO banker's for floats, but Spark's round() is HALF-UP - port CH round() calls to roundBankers/bround when tie behavior matters (pinned in MigrantSqlSpec)"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 2) throw new IllegalArgumentException(
+            "roundBankers expects (x[, n])")
+          fn("bround", args: _*)
+        }),
       (FunctionIdentifier("now64"),
         info("now64", "now64([precision]) - ClickHouse now64: statement-start timestamp (rewrites to now(); Spark timestamps are fixed micros precision - the precision argument is accepted and ignored, CH's sub-micro precisions are not representable)"),
         (args: Seq[Expression]) => {

@@ -429,4 +429,28 @@ class MigrantSqlSpec extends AnyFunSuite {
     val r = spark.sql("SELECT length('héllo') AS l").collect().head
     assert(r.getInt(0) == 5) // CH reads 6 (é is 2 bytes in UTF-8)
   }
+
+  test("TRAP arr[i] subscript: ZERO-based here, ONE-based in ClickHouse " +
+    "— same text, off-by-one values") {
+    // CH ['a','b'][1] = 'a'; Spark reads the SECOND element. Port
+    // subscripts as arrayElement(arr, i) (registered, 1-based, CH's
+    // read) or shift the index.
+    val r = spark.sql(
+      "SELECT array('a', 'b')[1] AS sub, arrayElement(array('a', 'b'), 1)" +
+        " AS ae").collect().head
+    assert(r.getString(0) == "b") // CH would read 'a'
+    assert(r.getString(1) == "a") // the correct port
+  }
+
+  test("TRAP round(x): HALF-UP here, BANKER'S (half-even) in ClickHouse " +
+    "for floats — ties differ; roundBankers is the registered match") {
+    val r = spark.sql(
+      """SELECT round(2.5d) AS ru, roundBankers(2.5d) AS rb,
+        |  roundBankers(3.5d) AS rb2,
+        |  roundBankers(2.345d, 2) AS rbn""".stripMargin).collect().head
+    assert(r.getDouble(0) == 3.0) // CH round(2.5) reads 2 (banker's)
+    assert(r.getDouble(1) == 2.0) // the correct port (bround)
+    assert(r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 2.34)
+  }
 }
