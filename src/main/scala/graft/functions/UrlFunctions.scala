@@ -116,6 +116,34 @@ object UrlFunctions {
   def cutQueryStringAndFragment(url: Column): Column =
     regexp_replace(url, "[?#].*$", "")
 
+  /** Scheme without '://'; '' when scheme-less (ClickHouse protocol). */
+  def protocol(url: Column): Column =
+    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+
+  /** Path WITH the query string, fragment excluded; '/' for a bare
+    * authority (ClickHouse pathFull).
+    */
+  def pathFull(url: Column): Column = {
+    val p = regexp_extract(url, SchemeRe + "[^/?#]*([^#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** URL with the query string removed (including '?'), fragment kept
+    * (ClickHouse cutQueryString).
+    */
+  def cutQueryString(url: Column): Column =
+    regexp_replace(url, "\\?[^#]*", "")
+
+  /** URL with the fragment removed (including '#'). */
+  def cutFragment(url: Column): Column =
+    regexp_replace(url, "#.*$", "")
+
+  /** All `name=value` pairs of the query string in document order;
+    * [] when there is no query string (ClickHouse extractURLParameters).
+    */
+  def extractURLParameters(url: Column): Column =
+    filter(split(queryString(url), "&"), x => x =!= "")
+
   /** `[scheme://]netloc` prefix (no trailing slash) — the hierarchy
     * root. Scheme-less URLs keep their bare authority as the prefix
     * ("www.example.com/a" roots at "www.example.com/", ClickHouse's

@@ -944,7 +944,84 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               StringType), rem, fn("if",
                 org.apache.spark.sql.catalyst.expressions.EqualTo(rem,
                   Literal(0)), Literal(0), Literal(1))))
+        }),
+      rewrite("fromUnixTimestamp",
+        "fromUnixTimestamp(sec) - ClickHouse fromUnixTimestamp, 1-argument form (rewrites to timestamp_seconds); the 2-argument render form composes as formatDateTime(fromUnixTimestamp(sec), fmt)",
+        1, "(sec)")(a => fn("timestamp_seconds", a(0))),
+      castAlias("toDate32", DateType,
+        "; CH's toDate32 only widens the representable range - one DATE type here"),
+      (FunctionIdentifier("toDateTime64"),
+        info("toDateTime64", "toDateTime64(x[, precision]) - ClickHouse toDateTime64 (rewrites to CAST(x AS TIMESTAMP); Spark timestamps are fixed micros precision - the precision argument is accepted and ignored)"),
+        (args: Seq[Expression]) => {
+          if (args.isEmpty || args.size > 2) throw new IllegalArgumentException(
+            "toDateTime64 expects (x[, precision])")
+          Cast(args(0), TimestampType)
+        }),
+      hof("arrayFirstIndex", "aggregate",
+        "the 1-based index of the first element where the lambda " +
+          "holds, 0 when none (CH's read) - a single-counter fold: " +
+          "negative acc counts scanned elements, positive acc is the " +
+          "found index")(
+        (arr, f) => {
+          import org.apache.spark.sql.catalyst.expressions._
+          val (acc, fin, x) = hofVars(f, "arrayFirstIndex")
+          ArrayAggregate(arr, Literal(0L),
+            LambdaFunction(
+              If(GreaterThan(acc, Literal(0L)), acc,
+                If(Coalesce(Seq(f.function, Literal(false))),
+                  Subtract(Literal(1L), acc),
+                  Subtract(acc, Literal(1L)))),
+              Seq(acc, x)),
+            LambdaFunction(
+              If(GreaterThan(fin, Literal(0L)), fin, Literal(0L)),
+              Seq(fin)))
+        }),
+      rewrite("roundDuration",
+        "roundDuration(sec) - ClickHouse roundDuration: floor onto CH's fixed duration bucket set (0, 1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600, 7200, 18000, 36000) - the session-length render",
+        1, "(sec)")(a => chBuckets(a(0), Seq(1L, 10L, 30L, 60L, 120L,
+          180L, 240L, 300L, 600L, 1200L, 1800L, 3600L, 7200L, 18000L,
+          36000L))),
+      rewrite("roundAge",
+        "roundAge(years) - ClickHouse roundAge: CH's fixed age buckets (0 under 1, 17 for 1-17, then 18/25/35/45/55)",
+        1, "(years)")(a => chBuckets(a(0),
+          Seq(1L, 18L, 25L, 35L, 45L, 55L), firstBucket = 17L)),
+      (FunctionIdentifier("dateName"),
+        info("dateName", "dateName(part, ts) - ClickHouse dateName for the common parts: 'year'/'month'/'weekday' render as '2024'/'March'/'Monday' (date_format rewrites); other parts are REJECTED by name - use the toYear/toMonth extractor family for numeric parts"),
+        (args: Seq[Expression]) => {
+          arity(args, 2, "dateName", "(part, ts)")
+          val pat = strLit(args(0), "dateName").toLowerCase match {
+            case "year" => "yyyy"
+            case "month" => "MMMM"
+            case "weekday" => "EEEE"
+            case other => throw new IllegalArgumentException(
+              s"dateName: part '$other' - supported: year, month, " +
+                "weekday (numeric parts: the toYear/toMonth/... family)")
+          }
+          fn("date_format", Cast(args(1), TimestampType),
+            Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(pat), StringType))
         }))
+  }
+
+  /** CH's fixed-bucket floors (roundDuration/roundAge): value < first
+    * threshold → 0 (or `firstBucket` for roundAge's 1..17 band), else
+    * the largest threshold ≤ value. A CASE chain over literals —
+    * codegen'd, branch count fixed.
+    */
+  private def chBuckets(e: Expression, thresholds: Seq[Long],
+      firstBucket: Long = 0L): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, LessThan}
+    import org.apache.spark.sql.types.LongType
+    val v = Cast(e, LongType)
+    // descending: first branch that v is NOT below wins via the
+    // ascending LessThan chain (v < t1 -> prev bucket)
+    val branches = thresholds.zipWithIndex.map { case (t, i) =>
+      val bucket = if (i == 0) 0L
+        else if (i == 1 && firstBucket != 0L) firstBucket
+        else thresholds(i - 1)
+      (LessThan(v, Literal(t)): Expression) -> (Literal(bucket): Expression)
+    }
+    CaseWhen(branches, Some(Literal(thresholds.last)))
   }
 
   /** In-row integer sum fold: `aggregate(arr, 0L, (a, x) -> a + x)` as
@@ -1559,6 +1636,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         1, "(x)")(a => fn("approx_count_distinct", a)),
       rewrite("uniqCombined", "uniqCombined(x) - ClickHouse uniqCombined: approximate distinct count (approx_count_distinct; estimator differs from ClickHouse's, use uniqExact for exact)",
         1, "(x)")(a => fn("approx_count_distinct", a)),
+      rewrite("uniqCombined64", "uniqCombined64(x) - ClickHouse uniqCombined64 (approx_count_distinct - the uniqCombined note applies; Spark's HLL++ is 64-bit-hash throughout)",
+        1, "(x)")(a => fn("approx_count_distinct", a)),
+      // the -Array aggregate combinators: fold each row's array, then
+      // aggregate across rows - exactly CH's all-elements read
+      rewrite("sumArray", "sumArray(arr) - ClickHouse sumArray: sum over every element of every row's array (rewrites to sum(arraySum(arr)); integer elements - the arraySum pre-scale discipline)",
+        1, "(arr)")(a => fn("sum", Seq(arrayFold(a(0))))),
+      rewrite("minArray", "minArray(arr) - ClickHouse minArray: minimum over every element of every row's array (rewrites to min(array_min(arr)); empty arrays contribute nothing)",
+        1, "(arr)")(a => fn("min", Seq(fn("array_min", a)))),
+      rewrite("maxArray", "maxArray(arr) - ClickHouse maxArray: maximum over every element of every row's array (rewrites to max(array_max(arr)))",
+        1, "(arr)")(a => fn("max", Seq(fn("array_max", a)))),
+      rewrite("avgArray", "avgArray(arr) - ClickHouse avgArray: mean over every element of every row's array (sum of element sums / total element count; integer elements - pre-scale floats; NULL when no elements)",
+        1, "(arr)")(a => {
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+          import org.apache.spark.sql.types.DoubleType
+          Divide(
+            Cast(fn("sum", Seq(arrayFold(a(0)))), DoubleType),
+            Cast(fn("sum", Seq(fn("size", a))), DoubleType))
+        }),
+      rewrite("groupArrayArray", "groupArrayArray(arr) - ClickHouse groupArrayArray: all rows' arrays concatenated (rewrites to flatten(collect_list(arr)); element order partition-dependent - sort for determinism, the groupArray note)",
+        1, "(arr)")(a => fn("flatten", Seq(fn("collect_list", a)))),
       rewrite("argMin", "argMin(a, v) - ClickHouse argMin: the value of a at the row with minimal v (rewrites to min_by)",
         2, "(a, v)")(a => fn("min_by", a)),
       rewrite("argMax", "argMax(a, v) - ClickHouse argMax: the value of a at the row with maximal v (rewrites to max_by)",
@@ -2035,6 +2132,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           arity(args, 2, "extractURLParameter", "(url, name)")
           expression(UrlFunctions.extractURLParameter(
             column(args(0)), strLit(args(1), "extractURLParameter")))
+        }),
+      // r17 additions: the remaining URL accessors CH dashboards use
+      col1("protocol", "protocol(url) - scheme without '://'; '' when scheme-less (ClickHouse protocol)",
+        UrlFunctions.protocol),
+      col1("pathFull", "pathFull(url) - path WITH the query string, fragment excluded; '/' for bare authority (ClickHouse pathFull)",
+        UrlFunctions.pathFull),
+      col1("cutQueryString", "cutQueryString(url) - URL with the query string removed (including '?'), fragment kept",
+        UrlFunctions.cutQueryString),
+      col1("cutFragment", "cutFragment(url) - URL with the fragment removed (including '#')",
+        UrlFunctions.cutFragment),
+      col1("extractURLParameters", "extractURLParameters(url) - all name=value pairs of the query string in document order; [] when none",
+        UrlFunctions.extractURLParameters),
+      (FunctionIdentifier("decodeURLComponent"),
+        info("decodeURLComponent", "decodeURLComponent(s) - percent-decoding (rewrites to url_decode; malformed sequences read NULL under the non-ANSI session where CH throws)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "decodeURLComponent", "(s)")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("url_decode"), args, isDistinct = false)
+        }),
+      (FunctionIdentifier("encodeURLComponent"),
+        info("encodeURLComponent", "encodeURLComponent(s) - percent-encoding (rewrites to url_encode; DEVIATION: spaces encode as '+', the application/x-www-form-urlencoded rule - CH emits %20)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "encodeURLComponent", "(s)")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("url_encode"), args, isDistinct = false)
         }))
   }
 

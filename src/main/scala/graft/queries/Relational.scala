@@ -3613,7 +3613,67 @@ object Relational {
         "uniq/intersect, hasAll/hasAny, positionCaseInsensitive, " +
         "bitCount, exp2, isFinite, monthName, toLastDayOfMonth, " +
         "toStartOfSecond, timeSlot, formatReadableSize) hash-matched " +
-        "against DuckDB's list/bit/date spellings"))
+        "against DuckDB's list/bit/date spellings"),
+
+    // q133: the r17 batch-2 names under a DuckDB oracle — the remaining
+    // URL accessors (protocol/pathFull/cutQueryString/cutFragment/
+    // extractURLParameters, mirrored token-for-token as regex algebra,
+    // the q97 convention), the -Array aggregate combinators
+    // (sumArray/minArray/maxArray/avgArray/groupArrayArray),
+    // roundDuration/roundAge's fixed CH bucket sets (CASE mirrors), and
+    // fromUnixTimestamp (string render on both sides — DuckDB's
+    // to_timestamp returns TIMESTAMPTZ). Map-only + one source-key
+    // exchange.
+    "q133_scalar_batch3" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+          .select(col("source"),
+            expr("concat('https://u:p@www.', source, " +
+              "'.example.co.uk:8443/p/', toString(doc_id % 20), '?x=', " +
+              "toString(doc_id % 3), '&y=2#f')").as("url"),
+            expr("array(toInt64(doc_id % 7), toInt64(doc_id % 3))")
+              .as("a"),
+            col("doc_id"))
+          .select(col("source"), col("a"),
+            expr("protocol(url)").as("proto"),
+            expr("pathFull(url)").as("pf"),
+            expr("cutQueryString(url)").as("cqs"),
+            expr("cutFragment(url)").as("cf"),
+            expr("arrayStringConcat(extractURLParameters(url), '&')")
+              .as("ups"),
+            expr("decodeURLComponent(concat('a%20', " +
+              "toString(doc_id % 5)))").as("dec"),
+            expr("encodeURLComponent(concat(source, ' x'))").as("enc"),
+            expr("roundDuration(doc_id % 40000)").as("rd"),
+            expr("roundAge(doc_id % 90)").as("ra"),
+            expr("CAST(fromUnixTimestamp(doc_id % 100000) AS STRING)")
+              .as("fut"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            min(col("proto")).as("min_proto"),
+            min(col("pf")).as("min_pf"),
+            min(col("cqs")).as("min_cqs"),
+            min(col("cf")).as("min_cf"),
+            min(col("ups")).as("min_ups"),
+            max(col("dec")).as("max_dec"),
+            min(col("enc")).as("min_enc"),
+            expr("sumArray(a)").as("sum_a"),
+            expr("minArray(a)").as("min_a"),
+            expr("maxArray(a)").as("max_a"),
+            expr("avgArray(a)").as("avg_a"),
+            expr("CAST(size(groupArrayArray(a)) AS LONG)").as("gaa_n"),
+            sum(col("rd")).as("sum_rd"),
+            sum(col("ra")).as("sum_ra"),
+            min(col("fut")).as("min_fut"))
+      },
+      Some(scalarBatch3Oracle),
+      "the r17 batch-2 names (protocol/pathFull/cutQueryString/" +
+        "cutFragment/extractURLParameters, URL encode/decode, the " +
+        "-Array aggregate combinators, roundDuration/roundAge bucket " +
+        "sets, fromUnixTimestamp) hash-matched against DuckDB's " +
+        "regex/list/CASE spellings"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
@@ -3754,6 +3814,75 @@ object Relational {
       |    PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
       |  FROM g)
       |SELECT event_type, user_id, n, med FROM r WHERE rn <= 2""".stripMargin
+
+  /** The q133 oracle: batch-2 in DuckDB — URL regex mirrors
+    * token-for-token (the q97 convention), list aggregates, the
+    * roundDuration/roundAge CASE chains over CH's published bucket
+    * sets. DuckDB has no url_encode, so the encode leg is spelled
+    * literally: the input is an ALPHANUMERIC source + one space, and
+    * the engine's form-urlencoded rule renders exactly `source || '+x'`
+    * (any non-alnum source would hash-mismatch loudly here).
+    */
+  private def scalarBatch3Oracle: String =
+    """WITH b AS (
+      |  SELECT source, doc_id,
+      |    'https://u:p@www.' || source || '.example.co.uk:8443/p/' ||
+      |      CAST(doc_id % 20 AS VARCHAR) || '?x=' ||
+      |      CAST(doc_id % 3 AS VARCHAR) || '&y=2#f' AS url,
+      |    [CAST(doc_id % 7 AS BIGINT), CAST(doc_id % 3 AS BIGINT)] AS a
+      |  FROM documents),
+      |e AS (SELECT source, a,
+      |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS proto,
+      |  regexp_extract(url,
+      |    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^#]*)', 1) AS pf,
+      |  regexp_replace(url, '\?[^#]*', '') AS cqs,
+      |  regexp_replace(url, '#.*$', '') AS cf,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS ups,
+      |  'a ' || CAST(doc_id % 5 AS VARCHAR) AS dec,
+      |  source || '+x' AS enc,
+      |  CASE WHEN doc_id % 40000 < 1 THEN 0
+      |       WHEN doc_id % 40000 < 10 THEN 1
+      |       WHEN doc_id % 40000 < 30 THEN 10
+      |       WHEN doc_id % 40000 < 60 THEN 30
+      |       WHEN doc_id % 40000 < 120 THEN 60
+      |       WHEN doc_id % 40000 < 180 THEN 120
+      |       WHEN doc_id % 40000 < 240 THEN 180
+      |       WHEN doc_id % 40000 < 300 THEN 240
+      |       WHEN doc_id % 40000 < 600 THEN 300
+      |       WHEN doc_id % 40000 < 1200 THEN 600
+      |       WHEN doc_id % 40000 < 1800 THEN 1200
+      |       WHEN doc_id % 40000 < 3600 THEN 1800
+      |       WHEN doc_id % 40000 < 7200 THEN 3600
+      |       WHEN doc_id % 40000 < 18000 THEN 7200
+      |       WHEN doc_id % 40000 < 36000 THEN 18000
+      |       ELSE 36000 END AS rd,
+      |  CASE WHEN doc_id % 90 < 1 THEN 0
+      |       WHEN doc_id % 90 < 18 THEN 17
+      |       WHEN doc_id % 90 < 25 THEN 18
+      |       WHEN doc_id % 90 < 35 THEN 25
+      |       WHEN doc_id % 90 < 45 THEN 35
+      |       WHEN doc_id % 90 < 55 THEN 45
+      |       ELSE 55 END AS ra,
+      |  strftime(to_timestamp(doc_id % 100000),
+      |    '%Y-%m-%d %H:%M:%S') AS fut
+      | FROM b)
+      |SELECT source, count(*) AS n,
+      |  min(proto) AS min_proto,
+      |  min(pf) AS min_pf,
+      |  min(cqs) AS min_cqs,
+      |  min(cf) AS min_cf,
+      |  min(ups) AS min_ups,
+      |  max(dec) AS max_dec,
+      |  min(enc) AS min_enc,
+      |  CAST(sum(a[1] + a[2]) AS BIGINT) AS sum_a,
+      |  CAST(min(least(a[1], a[2])) AS BIGINT) AS min_a,
+      |  CAST(max(greatest(a[1], a[2])) AS BIGINT) AS max_a,
+      |  CAST(sum(a[1] + a[2]) AS DOUBLE) / (2 * count(*)) AS avg_a,
+      |  CAST(2 * count(*) AS BIGINT) AS gaa_n,
+      |  CAST(sum(rd) AS BIGINT) AS sum_rd,
+      |  CAST(sum(ra) AS BIGINT) AS sum_ra,
+      |  min(fut) AS min_fut
+      |FROM e GROUP BY source""".stripMargin
 
   /** The q132 oracle: DuckDB spellings of the r17 scalar batch —
     * list_concat/list_distinct/list_sort('DESC')/list_intersect,

@@ -1923,6 +1923,70 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(39) == "█" * 8) // clamped at max
   }
 
+  test("r17 batch 2: URL accessors, -Array combinators, fromUnixTimestamp," +
+    " cast names, arrayFirstIndex, roundDuration/roundAge, dateName") {
+    val u = "https://u:p@www.shop.example.co.uk:8443/a/b?x=1&y=2#frag"
+    val r = spark.sql(
+      s"""SELECT protocol('$u') AS proto,
+        |  protocol('bare.host/x') AS proto0,
+        |  pathFull('$u') AS pf,
+        |  pathFull('https://host.com') AS pf0,
+        |  cutQueryString('$u') AS cqs,
+        |  cutFragment('$u') AS cf,
+        |  arrayStringConcat(extractURLParameters('$u'), '&') AS ups,
+        |  size(extractURLParameters('https://h.com/x')) AS ups0,
+        |  decodeURLComponent('a%20b%2Fc') AS dec,
+        |  encodeURLComponent('a/b') AS enc,
+        |  CAST(fromUnixTimestamp(86400) AS STRING) AS fut,
+        |  CAST(toDate32('2024-03-05') AS STRING) AS d32,
+        |  CAST(toDateTime64('2024-03-05 01:02:03', 3) AS STRING) AS dt64,
+        |  arrayFirstIndex(x -> x > 10, array(3, 50, 7)) AS afi,
+        |  arrayFirstIndex(x -> x > 99, array(3, 50, 7)) AS afi0,
+        |  roundDuration(0) AS rd0, roundDuration(45) AS rd1,
+        |  roundDuration(99999) AS rd2,
+        |  roundAge(0) AS ra0, roundAge(12) AS ra1, roundAge(30) AS ra2,
+        |  roundAge(80) AS ra3,
+        |  dateName('month', TIMESTAMP '2024-03-05 00:00:00') AS dnm,
+        |  dateName('weekday', TIMESTAMP '2024-03-05 00:00:00') AS dnw,
+        |  dateName('year', TIMESTAMP '2024-03-05 00:00:00') AS dny
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "https" && r.getString(1) == "")
+    assert(r.getString(2) == "/a/b?x=1&y=2" && r.getString(3) == "/")
+    assert(r.getString(4) ==
+      "https://u:p@www.shop.example.co.uk:8443/a/b#frag")
+    assert(r.getString(5) ==
+      "https://u:p@www.shop.example.co.uk:8443/a/b?x=1&y=2")
+    assert(r.getString(6) == "x=1&y=2" && r.getInt(7) == 0)
+    assert(r.getString(8) == "a b/c" && r.getString(9) == "a%2Fb")
+    assert(r.getString(10) == "1970-01-02 00:00:00")
+    assert(r.getString(11) == "2024-03-05")
+    assert(r.getString(12) == "2024-03-05 01:02:03")
+    assert(r.getLong(13) == 2L && r.getLong(14) == 0L)
+    assert(r.getLong(15) == 0L && r.getLong(16) == 30L)
+    assert(r.getLong(17) == 36000L)
+    assert(r.getLong(18) == 0L && r.getLong(19) == 17L)
+    assert(r.getLong(20) == 25L && r.getLong(21) == 55L)
+    assert(r.getString(22) == "March" && r.getString(23) == "Tuesday")
+    assert(r.getString(24) == "2024")
+    // aggregate -Array combinators over grouped rows
+    val g = spark.sql(
+      """SELECT sumArray(a) AS sa, minArray(a) AS mna,
+        |  maxArray(a) AS mxa, avgArray(a) AS ava,
+        |  arraySort(groupArrayArray(a)) AS gaa,
+        |  uniqCombined64(x) AS uc
+        |FROM VALUES (array(1L, 2L), 'p'), (array(3L), 'q'),
+        |  (array(), 'p') AS t(a, x)""".stripMargin).collect().head
+    assert(g.getLong(0) == 6L)
+    assert(g.getLong(1) == 1L && g.getLong(2) == 3L)
+    assert(g.getDouble(3) == 2.0)
+    assert(g.getSeq[Long](4) == Seq(1L, 2L, 3L))
+    assert(g.getLong(5) == 2L)
+    // named rejection: unsupported dateName part
+    val e = intercept[Exception](spark.sql(
+      "SELECT dateName('dayofyear', now())").collect())
+    assert(e.getMessage.contains("toYear"))
+  }
+
   test("r17 scalar batch named rejections: 2-arg arrayResize") {
     val e = intercept[Exception](spark.sql(
       "SELECT arrayResize(array(1), 3)").collect())
