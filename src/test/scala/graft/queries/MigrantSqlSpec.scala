@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The migrant SQL smoke corpus (r15 verdict item 1, widened r16/r17):
-  * 49 realistic ClickHouse SELECTs — the shapes a grower + ClickHouse
+  * 52 realistic ClickHouse SELECTs — the shapes a grower + ClickHouse
   * deployment actually runs against its events/access-log tables
   * (`/root/reference/migrations/sample_test.sql`: toYYYYMM rollups,
   * toStartOfHour series, status×date top-k, funnel + uniqExact +
@@ -225,6 +225,16 @@ class MigrantSqlSpec extends AnyFunSuite {
       |    array('view', 'cart'))) AS n_vc,
       |  max(arrayUniq(splitByChar('e', event_type))) AS mx
       |FROM events GROUP BY m ORDER BY m""".stripMargin)
+
+  pass("r17 batch-2 verbatim (dateName + roundDuration/roundAge + " +
+    "uniqCombined64 + fromUnixTimestamp + sumArray)", 1,
+    """SELECT dateName('weekday', ts) AS wd, count(*) AS n,
+      |  sum(roundDuration(event_id % 4000)) AS rd,
+      |  sum(roundAge(event_id % 90)) AS ra,
+      |  uniqCombined64(user_id) AS uc,
+      |  min(fromUnixTimestamp(86400)) AS epoch_day,
+      |  sumArray(array(toInt64(event_id % 3), 1L)) AS sa
+      |FROM events GROUP BY wd ORDER BY wd""".stripMargin)
 
   // ---- GAP: named failures with documented rewrites. 15 of the 17
   // r16 gaps are CLOSED by the ChSqlRewriter pre-pass (gapFlipped: raw
