@@ -3673,7 +3673,161 @@ object Relational {
         "cutFragment/extractURLParameters, URL encode/decode, the " +
         "-Array aggregate combinators, roundDuration/roundAge bucket " +
         "sets, fromUnixTimestamp) hash-matched against DuckDB's " +
-        "regex/list/CASE spellings"))
+        "regex/list/CASE spellings"),
+
+    // q134: ASOF JOIN through the front door (r17 verdict item 1 —
+    // the last operator-shaped migrant gap). The formerly-GAP
+    // ClickHouse spelling runs verbatim through ChSqlRewriter, which
+    // lowers it onto the q28 union + running-window construction in
+    // pure SQL (AsOfJoin.backward's shape: ONE shuffle on the equi
+    // key, a running last-ignoreNulls window, never the O(|L|·|R|)
+    // theta-join intermediate) — hash-matched against DuckDB's NATIVE
+    // `ASOF JOIN`. The right side is pre-deduplicated to one row per
+    // (key, ts) inside the statement itself — q28's determinism rule
+    // (as-of ties on the right timestamp are arbitrary in any engine).
+    // argMax/the subquery flow through the same rewrite untouched.
+    "q134_ch_asof_join" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, dir)
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT e.event_id AS event_id, e.user_id AS user_id,
+            |  e.ts AS ts, o.last_orderkey AS last_orderkey,
+            |  o.last_order_price AS last_order_price
+            |FROM events e ASOF JOIN (
+            |  SELECT o_custkey, o_orderdate,
+            |    max(o_orderkey) AS last_orderkey,
+            |    argMax(o_totalprice, o_orderkey) AS last_order_price
+            |  FROM orders GROUP BY o_custkey, o_orderdate) o
+            |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
+            .stripMargin)
+      },
+      Some("""WITH ord AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         max(o_orderkey) AS last_orderkey,
+             |         arg_max(o_totalprice, o_orderkey) AS last_order_price
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id AS event_id, e.user_id AS user_id,
+             |       CAST(e.ts AS TIMESTAMP) AS ts,
+             |       ord.last_orderkey, ord.last_order_price
+             |FROM events e ASOF JOIN ord
+             |  ON e.user_id = ord.o_custkey
+             |  AND e.ts >= ord.o_orderdate""".stripMargin),
+      "ClickHouse ASOF JOIN verbatim through ChSqlRewriter (lowered " +
+        "onto the q28 union+window construction, one key shuffle), " +
+        "hash-matched against DuckDB's native ASOF JOIN"),
+
+    // q135: ANY LEFT JOIN through the front door (r17 verdict item 2).
+    // CH's ANY strictness keeps the FIRST matching right row per key —
+    // the rewriter pre-aggregates the right side to one row per join
+    // key with min(struct(*)) (deterministic field-order-lexicographic
+    // pick; CH leaves "any" UNDEFINED, so a deterministic pick refines
+    // the contract) and joins plain LEFT. orders' first struct field
+    // is o_orderkey (unique), so the pick IS the min-orderkey row —
+    // which the DuckDB oracle replays as a row_number()=1 filter. Row
+    // multiplicity is pinned by MigrantSqlSpec (count == left count).
+    // Scale: one keyed exchange of the right side with map-side
+    // partial min + the join itself — strictly cheaper than the
+    // join-then-dedup a migrant would hand-write.
+    "q135_ch_any_join" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, dir)
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT e.event_type, o.o_orderstatus AS st, count() AS n,
+            |  sum(toInt64(floor(o.o_totalprice))) AS whole,
+            |  max(o.o_orderkey) AS max_ok
+            |FROM events e ANY LEFT JOIN orders o
+            |  ON e.user_id = o.o_custkey
+            |GROUP BY e.event_type, st""".stripMargin)
+      },
+      Some("""WITH o1 AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderkey) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT e.event_type, o1.o_orderstatus AS st, count(*) AS n,
+             |  CAST(sum(CAST(floor(o1.o_totalprice) AS BIGINT))
+             |    AS BIGINT) AS whole,
+             |  max(o1.o_orderkey) AS max_ok
+             |FROM events e LEFT JOIN o1 ON e.user_id = o1.o_custkey
+             |GROUP BY e.event_type, st""".stripMargin),
+      "ClickHouse ANY LEFT JOIN verbatim through ChSqlRewriter " +
+        "(right side pre-aggregated to one deterministic row per key), " +
+        "hash-matched against DuckDB's row_number()=1 replay of the " +
+        "same first-match pick"),
+
+    // q136: WITH FILL ... INTERPOLATE (n AS linear) through the front
+    // door (r17 verdict item 3 — the last WITH FILL residue). The
+    // rewriter lowers the graft linear extension onto the q88 bracket
+    // construction in pure SQL: carry-last windows up and down the
+    // fill axis capture (prev, next) observation value+position, one
+    // mirrored expression over four exact doubles interpolates — CH's
+    // own INTERPOLATE cannot express this (it iterates an expression
+    // over the PREVIOUS row only). The user_id % 59 = 3 slice leaves
+    // real gaps at every SF (9/24 days at sf0.001, 23/30 at sf0.01).
+    // Exactness: n is an integral count and the day axis is whole
+    // epoch seconds, so every window input is an exact double and the
+    // final (sub, sub, div, mul, add) chain is mirrored token-for-token
+    // in the oracle (the q88 discipline). uniqExact stays NULL on fill
+    // rows — INTERPOLATE touches only its named column.
+    "q136_ch_interpolate" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events").createOrReplaceTempView("events")
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT toStartOfDay(ts) AS d, count() AS n,
+            |  uniqExact(user_id) AS users
+            |FROM events
+            |WHERE event_type = 'purchase' AND user_id % 59 = 3
+            |GROUP BY d
+            |ORDER BY d WITH FILL STEP INTERVAL 1 DAY
+            |INTERPOLATE (n AS linear)""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+             |      AS TIMESTAMP) AS d,
+             |    count(*) AS n, count(DISTINCT user_id) AS users,
+             |    1 AS obs
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id % 59 = 3
+             |  GROUP BY 1),
+             |axis AS (
+             |  SELECT unnest(generate_series(
+             |    (SELECT min(d) FROM src), (SELECT max(d) FROM src),
+             |    INTERVAL 1 DAY)) AS d),
+             |g AS (
+             |  SELECT axis.d AS d, src.n, src.users, src.obs,
+             |    last_value(CASE WHEN src.obs IS NOT NULL
+             |      THEN CAST(src.n AS DOUBLE) END IGNORE NULLS)
+             |      OVER wp AS pv,
+             |    last_value(CASE WHEN src.obs IS NOT NULL
+             |      THEN CAST(epoch(axis.d) AS DOUBLE) END IGNORE NULLS)
+             |      OVER wp AS ph,
+             |    first_value(CASE WHEN src.obs IS NOT NULL
+             |      THEN CAST(src.n AS DOUBLE) END IGNORE NULLS)
+             |      OVER wn AS nv,
+             |    first_value(CASE WHEN src.obs IS NOT NULL
+             |      THEN CAST(epoch(axis.d) AS DOUBLE) END IGNORE NULLS)
+             |      OVER wn AS nh
+             |  FROM axis LEFT JOIN src USING (d)
+             |  WINDOW wp AS (ORDER BY axis.d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (ORDER BY axis.d
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT d,
+             |  CASE WHEN obs IS NOT NULL THEN CAST(n AS DOUBLE)
+             |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             |         pv + (nv - pv) *
+             |           ((CAST(epoch(d) AS DOUBLE) - ph) / (nh - ph))
+             |       ELSE coalesce(pv, nv) END AS n,
+             |  users
+             |FROM g""".stripMargin),
+      "WITH FILL INTERPOLATE (n AS linear) verbatim through " +
+        "ChSqlRewriter (the q88 bracket construction in pure SQL), " +
+        "hash-matched against DuckDB's generate_series + " +
+        "last_value/first_value spelling incl. the exact interpolation " +
+        "doubles"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's

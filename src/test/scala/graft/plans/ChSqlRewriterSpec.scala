@@ -70,12 +70,99 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(rw("SELECT count(x) FROM t") == "SELECT count ( x ) FROM t")
   }
 
-  test("any()/anyHeavy() become any_value(); ANY JOIN style untouched") {
+  test("any()/anyHeavy() become any_value(); ANY LEFT JOIN lowers " +
+    "(r17 verdict item 2)") {
     assert(rw("SELECT any(v) FROM t") == "SELECT any_value ( v ) FROM t")
     assert(rw("SELECT anyHeavy(v) FROM t") ==
       "SELECT any_value ( v ) FROM t")
-    assert(rw("SELECT 1 FROM a LEFT ANY JOIN b ON a.x = b.x")
+    assert(!rw("SELECT 1 FROM a LEFT ANY JOIN b ON a.x = b.x")
+      .contains("ANY"))
+  }
+
+  test("ANY LEFT JOIN lowers to a deterministic right-side pre-aggregate " +
+    "+ plain LEFT JOIN; both keyword orders; USING kept; ANY INNER / " +
+    "ANY RIGHT / bare ANY JOIN stay loud") {
+    val out = rw("SELECT e.x, o.y FROM e ANY LEFT JOIN orders o " +
+      "ON e.u = o.k")
+    assert(out == "SELECT e . x , o . y FROM e LEFT JOIN ( SELECT " +
+      "__graft_any . * FROM ( SELECT min ( struct ( * ) ) AS " +
+      "__graft_any FROM orders GROUP BY k ) ) AS o ON e . u = o . k")
+    // LEFT ANY order, bare right table (its own name is the alias)
+    assert(rw("SELECT 1 FROM e LEFT ANY JOIN r ON e.u = r.k")
+      .contains("GROUP BY k ) ) AS r ON e . u = r . k"))
+    // multi-key + an expression on the LEFT side of a conjunct
+    val multi = rw("SELECT 1 FROM e ANY LEFT JOIN r " +
+      "ON e.a = r.k1 AND (e.b % 5) = r.k2")
+    assert(multi.contains("GROUP BY k1 , k2"))
+    // USING keys drive the GROUP BY and the USING clause survives
+    val using = rw("SELECT 1 FROM e ANY LEFT JOIN r USING (k1, k2)")
+    assert(using.contains("GROUP BY k1 , k2 ) ) AS r USING ( k1 , k2 )"))
+    // subquery right side keeps its alias
+    assert(rw("SELECT 1 FROM e ANY LEFT JOIN (SELECT k FROM t) s " +
+      "ON e.u = s.k").contains("FROM ( SELECT k FROM t ) GROUP BY k"))
+    // first-match over RIGHT/INNER multiplicity is NOT lowered: loud
+    assert(rw("SELECT 1 FROM a ANY JOIN b ON a.x = b.x")
       .contains("ANY JOIN"))
+    assert(rw("SELECT 1 FROM a ANY RIGHT JOIN b ON a.x = b.x")
+      .contains("ANY RIGHT JOIN"))
+    // a non-equi ANY LEFT condition is a named error
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM e ANY LEFT JOIN r ON e.u > r.k"))
+    assert(e.getMessage.contains("equi"))
+  }
+
+  test("ASOF JOIN lowers to the q28 union + running-window construction " +
+    "(struct sides named by the aliases)") {
+    val out = rw("SELECT a.x, b.y FROM l a ASOF JOIN r b " +
+      "ON a.k = b.k AND a.ts >= b.ts")
+    assert(out.startsWith("SELECT a . x , b . y FROM ( SELECT " +
+      "__graft_l AS a , __graft_r AS b FROM ("))
+    assert(out.contains("last ( __graft_r , true ) OVER ( PARTITION BY " +
+      "__graft_k0 ORDER BY __graft_ts , __graft_side ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW )"))
+    assert(out.contains("a . k AS __graft_k0 , a . ts AS __graft_ts , " +
+      "1 AS __graft_side , struct ( * ) AS __graft_l , NULL AS " +
+      "__graft_r FROM l AS a UNION ALL SELECT b . k , b . ts , 0 , " +
+      "NULL , struct ( * ) FROM r AS b"))
+    // default strictness is INNER: unmatched left rows are dropped
+    assert(out.contains("WHERE __graft_side = 1 AND __graft_r IS NOT NULL"))
+    // LEFT keeps them (both keyword orders)
+    val left = rw("SELECT a.x FROM l a LEFT ASOF JOIN r b " +
+      "ON a.k = b.k AND a.ts >= b.ts")
+    assert(left.contains("WHERE __graft_side = 1 )") &&
+      !left.contains("IS NOT NULL"))
+    assert(rw("SELECT a.x FROM l a ASOF LEFT JOIN r b " +
+      "ON a.k = b.k AND a.ts >= b.ts") == left)
+    // strict > : left rows sort BEFORE right at equal ts
+    assert(rw("SELECT a.x FROM l a ASOF JOIN r b " +
+      "ON a.k = b.k AND a.ts > b.ts")
+      .contains("ORDER BY __graft_ts , __graft_side DESC"))
+    // forward <= : time descending, right rows first at ties
+    assert(rw("SELECT a.x FROM l a ASOF JOIN r b " +
+      "ON a.k = b.k AND a.ts <= b.ts")
+      .contains("ORDER BY __graft_ts DESC , __graft_side ROWS"))
+    // a flipped spelling (b.ts <= a.ts) normalizes to the same backward
+    assert(rw("SELECT a.x FROM l a ASOF JOIN r b " +
+      "ON a.k = b.k AND b.ts <= a.ts")
+      .contains("ORDER BY __graft_ts , __graft_side ROWS"))
+    // bare SELECT * expands over both side structs (CH's flattened read)
+    assert(rw("SELECT * FROM l a ASOF JOIN r b " +
+      "ON a.k = b.k AND a.ts >= b.ts")
+      .startsWith("SELECT a . * , b . * FROM ("))
+    // named errors: USING, no inequality, no equi key, chained joins
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM l a ASOF JOIN r b USING (k, ts)"))
+      .getMessage.contains("USING"))
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM l a ASOF JOIN r b ON a.k = b.k"))
+      .getMessage.contains("inequality"))
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM l a ASOF JOIN r b ON a.ts >= b.ts"))
+      .getMessage.contains("equality key"))
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT 1 FROM l a ASOF JOIN r b ON a.k = b.k AND " +
+        "a.ts >= b.ts JOIN c ON c.k = a.k"))
+      .getMessage.contains("chained"))
   }
 
   test("quoted-unit dateDiff renames to graft_date_diff; unquoted " +
@@ -255,7 +342,13 @@ class ChSqlRewriterSpec extends AnyFunSuite {
       "SELECT arrayJoin(splitByChar('_', t)) AS tok, count(*) AS n " +
         "FROM e GROUP BY tok",
       "SELECT count(*) FROM events SAMPLE 0.1",
-      "SELECT x FROM t ORDER BY x LIMIT 5, 10")
+      "SELECT x FROM t ORDER BY x LIMIT 5, 10",
+      "SELECT a.x, b.y FROM l a ASOF JOIN r b " +
+        "ON a.k = b.k AND a.ts >= b.ts",
+      "SELECT e.x, o.y FROM e ANY LEFT JOIN orders o ON e.u = o.k",
+      "SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 INTERPOLATE (n)",
+      "SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
+        "INTERPOLATE (n AS linear)")
     stmts.foreach { s =>
       val once = rw(s)
       assert(rw(once) == once, s"not idempotent on: $s\nfirst: $once")
@@ -268,13 +361,54 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one statement"))
   }
 
-  test("trailing semicolons are dropped; INTERPOLATE is a named error") {
+  test("trailing semicolons are dropped") {
     assert(rw("SELECT 1;") == "SELECT 1")
     assert(rw("SELECT count(*) FROM t SETTINGS a = 1;") ==
       "SELECT count ( * ) FROM t")
+  }
+
+  test("WITH FILL INTERPOLATE (c) / (c AS c) lowers to the " +
+    "carry-previous-value window; (c AS linear) to the bracket " +
+    "construction; other expressions stay named errors") {
+    // carry previous value (CH's identity INTERPOLATE): struct-wrapped
+    // running last over the joined grid, FILL rows only
+    val locf = rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
+      "INTERPOLATE (n)")
+    assert(locf.contains("SELECT * , 1 AS __graft_obs FROM ( " +
+      "SELECT d , n FROM t )"))
+    assert(locf.contains("last ( CASE WHEN __graft_obs IS NOT NULL " +
+      "THEN struct ( n ) END , true ) OVER ( ORDER BY d ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW ) AS __graft_pc"))
+    // the projection preserves the query's column order (d, n)
+    assert(locf.contains(") SELECT d , CASE WHEN __graft_obs IS NOT " +
+      "NULL THEN n ELSE __graft_pc . n END AS n FROM ("))
+    assert(rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
+      "INTERPOLATE (n AS n)") == locf)
+    // linear (the graft extension - CH's iterated INTERPOLATE cannot
+    // see the NEXT observation): both brackets + the q88 formula
+    val lin = rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
+      "INTERPOLATE (n AS linear)")
+    assert(lin.contains("AS __graft_pv") && lin.contains("AS __graft_ph")
+      && lin.contains("AS __graft_nv") && lin.contains("AS __graft_nh"))
+    assert(lin.contains("OVER ( ORDER BY d DESC ROWS BETWEEN"))
+    assert(lin.contains("__graft_pv + ( __graft_nv - __graft_pv ) * " +
+      "( ( CAST ( d AS DOUBLE ) - __graft_ph ) / ( __graft_nh - " +
+      "__graft_ph ) ) ELSE coalesce ( __graft_pv , __graft_nv ) END"))
+    // iterated expressions: named error (a recursion, not a window)
     val e = intercept[ChSqlRewriter.RewriteException](
       rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
-        "INTERPOLATE (n AS n)"))
-    assert(e.getMessage.contains("INTERPOLATE"))
+        "INTERPOLATE (n AS n + 1)"))
+    assert(e.getMessage.contains("iterated"))
+    // multi-column lists and the bare keyword: named errors
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT d, n, m FROM t ORDER BY d WITH FILL STEP 1 " +
+        "INTERPOLATE (n, m)")).getMessage.contains("one column"))
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 INTERPOLATE"))
+      .getMessage.contains("column list"))
+    // the fill column must be an output column
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
+        "INTERPOLATE (zz)")).getMessage.contains("output column"))
   }
 }

@@ -342,10 +342,64 @@ class MigrantSqlSpec extends AnyFunSuite {
       |  count(*) AS n FROM events GROUP BY tok ORDER BY n DESC, tok
       |LIMIT 10""".stripMargin)
 
-  gap("ASOF JOIN",
-    "PARSE_SYNTAX_ERROR", "AsOfJoin.backward / backwardOuter",
+  gapFlipped("ASOF JOIN (r17 verdict item 1: the q28 union+window " +
+    "construction in pure SQL - one key shuffle, never a theta-join)",
+    "PARSE_SYNTAX_ERROR", "ASOF lowering", 1,
     """SELECT a.event_id FROM events a ASOF JOIN events b
       |ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)
+
+  gapFlipped("ANY LEFT JOIN (r17 verdict item 2: deterministic " +
+    "right-side pre-aggregate - row multiplicity preserved)",
+    "PARSE_SYNTAX_ERROR", "ANY LEFT lowering", 1,
+    """SELECT e.event_type, o.o_orderstatus, count(*) AS n
+      |FROM events e ANY LEFT JOIN orders o ON e.user_id = o.o_custkey
+      |GROUP BY e.event_type, o.o_orderstatus
+      |ORDER BY e.event_type, o.o_orderstatus""".stripMargin)
+
+  test("GAP→PASS ANY LEFT JOIN preserves LEFT-side row multiplicity " +
+    "(the property the r16 loud-failure contract protected)") {
+    val joined = graft.plans.ChSqlRewriter.sql(spark,
+      """SELECT count(*) AS n FROM events e
+        |ANY LEFT JOIN orders o ON e.user_id = o.o_custkey""".stripMargin)
+      .collect().head.getLong(0)
+    val plain = spark.sql("SELECT count(*) AS n FROM events")
+      .collect().head.getLong(0)
+    assert(joined == plain,
+      s"ANY LEFT changed row multiplicity: $joined != $plain")
+    // while a plain LEFT JOIN against multi-order customers would not
+    val allMatches = spark.sql(
+      """SELECT count(*) AS n FROM events e
+        |LEFT JOIN orders o ON e.user_id = o.o_custkey""".stripMargin)
+      .collect().head.getLong(0)
+    assert(allMatches > plain, "fixture lost its right-side duplicates")
+  }
+
+  test("GAP→PASS WITH FILL INTERPOLATE: (c) carries the previous value " +
+    "onto fill rows; (c AS linear) interpolates [graft extension]") {
+    val locf = graft.plans.ChSqlRewriter.sql(spark,
+      """SELECT toStartOfDay(ts) AS d, count() AS n FROM events
+        |WHERE event_type = 'purchase' GROUP BY d
+        |ORDER BY d WITH FILL STEP INTERVAL 1 DAY
+        |INTERPOLATE (n)""".stripMargin).collect()
+    assert(locf.length >= 2)
+    // gap-free daily axis and NO null n anywhere after the first row
+    // (every fill row carries its predecessor)
+    locf.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getTimestamp(0).getTime - a.getTimestamp(0).getTime ==
+        86400000L)
+    }
+    assert(locf.drop(1).forall(!_.isNullAt(1)))
+    val lin = graft.plans.ChSqlRewriter.sql(spark,
+      """SELECT toStartOfDay(ts) AS d, count() AS n FROM events
+        |WHERE event_type = 'purchase' GROUP BY d
+        |ORDER BY d WITH FILL STEP INTERVAL 1 DAY
+        |INTERPOLATE (n AS linear)""".stripMargin).collect()
+    assert(lin.length == locf.length)
+    // interior fill rows sit strictly between their brackets
+    val vals = lin.map(r => (r.getTimestamp(0).getTime,
+      if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+    assert(vals.forall(!_._2.isNaN))
+  }
 
   gapFlipped("PREWHERE",
     "PARSE_SYNTAX_ERROR", "WHERE merge (Spark pushes predicates anyway)", 1,
