@@ -111,6 +111,26 @@ import org.apache.spark.sql.SparkSession
   * ambient. q125's first probe row (post-VariantKernels) read 0.88×
   * at 10× data — fixed-cost dominated, the map-only-scan claim held.
   *
+  * ADJUDICATED r18 (the r17 verdict's two bench notes + the s07 fix
+  * probe, one filtered fresh-JVM run each):
+  *   - d23_cdc_chunks (r17 sweep 0.92→1.24 s, plan hash unchanged,
+  *     code untouched): filtered 1× leg reads 0.95 s — ON the r16
+  *     level — with a 1.41× ratio at 10×. The 1.24 s full-sweep read
+  *     was JVM age; retired as ambient.
+  *   - s07_ivfpq_prod with the r18 auto-sized cells
+  *     (`ivfAutoCentroidMod`, verdict item 6): 1× 7.37 s → 10×
+  *     8.78 s, ratio 1.19× — near-flat (train+assignment fixed costs
+  *     dominate at these sizes); the fixed-mod configuration's n²/mod
+  *     term (21.9× at 30×, PROBE30_r16.json) is retired in the probe
+  *     path AND the catalog entry (both pass the auto mod now).
+  *   - ingest band (r17 "low end" note): fresh-JVM ParseRate at the
+  *     bench's exact 10×-replicated regime reads full-pipeline BEST
+  *     1,043,417 lines/s/core (reps 707k–1,043k), extract-only
+  *     1,835,637 — squarely inside the r14–r17 band (727k–1,169k), so
+  *     the r17 sweep's 121,876 e2e read is the documented
+  *     ambient-sensitivity of the in-bench figure, not a parse-path
+  *     regression.
+  *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
   * Writes ONE JSON object {"factor":N,"fresh_jvm":true,<entry>:{...}}
@@ -508,10 +528,13 @@ object BenchProbe {
     // embeds its brute-force recall ORACLE (the documented all-pairs
     // harness), so probing the entry at scale measures the oracle, not
     // the operator. This probe runs the production legs only — pqTrain's
-    // sampled k-means + the IVF-pruned search over the ∝n query set
-    // (fixed 149-cell layout: per-query cost grows with cell size, so
-    // the strict linear band applies to FIXED query sets; with ∝n
-    // queries read it against the s12-serve envelope).
+    // sampled k-means + the IVF-pruned search over the ∝n query set.
+    // r18 (verdict item 6): cells are AUTO-SIZED via ivfAutoCentroidMod
+    // — the forward fix the r16 factor-30 run named for the fixed-mod
+    // n²/mod assignment term (s07_ivfpq_prod 21.9× at 30×). Expected
+    // band with √n cells: assignment n^1.5 and per-query scan
+    // nProbe·√n over a ∝n query set → ~factor^1.5 worst case, read
+    // against the s12-serve envelope for the serving half.
     def ivfPqProd(dir: String): Unit = {
       import org.apache.spark.sql.functions.col
       val emb = graft.sources.Tables.load(spark, dir, "embeddings")
@@ -520,7 +543,10 @@ object BenchProbe {
       val model = graft.operators.Similarity.pqTrain(emb, m = 8, k = 16,
         iters = 2)
       graft.operators.Similarity.ivfPqTopK(emb, queries, model, k = 5,
-        nProbe = 4, lloydIters = 2, refine = 32)
+        nProbe = 4,
+        centroidMod = graft.operators.Similarity
+          .ivfAutoCentroidMod(emb.count()),
+        lloydIters = 2, refine = 32)
         .write.format("noop").mode("overwrite").save()
     }
     val opStats = Seq(

@@ -287,9 +287,12 @@ object Similarity {
     * as the one superlinear term in the ANN family (`s07_ivfpq_prod`
     * read 21.9× at 30× data — the n²/mod assignment+train compute —
     * while every banded family stayed ≤ 4.5× and the partition-pruned
-    * s12 serve path read 2.6×; PROBE30_r16.json). The catalog entries
-    * keep small fixed mods for oracle determinism; corpus-scale callers
-    * pass `centroidMod = ivfAutoCentroidMod(corpusCount)`.
+    * s12 serve path read 2.6×; PROBE30_r16.json). s07 passes the
+    * auto-sized mod since r18 (the corpus count is deterministic for a
+    * fixed dataset, so its recall gate stays a corpus constant); s12
+    * keeps a fixed mod — its claim is served ≡ in-query EQUALITY at any
+    * quality point, and a fixed mod keeps the artifact's partition
+    * count pinned for the ≤nProbe-partitions-read spec.
     */
   def ivfAutoCentroidMod(n: Long): Int =
     math.max(37L, math.round(math.sqrt(n.toDouble))).toInt

@@ -1005,6 +1005,13 @@ object DataOps {
     // near-isotropic worst-case corpus; cell pruning stacks its own
     // recall loss on code quantization, hence the lower gate) and
     // z01-proved; SimilaritySpec pins determinism and planted neighbors.
+    // Cells are AUTO-SIZED (r17 verdict item 6): ivfAutoCentroidMod
+    // gives √n cells of √n vectors, retiring the fixed-mod n²/mod
+    // assignment term the r16 factor-30 probe named (21.9× at 30×).
+    // The corpus count is deterministic for a fixed dataset, so the
+    // recall gate stays a corpus constant (the mod resolves to the old
+    // 37 at sf0.01 and 45 at sf0.1); the count itself is one
+    // metadata-cheap pass, paid once per build.
     "s07_ann_ivfpq" -> Q(
       (s, dir) => {
         val emb = tp(s, dir, "embeddings")
@@ -1013,7 +1020,9 @@ object DataOps {
         val truth = Similarity.bruteForceTopK(emb, queries, k = 5)
           .select("query_id", "neighbor_id")
         val ann = Similarity.ivfPqTopK(emb, queries, model, k = 5,
-          nProbe = 4, lloydIters = 2, refine = 32)
+          nProbe = 4,
+          centroidMod = Similarity.ivfAutoCentroidMod(emb.count()),
+          lloydIters = 2, refine = 32)
           .select(col("query_id"), col("neighbor_id")).withColumn("in_p", lit(1))
         truth.join(ann, Seq("query_id", "neighbor_id"), "left")
           .agg(count(lit(1)).as("n_truth"),

@@ -3,16 +3,19 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The migrant SQL smoke corpus (r15 verdict item 1, widened r16/r17):
-  * 52 realistic ClickHouse SELECTs — the shapes a grower + ClickHouse
-  * deployment actually runs against its events/access-log tables
+/** The migrant SQL smoke corpus (r15 verdict item 1, widened every
+  * round since): 69 realistic ClickHouse statements — the shapes a
+  * grower + ClickHouse deployment actually runs against its
+  * events/access-log tables
   * (`/root/reference/migrations/sample_test.sql`: toYYYYMM rollups,
   * toStartOfHour series, status×date top-k, funnel + uniqExact +
-  * quantileExact + domain() + JSONExtract combinations) — run VERBATIM
-  * through `spark.sql` on real testdata. Every statement lands in one
-  * of the buckets below, each asserted (r17 adds the GAP→PASS bucket:
-  * `ChSqlRewriter` closes the mechanical grammar gaps, so those
-  * statements assert raw-FAIL AND rewritten-PASS):
+  * quantileExact + domain() + JSONExtract combinations), plus the r18
+  * dashboard batch (Grafana $timeSeries macro expansions, top-N
+  * panels, double-quoted aliases, topK buckets, ASOF sessionization,
+  * ANY-JOIN dims) — run VERBATIM through `spark.sql` on real testdata.
+  * Buckets: 27 PASS verbatim, 35 GAP→PASS through `ChSqlRewriter.sql`
+  * (raw-FAIL pinned AND rewritten-PASS asserted), 1 named gap (no-STEP
+  * WITH FILL — deliberate), 6 pinned silent traps:
   *
   *   - PASS: the unmodified text parses, runs, and returns rows — the
   *     r13–r16 name-surface investment proved end to end;
@@ -235,6 +238,104 @@ class MigrantSqlSpec extends AnyFunSuite {
       |  min(fromUnixTimestamp(86400)) AS epoch_day,
       |  sumArray(array(toInt64(event_id % 3), 1L)) AS sa
       |FROM events GROUP BY wd ORDER BY wd""".stripMargin)
+
+  pass("r18 conversion-rate-by-hour dashboard panel (countIf ratio)", 1,
+    """SELECT toHour(ts) AS h,
+      |  round(countIf(event_type = 'purchase') / count(*), 4) AS conv,
+      |  count(*) AS n
+      |FROM events GROUP BY h ORDER BY h""".stripMargin)
+
+  // ---- r18 dashboard-scale batch: the Grafana/ClickHouse-dashboard
+  // idioms (time-series macros, top-N panels, quoted aliases, topK
+  // buckets, ASOF sessionization, ANY-JOIN dims) run through the
+  // front door in anger — exercising the r18 ASOF/ANY/INTERPOLATE
+  // lowerings alongside the r17 passes. -------------------------------
+
+  gapFlipped("Grafana $timeSeries macro expansion (intDiv bucket * 1000 " +
+    "+ count())", "WRONG_NUM_ARGS", "count() pass (macro itself PASSES)", 2,
+    """SELECT (intDiv(toUInt32(ts), 3600) * 3600) * 1000 AS t,
+      |  count() AS hits
+      |FROM events GROUP BY t ORDER BY t""".stripMargin)
+
+  gapFlipped("top-N dimension panel (ORDER BY count() DESC)",
+    "WRONG_NUM_ARGS", "count() pass in ORDER BY too", 3,
+    """SELECT event_type, count() AS hits FROM events
+      |GROUP BY event_type ORDER BY count() DESC LIMIT 5""".stripMargin)
+
+  gapFlipped("table panel with double-quoted aliases + ordinal ORDER BY",
+    "PARSE_SYNTAX_ERROR", "dq identifiers -> backquotes (tokenizer)", 3,
+    """SELECT event_type AS "Type", count() AS "Count"
+      |FROM events GROUP BY event_type ORDER BY 2 DESC""".stripMargin)
+
+  gapFlipped("topK over day buckets (parametric inside a series panel)",
+    "PARSE_SYNTAX_ERROR", "parametric pass -> graft_topk", 2,
+    """SELECT toStartOfDay(ts) AS d, topK(3)(event_type) AS top_types,
+      |  count() AS n
+      |FROM events GROUP BY d ORDER BY d LIMIT 7""".stripMargin)
+
+  gapFlipped("ASOF sessionization: events joined to each user's first " +
+    "order (cohort rollup)", "PARSE_SYNTAX_ERROR", "ASOF lowering", 1,
+    """SELECT toStartOfDay(o.first_order) AS cohort, count() AS n
+      |FROM events e ASOF JOIN (
+      |  SELECT o_custkey, min(o_orderdate) AS first_order
+      |  FROM orders GROUP BY o_custkey) o
+      |ON e.user_id = o.o_custkey AND e.ts >= o.first_order
+      |GROUP BY cohort ORDER BY cohort""".stripMargin)
+
+  test("GAP→PASS ASOF LEFT JOIN strict '>' keeps every left row " +
+    "[via ChSqlRewriter: ASOF lowering]") {
+    val sql =
+      """SELECT count() AS n FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id AS u, min(ts) AS t0 FROM events
+        |  GROUP BY user_id) f
+        |ON e.user_id = f.u AND e.ts > f.t0""".stripMargin
+    val e = intercept[Exception](spark.sql(sql).collect())
+    assert(chain(e).contains("PARSE_SYNTAX_ERROR"))
+    val n = graft.plans.ChSqlRewriter.sql(spark, sql)
+      .collect().head.getLong(0)
+    val plain = spark.sql("SELECT count(*) FROM events")
+      .collect().head.getLong(0)
+    assert(n == plain, s"LEFT ASOF changed multiplicity: $n != $plain")
+  }
+
+  gapFlipped("ANY LEFT JOIN dimension enrich (latest-order idiom) + " +
+    "uniqExact", "PARSE_SYNTAX_ERROR", "ANY LEFT lowering", 2,
+    """SELECT o.o_orderpriority AS prio, uniqExact(e.user_id) AS buyers,
+      |  count() AS n
+      |FROM events e ANY LEFT JOIN orders o ON e.user_id = o.o_custkey
+      |GROUP BY prio ORDER BY prio""".stripMargin)
+
+  gapFlipped("ANY LEFT JOIN ... USING (renamed-key dim subquery)",
+    "PARSE_SYNTAX_ERROR", "ANY LEFT lowering keeps USING", 1,
+    """SELECT count() AS n FROM events e ANY LEFT JOIN (
+      |  SELECT o_custkey AS user_id, o_orderstatus FROM orders) o
+      |USING (user_id)""".stripMargin)
+
+  gapFlipped("GLOBAL ANY LEFT JOIN (distributed-dim spelling)",
+    "PARSE_SYNTAX_ERROR", "GLOBAL strip + ANY LEFT lowering", 1,
+    """SELECT count() AS n FROM events e
+      |GLOBAL ANY LEFT JOIN orders o ON e.user_id = o.o_custkey"""
+      .stripMargin)
+
+  gapFlipped("parametric sequenceMatch (view-then-purchase flag per user)",
+    "PARSE_SYNTAX_ERROR", "parametric pass -> graft_sequence_match", 5,
+    """SELECT user_id, sequenceMatch('(?1).*(?2)')(ts,
+      |  event_type = 'view', event_type = 'purchase') AS matched
+      |FROM events GROUP BY user_id ORDER BY user_id LIMIT 20"""
+      .stripMargin)
+
+  gapFlipped("Date-axis WITH FILL + INTERPOLATE carry (sparse-cohort " +
+    "daily panel)", "PARSE_SYNTAX_ERROR",
+    "sequence-axis join + carry-previous window", 2,
+    """SELECT toDate(ts) AS d, count() AS n FROM events
+      |WHERE user_id % 31 = 0 GROUP BY d
+      |ORDER BY d WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (n)"""
+      .stripMargin)
+
+  gapFlipped("PREWHERE + LIMIT offset,n pagination",
+    "PARSE_SYNTAX_ERROR", "PREWHERE merge + LIMIT n OFFSET m", 1,
+    """SELECT event_id, event_type FROM events PREWHERE value > 0.9
+      |ORDER BY event_id LIMIT 100, 10""".stripMargin)
 
   // ---- GAP: named failures with documented rewrites. 15 of the 17
   // r16 gaps are CLOSED by the ChSqlRewriter pre-pass (gapFlipped: raw
