@@ -255,7 +255,11 @@ object BenchProbe {
     // q128 is map-only codegen scalar kernels + one bounded
     // band-key exchange - linear band (pre-adjudicated 0.9x at 10x:
     // flat, fixed costs dominate)
-    "q128_scalar_battery")
+    "q128_scalar_battery",
+    // r18: q137 is the batch-4 battery - map-only codegen kernels
+    // (array scans, vector distances, bit probes) + one type-key
+    // exchange, the q128/q132 shape - linear band
+    "q137_scalar_batch4")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -348,7 +348,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         seqPatternAgg(args, "graft_sequence_count",
           (p, n) => new graft.operators.Funnels.SequenceCountAgg(p, n)))
   ) ++ urlFunctions ++ statsFunctions ++ geoFuzzyFunctions ++ chAliases ++
-    dateFunctions ++ jsonFunctions ++ chScalarAliases
+    dateFunctions ++ jsonFunctions ++ chScalarAliases ++ chScalarBatch4
 
   /** ClickHouse scalar-name aliases — the everyday vocabulary a migrant
     * query carries besides aggregates and dates: `arrayJoin`, `multiIf`,
@@ -1084,6 +1084,255 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"order): $name(x -> ..., arr); got $other")
         }
       })
+
+  /** The r18 scalar batch: the remaining ClickHouse names a dashboard
+    * or feature pipeline hits that had no registered spelling — array
+    * scans (cumSum/difference/enumerateDense/rotate), string predicates
+    * (startsWith/endsWith/alphaTokens/concatWithSeparator/
+    * substringIndex), relative-time bucket numbers + timeSlots +
+    * toModifiedJulianDay + the add/subtract date-arithmetic family, the
+    * vector-distance scalars (dotProduct/L1/L2/Linf/cosineDistance —
+    * the CH names over the engine's codegen'd DotProduct kernel), bit
+    * probes (bitTest/All/Any) and formatReadableQuantity. All
+    * expression-level plan-time rewrites (zero UDFs); lambdas sit under
+    * DIRECT HigherOrderFunction nodes (the hof-splice rule). Everything
+    * oracle-checkable lands in q137; render-only names are spec-pinned.
+    */
+  private def chScalarBatch4: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    def fn(target: String, args: Expression*) =
+      UnresolvedFunction(Seq(target), args.toSeq, isDistinct = false)
+    def rewrite(name: String, doc: String, nArgs: Int, usage: String)(
+        mk: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), info(name, doc),
+        (args: Seq[Expression]) => { arity(args, nArgs, name, usage); mk(args) })
+    def strL(s: String): Expression =
+      Literal(UTF8String.fromString(s), StringType)
+    def darr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+    // Σ over a double array as resolved nodes (the arrayFold shape at
+    // DOUBLE zero: exact when elements are integer-valued < 2^53 —
+    // the vector-distance oracle discipline)
+    def dsum(arr: Expression): Expression = {
+      val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+      ArrayAggregate(arr, Literal(0.0d),
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }
+    def pairMap(a: Expression, b: Expression)(
+        mk: (Expression, Expression) => Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("__graft_y"))
+      ZipWith(darr(a), darr(b), LambdaFunction(mk(x, y), Seq(x, y)))
+    }
+    // rotate by pmod(shift, size): one pmod + two slices; size ≤ 1 is
+    // the identity (and guards pmod's size-0 NULL)
+    def rotate(arr: Expression, shift: Expression): Expression = {
+      val size = fn("size", arr)
+      val k = fn("pmod", Cast(shift, IntegerType), size)
+      If(LessThanOrEqual(size, Literal(1)), arr,
+        fn("concat",
+          fn("slice", arr, Add(k, Literal(1)), Subtract(size, k)),
+          fn("slice", arr, Literal(1), k)))
+    }
+    def timestampAdd(name: String, unit: String, subtract: Boolean) =
+      rewrite(name,
+        s"$name(ts, n) - ClickHouse $name (rewrites to timestampadd; " +
+          "DEVIATION: always returns TIMESTAMP - CH preserves a Date " +
+          "input's type for whole-day units)",
+        2, "(ts, n)")(a => TimestampAdd(unit,
+          (if (subtract) UnaryMinus(Cast(a(1), LongType))
+           else Cast(a(1), LongType)): Expression,
+          Cast(a(0), TimestampType)))
+    def relNum(name: String, seconds: Long) =
+      rewrite(name,
+        s"$name(ts) - ClickHouse $name: floor(epoch / $seconds) as " +
+          "BIGINT (UTC session; CH buckets in the column's timezone)",
+        1, "(ts)")(a => Cast(fn("floor", fn("/",
+          fn("unix_timestamp", Cast(a(0), TimestampType)),
+          Literal(seconds.toDouble))), LongType))
+    def bit(x: Expression, i: Expression): Expression =
+      BitwiseAnd(ShiftRight(Cast(x, LongType), Cast(i, IntegerType)),
+        Literal(1L))
+    Seq(
+      (FunctionIdentifier("arrayCumSum"),
+        info("arrayCumSum", "arrayCumSum(arr) - ClickHouse arrayCumSum over INTEGER arrays (the arraySum pre-scale discipline): running sums as array<bigint>, one O(n) struct-accumulator fold (not the O(n^2) per-index re-sum)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "arrayCumSum", "(arr)")
+          val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+          val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+          def f(e: Expression, n: String) = UnresolvedExtractValue(e, strL(n))
+          val emptyLongs = fn("slice", fn("array", Literal(0L)),
+            Literal(1), Literal(0))
+          val zero = fn("named_struct", strL("s"), Literal(0L),
+            strL("o"), emptyLongs)
+          val nextSum = Add(f(acc, "s"), Cast(x, LongType))
+          ArrayAggregate(args(0), zero,
+            LambdaFunction(fn("named_struct", strL("s"), nextSum,
+              strL("o"), fn("concat", f(acc, "o"), fn("array", nextSum))),
+              Seq(acc, x)),
+            LambdaFunction(f(fin, "o"), Seq(fin)))
+        }),
+      (FunctionIdentifier("arrayDifference"),
+        info("arrayDifference", "arrayDifference(arr) - ClickHouse arrayDifference over INTEGER arrays: [0, a[1]-a[0], ...] as array<bigint> (CH's leading zero)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "arrayDifference", "(arr)")
+          val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          val i = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
+          // i is transform's 0-based position; element_at(arr, i) is
+          // the 1-based PREDECESSOR; the i = 0 branch short-circuits
+          ArrayTransform(args(0), LambdaFunction(
+            If(EqualTo(i, Literal(0)), Literal(0L),
+              Subtract(Cast(x, LongType),
+                Cast(ElementAt(args(0), i, None, failOnError = false),
+                  LongType))),
+            Seq(x, i)))
+        }),
+      (FunctionIdentifier("arrayEnumerateDense"),
+        info("arrayEnumerateDense", "arrayEnumerateDense(arr) - ClickHouse arrayEnumerateDense: 1-based dense ids in FIRST-APPEARANCE order ([10,20,10,30] -> [1,2,1,3]; array_distinct preserves first-occurrence order on both engines)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "arrayEnumerateDense", "(arr)")
+          val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+          ArrayTransform(args(0), LambdaFunction(
+            fn("array_position", fn("array_distinct", args(0)), x),
+            Seq(x)))
+        }),
+      rewrite("arrayRotateLeft",
+        "arrayRotateLeft(arr, n) - ClickHouse arrayRotateLeft (negative n rotates right; n wraps modulo size)",
+        2, "(arr, n)")(a => rotate(a(0), a(1))),
+      rewrite("arrayRotateRight",
+        "arrayRotateRight(arr, n) - ClickHouse arrayRotateRight (negative n rotates left; n wraps modulo size)",
+        2, "(arr, n)")(a => rotate(a(0), UnaryMinus(Cast(a(1), IntegerType)))),
+      // direct Catalyst nodes: the CH camelCase names shadow Spark's
+      // case-insensitive builtin startswith/endswith in the registry,
+      // so an UnresolvedFunction rewrite would resolve back to ITSELF
+      rewrite("startsWith",
+        "startsWith(s, prefix) - ClickHouse startsWith (the builtin startswith semantics; same name modulo case, same answer)",
+        2, "(s, prefix)")(a => StartsWith(a(0), a(1))),
+      rewrite("endsWith",
+        "endsWith(s, suffix) - ClickHouse endsWith (the builtin endswith semantics; same name modulo case, same answer)",
+        2, "(s, suffix)")(a => EndsWith(a(0), a(1))),
+      rewrite("alphaTokens",
+        "alphaTokens(s) - ClickHouse alphaTokens: maximal [a-zA-Z] runs (split on non-letters, empties dropped)",
+        1, "(s)")(a => {
+          val t = UnresolvedNamedLambdaVariable(Seq("__graft_t"))
+          ArrayFilter(fn("split", a(0), strL("[^A-Za-z]+")),
+            LambdaFunction(Not(EqualTo(t, strL(""))), Seq(t)))
+        }),
+      (FunctionIdentifier("concatWithSeparator"),
+        info("concatWithSeparator", "concatWithSeparator(sep, s1[, s2, ...]) - ClickHouse concatWithSeparator (rewrites to concat_ws)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2) throw new IllegalArgumentException(
+            "concatWithSeparator expects (sep, s1[, s2, ...])")
+          fn("concat_ws", args: _*)
+        }),
+      rewrite("substringIndex",
+        "substringIndex(s, delim, count) - ClickHouse substringIndex (rewrites to substring_index; same MySQL semantics both engines)",
+        3, "(s, delim, count)")(a =>
+          fn("substring_index", a(0), a(1), a(2))),
+      relNum("toRelativeDayNum", 86400L),
+      relNum("toRelativeHourNum", 3600L),
+      relNum("toRelativeMinuteNum", 60L),
+      (FunctionIdentifier("timeSlots"),
+        info("timeSlots", "timeSlots(start, duration[, size = 1800]) - ClickHouse timeSlots: the size-second grid points covering [start, start + duration] as array<timestamp> (an integer sequence on the slot grid mapped to timestamps - the axis parallelizes, nothing driver-side)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2 || args.size > 3)
+            throw new IllegalArgumentException(
+              "timeSlots expects (start, duration[, size])")
+          val size = if (args.size == 3) Cast(args(2), LongType)
+            else Literal(1800L)
+          val u0 = fn("unix_timestamp", Cast(args(0), TimestampType))
+          val u1 = Add(u0, Cast(args(1), LongType))
+          def snap(u: Expression) = Subtract(u, fn("pmod", u, size))
+          val u = UnresolvedNamedLambdaVariable(Seq("__graft_u"))
+          ArrayTransform(fn("sequence", snap(u0), snap(u1), size),
+            LambdaFunction(fn("timestamp_seconds", u), Seq(u)))
+        }),
+      rewrite("toModifiedJulianDay",
+        "toModifiedJulianDay(d) - ClickHouse toModifiedJulianDay: days since 1858-11-17 (one datediff)",
+        1, "(d)")(a => fn("datediff", Cast(a(0), DateType),
+          Cast(strL("1858-11-17"), DateType))),
+      timestampAdd("addYears", "YEAR", subtract = false),
+      timestampAdd("addMonths", "MONTH", subtract = false),
+      timestampAdd("addWeeks", "WEEK", subtract = false),
+      timestampAdd("addDays", "DAY", subtract = false),
+      timestampAdd("addHours", "HOUR", subtract = false),
+      timestampAdd("addMinutes", "MINUTE", subtract = false),
+      timestampAdd("addSeconds", "SECOND", subtract = false),
+      timestampAdd("subtractYears", "YEAR", subtract = true),
+      timestampAdd("subtractMonths", "MONTH", subtract = true),
+      timestampAdd("subtractWeeks", "WEEK", subtract = true),
+      timestampAdd("subtractDays", "DAY", subtract = true),
+      timestampAdd("subtractHours", "HOUR", subtract = true),
+      timestampAdd("subtractMinutes", "MINUTE", subtract = true),
+      timestampAdd("subtractSeconds", "SECOND", subtract = true),
+      rewrite("dotProduct",
+        "dotProduct(a, b) - ClickHouse dotProduct (the engine's codegen'd sequential-order double dot-product kernel, the dot_product surface under the CH name)",
+        2, "(a, b)")(a =>
+          VectorExprs.DotProduct(darr(a(0)), darr(a(1)))),
+      rewrite("L1Distance",
+        "L1Distance(a, b) - ClickHouse L1Distance: sum |a_i - b_i| (zip_with + one in-row fold; exact when elements are integer-valued - the vector-oracle discipline)",
+        2, "(a, b)")(a =>
+          dsum(pairMap(a(0), a(1))((x, y) => Abs(Subtract(x, y))))),
+      rewrite("L2Distance",
+        "L2Distance(a, b) - ClickHouse L2Distance: sqrt of the squared-difference sum (sqrt is correctly rounded - bit-stable cross-engine on exact integer inputs)",
+        2, "(a, b)")(a => Sqrt(dsum(pairMap(a(0), a(1))(
+          (x, y) => Multiply(Subtract(x, y), Subtract(x, y)))))),
+      rewrite("LinfDistance",
+        "LinfDistance(a, b) - ClickHouse LinfDistance: max |a_i - b_i|",
+        2, "(a, b)")(a => fn("array_max",
+          pairMap(a(0), a(1))((x, y) => Abs(Subtract(x, y))))),
+      rewrite("cosineDistance",
+        "cosineDistance(a, b) - ClickHouse cosineDistance: 1 - dot/(|a||b|) over the engine's dot-product kernel (NaN on a zero vector, CH's read)",
+        2, "(a, b)")(a => {
+          val da = darr(a(0)); val db = darr(a(1))
+          Subtract(Literal(1.0d),
+            Divide(VectorExprs.DotProduct(da, db),
+              Multiply(Sqrt(VectorExprs.DotProduct(da, da)),
+                Sqrt(VectorExprs.DotProduct(db, db)))))
+        }),
+      rewrite("bitTest",
+        "bitTest(x, i) - ClickHouse bitTest: bit i of x as 0/1 (BIGINT read)",
+        2, "(x, i)")(a => bit(a(0), a(1))),
+      (FunctionIdentifier("bitTestAll"),
+        info("bitTestAll", "bitTestAll(x, i1[, i2, ...]) - ClickHouse bitTestAll: TRUE iff every named bit is set (boolean read; CH renders UInt8 0/1)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2) throw new IllegalArgumentException(
+            "bitTestAll expects (x, i1[, i2, ...])")
+          args.tail.map(i => EqualTo(bit(args(0), i),
+            Literal(1L)): Expression).reduce(And(_, _))
+        }),
+      (FunctionIdentifier("bitTestAny"),
+        info("bitTestAny", "bitTestAny(x, i1[, i2, ...]) - ClickHouse bitTestAny: TRUE iff any named bit is set (boolean read; CH renders UInt8 0/1)"),
+        (args: Seq[Expression]) => {
+          if (args.size < 2) throw new IllegalArgumentException(
+            "bitTestAny expects (x, i1[, i2, ...])")
+          args.tail.map(i => EqualTo(bit(args(0), i),
+            Literal(1L)): Expression).reduce(Or(_, _))
+        }),
+      (FunctionIdentifier("formatReadableQuantity"),
+        info("formatReadableQuantity", "formatReadableQuantity(x) - ClickHouse formatReadableQuantity: decimal-unit render with two decimals ('1.20 thousand', '3.50 million'; units up to quadrillion). Render-only (spec-pinned, not oracle-checked: printf tie-rounding differs Java-vs-C at .xx5 boundaries - the formatReadableSize discipline)"),
+        (args: Seq[Expression]) => {
+          arity(args, 1, "formatReadableQuantity", "(x)")
+          val v = Cast(args(0), DoubleType)
+          def render(den: Double, unit: String): Expression =
+            fn("format_string", strL(s"%.2f$unit"),
+              fn("/", v, Literal(den)))
+          val units = Seq("" -> 1d, " thousand" -> 1e3,
+            " million" -> 1e6, " billion" -> 1e9,
+            " trillion" -> 1e12, " quadrillion" -> 1e15)
+          val branches = units.init.map { case (unit, den) =>
+            (LessThan(fn("abs", v),
+              Literal(den * 1000)): Expression) -> render(den, unit)
+          }
+          CaseWhen(branches, Some(render(units.last._2, units.last._1)))
+        }))
+  }
 
   /** The ClickHouse JSONExtract family — the `props` parsing every CH
     * events deployment carries. Indices-and-keys argument lists compile

@@ -3827,7 +3827,104 @@ object Relational {
         "ChSqlRewriter (the q88 bracket construction in pure SQL), " +
         "hash-matched against DuckDB's generate_series + " +
         "last_value/first_value spelling incl. the exact interpolation " +
-        "doubles"))
+        "doubles"),
+
+    // q137: the r18 scalar batch under a DuckDB oracle (the q128/q132
+    // pattern). Covers arrayCumSum/arrayDifference/arrayEnumerateDense
+    // (fixed-width arrays mirrored scalar-wise in the oracle),
+    // arrayRotateLeft over variable-length token lists (DuckDB list
+    // slicing replays the pmod rotation), startsWith/endsWith,
+    // alphaTokens, concatWithSeparator, substringIndex, the
+    // relative-time bucket numbers, timeSlots (slot COUNT - the grid
+    // arithmetic - since arrays can't cross the driver compare),
+    // toModifiedJulianDay, add/subtract timestamp arithmetic rendered
+    // as whole-second strings, the vector-distance family over
+    // integer-valued doubles (sums of exact integers are
+    // associativity-safe; sqrt is correctly rounded - both engines
+    // bit-match; cosine compared via min/max, order-independent), and
+    // the bitTest probes. formatReadableQuantity stays spec-pinned
+    // (printf tie-rounding, the q128 discipline). All map-only kernels
+    // + one type-key exchange.
+    "q137_scalar_batch4" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            col("ts"))
+          .select(col("event_type"),
+            expr("arrayStringConcat(arrayMap(v -> toString(v), " +
+              "arrayCumSum(array(toInt64(event_id % 5), " +
+              "toInt64(user_id % 7), 3L))), ',')").as("cs"),
+            expr("arrayStringConcat(arrayMap(v -> toString(v), " +
+              "arrayDifference(array(toInt64(event_id % 9), " +
+              "toInt64(user_id % 5), 0L))), ',')").as("ad"),
+            expr("arrayStringConcat(arrayMap(v -> toString(v), " +
+              "arrayEnumerateDense(array(event_id % 3, event_id % 3, " +
+              "user_id % 3))), ',')").as("aed"),
+            expr("arrayStringConcat(arrayRotateLeft(" +
+              "splitByChar('_', event_type), " +
+              "toInt32(event_id % 3)), '/')").as("rot"),
+            expr("startsWith(event_type, 'p')").as("sw"),
+            expr("endsWith(event_type, 'w')").as("ew"),
+            expr("arrayStringConcat(alphaTokens(concat(event_type, " +
+              "'1x')), '-')").as("at"),
+            expr("concatWithSeparator('|', event_type, " +
+              "toString(event_id % 4))").as("cws"),
+            expr("substringIndex(concat(event_type, '.ex.com'), '.', 2)")
+              .as("si"),
+            expr("toRelativeDayNum(ts)").as("rdn"),
+            expr("toRelativeHourNum(ts)").as("rhn"),
+            expr("CAST(size(timeSlots(ts, 1800 + (event_id % 3) * 1800))" +
+              " AS LONG)").as("nslots"),
+            expr("toModifiedJulianDay(toDate(ts))").as("mjd"),
+            expr("CAST(addDays(toStartOfSecond(ts), 1) AS STRING)")
+              .as("addd"),
+            expr("CAST(subtractHours(toStartOfSecond(ts), 2) AS STRING)")
+              .as("subh"),
+            expr("dotProduct(array(toInt64(event_id % 7), 2L), " +
+              "array(3L, toInt64(user_id % 5)))").as("dp"),
+            expr("L1Distance(array(toInt64(event_id % 7), 0L), " +
+              "array(0L, toInt64(user_id % 5)))").as("l1"),
+            expr("L2Distance(array(toInt64(event_id % 7), 0L), " +
+              "array(0L, toInt64(user_id % 5)))").as("l2"),
+            expr("LinfDistance(array(toInt64(event_id % 7), 0L), " +
+              "array(0L, toInt64(user_id % 5)))").as("linf"),
+            expr("cosineDistance(array(toInt64(event_id % 7), 2L), " +
+              "array(3L, toInt64(user_id % 5)))").as("cosd"),
+            expr("bitTest(event_id, 3)").as("bt"),
+            expr("bitTestAny(event_id, 0, 1)").as("bta"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("cs")).as("min_cs"),
+            min(col("ad")).as("min_ad"),
+            min(col("aed")).as("min_aed"),
+            min(col("rot")).as("min_rot"),
+            sum(when(col("sw"), 1L).otherwise(0L)).as("n_sw"),
+            sum(when(col("ew"), 1L).otherwise(0L)).as("n_ew"),
+            min(col("at")).as("min_at"),
+            min(col("cws")).as("min_cws"),
+            min(col("si")).as("min_si"),
+            sum(col("rdn")).as("sum_rdn"),
+            sum(col("rhn")).as("sum_rhn"),
+            sum(col("nslots")).as("sum_nslots"),
+            sum(col("mjd")).as("sum_mjd"),
+            min(col("addd")).as("min_addd"),
+            max(col("subh")).as("max_subh"),
+            sum(col("dp")).as("sum_dp"),
+            sum(col("l1")).as("sum_l1"),
+            max(col("l2")).as("max_l2"),
+            sum(col("linf")).as("sum_linf"),
+            min(col("cosd")).as("min_cosd"),
+            max(col("cosd")).as("max_cosd"),
+            sum(col("bt")).as("sum_bt"),
+            sum(when(col("bta"), 1L).otherwise(0L)).as("n_bta"))
+      },
+      Some(scalarBatch4Oracle),
+      "the r18 scalar batch (array scans, string predicates, " +
+        "relative-time numbers, timeSlots grid arithmetic, MJD, " +
+        "add/subtract arithmetic, vector distances incl. an exact " +
+        "cosine, bit probes) hash-matched against DuckDB's " +
+        "scalar-wise/list spellings"))
 
   /** The q125 oracle: the structural JSON family re-derived with
     * DuckDB's json_type/json_keys/json_extract. Key pin: DuckDB's
@@ -3977,6 +4074,87 @@ object Relational {
     * the engine's form-urlencoded rule renders exactly `source || '+x'`
     * (any non-alnum source would hash-mismatch loudly here).
     */
+  /** The q137 oracle: batch-4 in DuckDB. Fixed-width array scans are
+    * mirrored SCALAR-WISE (cumSum of [x, y, 3] IS 'x, x+y, x+y+3' — no
+    * list machinery to disagree about); the rotation replays the pmod
+    * slice arithmetic with DuckDB 1-based inclusive list slicing; unix
+    * seconds come from `epoch_us // 1000000` (exact BIGINT — `epoch()`
+    * return types vary across DuckDB versions); the vector distances
+    * repeat the kernel's exact expression DAG over integer-valued
+    * doubles (single adds of exact products, correctly-rounded sqrt)
+    * so even the cosine hash-matches bit-for-bit via min/max.
+    */
+  private def scalarBatch4Oracle: String =
+    """WITH b AS (
+      |  SELECT event_type, event_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS u0,
+      |    CAST(event_id % 5 AS BIGINT) AS c1,
+      |    CAST(user_id % 7 AS BIGINT) AS c2,
+      |    CAST(event_id % 9 AS BIGINT) AS d1,
+      |    CAST(user_id % 5 AS BIGINT) AS d2,
+      |    CAST(event_id % 3 AS BIGINT) AS p,
+      |    CAST(user_id % 3 AS BIGINT) AS q,
+      |    CAST(event_id % 7 AS DOUBLE) AS x7,
+      |    CAST(user_id % 5 AS DOUBLE) AS u5,
+      |    string_split(event_type, '_') AS toks
+      |  FROM events),
+      |e AS (SELECT event_type,
+      |  CAST(c1 AS VARCHAR) || ',' || CAST(c1 + c2 AS VARCHAR) || ',' ||
+      |    CAST(c1 + c2 + 3 AS VARCHAR) AS cs,
+      |  '0,' || CAST(d2 - d1 AS VARCHAR) || ',' ||
+      |    CAST(0 - d2 AS VARCHAR) AS ad,
+      |  '1,1,' || (CASE WHEN q = p THEN '1' ELSE '2' END) AS aed,
+      |  array_to_string(list_concat(
+      |    toks[(CAST(event_id % 3 AS INT) % len(toks) + 1):],
+      |    toks[:(CAST(event_id % 3 AS INT) % len(toks))]), '/') AS rot,
+      |  starts_with(event_type, 'p') AS sw,
+      |  ends_with(event_type, 'w') AS ew,
+      |  array_to_string(list_filter(
+      |    regexp_split_to_array(event_type || '1x', '[^A-Za-z]+'),
+      |    t -> t <> ''), '-') AS at,
+      |  concat_ws('|', event_type, CAST(event_id % 4 AS VARCHAR)) AS cws,
+      |  array_to_string((string_split(event_type || '.ex.com', '.'))[1:2],
+      |    '.') AS si,
+      |  CAST(floor(CAST(u0 AS DOUBLE) / 86400) AS BIGINT) AS rdn,
+      |  CAST(floor(CAST(u0 AS DOUBLE) / 3600) AS BIGINT) AS rhn,
+      |  ((u0 + 1800 + (event_id % 3) * 1800) -
+      |    ((u0 + 1800 + (event_id % 3) * 1800) % 1800)
+      |    - (u0 - u0 % 1800)) // 1800 + 1 AS nslots,
+      |  CAST(datediff('day', DATE '1858-11-17', CAST(ts AS DATE))
+      |    AS INTEGER) AS mjd,
+      |  CAST(date_trunc('second', ts) + INTERVAL 1 DAY AS VARCHAR)
+      |    AS addd,
+      |  CAST(date_trunc('second', ts) - INTERVAL 2 HOUR AS VARCHAR)
+      |    AS subh,
+      |  (x7 * 3 + 2 * u5) AS dp,
+      |  (ABS(x7 - 0) + ABS(0 - u5)) AS l1,
+      |  sqrt((x7 - 0) * (x7 - 0) + (0 - u5) * (0 - u5)) AS l2,
+      |  GREATEST(ABS(x7 - 0), ABS(0 - u5)) AS linf,
+      |  1 - (x7 * 3 + 2 * u5) /
+      |    (sqrt(x7 * x7 + 4) * sqrt(9 + u5 * u5)) AS cosd,
+      |  CAST((event_id >> 3) & 1 AS BIGINT) AS bt,
+      |  CASE WHEN ((event_id >> 0) & 1) = 1 OR ((event_id >> 1) & 1) = 1
+      |    THEN 1 ELSE 0 END AS bta
+      | FROM b)
+      |SELECT event_type, count(*) AS n,
+      |  min(cs) AS min_cs, min(ad) AS min_ad, min(aed) AS min_aed,
+      |  min(rot) AS min_rot,
+      |  CAST(count(*) FILTER (WHERE sw) AS BIGINT) AS n_sw,
+      |  CAST(count(*) FILTER (WHERE ew) AS BIGINT) AS n_ew,
+      |  min(at) AS min_at, min(cws) AS min_cws, min(si) AS min_si,
+      |  CAST(sum(rdn) AS BIGINT) AS sum_rdn,
+      |  CAST(sum(rhn) AS BIGINT) AS sum_rhn,
+      |  CAST(sum(nslots) AS BIGINT) AS sum_nslots,
+      |  CAST(sum(mjd) AS BIGINT) AS sum_mjd,
+      |  min(addd) AS min_addd, max(subh) AS max_subh,
+      |  sum(dp) AS sum_dp, sum(l1) AS sum_l1, max(l2) AS max_l2,
+      |  sum(linf) AS sum_linf,
+      |  min(cosd) AS min_cosd, max(cosd) AS max_cosd,
+      |  CAST(sum(bt) AS BIGINT) AS sum_bt,
+      |  CAST(sum(bta) AS BIGINT) AS n_bta
+      |FROM e GROUP BY event_type""".stripMargin
+
   private def scalarBatch3Oracle: String =
     """WITH b AS (
       |  SELECT source, doc_id,

@@ -2015,4 +2015,93 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!r.getBoolean(4))
     assert(r.getString(5) == "")
   }
+
+  test("r18 batch: array scans (cumSum/difference/enumerateDense/" +
+    "rotate), string predicates, relative-time numbers, timeSlots, " +
+    "MJD, add/subtract arithmetic, vector distances, bit probes, " +
+    "formatReadableQuantity") {
+    val r = spark.sql(
+      """SELECT arrayCumSum(array(1, 2, 3)) AS cs,
+        |  arrayCumSum(slice(array(1), 1, 0)) AS cs_empty,
+        |  arrayDifference(array(1, 2, 3, 5)) AS ad,
+        |  arrayEnumerateDense(array(10, 20, 10, 30)) AS aed,
+        |  arrayRotateLeft(array(1, 2, 3, 4, 5), 2) AS rl,
+        |  arrayRotateLeft(array(1, 2, 3, 4, 5), 7) AS rl_wrap,
+        |  arrayRotateLeft(array(1, 2, 3, 4, 5), -1) AS rl_neg,
+        |  arrayRotateRight(array(1, 2, 3, 4, 5), 1) AS rr,
+        |  arrayRotateLeft(array(9), 3) AS rl_one,
+        |  startsWith('abc', 'ab') AS sw, endsWith('abc', 'bc') AS ew,
+        |  alphaTokens('ab12cd,ef') AS at, alphaTokens('123') AS at0,
+        |  concatWithSeparator('-', 'a', 'b', 'c') AS cws,
+        |  substringIndex('www.example.com', '.', 2) AS si,
+        |  toRelativeDayNum(TIMESTAMP '1970-01-02 12:00:00') AS rdn,
+        |  toRelativeHourNum(TIMESTAMP '1970-01-02 12:00:00') AS rhn,
+        |  toRelativeMinuteNum(TIMESTAMP '1970-01-01 01:02:00') AS rmn,
+        |  timeSlots(TIMESTAMP '2024-01-01 00:10:00', 3600) AS ts30,
+        |  timeSlots(TIMESTAMP '2024-01-01 00:10:00', 3600, 900) AS ts15,
+        |  toModifiedJulianDay(DATE '1858-11-17') AS mjd0,
+        |  toModifiedJulianDay('2020-01-01') AS mjd,
+        |  CAST(addDays(TIMESTAMP '2024-01-31 00:00:00', 1) AS STRING)
+        |    AS add_d,
+        |  CAST(addMonths(TIMESTAMP '2024-01-31 00:00:00', 1) AS STRING)
+        |    AS add_m,
+        |  CAST(subtractHours(TIMESTAMP '2024-01-01 01:00:00', 2)
+        |    AS STRING) AS sub_h,
+        |  dotProduct(array(1, 2), array(3, 4)) AS dp,
+        |  L1Distance(array(1, 2), array(3, 5)) AS l1,
+        |  L2Distance(array(0, 3), array(4, 0)) AS l2,
+        |  LinfDistance(array(1, 2), array(3, 5)) AS linf,
+        |  cosineDistance(array(1, 0), array(0, 1)) AS cosd1,
+        |  cosineDistance(array(2, 0), array(4, 0)) AS cosd0,
+        |  bitTest(5, 0) AS bt1, bitTest(5, 1) AS bt0,
+        |  bitTestAll(5, 0, 2) AS bta_t, bitTestAll(5, 0, 1) AS bta_f,
+        |  bitTestAny(5, 1, 2) AS btn_t, bitTestAny(5, 1, 3) AS btn_f,
+        |  formatReadableQuantity(950) AS frq0,
+        |  formatReadableQuantity(1200) AS frq1,
+        |  formatReadableQuantity(3500000) AS frq2
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Long](0) == Seq(1L, 3L, 6L))
+    assert(r.getSeq[Long](1).isEmpty)
+    assert(r.getSeq[Long](2) == Seq(0L, 1L, 1L, 2L))
+    assert(r.getSeq[Long](3) == Seq(1L, 2L, 1L, 3L))
+    assert(r.getSeq[Int](4) == Seq(3, 4, 5, 1, 2))
+    assert(r.getSeq[Int](5) == Seq(3, 4, 5, 1, 2)) // 7 ≡ 2 mod 5
+    assert(r.getSeq[Int](6) == Seq(5, 1, 2, 3, 4)) // -1 left = 1 right
+    assert(r.getSeq[Int](7) == Seq(5, 1, 2, 3, 4))
+    assert(r.getSeq[Int](8) == Seq(9)) // size-1 identity
+    assert(r.getBoolean(9) && r.getBoolean(10))
+    assert(r.getSeq[String](11) == Seq("ab", "cd", "ef"))
+    assert(r.getSeq[String](12).isEmpty)
+    assert(r.getString(13) == "a-b-c")
+    assert(r.getString(14) == "www.example")
+    assert(r.getLong(15) == 1L && r.getLong(16) == 36L &&
+      r.getLong(17) == 62L)
+    assert(r.getSeq[java.sql.Timestamp](18).map(_.toString) == Seq(
+      "2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0",
+      "2024-01-01 01:00:00.0"))
+    assert(r.getSeq[java.sql.Timestamp](19).length == 5) // 900 s grid
+    assert(r.getInt(20) == 0 && r.getInt(21) == 58849)
+    assert(r.getString(22) == "2024-02-01 00:00:00")
+    assert(r.getString(23) == "2024-02-29 00:00:00") // month-end clamp
+    assert(r.getString(24) == "2023-12-31 23:00:00")
+    assert(r.getDouble(25) == 11.0)
+    assert(r.getDouble(26) == 5.0 && r.getDouble(27) == 5.0 &&
+      r.getDouble(28) == 3.0)
+    assert(r.getDouble(29) == 1.0 && r.getDouble(30) == 0.0)
+    assert(r.getLong(31) == 1L && r.getLong(32) == 0L)
+    assert(r.getBoolean(33) && !r.getBoolean(34))
+    assert(r.getBoolean(35) && !r.getBoolean(36))
+    assert(r.getString(37) == "950.00")
+    assert(r.getString(38) == "1.20 thousand")
+    assert(r.getString(39) == "3.50 million")
+  }
+
+  test("r18 batch named rejections: bitTestAll arity, " +
+    "concatWithSeparator arity") {
+    val e1 = intercept[Exception](spark.sql("SELECT bitTestAll(5)"))
+    assert(e1.getMessage.contains("bitTestAll"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT concatWithSeparator('-')"))
+    assert(e2.getMessage.contains("concatWithSeparator"))
+  }
 }
