@@ -107,6 +107,21 @@ object Bench {
     */
   val dataDependentPlans: Map[String, String] = Map(
     "t20_kll_quantiles" -> "DATA_DEPENDENT(driver-embedded sketch literals)",
+    // r18: adjudicated by deliberate bisection (the ONLY common-plan
+    // change in the r17→r18 diff alongside q126's explained one). The
+    // hash flips between e2e677... (one Project) and 045954... (two)
+    // depending ONLY on whether q127 is the FIRST query ever optimized
+    // in the session: for the session's first query CollapseProject
+    // merges the Tables.load ts-normalization cast into the
+    // grouping-expression Project; for every later query it stays a
+    // separate (no-op) Project node. Reproduced minimally: a preceding
+    // `SELECT 1` flips it; SPARK_GRAFT_NO_PARSE_CSE=1 does NOT (our
+    // optimizer rule is ruled out) — a Spark-internal first-use
+    // lazy-init artifact, structurally benign (node histograms differ
+    // by exactly one pass-through Project). The r17 artifact happened
+    // to capture the first-query shape, r18's the steady-state one.
+    "q127_migrant_sql" ->
+      "SESSION_DEPENDENT(first-optimized-query CollapseProject flap: the ts-normalization Project merges only for the session's first query)",
     "q15_distinct_agg" ->
       "SESSION_DEPENDENT(distinct-agg gid assignment permutes with expr-id allocation)",
     // r11: the q15 mechanism, found in three more entries by the first

@@ -130,6 +130,17 @@ import org.apache.spark.sql.SparkSession
   *     the r17 sweep's 121,876 e2e read is the documented
   *     ambient-sensitivity of the in-bench figure, not a parse-path
   *     regression.
+  *   - r18 full-sweep calibration note: the builder's r18 sweep read
+  *     a DIFFUSE +16% median over r17's on the common headline
+  *     entries (top drifts q42 2.6×, q58 2.0×, t09 2.0× — entries
+  *     whose code AND plan hashes are unchanged) with BOTH
+  *     calibration constants elevated the same way (calib_cpu
+  *     1043→1129 ms, calib_query 99→120 ms) and ingest e2e UP
+  *     (121.9k→132.1k lines/s). A uniform shift that moves the
+  *     machine-speed calibrators identically is the ambient-machine
+  *     signature, not an operator mechanism; the round's own filtered
+  *     probes (d23 0.95 s, s07 1.19×, q137 in the probe set) and the
+  *     199/199 oracle gate are the per-entry evidence.
   *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).

@@ -113,13 +113,20 @@ import scala.collection.mutable.ArrayBuffer
   *     `ASOF ... USING` is a named error; ties on (key, rightTs) are
   *     arbitrary — pre-dedup the right side for determinism (q28's
   *     rule). Right rows match inclusively/strictly per the operator.
-  *   - `ANY LEFT JOIN` / `LEFT ANY JOIN` — the right side is
-  *     pre-aggregated to ONE row per join key (`min(struct(*))` —
-  *     deterministic field-order-lexicographic first match, a
-  *     refinement of CH's UNDEFINED "any" pick) and the join proceeds
-  *     as a plain LEFT JOIN: row multiplicity now matches CH exactly.
-  *     One keyed exchange of the right side with map-side partial min.
-  *     `ANY INNER` / `ANY RIGHT` / bare `ANY JOIN` stay loud errors.
+  *   - `ANY [LEFT|INNER] JOIN` (either keyword order; bare `ANY JOIN`
+  *     is CH's ANY INNER) — the right side is pre-aggregated to ONE
+  *     row per join key (`min(struct(*))` — deterministic
+  *     field-order-lexicographic first match, a refinement of CH's
+  *     UNDEFINED "any" pick) and the join proceeds as a plain
+  *     LEFT/INNER JOIN: row multiplicity now matches CH's modern ANY
+  *     exactly. One keyed exchange of the right side with map-side
+  *     partial min. `ANY RIGHT` stays a loud error (rare; mirror the
+  *     construction by hand). NOTE on bare `ANY JOIN`: Spark would
+  *     PARSE that text as a relation aliased `any` + a plain join —
+  *     an ALL-matches silent multiplicity trap — so claiming CH's
+  *     reading here is the safe direction for CH text (a Spark query
+  *     genuinely aliasing a table `any` directly before JOIN is the
+  *     one fixed-point exception, documented).
   *   - `WITH FILL ... INTERPOLATE (c)` (or `(c AS c)`) — CH's
   *     carry-previous-value fill for c on the FILL rows (source rows
   *     keep their values, NULL included, via a struct-wrapped running
@@ -917,26 +924,48 @@ object ChSqlRewriter {
     rewriteAsofJoin(out)
   }
 
-  /** `l ANY LEFT JOIN r [AS] b ON equi.../USING (keys)` (either keyword
-    * order) → the right side pre-aggregated to ONE row per join key
-    * (`min(struct(*))` — the deterministic field-order-lexicographic
-    * first match; CH leaves the "any" pick UNDEFINED, so any
-    * deterministic choice refines the contract) and a plain LEFT JOIN.
-    * Row multiplicity now matches CH's ANY exactly. `ANY INNER` /
-    * `ANY RIGHT` / bare `ANY JOIN` stay loud parse errors downstream —
+  /** `l ANY [LEFT|INNER] JOIN r [AS] b ON equi.../USING (keys)` (either
+    * keyword order; bare `ANY JOIN` is CH's ANY INNER) → the right side
+    * pre-aggregated to ONE row per join key (`min(struct(*))` — the
+    * deterministic field-order-lexicographic first match; CH leaves the
+    * "any" pick UNDEFINED, so any deterministic choice refines the
+    * contract) and a plain LEFT/INNER JOIN. Row multiplicity now
+    * matches CH's modern ANY exactly (at most one right match per left
+    * row; INNER additionally drops unmatched left rows). DEVIATION
+    * (named): pre-19.x servers running the deprecated
+    * `any_join_distinct_right_table_keys=1` legacy mode gave ANY INNER
+    * different (both-side-dedup) semantics — this lowering is the
+    * CURRENT documented contract. `ANY RIGHT` stays a loud parse error
+    * downstream (rare; mirror the construction by hand if needed) —
     * multiplicity must never change silently.
     */
   private def rewriteAnyLeftJoin(toks: Vector[Tok]): Vector[Tok] = {
     var at = -1
+    var jEnd = -1
+    var jt = "LEFT"
     var k = 0
-    while (k + 2 < toks.length && at < 0) {
-      if (toks(k + 2).kw("JOIN") &&
+    while (k + 1 < toks.length && at < 0) {
+      val threeKw = k + 2 < toks.length && toks(k + 2).kw("JOIN")
+      if (threeKw &&
         ((toks(k).kw("ANY") && toks(k + 1).kw("LEFT")) ||
-          (toks(k).kw("LEFT") && toks(k + 1).kw("ANY")))) at = k
+          (toks(k).kw("LEFT") && toks(k + 1).kw("ANY")))) {
+        at = k; jEnd = k + 3; jt = "LEFT"
+      } else if (threeKw &&
+        ((toks(k).kw("ANY") && toks(k + 1).kw("INNER")) ||
+          (toks(k).kw("INNER") && toks(k + 1).kw("ANY")))) {
+        at = k; jEnd = k + 3; jt = "INNER"
+      } else if (toks(k).kw("ANY") && toks(k + 1).kw("JOIN") &&
+          // bare ANY JOIN = ANY INNER; but `RIGHT/FULL ANY JOIN` must
+          // NOT fall into the bare arm (RIGHT stays loud, and the
+          // LEFT/INNER spellings matched one token earlier)
+          !(k > 0 && toks(k - 1).kind == "ident" &&
+            Set("RIGHT", "FULL", "CROSS", "SEMI", "ANTI")
+              .contains(toks(k - 1).text.toUpperCase))) {
+        at = k; jEnd = k + 2; jt = "INNER"
+      }
       k += 1
     }
     if (at < 0) return toks
-    val jEnd = at + 3
     var depth = 0
     toks.take(at).foreach { t =>
       if (t.p("(")) depth += 1 else if (t.p(")")) depth -= 1
@@ -1031,7 +1060,8 @@ object ChSqlRewriter {
       if (acc.exists(_.text.equalsIgnoreCase(t.text))) acc else acc :+ t
     }
     val sb = Vector.newBuilder[Tok]
-    sb ++= T("LEFT JOIN ( SELECT __graft_any . * FROM ( " +
+    sb ++= T((if (jt == "LEFT") "LEFT JOIN" else "JOIN") +
+      " ( SELECT __graft_any . * FROM ( " +
       "SELECT min ( struct ( * ) ) AS __graft_any FROM")
     sb ++= rRel
     sb ++= T("GROUP BY")

@@ -1139,15 +1139,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           fn("slice", arr, Add(k, Literal(1)), Subtract(size, k)),
           fn("slice", arr, Literal(1), k)))
     }
-    def timestampAdd(name: String, unit: String, subtract: Boolean) =
-      rewrite(name,
-        s"$name(ts, n) - ClickHouse $name (rewrites to timestampadd; " +
-          "DEVIATION: always returns TIMESTAMP - CH preserves a Date " +
-          "input's type for whole-day units)",
-        2, "(ts, n)")(a => TimestampAdd(unit,
-          (if (subtract) UnaryMinus(Cast(a(1), LongType))
-           else Cast(a(1), LongType)): Expression,
-          Cast(a(0), TimestampType)))
     def relNum(name: String, seconds: Long) =
       rewrite(name,
         s"$name(ts) - ClickHouse $name: floor(epoch / $seconds) as " +
@@ -1257,20 +1248,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "toModifiedJulianDay(d) - ClickHouse toModifiedJulianDay: days since 1858-11-17 (one datediff)",
         1, "(d)")(a => fn("datediff", Cast(a(0), DateType),
           Cast(strL("1858-11-17"), DateType))),
-      timestampAdd("addYears", "YEAR", subtract = false),
-      timestampAdd("addMonths", "MONTH", subtract = false),
-      timestampAdd("addWeeks", "WEEK", subtract = false),
-      timestampAdd("addDays", "DAY", subtract = false),
-      timestampAdd("addHours", "HOUR", subtract = false),
-      timestampAdd("addMinutes", "MINUTE", subtract = false),
-      timestampAdd("addSeconds", "SECOND", subtract = false),
-      timestampAdd("subtractYears", "YEAR", subtract = true),
-      timestampAdd("subtractMonths", "MONTH", subtract = true),
-      timestampAdd("subtractWeeks", "WEEK", subtract = true),
-      timestampAdd("subtractDays", "DAY", subtract = true),
-      timestampAdd("subtractHours", "HOUR", subtract = true),
-      timestampAdd("subtractMinutes", "MINUTE", subtract = true),
-      timestampAdd("subtractSeconds", "SECOND", subtract = true),
+      // NOTE: the add/subtract date-arithmetic family (addDays,
+      // subtractMonths, ...) is NOT here - dateFunctions already
+      // registers all 16 names (make_dt_interval / make_ym_interval
+      // legs, q126-checked); a second registration here would shadow
+      // them (registration is last-wins) and churn their plans
       rewrite("dotProduct",
         "dotProduct(a, b) - ClickHouse dotProduct (the engine's codegen'd sequential-order double dot-product kernel, the dot_product surface under the CH name)",
         2, "(a, b)")(a =>

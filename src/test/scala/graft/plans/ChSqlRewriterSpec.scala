@@ -47,13 +47,11 @@ class ChSqlRewriterSpec extends AnyFunSuite {
   }
 
   test("ALL JOIN drops the ALL (CH documents it as the standard join); " +
-    "ANY JOIN and UNION ALL are untouched") {
+    "UNION ALL is untouched") {
     assert(rw("SELECT 1 FROM a ALL INNER JOIN b ON a.x = b.x")
       .contains("a INNER JOIN b"))
     assert(rw("SELECT 1 FROM a ALL LEFT JOIN b ON a.x = b.x")
       .contains("a LEFT JOIN b"))
-    assert(rw("SELECT 1 FROM a ANY JOIN b ON a.x = b.x")
-      .contains("ANY JOIN")) // first-match semantics: fail loudly
     assert(rw("SELECT 1 UNION ALL SELECT 2") ==
       "SELECT 1 UNION ALL SELECT 2")
   }
@@ -100,11 +98,20 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     // subquery right side keeps its alias
     assert(rw("SELECT 1 FROM e ANY LEFT JOIN (SELECT k FROM t) s " +
       "ON e.u = s.k").contains("FROM ( SELECT k FROM t ) GROUP BY k"))
-    // first-match over RIGHT/INNER multiplicity is NOT lowered: loud
-    assert(rw("SELECT 1 FROM a ANY JOIN b ON a.x = b.x")
-      .contains("ANY JOIN"))
+    // ANY INNER (and CH's bare ANY JOIN spelling of it) lowers to the
+    // same pre-aggregate with an INNER join — Spark would silently
+    // parse the bare form as a relation ALIASED 'any' + an ALL-matches
+    // join, so claiming CH's reading is the safe direction for CH text
+    val inner = rw("SELECT 1 FROM a ANY INNER JOIN b ON a.x = b.x")
+    assert(inner.contains("FROM a JOIN ( SELECT __graft_any") &&
+      !inner.contains("LEFT"))
+    assert(rw("SELECT 1 FROM a ANY JOIN b ON a.x = b.x") == inner)
+    assert(rw("SELECT 1 FROM a INNER ANY JOIN b ON a.x = b.x") == inner)
+    // first-match over RIGHT multiplicity is NOT lowered: stays loud
     assert(rw("SELECT 1 FROM a ANY RIGHT JOIN b ON a.x = b.x")
       .contains("ANY RIGHT JOIN"))
+    assert(rw("SELECT 1 FROM a RIGHT ANY JOIN b ON a.x = b.x")
+      .contains("RIGHT ANY JOIN"))
     // a non-equi ANY LEFT condition is a named error
     val e = intercept[ChSqlRewriter.RewriteException](
       rw("SELECT 1 FROM e ANY LEFT JOIN r ON e.u > r.k"))
@@ -303,6 +310,35 @@ class ChSqlRewriterSpec extends AnyFunSuite {
       rw("SELECT arrayJoin(x) AS a, arrayJoin(y) AS b, count() FROM e " +
         "GROUP BY a, b"))
     assert(e2.getMessage.contains("multiple"))
+  }
+
+  test("r18 interaction pins: multi-key ASOF, subquery-depth ASOF, " +
+    "ANY LEFT followed by a chained join, bounded WITH FILL + " +
+    "INTERPOLATE") {
+    // two equi keys partition the window on both
+    assert(rw("SELECT a.x FROM l a ASOF JOIN r b ON a.k1 = b.k1 AND " +
+      "a.k2 = b.k2 AND a.ts >= b.ts")
+      .contains("PARTITION BY __graft_k0 , __graft_k1"))
+    // an ASOF inside a subquery lowers at its own depth
+    val sub = rw("SELECT n FROM (SELECT a.x AS n FROM l a ASOF JOIN " +
+      "r b ON a.k = b.k AND a.ts >= b.ts) WHERE n > 1")
+    assert(sub.startsWith("SELECT n FROM ( SELECT a . x AS n FROM ( " +
+      "SELECT __graft_l AS a"))
+    assert(sub.endsWith("WHERE n > 1"))
+    // ANY LEFT's ON stays in place, a following chained join survives
+    val chained = rw("SELECT 1 FROM e ANY LEFT JOIN r ON e.u = r.k " +
+      "JOIN s ON s.u = e.u")
+    assert(chained.contains("AS r ON e . u = r . k JOIN s ON s . u = e . u"))
+    // FROM/TO bounds compose with INTERPOLATE (axis filter + carry)
+    val bounded = rw("SELECT d, n FROM t ORDER BY d WITH FILL " +
+      "FROM 10 TO 20 STEP 2 INTERPOLATE (n)")
+    assert(bounded.contains("WHERE d < ( 20 )"))
+    assert(bounded.contains("__graft_pc"))
+    // INTERPOLATE after LIMIT is CH-invalid clause order: named error
+    val e = intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 LIMIT 5 " +
+        "INTERPOLATE (n)"))
+    assert(e.getMessage.contains("precede"))
   }
 
   test("plain Spark SQL is a fixed point (modulo whitespace)") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The migrant SQL smoke corpus (r15 verdict item 1, widened every
-  * round since): 69 realistic ClickHouse statements — the shapes a
+  * round since): 71 realistic ClickHouse statements — the shapes a
   * grower + ClickHouse deployment actually runs against its
   * events/access-log tables
   * (`/root/reference/migrations/sample_test.sql`: toYYYYMM rollups,
@@ -13,9 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * dashboard batch (Grafana $timeSeries macro expansions, top-N
   * panels, double-quoted aliases, topK buckets, ASOF sessionization,
   * ANY-JOIN dims) — run VERBATIM through `spark.sql` on real testdata.
-  * Buckets: 27 PASS verbatim, 35 GAP→PASS through `ChSqlRewriter.sql`
-  * (raw-FAIL pinned AND rewritten-PASS asserted), 1 named gap (no-STEP
-  * WITH FILL — deliberate), 6 pinned silent traps:
+  * Buckets: 27 PASS verbatim, 37 GAP→PASS through `ChSqlRewriter.sql`
+  * (raw-FAIL pinned AND rewritten-PASS asserted — one of them the bare
+  * ANY JOIN spelling that raw Spark runs as a SILENT all-matches alias
+  * trap), 1 named gap (no-STEP WITH FILL — deliberate), 6 pinned
+  * silent traps:
   *
   *   - PASS: the unmodified text parses, runs, and returns rows — the
   *     r13–r16 name-surface investment proved end to end;
@@ -310,6 +312,38 @@ class MigrantSqlSpec extends AnyFunSuite {
     """SELECT count() AS n FROM events e ANY LEFT JOIN (
       |  SELECT o_custkey AS user_id, o_orderstatus FROM orders) o
       |USING (user_id)""".stripMargin)
+
+  test("GAP→PASS ANY INNER JOIN keeps at-most-one match per left row " +
+    "and drops unmatched [via ChSqlRewriter: ANY lowering]; the BARE " +
+    "'ANY JOIN' spelling is a pinned SILENT TRAP raw (Spark parses a " +
+    "relation aliased 'any' + an ALL-matches join)") {
+    val innerSql =
+      """SELECT count(*) AS n FROM events e ANY INNER JOIN orders o
+        |ON e.user_id = o.o_custkey""".stripMargin
+    val e = intercept[Exception](spark.sql(innerSql).collect())
+    assert(chain(e).contains("PARSE_SYNTAX_ERROR"))
+    val n = graft.plans.ChSqlRewriter.sql(spark, innerSql)
+      .collect().head.getLong(0)
+    // ANY INNER = exactly the left rows whose key has >=1 right match
+    val expected = spark.sql(
+      """SELECT count(*) AS n FROM events e
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = e.user_id)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == expected, s"ANY INNER multiplicity: $n != $expected")
+    // the BARE spelling without a left alias PARSES raw - as an alias
+    // named 'any' + a plain all-matches join (the silent trap) - and
+    // the rewriter claims ClickHouse's first-match reading instead
+    // (unqualified left key: raw Spark aliases events AS 'any', so the
+    // original name could not qualify columns in the trap reading)
+    val bare =
+      """SELECT count(*) AS n FROM events ANY JOIN orders o
+        |ON user_id = o.o_custkey""".stripMargin
+    val rawN = spark.sql(bare).collect().head.getLong(0)
+    assert(rawN > expected, "raw bare ANY JOIN is the all-matches trap")
+    assert(graft.plans.ChSqlRewriter.sql(spark, bare)
+      .collect().head.getLong(0) == expected)
+  }
 
   gapFlipped("GLOBAL ANY LEFT JOIN (distributed-dim spelling)",
     "PARSE_SYNTAX_ERROR", "GLOBAL strip + ANY LEFT lowering", 1,
