@@ -143,7 +143,12 @@ import org.apache.spark.sql.SparkSession
   *     machine-speed calibrators identically is the ambient-machine
   *     signature, not an operator mechanism; the round's own filtered
   *     probes (d23 0.95 s, s07 1.19×, q137 in the probe set) and the
-  *     199/199 oracle gate are the per-entry evidence.
+  *     199/199 oracle gate are the per-entry evidence. The three top
+  *     drifts were additionally re-repped fresh-JVM (ProfileQ, 3 reps,
+  *     same day): t09 steady state 1.26–1.38 s — ON its r17 median
+  *     (1.37) — q42 1.06–1.52 s, q58 1.50–1.98 s, all far below their
+  *     sweep reads with bit-identical plan hashes; the cluster is
+  *     retired as ambient by the same protocol as r16's.
   *
   * Usage: `BenchProbe <sfDir> <factor> <outJsonPath> [onlyCsv]` — the
   * optional 4th arg filters to named probe entries (adjudication runs).
