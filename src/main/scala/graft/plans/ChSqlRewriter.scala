@@ -110,9 +110,12 @@ import scala.collection.mutable.ArrayBuffer
   *     `a.x` / `b.y` references resolve unchanged; a bare top-level
   *     `SELECT *` is expanded to `a.*, b.*` (CH's flattened read).
   *     Unqualified outer references fail loudly (qualify them).
-  *     `ASOF ... USING` is a named error; ties on (key, rightTs) are
-  *     arbitrary — pre-dedup the right side for determinism (q28's
-  *     rule). Right rows match inclusively/strictly per the operator.
+  *     `ASOF ... USING (k1, ..., ts)` lowers too — CH's contract: the
+  *     LAST column is the >= inequality column (r18; the star stays
+  *     unexpanded there, CH dedupes USING columns). Ties on
+  *     (key, rightTs) are arbitrary — pre-dedup the right side for
+  *     determinism (q28's rule). Right rows match inclusively/strictly
+  *     per the operator.
   *   - `ANY [LEFT|INNER] JOIN` (either keyword order; bare `ANY JOIN`
   *     is CH's ANY INNER) — the right side is pre-aggregated to ONE
   *     row per join key (`min(struct(*))` — deterministic
@@ -785,27 +788,50 @@ object ChSqlRewriter {
     if (fromAt < 0) throw new RewriteException("ASOF JOIN without a FROM")
     val (lRel, la) = parseRef(toks, fromAt + 1, joinStart,
       "ASOF JOIN left side")
-    // right side runs to the ON at this depth; USING is a named error
+    // right side runs to the ON (or USING) at this depth
     j = jEnd; d = base
     var onAt = -1
-    while (j < toks.length && onAt < 0) {
+    var usingAt = -1
+    while (j < toks.length && onAt < 0 && usingAt < 0) {
       val t = toks(j)
       if (t.p("(")) d += 1
       else if (t.p(")")) {
         d -= 1
         if (d < base) throw new RewriteException("ASOF JOIN needs ON")
-      } else if (d == base && t.kw("USING")) throw new RewriteException(
-        "ASOF ... USING is not rewritten - spell the match in ON " +
-          "(equi keys AND one inequality)")
+      } else if (d == base && t.kw("USING")) usingAt = j
       else if (d == base && t.kw("ON")) onAt = j
       j += 1
     }
-    if (onAt < 0) throw new RewriteException("ASOF JOIN needs ON")
-    val (rRel, ra) = parseRef(toks, jEnd, onAt, "ASOF JOIN right side")
+    if (onAt < 0 && usingAt < 0)
+      throw new RewriteException("ASOF JOIN needs ON or USING")
+    val refEnd = if (onAt >= 0) onAt else usingAt
+    val (rRel, ra) = parseRef(toks, jEnd, refEnd, "ASOF JOIN right side")
+    var equi = Vector.empty[(Tok, Tok)] // (left col, right col)
+    var ineq: Option[(Tok, Tok, String)] = None
+    var end = toks.length
+    if (usingAt >= 0) {
+      // CH's ASOF USING form: the LAST column is the inequality column
+      // with >= (backward-inclusive) semantics; the rest are equi keys
+      // shared by name on both sides
+      if (usingAt + 1 >= toks.length || !toks(usingAt + 1).p("("))
+        throw new RewriteException("ASOF USING needs a column list")
+      val close = closeOf(toks, usingAt + 1)
+      val cols = splitTopLevel(toks.slice(usingAt + 2, close)).map { it =>
+        if (it.length == 1 && (it(0).kind == "ident" || it(0).kind == "bq"))
+          it(0)
+        else throw new RewriteException(
+          s"ASOF USING: plain column names only, got '${render(it)}'")
+      }
+      if (cols.length < 2) throw new RewriteException(
+        "ASOF USING needs at least (key, ts) - the LAST column is the " +
+          ">= inequality column (ClickHouse's contract)")
+      equi = cols.dropRight(1).map(c => (c, c))
+      ineq = Some((cols.last, cols.last, ">="))
+      end = close + 1
+    } else {
     // ON conjunction ends at the next clause keyword / closing paren;
     // a chained join around the ASOF pair is a named error (isolate it)
     j = onAt + 1; d = base
-    var end = toks.length
     while (j < toks.length && end == toks.length) {
       val t = toks(j)
       if (t.p("(")) d += 1
@@ -827,8 +853,6 @@ object ChSqlRewriter {
         Some((u(0).text, u(2)))
       else None
     }
-    var equi = Vector.empty[(Tok, Tok)] // (left col, right col)
-    var ineq: Option[(Tok, Tok, String)] = None
     splitAnd(toks.slice(onAt + 1, end)).map(unwrap).foreach { c =>
       var d2 = 0
       var opAt = -1
@@ -868,6 +892,7 @@ object ChSqlRewriter {
           "ASOF ON: conditions must be '<alias>.<col> <op> " +
             s"<alias>.<col>', got '${render(c)}'")
       }
+    }
     }
     if (equi.isEmpty) throw new RewriteException(
       "ASOF JOIN needs at least one equality key in ON")
@@ -914,8 +939,10 @@ object ChSqlRewriter {
     sb ++= T(")")
     var out = toks.take(fromAt + 1) ++ sb.result() ++ toks.drop(end)
     // a bare top-level `SELECT * FROM <asof>` reads CH-flattened:
-    // expand the star over both side structs
-    if (base == 0 && out.headOption.exists(_.kw("SELECT")) &&
+    // expand the star over both side structs (ON form only - the USING
+    // form's CH star DEDUPES the shared columns, so the expansion would
+    // diverge; qualified refs are the USING contract here)
+    if (base == 0 && onAt >= 0 && out.headOption.exists(_.kw("SELECT")) &&
         fromAt == 2 && out(1).p("*")) {
       out = Vector(out(0), la, Tok("punct", "."), Tok("punct", "*"),
         Tok("punct", ","), ra, Tok("punct", "."), Tok("punct", "*")) ++

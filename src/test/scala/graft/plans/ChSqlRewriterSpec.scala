@@ -156,10 +156,20 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(rw("SELECT * FROM l a ASOF JOIN r b " +
       "ON a.k = b.k AND a.ts >= b.ts")
       .startsWith("SELECT a . * , b . * FROM ("))
-    // named errors: USING, no inequality, no equi key, chained joins
+    // ASOF USING lowers with CH's last-column->= contract (r18): the
+    // shared names qualify through BOTH aliases in the union branches
+    val using = rw("SELECT a.x FROM l a ASOF JOIN r b USING (k, ts)")
+    assert(using.contains("a . k AS __graft_k0 , a . ts AS __graft_ts"))
+    assert(using.contains("UNION ALL SELECT b . k , b . ts , 0"))
+    assert(using.contains("ORDER BY __graft_ts , __graft_side ROWS"))
+    // multi-key USING: all but the last are equi keys
+    assert(rw("SELECT a.x FROM l a ASOF JOIN r b USING (k1, k2, ts)")
+      .contains("PARTITION BY __graft_k0 , __graft_k1"))
+    // a single-column USING cannot carry both key and ts: named error
     assert(intercept[ChSqlRewriter.RewriteException](
-      rw("SELECT 1 FROM l a ASOF JOIN r b USING (k, ts)"))
-      .getMessage.contains("USING"))
+      rw("SELECT 1 FROM l a ASOF JOIN r b USING (ts)"))
+      .getMessage.contains("LAST column"))
+    // named errors: no inequality, no equi key, chained joins
     assert(intercept[ChSqlRewriter.RewriteException](
       rw("SELECT 1 FROM l a ASOF JOIN r b ON a.k = b.k"))
       .getMessage.contains("inequality"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The migrant SQL smoke corpus (r15 verdict item 1, widened every
-  * round since): 71 realistic ClickHouse statements — the shapes a
+  * round since): 72 realistic ClickHouse statements — the shapes a
   * grower + ClickHouse deployment actually runs against its
   * events/access-log tables
   * (`/root/reference/migrations/sample_test.sql`: toYYYYMM rollups,
@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * dashboard batch (Grafana $timeSeries macro expansions, top-N
   * panels, double-quoted aliases, topK buckets, ASOF sessionization,
   * ANY-JOIN dims) — run VERBATIM through `spark.sql` on real testdata.
-  * Buckets: 27 PASS verbatim, 37 GAP→PASS through `ChSqlRewriter.sql`
+  * Buckets: 27 PASS verbatim, 38 GAP→PASS through `ChSqlRewriter.sql`
   * (raw-FAIL pinned AND rewritten-PASS asserted — one of them the bare
   * ANY JOIN spelling that raw Spark runs as a SILENT all-matches alias
   * trap), 1 named gap (no-STEP WITH FILL — deliberate), 6 pinned
@@ -299,6 +299,15 @@ class MigrantSqlSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n == plain, s"LEFT ASOF changed multiplicity: $n != $plain")
   }
+
+  gapFlipped("ASOF JOIN ... USING (CH's last-column->= shorthand)",
+    "PARSE_SYNTAX_ERROR", "ASOF lowering (USING form)", 1,
+    """SELECT e.event_id AS id FROM
+      |  (SELECT event_id, user_id AS k, ts FROM events) e
+      |ASOF JOIN
+      |  (SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ts
+      |   FROM orders) o
+      |USING (k, ts)""".stripMargin)
 
   gapFlipped("ANY LEFT JOIN dimension enrich (latest-order idiom) + " +
     "uniqExact", "PARSE_SYNTAX_ERROR", "ANY LEFT lowering", 2,
