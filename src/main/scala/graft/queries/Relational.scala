@@ -3829,6 +3829,82 @@ object Relational {
         "last_value/first_value spelling incl. the exact interpolation " +
         "doubles"),
 
+    // q138: the FORWARD ASOF direction through the front door — the
+    // `<=` inequality (smallest right ts at-or-after the left ts: the
+    // "next scheduled event" read) that q134's backward entry does not
+    // exercise, hash-matched against DuckDB's native forward ASOF. The
+    // lowering flips the window to time-DESCENDING with right rows
+    // first at ties (inclusive) — this entry proves that leg on data,
+    // not just in the text pins. Same one-shuffle shape as q134.
+    "q138_ch_asof_forward" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, dir)
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT e.event_id AS event_id, e.user_id AS user_id,
+            |  e.ts AS ts, o.next_orderkey AS next_orderkey
+            |FROM events e ASOF JOIN (
+            |  SELECT o_custkey, o_orderdate,
+            |    min(o_orderkey) AS next_orderkey
+            |  FROM orders GROUP BY o_custkey, o_orderdate) o
+            |ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate"""
+            .stripMargin)
+      },
+      Some("""WITH ord AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         min(o_orderkey) AS next_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id AS event_id, e.user_id AS user_id,
+             |       CAST(e.ts AS TIMESTAMP) AS ts, ord.next_orderkey
+             |FROM events e ASOF JOIN ord
+             |  ON e.user_id = ord.o_custkey
+             |  AND e.ts <= ord.o_orderdate""".stripMargin),
+      "forward ASOF JOIN (<=) verbatim through ChSqlRewriter, " +
+        "hash-matched against DuckDB's native forward ASOF"),
+
+    // q139: the STRICT + LEFT ASOF legs on TIE-HEAVY data — the left
+    // timestamps are day-truncated in a subquery so left-day ==
+    // right-orderdate ties are COMMON, making `>` vs `>=` genuinely
+    // discriminating (q134's raw event times never tie with date
+    // midnights), and LEFT keeps unmatched rows with NULLs. DuckDB's
+    // native `ASOF LEFT JOIN ... >` replays both. Tie handling in the
+    // lowering: strict sorts left rows BEFORE right at equal ts, so
+    // the same-day order is invisible — exactly CH's strict read.
+    "q139_ch_asof_strict_left" -> Q(
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        views(s, dir)
+        graft.plans.ChSqlRewriter.sql(s,
+          """SELECT e.event_id AS event_id, e.d AS d,
+            |  o.last_orderkey AS last_orderkey
+            |FROM (SELECT event_id, user_id, toStartOfDay(ts) AS d
+            |      FROM events) e
+            |ASOF LEFT JOIN (
+            |  SELECT o_custkey, o_orderdate,
+            |    max(o_orderkey) AS last_orderkey
+            |  FROM orders GROUP BY o_custkey, o_orderdate) o
+            |ON e.user_id = o.o_custkey AND e.d > o.o_orderdate"""
+            .stripMargin)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+             |      AS TIMESTAMP) AS d
+             |  FROM events),
+             |ord AS (
+             |  SELECT o_custkey, o_orderdate,
+             |         max(o_orderkey) AS last_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT ev.event_id AS event_id, ev.d AS d,
+             |       ord.last_orderkey
+             |FROM ev ASOF LEFT JOIN ord
+             |  ON ev.user_id = ord.o_custkey
+             |  AND ev.d > ord.o_orderdate""".stripMargin),
+      "strict (>) LEFT ASOF JOIN on tie-heavy day-truncated data " +
+        "verbatim through ChSqlRewriter, hash-matched against DuckDB's " +
+        "native strict forward-excluding ASOF LEFT - pins both the " +
+        "equal-ts exclusion and the NULL-keeping outer leg"),
+
     // q137: the r18 scalar batch under a DuckDB oracle (the q128/q132
     // pattern). Covers arrayCumSum/arrayDifference/arrayEnumerateDense
     // (fixed-width arrays mirrored scalar-wise in the oracle),
