@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Fuzzy string matching by character n-gram profiles — ClickHouse's
   * `ngramDistance` / `ngramSearch` family (the fuzzy half of its string
@@ -28,13 +33,12 @@ import org.apache.spark.sql.functions._
   * CaseInsensitive variants, as q96 does).
   *
   * Scale shape: strictly map-only. The needle is a LITERAL: its gram
-  * counts fold at plan time into a fixed sum of `min(filter-count, c_g)`
-  * terms over the haystack's gram array — no join, no UDF, all codegen'd
-  * HOFs. Per-row cost O(len · |distinct needle grams|). The gram array
-  * is materialized once per row behind an [[OptimizerFence]] — without
-  * it, CollapseProject would inline (and re-evaluate) the substring
-  * transform into every one of the D filter terms, the measured
-  * O(len·n·D) failure mode the fence exists for.
+  * profile precomputes into a hash table at plan time and |A∩B| is ONE
+  * codegen'd kernel call per row ([[Kernels.ngramIntersect]] — a single
+  * O(len) pass over the UTF-8 bytes, no gram strings materialized; the
+  * r15 HOF composition it replaced, kept as [[gramStatHof]] for the
+  * equivalence spec, paid O(len·D) comparisons plus D filtered-array
+  * allocations per row).
   */
 object FuzzyMatch {
 
@@ -61,16 +65,64 @@ object FuzzyMatch {
     grams.distinct.map(g => g -> grams.count(_ == g))
   }
 
-  /** Scalar-expression form of [[ngramMatch]]'s construction: the gram
-    * array materializes ONCE per row as the target of a 1-element
-    * let-binding `transform`, and the D capped filter-count terms
-    * reference the lambda variable. The let-binding is LOAD-BEARING, not
-    * style: the fence is non-deterministic by design, so codegen's
-    * common-subexpression elimination refuses to dedupe it — inlining
-    * the fenced gram subtree into the D terms re-evaluates it D times
-    * per row (measured 11× on the q118 corpus before this shape).
+  /** Multiset intersection |A∩B| of the text's gram profile against a
+    * literal needle's, as ONE codegen'd kernel call
+    * ([[Kernels.ngramIntersect]]): a single pass over the UTF-8 bytes,
+    * each gram hashed in place against the precomputed needle table —
+    * O(len) per row, zero gram arrays materialized. Replaces the r15
+    * let-binding HOF shape (gram array materialized per row + D capped
+    * filter-count terms, O(len·D) comparisons and D filtered-array
+    * allocations per row — r19 measured it at 0.8 s/rep on the q96 corpus
+    * and 2× that on q118, which evaluated the profile once per statistic).
+    * [[gramStatHof]] keeps the composition as the spec's bit-equality
+    * reference.
     */
+  case class NgramIntersect(child: Expression, needle: String, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "ngram_intersect"
+
+    @transient private lazy val table: NgramTable = {
+      val counts = needleGramCounts(needle, n)
+      new NgramTable(n,
+        counts.map(_._1.getBytes("UTF-8")).toArray,
+        counts.map(_._2).toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.ngramIntersect(input.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("ngramTable", table,
+        "graft.functions.NgramTable")
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Kernels.ngramIntersect($s, $tbl);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NgramIntersect =
+      copy(child = newChild)
+  }
+
   private def gramStat(text: Column, needle: String, n: Int)
+      (stat: (Column, Column) => Column): Column = {
+    require(needle.length >= n,
+      s"needle must be at least $n chars, got '${needle}'")
+    val na = greatest(length(text) - lit(n - 1), lit(0)).cast("long")
+    val inter = ColumnBridge.column(
+      NgramIntersect(ColumnBridge.expression(text), needle, n))
+    stat(na, inter)
+  }
+
+  /** The r15 HOF composition [[gramStat]]'s kernel must match bit-for-bit
+    * (same capped multiset intersection over the same codepoint grams) —
+    * kept as the spec's equivalence reference, never on the hot path:
+    * the gram array materializes once per row as the target of a
+    * 1-element let-binding `transform` (the fence is non-deterministic by
+    * design, so CSE refuses to dedupe it), and the D capped filter-count
+    * terms reference the lambda variable.
+    */
+  private[functions] def gramStatHof(text: Column, needle: String, n: Int)
       (stat: (Column, Column) => Column): Column = {
     require(needle.length >= n,
       s"needle must be at least $n chars, got '${needle}'")

@@ -5,6 +5,38 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Precomputed needle profile for [[Kernels.ngramIntersect]]: the
+  * needle's DISTINCT n-gram byte strings in an open-addressed hash table
+  * (xxhash64-routed, byte-verified — routing never decides equality, so
+  * hash collisions cannot change the count) plus each gram's needle
+  * multiplicity. Top-level class so generated Java can name the type;
+  * built once per expression instance and shipped as a codegen reference
+  * object; read-only at eval time, so one table is safely shared across
+  * tasks.
+  */
+final class NgramTable(val n: Int, val gramBytes: Array[Array[Byte]],
+    val gramCounts: Array[Int]) extends Serializable {
+  require(gramBytes.length == gramCounts.length && gramBytes.nonEmpty)
+  val mask: Int = {
+    var cap = 4
+    while (cap < gramBytes.length * 2) cap <<= 1
+    cap - 1
+  }
+  val hashes: Array[Long] = gramBytes.map(g =>
+    XXH64.hashUnsafeBytes(g, Platform.BYTE_ARRAY_OFFSET, g.length, 42L))
+  val slots: Array[Int] = {
+    val s = Array.fill(mask + 1)(-1)
+    var i = 0
+    while (i < gramBytes.length) {
+      var j = (hashes(i) & mask).toInt
+      while (s(j) >= 0) j = (j + 1) & mask
+      s(j) = i
+      i += 1
+    }
+    s
+  }
+}
+
 /** Static kernel helpers shared by the interpreted and generated code
   * paths of the custom expressions (a top-level object gets Java static
   * forwarders, so generated Java calls `Kernels.<m>` directly).
@@ -407,6 +439,66 @@ object Kernels {
       s += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Multiset n-gram intersection |A ∩ B| of a text's overlapping
+    * length-`n` CODEPOINT grams (the [[graft.functions.FuzzyMatch]]
+    * profile: positions 1..numChars−n+1, occurrences kept) against a
+    * precomputed needle profile: Σ_g min(count_text(g), count_needle(g)).
+    * One pass over the UTF-8 bytes, zero gram strings materialized — each
+    * gram is a contiguous byte span of the text (grams are consecutive
+    * code points), hashed in place and byte-verified against the table.
+    * Bit-identical to the HOF composition
+    * `Σ_g least(size(filter(charGrams(text,n), _ === g)), c_g)`
+    * (`FuzzyMatchSpec` pins both on randomized corpora).
+    */
+  def ngramIntersect(s: UTF8String, t: NgramTable): Long = {
+    val n = t.n
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // code-point starts: UTF-8 lead bytes (not 10xxxxxx) — matches
+    // length()/substr()'s numChars arithmetic
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      if ((Platform.getByte(base, off + i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    if (nChars < n) return 0L
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      if ((Platform.getByte(base, off + i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val cnt = new Array[Int](t.gramBytes.length)
+    var inter = 0L
+    var g = 0
+    val nGrams = nChars - n + 1
+    while (g < nGrams) {
+      val b0 = starts(g)
+      val glen = starts(g + n) - b0
+      val h = XXH64.hashUnsafeBytes(base, off + b0, glen, 42L)
+      var slot = (h & t.mask).toInt
+      var idx = t.slots(slot)
+      while (idx >= 0) {
+        val gb = t.gramBytes(idx)
+        if (t.hashes(idx) == h && gb.length == glen &&
+          org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+            base, off + b0, gb, Platform.BYTE_ARRAY_OFFSET, glen)) {
+          if (cnt(idx) < t.gramCounts(idx)) { cnt(idx) += 1; inter += 1L }
+          idx = -2 // found — saturated or counted either way
+        } else {
+          slot = (slot + 1) & t.mask
+          idx = t.slots(slot)
+        }
+      }
+      g += 1
+    }
+    inter
   }
 
   /** Gear-hash content-defined cut positions (the [[graft.operators

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** ClickHouse URL function family — `domain`, `topLevelDomain`,
   * `firstSignificantSubdomain`, `path`, `queryString`, `fragment`,
@@ -11,10 +12,12 @@ import org.apache.spark.sql.functions._
   * `TextAnalysis.canonicalizeUrl` (t28): that one NORMALIZES before
   * dedup, these EXTRACT for grouping.
   *
-  * All pure map-only Column regex/string algebra, zero UDFs, and every
-  * regex is the engine-portable subset (RE2-compatible: no lookarounds,
-  * no backrefs; non-capturing groups only) so the q97 oracle mirrors
-  * token-for-token.
+  * All pure map-only, zero UDFs. Since r19 every accessor is ONE
+  * codegen'd byte-scan kernel call ([[UrlKernels]]) instead of a stack
+  * of 2–6 regex executions — bit-identical to the r15 regex
+  * compositions, which live on as [[UrlFunctions.ref]] and pin the
+  * kernels in `UrlKernelsSpec` (the q97/q98 oracles still mirror the
+  * regex semantics token-for-token, warts included).
   *
   * Contract: `[scheme://][user[:pass]@]host[:port]` URLs — the scheme
   * is OPTIONAL, as in ClickHouse ("some.domain.com/path" works; r15
@@ -33,110 +36,74 @@ import org.apache.spark.sql.functions._
   */
 object UrlFunctions {
 
-  /** Optional-scheme prefix: the greedy optional group eats `scheme://`
-    * when present, so the following `[^/?#]*` always starts at the
-    * authority (a scheme-less "host/path" starts there directly; a
-    * host-less "/path" matches it empty).
-    */
-  private val SchemeRe = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?"
+  private def k(url: Column, mode: Int): Column =
+    ColumnBridge.column(
+      UrlKernels.UrlExtract(ColumnBridge.expression(url), mode))
 
   /** host[:port] with userinfo — everything before the first `/`, `?`
     * or `#`, after the optional `scheme://` (ClickHouse `netloc` keeps
     * userinfo and port too, and accepts scheme-less URLs).
     */
-  def netloc(url: Column): Column =
-    regexp_extract(url, SchemeRe + "([^/?#]*)", 1)
+  def netloc(url: Column): Column = k(url, UrlKernels.NETLOC)
 
   /** Bare host: netloc with userinfo and port stripped. */
-  def domain(url: Column): Column =
-    regexp_replace(
-      regexp_replace(netloc(url), "^[^@]*@", ""),
-      ":[0-9]+$", "")
+  def domain(url: Column): Column = k(url, UrlKernels.DOMAIN)
 
   /** ClickHouse `domainWithoutWWW`: [[domain]] with one leading `www.`
     * label stripped (anchored — only the first label, never an inner
     * `www` subdomain).
     */
-  def domainWithoutWWW(url: Column): Column =
-    regexp_replace(domain(url), "^www\\.", "")
+  def domainWithoutWWW(url: Column): Column = k(url, UrlKernels.DOMAIN_NO_WWW)
 
   /** ClickHouse `cutWWW`: the full URL with the host's leading `www.`
     * stripped in place (scheme, userinfo, port, path, query, fragment
     * all preserved).
     */
-  def cutWWW(url: Column): Column =
-    regexp_replace(url,
-      "^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?)www\\.", "$1")
+  def cutWWW(url: Column): Column = k(url, UrlKernels.CUT_WWW)
 
   /** Last dot-label of the host; '' for single-label or IPv4 hosts. */
-  def topLevelDomain(url: Column): Column = {
-    val h = domain(url)
-    when(h.rlike("^[0-9.]+$"), lit(""))
-      .otherwise(regexp_extract(h, "\\.([a-zA-Z0-9-]+)$", 1))
-  }
+  def topLevelDomain(url: Column): Column = k(url, UrlKernels.TLD)
 
   /** The registrable label: "clickhouse" in news.clickhouse.com and
     * example in example.co.uk (see object doc for the heuristic).
     */
-  def firstSignificantSubdomain(url: Column): Column = {
-    val h = domain(url)
-    val multi = regexp_extract(h,
-      "([a-zA-Z0-9-]+)\\.(?:co|com|org|net|gov|edu|ac)\\.[a-zA-Z]{2}$", 1)
-    val plain = regexp_extract(h, "([a-zA-Z0-9-]+)\\.[a-zA-Z0-9-]+$", 1)
-    when(h.rlike("^[0-9.]+$"), lit(""))
-      .otherwise(when(multi =!= "", multi)
-        .otherwise(when(plain =!= "", plain).otherwise(h)))
-  }
+  def firstSignificantSubdomain(url: Column): Column = k(url, UrlKernels.FSD)
 
   /** Path without query/fragment; bare authority → "/" (CH `path` shape). */
-  def path(url: Column): Column = {
-    val p = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 1)
-    when(p === "", lit("/")).otherwise(p)
-  }
+  def path(url: Column): Column = k(url, UrlKernels.PATH)
 
   /** Query string without the leading '?' or the fragment; '' if none. */
-  def queryString(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+  def queryString(url: Column): Column = k(url, UrlKernels.QUERY)
 
   /** Fragment without the leading '#'; '' if none. */
-  def fragment(url: Column): Column =
-    regexp_extract(url, "#(.*)$", 1)
+  def fragment(url: Column): Column = k(url, UrlKernels.FRAGMENT)
 
   /** Value of the FIRST `name=` pair in the query string; '' if absent.
-    * `name` is restricted to word characters so the generated regex (and
-    * its oracle mirror) needs no quoting dialect.
+    * `name` is restricted to word characters so the kernel (and the
+    * oracle's regex mirror) needs no quoting dialect.
     */
-  def extractURLParameter(url: Column, name: String): Column = {
-    require(name.matches("[A-Za-z0-9_]+"),
-      s"parameter name must be [A-Za-z0-9_]+, got '$name'")
-    regexp_extract(queryString(url), s"(?:^|&)$name=([^&]*)", 1)
-  }
+  def extractURLParameter(url: Column, name: String): Column =
+    ColumnBridge.column(
+      UrlKernels.UrlExtractParam(ColumnBridge.expression(url), name))
 
   /** URL with query string and fragment removed (no trailing '?'/'#'). */
-  def cutQueryStringAndFragment(url: Column): Column =
-    regexp_replace(url, "[?#].*$", "")
+  def cutQueryStringAndFragment(url: Column): Column = k(url, UrlKernels.CUT_QF)
 
   /** Scheme without '://'; '' when scheme-less (ClickHouse protocol). */
-  def protocol(url: Column): Column =
-    regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+  def protocol(url: Column): Column = k(url, UrlKernels.PROTOCOL)
 
   /** Path WITH the query string, fragment excluded; '/' for a bare
     * authority (ClickHouse pathFull).
     */
-  def pathFull(url: Column): Column = {
-    val p = regexp_extract(url, SchemeRe + "[^/?#]*([^#]*)", 1)
-    when(p === "", lit("/")).otherwise(p)
-  }
+  def pathFull(url: Column): Column = k(url, UrlKernels.PATH_FULL)
 
   /** URL with the query string removed (including '?'), fragment kept
     * (ClickHouse cutQueryString).
     */
-  def cutQueryString(url: Column): Column =
-    regexp_replace(url, "\\?[^#]*", "")
+  def cutQueryString(url: Column): Column = k(url, UrlKernels.CUT_Q)
 
   /** URL with the fragment removed (including '#'). */
-  def cutFragment(url: Column): Column =
-    regexp_replace(url, "#.*$", "")
+  def cutFragment(url: Column): Column = k(url, UrlKernels.CUT_F)
 
   /** All `name=value` pairs of the query string in document order;
     * [] when there is no query string (ClickHouse extractURLParameters).
@@ -151,8 +118,7 @@ object UrlFunctions {
     * prefix and roots at "/". The old scheme-REQUIRED deviation is
     * retired (r15 ADVICE), spec- and oracle-pinned both ways.
     */
-  private def schemePrefix(url: Column): Column =
-    regexp_extract(url, "^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*)", 1)
+  private def schemePrefix(url: Column): Column = k(url, UrlKernels.SCHEME_PREFIX)
 
   /** Host truncated to start at the first significant subdomain —
     * ClickHouse `cutToFirstSignificantSubdomain` ("news.clickhouse.com.tr"
@@ -160,14 +126,8 @@ object UrlFunctions {
     * [[firstSignificantSubdomain]]. '' for IPv4 or dot-less hosts (no
     * registrable suffix exists).
     */
-  def cutToFirstSignificantSubdomain(url: Column): Column = {
-    val h = domain(url)
-    val multi = regexp_extract(h,
-      "([a-zA-Z0-9-]+\\.(?:co|com|org|net|gov|edu|ac)\\.[a-zA-Z]{2})$", 1)
-    val plain = regexp_extract(h, "([a-zA-Z0-9-]+\\.[a-zA-Z0-9-]+)$", 1)
-    when(h.rlike("^[0-9.]+$"), lit(""))
-      .otherwise(when(multi =!= "", multi).otherwise(plain))
-  }
+  def cutToFirstSignificantSubdomain(url: Column): Column =
+    k(url, UrlKernels.CUT_TO_FSD)
 
   /** ClickHouse `URLPathHierarchy`: one array element per path level,
     * root '/' excluded — "/browse/CONF/x" → ["/browse/", "/browse/CONF/",
@@ -195,14 +155,12 @@ object UrlFunctions {
     * excluded, a documented deviation: fragments are client-side) as the
     * final level.
     *
-    * PERFORMANCE: this self-contained Column form embeds the prefix /
-    * segment subtrees inside the per-level lambda bodies, so each level
-    * re-evaluates the regex+split chain — O(levels × regexes) per row.
-    * Fine for a scalar SQL accessor; for CORPUS-scale hierarchy columns
-    * use [[withUrlHierarchies]], which stages the shared pieces once per
-    * row behind fences (measured ~6× on the q98 corpus: the unstaged
-    * form benched 21 s at sf0.1 — the whole bench's top entry — the
-    * staged one 3.2–3.6 s isolated).
+    * PERFORMANCE: this self-contained Column form embeds the accessor
+    * subtrees inside the per-level lambda bodies, so each level
+    * re-evaluates them — O(levels × kernels) per row. Fine for a scalar
+    * SQL accessor; for CORPUS-scale hierarchy columns use
+    * [[withUrlHierarchies]], which stages the shared pieces once per
+    * row behind fences.
     */
   def urlHierarchy(url: Column): Column = {
     val pre = schemePrefix(url)
@@ -220,7 +178,7 @@ object UrlFunctions {
     * (prefix, path, query string, cut URL, path segments) computed
     * exactly once as FENCED intermediate columns — the per-level lambdas
     * then reference cheap bound attributes instead of re-evaluating the
-    * regex+split trees (the FuzzyMatch staging discipline; the fence
+    * accessor trees (the FuzzyMatch staging discipline; the fence
     * stops CollapseProject from inlining the definitions back in).
     * Results ≡ the Column forms row-for-row (spec-pinned).
     */
@@ -250,5 +208,97 @@ object UrlFunctions {
         array(concat(col("_uh_cut"), lit("?"), col("_uh_qs")))))
     withPh.withColumn(urlHierCol, uh)
       .drop("_uh_pre", "_uh_p", "_uh_qs", "_uh_cut", "_uh_segs")
+  }
+
+  /** The r15 regex compositions — the semantics the kernels must match
+    * bit-for-bit (`UrlKernelsSpec` pins every accessor on a
+    * branch-covering corpus). Never on a hot path; the q97/q98 oracle
+    * generators keep mirroring these token-for-token.
+    */
+  private[graft] object ref {
+
+    /** Optional-scheme prefix: the greedy optional group eats `scheme://`
+      * when present, so the following `[^/?#]*` always starts at the
+      * authority (a scheme-less "host/path" starts there directly; a
+      * host-less "/path" matches it empty).
+      */
+    private val SchemeRe = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?"
+
+    def netloc(url: Column): Column =
+      regexp_extract(url, SchemeRe + "([^/?#]*)", 1)
+
+    def domain(url: Column): Column =
+      regexp_replace(
+        regexp_replace(netloc(url), "^[^@]*@", ""),
+        ":[0-9]+$", "")
+
+    def domainWithoutWWW(url: Column): Column =
+      regexp_replace(domain(url), "^www\\.", "")
+
+    def cutWWW(url: Column): Column =
+      regexp_replace(url,
+        "^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?)www\\.", "$1")
+
+    def topLevelDomain(url: Column): Column = {
+      val h = domain(url)
+      when(h.rlike("^[0-9.]+$"), lit(""))
+        .otherwise(regexp_extract(h, "\\.([a-zA-Z0-9-]+)$", 1))
+    }
+
+    def firstSignificantSubdomain(url: Column): Column = {
+      val h = domain(url)
+      val multi = regexp_extract(h,
+        "([a-zA-Z0-9-]+)\\.(?:co|com|org|net|gov|edu|ac)\\.[a-zA-Z]{2}$", 1)
+      val plain = regexp_extract(h, "([a-zA-Z0-9-]+)\\.[a-zA-Z0-9-]+$", 1)
+      when(h.rlike("^[0-9.]+$"), lit(""))
+        .otherwise(when(multi =!= "", multi)
+          .otherwise(when(plain =!= "", plain).otherwise(h)))
+    }
+
+    def path(url: Column): Column = {
+      val p = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 1)
+      when(p === "", lit("/")).otherwise(p)
+    }
+
+    def queryString(url: Column): Column =
+      regexp_extract(url, "\\?([^#]*)", 1)
+
+    def fragment(url: Column): Column =
+      regexp_extract(url, "#(.*)$", 1)
+
+    def extractURLParameter(url: Column, name: String): Column = {
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"parameter name must be [A-Za-z0-9_]+, got '$name'")
+      regexp_extract(queryString(url), s"(?:^|&)$name=([^&]*)", 1)
+    }
+
+    def cutQueryStringAndFragment(url: Column): Column =
+      regexp_replace(url, "[?#].*$", "")
+
+    def protocol(url: Column): Column =
+      regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+
+    def pathFull(url: Column): Column = {
+      val p = regexp_extract(url, SchemeRe + "[^/?#]*([^#]*)", 1)
+      when(p === "", lit("/")).otherwise(p)
+    }
+
+    def cutQueryString(url: Column): Column =
+      regexp_replace(url, "\\?[^#]*", "")
+
+    def cutFragment(url: Column): Column =
+      regexp_replace(url, "#.*$", "")
+
+    def schemePrefix(url: Column): Column =
+      regexp_extract(url, "^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*)", 1)
+
+    def cutToFirstSignificantSubdomain(url: Column): Column = {
+      val h = domain(url)
+      val multi = regexp_extract(h,
+        "([a-zA-Z0-9-]+\\.(?:co|com|org|net|gov|edu|ac)\\.[a-zA-Z]{2})$", 1)
+      val plain = regexp_extract(h, "([a-zA-Z0-9-]+\\.[a-zA-Z0-9-]+)$", 1)
+      when(h.rlike("^[0-9.]+$"), lit(""))
+        .otherwise(when(multi =!= "", multi).otherwise(plain))
+    }
   }
 }

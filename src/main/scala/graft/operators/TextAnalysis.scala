@@ -243,8 +243,24 @@ object TextAnalysis {
     * Contract: absolute `scheme://host...` URLs (the access-log /
     * crawl-frontier shape); pre-filter malformed rows — component
     * extraction on a URL with no scheme is not defined here.
+    *
+    * r19: the normalization runs as ONE codegen'd byte-scan kernel
+    * ([[graft.functions.UrlKernels.canonicalize]]) instead of the ~7
+    * regex passes + split/filter/sort HOF chain; the composition lives
+    * on as [[canonicalizeUrlRef]] and `UrlKernelsSpec` pins the two
+    * bit-identical (the t28/t29 oracle still mirrors the regex
+    * semantics token-for-token).
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.UrlKernels.CanonicalizeUrl(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(url)))
+
+  /** The r15 regex/HOF composition [[canonicalizeUrl]]'s kernel must
+    * match bit-for-bit — the spec's equivalence reference, never on the
+    * hot path.
+    */
+  private[graft] def canonicalizeUrlRef(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")

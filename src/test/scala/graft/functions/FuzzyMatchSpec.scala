@@ -92,6 +92,55 @@ class FuzzyMatchSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("r19 kernel ≡ HOF composition bit-for-bit (incl. multibyte + edge shapes)") {
+    // the r19 ngramIntersect kernel replaced the let-binding HOF shape on
+    // the hot path; gramStatHof keeps the composition as the reference.
+    // Multibyte matters: grams are CODEPOINT substrings, so the kernel's
+    // UTF-8 lead-byte walk must agree with substr()'s numChars arithmetic.
+    val rnd = new scala.util.Random(20260818)
+    val alpha = "abĸ☃c " // 1-, 2-, 3-byte codepoints + space
+    def word(len: Int) =
+      (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val needles = Seq("abca", "ĸ☃ab", "aaaa", word(8), word(12))
+    val texts = (1 to 40).map(_ => word(rnd.nextInt(40))) ++
+      Seq("", "a", "abc", "abcd", "ĸ☃ĸ☃ĸ☃", "    ", "abcaabca")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    needles.filter(_.length >= 4).foreach { needle =>
+      val got = df.select(
+          FuzzyMatch.gramStatHof(col("t"), needle, 4)((_, inter) => inter).as("ref"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            FuzzyMatch.NgramIntersect(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")),
+              needle, 4)).as("krn"))
+        .as[(Long, Long)].collect()
+      got.zip(texts).foreach { case ((ref, krn), t) =>
+        assert(ref == krn, s"needle '$needle' text '$t'")
+      }
+    }
+  }
+
+  test("r19 kernel: interpreted eval path agrees with codegen") {
+    val needle = "fast table value"
+    val tbl = FuzzyMatch.needleGramCounts(needle, 4)
+    val expr = FuzzyMatch.NgramIntersect(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "a fast table is a table of value and fast value")),
+      needle, 4)
+    val interpreted = expr.eval(null).asInstanceOf[Long]
+    // reference: plain multiset intersection
+    def grams(s: String) =
+      (0 to s.length - 4).map(i => s.substring(i, i + 4))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val ga = grams("a fast table is a table of value and fast value")
+    val ref = tbl.map { case (g, c) => math.min(ga.getOrElse(g, 0), c) }.sum.toLong
+    assert(interpreted == ref)
+    // null propagates
+    assert(FuzzyMatch.NgramIntersect(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        null, org.apache.spark.sql.types.StringType), needle, 4).eval(null) == null)
+  }
+
   test("needle shorter than n is rejected named") {
     val df = Seq((1L, "abc")).toDF("id", "t")
     val e = intercept[IllegalArgumentException](
