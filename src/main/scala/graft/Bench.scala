@@ -612,8 +612,22 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (statsLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // CALIBRATION-NORMALIZED TOTAL (r18 verdict item 3): three rounds
+    // running, the raw total drifted with ambient box state and needed a
+    // manual fresh-JVM adjudication each time (both fixed-work probes
+    // moving the same way as the total = ambient, not regression). The
+    // normalized figure divides that argument in: value × (ref/calib) for
+    // BOTH probes, where ref is the r18 snapshot's calibration
+    // (calib_cpu 1167 ms, calib_query 128 ms — BENCH_r18.json), so a
+    // round-over-round comparison of `value_calib_norm_*` already
+    // discounts machine speed. Two normalizations are emitted because the
+    // probes track different costs (per-core ALU vs Spark dispatch) and
+    // entries blend them differently; `value` stays the raw sum — the
+    // normalized fields are ADDITIVE, nothing is renamed or removed.
+    val calibNormCpu = if (calibCpuMs > 0) total * (1167.0 / calibCpuMs) else -1.0
+    val calibNormQuery = if (calibQueryMs > 0) total * (128.0 / calibQueryMs) else -1.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"calib_cpu_ms":$calibCpuMs%.0f,"calib_query_ms":$calibQueryMs%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$linesPerSec%.0f,"stream_ingest_lines_per_sec":$streamLps%.0f,"stream_ingest_lines_per_sec_proc":$streamLpsProc%.0f,"parse_lines_per_sec_per_core":$coreLps%.0f,"calib_cpu_ms":$calibCpuMs%.0f,"calib_query_ms":$calibQueryMs%.0f,"value_calib_norm_cpu":$calibNormCpu%.1f,"value_calib_norm_query":$calibNormQuery%.1f,"sf":"$sfDir"}"""
     if (line.length > 1800) // headroom for sbt's trailing [success] line
       System.err.println(s"[bench] WARNING headline line ${line.length} chars — trim precision or query names")
     println(line)

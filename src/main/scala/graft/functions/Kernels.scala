@@ -441,6 +441,67 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** TRY-mode string→int64 cast without the exception machinery: ANSI's
+    * accept-set is exactly the lenient `UTF8String.toLong` set MINUS any
+    * string containing a '.' byte (`toLongExact` delegates to
+    * `toLong(wrapper, allowDecimal = false)`, and the decimal-point scan
+    * is the ONLY grammar difference — without a '.', the two parses are
+    * the same code path), so `contains('.') → null, else lenient parse`
+    * is result-identical to `Cast(s, LongType, EvalMode.TRY)` with no
+    * throw on the reject path. TRY rejection otherwise constructs a
+    * SparkNumberFormatException per row (~10 µs measured — q125's one
+    * JSONExtractInt column cost ~1.0 s/100k rows through it). Boxed
+    * return: null ⇔ SQL NULL. `GraftExtensionsSpec` pins kernel ≡
+    * try_cast cell-for-cell on an adversarial battery.
+    */
+  def tryToLongExact(s: UTF8String): java.lang.Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      if (Platform.getByte(base, off + i) == '.') return null
+      i += 1
+    }
+    val w = new UTF8String.LongWrapper
+    if (s.toLong(w)) java.lang.Long.valueOf(w.value) else null
+  }
+
+  /** ADC (asymmetric-distance) sum for one corpus row: Σ_s tbl(s)(codes(s)),
+    * summed left-to-right — bit-identical to the HOF composition
+    * `aggregate(zip_with(codes, tbl, (c, t) => element_at(t, c + 1)), 0.0, _+_)`
+    * including its null algebra: `zip_with` pads the shorter side with
+    * null, `element_at` of a null/padded input or an out-of-range index is
+    * null (non-ANSI TRY semantics; a negative `c + 1` indexes from the
+    * end, exactly element_at's rule), and `+` propagates the first null
+    * through the rest of the fold — so any null lookup makes the whole sum
+    * null, which the loop returns early. `c = -1` (index 0) is
+    * element_at's always-throw case and is unreachable from [[pqCodes]]
+    * output; the kernel mirrors the throw. Boxed return: null ⇔ SQL NULL.
+    * `SimilaritySpec` pins kernel ≡ HOF on randomized codes/tables
+    * including mismatched lengths and out-of-range codes.
+    */
+  def adcSum(codes: ArrayData, tbl: ArrayData): java.lang.Double = {
+    val nc = codes.numElements()
+    val nt = tbl.numElements()
+    val n = if (nc > nt) nc else nt
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (i >= nc || codes.isNullAt(i) || i >= nt || tbl.isNullAt(i)) return null
+      val idx = codes.getInt(i) + 1
+      if (idx == 0) throw new UnsupportedOperationException(
+        "SQL array indices start at 1 (adc_sum mirrors element_at)")
+      val t = tbl.getArray(i)
+      val len = t.numElements()
+      val pos = if (idx > 0) idx - 1 else len + idx
+      if (pos < 0 || pos >= len || t.isNullAt(pos)) return null
+      acc += t.getDouble(pos)
+      i += 1
+    }
+    acc
+  }
+
   /** Multiset n-gram intersection |A ∩ B| of a text's overlapping
     * length-`n` CODEPOINT grams (the [[graft.functions.FuzzyMatch]]
     * profile: positions 1..numChars−n+1, occurrences kept) against a

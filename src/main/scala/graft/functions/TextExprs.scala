@@ -36,6 +36,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
 
+  /** [[Kernels.tryToLongExact]] as an expression: bit-identical to
+    * `Cast(child, LongType, EvalMode.TRY)` for string input, minus the
+    * per-row SparkNumberFormatException TRY constructs on every reject
+    * (the JSONExtractInt first-leg cost — see the kernel's scaladoc).
+    */
+  case class TryLongExact(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "try_long_exact"
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.tryToLongExact(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val res = ctx.freshName("res")
+        s"""
+           |java.lang.Long $res = graft.functions.Kernels.tryToLongExact($s);
+           |if ($res == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $res.longValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TryLongExact =
+      copy(child = newChild)
+  }
+
   val StatsSchema: StructType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_alpha", IntegerType, nullable = false),

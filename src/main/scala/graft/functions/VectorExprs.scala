@@ -274,6 +274,43 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** [[Kernels.adcSum]] as a codegen'd expression: the ADC scoring inner
+    * loop of the PQ serving paths — m table lookups + adds per
+    * (corpus row × query) pair, the highest row-count expression in the
+    * ANN entries — as one tight loop instead of the interpreted
+    * `aggregate(zip_with(codes, tbl, element_at))` lambda chain (which
+    * additionally materializes a zipped m-element array per pair).
+    * Null algebra matches the HOF composition exactly; see the kernel.
+    */
+  case class AdcSum(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "adc_sum"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.adcSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, t) => {
+        val res = ctx.freshName("res")
+        s"""
+           |java.lang.Double $res = graft.functions.Kernels.adcSum($c, $t);
+           |if ($res == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $res.doubleValue(); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcSum =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def adcSum(codes: Column, tbl: Column): Column =
+    ColumnBridge.column(AdcSum(ColumnBridge.expression(codes),
+      ColumnBridge.expression(tbl)))
+
   def pqCodes(v: Column, flat: Array[Double], starts: Array[Int],
       counts: Array[Int], subDim: Int): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(v),

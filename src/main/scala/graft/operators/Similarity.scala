@@ -408,6 +408,17 @@ object Similarity {
   private def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** ADC score of one corpus row against one query's lookup table:
+    * Σ_s tbl[s][codes[s]] as the codegen'd [[graft.functions.VectorExprs.AdcSum]]
+    * kernel — bit-identical (null algebra included) to the interpreted
+    * `aggregate(zip_with(codes, tbl, (c, t) => element_at(t, c + 1)), 0.0, _+_)`
+    * composition it replaces (r19; SimilaritySpec pins kernel ≡ HOF).
+    * This is the highest row-count expression in every PQ serving path
+    * (evaluated per candidate (corpus × query) pair).
+    */
+  private def adcScore(codes: Column, tbl: Column): Column =
+    graft.functions.VectorExprs.adcSum(codes, tbl)
+
   /** Nearest-centroid code for one subvector against one subspace's
     * codebook literal: a fold over the k centroids carrying (best d², j).
     * Strict `<` keeps the FIRST minimum — ties break to the lowest code,
@@ -577,9 +588,7 @@ object Similarity {
     val adc = c.toDF(Seq("neighbor_id", "codes"): _*)
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("ad", aggregate(
-        zip_with(col("codes"), col("tbl"), (code, t) => element_at(t, code + 1)),
-        lit(0.0), _ + _))
+      .withColumn("ad", adcScore(col("codes"), col("tbl")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= adcK)
     if (refine <= 0)
@@ -673,9 +682,7 @@ object Similarity {
     val adcK = if (refine > 0) math.max(refine, k) else k
     val adc = assigned.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("ad", aggregate(
-        zip_with(col("codes"), col("tbl"), (code, t) => element_at(t, code + 1)),
-        lit(0.0), _ + _))
+      .withColumn("ad", adcScore(col("codes"), col("tbl")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= adcK)
     if (refine <= 0)
@@ -850,9 +857,7 @@ object Similarity {
     val adcK = if (refine > 0) math.max(refine, k) else k
     val adc = codes.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("ad", aggregate(
-        zip_with(col("codes"), col("tbl"), (code, t) => element_at(t, code + 1)),
-        lit(0.0), _ + _))
+      .withColumn("ad", adcScore(col("codes"), col("tbl")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= adcK)
     if (refine <= 0)

@@ -67,8 +67,25 @@ object DedupProjectParse extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** `get_json_object` joins the pullable class (r19): the scalar
+    * extract family (`JSONExtractInt`/`JSONExtract`) expands each call
+    * into a Coalesce whose TRY-cast legs all re-evaluate the SAME
+    * `get_json_object(json, path)` — and Coalesce legs past the first
+    * are conditional, so codegen-level subexpression elimination never
+    * merges them: every leg re-runs the full Jackson parse per row
+    * (measured: 3 parses/row per JSONExtractInt column). Hoisting is
+    * safe on the same argument as try-parse: `get_json_object` never
+    * raises (malformed input and absent paths read NULL in every eval
+    * mode), so unconditional evaluation cannot introduce an error, and
+    * the first Coalesce leg evaluates it unconditionally anyway.
+    */
+  private[plans] def isSharedJsonGet(e: Expression): Boolean = e match {
+    case _: org.apache.spark.sql.catalyst.expressions.GetJsonObject => true
+    case _ => false
+  }
+
   private def pullable(e: Expression, child: LogicalPlan): Boolean =
-    isTryParse(e) && e.deterministic &&
+    (isTryParse(e) || isSharedJsonGet(e)) && e.deterministic &&
       e.references.subsetOf(child.outputSet)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -1447,20 +1447,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(name),
         info(name, s"$name(json, key_or_index, ...) - ClickHouse $name: the $what at the literal key/1-based-index path; ${default.toString} when the path is absent or uncastable (CH's default)"),
         (args: Seq[Expression]) => Coalesce(Seq(
-          Cast(get(args, name), tpe, None, EvalMode.TRY), default)))
+          // LEGACY ≡ TRY for string→double/float/boolean — the only
+          // targets extractAs feeds — (same parsers, null instead of
+          // caught-throw), and it skips the per-row exception on every
+          // non-castable node; see the jsonIntBuilder note (r19).
+          // NOT valid for integral targets (LEGACY truncates decimal
+          // text); those route through jsonIntBuilder/typed instead.
+          Cast(get(args, name), tpe, None, EvalMode.LEGACY), default)))
     def jsonIntBuilder(name: String, doc: String) =
       (FunctionIdentifier(name),
         info(name, s"$name(json, key_or_index, ...) - $doc"),
         (args: Seq[Expression]) => {
           val raw = get(args, name)
-          // three TRY legs, evaluated lazily: the exact int64 parse
-          // first (no double round-trip for values past 2^53), then
-          // CH's numeric truncation, then the bool conversion
+          // three legs, evaluated lazily: the exact int64 parse first
+          // (no double round-trip for values past 2^53), then CH's
+          // numeric truncation, then the bool conversion.
+          //
+          // r19 perf, identical results: TRY is ANSI-with-catch, so every
+          // non-integral node ("2.5", any string value) THREW AND CAUGHT
+          // a SparkNumberFormatException per row per leg — ~10 µs/row of
+          // exception construction (measured: q125's one JSONExtractInt
+          // column cost ~1.0 s/100k rows, ~5× the shared variant parse).
+          //   - leg 1 string→long: the [[graft.functions.TextExprs.TryLongExact]]
+          //     kernel — bit-identical accept-set to TRY (ANSI grammar =
+          //     lenient UTF8String.toLong minus any '.'-containing
+          //     string; LEGACY itself is NOT equivalent here — it
+          //     truncates decimal text), no throw on reject.
+          //   - legs 2/3 string→double / string→boolean: LEGACY, which
+          //     IS result-identical to TRY for those targets (same
+          //     parsers, null instead of caught-throw; pinned by the
+          //     GraftExtensionsSpec battery).
+          //   - the outer double→long / boolean→long casts KEEP TRY:
+          //     legacy differs on double overflow (clamps where TRY
+          //     reads null), and in-range values never throw, so TRY
+          //     costs nothing on the happy path.
           Coalesce(Seq(
-            Cast(raw, LongType, None, EvalMode.TRY),
-            Cast(Cast(raw, DoubleType, None, EvalMode.TRY), LongType,
+            graft.functions.TextExprs.TryLongExact(raw),
+            Cast(Cast(raw, DoubleType, None, EvalMode.LEGACY), LongType,
               None, EvalMode.TRY),
-            Cast(Cast(raw, BooleanType, None, EvalMode.TRY), LongType,
+            Cast(Cast(raw, BooleanType, None, EvalMode.LEGACY), LongType,
               None, EvalMode.TRY),
             Literal(0L)))
         })
@@ -1483,6 +1508,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (args.size < 2) throw new IllegalArgumentException(
             "JSONExtract expects (json, key_or_index, ..., 'TypeName')")
           val inner = args.dropRight(1)
+          // stays TRY: for the INTEGRAL targets LEGACY is NOT equivalent
+          // (it truncates decimal text where TRY reads null — the r19
+          // battery caught it), and these narrow-typed paths are not on
+          // any hot entry, so the per-row exception cost is acceptable
           def typed(tpe: DataType, default: Literal) = Coalesce(Seq(
             Cast(get(inner, "JSONExtract"), tpe, None, EvalMode.TRY),
             default))

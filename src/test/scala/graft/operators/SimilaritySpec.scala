@@ -249,6 +249,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kernel == hof)
   }
 
+  test("ADC sum kernel ≡ interpreted HOF composition (null algebra included)") {
+    // randomized codes/tables + adversarial rows: out-of-range codes
+    // (element_at → null → null sum), negative codes (element_at's
+    // from-the-end indexing), codes longer than the table and vice versa
+    // (zip_with null padding), null table cells. The kernel must agree
+    // with the stock HOF composition CELL FOR CELL, nulls included.
+    val rows = spark.range(0, 400, 1, 4)
+      .select(col("id"),
+        // m varies 1..8; most codes in range [0, 16), every 7th row gets
+        // an out-of-range code, every 11th a negative (from-end) one
+        transform(sequence(lit(0), pmod(col("id"), lit(8)).cast("int")),
+          s => when(pmod(col("id") + s, lit(7)) === 0, lit(99))
+            .when(pmod(col("id") + s, lit(11)) === 0, lit(-2))
+            .otherwise(pmod(col("id") * 31 + s * 17, lit(16)).cast("int")))
+          .as("codes"),
+        // table of (id%8)+1 sub-tables (sometimes shorter than codes),
+        // each 16 doubles; every 13th row nulls one sub-table out
+        transform(sequence(lit(0), pmod(col("id") * 3, lit(8)).cast("int")),
+          s => when(pmod(col("id") + s, lit(13)) === 0,
+              lit(null).cast("array<double>"))
+            .otherwise(transform(sequence(lit(0), lit(15)),
+              j => sin(col("id") * 7 + s * 5 + j).cast("double"))))
+          .as("tbl"))
+    val both = rows.select(
+      graft.functions.VectorExprs.adcSum(col("codes"), col("tbl")).as("kernel"),
+      aggregate(zip_with(col("codes"), col("tbl"),
+          (code, t) => element_at(t, code + 1)),
+        lit(0.0), _ + _).as("hof")).collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at row $i: $r")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1), s"value mismatch at row $i: $r")
+    }
+    assert(both.exists(!_.isNullAt(0)), "want non-null coverage")
+    assert(both.exists(_.isNullAt(0)), "want null coverage")
+  }
+
   test("PQ ADC top-k: planted near-duplicate ranks first") {
     // corpus of well-separated one-hot-ish vectors + a planted near-copy
     // of the query: ADC must rank the copy at 1

@@ -1778,6 +1778,82 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "1,2")
   }
 
+  test("LEGACY cast ≡ TRY cast for string→numeric/boolean (the r19 " +
+    "exception-free JSONExtract leg swap is result-identical)") {
+    // the jsonIntBuilder/extractAs legs moved from TRY to LEGACY for the
+    // string-source casts; this battery pins that both modes accept the
+    // SAME strings with the SAME values (TRY is ANSI-with-catch and both
+    // defer to the same UTF8String parsers, differing only in
+    // null-vs-caught-throw). Overflow, whitespace, signs, specials,
+    // decimals, exponents, booleans, garbage — cell-for-cell equality.
+    val battery = Seq(
+      "0", "1", "-1", "+5", " 42 ", "\t7\n", "2.5", "-2.5", "2.50",
+      "200.7", "1e2", "-1E3", "1e308", "1e309", "-1e309", "9223372036854775807",
+      "9223372036854775808", "-9223372036854775808", "-9223372036854775809",
+      "99999999999999999999999", "0x1F", "abc", "", " ", ".", "-", "+",
+      "NaN", "nan", "Infinity", "-Infinity", "+Infinity", "inf", "-inf",
+      "infinity", "true", "false", "t", "f", "y", "n", "yes", "no", "TRUE",
+      "False", "1.0.0", "12abc", "abc12", "١٢٣", "0.0", "-0.0", ".5", "5.",
+      "127", "128", "-128", "-129", "32767", "32768", "2147483647",
+      "2147483648", "null", "NULL")
+    import spark.implicits._
+    val df = battery.toDF("s")
+    // the targets the registry actually swapped to LEGACY: double/float/
+    // boolean (integral targets are NOT swap-safe — legacy truncates
+    // decimal text where TRY reads null — and stay on TRY/the kernel)
+    val types = Seq("double", "float", "boolean")
+    types.foreach { t =>
+      val rows = df.selectExpr(
+        s"s", s"try_cast(s AS $t) AS tryc", s"cast(s AS $t) AS legc")
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2),
+          s"null mismatch for '${r.getString(0)}' AS $t: $r")
+        if (!r.isNullAt(1))
+          // string equality also equates NaN with NaN (Double NaN != NaN)
+          assert(String.valueOf(r.get(1)) == String.valueOf(r.get(2)),
+            s"value mismatch for '${r.getString(0)}' AS $t: $r")
+      }
+    }
+    // the string→long leg runs the TryLongExact kernel: bit-identical to
+    // try_cast (ANSI grammar = lenient toLong minus '.'-containing text)
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val kernel = ColumnBridge.column(graft.functions.TextExprs.TryLongExact(
+      ColumnBridge.expression(col("s"))))
+    val rows = df.select(col("s"), expr("try_cast(s AS bigint)").as("tryc"),
+      kernel.as("kern")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"kernel null mismatch for '${r.getString(0)}': $r")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2),
+          s"kernel value mismatch for '${r.getString(0)}': $r")
+    }
+  }
+
+  test("DedupProjectParse: the JSONExtractInt coalesce legs share ONE " +
+    "get_json_object per (json, path) — not one Jackson parse per leg") {
+    spark.range(1, 4).selectExpr(
+      "concat('{\"d\":2.5,\"k\":', id, '}') AS j")
+      .createOrReplaceTempView("ge_dp_get")
+    val df = spark.sql(
+      """SELECT JSONExtractInt(j, 'd') AS d, JSONExtractInt(j, 'k') AS k
+        |FROM ge_dp_get""".stripMargin)
+    val gets = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e if DedupProjectParse.isSharedJsonGet(e) => e
+      })
+    }.flatten
+    // two distinct paths, each expanded to a 3-leg TRY-cast coalesce:
+    // 6 get_json_object calls before the pull, 2 shared ones after
+    assert(gets.size == 2,
+      s"want one shared get_json_object per path, got ${gets.size}:\n" +
+        df.queryExecution.optimizedPlan)
+    val r = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(r.toSeq == Seq((2L, 1L), (2L, 2L), (2L, 3L)))
+  }
+
   test("DedupProjectParse: STRICT parse_json under a CASE WHEN guard is " +
     "NOT pulled (hoisting it would throw on rows the guard excluded)") {
     // one well-formed row, one malformed: the strict parse is reachable
