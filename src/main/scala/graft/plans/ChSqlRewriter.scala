@@ -938,10 +938,24 @@ object ChSqlRewriter {
     if (jt == "INNER") sb ++= T("AND __graft_r IS NOT NULL")
     sb ++= T(")")
     var out = toks.take(fromAt + 1) ++ sb.result() ++ toks.drop(end)
-    // a bare top-level `SELECT * FROM <asof>` reads CH-flattened:
-    // expand the star over both side structs (ON form only - the USING
-    // form's CH star DEDUPES the shared columns, so the expansion would
-    // diverge; qualified refs are the USING contract here)
+    // a bare `SELECT *` directly over the lowered pair: the TOP-LEVEL
+    // ON form expands to a.*, b.* (CH's flattened reading) below; every
+    // OTHER bare star — the USING form (CH additionally DEDUPES the
+    // shared columns, which this lowering cannot reproduce) and any
+    // subquery-level star — is a NAMED ERROR (r18 ADVICE low fix:
+    // previously those silently projected the two STRUCT columns, a
+    // silent schema divergence in a module whose policy is loud errors)
+    val bareStar = fromAt >= 2 && toks(fromAt - 1).p("*") &&
+      toks(fromAt - 2).kw("SELECT")
+    val expandable = bareStar && onAt >= 0 && base == 0 && fromAt == 2 &&
+      toks.headOption.exists(_.kw("SELECT"))
+    if (bareStar && !expandable) throw new RewriteException(
+      "SELECT * over a lowered ASOF JOIN " +
+        (if (onAt < 0)
+          "(USING form: ClickHouse dedupes the shared columns, which " +
+            "this lowering cannot reproduce)"
+        else "inside a subquery") +
+        s" - qualify ${la.text} . * / ${ra.text} . * or list the columns")
     if (base == 0 && onAt >= 0 && out.headOption.exists(_.kw("SELECT")) &&
         fromAt == 2 && out(1).p("*")) {
       out = Vector(out(0), la, Tok("punct", "."), Tok("punct", "*"),
@@ -1547,34 +1561,47 @@ object ChSqlRewriter {
             kw("END")
         def lastOver(inner: Vector[Tok], desc: Boolean,
             as: String): Vector[Tok] =
-          T("last (") ++ obsCase(inner) ++ T(", true ) OVER ( ORDER BY") ++
+          T("last (") ++ inner ++ T(", true ) OVER ( ORDER BY") ++
             Vector(Tok("ident", axis)) ++
             (if (desc) T("DESC") else Vector.empty) ++
             T(runFrame + " ) AS " + as)
         val cDouble = T("CAST (") ++ Vector(c) ++ T("AS DOUBLE )")
         val axisDouble =
           T("CAST (") ++ Vector(Tok("ident", axis)) ++ T("AS DOUBLE )")
+        // linear brackets bundle VALUE AND POSITION in one struct per
+        // window (r19, the r18 ADVICE medium fix): the previous form
+        // carried pv (last ignoreNulls over CASE WHEN obs THEN value)
+        // and ph (same window over the axis) SEPARATELY, and an
+        // observation whose value was NULL advanced ph but not pv — a
+        // fill row after it interpolated a value from one observation
+        // against a position from another, landing on no line between
+        // actual observations. Bundled, the bracket comes from the last
+        // (next) observation whose value is NON-NULL, so v and h always
+        // name the same row; a NULL-valued observation simply does not
+        // form a bracket. (Also 4 windows → 2.)
+        def bracketStruct: Vector[Tok] =
+          (T("CASE WHEN __graft_obs IS NOT NULL AND") ++ Vector(c) ++
+            T("IS NOT NULL THEN named_struct ( 'v' ,") ++ cDouble ++
+            T(", 'h' ,") ++ axisDouble ++ T(")")) :+ kw("END")
         val windowCols: Vector[Tok] =
           if (linear)
-            (lastOver(cDouble, desc = false, "__graft_pv") :+ p(",")) ++
-              (lastOver(axisDouble, desc = false, "__graft_ph") :+
-                p(",")) ++
-              (lastOver(cDouble, desc = true, "__graft_nv") :+ p(",")) ++
-              lastOver(axisDouble, desc = true, "__graft_nh")
+            (lastOver(bracketStruct, desc = false, "__graft_p") :+
+              p(",")) ++
+              lastOver(bracketStruct, desc = true, "__graft_n")
           else
             // struct-wrapped so an observed NULL is CARRIED as NULL
             // (CH repeats the previous VALUE, whatever it is) instead
             // of being skipped by ignoreNulls
-            lastOver(T("struct (") ++ Vector(c) ++ T(")"),
+            lastOver(obsCase(T("struct (") ++ Vector(c) ++ T(")")),
               desc = false, "__graft_pc")
         val fillExpr: Vector[Tok] =
           if (linear)
             T("CASE WHEN __graft_obs IS NOT NULL THEN") ++ cDouble ++
-              T("WHEN __graft_pv IS NOT NULL AND __graft_nv IS NOT " +
-                "NULL THEN __graft_pv + ( __graft_nv - __graft_pv ) * " +
-                "( (") ++ axisDouble ++
-              T("- __graft_ph ) / ( __graft_nh - __graft_ph ) ) " +
-                "ELSE coalesce ( __graft_pv , __graft_nv ) END")
+              T("WHEN __graft_p IS NOT NULL AND __graft_n IS NOT " +
+                "NULL THEN __graft_p . v + ( __graft_n . v - " +
+                "__graft_p . v ) * ( (") ++ axisDouble ++
+              T("- __graft_p . h ) / ( __graft_n . h - __graft_p . h ) " +
+                ") ELSE coalesce ( __graft_p . v , __graft_n . v ) END")
           else
             T("CASE WHEN __graft_obs IS NOT NULL THEN") ++ Vector(c) ++
               T("ELSE __graft_pc .") ++ Vector(c) ++ T("END")

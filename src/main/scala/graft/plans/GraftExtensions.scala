@@ -1185,7 +1185,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Seq(x, i)))
         }),
       (FunctionIdentifier("arrayEnumerateDense"),
-        info("arrayEnumerateDense", "arrayEnumerateDense(arr) - ClickHouse arrayEnumerateDense: 1-based dense ids in FIRST-APPEARANCE order ([10,20,10,30] -> [1,2,1,3]; array_distinct preserves first-occurrence order on both engines)"),
+        info("arrayEnumerateDense", "arrayEnumerateDense(arr) - ClickHouse arrayEnumerateDense: 1-based dense ids in FIRST-APPEARANCE order ([10,20,10,30] -> [1,2,1,3]; array_distinct preserves first-occurrence order on both engines); DEVIATIONS: a NULL element reads a NULL id (array_position cannot match NULL; CH assigns NULL a dense id as a value), and the rewrite is O(n^2) per row (array_position over array_distinct per element) vs CH's hash-based O(n) - bound array sizes accordingly"),
         (args: Seq[Expression]) => {
           arity(args, 1, "arrayEnumerateDense", "(arr)")
           val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
@@ -1216,7 +1216,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             LambdaFunction(Not(EqualTo(t, strL(""))), Seq(t)))
         }),
       (FunctionIdentifier("concatWithSeparator"),
-        info("concatWithSeparator", "concatWithSeparator(sep, s1[, s2, ...]) - ClickHouse concatWithSeparator (rewrites to concat_ws)"),
+        info("concatWithSeparator", "concatWithSeparator(sep, s1[, s2, ...]) - ClickHouse concatWithSeparator (rewrites to concat_ws); DEVIATION: concat_ws SKIPS NULL arguments where ClickHouse propagates NULL (any NULL argument makes the whole result NULL) - wrap arguments in coalesce or ifNull to pin a reading"),
         (args: Seq[Expression]) => {
           if (args.size < 2) throw new IllegalArgumentException(
             "concatWithSeparator expects (sep, s1[, s2, ...])")

@@ -23,11 +23,12 @@ object DataOps {
     * testdata ships each table as a single parquet split, which would pin
     * every downstream per-row pass (shingles, md5, dot products) to 1-3
     * threads. A real 100 TB table arrives as thousands of splits and needs
-    * no such shuffle — this is a local-file artifact, the data moved is
-    * the table itself once.
+    * no such shuffle — r19 made the repartition CONDITIONAL on the scan's
+    * natural split count (Tables.loadParallel), so the local-file fix no
+    * longer costs an exchange at scale.
     */
   private def tp(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+    Tables.loadParallel(s, dir, name)
 
   /** Ingest-parity config: 7-field nginx access-log format (native casts
     * only — remote_addr:String, time_local:DateTime, status:UInt16,

@@ -33,8 +33,11 @@ final case class Q(
   */
 object Relational {
 
+  // scale-adaptive parallelism floor (r19): single-split local files
+  // spread over the session's cores; exchange-free at scale — see
+  // Tables.loadParallel
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(s, dir, name)
+    Tables.loadParallel(s, dir, name)
 
   /** Register temp views for the spark.sql-surface queries. */
   private def views(s: SparkSession, dir: String): Unit =
@@ -3799,17 +3802,15 @@ object Relational {
              |g AS (
              |  SELECT axis.d AS d, src.n, src.users, src.obs,
              |    last_value(CASE WHEN src.obs IS NOT NULL
-             |      THEN CAST(src.n AS DOUBLE) END IGNORE NULLS)
-             |      OVER wp AS pv,
-             |    last_value(CASE WHEN src.obs IS NOT NULL
-             |      THEN CAST(epoch(axis.d) AS DOUBLE) END IGNORE NULLS)
-             |      OVER wp AS ph,
+             |        AND src.n IS NOT NULL
+             |      THEN {'v': CAST(src.n AS DOUBLE),
+             |            'h': CAST(epoch(axis.d) AS DOUBLE)}
+             |      END IGNORE NULLS) OVER wp AS p,
              |    first_value(CASE WHEN src.obs IS NOT NULL
-             |      THEN CAST(src.n AS DOUBLE) END IGNORE NULLS)
-             |      OVER wn AS nv,
-             |    first_value(CASE WHEN src.obs IS NOT NULL
-             |      THEN CAST(epoch(axis.d) AS DOUBLE) END IGNORE NULLS)
-             |      OVER wn AS nh
+             |        AND src.n IS NOT NULL
+             |      THEN {'v': CAST(src.n AS DOUBLE),
+             |            'h': CAST(epoch(axis.d) AS DOUBLE)}
+             |      END IGNORE NULLS) OVER wn AS nn
              |  FROM axis LEFT JOIN src USING (d)
              |  WINDOW wp AS (ORDER BY axis.d
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -3817,10 +3818,10 @@ object Relational {
              |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |SELECT d,
              |  CASE WHEN obs IS NOT NULL THEN CAST(n AS DOUBLE)
-             |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-             |         pv + (nv - pv) *
-             |           ((CAST(epoch(d) AS DOUBLE) - ph) / (nh - ph))
-             |       ELSE coalesce(pv, nv) END AS n,
+             |       WHEN p IS NOT NULL AND nn IS NOT NULL THEN
+             |         p.v + (nn.v - p.v) *
+             |           ((CAST(epoch(d) AS DOUBLE) - p.h) / (nn.h - p.h))
+             |       ELSE coalesce(p.v, nn.v) END AS n,
              |  users
              |FROM g""".stripMargin),
       "WITH FILL INTERPOLATE (n AS linear) verbatim through " +

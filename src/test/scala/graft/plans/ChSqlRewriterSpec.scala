@@ -169,6 +169,20 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(intercept[ChSqlRewriter.RewriteException](
       rw("SELECT 1 FROM l a ASOF JOIN r b USING (ts)"))
       .getMessage.contains("LAST column"))
+    // bare * over the USING form / at subquery depth: NAMED errors
+    // (r18 ADVICE low fix — previously a silent two-struct schema).
+    // USING: CH dedupes the shared columns, unreproducible here
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT * FROM l a ASOF JOIN r b USING (k, ts)"))
+      .getMessage.contains("dedupes"))
+    // subquery-level star: silent struct pair before, loud now
+    assert(intercept[ChSqlRewriter.RewriteException](
+      rw("SELECT n FROM (SELECT * FROM l a ASOF JOIN r b " +
+        "ON a.k = b.k AND a.ts >= b.ts)"))
+      .getMessage.contains("subquery"))
+    // qualified stars and column lists stay fine in both forms
+    assert(rw("SELECT a.*, b.x FROM l a ASOF JOIN r b USING (k, ts)")
+      .startsWith("SELECT a . * , b . x FROM ("))
     // named errors: no inequality, no equi key, chained joins
     assert(intercept[ChSqlRewriter.RewriteException](
       rw("SELECT 1 FROM l a ASOF JOIN r b ON a.k = b.k"))
@@ -431,15 +445,22 @@ class ChSqlRewriterSpec extends AnyFunSuite {
     assert(rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
       "INTERPOLATE (n AS n)") == locf)
     // linear (the graft extension - CH's iterated INTERPOLATE cannot
-    // see the NEXT observation): both brackets + the q88 formula
+    // see the NEXT observation): both brackets + the q88 formula. Since
+    // r19 each bracket bundles value AND position in ONE struct window
+    // (the r18 ADVICE medium fix): a NULL-valued observation must not
+    // advance the position bracket without the value bracket, or fill
+    // rows interpolate across mismatched observations
     val lin = rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +
       "INTERPOLATE (n AS linear)")
-    assert(lin.contains("AS __graft_pv") && lin.contains("AS __graft_ph")
-      && lin.contains("AS __graft_nv") && lin.contains("AS __graft_nh"))
+    assert(lin.contains("CASE WHEN __graft_obs IS NOT NULL AND n IS " +
+      "NOT NULL THEN named_struct ( 'v' , CAST ( n AS DOUBLE ) , 'h' , " +
+      "CAST ( d AS DOUBLE ) ) END"))
+    assert(lin.contains("AS __graft_p") && lin.contains("AS __graft_n"))
     assert(lin.contains("OVER ( ORDER BY d DESC ROWS BETWEEN"))
-    assert(lin.contains("__graft_pv + ( __graft_nv - __graft_pv ) * " +
-      "( ( CAST ( d AS DOUBLE ) - __graft_ph ) / ( __graft_nh - " +
-      "__graft_ph ) ) ELSE coalesce ( __graft_pv , __graft_nv ) END"))
+    assert(lin.contains("__graft_p . v + ( __graft_n . v - " +
+      "__graft_p . v ) * ( ( CAST ( d AS DOUBLE ) - __graft_p . h ) / " +
+      "( __graft_n . h - __graft_p . h ) ) ELSE coalesce ( " +
+      "__graft_p . v , __graft_n . v ) END"))
     // iterated expressions: named error (a recursion, not a window)
     val e = intercept[ChSqlRewriter.RewriteException](
       rw("SELECT d, n FROM t ORDER BY d WITH FILL STEP 1 " +

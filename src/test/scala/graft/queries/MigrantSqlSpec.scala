@@ -375,6 +375,34 @@ class MigrantSqlSpec extends AnyFunSuite {
       |ORDER BY d WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (n)"""
       .stripMargin)
 
+  test("INTERPOLATE (c AS linear) brackets come from the SAME " +
+    "observation when a NULL-valued observation intervenes (r18 ADVICE " +
+    "medium fix: value+position bundled in one struct window)") {
+    // observations at x = 0 (v=0), 4 (v=NULL), 8 (v=80): the fill rows
+    // and the NULL-valued row itself must interpolate on the 0→80 line
+    // (10·x). The pre-fix form advanced the position bracket on the
+    // NULL-valued observation but not the value bracket, so x=5..7
+    // interpolated v from x=0 against h from x=4 — off every line.
+    spark.sql(
+      """SELECT * FROM VALUES (0, 0.0), (4, CAST(NULL AS DOUBLE)),
+        |  (8, 80.0) AS t(x, v)""".stripMargin)
+      .createOrReplaceTempView("mig_interp_null")
+    val rows = graft.plans.ChSqlRewriter.sql(spark,
+      """SELECT x, v FROM mig_interp_null
+        |ORDER BY x WITH FILL STEP 1 INTERPOLATE (v AS linear)"""
+        .stripMargin)
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows(0) == 0.0 && rows(8) == 80.0)
+    // source rows keep their own values, NULL included
+    assert(rows(4) == null, s"observed NULL must survive: ${rows(4)}")
+    // every FILL row lies on the 0→80 line: v = 10·x
+    Seq(1, 2, 3, 5, 6, 7).foreach { x =>
+      assert(rows(x) == 10.0 * x,
+        s"fill row x=$x off the observation line: ${rows(x)}")
+    }
+  }
+
   gapFlipped("PREWHERE + LIMIT offset,n pagination",
     "PARSE_SYNTAX_ERROR", "PREWHERE merge + LIMIT n OFFSET m", 1,
     """SELECT event_id, event_type FROM events PREWHERE value > 0.9
