@@ -111,6 +111,16 @@ import org.apache.spark.sql.SparkSession
   * ambient. q125's first probe row (post-VariantKernels) read 0.88×
   * at 10× data — fixed-cost dominated, the map-only-scan claim held.
   *
+  * ADJUDICATED r19 (the r18 verdict's p02 watch item — its r18
+  * full-sweep probe row read 8.92× at 10× vs the r17 filtered 2.18×
+  * and the r16 30×-probe 3.55×): a filtered fresh-JVM family run
+  * (this harness, factor 10) reads p02 at 1× 3.61 s, 10× 10.39 s,
+  * **ratio 2.88×** — ON its r14 fresh-JVM level (2.91×) and inside
+  * the documented ≤4.5× span-family band; the 8.92× sweep row was
+  * probe-JVM age over the ~60-pair sweep (p02 is the longest-running
+  * noise-band resident in this file, see the r11-r17 history above).
+  * RETIRED AS AMBIENT; no mechanism, no code change.
+  *
   * ADJUDICATED r18 (the r17 verdict's two bench notes + the s07 fix
   * probe, one filtered fresh-JVM run each):
   *   - d23_cdc_chunks (r17 sweep 0.92→1.24 s, plan hash unchanged,
