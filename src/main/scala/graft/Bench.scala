@@ -590,7 +590,10 @@ object Bench {
     val qs = {
       val parts = results.sortBy(-_._2.median)
         .map { case (k, v) => "\"" + k + f"\":${v.median}%.2f" }
-      val budget = 1500
+      // 1450 (was 1500): the r19 calib-normalized fields add ~65 chars
+      // to the fixed tail, and the whole line must stay well inside the
+      // driver's ~2000-char stdout window (the r5 lesson above)
+      val budget = 1450
       var used = 2
       val kept = parts.takeWhile { p =>
         used += p.length + 1; used <= budget
